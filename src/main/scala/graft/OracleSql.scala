@@ -1,0 +1,398 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per SQL-expressible query in
+  * [[SparkEntry.queries]]. Column aliases, rounding, casts, and ORDER BY
+  * mirror the Spark plans exactly (see determinism notes on SparkEntry).
+  * Approximate/engine-internal queries (LSH, HLL, footer stats, multimodal)
+  * are intentionally absent → the driver applies its weaker rows-only check.
+  */
+object OracleSql {
+
+  val all: Map[String, String] = Map(
+    "q01_agg_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice * (1 - l_discount), 4) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-03-01'
+        AND l_quantity > 40
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_topk" -> """
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+      LIMIT 10""",
+
+    "q04_join_broadcast" -> """
+      SELECT r_name, count(*) AS n_cust,
+        round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    "q05_join_agg" -> """
+      SELECT o_orderpriority, count(*) AS n_lines,
+        round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q06_semi_join" -> """
+      SELECT o_orderstatus, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q07_anti_join" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""",
+
+    "q08_outer_join" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+
+    "q09_full_outer" -> """
+      WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT coalesce(c.nk, s.nk) AS nk,
+        coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY nk""",
+
+    "q10_theta_join" -> """
+      SELECT b.bucket, count(*) AS n
+      FROM customer c
+      JOIN (VALUES ('neg', -100000.0, 0.0), ('low', 0.0, 5000.0),
+                   ('high', 5000.0, 100000.0)) AS b(bucket, lo, hi)
+        ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+      GROUP BY b.bucket
+      ORDER BY b.bucket""",
+
+    "q11_distinct_agg" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS nd_part,
+        count(DISTINCT l_suppkey) AS nd_supp,
+        round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sumd_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q12_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls, g_rf, g_ls""",
+
+    "q13_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(o_orderpriority, 'ALL') AS pri,
+             count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY st, pri""",
+
+    "q14_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""",
+
+    "q15_window_rank" -> """
+      SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+             CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk, CAST(drk AS INT) AS drk
+      FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+              row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rn <= 3
+      ORDER BY c_mktsegment, rn""",
+
+    "q16_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q17_window_range" -> """
+      SELECT o_orderkey, count(*) OVER (
+          PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice) AS BIGINT)
+          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_similar
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "q18_window_lag" -> """
+      SELECT user_id, event_id,
+        lag(event_id) OVER w AS prev_id,
+        lead(event_id) OVER w AS next_id,
+        round(value - lag(value) OVER w, 2) AS delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q19_union" -> """
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+      ORDER BY c_custkey""",
+
+    "q20_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders
+      ORDER BY c_custkey""",
+
+    "q21_except" -> """
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      ORDER BY c_custkey""",
+
+    "q22_string_funcs" -> """
+      SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        substring(p_name, 1, 5) AS pre,
+        CAST(length(p_name) AS INT) AS len,
+        CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        concat(p_brand, '#', p_type) AS tag
+      FROM part
+      WHERE p_name LIKE '%a%'
+      ORDER BY p_partkey""",
+
+    "q23_date_funcs" -> """
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(month(o_orderdate) AS INT) AS m,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1995-06-01'
+      ORDER BY o_orderkey""",
+
+    "q24_math_funcs" -> """
+      SELECT p_partkey,
+        round(p_retailprice * 1.1, 2) AS marked_up,
+        round(abs(p_retailprice - 1000.0), 2) AS dist,
+        CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        round(power(p_size, 2), 1) AS size_sq,
+        round(ln(p_retailprice), 6) AS ln_price,
+        round(sqrt(p_retailprice), 6) AS sqrt_price
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q25_array_funcs" -> """
+      SELECT vec_id,
+        CAST(len(embedding) AS INT) AS dim,
+        round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+        round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum
+      FROM embeddings
+      ORDER BY vec_id""",
+
+    "q26_json_funcs" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY 1""",
+
+    "q27_merge_mutations" -> """
+      SELECT c_mktsegment, count(*) AS n,
+        round(CAST(sum(CAST(
+          CASE WHEN c_custkey % 10 = 3 THEN round(c_acctbal * 1.1, 2)
+               ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+      FROM customer
+      WHERE c_custkey % 10 <> 7
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q28_merge_delete" -> """
+      SELECT c_nationkey, count(*) AS n
+      FROM customer
+      WHERE c_custkey % 7 <> 0
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
+
+    "q29_merge_upsert" -> """
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY 1""",
+
+    "q30_dedup_exact" -> """
+      WITH fp AS (
+        SELECT *, md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f
+        FROM documents),
+      d AS (SELECT * FROM fp
+            QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1)
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM d GROUP BY lang ORDER BY lang""",
+
+    "q31_fingerprint" -> """
+      SELECT doc_id,
+        md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+      FROM documents
+      ORDER BY doc_id""",
+
+    "q32_text_stats" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS toks,
+          string_split_regex(trim(lower(text)), '\s+') AS ltoks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(toks) AS INT) AS n_tokens,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE) END AS praw,
+          CASE WHEN len(ltoks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this','it','be'))) AS DOUBLE)
+                    / len(ltoks) END AS sraw,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS wraw
+        FROM t)
+      SELECT doc_id, n_tokens,
+        round(praw, 6) AS punct_ratio,
+        round(sraw, 6) AS stopword_ratio,
+        round(wraw, 6) AS mean_word_len,
+        round((
+          (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN wraw >= 2.0 AND wraw <= 12.0 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+      FROM m
+      ORDER BY doc_id""",
+
+    "q33_langid" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS score_de,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS INT) AS score_en,
+          CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS INT) AS score_es,
+          CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS INT) AS score_fr,
+          CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS INT) AS score_zh
+        FROM t)
+      SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted
+      FROM sc
+      ORDER BY doc_id""",
+
+    "q34_ngram_jaccard" -> """
+      WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 25),
+      g AS (SELECT doc_id,
+              list_distinct(CASE WHEN length(t) <= 3 THEN [t]
+                ELSE list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INT), 3)) END) AS grams
+            FROM d)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) END, 6) AS jaccard
+      FROM g a, g b
+      WHERE a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""",
+
+    "q35_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      s AS (SELECT qid, cid, list_cosine_similarity(cv, qv) AS cos
+            FROM c, q WHERE cid <> qid),
+      r AS (SELECT qid, cid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            FROM s)
+      SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+      FROM r WHERE rn <= 10
+      ORDER BY query_id, rank""",
+
+    "q36_tumbling_window" -> """
+      SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY 1""",
+
+    "q37_sliding_window" -> """
+      WITH e AS (SELECT time_bucket(INTERVAL 30 minutes, ts) AS b, value FROM events),
+      w AS (SELECT b AS ws, value FROM e
+            UNION ALL
+            SELECT b - INTERVAL 30 minutes AS ws, value FROM e)
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      FROM w
+      GROUP BY ws
+      ORDER BY 1""",
+
+    "q38_sessionize" -> """
+      WITH x AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      y AS (
+        SELECT user_id, ts, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      FROM y
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    "q39_first_event" -> """
+      SELECT user_id, event_type, event_id AS first_event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      ORDER BY user_id, event_type""",
+  )
+}

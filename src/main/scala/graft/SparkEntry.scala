@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, MergeOps, Similarity}
+import graft.multimodal.Multimodal
+
+/** Driver contract: the engine's declared operator inventory (SURVEY.md §2b)
+  * as named queries, each with DuckDB oracle SQL where SQL-expressible.
+  *
+  * Determinism conventions (SURVEY.md §7.5): every double output is either
+  * (a) a per-row arithmetic result (bit-identical across engines) rounded,
+  * or (b) an aggregate computed over DECIMAL casts (order-independent exact
+  * sums) cast back to double and rounded. Counts are int64 both sides; all
+  * timestamps leave the engine as formatted strings; every query carries a
+  * total ORDER BY. Column names are snake_case and aliased identically in
+  * the Spark plan and the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables._
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
+    * lineitem⋈orders revenue rollup — scan, SMJ/broadcast join, hash agg. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q05_join_agg(spark, "/root/testdata/sf0.001")
+
+  // ---- helpers ------------------------------------------------------
+
+  /** Exact aggregate of a double column: per-row cast to decimal (order-
+    * independent sum), result back to double rounded to `r`. */
+  private def dsum(c: Column, scale: Int = 2, r: Int = 2): Column =
+    round(sum(c.cast(DecimalType(18, scale))).cast("double"), r)
+
+  private val fmtS = "yyyy-MM-dd HH:mm:ss"
+
+  // ---- relational core ---------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: filter + hash agg w/ partial
+    * aggregation; predicate pushes to parquet row-group stats. */
+  def q01_agg_pricing(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2).as("sum_disc_price"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + filter with computed column; pushdown-friendly. */
+  def q02_filter_project(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-03-01").cast("timestamp") &&
+             col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Global top-k: TakeOrderedAndProject, no full sort. */
+  def q03_topk(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Broadcast-hash join chain over the small dims. */
+  def q04_join_broadcast(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"))
+
+  /** Large-side equi join (SMJ/shuffled-hash under AQE) + agg. */
+  def q05_join_agg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Left-semi join (EXISTS). */
+  def q06_semi_join(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(lineitem(s, dir).where(col("l_quantity") >= 45),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Left-anti join (NOT EXISTS) — also the engine's delete primitive. */
+  def q07_anti_join(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left outer join preserving unmatched rows. */
+  def q08_outer_join(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** Full-outer join of two aggregates. */
+  def q09_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nk"))
+  }
+
+  /** Theta (non-equi range) join against a tiny literal bounds table —
+    * BroadcastNestedLoop by construction. */
+  def q10_theta_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bins = Seq(("neg", -100000.0, 0.0), ("low", 0.0, 5000.0),
+      ("high", 5000.0, 100000.0)).toDF("bucket", "lo", "hi")
+    customer(s, dir)
+      .join(broadcast(bins),
+        col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Distinct aggregates (expand-based two-phase plan). */
+  def q11_distinct_agg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        round(sum_distinct(col("l_quantity").cast(DecimalType(18, 2))).cast("double"), 2).as("sumd_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP with grouping indicators. */
+  def q12_rollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"), col("g_rf"), col("g_ls"))
+
+  /** CUBE over order attributes. */
+  def q13_cube(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("sum_price"))
+      .orderBy(col("st"), col("pri"))
+
+  /** GROUPING SETS via the SQL surface. */
+  def q14_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("gs_lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n
+      FROM gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""")
+  }
+
+  /** Ranking window functions, per-group top-3. */
+  def q15_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .where(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Running total (ROWS frame, exact decimal accumulation). */
+  def q16_window_running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double"), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** RANGE frame (value-based window, tie-safe by construction). */
+  def q17_window_range(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(floor(col("o_totalprice")).cast("long"))
+      .rangeBetween(-10000L, 0L)
+    orders(s, dir)
+      .select(col("o_orderkey"), count(lit(1)).over(w).as("n_similar"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** lag/lead analytics. */
+  def q18_window_lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** UNION DISTINCT of two key sets. */
+  def q19_union(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).where(col("c_acctbal") > 9000).select(col("c_custkey"))
+      .union(orders(s, dir).where(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("c_custkey")))
+      .distinct()
+      .orderBy(col("c_custkey"))
+
+  /** INTERSECT. */
+  def q20_intersect(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).where(col("c_acctbal") > 5000).select(col("c_custkey"))
+      .intersect(orders(s, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  /** EXCEPT. */
+  def q21_except(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).select(col("c_custkey"))
+      .except(orders(s, dir).where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  /** String function battery. */
+  def q22_string_funcs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .where(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        length(col("p_name")).cast("int").as("len"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tag"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time function battery. */
+  def q23_date_funcs(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .where(col("o_orderdate") < lit("1995-06-01").cast("timestamp"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math function battery. */
+  def q24_math_funcs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+        round(abs(col("p_retailprice") - 1000.0), 2).as("dist"),
+        floor(col("p_retailprice")).cast("long").as("fl"),
+        ceil(col("p_retailprice")).cast("long").as("ce"),
+        round(pow(col("p_size"), 2), 1).as("size_sq"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"))
+      .orderBy(col("p_partkey"))
+
+  /** Array/HOF battery over the embedding column. */
+  def q25_array_funcs(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sq_norm"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("head_sum"))
+      .orderBy(col("vec_id"))
+
+  /** JSON extraction from the events props column. */
+  def q26_json_funcs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("k"))
+
+  // ---- mutation parity (the reference's core) -----------------------
+
+  /** Upsert+delete merge batch (ParquetRewriter.java:157-191 semantics):
+    * custkey%10==3 upserted with a 10% acctbal bump, %10==7 deleted. */
+  def q27_merge_mutations(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val ups = c.where(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", round(col("c_acctbal") * 1.1, 2))
+      .withColumn("op", lit("upsert"))
+    val dels = c.where(col("c_custkey") % 10 === 7)
+      .withColumn("op", lit("delete"))
+    val merged = MergeOps.applyMutations(c, ups.unionByName(dels), "c_custkey")
+    merged.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Delete-by-key (left anti) merge. */
+  def q28_merge_delete(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val deleteKeys = c.where(col("c_custkey") % 7 === 0).select(col("c_custkey"))
+    MergeOps.deleteByKey(c, deleteKeys, "c_custkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Pure upsert (insert-or-replace) via union + row_number dedup. */
+  def q29_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val ups = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("R"))
+    MergeOps.upsert(o, ups, "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ---- LLM-pipeline: dedup / text / similarity ----------------------
+
+  /** Exact dedup on normalized-content fingerprint. */
+  def q30_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(documents(s, dir), "text", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** Content fingerprints (md5 of normalized text). */
+  def q31_fingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Text statistics battery (token/punct/stopword/quality). */
+  def q32_text_stats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID marker scores + argmax prediction. */
+  def q33_langid(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.langScore(col("text"), "de").cast("int").as("score_de"),
+        TextFunctions.langScore(col("text"), "en").cast("int").as("score_en"),
+        TextFunctions.langScore(col("text"), "es").cast("int").as("score_es"),
+        TextFunctions.langScore(col("text"), "fr").cast("int").as("score_fr"),
+        TextFunctions.langScore(col("text"), "zh").cast("int").as("score_zh"),
+        TextFunctions.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  /** Exact char-3-gram Jaccard over all pairs of a small doc slice. */
+  def q34_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).where(col("doc_id") < 25)
+    val ids = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    Dedup.ngramJaccard(documents(s, dir), ids, "text", "doc_id", 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact brute-force cosine top-10 for 5 query vectors. */
+  def q35_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id", 10)
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- events: windowed / sessionized time analytics ----------------
+
+  /** Tumbling 1-hour window aggregation (batch form of the streaming op). */
+  def q36_tumbling_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), fmtS).as("hour_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_start"))
+
+  /** Sliding 1-hour/30-min windows. */
+  def q37_sliding_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), fmtS).as("window_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  /** Sessionization, 30-minute inactivity gap (gaps-and-islands). */
+  def q38_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val newSession = when(
+      lag(col("ts"), 1).over(byUser).isNull ||
+      col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double") > 1800.0,
+      1).otherwise(0)
+    events(s, dir)
+      .withColumn("new_s", newSession)
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(date_format(min(col("ts")), fmtS).as("session_start"),
+        count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .drop("sid")
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Keep-first dedup per (user, event_type) — batch form of streaming
+    * dropDuplicates. */
+  def q39_first_event(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        date_format(col("ts"), fmtS).as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // ---- approximate / engine-internal (rows-only checks) -------------
+
+  /** HLL++ approximate distinct (no cross-engine oracle). */
+  def q40_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** MinHash-LSH near-dup candidate pairs. */
+  def q41_minhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(documents(s, dir), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures). */
+  def q42_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(documents(s, dir), "text", "doc_id", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding near-dup via hyperplane LSH buckets. */
+  def q43_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(embeddings(s, dir), "embedding", "vec_id",
+        dim = 64, threshold = 0.2, nBits = 6)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH-bucketed ANN top-k (approximate; recall measured in tests). */
+  def q44_lsh_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, dim = 64, nBits = 4)
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style ANN top-k. */
+  def q45_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.ivfTopK(s, e, e.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Rolling (order-sensitive) document fingerprint. */
+  def q46_rolling_fingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: opaque binary media + batch feature extraction. */
+  def q47_multimodal_features(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, dir)))
+      .orderBy(col("media_id"))
+
+  /** Parquet footer/row-group stats surface (zone-map inspection). */
+  def q48_rowgroup_stats(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ParquetStats.rowGroupStats(s, s"$dir/lineitem.parquet")
+      .select(col("rowGroup").as("row_group"), col("rowCount").as("row_count"))
+      .orderBy(col("row_group"))
+
+  // ---- registry -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> (q01_agg_pricing _),
+    "q02_filter_project" -> (q02_filter_project _),
+    "q03_topk" -> (q03_topk _),
+    "q04_join_broadcast" -> (q04_join_broadcast _),
+    "q05_join_agg" -> (q05_join_agg _),
+    "q06_semi_join" -> (q06_semi_join _),
+    "q07_anti_join" -> (q07_anti_join _),
+    "q08_outer_join" -> (q08_outer_join _),
+    "q09_full_outer" -> (q09_full_outer _),
+    "q10_theta_join" -> (q10_theta_join _),
+    "q11_distinct_agg" -> (q11_distinct_agg _),
+    "q12_rollup" -> (q12_rollup _),
+    "q13_cube" -> (q13_cube _),
+    "q14_grouping_sets" -> (q14_grouping_sets _),
+    "q15_window_rank" -> (q15_window_rank _),
+    "q16_window_running" -> (q16_window_running _),
+    "q17_window_range" -> (q17_window_range _),
+    "q18_window_lag" -> (q18_window_lag _),
+    "q19_union" -> (q19_union _),
+    "q20_intersect" -> (q20_intersect _),
+    "q21_except" -> (q21_except _),
+    "q22_string_funcs" -> (q22_string_funcs _),
+    "q23_date_funcs" -> (q23_date_funcs _),
+    "q24_math_funcs" -> (q24_math_funcs _),
+    "q25_array_funcs" -> (q25_array_funcs _),
+    "q26_json_funcs" -> (q26_json_funcs _),
+    "q27_merge_mutations" -> (q27_merge_mutations _),
+    "q28_merge_delete" -> (q28_merge_delete _),
+    "q29_merge_upsert" -> (q29_merge_upsert _),
+    "q30_dedup_exact" -> (q30_dedup_exact _),
+    "q31_fingerprint" -> (q31_fingerprint _),
+    "q32_text_stats" -> (q32_text_stats _),
+    "q33_langid" -> (q33_langid _),
+    "q34_ngram_jaccard" -> (q34_ngram_jaccard _),
+    "q35_cosine_topk" -> (q35_cosine_topk _),
+    "q36_tumbling_window" -> (q36_tumbling_window _),
+    "q37_sliding_window" -> (q37_sliding_window _),
+    "q38_sessionize" -> (q38_sessionize _),
+    "q39_first_event" -> (q39_first_event _),
+    "q40_approx_distinct" -> (q40_approx_distinct _),
+    "q41_minhash_pairs" -> (q41_minhash_pairs _),
+    "q42_simhash_pairs" -> (q42_simhash_pairs _),
+    "q43_embedding_neardup" -> (q43_embedding_neardup _),
+    "q44_lsh_topk" -> (q44_lsh_topk _),
+    "q45_ivf_topk" -> (q45_ivf_topk _),
+    "q46_rolling_fingerprint" -> (q46_rolling_fingerprint _),
+    "q47_multimodal_features" -> (q47_multimodal_features _),
+    "q48_rowgroup_stats" -> (q48_rowgroup_stats _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

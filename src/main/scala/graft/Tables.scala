@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Fixture loaders for the driver-generated tables (TESTDATA.md).
   *
-  * Each table is one parquet file under `/root/testdata/sf*/`. The loaders
+  * Each table is one parquet file under `/root/testdata/sf&#42;`. The loaders
   * are plain `spark.read.parquet` — Catalyst handles column pruning and
   * row-group filter pushdown (the Spark-native form of the reference's
   * zone-map pruning, /root/reference/ParquetRewriter.java:239-251).
@@ -24,7 +24,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf) and convert to a
+    * micro-precision timestamp (`ts div 1000` — integer division, no
+    * double round-trip). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

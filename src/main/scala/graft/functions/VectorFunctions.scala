@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float>` embeddings.
+  *
+  * Baseline implementations use array higher-order functions
+  * (`zip_with` + `aggregate`), which stay inside whole-stage codegen —
+  * no UDF/serialization cost, scales with bytes scanned. All math is done
+  * in double precision regardless of the input element type so results are
+  * stable across engines.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm2(a) * norm2(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val diff = x.cast("double") - y.cast("double")
+      diff * diff
+    }), lit(0.0), (acc, v) => acc + v))
+
+  /** Random-hyperplane (SimHash) signature for cosine LSH: `nBits` sign
+    * bits packed into a long. Hyperplanes are pseudo-random but
+    * deterministic: component j of plane i is a hash-derived value in
+    * [-0.5, 0.5). With dim<=64 embeddings and nBits<=24 this is a cheap
+    * per-row O(nBits*dim) codegen'd computation.
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    require(nBits <= 63, "signature must fit a long")
+    val bits = (0 until nBits).map { i =>
+      // plane_i . vec  with plane_i(j) = hashToUnit(seed, i, j)
+      val contrib = (0 until dim).map { j =>
+        val w = hashToUnit(seed, i, j)
+        element_at(vec, j + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(contrib >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Deterministic pseudo-random weight in [-0.5, 0.5). */
+  private[graft] def hashToUnit(seed: Long, i: Int, j: Int): Double = {
+    var h = seed ^ (i.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * All variants are pure DataFrame programs: candidate generation is a
+  * shuffle on a short hash key (never an all-pairs product), verification
+  * is a join on the candidate set only. At 100 TB each stage is a map +
+  * one shuffle keyed on something small, which is the only shape that
+  * survives a 1000-executor run.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the first row per normalized-text
+    * fingerprint, "first" = lowest id (deterministic, unlike
+    * dropDuplicates). Single hash-shuffle, map-side combinable. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs
+      .withColumn("__fp", normalizedFingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** MinHash signatures: `numHashes` minima of per-shingle xxhash64 under
+    * distinct seed-salts. One codegen'd expression per hash — no UDF, no
+    * MLlib. */
+  def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = shingles(text, shingleK)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature → `bands` bands of `rows` hashes; docs agreeing on any whole
+    * band collide in that band's bucket. Shuffle key = (band, bucketHash):
+    * tiny, uniform. Pairs are emitted once (idA < idB) with their estimated
+    * Jaccard (signature agreement rate) and filtered at `threshold`.
+    */
+  def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(
+      col(idCol).as("id"),
+      minHashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
+          / numHashes).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token stream: sign of per-bit weighted sums of
+    * token hashes. Expressed bit-by-bit with HOFs (64 aggregates per row —
+    * all codegen'd). */
+  def simHash(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0L, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks;
+    * pairs agreeing on any chunk are candidates (guaranteed to include all
+    * pairs at Hamming distance <= 3); verify with bit_count(xor) <= maxHamming. */
+  def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        col("sim").bitwiseAND(lit(0xFFFFL << (16 * i)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact character-n-gram Jaccard for a candidate pair set (verification
+    * stage after any LSH). `pairs` must have idA/idB. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      array_distinct(charNgrams(col(textCol), n)).as("grams"))
+    pairs
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("uni", size(array_union(col("grams_a"), col("grams_b"))))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** Embedding near-dup: cosine LSH buckets (random hyperplane signature)
+    * → exact cosine within bucket → pairs above threshold. */
+  def embeddingNearDup(embs: DataFrame, vecCol: String, idCol: String,
+                       dim: Int, threshold: Double = 0.95,
+                       nBits: Int = 12): DataFrame = {
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), nBits, dim).as("bucket"))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

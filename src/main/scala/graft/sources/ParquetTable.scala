@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Physical-layout options for Parquet writes.
+  *
+  * Mirrors the reference's layout controls (row-group size inference and
+  * override, ParquetRewriter.java:107-112; plain-vs-dictionary encoding,
+  * ProxiedProperties.java:31-63; codec, ParquetBlockMutator.java:124; page
+  * sizes, ParquetBlockMutator.java:105-113) — all expressed as stock Parquet
+  * write options instead of custom writer machinery.
+  *
+  * @param rowGroupBytes   target row-group (block) size in bytes
+  *                        (`parquet.block.size`)
+  * @param maxRecordsPerFile row-count cap per output file — the Spark-level
+  *                        analog of the reference's row-count flush policy
+  *                        (RecordWriter.java:269-272)
+  * @param compression     parquet codec: snappy | zstd | gzip | uncompressed
+  * @param dictionaryEnabled dictionary encoding on/off (the reference forces
+  *                        it off for mutation-heavy files)
+  * @param pageBytes       `parquet.page.size`
+  */
+final case class ParquetLayout(
+    rowGroupBytes: Option[Long] = None,
+    maxRecordsPerFile: Option[Long] = None,
+    compression: String = "snappy",
+    dictionaryEnabled: Boolean = true,
+    pageBytes: Option[Long] = None)
+
+/** Parquet-backed table: scan + layout-controlled write + footer statistics.
+  *
+  * Scan-side, Catalyst already gives us the reference's zone-map behavior
+  * (ParquetRewriter.java:239-251, 263-283): pushed predicates prune row
+  * groups via column min/max statistics. What Spark does NOT surface is the
+  * stats themselves — [[ParquetStats.rowGroupStats]] reads footers into a
+  * DataFrame so the merge path can do dirty-file detection before touching
+  * any data (SURVEY.md §4 "zone-map pruning for merges").
+  */
+object ParquetTable {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Write with explicit physical layout. */
+  def write(df: DataFrame, path: String, layout: ParquetLayout = ParquetLayout(),
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    var w = df.write.mode(mode)
+    layout.rowGroupBytes.foreach(b => w = w.option("parquet.block.size", b.toString))
+    layout.pageBytes.foreach(b => w = w.option("parquet.page.size", b.toString))
+    layout.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    w = w.option("compression", layout.compression)
+    w = w.option("parquet.enable.dictionary", layout.dictionaryEnabled.toString)
+    w.parquet(path)
+  }
+
+  /** Write key-sorted: range-partition by key then sort within partitions.
+    *
+    * The Spark-native form of the reference's global key-sorted invariant
+    * (README.md:21): each output file owns a disjoint key range and is
+    * internally sorted, so per-file min/max stats are tight and merges
+    * touch the minimum number of files. On a cluster this is exactly the
+    * "one rewriter per sorted shard" sharding of README.md:45-48, with the
+    * range partitioner doing the sharding.
+    */
+  def writeSorted(df: DataFrame, path: String, key: String, numFiles: Int,
+                  layout: ParquetLayout = ParquetLayout()): Unit = {
+    val sorted = df
+      .repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(col(key))
+    write(sorted, path, layout)
+  }
+
+  /** Average row-group size of the source files — the reference's default
+    * sizing policy (ParquetRewriter.java:107-112). */
+  def inferRowGroupBytes(spark: SparkSession, path: String): Long = {
+    val stats = ParquetStats.rowGroupStats(spark, path)
+    val mean = stats.agg(avg(col("totalBytes"))).head().getDouble(0)
+    math.max(1L, mean.toLong)
+  }
+}
+
+/** Footer/statistics inspection (SURVEY.md §2b "footer/stats inspection").
+  *
+  * Reads Parquet footers into DataFrames: one row per row group with byte
+  * sizes and row counts, and per-column min/max for a chosen key column.
+  * Footers are read on executors (one task per batch of files) so the stats
+  * build itself scales to 100 TB tables with millions of files — never
+  * funnel footer IO through the driver.
+  */
+object ParquetStats {
+
+  val rowGroupSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rowGroup", IntegerType, nullable = false),
+    StructField("rowCount", LongType, nullable = false),
+    StructField("totalBytes", LongType, nullable = false),
+    StructField("compressedBytes", LongType, nullable = false)))
+
+  private def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      else Seq(st.getPath.toString)
+    files.sorted
+  }
+
+  /** One row per (file, rowGroup) with size/count info. */
+  def rowGroupStats(spark: SparkSession, path: String): DataFrame = {
+    val files = listFiles(spark, path)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            (0 until blocks.size()).map { i =>
+              val b = blocks.get(i)
+              Row(f, i, b.getRowCount, b.getTotalByteSize, b.getCompressedSize)
+            }
+          } finally reader.close()
+        }
+      }
+    spark.createDataFrame(rows, rowGroupSchema)
+  }
+
+  /** Per-(file, rowGroup) min/max of `keyCol` — the zone map the reference
+    * builds in loadStats() (ParquetRewriter.java:239-251), as a DataFrame.
+    * Key min/max are surfaced as strings plus, when numeric, long values,
+    * so callers can range-join in the key's native order.
+    */
+  def keyStats(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    val files = listFiles(spark, path)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(rowGroupSchema.fields ++ Seq(
+      StructField("minKey", StringType, nullable = true),
+      StructField("maxKey", StringType, nullable = true),
+      StructField("minKeyLong", LongType, nullable = true),
+      StructField("maxKeyLong", LongType, nullable = true)))
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            (0 until blocks.size()).map { i =>
+              val b = blocks.get(i)
+              val colMeta = (0 until b.getColumns.size())
+                .map(b.getColumns.get)
+                .find(_.getPath.toDotString == keyCol)
+              val st = colMeta.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
+              val minS = st.map(_.minAsString()).orNull
+              val maxS = st.map(_.maxAsString()).orNull
+              val minL = st.map(_.genericGetMin).collect {
+                case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
+              val maxL = st.map(_.genericGetMax).collect {
+                case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
+              Row(f, i, b.getRowCount, b.getTotalByteSize, b.getCompressedSize,
+                minS, maxS, minL, maxL)
+            }
+          } finally reader.close()
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** File-granularity key ranges: min/max of `keyCol` per file (numeric
+    * keys). This is the pruning unit for copy-on-write merges. */
+  def fileKeyRanges(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    keyStats(spark, path, keyCol)
+      .groupBy(col("file"))
+      .agg(
+        min(col("minKeyLong")).as("minKey"),
+        max(col("maxKeyLong")).as("maxKey"),
+        sum(col("rowCount")).as("rowCount"))
+}
