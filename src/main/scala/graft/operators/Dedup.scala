@@ -29,15 +29,22 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** MinHash signatures: `numHashes` minima of per-shingle xxhash64 under
-    * distinct seed-salts. One codegen'd expression per hash — no UDF, no
-    * MLlib. */
-  def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = shingles(text, shingleK)
+  /** MinHash signature from a *materialized* shingle-array column:
+    * `numHashes` minima of per-shingle xxhash64 under distinct seed-salts.
+    * All codegen'd — no UDF, no MLlib. Callers must project the shingle
+    * array into a concrete column first (see [[minHashPairs]]): inlining
+    * `shingles(text)` here would re-tokenize the document once per hash
+    * lane. Cheaper still: hash each shingle once, then salt that 64-bit
+    * hash per lane, so the string is hashed once, not `numHashes` times. */
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
     }: _*)
-  }
+
+  /** Per-shingle 64-bit content hashes (the expensive string hashing,
+    * done once per shingle). */
+  def shingleHashes(text: Column, shingleK: Int): Column =
+    transform(shingles(text, shingleK), s => xxhash64(s))
 
   /** MinHash-LSH near-duplicate candidate pairs.
     *
@@ -50,9 +57,10 @@ object Dedup {
                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(
-      col(idCol).as("id"),
-      minHashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    val sig = docs
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleK).as("sh"))   // tokenize+hash once
+      .select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
@@ -72,26 +80,33 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of the token stream: sign of per-bit weighted sums of
-    * token hashes. Expressed bit-by-bit with HOFs (64 aggregates per row —
-    * all codegen'd). */
-  def simHash(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0L, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+  /** 64-bit SimHash from a *materialized* token-hash array column: single
+    * aggregate pass building the 64 bit-votes as an array accumulator,
+    * then sign-pack. One traversal of the hashes, all codegen'd. */
+  def simHashFromHashes(hashes: Column): Column = {
+    val votes = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftrightunsigned", h, i)
+          .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v, i) => when(v > 0L, call_function("shiftleft", lit(1L), i))
+        .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
+
+  def simHash(text: Column): Column =
+    simHashFromHashes(transform(tokens(lower(text)), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks;
     * pairs agreeing on any chunk are candidates (guaranteed to include all
     * pairs at Hamming distance <= 3); verify with bit_count(xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        transform(tokens(lower(col(textCol))), t => xxhash64(t)).as("th"))
+      .select(col("id"), simHashFromHashes(col("th")).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         col("sim").bitwiseAND(lit(0xFFFFL << (16 * i)))): _*)))

@@ -84,7 +84,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
 
-    val dirty = dirtyFiles(batch.select(key))
+    // normalize to scheme-less local paths: footer stats yield `file:/…`
+    // URIs, the local listing yields plain paths
+    def localPath(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val dirty = dirtyFiles(batch.select(key)).map(localPath)
     val allFiles = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(dir))

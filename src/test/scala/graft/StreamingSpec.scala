@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Micro-batch streaming semantics via MemoryStream (SURVEY.md §5.2 item 5):
+  * windows, watermark dedup, custom keyed state. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("tumbling window aggregation over a stream (complete mode)") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.tumblingAgg(df, width = "10 minutes")
+      .writeStream.format("memory").queryName("tumble").outputMode("complete").start()
+    try {
+      in.addData((ts(1), 1L, 1.0), (ts(2), 1L, 2.0), (ts(11), 2L, 3.0))
+      q.processAllAvailable()
+      in.addData((ts(3), 3L, 4.0), (ts(25), 1L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("tumble")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set(("10:00", 3L, 7.0), ("10:10", 1L, 3.0), ("10:20", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late data beyond the delay (append mode)") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.tumblingAgg(
+        Streams.withLateData(df, delay = "5 minutes"), width = "10 minutes")
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, 1.0), (ts(2), 1L, 2.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window (+5m delay)
+      in.addData((ts(31), 2L, 9.0))
+      q.processAllAvailable()
+      // this event is now later than watermark (10:26) and must be dropped
+      in.addData((ts(3), 9L, 100.0))
+      q.processAllAvailable()
+      in.addData((ts(59), 2L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wm")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // the 10:00 window emitted exactly once, without the late event
+      assert(got.contains(("10:00", 2L, 3.0)))
+      assert(!got.exists(_._3 == 103.0))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps first per key across batches") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.dedupWithinWatermark(df, Seq("user_id"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, 1.0), (ts(2), 1L, 2.0))
+      q.processAllAvailable()
+      in.addData((ts(3), 1L, 3.0), (ts(4), 2L, 4.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("user_id").collect().map(_.getLong(0)).toSeq
+      assert(got.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap (batch = stream semantics)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 1.0), (ts(50), 1L, 1.0),
+      (ts(0), 2L, 1.0)).toDF("ts", "user_id", "value")
+    val got = Streams.sessionAgg(df, gap = "15 minutes")
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      in.addData(Streams.UserEvent(1L, 1.5), Streams.UserEvent(1L, 2.5))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent(1L, 1.0), Streams.UserEvent(2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // last emission per user reflects the full running total
+      val last = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(last(1L) === ((1L, 3L, 5.0)))
+      assert(last(2L) === ((2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+}

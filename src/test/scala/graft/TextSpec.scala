@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis column function unit semantics. */
+class TextSpec extends SparkSpec {
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String): T = {
+    val s = spark; import s.implicits._
+    Seq(input).toDF("t").select(c.as("r")).head().getAs[T]("r")
+  }
+
+  test("tokens handles empty, blank, and multi-space input") {
+    assert(one[Seq[String]](tokens(col("t")), "a  b\tc") === Seq("a", "b", "c"))
+    assert(one[Int](tokenCount(col("t")), "") === 0)
+    assert(one[Int](tokenCount(col("t")), "   ") === 0)
+    assert(one[Int](tokenCount(col("t")), "one") === 1)
+  }
+
+  test("shingles: k-grams of words, short docs collapse to one shingle") {
+    assert(one[Seq[String]](shingles(col("t"), 2), "a b c") === Seq("a b", "b c"))
+    assert(one[Seq[String]](shingles(col("t"), 5), "a b c") === Seq("a b c"))
+  }
+
+  test("charNgrams slide over lowercased text") {
+    assert(one[Seq[String]](charNgrams(col("t"), 3), "AbCd") === Seq("abc", "bcd"))
+    assert(one[Seq[String]](charNgrams(col("t"), 3), "ab") === Seq("ab"))
+  }
+
+  test("punct and stopword ratios") {
+    assert(one[Double](punctRatio(col("t")), "ab.,") === 0.5)
+    assert(one[Double](punctRatio(col("t")), "") === 0.0)
+    assert(one[Double](stopwordRatio(col("t")), "the cat and a hat") === 0.6)
+  }
+
+  test("mean word length") {
+    assert(one[Double](meanWordLength(col("t")), "ab abcd") === 3.0)
+    assert(one[Double](meanWordLength(col("t")), "") === 0.0)
+  }
+
+  test("quality score is in [0,1] and prose beats noise") {
+    val prose = "the quick brown fox jumps over the lazy dog and then it runs " +
+      "to the forest where it lives in a den by the old oak tree"
+    val noise = "x!!! ??? ,,, ... ;;; ::: !!!!"
+    val qp = one[Double](qualityScore(col("t")), prose)
+    val qn = one[Double](qualityScore(col("t")), noise)
+    assert(qp >= 0.0 && qp <= 1.0 && qn >= 0.0 && qn <= 1.0)
+    assert(qp > qn)
+    assert(qp === 1.0)
+  }
+
+  test("langId votes on marker tokens; und on no evidence") {
+    assert(one[String](langId(col("t")), "der hund und die katze ist da") === "de")
+    assert(one[String](langId(col("t")), "the cat and the dog is here") === "en")
+    assert(one[String](langId(col("t")), "el perro y la casa que es") === "es")
+    assert(one[String](langId(col("t")), "le chien et les chats est la") === "fr")
+    assert(one[String](langId(col("t")), "qwerty zxcvb") === "und")
+  }
+
+  test("subword count estimate splits words and punctuation") {
+    assert(one[Int](subwordCountEstimate(col("t")), "hello,world") === 3)
+    assert(one[Int](subwordCountEstimate(col("t")), "abc def") === 2)
+  }
+}
