@@ -394,5 +394,36 @@ object OracleSql {
       FROM events
       QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
       ORDER BY user_id, event_type""",
+
+    "q49_topk_udaf" -> """
+      SELECT o_orderstatus, CAST(rn AS INT) AS rank, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderstatus, rank""",
+
+    "q50_scalar_udf" -> """
+      SELECT c_custkey, round(1.0 / (1.0 + exp(-(c_acctbal / 1000.0))), 6) AS sig
+      FROM customer
+      ORDER BY c_custkey""",
+
+    "q51_udtf_shingles" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 3),
+      s AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 3), i ->
+                 array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) END AS sh
+        FROM t),
+      u AS (
+        SELECT doc_id, unnest(list_transform(sh, (x, i) -> {'pos': i - 1, 'shingle': x})) AS v
+        FROM s)
+      SELECT doc_id, CAST(v.pos AS INT) AS pos, v.shingle AS shingle FROM u
+      ORDER BY doc_id, pos""",
   )
 }

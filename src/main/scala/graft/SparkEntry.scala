@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFunctions
+import graft.functions.Udx
 import graft.functions.VectorFunctions
 import graft.operators.{Dedup, MergeOps, Similarity}
 import graft.multimodal.Multimodal
@@ -405,8 +406,10 @@ object SparkEntry {
 
   /** Exact brute-force cosine top-10 for 5 query vectors. */
   def q35_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
     val e = embeddings(s, dir)
-    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id", 10)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id", 10,
+        native = true)
       .select(col("query_id"), col("id").as("vec_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -525,6 +528,36 @@ object SparkEntry {
     Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, dir)))
       .orderBy(col("media_id"))
 
+  /** Typed UDAF: exact top-3 orders per status via a bounded-heap
+    * Aggregator (map-side partial top-k, k rows per group shuffled). */
+  def q49_topk_udaf(s: SparkSession, dir: String): DataFrame = {
+    val top3 = Udx.topK(3)
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"),
+        round(col("col.score"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("rank"))
+  }
+
+  /** Scalar UDF (black-box Scala fn on the driver contract surface). */
+  def q50_scalar_udf(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(col("c_custkey"),
+        round(Udx.sigmoid(col("c_acctbal") / 1000.0), 6).as("sig"))
+      .orderBy(col("c_custkey"))
+
+  /** Table function (generator): one row per 5-word shingle w/ position. */
+  def q51_udtf_shingles(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .where(col("doc_id") < 3)
+      .select(col("doc_id"), Udx.explodeShingles(col("text"), 5))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        col("col").as("shingle"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Parquet footer/row-group stats surface (zone-map inspection). */
   def q48_rowgroup_stats(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetStats.rowGroupStats(s, s"$dir/lineitem.parquet")
@@ -582,6 +615,9 @@ object SparkEntry {
     "q46_rolling_fingerprint" -> (q46_rolling_fingerprint _),
     "q47_multimodal_features" -> (q47_multimodal_features _),
     "q48_rowgroup_stats" -> (q48_rowgroup_stats _),
+    "q49_topk_udaf" -> (q49_topk_udaf _),
+    "q50_scalar_udf" -> (q50_scalar_udf _),
+    "q51_udtf_shingles" -> (q51_udtf_shingles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

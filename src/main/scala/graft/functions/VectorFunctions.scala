@@ -40,15 +40,17 @@ object VectorFunctions {
     */
   def hyperplaneSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     require(nBits <= 63, "signature must fit a long")
-    val bits = (0 until nBits).map { i =>
-      // plane_i . vec  with plane_i(j) = hashToUnit(seed, i, j)
-      val contrib = (0 until dim).map { j =>
-        val w = hashToUnit(seed, i, j)
-        element_at(vec, j + 1).cast("double") * lit(w)
-      }.reduce(_ + _)
-      when(contrib >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+    // planes as one literal matrix + indexed HOFs: a compact expression
+    // (O(1) tree size) instead of nBits*dim inlined multiply-adds, so
+    // codegen stays small no matter the signature width
+    val planes: Seq[Seq[Double]] = (0 until nBits)
+      .map(i => (0 until dim).map(j => hashToUnit(seed, i, j)))
+    val bits = transform(typedLit(planes), (plane, i) => {
+      val d = aggregate(zip_with(plane, vec, (w, x) => w * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0.0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** Deterministic pseudo-random weight in [-0.5, 0.5). */

@@ -57,10 +57,17 @@ object Dedup {
                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs
-      .select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleK).as("sh"))   // tokenize+hash once
-      .select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
+    // explode → hash-partitioned partial min per lane: the per-lane minima
+    // are computed by vectorized hash aggregation with map-side combine
+    // (one shuffle keyed by doc id), not by a 32-way nested HOF tree —
+    // the shape that stays fast when docs are millions and shingles are
+    // billions.
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), shingleK)).as("h"))
+    val lanes = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy(col("id"))
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
@@ -103,10 +110,19 @@ object Dedup {
     * pairs at Hamming distance <= 3); verify with bit_count(xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        transform(tokens(lower(col(textCol))), t => xxhash64(t)).as("th"))
-      .select(col("id"), simHashFromHashes(col("th")).as("sim"))
+    // explode → 64 conditional sums per doc via vectorized hash agg (same
+    // scale rationale as minHashPairs); docs with zero tokens have no
+    // near-dup semantics and drop out
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(transform(tokens(lower(col(textCol))), t => xxhash64(t))).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val sigs = exploded.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         col("sim").bitwiseAND(lit(0xFFFFL << (16 * i)))): _*)))

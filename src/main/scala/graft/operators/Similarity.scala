@@ -21,16 +21,24 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Cosine column: HOF formulation by default; the fused native Catalyst
+    * expression ([[graft.plans.CosineSimilarity]]) when `native` — callers
+    * must have registered it on the session first. */
+  private def cosineCol(a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column, native: Boolean) =
+    if (native) call_function(graft.plans.CosineSimilarity.name, a, b)
+    else cosine(a, b)
+
   /** Exact brute-force top-k: for each query row, the k nearest corpus
     * rows by cosine. `queries` must be small (it is broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-                     idCol: String, k: Int): DataFrame = {
+                     idCol: String, k: Int, native: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
-        cosine(col("vec"), col("query_vec")).as("cosine"))
+        cosineCol(col("vec"), col("query_vec"), native).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

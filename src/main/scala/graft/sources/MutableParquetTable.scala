@@ -51,9 +51,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     * Returns (file -> dirty?) and the routed updates.
     */
   def dirtyFiles(updateKeys: DataFrame): Seq[String] = {
-    val ranges = fileRanges().collect().map { r =>
-      (r.getString(0), r.getLong(1), r.getLong(2))
-    }.sortBy(_._2)
+    val ranges = ParquetStats.fileKeyRangesFast(spark, dir, key)
+      .sortBy(_._2).toArray
     if (ranges.isEmpty) return Seq.empty
     val bcast = spark.sparkContext.broadcast(ranges)
     val keyCol = key
@@ -116,13 +115,18 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           batch.drop(opCol).schema)
+      // persist across the two passes repartitionByRange makes (range
+      // sampling + the shuffle itself) so the merge join runs once
       val merged = MergeOps.applyMutations(base, batch, key, opCol)
-      val n = math.max(1, dirty.size)
-      merged
-        .repartitionByRange(n, col(key))
-        .sortWithinPartitions(col(key))
-        .write.mode("append").parquet(outDir)
-      inserted = n
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = math.max(1, dirty.size)
+        merged
+          .repartitionByRange(n, col(key))
+          .sortWithinPartitions(col(key))
+          .write.mode("append").parquet(outDir)
+        inserted = n
+      } finally merged.unpersist(false)
     }
     MergeResult(outDir, dirty, clean, inserted)
   }

@@ -139,44 +139,58 @@ object ParquetStats {
     * builds in loadStats() (ParquetRewriter.java:239-251), as a DataFrame.
     * Key min/max are surfaced as strings plus, when numeric, long values,
     * so callers can range-join in the key's native order.
+    *
+    * Small tables (≤ `driverReadThreshold` files) read footers directly on
+    * the driver — a few ms, no Spark job. Larger tables fan the footer IO
+    * out to executors so a million-file table never funnels through the
+    * driver.
     */
+  val driverReadThreshold = 64
+
+  private def footerRows(f: String, keyCol: String,
+                         conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      (0 until blocks.size()).map { i =>
+        val b = blocks.get(i)
+        val colMeta = (0 until b.getColumns.size())
+          .map(b.getColumns.get)
+          .find(_.getPath.toDotString == keyCol)
+        val st = colMeta.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
+        val minS = st.map(_.minAsString()).orNull
+        val maxS = st.map(_.maxAsString()).orNull
+        val minL = st.map(_.genericGetMin).collect {
+          case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
+        val maxL = st.map(_.genericGetMax).collect {
+          case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
+        Row(f, i, b.getRowCount, b.getTotalByteSize, b.getCompressedSize,
+          minS, maxS, minL, maxL)
+      }
+    } finally reader.close()
+  }
+
   def keyStats(spark: SparkSession, path: String, keyCol: String): DataFrame = {
     val files = listFiles(spark, path)
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
     val schema = StructType(rowGroupSchema.fields ++ Seq(
       StructField("minKey", StringType, nullable = true),
       StructField("maxKey", StringType, nullable = true),
       StructField("minKeyLong", LongType, nullable = true),
       StructField("maxKeyLong", LongType, nullable = true)))
-    val rows = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .mapPartitions { it =>
-        it.flatMap { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val blocks = reader.getFooter.getBlocks
-            (0 until blocks.size()).map { i =>
-              val b = blocks.get(i)
-              val colMeta = (0 until b.getColumns.size())
-                .map(b.getColumns.get)
-                .find(_.getPath.toDotString == keyCol)
-              val st = colMeta.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
-              val minS = st.map(_.minAsString()).orNull
-              val maxS = st.map(_.maxAsString()).orNull
-              val minL = st.map(_.genericGetMin).collect {
-                case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
-              val maxL = st.map(_.genericGetMax).collect {
-                case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
-              Row(f, i, b.getRowCount, b.getTotalByteSize, b.getCompressedSize,
-                minS, maxS, minL, maxL)
-            }
-          } finally reader.close()
-        }
-      }
-    spark.createDataFrame(rows, schema)
+    if (files.size <= driverReadThreshold) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val rows = files.flatMap(f => footerRows(f, keyCol, hconf))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val rows = spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 64)))
+        .mapPartitions(it => it.flatMap(f => footerRows(f, keyCol, conf.value)))
+      spark.createDataFrame(rows, schema)
+    }
   }
 
   /** File-granularity key ranges: min/max of `keyCol` per file (numeric
@@ -188,4 +202,24 @@ object ParquetStats {
         min(col("minKeyLong")).as("minKey"),
         max(col("maxKeyLong")).as("maxKey"),
         sum(col("rowCount")).as("rowCount"))
+
+  /** Driver-side key ranges for small tables: zero Spark jobs, a few ms —
+    * keeps no-op and small merges metadata-only end to end. Falls back to
+    * the distributed path above the threshold. */
+  def fileKeyRangesFast(spark: SparkSession, path: String,
+                        keyCol: String): Seq[(String, Long, Long)] = {
+    val files = listFiles(spark, path)
+    if (files.size <= driverReadThreshold) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      files.flatMap { f =>
+        val rgs = footerRows(f, keyCol, hconf)
+        val mins = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
+        val maxs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
+        if (mins.isEmpty) None else Some((f, mins.min, maxs.max))
+      }
+    } else {
+      fileKeyRanges(spark, path, keyCol).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.plans.CosineSimilarity
+import graft.sources.Ingest
+
+/** Native expression + ingestion surfaces. */
+class PlansSpec extends SparkSpec {
+
+  test("native cosine expression matches the HOF formulation (interpreted + codegen)") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sf())
+      .select(
+        call_function("graft_cosine", col("embedding"), col("embedding")).as("self"),
+        VectorFunctions.cosine(col("embedding"), col("embedding")).as("hof"))
+    val rows = e.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+
+    val pairwise = Tables.embeddings(spark, sf()).limit(50).select(col("embedding").as("a"), col("vec_id").as("ia"))
+      .crossJoin(Tables.embeddings(spark, sf()).limit(50).select(col("embedding").as("b"), col("vec_id").as("ib")))
+      .select(
+        call_function("graft_cosine", col("a"), col("b")).as("native"),
+        VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+    pairwise.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("native cosine rejects non-float-array inputs at analysis time") {
+    CosineSimilarity.register(spark)
+    val s = spark; import s.implicits._
+    val bad = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(call_function("graft_cosine", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+  }
+
+  test("extensions class registers the function at session build time") {
+    // same registry mechanism the spark.sql.extensions config path uses
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)   // must not throw
+  }
+
+  test("csv and json ingest round-trip through sorted parquet") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name,score\n3,carol,1.5\n1,alice,2.5\n2,bob,0.5\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "tag": "x"}
+        |{"id": 2, "tag": "y"}""".stripMargin)
+
+    val csv = Ingest.csv(spark, s"$dir/in.csv")
+    assert(csv.columns.toSeq === Seq("id", "name", "score"))
+    Ingest.toSortedParquet(csv, s"$dir/csv_pq", "id", 1)
+    val back = spark.read.parquet(s"$dir/csv_pq")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("alice", "bob", "carol"))
+
+    val json = Ingest.json(spark, s"$dir/in.json")
+    assert(json.count() === 2)
+    assert(json.columns.toSet === Set("id", "tag"))
+  }
+}
