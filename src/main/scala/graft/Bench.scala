@@ -144,8 +144,37 @@ object Bench {
       System.err.println(s"[bench] merge experiment failed: ${e.getMessage}")
     }
 
+    // ---- row-group-size sweep (README.md:88-101 qualitative shape) ----
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      Seq(("16k", 16L * 1024), ("256k", 256L * 1024), ("4m", 4L * 1024 * 1024))
+        .foreach { case (tag, bytes) =>
+          val d = s"$workDir/rg-$tag"
+          ParquetTable.write(li.repartition(8), d,
+            ParquetLayout(rowGroupBytes = Some(bytes), compression = "snappy"))
+          val sizeMb = {
+            import scala.jdk.CollectionConverters._
+            val st = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+            try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+              .map(java.nio.file.Files.size).sum / 1e6
+            finally st.close()
+          }
+          results(s"rowgroup_${tag}_file_mb") = math.rint(sizeMb * 100) / 100
+          // warm then measure effective read (full-scan aggregate)
+          def scan() = runToNoop(spark.read.parquet(d)
+            .agg(sum(col("l_quantity")), sum(col("l_extendedprice"))))
+          scan()
+          results(s"rowgroup_${tag}_scan") = (1 to 3).map(_ => time(scan())).min
+        }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] rowgroup sweep failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // headline metric = the query battery; experiment entries (ingest,
+    // merge scaling, cosine comparison, rowgroup sweep incl. _mb sizes)
+    // are reported individually in `queries` but not summed
+    val total = results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

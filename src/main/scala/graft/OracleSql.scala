@@ -425,5 +425,25 @@ object OracleSql {
         FROM s)
       SELECT doc_id, CAST(v.pos AS INT) AS pos, v.shingle AS shingle FROM u
       ORDER BY doc_id, pos""",
+
+    "q52_session_window" -> """
+      WITH x AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      y AS (
+        SELECT user_id, ts, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      FROM y
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
   )
 }

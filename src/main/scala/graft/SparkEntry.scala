@@ -528,6 +528,18 @@ object SparkEntry {
     Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, dir)))
       .orderBy(col("media_id"))
 
+  /** Native session_window operator (batch form; the streaming form is
+    * exercised in StreamingSpec). Oracle is the equivalent
+    * gaps-and-islands SQL — semantics must coincide exactly. */
+  def q52_session_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmtS).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Typed UDAF: exact top-3 orders per status via a bounded-heap
     * Aggregator (map-side partial top-k, k rows per group shuffled). */
   def q49_topk_udaf(s: SparkSession, dir: String): DataFrame = {
@@ -618,6 +630,7 @@ object SparkEntry {
     "q49_topk_udaf" -> (q49_topk_udaf _),
     "q50_scalar_udf" -> (q50_scalar_udf _),
     "q51_udtf_shingles" -> (q51_udtf_shingles _),
+    "q52_session_window" -> (q52_session_window _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
