@@ -48,7 +48,14 @@ object Bench {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
       val n = df.count()
-      val files = math.max(1, math.min(32, n / 20000)).toInt
+      val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+      // split by rows AND bytes, with floors for the CPU-heavy tables:
+      // per-row work on documents (shingling: ~400 hashes/doc) and
+      // embeddings (64-dim arithmetic) dwarfs their byte size, so task
+      // parallelism must come from file count, not input bytes
+      val cpuFloor = Map("documents" -> 16L, "embeddings" -> 8L, "events" -> 8L)
+      val files = math.max(cpuFloor.getOrElse(t, 1L),
+        math.min(32, math.max(n / 20000, bytes / (512L * 1024)))).toInt
       ParquetTable.writeSorted(df, s"$outDir/$t.parquet", sortKey(t), files,
         ParquetLayout(rowGroupBytes = Some(2L * 1024 * 1024)))
     }

@@ -445,5 +445,46 @@ object OracleSql {
       FROM y
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+
+    "q53_conditional_funcs" -> """
+      WITH a AS (
+        SELECT c_custkey, max(o_totalprice) AS max_big
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT c_custkey,
+        CAST(coalesce(round(max_big, 2), -1.0) AS DOUBLE) AS best_or_default,
+        CASE WHEN max_big IS NULL THEN 'none'
+             WHEN max_big > 470000 THEN 'huge'
+             ELSE 'big' END AS tier,
+        CAST(max_big IS NULL AS INT) AS is_null,
+        CAST(round(nullif(coalesce(max_big, CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), 2) AS DOUBLE) AS nullified
+      FROM a
+      ORDER BY c_custkey""",
+
+    "q54_datetime_parts" -> """
+      SELECT event_id,
+        CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        CAST(dayofmonth(ts) AS INT) AS dom,
+        CAST(hour(ts) AS INT) AS hr,
+        CAST(minute(ts) AS INT) AS mi,
+        CAST(quarter(ts) AS INT) AS qtr,
+        CAST(weekofyear(ts) AS INT) AS woy
+      FROM events
+      WHERE event_id < 500
+      ORDER BY event_id""",
+
+    "q55_string_extended" -> """
+      SELECT p_partkey,
+        lpad(p_brand, 12, '_') AS lp,
+        rpad(p_brand, 12, '.') AS rp,
+        translate(p_type, 'aeiou', 'AEIOU') AS tr,
+        reverse(p_brand) AS rev,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        CAST(instr(p_name, 'a') AS INT) AS first_a,
+        repeat('ab', 3) AS rep,
+        trim('  x  ') AS trimmed
+      FROM part
+      ORDER BY p_partkey""",
   )
 }

@@ -528,6 +528,50 @@ object SparkEntry {
     Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, dir)))
       .orderBy(col("media_id"))
 
+  /** Conditional / null-handling functions over the outer-join result
+    * (real nulls from unmatched rows). */
+  def q53_conditional_funcs(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(max(col("o_totalprice")).as("max_big"))
+      .select(col("c_custkey"),
+        coalesce(round(col("max_big"), 2), lit(-1.0)).as("best_or_default"),
+        when(col("max_big").isNull, "none")
+          .when(col("max_big") > 470000, "huge")
+          .otherwise("big").as("tier"),
+        col("max_big").isNull.cast("int").as("is_null"),
+        round(nullif(coalesce(col("max_big"), lit(0.0)), lit(0.0)), 2).as("nullified"))
+      .orderBy(col("c_custkey"))
+
+  /** Extended datetime parts over events. */
+  def q54_datetime_parts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        dayofweek(col("ts")).as("dow"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("hr"),
+        minute(col("ts")).as("mi"),
+        quarter(col("ts")).as("qtr"),
+        weekofyear(col("ts")).as("woy"))
+      .where(col("event_id") < 500)
+      .orderBy(col("event_id"))
+
+  /** Extended string functions over part. */
+  def q55_string_extended(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("lp"),
+        rpad(col("p_brand"), 12, ".").as("rp"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("tr"),
+        reverse(col("p_brand")).as("rev"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        instr(col("p_name"), "a").cast("int").as("first_a"),
+        repeat(lit("ab"), 3).as("rep"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy(col("p_partkey"))
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -631,6 +675,9 @@ object SparkEntry {
     "q50_scalar_udf" -> (q50_scalar_udf _),
     "q51_udtf_shingles" -> (q51_udtf_shingles _),
     "q52_session_window" -> (q52_session_window _),
+    "q53_conditional_funcs" -> (q53_conditional_funcs _),
+    "q54_datetime_parts" -> (q54_datetime_parts _),
+    "q55_string_extended" -> (q55_string_extended _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

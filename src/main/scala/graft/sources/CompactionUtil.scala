@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.SparkSession
+
+/** Row-group-granularity raw passthrough — the reference's core trick
+  * (`writer.appendRowGroup(...)`, ParquetRewriter.java:312-322) as a
+  * small-file compaction utility: concatenates Parquet files by copying
+  * their row groups **byte-for-byte** (no decode, no re-encode, no
+  * re-compress) via parquet-mr's `ParquetFileWriter.appendFile`.
+  *
+  * This is the one operation Spark SQL cannot express (Spark always
+  * decodes what it writes, SURVEY.md §4); it lives outside the SQL engine
+  * as a utility, used to compact the small files CoW merges produce back
+  * into few-file form without paying a rewrite. All inputs must share a
+  * schema. Driver-side per target file; at scale, run one task per output
+  * file via `spark.parallelize(groups).foreach(...)` — the work per group
+  * is pure sequential IO.
+  */
+object CompactionUtil {
+
+  /** Concatenate `inputs` (in order) into `output` by raw row-group copy.
+    * Returns (rowGroups, rows) of the output footer. */
+  def concatFiles(conf: Configuration, inputs: Seq[String], output: String): (Int, Long) = {
+    require(inputs.nonEmpty, "no input files")
+    val in0 = HadoopInputFile.fromPath(new Path(inputs.head), conf)
+    val schema = {
+      val r = ParquetFileReader.open(in0)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(new Path(output), conf),
+      schema, ParquetFileWriter.Mode.CREATE,
+      128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    inputs.foreach { f =>
+      writer.appendFile(HadoopInputFile.fromPath(new Path(f), conf))
+    }
+    writer.end(java.util.Collections.emptyMap[String, String]())
+
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(output), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      (blocks.size(), (0 until blocks.size()).map(blocks.get(_).getRowCount).sum)
+    } finally reader.close()
+  }
+
+  /** Compact a CoW table directory's files into `targetFiles` outputs,
+    * preserving key order (inputs are concatenated in sorted-path order,
+    * which writeSorted's range partitioning makes key order). */
+  def compactDir(spark: SparkSession, dir: String, outDir: String,
+                 targetFiles: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toList.sorted
+    finally s.close()
+    require(files.nonEmpty, s"no parquet files in $dir")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val groups = files.grouped(math.max(1, math.ceil(files.size.toDouble / targetFiles).toInt)).toSeq
+    groups.zipWithIndex.map { case (g, i) =>
+      val out = f"$outDir/part-$i%05d.parquet"
+      concatFiles(conf, g, out)
+      out
+    }
+  }
+}
