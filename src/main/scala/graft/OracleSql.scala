@@ -486,5 +486,58 @@ object OracleSql {
         trim('  x  ') AS trimmed
       FROM part
       ORDER BY p_partkey""",
+
+    "q56_pivot" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        count(*) FILTER (o_orderstatus = 'F') AS cnt_f,
+        count(*) FILTER (o_orderstatus = 'O') AS cnt_o,
+        count(*) FILTER (o_orderstatus = 'P') AS cnt_p
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_year""",
+
+    "q57_unpivot" -> """
+      WITH w AS (
+        SELECT l_returnflag,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price,
+          CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+        UNION ALL SELECT l_returnflag, 'price', price FROM w
+        UNION ALL SELECT l_returnflag, 'disc', disc FROM w)
+      ORDER BY l_returnflag, metric""",
+
+    "q58_stats_agg" -> """
+      SELECT l_returnflag,
+        CAST(round(stddev_samp(l_quantity), 6) AS DOUBLE) AS sd_qty,
+        CAST(round(stddev_pop(l_quantity), 6) AS DOUBLE) AS sdp_qty,
+        CAST(round(var_samp(l_quantity), 6) AS DOUBLE) AS var_qty,
+        CAST(round(var_pop(l_discount), 8) AS DOUBLE) AS varp_disc,
+        CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+        CAST(round(covar_samp(l_quantity, l_discount), 6) AS DOUBLE) AS cov_qty_disc,
+        CAST(round(covar_pop(l_quantity, l_tax), 6) AS DOUBLE) AS covp_qty_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q59_percentiles" -> """
+      SELECT o_orderstatus,
+        CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DOUBLE) AS p25,
+        CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+        CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DOUBLE) AS p75,
+        CAST(round(median(o_totalprice), 4) AS DOUBLE) AS med
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q60_partition_prune" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM orders
+      WHERE year(o_orderdate) = 1997
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
   )
 }

@@ -572,6 +572,81 @@ object SparkEntry {
         trim(lit("  x  ")).as("trimmed"))
       .orderBy(col("p_partkey"))
 
+  /** Pivot: per-year order counts and decimal-exact totals spread across
+    * status columns. Values are enumerated, so the plan is a single hash
+    * agg (no extra distinct pass to discover pivot values). */
+  def q56_pivot(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("o_year"))
+      .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_year").cast("int").as("o_year"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"),
+        coalesce(col("P"), lit(0L)).as("cnt_p"))
+      .orderBy(col("o_year"))
+
+  /** Unpivot (melt): wide per-flag aggregates back to long (metric, value)
+    * form via Dataset.unpivot. */
+  def q57_unpivot(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount"), 6, 4).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Columns kept at small magnitude (quantity, discount) so the
+    * streaming-moment accumulation agrees with DuckDB within rounding. */
+  def q58_stats_agg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 6).as("sdp_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(var_pop(col("l_discount")), 8).as("varp_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+        round(covar_pop(col("l_quantity"), col("l_tax")), 6).as("covp_qty_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact interpolated percentiles + median per group (single-pass sort
+    * agg per group; at scale prefer approx_percentile — exercised in
+    * q40's HLL neighborhood — but the exact form is the oracle-checkable
+    * one). */
+  def q59_percentiles(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(median(col("o_totalprice")), 4).as("med"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Hive-style partitioned write + partition-pruned read: orders
+    * partitioned by year, then a query that must touch only one
+    * partition directory (PartitionFilters in the scan, zero rows read
+    * from the other six years). The 100 TB analog of row-group zone
+    * maps one level up. */
+  def q60_partition_prune(s: SparkSession, dir: String): DataFrame = {
+    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft-part-orders-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pdir))) {
+      orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(pdir)
+    }
+    s.read.parquet(pdir)
+      .where(col("o_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -678,6 +753,11 @@ object SparkEntry {
     "q53_conditional_funcs" -> (q53_conditional_funcs _),
     "q54_datetime_parts" -> (q54_datetime_parts _),
     "q55_string_extended" -> (q55_string_extended _),
+    "q56_pivot" -> (q56_pivot _),
+    "q57_unpivot" -> (q57_unpivot _),
+    "q58_stats_agg" -> (q58_stats_agg _),
+    "q59_percentiles" -> (q59_percentiles _),
+    "q60_partition_prune" -> (q60_partition_prune _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
