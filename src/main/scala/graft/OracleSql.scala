@@ -539,5 +539,24 @@ object OracleSql {
       WHERE year(o_orderdate) = 1997
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    "q61_asof_join" -> """
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        CAST(round(p.value, 2) AS DOUBLE) AS purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+      ASOF LEFT JOIN
+        (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id""",
+
+    "q62_range_join" -> """
+      SELECT c_custkey, p_partkey,
+        CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+      FROM customer JOIN part
+        ON c_acctbal BETWEEN p_retailprice - p_size * 3
+                         AND p_retailprice + p_size * 3
+      ORDER BY c_custkey, p_partkey""",
   )
 }

@@ -647,6 +647,39 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** As-of (temporal) join: each view event matched to the user's most
+    * recent at-or-before purchase. One shuffle union-sweep
+    * ([[graft.operators.AsOfJoin]]); oracle is DuckDB's native ASOF JOIN —
+    * independent implementations of the same semantics. */
+  def q61_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.backward(views, purchases,
+        "user_id", "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmtS).as("view_ts"),
+        date_format(col("asof_ts"), fmtS).as("purchase_ts"),
+        round(col("asof_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Interval-containment join via the bucketed-grid equi-join
+    * ([[graft.operators.RangeJoin]]) instead of Spark's broadcast nested
+    * loop; oracle is the plain inequality join (DuckDB plans it as IEJoin). */
+  def q62_range_join(s: SparkSession, dir: String): DataFrame = {
+    val pts = customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+    val ivs = part(s, dir).select(col("p_partkey"),
+      (col("p_retailprice") - col("p_size") * 3).as("lo"),
+      (col("p_retailprice") + col("p_size") * 3).as("hi"))
+    graft.operators.RangeJoin.bucketed(pts, ivs, "c_acctbal", "lo", "hi", 64.0)
+      .select(col("c_custkey"), col("p_partkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy(col("c_custkey"), col("p_partkey"))
+  }
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -758,6 +791,8 @@ object SparkEntry {
     "q58_stats_agg" -> (q58_stats_agg _),
     "q59_percentiles" -> (q59_percentiles _),
     "q60_partition_prune" -> (q60_partition_prune _),
+    "q61_asof_join" -> (q61_asof_join _),
+    "q62_range_join" -> (q62_range_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: each left row matched to the single most recent
+  * right row of the same key whose timestamp is at-or-before (backward,
+  * inclusive) or strictly-before (`strict`) the left row's timestamp.
+  *
+  * Spark has no native as-of join; the naive formulation
+  * (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` + max-per-group) explodes to
+  * the full history per left row before pruning. This composition is the
+  * union-sweep plan instead — the same shape Flink's temporal join and
+  * pandas `merge_asof` use, but expressed declaratively:
+  *
+  *   1. tag both sides, union on (key, ts, side, payload-struct),
+  *   2. one hash shuffle on key, in-partition sort by (ts, side),
+  *   3. running `last(right_payload, ignoreNulls)` window — each left row
+  *      sees exactly the latest right row at that point in the sweep,
+  *   4. keep left rows, unpack the matched struct.
+  *
+  * Cost: ONE shuffle of |L|+|R| rows keyed by join key, no intermediate
+  * blow-up — survives arbitrarily deep right histories. Skew note (100 TB):
+  * the shuffle is keyed on the join key alone, so a single hot key lands in
+  * one partition; for low-cardinality/hot keys, pre-bucket by
+  * `(key, ts-coarse-bucket)` and carry the last-right-per-bucket boundary
+  * rows into the next bucket (two-pass), or salt the window as in
+  * grouped-top-k. The fixture keys are uniform, so the direct form is used.
+  *
+  * The right payload travels as one struct column, so `ignoreNulls` skips
+  * unmatched (left) union rows even when individual right columns are null.
+  * Rows of `right` sharing an exact (key, ts) are not ordered between
+  * themselves — dedupe the right side first if that pair is not unique.
+  *
+  * Reference anchor: the reference's only temporal notion is the sorted
+  * key cursor (ParquetRewriter.java:253-301); as-of lookup is the
+  * straightforward temporal extension a training-data pipeline needs
+  * (joining samples to the latest feature snapshot).
+  */
+object AsOfJoin {
+
+  /** @param matchPrefix prefix for matched right columns in the output
+    * @param strict      true → match strictly-before (r.ts < l.ts);
+    *                    false → at-or-before (r.ts <= l.ts) */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               matchPrefix: String = "asof_",
+               strict: Boolean = false): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val lStructT = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
+    val rStructT = right.select(struct(rightPayloadCols.map(col): _*)).schema.head.dataType
+
+    // at equal ts: right rows sort before left (side 0 < 1) → inclusive;
+    // strict puts them after (side 2) so the sweep hasn't seen them yet
+    val rSide = if (strict) 2 else 0
+    val l = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+    val r = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(rSide).as("__side"),
+      lit(null).cast(lStructT).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__m").getField(c).as(s"$matchPrefix$c"))
+    swept.select(outCols: _*)
+  }
+}

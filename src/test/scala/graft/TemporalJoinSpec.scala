@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** AsOfJoin and RangeJoin vs naive reference formulations on the fixtures:
+  * same rows, different (scalable) plan shape. */
+class TemporalJoinSpec extends SparkSpec {
+
+  private def views = Tables.events(spark, sf())
+    .where(col("event_type") === "view")
+    .select(col("event_id"), col("user_id"), col("ts"))
+
+  private def purchases = Tables.events(spark, sf())
+    .where(col("event_type") === "purchase")
+    .select(col("user_id"), col("ts"), col("value"))
+
+  test("asof backward == naive max-per-group formulation") {
+    val got = AsOfJoin.backward(views, purchases, "user_id", "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+
+    // naive: blow up the full history, keep the max right ts per left row
+    val p = purchases.select(col("user_id").as("pu"),
+      col("ts").as("pts"), col("value").as("pval"))
+    val naive = views.join(p, col("user_id") === col("pu") && col("pts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(col("pts").desc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("pts").as("asof_ts"), col("pval").as("asof_value"))
+
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    assert(got.count() === views.count()) // left-outer: every view kept
+  }
+
+  test("asof strict excludes equal timestamps") {
+    // self-join events to themselves: inclusive matches the row itself,
+    // strict must match an earlier row (or null)
+    val e = Tables.events(spark, sf()).select(col("event_id"), col("user_id"), col("ts"))
+    val inclusive = AsOfJoin.backward(e, e.drop("event_id"), "user_id", "user_id", "ts", "ts")
+    assert(inclusive.where(col("asof_ts") === col("ts")).count() === e.count())
+    val strict = AsOfJoin.backward(e, e.drop("event_id"), "user_id", "user_id", "ts", "ts",
+      strict = true)
+    assert(strict.where(col("asof_ts") === col("ts")).count() === 0)
+  }
+
+  test("bucketed range join == nested-loop BETWEEN join, across widths") {
+    val pts = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_acctbal"))
+    val ivs = Tables.part(spark, sf()).select(col("p_partkey"),
+      (col("p_retailprice") - col("p_size") * 3).as("lo"),
+      (col("p_retailprice") + col("p_size") * 3).as("hi"))
+    val naive = pts.join(ivs, col("c_acctbal").between(col("lo"), col("hi")))
+      .select(col("c_custkey"), col("p_partkey"))
+    for (w <- Seq(16.0, 64.0, 1024.0)) {
+      val got = RangeJoin.bucketed(pts, ivs, "c_acctbal", "lo", "hi", w)
+        .select(col("c_custkey"), col("p_partkey"))
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"width $w")
+    }
+  }
+
+  test("range join plan is a hash/sort-merge equi-join, not a nested loop") {
+    val pts = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_acctbal"))
+    val ivs = Tables.part(spark, sf()).select(col("p_partkey"),
+      (col("p_retailprice") - lit(10.0)).as("lo"),
+      (col("p_retailprice") + lit(10.0)).as("hi"))
+    val plan = RangeJoin.bucketed(pts, ivs, "c_acctbal", "lo", "hi", 64.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
