@@ -43,9 +43,15 @@ object Bench {
       "customer" -> "c_custkey", "supplier" -> "s_suppkey", "part" -> "p_partkey",
       "documents" -> "doc_id", "embeddings" -> "vec_id",
       "region" -> "r_regionkey", "nation" -> "n_nationkey")
-    Tables.all.foreach { t =>
-      // read raw (events: nanos-as-long keeps the original schema)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos-as-long keeps events' original schema through the raw read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one Spark job per table, submitted concurrently: each single-table
+    // relayout is too small to fill the cluster (sample pass + sorted
+    // write), so overlapping them keeps all cores busy — the multi-table
+    // analog of one-rewriter-per-shard parallelism (reference README.md:45-48)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs = Tables.all.map { t => Future {
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
       val n = df.count()
       val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
@@ -58,7 +64,8 @@ object Bench {
         math.min(32, math.max(n / 20000, bytes / (512L * 1024)))).toInt
       ParquetTable.writeSorted(df, s"$outDir/$t.parquet", sortKey(t), files,
         ParquetLayout(rowGroupBytes = Some(2L * 1024 * 1024)))
-    }
+    }}
+    Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
   }
 
   def main(args: Array[String]): Unit = {
