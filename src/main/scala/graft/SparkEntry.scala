@@ -572,9 +572,9 @@ object SparkEntry {
         trim(lit("  x  ")).as("trimmed"))
       .orderBy(col("p_partkey"))
 
-  /** Pivot: per-year order counts and decimal-exact totals spread across
-    * status columns. Values are enumerated, so the plan is a single hash
-    * agg (no extra distinct pass to discover pivot values). */
+  /** Pivot: per-year order counts spread across status columns. Values are
+    * enumerated, so no values-discovery job runs before the (standard
+    * two-stage) pivot aggregation. */
   def q56_pivot(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .withColumn("o_year", year(col("o_orderdate")))
