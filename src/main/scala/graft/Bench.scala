@@ -112,6 +112,24 @@ object Bench {
       System.err.println(s"[bench] cosine experiment failed: ${e.getMessage}")
     }
 
+    // ---- sketch-kernel comparison: explode/agg vs fused native pass ----
+    try {
+      graft.plans.MinHashSignature.register(spark)
+      graft.plans.SimHash.register(spark)
+      val docs = Tables.documents(spark, dataDir)
+      def mh(native: Boolean) = runToNoop(graft.operators.Dedup.minHashPairs(
+        docs, "text", "doc_id", threshold = 0.25, native = native))
+      def sh(native: Boolean) = runToNoop(graft.operators.Dedup.simHashPairs(
+        docs, "text", "doc_id", maxHamming = 6, native = native))
+      mh(true); mh(false); sh(true); sh(false)   // codegen warm
+      results("minhash_pairs_agg") = time(mh(false))
+      results("minhash_pairs_native") = time(mh(true))
+      results("simhash_pairs_agg") = time(sh(false))
+      results("simhash_pairs_native") = time(sh(true))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sketch experiment failed: ${e.getMessage}")
+    }
+
     // ---- merge-scaling experiment on a 600k-row key-sorted table ----
     try {
       val baseDir = s"$workDir/merge-base"

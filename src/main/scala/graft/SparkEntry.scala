@@ -478,16 +478,23 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
-  /** MinHash-LSH near-dup candidate pairs. */
-  def q41_minhash_pairs(s: SparkSession, dir: String): DataFrame =
+  /** MinHash-LSH near-dup candidate pairs (native one-pass signature
+    * kernel; the fallback explode/agg path is bit-identical — DedupSpec). */
+  def q41_minhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MinHashSignature.register(s)
     Dedup.minHashPairs(documents(s, dir), "text", "doc_id",
-        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.25)
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.25, native = true)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
-  /** SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures). */
-  def q42_simhash_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(documents(s, dir), "text", "doc_id", maxHamming = 6)
+  /** SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures; native
+    * one-pass vote kernel). */
+  def q42_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SimHash.register(s)
+    Dedup.simHashPairs(documents(s, dir), "text", "doc_id", maxHamming = 6,
+        native = true)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Embedding near-dup via hyperplane LSH buckets. */
   def q43_embedding_neardup(s: SparkSession, dir: String): DataFrame =

@@ -55,24 +55,45 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, native: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // explode → hash-partitioned partial min per lane: the per-lane minima
-    // are computed by vectorized hash aggregation with map-side combine
-    // (one shuffle keyed by doc id), not by a 32-way nested HOF tree —
-    // the shape that stays fast when docs are millions and shingles are
-    // billions.
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), shingleK)).as("h"))
-    val lanes = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = exploded.groupBy(col("id"))
-      .agg(lanes.head, lanes.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Signature stage, two equivalent plans (bit-identical output):
+    //  - native: the fused one-pass codegen kernel
+    //    ([[graft.plans.MinHashSignature]], register first) — a pure
+    //    map-side expression, no shuffle, no intermediate arrays; the
+    //    preferred path.
+    //  - fallback: explode → hash-partitioned partial min per lane —
+    //    vectorized hash aggregation with map-side combine (one shuffle
+    //    keyed by doc id), not a 32-way nested HOF tree that would
+    //    re-traverse the shingle array per lane.
+    // Docs with zero shingles have no near-dup semantics and drop out of
+    // both paths.
+    val sig = if (native) {
+      // no emptiness filter: shingles() yields at least [""] for any text
+      // (PlansSpec asserts pair-level parity with the explode path), and a
+      // size(...) guard here would be pushed below the projection and
+      // recompute the whole shingle pipeline per row
+      docs.select(col(idCol).as("id"),
+        call_function(graft.plans.MinHashSignature.name,
+          shingleHashes(col(textCol), shingleK), lit(numHashes)).as("sig"))
+    } else {
+      val exploded = docs.select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), shingleK)).as("h"))
+      val lanes = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      exploded.groupBy(col("id"))
+        .agg(lanes.head, lanes.tail: _*)
+        .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    // repartition on the join key BEFORE the per-side renames: both join
+    // sides then share one canonical exchange subtree, so the signature
+    // pipeline runs once and the second side is a ReusedExchange (without
+    // this, each side of the self-join recomputes every signature)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .repartition(col("band"), col("bucket"))
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -109,24 +130,37 @@ object Dedup {
     * pairs agreeing on any chunk are candidates (guaranteed to include all
     * pairs at Hamming distance <= 3); verify with bit_count(xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // explode → 64 conditional sums per doc via vectorized hash agg (same
-    // scale rationale as minHashPairs); docs with zero tokens have no
-    // near-dup semantics and drop out
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(transform(tokens(lower(col(textCol))), t => xxhash64(t))).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$i"))
-    val sigs = exploded.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sim"))
+                   maxHamming: Int = 3, native: Boolean = false): DataFrame = {
+    // signature stage: fused one-pass kernel ([[graft.plans.SimHash]],
+    // register first) vs explode → 64 conditional sums via vectorized hash
+    // agg (same rationale as minHashPairs); docs with zero tokens have no
+    // near-dup semantics and drop out of both paths
+    val sigs = if (native) {
+      // tokens() is empty exactly when the trimmed text is empty — filter
+      // on that cheap predicate instead of size(tokens), which would be
+      // pushed below the projection and re-tokenize per row
+      docs.where(trim(col(textCol)) =!= "")
+        .select(col(idCol).as("id"),
+          call_function(graft.plans.SimHash.name,
+            transform(tokens(lower(col(textCol))), t => xxhash64(t))).as("sim"))
+    } else {
+      val exploded = docs.select(col(idCol).as("id"),
+        explode(transform(tokens(lower(col(textCol))), t => xxhash64(t))).as("h"))
+      val votes = (0 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$i"))
+      exploded.groupBy(col("id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("id"),
+          (0 until 64).map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("sim"))
+    }
+    // shared exchange before the per-side renames — see minHashPairs
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         col("sim").bitwiseAND(lit(0xFFFFL << (16 * i)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .repartition(col("band"), col("chunk"))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "chunk"))

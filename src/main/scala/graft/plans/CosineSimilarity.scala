@@ -104,5 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(CosineSimilarity.name), CosineSimilarity.info,
         CosineSimilarity.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(MinHashSignature.name), MinHashSignature.info,
+        MinHashSignature.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(SimHash.name), SimHash.info, SimHash.builder))
   }
 }

@@ -44,6 +44,36 @@ class PlansSpec extends SparkSpec {
     assert(e.getMessage.contains("array<float>"))
   }
 
+  test("native minhash signature is bit-identical to the explode/agg path") {
+    graft.plans.MinHashSignature.register(spark)
+    val docs = Tables.documents(spark, sf())
+    val pairsNative = graft.operators.Dedup.minHashPairs(
+      docs, "text", "doc_id", threshold = 0.25, native = true)
+    val pairsAgg = graft.operators.Dedup.minHashPairs(
+      docs, "text", "doc_id", threshold = 0.25)
+    assert(pairsNative.exceptAll(pairsAgg).isEmpty &&
+      pairsAgg.exceptAll(pairsNative).isEmpty)
+
+    // signature-level parity, not just pair-level
+    import graft.operators.Dedup
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val both = sh.select(col("doc_id"),
+      call_function("graft_minhash", col("sh"), lit(8)).as("nat"),
+      Dedup.minHashSignature(col("sh"), 8).as("hof"))
+    assert(both.where(not(col("nat") === col("hof"))).count() === 0)
+  }
+
+  test("native simhash is bit-identical to the explode/agg path") {
+    graft.plans.SimHash.register(spark)
+    val docs = Tables.documents(spark, sf())
+    val a = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id",
+      maxHamming = 6, native = true)
+    val b = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id",
+      maxHamming = 6)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("extensions class registers the function at session build time") {
     // same registry mechanism the spark.sql.extensions config path uses
     val ext = new org.apache.spark.sql.SparkSessionExtensions
