@@ -558,5 +558,40 @@ object OracleSql {
         ON c_acctbal BETWEEN p_retailprice - p_size * 3
                          AND p_retailprice + p_size * 3
       ORDER BY c_custkey, p_partkey""",
+
+    "q63_gapfill" -> """
+      WITH b AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY user_id),
+      g AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM b),
+      h AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+          CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS v,
+          count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT g.user_id, strftime(g.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        coalesce(h.n, 0) AS n_events,
+        last_value(h.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
+      ORDER BY g.user_id, hour_start""",
+
+    "q64_window_distribution" -> """
+      SELECT o_orderkey, o_orderstatus, quartile, pr, cd, cheapest_key
+      FROM (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
+          CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+          first_value(o_orderkey) OVER w AS cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey))
+      WHERE o_orderkey < 500
+      ORDER BY o_orderkey""",
   )
 }

@@ -687,6 +687,43 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("p_partkey"))
   }
 
+  /** Time-series gap fill: per-user hourly grid (sequence + explode),
+    * left join of observed hourly aggregates, carry-forward of the last
+    * observed value over the gaps — the composition a feature-backfill
+    * pipeline runs. */
+  def q63_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val bounds = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(dsum(col("value")).as("v"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), date_format(col("hr"), fmtS).as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy(col("user_id"), col("hour_start"))
+  }
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first_value over a total per-status order. */
+  def q64_window_distribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("cheapest_key"))
+      .where(col("o_orderkey") < 500)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -800,6 +837,8 @@ object SparkEntry {
     "q60_partition_prune" -> (q60_partition_prune _),
     "q61_asof_join" -> (q61_asof_join _),
     "q62_range_join" -> (q62_range_join _),
+    "q63_gapfill" -> (q63_gapfill _),
+    "q64_window_distribution" -> (q64_window_distribution _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
