@@ -89,6 +89,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("file-source readStream -> windowed agg -> parquet file sink (availableNow)") {
+    // the full pipeline shape: stream a parquet directory, watermark +
+    // tumbling agg, append to a parquet sink with checkpoint, drain with
+    // the availableNow trigger (batch-backfill semantics)
+    val work = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = Tables.events(spark, sf()).select("ts", "user_id", "value")
+    src.write.parquet(s"$work/in")
+
+    val stream = spark.readStream.schema(src.schema).parquet(s"$work/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("day"), col("n"), col("sum_value"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // append mode emits only watermark-closed windows: all but the last day
+    val expected = src.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val maxDay = expected.agg(max(col("day"))).head().getTimestamp(0)
+    val closed = expected.where(col("day") < maxDay)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(got === closed)
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
