@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.metadata.BlockMetaData
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MergeOps
+
+/** Result of a row-group-granularity rewrite: which of the source's row
+  * groups were raw-copied vs re-encoded. */
+final case class RowGroupRewrite(
+    outFile: String,
+    sourceGroups: Int,
+    passthroughGroups: Int,
+    rewrittenGroups: Int,
+    outputGroups: Int)
+
+/** The reference's core trick at its native granularity: apply a mutation
+  * batch to ONE key-sorted Parquet file by re-encoding only the row groups
+  * whose key range the batch touches and copying every clean row group
+  * **byte-for-byte** (`ParquetFileWriter.appendRowGroups` — the
+  * `writer.appendRowGroup` passthrough of ParquetRewriter.java:312-322),
+  * interleaved in key order exactly as the reference's single forward pass
+  * does (seekToKey routing, ParquetRewriter.java:253-301).
+  *
+  * Division of labor: Spark runs the merge (reads just the dirty groups —
+  * the key-range filter prunes clean groups via their footer stats — and
+  * sort-merges the batch slice); parquet-mr splices raw bytes. The engine's
+  * default CoW unit is the *file* ([[MutableParquetTable]]) because at
+  * cluster scale file-granularity passthrough is metadata-only; this
+  * utility is the escalation for fat files with narrow dirty ranges —
+  * amortizing rewrite cost within a file the way the reference amortizes
+  * it within one (README.md:109-111). At scale, run one instance per dirty
+  * file from a foreachPartition over the routed file list; per-file work is
+  * sequential IO plus one small Spark merge job.
+  *
+  * Key routing (reference seekToKey semantics): group g owns keys in
+  * [min_g, min_{g+1}); the first group also owns everything below, the
+  * last everything above. A batch key landing between two groups' ranges
+  * therefore dirties the earlier group, preserving global sort order.
+  */
+object RowGroupCoW {
+
+  /** @param batch mutation rows: base schema + `opCol` in {upsert,delete};
+    *              assumed routed/small relative to the file (its distinct
+    *              keys are collected to classify row groups). */
+  def rewriteFile(spark: SparkSession, srcFile: String, outFile: String,
+                  keyCol: String, batch: DataFrame,
+                  opCol: String = "op"): RowGroupRewrite = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inFile = HadoopInputFile.fromPath(new Path(srcFile), conf)
+    val (schema, blocks, mins) = {
+      val r = ParquetFileReader.open(inFile)
+      try {
+        val bs = r.getFooter.getBlocks.asScala.toVector
+        val ms = bs.map { b =>
+          val cm = b.getColumns.asScala.find(_.getPath.toDotString == keyCol)
+            .getOrElse(throw new IllegalArgumentException(
+              s"key column $keyCol not found in $srcFile"))
+          val st = cm.getStatistics
+          require(st != null && st.hasNonNullValue, s"no key stats in $srcFile")
+          st.genericGetMin match {
+            case n: java.lang.Number => n.longValue
+            case other => throw new IllegalArgumentException(
+              s"numeric key required, got ${other.getClass}")
+          }
+        }
+        (r.getFooter.getFileMetaData.getSchema, bs, ms)
+      } finally r.close()
+    }
+
+    // classify: route each batch key to the last group with min <= key
+    val keys = batch.select(col(keyCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val dirtyIdx = keys.map { k =>
+      var lo = 0; var hi = blocks.size - 1; var ans = 0
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (mins(mid) <= k) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans
+    }.toSet
+
+    // maximal runs of consecutive same-cleanliness groups, in file order
+    val runs = blocks.indices.foldLeft(Vector.empty[(Boolean, Vector[Int])]) {
+      case (acc, i) =>
+        val d = dirtyIdx.contains(i)
+        acc.lastOption match {
+          case Some((`d`, idxs)) => acc.init :+ (d, idxs :+ i)
+          case _ => acc :+ (d -> Vector(i))
+        }
+    }
+
+    val tmp = Files.createTempDirectory("graft-rgcow").toString
+    // pre-merge every dirty run with its owned batch slice (Spark jobs)
+    val mergedRunFiles: Map[Int, String] = runs.zipWithIndex.collect {
+      case ((true, idxs), runNo) =>
+        val lower = if (idxs.head == 0) None else Some(mins(idxs.head))
+        val upper = if (idxs.last == blocks.size - 1) None else Some(mins(idxs.last + 1))
+        def slice(df: DataFrame) = (lower, upper) match {
+          case (Some(lo), Some(up)) => df.where(col(keyCol) >= lo && col(keyCol) < up)
+          case (Some(lo), None)     => df.where(col(keyCol) >= lo)
+          case (None, Some(up))     => df.where(col(keyCol) < up)
+          case (None, None)         => df
+        }
+        // the key-range filter reaches the parquet scan, so clean groups
+        // of srcFile are skipped via their footer stats, not decoded
+        val base = slice(spark.read.parquet(srcFile))
+        val merged = MergeOps.applyMutations(base, slice(batch), keyCol, opCol)
+        val dir = s"$tmp/run-$runNo"
+        merged.repartition(1).sortWithinPartitions(col(keyCol))
+          .write.parquet(dir)
+        val part = Files.list(Paths.get(dir)).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+        require(part.size == 1, s"expected one merged file for run $runNo")
+        runNo -> part.head
+    }.toMap
+
+    // splice: raw-copy clean runs, append re-encoded dirty runs, in order
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(new Path(outFile), conf),
+      schema, ParquetFileWriter.Mode.CREATE,
+      128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    val srcStream = inFile.newStream()
+    try {
+      runs.zipWithIndex.foreach {
+        case ((false, idxs), _) =>
+          val bl: java.util.List[BlockMetaData] = idxs.map(blocks(_)).asJava
+          writer.appendRowGroups(srcStream, bl, false)
+        case ((true, _), runNo) =>
+          writer.appendFile(HadoopInputFile.fromPath(
+            new Path(mergedRunFiles(runNo)), conf))
+      }
+    } finally srcStream.close()
+    writer.end(java.util.Collections.emptyMap[String, String]())
+
+    val outGroups = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(outFile), conf))
+      try r.getFooter.getBlocks.size() finally r.close()
+    }
+    RowGroupRewrite(outFile, blocks.size,
+      passthroughGroups = blocks.size - dirtyIdx.size,
+      rewrittenGroups = dirtyIdx.size, outputGroups = outGroups)
+  }
+}
