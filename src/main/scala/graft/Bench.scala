@@ -176,6 +176,39 @@ object Bench {
       System.err.println(s"[bench] merge experiment failed: ${e.getMessage}")
     }
 
+    // ---- row-group CoW vs full rewrite of one fat file (README.md:109-111
+    //      partial-rewrite scaling, at the reference's own granularity) ----
+    try {
+      val d = s"$workDir/rgcow"
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("li_key", col("l_orderkey") * 10 + col("l_linenumber"))
+      ParquetTable.writeSorted(li, s"$d/src", "li_key", 1,
+        ParquetLayout(rowGroupBytes = Some(256L * 1024)))
+      val src = {
+        import scala.jdk.CollectionConverters._
+        val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/src"))
+        try s0.iterator().asScala.map(_.toString).find(_.endsWith(".parquet")).get
+        finally s0.close()
+      }
+      val maxKey = li.agg(max(col("li_key"))).head().getLong(0)
+      val batch = spark.read.parquet(src)
+        .where(col("li_key") <= maxKey / 10)
+        .withColumn("l_quantity", col("l_quantity") + 1.0)
+        .withColumn("op", lit("upsert"))
+      batch.write.parquet(s"$d/batch")
+      val b = spark.read.parquet(s"$d/batch")
+      results("rgcow_10pct_dirty") = (1 to 3).map(i => time(
+        graft.sources.RowGroupCoW.rewriteFile(spark, src, s"$d/out-$i.parquet",
+          "li_key", b))).min
+      results("rgcow_full_rewrite") = (1 to 3).map(i => time {
+        graft.operators.MergeOps.applyMutations(spark.read.parquet(src), b, "li_key")
+          .repartition(1).sortWithinPartitions(col("li_key"))
+          .write.parquet(s"$d/full-$i")
+      }).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] rgcow experiment failed: ${e.getMessage}")
+    }
+
     // ---- row-group-size sweep (README.md:88-101 qualitative shape) ----
     try {
       val li = Tables.lineitem(spark, sfDir)

@@ -693,13 +693,14 @@ object SparkEntry {
     * pipeline runs. */
   def q63_gapfill(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
-    val bounds = e.groupBy(col("user_id"))
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-        date_trunc("hour", max(col("ts"))).as("hi"))
-    val grid = bounds.select(col("user_id"),
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
     val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
       .agg(dsum(col("value")).as("v"), count(lit(1)).as("n"))
+    // bounds from the (tiny) hourly aggregate, not a second scan of the
+    // raw events: date_trunc is monotone, so min/max commute with it
+    val bounds = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("user_id", "hr"), "left")
