@@ -593,5 +593,15 @@ object OracleSql {
                      ORDER BY o_totalprice, o_orderkey))
       WHERE o_orderkey < 500
       ORDER BY o_orderkey""",
+
+    "q65_json_map" -> """
+      SELECT event_id, 'k' AS ks,
+        CAST(props->>'k' AS BIGINT) AS kv,
+        1 AS has_k,
+        CAST(NULL AS BIGINT) AS missing,
+        1 AS n
+      FROM events
+      WHERE event_id < 300
+      ORDER BY event_id""",
   )
 }

@@ -725,6 +725,23 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** from_json → MapType + map functions (keys/element_at/contains/size).
+    * The oracle computes the expected values from the raw JSON directly —
+    * ground truth, not a mirrored implementation. */
+  def q65_json_map(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    events(s, dir)
+      .where(col("event_id") < 300)
+      .select(col("event_id"),
+        concat_ws(",", map_keys(m)).as("ks"),
+        element_at(m, "k").as("kv"),
+        map_contains_key(m, "k").cast("int").as("has_k"),
+        element_at(m, "zz").as("missing"),
+        size(m).as("n"))
+      .orderBy(col("event_id"))
+  }
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -840,6 +857,7 @@ object SparkEntry {
     "q62_range_join" -> (q62_range_join _),
     "q63_gapfill" -> (q63_gapfill _),
     "q64_window_distribution" -> (q64_window_distribution _),
+    "q65_json_map" -> (q65_json_map _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
