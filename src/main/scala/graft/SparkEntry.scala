@@ -496,6 +496,20 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** End-to-end near-dup dedup: MinHash-LSH pairs → connected components
+    * (min-label propagation) → keep one canonical doc per cluster. No SQL
+    * oracle (iterative graph fixpoint); determinism + component algebra
+    * are asserted in DedupSpec. */
+  def q66_neardup_dedup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MinHashSignature.register(s)
+    val docs = documents(s, dir)
+    val pairs = Dedup.minHashPairs(docs, "text", "doc_id", threshold = 0.5,
+      native = true)
+    Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup via hyperplane LSH buckets. */
   def q43_embedding_neardup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(embeddings(s, dir), "embedding", "vec_id",
@@ -858,6 +872,7 @@ object SparkEntry {
     "q63_gapfill" -> (q63_gapfill _),
     "q64_window_distribution" -> (q64_window_distribution _),
     "q65_json_map" -> (q65_json_map _),
+    "q66_neardup_dedup" -> (q66_neardup_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -187,6 +187,52 @@ object Dedup {
           .otherwise(col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: every node starts as its own component; each round every
+    * node takes the minimum label in its neighborhood; fixpoint after
+    * O(cluster diameter) rounds — near-dup clusters are shallow (pairs all
+    * share bands/buckets), so this converges in a handful of one-shuffle
+    * iterations. `localCheckpoint` truncates lineage each round so the plan
+    * does not grow with iterations.
+    *
+    * Output: (id, comp) for every id appearing in `pairs`; comp = the
+    * smallest id in its component. */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("newComp"))
+        .localCheckpoint()
+      converged = updated.where(col("newComp") < col("comp")).isEmpty
+      labels = updated.select(col("id"), col("newComp").as("comp"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup end to end: keep each component's canonical (smallest
+    * id) member plus every doc not involved in any near-dup pair. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .where(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** Embedding near-dup: cosine LSH buckets (random hyperplane signature)
     * → exact cosine within bucket → pairs above threshold. */
   def embeddingNearDup(embs: DataFrame, vecCol: String, idCol: String,

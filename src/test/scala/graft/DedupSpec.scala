@@ -119,6 +119,42 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => b == 3L })
   }
 
+  test("components: min-label propagation finds transitive clusters") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3 (transitive through 2), pair 5-6, 9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val docs = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 7L, 8L, 9L))
+  }
+
+  test("components handles an empty pair list") {
+    val s = spark; import s.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.components(pairs).isEmpty)
+    val docs = (1L to 3L).map(i => (i, "x")).toDF("doc_id", "text")
+    assert(Dedup.keepCanonical(docs, "doc_id", pairs).count() === 3)
+  }
+
+  test("keepCanonical over minhash pairs dedups the documents fixture deterministically") {
+    val docs = Tables.documents(spark, sf())
+    graft.plans.MinHashSignature.register(spark)
+    val pairs = Dedup.minHashPairs(docs, "text", "doc_id", threshold = 0.5, native = true)
+    val kept1 = Dedup.keepCanonical(docs, "doc_id", pairs)
+    val kept2 = Dedup.keepCanonical(docs, "doc_id", pairs)
+    assert(kept1.count() === kept2.count())
+    assert(kept1.count() <= docs.count())
+    // canonical members are exactly one per component plus untouched docs
+    val nComp = Dedup.components(pairs).select("comp").distinct().count()
+    val nPaired = Dedup.components(pairs).count()
+    assert(kept1.count() === docs.count() - nPaired + nComp)
+  }
+
   test("fingerprints: normalized is ws/case-insensitive, rolling is order-sensitive") {
     val s = spark; import s.implicits._
     val df = Seq(
