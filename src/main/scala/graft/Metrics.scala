@@ -1,0 +1,86 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** One completed action's execution profile. */
+final case class QueryMetrics(
+    action: String,
+    durationNs: Long,
+    outputRows: Long,   // top-node numOutputRows (-1 if the node has none)
+    filesRead: Long,    // Σ scan numFiles
+    bytesRead: Long,    // Σ scan filesSize
+    shuffleBytes: Long) // Σ shuffle bytes written
+
+/** The engine's analog of the reference's per-stage nanosecond timers
+  * (S23: ParquetBlockMutator.java:48-54, RecordWriter.java:84-88,
+  * surfaced via flushMutatedBlockInternal, ParquetRewriter.java:349-359).
+  * Rather than hand-rolled counters inside a custom writer, a
+  * `QueryExecutionListener` harvests Spark's own `SQLMetric`s from the
+  * executed (post-AQE) plan after every action: wall time, rows out, scan
+  * file/byte counts, shuffle volume. Works on a cluster unchanged — the
+  * metrics are aggregated across executors by Spark's metric system.
+  */
+final class Metrics private (spark: SparkSession) extends QueryExecutionListener {
+
+  private val done = new ConcurrentLinkedQueue[QueryMetrics]()
+
+  private def finalPlan(qe: QueryExecution): SparkPlan = qe.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case p => p
+  }
+
+  /** Full traversal: unlike SparkPlan.collect, descends into AQE stage
+    * wrappers (QueryStageExec holds its materialized plan outside
+    * `children`) and reused exchanges. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: allNodes(r.child)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  private def sumMetric(plan: SparkPlan, name: String): Long =
+    allNodes(plan).collect {
+      case p if p.metrics.contains(name) => p.metrics(name).value
+    }.sum
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val plan = finalPlan(qe)
+    done.add(QueryMetrics(
+      action = funcName,
+      durationNs = durationNs,
+      outputRows = plan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+      filesRead = sumMetric(plan, "numFiles"),
+      bytesRead = sumMetric(plan, "filesSize"),
+      shuffleBytes = sumMetric(plan, "shuffleBytesWritten")))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit = ()
+
+  /** All completed actions since attach/clear (listener delivery is async —
+    * callers should poll briefly after an action). */
+  def snapshot(): Seq[QueryMetrics] = done.asScala.toVector
+
+  def clear(): Unit = done.clear()
+
+  def detach(): Unit = spark.listenerManager.unregister(this)
+}
+
+object Metrics {
+  /** Attach a fresh metrics collector to the session. */
+  def attach(spark: SparkSession): Metrics = {
+    val m = new Metrics(spark)
+    spark.listenerManager.register(m)
+    m
+  }
+}
