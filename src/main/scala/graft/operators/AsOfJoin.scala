@@ -42,12 +42,17 @@ object AsOfJoin {
 
   /** @param matchPrefix prefix for matched right columns in the output
     * @param strict      true → match strictly-before (r.ts < l.ts);
-    *                    false → at-or-before (r.ts <= l.ts) */
+    *                    false → at-or-before (r.ts <= l.ts)
+    * @param tolerance   max staleness: matches older than this interval
+    *                    (e.g. "2 hours") are nulled out (pandas merge_asof
+    *                    tolerance) — applied as a post-filter on the
+    *                    matched struct, no extra shuffle */
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                matchPrefix: String = "asof_",
-               strict: Boolean = false): DataFrame = {
+               strict: Boolean = false,
+               tolerance: Option[String] = None): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
     val lStructT = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
     val rStructT = right.select(struct(rightPayloadCols.map(col): _*)).schema.head.dataType
@@ -66,9 +71,60 @@ object AsOfJoin {
 
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = l.unionByName(r)
+    val sweptRaw = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    val swept = tolerance match {
+      case Some(t) => sweptRaw.withColumn("__m",
+        when(col("__m").isNotNull &&
+          col("__m").getField(rightTs) >= col("__t") - expr(s"interval $t"),
+          col("__m")))
+      case None => sweptRaw
+    }
+
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__m").getField(c).as(s"$matchPrefix$c"))
+    swept.select(outCols: _*)
+  }
+
+  /** Forward as-of join: the *earliest* right row at-or-after (or strictly
+    * after) each left row — the same sweep run in reverse time order. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTs: String, rightTs: String,
+              matchPrefix: String = "asof_",
+              strict: Boolean = false,
+              tolerance: Option[String] = None): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val lStructT = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
+    val rStructT = right.select(struct(rightPayloadCols.map(col): _*)).schema.head.dataType
+
+    val rSide = if (strict) 2 else 0
+    val l = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+    val r = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(rSide).as("__side"),
+      lit(null).cast(lStructT).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+
+    // descending sweep: at equal ts, right first (side asc) for inclusive,
+    // right last for strict — mirror of backward
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweptRaw = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val swept = tolerance match {
+      case Some(t) => sweptRaw.withColumn("__m",
+        when(col("__m").isNotNull &&
+          col("__m").getField(rightTs) <= col("__t") + expr(s"interval $t"),
+          col("__m")))
+      case None => sweptRaw
+    }
 
     val outCols =
       left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++

@@ -45,6 +45,36 @@ class TemporalJoinSpec extends SparkSpec {
     assert(strict.where(col("asof_ts") === col("ts")).count() === 0)
   }
 
+  test("asof forward == naive min-per-group formulation") {
+    val got = AsOfJoin.forward(views, purchases, "user_id", "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+    val p = purchases.select(col("user_id").as("pu"),
+      col("ts").as("pts"), col("value").as("pval"))
+    val naive = views.join(p, col("user_id") === col("pu") && col("pts") >= col("ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(col("pts").asc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("pts").as("asof_ts"), col("pval").as("asof_value"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("asof tolerance nulls out stale matches") {
+    val all = AsOfJoin.backward(views, purchases, "user_id", "user_id", "ts", "ts")
+    val tol = AsOfJoin.backward(views, purchases, "user_id", "user_id", "ts", "ts",
+      tolerance = Some("30 minutes"))
+    // tolerance only ever removes matches, never adds or changes them
+    val widened = all.where(
+      col("asof_ts").isNotNull &&
+      col("asof_ts") >= col("ts") - expr("interval 30 minutes"))
+      .select(col("event_id"), col("asof_ts"))
+    val kept = tol.where(col("asof_ts").isNotNull)
+      .select(col("event_id"), col("asof_ts"))
+    assert(kept.exceptAll(widened).isEmpty && widened.exceptAll(kept).isEmpty)
+    assert(tol.count() === all.count()) // left rows always survive
+    assert(tol.where(col("asof_ts").isNull).count() >=
+      all.where(col("asof_ts").isNull).count())
+  }
+
   test("bucketed range join == nested-loop BETWEEN join, across widths") {
     val pts = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_acctbal"))
     val ivs = Tables.part(spark, sf()).select(col("p_partkey"),
