@@ -237,13 +237,17 @@ object Dedup {
     * → exact cosine within bucket → pairs above threshold. */
   def embeddingNearDup(embs: DataFrame, vecCol: String, idCol: String,
                        dim: Int, threshold: Double = 0.95,
-                       nBits: Int = 12): DataFrame = {
+                       nBits: Int = 12, native: Boolean = false): DataFrame = {
     // no forced exchange here: the signature table is vec-sized rows over
     // few (2^nBits) buckets — a bucket shuffle skews, while letting AQE
     // broadcast the smaller side costs only a cheap recompute (measured
     // ~2x faster at sf0.1)
+    val bucket =
+      if (native) call_function(graft.plans.HyperplaneSignature.name,
+        col(vecCol), lit(nBits), lit(dim))
+      else VectorFunctions.hyperplaneSignature(col(vecCol), nBits, dim)
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorFunctions.hyperplaneSignature(col(vecCol), nBits, dim).as("bucket"))
+      bucket.as("bucket"))
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

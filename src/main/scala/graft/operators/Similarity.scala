@@ -50,11 +50,16 @@ object Similarity {
     * only scores corpus rows sharing its bucket. Approximate (recall < 1);
     * verify-and-rank is exact cosine. Use fewer bits for higher recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+              idCol: String, k: Int, dim: Int, nBits: Int = 8,
+              native: Boolean = false): DataFrame = {
+    def sig(v: org.apache.spark.sql.Column) =
+      if (native) call_function(graft.plans.HyperplaneSignature.name,
+        v, lit(nBits), lit(dim))
+      else hyperplaneSignature(v, nBits, dim)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), nBits, dim).as("bucket"))
+      sig(col(vecCol)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      hyperplaneSignature(col(vecCol), nBits, dim).as("bucket"))
+      sig(col(vecCol)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),

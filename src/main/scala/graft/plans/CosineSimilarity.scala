@@ -109,5 +109,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature.builder))
     ext.injectFunction(
       (FunctionIdentifier(SimHash.name), SimHash.info, SimHash.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(HyperplaneSignature.name), HyperplaneSignature.info,
+        HyperplaneSignature.builder))
   }
 }

@@ -176,3 +176,107 @@ object SimHash {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 }
+
+/** Random-hyperplane LSH signature over an `array<float>` embedding:
+  * `nBits` sign bits of plane·vec dot products packed into a long, planes
+  * from [[graft.functions.VectorFunctions.hashToUnit]]. One fused loop
+  * replacing the O(nBits·dim) HOF tree; accumulation order matches the
+  * HOF `aggregate` fold exactly, so signatures are bit-identical
+  * (PlansSpec). */
+case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _)
+      if nBits > 0 && nBits <= 63 && dim > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> and 0 < nBits <= 63, got " +
+        s"${child.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = HyperplaneSignature.name
+
+  // flattened plane matrix, row-major [bit][component]
+  @transient private lazy val planes: Array[Double] = {
+    val a = new Array[Double](nBits * dim)
+    var i = 0
+    while (i < nBits) {
+      var j = 0
+      while (j < dim) {
+        a(i * dim + j) = graft.functions.VectorFunctions.hashToUnit(seed, i, j)
+        j += 1
+      }
+      i += 1
+    }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var sig = 0L
+    var i = 0
+    while (i < nBits) {
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += planes(i * dim + j) * v.getFloat(j).toDouble; j += 1 }
+      if (d >= 0.0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the plane matrix once per task via a codegen object reference
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val sig = ctx.freshName("sig")
+      s"""
+        int $n = java.lang.Math.min($dim, $arr.numElements());
+        long $sig = 0L;
+        for (int $i = 0; $i < $nBits; $i++) {
+          double $d = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            $d += $planesRef[$i * $dim + $j] * (double) $arr.getFloat($j);
+          }
+          if ($d >= 0.0) $sig |= (1L << $i);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  val name = "graft_hyperplane"
+  val info = new ExpressionInfo(classOf[HyperplaneSignature].getName, name)
+
+  /** graft_hyperplane(vec array<float>, nBits lit, dim lit[, seed lit]). */
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3 || children.length == 4,
+      s"$name expects 3 or 4 arguments")
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: $what must be an integer literal, got $other")
+    }
+    val seed = if (children.length == 4) children(3) match {
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$name: seed must be an integer literal, got $other")
+    } else 42L
+    HyperplaneSignature(children.head,
+      intLit(children(1), "nBits"), intLit(children(2), "dim"), seed)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

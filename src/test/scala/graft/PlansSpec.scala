@@ -74,6 +74,16 @@ class PlansSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("native hyperplane signature is bit-identical to the HOF path") {
+    graft.plans.HyperplaneSignature.register(spark)
+    val e = Tables.embeddings(spark, sf())
+    val both = e.select(
+      call_function("graft_hyperplane", col("embedding"), lit(12), lit(64)).as("nat"),
+      VectorFunctions.hyperplaneSignature(col("embedding"), 12, 64).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() === 0)
+    assert(both.select(countDistinct(col("nat"))).head().getLong(0) > 1)
+  }
+
   test("extensions class registers the function at session build time") {
     // same registry mechanism the spark.sql.extensions config path uses
     val ext = new org.apache.spark.sql.SparkSessionExtensions
