@@ -603,5 +603,18 @@ object OracleSql {
       FROM events
       WHERE event_id < 300
       ORDER BY event_id""",
+
+    "q67_conditional_agg" -> """
+      SELECT o_orderstatus,
+        count_if(o_totalprice > 300000) AS n_big,
+        bool_and(o_totalprice > 0) AS all_pos,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        arg_max(o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_key,
+        arg_min(o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_key
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
   )
 }

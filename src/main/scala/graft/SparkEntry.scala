@@ -760,6 +760,26 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Conditional and arg-extremum aggregates: count_if, bool_and/bool_or,
+    * max_by/min_by. The by-measure is made unique (price-cents scaled +
+    * orderkey) so arg extremes are tie-free and deterministic in both
+    * engines. */
+  def q67_conditional_agg(s: SparkSession, dir: String): DataFrame = {
+    // round before the long cast: Spark's double→long cast truncates while
+    // DuckDB's rounds, so an un-rounded 12344.9999 would diverge
+    val measure = round(col("o_totalprice") * 100).cast("long") * 10000000L +
+      col("o_orderkey")
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 300000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_pos"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        max_by(col("o_orderkey"), measure).as("priciest_key"),
+        min_by(col("o_orderkey"), measure).as("cheapest_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -877,6 +897,7 @@ object SparkEntry {
     "q64_window_distribution" -> (q64_window_distribution _),
     "q65_json_map" -> (q65_json_map _),
     "q66_neardup_dedup" -> (q66_neardup_dedup _),
+    "q67_conditional_agg" -> (q67_conditional_agg _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
