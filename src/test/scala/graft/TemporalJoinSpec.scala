@@ -90,6 +90,50 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: random points/intervals/widths match the nested loop") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val pts = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200))
+        .toDF("pid", "x")
+      val ivs = (0 until 80).map { i =>
+        val lo = rnd.nextDouble() * 1000 - 300
+        (i.toLong, lo, lo + rnd.nextDouble() * rnd.nextInt(200))
+      }.toDF("iid", "lo", "hi")
+      val naive = pts.join(ivs, col("x").between(col("lo"), col("hi")))
+        .select(col("pid"), col("iid"))
+      val width = Seq(1.0, 37.0, 500.0)(trial % 3)
+      val got = RangeJoin.bucketed(pts, ivs, "x", "lo", "hi", width)
+        .select(col("pid"), col("iid"))
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"trial $trial width $width")
+    }
+  }
+
+  test("property: random as-of inputs match the naive formulation, all variants") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val lefts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000))).toDF("lid", "k", "t")
+    // unique (k, t) on the right — as-of's documented precondition
+    val rights = (0 until 200).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(1000), i.toLong))
+      .distinctBy(r => (r._1, r._2)).toDF("k", "t", "payload")
+    for (strict <- Seq(false, true)) {
+      val got = AsOfJoin.backward(lefts, rights, "k", "k", "t", "t", strict = strict)
+        .select(col("lid"), col("asof_payload"))
+      val cond = if (strict) col("rt") < col("t") else col("rt") <= col("t")
+      val r2 = rights.select(col("k").as("rk"), col("t").as("rt"), col("payload"))
+      val naive2 = lefts.join(r2, col("k") === col("rk") && cond, "left")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lid")).orderBy(col("rt").desc_nulls_last)))
+        .where(col("rn") === 1)
+        .select(col("lid"), col("payload").as("asof_payload"))
+      assert(got.exceptAll(naive2).isEmpty && naive2.exceptAll(got).isEmpty,
+        s"strict=$strict")
+    }
+  }
+
   test("range join plan is a hash/sort-merge equi-join, not a nested loop") {
     val pts = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_acctbal"))
     val ivs = Tables.part(spark, sf()).select(col("p_partkey"),
