@@ -514,6 +514,7 @@ object SparkEntry {
     * kernel; bit-identical to the HOF path — PlansSpec). */
   def q43_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
     graft.plans.HyperplaneSignature.register(s)
+    graft.plans.CosineSimilarity.register(s)
     Dedup.embeddingNearDup(embeddings(s, dir), "embedding", "vec_id",
         dim = 64, threshold = 0.2, nBits = 6, native = true)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -523,6 +524,7 @@ object SparkEntry {
   /** LSH-bucketed ANN top-k (approximate; recall measured in tests). */
   def q44_lsh_topk(s: SparkSession, dir: String): DataFrame = {
     graft.plans.HyperplaneSignature.register(s)
+    graft.plans.CosineSimilarity.register(s)
     val e = embeddings(s, dir)
     Similarity.lshTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
         k = 10, dim = 64, nBits = 4, native = true)

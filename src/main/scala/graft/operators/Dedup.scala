@@ -250,10 +250,13 @@ object Dedup {
       bucket.as("bucket"))
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val cos =
+      if (native) call_function(graft.plans.CosineSimilarity.name,
+        col("vec_a"), col("vec_b"))
+      else VectorFunctions.cosine(col("vec_a"), col("vec_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -63,7 +63,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
-        cosine(col("vec"), col("query_vec")).as("cosine"))
+        cosineCol(col("vec"), col("query_vec"), native).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
