@@ -244,7 +244,12 @@ object Bench {
     // merge scaling, cosine comparison, rowgroup sweep incl. _mb sizes)
     // are reported individually in `queries` but not summed
     val total = results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tail capture can truncate the (long) single line; persist the
+    // full artifact to a file as well so timings are never lost
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_OUT.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -429,8 +429,10 @@ object OracleSql {
     "q52_session_window" -> """
       WITH x AS (
         SELECT user_id, ts, value,
+          -- >= gap: Spark session windows are half-open [ts, ts+gap), so an
+          -- event exactly gap after its predecessor starts a NEW session
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800.0
                THEN 1 ELSE 0 END AS new_s
         FROM events),
       y AS (
@@ -604,11 +606,45 @@ object OracleSql {
       WHERE event_id < 300
       ORDER BY event_id""",
 
+    // width/height/n_frames are the deterministic dimensions the payload
+    // generator encodes (Multimodal.imageDims etc.); the Spark side only
+    // reproduces them by actually DECODING the PNG/WAV/container payloads
+    "q47_multimodal_features" -> """
+      SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+             WHEN 1 THEN 0 ELSE 8 + doc_id % 16 END AS INT) AS width,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id // 32) % 32
+             WHEN 1 THEN 0 ELSE 8 + (doc_id // 16) % 16 END AS INT) AS height,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 1
+             WHEN 1 THEN 64 + doc_id % 192 ELSE 2 + doc_id % 6 END AS INT) AS n_frames
+      FROM documents
+      ORDER BY doc_id""",
+
+    // __SFDIR__ is substituted with the actual fixture dir by Verify when
+    // it dumps oracle_sql.json — DuckDB's parquet_metadata() needs a path
+    "q48_rowgroup_stats" -> """
+      SELECT DISTINCT row_group_id AS row_group,
+        row_group_num_rows AS row_count
+      FROM parquet_metadata('__SFDIR__/lineitem.parquet')
+      ORDER BY row_group""",
+
+    "q68_uuid_merge" -> """
+      WITH d AS (
+        SELECT md5(CAST(doc_id AS VARCHAR)) AS uuid, doc_id, lang
+        FROM documents)
+      SELECT uuid, doc_id,
+        CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang
+      FROM d
+      WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3)
+      ORDER BY uuid""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         count_if(o_totalprice > 300000) AS n_big,
-        bool_and(o_totalprice > 0) AS all_pos,
-        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        CAST(bool_and(o_totalprice > 0) AS INT) AS all_pos,
+        CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
         arg_max(o_orderkey,
           CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_key,
         arg_min(o_orderkey,

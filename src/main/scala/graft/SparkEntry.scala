@@ -550,9 +550,17 @@ object SparkEntry {
         TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
 
-  /** Multimodal plumbing: opaque binary media + batch feature extraction. */
+  /** Multimodal: REAL media payloads (PNG / WAV / PNG-frame container)
+    * decoded with JDK codecs in a batched narrow map. Output columns are
+    * exactly the ones the oracle can recompute from doc_id arithmetic —
+    * width/height/n_frames only match if the decoder actually decodes
+    * (the payload dimensions round-trip through encode → ImageIO/
+    * AudioSystem decode). n_bytes/entropy are spec-checked against ground
+    * truth in MultimodalSpec (not SQL-derivable for compressed formats). */
   def q47_multimodal_features(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, dir)))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
       .orderBy(col("media_id"))
 
   /** Conditional / null-handling functions over the outer-join result
@@ -662,7 +670,13 @@ object SparkEntry {
     * from the other six years). The 100 TB analog of row-group zone
     * maps one level up. */
   def q60_partition_prune(s: SparkSession, dir: String): DataFrame = {
-    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft-part-orders-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // cache key includes the fixture's size+mtime: a stale tmpdir from a
+    // previous fixture must never silently serve old data
+    val srcFile = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val token = s"${java.nio.file.Files.size(srcFile)}-" +
+      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft-part-orders-" +
+      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pdir))) {
       orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").mode("overwrite").parquet(pdir)
@@ -765,7 +779,9 @@ object SparkEntry {
   /** Conditional and arg-extremum aggregates: count_if, bool_and/bool_or,
     * max_by/min_by. The by-measure is made unique (price-cents scaled +
     * orderkey) so arg extremes are tie-free and deterministic in both
-    * engines. */
+    * engines. Boolean aggregates are cast to int on both sides: raw
+    * booleans serialize differently between Spark parquet and DuckDB in
+    * the driver's hash step (cf. q53). */
   def q67_conditional_agg(s: SparkSession, dir: String): DataFrame = {
     // round before the long cast: Spark's double→long cast truncates while
     // DuckDB's rounds, so an un-rounded 12344.9999 would diverge
@@ -775,11 +791,40 @@ object SparkEntry {
       .groupBy(col("o_orderstatus"))
       .agg(
         count_if(col("o_totalprice") > 300000).as("n_big"),
-        bool_and(col("o_totalprice") > 0).as("all_pos"),
-        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        bool_and(col("o_totalprice") > 0).cast("int").as("all_pos"),
+        bool_or(col("o_orderpriority") === "1-URGENT").cast("int").as("any_urgent"),
         max_by(col("o_orderkey"), measure).as("priciest_key"),
         min_by(col("o_orderkey"), measure).as("cheapest_key"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** End-to-end copy-on-write merge on a STRING (uuid) primary key — the
+    * reference's canonical use case (README.md:26-43 keys on a uuid with
+    * signed-lexicographic binary order, ParquetRewriter.java:35-37).
+    * Builds a uuid-keyed sorted copy of documents, applies an
+    * upsert+delete batch through [[graft.sources.MutableParquetTable]]
+    * (string-key footer routing + run-sliced CoW rewrite + manifest
+    * commit), and reads back the committed snapshot. The oracle recomputes
+    * the merged state relationally. */
+  def q68_uuid_merge(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(
+      md5(col("doc_id").cast("string")).as("uuid"),
+      col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q68").toString
+    val base = s"$work/base"
+    graft.sources.ParquetTable.writeSorted(docs, base, "uuid", 6)
+    val upserts = docs.where(col("doc_id") % 10 === 0)
+      .withColumn("lang", lit("xx"))
+      .withColumn("op", lit("upsert"))
+    val deletes = docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 3)
+      .withColumn("op", lit("delete"))
+    val t = graft.sources.MutableParquetTable(s, base, "uuid")
+    val res = t.merge(upserts.unionByName(deletes), snapshotDir = Some(s"$work/v1"))
+    require(graft.sources.MutableParquetTable.isCommitted(res.snapshotDir),
+      "merge snapshot missing its manifest commit marker")
+    s.read.parquet(res.snapshotDir)
+      .select(col("uuid"), col("doc_id"), col("lang"))
+      .orderBy(col("uuid"))
   }
 
   /** Native session_window operator (batch form; the streaming form is
@@ -900,6 +945,7 @@ object SparkEntry {
     "q65_json_map" -> (q65_json_map _),
     "q66_neardup_dedup" -> (q66_neardup_dedup _),
     "q67_conditional_agg" -> (q67_conditional_agg _),
+    "q68_uuid_merge" -> (q68_uuid_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -50,7 +50,10 @@ object VectorFunctions {
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0.0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
     })
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+    val sig = aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+    // length-mismatched vectors → NULL, matching the native kernel exactly
+    // (zip_with would otherwise null-pad and silently yield signature 0)
+    when(size(vec) === dim, sig).otherwise(lit(null).cast("long"))
   }
 
   /** Deterministic pseudo-random weight in [-0.5, 0.5). */

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +21,7 @@ final case class MediaFeatures(
     media_id: Long,
     kind: String,
     n_bytes: Long,
-    width: Int,            // STUB: deterministic fake, see decodeStub
+    width: Int,
     height: Int,
     n_frames: Int,
     byte_entropy: Double)
@@ -24,56 +29,166 @@ final case class MediaFeatures(
 /** Multimodal column plumbing: opaque `binary` payloads with typed
   * metadata, processed by batched executor-side extraction.
   *
-  * The decode step is STUBBED: this container has no image/audio codecs, so
-  * `decodeStub` derives deterministic fake dimensions from the payload
-  * bytes. Everything around it — the binary-column schema, the typed
-  * Dataset, the per-partition batched processing shape, the partitioning
-  * behavior — is real and is what matters at scale: decode cost dominates,
-  * so the operator must be a narrow per-partition map (no shuffle), which
-  * `mapPartitions` over a typed Dataset guarantees. On a cluster with
-  * codecs installed, replace `decodeStub` with the real library call; the
-  * Spark plan is unchanged.
+  * Decode is REAL, using only JDK codecs (no extra dependencies):
+  *  - image  → PNG, decoded with `javax.imageio.ImageIO`;
+  *  - audio  → WAV (RIFF, PCM16 mono 8 kHz), parsed with
+  *             `javax.sound.sampled.AudioSystem`;
+  *  - video  → a length-prefixed container of PNG frames ("GVID" header);
+  *             the walk decodes the first frame with ImageIO and counts
+  *             the rest from the container structure.
+  *
+  * The shape is what matters at scale: decode cost dominates, so the
+  * operator must be a narrow per-partition map (no shuffle), which
+  * `mapPartitions` over a typed Dataset guarantees; batches amortize codec
+  * setup without holding a whole partition in memory. Swapping in a
+  * heavier codec library changes `decode` only — the Spark plan is
+  * unchanged.
   */
 object Multimodal {
 
-  /** Manufacture a media table from the documents fixture: payload =
-    * UTF-8 bytes of the text, kind round-robins image/audio/video. */
+  // ---- deterministic media synthesis (the fixture side) ---------------
+
+  /** Deterministic dimensions/frame counts per doc_id — the ground truth a
+    * SQL oracle can recompute, so a correct decode is externally
+    * checkable: imageDims(id) must round-trip through PNG encode →
+    * ImageIO decode. */
+  def imageDims(id: Long): (Int, Int) =
+    ((16 + id % 32).toInt, (16 + (id / 32) % 32).toInt)
+  def audioSamples(id: Long): Int = (64 + id % 192).toInt
+  def videoDims(id: Long): (Int, Int) =
+    ((8 + id % 16).toInt, (8 + (id / 16) % 16).toInt)
+  def videoFrames(id: Long): Int = (2 + id % 6).toInt
+
+  private def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = seed * 6364136223846793005L + (y.toLong * w + x) * 1442695040888963407L
+        v ^= v >>> 33
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(nSamples: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(i * 0.1 + (seed % 97)) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val VideoMagic = Array[Byte]('G', 'V', 'I', 'D')
+
+  private def videoBytes(frames: Int, w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(VideoMagic)
+    writeInt(bos, frames)
+    var f = 0
+    while (f < frames) {
+      val png = pngBytes(w, h, seed + f)
+      writeInt(bos, png.length)
+      bos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  private def writeInt(bos: ByteArrayOutputStream, v: Int): Unit = {
+    bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
+    bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
+  }
+  private def readInt(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+      ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  /** Manufacture a media table from the documents fixture: kind
+    * round-robins image/audio/video; payloads are REAL encoded media
+    * (PNG / WAV / PNG-frame container) with dimensions derived
+    * deterministically from doc_id. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source").as("source"))
-      .as[MediaRecord]
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, source) =>
+        val payload = (id % 3) match {
+          case 0 =>
+            val (w, h) = imageDims(id); pngBytes(w, h, id)
+          case 1 => wavBytes(audioSamples(id), id)
+          case _ =>
+            val (w, h) = videoDims(id); videoBytes(videoFrames(id), w, h, id)
+        }
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRecord(id, kind, payload, source)
+      }
   }
 
-  /** STUB decode: deterministic pseudo-dimensions from payload bytes.
-    * A real implementation would decode the container format here. */
-  private[multimodal] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
+  // ---- real decode ----------------------------------------------------
+
+  /** Decode a payload into (width, height, n_frames) with JDK codecs. */
+  private[graft] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
     kind match {
-      case "image" => (64 + (h % 512).toInt.abs, 64 + ((h >> 9) % 512).toInt.abs, 1)
-      case "audio" => (0, 0, 1 + (n / 16))                  // "frames" = 16-byte windows
-      case _       => (64 + (h % 256).toInt.abs, 64 + ((h >> 8) % 256).toInt.abs, 1 + (n / 64))
+      case "image" =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        require(img != null, "payload is not a decodable image")
+        (img.getWidth, img.getHeight, 1)
+      case "audio" =>
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try (0, 0, in.getFrameLength.toInt) finally in.close()
+      case "video" =>
+        require(payload.length >= 8 &&
+          VideoMagic.indices.forall(i => payload(i) == VideoMagic(i)),
+          "payload is not a GVID container")
+        val declared = readInt(payload, 4)
+        var off = 8; var count = 0
+        var dims: (Int, Int) = (0, 0)
+        while (off < payload.length) {
+          val len = readInt(payload, off)
+          if (count == 0) { // decode the first frame for dimensions
+            val img = ImageIO.read(
+              new ByteArrayInputStream(payload, off + 4, len))
+            require(img != null, "frame 0 is not a decodable image")
+            dims = (img.getWidth, img.getHeight)
+          }
+          off += 4 + len
+          count += 1
+        }
+        require(count == declared, s"container declares $declared frames, found $count")
+        (dims._1, dims._2, count)
+      case other =>
+        throw new IllegalArgumentException(s"unknown media kind: $other")
     }
-  }
 
   /** Batched per-partition feature extraction — the decode/resize/
     * frame-sample slot. Batches of `batchSize` records are materialized at
-    * a time (mirroring arrow-batch processing) so a real decoder can
-    * amortize codec setup without holding a whole partition in memory. */
+    * a time (mirroring arrow-batch processing) so the decoder amortizes
+    * setup without holding a whole partition in memory. */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, frames) = decodeStub(m.kind, m.payload)
+          val (w, h, frames) = decode(m.kind, m.payload)
           MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
             w, h, frames, byteEntropy(m.payload))
         }
@@ -81,8 +196,8 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Shannon entropy of the byte histogram — a real (non-stub) feature. */
-  private def byteEntropy(payload: Array[Byte]): Double = {
+  /** Shannon entropy of the byte histogram. */
+  private[graft] def byteEntropy(payload: Array[Byte]): Double = {
     if (payload.isEmpty) return 0.0
     val counts = new Array[Long](256)
     payload.foreach(b => counts(b & 0xFF) += 1)
@@ -94,16 +209,21 @@ object Multimodal {
     math.rint(e * 1e6) / 1e6
   }
 
-  /** Deterministic frame sampling for "video" payloads: every `stride`-th
-    * 64-byte window, exploded to one row per sampled frame. */
+  /** Frame sampling for "video" payloads: every `stride`-th REAL container
+    * frame, exploded to one row per sampled frame (each `frame_bytes` is
+    * itself a decodable PNG). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val frames = m.payload.grouped(64).toArray
-      frames.indices.by(stride).map { i =>
-        (m.media_id, i, frames(i))
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = 8
+      while (off < m.payload.length) {
+        val len = readInt(m.payload, off)
+        frames += java.util.Arrays.copyOfRange(m.payload, off + 4, off + 4 + len)
+        off += 4 + len
       }
+      frames.indices.by(stride).map(i => (m.media_id, i, frames(i)))
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 }

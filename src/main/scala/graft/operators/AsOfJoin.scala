@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,99 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sweptRaw = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val swept = tolerance match {
+      case Some(t) => sweptRaw.withColumn("__m",
+        when(col("__m").isNotNull &&
+          col("__m").getField(rightTs) >= col("__t") - expr(s"interval $t"),
+          col("__m")))
+      case None => sweptRaw
+    }
+
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__m").getField(c).as(s"$matchPrefix$c"))
+    swept.select(outCols: _*)
+  }
+
+  /** Hot-key-safe backward as-of join: the two-pass bucketed variant of
+    * [[backward]] for low-cardinality / skewed keys, where the direct
+    * sweep's single shuffle on the join key would put one hot key's whole
+    * history in one task.
+    *
+    * Pass A (carry computation, aggregate-sized): per (key, time bucket),
+    * the latest right row in that bucket (`max_by` — a partial-aggregating
+    * one-shuffle reduction), then a running `last` over the per-key bucket
+    * SEQUENCE (one row per bucket, not per event) gives each bucket its
+    * carry-in: the latest right row from all earlier buckets.
+    *
+    * Pass B (sweep, bucketed): the [[backward]] union-sweep, but
+    * partitioned by (key, bucket) with the carry-in injected as a
+    * synthetic right row (its true timestamp is strictly below every
+    * in-bucket timestamp, so it sorts first) — left rows preceding any
+    * in-bucket right row match the carry. A hot key now spreads over its
+    * time buckets; rows per task are bounded by bucket width, not key
+    * frequency.
+    *
+    * Results are identical to [[backward]] (TemporalJoinSpec property
+    * test); `bucketSeconds` only trades carry-table size against per-task
+    * row count. */
+  def backwardBucketed(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       bucketSeconds: Long = 3600L,
+                       matchPrefix: String = "asof_",
+                       strict: Boolean = false,
+                       tolerance: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0)
+    val rightPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val lStructT = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
+    val rStructT = right.select(struct(rightPayloadCols.map(col): _*)).schema.head.dataType
+
+    val rSide = if (strict) 2 else 0
+    def bucketOf(ts: Column) = floor(ts.cast("double") / bucketSeconds).cast("long")
+    val l = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+      .withColumn("__b", bucketOf(col("__t")))
+    val r = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(rSide).as("__side"),
+      lit(null).cast(lStructT).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // pass A: latest right per (key, bucket); ties at equal ts are
+    // unordered between right rows, as in the direct sweep
+    val perBucket = r.groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__r"), col("__t")).as("__last_r"))
+    // bucket spine: every (key, bucket) either side touches, so carries
+    // reach left-only buckets too; the running last is over ONE ROW PER
+    // BUCKET — bounded by the key's time span / bucketSeconds, never by
+    // its event count
+    val spine = l.select(col("__k"), col("__b"))
+      .unionByName(perBucket.select(col("__k"), col("__b"))).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = spine.join(perBucket, Seq("__k", "__b"), "left")
+      .withColumn("__carry", last(col("__last_r"), ignoreNulls = true).over(wCarry))
+      .where(col("__carry").isNotNull)
+      .select(col("__k"), col("__b"), col("__carry"))
+
+    // pass B: the sweep, now keyed by (key, bucket); the carry's real ts
+    // is strictly below the bucket's start so it always sorts first
+    // (side -1 is belt-and-braces)
+    val carryRows = carries.select(col("__k"),
+      col("__carry").getField(rightTs).as("__t"),
+      lit(-1).as("__side"),
+      lit(null).cast(lStructT).as("__l"),
+      col("__carry").as("__r"),
+      col("__b"))
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweptRaw = l.unionByName(r).unionByName(carryRows)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
     val swept = tolerance match {

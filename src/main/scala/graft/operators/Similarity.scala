@@ -1,17 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Udx, VectorFunctions}
 import graft.functions.VectorFunctions._
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * score every corpus row, per-query top-k via window. Exact, one corpus
-  * scan, no shuffle of the corpus itself; this is the right plan up to any
-  * corpus size as long as the query set is broadcastable.
+  * score every corpus row, per-query top-k via a map-side bounded heap.
+  * Exact, one corpus scan, no shuffle of the corpus itself; this is the
+  * right plan up to any corpus size as long as the query set is
+  * broadcastable.
   *
   * Scale path: LSH-bucketed search — corpus pre-bucketed by a
   * random-hyperplane signature; a query probes only its own (multi-probe:
@@ -24,10 +25,33 @@ object Similarity {
   /** Cosine column: HOF formulation by default; the fused native Catalyst
     * expression ([[graft.plans.CosineSimilarity]]) when `native` — callers
     * must have registered it on the session first. */
-  private def cosineCol(a: org.apache.spark.sql.Column,
-                        b: org.apache.spark.sql.Column, native: Boolean) =
+  private def cosineCol(a: Column, b: Column, native: Boolean) =
     if (native) call_function(graft.plans.CosineSimilarity.name, a, b)
     else cosine(a, b)
+
+  /** Final ranking stage shared by every search variant: per-query top-k
+    * of the scored candidates via the bounded-heap Aggregator
+    * ([[Udx.TopKAggregator]]) instead of a `row_number` window.
+    *
+    * Why not a window: `Window.partitionBy(query_id)` shuffles EVERY scored
+    * candidate into at most |queries| tasks — with 5 queries over a 100×
+    * corpus that is 5 straggler tasks each holding a corpus-sized
+    * partition. The aggregator's partial (map-side) phase discards
+    * non-contenders before the exchange, so the shuffle carries ≤ k rows
+    * per (map task, query) and the final task per query reduces
+    * ≤ k·numPartitions pre-sorted candidates — bounded regardless of
+    * corpus size. Ordering (score desc, id asc) matches the window
+    * formulation exactly, so results are identical. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val top = Udx.topK(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(top(col("cosine"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Exact brute-force top-k: for each query row, the k nearest corpus
     * rows by cosine. `queries` must be small (it is broadcast). */
@@ -39,11 +63,7 @@ object Similarity {
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
         cosineCol(col("vec"), col("query_vec"), native).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** One-probe LSH top-k: both sides keyed by hyperplane signature; a query
@@ -52,7 +72,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, dim: Int, nBits: Int = 8,
               native: Boolean = false): DataFrame = {
-    def sig(v: org.apache.spark.sql.Column) =
+    def sig(v: Column) =
       if (native) call_function(graft.plans.HyperplaneSignature.name,
         v, lit(nBits), lit(dim))
       else hyperplaneSignature(v, nBits, dim)
@@ -64,45 +84,70 @@ object Similarity {
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
         cosineCol(col("vec"), col("query_vec"), native).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Map-side nearest-centroid assignment: a single codegen'd fold over the
+    * centroid literal array per row — the per-row argmin the IVF quantizer
+    * needs, with ZERO shuffle (the old formulation cross-joined the corpus
+    * with the centroids and ranked corpus×nCentroids rows through a
+    * per-id window — a shuffle of the whole corpus just to compute a
+    * broadcast-array argmin).
+    *
+    * Centroids are iterated in ascending cid order with a strict `<`, so
+    * equal-distance ties resolve to the smallest cid — identical to the
+    * old `orderBy(distance, cid)` rank-1 rule. Distances are compared
+    * squared (sqrt is monotone, ordering unchanged). */
+  private def nearestCentroidCol(vec: Column, cents: Seq[(Long, Seq[Float])]): Column = {
+    val arr = typedLit(cents)
+    val init = struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("cid"))
+    aggregate(arr, init, (acc, c) => {
+      val d2 = aggregate(
+        zip_with(c.getField("_2"), vec, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }),
+        lit(0.0), (a, v) => a + v)
+      when(d2 < acc.getField("d"),
+        struct(d2.as("d"), c.getField("_1").as("cid"))).otherwise(acc)
+    }).getField("cid")
   }
 
   /** IVF-style search: corpus assigned to the nearest of `nCentroids`
     * deterministic centroids (sampled corpus rows); a query probes the
     * `nProbe` nearest centroid cells. The coarse quantizer is built once
-    * (tiny, broadcast); per-query work is O(corpus * nProbe / nCentroids).
+    * (tiny — nCentroids rows collected to the driver, metadata-sized) and
+    * shipped to every task as a literal array; per-query work is
+    * O(corpus * nProbe / nCentroids).
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     // deterministic centroid sample: the nCentroids rows with lowest
-    // xxhash64(id) — stable across runs, no RNG
-    val cent = corpus
+    // xxhash64(id) — stable across runs, no RNG. Collected to the driver:
+    // this is the quantizer codebook (16-ish rows), not data.
+    val cents: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nCentroids)
       .select(col("cid"), col("cvec"))
-    val centB = broadcast(cent)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
 
-    // assign corpus rows to their single nearest centroid
+    // map-side assignment: scan → project, no exchange
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(centB)
-      .withColumn("d", l2Distance(col("vec"), col("cvec")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))))
-      .where(col("rnk") === 1)
-      .select(col("cid"), col("id"), col("vec"))
+      .withColumn("cid", nearestCentroidCol(col("vec"), cents))
 
-    // queries probe their nProbe nearest cells
+    // queries probe their nProbe nearest cells (query set is tiny; the
+    // explode over the ranked centroid list is broadcast-sized work)
+    val centDf = spark.createDataFrame(cents.map(c => (c._1, c._2))).toDF("cid", "cvec")
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .crossJoin(centB)
+      .crossJoin(broadcast(centDf))
       .withColumn("d", l2Distance(col("query_vec"), col("cvec")))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d"), col("cid"))))
       .where(col("rnk") <= nProbe)
       .select(col("cid"), col("query_id"), col("query_vec"))
 
@@ -110,10 +155,6 @@ object Similarity {
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
         cosine(col("vec"), col("query_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
   }
 }

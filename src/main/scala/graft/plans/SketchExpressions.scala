@@ -196,6 +196,8 @@ case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Lo
 
   override def dataType: DataType = LongType
   override def prettyName: String = HyperplaneSignature.name
+  // null for length-mismatched vectors (see nullSafeEval), not just null input
+  override def nullable: Boolean = true
 
   // flattened plane matrix, row-major [bit][component]
   @transient private lazy val planes: Array[Double] = {
@@ -212,15 +214,19 @@ case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Lo
     a
   }
 
+  // A vector whose length != dim yields NULL (not a truncated/padded
+  // signature): silent truncation here and null-poisoned zip_with in the
+  // HOF fallback would bucket the same malformed row differently, breaking
+  // the bit-parity contract (PlansSpec). Both paths now agree on null.
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    if (v.numElements() != dim) return null
     var sig = 0L
     var i = 0
     while (i < nBits) {
       var d = 0.0
       var j = 0
-      while (j < n) { d += planes(i * dim + j) * v.getFloat(j).toDouble; j += 1 }
+      while (j < dim) { d += planes(i * dim + j) * v.getFloat(j).toDouble; j += 1 }
       if (d >= 0.0) sig |= (1L << i)
       i += 1
     }
@@ -231,20 +237,23 @@ case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Lo
     // ship the plane matrix once per task via a codegen object reference
     val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
     nullSafeCodeGen(ctx, ev, arr => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
       val sig = ctx.freshName("sig")
       s"""
-        int $n = java.lang.Math.min($dim, $arr.numElements());
-        long $sig = 0L;
-        for (int $i = 0; $i < $nBits; $i++) {
-          double $d = 0.0;
-          for (int $j = 0; $j < $n; $j++) {
-            $d += $planesRef[$i * $dim + $j] * (double) $arr.getFloat($j);
+        if ($arr.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          long $sig = 0L;
+          for (int $i = 0; $i < $nBits; $i++) {
+            double $d = 0.0;
+            for (int $j = 0; $j < $dim; $j++) {
+              $d += $planesRef[$i * $dim + $j] * (double) $arr.getFloat($j);
+            }
+            if ($d >= 0.0) $sig |= (1L << $i);
           }
-          if ($d >= 0.0) $sig |= (1L << $i);
+          ${ev.value} = $sig;
         }
-        ${ev.value} = $sig;
       """
     })
   }

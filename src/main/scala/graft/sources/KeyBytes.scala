@@ -1,0 +1,52 @@
+package graft.sources
+
+/** Order-preserving byte encoding for zone-map keys, so one routing kernel
+  * serves every supported key type:
+  *
+  *  - numeric keys → 8-byte big-endian two's-complement with the sign bit
+  *    flipped (unsigned byte order == signed numeric order);
+  *  - string keys → raw UTF-8 bytes (unsigned byte order == Spark's
+  *    `UTF8String` sort order == parquet-mr's UNSIGNED binary stats order,
+  *    and == the reference's signed-lexicographic binary keys for the
+  *    7-bit-clean keys it documents, e.g. uuids —
+  *    reference README.md:26-43, ParquetRewriter.java:35-37).
+  *
+  * A table's key column has ONE type, so encodings are never compared
+  * across types.
+  */
+private[graft] object KeyBytes {
+
+  def fromLong(k: Long): Array[Byte] = {
+    val x = k ^ Long.MinValue // flip sign bit: preserves order under unsigned compare
+    val a = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { a(i) = ((x >>> (56 - 8 * i)) & 0xffL).toByte; i += 1 }
+    a
+  }
+
+  def fromString(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Encode any supported key value (runtime-typed, e.g. from a Row). */
+  def fromAny(v: Any): Array[Byte] = v match {
+    case n: java.lang.Number => fromLong(n.longValue)
+    case s: String => fromString(s)
+    case other => throw new IllegalArgumentException(
+      s"unsupported merge-key type ${other.getClass.getName} — numeric or string required")
+  }
+
+  /** Unsigned lexicographic comparison. */
+  def compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  implicit val ordering: Ordering[Array[Byte]] =
+    (x: Array[Byte], y: Array[Byte]) => compare(x, y)
+}

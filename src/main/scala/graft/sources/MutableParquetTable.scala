@@ -2,8 +2,9 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.operators.MergeOps
 
@@ -25,11 +26,29 @@ final case class MergeResult(
   * the *file* — clean files are passed through as metadata-only links and
   * never opened, dirty files are rewritten by a distributed merge job.
   *
+  * Keys may be any numeric type or strings — the reference's canonical key
+  * is a uuid `Binary` under signed-lexicographic order (README.md:26-43,
+  * ParquetRewriter.java:35-37); here both key families route through one
+  * order-preserving byte encoding ([[KeyBytes]]) that matches Spark's sort
+  * order and parquet's UNSIGNED string stats order.
+  *
   * Layout invariant (README.md:21): files hold disjoint key ranges, each
-  * internally sorted — produced by [[ParquetTable.writeSorted]]. Dirty-file
-  * detection = footer key ranges (the reference's loadStats zone map,
-  * ParquetRewriter.java:239-251) range-joined against the update keys
-  * (the seekToKey routing of ParquetRewriter.java:263-283, made set-wise).
+  * internally sorted — produced by [[ParquetTable.writeSorted]] and
+  * PRESERVED by `merge`: rewritten data is sliced at the neighboring clean
+  * files' range boundaries (per dirty run), so no output file ever spans a
+  * passthrough file's range and chained merges keep routing correct.
+  * Dirty-file detection = footer key ranges (the reference's loadStats zone
+  * map, ParquetRewriter.java:239-251) binary-searched against the update
+  * keys (the seekToKey routing of ParquetRewriter.java:263-283, made
+  * set-wise).
+  *
+  * Atomicity: a snapshot is committed by `manifest.json` (file inventory +
+  * key ranges + row counts), written LAST via temp-file + atomic rename.
+  * A crash mid-merge leaves a snapshot directory without a manifest —
+  * detectably partial ([[MutableParquetTable.isCommitted]]) — while the
+  * prior snapshot is untouched. The single-file reference gets the same
+  * property from one `writer.end` (ParquetRewriter.java:129-146); at
+  * 100 TB, snapshot validity must be decidable from metadata alone.
   *
   * Scale notes (100 TB): footer stats are read on executors; the per-file
   * ranges involved in routing are tiny (one row per file) and broadcast;
@@ -39,55 +58,66 @@ final case class MergeResult(
   */
 final class MutableParquetTable(spark: SparkSession, val dir: String, val key: String) {
 
+  import MutableParquetTable._
+
   def read(): DataFrame = spark.read.parquet(dir)
 
   /** Per-file [minKey, maxKey] from footers only. */
   def fileRanges(): DataFrame = ParquetStats.fileKeyRanges(spark, dir, key)
 
-  /** Route update keys to files: a key is owned by the file whose range
-    * contains it; a key outside all ranges routes to the nearest file below
+  /** Route update keys to files: a key is owned by the last file (in key
+    * order) whose minKey <= key, or the first file if below all ranges
     * (the reference's "insert into current block" rule,
-    * ParquetRewriter.java:263-283) or the first file if below all ranges.
-    * Returns (file -> dirty?) and the routed updates.
-    */
-  def dirtyFiles(updateKeys: DataFrame): Seq[String] = {
-    val ranges = ParquetStats.fileKeyRangesFast(spark, dir, key)
-      .sortBy(_._2).toArray
+    * ParquetRewriter.java:263-283). Returns the owning files. */
+  def dirtyFiles(updateKeys: DataFrame): Seq[String] =
+    routedFiles(sortedRanges(), updateKeys)
+
+  private def sortedRanges(): Seq[ParquetStats.FileKeyRange] =
+    ParquetStats.fileKeyRangesTyped(spark, dir, key)
+      .sortBy(_.minBytes)(KeyBytes.ordering)
+
+  private def routedFiles(ranges: Seq[ParquetStats.FileKeyRange],
+                          updateKeys: DataFrame): Seq[String] = {
     if (ranges.isEmpty) return Seq.empty
-    val bcast = spark.sparkContext.broadcast(ranges)
-    val keyCol = key
+    val mins: Array[(String, Array[Byte])] =
+      ranges.map(r => (r.file, r.minBytes)).toArray
+    val bcast = spark.sparkContext.broadcast(mins)
+    val keyName = updateKeys.columns.head
     import spark.implicits._
-    val routed = updateKeys.select(col(keyCol).cast("long")).as[Long]
-      .mapPartitions { it =>
-        val rs = bcast.value
-        it.map { k =>
-          // binary search: last file with minKey <= k, else first file
-          var lo = 0; var hi = rs.length - 1; var ans = 0
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (rs(mid)._2 <= k) { ans = mid; lo = mid + 1 } else hi = mid - 1
-          }
-          rs(ans)._1
-        }
-      }.distinct().collect()
-    routed.toSeq.sorted
+    val routed: Dataset[String] =
+      updateKeys.schema.head.dataType match {
+        case StringType =>
+          updateKeys.select(col(keyName).cast("string")).as[String]
+            .mapPartitions { it =>
+              val rs = bcast.value
+              it.map(k => route(KeyBytes.fromString(k), rs))
+            }
+        case _ =>
+          updateKeys.select(col(keyName).cast("long")).as[Long]
+            .mapPartitions { it =>
+              val rs = bcast.value
+              it.map(k => route(KeyBytes.fromLong(k), rs))
+            }
+      }
+    routed.distinct().collect().toSeq.sorted
   }
 
   /** Copy-on-write merge. `batch` = base schema + op column.
     * Writes a new snapshot directory: clean files hard-linked (fallback:
     * copied) without ever being opened; dirty files re-merged and rewritten
-    * sorted. Returns the manifest.
-    */
+    * sorted, sliced at clean-file range boundaries; manifest written last
+    * as the commit marker. Returns the merge summary. */
   def merge(batch: DataFrame, opCol: String = "op",
             snapshotDir: Option[String] = None): MergeResult = {
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
 
-    // normalize to scheme-less local paths: footer stats yield `file:/…`
-    // URIs, the local listing yields plain paths
-    def localPath(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val dirty = dirtyFiles(batch.select(key)).map(localPath)
+    val ranges = sortedRanges()
+    // dirty/clean split by FILE NAME: footer stats yield `file:/…` URIs
+    // while the local listing yields the caller's path form (possibly
+    // relative) — comparing full paths would silently classify every file
+    // clean AND re-merge the dirty ones (duplicate rows)
+    val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
     val allFiles = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(dir))
@@ -96,7 +126,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         .map(_.toString).toList.sorted
       finally s.close()
     }
-    val clean = allFiles.filterNot(dirty.contains)
+    val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
 
     // metadata-only passthrough of clean files (S6 analog)
     clean.foreach { f =>
@@ -115,24 +145,117 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           batch.drop(opCol).schema)
-      // persist across the two passes repartitionByRange makes (range
-      // sampling + the shuffle itself) so the merge join runs once
+      // persist: each dirty run below re-scans the merged result with a
+      // different range slice; without the persist every slice would re-run
+      // the merge join
       val merged = MergeOps.applyMutations(base, batch, key, opCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = math.max(1, dirty.size)
-        merged
-          .repartitionByRange(n, col(key))
-          .sortWithinPartitions(col(key))
-          .write.mode("append").parquet(outDir)
-        inserted = n
+        if (ranges.isEmpty) {
+          merged.repartitionByRange(1, col(key)).sortWithinPartitions(col(key))
+            .write.mode("append").parquet(outDir)
+          inserted = 1
+        } else {
+          // Maximal runs of CONSECUTIVE dirty files in global key order.
+          // Each run is rewritten separately, sliced to
+          // [run.head.min, nextFile.min): when dirty files are
+          // non-contiguous (files 1 and 3 dirty, 2 clean), one merged
+          // write could range-sample boundaries spanning clean file 2's
+          // range — a later merge would then route keys inside that
+          // spanning file to file 2, leaving stale rows behind. Slicing at
+          // the clean boundaries preserves the disjoint-range invariant
+          // across chained merges.
+          val dirtyIdx = ranges.zipWithIndex.collect {
+            case (r, i) if dirtyNames.contains(fileName(r.file)) => i
+          }
+          val runs = dirtyIdx.foldLeft(Vector.empty[Vector[Int]]) {
+            case (acc, i) if acc.nonEmpty && acc.last.last == i - 1 =>
+              acc.init :+ (acc.last :+ i)
+            case (acc, i) => acc :+ Vector(i)
+          }
+          runs.foreach { run =>
+            val lower = if (run.head == 0) None else Some(ranges(run.head).min)
+            val upper = if (run.last == ranges.size - 1) None
+                        else Some(ranges(run.last + 1).min)
+            val slice = (lower, upper) match {
+              case (Some(lo), Some(up)) =>
+                merged.where(col(key) >= lit(lo) && col(key) < lit(up))
+              case (Some(lo), None) => merged.where(col(key) >= lit(lo))
+              case (None, Some(up)) => merged.where(col(key) < lit(up))
+              case (None, None)     => merged
+            }
+            slice
+              .repartitionByRange(run.size, col(key))
+              .sortWithinPartitions(col(key))
+              .write.mode("append").parquet(outDir)
+            inserted += run.size
+          }
+        }
       } finally merged.unpersist(false)
     }
+
+    writeManifest(outDir)
     MergeResult(outDir, dirty, clean, inserted)
+  }
+
+  /** Write the snapshot's commit marker: file inventory with key ranges
+    * and row counts, from footers only. Temp-file + atomic rename, LAST —
+    * presence of `manifest.json` IS the commit. */
+  private def writeManifest(outDir: String): Unit = {
+    val ranges = ParquetStats.fileKeyRangesTyped(spark, outDir, key)
+      .sortBy(_.minBytes)(KeyBytes.ordering)
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val files = ranges.map { r =>
+      s"""{"file":${js(fileName(r.file))},"minKey":${js(r.min.toString)},""" +
+        s""""maxKey":${js(r.max.toString)},"rows":${r.rowCount}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"key":${js(key)},"fileCount":${ranges.size},""" +
+        s""""totalRows":${ranges.map(_.rowCount).sum},"files":$files}"""
+    val tmp = Paths.get(outDir, ManifestName + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(outDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }
 
 object MutableParquetTable {
+  // leading underscore: Spark/Hadoop file indexes treat _-prefixed files as
+  // hidden metadata (like _SUCCESS), so the snapshot stays directly readable
+  // via spark.read.parquet(dir)
+  val ManifestName = "_manifest.json"
+
   def apply(spark: SparkSession, dir: String, key: String): MutableParquetTable =
     new MutableParquetTable(spark, dir, key)
+
+  /** A snapshot directory is a committed, complete snapshot iff its
+    * manifest exists — the mid-merge-crash detector. */
+  def isCommitted(snapshotDir: String): Boolean =
+    Files.exists(Paths.get(snapshotDir, ManifestName))
+
+  /** Raw manifest JSON, if committed. */
+  def readManifest(snapshotDir: String): Option[String] =
+    if (isCommitted(snapshotDir))
+      Some(Files.readString(Paths.get(snapshotDir, ManifestName)))
+    else None
+
+  private def fileName(p: String): String =
+    new org.apache.hadoop.fs.Path(p).getName
+
+  /** Binary search over the key-ordered file mins: last file whose
+    * min <= key, else the first file. */
+  private def route(kb: Array[Byte], rs: Array[(String, Array[Byte])]): String = {
+    var lo = 0; var hi = rs.length - 1; var ans = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (KeyBytes.compare(rs(mid)._2, kb) <= 0) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    rs(ans)._1
+  }
 }

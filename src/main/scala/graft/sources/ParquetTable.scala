@@ -193,33 +193,78 @@ object ParquetStats {
     }
   }
 
-  /** File-granularity key ranges: min/max of `keyCol` per file (numeric
-    * keys). This is the pruning unit for copy-on-write merges. */
+  /** File-granularity key ranges: min/max of `keyCol` per file. `minKey`/
+    * `maxKey` are the numeric bounds (null for string keys); `minKeyStr`/
+    * `maxKeyStr` the string bounds (the key rendered as text for numerics).
+    * This is the pruning unit for copy-on-write merges. */
   def fileKeyRanges(spark: SparkSession, path: String, keyCol: String): DataFrame =
     keyStats(spark, path, keyCol)
       .groupBy(col("file"))
       .agg(
         min(col("minKeyLong")).as("minKey"),
         max(col("maxKeyLong")).as("maxKey"),
-        sum(col("rowCount")).as("rowCount"))
+        sum(col("rowCount")).as("rowCount"),
+        min(col("minKey")).as("minKeyStr"),
+        max(col("maxKey")).as("maxKeyStr"))
 
-  /** Driver-side key ranges for small tables: zero Spark jobs, a few ms —
-    * keeps no-op and small merges metadata-only end to end. Falls back to
-    * the distributed path above the threshold. */
-  def fileKeyRangesFast(spark: SparkSession, path: String,
-                        keyCol: String): Seq[(String, Long, Long)] = {
+  /** A file's zone-map entry with the typed bounds (`Long` for numeric
+    * keys, `String` for string keys — usable directly in Column filters)
+    * plus their order-preserving byte encodings ([[KeyBytes]]) for the
+    * routing binary search. */
+  final case class FileKeyRange(file: String, min: Any, max: Any,
+                                minBytes: Array[Byte], maxBytes: Array[Byte],
+                                rowCount: Long)
+
+  /** Key ranges for any supported key type, driver-side for small tables
+    * (zero Spark jobs, a few ms — keeps no-op and small merges
+    * metadata-only end to end), distributed footer reads above the
+    * threshold. Files with no key stats (all-null key) are omitted — they
+    * can never be routed to. */
+  def fileKeyRangesTyped(spark: SparkSession, path: String,
+                         keyCol: String): Seq[FileKeyRange] = {
     val files = listFiles(spark, path)
+    def ofTyped(f: String, minL: Option[Long], maxL: Option[Long],
+                minS: Option[String], maxS: Option[String],
+                rows: Long): Option[FileKeyRange] =
+      (minL, maxL) match {
+        case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
+          KeyBytes.fromLong(lo), KeyBytes.fromLong(hi), rows))
+        case _ => (minS, maxS) match {
+          case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
+            KeyBytes.fromString(lo), KeyBytes.fromString(hi), rows))
+          case _ => None
+        }
+      }
     if (files.size <= driverReadThreshold) {
       val hconf = spark.sparkContext.hadoopConfiguration
+      def byteMin(xs: Seq[String]) =
+        xs.reduce((a, b) => if (KeyBytes.compare(
+          KeyBytes.fromString(a), KeyBytes.fromString(b)) <= 0) a else b)
+      def byteMax(xs: Seq[String]) =
+        xs.reduce((a, b) => if (KeyBytes.compare(
+          KeyBytes.fromString(a), KeyBytes.fromString(b)) >= 0) a else b)
       files.flatMap { f =>
         val rgs = footerRows(f, keyCol, hconf)
-        val mins = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
-        val maxs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
-        if (mins.isEmpty) None else Some((f, mins.min, maxs.max))
+        val minLs = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
+        val maxLs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
+        val minSs = rgs.flatMap(r => Option(r.getString(5)))
+        val maxSs = rgs.flatMap(r => Option(r.getString(6)))
+        ofTyped(f,
+          minLs.minOption, maxLs.maxOption,
+          if (minSs.isEmpty) None else Some(byteMin(minSs)),
+          if (maxSs.isEmpty) None else Some(byteMax(maxSs)),
+          rgs.map(_.getLong(2)).sum)
       }
     } else {
-      fileKeyRanges(spark, path, keyCol).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // Spark's string min/max use UTF8String (byte) ordering — consistent
+      // with the driver-side path and with parquet's UNSIGNED stats order
+      fileKeyRanges(spark, path, keyCol).collect().toSeq.flatMap { r =>
+        ofTyped(r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          Option(r.getString(4)), Option(r.getString(5)),
+          r.getLong(3))
+      }
     }
   }
 }

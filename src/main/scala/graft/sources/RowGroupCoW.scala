@@ -56,20 +56,28 @@ object RowGroupCoW {
                   opCol: String = "op"): RowGroupRewrite = {
     val conf = spark.sparkContext.hadoopConfiguration
     val inFile = HadoopInputFile.fromPath(new Path(srcFile), conf)
+    // per-group min key, both typed (for Column range filters) and as the
+    // order-preserving byte encoding (for routing) — numeric AND string/
+    // binary keys supported, matching the reference's signed-lexicographic
+    // binary keys (ParquetRewriter.java:35-37)
     val (schema, blocks, mins) = {
       val r = ParquetFileReader.open(inFile)
       try {
         val bs = r.getFooter.getBlocks.asScala.toVector
-        val ms = bs.map { b =>
+        val ms: Vector[(Any, Array[Byte])] = bs.map { b =>
           val cm = b.getColumns.asScala.find(_.getPath.toDotString == keyCol)
             .getOrElse(throw new IllegalArgumentException(
               s"key column $keyCol not found in $srcFile"))
           val st = cm.getStatistics
           require(st != null && st.hasNonNullValue, s"no key stats in $srcFile")
           st.genericGetMin match {
-            case n: java.lang.Number => n.longValue
+            case n: java.lang.Number =>
+              (java.lang.Long.valueOf(n.longValue), KeyBytes.fromLong(n.longValue))
+            case bin: org.apache.parquet.io.api.Binary =>
+              val s = bin.toStringUsingUTF8
+              (s, KeyBytes.fromString(s))
             case other => throw new IllegalArgumentException(
-              s"numeric key required, got ${other.getClass}")
+              s"numeric or string key required, got ${other.getClass}")
           }
         }
         (r.getFooter.getFileMetaData.getSchema, bs, ms)
@@ -77,13 +85,14 @@ object RowGroupCoW {
     }
 
     // classify: route each batch key to the last group with min <= key
-    val keys = batch.select(col(keyCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val keys = batch.select(col(keyCol)).distinct()
+      .collect().map(r => KeyBytes.fromAny(r.get(0)))
     val dirtyIdx = keys.map { k =>
       var lo = 0; var hi = blocks.size - 1; var ans = 0
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        if (mins(mid) <= k) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        if (KeyBytes.compare(mins(mid)._2, k) <= 0) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
       }
       ans
     }.toSet
@@ -99,11 +108,29 @@ object RowGroupCoW {
     }
 
     val tmp = Files.createTempDirectory("graft-rgcow").toString
+
+    // Align merged-run nullability with the source's parquet repetitions:
+    // the splice below is a RAW byte copy under the source schema, and a
+    // `required` column encodes no definition levels while an `optional`
+    // one does — Spark's join/union pipeline reports every column nullable
+    // and would write `optional` chunks that the `required` schema then
+    // misdecodes (values silently scrambled). Only needed when the source
+    // has required columns; the dirty slice is small by design, so the
+    // row-level rebuild is cheap.
+    val srcRequired: Set[String] = schema.getFields.asScala
+      .filter(_.getRepetition == org.apache.parquet.schema.Type.Repetition.REQUIRED)
+      .map(_.getName).toSet
+    def alignNullability(df: DataFrame): DataFrame =
+      if (srcRequired.isEmpty) df
+      else spark.createDataFrame(df.rdd,
+        org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+          if (srcRequired.contains(f.name)) f.copy(nullable = false) else f)))
+
     // pre-merge every dirty run with its owned batch slice (Spark jobs)
     val mergedRunFiles: Map[Int, String] = runs.zipWithIndex.collect {
       case ((true, idxs), runNo) =>
-        val lower = if (idxs.head == 0) None else Some(mins(idxs.head))
-        val upper = if (idxs.last == blocks.size - 1) None else Some(mins(idxs.last + 1))
+        val lower = if (idxs.head == 0) None else Some(mins(idxs.head)._1)
+        val upper = if (idxs.last == blocks.size - 1) None else Some(mins(idxs.last + 1)._1)
         def slice(df: DataFrame) = (lower, upper) match {
           case (Some(lo), Some(up)) => df.where(col(keyCol) >= lo && col(keyCol) < up)
           case (Some(lo), None)     => df.where(col(keyCol) >= lo)
@@ -115,7 +142,7 @@ object RowGroupCoW {
         val base = slice(spark.read.parquet(srcFile))
         val merged = MergeOps.applyMutations(base, slice(batch), keyCol, opCol)
         val dir = s"$tmp/run-$runNo"
-        merged.repartition(1).sortWithinPartitions(col(keyCol))
+        alignNullability(merged).repartition(1).sortWithinPartitions(col(keyCol))
           .write.parquet(dir)
         val part = Files.list(Paths.get(dir)).iterator().asScala
           .map(_.toString).filter(_.endsWith(".parquet")).toSeq
@@ -136,8 +163,16 @@ object RowGroupCoW {
           val bl: java.util.List[BlockMetaData] = idxs.map(blocks(_)).asJava
           writer.appendRowGroups(srcStream, bl, false)
         case ((true, _), runNo) =>
-          writer.appendFile(HadoopInputFile.fromPath(
-            new Path(mergedRunFiles(runNo)), conf))
+          val mf = HadoopInputFile.fromPath(new Path(mergedRunFiles(runNo)), conf)
+          // fail-fast: appendFile is a raw byte copy — a schema drift here
+          // (e.g. repetition) would scramble values silently, never error
+          val ms = {
+            val r = ParquetFileReader.open(mf)
+            try r.getFooter.getFileMetaData.getSchema finally r.close()
+          }
+          require(ms == schema,
+            s"merged run schema differs from source:\n$ms\nvs\n$schema")
+          writer.appendFile(mf)
       }
     } finally srcStream.close()
     writer.end(java.util.Collections.emptyMap[String, String]())

@@ -64,23 +64,45 @@ object Streams {
 
   /** Custom keyed state: running per-user event count + running value sum,
     * emitted on every update (mapGroupsWithState, update mode). The §2b
-    * "custom state" slot — bounded state via processing-time timeout. */
+    * "custom state" slot.
+    *
+    * State bounding: pass `idleTimeout = Some(...)` and a user silent for
+    * that long has its totals evicted (and emitted one final time), so a
+    * long-running stream's state tracks the active-user set, not the
+    * all-time-user set. The default is NO timeout — unbounded state —
+    * because a ProcessingTimeTimeout makes the micro-batch engine schedule
+    * batches continuously (`shouldRunAnotherBatch` is always true once
+    * processing time drives timeouts), which also means
+    * `processAllAvailable()` never sees the stream idle; callers that use
+    * the timeout must drive the query by trigger, not by drain-and-wait. */
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n: Long, total: Double)
 
-  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+  def runningTotals(events: Dataset[UserEvent],
+                    idleTimeout: Option[String] = None): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserTotals, UserTotals](timeoutConf) {
         (user: Long, it: Iterator[UserEvent], state: GroupState[UserTotals]) =>
-          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
-          var n = prev.n
-          var tot = prev.total
-          it.foreach { e => n += 1; tot += e.value }
-          val next = UserTotals(user, n, math.rint(tot * 100) / 100)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // idle eviction: emit the final totals, drop the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+            var n = prev.n
+            var tot = prev.total
+            it.foreach { e => n += 1; tot += e.value }
+            val next = UserTotals(user, n, math.rint(tot * 100) / 100)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 }

@@ -94,6 +94,117 @@ class CowMergeSpec extends SparkSpec {
     assert(got.count() === c.count() - 2 + 1)
   }
 
+  test("string (uuid) merge keys route and rewrite correctly end to end") {
+    // the reference's canonical use case: uuid primary key under
+    // lexicographic order (README.md:26-43, ParquetRewriter.java:35-37)
+    val dir = freshDir()
+    val c = Tables.customer(spark, sf())
+      .select(md5(col("c_custkey").cast("string")).as("uuid"),
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+    ParquetTable.writeSorted(c, dir, "uuid", 5)
+    val nFiles = listParquet(dir).size
+    assert(nFiles >= 2)
+
+    // mutate 3 uuids from the lowest uuid range only → exactly 1 dirty file
+    val lowKeys = c.orderBy(col("uuid")).limit(3)
+    val batch = lowKeys.withColumn("c_acctbal", lit(9.99))
+      .withColumn("op", lit("upsert"))
+    val t = MutableParquetTable(spark, dir, "uuid")
+    val res = t.merge(batch)
+    assert(res.rewrittenFiles.size === 1, s"expected 1 dirty file, got ${res.rewrittenFiles}")
+    assert(res.passthroughFiles.size === nFiles - 1)
+
+    val expect = MergeOps.applyMutations(c, batch, "uuid")
+      .orderBy(col("uuid")).collect()
+    val got = spark.read.parquet(res.snapshotDir)
+      .orderBy(col("uuid")).collect()
+    assert(got.map(_.toString).toSeq === expect.map(_.toString).toSeq)
+
+    // snapshot files still hold disjoint string ranges
+    val ranges = ParquetStats.fileKeyRangesTyped(spark, res.snapshotDir, "uuid")
+      .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(graft.sources.KeyBytes.compare(a.maxBytes, b.minBytes) < 0,
+          s"string range overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("chained merges with non-adjacent dirty files keep ranges disjoint") {
+    val dir = freshDir(); writeBase(dir)
+    val c = Tables.customer(spark, sf())
+    val t = MutableParquetTable(spark, dir, "c_custkey")
+    val ranges0 = ParquetStats.fileKeyRangesTyped(spark, dir, "c_custkey")
+      .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    assert(ranges0.size === 5)
+
+    // merge 1: dirty files 0 and 2 (non-contiguous), clean file 1 between
+    val k0 = ranges0(0).min.asInstanceOf[Long] // a key in file 0's range
+    val k2 = ranges0(2).min.asInstanceOf[Long] // a key in file 2's range
+    val s = spark; import s.implicits._
+    val batch1 = c.where(col("c_custkey").isin(k0, k2))
+      .withColumn("c_acctbal", lit(111.11)).withColumn("op", lit("upsert"))
+    val v1 = t.merge(batch1)
+    assert(v1.rewrittenFiles.size === 2)
+    assert(v1.passthroughFiles.size === 3)
+
+    // invariant after merge 1: no output file spans a clean file's range
+    val ranges1 = ParquetStats.fileKeyRangesTyped(spark, v1.snapshotDir, "c_custkey")
+      .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    ranges1.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(graft.sources.KeyBytes.compare(a.maxBytes, b.minBytes) < 0,
+          s"range overlap after non-adjacent dirty merge: $a vs $b")
+      case _ =>
+    }
+
+    // merge 2 (chained, on the new snapshot): touch a key owned by the
+    // previously-CLEAN middle file — routing must still find exactly it
+    val t2 = MutableParquetTable(spark, v1.snapshotDir, "c_custkey")
+    val k1 = ranges0(1).min.asInstanceOf[Long]
+    val batch2 = c.where(col("c_custkey") === k1)
+      .withColumn("c_acctbal", lit(222.22)).withColumn("op", lit("upsert"))
+    val v2 = t2.merge(batch2)
+    assert(v2.rewrittenFiles.size === 1,
+      s"stale-range routing: ${v2.rewrittenFiles}")
+
+    // end state == applying both batches relationally
+    val expect = MergeOps.applyMutations(
+      MergeOps.applyMutations(c, batch1, "c_custkey"), batch2, "c_custkey")
+      .orderBy(col("c_custkey")).collect()
+    val got = spark.read.parquet(v2.snapshotDir)
+      .orderBy(col("c_custkey")).collect()
+    assert(got.map(_.toString).toSeq === expect.map(_.toString).toSeq)
+  }
+
+  test("manifest commits a snapshot; a crashed merge is detectably partial") {
+    val dir = freshDir(); writeBase(dir)
+    val c = Tables.customer(spark, sf())
+    val t = MutableParquetTable(spark, dir, "c_custkey")
+    val batch = c.orderBy(col("c_custkey")).limit(2)
+      .withColumn("c_acctbal", lit(5.0)).withColumn("op", lit("upsert"))
+    val res = t.merge(batch)
+
+    // committed: manifest present, inventory consistent with the directory
+    assert(MutableParquetTable.isCommitted(res.snapshotDir))
+    val manifest = MutableParquetTable.readManifest(res.snapshotDir).get
+    assert(manifest.contains("\"key\":\"c_custkey\""))
+    val totalRows = "\"totalRows\":(\\d+)".r
+      .findFirstMatchIn(manifest).get.group(1).toLong
+    assert(totalRows === c.count())
+
+    // simulated crash: snapshot dir with data files but no manifest —
+    // must read as partial, while the committed snapshot stays readable
+    val crashed = freshDir()
+    listParquet(res.snapshotDir).take(1).foreach { p =>
+      Files.copy(p, Paths.get(crashed, p.getFileName.toString))
+    }
+    assert(!MutableParquetTable.isCommitted(crashed))
+    assert(MutableParquetTable.readManifest(crashed).isEmpty)
+    assert(spark.read.parquet(res.snapshotDir).count() === c.count())
+  }
+
   test("row-group layout controls are honored (S15/S18-S21)") {
     val dir = freshDir()
     val li = Tables.lineitem(spark, sf())
@@ -104,6 +215,39 @@ class CowMergeSpec extends SparkSpec {
     assert(stats.agg(sum(col("rowCount"))).head().getLong(0) === li.count())
     // maxRecordsPerFile forces multiple files; small block size → >1 row group
     assert(stats.select(col("file")).distinct().count() >= 3)
+  }
+
+  test("wide types (decimal/binary/float/date/ts/array/struct) round-trip CoW merge") {
+    // the reference's multi-type coverage (ParquetRewriterTests.java:358-369:
+    // int32/int64/boolean/float/double/fixed_len_byte_array/int96), as the
+    // Spark-side analog: every column family through MergeOps + the CoW path
+    def gen(pred: String, mutated: String): org.apache.spark.sql.DataFrame =
+      spark.sql(s"""
+        SELECT id,
+          CASE WHEN $mutated THEN CAST(id * 2 AS DECIMAL(12,3))
+               ELSE CAST(id * 1.5 AS DECIMAL(12,3)) END AS dec,
+          CAST(concat('pay', id) AS BINARY) AS bin,
+          id % 2 = 0 AS flag,
+          CAST(CAST(id AS FLOAT) / 3 AS FLOAT) AS f,
+          CAST(id AS DOUBLE) * 0.1 AS d,
+          DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) AS dt,
+          TIMESTAMP'2020-01-01 00:00:00' + make_dt_interval(0, 0, 0, id) AS ts,
+          array(id, id + 1) AS arr,
+          named_struct('a', id, 'b', concat('s', id)) AS st
+        FROM range(0, 100) WHERE $pred""")
+    val dir = freshDir()
+    ParquetTable.writeSorted(gen("true", "false"), dir, "id", 4)
+    val base = spark.read.parquet(dir)
+    val batch = gen("id < 10", "true").withColumn("op", lit("upsert"))
+      .unionByName(gen("id >= 90", "false").withColumn("op", lit("delete")))
+    val res = MutableParquetTable(spark, dir, "id").merge(batch)
+    assert(res.rewrittenFiles.size === 2) // low file (upserts) + high file (deletes)
+    val got = spark.read.parquet(res.snapshotDir)
+    // independently generated expected state (not via MergeOps)
+    val expect = gen("id < 90", "id < 10")
+    assert(got.count() === 90)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.schema === base.schema)
   }
 
   test("inferRowGroupBytes returns the source average (S18)") {

@@ -63,6 +63,38 @@ class RowGroupCoWSpec extends SparkSpec {
       spark.read.parquet(src).count())
   }
 
+  test("string (uuid) keys: binary-stats routing, sorted string output") {
+    val work = Files.createTempDirectory("graft-rgcow-s").toString
+    val dir = s"$work/src"
+    // enough rows that the small block size yields several row groups
+    // (parquet-mr checks the block size every 100 records)
+    val c = spark.sql("""
+      SELECT md5(CAST(id AS STRING)) AS uuid, id, CAST(id AS DOUBLE) AS c_acctbal
+      FROM range(0, 5000)""")
+    ParquetTable.writeSorted(c, dir, "uuid", 1,
+      ParquetLayout(rowGroupBytes = Some(24L * 1024)))
+    val src = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.toString).find(_.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val base = spark.read.parquet(src)
+    // mutate 4 uuids from the low end of the string order
+    val batch = base.orderBy(col("uuid")).limit(4)
+      .withColumn("c_acctbal", lit(7.77))
+      .withColumn("op", lit("upsert"))
+    val res = RowGroupCoW.rewriteFile(spark, src, s"$work/out.parquet", "uuid", batch)
+    assert(res.sourceGroups > 3, s"want several groups, got $res")
+    assert(res.rewrittenGroups >= 1 && res.passthroughGroups > 0, s"$res")
+
+    val got = spark.read.parquet(s"$work/out.parquet")
+    val oracle = MergeOps.applyMutations(base, batch, "uuid")
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
+    val ks = got.select("uuid").collect().map(_.getString(0))
+    assert(ks.sameElements(ks.sorted)) // ascii-hex uuids: java order == byte order
+  }
+
   test("gap-key inserts route to the preceding group and stay sorted") {
     val work = Files.createTempDirectory("graft-rgcow-g").toString
     val src = sortedFile(s"$work/src")

@@ -49,6 +49,47 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@10 = $mean") // 16 buckets over 500 vecs
   }
 
+  test("ranking stage is a bounded partial aggregation, not a per-query window") {
+    // the scale contract: no WindowExec anywhere in brute/LSH (a
+    // Window.partitionBy(query_id) would funnel every scored candidate
+    // into ≤|queries| tasks); ranking runs as ObjectHashAggregate whose
+    // partial phase bounds the shuffle to k rows per (map task, query)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val brute = planOf(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
+    val lsh = planOf(Similarity.lshTopK(embs, queries, "embedding", "vec_id", 10, dim = 64, nBits = 3))
+    for ((name, p) <- Seq("brute" -> brute, "lsh" -> lsh)) {
+      assert(!p.contains("Window"), s"$name ranking still uses a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$name lacks partial top-k agg:\n$p")
+    }
+    // IVF: exactly one window — the nProbe ranking over the broadcast-sized
+    // (|queries| × nCentroids) probe table; corpus assignment and final
+    // ranking must contribute none
+    val ivf = planOf(Similarity.ivfTopK(spark, embs, queries, "embedding", "vec_id", 10))
+    assert("Window \\[".r.findAllIn(ivf).length <= 1, // exec node headers only
+      s"IVF has corpus-sized window work:\n$ivf")
+    assert(ivf.contains("ObjectHashAggregate"), s"IVF lacks partial top-k agg:\n$ivf")
+  }
+
+  test("aggregator ranking matches the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // reference: the old row_number-window plan, built inline
+    val c = embs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.cosine(col("vec"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    val ref = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+    val a = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val b = ref.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(a === b)
+  }
+
   test("IVF top-k recall with 4/16 probes beats single-bucket LSH coverage") {
     val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
     val approx = topkMap(Similarity.ivfTopK(spark, embs, queries, "embedding", "vec_id", 10,
