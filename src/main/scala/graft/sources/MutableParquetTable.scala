@@ -177,7 +177,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
             val lower = if (run.head == 0) None else Some(ranges(run.head).min)
             val upper = if (run.last == ranges.size - 1) None
                         else Some(ranges(run.last + 1).min)
-            val slice = (lower, upper) match {
+            // single run ⇒ the slice is provably the whole merged set
+            // (dirty-file rows lie in their own ranges ⊂ [lower, upper);
+            // batch keys route into the run ⇒ lower <= k < upper), so skip
+            // the filter pass over the persisted data
+            val slice = if (runs.size == 1) merged else (lower, upper) match {
               case (Some(lo), Some(up)) =>
                 merged.where(col(key) >= lit(lo) && col(key) < lit(up))
               case (Some(lo), None) => merged.where(col(key) >= lit(lo))
@@ -194,15 +198,33 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       } finally merged.unpersist(false)
     }
 
-    writeManifest(outDir)
+    // manifest: passthrough files carry their already-read ranges (their
+    // bytes are untouched — hard links); footer IO is paid only for the
+    // files this merge actually wrote. A no-op merge writes its manifest
+    // with ZERO additional IO — still metadata-only end to end.
+    val cleanNames = clean.map(fileName).toSet
+    val carried = ranges.filter(r => cleanNames.contains(fileName(r.file)))
+    val newFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(outDir))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList
+        .filterNot(f => cleanNames.contains(fileName(f)))
+      finally s.close()
+    }
+    writeManifest(outDir, carried, newFiles)
     MergeResult(outDir, dirty, clean, inserted)
   }
 
   /** Write the snapshot's commit marker: file inventory with key ranges
-    * and row counts, from footers only. Temp-file + atomic rename, LAST —
-    * presence of `manifest.json` IS the commit. */
-  private def writeManifest(outDir: String): Unit = {
-    val ranges = ParquetStats.fileKeyRangesTyped(spark, outDir, key)
+    * and row counts. Temp-file + atomic rename, LAST — presence of
+    * `_manifest.json` IS the commit. */
+  private def writeManifest(outDir: String,
+                            carried: Seq[ParquetStats.FileKeyRange],
+                            newFiles: Seq[String]): Unit = {
+    val ranges = (carried ++
+      ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key, outDir))
       .sortBy(_.minBytes)(KeyBytes.ordering)
     def js(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

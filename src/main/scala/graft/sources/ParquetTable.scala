@@ -21,13 +21,20 @@ import org.apache.spark.sql.types._
   * @param dictionaryEnabled dictionary encoding on/off (the reference forces
   *                        it off for mutation-heavy files)
   * @param pageBytes       `parquet.page.size`
+  * @param columnDictionary per-COLUMN dictionary override — the reference's
+  *                        per-physical-type encoding control
+  *                        (ProxiedProperties.java:43-55) at parquet-mr's own
+  *                        granularity: `parquet.enable.dictionary#col`.
+  *                        Columns absent from the map inherit
+  *                        `dictionaryEnabled`.
   */
 final case class ParquetLayout(
     rowGroupBytes: Option[Long] = None,
     maxRecordsPerFile: Option[Long] = None,
     compression: String = "snappy",
     dictionaryEnabled: Boolean = true,
-    pageBytes: Option[Long] = None)
+    pageBytes: Option[Long] = None,
+    columnDictionary: Map[String, Boolean] = Map.empty)
 
 /** Parquet-backed table: scan + layout-controlled write + footer statistics.
   *
@@ -52,6 +59,9 @@ object ParquetTable {
     layout.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     w = w.option("compression", layout.compression)
     w = w.option("parquet.enable.dictionary", layout.dictionaryEnabled.toString)
+    layout.columnDictionary.foreach { case (c, on) =>
+      w = w.option(s"parquet.enable.dictionary#$c", on.toString)
+    }
     w.parquet(path)
   }
 
@@ -221,8 +231,14 @@ object ParquetStats {
     * threshold. Files with no key stats (all-null key) are omitted — they
     * can never be routed to. */
   def fileKeyRangesTyped(spark: SparkSession, path: String,
-                         keyCol: String): Seq[FileKeyRange] = {
-    val files = listFiles(spark, path)
+                         keyCol: String): Seq[FileKeyRange] =
+    fileKeyRangesTypedFor(spark, listFiles(spark, path), keyCol, path)
+
+  /** Same, over an explicit file list — lets callers that already know
+    * most files' ranges (e.g. the merge path's untouched passthrough
+    * files) pay footer IO only for the files they actually wrote. */
+  def fileKeyRangesTypedFor(spark: SparkSession, files: Seq[String],
+                            keyCol: String, path: String): Seq[FileKeyRange] = {
     def ofTyped(f: String, minL: Option[Long], maxL: Option[Long],
                 minS: Option[String], maxS: Option[String],
                 rows: Long): Option[FileKeyRange] =
@@ -257,14 +273,20 @@ object ParquetStats {
       }
     } else {
       // Spark's string min/max use UTF8String (byte) ordering — consistent
-      // with the driver-side path and with parquet's UNSIGNED stats order
-      fileKeyRanges(spark, path, keyCol).collect().toSeq.flatMap { r =>
-        ofTyped(r.getString(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          Option(r.getString(4)), Option(r.getString(5)),
-          r.getLong(3))
-      }
+      // with the driver-side path and with parquet's UNSIGNED stats order.
+      // Filter by file NAME: the caller's list and the scan's footer rows
+      // may render paths with different schemes (file:/ vs plain)
+      val want = files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      fileKeyRanges(spark, path, keyCol).collect().toSeq
+        .filter(r => want.contains(
+          new org.apache.hadoop.fs.Path(r.getString(0)).getName))
+        .flatMap { r =>
+          ofTyped(r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            Option(r.getString(4)), Option(r.getString(5)),
+            r.getLong(3))
+        }
     }
   }
 }

@@ -250,6 +250,31 @@ class CowMergeSpec extends SparkSpec {
     assert(got.schema === base.schema)
   }
 
+  test("per-column dictionary control reaches the footer encodings") {
+    // the reference's per-type encoding forcing (ProxiedProperties.java:
+    // 43-55), at parquet-mr's native per-column granularity
+    val dir = freshDir()
+    val df = spark.sql(
+      "SELECT CAST(id % 5 AS STRING) AS a, CAST(id % 5 AS STRING) AS b FROM range(0, 5000)")
+    ParquetTable.write(df.coalesce(1), dir,
+      ParquetLayout(columnDictionary = Map("a" -> false)))
+    val f = listParquet(dir).head.toString
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      def dictOf(name: String): Boolean = {
+        val cc = (0 until cols.size()).map(cols.get)
+          .find(_.getPath.toDotString == name).get
+        cc.getEncodings.toString.contains("DICTIONARY")
+      }
+      assert(!dictOf("a"), "column a must be plain-encoded")
+      assert(dictOf("b"), "column b must stay dictionary-encoded")
+    } finally reader.close()
+  }
+
   test("inferRowGroupBytes returns the source average (S18)") {
     val dir = freshDir()
     ParquetTable.write(Tables.customer(spark, sf()), dir, ParquetLayout())
