@@ -533,11 +533,11 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF-style ANN top-k. */
+  /** IVF-style ANN top-k (k-means-refined codebook, map-side assignment). */
   def q45_ivf_topk(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     Similarity.ivfTopK(s, e, e.where(col("vec_id") < 5), "embedding", "vec_id",
-        k = 10, nCentroids = 16, nProbe = 4)
+        k = 10, nCentroids = 16, nProbe = 4, kmeansIters = 2)
       .select(col("query_id"), col("id").as("vec_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -66,20 +66,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** One-probe LSH top-k: both sides keyed by hyperplane signature; a query
-    * only scores corpus rows sharing its bucket. Approximate (recall < 1);
-    * verify-and-rank is exact cosine. Use fewer bits for higher recall. */
+  /** LSH top-k: both sides keyed by hyperplane signature; a query only
+    * scores corpus rows sharing its bucket. Approximate (recall < 1);
+    * verify-and-rank is exact cosine. Use fewer bits for higher recall —
+    * or `multiProbe`: the query additionally probes the buckets at
+    * Hamming distance 1 (its `multiProbe` lowest signature bits flipped),
+    * the standard multi-probe LSH trade: recall of fewer bits at the
+    * bucket-balance of more bits. Probing explodes only the tiny
+    * broadcast query side — corpus work stays one bucket-keyed join; and
+    * since xor is injective, one corpus row can reach a query through at
+    * most one probe, so no candidate dedup is needed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, dim: Int, nBits: Int = 8,
-              native: Boolean = false): DataFrame = {
+              native: Boolean = false, multiProbe: Int = 0): DataFrame = {
     def sig(v: Column) =
       if (native) call_function(graft.plans.HyperplaneSignature.name,
         v, lit(nBits), lit(dim))
       else hyperplaneSignature(v, nBits, dim)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sig(col(vecCol)).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       sig(col(vecCol)).as("bucket"))
+    val q = if (multiProbe <= 0) q0 else {
+      val flips = lit(0L) +: (0 until math.min(multiProbe, nBits)).map(i => lit(1L << i))
+      q0.withColumn("__flip", explode(array(flips: _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
+        .drop("__flip")
+    }
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
@@ -113,27 +126,55 @@ object Similarity {
     }).getField("cid")
   }
 
-  /** IVF-style search: corpus assigned to the nearest of `nCentroids`
-    * deterministic centroids (sampled corpus rows); a query probes the
-    * `nProbe` nearest centroid cells. The coarse quantizer is built once
-    * (tiny — nCentroids rows collected to the driver, metadata-sized) and
-    * shipped to every task as a literal array; per-query work is
-    * O(corpus * nProbe / nCentroids).
-    */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-              vecCol: String, idCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic centroid sample: the nCentroids rows with lowest
-    // xxhash64(id) — stable across runs, no RNG. Collected to the driver:
-    // this is the quantizer codebook (16-ish rows), not data.
-    val cents: Seq[(Long, Seq[Float])] = corpus
+  /** Deterministic k-means (Lloyd) refinement of an IVF codebook. Each
+    * iteration is ONE corpus scan: map-side nearest-centroid assignment
+    * (no shuffle) + per-(cell, dimension) mean — a partially-aggregated
+    * shuffle whose reduce side is k·dim rows, collected to the driver
+    * (16×64 doubles — codebook-sized). Seeded from the hash-lowest corpus
+    * rows, so the whole build is RNG-free and rerun-stable. Empty cells
+    * keep their previous centroid. */
+  def kmeansCodebook(corpus: DataFrame, vecCol: String, idCol: String,
+                     k: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+    var cents: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(nCentroids)
+      .orderBy(col("h")).limit(k)
       .select(col("cid"), col("cvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    var it = 0
+    while (it < iters) {
+      val means = corpus.select(col(vecCol).as("vec"))
+        .withColumn("cid", nearestCentroidCol(col("vec"), cents))
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-style search: corpus assigned to the nearest of `nCentroids`
+    * centroids; a query probes the `nProbe` nearest centroid cells. The
+    * coarse quantizer is built once (tiny — nCentroids rows collected to
+    * the driver, metadata-sized) and shipped to every task as a literal
+    * array; per-query work is O(corpus * nProbe / nCentroids).
+    * `kmeansIters` Lloyd iterations (one corpus scan each) balance the
+    * cells — hash-sampled seeds alone skew cell sizes and recall.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    val cents = kmeansCodebook(corpus, vecCol, idCol, nCentroids, kmeansIters)
 
     // map-side assignment: scan → project, no exchange
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))

@@ -266,6 +266,21 @@ object MutableParquetTable {
       Some(Files.readString(Paths.get(snapshotDir, ManifestName)))
     else None
 
+  /** Read a committed snapshot STRICTLY through its manifest: only files
+    * the manifest lists are scanned, so stray part files — a concurrent
+    * writer, a crashed later merge attempt into the same directory — are
+    * invisible. This is the object-store read discipline: the manifest,
+    * not the directory listing, defines the table. Throws if the snapshot
+    * has no commit marker. */
+  def readCommitted(spark: SparkSession, snapshotDir: String): DataFrame = {
+    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no $ManifestName — not a committed snapshot"))
+    val files = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(m).map(_.group(1)).toSeq
+    require(files.nonEmpty, s"$snapshotDir manifest lists no files")
+    spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
+  }
+
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
 

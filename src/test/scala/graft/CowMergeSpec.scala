@@ -203,6 +203,16 @@ class CowMergeSpec extends SparkSpec {
     assert(!MutableParquetTable.isCommitted(crashed))
     assert(MutableParquetTable.readManifest(crashed).isEmpty)
     assert(spark.read.parquet(res.snapshotDir).count() === c.count())
+
+    // trusted read: a stray part file dropped into the snapshot dir (a
+    // concurrent writer, a crashed later merge) is visible to a naive
+    // directory read but INVISIBLE through the manifest read path
+    val stray = Paths.get(res.snapshotDir, "part-zzz-stray.parquet")
+    Files.copy(listParquet(dir).head, stray)
+    assert(spark.read.parquet(res.snapshotDir).count() > c.count())
+    assert(MutableParquetTable.readCommitted(spark, res.snapshotDir).count() === c.count())
+    intercept[IllegalStateException](
+      MutableParquetTable.readCommitted(spark, crashed))
   }
 
   test("row-group layout controls are honored (S15/S18-S21)") {

@@ -101,4 +101,43 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.25, s"mean recall@10 = $mean") // probes 1/4 of the corpus
   }
+
+  private def meanRecall(approx: Map[Long, Seq[Long]],
+                         exact: Map[Long, Seq[Long]]): Double = {
+    val rs = exact.keys.toSeq.map { q =>
+      (exact(q).toSet & approx.getOrElse(q, Nil).toSet).size.toDouble / 10
+    }
+    rs.sum / rs.size
+  }
+
+  test("multi-probe LSH recall dominates single-probe at the same bits") {
+    val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
+    val single = meanRecall(topkMap(
+      Similarity.lshTopK(embs, queries, "embedding", "vec_id", 10, dim = 64, nBits = 6)),
+      exact)
+    val multi = meanRecall(topkMap(
+      Similarity.lshTopK(embs, queries, "embedding", "vec_id", 10, dim = 64, nBits = 6,
+        multiProbe = 6)), exact)
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi > 0.0)
+    // multiProbe = 0 is exactly the single-probe result
+    val a = Similarity.lshTopK(embs, queries, "embedding", "vec_id", 10, dim = 64,
+      nBits = 6, multiProbe = 0).collect().map(_.toString).sorted.toSeq
+    val b = Similarity.lshTopK(embs, queries, "embedding", "vec_id", 10, dim = 64,
+      nBits = 6).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("k-means codebook is deterministic and refines IVF recall") {
+    val c1 = Similarity.kmeansCodebook(embs, "embedding", "vec_id", 16, 2)
+    val c2 = Similarity.kmeansCodebook(embs, "embedding", "vec_id", 16, 2)
+    assert(c1 === c2) // RNG-free build, rerun-stable
+    val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
+    val plain = meanRecall(topkMap(Similarity.ivfTopK(spark, embs, queries,
+      "embedding", "vec_id", 10, nCentroids = 16, nProbe = 4)), exact)
+    val refined = meanRecall(topkMap(Similarity.ivfTopK(spark, embs, queries,
+      "embedding", "vec_id", 10, nCentroids = 16, nProbe = 4, kmeansIters = 2)), exact)
+    assert(refined >= plain - 0.05, s"k-means recall $refined << plain $plain")
+    assert(refined >= 0.25)
+  }
 }
