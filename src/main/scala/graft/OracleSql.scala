@@ -640,6 +640,20 @@ object OracleSql {
       WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3)
       ORDER BY uuid""",
 
+    // q69/q70 ingest CSV/JSON derived from the same tables, so the oracle
+    // aggregates the parquet directly — the text round-trip must be lossless
+    "q69_csv_ingest" -> """
+      SELECT o_orderstatus, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        strftime(min(o_orderdate), '%Y-%m-%d') AS first_date
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q70_json_ingest" -> """
+      SELECT event_type, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         count_if(o_totalprice > 300000) AS n_big,

@@ -842,6 +842,66 @@ object SparkEntry {
       .orderBy(col("uuid"))
   }
 
+  /** CSV ingest with explicit schema (no inference scan) → aggregation.
+    * The CSV fixture is derived once per orders.parquet (content-keyed
+    * cache); the oracle computes the same aggregate from the parquet
+    * directly, so the whole text round-trip (doubles, dates) must be
+    * lossless. */
+  def q69_csv_ingest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val srcFile = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val token = s"${java.nio.file.Files.size(srcFile)}-" +
+      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+    val cdir = s"${System.getProperty("java.io.tmpdir")}/graft-csv-orders-" +
+      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cdir))) {
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .coalesce(4)
+        .write.option("header", "true").mode("overwrite").csv(cdir)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", DateType),
+      StructField("o_orderpriority", StringType)))
+    graft.sources.Ingest.csv(s, cdir, Some(schema))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON-lines ingest with explicit schema → aggregation; oracle from
+    * the parquet events table (ts carried as a formatted string through
+    * the text round-trip). */
+  def q70_json_ingest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val srcFile = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val token = s"${java.nio.file.Files.size(srcFile)}-" +
+      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+    val jdir = s"${System.getProperty("java.io.tmpdir")}/graft-json-events-" +
+      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(jdir))) {
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), date_format(col("ts"), fmtS).as("ts_s"))
+        .coalesce(4)
+        .write.mode("overwrite").json(jdir)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_s", StringType)))
+    graft.sources.Ingest.json(s, jdir, Some(schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("ts_s")).as("first_ts"))
+      .orderBy(col("event_type"))
+  }
+
   /** Native session_window operator (batch form; the streaming form is
     * exercised in StreamingSpec). Oracle is the equivalent
     * gaps-and-islands SQL — semantics must coincide exactly. */
@@ -961,6 +1021,8 @@ object SparkEntry {
     "q66_neardup_dedup" -> (q66_neardup_dedup _),
     "q67_conditional_agg" -> (q67_conditional_agg _),
     "q68_uuid_merge" -> (q68_uuid_merge _),
+    "q69_csv_ingest" -> (q69_csv_ingest _),
+    "q70_json_ingest" -> (q70_json_ingest _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
