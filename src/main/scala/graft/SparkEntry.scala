@@ -837,7 +837,8 @@ object SparkEntry {
     val res = t.merge(upserts.unionByName(deletes), snapshotDir = Some(s"$work/v1"))
     require(graft.sources.MutableParquetTable.isCommitted(res.snapshotDir),
       "merge snapshot missing its manifest commit marker")
-    s.read.parquet(res.snapshotDir)
+    // read back strictly through the manifest (the object-store read path)
+    graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
       .select(col("uuid"), col("doc_id"), col("lang"))
       .orderBy(col("uuid"))
   }

@@ -236,8 +236,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       s"""{"file":${js(fileName(r.file))},"minKey":${js(r.min.toString)},""" +
         s""""maxKey":${js(r.max.toString)},"rows":${r.rowCount}}"""
     }.mkString("[", ",", "]")
+    val keyType = ranges.headOption.map(_.min) match {
+      case Some(_: java.lang.Long) => "long"
+      case Some(_)                 => "string"
+      case None                    => "unknown"
+    }
     val json =
-      s"""{"key":${js(key)},"fileCount":${ranges.size},""" +
+      s"""{"key":${js(key)},"keyType":"$keyType","fileCount":${ranges.size},""" +
         s""""totalRows":${ranges.map(_.rowCount).sum},"files":$files}"""
     val tmp = Paths.get(outDir, ManifestName + ".tmp")
     Files.writeString(tmp, json)
@@ -279,6 +284,42 @@ object MutableParquetTable {
       .findAllMatchIn(m).map(_.group(1)).toSeq
     require(files.nonEmpty, s"$snapshotDir manifest lists no files")
     spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
+  }
+
+  /** Manifest-pruned range scan: select only the files whose key range
+    * intersects [lo, hi] — decided purely from the manifest, ZERO footer
+    * or data IO for excluded files — then scan with the residual filter.
+    * File-level zone-map pruning one level above parquet's row-group
+    * skip: at 100 TB this is the difference between listing/opening a
+    * million files and touching the handful a key range lives in.
+    * Result ≡ `readCommitted(...).where(key between lo and hi)`. */
+  def readRange(spark: SparkSession, snapshotDir: String,
+                lo: Any, hi: Any): DataFrame = {
+    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no $ManifestName — not a committed snapshot"))
+    val keyName = "\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(m).get.group(1)
+    val entry =
+      ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+        "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    val loB = KeyBytes.fromAny(lo)
+    val hiB = KeyBytes.fromAny(hi)
+    val isLong = m.contains("\"keyType\":\"long\"")
+    def enc(s: String): Array[Byte] =
+      if (isLong) KeyBytes.fromLong(s.toLong) else KeyBytes.fromString(s)
+    val files = entry.findAllMatchIn(m).collect {
+      case e if KeyBytes.compare(enc(e.group(2)), hiB) <= 0 &&
+                KeyBytes.compare(enc(e.group(3)), loB) >= 0 =>
+        e.group(1)
+    }.toSeq
+    if (files.isEmpty)
+      return readCommitted(spark, snapshotDir)
+        .where(org.apache.spark.sql.functions.lit(false))
+    spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
+      .where(org.apache.spark.sql.functions.col(keyName) >=
+          org.apache.spark.sql.functions.lit(lo) &&
+        org.apache.spark.sql.functions.col(keyName) <=
+          org.apache.spark.sql.functions.lit(hi))
   }
 
   private def fileName(p: String): String =

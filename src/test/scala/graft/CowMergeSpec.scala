@@ -227,6 +227,48 @@ class CowMergeSpec extends SparkSpec {
     assert(stats.select(col("file")).distinct().count() >= 3)
   }
 
+  test("manifest-pruned range scan touches only the owning files") {
+    val dir = freshDir(); writeBase(dir)
+    val c = Tables.customer(spark, sf())
+    val t = MutableParquetTable(spark, dir, "c_custkey")
+    val batch = c.orderBy(col("c_custkey")).limit(1)
+      .withColumn("c_acctbal", lit(1.0)).withColumn("op", lit("upsert"))
+    val res = t.merge(batch)
+
+    val full = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+    val ranges = ParquetStats.fileKeyRangesTyped(spark, res.snapshotDir, "c_custkey")
+      .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    // a range living entirely inside the SECOND file's key span
+    val lo = ranges(1).min.asInstanceOf[Long]
+    val hi = ranges(1).max.asInstanceOf[Long]
+    val pruned = MutableParquetTable.readRange(spark, res.snapshotDir, lo, hi)
+    val expect = full.where(col("c_custkey").between(lo, hi))
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    assert(pruned.inputFiles.length === 1,
+      s"range scan opened ${pruned.inputFiles.length} files, wanted 1")
+    assert(full.inputFiles.length === 5)
+    // out-of-range scan: zero files, zero rows, still a valid frame
+    val none = MutableParquetTable.readRange(spark, res.snapshotDir,
+      Long.MaxValue - 10, Long.MaxValue)
+    assert(none.count() === 0)
+
+    // string-keyed variant exercises the keyType=string decode path
+    val sdir = freshDir()
+    val sc = c.select(md5(col("c_custkey").cast("string")).as("uuid"), col("c_acctbal"))
+    ParquetTable.writeSorted(sc, sdir, "uuid", 4)
+    val st = MutableParquetTable(spark, sdir, "uuid")
+    val sres = st.merge(sc.limit(1).withColumn("op", lit("upsert")))
+    val sranges = ParquetStats.fileKeyRangesTyped(spark, sres.snapshotDir, "uuid")
+      .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    val slo = sranges(1).min.asInstanceOf[String]
+    val shi = sranges(1).max.asInstanceOf[String]
+    val spruned = MutableParquetTable.readRange(spark, sres.snapshotDir, slo, shi)
+    val sexpect = MutableParquetTable.readCommitted(spark, sres.snapshotDir)
+      .where(col("uuid") >= slo && col("uuid") <= shi)
+    assert(spruned.exceptAll(sexpect).isEmpty && sexpect.exceptAll(spruned).isEmpty)
+    assert(spruned.inputFiles.length === 1)
+  }
+
   test("wide types (decimal/binary/float/date/ts/array/struct) round-trip CoW merge") {
     // the reference's multi-type coverage (ParquetRewriterTests.java:358-369:
     // int32/int64/boolean/float/double/fixed_len_byte_array/int96), as the
