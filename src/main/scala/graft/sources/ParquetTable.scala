@@ -157,6 +157,15 @@ object ParquetStats {
     */
   val driverReadThreshold = 64
 
+  /** Driver-side parallel footer IO: each footer read is ms-scale blocking
+    * IO, so a small fan-out takes it off the merge latency path. Results
+    * are reassembled in input order — fully deterministic. */
+  private def parFlatMap[A, B](xs: Seq[A])(f: A => IterableOnce[B]): Seq[B] = {
+    import scala.collection.parallel.CollectionConverters._
+    if (xs.size <= 2) xs.flatMap(f).toSeq
+    else xs.par.map(a => f(a).iterator.toSeq).seq.toSeq.flatten
+  }
+
   private def footerRows(f: String, keyCol: String,
                          conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -191,7 +200,7 @@ object ParquetStats {
       StructField("maxKeyLong", LongType, nullable = true)))
     if (files.size <= driverReadThreshold) {
       val hconf = spark.sparkContext.hadoopConfiguration
-      val rows = files.flatMap(f => footerRows(f, keyCol, hconf))
+      val rows = parFlatMap(files)(f => footerRows(f, keyCol, hconf))
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     } else {
       val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -259,7 +268,7 @@ object ParquetStats {
       def byteMax(xs: Seq[String]) =
         xs.reduce((a, b) => if (KeyBytes.compare(
           KeyBytes.fromString(a), KeyBytes.fromString(b)) >= 0) a else b)
-      files.flatMap { f =>
+      parFlatMap(files) { f =>
         val rgs = footerRows(f, keyCol, hconf)
         val minLs = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
         val maxLs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
