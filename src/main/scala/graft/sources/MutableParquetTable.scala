@@ -117,7 +117,27 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     // while the local listing yields the caller's path form (possibly
     // relative) — comparing full paths would silently classify every file
     // clean AND re-merge the dirty ones (duplicate rows)
-    val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
+    val routed = routedFiles(ranges, batch.select(key)).map(fileName).toSet
+    // Expand across NON-CUT file boundaries (max(f) >= min(f+1): a key
+    // value straddles both files — only possible when keys repeat). The
+    // run slices below are key-range filters, so cutting at a straddled
+    // boundary would drop the left file's straddling rows or leave stale
+    // copies beside a replacement. With unique keys (the engine's
+    // primary-key contract, matching the reference's unique-key
+    // requirement) this is a no-op.
+    val dirtyNames = {
+      val d = scala.collection.mutable.Set(routed.toSeq: _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        for (i <- 0 until ranges.size - 1) {
+          val cut = KeyBytes.compare(ranges(i).maxBytes, ranges(i + 1).minBytes) < 0
+          val (a, b) = (fileName(ranges(i).file), fileName(ranges(i + 1).file))
+          if (!cut && d(a) != d(b)) { d += a; d += b; changed = true }
+        }
+      }
+      d.toSet
+    }
     val allFiles = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(dir))
@@ -215,6 +235,79 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     }
     writeManifest(outDir, carried, newFiles)
     MergeResult(outDir, dirty, clean, inserted)
+  }
+
+  /** Row-group-granularity CoW merge: like [[merge]], but each dirty
+    * file keeps its identity and only its dirty ROW GROUPS re-encode —
+    * clean groups are spliced byte-for-byte ([[RowGroupCoW]]), clean
+    * files hard-linked as usual. Rewrite bytes scale with dirty *groups*,
+    * not dirty *files*: for scattered point updates (one key per file,
+    * where [[merge]] degenerates to a full rewrite) this touches a few
+    * percent of the data — the reference's partial-rewrite scaling
+    * (README.md:109-111) operating across a whole table. One small Spark
+    * merge job per dirty file, submitted concurrently.
+    *
+    * File key ranges can only be preserved or extended toward a file's
+    * ownership interval (batch keys route into it), so the disjoint-range
+    * invariant and chained merges keep working unchanged.
+    *
+    * PRECONDITION: unique keys (the primary-key contract). Files are
+    * rewritten independently, so a key duplicated ACROSS files cannot
+    * have all its copies replaced in one pass — use [[merge]] (which
+    * rewrites straddling files together) for out-of-contract data. */
+  def mergeFineGrained(batch: DataFrame, opCol: String = "op",
+                       snapshotDir: Option[String] = None): MergeResult = {
+    val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
+    Files.createDirectories(Paths.get(outDir))
+    val ranges = sortedRanges()
+    val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
+    val allFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
+    clean.foreach { f =>
+      val src = Paths.get(f)
+      val dst = Paths.get(outDir, src.getFileName.toString)
+      try Files.createLink(dst, src)
+      catch { case _: Exception =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+    }
+
+    if (dirty.nonEmpty) {
+      val idxByName = ranges.zipWithIndex
+        .map { case (r, i) => fileName(r.file) -> i }.toMap
+      // batch is re-sliced once per dirty file — persist so the slices
+      // scan a materialized batch, not the caller's arbitrary plan
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val jobs = dirty.map { f => Future {
+          val i = idxByName(fileName(f))
+          val lower = if (i == 0) None else Some(ranges(i).min)
+          val upper = if (i == ranges.size - 1) None else Some(ranges(i + 1).min)
+          val slice = (lower, upper) match {
+            case (Some(lo), Some(up)) =>
+              b.where(col(key) >= lit(lo) && col(key) < lit(up))
+            case (Some(lo), None) => b.where(col(key) >= lit(lo))
+            case (None, Some(up)) => b.where(col(key) < lit(up))
+            case (None, None)     => b
+          }
+          RowGroupCoW.rewriteFile(spark, f,
+            s"$outDir/${fileName(f)}", key, slice, opCol)
+        }}
+        Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+      } finally b.unpersist(false)
+    }
+
+    val carried = ranges.filter(r => !dirtyNames.contains(fileName(r.file)))
+    writeManifest(outDir, carried, dirty.map(f => s"$outDir/${fileName(f)}"))
+    MergeResult(outDir, dirty, clean, dirty.size)
   }
 
   /** Write the snapshot's commit marker: file inventory with key ranges

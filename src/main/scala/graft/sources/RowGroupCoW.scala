@@ -60,17 +60,17 @@ object RowGroupCoW {
     // order-preserving byte encoding (for routing) — numeric AND string/
     // binary keys supported, matching the reference's signed-lexicographic
     // binary keys (ParquetRewriter.java:35-37)
-    val (schema, blocks, mins) = {
+    val (schema, blocks, mins, maxs) = {
       val r = ParquetFileReader.open(inFile)
       try {
         val bs = r.getFooter.getBlocks.asScala.toVector
-        val ms: Vector[(Any, Array[Byte])] = bs.map { b =>
+        val stats = bs.map { b =>
           val cm = b.getColumns.asScala.find(_.getPath.toDotString == keyCol)
             .getOrElse(throw new IllegalArgumentException(
               s"key column $keyCol not found in $srcFile"))
           val st = cm.getStatistics
           require(st != null && st.hasNonNullValue, s"no key stats in $srcFile")
-          st.genericGetMin match {
+          def enc(v: Any): (Any, Array[Byte]) = v match {
             case n: java.lang.Number =>
               (java.lang.Long.valueOf(n.longValue), KeyBytes.fromLong(n.longValue))
             case bin: org.apache.parquet.io.api.Binary =>
@@ -79,15 +79,16 @@ object RowGroupCoW {
             case other => throw new IllegalArgumentException(
               s"numeric or string key required, got ${other.getClass}")
           }
+          (enc(st.genericGetMin), enc(st.genericGetMax)._2)
         }
-        (r.getFooter.getFileMetaData.getSchema, bs, ms)
+        (r.getFooter.getFileMetaData.getSchema, bs, stats.map(_._1), stats.map(_._2))
       } finally r.close()
     }
 
     // classify: route each batch key to the last group with min <= key
     val keys = batch.select(col(keyCol)).distinct()
       .collect().map(r => KeyBytes.fromAny(r.get(0)))
-    val dirtyIdx = keys.map { k =>
+    val dirtyIdx0 = keys.map { k =>
       var lo = 0; var hi = blocks.size - 1; var ans = 0
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
@@ -96,6 +97,29 @@ object RowGroupCoW {
       }
       ans
     }.toSet
+
+    // Expand the dirty set across NON-CUT boundaries (max(g) >= min(g+1):
+    // a key value straddles the two groups). Run slices are key-range
+    // filters, so cutting at a straddled boundary would silently drop the
+    // left group's straddling rows (they fall below the slice's upper
+    // bound) or duplicate the right ones. Absorbing the neighbor re-encodes
+    // one extra group — conservative and exact; with unique keys (the
+    // engine's primary-key contract) no boundary ever straddles and this
+    // is a no-op.
+    val dirtyIdx = {
+      val d = scala.collection.mutable.Set(dirtyIdx0.toSeq: _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        for (g <- 0 until blocks.size - 1) {
+          val cut = KeyBytes.compare(maxs(g), mins(g + 1)._2) < 0
+          if (!cut && d(g) != d(g + 1)) {
+            d += g; d += (g + 1); changed = true
+          }
+        }
+      }
+      d.toSet
+    }
 
     // maximal runs of consecutive same-cleanliness groups, in file order
     val runs = blocks.indices.foldLeft(Vector.empty[(Boolean, Vector[Int])]) {

@@ -227,6 +227,63 @@ class CowMergeSpec extends SparkSpec {
     assert(stats.select(col("file")).distinct().count() >= 3)
   }
 
+  test("duplicate keys straddling a file boundary merge exactly (non-cut expansion)") {
+    // out-of-contract data (repeated keys) must still merge to exactly
+    // applyMutations semantics: every copy of a batch key replaced, no
+    // stale straddling row left behind. writeSorted keeps equal keys
+    // together, so build the straddling layout explicitly: file A ends
+    // with two copies of key 11, file B starts with a third.
+    val dir = freshDir()
+    val s = spark; import s.implicits._
+    val a = ((0L to 10L) ++ Seq(11L, 11L)).map(k => (k, k * 10)).toDF("k", "payload")
+    val b = (Seq(11L) ++ (12L to 20L)).map(k => (k, k * 100)).toDF("k", "payload")
+    a.coalesce(1).sortWithinPartitions("k").write.mode("append").parquet(dir)
+    b.coalesce(1).sortWithinPartitions("k").write.mode("append").parquet(dir)
+    val base = spark.read.parquet(dir)
+    assert(base.where(col("k") === 11L).count() === 3)
+
+    val batch = Seq((11L, -1L, "upsert")).toDF("k", "payload", "op")
+    val t = MutableParquetTable(spark, dir, "k")
+    val res = t.merge(batch)
+    // routing alone would dirty only the right file; the non-cut
+    // expansion must pull in the left one too
+    assert(res.rewrittenFiles.size === 2, s"expansion missed: $res")
+    val got = spark.read.parquet(res.snapshotDir)
+    val expect = MergeOps.applyMutations(base, batch, "k")
+    assert(got.count() === expect.count()) // 12 + 9 + 1 = 22 → all 3 copies collapsed
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("duplicate keys straddling row-group boundaries rewrite exactly") {
+    // same hazard one level down: parquet cuts row groups by SIZE, mid-key
+    // — RowGroupCoW's non-cut expansion must absorb straddled neighbors
+    val work = freshDir()
+    val li = Tables.lineitem(spark, sf())
+      .withColumn("li_key", col("l_orderkey") * 10 + col("l_linenumber")) // repeats!
+    ParquetTable.writeSorted(li, s"$work/src", "li_key", 1,
+      ParquetLayout(rowGroupBytes = Some(24L * 1024)))
+    val src = listParquet(s"$work/src").head.toString
+    val ks = ParquetStats.keyStats(spark, src, "li_key")
+      .orderBy(col("rowGroup")).collect()
+    // group-boundary straddles: next group's min == this group's max
+    val straddleMins = ks.sliding(2).collect {
+      case Array(x, y) if x.getLong(8) >= y.getLong(7) => y.getLong(7)
+    }.toSeq
+    assert(straddleMins.nonEmpty, "dup-heavy fixture should straddle some group boundary")
+
+    val base = spark.read.parquet(src)
+    val batch = base.where(col("li_key").isin(straddleMins: _*))
+      .withColumn("l_quantity", lit(999.0)).withColumn("op", lit("upsert"))
+      .dropDuplicates("li_key") // batch contract: unique keys per batch
+    val res = graft.sources.RowGroupCoW.rewriteFile(
+      spark, src, s"$work/out.parquet", "li_key", batch)
+    assert(res.passthroughGroups > 0)
+    val got = spark.read.parquet(s"$work/out.parquet")
+    val expect = MergeOps.applyMutations(base, batch, "li_key")
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("manifest-pruned range scan touches only the owning files") {
     val dir = freshDir(); writeBase(dir)
     val c = Tables.customer(spark, sf())
@@ -267,6 +324,51 @@ class CowMergeSpec extends SparkSpec {
       .where(col("uuid") >= slo && col("uuid") <= shi)
     assert(spruned.exceptAll(sexpect).isEmpty && sexpect.exceptAll(spruned).isEmpty)
     assert(spruned.inputFiles.length === 1)
+  }
+
+  test("fine-grained merge re-encodes only dirty row groups across the table") {
+    val dir = freshDir()
+    // UNIQUE key (mergeFineGrained's primary-key precondition): the
+    // fixture's (l_orderkey, l_linenumber) pairs repeat, so rank instead
+    val li = Tables.lineitem(spark, sf())
+      .withColumn("li_key", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))).cast("long"))
+    ParquetTable.writeSorted(li, dir, "li_key", 3,
+      ParquetLayout(rowGroupBytes = Some(24L * 1024)))
+    val base = spark.read.parquet(dir)
+    val t = MutableParquetTable(spark, dir, "li_key")
+
+    // scattered point updates: one key per file — every file is dirty at
+    // FILE granularity (merge would rewrite everything), but only one
+    // row group per file is dirty at GROUP granularity
+    val mins = ParquetStats.fileKeyRangesTyped(spark, dir, "li_key")
+      .map(_.min.asInstanceOf[Long])
+    assert(mins.size === 3)
+    val batch = base.where(col("li_key").isin(mins: _*))
+      .withColumn("l_quantity", col("l_quantity") + 100.0)
+      .withColumn("op", lit("upsert"))
+    val res = t.mergeFineGrained(batch)
+    assert(res.rewrittenFiles.size === 3 && res.passthroughFiles.isEmpty)
+    assert(MutableParquetTable.isCommitted(res.snapshotDir))
+
+    val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+    val expect = MergeOps.applyMutations(base, batch, "li_key")
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+
+    // group-level passthrough: narrow upserts keep every file's group
+    // count, and most groups must be byte-identical raw copies of the
+    // source (re-encoding everything would change compressed sizes)
+    val srcStats = ParquetStats.rowGroupStats(spark, dir)
+      .collect().map(r => (r.getString(0).split('/').last, r.getInt(1)) -> r.getLong(4)).toMap
+    val outStats = ParquetStats.rowGroupStats(spark, res.snapshotDir)
+      .collect().map(r => (r.getString(0).split('/').last, r.getInt(1)) -> r.getLong(4)).toMap
+    assert(outStats.size === srcStats.size, "group counts must be preserved")
+    val identical = outStats.count { case (k, bytes) => srcStats.get(k).contains(bytes) }
+    assert(identical >= srcStats.size - 3,
+      s"only $identical of ${srcStats.size} groups raw-copied; expected all but one per file")
   }
 
   test("wide types (decimal/binary/float/date/ts/array/struct) round-trip CoW merge") {
