@@ -78,6 +78,29 @@ object Streams {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n: Long, total: Double)
 
+  /** The state-transition function behind [[runningTotals]], factored out
+    * so the timeout-eviction branch is directly unit-testable with
+    * `TestGroupState` (the engine only fires processing-time timeouts in
+    * a long-running query). */
+  private[graft] def updateTotals(idleTimeout: Option[String])(
+      user: Long, it: Iterator[UserEvent],
+      state: GroupState[UserTotals]): UserTotals =
+    if (state.hasTimedOut) {
+      // idle eviction: emit the final totals, drop the state
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+      var n = prev.n
+      var tot = prev.total
+      it.foreach { e => n += 1; tot += e.value }
+      val next = UserTotals(user, n, math.rint(tot * 100) / 100)
+      state.update(next)
+      idleTimeout.foreach(state.setTimeoutDuration)
+      next
+    }
+
   def runningTotals(events: Dataset[UserEvent],
                     idleTimeout: Option[String] = None): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
@@ -86,23 +109,7 @@ object Streams {
       .getOrElse(GroupStateTimeout.NoTimeout)
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotals, UserTotals](timeoutConf) {
-        (user: Long, it: Iterator[UserEvent], state: GroupState[UserTotals]) =>
-          if (state.hasTimedOut) {
-            // idle eviction: emit the final totals, drop the state
-            val last = state.get
-            state.remove()
-            last
-          } else {
-            val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
-            var n = prev.n
-            var tot = prev.total
-            it.foreach { e => n += 1; tot += e.value }
-            val next = UserTotals(user, n, math.rint(tot * 100) / 100)
-            state.update(next)
-            idleTimeout.foreach(state.setTimeoutDuration)
-            next
-          }
-      }
+      .mapGroupsWithState[UserTotals, UserTotals](timeoutConf)(
+        updateTotals(idleTimeout))
   }
 }

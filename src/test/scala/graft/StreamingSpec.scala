@@ -141,4 +141,31 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) === ((2L, 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("running totals idle-timeout eviction emits final state and drops it") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    // the engine only fires processing-time timeouts in a long-running
+    // query, so the transition function is driven directly (TestGroupState)
+    val fn = Streams.updateTotals(Some("1 hour")) _
+
+    // accumulate into fresh state: timeout must be armed
+    val s1 = TestGroupState.create[Streams.UserTotals](
+      Optional.empty[Streams.UserTotals](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out1 = fn(1L, Iterator(Streams.UserEvent(1L, 2.0), Streams.UserEvent(1L, 3.0)), s1)
+    assert(out1 === Streams.UserTotals(1L, 2L, 5.0))
+    assert(s1.get === out1)
+    assert(s1.getTimeoutTimestampMs.isPresent) // idle timeout armed
+
+    // timed-out call: final totals emitted once, state removed
+    val s2 = TestGroupState.create[Streams.UserTotals](
+      Optional.of(Streams.UserTotals(1L, 2L, 5.0)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      99999999L, Optional.empty[Long](), hasTimedOut = true)
+    val out2 = fn(1L, Iterator.empty, s2)
+    assert(out2 === Streams.UserTotals(1L, 2L, 5.0))
+    assert(s2.isRemoved)
+  }
 }
