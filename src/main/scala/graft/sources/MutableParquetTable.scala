@@ -406,13 +406,9 @@ object MutableParquetTable {
         e.group(1)
     }.toSeq
     if (files.isEmpty)
-      return readCommitted(spark, snapshotDir)
-        .where(org.apache.spark.sql.functions.lit(false))
+      return readCommitted(spark, snapshotDir).where(lit(false))
     spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
-      .where(org.apache.spark.sql.functions.col(keyName) >=
-          org.apache.spark.sql.functions.lit(lo) &&
-        org.apache.spark.sql.functions.col(keyName) <=
-          org.apache.spark.sql.functions.lit(hi))
+      .where(col(keyName) >= lit(lo) && col(keyName) <= lit(hi))
   }
 
   private def fileName(p: String): String =
