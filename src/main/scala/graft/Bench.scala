@@ -254,8 +254,11 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout tail capture can truncate the (long) single line; persist the
-    // full artifact to a file as well so timings are never lost
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_OUT.json"),
+    // full artifact to a file as well so timings are never lost. Default
+    // lands in the launch CWD (the repo root under the driver) so the
+    // artifact is collectable; override for side-by-side runs.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

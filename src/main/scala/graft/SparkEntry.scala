@@ -37,6 +37,23 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2, r: Int = 2): Column =
     round(sum(c.cast(DecimalType(18, scale))).cast("double"), r)
 
+  /** Content-keyed fixture-derivation cache (q47/q60/q69/q70): the derived
+    * directory is keyed by the source file's size+mtime, so a stale cache
+    * from a previous fixture can never serve wrong data — and it is only
+    * considered valid when Spark's `_SUCCESS` commit marker exists, so a
+    * crashed half-write is rebuilt rather than silently served. */
+  private def cachedDerivedDir(dir: String, srcName: String, prefix: String)
+                              (build: String => Unit): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$srcName")
+    val token = s"${java.nio.file.Files.size(src)}-" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-" +
+      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+      build(out)
+    out
+  }
+
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
 
   // ---- relational core ---------------------------------------------
@@ -558,17 +575,12 @@ object SparkEntry {
     * AudioSystem decode). n_bytes/entropy are spec-checked against ground
     * truth in MultimodalSpec (not SQL-derivable for compressed formats). */
   def q47_multimodal_features(s: SparkSession, dir: String): DataFrame = {
-    // synthesize the media table once per fixture (content-keyed cache,
-    // like q60): the operator under measurement is the DECODE pipeline,
-    // not the PNG/WAV encoding that manufactures the fixture
-    val srcFile = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val token = s"${java.nio.file.Files.size(srcFile)}-" +
-      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft-media-" +
-      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mdir))) {
+    // synthesize the media table once per fixture: the operator under
+    // measurement is the DECODE pipeline, not the PNG/WAV encoding that
+    // manufactures the fixture
+    val mdir = cachedDerivedDir(dir, "documents.parquet", "media") { out =>
       Multimodal.fromDocuments(documents(s, dir))
-        .write.mode("overwrite").parquet(mdir)
+        .write.mode("overwrite").parquet(out)
     }
     import s.implicits._
     val media = s.read.parquet(mdir).as[graft.multimodal.MediaRecord]
@@ -685,16 +697,9 @@ object SparkEntry {
     * from the other six years). The 100 TB analog of row-group zone
     * maps one level up. */
   def q60_partition_prune(s: SparkSession, dir: String): DataFrame = {
-    // cache key includes the fixture's size+mtime: a stale tmpdir from a
-    // previous fixture must never silently serve old data
-    val srcFile = java.nio.file.Paths.get(s"$dir/orders.parquet")
-    val token = s"${java.nio.file.Files.size(srcFile)}-" +
-      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-    val pdir = s"${System.getProperty("java.io.tmpdir")}/graft-part-orders-" +
-      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pdir))) {
+    val pdir = cachedDerivedDir(dir, "orders.parquet", "part-orders") { out =>
       orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
-        .write.partitionBy("o_year").mode("overwrite").parquet(pdir)
+        .write.partitionBy("o_year").mode("overwrite").parquet(out)
     }
     s.read.parquet(pdir)
       .where(col("o_year") === 1997)
@@ -850,17 +855,12 @@ object SparkEntry {
     * lossless. */
   def q69_csv_ingest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val srcFile = java.nio.file.Paths.get(s"$dir/orders.parquet")
-    val token = s"${java.nio.file.Files.size(srcFile)}-" +
-      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-    val cdir = s"${System.getProperty("java.io.tmpdir")}/graft-csv-orders-" +
-      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cdir))) {
+    val cdir = cachedDerivedDir(dir, "orders.parquet", "csv-orders") { out =>
       orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
         .coalesce(4)
-        .write.option("header", "true").mode("overwrite").csv(cdir)
+        .write.option("header", "true").mode("overwrite").csv(out)
     }
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
@@ -880,17 +880,12 @@ object SparkEntry {
     * the text round-trip). */
   def q70_json_ingest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val srcFile = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val token = s"${java.nio.file.Files.size(srcFile)}-" +
-      s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-    val jdir = s"${System.getProperty("java.io.tmpdir")}/graft-json-events-" +
-      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$token"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(jdir))) {
+    val jdir = cachedDerivedDir(dir, "events.parquet", "json-events") { out =>
       events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), date_format(col("ts"), fmtS).as("ts_s"))
         .coalesce(4)
-        .write.mode("overwrite").json(jdir)
+        .write.mode("overwrite").json(out)
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),

@@ -162,7 +162,13 @@ object Multimodal {
         var off = 8; var count = 0
         var dims: (Int, Int) = (0, 0)
         while (off < payload.length) {
+          require(off + 4 <= payload.length, "truncated frame-length slot")
           val len = readInt(payload, off)
+          // a corrupt length must error, not hang: len <= 0 would make
+          // `off` stop advancing (len == -4 loops forever), and an
+          // oversized len would walk past the payload
+          require(len > 0 && off.toLong + 4 + len <= payload.length,
+            s"corrupt frame length $len at offset $off")
           if (count == 0) { // decode the first frame for dimensions
             val img = ImageIO.read(
               new ByteArrayInputStream(payload, off + 4, len))
@@ -219,7 +225,10 @@ object Multimodal {
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var off = 8
       while (off < m.payload.length) {
+        require(off + 4 <= m.payload.length, "truncated frame-length slot")
         val len = readInt(m.payload, off)
+        require(len > 0 && off.toLong + 4 + len <= m.payload.length,
+          s"corrupt frame length $len at offset $off")
         frames += java.util.Arrays.copyOfRange(m.payload, off + 4, off + 4 + len)
         off += 4 + len
       }

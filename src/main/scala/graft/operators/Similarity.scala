@@ -45,6 +45,13 @@ object Similarity {
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val top = Udx.topK(k)
     scored
+      // null scores (null/malformed embeddings) can never rank; the
+      // aggregator's Scored.score field is non-nullable, so they must be
+      // dropped here, matching the window formulation's nulls-last-beyond-k
+      // behavior. NaN scores rank LAST here (java Double order) — the old
+      // window's desc order put NaN first, which was never the wanted
+      // answer for a similarity search.
+      .where(col("cosine").isNotNull)
       .groupBy(col("query_id"))
       .agg(top(col("cosine"), col("id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))

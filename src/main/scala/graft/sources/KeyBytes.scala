@@ -49,4 +49,26 @@ private[graft] object KeyBytes {
 
   implicit val ordering: Ordering[Array[Byte]] =
     (x: Array[Byte], y: Array[Byte]) => compare(x, y)
+
+  /** Fixpoint expansion of a dirty index set across NON-CUT boundaries.
+    * Boundary (i, i+1) of key-ordered units is a cut iff
+    * max(i) < min(i+1); a non-cut boundary means a key value straddles
+    * both sides, and a rewrite sliced there would drop or duplicate the
+    * straddling rows — so a dirty unit absorbs its straddled neighbor.
+    * With unique keys no boundary straddles and this is the identity.
+    * Shared by file-granularity ([[MutableParquetTable]]) and
+    * row-group-granularity ([[RowGroupCoW]]) CoW. */
+  def expandNonCut(n: Int, minBytes: Int => Array[Byte],
+                   maxBytes: Int => Array[Byte], dirty0: Set[Int]): Set[Int] = {
+    val d = scala.collection.mutable.Set(dirty0.toSeq: _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      for (i <- 0 until n - 1) {
+        val cut = compare(maxBytes(i), minBytes(i + 1)) < 0
+        if (!cut && d(i) != d(i + 1)) { d += i; d += (i + 1); changed = true }
+      }
+    }
+    d.toSet
+  }
 }

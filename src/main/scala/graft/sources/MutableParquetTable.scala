@@ -118,26 +118,17 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     // relative) — comparing full paths would silently classify every file
     // clean AND re-merge the dirty ones (duplicate rows)
     val routed = routedFiles(ranges, batch.select(key)).map(fileName).toSet
-    // Expand across NON-CUT file boundaries (max(f) >= min(f+1): a key
-    // value straddles both files — only possible when keys repeat). The
-    // run slices below are key-range filters, so cutting at a straddled
-    // boundary would drop the left file's straddling rows or leave stale
-    // copies beside a replacement. With unique keys (the engine's
-    // primary-key contract, matching the reference's unique-key
-    // requirement) this is a no-op.
-    val dirtyNames = {
-      val d = scala.collection.mutable.Set(routed.toSeq: _*)
-      var changed = true
-      while (changed) {
-        changed = false
-        for (i <- 0 until ranges.size - 1) {
-          val cut = KeyBytes.compare(ranges(i).maxBytes, ranges(i + 1).minBytes) < 0
-          val (a, b) = (fileName(ranges(i).file), fileName(ranges(i + 1).file))
-          if (!cut && d(a) != d(b)) { d += a; d += b; changed = true }
-        }
-      }
-      d.toSet
-    }
+    // non-cut expansion (see KeyBytes.expandNonCut): the run slices below
+    // are key-range filters, so a key straddling a file boundary (repeated
+    // keys — out of the primary-key contract, matching the reference's
+    // unique-key requirement) would otherwise lose rows or leave stale
+    // copies beside a replacement
+    val dirtyNames = KeyBytes.expandNonCut(ranges.size,
+        i => ranges(i).minBytes, i => ranges(i).maxBytes,
+        ranges.zipWithIndex.collect {
+          case (r, i) if routed(fileName(r.file)) => i
+        }.toSet)
+      .map(i => fileName(ranges(i).file))
     val allFiles = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(dir))
@@ -257,9 +248,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     * rewrites straddling files together) for out-of-contract data. */
   def mergeFineGrained(batch: DataFrame, opCol: String = "op",
                        snapshotDir: Option[String] = None): MergeResult = {
+    val ranges = sortedRanges()
+    // an empty (or stat-less) table has nothing to splice — the
+    // file-level merge owns the insert-into-empty path; silently
+    // committing an empty snapshot would drop the batch
+    if (ranges.isEmpty) return merge(batch, opCol, snapshotDir)
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
-    val ranges = sortedRanges()
     val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
     val allFiles = {
       import scala.jdk.CollectionConverters._
@@ -317,25 +312,32 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
                             carried: Seq[ParquetStats.FileKeyRange],
                             newFiles: Seq[String]): Unit = {
     val ranges = (carried ++
-      ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key, outDir))
+      ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
-    def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val files = ranges.map { r =>
+    import MutableParquetTable.js
+    // files with no key stats (all-null keys — out of contract but
+    // possible) can't be range-pruned, but they ARE part of the snapshot:
+    // list them without bounds so readCommitted/readRange never lose them
+    val rangedNames = ranges.map(r => fileName(r.file)).toSet
+    val statless = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(outDir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).filterNot(rangedNames).toList.sorted
+      finally s.close()
+    }
+    val files = (ranges.map { r =>
       s"""{"file":${js(fileName(r.file))},"minKey":${js(r.min.toString)},""" +
         s""""maxKey":${js(r.max.toString)},"rows":${r.rowCount}}"""
-    }.mkString("[", ",", "]")
+    } ++ statless.map(n => s"""{"file":${js(n)}}""")).mkString("[", ",", "]")
     val keyType = ranges.headOption.map(_.min) match {
       case Some(_: java.lang.Long) => "long"
       case Some(_)                 => "string"
       case None                    => "unknown"
     }
     val json =
-      s"""{"key":${js(key)},"keyType":"$keyType","fileCount":${ranges.size},""" +
+      s"""{"key":${js(key)},"keyType":"$keyType",""" +
+        s""""fileCount":${ranges.size + statless.size},""" +
         s""""totalRows":${ranges.map(_.rowCount).sum},"files":$files}"""
     val tmp = Paths.get(outDir, ManifestName + ".tmp")
     Files.writeString(tmp, json)
@@ -374,7 +376,7 @@ object MutableParquetTable {
     val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
       s"$snapshotDir has no $ManifestName — not a committed snapshot"))
     val files = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(m).map(_.group(1)).toSeq
+      .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
     require(files.nonEmpty, s"$snapshotDir manifest lists no files")
     spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
   }
@@ -390,8 +392,8 @@ object MutableParquetTable {
                 lo: Any, hi: Any): DataFrame = {
     val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
       s"$snapshotDir has no $ManifestName — not a committed snapshot"))
-    val keyName = "\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findFirstMatchIn(m).get.group(1)
+    val keyName = unjs("\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(m).get.group(1))
     val entry =
       ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
         "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
@@ -400,11 +402,18 @@ object MutableParquetTable {
     val isLong = m.contains("\"keyType\":\"long\"")
     def enc(s: String): Array[Byte] =
       if (isLong) KeyBytes.fromLong(s.toLong) else KeyBytes.fromString(s)
-    val files = entry.findAllMatchIn(m).collect {
-      case e if KeyBytes.compare(enc(e.group(2)), hiB) <= 0 &&
-                KeyBytes.compare(enc(e.group(3)), loB) >= 0 =>
-        e.group(1)
-    }.toSeq
+    val ranged = entry.findAllMatchIn(m)
+      .map(e => (unjs(e.group(1)), unjs(e.group(2)), unjs(e.group(3)))).toSeq
+    val inRange = ranged.collect {
+      case (f, mn, mx) if KeyBytes.compare(enc(mn), hiB) <= 0 &&
+                          KeyBytes.compare(enc(mx), loB) >= 0 => f
+    }
+    // bounds-less manifest entries (no key stats) can never be pruned
+    val rangedNames = ranged.map(_._1).toSet
+    val unprunable = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
+      .filterNot(rangedNames)
+    val files = inRange ++ unprunable
     if (files.isEmpty)
       return readCommitted(spark, snapshotDir).where(lit(false))
     spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
@@ -413,6 +422,35 @@ object MutableParquetTable {
 
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
+
+  /** Minimal JSON string escape for the manifest's self-written format. */
+  private[sources] def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Inverse of [[js]] — manifest readers must unescape what the writer
+    * escaped, or string keys/file names containing quotes or backslashes
+    * would compare on the wrong bytes and silently mis-prune. */
+  private[sources] def unjs(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** Binary search over the key-ordered file mins: last file whose
     * min <= key, else the first file. */

@@ -241,13 +241,13 @@ object ParquetStats {
     * can never be routed to. */
   def fileKeyRangesTyped(spark: SparkSession, path: String,
                          keyCol: String): Seq[FileKeyRange] =
-    fileKeyRangesTypedFor(spark, listFiles(spark, path), keyCol, path)
+    fileKeyRangesTypedFor(spark, listFiles(spark, path), keyCol)
 
   /** Same, over an explicit file list — lets callers that already know
     * most files' ranges (e.g. the merge path's untouched passthrough
     * files) pay footer IO only for the files they actually wrote. */
   def fileKeyRangesTypedFor(spark: SparkSession, files: Seq[String],
-                            keyCol: String, path: String): Seq[FileKeyRange] = {
+                            keyCol: String): Seq[FileKeyRange] = {
     def ofTyped(f: String, minL: Option[Long], maxL: Option[Long],
                 minS: Option[String], maxS: Option[String],
                 rows: Long): Option[FileKeyRange] =
@@ -260,42 +260,42 @@ object ParquetStats {
           case _ => None
         }
       }
+    // per-file aggregation of the footerRows schema, shared by both
+    // branches; string bounds compared under byte order — consistent with
+    // Spark's UTF8String sort and parquet's UNSIGNED stats order
+    def byteMin(xs: Seq[String]) =
+      xs.reduce((a, b) => if (KeyBytes.compare(
+        KeyBytes.fromString(a), KeyBytes.fromString(b)) <= 0) a else b)
+    def byteMax(xs: Seq[String]) =
+      xs.reduce((a, b) => if (KeyBytes.compare(
+        KeyBytes.fromString(a), KeyBytes.fromString(b)) >= 0) a else b)
+    def fromGroupRows(f: String, rgs: Seq[Row]): Option[FileKeyRange] = {
+      val minLs = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
+      val maxLs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
+      val minSs = rgs.flatMap(r => Option(r.getString(5)))
+      val maxSs = rgs.flatMap(r => Option(r.getString(6)))
+      ofTyped(f,
+        minLs.minOption, maxLs.maxOption,
+        if (minSs.isEmpty) None else Some(byteMin(minSs)),
+        if (maxSs.isEmpty) None else Some(byteMax(maxSs)),
+        rgs.map(_.getLong(2)).sum)
+    }
     if (files.size <= driverReadThreshold) {
       val hconf = spark.sparkContext.hadoopConfiguration
-      def byteMin(xs: Seq[String]) =
-        xs.reduce((a, b) => if (KeyBytes.compare(
-          KeyBytes.fromString(a), KeyBytes.fromString(b)) <= 0) a else b)
-      def byteMax(xs: Seq[String]) =
-        xs.reduce((a, b) => if (KeyBytes.compare(
-          KeyBytes.fromString(a), KeyBytes.fromString(b)) >= 0) a else b)
-      parFlatMap(files) { f =>
-        val rgs = footerRows(f, keyCol, hconf)
-        val minLs = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
-        val maxLs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
-        val minSs = rgs.flatMap(r => Option(r.getString(5)))
-        val maxSs = rgs.flatMap(r => Option(r.getString(6)))
-        ofTyped(f,
-          minLs.minOption, maxLs.maxOption,
-          if (minSs.isEmpty) None else Some(byteMin(minSs)),
-          if (maxSs.isEmpty) None else Some(byteMax(maxSs)),
-          rgs.map(_.getLong(2)).sum)
-      }
+      parFlatMap(files)(f => fromGroupRows(f, footerRows(f, keyCol, hconf)))
     } else {
-      // Spark's string min/max use UTF8String (byte) ordering — consistent
-      // with the driver-side path and with parquet's UNSIGNED stats order.
-      // Filter by file NAME: the caller's list and the scan's footer rows
-      // may render paths with different schemes (file:/ vs plain)
-      val want = files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-      fileKeyRanges(spark, path, keyCol).collect().toSeq
-        .filter(r => want.contains(
-          new org.apache.hadoop.fs.Path(r.getString(0)).getName))
-        .flatMap { r =>
-          ofTyped(r.getString(0),
-            if (r.isNullAt(1)) None else Some(r.getLong(1)),
-            if (r.isNullAt(2)) None else Some(r.getLong(2)),
-            Option(r.getString(4)), Option(r.getString(5)),
-            r.getLong(3))
-        }
+      // executor-parallel footer reads of EXACTLY the listed files — a
+      // merge writing many new files into a snapshot with thousands of
+      // passthrough files must not pay footer IO for the clean ones
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val kc = keyCol
+      spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 64)))
+        .mapPartitions(it => it.flatMap(f => footerRows(f, kc, conf.value)))
+        .collect().toSeq
+        .groupBy(_.getString(0)).toSeq
+        .flatMap { case (f, rgs) => fromGroupRows(f, rgs) }
     }
   }
 }

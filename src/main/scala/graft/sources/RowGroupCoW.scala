@@ -98,28 +98,13 @@ object RowGroupCoW {
       ans
     }.toSet
 
-    // Expand the dirty set across NON-CUT boundaries (max(g) >= min(g+1):
-    // a key value straddles the two groups). Run slices are key-range
-    // filters, so cutting at a straddled boundary would silently drop the
-    // left group's straddling rows (they fall below the slice's upper
-    // bound) or duplicate the right ones. Absorbing the neighbor re-encodes
-    // one extra group — conservative and exact; with unique keys (the
-    // engine's primary-key contract) no boundary ever straddles and this
-    // is a no-op.
-    val dirtyIdx = {
-      val d = scala.collection.mutable.Set(dirtyIdx0.toSeq: _*)
-      var changed = true
-      while (changed) {
-        changed = false
-        for (g <- 0 until blocks.size - 1) {
-          val cut = KeyBytes.compare(maxs(g), mins(g + 1)._2) < 0
-          if (!cut && d(g) != d(g + 1)) {
-            d += g; d += (g + 1); changed = true
-          }
-        }
-      }
-      d.toSet
-    }
+    // non-cut expansion (see KeyBytes.expandNonCut): run slices are
+    // key-range filters, so a key straddling a group boundary (parquet
+    // cuts groups by size, mid-key, whenever keys repeat) would otherwise
+    // silently drop the left group's straddling rows or duplicate the
+    // right ones; absorbing the neighbor re-encodes one extra group
+    val dirtyIdx = KeyBytes.expandNonCut(blocks.size,
+      g => mins(g)._2, g => maxs(g), dirtyIdx0)
 
     // maximal runs of consecutive same-cleanliness groups, in file order
     val runs = blocks.indices.foldLeft(Vector.empty[(Boolean, Vector[Int])]) {
