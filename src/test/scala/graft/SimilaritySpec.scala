@@ -26,6 +26,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("null embeddings are excluded from ranking, not a crash") {
+    val s = spark; import s.implicits._
+    val v = (0 until 8).map(i => (i * 0.3).toFloat).toArray
+    val w = (0 until 8).map(i => math.cos(i * 2.1).toFloat).toArray
+    val df = Seq((1L, Option(v)), (2L, Option(w)), (3L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    // a corpus row with a null embedding scores null — it must silently
+    // not rank (the old window put nulls last; the aggregator's score
+    // field is non-nullable and would otherwise throw)
+    val got = Similarity.bruteForceTopK(df, df.where(col("vec_id") === 1),
+      "embedding", "vec_id", 5).collect()
+    assert(got.map(_.getLong(1)).toSet === Set(2L))
+  }
+
   test("brute force finds an exact duplicate vector at rank 1") {
     val s = spark; import s.implicits._
     val v = (0 until 8).map(i => (i * 0.3).toFloat).toArray
