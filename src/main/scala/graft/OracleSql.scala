@@ -656,7 +656,7 @@ object OracleSql {
 
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
-        count_if(o_totalprice > 300000) AS n_big,
+        CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
         CAST(bool_and(o_totalprice > 0) AS INT) AS all_pos,
         CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
         arg_max(o_orderkey,

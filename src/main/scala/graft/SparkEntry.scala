@@ -801,7 +801,10 @@ object SparkEntry {
     * orderkey) so arg extremes are tie-free and deterministic in both
     * engines. Boolean aggregates are cast to int on both sides: raw
     * booleans serialize differently between Spark parquet and DuckDB in
-    * the driver's hash step (cf. q53). */
+    * the driver's hash step (cf. q53). The oracle additionally casts
+    * count_if to BIGINT: DuckDB's count_if returns HUGEINT, which pandas
+    * renders as float64 — value-equal to Spark's long but
+    * representation-different under the driver's hash. */
   def q67_conditional_agg(s: SparkSession, dir: String): DataFrame = {
     // round before the long cast: Spark's double→long cast truncates while
     // DuckDB's rounds, so an un-rounded 12344.9999 would diverge

@@ -89,6 +89,13 @@ def compare(sdf, odf):
     a, b = canon(sdf), canon(odf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes values, so int-vs-float representation splits
+        # (e.g. DuckDB HUGEINT -> pandas float64) fail there even when
+        # values are equal. Mirror that strictness here.
+        fa, fb = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        if fa != fb:
+            return False, (f"column {c} dtype mismatch: spark={av.dtype} "
+                           f"oracle={bv.dtype} (driver hash would differ)")
         try:
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 import numpy as np
