@@ -134,6 +134,30 @@ object Bench {
       System.err.println(s"[bench] sketch experiment failed: ${e.getMessage}")
     }
 
+    // ---- z-order vs linear layout: secondary-dimension pruning ----
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val ldir = s"$workDir/zorder-linear"
+      val zdir = s"$workDir/zorder-curve"
+      val layout = ParquetLayout(rowGroupBytes = Some(512 * 1024))
+      ParquetTable.writeSorted(li, ldir, "l_partkey", 8, layout)
+      graft.sources.ZOrder.writeZOrdered(li, zdir,
+        Seq("l_partkey", "l_suppkey"), 8, layout)
+      def scan(d: String) = runToNoop(spark.read.parquet(d)
+        .where(col("l_suppkey").between(2, 4))
+        .agg(sum(col("l_quantity")), count(lit(1))))
+      scan(ldir); scan(zdir) // warm
+      results("zorder_linear_scan") = (1 to 3).map(_ => time(scan(ldir))).min
+      results("zorder_curve_scan") = (1 to 3).map(_ => time(scan(zdir))).min
+      // row groups a pushed l_suppkey filter must read (zone-map overlap)
+      results("zorder_linear_groups") = graft.sources.ZOrder
+        .overlappingRowGroups(spark, ldir, "l_suppkey", 2, 4).toDouble
+      results("zorder_curve_groups") = graft.sources.ZOrder
+        .overlappingRowGroups(spark, zdir, "l_suppkey", 2, 4).toDouble
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] zorder experiment failed: ${e.getMessage}")
+    }
+
     // ---- merge-scaling experiment on a 600k-row key-sorted table ----
     try {
       val baseDir = s"$workDir/merge-base"

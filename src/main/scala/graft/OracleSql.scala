@@ -654,6 +654,75 @@ object OracleSql {
         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q40_approx_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts,
+        CAST(1 AS INT) AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q71_pii_redact" -> """
+      WITH c AS (
+        SELECT doc_id,
+          substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example or +1-'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(contact,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(contact,
+          '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        regexp_replace(
+          regexp_replace(contact,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM c
+      ORDER BY doc_id""",
+
+    "q72_embed_quantize" -> """
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+          list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings)
+      SELECT vec_id,
+        round(scale, 6) AS scale,
+        array_to_string(
+          CASE WHEN scale = 0
+               THEN list_transform(vd, x -> 0)
+               ELSE list_transform(vd,
+                 x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT)) END,
+          ',') AS q_str,
+        round(sqrt(list_sum(list_transform(vd, x ->
+          (x - (CASE WHEN scale = 0 THEN 0.0
+                     ELSE floor(x * 127.0 / scale + 0.5) END) * scale / 127.0) *
+          (x - (CASE WHEN scale = 0 THEN 0.0
+                     ELSE floor(x * 127.0 / scale + 0.5) END) * scale / 127.0)))),
+          6) AS recon_err
+      FROM v
+      ORDER BY vec_id""",
+
+    "q73_hash_sample" -> """
+      SELECT l_returnflag, count(*) AS n,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      FROM lineitem
+      WHERE substr(md5(concat_ws(':', CAST(l_orderkey AS VARCHAR),
+        CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q74_zorder_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      FROM lineitem
+      WHERE l_suppkey BETWEEN 2 AND 4
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

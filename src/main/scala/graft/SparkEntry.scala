@@ -487,12 +487,20 @@ object SparkEntry {
 
   // ---- approximate / engine-internal (rows-only checks) -------------
 
-  /** HLL++ approximate distinct (no cross-engine oracle). */
+  /** HLL++ approximate distinct. The sketch internals have no
+    * cross-engine oracle, so the query emits the exact count plus an
+    * `approx_ok` flag asserting the HLL++ estimate (rsd 0.01) landed
+    * within 5% of it — Spark's estimate is deterministic, so the flag is
+    * stable and the oracle (exact count, flag literally 1) hash-checks
+    * that the sketch actually works, not just that rows came back. */
   def q40_approx_distinct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).cast("int").as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
   /** MinHash-LSH near-dup candidate pairs (native one-pass signature
@@ -949,6 +957,80 @@ object SparkEntry {
       .select(col("rowGroup").as("row_group"), col("rowCount").as("row_count"))
       .orderBy(col("row_group"))
 
+  /** PII scrub over synthetic contact lines: email + phone redaction with
+    * occurrence counts ([[graft.functions.TextFunctions.redactPii]]). The
+    * PII-bearing text is constructed deterministically inside the query
+    * (the fixture corpus has none), and BOTH engines redact independently
+    * with the same RE2-compatible patterns — the oracle checks the scrub
+    * itself, not a precomputed answer. */
+  def q71_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      substring(col("text"), 1, 40),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example or +1-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    documents(s, dir)
+      .select(col("doc_id"), contact.as("contact"))
+      .select(col("doc_id"),
+        TextFunctions.emailCount(col("contact")).as("n_emails"),
+        TextFunctions.phoneCount(col("contact")).as("n_phones"),
+        TextFunctions.redactPii(col("contact")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Symmetric int8 embedding quantization + L2 reconstruction error
+    * ([[graft.functions.VectorFunctions]]). The quantized vector is
+    * emitted as a comma-joined string so the oracle verifies every
+    * element; rounding is explicit half-up via floor(x+0.5), portable
+    * across engines. */
+  def q72_embed_quantize(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      // the working column must NOT share a name with the rounded output
+      // alias: Spark 4 lateral column aliases would resolve col("scale")
+      // in the sibling expressions to the ROUNDED alias, silently
+      // quantizing against a 6-decimal scale
+      .withColumn("__scale", VectorFunctions.int8Scale(col("embedding")))
+      .select(col("vec_id"),
+        round(col("__scale"), 6).as("scale"),
+        array_join(VectorFunctions.int8Quantize(col("embedding"), col("__scale")),
+          ",").as("q_str"),
+        round(VectorFunctions.int8ReconError(col("embedding"), col("__scale")),
+          6).as("recon_err"))
+      .orderBy(col("vec_id"))
+
+  /** Deterministic hash sampling: keep rows whose md5 of the composite
+    * key starts below 0x1a (~10.2%), then aggregate the sample. Unlike
+    * seeded `sample()`, the md5 rule is engine-portable, stable under
+    * repartitioning, and consistent across tables sharing the key —
+    * the standard way to cut a reproducible corpus slice at 100 TB. */
+  def q73_hash_sample(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(substring(md5(concat_ws(":",
+        col("l_orderkey"), col("l_linenumber"))), 1, 2) < "1a")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy(col("l_returnflag"))
+
+  /** Z-order-clustered scan ([[graft.sources.ZOrder]]): lineitem laid out
+    * on the Morton curve of (l_partkey, l_suppkey), then filtered on the
+    * SECOND dimension — the case a single-key sort cannot prune. The
+    * oracle recomputes from the raw table, so the curve layout must
+    * round-trip the data exactly; ZOrderSpec asserts the pruning wins. */
+  def q74_zorder_scan(s: SparkSession, dir: String): DataFrame = {
+    val zdir = cachedDerivedDir(dir, "lineitem.parquet", "zorder-lineitem") { out =>
+      graft.sources.ZOrder.writeZOrdered(lineitem(s, dir), out,
+        Seq("l_partkey", "l_suppkey"), 4,
+        graft.sources.ParquetLayout(rowGroupBytes = Some(256 * 1024)))
+    }
+    s.read.parquet(zdir)
+      .where(col("l_suppkey").between(2, 4))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1022,6 +1104,10 @@ object SparkEntry {
     "q68_uuid_merge" -> (q68_uuid_merge _),
     "q69_csv_ingest" -> (q69_csv_ingest _),
     "q70_json_ingest" -> (q70_json_ingest _),
+    "q71_pii_redact" -> (q71_pii_redact _),
+    "q72_embed_quantize" -> (q72_embed_quantize _),
+    "q73_hash_sample" -> (q73_hash_sample _),
+    "q74_zorder_scan" -> (q74_zorder_scan _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

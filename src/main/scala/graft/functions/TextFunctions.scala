@@ -130,4 +130,24 @@ object TextFunctions {
     aggregate(tokens(lower(text)), lit(0L),
       (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
+
+  /** PII scrub patterns, kept to syntax with identical semantics in Java
+    * regex and RE2 (no backrefs, no lookaround) so an external engine can
+    * verify the scrub byte-for-byte. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast("int")
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phonePattern)).cast("int")
+
+  /** Redact emails then phone numbers — a codegen'd two-pass
+    * regexp_replace, linear in input bytes. Standard corpus-prep scrub
+    * before training-data release. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }

@@ -56,6 +56,35 @@ object VectorFunctions {
     when(size(vec) === dim, sig).otherwise(lit(null).cast("long"))
   }
 
+  /** Per-vector symmetric int8 quantization scale: max |x|. Zero for the
+    * all-zero vector (quantized form is then all zeros too). */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization against a precomputed `scale` column:
+    * q = floor(x * 127 / scale + 0.5) — explicit half-up via floor so the
+    * rounding rule is engine-portable (round() half-even vs half-away
+    * differs across engines). 4 bytes → 1 byte per dimension; at 100 TB of
+    * embeddings that is the difference between spilling and not. */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * lit(127.0) / scale + lit(0.5)).cast("int")))
+
+  /** L2 reconstruction error of the int8 round-trip, computed from the
+    * raw vector and scale alone (the quantized value is recomputed
+    * per element, so no second array column is carried). */
+  def int8ReconError(vec: Column, scale: Column): Column = {
+    val sq = transform(vec, x => {
+      val xd = x.cast("double")
+      val q = when(scale === 0.0, lit(0.0))
+        .otherwise(floor(xd * lit(127.0) / scale + lit(0.5)))
+      val r = q * scale / lit(127.0)
+      (xd - r) * (xd - r)
+    })
+    sqrt(aggregate(sq, lit(0.0), (acc, v) => acc + v))
+  }
+
   /** Deterministic pseudo-random weight in [-0.5, 0.5). */
   private[graft] def hashToUnit(seed: Long, i: Int, j: Int): Double = {
     var h = seed ^ (i.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL)
