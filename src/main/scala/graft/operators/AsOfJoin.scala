@@ -224,4 +224,77 @@ object AsOfJoin {
       rightPayloadCols.map(c => col("__m").getField(c).as(s"$matchPrefix$c"))
     swept.select(outCols: _*)
   }
+
+  /** Hot-key-safe forward as-of join — [[backwardBucketed]] mirrored in
+    * time: carries flow from LATER buckets backward (the earliest right
+    * row of each later bucket), and the per-bucket sweep runs in
+    * descending time order. Identical results to [[forward]]
+    * (TemporalJoinSpec property test); per-task rows bounded by bucket
+    * width, not key frequency. */
+  def forwardBucketed(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      bucketSeconds: Long = 3600L,
+                      matchPrefix: String = "asof_",
+                      strict: Boolean = false,
+                      tolerance: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0)
+    val rightPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val lStructT = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
+    val rStructT = right.select(struct(rightPayloadCols.map(col): _*)).schema.head.dataType
+
+    val rSide = if (strict) 2 else 0
+    def bucketOf(ts: Column) = floor(ts.cast("double") / bucketSeconds).cast("long")
+    val l = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+      .withColumn("__b", bucketOf(col("__t")))
+    val r = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(rSide).as("__side"),
+      lit(null).cast(lStructT).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // pass A: EARLIEST right per (key, bucket); carry-in for a bucket is
+    // the earliest right row among all LATER buckets
+    val perBucket = r.groupBy(col("__k"), col("__b"))
+      .agg(min_by(col("__r"), col("__t")).as("__first_r"))
+    val spine = l.select(col("__k"), col("__b"))
+      .unionByName(perBucket.select(col("__k"), col("__b"))).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = spine.join(perBucket, Seq("__k", "__b"), "left")
+      .withColumn("__carry", last(col("__first_r"), ignoreNulls = true).over(wCarry))
+      .where(col("__carry").isNotNull)
+      .select(col("__k"), col("__b"), col("__carry"))
+
+    // pass B: descending sweep keyed by (key, bucket); the carry's real
+    // ts is strictly above the bucket's end so it sorts first in the
+    // descending order (side -1 is belt-and-braces)
+    val carryRows = carries.select(col("__k"),
+      col("__carry").getField(rightTs).as("__t"),
+      lit(-1).as("__side"),
+      lit(null).cast(lStructT).as("__l"),
+      col("__carry").as("__r"),
+      col("__b"))
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweptRaw = l.unionByName(r).unionByName(carryRows)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val swept = tolerance match {
+      case Some(t) => sweptRaw.withColumn("__m",
+        when(col("__m").isNotNull &&
+          col("__m").getField(rightTs) <= col("__t") + expr(s"interval $t"),
+          col("__m")))
+      case None => sweptRaw
+    }
+
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__m").getField(c).as(s"$matchPrefix$c"))
+    swept.select(outCols: _*)
+  }
 }

@@ -9,12 +9,57 @@ import org.apache.spark.sql.types.StringType
 import graft.operators.MergeOps
 
 /** Result of a copy-on-write merge: where the new snapshot lives and which
-  * files were rewritten vs passed through untouched. */
+  * files were rewritten vs passed through untouched.
+  *
+  * The byte accessors are the engine's merge-job metrics — the analog of
+  * the reference's per-merge timing/size report (ParquetRewriter.java:
+  * 349-359): how much data the CoW left untouched vs re-encoded. Driver-
+  * side `Files.size` only (cost scales with FILE COUNT, never data). */
 final case class MergeResult(
     snapshotDir: String,
     rewrittenFiles: Seq[String],
     passthroughFiles: Seq[String],
-    insertedFileCount: Int)
+    insertedFileCount: Int) {
+
+  private def sz(fs: Seq[String]): Long =
+    fs.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+
+  /** Bytes passed through untouched (hard-linked, never decoded). */
+  def bytesPassedThrough: Long = sz(passthroughFiles)
+
+  /** Bytes of source data the merge had to read and re-encode. */
+  def bytesRewrittenInput: Long = sz(rewrittenFiles)
+
+  /** Bytes this merge physically wrote (snapshot minus passthrough). */
+  def bytesWritten: Long = {
+    val linked = passthroughFiles
+      .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(snapshotDir))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => linked(p.getFileName.toString))
+      .map(java.nio.file.Files.size).sum
+    finally s.close()
+  }
+
+  /** Fraction of the source table's bytes the CoW left untouched — the
+    * reference's partial-rewrite headline number (README.md:109-111). */
+  def passthroughFraction: Double = {
+    val total = bytesPassedThrough + bytesRewrittenInput
+    if (total == 0) 1.0 else bytesPassedThrough.toDouble / total
+  }
+
+  /** One-line JSON summary for logs/telemetry. */
+  def summaryJson: String =
+    s"""{"snapshotDir":"$snapshotDir","filesLinked":${passthroughFiles.size},""" +
+      s""""filesRewritten":${rewrittenFiles.size},""" +
+      s""""filesInserted":$insertedFileCount,""" +
+      s""""bytesPassedThrough":$bytesPassedThrough,""" +
+      s""""bytesRewrittenInput":$bytesRewrittenInput,""" +
+      s""""bytesWritten":$bytesWritten,""" +
+      s""""passthroughFraction":$passthroughFraction}"""
+}
 
 /** A key-sorted Parquet table supporting copy-on-write merges.
   *

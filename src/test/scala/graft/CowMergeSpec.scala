@@ -215,6 +215,53 @@ class CowMergeSpec extends SparkSpec {
       MutableParquetTable.readCommitted(spark, crashed))
   }
 
+  test("merge result reports byte-level CoW metrics") {
+    val dir = freshDir(); writeBase(dir)
+    val t = MutableParquetTable(spark, dir, "c_custkey")
+    // touch one file's range only
+    val batch = Tables.customer(spark, sf())
+      .where(col("c_custkey") <= 10)
+      .withColumn("c_name", lit("patched"))
+      .withColumn("op", lit("upsert"))
+    val res = t.merge(batch)
+    assert(res.rewrittenFiles.size === 1)
+    assert(res.passthroughFiles.size === 4)
+    // linked bytes equal the source files' sizes exactly (never decoded)
+    val srcSizes = res.passthroughFiles
+      .map(f => Files.size(Paths.get(f))).sum
+    assert(res.bytesPassedThrough === srcSizes && srcSizes > 0)
+    assert(res.bytesRewrittenInput > 0)
+    assert(res.bytesWritten > 0)
+    assert(res.passthroughFraction > 0.5 && res.passthroughFraction < 1.0)
+    // summary parses as one JSON object with the same numbers
+    val json = res.summaryJson
+    assert(json.contains(s""""bytesPassedThrough":${res.bytesPassedThrough}"""))
+    assert(json.contains(""""filesLinked":4"""))
+
+    // the no-op merge is the boundary: everything passes through
+    val noop = MutableParquetTable(spark, res.snapshotDir, "c_custkey")
+      .merge(batch.limit(0))
+    assert(noop.passthroughFraction === 1.0)
+    assert(noop.bytesWritten === 0L)
+  }
+
+  test("Spark execution metrics are harvested for the merge's rewrite job (S23)") {
+    val dir = freshDir(); writeBase(dir)
+    val m = Metrics.attach(spark)
+    try {
+      val batch = Tables.customer(spark, sf())
+        .where(col("c_custkey") <= 10)
+        .withColumn("op", lit("upsert"))
+      MutableParquetTable(spark, dir, "c_custkey").merge(batch)
+      // the rewrite is a Spark write action: the listener must have seen
+      // at least one action that read files and produced rows
+      val seen = m.snapshot()
+      assert(seen.nonEmpty, "no actions harvested during merge")
+      assert(seen.exists(q => q.filesRead > 0 && q.bytesRead > 0),
+        seen.mkString("; "))
+    } finally m.detach()
+  }
+
   test("row-group layout controls are honored (S15/S18-S21)") {
     val dir = freshDir()
     val li = Tables.lineitem(spark, sf())

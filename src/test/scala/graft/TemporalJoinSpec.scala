@@ -155,6 +155,35 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: bucketed FORWARD as-of == direct sweep on a skewed corpus, all variants") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    def key(): Long = if (rnd.nextInt(10) < 7) 0L else 1L + rnd.nextInt(4)
+    val lefts = (0 until 400).map(i => (i.toLong, key(), rnd.nextInt(5000)))
+      .toDF("lid", "k", "t")
+    val rights = (0 until 300).map(i => (key(), rnd.nextInt(5000), i.toLong))
+      .distinctBy(r => (r._1, r._2)).toDF("k", "t", "payload")
+    for (strict <- Seq(false, true); bucket <- Seq(100L, 977L, 100000L)) {
+      val got = AsOfJoin.forwardBucketed(lefts, rights, "k", "k", "t", "t",
+        bucketSeconds = bucket, strict = strict)
+        .select(col("lid"), col("asof_payload"))
+      val ref = AsOfJoin.forward(lefts, rights, "k", "k", "t", "t", strict = strict)
+        .select(col("lid"), col("asof_payload"))
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"strict=$strict bucket=$bucket")
+    }
+  }
+
+  test("bucketed forward as-of with tolerance matches the direct form on the fixture") {
+    val got = AsOfJoin.forwardBucketed(views, purchases, "user_id", "user_id",
+      "ts", "ts", bucketSeconds = 1800L, tolerance = Some("30 minutes"))
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+    val ref = AsOfJoin.forward(views, purchases, "user_id", "user_id", "ts", "ts",
+      tolerance = Some("30 minutes"))
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("bucketed as-of with tolerance matches the direct form on the fixture") {
     val got = AsOfJoin.backwardBucketed(views, purchases, "user_id", "user_id",
       "ts", "ts", bucketSeconds = 1800L, tolerance = Some("30 minutes"))
