@@ -62,6 +62,25 @@ object Streams {
     else withWm.dropDuplicates(keys)
   }
 
+  /** Stream-stream interval join: each left event joined to right events
+    * of the same key with `rightTs` in `[leftTs - before, leftTs + after]`.
+    * Right columns come back `r_`-prefixed. Both sides carry watermarks,
+    * so the join state Spark buffers is bounded by the interval plus the
+    * watermark delay — the condition every production stream-stream join
+    * needs to avoid unbounded state. Batch frames run the identical plan
+    * (state bounding simply doesn't apply). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String = "ts", rightTs: String = "ts",
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   delay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+      .withWatermark(s"r_$rightTs", delay)
+    l.join(r, col(key) === col(s"r_$key") &&
+      col(s"r_$rightTs") >= col(leftTs) - expr(s"interval $before") &&
+      col(s"r_$rightTs") <= col(leftTs) + expr(s"interval $after"))
+  }
+
   /** Custom keyed state: running per-user event count + running value sum,
     * emitted on every update (mapGroupsWithState, update mode). The §2b
     * "custom state" slot.

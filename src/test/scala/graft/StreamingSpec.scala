@@ -78,6 +78,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches only within the time window") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val lIn = MemoryStream[(Timestamp, Long, Double)]
+    val rIn = MemoryStream[(Timestamp, Long, String)]
+    val l = lIn.toDF().toDF("ts", "user_id", "value")
+    val r = rIn.toDF().toDF("ts", "user_id", "tag")
+    val q = Streams.intervalJoin(l, r, "user_id",
+        before = "5 minutes", after = "5 minutes", delay = "10 minutes")
+      .select(col("user_id"), col("value"), col("r_tag"))
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      lIn.addData((ts(10), 1L, 1.0), (ts(30), 1L, 2.0), (ts(10), 2L, 3.0))
+      rIn.addData((ts(12), 1L, "a"), (ts(40), 1L, "b"), (ts(11), 3L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      // (1, t10) ↔ (1, t12, a) within ±5m; (1, t30) matches neither
+      // (t12 too early, t40 too late); key 2 / key 3 have no partner
+      assert(got === Set((1L, 1.0, "a")))
+
+      // batch form of the identical plan gives the same matches
+      val bl = Seq((ts(10), 1L, 1.0), (ts(30), 1L, 2.0), (ts(10), 2L, 3.0))
+        .toDF("ts", "user_id", "value")
+      val br = Seq((ts(12), 1L, "a"), (ts(40), 1L, "b"), (ts(11), 3L, "c"))
+        .toDF("ts", "user_id", "tag")
+      val batch = Streams.intervalJoin(bl, br, "user_id",
+          before = "5 minutes", after = "5 minutes")
+        .select(col("user_id"), col("value"), col("r_tag")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap (batch = stream semantics)") {
     val s = spark; import s.implicits._
     val df = Seq(
