@@ -54,6 +54,31 @@ object CdcMergeSink {
     else s"$tableRoot/v${versions.max}"
   }
 
+  /** All committed batch ids, ascending — the table's version history. */
+  def versions(tableRoot: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(tableRoot))
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .filter(p => MutableParquetTable.isCommitted(p.toString))
+      .map(p => p.getFileName.toString.drop(1).toLong)
+      .toList.sorted
+    finally s.close()
+  }
+
+  /** Time travel: the committed table state as of batch `batchId` — the
+    * newest committed version at-or-before it (or the base snapshot when
+    * none is). Snapshots are immutable (CoW + hard links), so history
+    * reads cost nothing beyond keeping the version dirs around. */
+  def readAsOf(spark: SparkSession, tableRoot: String, batchId: Long): DataFrame = {
+    val at = versions(tableRoot).takeWhile(_ <= batchId).lastOption
+    at match {
+      case Some(v) =>
+        MutableParquetTable.readCommitted(spark, s"$tableRoot/v$v")
+      case None => spark.read.parquet(s"$tableRoot/base")
+    }
+  }
+
   /** Collapse a micro-batch to its FINAL mutation per key (last `seqCol`
     * wins — CDC streams carry multiple ops for one key within a batch).
     * `seqCol` must be unique per key within a batch; without one the

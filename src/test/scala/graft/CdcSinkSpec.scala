@@ -48,6 +48,14 @@ class CdcSinkSpec extends SparkSpec {
     val expected = (0L until 100L).filterNot(Set(5L, 9L))
       .map(i => (i, if (i == 7) 77.0 else i * 2.0)) :+ (150L, 300.0)
     assert(got === expected.sortBy(_._1))
+
+    // time travel: as-of batch 0 still shows the pre-batch-1 state
+    assert(CdcMergeSink.versions(root) === Seq(0L, 1L))
+    val v0state = CdcMergeSink.readAsOf(spark, root, 0L)
+    assert(v0state.where(col("id") === 5L).head().getDouble(1) === 555.0)
+    assert(v0state.where(col("id") === 7L).isEmpty) // deleted in batch 0
+    // as-of a pre-history batch id: the base snapshot
+    assert(CdcMergeSink.readAsOf(spark, root, -1L).count() === 100)
   }
 
   test("replaying a committed batch is a no-op; a crashed half-apply is rebuilt") {
