@@ -723,6 +723,128 @@ object OracleSql {
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
 
+    // q75: word-5-shingle overlap against the eval slice (doc_id % 17 = 0);
+    // shingling mirrors TextFunctions.shingles incl. the n<=k whole-text case
+    "q75_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 3), i ->
+                 array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) END AS sh
+        FROM t),
+      ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 17 = 0),
+      cs AS (SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM s),
+      hits AS (
+        SELECT cs.doc_id, count(*) AS n_overlap
+        FROM cs JOIN ev USING (shingle) GROUP BY cs.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+        CAST(coalesce(h.n_overlap, 0) >= 3 AS INT) AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // q76: duplicate-word ratio + top-trigram fraction; DuckDB splits ''
+    // into [''] where Spark tokenizes to [], hence the trim guards
+    "q76_repetition" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS gram
+        FROM t),
+      c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+      m AS (SELECT doc_id, max(n) AS topn, sum(n) AS tot FROM c GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+        END AS dup_word_ratio,
+        round(topn / CAST(tot AS DOUBLE), 6) AS top_trigram_frac
+      FROM t JOIN m USING (doc_id)
+      ORDER BY t.doc_id""",
+
+    // q77: 40-token windows, stride 30; the final short window and the
+    // whole-doc (n<=40) case mirror CorpusPrep.chunkWords
+    "q77_chunk_words" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents WHERE doc_id < 200),
+      c AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 40 THEN 1
+               ELSE CAST(ceil((len(toks) - 40) / 30.0) AS BIGINT) + 1 END AS nc
+        FROM t),
+      u AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        CAST(len(toks[CAST(i * 30 + 1 AS INT):CAST(i * 30 + 40 AS INT)]) AS BIGINT)
+          AS n_chunk_tokens,
+        array_to_string(toks[CAST(i * 30 + 1 AS INT):CAST(i * 30 + 40 AS INT)], ' ')
+          AS chunk_text
+      FROM u
+      ORDER BY doc_id, chunk_idx""",
+
+    // q78: the packing offsets are DEFINED by the global ordered prefix sum;
+    // the engine computes them distributed (bucketed two-phase scan)
+    "q78_pack" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset
+        FROM t)
+      SELECT doc_id, n_tokens, start_offset,
+        start_offset // 512 AS pack_first,
+        greatest(start_offset + n_tokens - 1, start_offset) // 512 AS pack_last
+      FROM c
+      ORDER BY doc_id""",
+
+    // q79: rank key is integer (tf desc, df asc, term) — identical across
+    // engines; stopword list = TextFunctions.stopwords verbatim
+    "q79_tfidf_topterms" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE trim(text) <> ''),
+      f AS (
+        SELECT doc_id, term FROM toks
+        WHERE regexp_matches(term, '^[a-z0-9]{3,}$')
+          AND term NOT IN ('the','a','an','and','or','of','to','in','is','are',
+            'was','for','on','with','as','by','at','from','that','this','it','be')),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n FROM documents),
+      r AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+          row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rn
+        FROM tf JOIN dfq USING (term))
+      SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df,
+        round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM r, nd
+      WHERE rn <= 3
+      ORDER BY doc_id, rank""",
+
+    // q80: ORC round-trip — oracle aggregates the parquet directly
+    "q80_orc_ingest" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 import graft.functions.Udx
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, MergeOps, Similarity}
+import graft.operators.{CorpusPrep, Dedup, MergeOps, Similarity}
 import graft.multimodal.Multimodal
 
 /** Driver contract: the engine's declared operator inventory (SURVEY.md §2b)
@@ -1031,6 +1031,87 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Eval-set decontamination ([[graft.operators.CorpusPrep.overlapCounts]]):
+    * every 17th document stands in for a benchmark; a doc sharing >= 3
+    * distinct 5-shingles with the eval set is contaminated. The eval side is
+    * distinct'd and broadcast, so the corpus never shuffles on shingles. */
+  def q75_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val eval = docs.where(col("doc_id") % 17 === 0)
+    val hits = CorpusPrep.overlapCounts(docs, eval, "text", "doc_id", 5)
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 3).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals
+    * ([[graft.operators.CorpusPrep.repetitionStats]]): duplicate-word ratio
+    * is a map-side HOF; the top-trigram fraction needs the per-doc mode,
+    * two partial-combining aggregations keyed (doc, gram) then doc. */
+  def q76_repetition(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.repetitionStats(documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("dup_word_ratio"), col("top_trigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Context-window chunking ([[graft.operators.CorpusPrep.chunkWords]]):
+    * 40-token windows advancing by 30 — the stride split a tokenizer feeds
+    * from. Pure per-row HOF explosion, no shuffle at all. */
+  def q77_chunk_words(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.chunkWords(documents(s, dir).where(col("doc_id") < 200),
+        "text", "doc_id", 40, 30)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Concat-then-slice sequence packing
+    * ([[graft.operators.CorpusPrep.packConcat]]): absolute token offsets
+    * come from a distributed prefix sum (range buckets + parallel windows +
+    * broadcast bucket offsets) — NOT a global single-task window; the
+    * oracle's `sum() OVER (ORDER BY ...)` is the semantics being matched,
+    * not the plan. */
+  def q78_pack(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.packConcat(
+      documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 512, nBuckets = 32)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("pack_first"), col("pack_last"))
+      .orderBy(col("doc_id"))
+
+  /** Salient terms per document
+    * ([[graft.operators.CorpusPrep.tfidfTopTerms]]). Ranking key is integer
+    * (tf desc, docfreq asc, term) so both engines rank identically; the
+    * float tf-idf score rides along rounded. */
+  def q79_tfidf_topterms(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.tfidfTopTerms(documents(s, dir), "text", "doc_id", 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** ORC ingest round-trip ([[graft.sources.Ingest.orc]]): orders lands as
+    * ORC once (content-keyed cache), is read back through the native
+    * vectorized ORC reader, and aggregated; the oracle computes the same
+    * aggregate from the parquet directly, so the ORC round-trip (doubles,
+    * dates) must be lossless. */
+  def q80_orc_ingest(s: SparkSession, dir: String): DataFrame = {
+    val odir = cachedDerivedDir(dir, "orders.parquet", "orc-orders") { out =>
+      graft.sources.Ingest.toOrc(
+        orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderdate")),
+        out)
+    }
+    graft.sources.Ingest.orc(s, odir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1108,6 +1189,12 @@ object SparkEntry {
     "q72_embed_quantize" -> (q72_embed_quantize _),
     "q73_hash_sample" -> (q73_hash_sample _),
     "q74_zorder_scan" -> (q74_zorder_scan _),
+    "q75_decontaminate" -> (q75_decontaminate _),
+    "q76_repetition" -> (q76_repetition _),
+    "q77_chunk_words" -> (q77_chunk_words _),
+    "q78_pack" -> (q78_pack _),
+    "q79_tfidf_topterms" -> (q79_tfidf_topterms _),
+    "q80_orc_ingest" -> (q80_orc_ingest _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-corpus preparation operators beyond dedup/similarity: eval-set
+  * decontamination, repetition signals, context-window chunking, and
+  * concat-then-slice sequence packing over a distributed prefix sum.
+  *
+  * Everything is declarative DataFrame code — partial aggregation, broadcast
+  * joins, and codegen'd HOFs — shaped so each stage still works when the
+  * corpus is 100 TB: no global single-task windows, no driver-side loops,
+  * no collect larger than O(#partitions).
+  */
+object CorpusPrep {
+
+  // ---- decontamination ------------------------------------------------
+
+  /** Per-document count of DISTINCT word-k-shingles that also occur in the
+    * evaluation set (the standard pretraining decontamination test: a doc
+    * sharing >= `minOverlap` n-grams with a benchmark is contaminated).
+    *
+    * Scale shape: the eval side is benchmark-sized (millions of shingles at
+    * most) — distinct'd and broadcast, so the corpus-side explode never
+    * shuffles; only the (rare) matching shingles reach the per-doc count.
+    * Output is one row per document with at least one overlap.
+    */
+  def overlapCounts(corpus: DataFrame, evalDocs: DataFrame,
+                    textCol: String, idCol: String, k: Int): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+    corpus
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), k)))
+          .as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Drop every corpus document whose eval-set shingle overlap reaches
+    * `minOverlap`. The contaminated-id set is small by construction, so the
+    * anti join broadcasts — the corpus is filtered in place, no shuffle. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, textCol: String,
+                    idCol: String, k: Int, minOverlap: Long): DataFrame = {
+    val dirty = overlapCounts(corpus, evalDocs, textCol, idCol, k)
+      .where(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+
+  // ---- repetition signals ----------------------------------------------
+
+  /** Gopher-style intra-document repetition signals: token count, duplicate
+    * word fraction, and the fraction of all word-trigrams taken by the most
+    * frequent one. Word stats are map-side HOFs; the trigram mode needs two
+    * aggregations, both keyed fine enough ((id, gram) then id) that partial
+    * aggregation keeps the shuffles proportional to distinct grams. */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("__toks"))).cast("double") / size(col("__toks")), 6))
+          .as("dup_word_ratio"),
+        when(size(col("__toks")) >= 3,
+          transform(sequence(lit(1), size(col("__toks")) - lit(2)),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))
+          .otherwise(array(concat_ws(" ", col("__toks")))).as("__grams"))
+    val gramMode = base
+      .select(col(idCol), explode(col("__grams")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("__top"), sum(col("__n")).as("__tot"))
+      .select(col(idCol),
+        round(col("__top").cast("double") / col("__tot"), 6).as("top_trigram_frac"))
+    base.drop("__grams").join(gramMode, Seq(idCol))
+  }
+
+  // ---- context-window chunking ------------------------------------------
+
+  /** Split each document into word windows of `window` tokens advancing by
+    * `stride` (the final window may be shorter; a doc of <= `window` tokens
+    * yields exactly one chunk). Emits (id, chunk_idx, n_chunk_tokens,
+    * chunk_text). All per-row HOF work — embarrassingly parallel, the row
+    * explosion is bounded by ~n/stride chunks per doc. */
+  def chunkWords(docs: DataFrame, textCol: String, idCol: String,
+                 window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(ceil((n - lit(window)).cast("double") / stride) + lit(1))
+    docs
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), nChunks - lit(1)),
+        i => concat_ws(" ", slice(toks, (i * stride + lit(1)).cast("int"),
+          lit(window))))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        TextFunctions.tokenCount(col("col")).as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+  }
+
+  // ---- distributed prefix sum + sequence packing -------------------------
+
+  /** Exclusive prefix sum of `valueCol` in global `orderCol` order, computed
+    * without a single-task global window (`Window.orderBy` with no partition
+    * key funnels the WHOLE table through one task — the classic scale
+    * killer). Instead:
+    *
+    *   1. map-side: assign a coarse range bucket from the key's min/max
+    *      (`width_bucket`; one cheap min/max agg first);
+    *   2. per-bucket cumulative sums run in parallel windows (one shuffle,
+    *      keyed by bucket);
+    *   3. per-bucket totals (metadata-sized: `nBuckets` rows) are collected,
+    *      exclusively scanned on the driver, and added back as a broadcast
+    *      literal map.
+    *
+    * Uniform-width buckets assume a roughly uniform key distribution (dense
+    * ids, timestamps); for skewed keys substitute approxQuantile boundaries
+    * at the bucket-assignment step — the rest is unchanged.
+    * Requires `orderCol` values to be unique (it is a total order).
+    */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                         nBuckets: Int, out: String = "prefix_sum"): DataFrame = {
+    val Array(lo, hi) = df.agg(min(col(orderCol)).cast("double"),
+      max(col(orderCol)).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val bucket =
+      if (lo == hi) lit(1)
+      else least(width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi),
+        lit(nBuckets)), lit(nBuckets)).cast("int")
+    val bucketed = df.withColumn("__bucket", bucket)
+    val totals = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offsetExpr = element_at(
+      map(offsets.toSeq.sortBy(_._1)
+        .flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*), col("__bucket"))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn(out, sum(col(valueCol)).over(w) - col(valueCol) + offsetExpr)
+      .drop("__bucket")
+  }
+
+  /** Concat-then-slice sequence packing (GPT-style pretraining batches):
+    * documents are concatenated in `orderCol` order into one virtual token
+    * stream cut every `budget` tokens. Emits each doc's absolute token
+    * offset and the first/last pack it lands in — the metadata a training
+    * loader needs to materialize packed sequences. Cost = one distributed
+    * prefix sum ([[exclusivePrefixSum]]); no doc ever moves. */
+  def packConcat(docs: DataFrame, orderCol: String, tokenCol: String,
+                 budget: Int, nBuckets: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val withStart = exclusivePrefixSum(docs, orderCol, tokenCol, nBuckets,
+      out = "start_offset")
+    withStart
+      .withColumn("pack_first", floor(col("start_offset") / budget))
+      .withColumn("pack_last",
+        floor(greatest(col("start_offset") + col(tokenCol) - 1,
+          col("start_offset")) / budget))
+  }
+
+  // ---- salient terms (tf-idf) --------------------------------------------
+
+  /** Top-`k` salient terms per document. Terms are lowercase alphanumeric
+    * words of >= 3 chars minus stopwords; salience rank is the INTEGER key
+    * (tf desc, docfreq asc, term asc) — same direction as tf-idf but exactly
+    * reproducible across engines (float tf-idf products can tie-flip in the
+    * last ulp); the float tf-idf score is still emitted for consumers.
+    *
+    * Scale shape: both aggregations partial-combine (keys are (doc, term)
+    * then term); the docfreq side joins back on `term` — vocabulary-sized,
+    * far smaller than the corpus, and the per-doc ranking window partitions
+    * by document id (cardinality = corpus size, never a funnel). */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val terms = docs
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("term"))
+      .where(col("term").rlike("^[a-z0-9]{3,}$") &&
+        !col("term").isin(TextFunctions.stopwords: _*))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("rank"), col("term"),
+        col("tf"), col("df"),
+        round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)), 6)
+          .as("tfidf"))
+  }
+}

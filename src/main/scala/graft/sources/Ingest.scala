@@ -28,6 +28,20 @@ object Ingest {
     r.json(path)
   }
 
+  /** ORC read/write (Spark-native reader; vectorized, predicate pushdown
+    * and column pruning work the same as parquet). ORC is the interchange
+    * format Hive-era warehouses hand us — ingest is read → land as the
+    * engine's parquet layout via [[toSortedParquet]]. */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame = {
+    var r = spark.read
+    schema.foreach(s => r = r.schema(s))
+    r.orc(path)
+  }
+
+  def toOrc(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
   /** Land an ingested frame as a key-sorted Parquet table ready for
     * merges and pruning. */
   def toSortedParquet(df: DataFrame, path: String, key: String, numFiles: Int,

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.operators.CorpusPrep
+
+/** Corpus-prep operators: decontamination, repetition signals, chunking,
+  * distributed prefix sum / packing, salient terms. */
+class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate drops docs sharing shingles with the eval set, keeps the rest") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "an entirely different sentence about spark physical plans",
+      3L -> "quick brown fox jumps over the lazy dog again today",
+      4L -> "completely unrelated text mentioning nothing shared at all")
+    val eval = docs(100L -> "the quick brown fox jumps over the lazy dog")
+    val cleaned = CorpusPrep.decontaminate(corpus, eval, "text", "doc_id",
+      k = 5, minOverlap = 2)
+    assert(cleaned.select("doc_id").as[Long].collect().sorted === Array(2L, 4L))
+  }
+
+  test("overlap counting is on DISTINCT shingles and the eval side broadcasts") {
+    // doc 1 repeats the same 5-gram twice -> still counts once
+    val five = "alpha beta gamma delta epsilon"
+    val corpus = docs(1L -> s"$five zeta $five")
+    val eval = docs(9L -> five)
+    val hits = CorpusPrep.overlapCounts(corpus, eval, "text", "doc_id", 5)
+    val row = hits.head()
+    assert(row.getLong(0) === 1L)
+    assert(row.getLong(1) === 1L)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$plan")
+  }
+
+  test("repetitionStats: hand-computable signals") {
+    val got = CorpusPrep.repetitionStats(
+      docs(1L -> "a a a a", 2L -> "w x y z", 3L -> ""), "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_word_ratio", "top_trigram_frac")
+      .as[(Long, Int, Double, Double)].collect()
+    // doc1: 4 tokens 1 distinct -> dup .75; trigrams ["a a a","a a a"] -> 1.0
+    assert(got(0) === ((1L, 4, 0.75, 1.0)))
+    // doc2: all distinct -> dup 0; trigrams 2 distinct of 2 -> top 0.5
+    assert(got(1) === ((2L, 4, 0.0, 0.5)))
+    // empty text: 0 tokens, ratios degrade to 0 / single-empty-gram 1.0
+    assert(got(2) === ((3L, 0, 0.0, 1.0)))
+  }
+
+  test("chunkWords with stride == window reconstructs the document exactly") {
+    val text = (1 to 107).map(i => s"w$i").mkString(" ")
+    val chunks = CorpusPrep.chunkWords(docs(1L -> text), "text", "doc_id", 10, 10)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(chunks.length === 11)
+    assert(chunks.mkString(" ") === text)
+  }
+
+  test("chunkWords overlapping windows: counts and final short window") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val got = CorpusPrep.chunkWords(docs(1L -> text), "text", "doc_id", 40, 30)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens").as[(Int, Int)].collect()
+    // ceil((50-40)/30)+1 = 2 chunks: [1..40], [31..50]
+    assert(got === Array((0, 40), (1, 20)))
+    // doc shorter than the window -> one whole-doc chunk
+    val one = CorpusPrep.chunkWords(docs(2L -> "a b c"), "text", "doc_id", 40, 30)
+    assert(one.count() === 1)
+    assert(one.head().getAs[String]("chunk_text") === "a b c")
+  }
+
+  test("exclusivePrefixSum matches the sequential scan on random input") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map(i => (i.toLong * 3 + 7, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    for (nBuckets <- Seq(1, 4, 64, 1000)) {
+      val got = CorpusPrep.exclusivePrefixSum(df, "k", "v", nBuckets)
+        .orderBy("k").select("k", "prefix_sum").as[(Long, Long)].collect()
+      val sorted = rows.sortBy(_._1)
+      val expected = sorted.map(_._1)
+        .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      assert(got.toSeq === expected, s"nBuckets=$nBuckets")
+    }
+  }
+
+  test("exclusivePrefixSum never funnels through a single-partition window") {
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "v")
+    val plan = CorpusPrep.exclusivePrefixSum(df, "k", "v", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window would be a scale funnel:\n$plan")
+  }
+
+  test("packConcat: offsets chain and pack spans honor the budget") {
+    val rows = Seq((1L, 100L), (2L, 400L), (3L, 50L), (4L, 600L), (5L, 10L))
+    val got = CorpusPrep.packConcat(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = 512, nBuckets = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "start_offset", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 0L, 0L, 0L),        // [0,100)    pack 0
+      (2L, 100L, 0L, 0L),      // [100,500)  pack 0
+      (3L, 500L, 0L, 1L),      // [500,550)  straddles the 512 cut
+      (4L, 550L, 1L, 2L),      // [550,1150) straddles 1024
+      (5L, 1150L, 2L, 2L)))
+  }
+
+  test("packConcat: zero-token doc occupies a single pack at its offset") {
+    val got = CorpusPrep.packConcat(
+        Seq((1L, 512L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = 512, nBuckets = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "start_offset", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 0L, 0L, 0L), (2L, 512L, 1L, 1L), (3L, 512L, 1L, 1L)))
+  }
+
+  test("tfidfTopTerms ranks the distinctive term first and drops stopwords") {
+    val corpus = docs(
+      1L -> "the spark engine shuffles data and the engine optimizes engine plans",
+      2L -> "the cat sat on the mat with the cat",
+      3L -> "data plans and data mat")
+    val got = CorpusPrep.tfidfTopTerms(corpus, "text", "doc_id", 2)
+    val byDoc = got.orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term").as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(byDoc(1L).head === "engine") // tf 3, unique to doc 1
+    assert(byDoc(2L).head === "cat")    // tf 2, unique to doc 2
+    // stopwords never surface
+    assert(!got.select("term").as[String].collect()
+      .exists(TextFunctions_stopwords.contains))
+    // ranks are dense from 1
+    assert(got.where(col("rank") === 1).count() === 3)
+  }
+
+  private val TextFunctions_stopwords =
+    graft.functions.TextFunctions.stopwords.toSet
+}
