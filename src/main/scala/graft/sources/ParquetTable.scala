@@ -27,6 +27,12 @@ import org.apache.spark.sql.types._
   *                        granularity: `parquet.enable.dictionary#col`.
   *                        Columns absent from the map inherit
   *                        `dictionaryEnabled`.
+  * @param bloomFilterColumns columns to write parquet bloom filters for
+  *                        (`parquet.bloom.filter.enabled#col`) — point
+  *                        lookups on a non-sort key can skip row groups the
+  *                        min/max zone maps can't (high-cardinality values
+  *                        interleaved across the whole range). Optional
+  *                        per-column expected NDV tunes the filter size.
   */
 final case class ParquetLayout(
     rowGroupBytes: Option[Long] = None,
@@ -34,7 +40,9 @@ final case class ParquetLayout(
     compression: String = "snappy",
     dictionaryEnabled: Boolean = true,
     pageBytes: Option[Long] = None,
-    columnDictionary: Map[String, Boolean] = Map.empty)
+    columnDictionary: Map[String, Boolean] = Map.empty,
+    bloomFilterColumns: Seq[String] = Nil,
+    bloomFilterNdv: Map[String, Long] = Map.empty)
 
 /** Parquet-backed table: scan + layout-controlled write + footer statistics.
   *
@@ -61,6 +69,12 @@ object ParquetTable {
     w = w.option("parquet.enable.dictionary", layout.dictionaryEnabled.toString)
     layout.columnDictionary.foreach { case (c, on) =>
       w = w.option(s"parquet.enable.dictionary#$c", on.toString)
+    }
+    layout.bloomFilterColumns.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    layout.bloomFilterNdv.foreach { case (c, ndv) =>
+      w = w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
     w.parquet(path)
   }

@@ -476,6 +476,35 @@ class CowMergeSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("per-column bloom filters reach the footer and point lookups stay exact") {
+    // high-cardinality point-lookup column: min/max zone maps can't skip
+    // (values interleave across every row group); a bloom filter can
+    val dir = freshDir()
+    val df = spark.sql(
+      "SELECT xxhash64(id) AS k, id AS payload FROM range(0, 20000)")
+    ParquetTable.write(df.coalesce(1), dir,
+      ParquetLayout(rowGroupBytes = Some(64 * 1024),
+        bloomFilterColumns = Seq("k"), bloomFilterNdv = Map("k" -> 20000L)))
+    val f = listParquet(dir).head.toString
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      def bloomOffset(name: String): Long =
+        (0 until cols.size()).map(cols.get)
+          .find(_.getPath.toDotString == name).get.getBloomFilterOffset
+      assert(bloomOffset("k") >= 0, "column k must carry a bloom filter")
+      assert(bloomOffset("payload") < 0, "payload must not")
+    } finally reader.close()
+    // read side: the stock reader consumes the filter transparently
+    // (parquet.filter.bloom.enabled defaults true); results stay exact
+    val probe = spark.sql("SELECT xxhash64(CAST(77 AS BIGINT)) AS k").head().getLong(0)
+    val got = spark.read.parquet(dir).where(col("k") === probe).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(77L))
+  }
+
   test("inferRowGroupBytes returns the source average (S18)") {
     val dir = freshDir()
     ParquetTable.write(Tables.customer(spark, sf()), dir, ParquetLayout())
