@@ -418,13 +418,21 @@ object MutableParquetTable {
     * not the directory listing, defines the table. Throws if the snapshot
     * has no commit marker. */
   def readCommitted(spark: SparkSession, snapshotDir: String): DataFrame = {
-    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
-      s"$snapshotDir has no $ManifestName — not a committed snapshot"))
-    val files = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
+    val files = manifestFileNames(snapshotDir).getOrElse(
+      throw new IllegalStateException(
+        s"$snapshotDir has no $ManifestName — not a committed snapshot"))
     require(files.nonEmpty, s"$snapshotDir manifest lists no files")
     spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
   }
+
+  /** The file names a committed snapshot's manifest lists (None when the
+    * snapshot has no commit marker). The manifest, not the directory
+    * listing, defines the snapshot's contents. */
+  def manifestFileNames(snapshotDir: String): Option[Seq[String]] =
+    readManifest(snapshotDir).map { m =>
+      "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
+    }
 
   /** Manifest-pruned range scan: select only the files whose key range
     * intersects [lo, hi] — decided purely from the manifest, ZERO footer

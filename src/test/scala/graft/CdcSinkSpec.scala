@@ -56,6 +56,47 @@ class CdcSinkSpec extends SparkSpec {
     assert(v0state.where(col("id") === 7L).isEmpty) // deleted in batch 0
     // as-of a pre-history batch id: the base snapshot
     assert(CdcMergeSink.readAsOf(spark, root, -1L).count() === 100)
+
+    // change feed base -> v0: exactly batch 0's collapsed effect
+    val feed0 = CdcMergeSink.changeFeed(spark, root, -1L, 0L, "id")
+      .select(col("id"), col("change_type")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(feed0 === Array((5L, "update"), (7L, "delete"), (9L, "delete"),
+      (150L, "insert")))
+    // before/after images carry the values
+    val u5 = CdcMergeSink.changeFeed(spark, root, -1L, 0L, "id")
+      .where(col("id") === 5L).head()
+    assert(u5.getStruct(2).getDouble(0) === 10.0)  // before: 5*2
+    assert(u5.getStruct(3).getDouble(0) === 555.0) // after: batch 0 upsert
+
+    // change feed v0 -> v1: resurrect 7, delete 5
+    val feed1 = CdcMergeSink.changeFeed(spark, root, 0L, 1L, "id")
+      .select(col("id"), col("change_type")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(feed1 === Array((5L, "delete"), (7L, "insert")))
+
+    // delta pruning: files shared between the two snapshots (hard-linked
+    // passthroughs) are never opened by the feed
+    val shared = MutableParquetTable.manifestFileNames(s"$root/v0").get.toSet
+      .intersect(MutableParquetTable.manifestFileNames(s"$root/v1").get.toSet)
+    assert(shared.nonEmpty, "fixture should share passthrough files")
+    val feedFiles = CdcMergeSink.changeFeed(spark, root, 0L, 1L, "id")
+      .inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(feedFiles.intersect(shared).isEmpty,
+      s"feed must not read shared files: $feedFiles vs $shared")
+
+    // identical endpoints -> empty feed (with the right schema)
+    assert(CdcMergeSink.changeFeed(spark, root, 1L, 1L, "id").isEmpty)
+
+    // retention: vacuum to the newest version only
+    assert(CdcMergeSink.vacuum(root, keepLast = 1) === Seq(0L))
+    assert(CdcMergeSink.versions(root) === Seq(1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/v0")))
+    // latest state intact; below-horizon as-of degrades to base
+    assert(MutableParquetTable
+      .readCommitted(spark, CdcMergeSink.latestSnapshot(root))
+      .orderBy("id").as[(Long, Double)].collect().toSeq === expected.sortBy(_._1))
+    assert(CdcMergeSink.readAsOf(spark, root, 0L).count() === 100)
   }
 
   test("replaying a committed batch is a no-op; a crashed half-apply is rebuilt") {
