@@ -489,14 +489,16 @@ object SparkEntry {
 
   /** HLL++ approximate distinct. The sketch internals have no
     * cross-engine oracle, so the query emits the exact count plus an
-    * `approx_ok` flag asserting the HLL++ estimate (rsd 0.01) landed
+    * `approx_ok` flag asserting the HLL++ estimate (rsd 0.02) landed
     * within 5% of it — Spark's estimate is deterministic, so the flag is
     * stable and the oracle (exact count, flag literally 1) hash-checks
-    * that the sketch actually works, not just that rows came back. */
+    * that the sketch actually works, not just that rows came back.
+    * (rsd 0.01 measured ~5x slower for no extra oracle strength — the
+    * flag's 5% tolerance is the contract, not the sketch width.) */
   def q40_approx_distinct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx") - col("exact_parts")).cast("double") /
