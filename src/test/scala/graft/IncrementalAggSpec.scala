@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+import graft.sources.ParquetTable
+import graft.streaming.CdcMergeSink
+
+/** Incremental aggregate maintenance: applying the change feed to a prior
+  * aggregate must equal a full recompute of the new state. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame) =
+    df.orderBy("cat").collect().map(_.toSeq).toSeq
+
+  test("delta application == full recompute across CDC batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iagg").toString
+    // 200 rows, 4 categories, integer-valued doubles (exact FP algebra)
+    val base = spark.range(0, 200).select(col("id"),
+      concat(lit("c"), (col("id") % 4).cast("string")).as("cat"),
+      (col("id") * 3).cast("double").as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 4)
+
+    // batch 0: updates move rows ACROSS groups, plus deletes and inserts
+    CdcMergeSink.applyBatch(spark,
+      Seq(
+        (3L, "c9", 1000.0, "upsert"),   // group change c3 -> c9 (new group)
+        (8L, "c0", 999.0, "upsert"),    // value change within c0
+        (5L, "", 0.0, "delete"),        // delete from c1
+        (500L, "c2", 7.0, "upsert"))    // insert into c2
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 0L)
+    // batch 1: empty out a whole group (c9 again removed)
+    CdcMergeSink.applyBatch(spark,
+      Seq((3L, "", 0.0, "delete"), (500L, "c2", 8.5, "upsert"))
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 1L)
+
+    val agg0 = IncrementalAgg.fullAgg(
+      spark.read.parquet(s"$root/base"), Seq("cat"), Seq("v"))
+
+    val feed01 = CdcMergeSink.changeFeed(spark, root, -1L, 0L, "id")
+    val incr1 = IncrementalAgg.applyDelta(agg0, feed01, Seq("cat"), Seq("v"))
+    val full1 = IncrementalAgg.fullAgg(
+      CdcMergeSink.readAsOf(spark, root, 0L), Seq("cat"), Seq("v"))
+    assert(sortedRows(incr1) === sortedRows(full1))
+    // the moved row created group c9
+    assert(incr1.where(col("cat") === "c9").head().getLong(1) === 1L)
+
+    val feed12 = CdcMergeSink.changeFeed(spark, root, 0L, 1L, "id")
+    val incr2 = IncrementalAgg.applyDelta(incr1, feed12, Seq("cat"), Seq("v"))
+    val full2 = IncrementalAgg.fullAgg(
+      CdcMergeSink.readAsOf(spark, root, 1L), Seq("cat"), Seq("v"))
+    assert(sortedRows(incr2) === sortedRows(full2))
+    // c9's only row deleted -> the group drops out entirely
+    assert(incr2.where(col("cat") === "c9").isEmpty)
+  }
+
+  test("empty feed is an exact no-op") {
+    val agg = IncrementalAgg.fullAgg(
+      Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "cat", "v"),
+      Seq("cat"), Seq("v"))
+    val emptyFeed = CdcMergeSink.rowDiff(
+      Seq((1L, "a", 2.0)).toDF("id", "cat", "v"),
+      Seq((1L, "a", 2.0)).toDF("id", "cat", "v"), "id")
+    assert(sortedRows(IncrementalAgg.applyDelta(agg, emptyFeed,
+      Seq("cat"), Seq("v"))) === sortedRows(agg))
+  }
+}
