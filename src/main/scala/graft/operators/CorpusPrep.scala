@@ -178,10 +178,14 @@ object CorpusPrep {
     * reproducible across engines (float tf-idf products can tie-flip in the
     * last ulp); the float tf-idf score is still emitted for consumers.
     *
-    * Scale shape: both aggregations partial-combine (keys are (doc, term)
-    * then term); the docfreq side joins back on `term` — vocabulary-sized,
-    * far smaller than the corpus, and the per-doc ranking window partitions
-    * by document id (cardinality = corpus size, never a funnel). */
+    * Scale shape: ONE pass over the corpus (the token explode is the
+    * expensive stage and runs exactly once): tf partial-combines on
+    * (doc, term); docfreq is a count window over `term` on the tf rows —
+    * a join-free formulation that sidesteps the classic shared-subtree
+    * recompute (a tf ⋈ docfreq(tf) self-join re-explodes the corpus for
+    * the second branch because column pruning defeats exchange reuse).
+    * Window partition cardinalities are vocabulary resp. corpus sized —
+    * never a funnel. */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("__n"))
@@ -191,10 +195,11 @@ object CorpusPrep {
       .where(col("term").rlike("^[a-z0-9]{3,}$") &&
         !col("term").isin(TextFunctions.stopwords: _*))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(docFreq, "term")
+    withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
