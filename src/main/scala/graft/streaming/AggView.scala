@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.IncrementalAgg
+
+/** Materialized aggregate view over a [[CdcMergeSink]] table, maintained
+  * INCREMENTALLY: each committed table version gets a view version computed
+  * by applying that step's change feed to the previous view
+  * ([[IncrementalAgg.applyDelta]]) — never by rescanning the table.
+  *
+  * Layout: `tableRoot/aggview/v<batchId>` mirrors the table's version dirs;
+  * a view version is committed by Spark's `_SUCCESS` marker. Refresh is
+  * idempotent and crash-safe the same way the sink is: an existing
+  * committed view version is never rewritten, a half-written one is
+  * rebuilt.
+  *
+  * Scale shape: per refresh step, one change feed (cost ∝ files the merge
+  * touched) + one delta aggregation (cost ∝ changed rows) + a join against
+  * the group-cardinality-sized previous view. A 100 TB table with a
+  * million-row dashboard aggregate refreshes in seconds.
+  */
+object AggView {
+
+  private def viewDir(tableRoot: String, v: Long) = s"$tableRoot/aggview/v$v"
+
+  private def committed(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_SUCCESS"))
+
+  /** View versions that exist and are committed, ascending. */
+  def viewVersions(tableRoot: String): Seq[Long] = {
+    val root = Paths.get(s"$tableRoot/aggview")
+    if (!Files.exists(root)) return Nil
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .filter(p => committed(p.toString))
+      .map(p => p.getFileName.toString.drop(1).toLong)
+      .toList.sorted
+    finally s.close()
+  }
+
+  /** Bring the view up to date with every committed table version: each
+    * missing step applies that step's change feed to the previous view.
+    * The first step seeds from a full aggregation of the base snapshot
+    * (the only full pass the view ever pays). Returns the number of
+    * versions materialized. */
+  def refresh(spark: SparkSession, tableRoot: String,
+              groupCols: Seq[String], sumCols: Seq[String]): Int = {
+    val tableVs = CdcMergeSink.versions(tableRoot)
+    var prevAgg: Option[DataFrame] = None
+    var prevV: Long = -1L // sentinel: resolves to the base snapshot
+    var built = 0
+    tableVs.foreach { v =>
+      val dir = viewDir(tableRoot, v)
+      if (committed(dir)) {
+        prevAgg = Some(spark.read.parquet(dir)); prevV = v
+      } else {
+        val base = prevAgg.getOrElse(
+          IncrementalAgg.fullAgg(
+            CdcMergeSink.readAsOf(spark, tableRoot, prevV), groupCols, sumCols))
+        val feed = CdcMergeSink.changeFeed(spark, tableRoot, prevV, v,
+          keyOf(tableRoot))
+        val next = IncrementalAgg.applyDelta(base, feed, groupCols, sumCols)
+        // overwrite handles a crashed half-write; _SUCCESS commits
+        next.coalesce(1).write.mode("overwrite").parquet(dir)
+        prevAgg = Some(spark.read.parquet(dir)); prevV = v
+        built += 1
+      }
+    }
+    built
+  }
+
+  /** The latest committed view state (refresh first to catch up). */
+  def read(spark: SparkSession, tableRoot: String): DataFrame = {
+    val vs = viewVersions(tableRoot)
+    require(vs.nonEmpty, s"no committed view under $tableRoot/aggview — run refresh")
+    spark.read.parquet(viewDir(tableRoot, vs.max))
+  }
+
+  /** The table's merge key, read from the latest snapshot's manifest. */
+  private def keyOf(tableRoot: String): String = {
+    val latest = CdcMergeSink.latestSnapshot(tableRoot)
+    graft.sources.MutableParquetTable.readManifest(latest) match {
+      case Some(m) =>
+        "\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalStateException(s"manifest in $latest has no key"))
+      case None => throw new IllegalStateException(
+        s"$latest is not a committed merge snapshot")
+    }
+  }
+}
