@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.ParquetTable
+import graft.streaming.{AggView, CdcMergeSink}
+
+/** Versioned mutable table: the round-3 lifecycle surfaces —
+  * batch commits, time travel, change feed, retention, materialized
+  * views — behind one handle. Storage is the [[CdcMergeSink]] layout
+  * (`root/base` + one manifest-committed CoW snapshot per version), so
+  * everything here is also exactly what the streaming sink produces:
+  * a table written by a stream and a table driven by `commit()` calls
+  * are interchangeable.
+  *
+  * {{{
+  * val t = GraftTable.create(df, root, "id", numFiles = 32)
+  * t.commit(mutations)                  // CoW merge -> version 0
+  * t.read()                             // latest committed state
+  * t.readAsOf(0L)                       // time travel
+  * t.changeFeed(-1L, 0L)                // row-level diff, delta-priced
+  * t.refreshAggView(Seq("cat"), Seq("v")); t.readAggView()
+  * t.vacuum(keepLast = 10)
+  * }}}
+  */
+final class GraftTable private (val spark: SparkSession, val root: String,
+                                val key: String) {
+
+  /** Committed version ids, ascending. */
+  def versions: Seq[Long] = CdcMergeSink.versions(root)
+
+  /** Apply a mutation batch (`opCol` = 'upsert' | 'delete') as one CoW
+    * merge; returns the new version id. Empty batches commit nothing and
+    * return the current latest version (-1 = only the base exists). */
+  def commit(batch: DataFrame, opCol: String = "op",
+             seqCol: Option[String] = None): Long = {
+    val next = versions.lastOption.map(_ + 1).getOrElse(0L)
+    CdcMergeSink.applyBatch(spark, batch, root, key, opCol, seqCol, next)
+    versions.lastOption.getOrElse(-1L)
+  }
+
+  /** Latest committed state. */
+  def read(): DataFrame =
+    CdcMergeSink.readAsOf(spark, root, Long.MaxValue)
+
+  /** State as of `version` (pre-history ids resolve to the base). */
+  def readAsOf(version: Long): DataFrame =
+    CdcMergeSink.readAsOf(spark, root, version)
+
+  /** Row-level change feed between two versions (delta-priced — shared
+    * hard-linked files are never read). */
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame =
+    CdcMergeSink.changeFeed(spark, root, fromVersion, toVersion, key)
+
+  /** Drop versions beyond the newest `keepLast`; returns dropped ids. */
+  def vacuum(keepLast: Int): Seq[Long] = CdcMergeSink.vacuum(root, keepLast)
+
+  /** Catch the materialized sum/count view up to the latest version. */
+  def refreshAggView(groupCols: Seq[String], sumCols: Seq[String]): Int =
+    AggView.refresh(spark, root, groupCols, sumCols)
+
+  /** Latest committed view state. */
+  def readAggView(): DataFrame = AggView.read(spark, root)
+}
+
+object GraftTable {
+
+  /** Open an existing versioned table root. */
+  def apply(spark: SparkSession, root: String, key: String): GraftTable =
+    new GraftTable(spark, root, key)
+
+  /** Create the base snapshot from a DataFrame and open the table. */
+  def create(df: DataFrame, root: String, key: String, numFiles: Int,
+             layout: graft.sources.ParquetLayout =
+               graft.sources.ParquetLayout()): GraftTable = {
+    ParquetTable.writeSorted(df, s"$root/base", key, numFiles, layout)
+    new GraftTable(df.sparkSession, root, key)
+  }
+}

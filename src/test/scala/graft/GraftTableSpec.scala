@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The versioned-table facade end to end: create, commit, time travel,
+  * change feed, materialized view, vacuum. */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full lifecycle through the facade") {
+    val root = java.nio.file.Files.createTempDirectory("graft-table").toString
+    val t = GraftTable.create(
+      spark.range(0, 100).select(col("id"),
+        concat(lit("c"), (col("id") % 3).cast("string")).as("cat"),
+        (col("id") * 2).cast("double").as("v")),
+      root, "id", numFiles = 4)
+
+    assert(t.versions.isEmpty)
+    assert(t.read().count() === 100)
+
+    val v0 = t.commit(Seq((7L, "c1", 700.0, "upsert"), (9L, "", 0.0, "delete"))
+      .toDF("id", "cat", "v", "op"))
+    assert(v0 === 0L)
+    val v1 = t.commit(Seq((200L, "c2", 5.0, "upsert")).toDF("id", "cat", "v", "op"))
+    assert(v1 === 1L)
+
+    assert(t.read().count() === 100) // -1 delete +1 insert
+    assert(t.readAsOf(0L).where(col("id") === 200L).isEmpty)
+    assert(t.read().where(col("id") === 7L).head().getDouble(2) === 700.0)
+
+    val feed = t.changeFeed(0L, 1L)
+      .select(col("id"), col("change_type")).as[(Long, String)].collect()
+    assert(feed === Array((200L, "insert")))
+
+    // empty commit changes nothing and reports the current version
+    assert(t.commit(Seq.empty[(Long, String, Double, String)]
+      .toDF("id", "cat", "v", "op")) === 1L)
+    assert(t.versions === Seq(0L, 1L))
+
+    t.refreshAggView(Seq("cat"), Seq("v"))
+    val view = t.readAggView().orderBy("cat").collect().map(_.toSeq)
+    val full = t.read().groupBy("cat")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .orderBy("cat").collect().map(_.toSeq)
+    assert(view.toSeq === full.toSeq)
+
+    assert(t.vacuum(keepLast = 1) === Seq(0L))
+    assert(t.versions === Seq(1L))
+    assert(t.read().count() === 100)
+  }
+}
