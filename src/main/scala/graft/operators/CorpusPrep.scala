@@ -123,19 +123,26 @@ object CorpusPrep {
     *      exclusively scanned on the driver, and added back as a broadcast
     *      literal map.
     *
-    * Uniform-width buckets assume a roughly uniform key distribution (dense
-    * ids, timestamps); for skewed keys substitute approxQuantile boundaries
-    * at the bucket-assignment step — the rest is unchanged.
+    * Uniform-width buckets (the default) assume a roughly uniform key
+    * distribution (dense ids, timestamps); `skewRobust = true` spends one
+    * `approxQuantile` pass on boundaries instead, giving near-equal ROW
+    * counts per bucket for any distribution. Both bucketings are key-order
+    * monotone, which is all correctness needs — skew only costs balance.
     * Requires `orderCol` values to be unique (it is a total order).
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                         nBuckets: Int, out: String = "prefix_sum"): DataFrame = {
-    val Array(lo, hi) = df.agg(min(col(orderCol)).cast("double"),
-      max(col(orderCol)).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+                         nBuckets: Int, out: String = "prefix_sum",
+                         skewRobust: Boolean = false): DataFrame = {
     val bucket =
-      if (lo == hi) lit(1)
-      else least(width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi),
-        lit(nBuckets)), lit(nBuckets)).cast("int")
+      if (skewRobust) quantileBucket(df, orderCol, nBuckets)
+      else {
+        val Array(lo, hi) = df.agg(min(col(orderCol)).cast("double"),
+          max(col(orderCol)).cast("double")).head()
+          .toSeq.map(_.asInstanceOf[Double]).toArray
+        if (lo == hi) lit(1)
+        else least(width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi),
+          lit(nBuckets)), lit(nBuckets)).cast("int")
+      }
     val bucketed = df.withColumn("__bucket", bucket)
     val totals = bucketed.groupBy(col("__bucket"))
       .agg(sum(col(valueCol)).as("t"))
@@ -152,6 +159,22 @@ object CorpusPrep {
       .drop("__bucket")
   }
 
+  /** Key-order-monotone bucket assignment with near-equal row counts per
+    * bucket regardless of key skew: boundaries are the key's quantiles
+    * (one `approxQuantile` pass, driver holds `nBuckets` doubles), bucket
+    * = 1 + #boundaries strictly below the key — a codegen'd comparison
+    * chain, no shuffle. */
+  private[graft] def quantileBucket(df: DataFrame, orderCol: String,
+                                    nBuckets: Int): Column = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)
+    }
+  }
+
   /** Concat-then-slice sequence packing (GPT-style pretraining batches):
     * documents are concatenated in `orderCol` order into one virtual token
     * stream cut every `budget` tokens. Emits each doc's absolute token
@@ -159,10 +182,11 @@ object CorpusPrep {
     * loader needs to materialize packed sequences. Cost = one distributed
     * prefix sum ([[exclusivePrefixSum]]); no doc ever moves. */
   def packConcat(docs: DataFrame, orderCol: String, tokenCol: String,
-                 budget: Int, nBuckets: Int = 64): DataFrame = {
+                 budget: Int, nBuckets: Int = 64,
+                 skewRobust: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     val withStart = exclusivePrefixSum(docs, orderCol, tokenCol, nBuckets,
-      out = "start_offset")
+      out = "start_offset", skewRobust = skewRobust)
     withStart
       .withColumn("pack_first", floor(col("start_offset") / budget))
       .withColumn("pack_last",

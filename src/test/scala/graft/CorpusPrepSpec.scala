@@ -87,6 +87,27 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("skew-robust prefix sum: parity on a pathological key distribution") {
+    // 90% of keys packed into [0,900), the rest exploded out to 1e12 —
+    // uniform width buckets would put ~everything in bucket 1
+    val rnd = new scala.util.Random(7)
+    val rows = ((0 until 900).map(_.toLong) ++
+      (0 until 100).map(i => 1_000_000_000L + i.toLong * 10_000_000_000L))
+      .map(k => (k, rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = CorpusPrep.exclusivePrefixSum(df, "k", "v", 16, skewRobust = true)
+      .orderBy("k").select("k", "prefix_sum").as[(Long, Long)].collect()
+    val sorted = rows.sortBy(_._1)
+    val expected = sorted.map(_._1)
+      .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    assert(got.toSeq === expected)
+    // and the buckets actually balance: no bucket holds > 3x the ideal share
+    val counts = df.withColumn("b", CorpusPrep.quantileBucket(df, "k", 16))
+      .groupBy("b").count().select("count").as[Long].collect()
+    assert(counts.max <= 3 * (1000 / 16),
+      s"skew-robust buckets should balance, got ${counts.sorted.reverse.toSeq}")
+  }
+
   test("exclusivePrefixSum never funnels through a single-partition window") {
     val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "v")
     val plan = CorpusPrep.exclusivePrefixSum(df, "k", "v", 8)
