@@ -270,6 +270,30 @@ object Bench {
       System.err.println(s"[bench] rowgroup sweep failed: ${e.getMessage}")
     }
 
+    // ---- change feed: delta-pruned vs naive full-table diff ----
+    // The feed's claim is that its cost tracks the data a merge TOUCHED;
+    // the naive alternative (full outer join of both snapshots) pays the
+    // whole table twice regardless of how small the change was.
+    try {
+      val root = s"$workDir/cdc-table"
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("li_key", monotonically_increasing_id())
+      val t = GraftTable.create(li, root, "li_key", numFiles = 32)
+      val base0 = spark.read.parquet(s"$root/base")
+      val thr = base0.stat.approxQuantile("li_key", Array(0.05), 0.001).head.toLong
+      t.commit(base0.where(col("li_key") <= thr)
+        .withColumn("l_quantity", col("l_quantity") + 1.0)
+        .withColumn("op", lit("upsert")))
+      def feedDelta() = runToNoop(t.changeFeed(-1L, 0L))
+      def feedFull() = runToNoop(graft.streaming.CdcMergeSink.rowDiff(
+        base0, t.read(), "li_key"))
+      feedDelta(); feedFull() // warm
+      results("cdc_feed_delta") = (1 to 3).map(_ => time(feedDelta())).min
+      results("cdc_feed_full") = (1 to 3).map(_ => time(feedFull())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] change feed experiment failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // headline metric = the query battery; experiment entries (ingest,
     // merge scaling, cosine comparison, rowgroup sweep incl. _mb sizes)
