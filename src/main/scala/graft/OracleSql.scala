@@ -845,6 +845,17 @@ object OracleSql {
         strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // q81: the expected change feed derived straight from the raw table;
+    // an upsert writing the value already present must NOT appear
+    "q81_change_feed" -> """
+      SELECT doc_id, 'update' AS change_type,
+        lang AS before_lang, 'xx' AS after_lang
+      FROM documents WHERE doc_id % 10 = 0 AND lang <> 'xx'
+      UNION ALL
+      SELECT doc_id, 'delete', lang, CAST(NULL AS VARCHAR)
+      FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 3
+      ORDER BY doc_id""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

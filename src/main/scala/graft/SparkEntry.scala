@@ -1114,6 +1114,35 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Change-data feed over a versioned table ([[graft.GraftTable]] /
+    * [[graft.streaming.CdcMergeSink.changeFeed]]): a uuid-less analog of
+    * q68's mutation rule — every 10th doc's lang upserted to 'xx', every
+    * 7th-mod-3 doc deleted (upsert wins on overlap) — then the feed
+    * between pre-history and v0 is emitted flattened. The oracle derives
+    * the exact expected diff from the raw documents table, so routing,
+    * CoW, manifest commit, AND the delta-pruned diff must all compose
+    * correctly to hash-match. */
+  def q81_change_feed(s: SparkSession, dir: String): DataFrame = {
+    val root = cachedDerivedDir(dir, "documents.parquet", "cdc-docs") { out =>
+      val t = graft.GraftTable.create(
+        documents(s, dir).select(col("doc_id"), col("lang")),
+        out, "doc_id", numFiles = 4)
+      val batch = documents(s, dir).select(col("doc_id"), col("lang"))
+        .where(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang"))
+            .as("lang"),
+          when(col("doc_id") % 10 === 0, lit("upsert")).otherwise(lit("delete"))
+            .as("op"))
+      t.commit(batch)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
+    }
+    graft.GraftTable(s, root, "doc_id").changeFeed(-1L, 0L)
+      .select(col("doc_id"), col("change_type"),
+        col("before.lang").as("before_lang"), col("after.lang").as("after_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1197,6 +1226,7 @@ object SparkEntry {
     "q78_pack" -> (q78_pack _),
     "q79_tfidf_topterms" -> (q79_tfidf_topterms _),
     "q80_orc_ingest" -> (q80_orc_ingest _),
+    "q81_change_feed" -> (q81_change_feed _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
