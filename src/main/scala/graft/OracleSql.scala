@@ -856,6 +856,20 @@ object OracleSql {
       FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 3
       ORDER BY doc_id""",
 
+    // q82: the oracle aggregates the mutated FINAL state from scratch;
+    // the engine maintained the same numbers incrementally from the feed
+    "q82_agg_view" -> """
+      WITH final AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents
+        WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3))
+      SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(tok) AS BIGINT) AS sum_tok
+      FROM final GROUP BY lang ORDER BY lang""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

@@ -1122,25 +1122,42 @@ object SparkEntry {
     * the exact expected diff from the raw documents table, so routing,
     * CoW, manifest commit, AND the delta-pruned diff must all compose
     * correctly to hash-match. */
-  def q81_change_feed(s: SparkSession, dir: String): DataFrame = {
-    val root = cachedDerivedDir(dir, "documents.parquet", "cdc-docs") { out =>
-      val t = graft.GraftTable.create(
-        documents(s, dir).select(col("doc_id"), col("lang")),
-        out, "doc_id", numFiles = 4)
-      val batch = documents(s, dir).select(col("doc_id"), col("lang"))
+  /** The q81/q82 fixture: a versioned (doc_id, lang, tok) table with one
+    * committed mutation batch — every 10th doc's lang upserted to 'xx',
+    * every 7th-mod-3 doc deleted (upsert wins on overlap). */
+  private def cdcDocsTable(s: SparkSession, dir: String): String =
+    cachedDerivedDir(dir, "documents.parquet", "cdc-docs-v2") { out =>
+      val src = documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      val t = graft.GraftTable.create(src, out, "doc_id", numFiles = 4)
+      val batch = src
         .where(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 3)
         .select(col("doc_id"),
           when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang"))
             .as("lang"),
+          col("tok"),
           when(col("doc_id") % 10 === 0, lit("upsert")).otherwise(lit("delete"))
             .as("op"))
       t.commit(batch)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
     }
-    graft.GraftTable(s, root, "doc_id").changeFeed(-1L, 0L)
+
+  def q81_change_feed(s: SparkSession, dir: String): DataFrame =
+    graft.GraftTable(s, cdcDocsTable(s, dir), "doc_id").changeFeed(-1L, 0L)
       .select(col("doc_id"), col("change_type"),
         col("before.lang").as("before_lang"), col("after.lang").as("after_lang"))
       .orderBy(col("doc_id"))
+
+  /** Materialized aggregate view ([[graft.streaming.AggView]]) over the
+    * same versioned table: maintained INCREMENTALLY (seed + one change-feed
+    * delta), while the oracle aggregates the mutated final state from
+    * scratch — the retraction/insertion algebra must agree exactly. */
+  def q82_agg_view(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.GraftTable(s, cdcDocsTable(s, dir), "doc_id")
+    t.refreshAggView(Seq("lang"), Seq("tok"))
+    t.readAggView()
+      .select(col("lang"), col("cnt"), col("sum_tok"))
+      .orderBy(col("lang"))
   }
 
   // ---- registry -----------------------------------------------------
@@ -1227,6 +1244,7 @@ object SparkEntry {
     "q79_tfidf_topterms" -> (q79_tfidf_topterms _),
     "q80_orc_ingest" -> (q80_orc_ingest _),
     "q81_change_feed" -> (q81_change_feed _),
+    "q82_agg_view" -> (q82_agg_view _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
