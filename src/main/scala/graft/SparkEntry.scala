@@ -1114,14 +1114,6 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Change-data feed over a versioned table ([[graft.GraftTable]] /
-    * [[graft.streaming.CdcMergeSink.changeFeed]]): a uuid-less analog of
-    * q68's mutation rule — every 10th doc's lang upserted to 'xx', every
-    * 7th-mod-3 doc deleted (upsert wins on overlap) — then the feed
-    * between pre-history and v0 is emitted flattened. The oracle derives
-    * the exact expected diff from the raw documents table, so routing,
-    * CoW, manifest commit, AND the delta-pruned diff must all compose
-    * correctly to hash-match. */
   /** The q81/q82 fixture: a versioned (doc_id, lang, tok) table with one
     * committed mutation batch — every 10th doc's lang upserted to 'xx',
     * every 7th-mod-3 doc deleted (upsert wins on overlap). */
@@ -1142,6 +1134,11 @@ object SparkEntry {
       java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
     }
 
+  /** Change-data feed over a versioned table ([[graft.GraftTable]] /
+    * [[graft.streaming.CdcMergeSink.changeFeed]]), flattened. The oracle
+    * derives the exact expected diff from the raw documents table, so
+    * routing, CoW, manifest commit, AND the delta-pruned diff must all
+    * compose correctly to hash-match. */
   def q81_change_feed(s: SparkSession, dir: String): DataFrame =
     graft.GraftTable(s, cdcDocsTable(s, dir), "doc_id").changeFeed(-1L, 0L)
       .select(col("doc_id"), col("change_type"),

@@ -143,15 +143,35 @@ object CorpusPrep {
         else least(width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi),
           lit(nBuckets)), lit(nBuckets)).cast("int")
       }
+    // persist: the bucketed frame is consumed twice (totals collect +
+    // windowed output) — one materialization keeps nondeterministic
+    // lineage (samples, rand-derived columns) consistent between the two
+    // and avoids recomputing the upstream twice; the ContextCleaner
+    // reclaims the blocks once the result is garbage-collected
     val bucketed = df.withColumn("__bucket", bucket)
-    val totals = bucketed.groupBy(col("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // totals stay in the value's own numeric family (long / double /
+    // decimal) — offsets must not round or overflow through a foreign type
+    val totalRows = bucketed.groupBy(col("__bucket"))
       .agg(sum(col(valueCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
-    val offsetExpr = element_at(
-      map(offsets.toSeq.sortBy(_._1)
-        .flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*), col("__bucket"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+    def add(a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: java.lang.Long, y: java.lang.Long) => x + y
+      case (x: java.lang.Double, y: java.lang.Double) => x + y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported prefix-sum value type: ${totalRows.headOption.map(_._2)}")
+    }
+    val zero: Any = null
+    val offsets = totalRows.map(_._1)
+      .zip(totalRows.map(_._2).scanLeft(zero)(add).dropRight(1))
+    val sumType = bucketed.select(sum(col(valueCol)).as("t")).schema("t").dataType
+    val offsetExpr = coalesce(element_at(
+      map(offsets.flatMap { case (b, o) =>
+        Seq(lit(b), lit(o).cast(sumType))
+      }: _*), col("__bucket")), lit(0))
     val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * rescan of its group — so this operator deliberately stops at the
   * sum/count family; avg = sum/cnt at read time.)
   *
+  * NULL conventions, identical in [[fullAgg]] and [[applyDelta]] so the
+  * maintained state always equals a recompute: NULL sum-column values
+  * count as 0 (a sum is never NULL), and a NULL GROUP key is one group —
+  * the delta join is null-safe.
+  *
   * Scale shape: one partial-combining shuffle of the feed keyed by group,
   * then a join against the (group-cardinality-sized) previous aggregate —
   * both sides orders of magnitude smaller than the table.
@@ -27,7 +32,7 @@ object IncrementalAgg {
               sumCols: Seq[String]): DataFrame =
     table.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c")): _*)
 
   /** Apply a change feed (key, change_type, before, after — the
     * [[graft.streaming.CdcMergeSink.rowDiff]] shape) to a previous
@@ -40,14 +45,22 @@ object IncrementalAgg {
       feed.where(col(img).isNotNull).select(
         groupCols.map(g => col(s"$img.$g").as(g)) ++
           Seq(lit(sign.toLong).as("__sign")) ++
-          sumCols.map(c => (col(s"$img.$c") * sign).as(s"__d_$c")): _*)
+          sumCols.map(c =>
+            (coalesce(col(s"$img.$c"), lit(0)) * sign).as(s"__d_$c")): _*)
     val delta = side("before", -1).unionByName(side("after", 1))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"),
         sumCols.map(c => sum(col(s"__d_$c")).as(s"__dsum_$c")): _*)
-    prevAgg.join(delta, groupCols, "full_outer")
+      // prefixed names so the null-safe join condition below is unambiguous
+      .select(groupCols.map(g => col(g).as(s"__g_$g")) ++
+        Seq(col("__dcnt")) ++ sumCols.map(c => col(s"__dsum_$c")): _*)
+    // null-safe equality: a NULL group key is a group like any other —
+    // a plain using-columns join would emit it twice (NULL != NULL)
+    val cond = groupCols.map(g => prevAgg(g) <=> delta(s"__g_$g"))
+      .reduce(_ && _)
+    prevAgg.join(delta, cond, "full_outer")
       .select(
-        groupCols.map(col) ++
+        groupCols.map(g => coalesce(prevAgg(g), delta(s"__g_$g")).as(g)) ++
           Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
             .as("cnt")) ++
           sumCols.map(c =>

@@ -30,17 +30,26 @@ object AggView {
     Files.exists(Paths.get(dir, "_SUCCESS"))
 
   /** View versions that exist and are committed, ascending. */
-  def viewVersions(tableRoot: String): Seq[Long] = {
-    val root = Paths.get(s"$tableRoot/aggview")
-    if (!Files.exists(root)) return Nil
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(root)
-    try s.iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+"))
-      .filter(p => committed(p.toString))
-      .map(p => p.getFileName.toString.drop(1).toLong)
-      .toList.sorted
-    finally s.close()
+  def viewVersions(tableRoot: String): Seq[Long] =
+    CdcMergeSink.committedVersionIds(s"$tableRoot/aggview", committed)
+
+  /** Committed view dirs record the aggregation spec they were built
+    * under; a refresh with a DIFFERENT spec must fail fast, not silently
+    * serve a view of different columns as "up to date". */
+  private def specString(groupCols: Seq[String], sumCols: Seq[String]) =
+    s"group=${groupCols.mkString(",")};sum=${sumCols.mkString(",")}"
+
+  private def checkOrWriteSpec(tableRoot: String, spec: String): Unit = {
+    val p = Paths.get(s"$tableRoot/aggview/_spec")
+    if (Files.exists(p)) {
+      val existing = Files.readString(p)
+      require(existing == spec,
+        s"aggview at $tableRoot was built with [$existing], refresh asked " +
+          s"for [$spec] — delete $tableRoot/aggview to rebuild under a new spec")
+    } else {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, spec)
+    }
   }
 
   /** Bring the view up to date with every committed table version: each
@@ -50,6 +59,7 @@ object AggView {
     * versions materialized. */
   def refresh(spark: SparkSession, tableRoot: String,
               groupCols: Seq[String], sumCols: Seq[String]): Int = {
+    checkOrWriteSpec(tableRoot, specString(groupCols, sumCols))
     val tableVs = CdcMergeSink.versions(tableRoot)
     var prevAgg: Option[DataFrame] = None
     var prevV: Long = -1L // sentinel: resolves to the base snapshot

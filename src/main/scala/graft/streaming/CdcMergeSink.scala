@@ -36,35 +36,39 @@ import graft.sources.MutableParquetTable
   */
 object CdcMergeSink {
 
-  /** Highest committed snapshot: max v<batchId> carrying a manifest, else
-    * `base`. Uncommitted (crashed) version dirs are invisible. */
-  def latestSnapshot(tableRoot: String): String = {
-    val root = Paths.get(tableRoot)
-    val versions = {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(root)
-      try s.iterator().asScala
-        .filter(p => p.getFileName.toString.matches("v\\d+"))
-        .filter(p => MutableParquetTable.isCommitted(p.toString))
-        .map(p => p.getFileName.toString.drop(1).toLong)
-        .toList
-      finally s.close()
-    }
-    if (versions.isEmpty) s"$tableRoot/base"
-    else s"$tableRoot/v${versions.max}"
-  }
-
-  /** All committed batch ids, ascending — the table's version history. */
-  def versions(tableRoot: String): Seq[Long] = {
+  /** `v<id>` children of `dir` passing `committed`, ids ascending — the
+    * one version-listing used by the table chain (manifest-committed) and
+    * [[AggView]] (`_SUCCESS`-committed). */
+  private[streaming] def committedVersionIds(
+      dir: String, committed: String => Boolean): Seq[Long] = {
+    if (!Files.exists(Paths.get(dir))) return Nil
     import scala.jdk.CollectionConverters._
-    val s = Files.list(Paths.get(tableRoot))
+    val s = Files.list(Paths.get(dir))
     try s.iterator().asScala
       .filter(p => p.getFileName.toString.matches("v\\d+"))
-      .filter(p => MutableParquetTable.isCommitted(p.toString))
+      .filter(p => committed(p.toString))
       .map(p => p.getFileName.toString.drop(1).toLong)
       .toList.sorted
     finally s.close()
   }
+
+  private[streaming] def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
+
+  /** Highest committed snapshot: max v<batchId> carrying a manifest, else
+    * `base`. Uncommitted (crashed) version dirs are invisible. */
+  def latestSnapshot(tableRoot: String): String =
+    versions(tableRoot).lastOption
+      .map(v => s"$tableRoot/v$v").getOrElse(s"$tableRoot/base")
+
+  /** All committed batch ids, ascending — the table's version history. */
+  def versions(tableRoot: String): Seq[Long] =
+    committedVersionIds(tableRoot, MutableParquetTable.isCommitted)
 
   /** Time travel: the committed table state as of batch `batchId` — the
     * newest committed version at-or-before it (or the base snapshot when
@@ -126,7 +130,9 @@ object CdcMergeSink {
                  fromBatch: Long, toBatch: Long, key: String): DataFrame = {
     val fromDir = resolveAsOf(tableRoot, fromBatch)
     val toDir = resolveAsOf(tableRoot, toBatch)
-    val schema = spark.read.parquet(fromDir).schema
+    // schema inference costs a footer read — only pay it when a side has
+    // no files of its own (the common delta case never does)
+    lazy val schema = spark.read.parquet(fromDir).schema
     def readSubset(dir: String, names: Seq[String]): DataFrame =
       if (names.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -150,13 +156,7 @@ object CdcMergeSink {
   def vacuum(tableRoot: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val drop = versions(tableRoot).dropRight(keepLast)
-    drop.foreach { v =>
-      import scala.jdk.CollectionConverters._
-      val s = Files.walk(Paths.get(s"$tableRoot/v$v"))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
-    }
+    drop.foreach(v => deleteRecursively(Paths.get(s"$tableRoot/v$v")))
     drop
   }
 
@@ -185,11 +185,7 @@ object CdcMergeSink {
     if (MutableParquetTable.isCommitted(target)) return
     if (Files.exists(Paths.get(target))) {
       // crashed half-apply: no manifest, so nothing ever read it — rebuild
-      import scala.jdk.CollectionConverters._
-      val s = Files.walk(Paths.get(target))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
+      deleteRecursively(Paths.get(target))
     }
     val collapsed = collapse(batch, key, seqCol)
     if (collapsed.isEmpty) return // empty batch: keep the current snapshot

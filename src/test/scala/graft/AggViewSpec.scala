@@ -50,6 +50,23 @@ class AggViewSpec extends SparkSpec {
       CdcMergeSink.readAsOf(spark, root, 2L), Seq("cat"), Seq("v"))))
   }
 
+  test("refresh under a different aggregation spec fails fast, never serves stale") {
+    val root = java.nio.file.Files.createTempDirectory("graft-aggview3").toString
+    val base = spark.range(0, 20).select(col("id"),
+      lit("g").as("cat"), col("id").cast("double").as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 2)
+    CdcMergeSink.applyBatch(spark,
+      Seq((1L, "g", 5.0, "upsert")).toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 0L)
+    AggView.refresh(spark, root, Seq("cat"), Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      AggView.refresh(spark, root, Seq("cat"), Seq.empty)
+    }
+    assert(e.getMessage.contains("built with"))
+    // same spec still refreshes fine
+    assert(AggView.refresh(spark, root, Seq("cat"), Seq("v")) === 0)
+  }
+
   test("crashed half-written view version is rebuilt") {
     val root = java.nio.file.Files.createTempDirectory("graft-aggview2").toString
     val base = spark.range(0, 50).select(col("id"),

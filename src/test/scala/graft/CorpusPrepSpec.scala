@@ -108,6 +108,15 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       s"skew-robust buckets should balance, got ${counts.sorted.reverse.toSeq}")
   }
 
+  test("exclusivePrefixSum handles double-typed values exactly") {
+    val rows = (0 until 100).map(i => (i.toLong, i * 0.25))
+    val got = CorpusPrep.exclusivePrefixSum(rows.toDF("k", "v"), "k", "v", 8)
+      .orderBy("k").select("k", "prefix_sum").as[(Long, Double)].collect()
+    val expected = rows.map(_._1)
+      .zip(rows.map(_._2).scanLeft(0.0)(_ + _).dropRight(1))
+    assert(got.toSeq === expected)
+  }
+
   test("exclusivePrefixSum never funnels through a single-partition window") {
     val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "v")
     val plan = CorpusPrep.exclusivePrefixSum(df, "k", "v", 8)

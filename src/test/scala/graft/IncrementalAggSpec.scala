@@ -58,6 +58,35 @@ class IncrementalAggSpec extends SparkSpec {
     assert(incr2.where(col("cat") === "c9").isEmpty)
   }
 
+  test("NULL group keys stay one group; NULL sum values count as zero") {
+    // prev state: a NULL-cat group of 2 rows summing 7, one 'a' row
+    val prev = IncrementalAgg.fullAgg(
+      Seq((1L, Option.empty[String], 3.0), (2L, Option.empty[String], 4.0),
+        (3L, Option("a"), 10.0)).toDF("id", "cat", "v"),
+      Seq("cat"), Seq("v"))
+    // feed: insert another NULL-cat row, and update 'a' to a NULL value
+    val feed = CdcMergeSink.rowDiff(
+      Seq((3L, Option("a"), Option(10.0))).toDF("id", "cat", "v"),
+      Seq((3L, Option("a"), Option.empty[Double]),
+        (9L, Option.empty[String], Option(5.0))).toDF("id", "cat", "v"),
+      "id")
+    val got = IncrementalAgg.applyDelta(prev, feed, Seq("cat"), Seq("v"))
+      .orderBy(col("cat").asc_nulls_first).collect().map(_.toSeq)
+    // NULL group merged (3 rows, sum 12); 'a' keeps cnt 1 with sum 0
+    assert(got.length === 2)
+    assert(got(0) === Seq(null, 3L, 12.0))
+    assert(got(1) === Seq("a", 1L, 0.0))
+    // and it equals the full recompute of the same final state
+    val full = IncrementalAgg.fullAgg(
+      Seq((1L, Option.empty[String], Option(3.0)),
+        (2L, Option.empty[String], Option(4.0)),
+        (9L, Option.empty[String], Option(5.0)),
+        (3L, Option("a"), Option.empty[Double])).toDF("id", "cat", "v"),
+      Seq("cat"), Seq("v"))
+      .orderBy(col("cat").asc_nulls_first).collect().map(_.toSeq)
+    assert(got.toSeq === full.toSeq)
+  }
+
   test("empty feed is an exact no-op") {
     val agg = IncrementalAgg.fullAgg(
       Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "cat", "v"),
