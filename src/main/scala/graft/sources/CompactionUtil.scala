@@ -49,6 +49,55 @@ object CompactionUtil {
     } finally reader.close()
   }
 
+  /** Greedy CONTIGUOUS bin packing of (file, bytes) pairs: walk in the
+    * given order, close a bin when adding the next file would cross
+    * `targetBytes` (a bin always takes at least one file, so oversized
+    * files pass through alone). Contiguity is load-bearing: inputs arrive
+    * in key order, so each output file still owns a disjoint key range —
+    * the sorted-table invariant merges route by. */
+  def planBySize(files: Seq[(String, Long)], targetBytes: Long): Seq[Seq[String]] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val groups = Seq.newBuilder[Seq[String]]
+    var cur = List.empty[String]
+    var curBytes = 0L
+    files.foreach { case (f, b) =>
+      if (cur.nonEmpty && curBytes + b > targetBytes) {
+        groups += cur.reverse; cur = Nil; curBytes = 0L
+      }
+      cur ::= f; curBytes += b
+    }
+    if (cur.nonEmpty) groups += cur.reverse
+    groups.result()
+  }
+
+  /** Size-targeted compaction, one Spark task per output file (the work
+    * per group is pure sequential byte IO — this is the reference's
+    * one-rewriter-per-shard parallelism, README.md:45-48, applied to
+    * compaction). Small files produced by many CoW merges fold back into
+    * ~`targetBytes` files with zero decode. */
+  def compactDirBySize(spark: SparkSession, dir: String, outDir: String,
+                       targetBytes: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toList.sorted
+      .map(f => f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+    finally s.close()
+    require(files.nonEmpty, s"no parquet files in $dir")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val groups = planBySize(files, targetBytes).zipWithIndex
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val outs = groups.map { case (_, i) => f"$outDir/part-$i%05d.parquet" }
+    spark.sparkContext
+      .parallelize(groups, math.max(1, math.min(groups.size, 64)))
+      .foreach { case (g, i) =>
+        concatFiles(conf.value, g, f"$outDir/part-$i%05d.parquet")
+      }
+    outs
+  }
+
   /** Compact a CoW table directory's files into `targetFiles` outputs,
     * preserving key order (inputs are concatenated in sorted-path order,
     * which writeSorted's range partitioning makes key order). */

@@ -70,4 +70,47 @@ class RewriterApiSpec extends SparkSpec {
     val rgOut = graft.sources.ParquetStats.rowGroupStats(spark, s"$work/out").count()
     assert(rgOut === rgIn)
   }
+
+  test("planBySize packs contiguously and respects the byte target") {
+    val files = Seq("a" -> 10L, "b" -> 20L, "c" -> 80L, "d" -> 5L,
+      "e" -> 200L, "f" -> 5L)
+    val groups = CompactionUtil.planBySize(files, targetBytes = 100L)
+    // contiguity: concatenation of groups == input order
+    assert(groups.flatten === files.map(_._1))
+    // a+b+c=110 > 100 -> c starts a new bin; e oversized -> alone
+    assert(groups === Seq(Seq("a", "b"), Seq("c", "d"), Seq("e"), Seq("f")))
+  }
+
+  test("size-targeted compaction folds small files, preserving groups and order") {
+    val work = Files.createTempDirectory("graft-compact2").toString
+    val c = Tables.customer(spark, sf())
+    // many small files of uneven size
+    graft.sources.ParquetTable.writeSorted(c, s"$work/in", "c_custkey", 10)
+    val inBytes = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(s"$work/in"))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally s.close()
+    }
+    val target = inBytes / 3
+    val outs = CompactionUtil.compactDirBySize(spark, s"$work/in", s"$work/out", target)
+    assert(outs.size >= 3 && outs.size < 10, s"got ${outs.size} outputs")
+    val back = spark.read.parquet(s"$work/out")
+    assert(back.orderBy("c_custkey").collect().map(_.toString).toSeq ===
+      c.orderBy("c_custkey").collect().map(_.toString).toSeq)
+    // passthrough, not rewrite
+    assert(graft.sources.ParquetStats.rowGroupStats(spark, s"$work/out").count() ===
+      graft.sources.ParquetStats.rowGroupStats(spark, s"$work/in").count())
+    // disjoint key ranges survive: per-output min/max don't overlap
+    val ranges = graft.sources.ParquetStats
+      .fileKeyRangesTyped(spark, s"$work/out", "c_custkey")
+      .sortBy(_.min.asInstanceOf[Long])
+    ranges.sliding(2).foreach {
+      case Seq(x, y) =>
+        assert(x.max.asInstanceOf[Long] <= y.min.asInstanceOf[Long],
+          s"overlap between ${x.file} and ${y.file}")
+      case _ =>
+    }
+  }
 }
