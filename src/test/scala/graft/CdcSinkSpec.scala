@@ -99,6 +99,33 @@ class CdcSinkSpec extends SparkSpec {
     assert(CdcMergeSink.readAsOf(spark, root, 0L).count() === 100)
   }
 
+  test("property: delta-pruned feed == brute-force snapshot diff under random batches") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcp").toString
+    mkBase(root)
+    val rnd = new scala.util.Random(11)
+    // 3 random batches: updates, deletes, inserts over a 150-key space
+    for (b <- 0 until 3) {
+      val mutations = (0 until 30).map { _ =>
+        val k = rnd.nextInt(150).toLong
+        if (rnd.nextBoolean()) (k, rnd.nextInt(1000).toDouble, "upsert")
+        else (k, 0.0, "delete")
+      }.groupBy(_._1).map(_._2.head).toSeq // one op per key per batch
+      CdcMergeSink.applyBatch(spark, mutations.toDF("id", "v", "op"),
+        root, "id", batchId = b.toLong)
+    }
+    for ((from, to) <- Seq((-1L, 0L), (0L, 1L), (1L, 2L), (-1L, 2L), (0L, 2L))) {
+      val pruned = CdcMergeSink.changeFeed(spark, root, from, to, "id")
+        .orderBy("id").collect().map(_.toString).toSeq
+      // brute force: same rowDiff but over the FULL snapshots, no pruning
+      val brute = CdcMergeSink.rowDiff(
+        CdcMergeSink.readAsOf(spark, root, from),
+        CdcMergeSink.readAsOf(spark, root, to), "id")
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(pruned === brute, s"feed($from->$to) diverged from brute diff")
+    }
+  }
+
   test("replaying a committed batch is a no-op; a crashed half-apply is rebuilt") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cdc2").toString
