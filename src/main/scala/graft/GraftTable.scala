@@ -61,6 +61,21 @@ final class GraftTable private (val spark: SparkSession, val root: String,
 
   /** Latest committed view state. */
   def readAggView(): DataFrame = AggView.read(spark, root)
+
+  /** Attach a mutation stream: one CoW snapshot per micro-batch
+    * ([[CdcMergeSink.start]] semantics — replay-idempotent, crash-safe).
+    * With `aggView` set, the materialized view catches up after every
+    * batch commit — a continuously-maintained dashboard aggregate whose
+    * per-batch cost is the batch's delta, not the table. */
+  def stream(mutations: DataFrame, opCol: String = "op",
+             seqCol: Option[String] = None,
+             checkpointDir: Option[String] = None,
+             aggView: Option[(Seq[String], Seq[String])] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    CdcMergeSink.start(mutations, root, key, opCol, seqCol, checkpointDir,
+      afterBatch = _ => aggView.foreach { case (g, sums) =>
+        AggView.refresh(spark, root, g, sums)
+      })
 }
 
 object GraftTable {

@@ -195,11 +195,14 @@ object CdcMergeSink {
 
   /** Attach the sink to a streaming mutation frame and start it. The
     * frame's schema must be the base table's schema plus `opCol`
-    * ('upsert' | 'delete') and optionally `seqCol`. */
+    * ('upsert' | 'delete') and optionally `seqCol`. `afterBatch` runs on
+    * the driver after each batch's snapshot commit (or no-op replay) —
+    * the hook continuous view maintenance plugs into. */
   def start(mutations: DataFrame, tableRoot: String, key: String,
             opCol: String = "op", seqCol: Option[String] = None,
             checkpointDir: Option[String] = None,
-            queryName: String = "graft-cdc-merge"): StreamingQuery = {
+            queryName: String = "graft-cdc-merge",
+            afterBatch: Long => Unit = _ => ()): StreamingQuery = {
     val spark = mutations.sparkSession
     val cp = checkpointDir.getOrElse(
       Files.createTempDirectory("graft-cdc-cp").toString)
@@ -208,6 +211,7 @@ object CdcMergeSink {
       .option("checkpointLocation", cp)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         applyBatch(spark, b, tableRoot, key, opCol, seqCol, id)
+        afterBatch(id)
       }
       .start()
   }

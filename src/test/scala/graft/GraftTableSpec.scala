@@ -48,4 +48,35 @@ class GraftTableSpec extends SparkSpec {
     assert(t.versions === Seq(1L))
     assert(t.read().count() === 100)
   }
+
+  test("streaming attach maintains the table AND the view per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    implicit val ctx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-table-s").toString
+    val t = GraftTable.create(
+      spark.range(0, 60).select(col("id"),
+        concat(lit("s"), (col("id") % 2).cast("string")).as("cat"),
+        col("id").cast("double").as("v")),
+      root, "id", numFiles = 2)
+
+    val in = MemoryStream[(Long, String, Double, String)]
+    val q = t.stream(in.toDF().toDF("id", "cat", "v", "op"),
+      aggView = Some((Seq("cat"), Seq("v"))))
+    try {
+      in.addData((5L, "s1", 500.0, "upsert"), (6L, "", 0.0, "delete"))
+      q.processAllAvailable()
+      assert(t.versions === Seq(0L))
+      // the view is already current — no explicit refresh call
+      val view = t.readAggView().orderBy("cat").collect().map(_.toSeq).toSeq
+      val full = t.read().groupBy("cat")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+        .orderBy("cat").collect().map(_.toSeq).toSeq
+      assert(view === full)
+
+      in.addData((70L, "s0", 7.0, "upsert"))
+      q.processAllAvailable()
+      assert(t.readAggView().agg(sum(col("cnt"))).head().getLong(0) === 60L)
+    } finally q.stop()
+  }
 }
