@@ -123,18 +123,23 @@ object CorpusPrep {
     *      exclusively scanned on the driver, and added back as a broadcast
     *      literal map.
     *
-    * Uniform-width buckets (the default) assume a roughly uniform key
-    * distribution (dense ids, timestamps); `skewRobust = true` spends one
-    * `approxQuantile` pass on boundaries instead, giving near-equal ROW
-    * counts per bucket for any distribution. Both bucketings are key-order
-    * monotone, which is all correctness needs — skew only costs balance.
+    * Bucketing by key type: numeric keys use uniform `width_bucket` from
+    * min/max (cheap; assumes roughly uniform ids/timestamps) or, with
+    * `skewRobust = true`, one `approxQuantile` pass (near-equal ROW counts
+    * per bucket for any distribution). Non-numeric orderable keys (uuid
+    * strings, dates-as-strings) use seeded-sample boundaries compared in
+    * the key's own order. Every bucketing is key-order monotone, which is
+    * all correctness needs — skew only costs balance.
     * Requires `orderCol` values to be unique (it is a total order).
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          nBuckets: Int, out: String = "prefix_sum",
                          skewRobust: Boolean = false): DataFrame = {
+    val numericKey = df.schema(orderCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val bucket =
-      if (skewRobust) quantileBucket(df, orderCol, nBuckets)
+      if (!numericKey) sampledBucket(df, orderCol, nBuckets)
+      else if (skewRobust) quantileBucket(df, orderCol, nBuckets)
       else {
         val Array(lo, hi) = df.agg(min(col(orderCol)).cast("double"),
           max(col(orderCol)).cast("double")).head()
@@ -192,6 +197,30 @@ object CorpusPrep {
       else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
     bounds.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)
+    }
+  }
+
+  /** Bucket assignment for NON-numeric orderable keys (uuid strings,
+    * etc.): boundaries come from a seeded sample (the RangePartitioner
+    * recipe), comparisons run in the key's native order. Sampling only
+    * affects balance — any monotone boundary set gives a correct prefix
+    * sum. */
+  private[graft] def sampledBucket(df: DataFrame, orderCol: String,
+                                   nBuckets: Int): Column = {
+    // boundaries must sort in SPARK's order (UTF8 binary for strings —
+    // a driver-side String sort can disagree on surrogate pairs), so the
+    // sample is distinct'd and ordered by the engine before collecting
+    val sample = df.select(col(orderCol))
+      .sample(withReplacement = false, 0.1, seed = 42)
+      .distinct().orderBy(col(orderCol))
+      .limit(100 * nBuckets)
+      .collect().map(_.get(0))
+    val step = math.max(1, sample.length / nBuckets)
+    val bounds = sample.zipWithIndex
+      .collect { case (v, i) if i % step == step - 1 => v }
+      .take(nBuckets - 1)
+    bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
     }
   }
 

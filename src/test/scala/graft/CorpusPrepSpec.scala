@@ -108,6 +108,22 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       s"skew-robust buckets should balance, got ${counts.sorted.reverse.toSeq}")
   }
 
+  test("string (uuid) order keys: prefix sum matches the sequential scan") {
+    val rows = (0 until 400).map { i =>
+      val uuid = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (uuid, (i % 37).toLong)
+    }
+    val got = CorpusPrep.exclusivePrefixSum(
+        rows.toDF("k", "v").repartition(6), "k", "v", 8)
+      .orderBy("k").select("k", "prefix_sum").as[(String, Long)].collect()
+    val sorted = rows.sortBy(_._1) // ascii hex: String order == UTF8 order
+    val expected = sorted.map(_._1)
+      .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    assert(got.toSeq === expected)
+  }
+
   test("exclusivePrefixSum handles double-typed values exactly") {
     val rows = (0 until 100).map(i => (i.toLong, i * 0.25))
     val got = CorpusPrep.exclusivePrefixSum(rows.toDF("k", "v"), "k", "v", 8)
