@@ -34,6 +34,103 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("cnt"),
         sumCols.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c")): _*)
 
+  /** Full recompute including min/max extrema — defines the schema of
+    * [[applyDeltaWithExtrema]]: groupCols ++ (cnt, sum_<c>..., min_<e>,
+    * max_<e>...). Extrema follow SQL semantics (nulls ignored; all-null
+    * group -> null). */
+  def fullAggWithExtrema(table: DataFrame, groupCols: Seq[String],
+                         sumCols: Seq[String],
+                         extremaCols: Seq[String]): DataFrame =
+    table.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c")) ++
+          extremaCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Maintain min/max alongside sums/counts. The asymmetry min/max has
+    * under deletes is handled surgically: INSERTS only ever tighten an
+    * extremum (`least`/`greatest` with the previous value — free), while
+    * a retraction whose value TOUCHES the group's current extremum makes
+    * that group "dirty" and only dirty groups are recomputed — from
+    * `newTable` filtered to them (a group-key join the scan can prune
+    * on), never a full rescan. A steady workload whose deletes rarely hit
+    * extrema pays nothing beyond [[applyDelta]].
+    *
+    * `newTable` must be the table state AFTER the feed was applied. */
+  def applyDeltaWithExtrema(prevAgg: DataFrame, feed: DataFrame,
+                            newTable: DataFrame, groupCols: Seq[String],
+                            sumCols: Seq[String],
+                            extremaCols: Seq[String]): DataFrame = {
+    require(extremaCols.nonEmpty, "use applyDelta when no extrema are maintained")
+    val sums = applyDelta(
+      prevAgg.select((groupCols.map(col) :+ col("cnt")) ++
+        sumCols.map(c => col(s"sum_$c")): _*),
+      feed, groupCols, sumCols)
+    // one pass over the feed: per group, the inserted extrema candidates
+    // and the retracted value range
+    def img(side: String, tag: String) =
+      feed.where(col(side).isNotNull).select(
+        groupCols.map(g => col(s"$side.$g").as(g)) ++
+          Seq(lit(tag).as("__tag")) ++
+          extremaCols.map(c => col(s"$side.$c").as(s"__v_$c")): _*)
+    val deltaExt = img("after", "ins").unionByName(img("before", "ret"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__touched"),
+        extremaCols.flatMap(c => Seq(
+          min(when(col("__tag") === "ins", col(s"__v_$c"))).as(s"__ins_min_$c"),
+          max(when(col("__tag") === "ins", col(s"__v_$c"))).as(s"__ins_max_$c"),
+          min(when(col("__tag") === "ret", col(s"__v_$c"))).as(s"__ret_min_$c"),
+          max(when(col("__tag") === "ret", col(s"__v_$c"))).as(s"__ret_max_$c"))): _*)
+      .select(groupCols.map(g => col(g).as(s"__g_$g")) ++
+        extremaCols.flatMap(c => Seq(col(s"__ins_min_$c"), col(s"__ins_max_$c"),
+          col(s"__ret_min_$c"), col(s"__ret_max_$c"))): _*)
+    val prevExt = prevAgg.select(groupCols.map(col) ++
+      extremaCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+    val extCond = groupCols.map(g => prevExt(g) <=> deltaExt(s"__g_$g"))
+      .reduce(_ && _)
+    val joined = prevExt.join(deltaExt, extCond, "full_outer")
+    // a retraction at (or past) the stored extremum invalidates it; a
+    // comparison against a null side is false (nothing to invalidate)
+    val dirtyCond = extremaCols.map { c =>
+      (col(s"__ret_min_$c") <= col(s"min_$c")) ||
+        (col(s"__ret_max_$c") >= col(s"max_$c"))
+    }.reduce(_ || _)
+    val merged = joined.select(
+      groupCols.map(g => coalesce(prevExt(g), deltaExt(s"__g_$g")).as(g)) ++
+        Seq(coalesce(dirtyCond, lit(false)).as("__dirty")) ++
+        extremaCols.flatMap(c => Seq(
+          least(col(s"min_$c"), col(s"__ins_min_$c")).as(s"__clean_min_$c"),
+          greatest(col(s"max_$c"), col(s"__ins_max_$c")).as(s"__clean_max_$c"))): _*)
+    val dirtyKeys = merged.where(col("__dirty"))
+      .select(groupCols.map(g => col(g).as(s"__g_$g")): _*).distinct()
+    val rescanCond = groupCols.map(g => newTable(g) <=> dirtyKeys(s"__g_$g"))
+      .reduce(_ && _)
+    val reAggs = extremaCols.flatMap(c => Seq(
+      min(col(c)).as(s"__re_min_$c"), max(col(c)).as(s"__re_max_$c")))
+    val recomputed = newTable.join(dirtyKeys, rescanCond, "inner")
+      .groupBy(groupCols.map(col): _*)
+      .agg(reAggs.head, reAggs.tail: _*)
+      .select(groupCols.map(g => col(g).as(s"__r_$g")) ++
+        extremaCols.flatMap(c =>
+          Seq(col(s"__re_min_$c"), col(s"__re_max_$c"))): _*)
+    val reCond = groupCols.map(g => merged(g) <=> recomputed(s"__r_$g"))
+      .reduce(_ && _)
+    val ext = merged.join(recomputed, reCond, "left_outer")
+      .select(groupCols.map(g => merged(g).as(s"__e_$g")) ++
+        extremaCols.flatMap(c => Seq(
+          when(col("__dirty"), col(s"__re_min_$c"))
+            .otherwise(col(s"__clean_min_$c")).as(s"min_$c"),
+          when(col("__dirty"), col(s"__re_max_$c"))
+            .otherwise(col(s"__clean_max_$c")).as(s"max_$c"))): _*)
+    val finalCond = groupCols.map(g => sums(g) <=> ext(s"__e_$g"))
+      .reduce(_ && _)
+    sums.join(ext, finalCond, "left_outer")
+      .select((groupCols.map(g => sums(g)) :+ col("cnt")) ++
+        sumCols.map(c => col(s"sum_$c")) ++
+        extremaCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+  }
+
   /** Apply a change feed (key, change_type, before, after — the
     * [[graft.streaming.CdcMergeSink.rowDiff]] shape) to a previous
     * aggregate. Group and sum columns are fields of the before/after

@@ -87,6 +87,66 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got.toSeq === full.toSeq)
   }
 
+  test("extrema maintenance: deleted minimum triggers group rescan; inserts tighten free") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iaggx").toString
+    val base = spark.range(0, 60).select(col("id"),
+      concat(lit("e"), (col("id") % 3).cast("string")).as("cat"),
+      (col("id") * 10).cast("double").as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 3)
+    // group e0 holds ids 0,3,6..57 -> min v = 0 (id 0), max v = 570 (id 57)
+    CdcMergeSink.applyBatch(spark,
+      Seq(
+        (0L, "", 0.0, "delete"),          // deletes e0's MIN -> rescan path
+        (58L, "e1", -500.0, "upsert"),    // new e1 min via insert (free path)
+        (4L, "e1", 45.0, "upsert"))       // interior update, no extremum touch
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 0L)
+    val prev = IncrementalAgg.fullAggWithExtrema(
+      spark.read.parquet(s"$root/base"), Seq("cat"), Seq("v"), Seq("v"))
+    val newState = CdcMergeSink.readAsOf(spark, root, 0L)
+    val got = IncrementalAgg.applyDeltaWithExtrema(prev,
+      CdcMergeSink.changeFeed(spark, root, -1L, 0L, "id"),
+      newState, Seq("cat"), Seq("v"), Seq("v"))
+    val full = IncrementalAgg.fullAggWithExtrema(newState,
+      Seq("cat"), Seq("v"), Seq("v"))
+    def rows(df: DataFrame) = df.orderBy("cat").collect().map(_.toSeq).toSeq
+    assert(rows(got) === rows(full))
+    // sanity on the two interesting groups
+    val m = got.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(m("e0")(3) === 30.0)   // new min after the old min's delete
+    assert(m("e1")(3) === -500.0) // insert-tightened min
+  }
+
+  test("property: extrema delta == full recompute over random mutation chains") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-iaggp").toString
+    val rnd = new scala.util.Random(23)
+    val base = spark.range(0, 120).select(col("id"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("cat"),
+      (col("id") % 13).cast("double").as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 3)
+    var agg = IncrementalAgg.fullAggWithExtrema(
+      spark.read.parquet(s"$root/base"), Seq("cat"), Seq("v"), Seq("v"))
+    for (b <- 0 until 3) {
+      val muts = (0 until 40).map { _ =>
+        val k = rnd.nextInt(160).toLong
+        if (rnd.nextInt(3) == 0) (k, "", 0.0, "delete")
+        else (k, s"p${rnd.nextInt(5)}", rnd.nextInt(27) - 13.0, "upsert")
+      }.groupBy(_._1).map(_._2.head).toSeq
+      CdcMergeSink.applyBatch(spark, muts.toDF("id", "cat", "v", "op"),
+        root, "id", batchId = b.toLong)
+      val newState = CdcMergeSink.readAsOf(spark, root, b.toLong)
+      val feed = CdcMergeSink.changeFeed(spark, root, b - 1L, b.toLong, "id")
+      agg = IncrementalAgg.applyDeltaWithExtrema(agg, feed, newState,
+        Seq("cat"), Seq("v"), Seq("v"))
+      val full = IncrementalAgg.fullAggWithExtrema(newState,
+        Seq("cat"), Seq("v"), Seq("v"))
+      val a = agg.orderBy("cat").collect().map(_.toSeq).toSeq
+      val f = full.orderBy("cat").collect().map(_.toSeq).toSeq
+      assert(a === f, s"diverged at batch $b")
+    }
+  }
+
   test("empty feed is an exact no-op") {
     val agg = IncrementalAgg.fullAgg(
       Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "cat", "v"),
