@@ -55,9 +55,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   /** Drop versions beyond the newest `keepLast`; returns dropped ids. */
   def vacuum(keepLast: Int): Seq[Long] = CdcMergeSink.vacuum(root, keepLast)
 
-  /** Catch the materialized sum/count view up to the latest version. */
-  def refreshAggView(groupCols: Seq[String], sumCols: Seq[String]): Int =
-    AggView.refresh(spark, root, groupCols, sumCols)
+  /** Catch the materialized view up to the latest version (sum/count,
+    * plus optional min/max columns maintained with dirty-group rescan). */
+  def refreshAggView(groupCols: Seq[String], sumCols: Seq[String],
+                     extremaCols: Seq[String] = Nil): Int =
+    AggView.refresh(spark, root, groupCols, sumCols, extremaCols)
 
   /** Latest committed view state. */
   def readAggView(): DataFrame = AggView.read(spark, root)

@@ -867,7 +867,9 @@ object OracleSql {
         FROM documents
         WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3))
       SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
-        CAST(sum(tok) AS BIGINT) AS sum_tok
+        CAST(sum(tok) AS BIGINT) AS sum_tok,
+        CAST(min(tok) AS BIGINT) AS min_tok,
+        CAST(max(tok) AS BIGINT) AS max_tok
       FROM final GROUP BY lang ORDER BY lang""",
 
     "q67_conditional_agg" -> """

@@ -1118,7 +1118,7 @@ object SparkEntry {
     * committed mutation batch — every 10th doc's lang upserted to 'xx',
     * every 7th-mod-3 doc deleted (upsert wins on overlap). */
   private def cdcDocsTable(s: SparkSession, dir: String): String =
-    cachedDerivedDir(dir, "documents.parquet", "cdc-docs-v2") { out =>
+    cachedDerivedDir(dir, "documents.parquet", "cdc-docs-v3") { out =>
       val src = documents(s, dir).select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
       val t = graft.GraftTable.create(src, out, "doc_id", numFiles = 4)
@@ -1151,9 +1151,10 @@ object SparkEntry {
     * scratch — the retraction/insertion algebra must agree exactly. */
   def q82_agg_view(s: SparkSession, dir: String): DataFrame = {
     val t = graft.GraftTable(s, cdcDocsTable(s, dir), "doc_id")
-    t.refreshAggView(Seq("lang"), Seq("tok"))
+    t.refreshAggView(Seq("lang"), Seq("tok"), extremaCols = Seq("tok"))
     t.readAggView()
-      .select(col("lang"), col("cnt"), col("sum_tok"))
+      .select(col("lang"), col("cnt"), col("sum_tok"),
+        col("min_tok"), col("max_tok"))
       .orderBy(col("lang"))
   }
 

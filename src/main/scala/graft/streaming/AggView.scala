@@ -36,8 +36,10 @@ object AggView {
   /** Committed view dirs record the aggregation spec they were built
     * under; a refresh with a DIFFERENT spec must fail fast, not silently
     * serve a view of different columns as "up to date". */
-  private def specString(groupCols: Seq[String], sumCols: Seq[String]) =
-    s"group=${groupCols.mkString(",")};sum=${sumCols.mkString(",")}"
+  private def specString(groupCols: Seq[String], sumCols: Seq[String],
+                         extremaCols: Seq[String]) =
+    s"group=${groupCols.mkString(",")};sum=${sumCols.mkString(",")}" +
+      (if (extremaCols.isEmpty) "" else s";ext=${extremaCols.mkString(",")}")
 
   private def checkOrWriteSpec(tableRoot: String, spec: String): Unit = {
     val p = Paths.get(s"$tableRoot/aggview/_spec")
@@ -58,23 +60,31 @@ object AggView {
     * (the only full pass the view ever pays). Returns the number of
     * versions materialized. */
   def refresh(spark: SparkSession, tableRoot: String,
-              groupCols: Seq[String], sumCols: Seq[String]): Int = {
-    checkOrWriteSpec(tableRoot, specString(groupCols, sumCols))
+              groupCols: Seq[String], sumCols: Seq[String],
+              extremaCols: Seq[String] = Nil): Int = {
+    checkOrWriteSpec(tableRoot, specString(groupCols, sumCols, extremaCols))
     val tableVs = CdcMergeSink.versions(tableRoot)
     var prevAgg: Option[DataFrame] = None
     var prevV: Long = -1L // sentinel: resolves to the base snapshot
     var built = 0
+    def full(df: DataFrame) =
+      if (extremaCols.isEmpty) IncrementalAgg.fullAgg(df, groupCols, sumCols)
+      else IncrementalAgg.fullAggWithExtrema(df, groupCols, sumCols, extremaCols)
     tableVs.foreach { v =>
       val dir = viewDir(tableRoot, v)
       if (committed(dir)) {
         prevAgg = Some(spark.read.parquet(dir)); prevV = v
       } else {
         val base = prevAgg.getOrElse(
-          IncrementalAgg.fullAgg(
-            CdcMergeSink.readAsOf(spark, tableRoot, prevV), groupCols, sumCols))
+          full(CdcMergeSink.readAsOf(spark, tableRoot, prevV)))
         val feed = CdcMergeSink.changeFeed(spark, tableRoot, prevV, v,
           keyOf(tableRoot))
-        val next = IncrementalAgg.applyDelta(base, feed, groupCols, sumCols)
+        val next =
+          if (extremaCols.isEmpty)
+            IncrementalAgg.applyDelta(base, feed, groupCols, sumCols)
+          else IncrementalAgg.applyDeltaWithExtrema(base, feed,
+            CdcMergeSink.readAsOf(spark, tableRoot, v),
+            groupCols, sumCols, extremaCols)
         // overwrite handles a crashed half-write; _SUCCESS commits
         next.coalesce(1).write.mode("overwrite").parquet(dir)
         prevAgg = Some(spark.read.parquet(dir)); prevV = v
