@@ -872,6 +872,30 @@ object OracleSql {
         CAST(max(tok) AS BIGINT) AS max_tok
       FROM final GROUP BY lang ORDER BY lang""",
 
+    // q83: the salted two-stage top-k must reproduce the plain ranking
+    "q83_salted_topk" -> """
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+        CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+      FROM r WHERE rn <= 3
+      ORDER BY o_custkey, rank""",
+
+    // q84: identical semantics to q61 via the hot-key bucketed variant
+    "q84_asof_bucketed" -> """
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        CAST(round(p.value, 2) AS DOUBLE) AS purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+      ASOF LEFT JOIN
+        (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

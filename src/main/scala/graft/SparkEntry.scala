@@ -1158,6 +1158,40 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Skew-safe grouped top-k ([[graft.operators.Skew.saltedTopKPerKey]]):
+    * top-3 orders per customer through the salted two-stage reduction —
+    * per-final-task rows bounded by k·buckets however hot the key. The
+    * oracle is a plain ranking window: the salted plan must produce the
+    * identical ranking. */
+  def q83_salted_topk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedTopKPerKey(
+        orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .select(col("o_custkey"), col("rank").cast("int").as("rank"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rank"))
+
+  /** Hot-key as-of join ([[graft.operators.AsOfJoin.backwardBucketed]]):
+    * q61's semantics through the two-pass (key, time-bucket) variant that
+    * spreads a hot key over its time buckets — same DuckDB ASOF oracle,
+    * so both formulations must agree exactly. */
+  def q84_asof_bucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.backwardBucketed(views, purchases,
+        "user_id", "user_id", "ts", "ts", bucketSeconds = 6 * 3600)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmtS).as("view_ts"),
+        date_format(col("asof_ts"), fmtS).as("purchase_ts"),
+        round(col("asof_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1243,6 +1277,8 @@ object SparkEntry {
     "q80_orc_ingest" -> (q80_orc_ingest _),
     "q81_change_feed" -> (q81_change_feed _),
     "q82_agg_view" -> (q82_agg_view _),
+    "q83_salted_topk" -> (q83_salted_topk _),
+    "q84_asof_bucketed" -> (q84_asof_bucketed _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
