@@ -896,6 +896,18 @@ object OracleSql {
         ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id""",
 
+    // q85: forward direction — nearest purchase at-or-AFTER each view
+    "q85_asof_forward" -> """
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        CAST(round(p.value, 2) AS DOUBLE) AS purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+      ASOF LEFT JOIN
+        (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts <= p.ts
+      ORDER BY e.event_id""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

@@ -1192,6 +1192,25 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join through the hot-key bucketed variant
+    * ([[graft.operators.AsOfJoin.forwardBucketed]]): each view matched to
+    * the user's NEXT purchase at-or-after it; oracle is DuckDB ASOF with
+    * the `<=` comparator — independent implementations again. */
+  def q85_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.forwardBucketed(views, purchases,
+        "user_id", "user_id", "ts", "ts", bucketSeconds = 6 * 3600)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmtS).as("view_ts"),
+        date_format(col("asof_ts"), fmtS).as("purchase_ts"),
+        round(col("asof_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1279,6 +1298,7 @@ object SparkEntry {
     "q82_agg_view" -> (q82_agg_view _),
     "q83_salted_topk" -> (q83_salted_topk _),
     "q84_asof_bucketed" -> (q84_asof_bucketed _),
+    "q85_asof_forward" -> (q85_asof_forward _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
