@@ -908,6 +908,23 @@ object OracleSql {
         ON e.user_id = p.user_id AND e.ts <= p.ts
       ORDER BY e.event_id""",
 
+    // q86: both engines parse the synthesized URL with the same regex
+    "q86_domain_filter" -> """
+      WITH u AS (
+        SELECT doc_id,
+          'https://' || (['en.wikipedia.org', 'github.com', 'spam.example.com',
+            'blog.example.net', 'arxiv.org'])[CAST(doc_id % 5 + 1 AS INT)]
+            || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      d AS (
+        SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain
+        FROM u)
+      SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM d
+      WHERE domain NOT IN ('spam.example.com', 'ads.example.org')
+      GROUP BY domain
+      ORDER BY domain""",
+
     "q67_conditional_agg" -> """
       SELECT o_orderstatus,
         CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,

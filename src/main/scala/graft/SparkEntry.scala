@@ -1211,6 +1211,26 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Source-domain filtering — the corpus-prep stage between ingest and
+    * dedup: parse the source URL's host, drop blocklisted domains, profile
+    * what remains. URLs are synthesized deterministically (the fixture has
+    * none) and BOTH engines parse them independently with the same regex. */
+  def q86_domain_filter(s: SparkSession, dir: String): DataFrame = {
+    val host = element_at(array(Seq("en.wikipedia.org", "github.com",
+      "spam.example.com", "blog.example.net", "arxiv.org").map(lit): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val url = concat(lit("https://"), host, lit("/doc/"),
+      col("doc_id").cast("string"))
+    val blocklist = Seq("spam.example.com", "ads.example.org")
+    documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .where(!col("domain").isin(blocklist: _*))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1299,6 +1319,7 @@ object SparkEntry {
     "q83_salted_topk" -> (q83_salted_topk _),
     "q84_asof_bucketed" -> (q84_asof_bucketed _),
     "q85_asof_forward" -> (q85_asof_forward _),
+    "q86_domain_filter" -> (q86_domain_filter _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
