@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.sources.ParquetTable
 import graft.streaming.{AggView, CdcMergeSink}
@@ -52,6 +53,32 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def changeFeed(fromVersion: Long, toVersion: Long): DataFrame =
     CdcMergeSink.changeFeed(spark, root, fromVersion, toVersion, key)
 
+  /** Manifest-pruned range scan of the latest committed state: only files
+    * whose key range intersects [lo, hi] are opened — decided from the
+    * manifest alone, zero footer IO for the rest. */
+  def readRange(lo: Any, hi: Any): DataFrame = {
+    val latest = CdcMergeSink.latestSnapshot(root)
+    if (latest.endsWith("/base"))
+      read().where(col(key) >= lit(lo) && col(key) <= lit(hi))
+    else graft.sources.MutableParquetTable.readRange(spark, latest, lo, hi)
+  }
+
+  /** Compact the latest state's files to ~`targetBytes` each, committed
+    * as the NEXT version — storage maintenance that keeps time travel,
+    * replay idempotency, and manifest reads intact. Rows are unchanged,
+    * so the pre/post change feed is empty (it does pay a full-table diff
+    * across the compaction boundary: every file name changes). Returns
+    * the new version id. */
+  def compact(targetBytes: Long): Long = {
+    val next = versions.lastOption.map(_ + 1).getOrElse(0L)
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val target = s"$root/v$next"
+    graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
+      targetBytes)
+    graft.sources.MutableParquetTable(spark, latest, key).commitManifest(target)
+    next
+  }
+
   /** Drop versions beyond the newest `keepLast`; returns dropped ids. */
   def vacuum(keepLast: Int): Seq[Long] = CdcMergeSink.vacuum(root, keepLast)
 
@@ -86,11 +113,19 @@ object GraftTable {
   def apply(spark: SparkSession, root: String, key: String): GraftTable =
     new GraftTable(spark, root, key)
 
-  /** Create the base snapshot from a DataFrame and open the table. */
+  /** Create the base snapshot from a DataFrame and open the table.
+    * The base is written all-nullable so every file the chain will ever
+    * hold (merge rewrites are nullable by construction) shares one
+    * physical schema — which keeps raw-concat compaction eligible across
+    * the whole table instead of stopping at schema boundaries. */
   def create(df: DataFrame, root: String, key: String, numFiles: Int,
              layout: graft.sources.ParquetLayout =
                graft.sources.ParquetLayout()): GraftTable = {
-    ParquetTable.writeSorted(df, s"$root/base", key, numFiles, layout)
-    new GraftTable(df.sparkSession, root, key)
+    val spark = df.sparkSession
+    val nullable = spark.createDataFrame(df.rdd,
+      org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))))
+    ParquetTable.writeSorted(nullable, s"$root/base", key, numFiles, layout)
+    new GraftTable(spark, root, key)
   }
 }

@@ -23,14 +23,26 @@ import org.apache.spark.sql.SparkSession
   */
 object CompactionUtil {
 
+  private def schemaOf(conf: Configuration, f: String) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
   /** Concatenate `inputs` (in order) into `output` by raw row-group copy.
-    * Returns (rowGroups, rows) of the output footer. */
+    * Returns (rowGroups, rows) of the output footer.
+    *
+    * Inputs must share the EXACT parquet message type (including
+    * repetition): `appendFile` never re-encodes, so splicing an
+    * `optional`-written chunk under a `required` schema (or vice versa)
+    * silently mis-decodes level bytes as data. Fail loud instead. */
   def concatFiles(conf: Configuration, inputs: Seq[String], output: String): (Int, Long) = {
     require(inputs.nonEmpty, "no input files")
-    val in0 = HadoopInputFile.fromPath(new Path(inputs.head), conf)
-    val schema = {
-      val r = ParquetFileReader.open(in0)
-      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val schema = schemaOf(conf, inputs.head)
+    inputs.tail.foreach { f =>
+      val s = schemaOf(conf, f)
+      require(s == schema,
+        s"schema drift: $f has\n$s\nbut ${inputs.head} has\n$schema — " +
+          "raw concat would corrupt; rewrite instead")
     }
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(new Path(output), conf),
@@ -86,7 +98,24 @@ object CompactionUtil {
     finally s.close()
     require(files.nonEmpty, s"no parquet files in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    val groups = planBySize(files, targetBytes).zipWithIndex
+    // a CoW chain legitimately mixes physical schemas (e.g. required base
+    // columns vs optional merge rewrites) — bins must not span a schema
+    // boundary, so pack each schema-run separately (oversized runs of one
+    // file pass through alone, never corrupted)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val runs = {
+      val bySchema = files.map { case (f, b) => (f, b, schemaOf(hconf, f)) }
+      val out = Seq.newBuilder[Seq[(String, Long)]]
+      var cur = List.empty[(String, Long)]
+      var curSchema: Option[org.apache.parquet.schema.MessageType] = None
+      bySchema.foreach { case (f, b, s) =>
+        if (curSchema.exists(_ != s) ) { out += cur.reverse; cur = Nil }
+        curSchema = Some(s); cur ::= (f, b)
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.result()
+    }
+    val groups = runs.flatMap(run => planBySize(run, targetBytes)).zipWithIndex
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val outs = groups.map { case (_, i) => f"$outDir/part-$i%05d.parquet" }

@@ -110,6 +110,20 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
   /** Per-file [minKey, maxKey] from footers only. */
   def fileRanges(): DataFrame = ParquetStats.fileKeyRanges(spark, dir, key)
 
+  /** Commit `outDir` as a snapshot of this table's key: build the manifest
+    * from its files' footers and write it atomically. For snapshot dirs
+    * produced OUTSIDE `merge` — e.g. a compaction output — so they join
+    * the committed chain with the same read/prune/crash guarantees. */
+  def commitManifest(outDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(outDir))
+    val files = try s.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toList.sorted
+    finally s.close()
+    require(files.nonEmpty, s"nothing to commit in $outDir")
+    writeManifest(outDir, Nil, files)
+  }
+
   /** Route update keys to files: a key is owned by the last file (in key
     * order) whose minKey <= key, or the first file if below all ranges
     * (the reference's "insert into current block" rule,

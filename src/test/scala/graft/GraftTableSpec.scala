@@ -49,6 +49,40 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 100)
   }
 
+  test("compaction commits as a version: content identical, feed empty, range scan prunes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-table-c").toString
+    val t = GraftTable.create(
+      spark.range(0, 200).select(col("id"), (col("id") * 3).cast("double").as("v")),
+      root, "id", numFiles = 8)
+    t.commit(Seq((5L, 555.0, "upsert")).toDF("id", "v", "op"))
+    val before = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+
+    val totalBytes = {
+      import scala.jdk.CollectionConverters._
+      val dir = graft.streaming.CdcMergeSink.latestSnapshot(root)
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+    val cv = t.compact(targetBytes = totalBytes / 2)
+    assert(cv === 1L)
+    assert(t.versions === Seq(0L, 1L))
+    // identical content, fewer files
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
+    assert(graft.sources.MutableParquetTable
+      .manifestFileNames(s"$root/v1").get.size < 8)
+    // compaction changes no rows
+    assert(t.changeFeed(0L, 1L).isEmpty)
+    // manifest-pruned range scan touches a strict file subset
+    val sub = t.readRange(10L, 20L)
+    assert(sub.orderBy("id").select("id").as[Long].collect().toSeq ===
+      (10L to 20L))
+    assert(sub.inputFiles.length <
+      graft.sources.MutableParquetTable.manifestFileNames(s"$root/v1").get.size
+      || sub.inputFiles.length == 1)
+  }
+
   test("streaming attach maintains the table AND the view per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
