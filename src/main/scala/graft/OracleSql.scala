@@ -908,6 +908,20 @@ object OracleSql {
         ON e.user_id = p.user_id AND e.ts <= p.ts
       ORDER BY e.event_id""",
 
+    // q87: the oracle applies the same mutation batch to the raw table in
+    // SQL; the engine's answer travels through CoW merge + manifest commit
+    // + the graft data source's pruned read
+    "q87_source_read" -> """
+      WITH st AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 9 = 0 THEN 'zz' ELSE lang END AS lang,
+          n_chars
+        FROM documents
+        WHERE NOT (doc_id % 9 <> 0 AND doc_id % 11 = 5))
+      SELECT doc_id, lang, n_chars FROM st
+      WHERE doc_id BETWEEN 100 AND 350
+      ORDER BY doc_id""",
+
     // q86: both engines parse the synthesized URL with the same regex
     "q86_domain_filter" -> """
       WITH u AS (

@@ -1231,6 +1231,32 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** The `graft` SQL data source end-to-end: a versioned table built from
+    * documents (key = doc_id), one committed CoW mutation batch, read back
+    * through `spark.read.format("graft")` with a key-range predicate — the
+    * filter prunes manifest files before any data IO, parquet row-group
+    * stats prune again inside the kept files, and Catalyst re-applies the
+    * residual filter above the relation. The oracle recomputes the merged
+    * state from the raw table, so routing + CoW + manifest + source
+    * pushdown must all compose to hash-match. */
+  def q87_source_read(s: SparkSession, dir: String): DataFrame = {
+    val work = cachedDerivedDir(dir, "documents.parquet", "graftsrc") { out =>
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val t = GraftTable.create(docs, out, "doc_id", numFiles = 8)
+      val ups = docs.where(col("doc_id") % 9 === 0)
+        .withColumn("lang", lit("zz")).withColumn("op", lit("upsert"))
+      val dels = docs.where(col("doc_id") % 9 =!= 0 && col("doc_id") % 11 === 5)
+        .withColumn("op", lit("delete"))
+      t.commit(ups.unionByName(dels))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
+    }
+    s.read.format("graft").load(work)
+      .where(col("doc_id") >= 100L && col("doc_id") <= 350L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1320,6 +1346,7 @@ object SparkEntry {
     "q84_asof_bucketed" -> (q84_asof_bucketed _),
     "q85_asof_forward" -> (q85_asof_forward _),
     "q86_domain_filter" -> (q86_domain_filter _),
+    "q87_source_read" -> (q87_source_read _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

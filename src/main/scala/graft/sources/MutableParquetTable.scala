@@ -457,35 +457,48 @@ object MutableParquetTable {
     * Result ≡ `readCommitted(...).where(key between lo and hi)`. */
   def readRange(spark: SparkSession, snapshotDir: String,
                 lo: Any, hi: Any): DataFrame = {
-    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
-      s"$snapshotDir has no $ManifestName — not a committed snapshot"))
-    val keyName = unjs("\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findFirstMatchIn(m).get.group(1))
-    val entry =
-      ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-        "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    val loB = KeyBytes.fromAny(lo)
-    val hiB = KeyBytes.fromAny(hi)
-    val isLong = m.contains("\"keyType\":\"long\"")
-    def enc(s: String): Array[Byte] =
-      if (isLong) KeyBytes.fromLong(s.toLong) else KeyBytes.fromString(s)
-    val ranged = entry.findAllMatchIn(m)
-      .map(e => (unjs(e.group(1)), unjs(e.group(2)), unjs(e.group(3)))).toSeq
-    val inRange = ranged.collect {
-      case (f, mn, mx) if KeyBytes.compare(enc(mn), hiB) <= 0 &&
-                          KeyBytes.compare(enc(mx), loB) >= 0 => f
-    }
-    // bounds-less manifest entries (no key stats) can never be pruned
-    val rangedNames = ranged.map(_._1).toSet
-    val unprunable = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
-      .filterNot(rangedNames)
-    val files = inRange ++ unprunable
+    val (keyName, files) =
+      pruneManifestFiles(snapshotDir, Some(lo), Some(hi))
+        .getOrElse(throw new IllegalStateException(
+          s"$snapshotDir has no $ManifestName — not a committed snapshot"))
     if (files.isEmpty)
       return readCommitted(spark, snapshotDir).where(lit(false))
-    spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
+    spark.read.parquet(files: _*)
       .where(col(keyName) >= lit(lo) && col(keyName) <= lit(hi))
   }
+
+  /** The manifest's key column name and the snapshot files whose key range
+    * intersects [lo, hi] (either bound optional; None = unbounded) —
+    * decided purely from the manifest. Bounds-less manifest entries (files
+    * with no key stats) are always kept. Returns None when the directory
+    * has no commit marker. Shared by [[readRange]] and the `graft` SQL
+    * data source's filter pushdown. */
+  def pruneManifestFiles(snapshotDir: String, lo: Option[Any],
+                         hi: Option[Any]): Option[(String, Seq[String])] =
+    readManifest(snapshotDir).map { m =>
+      val keyName = unjs("\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(m).get.group(1))
+      val entry =
+        ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+          "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      val loB = lo.map(KeyBytes.fromAny)
+      val hiB = hi.map(KeyBytes.fromAny)
+      val isLong = m.contains("\"keyType\":\"long\"")
+      def enc(s: String): Array[Byte] =
+        if (isLong) KeyBytes.fromLong(s.toLong) else KeyBytes.fromString(s)
+      val ranged = entry.findAllMatchIn(m)
+        .map(e => (unjs(e.group(1)), unjs(e.group(2)), unjs(e.group(3)))).toSeq
+      val inRange = ranged.collect {
+        case (f, mn, mx)
+            if hiB.forall(h => KeyBytes.compare(enc(mn), h) <= 0) &&
+               loB.forall(l => KeyBytes.compare(enc(mx), l) >= 0) => f
+      }
+      val rangedNames = ranged.map(_._1).toSet
+      val unprunable = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
+        .filterNot(rangedNames)
+      (keyName, (inRange ++ unprunable).map(n => s"$snapshotDir/$n"))
+    }
 
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName

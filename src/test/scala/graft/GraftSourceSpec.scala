@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftSource, MutableParquetTable, ParquetTable}
+
+class GraftSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A 3-version table: base → v0 (upserts) → v1 (deletes). */
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val base = (0L until 4000L).map(i => (i, s"name-$i", i % 7)).toDF("id", "name", "grp")
+    val t = GraftTable.create(base, r, "id", numFiles = 8)
+    t.commit(
+      (0L until 4000L by 100).map(i => (i, s"upd-$i", 99L, "upsert"))
+        .toDF("id", "name", "grp", "op"))
+    t.commit(
+      (1L until 4000L by 500).map(i => (i, null: String, 0L, "delete"))
+        .toDF("id", "name", "grp", "op"))
+    r
+  }
+
+  test("format(graft) reads the latest committed state") {
+    val viaSource = spark.read.format("graft").load(root)
+    val direct = GraftTable(spark, root, "id").read()
+    assert(viaSource.count() === direct.count())
+    assert(viaSource.orderBy("id").collect()
+      === direct.orderBy("id").collect())
+  }
+
+  test("version option time-travels; pre-history resolves to base") {
+    val v0 = spark.read.format("graft").option("version", 0).load(root)
+    val d0 = GraftTable(spark, root, "id").readAsOf(0L)
+    assert(v0.orderBy("id").collect() === d0.orderBy("id").collect())
+    // version before any commit → base
+    val pre = spark.read.format("graft").option("version", -5).load(root)
+    assert(pre.count() === 4000)
+  }
+
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING graft") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW gsrc USING graft OPTIONS (path '$root')")
+    val n = spark.sql("SELECT count(*) AS n FROM gsrc WHERE grp = 99").head().getLong(0)
+    val expect = GraftTable(spark, root, "id").read()
+      .where(col("grp") === 99).count()
+    assert(n === expect)
+  }
+
+  test("key-range filter prunes manifest files before any data IO") {
+    val df = spark.read.format("graft").load(root)
+    // full scan first: every manifest file read
+    df.agg(count(lit(1))).collect()
+    val full = GraftSource.lastScanFiles.size
+    assert(full >= 8, s"expected >=8 snapshot files, saw $full")
+
+    val narrow = df.where(col("id") >= 100L && col("id") <= 140L)
+    val rows = narrow.select("id", "name").collect()
+    val pruned = GraftSource.lastScanFiles.size
+    assert(pruned < full, s"key range should prune files: $pruned vs $full")
+    // correctness unaffected by pruning (deletes at 1,501,...; upsert at 100)
+    assert(rows.length === 41 - (if ((101L until 141L).exists(i => (i - 1) % 500 == 0)) 1 else 0))
+    assert(rows.map(_.getLong(0)).min >= 100L)
+
+    // point lookup prunes to a single file
+    df.where(col("id") === 2000L).collect()
+    assert(GraftSource.lastScanFiles.size === 1,
+      s"point lookup should touch one file: ${GraftSource.lastScanFiles}")
+  }
+
+  test("filters are re-applied above the scan: pruning can never widen results") {
+    val df = spark.read.format("graft").load(root)
+    val got = df.where(col("id") === 100L).select("name").head().getString(0)
+    assert(got === "upd-100") // the v0 upsert, via the latest snapshot
+    assert(df.where(col("id") === 1L).count() === 0) // deleted in v1
+  }
+
+  test("non-key and disjunctive filters fall back to a full manifest scan, correctly") {
+    val df = spark.read.format("graft").load(root)
+    val viaSource = df.where(col("grp") === 99 || col("id") < 10L).count()
+    val direct = GraftTable(spark, root, "id").read()
+      .where(col("grp") === 99 || col("id") < 10L).count()
+    assert(viaSource === direct)
+  }
+
+  test("bare committed snapshot dirs load directly; stray files stay invisible") {
+    val work = java.nio.file.Files.createTempDirectory("graft-src2").toString
+    val df = (0L until 1000L).map(i => (i, i * 2)).toDF("k", "v")
+    ParquetTable.writeSorted(df, s"$work/t", "k", 4)
+    val t = MutableParquetTable(spark, s"$work/t", "k")
+    val res = t.merge(Seq((5L, 0L, "delete")).toDF("k", "v", "op"),
+      snapshotDir = Some(s"$work/snap"))
+    // drop a stray uncommitted part file beside the snapshot
+    val stray = java.nio.file.Paths.get(s"$work/snap/part-stray.parquet")
+    df.limit(10).coalesce(1).write.parquet(s"$work/straysrc")
+    val srcFile = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/straysrc"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(srcFile, stray)
+
+    val viaSource = spark.read.format("graft").load(res.snapshotDir)
+    assert(viaSource.count() === 999) // stray file not double-counted
+  }
+
+  test("version option on a non-root path fails fast") {
+    val work = java.nio.file.Files.createTempDirectory("graft-src3").toString
+    val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
+    ParquetTable.writeSorted(df, s"$work/t", "k", 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("version", 1).load(s"$work/t").collect()
+    }
+  }
+}
