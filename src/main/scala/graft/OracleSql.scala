@@ -922,6 +922,46 @@ object OracleSql {
       WHERE doc_id BETWEEN 100 AND 350
       ORDER BY doc_id""",
 
+    // q88: the oracle retrains the identical bigram LM — same tokenizer
+    // convention as q76 (trim/lower/\s+ with the empty-doc guard), same
+    // add-0.5 smoothing, prefix counts via a window over the count table
+    "q88_lm_perplexity" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      c AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY 1),
+      cw AS (SELECT bigram, c12,
+               sum(c12) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
+             FROM c),
+      v AS (SELECT count(DISTINCT w) AS vsz
+            FROM (SELECT unnest(toks) AS w FROM t)),
+      s AS (SELECT doc_id,
+              avg(-ln((c12 + 0.5) / (c1 + 0.5 * vsz))) AS nll,
+              count(*) AS nbi
+            FROM b JOIN cw USING (bigram) CROSS JOIN v GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        round(s.nll, 6) AS nll, round(exp(s.nll), 6) AS ppl,
+        CAST(coalesce(s.nbi, 0) AS BIGINT) AS n_bigrams
+      FROM t LEFT JOIN s USING (doc_id)
+      ORDER BY t.doc_id""",
+
+    // q89: both engines rank by the same md5(doc_id) hex string
+    "q89_stratified_sample" -> """
+      WITH r AS (
+        SELECT source, doc_id, lang,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT source, CAST(rn AS INT) AS rank, doc_id, lang
+      FROM r WHERE rn <= 20
+      ORDER BY source, rank""",
+
     // q86: both engines parse the synthesized URL with the same regex
     "q86_domain_filter" -> """
       WITH u AS (

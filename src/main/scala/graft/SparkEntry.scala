@@ -1257,6 +1257,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram LM perplexity over the documents corpus
+    * ([[graft.operators.CorpusPrep.lmPerplexity]]): add-k-smoothed counts
+    * trained on the corpus itself, every doc scored by avg bigram NLL.
+    * The oracle retrains the identical model in SQL — counts, prefix
+    * window, vocabulary and the smoothing algebra must all agree. */
+  def q88_lm_perplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPrep.lmPerplexity(documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling
+    * ([[graft.operators.CorpusPrep.stratifiedSample]]): exact per-source
+    * quotas by md5 rank — the training-mixture builder. Skew-safe (salted
+    * two-stage top-k); the oracle ranks with the same md5 in DuckDB. */
+  def q89_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPrep.stratifiedSample(
+        documents(s, dir).select(col("doc_id"), col("source"), col("lang")),
+        "source", "doc_id", quota = 20)
+      .select(col("source"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("lang"))
+      .orderBy(col("source"), col("rank"))
+
   // ---- registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1347,6 +1368,8 @@ object SparkEntry {
     "q85_asof_forward" -> (q85_asof_forward _),
     "q86_domain_filter" -> (q86_domain_filter _),
     "q87_source_read" -> (q87_source_read _),
+    "q88_lm_perplexity" -> (q88_lm_perplexity _),
+    "q89_stratified_sample" -> (q89_stratified_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -53,6 +53,81 @@ object CorpusPrep {
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
 
+  // ---- language-model quality scoring -----------------------------------
+
+  /** Bigram language-model perplexity, the CCNet-style corpus quality
+    * signal: train add-k-smoothed bigram statistics over the corpus itself,
+    * then score every document by its average per-bigram negative
+    * log-likelihood (and its exp, the perplexity). Repetitive or formulaic
+    * text scores low, out-of-distribution noise scores high.
+    *
+    * P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), with c(w1 ·) the count of
+    * w1 as a bigram prefix and V the corpus vocabulary size.
+    *
+    * Output: (idCol, n_tokens, nll, ppl, n_bigrams); nll/ppl are null for
+    * documents with fewer than two tokens, doubles rounded to 6 places.
+    *
+    * Scale shape: the bigram-count table is one aggregation keyed by
+    * bigram (partial map-side combine); prefix counts come from a window
+    * over that COUNT table (cardinality = distinct bigrams, each w1
+    * partition bounded by vocabulary, never by corpus size); V rides along
+    * as a broadcast 1-row cross join. The only corpus-sized shuffles are
+    * the doc-bigram/count join (an equi-join Spark can SMJ/AQE-skew-split)
+    * and the final per-doc aggregation. No driver-side collects.
+    */
+  def lmPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                   k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("__toks"))
+    val n = size(col("__toks"))
+    val bi = base.where(n >= 2).select(col(idCol),
+      explode(zip_with(
+        slice(col("__toks"), lit(1), n - 1),
+        slice(col("__toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("__c12"))
+      .withColumn("__c1", sum(col("__c12"))
+        .over(Window.partitionBy(substring_index(col("bigram"), " ", 1))))
+    val vocab = base.select(explode(col("__toks")).as("__w"))
+      .agg(countDistinct(col("__w")).as("__V"))
+
+    val scored = bi.join(counts, "bigram")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        avg(-log((col("__c12") + lit(k)) / (col("__c1") + lit(k) * col("__V"))))
+          .as("__nll"),
+        count(lit(1)).as("__nbi"))
+
+    base.select(col(idCol), n.cast("long").as("n_tokens"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(col("__nll"), 6).as("nll"),
+        round(exp(col("__nll")), 6).as("ppl"),
+        coalesce(col("__nbi"), lit(0L)).as("n_bigrams"))
+  }
+
+  // ---- deterministic stratified sampling ---------------------------------
+
+  /** Exact-quota stratified sample: the `quota` lowest-md5 rows of every
+    * stratum — the deterministic version of "sample N documents per
+    * source/domain" used to build training mixtures. Stable under
+    * repartitioning and across engines (the rank key is md5 of the id
+    * rendered as a string, tie-broken by the id itself).
+    *
+    * Scale shape: delegates to [[Skew.saltedTopKPerKey]], so a hot stratum
+    * (one domain = half the corpus) never funnels into a single task —
+    * stage 1 bounds each (stratum, salt) partition at `quota` rows before
+    * anything keyed only by stratum shuffles. Output: input columns +
+    * `rank` (1..quota within the stratum). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       quota: Int, buckets: Int = 32): DataFrame =
+    Skew.saltedTopKPerKey(df, Seq(col(strataCol)),
+      Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
+      quota, buckets)
+
   // ---- repetition signals ----------------------------------------------
 
   /** Gopher-style intra-document repetition signals: token count, duplicate
