@@ -991,5 +991,109 @@ object OracleSql {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    // ---- approximate operators in oracle-checkable form ----------------
+    // Pattern (cf. q40): emit values the oracle recomputes EXACTLY (exact
+    // jaccard / cosine / top-k) plus integer flags asserting the
+    // approximate structure (LSH banding, ANN probing) hit its recall
+    // target; the oracle pins the flag to 1. A hash match then verifies
+    // both the exact computation and the sketch's actual effectiveness.
+
+    "q41_minhash_pairs" ->
+      (shingleJaccardPairs(0.6) + """
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+        CAST(1 AS INT) AS lsh_found
+      FROM jp ORDER BY id_a, id_b"""),
+
+    "q42_simhash_pairs" ->
+      (shingleJaccardPairs(0.8) + """
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+        CAST(1 AS INT) AS simhash_found
+      FROM jp ORDER BY id_a, id_b"""),
+
+    "q66_neardup_dedup" ->
+      (shingleJaccardPairs(0.5, recursive = true) + """,
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      r(src, dst) AS (SELECT src, dst FROM e
+                      UNION
+                      SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+      comp AS (SELECT src AS id, least(src, min(dst)) AS c FROM r GROUP BY src)
+      SELECT doc_id, n_chars
+      FROM documents LEFT JOIN comp ON documents.doc_id = comp.id
+      WHERE comp.c IS NULL OR comp.c = doc_id
+      ORDER BY doc_id"""),
+
+    "q43_embedding_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_cosine_similarity(a.v, b.v) AS c
+            FROM e a, e b WHERE a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(c, 6) AS cosine, CAST(1 AS INT) AS recall_ok
+      FROM p WHERE c >= 0.45
+      ORDER BY id_a, id_b""",
+
+    "q44_lsh_topk" -> annTopKOracle,
+    "q45_ivf_topk" -> annTopKOracle,
+
+    "q46_rolling_fingerprint" -> """
+      WITH d AS (SELECT doc_id,
+        array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS t
+        FROM documents),
+      cp AS (SELECT doc_id, t,
+        list_transform(range(1, length(t) + 1),
+          i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS cps
+        FROM d)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+          (h, c) -> (h * 131 + c) % 1000000007) AS rolling_fp,
+        CASE WHEN length(t) < 8
+          THEN list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+            (h, c) -> (h * 131 + c) % 1000000007)
+          ELSE list_aggregate(list_transform(range(1, length(t) - 6),
+            i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i:i+7]),
+              (h, c) -> (h * 131 + c) % 1000000007)), 'min')
+        END AS winnow_fp
+      FROM cp ORDER BY doc_id""",
   )
+
+  /** Shared CTE chain for q41/q42/q66: exact Jaccard over lowercased
+    * word-3-shingle sets (mirrors `TextFunctions.shingles(lower(text), 3)`
+    * + `Dedup.jaccardJoinExact`). The size pre-filter is implied by
+    * J >= t (|A∩B| <= min, |A∪B| >= max), so it only prunes work. */
+  private def shingleJaccardPairs(t: Double, recursive: Boolean = false): String = {
+    val rec = if (recursive) "RECURSIVE " else ""
+    s"""
+      WITH ${rec}d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+      tk AS (SELECT doc_id, string_split_regex(t, '\\s+') AS toks FROM d),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) <= 3
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) END) AS g
+             FROM tk),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.g, b.g)) AS i,
+              len(list_distinct(list_concat(a.g, b.g))) AS u
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(a.g) >= $t * len(b.g) AND len(b.g) >= $t * len(a.g)),
+      jp AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard
+             FROM p WHERE u > 0 AND CAST(i AS DOUBLE) / u >= $t)
+    """
+  }
+
+  /** q44/q45 share one oracle: the exact brute-force top-10 (q35's query)
+    * with the ANN recall flag pinned to 1. */
+  private def annTopKOracle: String = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      s AS (SELECT qid, vec_id AS cid, list_cosine_similarity(v, qv) AS cos
+            FROM e, q WHERE vec_id <> qid),
+      r AS (SELECT qid, cid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            FROM s)
+      SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+        CAST(rn AS INT) AS rank, CAST(1 AS INT) AS recall_ok
+      FROM r WHERE rn <= 10
+      ORDER BY query_id, rank"""
 }

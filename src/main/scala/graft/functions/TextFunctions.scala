@@ -121,15 +121,43 @@ object TextFunctions {
   def normalizedFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
 
-  /** Rolling (order-sensitive) fingerprint over tokens:
-    * acc' = rotl(acc, 5) XOR xxhash64(token), carried left-to-right —
+  /** Code points of a string as array<bigint> (1-based substr walk; both
+    * Spark `ascii`/`substr` and external engines' `unicode`/`substr` count
+    * code points, so the sequence is engine-portable). */
+  private def codePoints(t: Column): Column =
+    // sequence(1, 0) would DESCEND, so the empty string needs its own arm
+    when(length(t) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), length(t)),
+        i => ascii(t.substr(i, lit(1))).cast("long")))
+
+  /** One polynomial-hash step: h' = (h*131 + codepoint) mod 1e9+7. The
+    * 30-bit modulus keeps every intermediate < 2^38, so the fold is exact
+    * under ANSI arithmetic AND bit-identical in any engine with 64-bit
+    * integer SQL — that engine-portability is the point: an external
+    * oracle can recompute the fingerprint from the raw text. */
+  private def polyStep(h: Column, c: Column): Column =
+    (h * lit(131L) + c) % lit(1000000007L)
+
+  /** Rolling (order-sensitive) fingerprint: left-to-right polynomial hash
+    * over the code points of the whitespace-normalized lowercase text —
     * the rolling-hash half of winnowing-style document fingerprinting as
-    * one codegen'd HOF. Rotate-xor instead of a polynomial hash so the
-    * fold never overflows under ANSI arithmetic. */
+    * one codegen'd HOF. */
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(lower(text)), lit(0L),
-      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
-        .bitwiseXOR(xxhash64(t)))
+    aggregate(codePoints(concat_ws(" ", tokens(lower(text)))), lit(0L), polyStep)
+
+  /** Winnowing fingerprint: minimum polynomial hash over all `k`-char
+    * windows of the normalized text (Schleimer et al. SIGMOD'03, the
+    * window-min half; full winnowing keeps one min per overlapping band).
+    * Texts shorter than `k` fall back to the whole-text hash. O(n·k)
+    * codegen'd work per row, no UDF. */
+  def winnowFingerprint(text: Column, k: Int = 8): Column = {
+    val t = concat_ws(" ", tokens(lower(text)))
+    val n = length(t)
+    when(n < k, aggregate(codePoints(t), lit(0L), polyStep))
+      .otherwise(array_min(transform(sequence(lit(1), n - lit(k) + 1),
+        i => aggregate(transform(sequence(i, i + lit(k) - 1),
+          j => ascii(t.substr(j, lit(1))).cast("long")), lit(0L), polyStep))))
+  }
 
   /** PII scrub patterns, kept to syntax with identical semantics in Java
     * regex and RE2 (no backrefs, no lookaround) so an external engine can

@@ -85,10 +85,21 @@ object VectorFunctions {
     sqrt(aggregate(sq, lit(0.0), (acc, v) => acc + v))
   }
 
-  /** Deterministic pseudo-random weight in [-0.5, 0.5). */
+  /** Deterministic pseudo-random weight in [-0.5, 0.5).
+    *
+    * Full SplitMix64-style finalizer (Steele et al., "Fast splittable
+    * pseudorandom number generators", OOPSLA'14). The earlier xor-mul-xor
+    * half-finalizer left adjacent seeds (seed, seed+1, ...) visibly
+    * correlated, which broke multi-table LSH: OR-amplified tables seeded
+    * 42..42+L were far from independent and measured per-pair recall sat
+    * ~5 sigma below the (1-p^bits)^L prediction. With the full scramble
+    * the measured collision counts match the independence model. */
   private[graft] def hashToUnit(seed: Long, i: Int, j: Int): Double = {
-    var h = seed ^ (i.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL)
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    var h = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL +
+      j.toLong * 0x165667B19E3779F9L
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^= h >>> 31
     (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 }

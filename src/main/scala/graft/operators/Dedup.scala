@@ -108,6 +108,59 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs Jaccard similarity join over a set-valued column via
+    * prefix filtering (AllPairs/PPJoin family — Bayardo et al. WWW'07,
+    * Chaudhuri et al. ICDE'06). Unlike LSH this is COMPLETE: every pair
+    * with J >= threshold is emitted, which is what makes the result
+    * oracle-checkable (an external engine can recompute it exactly).
+    *
+    * How it scales: order every set by ascending global element frequency
+    * (rare elements first; ties by element value, so the order is total
+    * and engine-independent). If J(A,B) >= t then |A∩B| >= t·|A| and
+    * >= t·|B|, so the smallest shared element (in the global order) sits
+    * within the first |s| - ceil(t·|s|) + 1 elements of BOTH sets — index
+    * only those prefixes. The candidate join therefore touches the RARE
+    * elements; the hot ones (stopword shingles and the like that would
+    * make a naive inverted-index join quadratic) land at the end of every
+    * set and are never indexed. Verification joins candidates back to the
+    * full arrays and recomputes exact Jaccard — one shuffle keyed on
+    * prefix elements plus two id-keyed joins, no all-pairs product.
+    *
+    * `sets` must have columns (`id`, `elems: array<string>`); elements are
+    * de-duplicated here. Output: (id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard >= threshold, exact.
+    */
+  def jaccardJoinExact(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val base = sets.select(col("id"), array_distinct(col("elems")).as("elems"))
+    val exploded = base.select(col("id"), explode(col("elems")).as("e"))
+    val freq = exploded.groupBy(col("e")).agg(count(lit(1)).as("f"))
+    // per-set global-frequency order, then keep the prefix
+    val prefixes = exploded.join(freq, "e")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("e")))).as("se"))
+      .select(col("id"),
+        slice(transform(col("se"), s => s.getField("e")), lit(1),
+          (size(col("se")) - ceil(lit(threshold) * size(col("se"))) + 1)
+            .cast("int")).as("prefix"))
+    val pe = prefixes.select(col("id"), explode(col("prefix")).as("e"))
+      .repartition(col("e"))
+    val cand = pe.select(col("e"), col("id").as("id_a"))
+      .join(pe.select(col("e"), col("id").as("id_b")), Seq("e"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verify: exact Jaccard on the full element sets
+    cand
+      .join(base.select(col("id").as("id_a"), col("elems").as("ea")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("elems").as("eb")), "id_b")
+      .withColumn("i", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("u", size(array_union(col("ea"), col("eb"))))
+      .where(col("u") > 0 && col("i").cast("double") / col("u") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("u")).as("jaccard"))
+  }
+
   /** 64-bit SimHash from a *materialized* token-hash array column: single
     * aggregate pass building the 64 bit-votes as an array accumulator,
     * then sign-pack. One traversal of the hashes, all codegen'd. */
@@ -126,11 +179,24 @@ object Dedup {
   def simHash(text: Column): Column =
     simHashFromHashes(transform(tokens(lower(text)), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks;
-    * pairs agreeing on any chunk are candidates (guaranteed to include all
-    * pairs at Hamming distance <= 3); verify with bit_count(xor) <= maxHamming. */
+  /** SimHash near-dup pairs: band the 64-bit hash into `chunks` equal-width
+    * chunks; pairs agreeing on any chunk are candidates; verify with
+    * bit_count(xor) <= maxHamming.
+    *
+    * Completeness bound (pigeonhole): any pair at Hamming distance
+    * <= chunks-1 leaves at least one chunk intact, so candidate recall is
+    * EXACT for maxHamming <= chunks-1 — choose chunks = maxHamming+1 for a
+    * deterministic result. Scale trade: with c chunks of 64/c bits a chunk
+    * bucket holds ~N/2^(64/c) docs and the within-bucket join is quadratic
+    * in that; 4 chunks (16-bit buckets, ~N/65k) suits ~1e9-doc corpora,
+    * 8 chunks (8-bit buckets, ~N/256) buys completeness at Hamming <= 7
+    * but only suits smaller corpora — at extreme scale use two banding
+    * levels (chunk pairs first, then singles) or cap bucket width. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, native: Boolean = false): DataFrame = {
+                   maxHamming: Int = 3, native: Boolean = false,
+                   chunks: Int = 4): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    val chunkBits = 64 / chunks
     // signature stage: fused one-pass kernel ([[graft.plans.SimHash]],
     // register first) vs explode → 64 conditional sums via vectorized hash
     // agg (same rationale as minHashPairs); docs with zero tokens have no
@@ -156,9 +222,10 @@ object Dedup {
             .reduce(_ bitwiseOR _).as("sim"))
     }
     // shared exchange before the per-side renames — see minHashPairs
+    val low = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
     val banded = sigs.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(i =>
-        col("sim").bitwiseAND(lit(0xFFFFL << (16 * i)))): _*)))
+      posexplode(array((0 until chunks).map(i =>
+        col("sim").bitwiseAND(lit(low << (chunkBits * i)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
       .repartition(col("band"), col("chunk"))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
@@ -234,29 +301,39 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine LSH buckets (random hyperplane signature)
-    * → exact cosine within bucket → pairs above threshold. */
+    * → exact cosine within bucket → pairs above threshold.
+    *
+    * `tables` is the standard OR-amplification knob: `tables` independent
+    * signatures (seeded hyperplane sets); a pair is a candidate if it
+    * collides in ANY table, so per-pair miss probability drops from
+    * (1 - p^nBits) to (1 - p^nBits)^tables, p = 1 - θ/π. The per-table
+    * work is one extra exploded row per vector — candidate volume grows
+    * linearly with `tables` while recall error decays exponentially. */
   def embeddingNearDup(embs: DataFrame, vecCol: String, idCol: String,
                        dim: Int, threshold: Double = 0.95,
-                       nBits: Int = 12, native: Boolean = false): DataFrame = {
+                       nBits: Int = 12, native: Boolean = false,
+                       tables: Int = 1): DataFrame = {
     // no forced exchange here: the signature table is vec-sized rows over
     // few (2^nBits) buckets — a bucket shuffle skews, while letting AQE
     // broadcast the smaller side costs only a cheap recompute (measured
     // ~2x faster at sf0.1)
-    val bucket =
+    def bucket(t: Int) =
       if (native) call_function(graft.plans.HyperplaneSignature.name,
-        col(vecCol), lit(nBits), lit(dim))
-      else VectorFunctions.hyperplaneSignature(col(vecCol), nBits, dim)
+        col(vecCol), lit(nBits), lit(dim), lit(42L + t))
+      else VectorFunctions.hyperplaneSignature(col(vecCol), nBits, dim, 42L + t)
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      bucket.as("bucket"))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      posexplode(array((0 until tables).map(bucket): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val a = sig.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sig.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     val cos =
       if (native) call_function(graft.plans.CosineSimilarity.name,
         col("vec_a"), col("vec_b"))
       else VectorFunctions.cosine(col("vec_a"), col("vec_b"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .where(col("cosine") >= threshold)
+      .distinct()
   }
 }

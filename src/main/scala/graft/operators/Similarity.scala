@@ -75,36 +75,48 @@ object Similarity {
 
   /** LSH top-k: both sides keyed by hyperplane signature; a query only
     * scores corpus rows sharing its bucket. Approximate (recall < 1);
-    * verify-and-rank is exact cosine. Use fewer bits for higher recall —
-    * or `multiProbe`: the query additionally probes the buckets at
-    * Hamming distance 1 (its `multiProbe` lowest signature bits flipped),
-    * the standard multi-probe LSH trade: recall of fewer bits at the
-    * bucket-balance of more bits. Probing explodes only the tiny
-    * broadcast query side — corpus work stays one bucket-keyed join; and
-    * since xor is injective, one corpus row can reach a query through at
-    * most one probe, so no candidate dedup is needed. */
+    * verify-and-rank is exact cosine. Two recall knobs, composable:
+    *
+    *  - `multiProbe`: each query additionally probes the buckets at
+    *    Hamming distance 1 (its `multiProbe` lowest signature bits
+    *    flipped) — the standard multi-probe trade: recall of fewer bits
+    *    at the bucket-balance of more bits. Probing explodes only the
+    *    tiny broadcast query side.
+    *  - `tables`: OR-amplification across independently-seeded
+    *    signature sets; per-neighbor miss probability decays as
+    *    (1-p^nBits)^tables while corpus candidate volume grows linearly.
+    *
+    * With tables > 1 (or probing) a corpus row can reach a query more
+    * than once, so scored candidates are de-duplicated before ranking
+    * (the duplicate rows carry bit-identical cosines — same inputs). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, dim: Int, nBits: Int = 8,
-              native: Boolean = false, multiProbe: Int = 0): DataFrame = {
-    def sig(v: Column) =
+              native: Boolean = false, multiProbe: Int = 0,
+              tables: Int = 1): DataFrame = {
+    def sig(v: Column, t: Int) =
       if (native) call_function(graft.plans.HyperplaneSignature.name,
-        v, lit(nBits), lit(dim))
-      else hyperplaneSignature(v, nBits, dim)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sig(col(vecCol)).as("bucket"))
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      sig(col(vecCol)).as("bucket"))
+        v, lit(nBits), lit(dim), lit(42L + t))
+      else hyperplaneSignature(v, nBits, dim, 42L + t)
+    def banded(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        posexplode(array((0 until tables).map(t => sig(col(vecCol), t)): _*)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val c = banded(corpus, "id", "vec")
+    val q0 = banded(queries, "query_id", "query_vec")
     val q = if (multiProbe <= 0) q0 else {
       val flips = lit(0L) +: (0 until math.min(multiProbe, nBits)).map(i => lit(1L << i))
       q0.withColumn("__flip", explode(array(flips: _*)))
         .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
         .drop("__flip")
     }
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
         cosineCol(col("vec"), col("query_vec"), native).as("cosine"))
-    topKPerQuery(scored, k)
+    // single-table probing needs no dedup (xor is injective: a corpus row
+    // reaches a query through at most one probe); across tables it does
+    val deduped = if (tables > 1) scored.distinct() else scored
+    topKPerQuery(deduped, k)
   }
 
   /** Map-side nearest-centroid assignment: a single codegen'd fold over the
