@@ -1,10 +1,19 @@
 package graft.sources
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.streaming.CdcMergeSink
 
@@ -25,32 +34,50 @@ import graft.streaming.CdcMergeSink
   * so stray part files from crashed writers are invisible (the
   * object-store read discipline of [[MutableParquetTable.readCommitted]]).
   *
-  * Filter pushdown: key-column predicates (`=`, `IN`, ranges) prune the
-  * manifest's file list BEFORE any footer or data IO — the zone-map
-  * routing of the merge path (ParquetRewriter.java:263-283) applied to
-  * queries. All filters are also handed to the inner parquet scan, so
-  * parquet row-group stats prune a second time within the kept files. The
-  * source declares every filter unhandled, so Catalyst re-applies them —
-  * pruning is purely an optimization and can never change results.
+  * DataSource V2: the scan this source builds IS Spark's own parquet
+  * batch scan (`ParquetScan`) over the manifest's pruned file list, so
+  * reads get vectorized columnar batches and whole-stage codegen — no
+  * row-at-a-time InternalRow↔Row boundary (the V1 `PrunedFilteredScan`
+  * this replaced ended in `.rdd`, which de-columnarized every row).
+  * Relation setup reads the schema straight from the manifest (one
+  * driver-side JSON read, zero footer probes); only manifest-less `base`
+  * snapshots fall back to a single-file footer probe.
+  *
+  * Filter pushdown, two levels, both advisory (every filter is also
+  * returned as residual, so Catalyst re-applies it and pruning can never
+  * change results):
+  *  - key-column predicates (`=`, `IN`, ranges) prune the manifest's file
+  *    list BEFORE any footer or data IO — the zone-map routing of the
+  *    merge path (ParquetRewriter.java:263-283) applied to queries;
+  *  - all pushed filters are handed to the parquet scan for row-group
+  *    stats pruning within the kept files.
   *
   * Scale: the manifest prune is a driver-side metadata operation (one row
   * per file); at 100 TB a key-range query opens the handful of files the
   * range lives in instead of listing and footer-probing the whole table.
   */
-final class GraftSource extends RelationProvider with DataSourceRegister {
+final class GraftSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft source requires a path (load(path) or OPTIONS (path '...'))"))
-    val snapshot = GraftSource.resolveSnapshot(path, parameters.get("version"))
-    new GraftRelation(sqlContext.sparkSession, snapshot)
-  }
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSource.tableFor(options.asScala.toMap).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    GraftSource.tableFor(properties.asScala.toMap)
 }
 
 object GraftSource {
+
+  private[sources] def tableFor(parameters: Map[String, String]): GraftBatchTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path (load(path) or OPTIONS (path '...'))"))
+    val snapshot = resolveSnapshot(path, parameters.get("version"))
+    new GraftBatchTable(SparkSession.active, snapshot)
+  }
 
   /** Resolve `path` (+ optional version) to one snapshot directory.
     * Table roots resolve through the committed-version chain with
@@ -71,29 +98,24 @@ object GraftSource {
     }
   }
 
-  /** Files the most recent scan actually read, per thread — test/telemetry
-    * hook for asserting manifest pruning (V1 relations expose no plan
-    * metric for it). */
+  /** Files the most recent scan actually planned, per thread — test/
+    * telemetry hook for asserting manifest pruning. */
   private val lastScan = new ThreadLocal[Seq[String]]
   def lastScanFiles: Seq[String] = Option(lastScan.get).getOrElse(Nil)
   private[sources] def recordScan(files: Seq[String]): Unit =
     lastScan.set(files)
 }
 
-/** One committed snapshot as a Spark `BaseRelation` with column pruning
-  * and best-effort key-filter file pruning. */
-final class GraftRelation(spark: SparkSession, val snapshotDir: String)
-    extends BaseRelation with PrunedFilteredScan {
-
-  override def sqlContext: SQLContext = spark.sqlContext
+/** One committed snapshot as a V2 [[Table]]. */
+final class GraftBatchTable(spark: SparkSession, val snapshotDir: String)
+    extends Table with SupportsRead {
 
   /** Manifest file list when committed; directory listing for a bare
     * `base` snapshot (writeSorted output has no manifest). */
-  private val allFiles: Seq[String] =
+  private[sources] val allFiles: Seq[String] =
     MutableParquetTable.manifestFileNames(snapshotDir)
       .map(_.map(n => s"$snapshotDir/$n"))
       .getOrElse {
-        import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.list(java.nio.file.Paths.get(snapshotDir))
         try s.iterator().asScala.map(_.toString)
           .filter(_.endsWith(".parquet")).toList.sorted
@@ -102,48 +124,79 @@ final class GraftRelation(spark: SparkSession, val snapshotDir: String)
 
   require(allFiles.nonEmpty, s"$snapshotDir holds no parquet files")
 
-  private val keyName: Option[String] =
+  private[sources] val keyName: Option[String] =
     MutableParquetTable.pruneManifestFiles(snapshotDir, None, None).map(_._1)
 
+  override def name(): String = s"graft:$snapshotDir"
+
+  /** Manifest-embedded schema when present (zero IO beyond the manifest
+    * itself); single-file footer probe otherwise — never a probe of the
+    * whole file list. */
   override val schema: StructType =
-    spark.read.parquet(allFiles: _*).schema
+    MutableParquetTable.manifestSchema(snapshotDir)
+      .getOrElse(spark.read.parquet(allFiles.head).schema)
 
-  /** All filters are re-applied by Spark above this scan; here they only
-    * drive pruning (manifest file skip + parquet row-group skip). */
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
-    val files = keyName.flatMap { k =>
-      val (lo, hi) = GraftRelation.keyBounds(k, filters)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, this)
+}
+
+/** Scan builder: collects pushed filters + required columns, then builds
+  * Spark's own `ParquetScan` over the manifest-pruned file list. */
+final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema
+  private var filters: Array[Filter] = Array.empty
+
+  /** Every filter is both recorded (for pruning) and returned as residual
+    * (Catalyst re-applies it above the scan), so pruning stays purely an
+    * optimization. */
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  override def build(): Scan = {
+    val files = table.keyName.flatMap { k =>
+      val (lo, hi) = GraftScanBuilder.keyBounds(k, filters)
       if (lo.isEmpty && hi.isEmpty) None
-      else MutableParquetTable.pruneManifestFiles(snapshotDir, lo, hi).map(_._2)
-    }.getOrElse(allFiles)
+      else MutableParquetTable.pruneManifestFiles(table.snapshotDir, lo, hi).map(_._2)
+    }.getOrElse(table.allFiles)
     GraftSource.recordScan(files)
-    if (files.isEmpty)
-      return spark.sparkContext.emptyRDD[Row]
-    var df: DataFrame = spark.read.schema(schema).parquet(files: _*)
-    // hand every translatable filter to the inner scan so parquet
-    // row-group stats prune within the kept files (redundant with the
-    // re-apply above — never wrong, often faster)
-    GraftRelation.toColumn(filters).foreach(c => df = df.where(c))
-    df.select(requiredColumns.map(col).toSeq: _*).rdd
+    val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
+      Map.empty[String, String], Some(table.schema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema = table.schema, readDataSchema = required,
+      readPartitionSchema = new StructType(), pushedFilters = filters,
+      options = CaseInsensitiveStringMap.empty())
   }
 }
 
-private object GraftRelation {
+private object GraftScanBuilder {
 
   /** Conjunctive key bounds implied by the pushed filters: [lo, hi] such
     * that every surviving row's key lies within. Non-key / untranslatable
-    * filters contribute nothing (Spark re-applies them anyway). */
+    * filters contribute nothing (Spark re-applies them anyway). Null
+    * comparison values are skipped defensively — Catalyst folds such
+    * predicates away, but `KeyBytes.fromAny(null)` would throw at
+    * planning time if one ever arrived. */
   def keyBounds(key: String,
                 filters: Array[Filter]): (Option[Any], Option[Any]) = {
     var lo: Option[Any] = None
     var hi: Option[Any] = None
-    def tightenLo(v: Any): Unit =
+    def tightenLo(v: Any): Unit = if (v != null)
       lo = Some(lo.filter(l => KeyBytes.compare(
         KeyBytes.fromAny(l), KeyBytes.fromAny(v)) >= 0).getOrElse(v))
-    def tightenHi(v: Any): Unit =
+    def tightenHi(v: Any): Unit = if (v != null)
       hi = Some(hi.filter(h => KeyBytes.compare(
         KeyBytes.fromAny(h), KeyBytes.fromAny(v)) <= 0).getOrElse(v))
     def walk(f: Filter): Unit = f match {
@@ -161,36 +214,5 @@ private object GraftRelation {
     }
     filters.foreach(walk)
     (lo, hi)
-  }
-
-  /** Best-effort translation of source filters back to Columns for the
-    * inner parquet scan. Untranslatable filters are dropped (they are
-    * re-applied by Spark above the relation). */
-  def toColumn(filters: Array[Filter]): Option[Column] = {
-    def tr(f: Filter): Option[Column] = f match {
-      case EqualTo(a, v)            => Some(col(a) === lit(v))
-      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-      case GreaterThan(a, v)        => Some(col(a) > lit(v))
-      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-      case LessThan(a, v)           => Some(col(a) < lit(v))
-      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-      case In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
-      case IsNull(a)                => Some(col(a).isNull)
-      case IsNotNull(a)             => Some(col(a).isNotNull)
-      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
-      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
-      case StringContains(a, v)     => Some(col(a).contains(v))
-      case Not(c)                   => tr(c).map(!_)
-      case And(l, r) =>
-        (tr(l), tr(r)) match {
-          case (Some(a), Some(b)) => Some(a && b)
-          case (a, b)             => a.orElse(b) // partial AND stays sound
-        }
-      case Or(l, r) =>
-        // partial OR would widen incorrectly — translate only if both do
-        for (a <- tr(l); b <- tr(r)) yield a || b
-      case _ => None
-    }
-    filters.flatMap(tr(_)).reduceOption(_ && _)
   }
 }

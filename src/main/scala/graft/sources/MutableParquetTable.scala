@@ -394,8 +394,15 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       case Some(_)                 => "string"
       case None                    => "unknown"
     }
+    // table schema embedded in the commit (StructType JSON, exact
+    // round-trip): readers construct relations from the manifest alone —
+    // zero footer probes (the V2 source's relation setup path)
+    val schemaJson = (ranges.headOption.map(_.file) orElse
+        newFiles.headOption orElse statless.headOption.map(n => s"$outDir/$n"))
+      .map(f => spark.read.parquet(f).schema.json)
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
+        schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         s""""fileCount":${ranges.size + statless.size},""" +
         s""""totalRows":${ranges.map(_.rowCount).sum},"files":$files}"""
     val tmp = Paths.get(outDir, ManifestName + ".tmp")
@@ -438,6 +445,18 @@ object MutableParquetTable {
     require(files.nonEmpty, s"$snapshotDir manifest lists no files")
     spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
   }
+
+  /** The table schema a committed snapshot's manifest embeds (None for
+    * manifests written before schemas were recorded, and for uncommitted
+    * directories). Everything inside the embedded schema string is
+    * quote-escaped by [[js]], so the manifest's other regex readers can
+    * never match keys inside it. */
+  def manifestSchema(snapshotDir: String): Option[org.apache.spark.sql.types.StructType] =
+    readManifest(snapshotDir).flatMap { m =>
+      "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+        .map(x => org.apache.spark.sql.types.DataType.fromJson(unjs(x.group(1)))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
 
   /** The file names a committed snapshot's manifest lists (None when the
     * snapshot has no commit marker). The manifest, not the directory

@@ -102,6 +102,29 @@ class GraftSourceSpec extends SparkSpec {
     assert(viaSource.count() === 999) // stray file not double-counted
   }
 
+  test("V2 scan: columnar parquet BatchScan, no row-boundary RDD scan") {
+    val df = spark.read.format("graft").load(root)
+      .where(col("id") >= 100L && col("id") <= 140L)
+      .select("id", "name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected a V2 BatchScan:\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"V1 row-boundary scan still present:\n$plan")
+    // the delegate is Spark's own parquet scan: vectorized batches flow
+    // into codegen through ColumnarToRow
+    assert(plan.contains("ColumnarToRow"), s"scan is not columnar:\n$plan")
+    // pushed filters reach the parquet row-group level
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(id,100)"),
+      s"filters not pushed to the parquet scan:\n$plan")
+  }
+
+  test("relation setup reads the schema from the manifest, not footers") {
+    val snapshot = graft.streaming.CdcMergeSink.latestSnapshot(root)
+    val fromManifest = MutableParquetTable.manifestSchema(snapshot)
+    assert(fromManifest.isDefined, "committed manifest should embed the schema")
+    assert(fromManifest.get === spark.read.format("graft").load(root).schema)
+  }
+
   test("version option on a non-root path fails fast") {
     val work = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
