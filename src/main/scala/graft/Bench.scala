@@ -168,9 +168,16 @@ object Bench {
       val li = (0 until 4).map(r => li0.withColumn("rep", lit(r)))
         .reduce(_ unionByName _)
         .withColumn("li_key", monotonically_increasing_id())
-      val nFiles = 32
+      // 128 files on 32 cores: tasks ≫ cores, so rewrite wall time tracks
+      // the dirty fraction (the cluster regime) instead of being floored
+      // by idle cores when dirty-file count < parallelism
+      val nFiles = 128
       ParquetTable.writeSorted(li, baseDir, "li_key", nFiles)
       val t = MutableParquetTable(spark, baseDir, "li_key")
+      // a production graft table is always a committed snapshot — give the
+      // base its manifest (untimed) so merges read the zone map from
+      // metadata, not per-file footer probes
+      t.commitManifest(baseDir)
       val base0 = spark.read.parquet(baseDir)
 
       // materialize each update batch to parquet first (untimed): a real

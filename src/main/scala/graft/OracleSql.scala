@@ -999,6 +999,19 @@ object OracleSql {
     // target; the oracle pins the flag to 1. A hash match then verifies
     // both the exact computation and the sketch's actual effectiveness.
 
+    "q90_date_merge" -> """
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1)
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        CAST(CASE WHEN day(o_orderdate) = 1 THEN -1 ELSE n_orders END AS BIGINT) AS n_orders,
+        round(CAST(rev AS DOUBLE), 2) AS rev
+      FROM d
+      WHERE NOT (day(o_orderdate) <> 1 AND month(o_orderdate) = 2)
+      ORDER BY order_date""",
+
     "q41_minhash_pairs" ->
       (shingleJaccardPairs(0.6) + """
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
@@ -1008,7 +1021,7 @@ object OracleSql {
     "q42_simhash_pairs" ->
       (shingleJaccardPairs(0.8) + """
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
-        CAST(1 AS INT) AS simhash_found
+        CAST(1 AS INT) AS banding_complete
       FROM jp ORDER BY id_a, id_b"""),
 
     "q66_neardup_dedup" ->

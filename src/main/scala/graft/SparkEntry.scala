@@ -534,22 +534,32 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup pairs, oracle-checkable form (same shape as q41):
-    * exact Jaccard >= 0.8 pairs + `simhash_found` = surfaced by SimHash
-    * banding at Hamming <= 7. 8 chunks of 8 bits make the banding COMPLETE
-    * for Hamming <= 7 (pigeonhole), so the only approximation left is
-    * SimHash itself — near-identical docs (j >= 0.8) land within a few
-    * bits of each other. */
+  /** SimHash near-dup pairs, oracle-checkable form: exact Jaccard >= 0.8
+    * pairs + `banding_complete` = (pair surfaced by SimHash banding) ⇔
+    * (exact 64-bit Hamming distance <= 7). With 8 chunks of 8 bits the
+    * banding is COMPLETE for Hamming <= 7 (pigeonhole: <= 7 flipped bits
+    * leave >= 1 of 8 chunks intact), so the equivalence is a DETERMINISTIC
+    * invariant the oracle pins to 1 — unlike "j >= 0.8 ⇒ small Hamming",
+    * which is only probabilistic and can legitimately miss a pair. */
   def q42_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.SimHash.register(s)
     val docs = documents(s, dir)
     val exact = Dedup.jaccardJoinExact(shingleSets(docs), 0.8)
     val sim = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 7,
       native = true, chunks = 8)
-    exact.join(sim.select(col("id_a"), col("id_b"), lit(1).as("f")),
+    // per-doc exact signatures (HOF path — bit-identical to the native
+    // kernel, PlansSpec) for the pairs' true Hamming distances
+    val sigs = docs.where(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sim"))
+    exact
+      .join(sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .join(sim.select(col("id_a"), col("id_b"), lit(1).as("f")),
         Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
-        coalesce(col("f"), lit(0)).as("simhash_found"))
+        (coalesce(col("f"), lit(0)) ===
+          when(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 7, 1)
+            .otherwise(0)).cast("int").as("banding_complete"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -942,6 +952,36 @@ object SparkEntry {
     graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
       .select(col("uuid"), col("doc_id"), col("lang"))
       .orderBy(col("uuid"))
+  }
+
+  /** CoW merge on a DATE-keyed table: the daily order rollup keyed by
+    * o_orderdate (unique after the rollup), upsert the month-start days,
+    * delete the other February days, read back through the manifest.
+    * Exercises the typed merge-key lane end to end: epoch-day zone maps
+    * from parquet INT32 date stats, date-normalized routing, and
+    * normalized run-slice bounds. */
+  def q90_date_merge(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q90").toString
+    val base = s"$work/base"
+    graft.sources.ParquetTable.writeSorted(daily, base, "o_orderdate", 6)
+    val upserts = daily.where(dayofmonth(col("o_orderdate")) === 1)
+      .withColumn("n_orders", lit(-1L))
+      .withColumn("op", lit("upsert"))
+    val deletes = daily
+      .where(dayofmonth(col("o_orderdate")) =!= 1 && month(col("o_orderdate")) === 2)
+      .withColumn("op", lit("delete"))
+    val t = graft.sources.MutableParquetTable(s, base, "o_orderdate")
+    val res = t.merge(upserts.unionByName(deletes), snapshotDir = Some(s"$work/v1"))
+    require(graft.sources.MutableParquetTable.isCommitted(res.snapshotDir),
+      "merge snapshot missing its manifest commit marker")
+    graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("n_orders"), round(col("rev").cast("double"), 2).as("rev"))
+      .orderBy(col("order_date"))
   }
 
   /** CSV ingest with explicit schema (no inference scan) → aggregation.
@@ -1453,6 +1493,7 @@ object SparkEntry {
     "q87_source_read" -> (q87_source_read _),
     "q88_lm_perplexity" -> (q88_lm_perplexity _),
     "q89_stratified_sample" -> (q89_stratified_sample _),
+    "q90_date_merge" -> (q90_date_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

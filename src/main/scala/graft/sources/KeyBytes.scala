@@ -27,12 +27,39 @@ private[graft] object KeyBytes {
   def fromString(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Encode any supported key value (runtime-typed, e.g. from a Row). */
+  /** Raw bytes ARE the encoding for binary keys (unsigned lexicographic —
+    * exactly the reference's signed-min-max binary key order,
+    * ParquetRewriter.java:35-37,97; identical to [[fromString]] for UTF-8
+    * string keys, so the two lanes never disagree). */
+  def fromBinary(b: Array[Byte]): Array[Byte] = b
+
+  /** Encode any supported key value (runtime-typed, e.g. from a Row).
+    * Date/timestamp keys normalize to the same longs parquet stores
+    * physically (epoch days / epoch micros), so routing agrees with
+    * footer statistics. Fractional types are REJECTED, not truncated: a
+    * truncating longValue would silently route 1.5 and 1 to the same
+    * file and corrupt the merge. */
   def fromAny(v: Any): Array[Byte] = v match {
+    case _: java.lang.Double | _: java.lang.Float | _: java.math.BigDecimal |
+         _: scala.math.BigDecimal => throw new IllegalArgumentException(
+      s"fractional merge-key type ${v.getClass.getName} is not supported " +
+        "(no exact order-preserving long form); use an integral, string, " +
+        "binary, date, or timestamp key")
     case n: java.lang.Number => fromLong(n.longValue)
     case s: String => fromString(s)
+    case b: Array[Byte] => fromBinary(b)
+    case d: java.sql.Date =>
+      fromLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => fromLong(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      fromLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant =>
+      fromLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ row value
+      fromLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
     case other => throw new IllegalArgumentException(
-      s"unsupported merge-key type ${other.getClass.getName} — numeric or string required")
+      s"unsupported merge-key type ${other.getClass.getName} — integral, " +
+        "string, binary, date, or timestamp required")
   }
 
   /** Unsigned lexicographic comparison. */

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types._
 
 import graft.operators.MergeOps
 
@@ -19,7 +19,10 @@ final case class MergeResult(
     snapshotDir: String,
     rewrittenFiles: Seq[String],
     passthroughFiles: Seq[String],
-    insertedFileCount: Int) {
+    insertedFileCount: Int,
+    // wall millis per merge phase (ranges/route/link/rewrite/manifest) —
+    // the timing half of the reference's merge report
+    phaseMillis: Map[String, Long] = Map.empty) {
 
   private def sz(fs: Seq[String]): Long =
     fs.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
@@ -107,6 +110,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
 
   def read(): DataFrame = spark.read.parquet(dir)
 
+  /** Table schema, resolved once per table handle: from the manifest when
+    * this dir is a committed snapshot (zero IO), else one footer probe.
+    * Reused by every merge — the dirty-file scan and the manifest embed
+    * pass it explicitly, so no per-merge schema-inference jobs run. */
+  private lazy val tableSchema: org.apache.spark.sql.types.StructType =
+    MutableParquetTable.manifestSchema(dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+
   /** Per-file [minKey, maxKey] from footers only. */
   def fileRanges(): DataFrame = ParquetStats.fileKeyRanges(spark, dir, key)
 
@@ -132,7 +143,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     routedFiles(sortedRanges(), updateKeys)
 
   private def sortedRanges(): Seq[ParquetStats.FileKeyRange] =
-    ParquetStats.fileKeyRangesTyped(spark, dir, key)
+    // committed snapshots carry their zone map in the manifest — trust it
+    // (the committed-read discipline) and skip the per-file footer probes;
+    // bare directories fall back to footer IO
+    MutableParquetTable.manifestRanges(dir, key)
+      .getOrElse(ParquetStats.fileKeyRangesTyped(spark, dir, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
 
   private def routedFiles(ranges: Seq[ParquetStats.FileKeyRange],
@@ -143,22 +158,30 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     val bcast = spark.sparkContext.broadcast(mins)
     val keyName = updateKeys.columns.head
     import spark.implicits._
-    val routed: Dataset[String] =
+    // per-partition dedup into a local set, then a driver union — one
+    // map-only stage, no shuffle: at most #files distinct names leave each
+    // partition, so the collect is bounded by partitions × files
+    def routeAll[T](ds: Dataset[T])(enc: T => Array[Byte]): Seq[String] =
+      ds.mapPartitions { it =>
+          val rs = bcast.value
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          it.foreach(k => seen += route(enc(k), rs))
+          seen.iterator
+        }.collect().toSeq
+    val routed: Seq[String] =
       updateKeys.schema.head.dataType match {
         case StringType =>
-          updateKeys.select(col(keyName).cast("string")).as[String]
-            .mapPartitions { it =>
-              val rs = bcast.value
-              it.map(k => route(KeyBytes.fromString(k), rs))
-            }
-        case _ =>
-          updateKeys.select(col(keyName).cast("long")).as[Long]
-            .mapPartitions { it =>
-              val rs = bcast.value
-              it.map(k => route(KeyBytes.fromLong(k), rs))
-            }
+          routeAll(updateKeys.select(col(keyName).cast("string")).as[String])(
+            KeyBytes.fromString)
+        case BinaryType =>
+          routeAll(updateKeys.select(col(keyName)).as[Array[Byte]])(
+            KeyBytes.fromBinary)
+        case dt =>
+          routeAll(updateKeys
+            .select(MutableParquetTable.normalizedKeyCol(dt, col(keyName)))
+            .as[Long])(KeyBytes.fromLong)
       }
-    routed.distinct().collect().toSeq.sorted
+    routed.distinct.sorted
   }
 
   /** Copy-on-write merge. `batch` = base schema + op column.
@@ -171,7 +194,16 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
 
+    var mark = System.nanoTime()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = (now - mark) / 1000000L
+      mark = now
+    }
+
     val ranges = sortedRanges()
+    phase("ranges")
     // dirty/clean split by FILE NAME: footer stats yield `file:/…` URIs
     // while the local listing yields the caller's path form (possibly
     // relative) — comparing full paths would silently classify every file
@@ -188,6 +220,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
           case (r, i) if routed(fileName(r.file)) => i
         }.toSet)
       .map(i => fileName(ranges(i).file))
+    phase("route")
     val allFiles = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(dir))
@@ -206,43 +239,56 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       catch { case _: Exception =>
         Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
     }
+    phase("link")
 
     var inserted = 0
     if (dirty.nonEmpty || clean.isEmpty) {
-      // distributed re-merge of just the dirty slice
+      // distributed re-merge of just the dirty slice; explicit schema, so
+      // no per-merge footer-inference job runs
       val base =
-        if (dirty.nonEmpty) spark.read.parquet(dirty: _*)
+        if (dirty.nonEmpty) spark.read.schema(tableSchema).parquet(dirty: _*)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           batch.drop(opCol).schema)
-      // persist: each dirty run below re-scans the merged result with a
-      // different range slice; without the persist every slice would re-run
-      // the merge join
-      val merged = MergeOps.applyMutations(base, batch, key, opCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (ranges.isEmpty) {
-          merged.repartitionByRange(1, col(key)).sortWithinPartitions(col(key))
+      // Output partitioning is DETERMINISTIC (known run boundaries →
+      // bucket → probe-hash partition id), so the merge join streams
+      // straight into the write exchange with no range-sampling pass.
+      // Persist only when several runs each re-slice the merged set;
+      // the common contiguous-dirty case is one pass end to end.
+      val merged0 = MergeOps.applyMutations(base, batch, key, opCol)
+      if (ranges.isEmpty) {
+        ParquetTable.withMicrosTimestamps(spark) {
+          merged0.repartition(1).sortWithinPartitions(col(key))
             .write.mode("append").parquet(outDir)
-          inserted = 1
-        } else {
-          // Maximal runs of CONSECUTIVE dirty files in global key order.
-          // Each run is rewritten separately, sliced to
-          // [run.head.min, nextFile.min): when dirty files are
-          // non-contiguous (files 1 and 3 dirty, 2 clean), one merged
-          // write could range-sample boundaries spanning clean file 2's
-          // range — a later merge would then route keys inside that
-          // spanning file to file 2, leaving stale rows behind. Slicing at
-          // the clean boundaries preserves the disjoint-range invariant
-          // across chained merges.
-          val dirtyIdx = ranges.zipWithIndex.collect {
-            case (r, i) if dirtyNames.contains(fileName(r.file)) => i
-          }
-          val runs = dirtyIdx.foldLeft(Vector.empty[Vector[Int]]) {
-            case (acc, i) if acc.nonEmpty && acc.last.last == i - 1 =>
-              acc.init :+ (acc.last :+ i)
-            case (acc, i) => acc :+ Vector(i)
-          }
+        }
+        inserted = 1
+      } else {
+        // Maximal runs of CONSECUTIVE dirty files in global key order.
+        // Each run is rewritten separately, sliced to
+        // [run.head.min, nextFile.min): when dirty files are
+        // non-contiguous (files 1 and 3 dirty, 2 clean), one merged
+        // write could otherwise span clean file 2's range — a later merge
+        // would then route keys inside that spanning file to file 2,
+        // leaving stale rows behind. Slicing at the clean boundaries
+        // preserves the disjoint-range invariant across chained merges.
+        val dirtyIdx = ranges.zipWithIndex.collect {
+          case (r, i) if dirtyNames.contains(fileName(r.file)) => i
+        }
+        val runs = dirtyIdx.foldLeft(Vector.empty[Vector[Int]]) {
+          case (acc, i) if acc.nonEmpty && acc.last.last == i - 1 =>
+            acc.init :+ (acc.last :+ i)
+          case (acc, i) => acc :+ Vector(i)
+        }
+        val merged =
+          if (runs.size > 1)
+            merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else merged0
+        try {
+          // bounds come from footer stats in the NORMALIZED key domain
+          // (epoch days/micros for date/timestamp keys), so all range
+          // comparisons use the normalized column
+          val nk = MutableParquetTable.normalizedKeyCol(
+            merged.schema(key).dataType, col(key))
           runs.foreach { run =>
             val lower = if (run.head == 0) None else Some(ranges(run.head).min)
             val upper = if (run.last == ranges.size - 1) None
@@ -250,23 +296,46 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
             // single run ⇒ the slice is provably the whole merged set
             // (dirty-file rows lie in their own ranges ⊂ [lower, upper);
             // batch keys route into the run ⇒ lower <= k < upper), so skip
-            // the filter pass over the persisted data
+            // the filter pass over the merged data
             val slice = if (runs.size == 1) merged else (lower, upper) match {
               case (Some(lo), Some(up)) =>
-                merged.where(col(key) >= lit(lo) && col(key) < lit(up))
-              case (Some(lo), None) => merged.where(col(key) >= lit(lo))
-              case (None, Some(up)) => merged.where(col(key) < lit(up))
+                merged.where(nk >= lit(lo) && nk < lit(up))
+              case (Some(lo), None) => merged.where(nk >= lit(lo))
+              case (None, Some(up)) => merged.where(nk < lit(up))
               case (None, None)     => merged
             }
-            slice
-              .repartitionByRange(run.size, col(key))
-              .sortWithinPartitions(col(key))
-              .write.mode("append").parquet(outDir)
+            // file i of the run owns [min_i, min_{i+1}) — the ORIGINAL
+            // dirty files' boundaries, so the rewritten layout mirrors the
+            // one it replaces. Bucket by binary-search-equivalent count of
+            // crossed boundaries, then map bucket → partition through the
+            // probe table (bucket i lands EXACTLY in partition i), giving
+            // disjoint sorted files with zero sampling.
+            def out(body: => Unit): Unit =
+              ParquetTable.withMicrosTimestamps(spark)(body)
+            if (run.size == 1) out {
+              slice.repartition(1).sortWithinPartitions(col(key))
+                .write.mode("append").parquet(outDir)
+            } else {
+              val bounds = run.tail.map(i => ranges(i).min)
+              val boundsCol = array(bounds.map(lit(_)): _*)
+              val bucket = size(filter(boundsCol, b => nk >= b))
+              val probes = MutableParquetTable.partitionProbes(run.size)
+              out {
+                slice
+                  .withColumn("__graft_part",
+                    element_at(lit(probes), bucket + 1))
+                  .repartition(run.size, col("__graft_part"))
+                  .drop("__graft_part")
+                  .sortWithinPartitions(col(key))
+                  .write.mode("append").parquet(outDir)
+              }
+            }
             inserted += run.size
           }
-        }
-      } finally merged.unpersist(false)
+        } finally if (runs.size > 1) merged.unpersist(false)
+      }
     }
+    phase("rewrite")
 
     // manifest: passthrough files carry their already-read ranges (their
     // bytes are untouched — hard links); footer IO is paid only for the
@@ -283,8 +352,9 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         .filterNot(f => cleanNames.contains(fileName(f)))
       finally s.close()
     }
-    writeManifest(outDir, carried, newFiles)
-    MergeResult(outDir, dirty, clean, inserted)
+    writeManifest(outDir, carried, newFiles, Some(tableSchema))
+    phase("manifest")
+    MergeResult(outDir, dirty, clean, inserted, phases.toMap)
   }
 
   /** Row-group-granularity CoW merge: like [[merge]], but each dirty
@@ -341,15 +411,19 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
+        // bounds are in the NORMALIZED key domain (epoch days/micros for
+        // date/timestamp keys) — compare the normalized batch column
+        val nk = MutableParquetTable.normalizedKeyCol(
+          batch.schema(key).dataType, col(key))
         val jobs = dirty.map { f => Future {
           val i = idxByName(fileName(f))
           val lower = if (i == 0) None else Some(ranges(i).min)
           val upper = if (i == ranges.size - 1) None else Some(ranges(i + 1).min)
           val slice = (lower, upper) match {
             case (Some(lo), Some(up)) =>
-              b.where(col(key) >= lit(lo) && col(key) < lit(up))
-            case (Some(lo), None) => b.where(col(key) >= lit(lo))
-            case (None, Some(up)) => b.where(col(key) < lit(up))
+              b.where(nk >= lit(lo) && nk < lit(up))
+            case (Some(lo), None) => b.where(nk >= lit(lo))
+            case (None, Some(up)) => b.where(nk < lit(up))
             case (None, None)     => b
           }
           RowGroupCoW.rewriteFile(spark, f,
@@ -360,7 +434,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     }
 
     val carried = ranges.filter(r => !dirtyNames.contains(fileName(r.file)))
-    writeManifest(outDir, carried, dirty.map(f => s"$outDir/${fileName(f)}"))
+    writeManifest(outDir, carried, dirty.map(f => s"$outDir/${fileName(f)}"),
+      Some(tableSchema))
     MergeResult(outDir, dirty, clean, dirty.size)
   }
 
@@ -369,7 +444,9 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     * `_manifest.json` IS the commit. */
   private def writeManifest(outDir: String,
                             carried: Seq[ParquetStats.FileKeyRange],
-                            newFiles: Seq[String]): Unit = {
+                            newFiles: Seq[String],
+                            schema: Option[org.apache.spark.sql.types.StructType]
+                              = None): Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
@@ -386,18 +463,22 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       finally s.close()
     }
     val files = (ranges.map { r =>
-      s"""{"file":${js(fileName(r.file))},"minKey":${js(r.min.toString)},""" +
-        s""""maxKey":${js(r.max.toString)},"rows":${r.rowCount}}"""
+      s"""{"file":${js(fileName(r.file))},"minKey":${js(keyRepr(r.min))},""" +
+        s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}}"""
     } ++ statless.map(n => s"""{"file":${js(n)}}""")).mkString("[", ",", "]")
     val keyType = ranges.headOption.map(_.min) match {
       case Some(_: java.lang.Long) => "long"
+      case Some(_: Array[Byte])    => "binary"
       case Some(_)                 => "string"
       case None                    => "unknown"
     }
     // table schema embedded in the commit (StructType JSON, exact
     // round-trip): readers construct relations from the manifest alone —
-    // zero footer probes (the V2 source's relation setup path)
-    val schemaJson = (ranges.headOption.map(_.file) orElse
+    // zero footer probes (the V2 source's relation setup path). The merge
+    // paths pass the schema they already hold; the probe is only for
+    // externally-produced dirs (commitManifest)
+    val schemaJson = schema.map(_.json) orElse
+      (ranges.headOption.map(_.file) orElse
         newFiles.headOption orElse statless.headOption.map(n => s"$outDir/$n"))
       .map(f => spark.read.parquet(f).schema.json)
     val json =
@@ -417,6 +498,53 @@ object MutableParquetTable {
   // hidden metadata (like _SUCCESS), so the snapshot stays directly readable
   // via spark.read.parquet(dir)
   val ManifestName = "_manifest.json"
+
+  /** Probe table for deterministic hash routing: `probes(i)` is a long
+    * whose Spark hash-partition id over `n` partitions is exactly `i`, so
+    * `repartition(n, probeColumn)` places bucket i alone in partition i —
+    * range partitioning by KNOWN boundaries with no sampling pass. Probes
+    * are found by evaluating Spark's own `Pmod(Murmur3Hash(x), n)`
+    * expression, so they can never drift from the executor-side
+    * partitioner. Coupon-collector search: ~n·ln n evaluations, cached. */
+  private val probeCache =
+    new scala.collection.concurrent.TrieMap[Int, Array[Long]]
+  private[sources] def partitionProbes(n: Int): Array[Long] =
+    probeCache.getOrElseUpdate(n, {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash, Pmod}
+      val out = new Array[Long](n)
+      val found = new Array[Boolean](n)
+      var remaining = n
+      var x = 0L
+      while (remaining > 0) {
+        val p = Pmod(new Murmur3Hash(Seq(CLit(x))), CLit(n))
+          .eval(null).asInstanceOf[Int]
+        if (!found(p)) { found(p) = true; out(p) = x; remaining -= 1 }
+        x += 1
+      }
+      out
+    })
+
+  /** Key column normalized to the zone-map domain: the SAME values
+    * [[KeyBytes]] encodes and parquet footers store physically — epoch
+    * days for DATE (int32), epoch micros for TIMESTAMP (int64), long for
+    * integrals, raw values for string/binary. Fractional key types are
+    * rejected, not truncated. */
+  private[sources] def normalizedKeyCol(dt: DataType, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = dt match {
+    case StringType    => c.cast("string")
+    case BinaryType    => c
+    case DateType      => unix_date(c)
+    case TimestampType => unix_micros(c)
+    case TimestampNTZType =>
+      // exact and timezone-independent: NTZ is physically epoch micros of
+      // the wall-clock value (a session-tz cast to TIMESTAMP would shift)
+      timestamp_diff("MICROSECOND",
+        lit("1970-01-01 00:00:00").cast(TimestampNTZType), c)
+    case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+    case other => throw new IllegalArgumentException(
+      s"unsupported merge-key type $other — integral, string, binary, " +
+        "date, or timestamp required")
+  }
 
   def apply(spark: SparkSession, dir: String, key: String): MutableParquetTable =
     new MutableParquetTable(spark, dir, key)
@@ -503,8 +631,11 @@ object MutableParquetTable {
       val loB = lo.map(KeyBytes.fromAny)
       val hiB = hi.map(KeyBytes.fromAny)
       val isLong = m.contains("\"keyType\":\"long\"")
+      val isBinary = m.contains("\"keyType\":\"binary\"")
       def enc(s: String): Array[Byte] =
-        if (isLong) KeyBytes.fromLong(s.toLong) else KeyBytes.fromString(s)
+        if (isLong) KeyBytes.fromLong(s.toLong)
+        else if (isBinary) hexDecode(s)
+        else KeyBytes.fromString(s)
       val ranged = entry.findAllMatchIn(m)
         .map(e => (unjs(e.group(1)), unjs(e.group(2)), unjs(e.group(3)))).toSeq
       val inRange = ranged.collect {
@@ -519,8 +650,52 @@ object MutableParquetTable {
       (keyName, (inRange ++ unprunable).map(n => s"$snapshotDir/$n"))
     }
 
+  /** The manifest's typed zone map, when `dir` is a committed snapshot
+    * whose manifest key matches `key`: one [[ParquetStats.FileKeyRange]]
+    * per ranged entry, decoded to the same typed values the footer path
+    * yields (normalized longs / strings / raw binary). Lets a merge chain
+    * skip per-file footer probes entirely — range metadata costs one small
+    * JSON read regardless of file count. Stat-less entries are omitted,
+    * matching the footer path (they are unroutable). */
+  def manifestRanges(dir: String, key: String)
+      : Option[Seq[ParquetStats.FileKeyRange]] =
+    readManifest(dir).flatMap { m =>
+      val keyName = unjs("\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(m).get.group(1))
+      val isLong = m.contains("\"keyType\":\"long\"")
+      val isBinary = m.contains("\"keyType\":\"binary\"")
+      val isString = m.contains("\"keyType\":\"string\"")
+      if (keyName != key || !(isLong || isBinary || isString)) None
+      else {
+        val entry =
+          ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+            "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)").r
+        def typed(s: String): (Any, Array[Byte]) =
+          if (isLong) { val l = s.toLong; (java.lang.Long.valueOf(l), KeyBytes.fromLong(l)) }
+          else if (isBinary) { val b = hexDecode(s); (b, b) }
+          else (s, KeyBytes.fromString(s))
+        Some(entry.findAllMatchIn(m).map { e =>
+          val (mn, mnB) = typed(unjs(e.group(2)))
+          val (mx, mxB) = typed(unjs(e.group(3)))
+          ParquetStats.FileKeyRange(s"$dir/${unjs(e.group(1))}", mn, mx,
+            mnB, mxB, e.group(4).toLong)
+        }.toSeq)
+      }
+    }
+
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
+
+  /** Manifest text form of a normalized key bound: longs and strings as
+    * themselves, binary keys as lowercase hex (lossless for arbitrary
+    * bytes, which UTF-8 text is not). */
+  private def keyRepr(v: Any): String = v match {
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case other          => other.toString
+  }
+
+  private def hexDecode(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
 
   /** Minimal JSON string escape for the manifest's self-written format. */
   private[sources] def js(s: String): String = "\"" + s.flatMap {

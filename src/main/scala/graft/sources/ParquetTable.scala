@@ -42,7 +42,10 @@ final case class ParquetLayout(
     pageBytes: Option[Long] = None,
     columnDictionary: Map[String, Boolean] = Map.empty,
     bloomFilterColumns: Seq[String] = Nil,
-    bloomFilterNdv: Map[String, Long] = Map.empty)
+    bloomFilterNdv: Map[String, Long] = Map.empty,
+    // parquet format writer version (PARQUET_1_0 | PARQUET_2_0) — the
+    // reference exposes the same switch (ParquetBlockMutator.java:110)
+    writerVersion: Option[String] = None)
 
 /** Parquet-backed table: scan + layout-controlled write + footer statistics.
   *
@@ -57,6 +60,22 @@ object ParquetTable {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Run `body` with parquet timestamp writes forced to TIMESTAMP_MICROS
+    * (set-and-restore of the session conf — Spark offers no per-write
+    * option). INT96 — Spark's default — is deprecated and carries no
+    * usable min/max statistics, which would break zone-map routing for
+    * timestamp merge keys; every engine write path goes through this. */
+  def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None    => spark.conf.unset(tsKey)
+    }
+  }
 
   /** Write with explicit physical layout. */
   def write(df: DataFrame, path: String, layout: ParquetLayout = ParquetLayout(),
@@ -76,7 +95,8 @@ object ParquetTable {
     layout.bloomFilterNdv.foreach { case (c, ndv) =>
       w = w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
-    w.parquet(path)
+    layout.writerVersion.foreach(v => w = w.option("parquet.writer.version", v))
+    withMicrosTimestamps(df.sparkSession) { w.parquet(path) }
   }
 
   /** Write key-sorted: range-partition by key then sort within partitions.
@@ -169,7 +189,10 @@ object ParquetStats {
     * out to executors so a million-file table never funnels through the
     * driver.
     */
-  val driverReadThreshold = 64
+  // footer reads fan out on the driver's IO pool below this file count —
+  // a few hundred ms-scale blocking reads beat a Spark job's scheduling
+  // latency; true multi-thousand-file tables go through executors
+  val driverReadThreshold = 256
 
   /** Driver-side parallel footer IO: each footer read is ms-scale blocking
     * IO, so a small fan-out takes it off the merge latency path. Results
@@ -193,14 +216,36 @@ object ParquetStats {
           .map(b.getColumns.get)
           .find(_.getPath.toDotString == keyCol)
         val st = colMeta.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
-        val minS = st.map(_.minAsString()).orNull
-        val maxS = st.map(_.maxAsString()).orNull
+        // a BINARY column without the String annotation is a RAW binary
+        // key: its stats bytes must never round-trip through UTF-8 (lossy
+        // for arbitrary bytes — replacement chars would corrupt ordering)
+        val isRawBinary = colMeta.exists { c =>
+          c.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+          !c.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        }
+        val minS = if (isRawBinary) null else st.map(_.minAsString()).orNull
+        val maxS = if (isRawBinary) null else st.map(_.maxAsString()).orNull
+        // fractional key stats are left out of BOTH lanes: a truncating
+        // longValue would route keys to the wrong files (KeyBytes.fromAny
+        // rejects such keys outright at merge time)
         val minL = st.map(_.genericGetMin).collect {
-          case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
+          case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue)
+          case n: java.lang.Long => n
+          case n: java.lang.Short => java.lang.Long.valueOf(n.longValue)
+          case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue) }.orNull
         val maxL = st.map(_.genericGetMax).collect {
-          case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) }.orNull
+          case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue)
+          case n: java.lang.Long => n
+          case n: java.lang.Short => java.lang.Long.valueOf(n.longValue)
+          case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue) }.orNull
+        val minB = if (!isRawBinary) null else st.map(_.genericGetMin).collect {
+          case b2: org.apache.parquet.io.api.Binary => b2.getBytes }.orNull
+        val maxB = if (!isRawBinary) null else st.map(_.genericGetMax).collect {
+          case b2: org.apache.parquet.io.api.Binary => b2.getBytes }.orNull
         Row(f, i, b.getRowCount, b.getTotalByteSize, b.getCompressedSize,
-          minS, maxS, minL, maxL)
+          minS, maxS, minL, maxL, minB, maxB)
       }
     } finally reader.close()
   }
@@ -211,7 +256,9 @@ object ParquetStats {
       StructField("minKey", StringType, nullable = true),
       StructField("maxKey", StringType, nullable = true),
       StructField("minKeyLong", LongType, nullable = true),
-      StructField("maxKeyLong", LongType, nullable = true)))
+      StructField("maxKeyLong", LongType, nullable = true),
+      StructField("minKeyBinary", BinaryType, nullable = true),
+      StructField("maxKeyBinary", BinaryType, nullable = true)))
     if (files.size <= driverReadThreshold) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val rows = parFlatMap(files)(f => footerRows(f, keyCol, hconf))
@@ -264,14 +311,19 @@ object ParquetStats {
                             keyCol: String): Seq[FileKeyRange] = {
     def ofTyped(f: String, minL: Option[Long], maxL: Option[Long],
                 minS: Option[String], maxS: Option[String],
+                minB: Option[Array[Byte]], maxB: Option[Array[Byte]],
                 rows: Long): Option[FileKeyRange] =
       (minL, maxL) match {
         case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
           KeyBytes.fromLong(lo), KeyBytes.fromLong(hi), rows))
-        case _ => (minS, maxS) match {
+        case _ => (minB, maxB) match {
           case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
-            KeyBytes.fromString(lo), KeyBytes.fromString(hi), rows))
-          case _ => None
+            KeyBytes.fromBinary(lo), KeyBytes.fromBinary(hi), rows))
+          case _ => (minS, maxS) match {
+            case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
+              KeyBytes.fromString(lo), KeyBytes.fromString(hi), rows))
+            case _ => None
+          }
         }
       }
     // per-file aggregation of the footerRows schema, shared by both
@@ -283,15 +335,23 @@ object ParquetStats {
     def byteMax(xs: Seq[String]) =
       xs.reduce((a, b) => if (KeyBytes.compare(
         KeyBytes.fromString(a), KeyBytes.fromString(b)) >= 0) a else b)
+    def byteMinB(xs: Seq[Array[Byte]]) =
+      xs.reduce((a, b) => if (KeyBytes.compare(a, b) <= 0) a else b)
+    def byteMaxB(xs: Seq[Array[Byte]]) =
+      xs.reduce((a, b) => if (KeyBytes.compare(a, b) >= 0) a else b)
     def fromGroupRows(f: String, rgs: Seq[Row]): Option[FileKeyRange] = {
       val minLs = rgs.flatMap(r => Option(r.get(7)).map(_.asInstanceOf[Long]))
       val maxLs = rgs.flatMap(r => Option(r.get(8)).map(_.asInstanceOf[Long]))
       val minSs = rgs.flatMap(r => Option(r.getString(5)))
       val maxSs = rgs.flatMap(r => Option(r.getString(6)))
+      val minBs = rgs.flatMap(r => Option(r.get(9)).map(_.asInstanceOf[Array[Byte]]))
+      val maxBs = rgs.flatMap(r => Option(r.get(10)).map(_.asInstanceOf[Array[Byte]]))
       ofTyped(f,
         minLs.minOption, maxLs.maxOption,
         if (minSs.isEmpty) None else Some(byteMin(minSs)),
         if (maxSs.isEmpty) None else Some(byteMax(maxSs)),
+        if (minBs.isEmpty) None else Some(byteMinB(minBs)),
+        if (maxBs.isEmpty) None else Some(byteMaxB(maxBs)),
         rgs.map(_.getLong(2)).sum)
     }
     if (files.size <= driverReadThreshold) {

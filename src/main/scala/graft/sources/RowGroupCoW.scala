@@ -70,14 +70,26 @@ object RowGroupCoW {
               s"key column $keyCol not found in $srcFile"))
           val st = cm.getStatistics
           require(st != null && st.hasNonNullValue, s"no key stats in $srcFile")
+          // key column string-ness decided by the parquet annotation: a
+          // BINARY chunk without the String annotation is a RAW binary key
+          // whose stats must never round-trip through UTF-8 (lossy)
+          val keyIsString = cm.getPrimitiveType.getLogicalTypeAnnotation
+            .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
           def enc(v: Any): (Any, Array[Byte]) = v match {
+            case _: java.lang.Double | _: java.lang.Float =>
+              throw new IllegalArgumentException(
+                "fractional merge keys are not supported (no exact " +
+                  "order-preserving long form)")
             case n: java.lang.Number =>
               (java.lang.Long.valueOf(n.longValue), KeyBytes.fromLong(n.longValue))
-            case bin: org.apache.parquet.io.api.Binary =>
+            case bin: org.apache.parquet.io.api.Binary if keyIsString =>
               val s = bin.toStringUsingUTF8
               (s, KeyBytes.fromString(s))
+            case bin: org.apache.parquet.io.api.Binary =>
+              val b = bin.getBytes
+              (b, KeyBytes.fromBinary(b))
             case other => throw new IllegalArgumentException(
-              s"numeric or string key required, got ${other.getClass}")
+              s"integral, string, or binary key required, got ${other.getClass}")
           }
           (enc(st.genericGetMin), enc(st.genericGetMax)._2)
         }
@@ -140,19 +152,31 @@ object RowGroupCoW {
       case ((true, idxs), runNo) =>
         val lower = if (idxs.head == 0) None else Some(mins(idxs.head)._1)
         val upper = if (idxs.last == blocks.size - 1) None else Some(mins(idxs.last + 1)._1)
-        def slice(df: DataFrame) = (lower, upper) match {
-          case (Some(lo), Some(up)) => df.where(col(keyCol) >= lo && col(keyCol) < up)
-          case (Some(lo), None)     => df.where(col(keyCol) >= lo)
-          case (None, Some(up))     => df.where(col(keyCol) < up)
-          case (None, None)         => df
+        // bounds live in the NORMALIZED key domain (epoch days/micros for
+        // date/timestamp stats), so compare the normalized column; for
+        // plain long/string keys this is the identity and the range
+        // filter still reaches the parquet scan for row-group skipping
+        def slice(df: DataFrame) = {
+          val nk = MutableParquetTable.normalizedKeyCol(
+            df.schema(keyCol).dataType, col(keyCol))
+          (lower, upper) match {
+            case (Some(lo), Some(up)) => df.where(nk >= lit(lo) && nk < lit(up))
+            case (Some(lo), None)     => df.where(nk >= lit(lo))
+            case (None, Some(up))     => df.where(nk < lit(up))
+            case (None, None)         => df
+          }
         }
         // the key-range filter reaches the parquet scan, so clean groups
         // of srcFile are skipped via their footer stats, not decoded
         val base = slice(spark.read.parquet(srcFile))
         val merged = MergeOps.applyMutations(base, slice(batch), keyCol, opCol)
         val dir = s"$tmp/run-$runNo"
-        alignNullability(merged).repartition(1).sortWithinPartitions(col(keyCol))
-          .write.parquet(dir)
+        ParquetTable.withMicrosTimestamps(spark) {
+          // micros, matching the (engine-written) source file: the splice
+          // below raw-copies these bytes under the SOURCE schema
+          alignNullability(merged).repartition(1).sortWithinPartitions(col(keyCol))
+            .write.parquet(dir)
+        }
         val part = Files.list(Paths.get(dir)).iterator().asScala
           .map(_.toString).filter(_.endsWith(".parquet")).toSeq
         require(part.size == 1, s"expected one merged file for run $runNo")
