@@ -844,26 +844,35 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("p_partkey"))
   }
 
-  /** Time-series gap fill: per-user hourly grid (sequence + explode),
-    * left join of observed hourly aggregates, carry-forward of the last
-    * observed value over the gaps — the composition a feature-backfill
-    * pipeline runs. */
+  /** Time-series gap fill with carry-forward — the composition a
+    * feature-backfill pipeline runs. JOIN-FREE formulation: each observed
+    * hour explodes its own gap span [hr, next_hr), so the carried value
+    * rides the generating row instead of a window over the full grid.
+    * One shuffle (the hourly aggregate) and one window pass over the
+    * OBSERVED hours only; the previous grid⋈hourly form both joined and
+    * recomputed the events aggregate twice (column pruning forks the
+    * shared subtree into differently-pruned, non-reusable plans). */
   def q63_gapfill(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
       .agg(dsum(col("value")).as("v"), count(lit(1)).as("n"))
-    // bounds from the (tiny) hourly aggregate, not a second scan of the
-    // raw events: date_trunc is monotone, so min/max commute with it
-    val bounds = hourly.groupBy(col("user_id"))
-      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
-    val grid = bounds.select(col("user_id"),
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hr"), "left")
-      .select(col("user_id"), date_format(col("hr"), fmtS).as("hour_start"),
-        coalesce(col("n"), lit(0L)).as("n_events"),
-        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    hourly
+      .select(col("user_id"), col("hr"), col("n"),
+        lead(col("hr"), 1).over(w).as("next_hr"),
+        // carry computed over observed hours (ignoreNulls), so an
+        // all-null-valued hour propagates its predecessor — identical to
+        // the grid-window semantics
+        last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("carry"))
+      .select(col("user_id"), col("hr"), col("n"), col("carry"),
+        explode(sequence(col("hr"),
+          coalesce(col("next_hr") - expr("INTERVAL 1 HOUR"), col("hr")),
+          expr("INTERVAL 1 HOUR"))).as("ghr"))
+      .select(col("user_id"), date_format(col("ghr"), fmtS).as("hour_start"),
+        when(col("ghr") === col("hr"), col("n")).otherwise(lit(0L)).as("n_events"),
+        col("carry").as("v_filled"))
       .orderBy(col("user_id"), col("hour_start"))
   }
 

@@ -29,23 +29,29 @@ object TextFunctions {
 
   /** Word k-shingles as space-joined strings (MinHash input).
     * Documents shorter than k words yield a single shingle of the whole
-    * text so they can still participate in dedup. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    when(n <= k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), n - lit(k) + lit(1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
+    * text so they can still participate in dedup.
+    *
+    * The single-element `transform` BINDS the token array to a lambda
+    * variable: HOF lambdas are interpreted, so a bare reference to
+    * `tokens(text)` inside the per-window loop would RE-TOKENIZE the whole
+    * document for every window — O(words²) per doc, measured 20×+ on the
+    * sf0.1 near-dup battery. A bound variable is an O(1) read. */
+  def shingles(text: Column, k: Int): Column =
+    element_at(transform(array(tokens(text)), toks =>
+      when(size(toks) <= k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(k) + lit(1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))), 1)
 
-  /** Character n-grams of the lowercased text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    val len = length(t)
-    when(len <= n, array(t))
-      .otherwise(transform(sequence(lit(1), len - lit(n) + lit(1)),
-        i => t.substr(i, lit(n))))
-  }
+  /** Character n-grams of the lowercased text. Split once into per-char
+    * strings and slice — both the naive `substr(i, n)` walk (O(i) per
+    * call on UTF8 bytes) and an unbound array reference in the lambda
+    * (re-split per window) would be quadratic; see [[shingles]]. */
+  def charNgrams(text: Column, n: Int): Column =
+    element_at(transform(array(array_remove(split(lower(text), ""), "")),
+      chars =>
+        when(size(chars) <= n, array(concat_ws("", chars)))
+          .otherwise(transform(sequence(lit(1), size(chars) - lit(n) + lit(1)),
+            i => concat_ws("", slice(chars, i, lit(n)))))), 1)
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -121,14 +127,15 @@ object TextFunctions {
   def normalizedFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
 
-  /** Code points of a string as array<bigint> (1-based substr walk; both
-    * Spark `ascii`/`substr` and external engines' `unicode`/`substr` count
-    * code points, so the sequence is engine-portable). */
+  /** Code points of a string as array<bigint>, O(n): split into per-char
+    * strings, then `ascii` (which returns the leading code point) of each.
+    * The obvious substr(i, 1) walk is O(n²) — UTF8String counts characters
+    * from the start on every call — and cost 25× on the fingerprint bench.
+    * Engine-portable vs `unicode`/`substr` oracles for BMP text; outside
+    * the BMP a regex split sees surrogate halves (not a case the corpus
+    * fixtures or the oracle's own substr walk exercise identically). */
   private def codePoints(t: Column): Column =
-    // sequence(1, 0) would DESCEND, so the empty string needs its own arm
-    when(length(t) === 0, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), length(t)),
-        i => ascii(t.substr(i, lit(1))).cast("long")))
+    transform(array_remove(split(t, ""), ""), c => ascii(c).cast("long"))
 
   /** One polynomial-hash step: h' = (h*131 + codepoint) mod 1e9+7. The
     * 30-bit modulus keeps every intermediate < 2^38, so the fold is exact
@@ -150,14 +157,19 @@ object TextFunctions {
     * window-min half; full winnowing keeps one min per overlapping band).
     * Texts shorter than `k` fall back to the whole-text hash. O(n·k)
     * codegen'd work per row, no UDF. */
-  def winnowFingerprint(text: Column, k: Int = 8): Column = {
-    val t = concat_ws(" ", tokens(lower(text)))
-    val n = length(t)
-    when(n < k, aggregate(codePoints(t), lit(0L), polyStep))
-      .otherwise(array_min(transform(sequence(lit(1), n - lit(k) + 1),
-        i => aggregate(transform(sequence(i, i + lit(k) - 1),
-          j => ascii(t.substr(j, lit(1))).cast("long")), lit(0L), polyStep))))
-  }
+  def winnowFingerprint(text: Column, k: Int = 8): Column =
+    // the single-element transform BINDS the code-point array to a lambda
+    // variable: HOF lambdas are interpreted, so a bare reference to the
+    // array expression inside the per-window loop would RE-DERIVE it for
+    // every window (O(n²)); the bound variable is an O(1) read
+    element_at(transform(
+      array(codePoints(concat_ws(" ", tokens(lower(text))))),
+      cps =>
+        when(size(cps) < k, aggregate(cps, lit(0L), polyStep))
+          .otherwise(array_min(transform(
+            sequence(lit(1), size(cps) - lit(k) + 1),
+            i => aggregate(slice(cps, i, lit(k)), lit(0L), polyStep))))),
+      1)
 
   /** PII scrub patterns, kept to syntax with identical semantics in Java
     * regex and RE2 (no backrefs, no lookaround) so an external engine can

@@ -169,14 +169,17 @@ object CorpusPrep {
                  window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = TextFunctions.tokens(col(textCol))
-    val n = size(toks)
+    // tokenize ONCE into a bound column: an unbound `tokens(...)` inside
+    // the per-chunk lambda would re-tokenize the document for every chunk
+    // (HOF lambdas are interpreted — no common-subexpression reuse)
+    val n = size(col("__toks"))
     val nChunks = when(n <= window, lit(1L))
       .otherwise(ceil((n - lit(window)).cast("double") / stride) + lit(1))
     docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0L), nChunks - lit(1)),
-        i => concat_ws(" ", slice(toks, (i * stride + lit(1)).cast("int"),
+        i => concat_ws(" ", slice(col("__toks"), (i * stride + lit(1)).cast("int"),
           lit(window))))))
       .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
         TextFunctions.tokenCount(col("col")).as("n_chunk_tokens"),

@@ -109,22 +109,28 @@ object Dedup {
   }
 
   /** EXACT all-pairs Jaccard similarity join over a set-valued column via
-    * prefix filtering (AllPairs/PPJoin family — Bayardo et al. WWW'07,
-    * Chaudhuri et al. ICDE'06). Unlike LSH this is COMPLETE: every pair
+    * an inverted-index count join. Unlike LSH this is COMPLETE: every pair
     * with J >= threshold is emitted, which is what makes the result
     * oracle-checkable (an external engine can recompute it exactly).
     *
-    * How it scales: order every set by ascending global element frequency
-    * (rare elements first; ties by element value, so the order is total
-    * and engine-independent). If J(A,B) >= t then |A∩B| >= t·|A| and
-    * >= t·|B|, so the smallest shared element (in the global order) sits
-    * within the first |s| - ceil(t·|s|) + 1 elements of BOTH sets — index
-    * only those prefixes. The candidate join therefore touches the RARE
-    * elements; the hot ones (stopword shingles and the like that would
-    * make a naive inverted-index join quadratic) land at the end of every
-    * set and are never indexed. Verification joins candidates back to the
-    * full arrays and recomputes exact Jaccard — one shuffle keyed on
-    * prefix elements plus two id-keyed joins, no all-pairs product.
+    * Shape: explode to (id, element) postings, self-join on the element
+    * (ONE shuffle — both sides reuse the same exchange), count shared
+    * elements per pair (partial aggregation collapses the pair rows
+    * map-side), then J = i / (|a| + |b| - i) with sizes attached by
+    * broadcast. Join volume is Σ_e c_e² over posting sizes — proportional
+    * to the TRUE near-dup pair mass plus the stopword-shingle tail. This
+    * exact join is the ground-truth/verification harness (q41/q42/q66
+    * oracle forms, DedupSpec); at web scale the subquadratic path is
+    * [[minHashPairs]]/[[simHashPairs]] — an exact-completeness contract
+    * cannot drop hot postings, because two huge posting lists may still
+    * belong to genuinely similar pairs.
+    *
+    * (A prefix-filter variant — AllPairs/PPJoin, Bayardo et al. WWW'07 —
+    * indexes only each set's rarest |s|-ceil(t·|s|)+1 elements; measured
+    * on the 5k-doc fixture it lost: the freq join + per-set sort + 300k
+    * candidates × two array-verify joins cost 3× the straight count join.
+    * Worth revisiting only when the posting tail, not the pair mass,
+    * dominates.)
     *
     * `sets` must have columns (`id`, `elems: array<string>`); elements are
     * de-duplicated here. Output: (id_a, id_b, jaccard) with id_a < id_b,
@@ -133,29 +139,22 @@ object Dedup {
   def jaccardJoinExact(sets: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
     val base = sets.select(col("id"), array_distinct(col("elems")).as("elems"))
+    val sizes = base.select(col("id"), size(col("elems")).as("sz"))
+    // shared exchange: repartition on the join key BEFORE the per-side
+    // renames so the shingle pipeline runs once
     val exploded = base.select(col("id"), explode(col("elems")).as("e"))
-    val freq = exploded.groupBy(col("e")).agg(count(lit(1)).as("f"))
-    // per-set global-frequency order, then keep the prefix
-    val prefixes = exploded.join(freq, "e")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("f"), col("e")))).as("se"))
-      .select(col("id"),
-        slice(transform(col("se"), s => s.getField("e")), lit(1),
-          (size(col("se")) - ceil(lit(threshold) * size(col("se"))) + 1)
-            .cast("int")).as("prefix"))
-    val pe = prefixes.select(col("id"), explode(col("prefix")).as("e"))
       .repartition(col("e"))
-    val cand = pe.select(col("e"), col("id").as("id_a"))
-      .join(pe.select(col("e"), col("id").as("id_b")), Seq("e"))
+    val inter = exploded.select(col("e"), col("id").as("id_a"))
+      .join(exploded.select(col("e"), col("id").as("id_b")), Seq("e"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // verify: exact Jaccard on the full element sets
-    cand
-      .join(base.select(col("id").as("id_a"), col("elems").as("ea")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("elems").as("eb")), "id_b")
-      .withColumn("i", size(array_intersect(col("ea"), col("eb"))))
-      .withColumn("u", size(array_union(col("ea"), col("eb"))))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sa"))),
+        "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sb"))),
+        "id_b")
+      .withColumn("u", col("sa") + col("sb") - col("i"))
       .where(col("u") > 0 && col("i").cast("double") / col("u") >= threshold)
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") / col("u")).as("jaccard"))
