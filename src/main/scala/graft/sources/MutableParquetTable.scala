@@ -221,14 +221,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         }.toSet)
       .map(i => fileName(ranges(i).file))
     phase("route")
-    val allFiles = {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(Paths.get(dir))
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toList.sorted
-      finally s.close()
-    }
+    val allFiles = MutableParquetTable.tableFiles(dir)
     val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
 
     // metadata-only passthrough of clean files (S6 analog)
@@ -385,14 +378,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
     val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
-    val allFiles = {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(Paths.get(dir))
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toList.sorted
-      finally s.close()
-    }
+    val allFiles = MutableParquetTable.tableFiles(dir)
     val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
     clean.foreach { f =>
       val src = Paths.get(f)
@@ -648,6 +634,22 @@ object MutableParquetTable {
         .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
         .filterNot(rangedNames)
       (keyName, (inRange ++ unprunable).map(n => s"$snapshotDir/$n"))
+    }
+
+  /** The table's data files: a committed snapshot's MANIFEST inventory
+    * (the commit defines the contents — a stray uncommitted file next to
+    * the snapshot is invisible, same discipline as [[readCommitted]]),
+    * or the directory listing for bare parquet dirs. */
+  private[sources] def tableFiles(dir: String): List[String] =
+    manifestFileNames(dir) match {
+      case Some(names) => names.map(n => s"$dir/$n").toList.sorted
+      case None =>
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toList.sorted
+        finally s.close()
     }
 
   /** The manifest's typed zone map, when `dir` is a committed snapshot

@@ -520,6 +520,66 @@ class CowMergeSpec extends SparkSpec {
     runCase("binary", bins, col("k") <= lit(bkey(4)), col("k") === lit(bkey(150)))
   }
 
+  test("chained merge on a committed snapshot ignores stray uncommitted files") {
+    // the manifest IS the snapshot: a crashed writer's leftover parquet
+    // file sitting next to a committed snapshot must not leak into the
+    // next merge's inventory (same discipline as readCommitted)
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val df = (0L until 200L).map(k => (k, k * 10)).toDF("k", "v")
+    ParquetTable.writeSorted(df, dir, "k", 4)
+    val t0 = MutableParquetTable(spark, dir, "k")
+    val b1 = Seq((5L, -5L, "upsert")).toDF("k", "v", "op")
+    val v1 = t0.merge(b1).snapshotDir
+    // stray file with overlapping keys, never committed
+    (0L until 50L).map(k => (k, -999L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$v1/_straytmp")
+    val stray = listParquet(s"$v1/_straytmp").head
+    Files.move(stray, Paths.get(v1, "zz-stray.parquet"))
+    val t1 = MutableParquetTable(spark, v1, "k")
+    val b2 = Seq((6L, -6L, "upsert")).toDF("k", "v", "op")
+    val res = t1.merge(b2)
+    assert(!(res.rewrittenFiles ++ res.passthroughFiles)
+      .exists(_.contains("zz-stray")), "stray file leaked into the merge")
+    assert(!MutableParquetTable.manifestFileNames(res.snapshotDir).get
+      .exists(_.contains("zz-stray")), "stray file leaked into the manifest")
+    val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+    val expect = MergeOps.applyMutations(
+      MergeOps.applyMutations(df, b1, "k"), b2, "k")
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("manifest zone map round-trips the typed bounds (long/string/binary)") {
+    val s = spark; import s.implicits._
+    def roundTrip(df: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = freshDir()
+      ParquetTable.writeSorted(df, dir, "k", 3)
+      val t = MutableParquetTable(spark, dir, "k")
+      t.commitManifest(dir)
+      val fromFooters = ParquetStats.fileKeyRangesTyped(spark, dir, "k")
+        .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+      val fromManifest = MutableParquetTable.manifestRanges(dir, "k").get
+        .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+      assert(fromManifest.size === fromFooters.size)
+      fromManifest.zip(fromFooters).foreach { case (m, f) =>
+        assert(graft.sources.KeyBytes.compare(m.minBytes, f.minBytes) === 0)
+        assert(graft.sources.KeyBytes.compare(m.maxBytes, f.maxBytes) === 0)
+        assert(m.rowCount === f.rowCount)
+      }
+      // a key absent from the manifest is never routed to the wrong file:
+      // the manifest prune and the footer ranges agree on a point lookup
+      val probe = fromFooters(1).min
+      val (_, files) = MutableParquetTable.pruneManifestFiles(
+        dir, Some(probe), Some(probe)).get
+      assert(files.size === 1)
+    }
+    roundTrip((0L until 150L).map(k => (k, k)).toDF("k", "v"))
+    roundTrip((0 until 150).map(i => (f"id-$i%04d", i.toLong)).toDF("k", "v"))
+    roundTrip((0 until 150).map(i =>
+      (Array((0x80 | i).toByte, (i * 7).toByte), i.toLong)).toDF("k", "v"))
+  }
+
   test("fractional merge keys are rejected, never truncated") {
     val s = spark; import s.implicits._
     val dir = freshDir()
