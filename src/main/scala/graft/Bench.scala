@@ -193,9 +193,10 @@ object Bench {
         spark.read.parquet(s"$workDir/batch-$name")
       }
 
-      // best of 3 per point: single local runs are noisy at seconds scale
+      // best of 5 per point: the merge ratios are the headline numbers
+      // and single local runs are noisy at seconds scale
       def best3(tag: String)(f: Int => Unit): Double =
-        (1 to 3).map(i => time(f(i))).min
+        (1 to 5).map(i => time(f(i))).min
       val empty = spark.read.parquet(baseDir).withColumn("op", lit("upsert")).limit(0)
       results("merge_noop") =
         best3("noop")(i => t.merge(empty, snapshotDir = Some(s"$workDir/v-noop-$i")))

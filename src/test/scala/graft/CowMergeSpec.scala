@@ -520,6 +520,51 @@ class CowMergeSpec extends SparkSpec {
     runCase("binary", bins, col("k") <= lit(bkey(4)), col("k") === lit(bkey(150)))
   }
 
+  test("property: random scattered merges match applyMutations exactly (multi-run slicing)") {
+    // the deterministic probe-hash write partitioning replaced range
+    // sampling — drive it through random dirty patterns (forcing
+    // multi-run slicing with interior clean files) against the
+    // applyMutations oracle, and re-check the disjoint-range invariant
+    // after every chained step
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 4).foreach { trial =>
+      val dir = freshDir()
+      val n = 400L
+      var state = (0L until n).map(k => (k, k * 3)).toDF("k", "v")
+      ParquetTable.writeSorted(state, dir, "k", 8)
+      var cur = dir
+      (0 until 3).foreach { step =>
+        // scattered touch: a few random point keys + one random range,
+        // some deletes — lands in non-adjacent files
+        val points = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextLong(n))
+        val lo = rnd.nextLong(n - 40)
+        val ups = points.map(k => (k, -k, "upsert")) ++
+          (lo until lo + 20L).map(k => (k, k + 7000, "upsert"))
+        val dels = Seq.fill(rnd.nextInt(4))(rnd.nextLong(n)).map(k => (k, 0L, "delete"))
+        val batch = (ups ++ dels).toDF("k", "v", "op")
+          // last-wins on duplicate keys inside one batch, as applyMutations does
+        val t = MutableParquetTable(spark, cur, "k")
+        val res = t.merge(batch)
+        val expect = MergeOps.applyMutations(state, batch, "k")
+        val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+        assert(got.count() === expect.count(), s"trial $trial step $step")
+        assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+          s"trial $trial step $step")
+        val ranges = ParquetStats.fileKeyRangesTyped(spark, res.snapshotDir, "k")
+          .sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+        ranges.sliding(2).foreach {
+          case Seq(a, b) => assert(graft.sources.KeyBytes.compare(
+            a.maxBytes, b.minBytes) < 0,
+            s"trial $trial step $step range overlap: $a vs $b")
+          case _ =>
+        }
+        state = expect.localCheckpoint()
+        cur = res.snapshotDir
+      }
+    }
+  }
+
   test("chained merge on a committed snapshot ignores stray uncommitted files") {
     // the manifest IS the snapshot: a crashed writer's leftover parquet
     // file sitting next to a committed snapshot must not leak into the
