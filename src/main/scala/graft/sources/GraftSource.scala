@@ -8,11 +8,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.streaming.CdcMergeSink
@@ -147,7 +150,8 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String)
   * Spark's own `ParquetScan` over the manifest-pruned file list. */
 final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema
   private var filters: Array[Filter] = Array.empty
@@ -164,20 +168,82 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
 
   override def pruneColumns(s: StructType): Unit = required = s
 
-  override def build(): Scan = {
-    val files = table.keyName.flatMap { k =>
-      val (lo, hi) = GraftScanBuilder.keyBounds(k, filters)
-      if (lo.isEmpty && hi.isEmpty) None
-      else MutableParquetTable.pruneManifestFiles(table.snapshotDir, lo, hi).map(_._2)
-    }.getOrElse(table.allFiles)
-    GraftSource.recordScan(files)
-    val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
-      Map.empty[String, String], Some(table.schema),
-      FileStatusCache.getOrCreate(spark), None, None)
-    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
-      dataSchema = table.schema, readDataSchema = required,
-      readPartitionSchema = new StructType(), pushedFilters = filters,
-      options = CaseInsensitiveStringMap.empty())
+  private var pushedCountRows: Option[Long] = None
+
+  /** Unfiltered, ungrouped `COUNT(*)` is answered from the manifest's row
+    * inventory — one driver-side JSON read, ZERO data IO (the metadata
+    * count a table format owes its users). Declined whenever a filter is
+    * pushed, a group-by exists, any aggregate is not COUNT(*), or the
+    * manifest's count is partial (stat-less files) — then the ordinary
+    * scan runs and Spark aggregates it. */
+  private def countStarAnswer(agg: Aggregation): Option[Long] =
+    if (filters.isEmpty && agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      MutableParquetTable.manifestExactRowCount(table.snapshotDir)
+    else None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarAnswer(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    countStarAnswer(agg) match {
+      case Some(n) =>
+        pushedCountRows = Some(n)
+        required = StructType(agg.aggregateExpressions.zipWithIndex.map {
+          case (_, i) => StructField(s"count_$i", LongType, nullable = false)
+        })
+        true
+      case None => false
+    }
+
+  override def build(): Scan = pushedCountRows match {
+    case Some(n) =>
+      GraftSource.recordScan(Nil) // metadata-only: no file is planned
+      new GraftCountScan(n, required)
+    case None =>
+      val files = table.keyName.flatMap { k =>
+        val (lo, hi) = GraftScanBuilder.keyBounds(k, filters)
+        if (lo.isEmpty && hi.isEmpty) None
+        else MutableParquetTable.pruneManifestFiles(table.snapshotDir, lo, hi).map(_._2)
+      }.getOrElse(table.allFiles)
+      GraftSource.recordScan(files)
+      val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
+        Map.empty[String, String], Some(table.schema),
+        FileStatusCache.getOrCreate(spark), None, None)
+      ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+        dataSchema = table.schema, readDataSchema = required,
+        readPartitionSchema = new StructType(), pushedFilters = filters,
+        options = CaseInsensitiveStringMap.empty())
+  }
+}
+
+/** Completely-pushed COUNT(*): one partition emitting one row whose every
+  * column is the manifest row count. */
+final class GraftCountScan(rows: Long, schema: StructType)
+    extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftCountScan(rows=$rows)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(rows, schema.size))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCountReaderFactory
+}
+
+final case class GraftCountPartition(rows: Long, nCols: Int)
+    extends InputPartition
+
+final class GraftCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftCountPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array.fill[Any](gp.nCols)(gp.rows))
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -652,6 +652,22 @@ object MutableParquetTable {
         finally s.close()
     }
 
+  /** Exact table row count from the manifest alone — Some only when every
+    * listed file carries a ranged entry (a stat-less file's rows are not
+    * in the manifest, so its presence makes the metadata count partial).
+    * Lets `COUNT(*)` answer from one JSON read with zero data IO. */
+  def manifestExactRowCount(dir: String): Option[Long] =
+    for {
+      names <- manifestFileNames(dir)
+      ranges <- manifestRangesAnyKey(dir) if ranges.size == names.size
+    } yield ranges.map(_.rowCount).sum
+
+  private def manifestRangesAnyKey(dir: String) =
+    readManifest(dir).flatMap { m =>
+      "\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+        .flatMap(k => manifestRanges(dir, unjs(k.group(1))))
+    }
+
   /** The manifest's typed zone map, when `dir` is a committed snapshot
     * whose manifest key matches `key`: one [[ParquetStats.FileKeyRange]]
     * per ranged entry, decoded to the same typed values the footer path

@@ -50,8 +50,9 @@ class GraftSourceSpec extends SparkSpec {
 
   test("key-range filter prunes manifest files before any data IO") {
     val df = spark.read.format("graft").load(root)
-    // full scan first: every manifest file read
-    df.agg(count(lit(1))).collect()
+    // full scan first: every manifest file read (a bare count would now
+    // answer from the manifest and plan zero files)
+    df.select("id").collect()
     val full = GraftSource.lastScanFiles.size
     assert(full >= 8, s"expected >=8 snapshot files, saw $full")
 
@@ -123,6 +124,28 @@ class GraftSourceSpec extends SparkSpec {
     val fromManifest = MutableParquetTable.manifestSchema(snapshot)
     assert(fromManifest.isDefined, "committed manifest should embed the schema")
     assert(fromManifest.get === spark.read.format("graft").load(root).schema)
+  }
+
+  test("unfiltered COUNT(*) answers from the manifest with zero data IO") {
+    val df = spark.read.format("graft").load(root)
+    val expected = df.collect().length  // full read; plans a nonempty file list
+    assert(GraftSource.lastScanFiles.nonEmpty)
+    val counted = df.count()
+    assert(counted === expected.toLong)
+    // the count plan planned NO files — metadata only
+    assert(GraftSource.lastScanFiles.isEmpty,
+      s"count(*) scanned ${GraftSource.lastScanFiles.size} files")
+    // plan shows the complete pushdown, not a parquet scan
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCountScan"), plan.take(2000))
+    // filtered counts fall back to the data path, still correct
+    val filtered = df.where(col("grp") === 99).count()
+    assert(GraftSource.lastScanFiles.nonEmpty)
+    assert(filtered === df.collect().count(_.getLong(2) == 99).toLong)
+    // and COUNT on a time-traveled snapshot answers from ITS manifest
+    val v0 = spark.read.format("graft").option("version", 0).load(root)
+    assert(v0.count() === 4000L)
+    assert(GraftSource.lastScanFiles.isEmpty)
   }
 
   test("version option on a non-root path fails fast") {
