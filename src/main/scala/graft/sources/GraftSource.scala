@@ -10,12 +10,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.streaming.CdcMergeSink
@@ -168,39 +168,81 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
 
   override def pruneColumns(s: StructType): Unit = required = s
 
-  private var pushedCountRows: Option[Long] = None
+  private var pushedAgg: Option[(Seq[Any], StructType)] = None
 
-  /** Unfiltered, ungrouped `COUNT(*)` is answered from the manifest's row
-    * inventory — one driver-side JSON read, ZERO data IO (the metadata
-    * count a table format owes its users). Declined whenever a filter is
-    * pushed, a group-by exists, any aggregate is not COUNT(*), or the
-    * manifest's count is partial (stat-less files) — then the ordinary
-    * scan runs and Spark aggregates it. */
-  private def countStarAnswer(agg: Aggregation): Option[Long] =
-    if (filters.isEmpty && agg.groupByExpressions.isEmpty &&
-        agg.aggregateExpressions.nonEmpty &&
-        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
-      MutableParquetTable.manifestExactRowCount(table.snapshotDir)
-    else None
+  /** Metadata answers for an unfiltered, ungrouped aggregation — the
+    * queries a table format owes its users for free:
+    *  - `COUNT(*)`: the manifest's row inventory (requires every listed
+    *    file to carry a ranged entry, else the count is partial);
+    *  - `MIN(key)` / `MAX(key)`: the manifest zone map's global bounds.
+    *    The manifest stores keys NORMALIZED (epoch days / epoch micros /
+    *    raw strings / raw bytes) — exactly Spark's internal forms, so the
+    *    values convert by width alone. Stat-less files cannot tighten a
+    *    min/max (their keys are all null, which MIN/MAX ignore), so the
+    *    bounds stay exact even when the row count would not.
+    * Any filter, group-by, other aggregate, non-key column, or missing
+    * metadata declines the pushdown and the ordinary scan runs. */
+  private def metadataAnswer(agg: Aggregation): Option[(Seq[Any], StructType)] = {
+    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    lazy val count = MutableParquetTable.manifestExactRowCount(table.snapshotDir)
+    lazy val ranges = table.keyName.flatMap(k =>
+      MutableParquetTable.manifestRanges(table.snapshotDir, k).filter(_.nonEmpty))
+    def keyField: Option[StructField] =
+      table.keyName.map(k => table.schema(k))
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+          f.fieldNames.length == 1 && table.keyName.contains(f.fieldNames.head)
+        case _ => false
+      }
+    // manifest bound → Spark INTERNAL value of the key's Catalyst type
+    def internal(v: Any): Any = (v, keyField.map(_.dataType).orNull) match {
+      case (l: java.lang.Long, LongType)      => l
+      case (l: java.lang.Long, IntegerType)   => java.lang.Integer.valueOf(l.toInt)
+      case (l: java.lang.Long, ShortType)     => java.lang.Short.valueOf(l.toShort)
+      case (l: java.lang.Long, ByteType)      => java.lang.Byte.valueOf(l.toByte)
+      case (l: java.lang.Long, DateType)      => java.lang.Integer.valueOf(l.toInt)
+      case (l: java.lang.Long, TimestampType) => l
+      case (l: java.lang.Long, TimestampNTZType) => l
+      case (s: String, StringType) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case (b: Array[Byte], BinaryType) => b
+      case _ => return null // unexpected pairing — caller declines
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        count.map(n => (n: Any, StructField("count", LongType, nullable = false)))
+      case m: Min if keyRef(m.column) =>
+        ranges.map(rs => (internal(rs.minBy(_.minBytes)(KeyBytes.ordering).min),
+          keyField.get.copy(name = "min")))
+      case m: Max if keyRef(m.column) =>
+        ranges.map(rs => (internal(rs.maxBy(_.maxBytes)(KeyBytes.ordering).max),
+          keyField.get.copy(name = "max")))
+      case _ => None
+    }
+    if (resolved.exists(r => r.isEmpty || r.get._1 == null)) None
+    else Some((resolved.map(_.get._1),
+      StructType(resolved.zipWithIndex.map { case (r, i) =>
+        r.get._2.copy(name = s"${r.get._2.name}_$i") })))
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countStarAnswer(agg).isDefined
+    metadataAnswer(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    countStarAnswer(agg) match {
-      case Some(n) =>
-        pushedCountRows = Some(n)
-        required = StructType(agg.aggregateExpressions.zipWithIndex.map {
-          case (_, i) => StructField(s"count_$i", LongType, nullable = false)
-        })
+    metadataAnswer(agg) match {
+      case Some((values, schema)) =>
+        pushedAgg = Some((values, schema))
+        required = schema
         true
       case None => false
     }
 
-  override def build(): Scan = pushedCountRows match {
-    case Some(n) =>
+  override def build(): Scan = pushedAgg match {
+    case Some((values, schema)) =>
       GraftSource.recordScan(Nil) // metadata-only: no file is planned
-      new GraftCountScan(n, required)
+      new GraftMetadataScan(values.toArray, schema)
     case None =>
       val files = table.keyName.flatMap { k =>
         val (lo, hi) = GraftScanBuilder.keyBounds(k, filters)
@@ -218,30 +260,30 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
   }
 }
 
-/** Completely-pushed COUNT(*): one partition emitting one row whose every
-  * column is the manifest row count. */
-final class GraftCountScan(rows: Long, schema: StructType)
+/** Completely-pushed metadata aggregation: one partition emitting one row
+  * of precomputed internal values (counts / zone-map bounds). */
+final class GraftMetadataScan(values: Array[Any], schema: StructType)
     extends Scan with Batch with Serializable {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftCountScan(rows=$rows)"
+  override def description(): String =
+    s"GraftMetadataScan(${values.mkString(", ")})"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(rows, schema.size))
+    Array(GraftMetadataPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCountReaderFactory
+    new GraftMetadataReaderFactory
 }
 
-final case class GraftCountPartition(rows: Long, nCols: Int)
+final case class GraftMetadataPartition(values: Array[Any])
     extends InputPartition
 
-final class GraftCountReaderFactory extends PartitionReaderFactory {
+final class GraftMetadataReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftCountPartition]
+    val gp = p.asInstanceOf[GraftMetadataPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow =
-        new GenericInternalRow(Array.fill[Any](gp.nCols)(gp.rows))
+      override def get(): InternalRow = new GenericInternalRow(gp.values)
       override def close(): Unit = ()
     }
   }

@@ -137,7 +137,7 @@ class GraftSourceSpec extends SparkSpec {
       s"count(*) scanned ${GraftSource.lastScanFiles.size} files")
     // plan shows the complete pushdown, not a parquet scan
     val plan = df.groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("GraftCountScan"), plan.take(2000))
+    assert(plan.contains("GraftMetadataScan"), plan.take(2000))
     // filtered counts fall back to the data path, still correct
     val filtered = df.where(col("grp") === 99).count()
     assert(GraftSource.lastScanFiles.nonEmpty)
@@ -146,6 +146,35 @@ class GraftSourceSpec extends SparkSpec {
     val v0 = spark.read.format("graft").option("version", 0).load(root)
     assert(v0.count() === 4000L)
     assert(GraftSource.lastScanFiles.isEmpty)
+  }
+
+  test("MIN/MAX of the key answer from the manifest zone map, typed") {
+    val df = spark.read.format("graft").load(root)
+    val r = df.agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+    assert(GraftSource.lastScanFiles.isEmpty, "metadata agg planned files")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (3992L, 0L, 3999L))
+    val plan = df.agg(min(col("id"))).queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMetadataScan"), plan.take(2000))
+    // min/max of a NON-key column must take the data path
+    df.agg(min(col("grp"))).collect()
+    assert(GraftSource.lastScanFiles.nonEmpty)
+
+    // date-keyed snapshot: bounds come back as real dates
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-datekey").toString
+    val dates = (0 until 90).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + i)), i.toLong))
+      .toDF("d", "v")
+    ParquetTable.writeSorted(dates, dir, "d", 3)
+    MutableParquetTable(spark, dir, "d").commitManifest(dir)
+    val dd = spark.read.format("graft").load(dir)
+    val dr = dd.agg(min(col("d")), max(col("d")), count(lit(1))).head()
+    assert(GraftSource.lastScanFiles.isEmpty)
+    assert(dr.getDate(0) === java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(19000L)))
+    assert(dr.getDate(1) === java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(19089L)))
+    assert(dr.getLong(2) === 90L)
   }
 
   test("version option on a non-root path fails fast") {
