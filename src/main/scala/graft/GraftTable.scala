@@ -126,6 +126,11 @@ object GraftTable {
       org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))))
     ParquetTable.writeSorted(nullable, s"$root/base", key, numFiles, layout)
+    // commit the base like every later version: the manifest gives it the
+    // stray-file discipline, metadata-only counts/bounds, zone-map reads
+    // without footer probes, and records the merge key for SQL writers
+    graft.sources.MutableParquetTable(spark, s"$root/base", key)
+      .commitManifest(s"$root/base")
     new GraftTable(spark, root, key)
   }
 }

@@ -59,9 +59,41 @@ import graft.streaming.CdcMergeSink
   * per file); at 100 TB a key-range query opens the handful of files the
   * range lives in instead of listing and footer-probing the whole table.
   */
-final class GraftSource extends TableProvider with DataSourceRegister {
+final class GraftSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode("append").save(root)` — commit the
+    * batch as the table's NEXT version (rows upsert by key through the
+    * CoW merge; clean files hard-link through). Path-based
+    * `DataFrameWriter.save` drives V1's CreatableRelationProvider, and
+    * its DataFrame handoff is exactly what the commit path wants — no
+    * row-level writer machinery. Append only: overwriting history is an
+    * explicit `GraftTable` operation, never an implicit save mode. */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    require(mode == org.apache.spark.sql.SaveMode.Append,
+      s"graft source writes are append (upsert) only, got $mode — " +
+        "rewrite history explicitly via GraftTable if needed")
+    val table = GraftSource.tableFor(parameters)
+    val root = table.rootPath.getOrElse(throw new IllegalArgumentException(
+      s"${table.snapshotDir} is a bare snapshot, not a versioned table " +
+        "root (no base/) — writes need the version chain"))
+    val key = table.keyName.getOrElse(throw new IllegalStateException(
+      s"${table.snapshotDir} has no manifest key to merge on"))
+    graft.GraftTable(data.sparkSession, root, key)
+      .commit(data.withColumn("op",
+        org.apache.spark.sql.functions.lit("upsert")))
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext =
+        data.sparkSession.sqlContext
+      override def schema: StructType = table.schema
+    }
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 
@@ -79,7 +111,10 @@ object GraftSource {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path (load(path) or OPTIONS (path '...'))"))
     val snapshot = resolveSnapshot(path, parameters.get("version"))
-    new GraftBatchTable(SparkSession.active, snapshot)
+    val isRoot = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "base"))
+    new GraftBatchTable(SparkSession.active, snapshot,
+      rootPath = if (isRoot) Some(path) else None)
   }
 
   /** Resolve `path` (+ optional version) to one snapshot directory.
@@ -109,8 +144,10 @@ object GraftSource {
     lastScan.set(files)
 }
 
-/** One committed snapshot as a V2 [[Table]]. */
-final class GraftBatchTable(spark: SparkSession, val snapshotDir: String)
+/** One committed snapshot as a V2 [[Table]] (reads; path-based writes go
+  * through the provider's [[CreatableRelationProvider]] bridge). */
+final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
+                            val rootPath: Option[String] = None)
     extends Table with SupportsRead {
 
   /** Manifest file list when committed; directory listing for a bare

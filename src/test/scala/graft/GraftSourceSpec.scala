@@ -177,6 +177,38 @@ class GraftSourceSpec extends SparkSpec {
     assert(dr.getLong(2) === 90L)
   }
 
+  test("mode(append) writes commit the batch as the next table version") {
+    // private root: this test mutates the version chain
+    val r = java.nio.file.Files.createTempDirectory("graft-w").toString
+    val base = (0L until 1000L).map(i => (i, s"n-$i", i % 7)).toDF("id", "name", "grp")
+    GraftTable.create(base, r, "id", numFiles = 4)
+    val before = GraftTable(spark, r, "id").versions.size
+
+    (Seq((5L, "updated-5", 99L)) ++ (1000L until 1010L).map(i => (i, s"new-$i", 1L)))
+      .toDF("id", "name", "grp")
+      .write.format("graft").mode("append").save(r)
+
+    val t = GraftTable(spark, r, "id")
+    assert(t.versions.size === before + 1, "append must commit ONE new version")
+    val got = spark.read.format("graft").load(r)
+    assert(got.count() === 1010L)
+    assert(got.where(col("id") === 5L).head().getString(1) === "updated-5")
+    assert(got.where(col("id") >= 1000L).count() === 10L)
+    // time travel still sees the pre-append state
+    val old = spark.read.format("graft").option("version", -1).load(r)
+    assert(old.count() === 1000L)
+    assert(old.where(col("id") === 5L).head().getString(1) === "n-5")
+
+    // overwrite mode and bare-snapshot writes fail fast
+    intercept[Exception] {
+      base.limit(1).write.format("graft").mode("overwrite").save(r)
+    }
+    intercept[Exception] {
+      base.limit(1).write.format("graft").mode("append")
+        .save(s"$r/base")
+    }
+  }
+
   test("version option on a non-root path fails fast") {
     val work = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
