@@ -53,6 +53,42 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def changeFeed(fromVersion: Long, toVersion: Long): DataFrame =
     CdcMergeSink.changeFeed(spark, root, fromVersion, toVersion, key)
 
+  /** [[commit]] + persist this commit's row-level change feed under
+    * `_changes/v{id}` (delta-priced: the feed write costs the rows the
+    * merge touched, never the table). Persisted feeds are what
+    * [[changeFeedStream]] consumes; tables mixing commit and
+    * commitWithFeed simply have gaps in the streamed history. */
+  def commitWithFeed(batch: DataFrame, opCol: String = "op",
+                     seqCol: Option[String] = None): Long = {
+    val prev = versions.lastOption.getOrElse(-1L)
+    val v = commit(batch, opCol, seqCol)
+    if (v != prev) // empty batches commit nothing — no feed dir either
+      changeFeed(prev, v)
+        .withColumn("_commit_version", lit(v))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$v")
+    v
+  }
+
+  /** Streaming change-feed consumer: Spark's own file stream source over
+    * the persisted per-version feed directories, so each
+    * [[commitWithFeed]] becomes a micro-batch with the file source's
+    * exactly-once processed-file tracking — no custom streaming source
+    * machinery to maintain. Schema: (key, change_type, before, after,
+    * _commit_version) with before/after as full-row structs. */
+  def changeFeedStream(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val t = read().schema
+    val valStruct = StructType(
+      t.filterNot(_.name == key).map(_.copy(nullable = true)))
+    val feedSchema = StructType(Seq(
+      t(key).copy(nullable = true),
+      StructField("change_type", StringType),
+      StructField("before", valStruct),
+      StructField("after", valStruct),
+      StructField("_commit_version", LongType)))
+    spark.readStream.schema(feedSchema).parquet(s"$root/_changes/v*")
+  }
+
   /** Manifest-pruned range scan of the latest committed state: only files
     * whose key range intersects [lo, hi] are opened — decided from the
     * manifest alone, zero footer IO for the rest. */

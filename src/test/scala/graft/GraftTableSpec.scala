@@ -83,6 +83,44 @@ class GraftTableSpec extends SparkSpec {
       || sub.inputFiles.length == 1)
   }
 
+  test("commitWithFeed + changeFeedStream: commits arrive as exactly-once micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cfs").toString
+    val t = GraftTable.create(
+      spark.range(0, 50).select(col("id"), (col("id") * 2).cast("double").as("v")),
+      root, "id", numFiles = 2)
+    val v0 = t.commitWithFeed(
+      Seq((3L, -3.0, "upsert"), (10L, 0.0, "delete")).toDF("id", "v", "op"))
+    assert(v0 === 0L)
+
+    val q = t.changeFeedStream().writeStream
+      .format("memory").queryName("graft_cfs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got0 = spark.table("graft_cfs")
+      val expect0 = t.changeFeed(-1L, 0L)
+      assert(got0.count() === expect0.count())
+      assert(got0.select(col("id"), col("change_type")).exceptAll(
+        expect0.select(col("id"), col("change_type"))).isEmpty)
+      assert(got0.select("_commit_version").distinct().head().getLong(0) === 0L)
+
+      // a LATER commit arrives as a new micro-batch; earlier feed files
+      // are not re-emitted (the file source's processed-file tracking)
+      t.commitWithFeed(Seq((100L, 1.0, "upsert")).toDF("id", "v", "op"))
+      q.processAllAvailable()
+      val got1 = spark.table("graft_cfs")
+      assert(got1.count() === expect0.count() + 1)
+      val ins = got1.where(col("_commit_version") === 1L)
+      assert(ins.count() === 1L)
+      assert(ins.head().getAs[Long]("id") === 100L)
+      assert(ins.head().getAs[String]("change_type") === "insert")
+
+      // plain commit (no feed) leaves a gap, not a failure
+      t.commit(Seq((101L, 2.0, "upsert")).toDF("id", "v", "op"))
+      q.processAllAvailable()
+      assert(spark.table("graft_cfs").count() === expect0.count() + 1)
+    } finally q.stop()
+  }
+
   test("streaming attach maintains the table AND the view per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
