@@ -1012,6 +1012,14 @@ object OracleSql {
       WHERE NOT (day(o_orderdate) <> 1 AND month(o_orderdate) = 2)
       ORDER BY order_date""",
 
+    "q91_schema_evolution" -> """
+      SELECT c_custkey, c_name,
+        round(CAST(CASE WHEN c_custkey % 100 = 0 AND c_custkey <= 1000
+          THEN c_acctbal + 1000 ELSE c_acctbal END AS DOUBLE), 2) AS bal,
+        CASE WHEN c_custkey % 100 = 0 AND c_custkey <= 1000
+          THEN CAST(c_custkey // 100 AS BIGINT) END AS vip_rank
+      FROM customer ORDER BY c_custkey""",
+
     "q41_minhash_pairs" ->
       (shingleJaccardPairs(0.6) + """
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard,

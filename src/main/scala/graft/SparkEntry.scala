@@ -993,6 +993,36 @@ object SparkEntry {
       .orderBy(col("order_date"))
   }
 
+  /** Schema evolution through the CoW merge: the batch carries a NEW
+    * column (`vip_rank`), which becomes a nullable table column — old
+    * passthrough files read it as null (parquet missing-column
+    * semantics), rewritten files carry it physically, and the manifest
+    * commits the evolved schema so the mixed-physical snapshot reads
+    * uniformly. */
+  def q91_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q91").toString
+    val base = s"$work/base"
+    graft.sources.ParquetTable.writeSorted(c, base, "c_custkey", 6)
+    // batch keys clustered in a fixed low range so the dirty files stay a
+    // strict subset at every fixture scale (scattered every-Nth keys
+    // would dirty the whole table once keys-per-file < N)
+    val batch = c
+      .where(col("c_custkey") % 100 === 0 && col("c_custkey") <= 1000L)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .withColumn("vip_rank", (col("c_custkey") / 100).cast("long"))
+      .withColumn("op", lit("upsert"))
+    val t = graft.sources.MutableParquetTable(s, base, "c_custkey")
+    val res = t.merge(batch, snapshotDir = Some(s"$work/v1"))
+    require(res.passthroughFiles.nonEmpty,
+      "evolution must not force a full rewrite")
+    graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"), col("vip_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** CSV ingest with explicit schema (no inference scan) → aggregation.
     * The CSV fixture is derived once per orders.parquet (content-keyed
     * cache); the oracle computes the same aggregate from the parquet
@@ -1503,6 +1533,7 @@ object SparkEntry {
     "q88_lm_perplexity" -> (q88_lm_perplexity _),
     "q89_stratified_sample" -> (q89_stratified_sample _),
     "q90_date_merge" -> (q90_date_merge _),
+    "q91_schema_evolution" -> (q91_schema_evolution _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -234,15 +234,35 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     }
     phase("link")
 
+    // schema evolution: batch columns beyond the table schema become new
+    // NULLABLE table columns — old files read them as null (parquet's
+    // missing-column semantics), rewritten files carry them physically,
+    // and the manifest commits the evolved schema so readers see one
+    // uniform shape over the mixed-physical snapshot. Batches must still
+    // cover every existing column (partial-row upserts would silently
+    // null the untouched fields).
+    val batchData = batch.drop(opCol)
+    val missingCols = tableSchema.fieldNames
+      .filterNot(batchData.schema.fieldNames.contains)
+    require(missingCols.isEmpty || ranges.isEmpty,
+      s"batch lacks table columns ${missingCols.mkString(", ")} — " +
+        "upserts replace whole rows, so every existing column is required")
+    val newFields = batchData.schema.fields
+      .filterNot(f => tableSchema.fieldNames.contains(f.name))
+    val mergedSchema =
+      if (ranges.isEmpty && clean.isEmpty) batchData.schema
+      else if (newFields.isEmpty) tableSchema
+      else StructType(tableSchema.fields ++ newFields.map(_.copy(nullable = true)))
+
     var inserted = 0
     if (dirty.nonEmpty || clean.isEmpty) {
       // distributed re-merge of just the dirty slice; explicit schema, so
       // no per-merge footer-inference job runs
       val base =
-        if (dirty.nonEmpty) spark.read.schema(tableSchema).parquet(dirty: _*)
+        if (dirty.nonEmpty) spark.read.schema(mergedSchema).parquet(dirty: _*)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          batch.drop(opCol).schema)
+          batchData.schema)
       // Output partitioning is DETERMINISTIC (known run boundaries →
       // bucket → probe-hash partition id), so the merge join streams
       // straight into the write exchange with no range-sampling pass.
@@ -345,7 +365,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         .filterNot(f => cleanNames.contains(fileName(f)))
       finally s.close()
     }
-    writeManifest(outDir, carried, newFiles, Some(tableSchema))
+    writeManifest(outDir, carried, newFiles, Some(mergedSchema))
     phase("manifest")
     MergeResult(outDir, dirty, clean, inserted, phases.toMap)
   }
@@ -370,6 +390,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     * rewrites straddling files together) for out-of-contract data. */
   def mergeFineGrained(batch: DataFrame, opCol: String = "op",
                        snapshotDir: Option[String] = None): MergeResult = {
+    val extraCols = batch.drop(opCol).schema.fieldNames
+      .filterNot(tableSchema.fieldNames.contains)
+    require(extraCols.isEmpty,
+      s"schema evolution (new columns ${extraCols.mkString(", ")}) needs " +
+        "the file-level merge — the row-group splice keeps each file's " +
+        "source schema byte-for-byte")
     val ranges = sortedRanges()
     // an empty (or stat-less) table has nothing to splice — the
     // file-level merge owns the insert-into-empty path; silently
@@ -557,7 +583,12 @@ object MutableParquetTable {
       throw new IllegalStateException(
         s"$snapshotDir has no $ManifestName — not a committed snapshot"))
     require(files.nonEmpty, s"$snapshotDir manifest lists no files")
-    spark.read.parquet(files.map(n => s"$snapshotDir/$n"): _*)
+    // the manifest schema, not footer inference: a schema-evolved snapshot
+    // mixes physical shapes (old passthrough files lack the new columns),
+    // and inference from one footer would read the wrong one
+    manifestSchema(snapshotDir).map(spark.read.schema)
+      .getOrElse(spark.read)
+      .parquet(files.map(n => s"$snapshotDir/$n"): _*)
   }
 
   /** The table schema a committed snapshot's manifest embeds (None for

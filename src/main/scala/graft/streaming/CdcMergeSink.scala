@@ -106,7 +106,14 @@ object CdcMergeSink {
     * Unchanged keys drop out via null-safe struct comparison. */
   def rowDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
     val valCols = after.columns.filterNot(_ == key).toSeq
-    val b = before.select(col(key), struct(valCols.map(col): _*).as("before"))
+    // schema evolution: columns the AFTER side gained read as null on the
+    // BEFORE side, so an old row rewritten only to carry the new (null)
+    // column compares equal and stays out of the feed
+    val beforeAligned = valCols.foldLeft(before) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(after.schema(c).dataType))
+    }
+    val b = beforeAligned.select(col(key), struct(valCols.map(col): _*).as("before"))
     val a = after.select(col(key), struct(valCols.map(col): _*).as("after"))
     b.join(a, Seq(key), "full_outer")
       .withColumn("change_type",

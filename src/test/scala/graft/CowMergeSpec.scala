@@ -625,6 +625,45 @@ class CowMergeSpec extends SparkSpec {
       (Array((0x80 | i).toByte, (i * 7).toByte), i.toLong)).toDF("k", "v"))
   }
 
+  test("schema evolution: new batch columns become nullable table columns") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    val df = (0L until 300L).map(k => (k, k * 2)).toDF("k", "v")
+    ParquetTable.writeSorted(df, dir, "k", 5)
+    val batch = Seq((10L, -10L, 7L, "upsert"), (290L, -290L, 8L, "upsert"))
+      .toDF("k", "v", "extra", "op")
+    val t = MutableParquetTable(spark, dir, "k")
+    val res = t.merge(batch)
+    assert(res.passthroughFiles.nonEmpty, "evolution must keep clean files linked")
+    val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+    // manifest-committed schema carries the new column, nullable
+    assert(got.schema.fieldNames.toSeq === Seq("k", "v", "extra"))
+    assert(got.schema("extra").nullable)
+    assert(got.count() === 300)
+    assert(got.where(col("extra").isNotNull).count() === 2)
+    assert(got.where(col("k") === 10L).head().getLong(2) === 7L)
+    // untouched rows read the new column as null — including rows in
+    // hard-linked files that physically lack it
+    assert(got.where(col("k") === 0L).head().isNullAt(2))
+
+    // the evolved snapshot keeps merging: a batch in the NEW shape
+    val t2 = MutableParquetTable(spark, res.snapshotDir, "k")
+    val res2 = t2.merge(Seq((10L, -11L, 9L, "upsert")).toDF("k", "v", "extra", "op"))
+    val got2 = MutableParquetTable.readCommitted(spark, res2.snapshotDir)
+    assert(got2.where(col("k") === 10L).head().getLong(2) === 9L)
+    assert(got2.count() === 300)
+
+    // a post-evolution batch missing an EXISTING column is rejected
+    // (whole-row upsert contract), as is evolution through the
+    // row-group splice (source schemas are copied byte-for-byte)
+    intercept[IllegalArgumentException] {
+      t2.merge(Seq((1L, 1L, "upsert")).toDF("k", "v", "op"))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeFineGrained(batch)
+    }
+  }
+
   test("fractional merge keys are rejected, never truncated") {
     val s = spark; import s.implicits._
     val dir = freshDir()
