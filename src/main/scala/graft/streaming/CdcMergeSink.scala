@@ -163,7 +163,15 @@ object CdcMergeSink {
   def vacuum(tableRoot: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val drop = versions(tableRoot).dropRight(keepLast)
-    drop.foreach(v => deleteRecursively(Paths.get(s"$tableRoot/v$v")))
+    drop.foreach { v =>
+      deleteRecursively(Paths.get(s"$tableRoot/v$v"))
+      // a persisted change feed follows its version's retention — note a
+      // RUNNING changeFeedStream over vacuumed history may have already
+      // consumed these files (the file source never re-lists processed
+      // files, so the stream is unaffected)
+      val feed = Paths.get(s"$tableRoot/_changes/v$v")
+      if (Files.isDirectory(feed)) deleteRecursively(feed)
+    }
     drop
   }
 

@@ -119,6 +119,14 @@ class GraftTableSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("graft_cfs").count() === expect0.count() + 1)
     } finally q.stop()
+
+    // vacuum drops the vacuumed versions' feed dirs with them
+    t.commitWithFeed(Seq((102L, 3.0, "upsert")).toDF("id", "v", "op"))
+    t.vacuum(keepLast = 1)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$root/_changes/v0")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$root/_changes/v3")))
   }
 
   test("streaming attach maintains the table AND the view per micro-batch") {
