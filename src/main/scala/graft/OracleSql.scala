@@ -232,7 +232,7 @@ object OracleSql {
     "q27_merge_mutations" -> """
       SELECT c_mktsegment, count(*) AS n,
         round(CAST(sum(CAST(
-          CASE WHEN c_custkey % 10 = 3 THEN round(c_acctbal * 1.1, 2)
+          CASE WHEN c_custkey % 10 = 3 THEN c_acctbal * 2
                ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
       FROM customer
       WHERE c_custkey % 10 <> 7

@@ -339,8 +339,13 @@ object SparkEntry {
     * custkey%10==3 upserted with a 10% acctbal bump, %10==7 deleted. */
   def q27_merge_mutations(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir)
+    // the balance bump DOUBLES (×2 is exact in binary floating point):
+    // round(double * 1.1, 2) straddled engine-specific rounding of exact
+    // x.xx5 halves (Spark HALF_UP vs DuckDB's decimal cast — found at
+    // sf0.1, 3 rows off by a cent), and no decimal plumbing makes the two
+    // agree; an exact multiplier removes rounding from the pipeline
     val ups = c.where(col("c_custkey") % 10 === 3)
-      .withColumn("c_acctbal", round(col("c_acctbal") * 1.1, 2))
+      .withColumn("c_acctbal", col("c_acctbal") * 2.0)
       .withColumn("op", lit("upsert"))
     val dels = c.where(col("c_custkey") % 10 === 7)
       .withColumn("op", lit("delete"))

@@ -302,7 +302,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
           // comparisons use the normalized column
           val nk = MutableParquetTable.normalizedKeyCol(
             merged.schema(key).dataType, col(key))
-          runs.foreach { run =>
+          def writeRun(run: Vector[Int], target: String): Unit = {
             val lower = if (run.head == 0) None else Some(ranges(run.head).min)
             val upper = if (run.last == ranges.size - 1) None
                         else Some(ranges(run.last + 1).min)
@@ -327,7 +327,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
               ParquetTable.withMicrosTimestamps(spark)(body)
             if (run.size == 1) out {
               slice.repartition(1).sortWithinPartitions(col(key))
-                .write.mode("append").parquet(outDir)
+                .write.mode("append").parquet(target)
             } else {
               val bounds = run.tail.map(i => ranges(i).min)
               val boundsCol = array(bounds.map(lit(_)): _*)
@@ -340,11 +340,41 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
                   .repartition(run.size, col("__graft_part"))
                   .drop("__graft_part")
                   .sortWithinPartitions(col(key))
-                  .write.mode("append").parquet(outDir)
+                  .write.mode("append").parquet(target)
               }
             }
-            inserted += run.size
           }
+          if (runs.size == 1) {
+            writeRun(runs.head, outDir)
+          } else {
+            // CONCURRENT run jobs: scattered-dirty merges would otherwise
+            // serialize one Spark job per run and idle the cluster between
+            // them. Jobs cannot share one output dir (each committer's
+            // cleanup deletes the shared _temporary), so every run writes
+            // a dot-staging dir (invisible to readers) and its files move
+            // into the snapshot under run-unique names — driver-side
+            // renames, metadata-priced.
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val jobs = runs.zipWithIndex.map { case (run, i) => Future {
+              val staging = s"$outDir/.staging-run-$i"
+              writeRun(run, staging)
+              import scala.jdk.CollectionConverters._
+              val st = Files.list(Paths.get(staging))
+              val parts = try st.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toList
+              finally st.close()
+              parts.foreach { p =>
+                Files.move(p,
+                  Paths.get(outDir, s"run$i-${p.getFileName.toString}"),
+                  StandardCopyOption.ATOMIC_MOVE)
+              }
+              deleteDir(Paths.get(staging))
+            }}
+            Await.result(Future.sequence(jobs),
+              scala.concurrent.duration.Duration.Inf)
+          }
+          inserted += runs.map(_.size).sum
         } finally if (runs.size > 1) merged.unpersist(false)
       }
     }
@@ -734,6 +764,14 @@ object MutableParquetTable {
 
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
+
+  private[sources] def deleteDir(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
 
   /** Manifest text form of a normalized key bound: longs and strings as
     * themselves, binary keys as lowercase hex (lossless for arbitrary
