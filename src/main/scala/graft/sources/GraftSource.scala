@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
@@ -136,12 +136,14 @@ object GraftSource {
     }
   }
 
-  /** Files the most recent scan actually planned, per thread — test/
-    * telemetry hook for asserting manifest pruning. */
-  private val lastScan = new ThreadLocal[Seq[String]]
-  def lastScanFiles: Seq[String] = Option(lastScan.get).getOrElse(Nil)
+  /** Files the most recent scan actually planned — test/telemetry hook
+    * for asserting manifest pruning. Volatile global rather than
+    * thread-local: runtime-filtered scans plan their partitions on AQE
+    * stage-materialization threads, not the caller's. */
+  @volatile private var lastScan: Seq[String] = Nil
+  def lastScanFiles: Seq[String] = lastScan
   private[sources] def recordScan(files: Seq[String]): Unit =
-    lastScan.set(files)
+    lastScan = files
 }
 
 /** One committed snapshot as a V2 [[Table]] (reads; path-based writes go
@@ -286,14 +288,74 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
         if (lo.isEmpty && hi.isEmpty) None
         else MutableParquetTable.pruneManifestFiles(table.snapshotDir, lo, hi).map(_._2)
       }.getOrElse(table.allFiles)
-      GraftSource.recordScan(files)
-      val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
-        Map.empty[String, String], Some(table.schema),
-        FileStatusCache.getOrCreate(spark), None, None)
-      ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
-        dataSchema = table.schema, readDataSchema = required,
-        readPartitionSchema = new StructType(), pushedFilters = filters,
-        options = CaseInsensitiveStringMap.empty())
+      new GraftParquetScan(spark, table, required, filters, files)
+  }
+}
+
+/** The data scan: Spark's own vectorized `ParquetScan` over the
+  * manifest-pruned file list, plus RUNTIME file pruning — the
+  * dynamic-partition-pruning analog for a key-sorted layout. When this
+  * scan sits under a join on the table's key, Spark evaluates the other
+  * side first (reusing its broadcast) and hands the resulting key
+  * predicates to [[filter]]; IN-sets prune per value through the manifest
+  * zone map, so a star join reads only the fact files whose key ranges
+  * hold matching keys — decided from metadata, before any data IO. */
+final class GraftParquetScan(spark: SparkSession, table: GraftBatchTable,
+                             required: StructType, pushed: Array[Filter],
+                             staticFiles: Seq[String])
+    extends Scan with SupportsRuntimeFiltering {
+
+  private var plannedFiles: Seq[String] = staticFiles
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftParquetScan(${table.snapshotDir}) " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.keyName.toArray.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val pruned = table.keyName.map { k =>
+      val perValue = runtime.flatMap {
+        case In(`k`, vs) if vs.nonEmpty && !vs.contains(null) =>
+          // per-value point prunes beat one [min,max] envelope when the
+          // join keys are scattered across the keyspace
+          Some(vs.toSeq.flatMap(v =>
+            MutableParquetTable.pruneManifestFiles(table.snapshotDir,
+              Some(v), Some(v)).map(_._2).getOrElse(staticFiles)).distinct)
+        case EqualTo(`k`, v) if v != null =>
+          Some(MutableParquetTable.pruneManifestFiles(table.snapshotDir,
+            Some(v), Some(v)).map(_._2).getOrElse(staticFiles))
+        case _ => None
+      }
+      if (perValue.isEmpty) staticFiles
+      else {
+        val keep = perValue.map(_.toSet).reduce(_ intersect _)
+        staticFiles.filter(keep)
+      }
+    }.getOrElse(staticFiles)
+    plannedFiles = pruned
+  }
+
+  override def toBatch: Batch = {
+    GraftSource.recordScan(plannedFiles)
+    if (plannedFiles.isEmpty)
+      return new Batch {
+        override def planInputPartitions(): Array[InputPartition] = Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftMetadataReaderFactory
+      }
+    val index = new InMemoryFileIndex(spark, plannedFiles.map(new Path(_)),
+      Map.empty[String, String], Some(table.schema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema = table.schema, readDataSchema = required,
+      readPartitionSchema = new StructType(), pushedFilters = pushed,
+      options = CaseInsensitiveStringMap.empty()).toBatch
   }
 }
 

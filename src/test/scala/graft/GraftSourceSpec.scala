@@ -209,6 +209,30 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("runtime file pruning: a key join prunes fact files at execution time") {
+    val df = spark.read.format("graft").load(root)
+    df.select("id").collect()
+    val full = GraftSource.lastScanFiles.size
+    assert(full >= 8)
+    // selective TABLE-BACKED dim (a local Seq's filter constant-folds
+    // away and DPP sees no selective predicate): two keys in one file's
+    // range — dynamic pruning hands the dim's keys to the scan at
+    // EXECUTION time and the manifest zone map drops every non-matching
+    // fact file
+    val ddir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    Seq((5L, "a"), (6L, "a"), (2000L, "zzz")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(ddir)
+    val dim = spark.read.parquet(ddir)
+    val joined = df.join(broadcast(dim.where(col("tag") === "a")),
+      df("id") === dim("k"))
+    val rows = joined.collect()
+    assert(rows.length === 2)
+    val pruned = GraftSource.lastScanFiles.size
+    assert(pruned < full, s"runtime filter did not prune: $pruned vs $full")
+    // correctness with pruning: values match the unpruned join
+    assert(rows.map(_.getAs[Long]("id")).sorted.toSeq === Seq(5L, 6L))
+  }
+
   test("version option on a non-root path fails fast") {
     val work = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
