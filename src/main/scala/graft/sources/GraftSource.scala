@@ -300,9 +300,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
   * predicates to [[filter]]; IN-sets prune per value through the manifest
   * zone map, so a star join reads only the fact files whose key ranges
   * hold matching keys — decided from metadata, before any data IO. */
-final class GraftParquetScan(spark: SparkSession, table: GraftBatchTable,
-                             required: StructType, pushed: Array[Filter],
-                             staticFiles: Seq[String])
+final class GraftParquetScan(spark: SparkSession,
+                             private val table: GraftBatchTable,
+                             private val required: StructType,
+                             private val pushed: Array[Filter],
+                             private val staticFiles: Seq[String])
     extends Scan with SupportsRuntimeFiltering {
 
   private var plannedFiles: Seq[String] = staticFiles
@@ -312,6 +314,19 @@ final class GraftParquetScan(spark: SparkSession, table: GraftBatchTable,
   override def description(): String =
     s"GraftParquetScan(${table.snapshotDir}) " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  // value equality over the scan's defining inputs (runtime state
+  // excluded, matching ParquetScan's own convention): identical scans
+  // canonicalize equal, so AQE can reuse exchanges/subqueries over the
+  // same snapshot instead of re-planning per reference
+  override def equals(o: Any): Boolean = o match {
+    case g: GraftParquetScan =>
+      g.table.snapshotDir == table.snapshotDir && g.required == required &&
+        g.pushed.sameElements(pushed) && g.staticFiles == staticFiles
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (table.snapshotDir, required, staticFiles).hashCode
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
