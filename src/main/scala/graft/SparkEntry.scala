@@ -553,12 +553,19 @@ object SparkEntry {
     val sim = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 7,
       native = true, chunks = 8)
     // per-doc exact signatures (HOF path — bit-identical to the native
-    // kernel, PlansSpec) for the pairs' true Hamming distances
+    // kernel, PlansSpec) for the pairs' true Hamming distances. LEFT
+    // joins: blank/whitespace-only docs have no signature (the banding
+    // pipeline excludes them) yet two blanks form an exact pair (shingle
+    // set [''], J = 1) — missing signatures then make both sides of the
+    // equivalence 0, so the pair still emits banding_complete = 1 and
+    // matches the oracle instead of silently dropping.
     val sigs = docs.where(trim(col("text")) =!= "")
       .select(col("doc_id"), Dedup.simHash(col("text")).as("sim"))
     exact
-      .join(sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .join(sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a")),
+        Seq("id_a"), "left")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b")),
+        Seq("id_b"), "left")
       .join(sim.select(col("id_a"), col("id_b"), lit(1).as("f")),
         Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),

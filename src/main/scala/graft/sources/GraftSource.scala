@@ -216,17 +216,21 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
     *  - `MIN(key)` / `MAX(key)`: the manifest zone map's global bounds.
     *    The manifest stores keys NORMALIZED (epoch days / epoch micros /
     *    raw strings / raw bytes) — exactly Spark's internal forms, so the
-    *    values convert by width alone. Stat-less files cannot tighten a
-    *    min/max (their keys are all null, which MIN/MAX ignore), so the
-    *    bounds stay exact even when the row count would not.
+    *    values convert by width alone. MIN/MAX requires EVERY listed file
+    *    to carry a ranged entry, same as COUNT: a stat-less entry is not
+    *    only the all-null-keys case — parquet-mr also omits footer min/max
+    *    when stat values exceed its size cap (~4KB binaries), and such a
+    *    file can hold real extreme keys the zone map never saw.
     * Any filter, group-by, other aggregate, non-key column, or missing
     * metadata declines the pushdown and the ordinary scan runs. */
   private def metadataAnswer(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (filters.nonEmpty || agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
     lazy val count = MutableParquetTable.manifestExactRowCount(table.snapshotDir)
+    lazy val listed = MutableParquetTable.manifestFileNames(table.snapshotDir)
     lazy val ranges = table.keyName.flatMap(k =>
-      MutableParquetTable.manifestRanges(table.snapshotDir, k).filter(_.nonEmpty))
+      MutableParquetTable.manifestRanges(table.snapshotDir, k)
+        .filter(rs => rs.nonEmpty && listed.exists(_.size == rs.size)))
     def keyField: Option[StructField] =
       table.keyName.map(k => table.schema(k))
     def keyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
@@ -337,14 +341,14 @@ final class GraftParquetScan(spark: SparkSession,
     val pruned = table.keyName.map { k =>
       val perValue = runtime.flatMap {
         case In(`k`, vs) if vs.nonEmpty && !vs.contains(null) =>
-          // per-value point prunes beat one [min,max] envelope when the
-          // join keys are scattered across the keyspace
-          Some(vs.toSeq.flatMap(v =>
-            MutableParquetTable.pruneManifestFiles(table.snapshotDir,
-              Some(v), Some(v)).map(_._2).getOrElse(staticFiles)).distinct)
+          // point-set prune beats one [min,max] envelope when the join
+          // keys are scattered across the keyspace; ONE manifest parse
+          // for the whole set (not one per key)
+          Some(MutableParquetTable.pruneManifestFilesPoints(
+            table.snapshotDir, vs.toSeq).map(_._2).getOrElse(staticFiles))
         case EqualTo(`k`, v) if v != null =>
-          Some(MutableParquetTable.pruneManifestFiles(table.snapshotDir,
-            Some(v), Some(v)).map(_._2).getOrElse(staticFiles))
+          Some(MutableParquetTable.pruneManifestFilesPoints(
+            table.snapshotDir, Seq(v)).map(_._2).getOrElse(staticFiles))
         case _ => None
       }
       if (perValue.isEmpty) staticFiles

@@ -247,6 +247,19 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     require(missingCols.isEmpty || ranges.isEmpty,
       s"batch lacks table columns ${missingCols.mkString(", ")} — " +
         "upserts replace whole rows, so every existing column is required")
+    // evolution adds columns, never retypes them: a drifted existing
+    // column (e.g. decimal become double after arithmetic) would be
+    // union-coerced into rewritten files whose physical types diverge
+    // from the manifest-embedded schema, failing later vectorized reads
+    val drifted = batchData.schema.fields.filter(f =>
+      tableSchema.fieldNames.contains(f.name) &&
+        MutableParquetTable.stripNullability(tableSchema(f.name).dataType) !=
+          MutableParquetTable.stripNullability(f.dataType))
+    require(drifted.isEmpty || ranges.isEmpty,
+      "batch column types drift from the table schema: " +
+        drifted.map(f => s"${f.name} ${tableSchema(f.name).dataType
+          .simpleString}->${f.dataType.simpleString}").mkString(", ") +
+        " — cast the batch to the table types before merging")
     val newFields = batchData.schema.fields
       .filterNot(f => tableSchema.fieldNames.contains(f.name))
     val mergedSchema =
@@ -661,6 +674,38 @@ object MutableParquetTable {
       .where(col(keyName) >= lit(lo) && col(keyName) <= lit(hi))
   }
 
+  /** A snapshot's zone map parsed ONCE: key name, per-file encoded
+    * [min, max] bounds, and the stat-less (never-prunable) file names.
+    * All prune entry points share this so pruning on many values costs
+    * one manifest read, not one per value. */
+  private[sources] final case class ManifestZoneMap(
+      keyName: String,
+      ranged: Seq[(String, Array[Byte], Array[Byte])],
+      unprunable: Seq[String])
+
+  private[sources] def manifestZoneMap(snapshotDir: String): Option[ManifestZoneMap] =
+    readManifest(snapshotDir).map { m =>
+      val keyName = unjs("\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(m).get.group(1))
+      val entry =
+        ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+          "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      val isLong = m.contains("\"keyType\":\"long\"")
+      val isBinary = m.contains("\"keyType\":\"binary\"")
+      def enc(s: String): Array[Byte] =
+        if (isLong) KeyBytes.fromLong(s.toLong)
+        else if (isBinary) hexDecode(s)
+        else KeyBytes.fromString(s)
+      val ranged = entry.findAllMatchIn(m)
+        .map(e => (unjs(e.group(1)), enc(unjs(e.group(2))), enc(unjs(e.group(3)))))
+        .toSeq
+      val rangedNames = ranged.map(_._1).toSet
+      val unprunable = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
+        .filterNot(rangedNames)
+      ManifestZoneMap(keyName, ranged, unprunable)
+    }
+
   /** The manifest's key column name and the snapshot files whose key range
     * intersects [lo, hi] (either bound optional; None = unbounded) —
     * decided purely from the manifest. Bounds-less manifest entries (files
@@ -669,32 +714,39 @@ object MutableParquetTable {
     * data source's filter pushdown. */
   def pruneManifestFiles(snapshotDir: String, lo: Option[Any],
                          hi: Option[Any]): Option[(String, Seq[String])] =
-    readManifest(snapshotDir).map { m =>
-      val keyName = unjs("\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-        .findFirstMatchIn(m).get.group(1))
-      val entry =
-        ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-          "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    manifestZoneMap(snapshotDir).map { zm =>
       val loB = lo.map(KeyBytes.fromAny)
       val hiB = hi.map(KeyBytes.fromAny)
-      val isLong = m.contains("\"keyType\":\"long\"")
-      val isBinary = m.contains("\"keyType\":\"binary\"")
-      def enc(s: String): Array[Byte] =
-        if (isLong) KeyBytes.fromLong(s.toLong)
-        else if (isBinary) hexDecode(s)
-        else KeyBytes.fromString(s)
-      val ranged = entry.findAllMatchIn(m)
-        .map(e => (unjs(e.group(1)), unjs(e.group(2)), unjs(e.group(3)))).toSeq
-      val inRange = ranged.collect {
-        case (f, mn, mx)
-            if hiB.forall(h => KeyBytes.compare(enc(mn), h) <= 0) &&
-               loB.forall(l => KeyBytes.compare(enc(mx), l) >= 0) => f
+      val inRange = zm.ranged.collect {
+        case (f, mnB, mxB)
+            if hiB.forall(h => KeyBytes.compare(mnB, h) <= 0) &&
+               loB.forall(l => KeyBytes.compare(mxB, l) >= 0) => f
       }
-      val rangedNames = ranged.map(_._1).toSet
-      val unprunable = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-        .findAllMatchIn(m).map(x => unjs(x.group(1))).toSeq
-        .filterNot(rangedNames)
-      (keyName, (inRange ++ unprunable).map(n => s"$snapshotDir/$n"))
+      (zm.keyName, (inRange ++ zm.unprunable).map(n => s"$snapshotDir/$n"))
+    }
+
+  /** Prune against a SET of point keys in one manifest pass: keeps the
+    * files whose [min, max] contains at least one of `values`, plus the
+    * stat-less entries. Sorted points + per-file binary search, so a
+    * broadcast join handing over thousands of keys costs
+    * O((files + keys) log keys) driver work on ONE parsed zone map —
+    * never one manifest re-read per key. */
+  def pruneManifestFilesPoints(snapshotDir: String,
+                               values: Seq[Any]): Option[(String, Seq[String])] =
+    manifestZoneMap(snapshotDir).map { zm =>
+      val pts = values.map(KeyBytes.fromAny).sorted(KeyBytes.ordering).toArray
+      def anyIn(mnB: Array[Byte], mxB: Array[Byte]): Boolean = {
+        // first point >= min, then check it is <= max
+        var lo = 0; var hi = pts.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (KeyBytes.compare(pts(mid), mnB) >= 0) { ans = mid; hi = mid - 1 }
+          else lo = mid + 1
+        }
+        ans >= 0 && KeyBytes.compare(pts(ans), mxB) <= 0
+      }
+      val keep = zm.ranged.collect { case (f, mnB, mxB) if anyIn(mnB, mxB) => f }
+      (zm.keyName, (keep ++ zm.unprunable).map(n => s"$snapshotDir/$n"))
     }
 
   /** The table's data files: a committed snapshot's MANIFEST inventory
@@ -761,6 +813,18 @@ object MutableParquetTable {
         }.toSeq)
       }
     }
+
+  /** Type with all nested nullability flags (and field metadata)
+    * erased — the drift check compares VALUE types only; nullability
+    * differences are unioned away harmlessly by the merge. */
+  private[sources] def stripNullability(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f => StructField(f.name,
+      stripNullability(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(stripNullability(a.elementType), true)
+    case m: MapType =>
+      MapType(stripNullability(m.keyType), stripNullability(m.valueType), true)
+    case other => other
+  }
 
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName

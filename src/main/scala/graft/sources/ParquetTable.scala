@@ -65,15 +65,36 @@ object ParquetTable {
     * (set-and-restore of the session conf — Spark offers no per-write
     * option). INT96 — Spark's default — is deprecated and carries no
     * usable min/max statistics, which would break zone-map routing for
-    * timestamp merge keys; every engine write path goes through this. */
+    * timestamp merge keys; every engine write path goes through this.
+    *
+    * REF-COUNTED per session: merge paths call this from concurrent
+    * Futures (multi-run rewrites, per-dirty-file row-group CoW), and a
+    * plain set/restore would let one run's finally-restore flip the conf
+    * back to INT96 between another run's set and its write-job conf
+    * capture — producing stat-less timestamp files that silently break
+    * later routing. The conf is set when the first concurrent entry
+    * arrives and restored only when the last one leaves. */
+  private val microsLock = new Object
+  private val microsState =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
   def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    microsLock.synchronized {
+      val (depth, prev) = microsState.getOrElse(spark,
+        (0, spark.conf.getOption(tsKey)))
+      if (depth == 0) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      microsState(spark) = (depth + 1, prev)
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None    => spark.conf.unset(tsKey)
+    finally microsLock.synchronized {
+      val (depth, prev) = microsState(spark)
+      if (depth == 1) {
+        microsState.remove(spark)
+        prev match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None    => spark.conf.unset(tsKey)
+        }
+      } else microsState(spark) = (depth - 1, prev)
     }
   }
 

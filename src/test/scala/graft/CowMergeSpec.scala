@@ -662,6 +662,14 @@ class CowMergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.mergeFineGrained(batch)
     }
+
+    // type DRIFT on an existing column is rejected (evolution adds
+    // columns, never retypes): a union-coerced rewrite would diverge the
+    // physical types from the manifest schema and break later reads
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, 1.5, "upsert")).toDF("k", "v", "op"))
+    }
+    assert(e.getMessage.contains("drift"), s"unexpected error: $e")
   }
 
   test("fractional merge keys are rejected, never truncated") {
