@@ -25,7 +25,9 @@ import graft.streaming.{AggView, CdcMergeSink}
   * }}}
   */
 final class GraftTable private (val spark: SparkSession, val root: String,
-                                val key: String) {
+    val key: String,
+    val passthrough: graft.sources.MutableParquetTable.Passthrough =
+      graft.sources.MutableParquetTable.Link) {
 
   /** Committed version ids, ascending. */
   def versions: Seq[Long] = CdcMergeSink.versions(root)
@@ -36,7 +38,8 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def commit(batch: DataFrame, opCol: String = "op",
              seqCol: Option[String] = None): Long = {
     val next = versions.lastOption.map(_ + 1).getOrElse(0L)
-    CdcMergeSink.applyBatch(spark, batch, root, key, opCol, seqCol, next)
+    CdcMergeSink.applyBatch(spark, batch, root, key, opCol, seqCol, next,
+      passthrough)
     versions.lastOption.getOrElse(-1L)
   }
 
@@ -140,14 +143,20 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     CdcMergeSink.start(mutations, root, key, opCol, seqCol, checkpointDir,
       afterBatch = _ => aggView.foreach { case (g, sums) =>
         AggView.refresh(spark, root, g, sums)
-      })
+      },
+      passthrough = passthrough)
 }
 
 object GraftTable {
 
-  /** Open an existing versioned table root. */
-  def apply(spark: SparkSession, root: String, key: String): GraftTable =
-    new GraftTable(spark, root, key)
+  /** Open an existing versioned table root. `passthrough = Reference`
+    * selects the object-store CoW mode: merges write zero clean-file
+    * bytes (manifest references instead of hard links) and vacuum
+    * reference-counts shared files. */
+  def apply(spark: SparkSession, root: String, key: String,
+            passthrough: graft.sources.MutableParquetTable.Passthrough =
+              graft.sources.MutableParquetTable.Link): GraftTable =
+    new GraftTable(spark, root, key, passthrough)
 
   /** Create the base snapshot from a DataFrame and open the table.
     * The base is written all-nullable so every file the chain will ever

@@ -995,10 +995,17 @@ object SparkEntry {
     val deletes = daily
       .where(dayofmonth(col("o_orderdate")) =!= 1 && month(col("o_orderdate")) === 2)
       .withColumn("op", lit("delete"))
-    val t = graft.sources.MutableParquetTable(s, base, "o_orderdate")
+    // REFERENCE passthrough (the object-store mode): the merge performs
+    // zero clean-file filesystem ops — the snapshot manifest points at
+    // the base dir's untouched files — so this query also oracle-proves
+    // reads through manifest references
+    val t = graft.sources.MutableParquetTable(s, base, "o_orderdate",
+      graft.sources.MutableParquetTable.Reference)
     val res = t.merge(upserts.unionByName(deletes), snapshotDir = Some(s"$work/v1"))
     require(graft.sources.MutableParquetTable.isCommitted(res.snapshotDir),
       "merge snapshot missing its manifest commit marker")
+    require(res.filesCopied == 0 && res.filesHardLinked == 0,
+      "reference passthrough must not copy or link")
     graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
       .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("n_orders"), round(col("rev").cast("double"), 2).as("rev"))

@@ -89,13 +89,11 @@ object CompactionUtil {
     * ~`targetBytes` files with zero decode. */
   def compactDirBySize(spark: SparkSession, dir: String, outDir: String,
                        targetBytes: Long): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val files = try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toList.sorted
+    // manifest-first inventory: a committed snapshot's files may live in
+    // PRIOR snapshot dirs (reference passthrough) — a directory listing
+    // would silently compact only the locally-present subset
+    val files = MutableParquetTable.tableFiles(dir)
       .map(f => f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
-    finally s.close()
     require(files.nonEmpty, s"no parquet files in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // a CoW chain legitimately mixes physical schemas (e.g. required base
@@ -132,13 +130,9 @@ object CompactionUtil {
     * which writeSorted's range partitioning makes key order). */
   def compactDir(spark: SparkSession, dir: String, outDir: String,
                  targetFiles: Int): Seq[String] = {
-    import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val files = try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toList.sorted
-    finally s.close()
+    // manifest-first, same as compactDirBySize (reference passthrough)
+    val files = MutableParquetTable.tableFiles(dir)
     require(files.nonEmpty, s"no parquet files in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val groups = files.grouped(math.max(1, math.ceil(files.size.toDouble / targetFiles).toInt)).toSeq

@@ -156,7 +156,7 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
     * `base` snapshot (writeSorted output has no manifest). */
   private[sources] val allFiles: Seq[String] =
     MutableParquetTable.manifestFileNames(snapshotDir)
-      .map(_.map(n => s"$snapshotDir/$n"))
+      .map(_.map(n => MutableParquetTable.resolvePath(snapshotDir, n)))
       .getOrElse {
         val s = java.nio.file.Files.list(java.nio.file.Paths.get(snapshotDir))
         try s.iterator().asScala.map(_.toString)

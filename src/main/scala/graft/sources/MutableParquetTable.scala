@@ -22,7 +22,15 @@ final case class MergeResult(
     insertedFileCount: Int,
     // wall millis per merge phase (ranges/route/link/rewrite/manifest) —
     // the timing half of the reference's merge report
-    phaseMillis: Map[String, Long] = Map.empty) {
+    phaseMillis: Map[String, Long] = Map.empty,
+    // HOW each clean file passed through: hard link / manifest reference
+    // (no filesystem op at all) / physical copy (the degraded-link
+    // fallback). A nonzero copy count on a "metadata-only" merge is the
+    // difference between 26 ms and hours at 100 TB — it must be visible,
+    // never silent.
+    filesHardLinked: Int = 0,
+    filesReferenced: Int = 0,
+    filesCopied: Int = 0) {
 
   private def sz(fs: Seq[String]): Long =
     fs.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
@@ -55,7 +63,9 @@ final case class MergeResult(
 
   /** One-line JSON summary for logs/telemetry. */
   def summaryJson: String =
-    s"""{"snapshotDir":"$snapshotDir","filesLinked":${passthroughFiles.size},""" +
+    s"""{"snapshotDir":"$snapshotDir","filesLinked":$filesHardLinked,""" +
+      s""""filesReferenced":$filesReferenced,""" +
+      s""""filesCopied":$filesCopied,""" +
       s""""filesRewritten":${rewrittenFiles.size},""" +
       s""""filesInserted":$insertedFileCount,""" +
       s""""bytesPassedThrough":$bytesPassedThrough,""" +
@@ -104,7 +114,9 @@ final case class MergeResult(
   * file's worth of data. A no-op merge touches zero data files
   * (noChangesTest analog, ParquetRewriterTests.java:318-323).
   */
-final class MutableParquetTable(spark: SparkSession, val dir: String, val key: String) {
+final class MutableParquetTable(spark: SparkSession, val dir: String,
+    val key: String,
+    val passthrough: MutableParquetTable.Passthrough = MutableParquetTable.Link) {
 
   import MutableParquetTable._
 
@@ -225,13 +237,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
 
     // metadata-only passthrough of clean files (S6 analog)
-    clean.foreach { f =>
-      val src = Paths.get(f)
-      val dst = Paths.get(outDir, src.getFileName.toString)
-      try Files.createLink(dst, src)
-      catch { case _: Exception =>
-        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
-    }
+    val pt = passThroughClean(clean, outDir)
     phase("link")
 
     // schema evolution: batch columns beyond the table schema become new
@@ -408,9 +414,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
         .filterNot(f => cleanNames.contains(fileName(f)))
       finally s.close()
     }
-    writeManifest(outDir, carried, newFiles, Some(mergedSchema))
+    writeManifest(outDir, carried, newFiles, Some(mergedSchema), pt.refNames)
     phase("manifest")
-    MergeResult(outDir, dirty, clean, inserted, phases.toMap)
+    MergeResult(outDir, dirty, clean, inserted, phases.toMap,
+      filesHardLinked = pt.linked, filesReferenced = pt.referenced,
+      filesCopied = pt.copied)
   }
 
   /** Row-group-granularity CoW merge: like [[merge]], but each dirty
@@ -449,13 +457,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
     val allFiles = MutableParquetTable.tableFiles(dir)
     val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
-    clean.foreach { f =>
-      val src = Paths.get(f)
-      val dst = Paths.get(outDir, src.getFileName.toString)
-      try Files.createLink(dst, src)
-      catch { case _: Exception =>
-        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
-    }
+    val pt = passThroughClean(clean, outDir)
 
     if (dirty.nonEmpty) {
       val idxByName = ranges.zipWithIndex
@@ -490,9 +492,43 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
 
     val carried = ranges.filter(r => !dirtyNames.contains(fileName(r.file)))
     writeManifest(outDir, carried, dirty.map(f => s"$outDir/${fileName(f)}"),
-      Some(tableSchema))
-    MergeResult(outDir, dirty, clean, dirty.size)
+      Some(tableSchema), pt.refNames)
+    MergeResult(outDir, dirty, clean, dirty.size,
+      filesHardLinked = pt.linked, filesReferenced = pt.referenced,
+      filesCopied = pt.copied)
   }
+
+  private final case class PassThroughResult(linked: Int, copied: Int,
+      referenced: Int, refNames: Map[String, String])
+
+  /** Pass the clean files through to the new snapshot per this table's
+    * [[passthrough]] mode. [[Reference]] performs ZERO filesystem
+    * operations — the manifest will point at each file where it already
+    * lives (entry = path relative to the new snapshot dir), which is the
+    * only passthrough that keeps its economics on object stores (no hard
+    * links on S3/GCS; a copy fallback would turn a metadata-only merge
+    * into a full-table copy). [[Link]] hard-links with a copy fallback,
+    * and every copy is COUNTED so a degraded passthrough is visible in
+    * [[MergeResult]] instead of silent. */
+  private def passThroughClean(clean: Seq[String],
+                               outDir: String): PassThroughResult =
+    passthrough match {
+      case MutableParquetTable.Reference =>
+        PassThroughResult(0, 0, clean.size,
+          clean.map(f => fileName(f) -> relativize(outDir, f)).toMap)
+      case MutableParquetTable.Link =>
+        var linked = 0
+        var copied = 0
+        clean.foreach { f =>
+          val src = Paths.get(f)
+          val dst = Paths.get(outDir, src.getFileName.toString)
+          try { Files.createLink(dst, src); linked += 1 }
+          catch { case _: Exception =>
+            Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+            copied += 1 }
+        }
+        PassThroughResult(linked, copied, 0, Map.empty)
+    }
 
   /** Write the snapshot's commit marker: file inventory with key ranges
     * and row counts. Temp-file + atomic rename, LAST — presence of
@@ -501,11 +537,17 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
                             carried: Seq[ParquetStats.FileKeyRange],
                             newFiles: Seq[String],
                             schema: Option[org.apache.spark.sql.types.StructType]
-                              = None): Unit = {
+                              = None,
+                            refNames: Map[String, String] = Map.empty): Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
     import MutableParquetTable.js
+    // a referenced clean file's manifest entry is its path RELATIVE to
+    // this snapshot dir (it physically lives in a prior snapshot); a
+    // local file's entry is its bare name
+    def entryOf(file: String): String =
+      refNames.getOrElse(fileName(file), fileName(file))
     // files with no key stats (all-null keys — out of contract but
     // possible) can't be range-pruned, but they ARE part of the snapshot:
     // list them without bounds so readCommitted/readRange never lose them
@@ -516,9 +558,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).filterNot(rangedNames).toList.sorted
       finally s.close()
-    }
+    } ++ refNames.collect { // referenced stat-less files are listed too
+      case (base, rel) if !rangedNames(base) => rel
+    }.toList.sorted
     val files = (ranges.map { r =>
-      s"""{"file":${js(fileName(r.file))},"minKey":${js(keyRepr(r.min))},""" +
+      s"""{"file":${js(entryOf(r.file))},"minKey":${js(keyRepr(r.min))},""" +
         s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}}"""
     } ++ statless.map(n => s"""{"file":${js(n)}}""")).mkString("[", ",", "]")
     val keyType = ranges.headOption.map(_.min) match {
@@ -534,7 +578,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String, val key: S
     // externally-produced dirs (commitManifest)
     val schemaJson = schema.map(_.json) orElse
       (ranges.headOption.map(_.file) orElse
-        newFiles.headOption orElse statless.headOption.map(n => s"$outDir/$n"))
+        newFiles.headOption orElse
+        statless.headOption.map(n => MutableParquetTable.resolvePath(outDir, n)))
       .map(f => spark.read.parquet(f).schema.json)
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
@@ -553,6 +598,24 @@ object MutableParquetTable {
   // hidden metadata (like _SUCCESS), so the snapshot stays directly readable
   // via spark.read.parquet(dir)
   val ManifestName = "_manifest.json"
+
+  /** How a merge passes clean files through to the new snapshot.
+    *
+    * [[Link]] (default): hard-link into the snapshot dir, falling back to
+    * a physical copy — self-contained snapshot dirs, right for local /
+    * HDFS-like filesystems. Copies are counted in [[MergeResult]].
+    *
+    * [[Reference]]: ZERO filesystem operations — the new manifest lists
+    * each clean file at its existing location (a `../vN/...` entry
+    * relative to the snapshot dir). This is the object-store mode: S3/GCS
+    * have no hard links, so linking degrades to copying every clean file
+    * per merge, destroying CoW economics at 100 TB. The manifest is
+    * already the sole source of truth for committed reads, so a
+    * referencing snapshot reads identically; retention needs reference
+    * counting ([[graft.streaming.CdcMergeSink.vacuum]]). */
+  sealed trait Passthrough
+  case object Link extends Passthrough
+  case object Reference extends Passthrough
 
   /** Probe table for deterministic hash routing: `probes(i)` is a long
     * whose Spark hash-partition id over `n` partitions is exactly `i`, so
@@ -601,8 +664,36 @@ object MutableParquetTable {
         "date, or timestamp required")
   }
 
-  def apply(spark: SparkSession, dir: String, key: String): MutableParquetTable =
-    new MutableParquetTable(spark, dir, key)
+  def apply(spark: SparkSession, dir: String, key: String,
+            passthrough: Passthrough = Link): MutableParquetTable =
+    new MutableParquetTable(spark, dir, key, passthrough)
+
+  /** Resolve a manifest `file` entry against its snapshot dir, textually
+    * normalizing `.`/`..` segments — entries may be bare names (local
+    * files) or `../vN/...` references into sibling snapshots. Pure string
+    * work: no filesystem calls, and it behaves identically for object
+    * store URIs (which have no real directory semantics to consult). */
+  private[graft] def resolvePath(dir: String, entry: String): String =
+    if (!entry.contains('/')) s"$dir/$entry"
+    else {
+      val segs = dir.split('/').toVector ++ entry.split('/').toVector
+      segs.foldLeft(Vector.empty[String]) {
+        case (acc, "..") if acc.nonEmpty && acc.last != ".." && acc.last.nonEmpty =>
+          acc.init
+        case (acc, ".") => acc
+        case (acc, s)   => acc :+ s
+      }.mkString("/")
+    }
+
+  /** The manifest entry for a file at absolute `path` referenced from a
+    * snapshot at `fromDir`: relative via the longest common ancestor
+    * (`../v3/part-...parquet` for the usual sibling-snapshot case). */
+  private[graft] def relativize(fromDir: String, path: String): String = {
+    val from = fromDir.split('/').toVector
+    val to = path.split('/').toVector
+    val common = from.zip(to).takeWhile { case (a, b) => a == b }.size
+    (Vector.fill(from.size - common)("..") ++ to.drop(common)).mkString("/")
+  }
 
   /** A snapshot directory is a committed, complete snapshot iff its
     * manifest exists — the mid-merge-crash detector. */
@@ -631,7 +722,7 @@ object MutableParquetTable {
     // and inference from one footer would read the wrong one
     manifestSchema(snapshotDir).map(spark.read.schema)
       .getOrElse(spark.read)
-      .parquet(files.map(n => s"$snapshotDir/$n"): _*)
+      .parquet(files.map(n => resolvePath(snapshotDir, n)): _*)
   }
 
   /** The table schema a committed snapshot's manifest embeds (None for
@@ -722,7 +813,8 @@ object MutableParquetTable {
             if hiB.forall(h => KeyBytes.compare(mnB, h) <= 0) &&
                loB.forall(l => KeyBytes.compare(mxB, l) >= 0) => f
       }
-      (zm.keyName, (inRange ++ zm.unprunable).map(n => s"$snapshotDir/$n"))
+      (zm.keyName,
+        (inRange ++ zm.unprunable).map(n => resolvePath(snapshotDir, n)))
     }
 
   /** Prune against a SET of point keys in one manifest pass: keeps the
@@ -746,7 +838,8 @@ object MutableParquetTable {
         ans >= 0 && KeyBytes.compare(pts(ans), mxB) <= 0
       }
       val keep = zm.ranged.collect { case (f, mnB, mxB) if anyIn(mnB, mxB) => f }
-      (zm.keyName, (keep ++ zm.unprunable).map(n => s"$snapshotDir/$n"))
+      (zm.keyName,
+        (keep ++ zm.unprunable).map(n => resolvePath(snapshotDir, n)))
     }
 
   /** The table's data files: a committed snapshot's MANIFEST inventory
@@ -755,7 +848,7 @@ object MutableParquetTable {
     * or the directory listing for bare parquet dirs. */
   private[sources] def tableFiles(dir: String): List[String] =
     manifestFileNames(dir) match {
-      case Some(names) => names.map(n => s"$dir/$n").toList.sorted
+      case Some(names) => names.map(n => resolvePath(dir, n)).toList.sorted
       case None =>
         import scala.jdk.CollectionConverters._
         val s = Files.list(Paths.get(dir))
@@ -808,7 +901,7 @@ object MutableParquetTable {
         Some(entry.findAllMatchIn(m).map { e =>
           val (mn, mnB) = typed(unjs(e.group(2)))
           val (mx, mxB) = typed(unjs(e.group(3)))
-          ParquetStats.FileKeyRange(s"$dir/${unjs(e.group(1))}", mn, mx,
+          ParquetStats.FileKeyRange(resolvePath(dir, unjs(e.group(1))), mn, mx,
             mnB, mxB, e.group(4).toLong)
         }.toSeq)
       }

@@ -88,17 +88,26 @@ object CdcMergeSink {
     versions(tableRoot).takeWhile(_ <= batchId).lastOption
       .map(v => s"$tableRoot/v$v").getOrElse(s"$tableRoot/base")
 
-  /** Parquet file names a snapshot consists of: manifest list for committed
-    * merge snapshots, directory listing for the base (writeSorted has no
-    * manifest). */
-  private def snapshotFiles(dir: String): Seq[String] =
-    MutableParquetTable.manifestFileNames(dir).getOrElse {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(Paths.get(dir))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toList.sorted
-      finally s.close()
-    }
+  /** A snapshot's parquet files as (base name -> resolved path): manifest
+    * inventory for committed merge snapshots — whose entries may REFERENCE
+    * files living in prior snapshot dirs (`../vN/...`, the object-store
+    * passthrough) — directory listing for the base. Base names are the
+    * canonical file identity across snapshots: CoW passthrough preserves
+    * them (hard links and manifest references alike) while rewrites mint
+    * fresh part-UUID names, so name equality ⇔ byte-identical content. */
+  private def snapshotFileMap(dir: String): Map[String, String] =
+    MutableParquetTable.manifestFileNames(dir)
+      .map(_.map { n =>
+        n.substring(n.lastIndexOf('/') + 1) ->
+          MutableParquetTable.resolvePath(dir, n)
+      }.toMap)
+      .getOrElse {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).map(n => n -> s"$dir/$n").toMap
+        finally s.close()
+      }
 
   /** Row-level diff of two table states sharing a schema: one row per
     * changed key with `change_type` insert | update | delete, the full
@@ -137,40 +146,85 @@ object CdcMergeSink {
                  fromBatch: Long, toBatch: Long, key: String): DataFrame = {
     val fromDir = resolveAsOf(tableRoot, fromBatch)
     val toDir = resolveAsOf(tableRoot, toBatch)
-    // schema inference costs a footer read — only pay it when a side has
-    // no files of its own (the common delta case never does)
-    lazy val schema = spark.read.parquet(fromDir).schema
-    def readSubset(dir: String, names: Seq[String]): DataFrame =
-      if (names.isEmpty)
+    // schema inference costs IO — manifest-embedded schema when present,
+    // and only when a side has no files of its own (the delta never does)
+    lazy val schema = MutableParquetTable.manifestSchema(fromDir)
+      .getOrElse(spark.read.parquet(fromDir).schema)
+    def readPaths(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+      else spark.read.parquet(paths: _*)
     if (fromDir == toDir)
-      return rowDiff(readSubset(fromDir, Nil), readSubset(toDir, Nil), key)
-    val fromFiles = snapshotFiles(fromDir).toSet
-    val toFiles = snapshotFiles(toDir).toSet
-    val before = readSubset(fromDir, (fromFiles -- toFiles).toSeq.sorted)
-    val after = readSubset(toDir, (toFiles -- fromFiles).toSeq.sorted)
+      return rowDiff(readPaths(Nil), readPaths(Nil), key)
+    val fromFiles = snapshotFileMap(fromDir)
+    val toFiles = snapshotFileMap(toDir)
+    val before = readPaths(
+      (fromFiles -- toFiles.keySet).values.toSeq.sorted)
+    val after = readPaths(
+      (toFiles -- fromFiles.keySet).values.toSeq.sorted)
     rowDiff(before, after, key)
   }
 
-  /** Retention: drop committed versions older than the newest `keepLast`
-    * (the base directory always stays). Snapshots share unchanged files
-    * via hard links, so bytes are reclaimed only when a file's LAST
-    * referencing snapshot goes — exactly the storage the dropped history
-    * exclusively owned. As-of reads below the retention horizon resolve
-    * to the base state; bounded storage is traded for history depth.
-    * Returns the deleted batch ids. */
+  /** Retention with REFERENCE COUNTING: drop committed versions older
+    * than the newest `keepLast` (the base directory always stays), but a
+    * data file physically inside a dropped version's dir survives as long
+    * as ANY retained version's manifest still references it — reference
+    * passthrough (the object-store mode) makes later snapshots point into
+    * earlier dirs, so deleting a dropped dir wholesale would corrupt live
+    * versions. Hard-linked chains need no protection (each snapshot holds
+    * its own link; the OS refcounts bytes) and keep reclaiming exactly the
+    * storage the dropped history exclusively owned.
+    *
+    * A dropped version is DECOMMITTED first (manifest removed — it
+    * disappears from [[versions]] atomically) and then swept: unreferenced
+    * files deleted, still-referenced files left in place. Earlier vacuums'
+    * leftover dirs are re-swept every call, so files are reclaimed the
+    * moment their last referencing version goes. As-of reads below the
+    * retention horizon resolve to the base state. Returns dropped ids. */
   def vacuum(tableRoot: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the latest version")
-    val drop = versions(tableRoot).dropRight(keepLast)
+    val all = versions(tableRoot)
+    val keep = all.takeRight(keepLast)
+    val drop = all.dropRight(keepLast)
+    val referenced: Set[String] = keep.flatMap { v =>
+      val d = s"$tableRoot/v$v"
+      MutableParquetTable.manifestFileNames(d).getOrElse(Nil)
+        .map(n => MutableParquetTable.resolvePath(d, n))
+    }.toSet
+    // decommit first: versions() excludes the dir from then on, so a
+    // crash mid-sweep leaves garbage files, never a corrupt version
     drop.foreach { v =>
-      deleteRecursively(Paths.get(s"$tableRoot/v$v"))
+      Files.deleteIfExists(Paths.get(s"$tableRoot/v$v",
+        MutableParquetTable.ManifestName))
       // a persisted change feed follows its version's retention — note a
       // RUNNING changeFeedStream over vacuumed history may have already
       // consumed these files (the file source never re-lists processed
       // files, so the stream is unaffected)
       val feed = Paths.get(s"$tableRoot/_changes/v$v")
       if (Files.isDirectory(feed)) deleteRecursively(feed)
+    }
+    // sweep every non-committed version dir (just-dropped + leftovers of
+    // earlier vacuums that were pinned by references at the time)
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tableRoot)
+    val sweep =
+      if (!Files.exists(root)) Nil
+      else {
+        val s = Files.list(root)
+        try s.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v\\d+"))
+          .filterNot(p => MutableParquetTable.isCommitted(p.toString))
+          .toList
+        finally s.close()
+      }
+    sweep.foreach { dir =>
+      val s = Files.list(dir)
+      val children = try s.iterator().asScala.toList finally s.close()
+      val (pinned, deletable) = children.partition(p =>
+        p.getFileName.toString.endsWith(".parquet") && referenced(p.toString))
+      deletable.foreach(p =>
+        if (Files.isDirectory(p)) deleteRecursively(p) else Files.delete(p))
+      if (pinned.isEmpty) Files.delete(dir)
     }
     drop
   }
@@ -195,7 +249,9 @@ object CdcMergeSink {
     * torn down and rebuilt. */
   def applyBatch(spark: SparkSession, batch: DataFrame, tableRoot: String,
                  key: String, opCol: String = "op",
-                 seqCol: Option[String] = None, batchId: Long): Unit = {
+                 seqCol: Option[String] = None, batchId: Long,
+                 passthrough: MutableParquetTable.Passthrough =
+                   MutableParquetTable.Link): Unit = {
     val target = s"$tableRoot/v$batchId"
     if (MutableParquetTable.isCommitted(target)) return
     if (Files.exists(Paths.get(target))) {
@@ -204,7 +260,8 @@ object CdcMergeSink {
     }
     val collapsed = collapse(batch, key, seqCol)
     if (collapsed.isEmpty) return // empty batch: keep the current snapshot
-    val t = MutableParquetTable(spark, latestSnapshot(tableRoot), key)
+    val t = MutableParquetTable(spark, latestSnapshot(tableRoot), key,
+      passthrough)
     t.merge(collapsed, opCol, Some(target))
   }
 
@@ -217,7 +274,9 @@ object CdcMergeSink {
             opCol: String = "op", seqCol: Option[String] = None,
             checkpointDir: Option[String] = None,
             queryName: String = "graft-cdc-merge",
-            afterBatch: Long => Unit = _ => ()): StreamingQuery = {
+            afterBatch: Long => Unit = _ => (),
+            passthrough: MutableParquetTable.Passthrough =
+              MutableParquetTable.Link): StreamingQuery = {
     val spark = mutations.sparkSession
     val cp = checkpointDir.getOrElse(
       Files.createTempDirectory("graft-cdc-cp").toString)
@@ -225,7 +284,7 @@ object CdcMergeSink {
       .queryName(queryName)
       .option("checkpointLocation", cp)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        applyBatch(spark, b, tableRoot, key, opCol, seqCol, id)
+        applyBatch(spark, b, tableRoot, key, opCol, seqCol, id, passthrough)
         afterBatch(id)
       }
       .start()
