@@ -1012,6 +1012,25 @@ object OracleSql {
       WHERE NOT (day(o_orderdate) <> 1 AND month(o_orderdate) = 2)
       ORDER BY order_date""",
 
+    // identical end state to q90 plus the NOT-MATCHED insert row — the
+    // mutations are the same, only the driving surface differs (SQL DML
+    // vs the Scala merge API)
+    "q92_sql_merge" -> """
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1)
+      SELECT * FROM (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          CAST(CASE WHEN day(o_orderdate) = 1 THEN -1 ELSE n_orders END AS BIGINT) AS n_orders,
+          round(CAST(rev AS DOUBLE), 2) AS rev
+        FROM d
+        WHERE NOT (day(o_orderdate) <> 1 AND month(o_orderdate) = 2)
+        UNION ALL
+        SELECT '1990-01-01', CAST(-2 AS BIGINT), 0.0)
+      ORDER BY order_date""",
+
     "q91_schema_evolution" -> """
       SELECT c_custkey, c_name,
         round(CAST(CASE WHEN c_custkey % 100 = 0 AND c_custkey <= 1000

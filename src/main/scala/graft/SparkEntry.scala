@@ -1012,6 +1012,46 @@ object SparkEntry {
       .orderBy(col("order_date"))
   }
 
+  /** SQL DML surface: the same mutation set as q90 driven PURELY through
+    * `spark.sql("MERGE INTO ...")` — conditional DELETE, UPDATE, and a
+    * NOT-MATCHED INSERT — against a `USING graft` temp view, executed by
+    * the injected post-hoc rule as one CoW merge commit
+    * ([[graft.plans.GraftDmlRule]]). The oracle recomputes the identical
+    * end state, so a hash match proves the SQL clause compilation
+    * (first-match-wins residuals, matched/anti joins, assignment
+    * projection) end to end. */
+  def q92_sql_merge(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q92").toString
+    val root = s"$work/t"
+    graft.GraftTable.create(daily, root, "o_orderdate", numFiles = 6)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gq92 USING graft OPTIONS (path '$root')")
+    val upd = daily.where(dayofmonth(col("o_orderdate")) === 1)
+      .select(col("o_orderdate"), lit(-1L).as("n_orders"), col("rev"),
+        lit("upd").as("action"))
+    val del = daily
+      .where(dayofmonth(col("o_orderdate")) =!= 1 && month(col("o_orderdate")) === 2)
+      .select(col("o_orderdate"), col("n_orders"), col("rev"),
+        lit("del").as("action"))
+    val ins = s.range(1).select(
+      to_date(lit("1990-01-01")).as("o_orderdate"), lit(-2L).as("n_orders"),
+      lit(0).cast(DecimalType(18, 2)).as("rev"), lit("ins").as("action"))
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("src_q92")
+    s.sql("""MERGE INTO gq92 t USING src_q92 s ON t.o_orderdate = s.o_orderdate
+             WHEN MATCHED AND s.action = 'del' THEN DELETE
+             WHEN MATCHED THEN UPDATE SET n_orders = s.n_orders
+             WHEN NOT MATCHED THEN
+               INSERT (o_orderdate, n_orders, rev) VALUES (s.o_orderdate, s.n_orders, s.rev)""")
+    // fresh load: the temp view pins the snapshot it was created over
+    s.read.format("graft").load(root)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("n_orders"), round(col("rev").cast("double"), 2).as("rev"))
+      .orderBy(col("order_date"))
+  }
+
   /** Schema evolution through the CoW merge: the batch carries a NEW
     * column (`vip_rank`), which becomes a nullable table column — old
     * passthrough files read it as null (parquet missing-column
@@ -1553,6 +1593,7 @@ object SparkEntry {
     "q89_stratified_sample" -> (q89_stratified_sample _),
     "q90_date_merge" -> (q90_date_merge _),
     "q91_schema_evolution" -> (q91_schema_evolution _),
+    "q92_sql_merge" -> (q92_sql_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

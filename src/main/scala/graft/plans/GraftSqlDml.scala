@@ -1,0 +1,304 @@
+package graft.plans
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, Literal, Not}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.GraftBatchTable
+
+/** SQL DML over graft tables: `MERGE INTO`, `DELETE FROM`, and `UPDATE`
+  * statements against a `USING graft` relation execute as the engine's
+  * copy-on-write merge — the reference's defining operation (the Thrift
+  * `Update` union model, README.md:36-43) reachable as plain SQL.
+  *
+  * Spark's built-in row-level DML requires `SupportsRowLevelOperations`
+  * (group-based rewrite plans); graft's CoW merge IS that machinery, with
+  * file routing, passthrough, and snapshot commit already built. So the
+  * injected post-hoc resolution rule intercepts the RESOLVED DML plans
+  * and converts each into one eager command that
+  *
+  *  1. builds the mutation batch as a LOGICAL PLAN over the statement's
+  *     own resolved children — joins classify matched/not-matched rows,
+  *     projections apply the resolved assignment expressions, so every
+  *     Spark expression valid in a MERGE clause works unchanged and the
+  *     batch build itself is a distributed, optimizable query (the
+  *     matched-classification join prunes the target through the graft
+  *     source's zone-map pushdown);
+  *  2. hands the batch to [[graft.GraftTable.commit]] — one CoW merge,
+  *     one new committed version.
+  *
+  * First-match-wins clause semantics are compiled into residual filters
+  * (clause i runs under ¬c₁ ∧ … ∧ ¬cᵢ₋₁ ∧ cᵢ). WHEN NOT MATCHED BY
+  * SOURCE is an anti-join from the target side. Not supported (rejected
+  * with a clear error, never silently mis-applied): schema-evolving
+  * MERGE (`WITH SCHEMA EVOLUTION`), and assignments that CHANGE a
+  * matched row's merge key (the CoW apply is key-addressed, so the old
+  * row would survive; key-preserving updates — the overwhelmingly common
+  * form — are exact).
+  *
+  * SQL MERGE's duplicate-match error (one target row matched by several
+  * source rows) is relaxed to the engine's last-writer-wins batch
+  * collapse, matching the reference's batch semantics.
+  */
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if m.resolved && targetInfo(m.targetTable).isDefined =>
+      GraftMergeCommand(m)
+    case d: DeleteFromTable if d.resolved && targetInfo(d.table).isDefined =>
+      GraftDeleteCommand(d)
+    case u: UpdateTable if u.resolved && targetInfo(u.table).isDefined =>
+      GraftUpdateCommand(u)
+    case other => other
+  }
+
+  /** The graft table behind a DML target, seen through temp-view/alias
+    * wrappers: its versioned root, merge key, and schema. None when the
+    * target is not a graft relation (the rule then leaves the plan to
+    * Spark's own handling). */
+  private[plans] def targetInfo(plan: LogicalPlan)
+      : Option[(String, String, StructType)] = {
+    @tailrec def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => unwrap(c)
+      case v: View             => unwrap(v.child)
+      case other               => other
+    }
+    unwrap(plan) match {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case g: GraftBatchTable =>
+            for {
+              root <- g.rootPath
+              key <- g.keyName
+            } yield (root, key, g.schema)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** First-match-wins residual per clause: clause i fires under
+    * ¬c₁ ∧ … ∧ ¬cᵢ₋₁ ∧ cᵢ (absent conditions are TRUE). */
+  private[plans] def residuals(actions: Seq[MergeAction])
+      : Seq[(MergeAction, Expression)] = {
+    var priorNot: Expression = Literal.TrueLiteral
+    actions.map { a =>
+      val c = a.condition.getOrElse(Literal.TrueLiteral)
+      val r = if (priorNot == Literal.TrueLiteral) c else And(priorNot, c)
+      priorNot = And(priorNot, Not(c))
+      (a, r)
+    }
+  }
+
+  private[plans] def assignmentName(a: Assignment): String = a.key match {
+    case attr: Attribute => attr.name
+    case other => throw new UnsupportedOperationException(
+      s"graft SQL DML supports top-level column assignments only, got ${other.sql}")
+  }
+
+  /** Project `base` (filtered by `residual`) to the table schema columns
+    * plus the mutation op column. */
+  private[plans] def branch(base: LogicalPlan, residual: Expression,
+                            cols: Seq[(String, Expression)],
+                            op: String): LogicalPlan = {
+    val projectList = cols.map { case (n, e) => Alias(e, n)() } :+
+      Alias(Literal(UTF8String.fromString(op),
+        org.apache.spark.sql.types.StringType), GraftDmlRule.OpCol)()
+    Project(projectList, Filter(residual, base))
+  }
+
+  private[plans] val OpCol = "__graft_sql_op"
+
+  private[plans] def attrByName(attrs: Seq[Attribute], name: String): Attribute =
+    attrs.find(_.name == name)
+      .orElse(attrs.find(_.name.equalsIgnoreCase(name)))
+      .getOrElse(throw new IllegalStateException(
+        s"DML target column $name not found among ${attrs.map(_.name).mkString(", ")}"))
+
+  /** Attributes the DML's join/filter condition proves EQUAL to the
+    * target's merge key (via conjunctive `=`/`<=>` terms): assigning the
+    * key from any of them is key-preserving. Covers `UPDATE SET *`
+    * (key = s.key under ON t.key = s.key) without admitting real moves. */
+  private[plans] def keyEquivalents(cond: Expression,
+                                    targetKey: Attribute)
+      : Set[org.apache.spark.sql.catalyst.expressions.ExprId] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    conjuncts(cond).collect {
+      case EqualTo(a: Attribute, b: Attribute)
+        if a.exprId == targetKey.exprId => b.exprId
+      case EqualTo(a: Attribute, b: Attribute)
+        if b.exprId == targetKey.exprId => a.exprId
+      case EqualNullSafe(a: Attribute, b: Attribute)
+        if a.exprId == targetKey.exprId => b.exprId
+      case EqualNullSafe(a: Attribute, b: Attribute)
+        if b.exprId == targetKey.exprId => a.exprId
+    }.toSet
+  }
+
+  /** Schema-ordered (name, value) pairs for an UPDATE-style action:
+    * assigned columns take the assignment expression, the rest keep the
+    * target attribute. Rejects assignments that would CHANGE the merge
+    * key — the CoW apply is key-addressed, so a key change would leave
+    * the old row; re-assigning the key to itself (or to a source column
+    * the condition proves equal, `keyEquiv`) is fine. */
+  private[plans] def updateCols(schema: StructType, targetAttrs: Seq[Attribute],
+                                assigns: Seq[Assignment], key: String,
+                                keyEquiv: Set[org.apache.spark.sql.catalyst.expressions.ExprId]
+                                  = Set.empty): Seq[(String, Expression)] = {
+    val targetKey = attrByName(targetAttrs, key)
+    assigns.foreach { a =>
+      val n = assignmentName(a)
+      if (n.equalsIgnoreCase(key)) a.value match {
+        case attr: Attribute
+          if attr.exprId == targetKey.exprId || keyEquiv(attr.exprId) => ()
+        case v => throw new UnsupportedOperationException(
+          s"UPDATE of the merge key ($key = ${v.sql}) is not supported — " +
+            "the copy-on-write apply is key-addressed; DELETE + INSERT instead")
+      }
+    }
+    schema.fieldNames.toSeq.map { n =>
+      val tAttr = attrByName(targetAttrs, n)
+      val assigned = assigns.find { a =>
+        a.key match {
+          case k: Attribute => k.exprId == tAttr.exprId || k.name.equalsIgnoreCase(n)
+          case _            => false
+        }
+      }
+      n -> assigned.map(_.value).getOrElse(tAttr: Expression)
+    }
+  }
+
+  /** SET-key exception: an INSERT assigns every column from the source
+    * side, key included — schema-ordered values, missing columns null. */
+  private[plans] def insertCols(schema: StructType,
+                                assigns: Seq[Assignment]): Seq[(String, Expression)] =
+    schema.fields.toSeq.map { f =>
+      val assigned = assigns.find(a => assignmentName(a).equalsIgnoreCase(f.name))
+      f.name -> assigned.map(_.value)
+        .getOrElse(Literal(null, f.dataType): Expression)
+    }
+}
+
+/** `MERGE INTO <graft table> USING <source> ON <cond> WHEN ...` as one
+  * CoW merge commit. */
+final case class GraftMergeCommand(merge: MergeIntoTable)
+    extends LeafRunnableCommand {
+
+  import GraftDmlRule._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, key, schema) = targetInfo(merge.targetTable).get
+    if (merge.withSchemaEvolution)
+      throw new UnsupportedOperationException(
+        "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables — " +
+          "evolve via the DataFrame merge (new batch columns become table columns)")
+    val target = merge.targetTable
+    val source = merge.sourceTable
+    val cond = merge.mergeCondition
+    val targetAttrs = target.output
+
+    // matched rows: inner join — both sides' attributes in scope, exactly
+    // what the resolved clause conditions/assignments reference
+    lazy val matchedBase = Join(target, source, Inner, Some(cond), JoinHint.NONE)
+    // unmatched source rows: anti join from the source side
+    lazy val notMatchedBase = Join(source, target, LeftAnti, Some(cond), JoinHint.NONE)
+    // target rows with no source match: anti join from the target side
+    lazy val notMatchedBySourceBase = Join(target, source, LeftAnti, Some(cond), JoinHint.NONE)
+
+    def targetCols: Seq[(String, Expression)] =
+      schema.fieldNames.toSeq.map(n => n -> (attrByName(targetAttrs, n): Expression))
+
+    val keyEquiv = keyEquivalents(cond, attrByName(targetAttrs, key))
+    val matched = residuals(merge.matchedActions).map {
+      case (u: UpdateAction, r) =>
+        branch(matchedBase, r,
+          updateCols(schema, targetAttrs, u.assignments, key, keyEquiv), "upsert")
+      case (d: DeleteAction, r) =>
+        branch(matchedBase, r, targetCols, "delete")
+      case (other, _) => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched = residuals(merge.notMatchedActions).map {
+      case (i: InsertAction, r) =>
+        branch(notMatchedBase, r, insertCols(schema, i.assignments), "upsert")
+      case (other, _) => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val notMatchedBySource = residuals(merge.notMatchedBySourceActions).map {
+      case (d: DeleteAction, r) =>
+        branch(notMatchedBySourceBase, r, targetCols, "delete")
+      case (u: UpdateAction, r) =>
+        branch(notMatchedBySourceBase, r,
+          updateCols(schema, targetAttrs, u.assignments, key), "upsert")
+      case (other, _) => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+
+    val branches = matched ++ notMatched ++ notMatchedBySource
+    require(branches.nonEmpty, "MERGE INTO needs at least one action clause")
+    val batchPlan = if (branches.size == 1) branches.head else Union(branches)
+    GraftSqlDml.commit(spark, root, key, batchPlan)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <graft table> [WHERE <cond>]` as one CoW merge commit.
+  * Arbitrary predicates are supported — the delete batch is the filtered
+  * target itself (keys + full rows), built as a distributed scan that
+  * benefits from the graft source's manifest pruning. */
+final case class GraftDeleteCommand(delete: DeleteFromTable)
+    extends LeafRunnableCommand {
+
+  import GraftDmlRule._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, key, schema) = targetInfo(delete.table).get
+    val targetAttrs = delete.table.output
+    val cols = schema.fieldNames.toSeq
+      .map(n => n -> (attrByName(targetAttrs, n): Expression))
+    val batchPlan = branch(delete.table, delete.condition, cols, "delete")
+    GraftSqlDml.commit(spark, root, key, batchPlan)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft table> SET ... [WHERE <cond>]` as one CoW merge commit
+  * (key-preserving assignments only, same rule as MERGE's UPDATE). */
+final case class GraftUpdateCommand(update: UpdateTable)
+    extends LeafRunnableCommand {
+
+  import GraftDmlRule._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, key, schema) = targetInfo(update.table).get
+    val targetAttrs = update.table.output
+    val cond = update.condition.getOrElse(Literal.TrueLiteral)
+    val cols = updateCols(schema, targetAttrs, update.assignments, key)
+    val batchPlan = branch(update.table, cond, cols, "upsert")
+    GraftSqlDml.commit(spark, root, key, batchPlan)
+    Seq.empty
+  }
+}
+
+private object GraftSqlDml {
+  /** Execute the batch plan and commit it as the table's next version. */
+  def commit(spark: SparkSession, root: String, key: String,
+             batchPlan: LogicalPlan): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val batch = org.apache.spark.sql.classic.GraftShims.ofRows(classic, batchPlan)
+    graft.GraftTable(spark, root, key)
+      .commit(batch, opCol = GraftDmlRule.OpCol)
+  }
+}

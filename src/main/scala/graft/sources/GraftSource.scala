@@ -166,7 +166,9 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
 
   require(allFiles.nonEmpty, s"$snapshotDir holds no parquet files")
 
-  private[sources] val keyName: Option[String] =
+  /** The table's merge key, from the manifest (None for manifest-less
+    * bare snapshots). Public: the SQL DML rule keys its CoW commit on it. */
+  val keyName: Option[String] =
     MutableParquetTable.pruneManifestFiles(snapshotDir, None, None).map(_._1)
 
   override def name(): String = s"graft:$snapshotDir"

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Package-access shim: `Dataset.ofRows` is `private[sql]`, and graft's
+  * SQL DML commands (graft.plans.GraftSqlDml) need to execute the
+  * mutation-batch logical plan they construct as a DataFrame. This is the
+  * standard extension-library technique for the few Catalyst entry points
+  * Spark does not expose publicly — no behavior, pure forwarding. */
+object GraftShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+}
