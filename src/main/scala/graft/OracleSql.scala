@@ -1031,6 +1031,14 @@ object OracleSql {
         SELECT '1990-01-01', CAST(-2 AS BIGINT), 0.0)
       ORDER BY order_date""",
 
+    "q93_catalog_sql" -> """
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        CAST(CASE WHEN c_custkey % 100 = 0 THEN -1 ELSE c_nationkey END AS BIGINT) AS nk_now,
+        CAST(c_nationkey AS BIGINT) AS nk_v0
+      FROM customer
+      WHERE c_custkey % 97 <> 0
+      ORDER BY c_custkey""",
+
     "q91_schema_evolution" -> """
       SELECT c_custkey, c_name,
         round(CAST(CASE WHEN c_custkey % 100 = 0 AND c_custkey <= 1000

@@ -1052,6 +1052,37 @@ object SparkEntry {
       .orderBy(col("order_date"))
   }
 
+  /** Catalog surface end to end, all BY NAME (no paths in the SQL):
+    * CREATE TABLE through the graft [[graft.sources.GraftCatalog]],
+    * INSERT INTO via the V2 batch write (one CoW version per statement),
+    * UPDATE / DELETE through the SQL DML rule, and a VERSION AS OF
+    * time-travel join emitting the pre-mutation value beside the current
+    * one. The oracle recomputes both states from the fixture, so a hash
+    * match proves the whole name-addressed lifecycle. */
+  def q93_catalog_sql(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q93-wh").toString
+    // catalogs are cached by name per session once used — a fresh name
+    // per invocation keeps the warehouse binding correct across reruns
+    val cat = "gq93_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q93_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.cust (c_custkey BIGINT, c_nationkey BIGINT)
+              USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.cust
+              SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT)
+              FROM q93_cust_src""")
+    s.sql(s"UPDATE $cat.ns.cust SET c_nationkey = -1 WHERE c_custkey % 100 = 0")
+    s.sql(s"DELETE FROM $cat.ns.cust WHERE c_custkey % 97 = 0")
+    s.sql(s"""SELECT cur.c_custkey, cur.c_nationkey AS nk_now,
+                     old.c_nationkey AS nk_v0
+              FROM $cat.ns.cust cur
+              JOIN $cat.ns.cust VERSION AS OF 0 old
+                ON cur.c_custkey = old.c_custkey
+              ORDER BY cur.c_custkey""")
+  }
+
   /** Schema evolution through the CoW merge: the batch carries a NEW
     * column (`vip_rank`), which becomes a nullable table column — old
     * passthrough files read it as null (parquet missing-column
@@ -1594,6 +1625,7 @@ object SparkEntry {
     "q90_date_merge" -> (q90_date_merge _),
     "q91_schema_evolution" -> (q91_schema_evolution _),
     "q92_sql_merge" -> (q92_sql_merge _),
+    "q93_catalog_sql" -> (q93_catalog_sql _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

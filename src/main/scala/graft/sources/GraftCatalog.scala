@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal [[TableCatalog]] over a warehouse directory of graft table
+  * roots, so teams address tables BY NAME instead of by path — at
+  * cluster scale the catalog is how tables are shared:
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /data/graft-warehouse
+  *
+  * CREATE TABLE graft.ns.t (id BIGINT, v DOUBLE) USING graft
+  *   TBLPROPERTIES ('key' = 'id')
+  * INSERT INTO graft.ns.t ...               -- V2 write -> CoW version
+  * SELECT * FROM graft.ns.t                 -- latest committed state
+  * SELECT * FROM graft.ns.t VERSION AS OF 3 -- time travel
+  * MERGE INTO graft.ns.t ...                -- SQL DML (GraftDmlRule)
+  * DROP TABLE graft.ns.t
+  * }}}
+  *
+  * Identifier `ns...t` maps to `<root>/<ns...>/<t>` — the same versioned
+  * layout [[graft.GraftTable]] owns (`base` + `v<n>` snapshots), so
+  * path-based and name-based access are interchangeable. CREATE TABLE
+  * commits an EMPTY base snapshot (schema + merge key in the manifest,
+  * zero data files); the first insert takes the insert-into-empty merge
+  * path. The catalog holds NO state of its own — the filesystem layout
+  * is the catalog, so there is nothing extra to replicate or recover. */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root=<warehouse dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirFor(ident: Identifier): String =
+    (root +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
+
+  private def isTableDir(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, "base"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = (root +: namespace.toSeq).mkString("/")
+    if (!Files.isDirectory(Paths.get(nsDir))) return Array.empty
+    val s = Files.list(Paths.get(nsDir))
+    try s.iterator().asScala
+      .filter(p => isTableDir(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    GraftSource.tableFor(Map("path" -> dir))
+  }
+
+  /** SQL time travel: `SELECT ... FROM graft.ns.t VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    GraftSource.tableFor(Map("path" -> dir, "version" -> version))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are key-sorted, not partitioned — Z-order/sort " +
+        "within the layout instead of directory partitioning")
+    val key = Option(properties.get("key")).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE TABLE ... USING graft requires TBLPROPERTIES ('key' = '<merge key column>')"))
+    require(schema.fieldNames.contains(key),
+      s"merge key $key is not a column of ${schema.fieldNames.mkString(", ")}")
+    val dir = dirFor(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    MutableParquetTable.commitEmpty(s"$dir/base", key, schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported — schema evolves through merges " +
+        "(new batch columns become nullable table columns)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!isTableDir(dir)) return false
+    MutableParquetTable.deleteDir(Paths.get(dir))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirFor(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirFor(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(Paths.get(to).getParent)
+    Files.move(Paths.get(from), Paths.get(to))
+  }
+}

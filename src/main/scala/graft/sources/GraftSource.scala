@@ -59,41 +59,9 @@ import graft.streaming.CdcMergeSink
   * per file); at 100 TB a key-range query opens the handful of files the
   * range lives in instead of listing and footer-probing the whole table.
   */
-final class GraftSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+final class GraftSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
-
-  /** `df.write.format("graft").mode("append").save(root)` — commit the
-    * batch as the table's NEXT version (rows upsert by key through the
-    * CoW merge; clean files hard-link through). Path-based
-    * `DataFrameWriter.save` drives V1's CreatableRelationProvider, and
-    * its DataFrame handoff is exactly what the commit path wants — no
-    * row-level writer machinery. Append only: overwriting history is an
-    * explicit `GraftTable` operation, never an implicit save mode. */
-  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
-                              mode: org.apache.spark.sql.SaveMode,
-                              parameters: Map[String, String],
-                              data: org.apache.spark.sql.DataFrame)
-      : BaseRelation = {
-    require(mode == org.apache.spark.sql.SaveMode.Append,
-      s"graft source writes are append (upsert) only, got $mode — " +
-        "rewrite history explicitly via GraftTable if needed")
-    val table = GraftSource.tableFor(parameters)
-    val root = table.rootPath.getOrElse(throw new IllegalArgumentException(
-      s"${table.snapshotDir} is a bare snapshot, not a versioned table " +
-        "root (no base/) — writes need the version chain"))
-    val key = table.keyName.getOrElse(throw new IllegalStateException(
-      s"${table.snapshotDir} has no manifest key to merge on"))
-    graft.GraftTable(data.sparkSession, root, key)
-      .commit(data.withColumn("op",
-        org.apache.spark.sql.functions.lit("upsert")))
-    new BaseRelation {
-      override def sqlContext: org.apache.spark.sql.SQLContext =
-        data.sparkSession.sqlContext
-      override def schema: StructType = table.schema
-    }
-  }
 
   override def supportsExternalMetadata(): Boolean = false
 
@@ -146,11 +114,13 @@ object GraftSource {
     lastScan = files
 }
 
-/** One committed snapshot as a V2 [[Table]] (reads; path-based writes go
-  * through the provider's [[CreatableRelationProvider]] bridge). */
+/** One committed snapshot as a V2 [[Table]]: reads, and — through the
+  * version-chain root — V2 batch writes ([[GraftWriteBuilder]]: append
+  * = one CoW merge commit). */
 final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
                             val rootPath: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   /** Manifest file list when committed; directory listing for a bare
     * `base` snapshot (writeSorted output has no manifest). */
@@ -164,7 +134,11 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
         finally s.close()
       }
 
-  require(allFiles.nonEmpty, s"$snapshotDir holds no parquet files")
+  // a committed-EMPTY snapshot (CREATE TABLE before the first insert)
+  // carries its schema in the manifest and legitimately lists no files
+  require(allFiles.nonEmpty ||
+      MutableParquetTable.manifestSchema(snapshotDir).isDefined,
+    s"$snapshotDir holds no parquet files")
 
   /** The table's merge key, from the manifest (None for manifest-less
     * bare snapshots). Public: the SQL DML rule keys its CoW commit on it. */
@@ -181,10 +155,15 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
       .getOrElse(spark.read.parquet(allFiles.head).schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, this)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(spark, this, info)
 }
 
 /** Scan builder: collects pushed filters + required columns, then builds

@@ -695,6 +695,22 @@ object MutableParquetTable {
     (Vector.fill(from.size - common)("..") ++ to.drop(common)).mkString("/")
   }
 
+  /** Commit `dir` as an EMPTY snapshot: schema + merge key, zero files —
+    * what `CREATE TABLE` produces before the first insert. Readers see an
+    * empty relation with the declared schema; the first merge takes the
+    * insert-into-empty path. */
+  def commitEmpty(dir: String, key: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val json =
+      s"""{"key":${js(key)},"keyType":"unknown","schema":${js(schema.json)},""" +
+        s""""fileCount":0,"totalRows":0,"files":[]}"""
+    val tmp = Paths.get(dir, ManifestName + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(dir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** A snapshot directory is a committed, complete snapshot iff its
     * manifest exists — the mid-merge-crash detector. */
   def isCommitted(snapshotDir: String): Boolean =
