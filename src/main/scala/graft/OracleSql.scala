@@ -1039,6 +1039,17 @@ object OracleSql {
       WHERE c_custkey % 97 <> 0
       ORDER BY c_custkey""",
 
+    "q94_composite_merge" -> """
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+        CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        CAST(CASE WHEN o_orderkey % 50 = 0
+                   AND year(CAST(o_orderdate AS DATE)) = 1995
+          THEN -1 ELSE o_custkey END AS BIGINT) AS o_custkey
+      FROM orders
+      WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 50 <> 0
+                 AND year(CAST(o_orderdate AS DATE)) = 1995)
+      ORDER BY order_date, o_orderkey""",
+
     "q91_schema_evolution" -> """
       SELECT c_custkey, c_name,
         round(CAST(CASE WHEN c_custkey % 100 = 0 AND c_custkey <= 1000

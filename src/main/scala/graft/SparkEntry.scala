@@ -1083,6 +1083,40 @@ object SparkEntry {
               ORDER BY cur.c_custkey""")
   }
 
+  /** Composite (date, id) merge key through the CoW path: the table is
+    * sorted by (o_orderdate, o_orderkey), FILE routing and zone maps use
+    * the leading date alone, and row identity is the full tuple — upserts
+    * replace one (date, key) row without touching its date-siblings,
+    * deletes remove exactly one tuple. Oracle recomputes the end state
+    * from the fixture. */
+  def q94_composite_merge(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(to_date(col("o_orderdate")).as("o_orderdate"),
+      col("o_orderkey"), col("o_custkey"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q94").toString
+    val base = s"$work/base"
+    graft.sources.ParquetTable.writeSortedBy(o, base,
+      Seq("o_orderdate", "o_orderkey"), 6)
+    // mutations clustered in ONE year so the dirty files stay a strict
+    // subset of the date-ranged layout at every fixture scale
+    val upserts = o.where(col("o_orderkey") % 50 === 0 &&
+        year(col("o_orderdate")) === 1995)
+      .withColumn("o_custkey", lit(-1L))
+      .withColumn("op", lit("upsert"))
+    // disjoint from the upsert set: the batch must be composite-unique
+    val deletes = o.where(col("o_orderkey") % 97 === 0 &&
+        col("o_orderkey") % 50 =!= 0 && year(col("o_orderdate")) === 1995)
+      .withColumn("op", lit("delete"))
+    val t = graft.sources.MutableParquetTable(s, base, "o_orderdate",
+      moreKeys = Seq("o_orderkey"))
+    val res = t.merge(upserts.unionByName(deletes), snapshotDir = Some(s"$work/v1"))
+    require(res.passthroughFiles.nonEmpty,
+      "composite merge must keep untouched-date files passed through")
+    graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+  }
+
   /** Schema evolution through the CoW merge: the batch carries a NEW
     * column (`vip_rank`), which becomes a nullable table column — old
     * passthrough files read it as null (parquet missing-column
@@ -1626,6 +1660,7 @@ object SparkEntry {
     "q91_schema_evolution" -> (q91_schema_evolution _),
     "q92_sql_merge" -> (q92_sql_merge _),
     "q93_catalog_sql" -> (q93_catalog_sql _),
+    "q94_composite_merge" -> (q94_composite_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -49,16 +49,26 @@ object MergeOps {
     * present in the batch always replaces or removes the base row.
     */
   def applyMutations(base: DataFrame, batch: DataFrame, key: String,
-                     opCol: String = "op", seqCol: Option[String] = None): DataFrame = {
+                     opCol: String = "op", seqCol: Option[String] = None): DataFrame =
+    applyMutationsMulti(base, batch, Seq(key), opCol, seqCol)
+
+  /** [[applyMutations]] on a COMPOSITE key: row identity is the full
+    * column tuple (e.g. (tenant, id) or (date, id)). Same one-anti-join +
+    * union shape — the shuffle key is simply wider. */
+  def applyMutationsMulti(base: DataFrame, batch: DataFrame, keys: Seq[String],
+                          opCol: String = "op",
+                          seqCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "at least one merge-key column required")
     val cols = base.columns
     // last-writer-wins within the batch (SURVEY.md §7.5)
     val effective = seqCol match {
       case Some(s) =>
-        val w = Window.partitionBy(col(key)).orderBy(col(s).desc)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(s).desc)
         batch.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
       case None => batch
     }
-    val survivors = base.join(effective.select(col(key)).distinct(), Seq(key), "left_anti")
+    val survivors =
+      base.join(effective.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val inserts = effective.where(col(opCol) === "upsert").select(cols.map(col): _*)
     survivors.select(cols.map(col): _*).unionByName(inserts)
   }

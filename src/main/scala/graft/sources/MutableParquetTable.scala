@@ -116,9 +116,18 @@ final case class MergeResult(
   */
 final class MutableParquetTable(spark: SparkSession, val dir: String,
     val key: String,
-    val passthrough: MutableParquetTable.Passthrough = MutableParquetTable.Link) {
+    val passthrough: MutableParquetTable.Passthrough = MutableParquetTable.Link,
+    val moreKeys: Seq[String] = Nil) {
 
   import MutableParquetTable._
+
+  /** Full merge identity: `key` is the LEADING column — it alone drives
+    * file routing, zone maps, and slicing (files are sorted by the whole
+    * tuple, so leading-column footer ranges stay valid; a leading value
+    * straddling a file boundary is absorbed by the non-cut expansion) —
+    * while row matching uses the complete tuple. Composite tables are
+    * written with [[ParquetTable.writeSortedBy]]. */
+  private val keys: Seq[String] = key +: moreKeys
 
   def read(): DataFrame = spark.read.parquet(dir)
 
@@ -201,8 +210,17 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     * copied) without ever being opened; dirty files re-merged and rewritten
     * sorted, sliced at clean-file range boundaries; manifest written last
     * as the commit marker. Returns the merge summary. */
-  def merge(batch: DataFrame, opCol: String = "op",
+  def merge(batch0: DataFrame, opCol: String = "op",
             snapshotDir: Option[String] = None): MergeResult = {
+    // composite keys reject nulls per row (codegen'd branch, no extra
+    // pass): a null in any key column would silently fail to match its
+    // base row (SQL null-join semantics) and leave stale duplicates
+    val batch =
+      if (moreKeys.isEmpty) batch0
+      else keys.foldLeft(batch0)((df, k) =>
+        df.withColumn(k, when(col(k).isNull,
+          raise_error(lit(s"null merge-key column $k — composite keys " +
+            "must be fully populated"))).otherwise(col(k))))
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
 
@@ -287,10 +305,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       // straight into the write exchange with no range-sampling pass.
       // Persist only when several runs each re-slice the merged set;
       // the common contiguous-dirty case is one pass end to end.
-      val merged0 = MergeOps.applyMutations(base, batch, key, opCol)
+      val merged0 = MergeOps.applyMutationsMulti(base, batch, keys, opCol)
       if (ranges.isEmpty) {
         ParquetTable.withMicrosTimestamps(spark) {
-          merged0.repartition(1).sortWithinPartitions(col(key))
+          merged0.repartition(1).sortWithinPartitions(keys.map(col): _*)
             .write.mode("append").parquet(outDir)
         }
         inserted = 1
@@ -345,7 +363,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
             def out(body: => Unit): Unit =
               ParquetTable.withMicrosTimestamps(spark)(body)
             if (run.size == 1) out {
-              slice.repartition(1).sortWithinPartitions(col(key))
+              slice.repartition(1).sortWithinPartitions(keys.map(col): _*)
                 .write.mode("append").parquet(target)
             } else {
               val bounds = run.tail.map(i => ranges(i).min)
@@ -358,7 +376,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                     element_at(lit(probes), bucket + 1))
                   .repartition(run.size, col("__graft_part"))
                   .drop("__graft_part")
-                  .sortWithinPartitions(col(key))
+                  .sortWithinPartitions(keys.map(col): _*)
                   .write.mode("append").parquet(target)
               }
             }
@@ -452,6 +470,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // file-level merge owns the insert-into-empty path; silently
     // committing an empty snapshot would drop the batch
     if (ranges.isEmpty) return merge(batch, opCol, snapshotDir)
+    // composite keys: a LEADING-key value straddling a file boundary
+    // breaks per-file independence (both files hold rows of that value,
+    // but each is rewritten alone) — the file-level merge rewrites
+    // straddling files together, so fall back to it
+    if (moreKeys.nonEmpty && ranges.size > 1 && ranges.sliding(2).exists {
+          case Seq(a, b) => KeyBytes.compare(a.maxBytes, b.minBytes) >= 0
+          case _         => false
+        }) return merge(batch, opCol, snapshotDir)
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
     val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
@@ -484,7 +510,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
             case (None, None)     => b
           }
           RowGroupCoW.rewriteFile(spark, f,
-            s"$outDir/${fileName(f)}", key, slice, opCol)
+            s"$outDir/${fileName(f)}", key, slice, opCol, moreKeys)
         }}
         Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
       } finally b.unpersist(false)
@@ -665,8 +691,9 @@ object MutableParquetTable {
   }
 
   def apply(spark: SparkSession, dir: String, key: String,
-            passthrough: Passthrough = Link): MutableParquetTable =
-    new MutableParquetTable(spark, dir, key, passthrough)
+            passthrough: Passthrough = Link,
+            moreKeys: Seq[String] = Nil): MutableParquetTable =
+    new MutableParquetTable(spark, dir, key, passthrough, moreKeys)
 
   /** Resolve a manifest `file` entry against its snapshot dir, textually
     * normalizing `.`/`..` segments — entries may be bare names (local

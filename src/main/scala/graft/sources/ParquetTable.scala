@@ -130,10 +130,22 @@ object ParquetTable {
     * range partitioner doing the sharding.
     */
   def writeSorted(df: DataFrame, path: String, key: String, numFiles: Int,
-                  layout: ParquetLayout = ParquetLayout()): Unit = {
+                  layout: ParquetLayout = ParquetLayout()): Unit =
+    writeSortedBy(df, path, Seq(key), numFiles, layout)
+
+  /** [[writeSorted]] on a COMPOSITE key: range-partition by the LEADING
+    * column only, sort by the full tuple. Partitioning by the whole tuple
+    * would land file boundaries mid-leading-value, making every boundary
+    * a leading-key straddle — the merge's non-cut expansion would then
+    * cascade dirtiness across the table. Cutting at leading-value
+    * boundaries keeps file-level CoW economics: a (tenant, id) table
+    * rewrites only the touched tenants' files. */
+  def writeSortedBy(df: DataFrame, path: String, keys: Seq[String],
+                    numFiles: Int, layout: ParquetLayout = ParquetLayout()): Unit = {
+    require(keys.nonEmpty, "at least one sort-key column required")
     val sorted = df
-      .repartitionByRange(numFiles, col(key))
-      .sortWithinPartitions(col(key))
+      .repartitionByRange(numFiles, col(keys.head))
+      .sortWithinPartitions(keys.map(col): _*)
     write(sorted, path, layout)
   }
 

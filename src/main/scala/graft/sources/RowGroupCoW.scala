@@ -53,7 +53,8 @@ object RowGroupCoW {
     *              keys are collected to classify row groups). */
   def rewriteFile(spark: SparkSession, srcFile: String, outFile: String,
                   keyCol: String, batch: DataFrame,
-                  opCol: String = "op"): RowGroupRewrite = {
+                  opCol: String = "op",
+                  moreKeys: Seq[String] = Nil): RowGroupRewrite = {
     val conf = spark.sparkContext.hadoopConfiguration
     val inFile = HadoopInputFile.fromPath(new Path(srcFile), conf)
     // per-group min key, both typed (for Column range filters) and as the
@@ -169,12 +170,14 @@ object RowGroupCoW {
         // the key-range filter reaches the parquet scan, so clean groups
         // of srcFile are skipped via their footer stats, not decoded
         val base = slice(spark.read.parquet(srcFile))
-        val merged = MergeOps.applyMutations(base, slice(batch), keyCol, opCol)
+        val merged = MergeOps.applyMutationsMulti(base, slice(batch),
+          keyCol +: moreKeys, opCol)
         val dir = s"$tmp/run-$runNo"
         ParquetTable.withMicrosTimestamps(spark) {
           // micros, matching the (engine-written) source file: the splice
           // below raw-copies these bytes under the SOURCE schema
-          alignNullability(merged).repartition(1).sortWithinPartitions(col(keyCol))
+          alignNullability(merged).repartition(1)
+            .sortWithinPartitions((keyCol +: moreKeys).map(col): _*)
             .write.parquet(dir)
         }
         val part = Files.list(Paths.get(dir)).iterator().asScala

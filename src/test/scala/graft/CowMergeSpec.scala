@@ -672,6 +672,82 @@ class CowMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("drift"), s"unexpected error: $e")
   }
 
+  test("composite (date, id) merge key: route by leading column, match on the tuple") {
+    val s = spark; import s.implicits._
+    val dir = freshDir()
+    // several ids per date so leading-column values straddle boundaries
+    val rows = for (d <- 0 until 40; i <- 0 until 5)
+      yield (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + d)),
+        i.toLong, (d * 5 + i).toLong)
+    val df = rows.toDF("d", "id", "v")
+    ParquetTable.writeSortedBy(df, dir, Seq("d", "id"), 6)
+    val t = MutableParquetTable(spark, dir, "d", moreKeys = Seq("id"))
+
+    val day3 = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19003))
+    val day39 = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19039))
+    val batch = Seq(
+      (day3, 2L, -1L, "upsert"),   // replace ONE id within the date
+      (day3, 99L, -2L, "upsert"),  // new id on an existing date
+      (day39, 4L, 0L, "delete"))   // delete one (date, id) row
+      .toDF("d", "id", "v", "op")
+    val res = t.merge(batch)
+    assert(res.passthroughFiles.nonEmpty, "merge must not rewrite everything")
+
+    val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+    assert(got.count() === 200 + 1 - 1)
+    assert(got.where(col("d") === day3 && col("id") === 2L).head().getLong(2) === -1L)
+    assert(got.where(col("d") === day3 && col("id") === 99L).head().getLong(2) === -2L)
+    // sibling id on the same date untouched — tuple identity, not d alone
+    assert(got.where(col("d") === day3 && col("id") === 1L).head().getLong(2) === 16L)
+    assert(got.where(col("d") === day39 && col("id") === 4L).count() === 0)
+
+    // chained composite merge on the committed snapshot
+    val t2 = MutableParquetTable(spark, res.snapshotDir, "d", moreKeys = Seq("id"))
+    val res2 = t2.merge(Seq((day3, 99L, -3L, "upsert")).toDF("d", "id", "v", "op"))
+    val got2 = MutableParquetTable.readCommitted(spark, res2.snapshotDir)
+    assert(got2.where(col("d") === day3 && col("id") === 99L).head().getLong(2) === -3L)
+    assert(got2.count() === 200)
+
+    // null in any key column is rejected, not silently mis-matched
+    val e = intercept[Exception] {
+      t2.merge(Seq((day3, null.asInstanceOf[java.lang.Long], 5L, "upsert"))
+        .toDF("d", "id", "v", "op"))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("null merge-key")), s"unexpected: $e")
+  }
+
+  test("property: random composite-key merges match applyMutationsMulti exactly") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dir = freshDir()
+    val base = (0 until 30).flatMap(g => (0 until 4).map(i =>
+      (g.toLong, s"u$i", (g * 4 + i).toLong)))
+    ParquetTable.writeSortedBy(base.toDF("g", "u", "v"), dir, Seq("g", "u"), 5)
+    var cur = dir
+    for (round <- 0 until 3) {
+      val muts = (0 until 12).map { _ =>
+        val g = rnd.nextInt(32).toLong // occasionally beyond the max group
+        val u = s"u${rnd.nextInt(6)}"  // occasionally a new id
+        val op = if (rnd.nextBoolean()) "upsert" else "delete"
+        (g, u, rnd.nextInt(1000).toLong, op)
+      }.distinct
+      // composite-unique batch (last write wins would need a seq col)
+      val uniq = muts.groupBy(m => (m._1, m._2)).map(_._2.head).toSeq
+      val batch = uniq.toDF("g", "u", "v", "op")
+      val expect = MergeOps.applyMutationsMulti(
+        spark.read.parquet(cur), batch, Seq("g", "u"))
+        .orderBy("g", "u").collect().map(_.toSeq).toSeq
+      val t = MutableParquetTable(spark, cur, "g", moreKeys = Seq("u"))
+      val res = t.merge(batch)
+      val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+        .orderBy("g", "u").collect().map(_.toSeq).toSeq
+      assert(got === expect, s"round $round diverged")
+      cur = res.snapshotDir
+    }
+  }
+
   test("fractional merge keys are rejected, never truncated") {
     val s = spark; import s.implicits._
     val dir = freshDir()
