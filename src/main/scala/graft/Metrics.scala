@@ -83,4 +83,16 @@ object Metrics {
     spark.listenerManager.register(m)
     m
   }
+
+  /** AQE-aware full plan traversal: unlike SparkPlan.collect, descends
+    * into adaptive stage wrappers and reused exchanges. Public so plan
+    * assertions (tests, telemetry) share one correct walk. */
+  def planNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: planNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: planNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: planNodes(r.child)
+    case _ => p +: p.children.flatMap(planNodes)
+  }
 }

@@ -889,16 +889,24 @@ object SparkEntry {
   }
 
   /** Distribution window functions: ntile / percent_rank / cume_dist /
-    * first_value over a total per-status order. */
+    * first_value over a total per-status order — via the SCALE-SAFE
+    * two-pass form ([[graft.operators.Skew.distributedDistribution]]):
+    * `o_orderstatus` has 3 values, so a plain window is a 3-task funnel
+    * at any cluster size; the bucketed form ranks within (status,
+    * price-bucket) sub-partitions and adds broadcast prefix offsets,
+    * with bit-identical results (property-asserted in SkewSpec, and the
+    * oracle here hash-checks them against DuckDB's own window answers). */
   def q64_window_distribution(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders(s, dir)
+    graft.operators.Skew.distributedDistribution(
+        orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        key = "o_orderstatus", order = Seq("o_totalprice", "o_orderkey"),
+        ntiles = 4, firstValueOf = Some("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        first_value(col("o_orderkey")).over(w).as("cheapest_key"))
+        col("ntile").as("quartile"),
+        round(col("percent_rank"), 6).as("pr"),
+        round(col("cume_dist"), 6).as("cd"),
+        col("first_value").as("cheapest_key"))
       .where(col("o_orderkey") < 500)
       .orderBy(col("o_orderkey"))
   }
