@@ -1315,12 +1315,18 @@ object SparkEntry {
     * oracle recomputes from the raw table, so the curve layout must
     * round-trip the data exactly; ZOrderSpec asserts the pruning wins. */
   def q74_zorder_scan(s: SparkSession, dir: String): DataFrame = {
-    val zdir = cachedDerivedDir(dir, "lineitem.parquet", "zorder-lineitem") { out =>
+    val zdir = cachedDerivedDir(dir, "lineitem.parquet", "zorder-lineitem-m") { out =>
       graft.sources.ZOrder.writeZOrdered(lineitem(s, dir), out,
         Seq("l_partkey", "l_suppkey"), 4,
         graft.sources.ParquetLayout(rowGroupBytes = Some(256 * 1024)))
+      // commit + attach BOTH curve dims' per-file ranges: the graft scan
+      // then file-prunes on l_suppkey (the second dimension) before any
+      // data IO — file-level zone maps above parquet's row-group skip
+      graft.sources.MutableParquetTable(s, out, "l_partkey").commitManifest(out)
+      graft.sources.MutableParquetTable.attachDimRanges(s, out,
+        Seq("l_partkey", "l_suppkey"))
     }
-    s.read.parquet(zdir)
+    s.read.format("graft").load(zdir)
       .where(col("l_suppkey").between(2, 4))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))

@@ -145,6 +145,13 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
   val keyName: Option[String] =
     MutableParquetTable.pruneManifestFiles(snapshotDir, None, None).map(_._1)
 
+  /** Non-key zone maps ([[MutableParquetTable.attachDimRanges]]): extra
+    * columns whose per-file bounds the manifest carries — static and
+    * runtime filters on them prune files exactly like the key does. */
+  private[sources] lazy val dimRanges
+      : Map[String, Seq[MutableParquetTable.DimRange]] =
+    MutableParquetTable.manifestDimRanges(snapshotDir)
+
   override def name(): String = s"graft:$snapshotDir"
 
   /** Manifest-embedded schema when present (zero IO beyond the manifest
@@ -268,11 +275,29 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
       GraftSource.recordScan(Nil) // metadata-only: no file is planned
       new GraftMetadataScan(values.toArray, schema)
     case None =>
-      val files = table.keyName.flatMap { k =>
+      val keyPruned = table.keyName.flatMap { k =>
         val (lo, hi) = GraftScanBuilder.keyBounds(k, filters)
         if (lo.isEmpty && hi.isEmpty) None
         else MutableParquetTable.pruneManifestFiles(table.snapshotDir, lo, hi).map(_._2)
       }.getOrElse(table.allFiles)
+      // static pruning on NON-KEY zone-mapped dims: intersect each dim's
+      // surviving files; files without a dim entry are never pruned
+      val files = table.dimRanges.foldLeft(keyPruned) {
+        case (fs, (dcol, ranges)) =>
+          val (lo, hi) = GraftScanBuilder.keyBounds(dcol, filters)
+          if (lo.isEmpty && hi.isEmpty) fs
+          else {
+            val loB = lo.map(KeyBytes.fromAny)
+            val hiB = hi.map(KeyBytes.fromAny)
+            val ranged = ranges.map(_.file).toSet
+            val keep = ranges.collect {
+              case r if hiB.forall(h => KeyBytes.compare(r.minBytes, h) <= 0) &&
+                        loB.forall(l => KeyBytes.compare(r.maxBytes, l) >= 0) =>
+                r.file
+            }.toSet
+            fs.filter(f => !ranged(f) || keep(f))
+          }
+      }
       new GraftParquetScan(spark, table, required, filters, files)
   }
 }
@@ -315,30 +340,55 @@ final class GraftParquetScan(spark: SparkSession,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    table.keyName.toArray.map(
+    (table.keyName.toSeq ++ table.dimRanges.keys).distinct.toArray.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  override def filter(runtime: Array[Filter]): Unit = {
-    val pruned = table.keyName.map { k =>
-      val perValue = runtime.flatMap {
-        case In(`k`, vs) if vs.nonEmpty && !vs.contains(null) =>
-          // point-set prune beats one [min,max] envelope when the join
-          // keys are scattered across the keyspace; ONE manifest parse
-          // for the whole set (not one per key)
-          Some(MutableParquetTable.pruneManifestFilesPoints(
-            table.snapshotDir, vs.toSeq).map(_._2).getOrElse(staticFiles))
-        case EqualTo(`k`, v) if v != null =>
-          Some(MutableParquetTable.pruneManifestFilesPoints(
-            table.snapshotDir, Seq(v)).map(_._2).getOrElse(staticFiles))
-        case _ => None
+  /** Files whose [min, max] for `dcol` contains at least one of `values`
+    * — plus every file without an entry for that dim. */
+  private def dimPointPrune(dcol: String, values: Seq[Any]): Seq[String] = {
+    val ranges = table.dimRanges(dcol)
+    val pts = values.map(KeyBytes.fromAny).sorted(KeyBytes.ordering).toArray
+    def anyIn(mnB: Array[Byte], mxB: Array[Byte]): Boolean = {
+      var lo = 0; var hi = pts.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (KeyBytes.compare(pts(mid), mnB) >= 0) { ans = mid; hi = mid - 1 }
+        else lo = mid + 1
       }
+      ans >= 0 && KeyBytes.compare(pts(ans), mxB) <= 0
+    }
+    val ranged = ranges.map(_.file).toSet
+    val keep = ranges.collect {
+      case r if anyIn(r.minBytes, r.maxBytes) => r.file
+    }.toSet
+    staticFiles.filter(f => !ranged(f) || keep(f))
+  }
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val key = table.keyName
+    val perValue = runtime.flatMap {
+      case In(c, vs) if key.contains(c) && vs.nonEmpty && !vs.contains(null) =>
+        // point-set prune beats one [min,max] envelope when the join
+        // keys are scattered across the keyspace; ONE manifest parse
+        // for the whole set (not one per key)
+        Some(MutableParquetTable.pruneManifestFilesPoints(
+          table.snapshotDir, vs.toSeq).map(_._2).getOrElse(staticFiles))
+      case EqualTo(c, v) if key.contains(c) && v != null =>
+        Some(MutableParquetTable.pruneManifestFilesPoints(
+          table.snapshotDir, Seq(v)).map(_._2).getOrElse(staticFiles))
+      case In(c, vs)
+          if table.dimRanges.contains(c) && vs.nonEmpty && !vs.contains(null) =>
+        Some(dimPointPrune(c, vs.toSeq))
+      case EqualTo(c, v) if table.dimRanges.contains(c) && v != null =>
+        Some(dimPointPrune(c, Seq(v)))
+      case _ => None
+    }
+    plannedFiles =
       if (perValue.isEmpty) staticFiles
       else {
         val keep = perValue.map(_.toSet).reduce(_ intersect _)
         staticFiles.filter(keep)
       }
-    }.getOrElse(staticFiles)
-    plannedFiles = pruned
   }
 
   override def toBatch: Batch = {

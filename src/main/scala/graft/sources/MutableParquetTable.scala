@@ -950,6 +950,73 @@ object MutableParquetTable {
       }
     }
 
+  /** Attach per-file [min, max] ranges for NON-KEY columns (typically the
+    * Z-order dims) to a committed snapshot's manifest, enabling file-level
+    * zone-map pruning on those columns too — static (pushed filters) and
+    * runtime (join-key IN-sets) — via the graft SQL source. One footer
+    * sweep per call over the manifest's files; re-attaching replaces the
+    * previous section. Merge rewrites do not carry dim ranges forward —
+    * re-attach after a merge (cost: the snapshot's file count, driver- or
+    * executor-parallel, zero data IO). */
+  def attachDimRanges(spark: SparkSession, snapshotDir: String,
+                      dims: Seq[String]): Unit = {
+    val m0 = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no $ManifestName — not a committed snapshot"))
+    // strip a previous section (values are js-escaped; ']' inside them is
+    // pathological and unsupported by this splice)
+    val m = m0.replaceAll("\"dimRanges\":\\[[^\\]]*\\],", "")
+    val entries = manifestFileNames(snapshotDir).getOrElse(Nil)
+    val resolvedToEntry =
+      entries.map(e => resolvePath(snapshotDir, e) -> e).toMap
+    val files = resolvedToEntry.keys.toSeq.sorted
+    val dimJson = dims.flatMap { d =>
+      ParquetStats.fileKeyRangesTypedFor(spark, files, d).map { r =>
+        val (tpe, mn, mx) = (r.min, r.max) match {
+          case (a: java.lang.Long, b: java.lang.Long) =>
+            ("long", a.toString, b.toString)
+          case (a: Array[Byte], b: Array[Byte]) =>
+            ("binary", a.map(x => f"$x%02x").mkString, b.map(x => f"$x%02x").mkString)
+          case (a, b) => ("string", a.toString, b.toString)
+        }
+        s"""{"dfile":${js(resolvedToEntry(r.file))},"dcol":${js(d)},""" +
+          s""""dtype":"$tpe","dmin":${js(mn)},"dmax":${js(mx)}}"""
+      }
+    }
+    val marker = "\"files\":"
+    val at = m.indexOf(marker)
+    require(at >= 0, "manifest missing files section")
+    val updated = m.substring(0, at) +
+      s""""dimRanges":[${dimJson.mkString(",")}],""" + m.substring(at)
+    val tmp = Paths.get(snapshotDir, ManifestName + ".tmp")
+    Files.writeString(tmp, updated)
+    Files.move(tmp, Paths.get(snapshotDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** A non-key column's per-file bounds, encoded for [[KeyBytes]] order. */
+  final case class DimRange(file: String, minBytes: Array[Byte],
+                            maxBytes: Array[Byte])
+
+  /** The manifest's non-key zone maps: column -> per-file encoded bounds
+    * (files resolved to absolute paths). Empty when never attached. */
+  def manifestDimRanges(snapshotDir: String): Map[String, Seq[DimRange]] =
+    readManifest(snapshotDir).map { m =>
+      val entry =
+        ("\\{\"dfile\":\"((?:[^\"\\\\]|\\\\.)*)\",\"dcol\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+          "\"dtype\":\"(\\w+)\",\"dmin\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+          "\"dmax\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+      entry.findAllMatchIn(m).map { e =>
+        val enc: String => Array[Byte] = e.group(3) match {
+          case "long"   => s => KeyBytes.fromLong(s.toLong)
+          case "binary" => hexDecode
+          case _        => KeyBytes.fromString
+        }
+        (unjs(e.group(2)),
+          DimRange(resolvePath(snapshotDir, unjs(e.group(1))),
+            enc(unjs(e.group(4))), enc(unjs(e.group(5)))))
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }.getOrElse(Map.empty)
+
   /** Type with all nested nullability flags (and field metadata)
     * erased — the drift check compares VALUE types only; nullability
     * differences are unioned away harmlessly by the merge. */

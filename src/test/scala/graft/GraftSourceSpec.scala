@@ -233,6 +233,45 @@ class GraftSourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).sorted.toSeq === Seq(5L, 6L))
   }
 
+  test("non-key dim zone maps: static AND runtime pruning on an attached dim") {
+    val s2 = spark; import s2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dims").toString
+    val fdir = s"$work/fact"
+    // fact sorted by id (the merge key); region correlates with id so
+    // per-file region ranges are tight — the Z-order/clustered-dim shape
+    val fact = (0L until 4000L).map(i => (i, i / 500L, i * 3))
+      .toDF("id", "region", "v")
+    ParquetTable.writeSorted(fact, fdir, "id", 8)
+    MutableParquetTable(spark, fdir, "id").commitManifest(fdir)
+    MutableParquetTable.attachDimRanges(spark, fdir, Seq("region"))
+
+    val df = spark.read.format("graft").load(fdir)
+    df.select("id").collect()
+    val full = GraftSource.lastScanFiles.size
+    assert(full >= 8)
+
+    // STATIC: a pushed range filter on the dim prunes before any data IO
+    val got = df.where(col("region") === 2L).collect()
+    assert(got.length === 500)
+    val prunedStatic = GraftSource.lastScanFiles.size
+    assert(prunedStatic < full, s"static dim prune: $prunedStatic vs $full")
+
+    // RUNTIME: a star join on the dim column — the broadcast side's keys
+    // reach the scan at execution time and prune via the dim zone map
+    val ddir = java.nio.file.Files.createTempDirectory("graft-dims-d").toString
+    Seq((2L, "keep"), (900L, "zzz")).toDF("r", "tag")
+      .write.mode("overwrite").parquet(ddir)
+    val dim = spark.read.parquet(ddir)
+    val joined = df.join(broadcast(dim.where(col("tag") === "keep")),
+      df("region") === dim("r"))
+    val rows = joined.collect()
+    assert(rows.length === 500)
+    val prunedRt = GraftSource.lastScanFiles.size
+    assert(prunedRt < full, s"runtime dim prune: $prunedRt vs $full")
+    assert(rows.map(_.getAs[Long]("id")).min === 1000L)
+    assert(rows.map(_.getAs[Long]("id")).max === 1499L)
+  }
+
   test("version option on a non-root path fails fast") {
     val work = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
