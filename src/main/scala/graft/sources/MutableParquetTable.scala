@@ -607,9 +607,33 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         newFiles.headOption orElse
         statless.headOption.map(n => MutableParquetTable.resolvePath(outDir, n)))
       .map(f => spark.read.parquet(f).schema.json)
+    // carry non-key dim zone maps (attachDimRanges) through the merge:
+    // passthrough files keep their source entries (re-addressed to the
+    // new snapshot), rewritten/new files get a fresh footer sweep per dim
+    // — so q74-style dim pruning survives table mutation
+    val srcDims = MutableParquetTable.manifestDimEntriesRaw(dir)
+    val dimsJson =
+      if (srcDims.isEmpty || dir == outDir) ""
+      else {
+        val dims = srcDims.map(_._2).distinct
+        val carriedNames: Map[String, String] =
+          carried.map(r => fileName(r.file) -> entryOf(r.file)).toMap
+        val kept = srcDims.collect {
+          case (f, c, t, mn, mx) if carriedNames.contains(fileName(f)) =>
+            MutableParquetTable.dimEntryJson(carriedNames(fileName(f)), c, t, mn, mx)
+        }
+        val fresh = dims.flatMap { d =>
+          ParquetStats.fileKeyRangesTypedFor(spark, newFiles, d).map { r =>
+            val (t, mn, mx) = MutableParquetTable.dimTypedRepr(r.min, r.max)
+            MutableParquetTable.dimEntryJson(fileName(r.file), d, t, mn, mx)
+          }
+        }
+        s""""dimRanges":[${(kept ++ fresh).mkString(",")}],"""
+      }
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
+        dimsJson +
         s""""fileCount":${ranges.size + statless.size},""" +
         s""""totalRows":${ranges.map(_.rowCount).sum},"files":$files}"""
     val tmp = Paths.get(outDir, ManifestName + ".tmp")
@@ -971,15 +995,8 @@ object MutableParquetTable {
     val files = resolvedToEntry.keys.toSeq.sorted
     val dimJson = dims.flatMap { d =>
       ParquetStats.fileKeyRangesTypedFor(spark, files, d).map { r =>
-        val (tpe, mn, mx) = (r.min, r.max) match {
-          case (a: java.lang.Long, b: java.lang.Long) =>
-            ("long", a.toString, b.toString)
-          case (a: Array[Byte], b: Array[Byte]) =>
-            ("binary", a.map(x => f"$x%02x").mkString, b.map(x => f"$x%02x").mkString)
-          case (a, b) => ("string", a.toString, b.toString)
-        }
-        s"""{"dfile":${js(resolvedToEntry(r.file))},"dcol":${js(d)},""" +
-          s""""dtype":"$tpe","dmin":${js(mn)},"dmax":${js(mx)}}"""
+        val (tpe, mn, mx) = dimTypedRepr(r.min, r.max)
+        dimEntryJson(resolvedToEntry(r.file), d, tpe, mn, mx)
       }
     }
     val marker = "\"files\":"
@@ -996,6 +1013,39 @@ object MutableParquetTable {
   /** A non-key column's per-file bounds, encoded for [[KeyBytes]] order. */
   final case class DimRange(file: String, minBytes: Array[Byte],
                             maxBytes: Array[Byte])
+
+  /** Raw (un-decoded) dim entries of a snapshot's manifest: (resolved
+    * file, col, dtype, dmin, dmax) with the VALUE strings kept verbatim
+    * so merges can carry passthrough files' entries forward without a
+    * decode/re-encode round trip. */
+  private[sources] def manifestDimEntriesRaw(snapshotDir: String)
+      : Seq[(String, String, String, String, String)] =
+    readManifest(snapshotDir).map { m =>
+      val entry =
+        ("\\{\"dfile\":\"((?:[^\"\\\\]|\\\\.)*)\",\"dcol\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+          "\"dtype\":\"(\\w+)\",\"dmin\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+          "\"dmax\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+      entry.findAllMatchIn(m).map { e =>
+        (resolvePath(snapshotDir, unjs(e.group(1))), unjs(e.group(2)),
+          e.group(3), unjs(e.group(4)), unjs(e.group(5)))
+      }.toSeq
+    }.getOrElse(Nil)
+
+  /** One manifest dim-entry JSON object. */
+  private[sources] def dimEntryJson(entryName: String, col: String,
+                                    dtype: String, dmin: String,
+                                    dmax: String): String =
+    s"""{"dfile":${js(entryName)},"dcol":${js(col)},""" +
+      s""""dtype":"$dtype","dmin":${js(dmin)},"dmax":${js(dmax)}}"""
+
+  /** Serialize a typed range bound pair for the manifest. */
+  private[sources] def dimTypedRepr(min: Any, max: Any): (String, String, String) =
+    (min, max) match {
+      case (a: java.lang.Long, b: java.lang.Long) => ("long", a.toString, b.toString)
+      case (a: Array[Byte], b: Array[Byte]) =>
+        ("binary", a.map(x => f"$x%02x").mkString, b.map(x => f"$x%02x").mkString)
+      case (a, b) => ("string", a.toString, b.toString)
+    }
 
   /** The manifest's non-key zone maps: column -> per-file encoded bounds
     * (files resolved to absolute paths). Empty when never attached. */

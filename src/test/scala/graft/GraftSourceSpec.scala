@@ -270,6 +270,20 @@ class GraftSourceSpec extends SparkSpec {
     assert(prunedRt < full, s"runtime dim prune: $prunedRt vs $full")
     assert(rows.map(_.getAs[Long]("id")).min === 1000L)
     assert(rows.map(_.getAs[Long]("id")).max === 1499L)
+
+    // dim ranges CARRY through a merge: passthrough files keep their
+    // entries, the rewritten file gets fresh bounds — pruning still works
+    // on the new snapshot without re-attaching
+    val t = MutableParquetTable(spark, fdir, "id")
+    val res = t.merge(
+      Seq((10L, 0L, -30L, "upsert")).toDF("id", "region", "v", "op"))
+    assert(res.passthroughFiles.nonEmpty)
+    val df2 = spark.read.format("graft").load(res.snapshotDir)
+    val got2 = df2.where(col("region") === 2L).collect()
+    assert(got2.length === 500)
+    assert(GraftSource.lastScanFiles.size < full,
+      "dim pruning must survive the merge")
+    assert(df2.where(col("id") === 10L).head().getLong(2) === -30L)
   }
 
   test("version option on a non-root path fails fast") {
