@@ -61,11 +61,12 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   }
 
   /** The graft table behind a DML target, seen through temp-view/alias
-    * wrappers: its versioned root, merge key, and schema. None when the
-    * target is not a graft relation (the rule then leaves the plan to
-    * Spark's own handling). */
+    * wrappers: its versioned root, merge key columns (leading + any
+    * composite secondaries), and schema. None when the target is not a
+    * graft relation (the rule then leaves the plan to Spark's own
+    * handling). */
   private[plans] def targetInfo(plan: LogicalPlan)
-      : Option[(String, String, StructType)] = {
+      : Option[(String, Seq[String], StructType)] = {
     @tailrec def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => unwrap(c)
       case v: View             => unwrap(v.child)
@@ -78,7 +79,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             for {
               root <- g.rootPath
               key <- g.keyName
-            } yield (root, key, g.schema)
+            } yield (root, key +: g.moreKeyNames, g.schema)
           case _ => None
         }
       case _ => None
@@ -149,23 +150,28 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
   /** Schema-ordered (name, value) pairs for an UPDATE-style action:
     * assigned columns take the assignment expression, the rest keep the
-    * target attribute. Rejects assignments that would CHANGE the merge
-    * key — the CoW apply is key-addressed, so a key change would leave
-    * the old row; re-assigning the key to itself (or to a source column
-    * the condition proves equal, `keyEquiv`) is fine. */
+    * target attribute. Rejects assignments that would CHANGE any merge
+    * key column (leading or composite secondary) — the CoW apply is
+    * key-addressed, so a key change would leave the old row behind;
+    * re-assigning a key to itself (or to a source column the condition
+    * proves equal, `keyEquiv(col)`) is fine. */
   private[plans] def updateCols(schema: StructType, targetAttrs: Seq[Attribute],
-                                assigns: Seq[Assignment], key: String,
-                                keyEquiv: Set[org.apache.spark.sql.catalyst.expressions.ExprId]
-                                  = Set.empty): Seq[(String, Expression)] = {
-    val targetKey = attrByName(targetAttrs, key)
+                                assigns: Seq[Assignment], keys: Seq[String],
+                                keyEquiv: Map[String,
+                                  Set[org.apache.spark.sql.catalyst.expressions.ExprId]]
+                                  = Map.empty): Seq[(String, Expression)] = {
     assigns.foreach { a =>
       val n = assignmentName(a)
-      if (n.equalsIgnoreCase(key)) a.value match {
-        case attr: Attribute
-          if attr.exprId == targetKey.exprId || keyEquiv(attr.exprId) => ()
-        case v => throw new UnsupportedOperationException(
-          s"UPDATE of the merge key ($key = ${v.sql}) is not supported — " +
-            "the copy-on-write apply is key-addressed; DELETE + INSERT instead")
+      keys.find(_.equalsIgnoreCase(n)).foreach { k =>
+        val targetKey = attrByName(targetAttrs, k)
+        a.value match {
+          case attr: Attribute
+            if attr.exprId == targetKey.exprId ||
+               keyEquiv.getOrElse(k, Set.empty)(attr.exprId) => ()
+          case v => throw new UnsupportedOperationException(
+            s"UPDATE of the merge key ($k = ${v.sql}) is not supported — " +
+              "the copy-on-write apply is key-addressed; DELETE + INSERT instead")
+        }
       }
     }
     schema.fieldNames.toSeq.map { n =>
@@ -199,7 +205,8 @@ final case class GraftMergeCommand(merge: MergeIntoTable)
   import GraftDmlRule._
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (root, key, schema) = targetInfo(merge.targetTable).get
+    val (root, keys, schema) = targetInfo(merge.targetTable).get
+    val key = keys.head
     if (merge.withSchemaEvolution)
       throw new UnsupportedOperationException(
         "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables — " +
@@ -220,11 +227,12 @@ final case class GraftMergeCommand(merge: MergeIntoTable)
     def targetCols: Seq[(String, Expression)] =
       schema.fieldNames.toSeq.map(n => n -> (attrByName(targetAttrs, n): Expression))
 
-    val keyEquiv = keyEquivalents(cond, attrByName(targetAttrs, key))
+    val keyEquiv = keys.map(k =>
+      k -> keyEquivalents(cond, attrByName(targetAttrs, k))).toMap
     val matched = residuals(merge.matchedActions).map {
       case (u: UpdateAction, r) =>
         branch(matchedBase, r,
-          updateCols(schema, targetAttrs, u.assignments, key, keyEquiv), "upsert")
+          updateCols(schema, targetAttrs, u.assignments, keys, keyEquiv), "upsert")
       case (d: DeleteAction, r) =>
         branch(matchedBase, r, targetCols, "delete")
       case (other, _) => throw new UnsupportedOperationException(
@@ -241,7 +249,7 @@ final case class GraftMergeCommand(merge: MergeIntoTable)
         branch(notMatchedBySourceBase, r, targetCols, "delete")
       case (u: UpdateAction, r) =>
         branch(notMatchedBySourceBase, r,
-          updateCols(schema, targetAttrs, u.assignments, key), "upsert")
+          updateCols(schema, targetAttrs, u.assignments, keys), "upsert")
       case (other, _) => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
@@ -264,12 +272,12 @@ final case class GraftDeleteCommand(delete: DeleteFromTable)
   import GraftDmlRule._
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (root, key, schema) = targetInfo(delete.table).get
+    val (root, keys, schema) = targetInfo(delete.table).get
     val targetAttrs = delete.table.output
     val cols = schema.fieldNames.toSeq
       .map(n => n -> (attrByName(targetAttrs, n): Expression))
     val batchPlan = branch(delete.table, delete.condition, cols, "delete")
-    GraftSqlDml.commit(spark, root, key, batchPlan)
+    GraftSqlDml.commit(spark, root, keys.head, batchPlan)
     Seq.empty
   }
 }
@@ -282,12 +290,12 @@ final case class GraftUpdateCommand(update: UpdateTable)
   import GraftDmlRule._
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (root, key, schema) = targetInfo(update.table).get
+    val (root, keys, schema) = targetInfo(update.table).get
     val targetAttrs = update.table.output
     val cond = update.condition.getOrElse(Literal.TrueLiteral)
-    val cols = updateCols(schema, targetAttrs, update.assignments, key)
+    val cols = updateCols(schema, targetAttrs, update.assignments, keys)
     val batchPlan = branch(update.table, cond, cols, "upsert")
-    GraftSqlDml.commit(spark, root, key, batchPlan)
+    GraftSqlDml.commit(spark, root, keys.head, batchPlan)
     Seq.empty
   }
 }

@@ -87,14 +87,20 @@ final class GraftCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "graft tables are key-sorted, not partitioned — Z-order/sort " +
         "within the layout instead of directory partitioning")
-    val key = Option(properties.get("key")).getOrElse(
-      throw new IllegalArgumentException(
-        "CREATE TABLE ... USING graft requires TBLPROPERTIES ('key' = '<merge key column>')"))
-    require(schema.fieldNames.contains(key),
-      s"merge key $key is not a column of ${schema.fieldNames.mkString(", ")}")
+    // 'key' = one column, or a comma-separated tuple for COMPOSITE
+    // identity: the first column routes (files/zone maps), the full
+    // tuple is row identity
+    val keyCols = Option(properties.get("key")).map(
+        _.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE ... USING graft requires TBLPROPERTIES ('key' = '<merge key column[, more]>')"))
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key $k is not a column of ${schema.fieldNames.mkString(", ")}"))
     val dir = dirFor(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
-    MutableParquetTable.commitEmpty(s"$dir/base", key, schema)
+    MutableParquetTable.commitEmpty(s"$dir/base", keyCols.head, schema,
+      keyCols.tail)
     loadTable(ident)
   }
 

@@ -145,6 +145,11 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
   val keyName: Option[String] =
     MutableParquetTable.pruneManifestFiles(snapshotDir, None, None).map(_._1)
 
+  /** Secondary key columns of a composite-identity table (empty for
+    * single-key tables). */
+  val moreKeyNames: Seq[String] =
+    MutableParquetTable.manifestMoreKeys(snapshotDir)
+
   /** Non-key zone maps ([[MutableParquetTable.attachDimRanges]]): extra
     * columns whose per-file bounds the manifest carries — static and
     * runtime filters on them prune files exactly like the key does. */

@@ -632,6 +632,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       }
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
+        (if (moreKeys.isEmpty) ""
+         else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
         s""""fileCount":${ranges.size + statless.size},""" +
@@ -751,10 +753,14 @@ object MutableParquetTable {
     * empty relation with the declared schema; the first merge takes the
     * insert-into-empty path. */
   def commitEmpty(dir: String, key: String,
-                  schema: org.apache.spark.sql.types.StructType): Unit = {
+                  schema: org.apache.spark.sql.types.StructType,
+                  moreKeys: Seq[String] = Nil): Unit = {
     Files.createDirectories(Paths.get(dir))
     val json =
-      s"""{"key":${js(key)},"keyType":"unknown","schema":${js(schema.json)},""" +
+      s"""{"key":${js(key)},"keyType":"unknown",""" +
+        (if (moreKeys.isEmpty) ""
+         else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
+        s""""schema":${js(schema.json)},""" +
         s""""fileCount":0,"totalRows":0,"files":[]}"""
     val tmp = Paths.get(dir, ManifestName + ".tmp")
     Files.writeString(tmp, json)
@@ -766,6 +772,14 @@ object MutableParquetTable {
     * manifest exists — the mid-merge-crash detector. */
   def isCommitted(snapshotDir: String): Boolean =
     Files.exists(Paths.get(snapshotDir, ManifestName))
+
+  /** A committed snapshot's SECONDARY key columns (composite merge
+    * identity beyond the leading routing key), when recorded. */
+  def manifestMoreKeys(snapshotDir: String): Seq[String] =
+    readManifest(snapshotDir).flatMap { m =>
+      "\"moreKeys\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+        .map(x => unjs(x.group(1)).split(',').toSeq.filter(_.nonEmpty))
+    }.getOrElse(Nil)
 
   /** Raw manifest JSON, if committed. */
   def readManifest(snapshotDir: String): Option[String] =

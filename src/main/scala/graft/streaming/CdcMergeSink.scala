@@ -260,8 +260,13 @@ object CdcMergeSink {
     }
     val collapsed = collapse(batch, key, seqCol)
     if (collapsed.isEmpty) return // empty batch: keep the current snapshot
-    val t = MutableParquetTable(spark, latestSnapshot(tableRoot), key,
-      passthrough)
+    val snap = latestSnapshot(tableRoot)
+    // composite identity is a property of the TABLE, recorded in its
+    // manifest — discovered here so every writer (SQL INSERT, DML rule,
+    // streaming sink, facade commits) merges on the full tuple without
+    // each call site threading it through
+    val t = MutableParquetTable(spark, snap, key, passthrough,
+      MutableParquetTable.manifestMoreKeys(snap))
     t.merge(collapsed, opCol, Some(target))
   }
 

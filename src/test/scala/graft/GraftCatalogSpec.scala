@@ -75,6 +75,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.ns2").collect().isEmpty)
   }
 
+  test("composite-key table by name: tuple identity through INSERT and MERGE INTO") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.ck (d BIGINT, u STRING, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'd, u')""")
+    spark.sql("""INSERT INTO graft.ns.ck
+                 SELECT id % 10, concat('u', id DIV 10), id FROM range(0, 40)""")
+    assert(spark.sql("SELECT count(*) FROM graft.ns.ck").head().getLong(0) === 40)
+    // upsert ONE (d, u) tuple by a second insert: its date-sibling stays
+    spark.sql("INSERT INTO graft.ns.ck VALUES (3, 'u1', -1)")
+    val got = spark.sql("SELECT * FROM graft.ns.ck WHERE d = 3 ORDER BY u").collect()
+    assert(got.length === 4)
+    assert(got(1).getString(1) === "u1" && got(1).getLong(2) === -1L)
+    assert(got(2).getString(1) === "u2" && got(2).getLong(2) != -1L)
+    // MERGE INTO on the full tuple
+    import spark.implicits._
+    Seq((3L, "u2", 99L)).toDF("d", "u", "nv").createOrReplaceTempView("cksrc")
+    spark.sql("""MERGE INTO graft.ns.ck t USING cksrc s
+                 ON t.d = s.d AND t.u = s.u
+                 WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    val after = spark.sql("SELECT * FROM graft.ns.ck WHERE d = 3 ORDER BY u").collect()
+    assert(after(2).getLong(2) === 99L)
+    assert(after(1).getLong(2) === -1L, "sibling tuple untouched")
+    // changing a SECONDARY key column is rejected like the leading one
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.ns.ck SET u = 'moved' WHERE d = 3")
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("merge key")), s"unexpected: $e")
+  }
+
   test("CREATE TABLE validation: key property required and must be a column") {
     warehouse
     intercept[Exception] {
