@@ -165,17 +165,20 @@ object GraftTable {
     * the whole table instead of stopping at schema boundaries. */
   def create(df: DataFrame, root: String, key: String, numFiles: Int,
              layout: graft.sources.ParquetLayout =
-               graft.sources.ParquetLayout()): GraftTable = {
+               graft.sources.ParquetLayout(),
+             moreKeys: Seq[String] = Nil): GraftTable = {
     val spark = df.sparkSession
     val nullable = spark.createDataFrame(df.rdd,
       org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))))
-    ParquetTable.writeSorted(nullable, s"$root/base", key, numFiles, layout)
+    ParquetTable.writeSortedBy(nullable, s"$root/base", key +: moreKeys,
+      numFiles, layout)
     // commit the base like every later version: the manifest gives it the
     // stray-file discipline, metadata-only counts/bounds, zone-map reads
-    // without footer probes, and records the merge key for SQL writers
-    graft.sources.MutableParquetTable(spark, s"$root/base", key)
-      .commitManifest(s"$root/base")
+    // without footer probes, and records the merge key(s) for SQL writers
+    // — later commits DISCOVER the composite identity from the manifest
+    graft.sources.MutableParquetTable(spark, s"$root/base", key,
+      moreKeys = moreKeys).commitManifest(s"$root/base")
     new GraftTable(spark, root, key)
   }
 }

@@ -49,6 +49,23 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 100)
   }
 
+  test("composite-key facade: create records the tuple, commits discover it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-table-ck").toString
+    val t = GraftTable.create(
+      spark.range(0, 60).select((col("id") % 6).as("g"),
+        concat(lit("u"), (col("id") / 6).cast("long")).as("u"), col("id").as("v")),
+      root, "g", numFiles = 3, moreKeys = Seq("u"))
+    // tuple identity through a facade commit — no moreKeys at the call site
+    import spark.implicits._
+    t.commit(Seq((3L, "u2", -1L, "upsert"), (3L, "u5", 0L, "delete"))
+      .toDF("g", "u", "v", "op"))
+    val got = t.read().where(col("g") === 3).orderBy("u").collect()
+    assert(got.length === 9)
+    assert(got.find(_.getString(1) == "u2").get.getLong(2) === -1L)
+    assert(!got.exists(_.getString(1) == "u5"))
+    assert(got.find(_.getString(1) == "u1").get.getLong(2) === 9L)
+  }
+
   test("compaction commits as a version: content identical, feed empty, range scan prunes") {
     val root = java.nio.file.Files.createTempDirectory("graft-table-c").toString
     val t = GraftTable.create(
