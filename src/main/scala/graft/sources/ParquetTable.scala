@@ -27,6 +27,15 @@ import org.apache.spark.sql.types._
   *                        granularity: `parquet.enable.dictionary#col`.
   *                        Columns absent from the map inherit
   *                        `dictionaryEnabled`.
+  * @param plainTypes      parquet PHYSICAL type names (INT32 | INT64 |
+  *                        FLOAT | DOUBLE | BINARY | FIXED_LEN_BYTE_ARRAY)
+  *                        whose columns are forced to PLAIN encoding — the
+  *                        reference's per-physical-type dictionary kill
+  *                        switch (ProxiedProperties.java:43-55), expressed
+  *                        by expanding the type rule over the write schema
+  *                        into parquet-mr's per-column keys. Explicit
+  *                        [[columnDictionary]] entries win over the type
+  *                        rule.
   * @param bloomFilterColumns columns to write parquet bloom filters for
   *                        (`parquet.bloom.filter.enabled#col`) — point
   *                        lookups on a non-sort key can skip row groups the
@@ -41,6 +50,7 @@ final case class ParquetLayout(
     dictionaryEnabled: Boolean = true,
     pageBytes: Option[Long] = None,
     columnDictionary: Map[String, Boolean] = Map.empty,
+    plainTypes: Set[String] = Set.empty,
     bloomFilterColumns: Seq[String] = Nil,
     bloomFilterNdv: Map[String, Long] = Map.empty,
     // parquet format writer version (PARQUET_1_0 | PARQUET_2_0) — the
@@ -107,7 +117,15 @@ object ParquetTable {
     layout.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     w = w.option("compression", layout.compression)
     w = w.option("parquet.enable.dictionary", layout.dictionaryEnabled.toString)
-    layout.columnDictionary.foreach { case (c, on) =>
+    // expand the per-physical-type PLAIN rule over this write's schema,
+    // then let explicit per-column entries override it
+    val typePlain: Map[String, Boolean] =
+      if (layout.plainTypes.isEmpty) Map.empty
+      else df.schema.fields.iterator.collect {
+        case f if physicalTypeOf(f.dataType).exists(layout.plainTypes) =>
+          f.name -> false
+      }.toMap
+    (typePlain ++ layout.columnDictionary).foreach { case (c, on) =>
       w = w.option(s"parquet.enable.dictionary#$c", on.toString)
     }
     layout.bloomFilterColumns.foreach { c =>
@@ -118,6 +136,23 @@ object ParquetTable {
     }
     layout.writerVersion.foreach(v => w = w.option("parquet.writer.version", v))
     withMicrosTimestamps(df.sparkSession) { w.parquet(path) }
+  }
+
+  /** Parquet physical type a Spark column writes as (Spark's standard,
+    * non-legacy parquet schema mapping) — the granularity of the
+    * reference's encoding override (ProxiedProperties.java:43-55).
+    * Nested/unknown types map to None (the type rule never touches them). */
+  def physicalTypeOf(dt: DataType): Option[String] = dt match {
+    case BooleanType                               => Some("BOOLEAN")
+    case ByteType | ShortType | IntegerType | DateType => Some("INT32")
+    case LongType | TimestampType | TimestampNTZType   => Some("INT64")
+    case FloatType                                 => Some("FLOAT")
+    case DoubleType                                => Some("DOUBLE")
+    case StringType | BinaryType                   => Some("BINARY")
+    case d: DecimalType if d.precision <= 9        => Some("INT32")
+    case d: DecimalType if d.precision <= 18       => Some("INT64")
+    case _: DecimalType                            => Some("FIXED_LEN_BYTE_ARRAY")
+    case _                                         => None
   }
 
   /** Write key-sorted: range-partition by key then sort within partitions.

@@ -787,6 +787,35 @@ class CowMergeSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("per-physical-type PLAIN forcing expands over the schema (S19)") {
+    // the reference kills dictionary per PHYSICAL type (ProxiedProperties
+    // .java:43-55); plainTypes expands the same rule into per-column keys —
+    // and an explicit columnDictionary entry overrides the type rule
+    val dir = freshDir()
+    val df = spark.sql(
+      """SELECT id % 5 AS n1, id % 5 AS n2, CAST(id % 5 AS STRING) AS s,
+        |       CAST(id % 5 AS DOUBLE) AS d FROM range(0, 5000)""".stripMargin)
+    ParquetTable.write(df.coalesce(1), dir,
+      ParquetLayout(plainTypes = Set("INT64", "DOUBLE"),
+        columnDictionary = Map("n2" -> true)))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(listParquet(dir).head.toString),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      def dictOf(name: String): Boolean = {
+        val cc = (0 until cols.size()).map(cols.get)
+          .find(_.getPath.toDotString == name).get
+        cc.getEncodings.toString.contains("DICTIONARY")
+      }
+      assert(!dictOf("n1"), "INT64 column must be plain-encoded")
+      assert(!dictOf("d"), "DOUBLE column must be plain-encoded")
+      assert(dictOf("s"), "BINARY column is outside the rule — dictionary")
+      assert(dictOf("n2"), "explicit per-column entry must beat the type rule")
+    } finally reader.close()
+  }
+
   test("parquet writer version reaches the footer encodings (S21)") {
     // the reference's format-version switch (ParquetBlockMutator.java:110):
     // v2 data pages use the DELTA_* encodings, v1 stays PLAIN — visible in
