@@ -34,14 +34,18 @@ final class GraftTable private (val spark: SparkSession, val root: String,
 
   /** Apply a mutation batch (`opCol` = 'upsert' | 'delete') as one CoW
     * merge; returns the new version id. Empty batches commit nothing and
-    * return the current latest version (-1 = only the base exists). */
+    * return the current latest version (-1 = only the base exists).
+    *
+    * Safe under CONCURRENT writers — threads or separate drivers on a
+    * shared filesystem ([[OptimisticCommit]]): each commit stages
+    * privately and publishes with one atomic rename; losers of the
+    * publish race rebase or re-merge against the new head. Every write
+    * surface funnels here (SQL MERGE/DELETE/UPDATE via the DML rule,
+    * INSERT INTO via the V2 write), so they all inherit the protocol. */
   def commit(batch: DataFrame, opCol: String = "op",
-             seqCol: Option[String] = None): Long = {
-    val next = versions.lastOption.map(_ + 1).getOrElse(0L)
-    CdcMergeSink.applyBatch(spark, batch, root, key, opCol, seqCol, next,
-      passthrough)
-    versions.lastOption.getOrElse(-1L)
-  }
+             seqCol: Option[String] = None): Long =
+    OptimisticCommit.commit(spark, root, key, batch, opCol, seqCol,
+      passthrough).version
 
   /** Latest committed state. */
   def read(): DataFrame =
@@ -60,7 +64,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * `_changes/v{id}` (delta-priced: the feed write costs the rows the
     * merge touched, never the table). Persisted feeds are what
     * [[changeFeedStream]] consumes; tables mixing commit and
-    * commitWithFeed simply have gaps in the streamed history. */
+    * commitWithFeed simply have gaps in the streamed history. Under
+    * concurrent writers the persisted feed spans (observed prev →
+    * this commit], so it can include a racing writer's changes — CDC
+    * consumers needing exact per-commit deltas should keep feed-writing
+    * commits on one writer. */
   def commitWithFeed(batch: DataFrame, opCol: String = "op",
                      seqCol: Option[String] = None): Long = {
     val prev = versions.lastOption.getOrElse(-1L)

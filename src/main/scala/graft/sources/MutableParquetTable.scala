@@ -1096,7 +1096,7 @@ object MutableParquetTable {
   private def fileName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
 
-  private[sources] def deleteDir(dir: java.nio.file.Path): Unit = {
+  private[graft] def deleteDir(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(dir)
     try s.sorted(java.util.Comparator.reverseOrder())

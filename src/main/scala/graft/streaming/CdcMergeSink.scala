@@ -181,8 +181,23 @@ object CdcMergeSink {
     * leftover dirs are re-swept every call, so files are reclaimed the
     * moment their last referencing version goes. As-of reads below the
     * retention horizon resolve to the base state. Returns dropped ids. */
-  def vacuum(tableRoot: String, keepLast: Int): Seq[Long] = {
+  def vacuum(tableRoot: String, keepLast: Int,
+             txRetainMillis: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the latest version")
+    // abandoned optimistic-commit staging dirs (writer crashed between
+    // stage and publish): invisible to readers, reclaimed after a
+    // retention window long enough that no live writer still owns one
+    if (Files.isDirectory(Paths.get(tableRoot))) {
+      import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - txRetainMillis
+      val s = Files.list(Paths.get(tableRoot))
+      val stale = try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".tx-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList
+      finally s.close()
+      stale.foreach(deleteRecursively)
+    }
     val all = versions(tableRoot)
     val keep = all.takeRight(keepLast)
     val drop = all.dropRight(keepLast)

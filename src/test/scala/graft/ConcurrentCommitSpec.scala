@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CdcMergeSink
+
+/** Multi-writer optimistic concurrency on the version chain
+  * ([[OptimisticCommit]]): concurrent commits all land, versions stay
+  * contiguous and linearized, conflicts are detected and retried (never
+  * lost), and crashed staging debris is invisible and reclaimable. */
+class ConcurrentCommitSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-occ").toString
+
+  private def mkTable(root: String, n: Long = 200, files: Int = 4): GraftTable =
+    GraftTable.create(
+      spark.range(0, n).select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, "k", numFiles = files)
+
+  test("concurrent committers all land: contiguous versions, no lost updates") {
+    val root = freshRoot()
+    val t = mkTable(root)
+    import spark.implicits._
+    // four writers, disjoint key sets spread across the same files —
+    // every pair of commits conflicts at publish time if interleaved
+    val batches = (0 until 4).map { w =>
+      Seq.tabulate(10)(i => (w + 4L * i, -(w + 4L * i), "upsert"))
+        .toDF("k", "v", "op")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val landed = Await.result(
+      Future.sequence(batches.map(b => Future { t.commit(b) })), Duration.Inf)
+    assert(landed.sorted === Seq(0L, 1L, 2L, 3L))
+    assert(t.versions === Seq(0L, 1L, 2L, 3L))
+    val got = t.read().orderBy("k").collect()
+    assert(got.length === 200)
+    // all 40 upserts survived — no commit clobbered another
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val expected = if (k < 40) -k else 2 * k
+      assert(r.getLong(1) === expected, s"key $k")
+    }
+    // no staging debris after clean publishes
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(root))
+    val tx = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".tx-")).toList
+    finally s.close()
+    assert(tx.isEmpty, s"leftover staging dirs: $tx")
+  }
+
+  test("publish conflict is detected and retried with the competitor applied first") {
+    val root = freshRoot()
+    mkTable(root)
+    import spark.implicits._
+    val mine = Seq((7L, 777L, "upsert")).toDF("k", "v", "op")
+    val theirs = Seq((7L, 111L, "upsert"), (8L, 888L, "upsert")).toDF("k", "v", "op")
+    // deterministic interleave: a competitor commits AFTER we staged our
+    // merge but BEFORE we publish — our first publish must lose
+    var fired = false
+    val r = OptimisticCommit.commit(spark, root, "k", mine,
+      testHookAfterStage = () => {
+        if (!fired) { fired = true
+          assert(OptimisticCommit.commit(spark, root, "k", theirs).version === 0L)
+        }
+      })
+    assert(r.version === 1L, "loser must land AFTER the competitor")
+    assert(r.attempts === 2, "exactly one publish race lost, one retry")
+    val got = GraftTable(spark, root, "k").read()
+      .where(col("k").isin(7L, 8L)).orderBy("k").collect()
+    // linearized: theirs (v0) then mine (v1) — mine wins key 7, theirs' 8 stays
+    assert(got.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((7L, 777L), (8L, 888L)))
+  }
+
+  test("empty batch commits nothing and returns the current latest") {
+    val root = freshRoot()
+    val t = mkTable(root, n = 20, files = 2)
+    import spark.implicits._
+    t.commit(Seq((3L, 33L, "upsert")).toDF("k", "v", "op"))
+    val r = OptimisticCommit.commit(spark, root, "k",
+      Seq.empty[(Long, Long, String)].toDF("k", "v", "op"))
+    assert(r.version === 0L && r.attempts === 0 && r.merge.isEmpty)
+    assert(t.versions === Seq(0L))
+  }
+
+  test("an uncommitted foreign dir on the next slot fails loudly, not silently") {
+    val root = freshRoot()
+    mkTable(root, n = 20, files = 2)
+    // a crashed direct applyBatch target: exists, non-empty, no manifest
+    Files.createDirectories(Paths.get(s"$root/v0"))
+    Files.writeString(Paths.get(s"$root/v0/junk.parquet"), "not parquet")
+    import spark.implicits._
+    val e = intercept[OptimisticCommit.BlockedSlotException] {
+      OptimisticCommit.commit(spark, root, "k",
+        Seq((1L, 11L, "upsert")).toDF("k", "v", "op"))
+    }
+    assert(e.getMessage.contains("v0"))
+  }
+
+  test("vacuum sweeps abandoned staging dirs after the retention window") {
+    val root = freshRoot()
+    val t = mkTable(root, n = 20, files = 2)
+    import spark.implicits._
+    t.commit(Seq((3L, 33L, "upsert")).toDF("k", "v", "op"))
+    val stale = Paths.get(s"$root/.tx-deadbeef")
+    val fresh = Paths.get(s"$root/.tx-cafebabe")
+    Files.createDirectories(stale); Files.createDirectories(fresh)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    CdcMergeSink.vacuum(root, keepLast = 1)
+    assert(!Files.exists(stale), "stale .tx dir must be reclaimed")
+    assert(Files.exists(fresh), "a live writer's staging dir must survive")
+    Files.delete(fresh)
+  }
+}
