@@ -12,6 +12,7 @@ import graft.streaming.CdcMergeSink
   * the attempt that won. `merge` is None for empty batches (nothing
   * committed). */
 final case class ConcurrentCommit(version: Long, attempts: Int,
+                                  rebases: Int,
                                   merge: Option[MergeResult])
 
 /** Multi-writer OPTIMISTIC CONCURRENCY for the version chain.
@@ -86,8 +87,9 @@ object OptimisticCommit {
     val collapsed = CdcMergeSink.collapse(batch, key, seqCol)
     if (collapsed.isEmpty)
       return ConcurrentCommit(
-        CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L), 0, None)
+        CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L), 0, 0, None)
     var attempts = 0
+    var rebases = 0
     var staged: Option[Staged] = None
     try {
       while (attempts < maxAttempts) {
@@ -110,7 +112,7 @@ object OptimisticCommit {
         val targetDir = s"$tableRoot/v$target"
         if (tryPublish(st.dir, targetDir)) {
           staged = None
-          return ConcurrentCommit(target, attempts,
+          return ConcurrentCommit(target, attempts, rebases,
             Some(st.merge.copy(snapshotDir = targetDir)))
         }
         // slot taken: with staged dirs publishing manifest-complete, any
@@ -123,8 +125,9 @@ object OptimisticCommit {
             s"$targetDir exists but is not a committed snapshot — a " +
               "crashed direct applyBatch target or foreign directory is " +
               "blocking the version chain; remove it (vacuum) and retry")
-        staged = tryRebase(spark, tableRoot, st, nowLast, key, passthrough)
-        if (staged.isEmpty) deleteQuietly(st.dir) // re-merge from scratch
+        staged = tryRebase(tableRoot, st, nowLast, key, passthrough)
+        if (staged.isDefined) rebases += 1
+        else deleteQuietly(st.dir) // re-merge from scratch
       }
       throw new IllegalStateException(
         s"commit on $tableRoot lost the publish race $maxAttempts times — " +
@@ -152,11 +155,102 @@ object OptimisticCommit {
           if Files.exists(Paths.get(target)) => false
     }
 
-  /** Metadata-only conflict resolution — Phase 2; None = re-merge. */
-  private def tryRebase(spark: SparkSession, tableRoot: String, st: Staged,
-                        newLast: Long, key: String,
+  /** Metadata-only conflict resolution: when the intervening commits
+    * provably touched a DISJOINT set of files, this writer's staged
+    * rewrite is still exactly what a re-merge against the new head would
+    * produce — so instead of re-running the merge job, rebuild the staged
+    * manifest against the new head's inventory: keep every new-head file
+    * except the ones this merge rewrote, plus this merge's outputs. Zero
+    * data jobs; file ops are at most per-file links.
+    *
+    * Preconditions (any miss → None → re-merge; all conservative):
+    *  - both manifests fully ranged (no stat-less entries), same key,
+    *    same composite identity, byte-identical schema, no dim zone maps
+    *    (a re-merge recomputes those correctly);
+    *  - every file this merge REWROTE survives by name into the new head
+    *    — file names are content identity (passthrough preserves them,
+    *    rewrites mint fresh part-UUIDs), so name survival proves no
+    *    intervening commit touched any row this merge read;
+    *  - the key-range envelopes of (new-head files we keep) and (this
+    *    merge's outputs) are pairwise disjoint — preserves the
+    *    disjoint-range layout invariant routing depends on, and catches
+    *    gap-expansion collisions (two merges growing adjacent files into
+    *    the same key gap). */
+  private def tryRebase(tableRoot: String, st: Staged, newLast: Long,
+                        key: String,
                         passthrough: MutableParquetTable.Passthrough)
-      : Option[Staged] = None
+      : Option[Staged] = {
+    val newBase = s"$tableRoot/v$newLast"
+    def name(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val stagedRanges = MutableParquetTable.manifestRanges(st.dir, key)
+      .getOrElse(return None)
+    val newRanges = MutableParquetTable.manifestRanges(newBase, key)
+      .getOrElse(return None)
+    val stagedNames = MutableParquetTable.manifestFileNames(st.dir)
+      .getOrElse(return None)
+    val newNames = MutableParquetTable.manifestFileNames(newBase)
+      .getOrElse(return None)
+    if (stagedNames.size != stagedRanges.size ||
+        newNames.size != newRanges.size) return None // stat-less entries
+    if (Seq(st.dir, newBase).exists(d =>
+        MutableParquetTable.readManifest(d).exists(_.contains("\"dimRanges\""))))
+      return None
+    if (MutableParquetTable.manifestMoreKeys(st.dir) !=
+        MutableParquetTable.manifestMoreKeys(newBase)) return None
+    val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)
+    if (schema.isEmpty ||
+        schema != MutableParquetTable.manifestSchema(newBase).map(_.json))
+      return None
+    val myDirty = st.merge.rewrittenFiles.map(name).toSet
+    val myClean = st.merge.passthroughFiles.map(name).toSet
+    val headNames = newRanges.map(r => name(r.file)).toSet
+    if (!myDirty.subsetOf(headNames)) return None
+    val kept = newRanges.filterNot(r => myDirty(name(r.file)))
+    val myNew = stagedRanges.filterNot(r => myClean(name(r.file)))
+    val all = (kept ++ myNew).sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    val overlaps = all.iterator.zip(all.iterator.drop(1)).exists {
+      case (a, b) => graft.sources.KeyBytes.compare(b.minBytes, a.maxBytes) <= 0
+    }
+    if (overlaps) return None
+
+    // conflict provably disjoint — swap inventories
+    var linked = st.merge.filesHardLinked
+    var copied = st.merge.filesCopied
+    val keptByName = kept.map(r => name(r.file) -> r).toMap
+    val entries: Seq[(String, graft.sources.ParquetStats.FileKeyRange)] =
+      passthrough match {
+        case MutableParquetTable.Link =>
+          // drop links of clean files the intervening commits rewrote,
+          // link in their replacements; files kept by both stay as-is
+          (myClean -- keptByName.keySet).foreach(n =>
+            Files.deleteIfExists(Paths.get(st.dir, n)))
+          keptByName.foreach { case (n, r) =>
+            val dst = Paths.get(st.dir, n)
+            if (!Files.exists(dst)) {
+              try { Files.createLink(dst, Paths.get(r.file)); linked += 1 }
+              catch { case _: Exception =>
+                Files.copy(Paths.get(r.file), dst,
+                  StandardCopyOption.REPLACE_EXISTING)
+                copied += 1 }
+            }
+          }
+          (kept ++ myNew).map(r => name(r.file) -> r)
+        case MutableParquetTable.Reference =>
+          // pure manifest surgery: zero filesystem operations
+          kept.map(r => MutableParquetTable.relativize(st.dir, r.file) -> r) ++
+            myNew.map(r => name(r.file) -> r)
+      }
+    MutableParquetTable.writeManifestFromRanges(st.dir, key,
+      MutableParquetTable.manifestMoreKeys(st.dir), entries, schema)
+    Some(Staged(st.dir, Some(newLast),
+      st.merge.copy(
+        passthroughFiles = kept.map(_.file),
+        filesHardLinked = linked, filesCopied = copied,
+        filesReferenced = passthrough match {
+          case MutableParquetTable.Reference => kept.size
+          case _ => st.merge.filesReferenced
+        })))
+  }
 
   private def deleteQuietly(dir: String): Unit =
     try {

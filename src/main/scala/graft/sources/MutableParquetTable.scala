@@ -768,6 +768,39 @@ object MutableParquetTable {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Write `outDir`'s manifest from EXPLICIT (entry, range) pairs — no
+    * footer IO, no directory listing. The optimistic-commit rebase builds
+    * a conflict-resolved inventory from two existing manifests (the new
+    * head's kept files + this writer's rewrites) and commits it with this;
+    * same format and atomic temp-file rename as the merge path's writer. */
+  private[graft] def writeManifestFromRanges(outDir: String, key: String,
+      moreKeys: Seq[String],
+      entries: Seq[(String, ParquetStats.FileKeyRange)],
+      schemaJson: Option[String]): Unit = {
+    val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
+    val keyType = sorted.headOption.map(_._2.min) match {
+      case Some(_: java.lang.Long) => "long"
+      case Some(_: Array[Byte])    => "binary"
+      case Some(_)                 => "string"
+      case None                    => "unknown"
+    }
+    val files = sorted.map { case (e, r) =>
+      s"""{"file":${js(e)},"minKey":${js(keyRepr(r.min))},""" +
+        s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"key":${js(key)},"keyType":"$keyType",""" +
+        (if (moreKeys.isEmpty) ""
+         else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
+        schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
+        s""""fileCount":${sorted.size},""" +
+        s""""totalRows":${sorted.map(_._2.rowCount).sum},"files":$files}"""
+    val tmp = Paths.get(outDir, ManifestName + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(outDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** A snapshot directory is a committed, complete snapshot iff its
     * manifest exists — the mid-merge-crash detector. */
   def isCommitted(snapshotDir: String): Boolean =

@@ -78,6 +78,87 @@ class ConcurrentCommitSpec extends SparkSpec {
       Seq((7L, 777L), (8L, 888L)))
   }
 
+  test("disjoint-file conflict rebases metadata-only — no second merge job") {
+    val root = freshRoot()
+    mkTable(root) // 4 files: [0,49] [50,99] [100,149] [150,199]
+    import spark.implicits._
+    val mine = Seq.tabulate(10)(i => (i.toLong, -i.toLong, "upsert"))
+      .toDF("k", "v", "op") // dirties file 0 only
+    val theirs = Seq.tabulate(10)(i => (190L + i, -(190L + i), "upsert"))
+      .toDF("k", "v", "op") // dirties file 3 only
+    var fired = false
+    val r = OptimisticCommit.commit(spark, root, "k", mine,
+      testHookAfterStage = () => {
+        if (!fired) { fired = true
+          OptimisticCommit.commit(spark, root, "k", theirs)
+        }
+      })
+    assert(r.version === 1L && r.attempts === 2)
+    assert(r.rebases === 1, "disjoint files must resolve by manifest rebase")
+    val got = GraftTable(spark, root, "k").read().orderBy("k").collect()
+    assert(got.length === 200)
+    got.foreach { x =>
+      val k = x.getLong(0)
+      val expected = if (k < 10 || k >= 190) -k else 2 * k
+      assert(x.getLong(1) === expected, s"key $k")
+    }
+  }
+
+  test("same-file conflict falls back to a re-merge, linearized") {
+    val root = freshRoot()
+    mkTable(root)
+    import spark.implicits._
+    val mine = Seq.tabulate(10)(i => (i.toLong, 1000L + i, "upsert"))
+      .toDF("k", "v", "op") // file 0
+    val theirs = Seq.tabulate(10)(i => (40L + i, 2000L + i, "upsert"))
+      .toDF("k", "v", "op") // also file 0 — rewrites it, my dirty name dies
+    var fired = false
+    val r = OptimisticCommit.commit(spark, root, "k", mine,
+      testHookAfterStage = () => {
+        if (!fired) { fired = true
+          OptimisticCommit.commit(spark, root, "k", theirs)
+        }
+      })
+    assert(r.version === 1L && r.attempts === 2)
+    assert(r.rebases === 0, "a shared dirty file cannot rebase")
+    val got = GraftTable(spark, root, "k")
+      .read().where(col("k") < 50).orderBy("k").collect()
+    got.foreach { x =>
+      val k = x.getLong(0)
+      val expected =
+        if (k < 10) 1000L + k else if (k >= 40) 2000L + (k - 40) else 2 * k
+      assert(x.getLong(1) === expected, s"key $k")
+    }
+  }
+
+  test("reference-mode rebase is pure manifest surgery") {
+    val root = freshRoot()
+    mkTable(root)
+    import spark.implicits._
+    val ref = graft.sources.MutableParquetTable.Reference
+    val mine = Seq((5L, -5L, "upsert")).toDF("k", "v", "op")
+    val theirs = Seq((195L, -195L, "upsert")).toDF("k", "v", "op")
+    var fired = false
+    val r = OptimisticCommit.commit(spark, root, "k", mine,
+      passthrough = ref,
+      testHookAfterStage = () => {
+        if (!fired) { fired = true
+          OptimisticCommit.commit(spark, root, "k", theirs, passthrough = ref)
+        }
+      })
+    assert(r.version === 1L && r.rebases === 1)
+    val m = graft.sources.MutableParquetTable.readManifest(s"$root/v1").get
+    assert(m.contains("../v0/"), "kept files must be references into v0")
+    val t = GraftTable(spark, root, "k", passthrough = ref)
+    val got = t.read().where(col("k").isin(5L, 195L)).orderBy("k").collect()
+    assert(got.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((5L, -5L), (195L, -195L)))
+    // rebase must survive vacuum's reference counting: v0's files are
+    // shared by v1, so dropping v0 keeps the still-referenced bytes
+    CdcMergeSink.vacuum(root, keepLast = 1)
+    assert(t.read().count() === 200)
+  }
+
   test("empty batch commits nothing and returns the current latest") {
     val root = freshRoot()
     val t = mkTable(root, n = 20, files = 2)
