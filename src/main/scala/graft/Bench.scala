@@ -299,6 +299,17 @@ object Bench {
       feedDelta(); feedFull() // warm
       results("cdc_feed_delta") = (1 to 3).map(_ => time(feedDelta())).min
       results("cdc_feed_full") = (1 to 3).map(_ => time(feedFull())).min
+
+      // ---- optimistic-commit overhead: the full protocol (stage into
+      //      .tx- dir + atomic-rename publish) on a ~5%-dirty batch;
+      //      compare round-over-round with the raw merge points — the
+      //      protocol should add only the rename's metadata cost ----
+      base0.where(col("li_key") <= thr)
+        .withColumn("l_quantity", col("l_quantity") + 2.0)
+        .withColumn("op", lit("upsert"))
+        .write.parquet(s"$workDir/occ-batch")
+      val occB = spark.read.parquet(s"$workDir/occ-batch")
+      results("occ_commit_5pct") = (1 to 3).map(_ => time(t.commit(occB))).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench] change feed experiment failed: ${e.getMessage}")
     }

@@ -104,7 +104,11 @@ object OptimisticCommit {
               java.util.UUID.randomUUID().toString.take(12)}"
             val t = MutableParquetTable(spark, baseDir, key, passthrough,
               MutableParquetTable.manifestMoreKeys(baseDir))
-            Staged(dir, baseV, t.merge(collapsed, opCol, Some(dir)))
+            // a FAILING merge (bad batch, not a crash) must not leave
+            // per-attempt staging debris behind for vacuum to find
+            val mr = try t.merge(collapsed, opCol, Some(dir))
+              catch { case e: Throwable => deleteQuietly(dir); throw e }
+            Staged(dir, baseV, mr)
         }
         staged = Some(st)
         testHookAfterStage()

@@ -1050,6 +1050,28 @@ object OracleSql {
                  AND year(CAST(o_orderdate AS DATE)) = 1995)
       ORDER BY order_date, o_orderkey""",
 
+    // q95: duplicated word-5-shingle counts per doc; shingling mirrors
+    // TextFunctions.shingles incl. the n<=k whole-text case (q75 pattern);
+    // every doc yields >= 1 shingle so all docs appear on both sides
+    "q95_dup_ngrams" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 3), i ->
+                 array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) END AS sh
+        FROM t),
+      g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM s),
+      c AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+      SELECT g.doc_id,
+        CAST(count(*) AS BIGINT) AS total_ngrams,
+        CAST(count(*) FILTER (WHERE c.df >= 2) AS BIGINT) AS dup_ngrams
+      FROM g JOIN c USING (gram)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id""",
+
     "q91_schema_evolution" -> """
       SELECT c_custkey, c_name,
         round(CAST(CASE WHEN c_custkey % 100 = 0 AND c_custkey <= 1000
@@ -1084,6 +1106,17 @@ object OracleSql {
       ORDER BY doc_id"""),
 
     "q43_embedding_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_cosine_similarity(a.v, b.v) AS c
+            FROM e a, e b WHERE a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(c, 6) AS cosine, CAST(1 AS INT) AS recall_ok
+      FROM p WHERE c >= 0.45
+      ORDER BY id_a, id_b""",
+
+    // q96: same exact-pair set as q43; the pinned recall_ok proves the
+    // cluster-bucketed (SemDeDup) path recovers >= 70% of true pairs
+    "q96_semantic_dedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               list_cosine_similarity(a.v, b.v) AS c

@@ -621,6 +621,38 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (semantic near-dup via embedding clusters), oracle-checkable
+    * form: emit the complete EXACT cosine >= 0.45 pairs (DuckDB recomputes
+    * them) with a `found` flag per pair — found = the cluster-bucketed
+    * search compared the pair — and an aggregate `recall_ok` the oracle
+    * pins to 1, so a hash match proves the k-means cells plus soft
+    * 2-nearest assignment actually recover >= 70% of true pairs. */
+  def q96_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    val e = embeddings(s, dir)
+    val cos = call_function(graft.plans.CosineSimilarity.name,
+      col("va"), col("vb"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .where(col("cosine") >= 0.45)
+    val sem = Dedup.semanticNearDup(e, "embedding", "vec_id",
+      threshold = 0.45, nCentroids = 8, kmeansIters = 2, native = true)
+    val flagged = exact.join(
+        sem.select(col("id_a"), col("id_b"), lit(1).as("f")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        coalesce(col("f"), lit(0)).as("f"))
+    val recall = flagged.agg(
+      (sum(col("f")).cast("double") / count(lit(1)) >= 0.7)
+        .cast("int").as("recall_ok"))
+    flagged.crossJoin(recall)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"),
+        col("recall_ok"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** ANN top-k, oracle-checkable form: the emitted rows are the EXACT
     * brute-force top-10 per query (what q35 verifies), plus a per-query
     * `recall_ok` flag asserting LSH-bucketed ANN (16 tables × 4 bits,
@@ -1124,6 +1156,14 @@ object SparkEntry {
         col("o_orderkey"), col("o_custkey"))
       .orderBy(col("order_date"), col("o_orderkey"))
   }
+
+  /** Exact-substring dedup signal: per-document counts of word-5-shingles
+    * duplicated across distinct documents (cross-document repeated spans).
+    * One gram-keyed shuffle into a join-free count window, one per-doc
+    * partial agg — integer emission only (no derived-double rounding). */
+  def q95_dup_ngrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedNgramStats(documents(s, dir), "text", "doc_id", k = 5)
+      .orderBy(col("doc_id"))
 
   /** Schema evolution through the CoW merge: the batch carries a NEW
     * column (`vip_rank`), which becomes a nullable table column — old
@@ -1675,6 +1715,8 @@ object SparkEntry {
     "q92_sql_merge" -> (q92_sql_merge _),
     "q93_catalog_sql" -> (q93_catalog_sql _),
     "q94_composite_merge" -> (q94_composite_merge _),
+    "q95_dup_ngrams" -> (q95_dup_ngrams _),
+    "q96_semantic_dedup" -> (q96_semantic_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

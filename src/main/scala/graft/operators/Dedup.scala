@@ -253,6 +253,36 @@ object Dedup {
           .otherwise(col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Per-document duplicated-n-gram statistics — EXACT-SUBSTRING dedup
+    * signal (cross-document repeated spans): a word-k-shingle of a
+    * document is "duplicated" when the IDENTICAL shingle occurs in at
+    * least `minDocs` distinct documents. Returns one row per doc:
+    * (id, total_ngrams, dup_ngrams) over the doc's DISTINCT shingles —
+    * the raw material for span-level removal or doc-level filter
+    * thresholds (drop when dup_ngrams/total_ngrams is high).
+    *
+    * Scale shape: distinct shingles explode to one (gram, doc) row; ONE
+    * shuffle keyed on the gram feeds a count window (each posting list
+    * lands in one task, join-free — the shared-exchange discipline), then
+    * one partial-agg shuffle on doc id folds the flags. At web scale
+    * shuffle the gram's xxhash64 fingerprint instead of the string (the
+    * oracle harness keeps strings exact); a corpus with pathological
+    * boilerplate grams (giant posting lists buffering one window group)
+    * would swap the window for agg + join on the same exchange. */
+  def duplicatedNgramStats(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+    val perGramDocs = count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("gram"))
+    grams
+      .withColumn("docfreq", perGramDocs) // grams are per-doc distinct
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_ngrams"),
+        sum(when(col("docfreq") >= minDocs, 1L).otherwise(0L))
+          .as("dup_ngrams"))
+  }
+
   /** Connected components over a near-dup pair list by iterative min-label
     * propagation: every node starts as its own component; each round every
     * node takes the minimum label in its neighborhood; fixpoint after
@@ -297,6 +327,52 @@ object Dedup {
     docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
+  }
+
+  /** SemDeDup-style semantic near-dup: cluster the embeddings with the
+    * deterministic k-means codebook ([[Similarity.kmeansCodebook]]), then
+    * exact cosine ONLY within a cluster. Each vector is soft-assigned to
+    * its TWO nearest centroids so pairs straddling a cell boundary are
+    * still compared — the standard recall fix at the cost of 2× exploded
+    * rows. Returns (id_a, id_b, cosine) pairs at or above `threshold`.
+    *
+    * Scale shape: codebook build is `kmeansIters` corpus scans (reduce
+    * side is k·dim rows); assignment is a map-side fold over the
+    * broadcast codebook (zero shuffle); the self-join shuffles once on
+    * the cell id and the per-cell product is (2N/k)² instead of N² —
+    * k scales with the corpus, so cell populations (and the quadratic
+    * term) stay bounded. The cosine-LSH alternative is
+    * [[embeddingNearDup]]; the cluster form is the one that also yields
+    * reusable semantic cells (IVF search, stratified inspection). */
+  def semanticNearDup(embs: DataFrame, vecCol: String, idCol: String,
+                      threshold: Double, nCentroids: Int = 8,
+                      kmeansIters: Int = 2,
+                      native: Boolean = false): DataFrame = {
+    // the 2-nearest fold's second slot is a MaxValue sentinel when only
+    // one centroid exists — exploding it would bucket the whole corpus
+    // together (all-pairs); one cell is not a clustering anyway
+    require(nCentroids >= 2, "semanticNearDup needs at least 2 centroids")
+    val cents = Similarity.kmeansCodebook(embs, vecCol, idCol,
+      nCentroids, kmeansIters)
+    // explicit exchange on the cell BEFORE the per-side renames, so both
+    // self-join sides reuse one shuffle (ReusedExchange discipline)
+    val assigned = embs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(Similarity.nearest2CentroidsCol(col(vecCol), cents)).as("cid"))
+      .repartition(col("cid"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vb"))
+    val cos =
+      if (native) call_function(graft.plans.CosineSimilarity.name,
+        col("va"), col("vb"))
+      else VectorFunctions.cosine(col("va"), col("vb"))
+    a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .where(col("cosine") >= threshold)
+      // a pair sharing both probed cells arrives twice with bit-identical
+      // cosines (same inputs) — collapse
+      .distinct()
   }
 
   /** Embedding near-dup: cosine LSH buckets (random hyperplane signature)

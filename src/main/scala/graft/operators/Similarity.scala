@@ -145,6 +145,38 @@ object Similarity {
     }).getField("cid")
   }
 
+  /** TWO nearest centroids per row (soft assignment), same map-side fold
+    * discipline as [[nearestCentroidCol]]: one codegen'd pass over the
+    * broadcast codebook, zero shuffle. The squared distance is bound to a
+    * lambda variable via the single-element-transform trick — an
+    * interpreted HOF lambda has no common-subexpression reuse, so a bare
+    * reference would recompute the k·dim fold once per comparison.
+    * Ties resolve to the smaller cid on both slots (strict `<`). */
+  private[operators] def nearest2CentroidsCol(
+      vec: Column, cents: Seq[(Long, Seq[Float])]): Column = {
+    val arr = typedLit(cents)
+    val init = struct(
+      lit(Double.MaxValue).as("d1"), lit(Long.MaxValue).as("c1"),
+      lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("c2"))
+    val best = aggregate(arr, init, (acc, c) => {
+      val d2v = aggregate(
+        zip_with(c.getField("_2"), vec, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }),
+        lit(0.0), (a, v) => a + v)
+      element_at(transform(array(d2v), d =>
+        when(d < acc.getField("d1"),
+          struct(d.as("d1"), c.getField("_1").as("c1"),
+            acc.getField("d1").as("d2"), acc.getField("c1").as("c2")))
+        .when(d < acc.getField("d2"),
+          struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
+            d.as("d2"), c.getField("_1").as("c2")))
+        .otherwise(acc)), 1)
+    })
+    array(best.getField("c1"), best.getField("c2"))
+  }
+
   /** Deterministic k-means (Lloyd) refinement of an IVF codebook. Each
     * iteration is ONE corpus scan: map-side nearest-centroid assignment
     * (no shuffle) + per-(cell, dimension) mean — a partially-aggregated

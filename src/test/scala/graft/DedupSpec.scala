@@ -155,6 +155,47 @@ class DedupSpec extends SparkSpec {
     assert(kept1.count() === docs.count() - nPaired + nComp)
   }
 
+  test("duplicatedNgramStats counts cross-document repeated shingles") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),        // 2 distinct 5-shingles, first shared w/ doc 1
+      (1L, "a b c d e x"),        // shares 'a b c d e' with doc 0
+      (2L, "p q r s t u v"),      // 3 shingles, none shared
+      (3L, "short one"),          // n<=k whole-text shingle, unique
+      (4L, "short one")           // identical whole-text shingle → dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedNgramStats(docs, "text", "doc_id", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      (0L, 2L, 1L), (1L, 2L, 1L), (2L, 3L, 0L), (3L, 1L, 1L), (4L, 1L, 1L)))
+  }
+
+  test("semanticNearDup finds cross-cell pairs via soft 2-nearest assignment") {
+    val embs = Tables.embeddings(spark, sf())
+    // ground truth: complete exact pairs at the fixture's near-dup level
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("c"))
+      .where(col("c") >= 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticNearDup(embs, "embedding", "vec_id",
+      threshold = 0.45, nCentroids = 8, kmeansIters = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), "cluster-bucketed pairs are exact-cosine verified")
+    assert(exact.nonEmpty)
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below the q96 bound (found ${sem.size}/${exact.size})")
+    // determinism: the codebook is seeded + RNG-free, so rerun is identical
+    val rerun = Dedup.semanticNearDup(embs, "embedding", "vec_id",
+      threshold = 0.45, nCentroids = 8, kmeansIters = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rerun === sem)
+  }
+
   test("fingerprints: normalized is ws/case-insensitive, rolling is order-sensitive") {
     val s = spark; import s.implicits._
     val df = Seq(
