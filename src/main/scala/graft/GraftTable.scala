@@ -116,13 +116,20 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * so the pre/post change feed is empty (it does pay a full-table diff
     * across the compaction boundary: every file name changes). Returns
     * the new version id. */
-  def compact(targetBytes: Long): Long = {
+  def compact(targetBytes: Long,
+              moreKeys: Seq[String] =
+                graft.sources.MutableParquetTable.manifestMoreKeys(
+                  CdcMergeSink.latestSnapshot(root))): Long = {
     val next = versions.lastOption.map(_ + 1).getOrElse(0L)
     val latest = CdcMergeSink.latestSnapshot(root)
     val target = s"$root/v$next"
     graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
       targetBytes)
-    graft.sources.MutableParquetTable(spark, latest, key).commitManifest(target)
+    // moreKeys defaults to the manifest-discovered composite identity —
+    // dropping it here would silently narrow row identity to the leading
+    // key for every later merge
+    graft.sources.MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
+      .commitManifest(target)
     next
   }
 

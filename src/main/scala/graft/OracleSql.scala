@@ -1039,6 +1039,19 @@ object OracleSql {
       WHERE c_custkey % 97 <> 0
       ORDER BY c_custkey""",
 
+    // q97: final table state after DML + CALL compact/zorder/vacuum —
+    // maintenance must not change rows; 3 = base + keep_last(2) history
+    "q97_maintenance_sql" -> """
+      WITH t AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 100 = 0 THEN -1 ELSE c_nationkey END AS nk
+        FROM customer WHERE c_custkey % 97 <> 0)
+      SELECT CAST(nk AS BIGINT) AS c_nationkey,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c_custkey) AS BIGINT) AS ckey_sum,
+        CAST(3 AS BIGINT) AS n_live_versions
+      FROM t GROUP BY nk ORDER BY c_nationkey""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

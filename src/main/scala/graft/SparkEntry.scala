@@ -1157,6 +1157,40 @@ object SparkEntry {
       .orderBy(col("order_date"), col("o_orderkey"))
   }
 
+  /** Table maintenance through SQL `CALL` ([[graft.sources.GraftProcedures]]):
+    * mutate a catalog table with DML, then compact + z-order + vacuum it
+    * purely via CALL statements, and read the final state back by name.
+    * The maintenance commits MUST be invisible to query results (rows
+    * unchanged, layout re-clustered, history truncated); `n_live_versions`
+    * pins the retention arithmetic — insert, update, delete, compact,
+    * zorder = 5 commits, vacuum keep_last=2 leaves base + 2. */
+  def q97_maintenance_sql(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q97-wh").toString
+    val cat = "gq97_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q97_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.m (c_custkey BIGINT, c_nationkey BIGINT)
+              USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.m
+              SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT)
+              FROM q97_cust_src""")
+    s.sql(s"UPDATE $cat.ns.m SET c_nationkey = -1 WHERE c_custkey % 100 = 0")
+    s.sql(s"DELETE FROM $cat.ns.m WHERE c_custkey % 97 = 0")
+    s.sql(s"CALL $cat.system.compact(table => 'ns.m', target_mb => 64)")
+    s.sql(s"""CALL $cat.system.zorder(table => 'ns.m',
+              dims => 'c_nationkey', target_files => 4)""")
+    s.sql(s"CALL $cat.system.vacuum(table => 'ns.m', keep_last => 2)")
+    val live = s.sql(s"CALL $cat.system.history(table => 'ns.m')")
+      .agg(count(lit(1)).cast("long").as("n_live_versions"))
+    s.sql(s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c_custkey) AS BIGINT) AS ckey_sum
+              FROM $cat.ns.m GROUP BY c_nationkey""")
+      .crossJoin(live)
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1717,6 +1751,7 @@ object SparkEntry {
     "q94_composite_merge" -> (q94_composite_merge _),
     "q95_dup_ngrams" -> (q95_dup_ngrams _),
     "q96_semantic_dedup" -> (q96_semantic_dedup _),
+    "q97_maintenance_sql" -> (q97_maintenance_sql _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,7 +37,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * zero data files); the first insert takes the insert-into-empty merge
   * path. The catalog holds NO state of its own — the filesystem layout
   * is the catalog, so there is nothing extra to replicate or recover. */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -115,6 +116,15 @@ final class GraftCatalog extends TableCatalog {
     MutableParquetTable.deleteDir(Paths.get(dir))
     true
   }
+
+  /** SQL `CALL <catalog>.system.<proc>(...)` — table maintenance
+    * (history / vacuum / compact / zorder) from pure SQL; see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(catalogName, root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = dirFor(oldIdent)

@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.CdcMergeSink
+
+/** SQL `CALL` table maintenance for [[GraftCatalog]] — Spark 4's V2
+  * `ProcedureCatalog` surface, so the lifecycle operations a shared table
+  * needs on a schedule are reachable from pure SQL (an orchestrator can
+  * drive retention/layout jobs with no Scala handle):
+  *
+  * {{{
+  * CALL g.system.history(table => 'ns.t')              -- version inventory
+  * CALL g.system.vacuum(table => 'ns.t', keep_last => 10)
+  * CALL g.system.compact(table => 'ns.t', target_mb => 128)
+  * CALL g.system.zorder(table => 'ns.t', dims => 'a,b')
+  * SHOW PROCEDURES IN g.system
+  * }}}
+  *
+  * Each procedure resolves the table the same way [[GraftCatalog]] does
+  * (`'ns.t'` → `<root>/ns/t`), discovers the merge key — including
+  * composite `moreKeys` — from the manifest, and returns its report as
+  * rows (a [[LocalScan]]; Spark's `InvokeProcedures` turns it into a
+  * local relation). Maintenance commits (`compact`, `zorder`) create the
+  * NEXT version like any merge commit, so time travel, change-feed
+  * consumers, and concurrent readers are never disturbed; `history` and
+  * `vacuum` are manifest-only (zero data IO).
+  *
+  * Reference anchor: the reference leaves maintenance to external
+  * drivers of its Java API (ParquetRewriter.java has no command
+  * surface); the SQL CALL form is the Spark-native equivalent of its
+  * operational scripts. */
+object GraftProcedures {
+
+  val Namespace = "system"
+
+  private val names = Seq("history", "vacuum", "compact", "zorder")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(Namespace)))
+      names.map(n => Identifier.of(Array(Namespace), n)).toArray
+    else Array.empty
+
+  def load(catalogName: String, root: String,
+           ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array(Namespace)),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")} — " +
+        s"graft procedures live in $catalogName.$Namespace")
+    ident.name().toLowerCase match {
+      case "history" => new History(root)
+      case "vacuum"  => new Vacuum(root)
+      case "compact" => new Compact(root)
+      case "zorder"  => new ZOrderProc(root)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $catalogName.$Namespace.$other " +
+          s"(have: ${names.mkString(", ")})")
+    }
+  }
+
+  // ---- shared machinery ----
+
+  /** Self-binding procedure: parameters are fully declared up front, so
+    * bind() is identity (the analyzer coerces arguments to the declared
+    * types and fills defaults before call()). */
+  private abstract class Proc(root: String) extends UnboundProcedure
+      with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    def resultSchema: StructType
+    def run(spark: SparkSession, input: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val out = run(spark, input)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = out.toArray
+      }
+      Collections.singletonList(scan).iterator()
+    }
+
+    /** `'ns.t'` → table root dir, mirroring [[GraftCatalog.dirFor]]. */
+    protected def tableDir(input: InternalRow): String = {
+      val name = input.getUTF8String(0).toString
+      val dir = (root +: name.split('.').toSeq.filter(_.nonEmpty))
+        .mkString("/")
+      require(Files.isDirectory(Paths.get(dir, "base")),
+        s"$name is not a graft table under $root")
+      dir
+    }
+
+    protected def param(name: String, dt: DataType,
+                        default: Option[String] = None,
+                        comment: String = ""): ProcedureParameter = {
+      var b = ProcedureParameter.in(name, dt)
+      default.foreach(d => b = b.defaultValue(d))
+      if (comment.nonEmpty) b = b.comment(comment)
+      b.build()
+    }
+
+    protected def row(vals: Any*): InternalRow =
+      new GenericInternalRow(vals.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x.asInstanceOf[AnyRef]
+      }.toArray[Any])
+
+    /** Merge key (leading, secondaries) from the latest manifest. */
+    protected def tableKeys(dir: String): (String, Seq[String]) = {
+      val latest = CdcMergeSink.latestSnapshot(dir)
+      val key = MutableParquetTable.pruneManifestFiles(latest, None, None)
+        .map(_._1).getOrElse(throw new IllegalStateException(
+          s"$latest has no committed manifest"))
+      (key, MutableParquetTable.manifestMoreKeys(latest))
+    }
+  }
+
+  /** Version inventory from the manifests alone — files/rows/bytes per
+    * committed snapshot plus the base. Bytes resolve manifest entries to
+    * their physical homes, so reference-passthrough snapshots report the
+    * bytes they SHARE, not copies. */
+  private final class History(root: String) extends Proc(root) {
+    override def name(): String = "history"
+    override def description(): String =
+      "per-version inventory (files, rows, bytes) from the manifests"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType, comment = "'ns.t' in this catalog"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("snapshot", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = true)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val snaps = (-1L, s"$dir/base") +:
+        CdcMergeSink.versions(dir).map(v => (v, s"$dir/v$v"))
+      snaps.filter { case (_, d) =>
+        MutableParquetTable.manifestFileNames(d).isDefined
+      }.map { case (v, d) =>
+        val entries = MutableParquetTable.manifestFileNames(d).getOrElse(Nil)
+        val bytes = entries.map { e =>
+          val p = Paths.get(MutableParquetTable.resolvePath(d, e))
+          if (Files.exists(p)) Files.size(p) else 0L
+        }.sum
+        val rows = MutableParquetTable.manifestExactRowCount(d)
+          .orElse(if (entries.isEmpty) Some(0L) else None) // empty snapshot
+        row(v, d, entries.size, rows.map(java.lang.Long.valueOf).orNull,
+          bytes)
+      }
+    }
+  }
+
+  /** [[CdcMergeSink.vacuum]] as SQL: drop versions beyond the newest
+    * `keep_last` (reference-counted — files still listed by a retained
+    * manifest survive) and sweep expired `.tx-` staging debris. */
+  private final class Vacuum(root: String) extends Proc(root) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "drop table versions beyond the newest keep_last (refcounted)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("keep_last", IntegerType, Some("10"),
+        "versions to retain (>= 1)"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("dropped_version", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      CdcMergeSink.vacuum(dir, input.getInt(1)).map(row(_))
+    }
+  }
+
+  /** Size-targeted compaction committed as the next version: raw
+    * row-group splicing (zero decode), composite identity and dim zone
+    * maps preserved via the manifest carry. */
+  private final class Compact(root: String) extends Proc(root) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "fold small files to ~target_mb each, committed as the next version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("target_mb", IntegerType, Some("128"), "target file size"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val (key, moreKeys) = tableKeys(dir)
+      val latest = CdcMergeSink.latestSnapshot(dir)
+      val before = MutableParquetTable.manifestFileNames(latest)
+        .map(_.size).getOrElse(0)
+      val v = graft.GraftTable(spark, dir, key)
+        .compact(input.getInt(1).toLong * 1024 * 1024, moreKeys)
+      val after = MutableParquetTable.manifestFileNames(s"$dir/v$v")
+        .map(_.size).getOrElse(0)
+      Seq(row(v, before, after))
+    }
+  }
+
+  /** Z-order re-clustering committed as the next version: rows unchanged,
+    * layout re-sorted on the Morton curve of `dims`, per-file dim zone
+    * maps attached so scans file-prune on EVERY curve dimension. The key
+    * zone map stays in the manifest but its per-file ranges now overlap —
+    * later merges route by range intersection (more dirty files per
+    * batch, same correctness), so z-order suits read-heavy tables. */
+  private final class ZOrderProc(root: String) extends Proc(root) {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "re-cluster on the Morton curve of dims, committed as the next version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("dims", StringType,
+        comment = "comma-separated numeric columns to interleave"),
+      param("target_files", IntegerType, Some("0"),
+        "output file count (0 = keep the current count)"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("dims", StringType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val (key, _) = tableKeys(dir)
+      val dims = input.getUTF8String(1).toString
+        .split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+      require(dims.nonEmpty, "zorder needs at least one dim column")
+      val latest = CdcMergeSink.latestSnapshot(dir)
+      val nFiles = {
+        val cur = MutableParquetTable.manifestFileNames(latest)
+          .map(_.size).getOrElse(0)
+        val asked = input.getInt(2)
+        if (asked > 0) asked else math.max(1, cur)
+      }
+      val state = CdcMergeSink.readAsOf(spark, dir, Long.MaxValue)
+      require(state.limit(1).count() > 0, "cannot z-order an empty table")
+      val next = CdcMergeSink.versions(dir).lastOption.map(_ + 1).getOrElse(0L)
+      val target = s"$dir/v$next"
+      ZOrder.writeZOrdered(state, target, dims, nFiles)
+      // commit with the SOURCE snapshot as the carry anchor (moreKeys +
+      // any prior dim sections), then attach fresh per-file ranges for
+      // the union of prior dims and the curve dims
+      MutableParquetTable(spark, latest, key,
+        moreKeys = MutableParquetTable.manifestMoreKeys(latest))
+        .commitManifest(target)
+      val allDims = (MutableParquetTable.manifestDimRanges(latest).keys.toSeq
+        ++ dims).distinct.sorted
+      MutableParquetTable.attachDimRanges(spark, target, allDims)
+      Seq(row(next, nFiles, dims.mkString(",")))
+    }
+  }
+}

@@ -344,9 +344,16 @@ final class GraftParquetScan(spark: SparkSession,
     (table.snapshotDir, required, staticFiles).hashCode
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (table.keyName.toSeq ++ table.dimRanges.keys).distinct.toArray.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column)
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns this scan actually outputs: Spark resolves these refs
+    // against the PRUNED read schema, so advertising a zone-mapped column
+    // a projection dropped would fail analysis (runtime filters on it
+    // can't arrive anyway — the join would have to read the column)
+    val have = required.fieldNames.toSet
+    (table.keyName.toSeq ++ table.dimRanges.keys).distinct
+      .filter(have).toArray.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   /** Files whose [min, max] for `dcol` contains at least one of `values`
     * — plus every file without an entry for that dim. */

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MutableParquetTable
+import graft.streaming.CdcMergeSink
+
+/** SQL `CALL` table maintenance ([[graft.sources.GraftProcedures]]):
+  * history / vacuum / compact / zorder driven purely through SQL, with
+  * the identity (composite keys) and layout metadata (dim zone maps)
+  * surviving every maintenance commit. */
+class SqlProcedureSpec extends SparkSpec {
+
+  private lazy val warehouse = {
+    val w = java.nio.file.Files.createTempDirectory("graft-wh-proc").toString
+    spark.conf.set("spark.sql.catalog.gp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gp.root", w)
+    w
+  }
+
+  private def mk(table: String, rows: Int = 200): Unit = {
+    spark.sql(s"""CREATE TABLE gp.ns.$table (id BIGINT, grp BIGINT, v BIGINT)
+                  USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql(s"INSERT INTO gp.ns.$table SELECT id, id % 7, id * 10 FROM range(0, $rows)")
+  }
+
+  test("history reports base + per-version files/rows/bytes") {
+    warehouse; mk("h1")
+    spark.sql("INSERT INTO gp.ns.h1 VALUES (500, 3, 0)")
+    val h = spark.sql("CALL gp.system.history(table => 'ns.h1')")
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(-1L, 0L, 1L))
+    // CREATE TABLE commits an EMPTY base (zero files by design)
+    assert(h.head.getInt(2) === 0)
+    assert(h.drop(1).forall(_.getInt(2) > 0), "committed versions list files")
+    assert(h.map(_.getLong(3)).toSeq === Seq(0L, 200L, 201L))
+    assert(h.last.getLong(4) > 0, "bytes resolve through manifest entries")
+  }
+
+  test("SHOW PROCEDURES lists the maintenance surface; unknown names fail") {
+    warehouse
+    val names = spark.sql("SHOW PROCEDURES IN gp.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(Set("history", "vacuum", "compact", "zorder").subsetOf(names))
+    val e = intercept[Exception] {
+      spark.sql("CALL gp.system.nope(table => 'ns.x')").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("vacuum drops old versions and keeps the latest readable") {
+    warehouse; mk("v1")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO gp.ns.v1 VALUES (${1000 + i}, 0, $i)"))
+    val dropped = spark.sql(
+      "CALL gp.system.vacuum(table => 'ns.v1', keep_last => 2)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dropped === Seq(0L, 1L))
+    assert(spark.sql("SELECT count(*) FROM gp.ns.v1").head().getLong(0) === 203)
+    // pre-history versions resolve to the base (readAsOf semantics) —
+    // for a catalog table the base is the empty CREATE TABLE snapshot
+    assert(spark.sql("SELECT count(*) FROM gp.ns.v1 VERSION AS OF 0")
+      .head().getLong(0) === 0)
+  }
+
+  test("compact folds files as the next version; rows and identity survive") {
+    warehouse
+    // path/name interop: build a deliberately fragmented table with the
+    // Scala facade INSIDE the warehouse, then maintain it by name
+    val src = spark.range(0, 200)
+      .selectExpr("id % 4 AS d", "id DIV 4 AS u", "id AS v")
+    graft.GraftTable.create(src, s"$warehouse/ns/c1", "d", numFiles = 4,
+      moreKeys = Seq("u"))
+    val before = spark.sql("SELECT * FROM gp.ns.c1").collect().toSet
+    val r = spark.sql(
+      "CALL gp.system.compact(table => 'ns.c1', target_mb => 64)").head()
+    assert(r.getInt(2) < r.getInt(1), "compaction folded files")
+    val dir = s"$warehouse/ns/c1"
+    val latest = CdcMergeSink.latestSnapshot(dir)
+    assert(latest.endsWith(s"/v${r.getLong(0)}"))
+    // composite identity survives the maintenance commit
+    assert(MutableParquetTable.manifestMoreKeys(latest) === Seq("u"))
+    assert(spark.sql("SELECT * FROM gp.ns.c1").collect().toSet === before)
+    // a tuple-keyed merge after compaction touches exactly one row
+    spark.sql("UPDATE gp.ns.c1 SET v = -1 WHERE d = 2 AND u = 10")
+    val got = spark.sql("SELECT v FROM gp.ns.c1 WHERE u = 10 ORDER BY d")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(40L, 41L, -1L, 43L))
+  }
+
+  test("zorder re-clusters with dim zone maps; later merges stay correct") {
+    warehouse
+    spark.sql("""CREATE TABLE gp.ns.z1 (id BIGINT, x BIGINT, y BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("""INSERT INTO gp.ns.z1
+                 SELECT id, id % 61, (id * 17) % 53 FROM range(0, 3000)""")
+    val before = spark.sql("SELECT * FROM gp.ns.z1").collect().toSet
+    val r = spark.sql(
+      """CALL gp.system.zorder(table => 'ns.z1', dims => 'x,y',
+              target_files => 8)""").head()
+    assert(r.getString(2) === "x,y")
+    val dir = s"$warehouse/ns/z1"
+    val latest = CdcMergeSink.latestSnapshot(dir)
+    assert(latest.endsWith(s"/v${r.getLong(0)}"))
+    // rows unchanged, dim zone maps attached for both curve dims
+    assert(spark.sql("SELECT * FROM gp.ns.z1").collect().toSet === before)
+    val dimRanges = MutableParquetTable.manifestDimRanges(latest)
+    assert(Set("x", "y").subsetOf(dimRanges.keySet))
+    // the z-layout's per-file KEY ranges overlap — merges must still
+    // route correctly (range intersection marks every holder dirty)
+    spark.sql("UPDATE gp.ns.z1 SET y = -1 WHERE id % 293 = 0")
+    spark.sql("DELETE FROM gp.ns.z1 WHERE id % 307 = 0")
+    val expect = before.map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      .filter(_._1 % 307 != 0)
+      .map { case (id, x, y) => (id, x, if (id % 293 == 0) -1L else y) }
+    val got = spark.sql("SELECT * FROM gp.ns.z1").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    assert(got === expect)
+  }
+}
