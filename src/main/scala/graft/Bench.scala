@@ -159,6 +159,34 @@ object Bench {
       System.err.println(s"[bench] zorder experiment failed: ${e.getMessage}")
     }
 
+    // ---- point merge on a z-ordered (fully OVERLAPPED) layout: exact
+    //      holder routing rewrites only the files that hold a batch key;
+    //      owner-routing would cascade the whole table dirty ----
+    try {
+      val zt = s"$workDir/zmerge"
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("li_key", monotonically_increasing_id())
+      graft.sources.ZOrder.writeZOrdered(li, zt,
+        Seq("l_partkey", "l_suppkey"), 16)
+      val t = MutableParquetTable(spark, zt, "li_key")
+      t.commitManifest(zt)
+      // ~10 scattered keys, batch materialized untimed like merge_* above
+      spark.read.parquet(zt)
+        .where(pmod(col("li_key"), lit(60001L)) === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1.0)
+        .withColumn("op", lit("upsert"))
+        .write.parquet(s"$workDir/zmerge-batch")
+      val zb = spark.read.parquet(s"$workDir/zmerge-batch")
+      var zDirty = 0
+      results("zorder_point_merge") = (1 to 3).map(i => time {
+        val r = t.merge(zb, snapshotDir = Some(s"$workDir/zv-$i"))
+        zDirty = r.rewrittenFiles.size
+      }).min
+      results("zorder_point_merge_files") = zDirty.toDouble
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] zmerge experiment failed: ${e.getMessage}")
+    }
+
     // ---- merge-scaling experiment on a 600k-row key-sorted table ----
     try {
       val baseDir = s"$workDir/merge-base"

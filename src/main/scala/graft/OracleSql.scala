@@ -1052,6 +1052,20 @@ object OracleSql {
         CAST(3 AS BIGINT) AS n_live_versions
       FROM t GROUP BY nk ORDER BY c_nationkey""",
 
+    // q98: post-z-order DML — the overlapped-layout holder-join merge
+    // path must leave exactly the recomputed state
+    "q98_zorder_merge" -> """
+      WITH t AS (
+        SELECT c_custkey,
+          CAST((c_custkey * 17) % 1000 AS BIGINT) AS ck2,
+          CASE WHEN c_custkey % 50 = 0 THEN -1 ELSE c_nationkey END AS nk
+        FROM customer WHERE c_custkey % 97 <> 0)
+      SELECT CAST(nk AS BIGINT) AS c_nationkey,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c_custkey) AS BIGINT) AS ckey_sum,
+        CAST(sum(ck2) AS BIGINT) AS ck2_sum
+      FROM t GROUP BY nk ORDER BY c_nationkey""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

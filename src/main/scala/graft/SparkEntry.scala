@@ -1191,6 +1191,39 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** SQL DML on a Z-ORDERED table — the overlapped-layout merge path.
+    * After `CALL zorder` every file's merge-key range spans the whole
+    * domain, so owner-routing would mark the entire table dirty on any
+    * mutation; the engine instead detects the overlap and routes by an
+    * exact holder join (one key-column scan ⋈ batch keys). The UPDATE and
+    * DELETE here run through that path and the oracle recomputes the
+    * final state from the fixture — a hash match proves post-z-order
+    * mutations are exact. */
+  def q98_zorder_merge(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q98-wh").toString
+    val cat = "gq98_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q98_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.z
+              (c_custkey BIGINT, c_nationkey BIGINT, ck2 BIGINT)
+              USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.z
+              SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT),
+                     CAST((c_custkey * 17) % 1000 AS BIGINT)
+              FROM q98_cust_src""")
+    s.sql(s"""CALL $cat.system.zorder(table => 'ns.z',
+              dims => 'c_nationkey,ck2', target_files => 8)""")
+    s.sql(s"UPDATE $cat.ns.z SET c_nationkey = -1 WHERE c_custkey % 50 = 0")
+    s.sql(s"DELETE FROM $cat.ns.z WHERE c_custkey % 97 = 0")
+    s.sql(s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c_custkey) AS BIGINT) AS ckey_sum,
+                     CAST(sum(ck2) AS BIGINT) AS ck2_sum
+              FROM $cat.ns.z GROUP BY c_nationkey""")
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1752,6 +1785,7 @@ object SparkEntry {
     "q95_dup_ngrams" -> (q95_dup_ngrams _),
     "q96_semantic_dedup" -> (q96_semantic_dedup _),
     "q97_maintenance_sql" -> (q97_maintenance_sql _),
+    "q98_zorder_merge" -> (q98_zorder_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

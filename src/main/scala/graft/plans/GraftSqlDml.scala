@@ -301,12 +301,24 @@ final case class GraftUpdateCommand(update: UpdateTable)
 }
 
 private object GraftSqlDml {
-  /** Execute the batch plan and commit it as the table's next version. */
+  /** Execute the batch plan and commit it as the table's next version.
+    *
+    * The batch is PERSISTED for the commit's duration: a DML batch plan
+    * always contains a scan of the target table (the matched/unmatched
+    * classification joins, or UPDATE/DELETE's filtered target), and the
+    * commit executes its batch several times — empty probe, key routing,
+    * dirty rewrite, plus re-merges under commit conflicts. Without the
+    * cache each pass would re-scan the target — at large table scale the
+    * dominant cost. The materialized batch is the MUTATION set (the rows
+    * the statement touches), which is what spills if it's big — the same
+    * trade row-level-DML engines make by materializing the merge source. */
   def commit(spark: SparkSession, root: String, key: String,
              batchPlan: LogicalPlan): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val batch = org.apache.spark.sql.classic.GraftShims.ofRows(classic, batchPlan)
-    graft.GraftTable(spark, root, key)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.GraftTable(spark, root, key)
       .commit(batch, opCol = GraftDmlRule.OpCol)
+    finally batch.unpersist(false)
   }
 }

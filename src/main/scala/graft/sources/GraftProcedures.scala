@@ -210,8 +210,10 @@ object GraftProcedures {
     * layout re-sorted on the Morton curve of `dims`, per-file dim zone
     * maps attached so scans file-prune on EVERY curve dimension. The key
     * zone map stays in the manifest but its per-file ranges now overlap —
-    * later merges route by range intersection (more dirty files per
-    * batch, same correctness), so z-order suits read-heavy tables. */
+    * merges detect that and switch to exact holder routing (one
+    * key-column scan joined to the batch keys marks only the files that
+    * really hold a batch key dirty), so mutations on a z-ordered table
+    * stay proportional to the touched files, not the table. */
   private final class ZOrderProc(root: String) extends Proc(root) {
     override def name(): String = "zorder"
     override def description(): String =

@@ -205,6 +205,28 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     routed.distinct.sorted
   }
 
+  /** Exact holder routing for OVERLAPPED layouts (z-order and other
+    * non-key-clustered file sets, where per-file key ranges intersect):
+    * owner-routing would both misroute (the true holder of a key need not
+    * be the last file with min <= key) and cascade the whole overlapping
+    * cluster dirty via non-cut expansion. Instead, scan ONLY the key
+    * column(s) plus the file name and semi-join the batch's distinct key
+    * tuples — Catalyst prunes the scan to the key columns, and the
+    * aggregated batch side broadcasts when small (AQE). Exact by
+    * construction: every file is checked, so a key matching no file is in
+    * NO file (a true insert), and a key's holders are ALL marked dirty.
+    * Cost ∝ one key-column scan of the table per merge — at large scale a
+    * few percent of the bytes a full rewrite would touch. */
+  private def holderFileNames(batch: DataFrame,
+                              allFiles: Seq[String]): Set[String] = {
+    val batchKeys = batch.select(keys.map(col): _*).distinct()
+    val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
+      .select(keys.map(col) :+ input_file_name().as("__graft_file"): _*)
+    withFile.join(batchKeys, keys, "left_semi")
+      .select("__graft_file").distinct()
+      .collect().map(r => fileName(r.getString(0))).toSet
+  }
+
   /** Copy-on-write merge. `batch` = base schema + op column.
     * Writes a new snapshot directory: clean files hard-linked (fallback:
     * copied) without ever being opened; dirty files re-merged and rewritten
@@ -234,24 +256,35 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
 
     val ranges = sortedRanges()
     phase("ranges")
+    val allFiles = MutableParquetTable.tableFiles(dir)
+    // OVERLAPPED layouts (z-order or any non-key-clustered file set):
+    // per-file key ranges intersect, so owner-routing plus non-cut
+    // expansion would cascade the whole overlapping cluster dirty — every
+    // merge a full rewrite. Route exactly instead: one key-column scan
+    // joined to the batch keys finds the true holder files.
+    val overlapped = ranges.size > 1 && (0 until ranges.size - 1).exists(i =>
+      KeyBytes.compare(ranges(i).maxBytes, ranges(i + 1).minBytes) >= 0)
     // dirty/clean split by FILE NAME: footer stats yield `file:/…` URIs
     // while the local listing yields the caller's path form (possibly
     // relative) — comparing full paths would silently classify every file
     // clean AND re-merge the dirty ones (duplicate rows)
-    val routed = routedFiles(ranges, batch.select(key)).map(fileName).toSet
-    // non-cut expansion (see KeyBytes.expandNonCut): the run slices below
-    // are key-range filters, so a key straddling a file boundary (repeated
-    // keys — out of the primary-key contract, matching the reference's
-    // unique-key requirement) would otherwise lose rows or leave stale
-    // copies beside a replacement
-    val dirtyNames = KeyBytes.expandNonCut(ranges.size,
-        i => ranges(i).minBytes, i => ranges(i).maxBytes,
-        ranges.zipWithIndex.collect {
-          case (r, i) if routed(fileName(r.file)) => i
-        }.toSet)
-      .map(i => fileName(ranges(i).file))
+    val dirtyNames =
+      if (overlapped) holderFileNames(batch, allFiles)
+      else {
+        val routed = routedFiles(ranges, batch.select(key)).map(fileName).toSet
+        // non-cut expansion (see KeyBytes.expandNonCut): the run slices
+        // below are key-range filters, so a key straddling a file boundary
+        // (repeated keys — out of the primary-key contract, matching the
+        // reference's unique-key requirement) would otherwise lose rows or
+        // leave stale copies beside a replacement
+        KeyBytes.expandNonCut(ranges.size,
+            i => ranges(i).minBytes, i => ranges(i).maxBytes,
+            ranges.zipWithIndex.collect {
+              case (r, i) if routed(fileName(r.file)) => i
+            }.toSet)
+          .map(i => fileName(ranges(i).file))
+      }
     phase("route")
-    val allFiles = MutableParquetTable.tableFiles(dir)
     val (dirty, clean) = allFiles.partition(f => dirtyNames.contains(fileName(f)))
 
     // metadata-only passthrough of clean files (S6 analog)
@@ -292,7 +325,15 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       else StructType(tableSchema.fields ++ newFields.map(_.copy(nullable = true)))
 
     var inserted = 0
-    if (dirty.nonEmpty || clean.isEmpty) {
+    // overlapped layout with NO holder files: upserts are all genuine
+    // inserts (the exact join proved every batch key absent from every
+    // file) and need a new file; a delete-only probe of absent keys
+    // stays metadata-only
+    val needRewrite =
+      if (overlapped && dirty.isEmpty && clean.nonEmpty)
+        !batch.where(col(opCol) =!= lit("delete")).isEmpty
+      else dirty.nonEmpty || clean.isEmpty
+    if (needRewrite) {
       // distributed re-merge of just the dirty slice; explicit schema, so
       // no per-merge footer-inference job runs
       val base =
@@ -312,6 +353,25 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
             .write.mode("append").parquet(outDir)
         }
         inserted = 1
+      } else if (overlapped) {
+        // OVERLAPPED layout: the run-slicing below depends on disjoint
+        // file ranges, which this layout does not have. Rewrite all
+        // holder files (plus inserts) as ONE range-partitioned run:
+        // output files are key-disjoint among THEMSELVES (range exchange
+        // + in-partition sort); they may still overlap the untouched
+        // files, but routing on an overlapped layout is always the exact
+        // holder join above, which needs no range invariant.
+        val nOut = math.max(1, dirty.size)
+        val merged = if (nOut > 1)
+          merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else merged0
+        try ParquetTable.withMicrosTimestamps(spark) {
+          (if (nOut == 1) merged.repartition(1)
+           else merged.repartitionByRange(nOut, keys.map(col): _*))
+            .sortWithinPartitions(keys.map(col): _*)
+            .write.mode("append").parquet(outDir)
+        } finally if (nOut > 1) merged.unpersist(false)
+        inserted += nOut
       } else {
         // Maximal runs of CONSECUTIVE dirty files in global key order.
         // Each run is rewritten separately, sliced to
@@ -470,11 +530,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // file-level merge owns the insert-into-empty path; silently
     // committing an empty snapshot would drop the batch
     if (ranges.isEmpty) return merge(batch, opCol, snapshotDir)
-    // composite keys: a LEADING-key value straddling a file boundary
-    // breaks per-file independence (both files hold rows of that value,
-    // but each is rewritten alone) — the file-level merge rewrites
-    // straddling files together, so fall back to it
-    if (moreKeys.nonEmpty && ranges.size > 1 && ranges.sliding(2).exists {
+    // ANY overlap between file key ranges breaks per-file independence:
+    // a key's true holder need not be the owner-routed file (overlapped
+    // layouts, e.g. post-z-order), and for composite keys a straddling
+    // leading-key value spans files that are rewritten alone. The
+    // file-level merge handles both (exact holder routing / straddling
+    // files rewritten together), so fall back to it.
+    if (ranges.size > 1 && ranges.sliding(2).exists {
           case Seq(a, b) => KeyBytes.compare(a.maxBytes, b.minBytes) >= 0
           case _         => false
         }) return merge(batch, opCol, snapshotDir)
