@@ -157,6 +157,12 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
       : Map[String, Seq[MutableParquetTable.DimRange]] =
     MutableParquetTable.manifestDimRanges(snapshotDir)
 
+  /** Per-file row counts from the manifest's ranged entries (resolved
+    * paths) — the scan's planner-statistics source. */
+  private[sources] lazy val fileRowCounts: Map[String, Long] =
+    keyName.flatMap(k => MutableParquetTable.manifestRanges(snapshotDir, k))
+      .getOrElse(Nil).map(r => r.file -> r.rowCount).toMap
+
   override def name(): String = s"graft:$snapshotDir"
 
   /** Manifest-embedded schema when present (zero IO beyond the manifest
@@ -320,9 +326,43 @@ final class GraftParquetScan(spark: SparkSession,
                              private val required: StructType,
                              private val pushed: Array[Filter],
                              private val staticFiles: Seq[String])
-    extends Scan with SupportsRuntimeFiltering {
+    extends Scan with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private var plannedFiles: Seq[String] = staticFiles
+
+  /** Planner statistics from metadata alone: without them a V2 relation
+    * costs `defaultSizeInBytes` (effectively infinite), so a join against
+    * even a tiny — or tightly key-pruned — graft table would NEVER
+    * auto-broadcast and every such join would shuffle both sides. Bytes
+    * are the PRUNED file list's physical sizes scaled by
+    * `spark.sql.sources.fileCompressionFactor` (the FileScan convention);
+    * rows come from the manifest inventory when every surviving file has
+    * a ranged entry and no data filter was pushed (a filtered scan's row
+    * count is unknowable from metadata — report none rather than an
+    * overestimate the planner would trust). Driver-side size probes are
+    * metadata-priced; an object-store deployment would persist sizes in
+    * the manifest instead. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = plannedFiles.iterator.map { f =>
+      val p = java.nio.file.Paths.get(f)
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+    }.sum
+    val scaled =
+      (bytes * spark.sessionState.conf.fileCompressionFactor).toLong
+    val rowCounts = plannedFiles.map(table.fileRowCounts.get)
+    val rows =
+      if (plannedFiles.isEmpty) java.util.OptionalLong.of(0L)
+      else if (pushed.isEmpty && rowCounts.forall(_.isDefined))
+        java.util.OptionalLong.of(rowCounts.flatten.sum)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   override def readSchema(): StructType = required
 

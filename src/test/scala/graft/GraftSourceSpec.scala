@@ -294,4 +294,30 @@ class GraftSourceSpec extends SparkSpec {
       spark.read.format("graft").option("version", 1).load(s"$work/t").collect()
     }
   }
+
+  test("scan reports manifest statistics: real size + rows, and joins auto-broadcast") {
+    val df = spark.read.format("graft").load(root)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // without SupportsReportStatistics this is defaultSizeInBytes (~8 EB)
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 64L * 1024 * 1024,
+      s"expected physical-ish size, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.exists(_.toLong === df.count()),
+      s"expected manifest row count, got ${stats.rowCount}")
+
+    // a small graft table under the broadcast threshold must become the
+    // BUILD side of a plain equi-join with no broadcast hint
+    val facts = spark.range(0, 200000)
+      .select(pmod(col("id"), lit(4000L)).as("id"), col("id").as("v"))
+    val joined = facts.join(df, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"graft side should auto-broadcast from its reported stats:\n$plan")
+    assert(joined.count() > 0)
+
+    // a filtered scan must not claim the unfiltered row count
+    val filtered = spark.read.format("graft").load(root).where(col("grp") === 99)
+    assert(filtered.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.stats.rowCount.isEmpty),
+      "pushed-filter scans report no row count")
+  }
 }
