@@ -47,6 +47,16 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     OptimisticCommit.commit(spark, root, key, batch, opCol, seqCol,
       passthrough).version
 
+  /** Replace ALL table content with `batch` as the next version — the
+    * storage side of SQL `INSERT OVERWRITE` / `TRUNCATE TABLE` (empty
+    * batch = truncate). Key-sorted disjoint layout, atomic publish,
+    * safe under concurrent writers ([[OptimisticCommit.replace]]);
+    * prior versions stay readable (time travel is how an accidental
+    * overwrite is undone). `numFiles` 0 sizes output files at ~128 MB
+    * from the batch plan's statistics. */
+  def replace(batch: DataFrame, numFiles: Int = 0): Long =
+    OptimisticCommit.replace(spark, root, key, batch, numFiles)
+
   /** Latest committed state. */
   def read(): DataFrame =
     CdcMergeSink.readAsOf(spark, root, Long.MaxValue)

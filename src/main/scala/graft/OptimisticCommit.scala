@@ -139,6 +139,100 @@ object OptimisticCommit {
     } finally staged.foreach(s => deleteQuietly(s.dir))
   }
 
+  /** Commit `batch` as the table's next version REPLACING all current
+    * content — the storage side of SQL `INSERT OVERWRITE` and
+    * `TRUNCATE TABLE`. The staged snapshot is written key-sorted with
+    * disjoint per-file ranges (the layout invariant every later merge
+    * routes by), manifest-complete, then published with the same atomic
+    * slot-claim as [[commit]]. Unlike a merge, the content does not
+    * depend on the base version, so a lost publish race needs NO rebase
+    * or re-merge: the same staged dir simply re-aims at the new head's
+    * successor slot. An empty batch commits an empty snapshot (truncate).
+    *
+    * `numFiles` 0 sizes the output from the batch plan's statistics at
+    * ~128 MB per file (exact when the batch reads staged parquet, as the
+    * V2 write path does); pass it explicitly to pin the layout. */
+  def replace(spark: SparkSession, tableRoot: String, key: String,
+              batch: DataFrame, numFiles: Int = 0,
+              maxAttempts: Int = 20): Long = {
+    val latest = CdcMergeSink.latestSnapshot(tableRoot)
+    val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
+    val dir = s"$tableRoot/.tx-${
+      java.util.UUID.randomUUID().toString.take(12)}"
+    if (batch.isEmpty) {
+      MutableParquetTable.commitEmpty(dir, key, batch.schema, moreKeys)
+    } else {
+      val n =
+        if (numFiles > 0) numFiles
+        else {
+          val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          val target = BigInt(128L * 1024 * 1024)
+          ((bytes + target - 1) / target).min(BigInt(4096)).max(BigInt(1)).toInt
+        }
+      graft.sources.ParquetTable.withMicrosTimestamps(spark) {
+        graft.sources.ParquetTable.writeSortedBy(batch, dir,
+          key +: moreKeys, n)
+      }
+      MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
+        .commitManifest(dir, Some(batch.schema))
+    }
+    var attempts = 0
+    try {
+      while (attempts < maxAttempts) {
+        attempts += 1
+        val target =
+          CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L) + 1
+        val targetDir = s"$tableRoot/v$target"
+        if (tryPublish(dir, targetDir)) return target
+        val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+          .getOrElse(-1L)
+        if (nowLast < target)
+          throw new BlockedSlotException(
+            s"$targetDir exists but is not a committed snapshot — a " +
+              "crashed direct applyBatch target or foreign directory is " +
+              "blocking the version chain; remove it (vacuum) and retry")
+      }
+      throw new IllegalStateException(
+        s"replace on $tableRoot lost the publish race $maxAttempts times — " +
+          "pathological contention; raise maxAttempts or serialize writers")
+    } finally deleteQuietly(dir)
+  }
+
+  /** Commit a SCHEMA CHANGE as the table's next version with ZERO data
+    * IO: the staged snapshot references every current file in place
+    * ([[MutableParquetTable.stageSchemaChange]] — the Reference
+    * passthrough form) under the new schema. Restaged per publish
+    * attempt (the inventory is the conflict surface and restaging is
+    * pure metadata), so it is safe under concurrent writers like
+    * [[commit]]. This is `ALTER TABLE ADD COLUMN` at 100 TB: cost is one
+    * manifest rewrite, never a table rewrite. */
+  def commitSchema(tableRoot: String,
+                   newSchema: org.apache.spark.sql.types.StructType,
+                   maxAttempts: Int = 20): Long = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val baseV = CdcMergeSink.versions(tableRoot).lastOption
+      val latest = baseV.map(v => s"$tableRoot/v$v")
+        .getOrElse(s"$tableRoot/base")
+      val dir = s"$tableRoot/.tx-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      MutableParquetTable.stageSchemaChange(latest, dir, newSchema)
+      val target = baseV.getOrElse(-1L) + 1
+      if (tryPublish(dir, s"$tableRoot/v$target")) return target
+      deleteQuietly(dir)
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$tableRoot/v$target exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+    }
+    throw new IllegalStateException(
+      s"schema change on $tableRoot lost the publish race $maxAttempts " +
+        "times — pathological contention; raise maxAttempts or serialize writers")
+  }
+
   /** A staged-but-unpublished snapshot: its dir, the version it was
     * merged against (None = the base snapshot), and the merge summary. */
   private final case class Staged(dir: String, baseVersion: Option[Long],

@@ -1066,6 +1066,29 @@ object OracleSql {
         CAST(sum(ck2) AS BIGINT) AS ck2_sum
       FROM t GROUP BY nk ORDER BY c_nationkey""",
 
+    // q99: SQL lifecycle — INSERT / ALTER ADD COLUMNS / UPDATE /
+    // TIMESTAMP AS OF / INSERT OVERWRITE; all three phases recomputed
+    // from the fixture
+    "q99_sql_lifecycle" -> """
+      WITH src AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN concat('s', CAST(c_custkey % 5 AS VARCHAR)) END AS seg2
+        FROM customer)
+      SELECT phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS ckey_sum,
+             CAST(sum(bal) AS BIGINT) AS bal_sum,
+             CAST(count(seg2) AS BIGINT) AS seg2_n
+      FROM (
+        SELECT 'pre_alter' AS phase, k, bal, CAST(NULL AS VARCHAR) AS seg2
+        FROM src
+        UNION ALL
+        SELECT 'pre_overwrite', k, bal, seg2 FROM src
+        UNION ALL
+        SELECT 'current', k, bal * 2, seg2 FROM src WHERE k % 2 = 0
+      ) GROUP BY phase ORDER BY phase""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

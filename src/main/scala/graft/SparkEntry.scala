@@ -1224,6 +1224,54 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** The SQL table LIFECYCLE in one query: INSERT, metadata-only
+    * `ALTER TABLE ADD COLUMNS`, UPDATE into the new column,
+    * `TIMESTAMP AS OF` time travel (manifest commit-time resolution),
+    * and `INSERT OVERWRITE` (an atomic whole-table replace committed as
+    * the next version, prior versions intact). Three phases of the same
+    * table — pre-alter (VERSION AS OF), pre-overwrite (TIMESTAMP AS OF),
+    * current — each re-aggregated; the oracle recomputes all three from
+    * the fixture, so a hash match proves every surface composes. */
+  def q99_sql_lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q99-wh").toString
+    val cat = "gq99_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q99_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.lc (c_custkey BIGINT, c_acctbal_c BIGINT)
+              USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.lc
+              SELECT CAST(c_custkey AS BIGINT),
+                     CAST(round(c_acctbal * 100) AS BIGINT)
+              FROM q99_cust_src""")                            // v0
+    s.sql(s"ALTER TABLE $cat.ns.lc ADD COLUMNS (seg2 STRING)") // v1, 0 IO
+    s.sql(s"""UPDATE $cat.ns.lc SET seg2 = concat('s', c_custkey % 5)
+              WHERE c_custkey % 3 = 0""")                      // v2
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()                       // between v2, v3
+    Thread.sleep(20)
+    s.sql(s"""INSERT OVERWRITE $cat.ns.lc
+              SELECT c_custkey, c_acctbal_c * 2, seg2
+              FROM $cat.ns.lc WHERE c_custkey % 2 = 0""")      // v3
+    s.sql(s"""
+      SELECT phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS ckey_sum,
+             CAST(sum(bal) AS BIGINT) AS bal_sum,
+             CAST(count(seg2) AS BIGINT) AS seg2_n
+      FROM (
+        SELECT 'pre_alter' AS phase, c_custkey, c_acctbal_c AS bal,
+               CAST(NULL AS STRING) AS seg2
+        FROM $cat.ns.lc VERSION AS OF 0
+        UNION ALL
+        SELECT 'pre_overwrite', c_custkey, c_acctbal_c, seg2
+        FROM $cat.ns.lc TIMESTAMP AS OF timestamp_millis(${mid}L)
+        UNION ALL
+        SELECT 'current', c_custkey, c_acctbal_c, seg2 FROM $cat.ns.lc
+      ) GROUP BY phase""")
+      .orderBy(col("phase"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1786,6 +1834,7 @@ object SparkEntry {
     "q96_semantic_dedup" -> (q96_semantic_dedup _),
     "q97_maintenance_sql" -> (q97_maintenance_sql _),
     "q98_zorder_merge" -> (q98_zorder_merge _),
+    "q99_sql_lifecycle" -> (q99_sql_lifecycle _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -82,6 +82,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     GraftSource.tableFor(Map("path" -> dir, "version" -> version))
   }
 
+  /** SQL time travel by wall clock: `TIMESTAMP AS OF <ts>`. Spark hands
+    * the evaluated timestamp as epoch MICROseconds; resolution is the
+    * newest version whose manifest `committedAtMs` is at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    GraftSource.tableFor(Map("path" -> dir,
+      "timestampAsOf" -> java.lang.Long.toString(
+        Math.floorDiv(timestamp, 1000L))))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
@@ -105,10 +116,38 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — schema evolves through merges " +
-        "(new batch columns become nullable table columns)")
+  /** `ALTER TABLE ... ADD COLUMN(S)` as a METADATA-ONLY commit: the next
+    * version references every current data file in place with the
+    * widened schema — zero data IO at any table size. Existing files
+    * simply lack the new column, which the scan reads as null (the same
+    * mechanics as schema evolution through merges). Other ALTERs stay
+    * unsupported: dropping/renaming/retyping columns would break files
+    * already written, and key columns are immutable identity. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case c => throw new UnsupportedOperationException(
+        s"only ADD COLUMN is supported (got ${c.getClass.getSimpleName}) — " +
+          "schema otherwise evolves through merges, and existing columns " +
+          "cannot change without rewriting committed files")
+    }
+    val table = loadTable(ident)
+    val schema = table.asInstanceOf[GraftBatchTable].schema
+    val widened = adds.foldLeft(schema) { (s, a) =>
+      require(a.fieldNames().length == 1,
+        s"nested column ${a.fieldNames().mkString(".")} is not supported")
+      val name = a.fieldNames().head
+      require(!s.fieldNames.contains(name), s"column $name already exists")
+      require(a.isNullable,
+        s"new column $name must be nullable — existing rows have no value")
+      s.add(org.apache.spark.sql.types.StructField(name, a.dataType(),
+        nullable = true))
+    }
+    graft.OptimisticCommit.commitSchema(dir, widened)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)

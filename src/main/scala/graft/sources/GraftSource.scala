@@ -78,30 +78,61 @@ object GraftSource {
   private[sources] def tableFor(parameters: Map[String, String]): GraftBatchTable = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path (load(path) or OPTIONS (path '...'))"))
-    val snapshot = resolveSnapshot(path, parameters.get("version"))
+    val snapshot = resolveSnapshot(path, parameters.get("version"),
+      parameters.get("timestampAsOf"))
     val isRoot = java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(path, "base"))
     new GraftBatchTable(SparkSession.active, snapshot,
       rootPath = if (isRoot) Some(path) else None)
   }
 
-  /** Resolve `path` (+ optional version) to one snapshot directory.
-    * Table roots resolve through the committed-version chain with
-    * [[CdcMergeSink.readAsOf]] semantics; bare directories must be the
-    * snapshot themselves. */
+  /** Resolve `path` (+ optional version or timestamp) to one snapshot
+    * directory. Table roots resolve through the committed-version chain
+    * with [[CdcMergeSink.readAsOf]] semantics; bare directories must be
+    * the snapshot themselves. */
   private[sources] def resolveSnapshot(path: String,
-                                       version: Option[String]): String = {
+                                       version: Option[String],
+                                       timestampAsOf: Option[String] = None)
+      : String = {
+    require(version.isEmpty || timestampAsOf.isEmpty,
+      "version and timestampAsOf are mutually exclusive")
     val isRoot = java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(path, "base"))
-    (isRoot, version) match {
-      case (true, Some(v)) =>
+    (isRoot, version, timestampAsOf) match {
+      case (true, Some(v), _) =>
         CdcMergeSink.versions(path).takeWhile(_ <= v.toLong).lastOption
           .map(x => s"$path/v$x").getOrElse(s"$path/base")
-      case (true, None)  => CdcMergeSink.latestSnapshot(path)
-      case (false, Some(v)) => throw new IllegalArgumentException(
+      case (true, None, Some(ts)) => resolveAsOfTimestamp(path, parseTs(ts))
+      case (true, None, None) => CdcMergeSink.latestSnapshot(path)
+      case (false, Some(v), _) => throw new IllegalArgumentException(
         s"version=$v given but $path is not a graft table root (no base/)")
-      case (false, None) => path
+      case (false, _, Some(ts)) => throw new IllegalArgumentException(
+        s"timestampAsOf=$ts given but $path is not a graft table root (no base/)")
+      case (false, None, None) => path
     }
+  }
+
+  /** `timestampAsOf` accepts epoch millis or an ISO / `yyyy-MM-dd
+    * HH:mm:ss[.f]` local timestamp. */
+  private def parseTs(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      java.sql.Timestamp.valueOf(s).getTime }
+
+  /** Newest committed snapshot whose commit time is at or before `tsMs`
+    * ([[MutableParquetTable.committedAtMs]]); commit times are monotone
+    * along the version chain (each version stages strictly after its
+    * predecessor committed). A timestamp before the table existed is an
+    * error — there is no state to read. */
+  private[sources] def resolveAsOfTimestamp(root: String, tsMs: Long): String = {
+    val chain = s"$root/base" +:
+      CdcMergeSink.versions(root).map(v => s"$root/v$v")
+    val at = chain.takeWhile(d =>
+      MutableParquetTable.committedAtMs(d).exists(_ <= tsMs)).lastOption
+    at.getOrElse(throw new IllegalArgumentException(
+      s"timestampAsOf $tsMs predates the table's first commit at " +
+        s"${MutableParquetTable.committedAtMs(s"$root/base").getOrElse(-1L)}"))
   }
 
   /** Files the most recent scan actually planned — test/telemetry hook
@@ -120,7 +151,8 @@ object GraftSource {
 final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
                             val rootPath: Option[String] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** Manifest file list when committed; directory listing for a bare
     * `base` snapshot (writeSorted output has no manifest). */
@@ -173,7 +205,23 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
       .getOrElse(spark.read.parquet(allFiles.head).schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL `TRUNCATE TABLE`: an empty-content replace committed as the
+    * next version — prior versions stay readable (time travel is the
+    * undo), vacuum reclaims them. */
+  override def truncateTable(): Boolean = {
+    val root = rootPath.getOrElse(throw new UnsupportedOperationException(
+      s"$snapshotDir is a bare snapshot, not a versioned table root — " +
+        "TRUNCATE needs the version chain"))
+    val key = keyName.getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no manifest key"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.GraftTable(spark, root, key).replace(empty)
+    true
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, this)

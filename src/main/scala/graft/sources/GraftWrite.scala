@@ -32,7 +32,16 @@ import org.apache.spark.util.SerializableConfiguration
   * plan now carries a genuine V2 write node, so `INSERT INTO` by catalog
   * name, path saves, and SQL `INSERT` all share one code path. */
 final class GraftWriteBuilder(spark: SparkSession, table: GraftBatchTable,
-                              info: LogicalWriteInfo) extends WriteBuilder {
+                              info: LogicalWriteInfo) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  /** SQL `INSERT OVERWRITE` / `df.write.mode("overwrite")`: Spark calls
+    * truncate() when the overwrite condition is the whole table; the
+    * commit then REPLACES content ([[graft.GraftTable.replace]]) instead
+    * of merging it in. */
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
 
   override def build(): Write = {
     val root = table.rootPath.getOrElse(throw new IllegalArgumentException(
@@ -56,18 +65,21 @@ final class GraftWriteBuilder(spark: SparkSession, table: GraftBatchTable,
     hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     hc.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     hc.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
-    new GraftWrite(root, key, info.schema(), new SerializableConfiguration(hc))
+    new GraftWrite(root, key, info.schema(), new SerializableConfiguration(hc),
+      replace)
   }
 }
 
 final class GraftWrite(root: String, key: String, schema: StructType,
-                       conf: SerializableConfiguration) extends Write {
+                       conf: SerializableConfiguration,
+                       replace: Boolean = false) extends Write {
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, key, schema, conf)
+    new GraftBatchWrite(root, key, schema, conf, replace)
 }
 
 final class GraftBatchWrite(root: String, key: String, schema: StructType,
-                            conf: SerializableConfiguration)
+                            conf: SerializableConfiguration,
+                            replace: Boolean = false)
     extends BatchWrite {
 
   private val staging =
@@ -83,7 +95,15 @@ final class GraftBatchWrite(root: String, key: String, schema: StructType,
     val spark = SparkSession.active
     try {
       val staged = messages.collect { case GraftFileCommitted(p) => p }
-      if (staged.nonEmpty) {
+      if (replace) {
+        // INSERT OVERWRITE: the staged batch IS the table's next version
+        // (empty select = truncate — an empty snapshot, schema kept)
+        val batch =
+          if (staged.nonEmpty) spark.read.schema(schema).parquet(staged: _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        graft.GraftTable(spark, root, key).replace(batch)
+      } else if (staged.nonEmpty) {
         val batch = spark.read.schema(schema).parquet(staged: _*)
           .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
         graft.GraftTable(spark, root, key).commit(batch)

@@ -146,14 +146,16 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     * from its files' footers and write it atomically. For snapshot dirs
     * produced OUTSIDE `merge` — e.g. a compaction output — so they join
     * the committed chain with the same read/prune/crash guarantees. */
-  def commitManifest(outDir: String): Unit = {
+  def commitManifest(outDir: String,
+                     schema: Option[org.apache.spark.sql.types.StructType]
+                       = None): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.list(Paths.get(outDir))
     val files = try s.iterator().asScala.map(_.toString)
       .filter(_.endsWith(".parquet")).toList.sorted
     finally s.close()
     require(files.nonEmpty, s"nothing to commit in $outDir")
-    writeManifest(outDir, Nil, files)
+    writeManifest(outDir, Nil, files, schema)
   }
 
   /** Route update keys to files: a key is owned by the last file (in key
@@ -698,6 +700,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
+        s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":${ranges.size + statless.size},""" +
         s""""totalRows":${ranges.map(_.rowCount).sum},"files":$files}"""
     val tmp = Paths.get(outDir, ManifestName + ".tmp")
@@ -823,6 +826,7 @@ object MutableParquetTable {
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         s""""schema":${js(schema.json)},""" +
+        s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":0,"totalRows":0,"files":[]}"""
     val tmp = Paths.get(dir, ManifestName + ".tmp")
     Files.writeString(tmp, json)
@@ -855,6 +859,7 @@ object MutableParquetTable {
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
+        s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":${sorted.size},""" +
         s""""totalRows":${sorted.map(_._2.rowCount).sum},"files":$files}"""
     val tmp = Paths.get(outDir, ManifestName + ".tmp")
@@ -875,6 +880,67 @@ object MutableParquetTable {
       "\"moreKeys\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
         .map(x => unjs(x.group(1)).split(',').toSeq.filter(_.nonEmpty))
     }.getOrElse(Nil)
+
+  /** Stage `toDir` as a METADATA-ONLY snapshot of `fromDir`: the manifest
+    * is copied with every file entry re-addressed RELATIVE to `toDir`
+    * (the object-store Reference-passthrough form — the new snapshot owns
+    * zero bytes of data), the embedded schema swapped for `newSchema`,
+    * and the commit time refreshed. Zone maps, composite keys, dim
+    * ranges, stat-less entries and row counts carry through verbatim —
+    * this is how `ALTER TABLE ADD COLUMN` commits a version without
+    * touching a single data file. `toDir` must sit directly under the
+    * table root (same depth as the version dirs) so relative entries are
+    * already in final form when the stage is renamed into the chain. */
+  private[graft] def stageSchemaChange(fromDir: String, toDir: String,
+      newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val m = readManifest(fromDir).getOrElse(throw new IllegalStateException(
+      s"$fromDir has no manifest — only committed snapshots can change schema"))
+    Files.createDirectories(Paths.get(toDir))
+    // both file inventory ("file") and dim zone-map ("dfile") entries
+    // re-address, so attached dim pruning survives the schema change
+    val readdressed = "\"(d?file)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .replaceAllIn(m, mm => {
+        val abs = resolvePath(fromDir, unjs(mm.group(2)))
+        scala.util.matching.Regex.quoteReplacement(
+          s""""${mm.group(1)}":${js(relativize(toDir, abs))}""")
+      })
+    val schemaRe = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val newSchemaField = s""""schema":${js(newSchema.json)}"""
+    val withSchema =
+      if (schemaRe.findFirstIn(readdressed).isDefined)
+        schemaRe.replaceFirstIn(readdressed,
+          scala.util.matching.Regex.quoteReplacement(newSchemaField))
+      else readdressed.replaceFirst("\\{",
+        scala.util.matching.Regex.quoteReplacement(s"{$newSchemaField,"))
+    val tsRe = "\"committedAtMs\":\\d+".r
+    val now = s""""committedAtMs":${System.currentTimeMillis()}"""
+    val stamped =
+      if (tsRe.findFirstIn(withSchema).isDefined)
+        tsRe.replaceFirstIn(withSchema,
+          scala.util.matching.Regex.quoteReplacement(now))
+      else withSchema.replaceFirst("\\{",
+        scala.util.matching.Regex.quoteReplacement(s"{$now,"))
+    val tmp = Paths.get(toDir, ManifestName + ".tmp")
+    Files.writeString(tmp, stamped)
+    Files.move(tmp, Paths.get(toDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit wall-clock time (epoch ms) of a snapshot — the manifest's
+    * `committedAtMs` field; manifests written before the field existed
+    * (and manifest-less base snapshots) fall back to filesystem mtime.
+    * Timestamp time travel resolves against this. */
+  def committedAtMs(snapshotDir: String): Option[Long] = {
+    val fromField = readManifest(snapshotDir).flatMap(m =>
+      "\"committedAtMs\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong))
+    fromField.orElse {
+      val m = Paths.get(snapshotDir, ManifestName)
+      val p = if (Files.exists(m)) m else Paths.get(snapshotDir)
+      if (Files.exists(p))
+        Some(Files.getLastModifiedTime(p).toMillis)
+      else None
+    }
+  }
 
   /** Raw manifest JSON, if committed. */
   def readManifest(snapshotDir: String): Option[String] =

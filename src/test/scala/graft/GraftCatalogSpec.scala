@@ -117,6 +117,153 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF time travel resolves by manifest commit time") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.tt (id BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO graft.ns.tt SELECT id, id FROM range(0, 10)")
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.ns.tt VALUES (5, -5), (100, 1)")
+    // SQL surface: epoch-exact timestamp literal via timestamp_millis
+    assert(spark.sql(
+        s"SELECT count(*) FROM graft.ns.tt TIMESTAMP AS OF timestamp_millis(${mid}L)")
+      .head().getLong(0) === 10L)
+    assert(spark.sql(
+        s"SELECT v FROM graft.ns.tt TIMESTAMP AS OF timestamp_millis(${mid}L) WHERE id = 5")
+      .head().getLong(0) === 5L)
+    // now() resolves to the latest state
+    assert(spark.sql(
+        "SELECT count(*) FROM graft.ns.tt TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) === 11L)
+    // path surface: the same resolution through option("timestampAsOf")
+    val dir = s"$warehouse/ns/tt"
+    assert(spark.read.format("graft").option("timestampAsOf", mid.toString)
+      .load(dir).count() === 10L)
+    // a timestamp before the table existed is an error, not silent-empty
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("timestampAsOf", "1000")
+        .load(dir).count()
+    }
+    assert(e.getMessage.contains("predates"), s"unexpected: $e")
+  }
+
+  test("INSERT OVERWRITE replaces content; prior versions stay readable") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.ow (id BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO graft.ns.ow SELECT id, id FROM range(0, 100)")
+    spark.sql(
+      "INSERT OVERWRITE graft.ns.ow SELECT id, id * 10 FROM range(50, 60)")
+    val got = spark.sql("SELECT * FROM graft.ns.ow ORDER BY id").collect()
+    assert(got.length === 10)
+    assert(got.head.getLong(0) === 50L && got.head.getLong(1) === 500L)
+    // the pre-overwrite version is still there — time travel is the undo
+    assert(spark.sql("SELECT count(*) FROM graft.ns.ow VERSION AS OF 0")
+      .head().getLong(0) === 100L)
+    // the replaced layout is a first-class table state: a later upsert
+    // merges against it exactly
+    spark.sql("INSERT INTO graft.ns.ow VALUES (55, -1), (200, 2000)")
+    val after = spark.sql("SELECT * FROM graft.ns.ow ORDER BY id").collect()
+    assert(after.length === 11)
+    assert(after.find(_.getLong(0) == 55L).get.getLong(1) === -1L)
+    assert(after.find(_.getLong(0) == 200L).get.getLong(1) === 2000L)
+  }
+
+  test("INSERT OVERWRITE of an empty select truncates; TRUNCATE TABLE too") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.tr (id BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO graft.ns.tr SELECT id, id FROM range(0, 20)")
+    spark.sql(
+      "INSERT OVERWRITE graft.ns.tr SELECT id, id FROM range(0, 5) WHERE id < 0")
+    assert(spark.sql("SELECT count(*) FROM graft.ns.tr").head().getLong(0) === 0L)
+    assert(spark.sql("SELECT * FROM graft.ns.tr").schema.fieldNames.toSeq
+      === Seq("id", "v"), "truncate keeps the schema")
+    // refill, then SQL TRUNCATE TABLE
+    spark.sql("INSERT INTO graft.ns.tr SELECT id, -id FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*) FROM graft.ns.tr").head().getLong(0) === 7L)
+    spark.sql("TRUNCATE TABLE graft.ns.tr")
+    assert(spark.sql("SELECT count(*) FROM graft.ns.tr").head().getLong(0) === 0L)
+    // table still merges after a truncate
+    spark.sql("INSERT INTO graft.ns.tr VALUES (1, 10)")
+    assert(spark.sql("SELECT v FROM graft.ns.tr WHERE id = 1")
+      .head().getLong(0) === 10L)
+  }
+
+  test("path-based mode(overwrite) replaces through the same V2 write") {
+    val root = java.nio.file.Files.createTempDirectory("graft-v2ow").toString
+    GraftTable.create(
+      spark.range(0, 40).select(col("id"), (col("id") * 2).as("v")),
+      root, "id", numFiles = 2)
+    spark.range(100, 110).select(col("id"), lit(7L).as("v"))
+      .write.format("graft").mode("overwrite").save(root)
+    val t = GraftTable(spark, root, "id")
+    val got = t.read().orderBy("id").collect()
+    assert(got.length === 10)
+    assert(got.head.getLong(0) === 100L && got.head.getLong(1) === 7L)
+    // replace commits a manifest-complete snapshot: zone-map reads work
+    assert(t.readRange(102L, 104L).count() === 3)
+  }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only commit") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.ac (id BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO graft.ns.ac SELECT id, id * 2 FROM range(0, 30)")
+    spark.sql("ALTER TABLE graft.ns.ac ADD COLUMNS (tag STRING, w BIGINT)")
+    // widened schema, existing rows read the new columns as null
+    val got = spark.sql("SELECT * FROM graft.ns.ac ORDER BY id").collect()
+    assert(got.head.schema.fieldNames.toSeq === Seq("id", "v", "tag", "w"))
+    assert(got.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // the ALTER version owns ZERO data files — every entry is a reference
+    val dir = s"$warehouse/ns/ac"
+    val alterDir = s"$dir/v${GraftTable(spark, dir, "id").versions.last}"
+    val owned = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(alterDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    assert(owned === 0, "ALTER must not copy or link any data file")
+    // DML can now fill the new columns; pre-alter time travel still works
+    spark.sql("UPDATE graft.ns.ac SET tag = 'hot', w = v * 10 WHERE id < 3")
+    val hot = spark.sql(
+      "SELECT * FROM graft.ns.ac WHERE tag = 'hot' ORDER BY id").collect()
+    assert(hot.length === 3 && hot.head.getLong(3) === 0L &&
+      hot.last.getLong(3) === 40L)
+    assert(spark.sql("SELECT * FROM graft.ns.ac VERSION AS OF 0")
+      .schema.fieldNames.toSeq === Seq("id", "v"))
+    // non-ADD alters stay rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ns.ac DROP COLUMN v")
+    }
+  }
+
+  test("ALTER after zorder: dim zone maps re-address and still prune") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.az (id BIGINT, a BIGINT, b BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("""INSERT INTO graft.ns.az
+                 SELECT id, id % 100, (id * 7) % 100 FROM range(0, 20000)""")
+    spark.sql("""CALL graft.system.zorder(table => 'ns.az',
+                 dims => 'a,b', target_files => 8)""")
+    spark.sql("ALTER TABLE graft.ns.az ADD COLUMNS (note STRING)")
+    // dim pruning survives the metadata-only commit: a selective filter
+    // on a curve dimension reads fewer files than the table holds
+    val n = spark.sql(
+      "SELECT count(*) FROM graft.ns.az WHERE a = 3").head().getLong(0)
+    assert(n === 200L)
+    val planned = graft.sources.GraftSource.lastScanFiles.size
+    assert(planned > 0 && planned < 8,
+      s"dim zone maps must still prune after ALTER (planned $planned/8)")
+    // and the referenced files resolve — full scan is intact
+    assert(spark.sql("SELECT count(*) FROM graft.ns.az").head().getLong(0)
+      === 20000L)
+  }
+
   test("path-based V2 append still commits a version (no V1 bridge left)") {
     val root = java.nio.file.Files.createTempDirectory("graft-v2w").toString
     GraftTable.create(

@@ -199,10 +199,13 @@ class GraftSourceSpec extends SparkSpec {
     assert(old.count() === 1000L)
     assert(old.where(col("id") === 5L).head().getString(1) === "n-5")
 
-    // overwrite mode and bare-snapshot writes fail fast
-    intercept[Exception] {
-      base.limit(1).write.format("graft").mode("overwrite").save(r)
-    }
+    // overwrite mode REPLACES content as the next version (the V2
+    // truncate-overwrite path); history stays readable
+    base.limit(1).write.format("graft").mode("overwrite").save(r)
+    val t2 = GraftTable(spark, r, "id")
+    assert(t2.read().count() === 1L)
+    assert(t2.readAsOf(t2.versions.last - 1).count() === 1010L)
+    // bare-snapshot writes fail fast
     intercept[Exception] {
       base.limit(1).write.format("graft").mode("append")
         .save(s"$r/base")
