@@ -57,6 +57,23 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def replace(batch: DataFrame, numFiles: Int = 0): Long =
     OptimisticCommit.replace(spark, root, key, batch, numFiles)
 
+  /** `DELETE WHERE` committed as the next version at METADATA price
+    * wherever the manifest can prove it ([[graft.sources.ZoneDelete]]):
+    * files whose zone map shows every row matches are dropped whole,
+    * files no row can match pass through untouched, and only the
+    * undecidable remainder (typically one boundary file per range
+    * endpoint) is rewritten with the residual filter. A key-range
+    * retention delete on a 100 TB table is one manifest commit. Safe
+    * under concurrent writers; returns the new version id. */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long =
+    OptimisticCommit.deleteWhere(spark, root, key, cond, passthrough)._1
+
+  /** [[deleteWhere]] returning the full merge summary (dropped /
+    * passthrough / rewritten file telemetry) beside the version id. */
+  def deleteWhereResult(cond: org.apache.spark.sql.Column)
+      : (Long, graft.sources.MergeResult) =
+    OptimisticCommit.deleteWhere(spark, root, key, cond, passthrough)
+
   /** Latest committed state. */
   def read(): DataFrame =
     CdcMergeSink.readAsOf(spark, root, Long.MaxValue)

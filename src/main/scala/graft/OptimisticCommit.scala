@@ -198,6 +198,48 @@ object OptimisticCommit {
     } finally deleteQuietly(dir)
   }
 
+  /** Commit a zone-map `DELETE WHERE` as the table's next version
+    * ([[graft.sources.MutableParquetTable.deleteWhere]]): files the
+    * manifest proves all-matching are dropped, none-matching files pass
+    * through, only the undecidable remainder is rewritten. Restaged per
+    * publish attempt (the classification is against the base snapshot,
+    * so a lost race invalidates it — and restaging is cheap: metadata
+    * plus at most the boundary files), which makes it safe under
+    * concurrent writers like [[commit]]. Returns (version, summary). */
+  def deleteWhere(spark: SparkSession, tableRoot: String, key: String,
+                  cond: org.apache.spark.sql.Column,
+                  passthrough: graft.sources.MutableParquetTable.Passthrough =
+                    graft.sources.MutableParquetTable.Link,
+                  maxAttempts: Int = 20)
+      : (Long, graft.sources.MergeResult) = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val baseV = CdcMergeSink.versions(tableRoot).lastOption
+      val latest = baseV.map(v => s"$tableRoot/v$v")
+        .getOrElse(s"$tableRoot/base")
+      val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
+      val dir = s"$tableRoot/.tx-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      val res = new MutableParquetTable(spark, latest, key, passthrough,
+        moreKeys).deleteWhere(cond, dir)
+      val target = baseV.getOrElse(-1L) + 1
+      val targetDir = s"$tableRoot/v$target"
+      if (tryPublish(dir, targetDir))
+        return (target, res.copy(snapshotDir = targetDir))
+      deleteQuietly(dir)
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$targetDir exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+    }
+    throw new IllegalStateException(
+      s"deleteWhere on $tableRoot lost the publish race $maxAttempts " +
+        "times — pathological contention; raise maxAttempts or serialize writers")
+  }
+
   /** Commit a SCHEMA CHANGE as the table's next version with ZERO data
     * IO: the staged snapshot references every current file in place
     * ([[MutableParquetTable.stageSchemaChange]] — the Reference

@@ -1089,6 +1089,19 @@ object OracleSql {
         SELECT 'current', k, bal * 2, seg2 FROM src WHERE k % 2 = 0
       ) GROUP BY phase ORDER BY phase""",
 
+    // q100: SQL DELETE — zone (metadata) strategy for the key range,
+    // batch (CoW merge) for the data predicate; flags pinned to 1 so the
+    // hash match proves the strategy choice
+    "q100_zone_delete" -> """
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+             CAST(1 AS INT) AS zone_used,
+             CAST(1 AS INT) AS batch_used
+      FROM orders
+      WHERE NOT (o_orderkey < 300) AND NOT (o_orderpriority = '1-URGENT')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -1272,6 +1272,38 @@ object SparkEntry {
       .orderBy(col("phase"))
   }
 
+  /** SQL `DELETE` under BOTH execution strategies, oracle-pinned: a
+    * key-range retention delete takes the metadata-priced zone path
+    * ([[graft.sources.ZoneDelete]] — whole files dropped from the
+    * manifest, at most one boundary file rewritten, the table never
+    * scanned), then a data-column delete takes the batch CoW-merge path.
+    * The two strategy flags are pinned to 1 by the oracle, so a hash
+    * match proves the strategy choice, not just the final content. */
+  def q100_zone_delete(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    val root = s"$work/t"
+    graft.GraftTable.create(base, root, "o_orderkey", numFiles = 8)
+    def view(): Unit = s.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW gq100 USING graft OPTIONS (path '$root')")
+    view()
+    s.sql("DELETE FROM gq100 WHERE o_orderkey < 300")
+    val zoneUsed =
+      if (graft.plans.GraftDmlRule.lastDeleteStrategy == "zone") 1 else 0
+    view() // re-pin the view on the post-delete snapshot
+    s.sql("DELETE FROM gq100 WHERE o_orderpriority = '1-URGENT'")
+    val batchUsed =
+      if (graft.plans.GraftDmlRule.lastDeleteStrategy == "batch") 1 else 0
+    s.read.format("graft").load(root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("o_orderkey")).cast("long").as("okey_sum"))
+      .withColumn("zone_used", lit(zoneUsed))
+      .withColumn("batch_used", lit(batchUsed))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1835,6 +1867,7 @@ object SparkEntry {
     "q97_maintenance_sql" -> (q97_maintenance_sql _),
     "q98_zorder_merge" -> (q98_zorder_merge _),
     "q99_sql_lifecycle" -> (q99_sql_lifecycle _),
+    "q100_zone_delete" -> (q100_zone_delete _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

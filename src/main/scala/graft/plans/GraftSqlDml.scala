@@ -118,6 +118,12 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
   private[plans] val OpCol = "__graft_sql_op"
 
+  /** Test/telemetry hook: which execution strategy the last SQL DELETE
+    * took — "zone" (metadata-priced zone-map classification) or "batch"
+    * (classification scan + CoW merge). Volatile global, same pattern as
+    * [[graft.sources.GraftSource.lastPlannedFiles]]. */
+  @volatile var lastDeleteStrategy: String = ""
+
   private[plans] def attrByName(attrs: Seq[Attribute], name: String): Attribute =
     attrs.find(_.name == name)
       .orElse(attrs.find(_.name.equalsIgnoreCase(name)))
@@ -262,10 +268,22 @@ final case class GraftMergeCommand(merge: MergeIntoTable)
   }
 }
 
-/** `DELETE FROM <graft table> [WHERE <cond>]` as one CoW merge commit.
-  * Arbitrary predicates are supported — the delete batch is the filtered
-  * target itself (keys + full rows), built as a distributed scan that
-  * benefits from the graft source's manifest pruning. */
+/** `DELETE FROM <graft table> [WHERE <cond>]`, two execution strategies
+  * picked by a driver-side metadata probe:
+  *
+  *  - **zone** — when the manifest's zone maps fully decide at least
+  *    half the files ([[graft.sources.ZoneDelete]]), the statement
+  *    commits as a metadata-priced delete: provably-all-matching files
+  *    dropped, none-matching files passed through, the undecidable rest
+  *    rewritten under the statement's own predicate as a residual
+  *    filter. A key-range retention delete never scans the table.
+  *  - **batch** — otherwise (predicate selective on un-zoned columns:
+  *    proving rows requires reading them anyway), the delete batch is
+  *    the filtered target itself, one CoW merge commit — only the true
+  *    holder files rewrite.
+  *
+  * Both strategies produce identical table state; the probe costs one
+  * manifest read. */
 final case class GraftDeleteCommand(delete: DeleteFromTable)
     extends LeafRunnableCommand {
 
@@ -273,11 +291,30 @@ final case class GraftDeleteCommand(delete: DeleteFromTable)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (root, keys, schema) = targetInfo(delete.table).get
-    val targetAttrs = delete.table.output
-    val cols = schema.fieldNames.toSeq
-      .map(n => n -> (attrByName(targetAttrs, n): Expression))
-    val batchPlan = branch(delete.table, delete.condition, cols, "delete")
-    GraftSqlDml.commit(spark, root, keys.head, batchPlan)
+    val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
+    val zoneWorthwhile = graft.sources.ZoneDelete
+      .classify(latest, delete.condition)
+      .exists(c => c.total == 0 || c.provenFraction >= 0.5)
+    if (zoneWorthwhile) {
+      GraftDmlRule.lastDeleteStrategy = "zone"
+      // re-resolvable form of the statement's own predicate: attribute
+      // refs bound to the DML plan are replaced by plain names, so the
+      // per-file residual filter resolves against each file scan
+      val unresolved = delete.condition.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      }
+      graft.GraftTable(spark, root, keys.head).deleteWhere(
+        org.apache.spark.sql.classic.GraftShims.column(unresolved))
+    } else {
+      GraftDmlRule.lastDeleteStrategy = "batch"
+      val targetAttrs = delete.table.output
+      val cols = schema.fieldNames.toSeq
+        .map(n => n -> (attrByName(targetAttrs, n): Expression))
+      val batchPlan = branch(delete.table, delete.condition, cols, "delete")
+      GraftSqlDml.commit(spark, root, keys.head, batchPlan)
+    }
     Seq.empty
   }
 }

@@ -30,7 +30,10 @@ final case class MergeResult(
     // never silent.
     filesHardLinked: Int = 0,
     filesReferenced: Int = 0,
-    filesCopied: Int = 0) {
+    filesCopied: Int = 0,
+    // files DROPPED whole by a zone-map delete (provably all-matching —
+    // removed from the manifest with zero IO); always 0 for merges
+    filesDropped: Int = 0) {
 
   private def sz(fs: Seq[String]): Long =
     fs.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
@@ -66,6 +69,7 @@ final case class MergeResult(
     s"""{"snapshotDir":"$snapshotDir","filesLinked":$filesHardLinked,""" +
       s""""filesReferenced":$filesReferenced,""" +
       s""""filesCopied":$filesCopied,""" +
+      s""""filesDropped":$filesDropped,""" +
       s""""filesRewritten":${rewrittenFiles.size},""" +
       s""""filesInserted":$insertedFileCount,""" +
       s""""bytesPassedThrough":$bytesPassedThrough,""" +
@@ -588,6 +592,107 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       filesCopied = pt.copied)
   }
 
+  /** Metadata-priced `DELETE WHERE`: classify every file of this
+    * snapshot under `cond` from the manifest's zone maps alone
+    * ([[ZoneDelete]]) — provably all-matching files are DROPPED (zero
+    * IO), provably none-matching files pass through untouched (link /
+    * manifest reference per this table's passthrough mode), and only the
+    * undecidable remainder is rewritten with the row-level residual
+    * filter. A retention delete on the key (`key < horizon`) therefore
+    * costs one manifest commit plus at most one boundary-file rewrite at
+    * ANY table size — against the CoW-merge delete path's full batch
+    * scan + holder rewrite.
+    *
+    * Rows where `cond` is NULL are kept (SQL `DELETE ... WHERE`
+    * semantics). Rewritten files keep their identity and (sub)ranges, so
+    * the disjoint-layout invariant — and every later merge — is
+    * untouched; the analysis never misclassifies, it only degrades to
+    * rewriting (see [[ZoneDelete]]'s conservativeness contract). */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+                  outDir: String): MergeResult = {
+    var mark = System.nanoTime()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = (now - mark) / 1000000L
+      mark = now
+    }
+    // resolve the predicate against this table's schema with zero IO
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    val resolved = probe.where(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val cls = ZoneDelete.classify(dir, resolved).getOrElse(
+      // no manifest (bare dir): nothing provable — rewrite everything
+      ZoneDelete.Classification(Nil, Nil, MutableParquetTable.tableFiles(dir)))
+    phase("classify")
+    Files.createDirectories(Paths.get(outDir))
+    if (cls.keep.isEmpty && cls.rewrite.isEmpty) {
+      // the predicate provably matches the whole table: empty snapshot,
+      // schema kept — structurally a truncate
+      MutableParquetTable.commitEmpty(outDir, key, tableSchema, moreKeys)
+      phase("manifest")
+      return MergeResult(outDir, Nil, Nil, 0, phases.toMap,
+        filesDropped = cls.drop.size)
+    }
+    val pt = passThroughClean(cls.keep, outDir)
+    phase("link")
+    // keep-filter: NOT coalesce(cond, false) — a NULL predicate row is
+    // not deleted, exactly SQL WHERE semantics (and exactly what the
+    // batch-merge delete path does by filtering TRUE rows into the batch)
+    val keepFilter = !coalesce(cond, lit(false))
+    var inserted = 0
+    if (cls.rewrite.nonEmpty) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = cls.rewrite.zipWithIndex.map { case (f, i) => Future {
+        val kept = spark.read.schema(tableSchema).parquet(f)
+          .where(keepFilter)
+        if (kept.isEmpty) 0 // residual emptied the file — drop it too
+        else {
+          // per-file staging dirs: concurrent jobs cannot share one
+          // output dir (committer cleanup races on _temporary)
+          val staging = s"$outDir/.staging-del-$i"
+          ParquetTable.withMicrosTimestamps(spark) {
+            kept.repartition(1).sortWithinPartitions(keys.map(col): _*)
+              .write.mode("append").parquet(staging)
+          }
+          import scala.jdk.CollectionConverters._
+          val st = Files.list(Paths.get(staging))
+          val parts = try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toList
+          finally st.close()
+          parts.foreach { p =>
+            Files.move(p, Paths.get(outDir, s"del$i-${p.getFileName.toString}"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+          MutableParquetTable.deleteDir(Paths.get(staging))
+          parts.size
+        }
+      }}
+      inserted = Await.result(Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf).sum
+    }
+    phase("rewrite")
+    val keepNames = cls.keep.map(fileName).toSet
+    val carried = sortedRanges().filter(r => keepNames(fileName(r.file)))
+    val newFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(outDir))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList
+        .filterNot(f => keepNames.contains(fileName(f)))
+      finally s.close()
+    }
+    writeManifest(outDir, carried, newFiles, Some(tableSchema), pt.refNames)
+    phase("manifest")
+    MergeResult(outDir, cls.rewrite, cls.keep, inserted, phases.toMap,
+      filesHardLinked = pt.linked, filesReferenced = pt.referenced,
+      filesCopied = pt.copied, filesDropped = cls.drop.size)
+  }
+
   private final case class PassThroughResult(linked: Int, copied: Int,
       referenced: Int, refNames: Map[String, String])
 
@@ -958,7 +1063,16 @@ object MutableParquetTable {
     val files = manifestFileNames(snapshotDir).getOrElse(
       throw new IllegalStateException(
         s"$snapshotDir has no $ManifestName — not a committed snapshot"))
-    require(files.nonEmpty, s"$snapshotDir manifest lists no files")
+    if (files.isEmpty) {
+      // a zero-file snapshot is a real table state (TRUNCATE, a delete
+      // that covered everything, CREATE TABLE pre-insert): an empty
+      // relation with the manifest's schema
+      val schema = manifestSchema(snapshotDir).getOrElse(
+        throw new IllegalStateException(
+          s"$snapshotDir manifest lists no files and embeds no schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     // the manifest schema, not footer inference: a schema-evolved snapshot
     // mixes physical shapes (old passthrough files lack the new columns),
     // and inference from one footer would read the wrong one

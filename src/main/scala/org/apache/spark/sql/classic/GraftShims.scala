@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Wrap a catalyst expression as a user-facing Column (the inverse of
+    * `Column.expr`) — used by the SQL DELETE fast path to re-apply the
+    * statement's own resolved predicate as the residual row filter. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
 }
