@@ -74,6 +74,20 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       : (Long, graft.sources.MergeResult) =
     OptimisticCommit.deleteWhere(spark, root, key, cond, passthrough)
 
+  /** `UPDATE SET ... WHERE` committed as the next version: files the
+    * zone maps prove untouched pass through, only intersecting files
+    * rewrite (in place, CASE projection) — no table scan, no merge.
+    * Merge-key columns cannot be assigned. Returns the version id. */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  sets: (String, org.apache.spark.sql.Column)*): Long =
+    OptimisticCommit.updateWhere(spark, root, key, cond, sets, passthrough)._1
+
+  /** [[updateWhere]] with the full merge summary. */
+  def updateWhereResult(cond: org.apache.spark.sql.Column,
+                        sets: (String, org.apache.spark.sql.Column)*)
+      : (Long, graft.sources.MergeResult) =
+    OptimisticCommit.updateWhere(spark, root, key, cond, sets, passthrough)
+
   /** Latest committed state. */
   def read(): DataFrame =
     CdcMergeSink.readAsOf(spark, root, Long.MaxValue)

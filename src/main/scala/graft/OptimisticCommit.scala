@@ -240,6 +240,46 @@ object OptimisticCommit {
         "times — pathological contention; raise maxAttempts or serialize writers")
   }
 
+  /** Commit a zone-map `UPDATE ... WHERE` as the table's next version
+    * ([[graft.sources.MutableParquetTable.updateWhere]]): proven-clean
+    * files pass through, intersecting files rewrite in place with the
+    * CASE projection. Restaged per publish attempt like [[deleteWhere]].
+    * Returns (version, summary). */
+  def updateWhere(spark: SparkSession, tableRoot: String, key: String,
+                  cond: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)],
+                  passthrough: graft.sources.MutableParquetTable.Passthrough =
+                    graft.sources.MutableParquetTable.Link,
+                  maxAttempts: Int = 20)
+      : (Long, graft.sources.MergeResult) = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val baseV = CdcMergeSink.versions(tableRoot).lastOption
+      val latest = baseV.map(v => s"$tableRoot/v$v")
+        .getOrElse(s"$tableRoot/base")
+      val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
+      val dir = s"$tableRoot/.tx-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      val res = new MutableParquetTable(spark, latest, key, passthrough,
+        moreKeys).updateWhere(cond, sets, dir)
+      val target = baseV.getOrElse(-1L) + 1
+      val targetDir = s"$tableRoot/v$target"
+      if (tryPublish(dir, targetDir))
+        return (target, res.copy(snapshotDir = targetDir))
+      deleteQuietly(dir)
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$targetDir exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+    }
+    throw new IllegalStateException(
+      s"updateWhere on $tableRoot lost the publish race $maxAttempts " +
+        "times — pathological contention; raise maxAttempts or serialize writers")
+  }
+
   /** Commit a SCHEMA CHANGE as the table's next version with ZERO data
     * IO: the staged snapshot references every current file in place
     * ([[MutableParquetTable.stageSchemaChange]] — the Reference

@@ -1102,6 +1102,23 @@ object OracleSql {
       WHERE NOT (o_orderkey < 300) AND NOT (o_orderpriority = '1-URGENT')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // q101: SQL UPDATE — zone strategy for the key range (no table
+    // scan), batch CoW merge for the data predicate; flags pinned
+    "q101_zone_update" -> """
+      WITH t AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderpriority = '5-LOW'
+                    THEN o_custkey + 1000000 ELSE o_custkey END AS ck,
+               CASE WHEN o_orderkey < 300 THEN 'old' END AS tag
+        FROM orders)
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ck) AS BIGINT) AS ck_sum,
+             CAST(count(tag) AS BIGINT) AS old_n,
+             CAST(1 AS INT) AS zone_used,
+             CAST(1 AS INT) AS batch_used
+      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

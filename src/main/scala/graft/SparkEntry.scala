@@ -1304,6 +1304,38 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SQL `UPDATE` under both strategies, oracle-pinned like q100: a
+    * key-range update takes the zone path (proven-clean files pass
+    * through, only intersecting files rewrite in place — no table
+    * scan), a data-column update takes the batch CoW-merge path. */
+  def q101_zone_update(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), lit(null).cast("string").as("tag"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q101").toString
+    val root = s"$work/t"
+    graft.GraftTable.create(base, root, "o_orderkey", numFiles = 8)
+    def view(): Unit = s.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW gq101 USING graft OPTIONS (path '$root')")
+    view()
+    s.sql("UPDATE gq101 SET tag = 'old' WHERE o_orderkey < 300")
+    val zoneUsed =
+      if (graft.plans.GraftDmlRule.lastUpdateStrategy == "zone") 1 else 0
+    view()
+    s.sql("UPDATE gq101 SET o_custkey = o_custkey + 1000000 " +
+      "WHERE o_orderpriority = '5-LOW'")
+    val batchUsed =
+      if (graft.plans.GraftDmlRule.lastUpdateStrategy == "batch") 1 else 0
+    s.read.format("graft").load(root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("o_custkey")).cast("long").as("ck_sum"),
+        count(col("tag")).cast("long").as("old_n"))
+      .withColumn("zone_used", lit(zoneUsed))
+      .withColumn("batch_used", lit(batchUsed))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1868,6 +1900,7 @@ object SparkEntry {
     "q98_zorder_merge" -> (q98_zorder_merge _),
     "q99_sql_lifecycle" -> (q99_sql_lifecycle _),
     "q100_zone_delete" -> (q100_zone_delete _),
+    "q101_zone_update" -> (q101_zone_update _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -124,6 +124,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * [[graft.sources.GraftSource.lastPlannedFiles]]. */
   @volatile var lastDeleteStrategy: String = ""
 
+  /** Same hook for SQL UPDATE: "zone" or "batch". */
+  @volatile var lastUpdateStrategy: String = ""
+
   private[plans] def attrByName(attrs: Seq[Attribute], name: String): Attribute =
     attrs.find(_.name == name)
       .orElse(attrs.find(_.name.equalsIgnoreCase(name)))
@@ -319,8 +322,16 @@ final case class GraftDeleteCommand(delete: DeleteFromTable)
   }
 }
 
-/** `UPDATE <graft table> SET ... [WHERE <cond>]` as one CoW merge commit
-  * (key-preserving assignments only, same rule as MERGE's UPDATE). */
+/** `UPDATE <graft table> SET ... [WHERE <cond>]`, two strategies like
+  * DELETE's (key-preserving assignments only, same rule as MERGE's
+  * UPDATE):
+  *
+  *  - **zone** — when the zone maps prove at least half the files
+  *    untouched by the condition (and no assignment names a key
+  *    column), the update rewrites ONLY the intersecting files in
+  *    place with a CASE projection — the table is never scanned;
+  *  - **batch** — otherwise, the update batch is the filtered target
+  *    with assignments applied, one CoW merge commit. */
 final case class GraftUpdateCommand(update: UpdateTable)
     extends LeafRunnableCommand {
 
@@ -330,9 +341,30 @@ final case class GraftUpdateCommand(update: UpdateTable)
     val (root, keys, schema) = targetInfo(update.table).get
     val targetAttrs = update.table.output
     val cond = update.condition.getOrElse(Literal.TrueLiteral)
-    val cols = updateCols(schema, targetAttrs, update.assignments, keys)
-    val batchPlan = branch(update.table, cond, cols, "upsert")
-    GraftSqlDml.commit(spark, root, keys.head, batchPlan)
+    val assignsKey = update.assignments.exists(a =>
+      keys.exists(_.equalsIgnoreCase(assignmentName(a))))
+    val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
+    val zoneWorthwhile = !assignsKey && graft.sources.ZoneDelete
+      .classify(latest, cond)
+      .exists(c => c.total == 0 || c.keep.size * 2 >= c.total)
+    if (zoneWorthwhile) {
+      GraftDmlRule.lastUpdateStrategy = "zone"
+      def unresolve(e: Expression): Expression = e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      }
+      def toCol(e: Expression): org.apache.spark.sql.Column =
+        org.apache.spark.sql.classic.GraftShims.column(unresolve(e))
+      val sets = update.assignments.map(a => assignmentName(a) -> toCol(a.value))
+      graft.OptimisticCommit.updateWhere(spark, root, keys.head, toCol(cond),
+        sets)
+    } else {
+      GraftDmlRule.lastUpdateStrategy = "batch"
+      val cols = updateCols(schema, targetAttrs, update.assignments, keys)
+      val batchPlan = branch(update.table, cond, cols, "upsert")
+      GraftSqlDml.commit(spark, root, keys.head, batchPlan)
+    }
     Seq.empty
   }
 }

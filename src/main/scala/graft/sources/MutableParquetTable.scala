@@ -693,6 +693,105 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       filesCopied = pt.copied, filesDropped = cls.drop.size)
   }
 
+  /** Metadata-priced `UPDATE ... SET ... WHERE`: files the zone maps
+    * prove untouched by `cond` ([[ZoneDelete]] NoneTrue) pass through;
+    * every other file is rewritten IN PLACE with a per-column CASE
+    * projection (`WHEN cond THEN assignment ELSE current`). No table
+    * scan, no merge machinery: a key-range update touches only the
+    * files the range lives in, at any table size.
+    *
+    * Merge-key columns (leading + composite) cannot be assigned — rows
+    * keep their identity and position, which is exactly why the rewrite
+    * preserves the sorted disjoint layout. Assignments are cast to the
+    * table column's type (ANSI: overflow throws, never drifts the
+    * physical schema). Rows where `cond` is NULL are not updated. */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)],
+                  outDir: String): MergeResult = {
+    sets.foreach { case (n, _) =>
+      require(!keys.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE of merge-key column $n is not supported — the layout and " +
+          "row identity are key-addressed; DELETE + INSERT instead")
+      require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE target column $n is not in the table schema " +
+          tableSchema.fieldNames.mkString("(", ", ", ")"))
+    }
+    var mark = System.nanoTime()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = (now - mark) / 1000000L
+      mark = now
+    }
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    val resolved = probe.where(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val cls = ZoneDelete.classify(dir, resolved).getOrElse(
+      ZoneDelete.Classification(Nil, Nil, MutableParquetTable.tableFiles(dir)))
+    phase("classify")
+    Files.createDirectories(Paths.get(outDir))
+    val pt = passThroughClean(cls.keep, outDir)
+    phase("link")
+    // AllTrue files rewrite too (every row updates — there is no
+    // metadata shortcut for new values), same lane as Unknown
+    val rewrite = cls.drop ++ cls.rewrite
+    val hit = coalesce(cond, lit(false))
+    val byName = sets.map { case (n, c) => n.toLowerCase -> c }.toMap
+    val projection = tableSchema.fields.toSeq.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(assign) =>
+          when(hit, assign.cast(f.dataType)).otherwise(col(f.name))
+            .as(f.name)
+        case None => col(f.name)
+      }
+    }
+    var inserted = 0
+    if (rewrite.nonEmpty) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = rewrite.zipWithIndex.map { case (f, i) => Future {
+        val staging = s"$outDir/.staging-upd-$i"
+        ParquetTable.withMicrosTimestamps(spark) {
+          spark.read.schema(tableSchema).parquet(f).select(projection: _*)
+            .repartition(1).sortWithinPartitions(keys.map(col): _*)
+            .write.mode("append").parquet(staging)
+        }
+        import scala.jdk.CollectionConverters._
+        val st = Files.list(Paths.get(staging))
+        val parts = try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        finally st.close()
+        parts.foreach { p =>
+          Files.move(p, Paths.get(outDir, s"upd$i-${p.getFileName.toString}"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        MutableParquetTable.deleteDir(Paths.get(staging))
+        parts.size
+      }}
+      inserted = Await.result(Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf).sum
+    }
+    phase("rewrite")
+    val keepNames = cls.keep.map(fileName).toSet
+    val carried = sortedRanges().filter(r => keepNames(fileName(r.file)))
+    val newFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(outDir))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList
+        .filterNot(f => keepNames.contains(fileName(f)))
+      finally s.close()
+    }
+    writeManifest(outDir, carried, newFiles, Some(tableSchema), pt.refNames)
+    phase("manifest")
+    MergeResult(outDir, rewrite, cls.keep, inserted, phases.toMap,
+      filesHardLinked = pt.linked, filesReferenced = pt.referenced,
+      filesCopied = pt.copied)
+  }
+
   private final case class PassThroughResult(linked: Int, copied: Int,
       referenced: Int, refNames: Map[String, String])
 

@@ -161,6 +161,57 @@ class ZoneDeleteSpec extends SparkSpec {
     assert(t.read().count() === 200L)
   }
 
+  test("zone UPDATE rewrites only intersecting files; null-cond rows untouched") {
+    val root = freshRoot()
+    val (t, ranges) = mkTable(root)
+    val horizon = ranges(2).min.asInstanceOf[Long] + 5
+    val (_, res) = t.updateWhereResult(col("k") < horizon,
+      "v" -> lit(-1L), "grp" -> concat(col("grp"), lit("!")))
+    // files 0,1 are all-matching, file 2 boundary: all three rewrite
+    // (updates have no metadata shortcut for new values); 5 keep
+    assert(res.rewrittenFiles.size === 3)
+    assert(res.passthroughFiles.size === 5)
+    val got = t.read().orderBy("k").collect()
+    got.foreach { r =>
+      val k = r.getLong(0)
+      if (k < horizon) {
+        assert(r.getLong(2) === -1L && r.getString(1).endsWith("!"))
+      } else {
+        assert(r.getLong(2) === k * 3 && !r.getString(1).endsWith("!"))
+      }
+    }
+    // assignment typing: schema unchanged after the CASE projection
+    assert(t.read().schema("v").dataType.typeName === "long")
+    // merge-key assignment is rejected
+    val ex = intercept[IllegalArgumentException] {
+      t.updateWhere(col("k") < 5L, "k" -> lit(0L))
+    }
+    assert(ex.getMessage.contains("merge-key"))
+  }
+
+  test("SQL UPDATE picks zone for key ranges, batch otherwise") {
+    val w = Files.createTempDirectory("graft-zupd-cat").toString
+    val df = (0L until 1000L).map(k => (k, s"c${k % 5}", k)).toDF("id", "c", "v")
+    GraftTable.create(df, s"$w/ns/t", "id", numFiles = 8)
+    spark.conf.set("spark.sql.catalog.zupd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zupd.root", w)
+
+    spark.sql("UPDATE zupd.ns.t SET v = v + 100000 WHERE id < 250")
+    assert(graft.plans.GraftDmlRule.lastUpdateStrategy === "zone")
+    assert(spark.sql(
+      "SELECT count(*) FROM zupd.ns.t WHERE v >= 100000").head().getLong(0)
+      === 250L)
+    assert(spark.sql("SELECT sum(v) FROM zupd.ns.t").head().getLong(0) ===
+      (0L until 1000L).sum + 250L * 100000L)
+
+    spark.sql("UPDATE zupd.ns.t SET v = 0 WHERE c = 'c2'")
+    assert(graft.plans.GraftDmlRule.lastUpdateStrategy === "batch")
+    assert(spark.sql("SELECT count(*) FROM zupd.ns.t WHERE v = 0 AND c = 'c2'")
+      .head().getLong(0) === 200L)
+    spark.sql("DROP TABLE zupd.ns.t")
+  }
+
   test("SQL DELETE picks the zone strategy for key ranges, batch for data predicates") {
     val w = Files.createTempDirectory("graft-zdel-cat").toString
     spark.conf.set("spark.sql.catalog.zdel",
