@@ -43,7 +43,8 @@ object Bench {
       "customer" -> "c_custkey", "supplier" -> "s_suppkey", "part" -> "p_partkey",
       "documents" -> "doc_id", "embeddings" -> "vec_id",
       "region" -> "r_regionkey", "nation" -> "n_nationkey")
-    // nanos-as-long keeps events' original schema through the raw read
+    // events' ts has shipped as nanos and as micros-NTZ across fixture
+    // generations — Tables.events normalizes either to a UTC timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one Spark job per table, submitted concurrently: each single-table
     // relayout is too small to fill the cluster (sample pass + sorted
@@ -52,7 +53,8 @@ object Bench {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val jobs = Tables.all.map { t => Future {
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val df = if (t == "events") Tables.events(spark, sfDir)
+               else spark.read.parquet(s"$sfDir/$t.parquet")
       val n = df.count()
       val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
       // split by rows AND bytes, with floors for the CPU-heavy tables:

@@ -24,15 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * micro-precision timestamp (`ts div 1000` — integer division, no
-    * double round-trip). */
+  /** `events.ts` has shipped in two physical forms across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only reads via the nanos-as-long legacy conf) and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    * TIMESTAMP_NTZ). Normalize both to a session-zone TimestampType —
+    * the engine runs UTC, so wall-clock values match DuckDB's naive
+    * read of the same file either way. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: integer-divide to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // micros NTZ: reinterpret in UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
