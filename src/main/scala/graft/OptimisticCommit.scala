@@ -76,14 +76,19 @@ object OptimisticCommit {
     * writers. Returns the landed version (or the current latest for an
     * empty batch) plus attempt telemetry. `testHookAfterStage` runs
     * between staging and publish — a deterministic seam for conflict
-    * tests; production callers leave the default. */
+    * tests; production callers leave the default. `txnMarker` (writer
+    * app id, epoch) is stamped into the committed manifest so a
+    * streaming sink's replayed epoch is detectable
+    * ([[graft.streaming.CdcMergeSink.lastTxnEpoch]]) — the marker
+    * survives rebase (re-stamped before every publish attempt). */
   def commit(spark: SparkSession, tableRoot: String, key: String,
              batch: DataFrame, opCol: String = "op",
              seqCol: Option[String] = None,
              passthrough: MutableParquetTable.Passthrough =
                MutableParquetTable.Link,
              maxAttempts: Int = 20,
-             testHookAfterStage: () => Unit = () => ()): ConcurrentCommit = {
+             testHookAfterStage: () => Unit = () => (),
+             txnMarker: Option[(String, Long)] = None): ConcurrentCommit = {
     val collapsed = CdcMergeSink.collapse(batch, key, seqCol)
     if (collapsed.isEmpty)
       return ConcurrentCommit(
@@ -112,6 +117,10 @@ object OptimisticCommit {
         }
         staged = Some(st)
         testHookAfterStage()
+        // stamp before EVERY publish attempt: a rebase rewrites the
+        // staged manifest and would otherwise drop the marker
+        txnMarker.foreach { case (a, e) =>
+          MutableParquetTable.annotateTxn(st.dir, a, e) }
         val target = st.baseVersion.getOrElse(-1L) + 1
         val targetDir = s"$tableRoot/v$target"
         if (tryPublish(st.dir, targetDir)) {
@@ -154,7 +163,8 @@ object OptimisticCommit {
     * V2 write path does); pass it explicitly to pin the layout. */
   def replace(spark: SparkSession, tableRoot: String, key: String,
               batch: DataFrame, numFiles: Int = 0,
-              maxAttempts: Int = 20): Long = {
+              maxAttempts: Int = 20,
+              txnMarker: Option[(String, Long)] = None): Long = {
     val latest = CdcMergeSink.latestSnapshot(tableRoot)
     val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
     val dir = s"$tableRoot/.tx-${
@@ -176,6 +186,10 @@ object OptimisticCommit {
       MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
         .commitManifest(dir, Some(batch.schema))
     }
+    // replace never rewrites its staged manifest on a lost race, so one
+    // stamp up front is durable across publish attempts
+    txnMarker.foreach { case (a, e) =>
+      MutableParquetTable.annotateTxn(dir, a, e) }
     var attempts = 0
     try {
       while (attempts < maxAttempts) {

@@ -1119,6 +1119,20 @@ object OracleSql {
              CAST(1 AS INT) AS batch_used
       FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // q102: V2 streaming sink — last-writer-wins across two epochs,
+    // derived exactly from raw customer; exactly_once flag pinned
+    "q102_stream_sink" -> """
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 5 THEN 'STREAMED'
+                  ELSE c_mktsegment END AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END
+               AS bal_cents,
+             CAST(1 AS INT) AS exactly_once
+      FROM customer
+      WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 10 NOT IN (0, 5))
+      ORDER BY c_custkey""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

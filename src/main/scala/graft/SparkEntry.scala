@@ -1336,6 +1336,56 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** EXACTLY-ONCE V2 streaming sink ([[graft.sources.GraftStreamingWrite]]):
+    * a two-epoch mutation stream driven through
+    * `writeStream.format("graft")` — epoch 0 upserts (+100.00 on every
+    * 10th account) and deletes (every 7th-mod-3, upsert wins on overlap),
+    * epoch 1 re-segments every 10th-mod-5 customer (resurrecting any
+    * epoch-0 deletes among them). The oracle derives the exact final state
+    * from raw customer, so staging, the per-epoch CoW merge, txn-marker
+    * stamping, AND cross-epoch ordering must all compose to hash-match;
+    * `exactly_once` pins one marker per epoch, one writer id, in order. */
+  def q102_stream_sink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-q102").toString
+    val root = s"$work/t"
+    val k = col("c_custkey")
+    val base = customer(s, dir).select(k, col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    graft.GraftTable.create(base, root, "c_custkey", numFiles = 4)
+    val e0 = base.where(k % 10 === 0 || k % 7 === 3)
+      .select(k, col("c_mktsegment"),
+        when(k % 10 === 0, col("bal_cents") + 10000)
+          .otherwise(col("bal_cents")).as("bal_cents"),
+        when(k % 10 === 0, lit("upsert")).otherwise(lit("delete")).as("op"))
+      .as[(Long, String, Long, String)].collect().toSeq
+    val e1 = base.where(k % 10 === 5)
+      .select(k, lit("STREAMED"), col("bal_cents"), lit("upsert"))
+      .as[(Long, String, Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, String)]
+    val q = in.toDF().toDF("c_custkey", "c_mktsegment", "bal_cents", "op")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$work/cp")
+      .start(root)
+    try {
+      in.addData(e0: _*); q.processAllAvailable()
+      in.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val vs = graft.streaming.CdcMergeSink.versions(root)
+    val txns = vs.flatMap(v =>
+      graft.sources.MutableParquetTable.manifestTxn(s"$root/v$v"))
+    val exactlyOnce =
+      if (vs.size == 2 && txns.map(_._2) == Seq(0L, 1L) &&
+          txns.map(_._1).distinct.size == 1) 1 else 0
+    s.read.format("graft").load(root)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("bal_cents"))
+      .withColumn("exactly_once", lit(exactlyOnce))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1901,6 +1951,7 @@ object SparkEntry {
     "q99_sql_lifecycle" -> (q99_sql_lifecycle _),
     "q100_zone_delete" -> (q100_zone_delete _),
     "q101_zone_update" -> (q101_zone_update _),
+    "q102_stream_sink" -> (q102_stream_sink _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -206,7 +206,8 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** SQL `TRUNCATE TABLE`: an empty-content replace committed as the
     * next version — prior versions stay readable (time travel is the

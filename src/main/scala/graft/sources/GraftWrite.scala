@@ -10,9 +10,12 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
+
+import graft.streaming.CdcMergeSink
 
 /** DataSource V2 write path for graft tables: `INSERT INTO` /
   * `df.write.format("graft").mode("append").save(root)` append as ONE
@@ -33,7 +36,11 @@ import org.apache.spark.util.SerializableConfiguration
   * name, path saves, and SQL `INSERT` all share one code path. */
 final class GraftWriteBuilder(spark: SparkSession, table: GraftBatchTable,
                               info: LogicalWriteInfo) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    // streaming Update output mode (aggregations) delivers upserted rows
+    // per epoch — exactly what a keyed CoW merge wants, so Update IS
+    // append for this sink
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   /** SQL `INSERT OVERWRITE` / `df.write.mode("overwrite")`: Spark calls
     * truncate() when the overwrite condition is the whole table; the
@@ -66,15 +73,26 @@ final class GraftWriteBuilder(spark: SparkSession, table: GraftBatchTable,
     hc.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     hc.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     new GraftWrite(root, key, info.schema(), new SerializableConfiguration(hc),
-      replace)
+      replace, info.queryId(),
+      info.options().getOrDefault("opColumn", "op"),
+      Option(info.options().get("seqColumn")))
   }
 }
 
 final class GraftWrite(root: String, key: String, schema: StructType,
                        conf: SerializableConfiguration,
-                       replace: Boolean = false) extends Write {
+                       replace: Boolean = false,
+                       queryId: String = "",
+                       opCol: String = "op",
+                       seqCol: Option[String] = None) extends Write {
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, key, schema, conf, replace)
+
+  /** `df.writeStream.format("graft").start(root)` — the EXACTLY-ONCE
+    * streaming sink ([[GraftStreamingWrite]]). */
+  override def toStreaming: StreamingWrite =
+    new GraftStreamingWrite(root, key, schema, conf, replace, queryId,
+      opCol, seqCol)
 }
 
 final class GraftBatchWrite(root: String, key: String, schema: StructType,
@@ -113,6 +131,103 @@ final class GraftBatchWrite(root: String, key: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     MutableParquetTable.deleteDir(Paths.get(staging))
+}
+
+/** EXACTLY-ONCE streaming sink for graft tables:
+  * `df.writeStream.format("graft").start(root)`.
+  *
+  * Each micro-batch epoch stages its rows as parquet under
+  * `root/.staging-stream-<query>/epoch-<N>/` (executors, one file per
+  * task — same writer as the batch path) and the driver-side
+  * `commit(epoch)` applies them as ONE CoW merge commit through
+  * [[graft.OptimisticCommit]], stamping the committed manifest with a
+  * `(queryId, epoch)` TXN MARKER. Exactly-once falls out of the marker:
+  * after a failure the engine replays the epoch, `commit` finds
+  * [[CdcMergeSink.lastTxnEpoch]] >= epoch and skips — the table never
+  * sees a batch twice, without any sink-side log beyond the manifests
+  * the table already writes. The marker survives publish races (it is
+  * re-stamped after a rebase) and is atomic with the commit itself — the
+  * manifest IS both.
+  *
+  * Stream shapes, chosen by the write schema + options:
+  *  - plain rows → every row upserts on the table key (Append mode, and
+  *    Update-mode aggregations via `SupportsStreamingUpdateAsAppend`);
+  *  - rows carrying `opColumn` ('upsert' | 'delete', default name `op`)
+  *    → a full CDC mutation stream, optionally collapsed per key by
+  *    `seqColumn` within each epoch;
+  *  - Complete output mode (`truncate()`) → each epoch REPLACES the
+  *    table content ([[graft.OptimisticCommit.replace]]), versioned like
+  *    every other commit.
+  *
+  * Scale: per-epoch cost is the batch stage (batch-sized) plus one
+  * zone-map-routed merge (dirty-file-sized) — never a function of table
+  * size; the idempotence check is manifest metadata only. */
+final class GraftStreamingWrite(root: String, key: String,
+                                schema: StructType,
+                                conf: SerializableConfiguration,
+                                replace: Boolean, queryId: String,
+                                opCol: String, seqCol: Option[String])
+    extends StreamingWrite {
+
+  private val staging =
+    s"$root/.staging-stream-${if (queryId.isEmpty) "q" else queryId.take(16)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(staging, schema, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      // replayed epoch after a failure: already committed, skip
+      if (CdcMergeSink.lastTxnEpoch(root, queryId).exists(_ >= epochId))
+        return
+      val staged = messages.collect { case GraftFileCommitted(p) => p }
+      val marker = Some((queryId, epochId))
+      if (replace) {
+        // Complete mode: the epoch's rows ARE the table state
+        val batch =
+          if (staged.nonEmpty) spark.read.schema(schema).parquet(staged: _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        graft.OptimisticCommit.replace(spark, root, key, batch,
+          txnMarker = marker)
+      } else if (staged.nonEmpty) {
+        val raw = spark.read.schema(schema).parquet(staged: _*)
+        val batch =
+          if (schema.fieldNames.contains(opCol)) raw
+          else raw.withColumn(opCol,
+            org.apache.spark.sql.functions.lit("upsert"))
+        graft.OptimisticCommit.commit(spark, root, key, batch, opCol,
+          seqCol.filter(schema.fieldNames.contains), txnMarker = marker)
+      }
+    } finally dropEpochStaging(epochId)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    dropEpochStaging(epochId)
+
+  /** An all-empty epoch stages nothing (writers open lazily), so the
+    * epoch dir may not exist. */
+  private def dropEpochStaging(epochId: Long): Unit = {
+    val dir = Paths.get(s"$staging/epoch-$epochId")
+    if (Files.exists(dir)) MutableParquetTable.deleteDir(dir)
+  }
+}
+
+final case class GraftStreamingWriterFactory(staging: String,
+                                             schema: StructType,
+                                             conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = {
+    val dir = s"$staging/epoch-$epochId"
+    Files.createDirectories(Paths.get(dir))
+    new GraftDataWriter(s"$dir/part-$partitionId-$taskId.parquet",
+      schema, conf.value)
+  }
 }
 
 final case class GraftFileCommitted(path: String) extends WriterCommitMessage

@@ -1152,6 +1152,37 @@ object MutableParquetTable {
       Some(Files.readString(Paths.get(snapshotDir, ManifestName)))
     else None
 
+  /** Stamp a staged snapshot's manifest with the streaming TRANSACTION
+    * MARKER (writer id + epoch) that makes epoch replay detectable: the
+    * committed version then durably records which sink epoch produced
+    * it, so a restarted streaming query re-offering an already-committed
+    * epoch can skip it ([[graft.streaming.CdcMergeSink.lastTxnEpoch]]).
+    * Idempotent — an existing marker is replaced, so the optimistic
+    * publish loop may re-stamp after a rebase rewrote the manifest. */
+  private[graft] def annotateTxn(snapshotDir: String, app: String,
+                                 epoch: Long): Unit = {
+    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no $ManifestName to stamp a txn marker on"))
+    val stripped = m.replaceFirst(
+      "\"txnApp\":\"(?:[^\"\\\\]|\\\\.)*\",\"txnEpoch\":-?\\d+,", "")
+    val json = stripped.patch(1,
+      s""""txnApp":${js(app)},"txnEpoch":$epoch,""", 0)
+    val tmp = Paths.get(snapshotDir, ManifestName + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(snapshotDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The streaming transaction marker a committed snapshot carries, if
+    * any: (writer app id, epoch). */
+  private[graft] def manifestTxn(snapshotDir: String): Option[(String, Long)] =
+    readManifest(snapshotDir).flatMap { m =>
+      for {
+        a <- "\"txnApp\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+        e <- "\"txnEpoch\":(-?\\d+)".r.findFirstMatchIn(m)
+      } yield (unjs(a.group(1)), e.group(1).toLong)
+    }
+
   /** Read a committed snapshot STRICTLY through its manifest: only files
     * the manifest lists are scanned, so stray part files — a concurrent
     * writer, a crashed later merge attempt into the same directory — are

@@ -70,6 +70,23 @@ object CdcMergeSink {
   def versions(tableRoot: String): Seq[Long] =
     committedVersionIds(tableRoot, MutableParquetTable.isCommitted)
 
+  /** Highest epoch the streaming writer `app` has committed to this
+    * table, from the txn markers its commits stamp into their manifests
+    * — the exactly-once check of the V2 streaming sink
+    * ([[graft.sources.GraftStreamingWrite]]): a restarted query
+    * re-offering epoch <= this has already committed and must skip.
+    *
+    * Epochs are monotonic per app and commits linearize in version
+    * order, so the NEWEST version carrying the app's marker holds its
+    * maximum epoch — the scan walks newest-first and stops at the first
+    * hit (normally the head version; other writers' interleaved commits
+    * only deepen it by their count). Worst case — this app never wrote —
+    * is one manifest read per version, paid once per sink restart. */
+  def lastTxnEpoch(tableRoot: String, app: String): Option[Long] =
+    versions(tableRoot).reverseIterator
+      .map(v => MutableParquetTable.manifestTxn(s"$tableRoot/v$v"))
+      .collectFirst { case Some((a, e)) if a == app => e }
+
   /** Time travel: the committed table state as of batch `batchId` — the
     * newest committed version at-or-before it (or the base snapshot when
     * none is). Snapshots are immutable (CoW + hard links), so history
