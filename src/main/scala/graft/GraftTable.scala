@@ -113,7 +113,12 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def commitWithFeed(batch: DataFrame, opCol: String = "op",
                      seqCol: Option[String] = None): Long = {
     val prev = versions.lastOption.getOrElse(-1L)
-    val v = commit(batch, opCol, seqCol)
+    // feedPending is stamped into the manifest ATOMICALLY with the
+    // commit, so a live change-feed stream holds its offset at this
+    // version until the feed's _SUCCESS lands (instead of racing the
+    // feed write and consuming the version empty)
+    val v = OptimisticCommit.commit(spark, root, key, batch, opCol, seqCol,
+      passthrough, feedPending = true).version
     if (v != prev) // empty batches commit nothing — no feed dir either
       changeFeed(prev, v)
         .withColumn("_commit_version", lit(v))

@@ -88,7 +88,8 @@ object OptimisticCommit {
                MutableParquetTable.Link,
              maxAttempts: Int = 20,
              testHookAfterStage: () => Unit = () => (),
-             txnMarker: Option[(String, Long)] = None): ConcurrentCommit = {
+             txnMarker: Option[(String, Long)] = None,
+             feedPending: Boolean = false): ConcurrentCommit = {
     val collapsed = CdcMergeSink.collapse(batch, key, seqCol)
     if (collapsed.isEmpty)
       return ConcurrentCommit(
@@ -118,9 +119,10 @@ object OptimisticCommit {
         staged = Some(st)
         testHookAfterStage()
         // stamp before EVERY publish attempt: a rebase rewrites the
-        // staged manifest and would otherwise drop the marker
+        // staged manifest and would otherwise drop the markers
         txnMarker.foreach { case (a, e) =>
           MutableParquetTable.annotateTxn(st.dir, a, e) }
+        if (feedPending) MutableParquetTable.annotateFeedPending(st.dir)
         val target = st.baseVersion.getOrElse(-1L) + 1
         val targetDir = s"$tableRoot/v$target"
         if (tryPublish(st.dir, targetDir)) {

@@ -1133,6 +1133,33 @@ object OracleSql {
       WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 10 NOT IN (0, 5))
       ORDER BY c_custkey""",
 
+    // q103: CDF relation — both versions' exact diffs derived from raw
+    // documents, with per-version attribution
+    "q103_cdf_source" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+            AS BIGINT) AS tok
+        FROM documents)
+      SELECT doc_id, 'update' AS change_type,
+             lang AS before_lang, 'xx' AS after_lang,
+             tok AS before_tok, tok AS after_tok,
+             CAST(0 AS BIGINT) AS cv
+      FROM d WHERE doc_id % 10 = 0 AND lang <> 'xx'
+      UNION ALL
+      SELECT doc_id, 'delete', lang, CAST(NULL AS VARCHAR),
+             tok, CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+      FROM d WHERE doc_id % 10 <> 0 AND doc_id % 7 = 3
+      UNION ALL
+      SELECT doc_id, 'update',
+             CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END,
+             CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END,
+             tok, tok + 1000, CAST(1 AS BIGINT)
+      FROM d WHERE doc_id % 9 = 1
+        AND NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3)
+      ORDER BY cv, doc_id""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -1386,6 +1386,47 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** The q103 fixture: a versioned (doc_id, lang, tok) table with TWO
+    * feed-persisted commits — v0 re-langs every 10th doc to 'xx' and
+    * deletes every 7th-mod-3 (upsert wins on overlap), v1 bumps tok by
+    * 1000 for every 9th-mod-1 SURVIVING doc. */
+  private def cdfDocsTable(s: SparkSession, dir: String): String =
+    cachedDerivedDir(dir, "documents.parquet", "cdf-docs-v1") { out =>
+      val src = documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      val t = graft.GraftTable.create(src, out, "doc_id", numFiles = 4)
+      t.commitWithFeed(src
+        .where(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang"))
+            .as("lang"),
+          col("tok"),
+          when(col("doc_id") % 10 === 0, lit("upsert")).otherwise(lit("delete"))
+            .as("op")))
+      t.commitWithFeed(t.read().where(col("doc_id") % 9 === 1)
+        .select(col("doc_id"), col("lang"),
+          (col("tok") + 1000).as("tok"), lit("upsert").as("op")))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
+    }
+
+  /** Change-data feed as a DataSource V2 relation
+    * ([[graft.sources.GraftChangeFeed]]): the persisted per-version row
+    * diffs read back through `format("graft").option("changeFeed",
+    * "true")` and flattened. The oracle derives both versions' exact
+    * diffs from raw documents, so CoW routing, feed persistence, the
+    * feed relation's schema/file planning, AND per-version attribution
+    * (`_commit_version`) must all compose to hash-match. */
+  def q103_cdf_source(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft").option("changeFeed", "true")
+      .load(cdfDocsTable(s, dir))
+      .select(col("doc_id"), col("change_type"),
+        col("before.lang").as("before_lang"),
+        col("after.lang").as("after_lang"),
+        col("before.tok").as("before_tok"),
+        col("after.tok").as("after_tok"),
+        col("_commit_version").as("cv"))
+      .orderBy(col("cv"), col("doc_id"))
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1952,6 +1993,7 @@ object SparkEntry {
     "q100_zone_delete" -> (q100_zone_delete _),
     "q101_zone_update" -> (q101_zone_update _),
     "q102_stream_sink" -> (q102_stream_sink _),
+    "q103_cdf_source" -> (q103_cdf_source _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -71,8 +71,32 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    GraftSource.tableFor(Map("path" -> dir))
+    if (isTableDir(dir)) return GraftSource.tableFor(Map("path" -> dir))
+    // metadata table `<table>.changes` — the change-data feed as a
+    // relation: `SELECT * FROM graft.ns.t.changes` (batch) and
+    // `spark.readStream.table("graft.ns.t.changes")` (one micro-batch
+    // per feed-persisted commit); version bounds come as read options
+    // (startingVersion / endingVersion)
+    if (ident.namespace().nonEmpty) {
+      val parent = (root +: ident.namespace().toSeq).mkString("/")
+      if (isTableDir(parent)) ident.name() match {
+        case "changes" =>
+          return GraftSource.tableFor(
+            Map("path" -> parent, "changeFeed" -> "true"))
+        // manifest-answered audit relations ([[GraftMetaTables]]):
+        // `SELECT * FROM graft.ns.t.history` / `...t.files`
+        case "history" =>
+          return new GraftRowsTable(s"$parent#history",
+            GraftMetaTables.HistorySchema,
+            () => GraftMetaTables.historyRows(parent))
+        case "files" =>
+          return new GraftRowsTable(s"$parent#files",
+            GraftMetaTables.FilesSchema,
+            () => GraftMetaTables.filesRows(parent))
+        case _ => ()
+      }
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL time travel: `SELECT ... FROM graft.ns.t VERSION AS OF <n>`. */

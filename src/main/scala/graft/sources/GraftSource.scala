@@ -83,7 +83,8 @@ object GraftSource {
     val isRoot = java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(path, "base"))
     new GraftBatchTable(SparkSession.active, snapshot,
-      rootPath = if (isRoot) Some(path) else None)
+      rootPath = if (isRoot) Some(path) else None,
+      options = parameters)
   }
 
   /** Resolve `path` (+ optional version or timestamp) to one snapshot
@@ -149,7 +150,8 @@ object GraftSource {
   * version-chain root — V2 batch writes ([[GraftWriteBuilder]]: append
   * = one CoW merge commit). */
 final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
-                            val rootPath: Option[String] = None)
+                            val rootPath: Option[String] = None,
+                            options: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
@@ -197,17 +199,39 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
 
   override def name(): String = s"graft:$snapshotDir"
 
+  /** `option("changeFeed", "true")`: this relation is the table's
+    * CHANGE-DATA FEED ([[GraftChangeFeed]]) — batch + micro-batch reads
+    * of the persisted per-version row diffs, read-only. Option keys
+    * arrive lowercased via `inferSchema` (CaseInsensitiveStringMap) but
+    * original-case via `getTable` — normalize once. */
+  private val lcOptions: Map[String, String] =
+    options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  private[sources] val feedMode: Boolean =
+    lcOptions.get("changefeed").exists(_.equalsIgnoreCase("true"))
+
+  private def longOpt(name: String): Option[Long] =
+    lcOptions.get(name.toLowerCase(java.util.Locale.ROOT)).map(_.toLong)
+
   /** Manifest-embedded schema when present (zero IO beyond the manifest
     * itself); single-file footer probe otherwise — never a probe of the
     * whole file list. */
-  override val schema: StructType =
+  private val tableSchema: StructType =
     MutableParquetTable.manifestSchema(snapshotDir)
       .getOrElse(spark.read.parquet(allFiles.head).schema)
+
+  override val schema: StructType =
+    if (feedMode)
+      GraftChangeFeed.feedSchema(tableSchema, keyName.getOrElse(
+        throw new IllegalArgumentException(
+          s"$snapshotDir has no manifest key — change feeds need a " +
+            "keyed graft table")))
+    else tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** SQL `TRUNCATE TABLE`: an empty-content replace committed as the
     * next version — prior versions stay readable (time travel is the
@@ -224,13 +248,32 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
     true
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, this)
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    if (feedMode) {
+      // version bounds may arrive as TABLE options (path reads) or as
+      // per-read SCAN options (`spark.read.option(...).table("..t.changes")`
+      // — the catalog metadata table carries no bounds of its own);
+      // scan options win
+      def so(n: String): Option[Long] =
+        Option(scanOptions.get(n)).map(_.toLong)
+      new GraftChangeFeedScanBuilder(spark,
+        rootPath.getOrElse(throw new IllegalArgumentException(
+          s"$snapshotDir is a bare snapshot, not a versioned table root " +
+            "— change feeds live under the root's _changes/")),
+        schema, so("startingVersion").orElse(longOpt("startingVersion")),
+        so("endingVersion").orElse(longOpt("endingVersion")),
+        so("maxVersionsPerTrigger").map(_.toInt)
+          .orElse(longOpt("maxVersionsPerTrigger").map(_.toInt)))
+    } else new GraftScanBuilder(spark, this)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (feedMode) throw new UnsupportedOperationException(
+      "a change-feed relation (changeFeed=true) is read-only")
     new GraftWriteBuilder(spark, this, info)
+  }
 }
 
 /** Scan builder: collects pushed filters + required columns, then builds
@@ -414,6 +457,13 @@ final class GraftParquetScan(spark: SparkSession,
   }
 
   override def readSchema(): StructType = required
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "streaming read of a graft table is its change feed: add " +
+        ".option(\"changeFeed\", \"true\") (persist feeds with " +
+        "GraftTable.commitWithFeed)")
 
   override def description(): String =
     s"GraftParquetScan(${table.snapshotDir}) " +

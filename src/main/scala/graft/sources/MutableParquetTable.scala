@@ -1173,6 +1173,31 @@ object MutableParquetTable {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Stamp a staged snapshot's manifest with the FEED-PENDING flag:
+    * this commit's writer will persist a row-level change feed under
+    * `_changes/v<id>` right after publish. The flag is what lets the
+    * streaming change-feed source distinguish "this version has no feed"
+    * (a plain commit — consume as an empty batch) from "this version's
+    * feed write is still in flight" (hold the offset until the feed's
+    * `_SUCCESS` lands) — without it, a continuously-polling stream races
+    * the feed write and silently consumes the version empty. Stamped
+    * pre-publish (atomic with the commit), idempotent like
+    * [[annotateTxn]]. */
+  private[graft] def annotateFeedPending(snapshotDir: String): Unit = {
+    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no $ManifestName to stamp feedPending on"))
+    if (m.contains("\"feedPending\":true")) return
+    val json = m.patch(1, "\"feedPending\":true,", 0)
+    val tmp = Paths.get(snapshotDir, ManifestName + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(snapshotDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Whether a committed snapshot declared a persisted change feed. */
+  private[graft] def manifestFeedPending(snapshotDir: String): Boolean =
+    readManifest(snapshotDir).exists(_.contains("\"feedPending\":true"))
+
   /** The streaming transaction marker a committed snapshot carries, if
     * any: (writer app id, epoch). */
   private[graft] def manifestTxn(snapshotDir: String): Option[(String, Long)] =
@@ -1354,7 +1379,7 @@ object MutableParquetTable {
       ranges <- manifestRangesAnyKey(dir) if ranges.size == names.size
     } yield ranges.map(_.rowCount).sum
 
-  private def manifestRangesAnyKey(dir: String) =
+  private[sources] def manifestRangesAnyKey(dir: String) =
     readManifest(dir).flatMap { m =>
       "\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
         .flatMap(k => manifestRanges(dir, unjs(k.group(1))))

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed read mode of the graft source
+  * ([[graft.sources.GraftChangeFeed]]): `option("changeFeed", "true")`
+  * as batch (version ranges) and micro-batch streaming (one table
+  * version per batch, version-number offsets). */
+class ChangeFeedSourceSpec extends SparkSpec {
+
+  /** Table with three feed-persisted commits: v0 upserts 5 + inserts
+    * 100, v1 deletes 7, v2 upserts 5 again. */
+  private def mkTable(root: String): GraftTable = {
+    val base = spark.range(0, 50)
+      .select(col("id"), (col("id") * 2).cast("double").as("v"))
+    val t = GraftTable.create(base, root, "id", numFiles = 2)
+    def mut(rows: Seq[(Long, Double, String)]): DataFrame = {
+      val s = spark; import s.implicits._
+      rows.toDF("id", "v", "op")
+    }
+    t.commitWithFeed(mut(Seq((5L, 555.0, "upsert"), (100L, 1.0, "upsert"))))
+    t.commitWithFeed(mut(Seq((7L, 0.0, "delete"))))
+    t.commitWithFeed(mut(Seq((5L, 777.0, "upsert"))))
+    t
+  }
+
+  private def flat(df: DataFrame): Seq[(Long, String, Any, Any, Long)] =
+    df.select(col("id"), col("change_type"), col("before.v"),
+        col("after.v"), col("_commit_version"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.get(2), r.get(3),
+        r.getLong(4)))
+      .sortBy(x => (x._5, x._1))
+
+  test("batch CDF: full history, and version-range slices") {
+    val root = Files.createTempDirectory("graft-cdf").toString
+    mkTable(root)
+    val all = spark.read.format("graft").option("changeFeed", "true")
+      .load(root)
+    assert(flat(all) === Seq(
+      (5L, "update", 10.0, 555.0, 0L),
+      (100L, "insert", null, 1.0, 0L),
+      (7L, "delete", 14.0, null, 1L),
+      (5L, "update", 555.0, 777.0, 2L)))
+
+    val sliced = spark.read.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 1).load(root)
+    assert(flat(sliced) === Seq((7L, "delete", 14.0, null, 1L)))
+
+    // writes to the feed relation are rejected
+    val e = intercept[Exception] {
+      all.limit(1).write.format("graft").option("changeFeed", "true")
+        .mode("append").save(root)
+    }
+    assert(e.getMessage.contains("read-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("read-only")))
+  }
+
+  test("streaming CDF: version-per-batch, catch-up then incremental, gaps skipped") {
+    val root = Files.createTempDirectory("graft-cdf-s").toString
+    val t = mkTable(root)
+    val q = spark.readStream.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 0).load(root)
+      .writeStream.format("memory").queryName("cdf_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(flat(spark.table("cdf_sink")).size === 4) // v0..v2 caught up
+
+      // a PLAIN commit (no feed) is a gap: offset advances, no rows
+      val s = spark; import s.implicits._
+      t.commit(Seq((9L, 0.0, "delete")).toDF("id", "v", "op"))
+      q.processAllAvailable()
+      assert(flat(spark.table("cdf_sink")).size === 4)
+
+      // the next feed-persisted commit arrives exactly once
+      t.commitWithFeed(Seq((11L, 11.5, "upsert")).toDF("id", "v", "op"))
+      q.processAllAvailable()
+      assert(flat(spark.table("cdf_sink")).takeRight(1) ===
+        Seq((11L, "update", 22.0, 11.5, 4L)))
+      assert(flat(spark.table("cdf_sink")).size === 5)
+    } finally q.stop()
+  }
+
+  test("catalog metadata table <t>.changes: SQL and streaming CDF by name") {
+    val w = Files.createTempDirectory("graft-cdf-wh").toString
+    spark.conf.set("spark.sql.catalog.gcdf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdf.root", w)
+    mkTable(s"$w/ns/t")
+
+    // pure-SQL batch CDF by name
+    val sql = spark.sql(
+      "SELECT id, change_type, _commit_version FROM gcdf.ns.t.changes " +
+        "ORDER BY _commit_version, id")
+    assert(sql.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq === Seq(
+      (5L, "update", 0L), (100L, "insert", 0L),
+      (7L, "delete", 1L), (5L, "update", 2L)))
+
+    // version bounds as per-read options on the metadata table
+    assert(spark.read.option("startingVersion", 2)
+      .table("gcdf.ns.t.changes").count() === 1)
+
+    // streaming by name, catching up from version 0
+    val q = spark.readStream.option("startingVersion", 0)
+      .table("gcdf.ns.t.changes")
+      .writeStream.format("memory").queryName("cdf_cat")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-wcp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_cat").count() === 4)
+    } finally q.stop()
+
+    // the metadata table is read-only
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcdf.ns.t.changes VALUES " +
+        "(1, 'insert', NULL, NULL, 9)")
+    }
+    assert(e.getMessage.contains("read-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("read-only")))
+  }
+
+  test("maxVersionsPerTrigger paces catch-up; Trigger.AvailableNow drains and stops") {
+    val root = Files.createTempDirectory("graft-cdf-adm").toString
+    mkTable(root) // three feed-persisted versions
+
+    // paced: one version per micro-batch -> three non-empty batches
+    val q1 = spark.readStream.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 0).option("maxVersionsPerTrigger", 1)
+      .load(root)
+      .writeStream.format("memory").queryName("cdf_paced")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-admcp").toString)
+      .start()
+    try {
+      q1.processAllAvailable()
+      assert(flat(spark.table("cdf_paced")).size === 4)
+      val nonEmpty = q1.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty === 3, s"expected 3 paced batches, saw $nonEmpty")
+    } finally q1.stop()
+
+    // AvailableNow: drains the pinned head (still paced), then stops
+    val q2 = spark.readStream.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 0).option("maxVersionsPerTrigger", 1)
+      .load(root)
+      .writeStream.format("memory").queryName("cdf_avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-avncp").toString)
+      .start()
+    assert(q2.awaitTermination(120000), "AvailableNow query did not stop")
+    assert(flat(spark.table("cdf_avnow")).size === 4)
+  }
+
+  test("streaming CDF without startingVersion begins at the current head") {
+    val root = Files.createTempDirectory("graft-cdf-h").toString
+    val t = mkTable(root)
+    val q = spark.readStream.format("graft").option("changeFeed", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("cdf_head")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-hcp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_head").isEmpty) // history not re-emitted
+      val s = spark; import s.implicits._
+      t.commitWithFeed(Seq((12L, 1.0, "upsert")).toDF("id", "v", "op"))
+      q.processAllAvailable()
+      assert(flat(spark.table("cdf_head")) ===
+        Seq((12L, "update", 24.0, 1.0, 3L)))
+    } finally q.stop()
+  }
+}

@@ -264,6 +264,53 @@ class GraftCatalogSpec extends SparkSpec {
       === 20000L)
   }
 
+  test("metadata tables by name: history audits versions, files shows the inventory") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.meta1 (id BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO graft.ns.meta1 SELECT id, id FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.ns.meta1 VALUES (5, -5), (200, 1)")
+
+    // CREATE commits the BASE snapshot (not a version): two inserts =
+    // versions 0 and 1
+    val hist = spark.sql(
+      "SELECT version, total_rows, file_count, txn_app, feed " +
+        "FROM graft.ns.meta1.history ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(hist.map(_.getLong(1)).toSeq === Seq(100L, 101L))
+    assert(hist.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+
+    // files: manifest inventory of the LATEST snapshot, rows add up,
+    // key ranges are rendered and ordered
+    val files = spark.sql(
+      "SELECT file, row_count, min_key, max_key, size_bytes " +
+        "FROM graft.ns.meta1.files ORDER BY min_key").collect()
+    assert(files.map(_.getLong(1)).sum === 101L)
+    assert(files.forall(_.getLong(4) > 0))
+    assert(files.map(_.getString(0)).forall(_.endsWith(".parquet")))
+
+    // metadata relations are SQL-composable: join history against itself
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.ns.meta1.history h
+         JOIN graft.ns.meta1.history p ON h.version = p.version + 1""")
+      .head().getLong(0) === 1L)
+
+    // a streaming-sink commit shows its txn marker in history
+    import java.nio.file.Files
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-meta-cp").toString)
+      .start(s"$warehouse/ns/meta1")
+    try { in.addData((7L, 77L)); q.processAllAvailable() } finally q.stop()
+    val last = spark.sql(
+      "SELECT txn_app, txn_epoch FROM graft.ns.meta1.history " +
+        "ORDER BY version DESC LIMIT 1").head()
+    assert(!last.isNullAt(0) && last.getLong(1) === 0L)
+  }
+
   test("path-based V2 append still commits a version (no V1 bridge left)") {
     val root = java.nio.file.Files.createTempDirectory("graft-v2w").toString
     GraftTable.create(
