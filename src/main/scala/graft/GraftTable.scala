@@ -126,6 +126,22 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     v
   }
 
+  /** Recompute and persist version `v`'s row-level feed — the REMEDY for
+    * a [[commitWithFeed]] writer that crashed between its commit and its
+    * feed write: the committed manifest says `feedPending` but
+    * `_changes/v<id>` never finished, so a live change-feed stream
+    * data-loss-safely HOLDS its offset at `v`. Repairing recomputes the
+    * same delta-priced diff (snapshots are immutable — the recomputed
+    * feed is byte-equal to what the crashed writer would have written)
+    * and the stream resumes. Idempotent. */
+  def repairFeed(v: Long): Unit = {
+    require(versions.contains(v), s"version $v is not committed on $root")
+    val prev = versions.takeWhile(_ < v).lastOption.getOrElse(-1L)
+    changeFeed(prev, v)
+      .withColumn("_commit_version", lit(v))
+      .write.mode("overwrite").parquet(s"$root/_changes/v$v")
+  }
+
   /** Streaming change-feed consumer: Spark's own file stream source over
     * the persisted per-version feed directories, so each
     * [[commitWithFeed]] becomes a micro-batch with the file source's

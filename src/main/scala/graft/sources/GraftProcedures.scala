@@ -44,7 +44,8 @@ object GraftProcedures {
 
   val Namespace = "system"
 
-  private val names = Seq("history", "vacuum", "compact", "zorder")
+  private val names = Seq("history", "vacuum", "compact", "zorder",
+    "repair_feed")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -61,6 +62,7 @@ object GraftProcedures {
       case "vacuum"  => new Vacuum(root)
       case "compact" => new Compact(root)
       case "zorder"  => new ZOrderProc(root)
+      case "repair_feed" => new RepairFeed(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -156,6 +158,32 @@ object GraftProcedures {
         row(v, d, entries.size, rows.map(java.lang.Long.valueOf).orNull,
           bytes)
       }
+    }
+  }
+
+  /** [[graft.GraftTable.repairFeed]] as SQL: recompute and persist a
+    * version's row-level feed — the remedy for a commitWithFeed writer
+    * that crashed between its commit and its feed write (a change-feed
+    * stream holds its offset at that version until the feed lands).
+    * Snapshots are immutable, so the recomputed feed equals what the
+    * crashed writer would have written. Idempotent. */
+  private final class RepairFeed(root: String) extends Proc(root) {
+    override def name(): String = "repair_feed"
+    override def description(): String =
+      "recompute and persist a version's change feed (crashed-write remedy)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("version", LongType, comment = "committed version to repair"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("feed_rows", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val v = input.getLong(1)
+      val (key, _) = tableKeys(dir)
+      graft.GraftTable(spark, dir, key).repairFeed(v)
+      val n = spark.read.parquet(s"$dir/_changes/v$v").count()
+      Seq(row(v, n))
     }
   }
 

@@ -160,6 +160,36 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(flat(spark.table("cdf_avnow")).size === 4)
   }
 
+  test("a crashed feed write stalls the stream data-loss-safe; repairFeed resumes it") {
+    val root = Files.createTempDirectory("graft-cdf-crash").toString
+    val t = mkTable(root)
+    // simulate the crash: v2 committed feedPending, but its feed vanished
+    import scala.jdk.CollectionConverters._
+    val s2 = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(root, "_changes", "v2"))
+    try s2.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s2.close()
+
+    val q = spark.readStream.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 0).load(root)
+      .writeStream.format("memory").queryName("cdf_crash")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-crcp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // offset held BEFORE v2: its rows are not consumable yet, and the
+      // versions behind it are delivered
+      assert(flat(spark.table("cdf_crash")).map(_._5).toSet === Set(0L, 1L))
+
+      t.repairFeed(2L)
+      q.processAllAvailable()
+      assert(flat(spark.table("cdf_crash")).takeRight(1) ===
+        Seq((5L, "update", 555.0, 777.0, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming CDF without startingVersion begins at the current head") {
     val root = Files.createTempDirectory("graft-cdf-h").toString
     val t = mkTable(root)

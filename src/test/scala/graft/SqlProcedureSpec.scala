@@ -41,11 +41,30 @@ class SqlProcedureSpec extends SparkSpec {
     warehouse
     val names = spark.sql("SHOW PROCEDURES IN gp.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(Set("history", "vacuum", "compact", "zorder").subsetOf(names))
+    assert(Set("history", "vacuum", "compact", "zorder", "repair_feed")
+      .subsetOf(names))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope(table => 'ns.x')").collect()
     }
     assert(e.getMessage.contains("nope"))
+  }
+
+  test("repair_feed recomputes a missing feed; the result equals the live diff") {
+    warehouse
+    import spark.implicits._
+    spark.sql("""CREATE TABLE gp.ns.rf (id BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO gp.ns.rf SELECT id, id FROM range(0, 30)")
+    spark.sql("INSERT INTO gp.ns.rf VALUES (5, -5), (40, 40)")
+    val dir = s"${spark.conf.get("spark.sql.catalog.gp.root")}/ns/rf"
+    // plain INSERTs persist no feed; repair_feed backfills v1's diff
+    val rep = spark.sql(
+      "CALL gp.system.repair_feed(table => 'ns.rf', version => 1)").head()
+    assert(rep.getLong(0) === 1L && rep.getLong(1) === 2L)
+    val feed = spark.read.parquet(s"$dir/_changes/v1")
+      .select(col("id"), col("change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(feed === Seq((5L, "update"), (40L, "insert")))
   }
 
   test("vacuum drops old versions and keeps the latest readable") {

@@ -137,6 +137,36 @@ class StreamingSinkSpec extends SparkSpec {
     assert(CdcMergeSink.lastTxnEpoch(root, "replay-app") === Some(1L))
   }
 
+  test("writeStream.toTable streams into a catalog table by name") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val w = Files.createTempDirectory("graft-ssink-wh").toString
+    spark.conf.set("spark.sql.catalog.gsink",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.root", w)
+    spark.sql("""CREATE TABLE gsink.ns.st (id BIGINT, v DOUBLE)
+                 USING graft TBLPROPERTIES ('key' = 'id')""")
+
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ssink-whcp").toString)
+      .toTable("gsink.ns.st")
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((2L, 22.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.sql("SELECT * FROM gsink.ns.st ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 1.0), (2L, 22.0)))
+    // the sink's epochs are visible in the history metadata table
+    assert(spark.sql(
+      "SELECT count(*) FROM gsink.ns.st.history WHERE txn_app IS NOT NULL")
+      .head().getLong(0) === 2L)
+  }
+
   test("update-mode aggregation streams upserted group rows per epoch") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
