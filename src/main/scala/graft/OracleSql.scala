@@ -1160,6 +1160,20 @@ object OracleSql {
         AND NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3)
       ORDER BY cv, doc_id""",
 
+    // q104: history metadata table — version row totals derived from
+    // raw documents (v0 applies the deletes; v1 only updates)
+    "q104_history_meta" -> """
+      WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+        WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3))
+      SELECT CAST(0 AS BIGINT) AS version, (SELECT c FROM s) AS total_rows,
+             CAST(1 AS INT) AS has_files, CAST(1 AS INT) AS feed,
+             CAST(1 AS INT) AS no_txn
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), (SELECT c FROM s),
+             CAST(1 AS INT), CAST(1 AS INT), CAST(1 AS INT)
+      ORDER BY version""",
+
     "q94_composite_merge" -> """
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         CAST(o_orderkey AS BIGINT) AS o_orderkey,

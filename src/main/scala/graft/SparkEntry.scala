@@ -1427,6 +1427,27 @@ object SparkEntry {
         col("_commit_version").as("cv"))
       .orderBy(col("cv"), col("doc_id"))
 
+  /** The `history` METADATA TABLE ([[graft.sources.GraftMetaTables]])
+    * over the q103 fixture, by catalog name: per-version row totals are
+    * derived independently by the oracle from raw documents, so the
+    * manifest row accounting, the catalog's metadata-table resolution,
+    * and the feed/txn flags must all agree. Integer flags, q100-style. */
+  def q104_history_meta(s: SparkSession, dir: String): DataFrame = {
+    val root = cdfDocsTable(s, dir)
+    val parent = root.substring(0, root.lastIndexOf('/'))
+    val tname = root.substring(root.lastIndexOf('/') + 1)
+    val cat = "gq104_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    s.sql(
+      s"""SELECT version, total_rows,
+            CAST(file_count > 0 AS INT) AS has_files,
+            CAST(feed AS INT) AS feed,
+            CAST(txn_app IS NULL AS INT) AS no_txn
+          FROM $cat.`$tname`.history ORDER BY version""")
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -1994,6 +2015,7 @@ object SparkEntry {
     "q101_zone_update" -> (q101_zone_update _),
     "q102_stream_sink" -> (q102_stream_sink _),
     "q103_cdf_source" -> (q103_cdf_source _),
+    "q104_history_meta" -> (q104_history_meta _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
