@@ -149,17 +149,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * machinery to maintain. Schema: (key, change_type, before, after,
     * _commit_version) with before/after as full-row structs. */
   def changeFeedStream(): DataFrame = {
-    import org.apache.spark.sql.types._
-    val t = read().schema
-    val valStruct = StructType(
-      t.filterNot(_.name == key).map(_.copy(nullable = true)))
-    val feedSchema = StructType(Seq(
-      t(key).copy(nullable = true),
-      StructField("change_type", StringType),
-      StructField("before", valStruct),
-      StructField("after", valStruct),
-      StructField("_commit_version", LongType)))
-    spark.readStream.schema(feedSchema).parquet(s"$root/_changes/v*")
+    val keys = key +: graft.sources.MutableParquetTable.manifestMoreKeys(
+      CdcMergeSink.latestSnapshot(root))
+    spark.readStream
+      .schema(graft.sources.GraftChangeFeed.feedSchema(read().schema, keys))
+      .parquet(s"$root/_changes/v*")
   }
 
   /** Manifest-pruned range scan of the latest committed state: only files

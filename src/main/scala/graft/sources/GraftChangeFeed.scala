@@ -51,15 +51,21 @@ object GraftChangeFeed {
 
   /** The feed relation's schema for a table schema + merge key. Must
     * mirror what [[graft.GraftTable.commitWithFeed]] persists. */
-  def feedSchema(tableSchema: StructType, key: String): StructType = {
+  def feedSchema(tableSchema: StructType, key: String): StructType =
+    feedSchema(tableSchema, Seq(key))
+
+  /** Composite-identity form: one leading column per key-tuple member
+    * (the diff is keyed on the full tuple). */
+  def feedSchema(tableSchema: StructType, keys: Seq[String]): StructType = {
     val valStruct = StructType(
-      tableSchema.filterNot(_.name == key).map(_.copy(nullable = true)))
-    StructType(Seq(
-      tableSchema(key).copy(nullable = true),
-      StructField("change_type", StringType),
-      StructField("before", valStruct),
-      StructField("after", valStruct),
-      StructField("_commit_version", LongType)))
+      tableSchema.filterNot(f => keys.contains(f.name))
+        .map(_.copy(nullable = true)))
+    StructType(
+      keys.map(k => tableSchema(k).copy(nullable = true)) ++ Seq(
+        StructField("change_type", StringType),
+        StructField("before", valStruct),
+        StructField("after", valStruct),
+        StructField("_commit_version", LongType)))
   }
 
   /** Version ids with a persisted feed dir, ascending. */

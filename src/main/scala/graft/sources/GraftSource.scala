@@ -225,7 +225,7 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
       GraftChangeFeed.feedSchema(tableSchema, keyName.getOrElse(
         throw new IllegalArgumentException(
           s"$snapshotDir has no manifest key — change feeds need a " +
-            "keyed graft table")))
+            "keyed graft table")) +: moreKeyNames)
     else tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =

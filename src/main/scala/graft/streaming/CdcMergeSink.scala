@@ -130,8 +130,17 @@ object CdcMergeSink {
     * changed key with `change_type` insert | update | delete, the full
     * before image (null for inserts) and after image (null for deletes).
     * Unchanged keys drop out via null-safe struct comparison. */
-  def rowDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
-    val valCols = after.columns.filterNot(_ == key).toSeq
+  def rowDiff(before: DataFrame, after: DataFrame, key: String): DataFrame =
+    rowDiff(before, after, Seq(key))
+
+  /** [[rowDiff]] on a COMPOSITE row identity: the diff joins on the full
+    * key tuple — joining a composite table on its leading column alone
+    * would many-to-many the join and fabricate changes for sibling rows
+    * sharing a leading value. Output: key columns in order, then
+    * change_type / before / after. */
+  def rowDiff(before: DataFrame, after: DataFrame,
+              keys: Seq[String]): DataFrame = {
+    val valCols = after.columns.filterNot(keys.contains).toSeq
     // schema evolution: columns the AFTER side gained read as null on the
     // BEFORE side, so an old row rewritten only to carry the new (null)
     // column compares equal and stays out of the feed
@@ -139,15 +148,18 @@ object CdcMergeSink {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(after.schema(c).dataType))
     }
-    val b = beforeAligned.select(col(key), struct(valCols.map(col): _*).as("before"))
-    val a = after.select(col(key), struct(valCols.map(col): _*).as("after"))
-    b.join(a, Seq(key), "full_outer")
+    val b = beforeAligned.select(
+      keys.map(col) :+ struct(valCols.map(col): _*).as("before"): _*)
+    val a = after.select(
+      keys.map(col) :+ struct(valCols.map(col): _*).as("after"): _*)
+    b.join(a, keys, "full_outer")
       .withColumn("change_type",
         when(col("before").isNull, "insert")
           .when(col("after").isNull, "delete")
           .when(!(col("before") <=> col("after")), "update"))
       .where(col("change_type").isNotNull)
-      .select(col(key), col("change_type"), col("before"), col("after"))
+      .select(keys.map(col) ++
+        Seq(col("change_type"), col("before"), col("after")): _*)
   }
 
   /** Change feed between two committed states, computed from the DELTA
@@ -163,6 +175,11 @@ object CdcMergeSink {
                  fromBatch: Long, toBatch: Long, key: String): DataFrame = {
     val fromDir = resolveAsOf(tableRoot, fromBatch)
     val toDir = resolveAsOf(tableRoot, toBatch)
+    // composite identity is the TABLE's property, discovered from the
+    // manifest like every other consumer — the diff must join on the
+    // full tuple or sibling rows sharing a leading value would
+    // cross-match
+    val keys = key +: MutableParquetTable.manifestMoreKeys(toDir)
     // schema inference costs IO — manifest-embedded schema when present,
     // and only when a side has no files of its own (the delta never does)
     lazy val schema = MutableParquetTable.manifestSchema(fromDir)
@@ -172,14 +189,14 @@ object CdcMergeSink {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.parquet(paths: _*)
     if (fromDir == toDir)
-      return rowDiff(readPaths(Nil), readPaths(Nil), key)
+      return rowDiff(readPaths(Nil), readPaths(Nil), keys)
     val fromFiles = snapshotFileMap(fromDir)
     val toFiles = snapshotFileMap(toDir)
     val before = readPaths(
       (fromFiles -- toFiles.keySet).values.toSeq.sorted)
     val after = readPaths(
       (toFiles -- fromFiles.keySet).values.toSeq.sorted)
-    rowDiff(before, after, key)
+    rowDiff(before, after, keys)
   }
 
   /** Retention with REFERENCE COUNTING: drop committed versions older

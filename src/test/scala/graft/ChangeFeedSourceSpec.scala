@@ -234,6 +234,36 @@ class ChangeFeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composite-identity tables diff on the full key tuple") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-cdf-comp").toString
+    // (d, id) identity: rows (1,1) and (1,2) share the leading value —
+    // a leading-key-only diff would cross-match them
+    val base = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      .toDF("d", "id", "v")
+    val t = GraftTable.create(base, root, "d", numFiles = 1,
+      moreKeys = Seq("id"))
+    t.commitWithFeed(Seq((1L, 2L, "B", "upsert"),
+      (2L, 1L, null.asInstanceOf[String], "delete"))
+      .toDF("d", "id", "v", "op"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("d"), col("id"), col("change_type"),
+          col("before.v"), col("after.v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.get(3), r.get(4))).sortBy(x => (x._1, x._2)).toSeq
+    val expected = Seq((1L, 2L, "update", "b", "B"),
+      (2L, 1L, "delete", "c", null))
+
+    // facade diff, persisted feed, and the CDF relation all agree —
+    // and the untouched sibling (1,1) never appears
+    assert(rows(t.changeFeed(-1L, 0L)) === expected)
+    val rel = spark.read.format("graft").option("changeFeed", "true")
+      .load(root)
+    assert(rel.schema.fieldNames.take(2).toSeq === Seq("d", "id"))
+    assert(rows(rel) === expected)
+  }
+
   test("streaming CDF without startingVersion begins at the current head") {
     val root = Files.createTempDirectory("graft-cdf-h").toString
     val t = mkTable(root)
