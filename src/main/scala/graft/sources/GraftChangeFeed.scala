@@ -79,15 +79,21 @@ object GraftChangeFeed {
     finally s.close()
   }
 
-  /** Parquet files of the feeds for versions in [from, to]. */
+  /** Parquet files of the feeds for versions in [from, to]. A feed dir
+    * without its `_SUCCESS` marker is a write IN FLIGHT (or crashed) —
+    * skipped, so a batch CDF read racing a live `commitWithFeed` never
+    * sees a partial feed (the streaming path additionally holds its
+    * offset on such versions via the manifest's feedPending flag). */
   def filesFor(root: String, from: Long, to: Long): Seq[String] =
-    feedVersions(root).filter(v => v >= from && v <= to).flatMap { v =>
-      val d = Paths.get(root, "_changes", s"v$v")
-      val s = Files.list(d)
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toList.sorted
-      finally s.close()
-    }
+    feedVersions(root).filter(v => v >= from && v <= to)
+      .filter(v => Files.exists(Paths.get(root, "_changes", s"v$v", "_SUCCESS")))
+      .flatMap { v =>
+        val d = Paths.get(root, "_changes", s"v$v")
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toList.sorted
+        finally s.close()
+      }
 
   /** Spark's vectorized parquet batch over an explicit feed-file list
     * (empty list → zero partitions). */

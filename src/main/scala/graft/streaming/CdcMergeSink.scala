@@ -218,15 +218,19 @@ object CdcMergeSink {
   def vacuum(tableRoot: String, keepLast: Int,
              txRetainMillis: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the latest version")
-    // abandoned optimistic-commit staging dirs (writer crashed between
-    // stage and publish): invisible to readers, reclaimed after a
+    // abandoned writer staging dirs — optimistic-commit `.tx-` dirs and
+    // the V2 batch/streaming sinks' `.staging-*` dirs (writer crashed
+    // between stage and commit): invisible to readers, reclaimed after a
     // retention window long enough that no live writer still owns one
     if (Files.isDirectory(Paths.get(tableRoot))) {
       import scala.jdk.CollectionConverters._
       val cutoff = System.currentTimeMillis() - txRetainMillis
       val s = Files.list(Paths.get(tableRoot))
       val stale = try s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(".tx-"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".tx-") || n.startsWith(".staging-")
+        }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .toList
       finally s.close()

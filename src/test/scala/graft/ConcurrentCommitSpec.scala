@@ -191,12 +191,18 @@ class ConcurrentCommitSpec extends SparkSpec {
     t.commit(Seq((3L, 33L, "upsert")).toDF("k", "v", "op"))
     val stale = Paths.get(s"$root/.tx-deadbeef")
     val fresh = Paths.get(s"$root/.tx-cafebabe")
+    // a crashed V2 sink's epoch staging ages out the same way
+    val staleSink = Paths.get(s"$root/.staging-stream-dead/epoch-3")
     Files.createDirectories(stale); Files.createDirectories(fresh)
-    Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 48L * 3600 * 1000))
+    Files.createDirectories(staleSink)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    Files.setLastModifiedTime(stale, old)
+    Files.setLastModifiedTime(staleSink.getParent, old)
     CdcMergeSink.vacuum(root, keepLast = 1)
     assert(!Files.exists(stale), "stale .tx dir must be reclaimed")
+    assert(!Files.exists(staleSink.getParent),
+      "stale .staging- dir must be reclaimed")
     assert(Files.exists(fresh), "a live writer's staging dir must survive")
     Files.delete(fresh)
   }
