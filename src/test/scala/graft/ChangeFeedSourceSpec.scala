@@ -264,6 +264,30 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(rows(rel) === expected)
   }
 
+  test("CDF schema follows table evolution; pre-evolution feeds read new fields as null") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-cdf-evo").toString
+    val t = GraftTable.create(
+      spark.range(0, 20).select(col("id"), (col("id") * 2).as("v")),
+      root, "id", numFiles = 1)
+    t.commitWithFeed(Seq((3L, 33L, "upsert")).toDF("id", "v", "op"))
+    // schema evolution: the batch carries a NEW column `tag`
+    t.commitWithFeed(Seq((4L, 44L, "hot", "upsert"))
+      .toDF("id", "v", "tag", "op"))
+
+    val feed = spark.read.format("graft").option("changeFeed", "true")
+      .load(root)
+      .select(col("id"), col("_commit_version").as("cv"),
+        col("after.v"), col("after.tag"))
+      .orderBy("cv")
+    assert(feed.schema("tag").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = feed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.get(3))).toSeq
+    // v0's feed predates `tag`: the evolved read fills it with null
+    assert(got === Seq((3L, 0L, 33L, null), (4L, 1L, 44L, "hot")))
+  }
+
   test("streaming CDF without startingVersion begins at the current head") {
     val root = Files.createTempDirectory("graft-cdf-h").toString
     val t = mkTable(root)
