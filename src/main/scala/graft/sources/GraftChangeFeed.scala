@@ -200,18 +200,22 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
 
   override def initialOffset(): Offset = GraftVersionOffset(floor)
 
-  /** Highest fully-consumable committed version (the stream's available
-    * head before any admission limit). */
-  private def consumableHead: Long =
-    CdcMergeSink.versions(root).filter(_ > floor).takeWhile(consumable)
-      .lastOption.getOrElse(floor)
+  /** Highest fully-consumable committed version above `from` (the
+    * stream's available head before any admission limit). Scanning from
+    * the ENGINE's start offset — not from this instance's floor — is
+    * what makes restarts exact: a head-started stream that checkpointed
+    * at v2 and restarted after v3/v4 committed must still deliver them,
+    * and a freshly-recomputed floor would silently skip past. */
+  private def consumableHead(from: Long): Long =
+    CdcMergeSink.versions(root).filter(_ > from).takeWhile(consumable)
+      .lastOption.getOrElse(from)
 
   // Trigger.AvailableNow: the head is pinned at prepare time, the query
   // drains up to it (respecting per-trigger limits) and stops
   private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(consumableHead)
+    availableNowCap = Some(consumableHead(floor))
 
   /** ADMISSION CONTROL: `maxVersionsPerTrigger` bounds how many table
     * versions one micro-batch drains — a restarted stream that is many
@@ -223,9 +227,9 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = availableNowCap.map(c => math.min(c, consumableHead))
-      .getOrElse(consumableHead)
     val s = start.asInstanceOf[GraftVersionOffset].version
+    val head = availableNowCap.map(c => math.min(c, consumableHead(s)))
+      .getOrElse(consumableHead(s))
     val capped = limit match {
       case m: ReadMaxFiles => math.min(head, s + m.maxFiles())
       case _ => head
@@ -234,9 +238,10 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
   }
 
   override def reportLatestOffset(): Offset =
-    GraftVersionOffset(consumableHead)
+    GraftVersionOffset(consumableHead(floor))
 
-  override def latestOffset(): Offset = GraftVersionOffset(consumableHead)
+  override def latestOffset(): Offset =
+    GraftVersionOffset(consumableHead(floor))
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

@@ -288,6 +288,40 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(got === Seq((3L, 0L, 33L, null), (4L, 1L, 44L, "hot")))
   }
 
+  test("restart delivers commits made while the stream was down (head-started)") {
+    val root = Files.createTempDirectory("graft-cdf-restart").toString
+    val t = mkTable(root)
+    val cp = Files.createTempDirectory("graft-cdf-rscp").toString
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+    def start() = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        b.select(col("id"), col("_commit_version")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getLong(1)))): Unit
+      }
+      .option("checkpointLocation", cp).start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.isEmpty) // head start: no history
+
+    // commits land while no stream is running
+    val s = spark; import s.implicits._
+    t.commitWithFeed(Seq((30L, 1.0, "upsert")).toDF("id", "v", "op"))
+    t.commitWithFeed(Seq((31L, 2.0, "upsert")).toDF("id", "v", "op"))
+
+    // the restarted stream must deliver BOTH missed versions — a
+    // freshly-computed head floor would silently skip past them
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq.sorted === Seq((30L, 3L), (31L, 4L)))
+    } finally q2.stop()
+  }
+
   test("streaming CDF without startingVersion begins at the current head") {
     val root = Files.createTempDirectory("graft-cdf-h").toString
     val t = mkTable(root)
