@@ -68,6 +68,16 @@ object GraftChangeFeed {
         StructField("_commit_version", LongType)))
   }
 
+  /** First committed version whose manifest commit time is at or after
+    * `tsMillis` — `startingTimestamp`'s resolution rule (changes made at
+    * or after the wall clock). None when every version predates it. */
+  def versionAtOrAfter(root: String, tsMillis: Long): Option[Long] =
+    CdcMergeSink.versions(root).find { v =>
+      MutableParquetTable.readManifest(s"$root/v$v")
+        .flatMap("\"committedAtMs\":(\\d+)".r.findFirstMatchIn(_))
+        .exists(_.group(1).toLong >= tsMillis)
+    }
+
   /** Version ids with a persisted feed dir, ascending. */
   def feedVersions(root: String): Seq[Long] = {
     val d = Paths.get(root, "_changes")

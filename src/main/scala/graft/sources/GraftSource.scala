@@ -115,7 +115,7 @@ object GraftSource {
 
   /** `timestampAsOf` accepts epoch millis or an ISO / `yyyy-MM-dd
     * HH:mm:ss[.f]` local timestamp. */
-  private def parseTs(s: String): Long =
+  private[sources] def parseTs(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
     else try java.time.Instant.parse(s).toEpochMilli
     catch { case _: java.time.format.DateTimeParseException =>
@@ -257,11 +257,23 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
       // scan options win
       def so(n: String): Option[Long] =
         Option(scanOptions.get(n)).map(_.toLong)
-      new GraftChangeFeedScanBuilder(spark,
-        rootPath.getOrElse(throw new IllegalArgumentException(
-          s"$snapshotDir is a bare snapshot, not a versioned table root " +
-            "— change feeds live under the root's _changes/")),
-        schema, so("startingVersion").orElse(longOpt("startingVersion")),
+      def sos(n: String): Option[String] =
+        Option(scanOptions.get(n)).orElse(
+          lcOptions.get(n.toLowerCase(java.util.Locale.ROOT)))
+      val root = rootPath.getOrElse(throw new IllegalArgumentException(
+        s"$snapshotDir is a bare snapshot, not a versioned table root " +
+          "— change feeds live under the root's _changes/"))
+      // `startingTimestamp`: changes committed at or after the wall
+      // clock; if every version predates it, start past the head (a
+      // stream then emits only future commits, a batch reads nothing)
+      val startFromTs = sos("startingTimestamp").map { ts =>
+        GraftChangeFeed.versionAtOrAfter(root, GraftSource.parseTs(ts))
+          .getOrElse(CdcMergeSink.versions(root).lastOption
+            .getOrElse(-1L) + 1)
+      }
+      new GraftChangeFeedScanBuilder(spark, root,
+        schema, so("startingVersion").orElse(longOpt("startingVersion"))
+          .orElse(startFromTs),
         so("endingVersion").orElse(longOpt("endingVersion")),
         so("maxVersionsPerTrigger").map(_.toInt)
           .orElse(longOpt("maxVersionsPerTrigger").map(_.toInt)))

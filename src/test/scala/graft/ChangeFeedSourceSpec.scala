@@ -234,6 +234,35 @@ class ChangeFeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp resolves to the first commit at or after the wall clock") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-cdf-ts").toString
+    val t = GraftTable.create(
+      spark.range(0, 20).select(col("id"), (col("id") * 2).as("v")),
+      root, "id", numFiles = 1)
+    t.commitWithFeed(Seq((1L, 11L, "upsert")).toDF("id", "v", "op"))
+    Thread.sleep(30)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.commitWithFeed(Seq((2L, 22L, "upsert")).toDF("id", "v", "op"))
+
+    val late = spark.read.format("graft").option("changeFeed", "true")
+      .option("startingTimestamp", cut.toString).load(root)
+    assert(late.select("_commit_version").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    // a timestamp past every commit reads nothing (and a stream would
+    // emit only future commits)
+    assert(spark.read.format("graft").option("changeFeed", "true")
+      .option("startingTimestamp",
+        (System.currentTimeMillis() + 60000).toString)
+      .load(root).isEmpty)
+    // explicit startingVersion wins over the timestamp
+    assert(spark.read.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 0)
+      .option("startingTimestamp", cut.toString)
+      .load(root).count() === 2)
+  }
+
   test("composite-identity tables diff on the full key tuple") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-cdf-comp").toString
