@@ -140,6 +140,18 @@ object OptimisticCommit {
             s"$targetDir exists but is not a committed snapshot — a " +
               "crashed direct applyBatch target or foreign directory is " +
               "blocking the version chain; remove it (vacuum) and retry")
+        // exactly-once under WRITER RACES, not just replays: a zombie
+        // driver of the same streaming query (failover) may have
+        // committed this very (app, epoch) while we were staged — the
+        // pre-commit lastTxnEpoch check is check-then-act, so it must be
+        // re-run atomically with every publish retry (the analog of
+        // Delta's SetTransaction conflict check). Rebasing past the
+        // winner and publishing a second marker would apply the epoch
+        // twice.
+        txnMarker.foreach { case (app, epoch) =>
+          if (CdcMergeSink.lastTxnEpoch(tableRoot, app).exists(_ >= epoch))
+            return ConcurrentCommit(nowLast, attempts, rebases, None)
+        }
         staged = tryRebase(tableRoot, st, nowLast, key, passthrough)
         if (staged.isDefined) rebases += 1
         else deleteQuietly(st.dir) // re-merge from scratch
@@ -207,6 +219,13 @@ object OptimisticCommit {
             s"$targetDir exists but is not a committed snapshot — a " +
               "crashed direct applyBatch target or foreign directory is " +
               "blocking the version chain; remove it (vacuum) and retry")
+        // same writer-race guard as [[commit]]: a zombie twin of this
+        // streaming query may have published this epoch's replace while
+        // we were staged — re-applying it would double the epoch
+        txnMarker.foreach { case (app, epoch) =>
+          if (CdcMergeSink.lastTxnEpoch(tableRoot, app).exists(_ >= epoch))
+            return nowLast
+        }
       }
       throw new IllegalStateException(
         s"replace on $tableRoot lost the publish race $maxAttempts times — " +

@@ -70,13 +70,37 @@ object GraftChangeFeed {
 
   /** First committed version whose manifest commit time is at or after
     * `tsMillis` — `startingTimestamp`'s resolution rule (changes made at
-    * or after the wall clock). None when every version predates it. */
+    * or after the wall clock). None when every version predates it.
+    *
+    * Commit times are monotone along the chain (each version stages
+    * strictly after its predecessor committed), so the answer is found by
+    * BINARY SEARCH over the version list: O(log versions) manifest reads
+    * instead of a linear sweep from v0 — on a long-lived table the sweep
+    * is O(versions) driver IO per resolution. */
   def versionAtOrAfter(root: String, tsMillis: Long): Option[Long] =
-    CdcMergeSink.versions(root).find { v =>
-      MutableParquetTable.readManifest(s"$root/v$v")
+    versionAtOrAfterWith(root, tsMillis, MutableParquetTable.readManifest)
+
+  /** [[versionAtOrAfter]] with an injectable manifest reader — the test
+    * seam that lets a spec count manifest reads (≤ ⌈log₂(versions)⌉+1). */
+  private[graft] def versionAtOrAfterWith(
+      root: String, tsMillis: Long,
+      readManifest: String => Option[String]): Option[Long] = {
+    val vs = CdcMergeSink.versions(root).toIndexedSeq
+    // pre-`committedAtMs` manifests are older than any manifest carrying
+    // the field (the field stamps every commit since it exists), so
+    // treating them as -inf preserves the monotone order the search needs
+    def timeOf(v: Long): Long =
+      readManifest(s"$root/v$v")
         .flatMap("\"committedAtMs\":(\\d+)".r.findFirstMatchIn(_))
-        .exists(_.group(1).toLong >= tsMillis)
+        .map(_.group(1).toLong).getOrElse(Long.MinValue)
+    var lo = 0
+    var hi = vs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (timeOf(vs(mid)) >= tsMillis) hi = mid else lo = mid + 1
     }
+    if (lo < vs.length) Some(vs(lo)) else None
+  }
 
   /** Version ids with a persisted feed dir, ascending. */
   def feedVersions(root: String): Seq[Long] = {
@@ -104,6 +128,35 @@ object GraftChangeFeed {
           .filter(_.endsWith(".parquet")).toList.sorted
         finally s.close()
       }
+
+  /** BATCH-path file resolution: a committed version in [from, to] whose
+    * manifest DECLARED a feed (`feedPending`) but whose feed write never
+    * finished (`_changes/v<id>/_SUCCESS` absent) is a crashed
+    * `commitWithFeed` — silently skipping it (what [[filesFor]] does for
+    * in-flight races) would return an incomplete change set with no
+    * error, so the batch read fails fast and points at the repair
+    * procedure instead. The streaming path stalls its offset on exactly
+    * this condition — both surfaces are data-loss-safe. An in-flight
+    * (racing, not crashed) feed write is indistinguishable here; the
+    * caller retries once the `_SUCCESS` marker lands, or bounds the read
+    * below the racing version with `endingVersion`. */
+  def filesForBatch(root: String, from: Long, to: Long): Seq[String] = {
+    CdcMergeSink.versions(root)
+      .filter(v => v >= from && v <= to)
+      .foreach { v =>
+        if (MutableParquetTable.manifestFeedPending(s"$root/v$v") &&
+            !Files.exists(Paths.get(root, "_changes", s"v$v", "_SUCCESS")))
+          throw new IllegalStateException(
+            s"change-data feed of version $v at $root was declared " +
+              "(feedPending) but never finished writing — a crashed " +
+              "commitWithFeed; a batch read would silently miss its " +
+              "rows. Run CALL <catalog>.system.repair_feed(table => " +
+              s"'ns.t', version => $v) (or GraftTable.repairFeed($v)) " +
+              "to rebuild it, or bound the read with endingVersion < " +
+              s"$v if the feed write is still in flight")
+      }
+    filesFor(root, from, to)
+  }
 
   /** Spark's vectorized parquet batch over an explicit feed-file list
     * (empty list → zero partitions). */
@@ -154,10 +207,12 @@ final class GraftChangeFeedScan(spark: SparkSession, root: String,
       endingVersion.map(e => s", end=$e").getOrElse("") + ")"
 
   /** Batch CDF: all persisted changes in [startingVersion (default 0),
-    * endingVersion (default: everything)]. */
+    * endingVersion (default: everything)]. A crashed feed write inside
+    * the range fails the read (see [[GraftChangeFeed.filesForBatch]])
+    * rather than silently dropping a version's changes. */
   override def toBatch: Batch =
     GraftChangeFeed.parquetBatch(spark,
-      GraftChangeFeed.filesFor(root, startingVersion.getOrElse(0L),
+      GraftChangeFeed.filesForBatch(root, startingVersion.getOrElse(0L),
         endingVersion.getOrElse(Long.MaxValue)), schema)
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -187,6 +242,14 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
   // most once however hot the trigger polls
   private val ready = scala.collection.mutable.Set.empty[Long]
 
+  // whether a version DECLARED a feed — immutable per version (stamped
+  // at commit), memoized so admission control costs no repeat manifest IO
+  private val declaredFeed = scala.collection.mutable.Map.empty[Long, Boolean]
+
+  private def hasFeed(v: Long): Boolean =
+    declaredFeed.getOrElseUpdate(v,
+      MutableParquetTable.manifestFeedPending(s"$root/v$v"))
+
   /** A committed version is CONSUMABLE when it either declared no feed
     * (plain commit — an empty batch, a gap) or its feed write finished
     * (`_changes/v<id>/_SUCCESS`). A feed-declaring version whose feed is
@@ -196,7 +259,7 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     * (data-loss-safe; re-run the feed write to resume). */
   private def consumable(v: Long): Boolean =
     ready.contains(v) || {
-      val ok = !MutableParquetTable.manifestFeedPending(s"$root/v$v") ||
+      val ok = !hasFeed(v) ||
         Files.exists(Paths.get(root, "_changes", s"v$v", "_SUCCESS"))
       if (ok) ready.add(v)
       ok
@@ -241,7 +304,27 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     val head = availableNowCap.map(c => math.min(c, consumableHead(s)))
       .getOrElse(consumableHead(s))
     val capped = limit match {
-      case m: ReadMaxFiles => math.min(head, s + m.maxFiles())
+      case m: ReadMaxFiles =>
+        // count only FEED-BEARING versions toward the per-trigger budget:
+        // plain-commit gaps contribute no rows (and no feed dirs — the
+        // limit's unit), so a stream catching up through a history
+        // interleaved with non-feed commits still receives the promised
+        // number of feed batches per trigger; trailing gaps ride along
+        // for free (the loop only stops once the NEXT feed would exceed
+        // the budget, never on a gap)
+        var feeds = 0
+        var last = s
+        var blocked = false
+        val it = CdcMergeSink.versions(root).iterator
+          .filter(v => v > s && v <= head)
+        while (it.hasNext && !blocked) {
+          val v = it.next()
+          if (hasFeed(v)) {
+            if (feeds < m.maxFiles()) { feeds += 1; last = v }
+            else blocked = true // next feed exceeds the budget — stop
+          } else last = v // a gap before the blocking feed is free
+        }
+        last
       case _ => head
     }
     GraftVersionOffset(math.max(capped, s))

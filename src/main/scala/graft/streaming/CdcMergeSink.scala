@@ -81,11 +81,49 @@ object CdcMergeSink {
     * maximum epoch — the scan walks newest-first and stops at the first
     * hit (normally the head version; other writers' interleaved commits
     * only deepen it by their count). Worst case — this app never wrote —
-    * is one manifest read per version, paid once per sink restart. */
-  def lastTxnEpoch(tableRoot: String, app: String): Option[Long] =
-    versions(tableRoot).reverseIterator
+    * is one manifest read per version, paid once per sink restart.
+    *
+    * Markers dropped by [[vacuum]] survive in the `_txns.json` sidecar
+    * (per-app max epoch, harvested before decommit) — without it, a sink
+    * idle while other writers commit `keepLast`+ versions would lose its
+    * newest marker to retention and replay its last epoch twice. The
+    * sidecar only ever holds epochs BELOW what the retained manifests
+    * carry for a live app, so the max of both views is exact. */
+  def lastTxnEpoch(tableRoot: String, app: String): Option[Long] = {
+    val fromManifests = versions(tableRoot).reverseIterator
       .map(v => MutableParquetTable.manifestTxn(s"$tableRoot/v$v"))
       .collectFirst { case Some((a, e)) if a == app => e }
+    val fromSidecar = sidecarEpochs(tableRoot).get(app)
+    (fromManifests.toSeq ++ fromSidecar).maxOption
+  }
+
+  /** Per-app max epochs vacuumed out of manifest history — the txn
+    * retention sidecar at `tableRoot/_txns.json`. */
+  private[graft] def sidecarEpochs(tableRoot: String): Map[String, Long] = {
+    val p = Paths.get(tableRoot, "_txns.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(json)
+      .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap
+  }
+
+  private def escape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def writeSidecar(tableRoot: String, epochs: Map[String, Long]): Unit = {
+    val body = epochs.toSeq.sortBy(_._1)
+      .map { case (a, e) => s""""${escape(a)}":$e""" }
+      .mkString("{", ",", "}")
+    val tmp = Paths.get(tableRoot, s".txns-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tableRoot, "_txns.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Time travel: the committed table state as of batch `batchId` — the
     * newest committed version at-or-before it (or the base snapshot when
@@ -244,6 +282,17 @@ object CdcMergeSink {
       MutableParquetTable.manifestFileNames(d).getOrElse(Nil)
         .map(n => MutableParquetTable.resolvePath(d, n))
     }.toSet
+    // harvest txn markers BEFORE decommit: a dropped version may be the
+    // only one carrying a streaming sink's newest (app, epoch) marker —
+    // losing it would make a restarted query replay its last epoch (see
+    // [[lastTxnEpoch]]); the sidecar carries each app's max forward
+    val droppedTxns = drop.flatMap(v =>
+      MutableParquetTable.manifestTxn(s"$tableRoot/v$v"))
+    if (droppedTxns.nonEmpty) {
+      val merged = (sidecarEpochs(tableRoot).toSeq ++ droppedTxns)
+        .groupMapReduce(_._1)(_._2)(math.max)
+      writeSidecar(tableRoot, merged)
+    }
     // decommit first: versions() excludes the dir from then on, so a
     // crash mid-sweep leaves garbage files, never a corrupt version
     drop.foreach { v =>

@@ -190,6 +190,107 @@ class ChangeFeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch CDF fails fast on a crashed feed write instead of dropping the version") {
+    val root = Files.createTempDirectory("graft-cdf-bcrash").toString
+    val t = mkTable(root)
+    // crash: v2 committed feedPending, but its feed dir vanished
+    import scala.jdk.CollectionConverters._
+    val s2 = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(root, "_changes", "v2"))
+    try s2.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s2.close()
+
+    // an unbounded batch read includes v2 — returning v0/v1's rows as if
+    // v2 had no changes would be silent data loss, so it must throw
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("changeFeed", "true")
+        .load(root).count()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("repair_feed"), s"unexpected error: ${msg(e)}")
+
+    // bounding the read BELOW the crashed version is fine (in-flight race escape hatch)
+    assert(spark.read.format("graft").option("changeFeed", "true")
+      .option("endingVersion", 1).load(root).count() === 3)
+
+    // repair restores the unbounded read
+    t.repairFeed(2L)
+    assert(spark.read.format("graft").option("changeFeed", "true")
+      .load(root).count() === 4)
+  }
+
+  test("maxVersionsPerTrigger counts feed-bearing versions, not gap commits") {
+    val root = Files.createTempDirectory("graft-cdf-feedpace").toString
+    val base = spark.range(0, 50)
+      .select(col("id"), (col("id") * 2).cast("double").as("v"))
+    val t = GraftTable.create(base, root, "id", numFiles = 2)
+    val s = spark; import s.implicits._
+    def mut(rows: (Long, Double, String)*): DataFrame =
+      rows.toDF("id", "v", "op")
+    t.commitWithFeed(mut((5L, 1.0, "upsert")))  // v0 feed
+    t.commit(mut((6L, 2.0, "upsert")))           // v1 gap
+    t.commit(mut((7L, 3.0, "upsert")))           // v2 gap
+    t.commitWithFeed(mut((8L, 4.0, "upsert")))  // v3 feed
+
+    val q = spark.readStream.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 0).option("maxVersionsPerTrigger", 1)
+      .load(root)
+      .writeStream.format("memory").queryName("cdf_feedpace")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdf-fpcp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_feedpace").count() === 2)
+      // the budget is one FEED per trigger: v0 (+ its trailing gaps) in
+      // batch one, v3 in batch two — versions-arithmetic pacing would
+      // burn triggers on the v1/v2 gaps and deliver empty feed batches
+      val withRows = q.recentProgress.count(_.numInputRows > 0)
+      val empty = q.recentProgress.count(_.numInputRows == 0)
+      assert(withRows === 2, s"expected 2 feed batches, saw $withRows")
+      assert(empty <= 1, s"gap versions burned $empty empty trigger(s)")
+    } finally q.stop()
+  }
+
+  test("startingTimestamp resolution is a binary search over manifest commit times") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-cdf-bsearch").toString
+    val t = GraftTable.create(
+      spark.range(0, 20).select(col("id"), (col("id") * 2).as("v")),
+      root, "id", numFiles = 1)
+    (0 until 8).foreach { i =>
+      t.commitWithFeed(Seq((i.toLong, 100L + i, "upsert"))
+        .toDF("id", "v", "op"))
+      Thread.sleep(5) // distinct commit times
+    }
+    def timeOf(v: Long): Long =
+      graft.sources.MutableParquetTable.readManifest(s"$root/v$v")
+        .flatMap("\"committedAtMs\":(\\d+)".r.findFirstMatchIn(_))
+        .get.group(1).toLong
+    val counted = new java.util.concurrent.atomic.AtomicInteger
+    def countingRead(dir: String): Option[String] = {
+      counted.incrementAndGet()
+      graft.sources.MutableParquetTable.readManifest(dir)
+    }
+    // correctness at every boundary, each within the logarithmic budget
+    val budget = (math.log(8) / math.log(2)).ceil.toInt + 1 // = 4
+    (0L until 8L).foreach { v =>
+      counted.set(0)
+      assert(graft.sources.GraftChangeFeed.versionAtOrAfterWith(
+        root, timeOf(v), countingRead) === Some(v))
+      assert(counted.get() <= budget,
+        s"v$v took ${counted.get()} manifest reads (budget $budget)")
+    }
+    // before-all and after-all edges
+    assert(graft.sources.GraftChangeFeed.versionAtOrAfterWith(
+      root, 0L, countingRead) === Some(0L))
+    assert(graft.sources.GraftChangeFeed.versionAtOrAfterWith(
+      root, timeOf(7L) + 1, countingRead) === None)
+  }
+
   test("CDC replication: feed stream into the exactly-once sink replicates a table") {
     val srcRoot = Files.createTempDirectory("graft-repl-src").toString
     val dstRoot = Files.createTempDirectory("graft-repl-dst").toString

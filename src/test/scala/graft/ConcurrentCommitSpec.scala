@@ -184,6 +184,59 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("v0"))
   }
 
+  test("a zombie twin of the same (app, epoch) cannot apply an epoch twice") {
+    val root = freshRoot()
+    mkTable(root, n = 20, files = 2)
+    import spark.implicits._
+    val epoch = Seq((3L, 333L, "upsert")).toDF("k", "v", "op")
+    // failover zombie: BOTH drivers of one streaming query offer the same
+    // (app, epoch) — the pre-commit lastTxnEpoch check passes for both
+    // (check-then-act), so the loser must detect the winner's marker on
+    // its publish retry and abort as already-committed
+    var fired = false
+    val r = OptimisticCommit.commit(spark, root, "k", epoch,
+      txnMarker = Some(("appX", 5L)),
+      testHookAfterStage = () => {
+        if (!fired) { fired = true
+          OptimisticCommit.commit(spark, root, "k", epoch,
+            txnMarker = Some(("appX", 5L)))
+        }
+      })
+    // the loser reports the winner's version, commits NOTHING of its own
+    assert(r.version === 0L && r.merge.isEmpty)
+    val t = GraftTable(spark, root, "k")
+    assert(t.versions === Seq(0L), "the epoch must land exactly once")
+    assert(CdcMergeSink.lastTxnEpoch(root, "appX") === Some(5L))
+    assert(t.read().where(col("k") === 3L).head().getLong(1) === 333L)
+  }
+
+  test("vacuum carries txn markers forward — retention cannot cause an epoch replay") {
+    val root = freshRoot()
+    val t = mkTable(root, n = 20, files = 2)
+    import spark.implicits._
+    // a streaming sink commits epoch 7, then goes idle while other
+    // writers push the marker version below the retention horizon
+    OptimisticCommit.commit(spark, root, "k",
+      Seq((1L, 11L, "upsert")).toDF("k", "v", "op"),
+      txnMarker = Some(("sinkA", 7L)))
+    (0 until 3).foreach(i =>
+      t.commit(Seq((10L + i, 0L, "upsert")).toDF("k", "v", "op")))
+    assert(CdcMergeSink.vacuum(root, keepLast = 2) === Seq(0L, 1L))
+    // the marker's manifest is gone, but the sidecar retains its epoch —
+    // a restarted query replaying epoch 7 must still skip
+    assert(CdcMergeSink.lastTxnEpoch(root, "sinkA") === Some(7L))
+    // newer in-manifest markers win over the sidecar (max of both views)
+    OptimisticCommit.commit(spark, root, "k",
+      Seq((2L, 22L, "upsert")).toDF("k", "v", "op"),
+      txnMarker = Some(("sinkA", 9L)))
+    assert(CdcMergeSink.lastTxnEpoch(root, "sinkA") === Some(9L))
+    // and a second vacuum folds the newer dropped marker into the sidecar
+    (0 until 3).foreach(i =>
+      t.commit(Seq((15L + i, 0L, "upsert")).toDF("k", "v", "op")))
+    CdcMergeSink.vacuum(root, keepLast = 1)
+    assert(CdcMergeSink.lastTxnEpoch(root, "sinkA") === Some(9L))
+  }
+
   test("vacuum sweeps abandoned staging dirs after the retention window") {
     val root = freshRoot()
     val t = mkTable(root, n = 20, files = 2)
