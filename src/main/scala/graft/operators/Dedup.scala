@@ -358,7 +358,8 @@ object Dedup {
     // self-join sides reuse one shuffle (ReusedExchange discipline)
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        explode(Similarity.nearest2CentroidsCol(col(vecCol), cents)).as("cid"))
+        explode(Similarity.nearest2CentroidsCol(embs.sparkSession,
+          col(vecCol), cents)).as("cid"))
       .repartition(col("cid"))
     val a = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("va"))
     val b = assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vb"))

@@ -119,62 +119,52 @@ object Similarity {
     topKPerQuery(deduped, k)
   }
 
-  /** Map-side nearest-centroid assignment: a single codegen'd fold over the
-    * centroid literal array per row — the per-row argmin the IVF quantizer
-    * needs, with ZERO shuffle (the old formulation cross-joined the corpus
-    * with the centroids and ranked corpus×nCentroids rows through a
-    * per-id window — a shuffle of the whole corpus just to compute a
-    * broadcast-array argmin).
+  /** Flatten a codebook and BROADCAST it: the assignment expressions ship
+    * a handle, never the matrix — plan size is constant in k·dim (the
+    * old `typedLit` codebook put k centroid structs into the expression
+    * tree: a planner DoS at web-scale centroid counts). */
+  private def broadcastCodebook(spark: SparkSession,
+                                cents: Seq[(Long, Seq[Float])])
+      : (org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Float])], Int) = {
+    require(cents.nonEmpty, "empty codebook")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim), "ragged codebook")
+    val cids = cents.map(_._1).toArray
+    val flat = new Array[Float](cents.length * dim)
+    cents.zipWithIndex.foreach { case ((_, v), i) =>
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+    }
+    (spark.sparkContext.broadcast((cids, flat)), dim)
+  }
+
+  /** Map-side nearest-centroid assignment: one codegen'd fused loop over
+    * the BROADCAST codebook per row ([[graft.plans.NearestCentroids]]) —
+    * the per-row argmin the IVF quantizer needs, with ZERO shuffle and a
+    * plan whose size is independent of k (the codebook travels as a
+    * broadcast handle, not a literal).
     *
     * Centroids are iterated in ascending cid order with a strict `<`, so
     * equal-distance ties resolve to the smallest cid — identical to the
     * old `orderBy(distance, cid)` rank-1 rule. Distances are compared
     * squared (sqrt is monotone, ordering unchanged). */
-  private def nearestCentroidCol(vec: Column, cents: Seq[(Long, Seq[Float])]): Column = {
-    val arr = typedLit(cents)
-    val init = struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("cid"))
-    aggregate(arr, init, (acc, c) => {
-      val d2 = aggregate(
-        zip_with(c.getField("_2"), vec, (x, y) => {
-          val diff = x.cast("double") - y.cast("double")
-          diff * diff
-        }),
-        lit(0.0), (a, v) => a + v)
-      when(d2 < acc.getField("d"),
-        struct(d2.as("d"), c.getField("_1").as("cid"))).otherwise(acc)
-    }).getField("cid")
+  private[graft] def nearestCentroidCol(spark: SparkSession, vec: Column,
+                                        cents: Seq[(Long, Seq[Float])]): Column = {
+    val (bc, dim) = broadcastCodebook(spark, cents)
+    org.apache.spark.sql.classic.GraftShims.column(
+      graft.plans.NearestCentroids(
+        org.apache.spark.sql.classic.GraftShims.expression(vec), bc, dim, 1))
   }
 
-  /** TWO nearest centroids per row (soft assignment), same map-side fold
-    * discipline as [[nearestCentroidCol]]: one codegen'd pass over the
-    * broadcast codebook, zero shuffle. The squared distance is bound to a
-    * lambda variable via the single-element-transform trick — an
-    * interpreted HOF lambda has no common-subexpression reuse, so a bare
-    * reference would recompute the k·dim fold once per comparison.
-    * Ties resolve to the smaller cid on both slots (strict `<`). */
-  private[operators] def nearest2CentroidsCol(
-      vec: Column, cents: Seq[(Long, Seq[Float])]): Column = {
-    val arr = typedLit(cents)
-    val init = struct(
-      lit(Double.MaxValue).as("d1"), lit(Long.MaxValue).as("c1"),
-      lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("c2"))
-    val best = aggregate(arr, init, (acc, c) => {
-      val d2v = aggregate(
-        zip_with(c.getField("_2"), vec, (x, y) => {
-          val diff = x.cast("double") - y.cast("double")
-          diff * diff
-        }),
-        lit(0.0), (a, v) => a + v)
-      element_at(transform(array(d2v), d =>
-        when(d < acc.getField("d1"),
-          struct(d.as("d1"), c.getField("_1").as("c1"),
-            acc.getField("d1").as("d2"), acc.getField("c1").as("c2")))
-        .when(d < acc.getField("d2"),
-          struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
-            d.as("d2"), c.getField("_1").as("c2")))
-        .otherwise(acc)), 1)
-    })
-    array(best.getField("c1"), best.getField("c2"))
+  /** TWO nearest centroids per row (soft assignment), same broadcast
+    * fused-loop discipline as [[nearestCentroidCol]]; ties resolve to
+    * the smaller cid on both slots (strict `<`). */
+  private[graft] def nearest2CentroidsCol(spark: SparkSession, vec: Column,
+                                          cents: Seq[(Long, Seq[Float])]): Column = {
+    val (bc, dim) = broadcastCodebook(spark, cents)
+    org.apache.spark.sql.classic.GraftShims.column(
+      graft.plans.NearestCentroids(
+        org.apache.spark.sql.classic.GraftShims.expression(vec), bc, dim, 2))
   }
 
   /** Deterministic k-means (Lloyd) refinement of an IVF codebook. Each
@@ -186,6 +176,7 @@ object Similarity {
     * keep their previous centroid. */
   def kmeansCodebook(corpus: DataFrame, vecCol: String, idCol: String,
                      k: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+    val spark = corpus.sparkSession
     var cents: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         xxhash64(col(idCol)).as("h"))
@@ -195,29 +186,37 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-    var it = 0
-    while (it < iters) {
-      val means = corpus.select(col(vecCol).as("vec"))
-        .withColumn("cid", nearestCentroidCol(col("vec"), cents))
-        .select(col("cid"), posexplode(col("vec")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-        }
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-      it += 1
-    }
-    cents
+    // multi-iteration builds scan the SAME projected vectors every Lloyd
+    // step — persist so iterations 2..n pay a cached columnar read, not
+    // a recomputation of the whole upstream plan
+    val vecs = corpus.select(col(vecCol).as("vec"))
+    if (iters > 1)
+      vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val means = vecs
+          .withColumn("cid", nearestCentroidCol(spark, col("vec"), cents))
+          .select(col("cid"), posexplode(col("vec")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          }
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        it += 1
+      }
+      cents
+    } finally if (iters > 1) { vecs.unpersist(blocking = false): Unit }
   }
 
   /** IVF-style search: corpus assigned to the nearest of `nCentroids`
     * centroids; a query probes the `nProbe` nearest centroid cells. The
     * coarse quantizer is built once (tiny — nCentroids rows collected to
-    * the driver, metadata-sized) and shipped to every task as a literal
-    * array; per-query work is O(corpus * nProbe / nCentroids).
+    * the driver, metadata-sized) and shipped to executors as a BROADCAST
+    * codebook; per-query work is O(corpus * nProbe / nCentroids).
     * `kmeansIters` Lloyd iterations (one corpus scan each) balance the
     * cells — hash-sampled seeds alone skew cell sizes and recall.
     */
@@ -229,7 +228,7 @@ object Similarity {
 
     // map-side assignment: scan → project, no exchange
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cid", nearestCentroidCol(col("vec"), cents))
+      .withColumn("cid", nearestCentroidCol(spark, col("vec"), cents))
 
     // queries probe their nProbe nearest cells (query set is tiny; the
     // explode over the ranked centroid list is broadcast-sized work)

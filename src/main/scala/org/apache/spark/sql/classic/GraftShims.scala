@@ -17,4 +17,11 @@ object GraftShims {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     ExpressionUtils.column(e)
+
+  /** The forward direction — the catalyst expression behind a Column
+    * (used to hand user columns to custom expressions constructed
+    * directly rather than through the function registry). */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
 }

@@ -163,4 +163,62 @@ class SimilaritySpec extends SparkSpec {
     assert(refined >= plain - 0.05, s"k-means recall $refined << plain $plain")
     assert(refined >= 0.25)
   }
+
+  test("centroid assignment: broadcast codebook, plan size bounded at k=4096") {
+    val s = spark; import s.implicits._
+    val dim = 8
+    // deterministic synthetic codebook — far larger than any literal the
+    // planner should ever carry
+    def cvec(i: Int): Seq[Float] =
+      (0 until dim).map(j => math.sin(i * 31 + j * 7).toFloat)
+    val big: Seq[(Long, Seq[Float])] =
+      (0 until 4096).map(i => (i.toLong, cvec(i)))
+    val small: Seq[(Long, Seq[Float])] = (0 until 4).map(i => (i.toLong, cvec(i)))
+    val rows = (0 until 50).map { r =>
+      (r.toLong, (0 until dim).map(j => math.cos(r * 13 + j * 3).toFloat).toArray)
+    }
+    val df = rows.toDF("id", "vec")
+
+    def planLen(cents: Seq[(Long, Seq[Float])]): Int =
+      df.select(col("id"),
+          Similarity.nearestCentroidCol(spark, col("vec"), cents).as("cid"))
+        .queryExecution.executedPlan.toString.length
+
+    // the codebook travels as a broadcast HANDLE: a 1000× larger codebook
+    // must not grow the plan (the typedLit form grew it with k·dim)
+    val pSmall = planLen(small)
+    val pBig = planLen(big)
+    assert(pBig <= pSmall + 200,
+      s"plan grew with codebook size: k=4 -> $pSmall chars, k=4096 -> $pBig")
+
+    // assignment correctness vs a driver-side argmin (same tie rule)
+    def expected(v: Array[Float], cents: Seq[(Long, Seq[Float])]): Long =
+      cents.map { case (cid, c) =>
+        (c.zip(v).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d }.sum, cid)
+      }.minBy(identity)._2
+    val got = df.select(col("id"),
+        Similarity.nearestCentroidCol(spark, col("vec"), big).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) === expected(v, big), s"row $id")
+    }
+
+    // 2-nearest: slots ordered by distance, distinct, same codebook scale
+    val got2 = df.select(col("id"),
+        Similarity.nearest2CentroidsCol(spark, col("vec"), big).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, v) =>
+      val ranked = big.map { case (cid, c) =>
+        (c.zip(v).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d }.sum, cid)
+      }.sorted.take(2).map(_._2)
+      assert(got2(id) === ranked, s"row $id")
+    }
+
+    // malformed vectors (wrong dim) assign NULL, not a garbage cell
+    val bad = Seq((99L, Array(1.0f, 2.0f))).toDF("id", "vec")
+    assert(bad.select(Similarity.nearestCentroidCol(spark, col("vec"), big))
+      .head().isNullAt(0))
+  }
 }
