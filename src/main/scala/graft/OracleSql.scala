@@ -1012,6 +1012,22 @@ object OracleSql {
       WHERE NOT (day(o_orderdate) <> 1 AND month(o_orderdate) = 2)
       ORDER BY order_date""",
 
+    // nested merge key (person.uuid): the oracle recomputes the merged
+    // state relationally — upserted rows get bal=-1, the delete set
+    // vanishes; a hash match proves nested footer zone maps + routing +
+    // the nested-key merge join composed correctly
+    "q105_nested_merge" -> """
+      WITH d AS (
+        SELECT md5(CAST(c_custkey AS VARCHAR)) AS uuid,
+          c_mktsegment AS segment, c_custkey,
+          CASE WHEN md5(CAST(c_custkey AS VARCHAR)) LIKE '0%' THEN -1.0
+               ELSE round(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE), 2)
+          END AS bal
+        FROM customer)
+      SELECT uuid, segment, c_custkey, bal FROM d
+      WHERE uuid NOT LIKE 'f%'
+      ORDER BY uuid""",
+
     // identical end state to q90 plus the NOT-MATCHED insert row — the
     // mutations are the same, only the driving surface differs (SQL DML
     // vs the Scala merge API)

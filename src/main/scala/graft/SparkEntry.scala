@@ -1448,6 +1448,48 @@ object SparkEntry {
           FROM $cat.`$tname`.history ORDER BY version""")
   }
 
+  /** CoW merge on a NESTED merge-key path (`person.uuid`) — the
+    * reference's ColumnPath key addressing (ParquetRewriter.java:84; the
+    * README's Thrift `Person.uuid` model, README.md:26-43): the key lives
+    * inside a struct column and drives parquet footer zone maps (nested
+    * column paths are dotted), routing, run slicing, the merge join, and
+    * the manifest round-trip. The oracle recomputes the merged state
+    * relationally from the raw customer table. */
+  def q105_nested_merge(s: SparkSession, dir: String): DataFrame = {
+    val people = customer(s, dir).select(
+      struct(
+        md5(col("c_custkey").cast("string")).as("uuid"),
+        struct(col("c_name").as("name"),
+          col("c_mktsegment").as("segment")).as("profile")).as("person"),
+      col("c_custkey"),
+      col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q105").toString
+    val base = s"$work/base"
+    graft.sources.ParquetTable.writeSorted(people, base, "person.uuid", 6)
+    // mutations clustered by uuid PREFIX: the table sorts on the hashed
+    // uuid, so prefix ranges are contiguous in key space and the dirty
+    // files stay a strict subset at every fixture scale (custkey-mod
+    // batches would scatter across the whole md5 range)
+    val upserts = people.where(col("person.uuid").startsWith("0"))
+      .withColumn("bal", lit(-1).cast(DecimalType(12, 2)))
+      .withColumn("op", lit("upsert"))
+    val deletes = people.where(col("person.uuid").startsWith("f"))
+      .withColumn("op", lit("delete"))
+    val t = graft.sources.MutableParquetTable(s, base, "person.uuid")
+    val res = t.merge(upserts.unionByName(deletes),
+      snapshotDir = Some(s"$work/v1"))
+    require(graft.sources.MutableParquetTable.isCommitted(res.snapshotDir),
+      "merge snapshot missing its manifest commit marker")
+    require(res.passthroughFiles.nonEmpty,
+      "a nested-key merge must still be a partial rewrite")
+    graft.sources.MutableParquetTable.readCommitted(s, res.snapshotDir)
+      .select(col("person.uuid").as("uuid"),
+        col("person.profile.segment").as("segment"),
+        col("c_custkey"),
+        round(col("bal").cast("double"), 2).as("bal"))
+      .orderBy(col("uuid"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2016,6 +2058,7 @@ object SparkEntry {
     "q102_stream_sink" -> (q102_stream_sink _),
     "q103_cdf_source" -> (q103_cdf_source _),
     "q104_history_meta" -> (q104_history_meta _),
+    "q105_nested_merge" -> (q105_nested_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

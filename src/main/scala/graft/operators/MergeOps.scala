@@ -38,9 +38,16 @@ object MergeOps {
       .select(cols.map(col): _*)
   }
 
-  /** Delete by key (S10/S11/S14): left anti join. */
+  /** Delete by key (S10/S11/S14): left anti join. Accepts a NESTED key
+    * path (`person.uuid` — the reference locates keys by `ColumnPath`,
+    * ParquetRewriter.java:84): a USING join needs top-level columns, so
+    * dotted keys join on an aliased key expression instead. */
   def deleteByKey(base: DataFrame, deleteKeys: DataFrame, key: String): DataFrame =
-    base.join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")
+    if (key.contains("."))
+      base.join(deleteKeys.select(col(key).as("__gk0")).distinct(),
+        col(key) === col("__gk0"), "left_anti")
+    else
+      base.join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")
 
   /** Combined upsert+delete batch in one pass (comboTest,
     * ParquetRewriterTests.java:298-316):
@@ -68,7 +75,19 @@ object MergeOps {
       case None => batch
     }
     val survivors =
-      base.join(effective.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      if (keys.exists(_.contains(".")))
+        // NESTED key paths (reference ColumnPath parity,
+        // ParquetRewriter.java:84): a USING join requires top-level
+        // columns, so the key tuple joins as aliased expressions — same
+        // anti-join shape, same shuffle key
+        base.join(
+          effective.select(keys.zipWithIndex.map {
+            case (k, i) => col(k).as(s"__gk$i") }: _*).distinct(),
+          keys.zipWithIndex.map { case (k, i) => col(k) === col(s"__gk$i") }
+            .reduce(_ && _),
+          "left_anti")
+      else
+        base.join(effective.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val inserts = effective.where(col(opCol) === "upsert").select(cols.map(col): _*)
     survivors.select(cols.map(col): _*).unionByName(inserts)
   }

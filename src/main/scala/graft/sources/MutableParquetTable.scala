@@ -130,8 +130,20 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     * tuple, so leading-column footer ranges stay valid; a leading value
     * straddling a file boundary is absorbed by the non-cut expansion) —
     * while row matching uses the complete tuple. Composite tables are
-    * written with [[ParquetTable.writeSortedBy]]. */
+    * written with [[ParquetTable.writeSortedBy]].
+    *
+    * `key` may be a NESTED path (`person.uuid`) — the reference locates
+    * its key by `ColumnPath` (ParquetRewriter.java:84, the README's
+    * Thrift `Person.uuid` model): routing reads the nested parquet
+    * column's footer stats (parquet paths ARE dotted), filters/sorts
+    * resolve the dotted name natively, and the merge join matches on the
+    * key expression. Composite identities stay top-level — a dotted
+    * member would also be ambiguous with a literal dotted column name. */
   private val keys: Seq[String] = key +: moreKeys
+  require(moreKeys.isEmpty || keys.forall(!_.contains(".")),
+    s"nested key paths are not supported in composite keys " +
+      s"(${keys.mkString(", ")}) — flatten the struct or use a single " +
+      "nested key")
 
   def read(): DataFrame = spark.read.parquet(dir)
 
@@ -225,12 +237,27 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     * few percent of the bytes a full rewrite would touch. */
   private def holderFileNames(batch: DataFrame,
                               allFiles: Seq[String]): Set[String] = {
-    val batchKeys = batch.select(keys.map(col): _*).distinct()
-    val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
-      .select(keys.map(col) :+ input_file_name().as("__graft_file"): _*)
-    withFile.join(batchKeys, keys, "left_semi")
-      .select("__graft_file").distinct()
-      .collect().map(r => fileName(r.getString(0))).toSet
+    if (keys.exists(_.contains("."))) {
+      // nested key: USING joins need top-level columns — alias the key
+      // expression on both sides (same semi-join shape)
+      val batchKeys = batch.select(keys.zipWithIndex.map {
+        case (k, i) => col(k).as(s"__gk$i") }: _*).distinct()
+      val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
+        .select(keys.zipWithIndex.map { case (k, i) =>
+          col(k).as(s"__gf$i") } :+ input_file_name().as("__graft_file"): _*)
+      withFile.join(batchKeys,
+          keys.indices.map(i => col(s"__gf$i") === col(s"__gk$i")).reduce(_ && _),
+          "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(r => fileName(r.getString(0))).toSet
+    } else {
+      val batchKeys = batch.select(keys.map(col): _*).distinct()
+      val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
+        .select(keys.map(col) :+ input_file_name().as("__graft_file"): _*)
+      withFile.join(batchKeys, keys, "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(r => fileName(r.getString(0))).toSet
+    }
   }
 
   /** Copy-on-write merge. `batch` = base schema + op column.
@@ -404,7 +431,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           // (epoch days/micros for date/timestamp keys), so all range
           // comparisons use the normalized column
           val nk = MutableParquetTable.normalizedKeyCol(
-            merged.schema(key).dataType, col(key))
+            MutableParquetTable.fieldTypeAt(merged.schema, key), col(key))
           def writeRun(run: Vector[Int], target: String): Unit = {
             val lower = if (run.head == 0) None else Some(ranges(run.head).min)
             val upper = if (run.last == ranges.size - 1) None
@@ -565,7 +592,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         // bounds are in the NORMALIZED key domain (epoch days/micros for
         // date/timestamp keys) — compare the normalized batch column
         val nk = MutableParquetTable.normalizedKeyCol(
-          batch.schema(key).dataType, col(key))
+          MutableParquetTable.fieldTypeAt(batch.schema, key), col(key))
         val jobs = dirty.map { f => Future {
           val i = idxByName(fileName(f))
           val lower = if (i == 0) None else Some(ranges(i).min)
@@ -984,6 +1011,25 @@ object MutableParquetTable {
       s"unsupported merge-key type $other — integral, string, binary, " +
         "date, or timestamp required")
   }
+
+  /** Field type at a (possibly dotted) key path — the schema-lookup
+    * analog of the reference's `ColumnPath` key addressing
+    * (ParquetRewriter.java:84): `person.uuid` resolves through the
+    * `person` struct. Top-level names (the common case) resolve directly
+    * first, so a literal column name containing a dot still wins. */
+  private[graft] def fieldTypeAt(schema: org.apache.spark.sql.types.StructType,
+                                 path: String): DataType =
+    schema.fields.find(_.name == path).map(_.dataType).getOrElse {
+      path.split('.').foldLeft(schema: DataType) {
+        case (s: org.apache.spark.sql.types.StructType, seg) =>
+          s.fields.find(_.name == seg).map(_.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"merge-key path $path: no field '$seg' in ${s.simpleString}"))
+        case (other, seg) => throw new IllegalArgumentException(
+          s"merge-key path $path: '$seg' addresses into non-struct " +
+            s"${other.simpleString}")
+      }
+    }
 
   def apply(spark: SparkSession, dir: String, key: String,
             passthrough: Passthrough = Link,

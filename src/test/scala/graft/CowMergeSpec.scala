@@ -418,10 +418,12 @@ class CowMergeSpec extends SparkSpec {
       s"only $identical of ${srcStats.size} groups raw-copied; expected all but one per file")
   }
 
-  test("wide types (decimal/binary/float/date/ts/array/struct) round-trip CoW merge") {
+  test("wide types (decimal/binary/float/date/ts/array/struct/map) round-trip CoW merge") {
     // the reference's multi-type coverage (ParquetRewriterTests.java:358-369:
     // int32/int64/boolean/float/double/fixed_len_byte_array/int96), as the
     // Spark-side analog: every column family through MergeOps + the CoW path
+    // — including map<string,bigint>, which the reference carries verbatim
+    // like any parquet-mr schema (ParquetRewriter.java:115)
     def gen(pred: String, mutated: String): org.apache.spark.sql.DataFrame =
       spark.sql(s"""
         SELECT id,
@@ -434,21 +436,93 @@ class CowMergeSpec extends SparkSpec {
           DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) AS dt,
           TIMESTAMP'2020-01-01 00:00:00' + make_dt_interval(0, 0, 0, id) AS ts,
           array(id, id + 1) AS arr,
-          named_struct('a', id, 'b', concat('s', id)) AS st
+          named_struct('a', id, 'b', concat('s', id)) AS st,
+          map(concat('k', id % 3), id,
+              CASE WHEN $mutated THEN 'mut' ELSE 'orig' END, id + 7) AS m
         FROM range(0, 100) WHERE $pred""")
     val dir = freshDir()
     ParquetTable.writeSorted(gen("true", "false"), dir, "id", 4)
     val base = spark.read.parquet(dir)
+    assert(base.schema("m").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
     val batch = gen("id < 10", "true").withColumn("op", lit("upsert"))
       .unionByName(gen("id >= 90", "false").withColumn("op", lit("delete")))
     val res = MutableParquetTable(spark, dir, "id").merge(batch)
     assert(res.rewrittenFiles.size === 2) // low file (upserts) + high file (deletes)
     val got = spark.read.parquet(res.snapshotDir)
-    // independently generated expected state (not via MergeOps)
+    // independently generated expected state (not via MergeOps). Spark
+    // refuses set ops over MapType, so the map compares as sorted entries
+    // (same content test, canonical order) while the snapshot keeps the
+    // physical map column
+    def cmp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("m", array_sort(map_entries(col("m"))))
     val expect = gen("id < 90", "id < 10")
     assert(got.count() === 90)
-    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(cmp(got).exceptAll(cmp(expect)).isEmpty &&
+      cmp(expect).exceptAll(cmp(got)).isEmpty)
     assert(got.schema === base.schema)
+    // the manifest schema round-trips the map type: committed reads carry
+    // it without re-inferring from footers
+    assert(MutableParquetTable.readCommitted(spark, res.snapshotDir)
+      .schema("m").dataType === base.schema("m").dataType)
+  }
+
+  test("NESTED merge-key path (person.uuid) routes, merges, and chains (ColumnPath parity)") {
+    // the reference addresses its key by ColumnPath into the record
+    // (ParquetRewriter.java:84; README.md:26-43's Thrift Person.uuid):
+    // here the key lives INSIDE a struct column and drives footer zone
+    // maps (parquet column paths are dotted), routing, slicing, the merge
+    // join, and the manifest round-trip
+    def gen(pred: String, mutated: String): org.apache.spark.sql.DataFrame =
+      spark.sql(s"""
+        SELECT named_struct(
+                 'uuid', concat('u', lpad(cast(id AS string), 4, '0')),
+                 'name', named_struct('first', concat('f', id),
+                                      'last', concat('l', id))) AS person,
+               CASE WHEN $mutated THEN id * 10 ELSE id END AS bal
+        FROM range(0, 200) WHERE $pred""")
+    val dir = freshDir()
+    ParquetTable.writeSorted(gen("true", "false"), dir, "person.uuid", 4)
+    val nFiles = listParquet(dir).size
+    assert(nFiles === 4)
+
+    // footer zone maps resolve the nested column
+    val ranges = ParquetStats.fileKeyRangesTyped(spark, dir, "person.uuid")
+    assert(ranges.size === nFiles)
+    assert(ranges.forall(r => r.min.toString.startsWith("u")))
+
+    val t = MutableParquetTable(spark, dir, "person.uuid")
+    val batch = gen("id < 10", "true").withColumn("op", lit("upsert"))
+      .unionByName(gen("id >= 190", "false").withColumn("op", lit("delete")))
+    val res = t.merge(batch)
+    // narrow mutations: only the low and high files rewrite
+    assert(res.rewrittenFiles.size === 2,
+      s"expected 2 dirty files, got ${res.rewrittenFiles.size}/$nFiles")
+    val got = MutableParquetTable.readCommitted(spark, res.snapshotDir)
+    val expect = gen("id < 190", "id < 10")
+    assert(got.count() === 190)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+
+    // manifest zone map on the nested key: a point read prunes to 1 file
+    val (_, files) = MutableParquetTable.pruneManifestFiles(
+      res.snapshotDir, Some("u0005"), Some("u0005")).get
+    assert(files.size === 1, s"point prune touched ${files.size} files")
+
+    // chained merge against the committed snapshot (manifest-trusted
+    // ranges, no footer re-probe) stays exact
+    val t2 = MutableParquetTable(spark, res.snapshotDir, "person.uuid")
+    val batch2 = gen("id = 50", "true").withColumn("op", lit("upsert"))
+    val res2 = t2.merge(batch2)
+    assert(res2.rewrittenFiles.size === 1)
+    val got2 = MutableParquetTable.readCommitted(spark, res2.snapshotDir)
+    assert(got2.where(col("person.uuid") === "u0050").head().getLong(1) === 500L)
+    assert(got2.count() === 190)
+
+    // composite identities reject nested members loudly
+    val e = intercept[IllegalArgumentException] {
+      MutableParquetTable(spark, dir, "person.uuid", moreKeys = Seq("bal"))
+    }
+    assert(e.getMessage.contains("nested key path"))
   }
 
   test("typed merge KEYS (date/timestamp/binary) route, slice, and rewrite exactly") {
