@@ -178,6 +178,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
                   CdcMergeSink.latestSnapshot(root))): Long = {
     val next = versions.lastOption.map(_ + 1).getOrElse(0L)
     val latest = CdcMergeSink.latestSnapshot(root)
+    require(
+      graft.sources.MutableParquetTable.manifestBuckets(latest).isEmpty,
+      "compact is not supported on a hash-bucketed table: byte-bin " +
+        "packing would fold files across buckets and break the " +
+        "file-bucket invariant storage-partitioned joins rely on")
     val target = s"$root/v$next"
     graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
       targetBytes)
@@ -237,19 +242,32 @@ object GraftTable {
   def create(df: DataFrame, root: String, key: String, numFiles: Int,
              layout: graft.sources.ParquetLayout =
                graft.sources.ParquetLayout(),
-             moreKeys: Seq[String] = Nil): GraftTable = {
+             moreKeys: Seq[String] = Nil,
+             buckets: Option[Int] = None): GraftTable = {
     val spark = df.sparkSession
     val nullable = spark.createDataFrame(df.rdd,
       org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))))
-    ParquetTable.writeSortedBy(nullable, s"$root/base", key +: moreKeys,
-      numFiles, layout)
+    buckets match {
+      case Some(n) =>
+        // HASH-BUCKETED layout ([[graft.sources.GraftBucket]]): one file
+        // set per pmod(murmur3(key), n) bucket — graft⋈graft key joins
+        // then elide both shuffles (storage-partitioned joins); merges
+        // rewrite whole dirty buckets and carry the spec forward
+        graft.sources.GraftBucket.writeBucketed(nullable, s"$root/base",
+          key, moreKeys, n, layout)
+      case None =>
+        ParquetTable.writeSortedBy(nullable, s"$root/base", key +: moreKeys,
+          numFiles, layout)
+    }
     // commit the base like every later version: the manifest gives it the
     // stray-file discipline, metadata-only counts/bounds, zone-map reads
     // without footer probes, and records the merge key(s) for SQL writers
     // — later commits DISCOVER the composite identity from the manifest
     graft.sources.MutableParquetTable(spark, s"$root/base", key,
       moreKeys = moreKeys).commitManifest(s"$root/base")
+    buckets.foreach(n =>
+      graft.sources.MutableParquetTable.annotateBuckets(s"$root/base", n))
     new GraftTable(spark, root, key)
   }
 }

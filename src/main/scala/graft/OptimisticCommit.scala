@@ -181,21 +181,31 @@ object OptimisticCommit {
               txnMarker: Option[(String, Long)] = None): Long = {
     val latest = CdcMergeSink.latestSnapshot(tableRoot)
     val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
+    // a bucketed table's replace re-buckets: the layout is the table's
+    // join contract, so INSERT OVERWRITE must not silently drop it
+    val bucketSpec = MutableParquetTable.manifestBuckets(latest)
     val dir = s"$tableRoot/.tx-${
       java.util.UUID.randomUUID().toString.take(12)}"
     if (batch.isEmpty) {
-      MutableParquetTable.commitEmpty(dir, key, batch.schema, moreKeys)
+      MutableParquetTable.commitEmpty(dir, key, batch.schema, moreKeys,
+        bucketSpec)
     } else {
-      val n =
-        if (numFiles > 0) numFiles
-        else {
-          val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-          val target = BigInt(128L * 1024 * 1024)
-          ((bytes + target - 1) / target).min(BigInt(4096)).max(BigInt(1)).toInt
-        }
-      graft.sources.ParquetTable.withMicrosTimestamps(spark) {
-        graft.sources.ParquetTable.writeSortedBy(batch, dir,
-          key +: moreKeys, n)
+      bucketSpec match {
+        case Some(nb) =>
+          graft.sources.GraftBucket.writeBucketed(batch, dir, key,
+            moreKeys, nb)
+        case None =>
+          val n =
+            if (numFiles > 0) numFiles
+            else {
+              val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+              val target = BigInt(128L * 1024 * 1024)
+              ((bytes + target - 1) / target).min(BigInt(4096)).max(BigInt(1)).toInt
+            }
+          graft.sources.ParquetTable.withMicrosTimestamps(spark) {
+            graft.sources.ParquetTable.writeSortedBy(batch, dir,
+              key +: moreKeys, n)
+          }
       }
       MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
         .commitManifest(dir, Some(batch.schema))
@@ -408,8 +418,9 @@ object OptimisticCommit {
     if (stagedNames.size != stagedRanges.size ||
         newNames.size != newRanges.size) return None // stat-less entries
     if (Seq(st.dir, newBase).exists(d =>
-        MutableParquetTable.readManifest(d).exists(_.contains("\"dimRanges\""))))
-      return None
+        MutableParquetTable.readManifest(d).exists(m =>
+          m.contains("\"dimRanges\"") || m.contains("\"buckets\""))))
+      return None // dim zone maps / bucket specs: re-merge recomputes them
     if (MutableParquetTable.manifestMoreKeys(st.dir) !=
         MutableParquetTable.manifestMoreKeys(newBase)) return None
     val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)

@@ -1028,6 +1028,20 @@ object OracleSql {
       WHERE uuid NOT LIKE 'f%'
       ORDER BY uuid""",
 
+    // bucketed-layout lifecycle: create + bucket-granularity merge +
+    // by-name join recomputed relationally (plan property in spec)
+    "q106_bucketed_join" -> """
+      WITH o AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM orders GROUP BY 1)
+      SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+        round(CASE WHEN c.c_custkey % 10 = 0 THEN 0.0
+                   ELSE CAST(c.c_acctbal AS DOUBLE) END, 2) AS bal,
+        o.n_orders, o.total
+      FROM customer c JOIN o ON o.custkey = c.c_custkey
+      ORDER BY custkey""",
+
     // identical end state to q90 plus the NOT-MATCHED insert row — the
     // mutations are the same, only the driving surface differs (SQL DML
     // vs the Scala merge API)

@@ -1490,6 +1490,44 @@ object SparkEntry {
       .orderBy(col("uuid"))
   }
 
+  /** HASH-BUCKETED graft tables (storage-partitioned-join layout,
+    * [[graft.sources.GraftBucket]]): two catalog tables sharing a bucket
+    * spec, a bucketed CoW merge in between, then a by-name key join.
+    * The oracle recomputes the joined state from the raw tables, so a
+    * hash match proves bucketed create + bucket-granularity merge +
+    * manifest spec carry + catalog reads compose exactly. (The
+    * exchange-elision plan property is asserted in GraftSourceSpec —
+    * DuckDB can't check plans.) */
+  def q106_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q106").toString
+    val cat = "gq106_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val custs = customer(s, dir).select(col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"), col("c_acctbal"))
+    val ordAgg = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .withColumnRenamed("o_custkey", "custkey")
+    val tc = graft.GraftTable.create(custs, s"$work/ns/c", "custkey",
+      numFiles = 4, buckets = Some(8))
+    graft.GraftTable.create(ordAgg, s"$work/ns/o", "custkey",
+      numFiles = 4, buckets = Some(8))
+    // bucket-granularity CoW merge: zero the balance of every 10th key
+    tc.commit(custs.where(col("custkey") % 10 === 0)
+      .withColumn("c_acctbal", lit(0.0))
+      .withColumn("op", lit("upsert")))
+    require(graft.sources.MutableParquetTable.manifestBuckets(
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$work/ns/c"))
+      .contains(8), "merge must carry the bucket spec")
+    s.table(s"$cat.ns.c").join(s.table(s"$cat.ns.o"), "custkey")
+      .select(col("custkey"), col("segment"),
+        round(col("c_acctbal"), 2).as("bal"), col("n_orders"), col("total"))
+      .orderBy(col("custkey"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2059,6 +2097,7 @@ object SparkEntry {
     "q103_cdf_source" -> (q103_cdf_source _),
     "q104_history_meta" -> (q104_history_meta _),
     "q105_nested_merge" -> (q105_nested_merge _),
+    "q106_bucketed_join" -> (q106_bucketed_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

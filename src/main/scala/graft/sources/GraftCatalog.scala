@@ -37,10 +37,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * zero data files); the first insert takes the insert-into-empty merge
   * path. The catalog holds NO state of its own — the filesystem layout
   * is the catalog, so there is nothing extra to replicate or recover. */
-final class GraftCatalog extends TableCatalog with ProcedureCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** FUNCTION CATALOG: serves the `bucket` transform function so Spark
+    * can resolve the KeyGroupedPartitioning bucketed graft scans report
+    * — the handshake storage-partitioned joins need. Path-based reads
+    * carry no function catalog, which is why SPJ requires the table to
+    * be catalog-addressed. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucket.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {

@@ -191,6 +191,12 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
       : Map[String, Seq[MutableParquetTable.DimRange]] =
     MutableParquetTable.manifestDimRanges(snapshotDir)
 
+  /** Bucket count of a hash-bucketed layout ([[GraftBucket]]) — drives
+    * the scan's reported KeyGroupedPartitioning (storage-partitioned
+    * joins). */
+  private[sources] lazy val bucketSpec: Option[Int] =
+    MutableParquetTable.manifestBuckets(snapshotDir)
+
   /** Per-file row counts from the manifest's ranged entries (resolved
     * paths) — the scan's planner-statistics source. */
   private[sources] lazy val fileRowCounts: Map[String, Long] =
@@ -431,9 +437,43 @@ final class GraftParquetScan(spark: SparkSession,
                              private val pushed: Array[Filter],
                              private val staticFiles: Seq[String])
     extends Scan with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private var plannedFiles: Seq[String] = staticFiles
+
+  private def baseName(f: String): String =
+    f.substring(f.lastIndexOf('/') + 1)
+
+  /** (bucket id per planned file), when this snapshot is a bucketed
+    * layout and every planned file carries a bucket name. */
+  private def bucketByFile: Option[Map[String, Int]] =
+    table.bucketSpec.filter(_ => table.keyName.isDefined).flatMap { _ =>
+      val parsed = plannedFiles.map(f =>
+        GraftBucket.bucketOfName(baseName(f)).map(f -> _))
+      if (parsed.forall(_.isDefined)) Some(parsed.flatten.toMap) else None
+    }
+
+  /** STORAGE-PARTITIONED JOINS: a bucketed snapshot reports
+    * `KeyGroupedPartitioning(bucket(n, key))` with one input partition
+    * per populated bucket ([[GraftBucketedBatch]]). Two graft tables
+    * sharing a bucket spec joined on their key then skip BOTH shuffle
+    * exchanges — Spark verifies the transform via [[GraftCatalog]]'s
+    * function catalog (`spark.sql.sources.v2.bucketing.enabled` must be
+    * on, and the table must be catalog-addressed: path reads have no
+    * function catalog to resolve `bucket` against, and fall back to
+    * ordinary shuffled joins). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketByFile match {
+      case Some(byFile) if byFile.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(table.bucketSpec.get, table.keyName.get)),
+          byFile.values.toSet.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Planner statistics from metadata alone: without them a V2 relation
     * costs `defaultSizeInBytes` (effectively infinite), so a join against
@@ -565,11 +605,73 @@ final class GraftParquetScan(spark: SparkSession,
     val index = new InMemoryFileIndex(spark, plannedFiles.map(new Path(_)),
       Map.empty[String, String], Some(table.schema),
       FileStatusCache.getOrCreate(spark), None, None)
-    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+    val delegate = ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
       dataSchema = table.schema, readDataSchema = required,
       readPartitionSchema = new StructType(), pushedFilters = pushed,
       options = CaseInsensitiveStringMap.empty()).toBatch
+    bucketByFile match {
+      case Some(byFile) => new GraftBucketedBatch(delegate,
+        byFile.map { case (f, b) => baseName(f) -> b })
+      case None => delegate
+    }
   }
+}
+
+/** Bucketed re-grouping of Spark's parquet batch: all of a bucket's file
+  * splits fold into ONE input partition carrying the bucket id as its
+  * partition key ([[org.apache.spark.sql.connector.read.HasPartitionKey]])
+  * — the physical contract behind the scan's KeyGroupedPartitioning.
+  * Readers delegate to the parquet factory unchanged (columnar batches,
+  * codegen). */
+final class GraftBucketedBatch(delegate: Batch,
+                               bucketOfBase: Map[String, Int]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = delegate.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files
+      case other => throw new IllegalStateException(
+        s"unexpected parquet partition type: ${other.getClass}")
+    }
+    files.groupBy { pf =>
+        val p = pf.filePath.toString
+        bucketOfBase(p.substring(p.lastIndexOf('/') + 1))
+      }
+      .toSeq.sortBy(_._1)
+      .zipWithIndex
+      .map { case ((b, pfs), i) =>
+        GraftBucketPartition(
+          org.apache.spark.sql.execution.datasources.FilePartition(i, pfs),
+          b)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBucketReaderFactory(delegate.createReaderFactory())
+}
+
+final case class GraftBucketPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    bucket: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+final class GraftBucketReaderFactory(delegate: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition =
+    p.asInstanceOf[GraftBucketPartition].inner
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }
 
 /** Completely-pushed metadata aggregation: one partition emitting one row

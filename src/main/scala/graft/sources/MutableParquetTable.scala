@@ -276,6 +276,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         df.withColumn(k, when(col(k).isNull,
           raise_error(lit(s"null merge-key column $k — composite keys " +
             "must be fully populated"))).otherwise(col(k))))
+    // HASH-BUCKETED layout: routing is by bucket id, not key ranges —
+    // the range/overlap machinery below assumes key-clustered files
+    MutableParquetTable.manifestBuckets(dir).foreach { n =>
+      return mergeBucketed(n, batch, opCol, snapshotDir)
+    }
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
 
@@ -558,6 +563,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       s"schema evolution (new columns ${extraCols.mkString(", ")}) needs " +
         "the file-level merge — the row-group splice keeps each file's " +
         "source schema byte-for-byte")
+    // bucketed layouts rewrite whole buckets — row-group splicing would
+    // break the file-bucket invariant; the file-level merge branches to
+    // the bucketed path itself
+    if (MutableParquetTable.manifestBuckets(dir).isDefined)
+      return merge(batch, opCol, snapshotDir)
     val ranges = sortedRanges()
     // an empty (or stat-less) table has nothing to splice — the
     // file-level merge owns the insert-into-empty path; silently
@@ -658,7 +668,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     if (cls.keep.isEmpty && cls.rewrite.isEmpty) {
       // the predicate provably matches the whole table: empty snapshot,
       // schema kept — structurally a truncate
-      MutableParquetTable.commitEmpty(outDir, key, tableSchema, moreKeys)
+      MutableParquetTable.commitEmpty(outDir, key, tableSchema, moreKeys,
+        MutableParquetTable.manifestBuckets(dir))
       phase("manifest")
       return MergeResult(outDir, Nil, Nil, 0, phases.toMap,
         filesDropped = cls.drop.size)
@@ -819,6 +830,96 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       filesCopied = pt.copied)
   }
 
+  /** Copy-on-write merge for a HASH-BUCKETED layout ([[GraftBucket]]):
+    * bucket granularity instead of key-range granularity. A batch key
+    * dirties its bucket (`pmod(murmur3(key), n)` — ≤ n distinct values,
+    * collected driver-side); clean buckets' files pass through, dirty
+    * buckets re-merge and rewrite whole via the bucketed writer, so the
+    * layout invariant SPJ depends on (file bucket = key bucket) survives
+    * every commit. Cost ∝ dirty buckets / n of the table.
+    *
+    * Same whole-row and schema-evolution contract as the range merge;
+    * the zone-map fields in the manifest still carry each file's key
+    * min/max (buckets span the key space, so range pruning degrades —
+    * the trade the layout buys its shuffle-free joins with). */
+  private def mergeBucketed(n: Int, batch: DataFrame, opCol: String,
+                            snapshotDir: Option[String]): MergeResult = {
+    val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
+    Files.createDirectories(Paths.get(outDir))
+    var mark = System.nanoTime()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = (now - mark) / 1000000L
+      mark = now
+    }
+    val allFiles = MutableParquetTable.tableFiles(dir)
+    def bucketOf(f: String): Int =
+      GraftBucket.bucketOfName(fileName(f)).getOrElse(
+        throw new IllegalStateException(
+          s"bucketed table $dir contains a file without a bucket name: $f"))
+    val dirtyBuckets = batch
+      .select(GraftBucket.bucketIdCol(col(key), n).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (dirty, clean) =
+      allFiles.partition(f => dirtyBuckets.contains(bucketOf(f)))
+    phase("route")
+    val pt = passThroughClean(clean, outDir)
+    phase("link")
+
+    // schema evolution contract — identical to the range merge
+    val batchData = batch.drop(opCol)
+    val missingCols = tableSchema.fieldNames
+      .filterNot(batchData.schema.fieldNames.contains)
+    require(missingCols.isEmpty || allFiles.isEmpty,
+      s"batch lacks table columns ${missingCols.mkString(", ")} — " +
+        "upserts replace whole rows, so every existing column is required")
+    val drifted = batchData.schema.fields.filter(f =>
+      tableSchema.fieldNames.contains(f.name) &&
+        MutableParquetTable.stripNullability(tableSchema(f.name).dataType) !=
+          MutableParquetTable.stripNullability(f.dataType))
+    require(drifted.isEmpty || allFiles.isEmpty,
+      "batch column types drift from the table schema: " +
+        drifted.map(f => s"${f.name}").mkString(", "))
+    val newFields = batchData.schema.fields
+      .filterNot(f => tableSchema.fieldNames.contains(f.name))
+    val mergedSchema =
+      if (allFiles.isEmpty) batchData.schema
+      else if (newFields.isEmpty) tableSchema
+      else org.apache.spark.sql.types.StructType(
+        tableSchema.fields ++ newFields.map(_.copy(nullable = true)))
+
+    val needRewrite = dirty.nonEmpty ||
+      !batch.where(col(opCol) =!= lit("delete")).isEmpty
+    if (needRewrite) {
+      val base =
+        if (dirty.nonEmpty) spark.read.schema(mergedSchema).parquet(dirty: _*)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          batchData.schema)
+      val merged = MergeOps.applyMutationsMulti(base, batch, keys, opCol)
+      GraftBucket.writeBucketed(merged, outDir, key, moreKeys, n)
+    }
+    phase("rewrite")
+    val newFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(outDir))
+      val cleanNames = clean.map(fileName).toSet
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .filterNot(f => cleanNames.contains(fileName(f))).toList.sorted
+      finally s.close()
+    }
+    val ranges = sortedRanges()
+    val carried = ranges.filter(r => !dirtyBuckets.contains(
+      GraftBucket.bucketOfName(fileName(r.file)).getOrElse(-1)))
+    writeManifest(outDir, carried, newFiles, Some(mergedSchema), pt.refNames)
+    phase("manifest")
+    MergeResult(outDir, dirty, clean, newFiles.size, phases.toMap,
+      filesHardLinked = pt.linked, filesReferenced = pt.referenced,
+      filesCopied = pt.copied)
+  }
+
   private final case class PassThroughResult(linked: Int, copied: Int,
       referenced: Int, refNames: Map[String, String])
 
@@ -925,10 +1026,15 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         }
         s""""dimRanges":[${(kept ++ fresh).mkString(",")}],"""
       }
+    // a bucketed layout is a property of the TABLE: carry the spec from
+    // the source snapshot so every commit stays bucketed
+    val bucketsJson = MutableParquetTable.manifestBuckets(dir)
+      .map(n => s""""buckets":$n,""").getOrElse("")
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
+        bucketsJson +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
@@ -1069,12 +1175,14 @@ object MutableParquetTable {
     * insert-into-empty path. */
   def commitEmpty(dir: String, key: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  moreKeys: Seq[String] = Nil): Unit = {
+                  moreKeys: Seq[String] = Nil,
+                  buckets: Option[Int] = None): Unit = {
     Files.createDirectories(Paths.get(dir))
     val json =
       s"""{"key":${js(key)},"keyType":"unknown",""" +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
+        buckets.map(n => s""""buckets":$n,""").getOrElse("") +
         s""""schema":${js(schema.json)},""" +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":0,"totalRows":0,"files":[]}"""
@@ -1243,6 +1351,28 @@ object MutableParquetTable {
   /** Whether a committed snapshot declared a persisted change feed. */
   private[graft] def manifestFeedPending(snapshotDir: String): Boolean =
     readManifest(snapshotDir).exists(_.contains("\"feedPending\":true"))
+
+  /** Bucket count of a HASH-BUCKETED layout ([[GraftBucket]]), when the
+    * snapshot declares one. Bucketed snapshots keep one file set per
+    * bucket (bucket id in the file name) instead of disjoint key ranges. */
+  def manifestBuckets(snapshotDir: String): Option[Int] =
+    readManifest(snapshotDir).flatMap(m =>
+      "\"buckets\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toInt))
+
+  /** Stamp a committed snapshot's manifest with the bucket spec —
+    * [[graft.GraftTable.create]] uses this right after the base commit
+    * (later merges then CARRY the field via [[writeManifest]]).
+    * Idempotent like [[annotateTxn]]. */
+  private[graft] def annotateBuckets(snapshotDir: String, n: Int): Unit = {
+    val m = readManifest(snapshotDir).getOrElse(throw new IllegalStateException(
+      s"$snapshotDir has no $ManifestName to stamp a bucket spec on"))
+    val stripped = m.replaceFirst("\"buckets\":\\d+,", "")
+    val json = stripped.patch(1, s""""buckets":$n,""", 0)
+    val tmp = Paths.get(snapshotDir, ManifestName + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(snapshotDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** The streaming transaction marker a committed snapshot carries, if
     * any: (writer app id, epoch). */

@@ -323,4 +323,91 @@ class GraftSourceSpec extends SparkSpec {
       .forall(_.stats.rowCount.isEmpty),
       "pushed-filter scans report no row count")
   }
+
+  test("storage-partitioned join: bucketed graft tables join with NO exchange") {
+    val w = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    val cat = "gspj"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", w)
+    val dfA = spark.range(0, 5000)
+      .select(col("id"), (col("id") * 2).as("va"))
+    val dfB = spark.range(0, 5000)
+      .select(col("id"), (col("id") * 3).as("vb"))
+    val tA = GraftTable.create(dfA, s"$w/ns/a", "id", numFiles = 4,
+      buckets = Some(4))
+    GraftTable.create(dfB, s"$w/ns/b", "id", numFiles = 4,
+      buckets = Some(4))
+    // the physical layout: every file carries its bucket in the name
+    assert(spark.read.format("graft").load(s"$w/ns/a").inputFiles.forall(f =>
+      graft.sources.GraftBucket.bucketOfName(
+        f.substring(f.lastIndexOf('/') + 1)).isDefined))
+
+    // the V2 bucket function agrees with the writer's assignment column
+    val bound = graft.sources.GraftBucket.BucketUnbound.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[graft.sources.GraftBucket.BucketBound]
+    val colBuckets = dfA.limit(50)
+      .select(col("id"),
+        graft.sources.GraftBucket.bucketIdCol(col("id"), 4).as("b"))
+      .collect()
+    colBuckets.foreach { r =>
+      val viaFn = bound.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](4, r.getLong(0))))
+      assert(viaFn === r.getInt(1), s"id ${r.getLong(0)}")
+    }
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def joined() = spark.table(s"$cat.ns.a")
+        .join(spark.table(s"$cat.ns.b"), "id")
+        .select(col("id"), col("va"), col("vb"))
+      val j1 = joined()
+      val got1 = j1.orderBy("id").collect()
+      assert(got1.length === 5000)
+      assert(got1.take(3).map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        === Array((0L, 0L, 0L), (1L, 2L, 3L), (2L, 4L, 6L)))
+      val plan1 = j1.queryExecution.executedPlan.toString
+      assert(!plan1.contains("Exchange"),
+        s"bucketed graft join must elide BOTH shuffles:\n$plan1")
+
+      // a merge keeps the bucket spec and layout: the join stays
+      // exchange-free against the NEW version, with the merged values
+      import spark.implicits._
+      tA.commit(Seq((7L, -7L, "upsert"), (4999L, -4999L, "upsert"))
+        .toDF("id", "va", "op"))
+      assert(graft.sources.MutableParquetTable.manifestBuckets(
+        graft.streaming.CdcMergeSink.latestSnapshot(s"$w/ns/a"))
+        === Some(4))
+      val j2 = joined()
+      val got2 = j2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2(7L) === -7L && got2(4999L) === -4999L)
+      assert(got2(8L) === 16L)
+      assert(got2.size === 5000)
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange"),
+        s"post-merge bucketed join must stay exchange-free:\n$plan2")
+
+      // negative control: with v2 bucketing off the same join shuffles —
+      // the elision above really is the reported KeyGroupedPartitioning
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val j3 = joined()
+      j3.collect()
+      assert(j3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control: un-SPJ'd join must shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
