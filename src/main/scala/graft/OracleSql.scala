@@ -1028,6 +1028,20 @@ object OracleSql {
       WHERE uuid NOT LIKE 'f%'
       ORDER BY uuid""",
 
+    // CTAS lifecycle: the created-from-query rollup, after the MERGE
+    // (n_now) joined with its own v0 (n_v0) — recomputed relationally
+    "q107_ctas_lifecycle" -> """
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt,
+          CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1)
+      SELECT strftime(dt, '%Y-%m-%d') AS order_date,
+        CAST(CASE WHEN day(dt) = 1 THEN -1 ELSE n END AS BIGINT) AS n_now,
+        n AS n_v0,
+        round(CAST(rev AS DOUBLE), 2) AS rev
+      FROM d ORDER BY order_date""",
+
     // bucketed-layout lifecycle: create + bucket-granularity merge +
     // by-name join recomputed relationally (plan property in spec)
     "q106_bucketed_join" -> """

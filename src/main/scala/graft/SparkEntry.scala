@@ -1528,6 +1528,41 @@ object SparkEntry {
       .orderBy(col("custkey"))
   }
 
+  /** CTAS lifecycle: `CREATE TABLE ... AS SELECT` (atomic staged
+    * publish, [[graft.sources.GraftStagedTable]]) → SQL MERGE → VERSION
+    * AS OF time-travel join — the created-from-query table must be a
+    * full graft table from its first instant. The oracle recomputes both
+    * the merged and the v0 state from raw orders. */
+  def q107_ctas_lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q107").toString
+    val cat = "gq107_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    orders(s, dir).createOrReplaceTempView("q107_src")
+    s.sql(
+      s"""CREATE TABLE $cat.ns.daily USING graft
+          TBLPROPERTIES ('key' = 'o_orderdate')
+          AS SELECT to_date(o_orderdate) AS o_orderdate,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             FROM q107_src GROUP BY 1""")
+    s.sql(
+      s"""MERGE INTO $cat.ns.daily t
+          USING (SELECT DISTINCT to_date(o_orderdate) AS dt FROM q107_src
+                 WHERE day(to_date(o_orderdate)) = 1) s
+          ON t.o_orderdate = s.dt
+          WHEN MATCHED THEN UPDATE SET n_orders = -1""")
+    s.sql(
+      s"""SELECT date_format(t.o_orderdate, 'yyyy-MM-dd') AS order_date,
+            t.n_orders AS n_now, t0.n_orders AS n_v0,
+            round(CAST(t.rev AS DOUBLE), 2) AS rev
+          FROM $cat.ns.daily t
+          JOIN $cat.ns.daily VERSION AS OF 0 t0
+            ON t.o_orderdate = t0.o_orderdate
+          ORDER BY order_date""")
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2098,6 +2133,7 @@ object SparkEntry {
     "q104_history_meta" -> (q104_history_meta _),
     "q105_nested_merge" -> (q105_nested_merge _),
     "q106_bucketed_join" -> (q106_bucketed_join _),
+    "q107_ctas_lifecycle" -> (q107_ctas_lifecycle _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

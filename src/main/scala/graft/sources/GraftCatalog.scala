@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path. The catalog holds NO state of its own — the filesystem layout
   * is the catalog, so there is nothing extra to replicate or recover. */
 final class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -78,7 +79,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (!Files.isDirectory(Paths.get(nsDir))) return Array.empty
     val s = Files.list(Paths.get(nsDir))
     try s.iterator().asScala
-      .filter(p => isTableDir(p.toString))
+      // dot-prefixed dirs are invisible staging (.ctas- / .replaced-)
+      .filter(p => !p.getFileName.toString.startsWith(".") &&
+        isTableDir(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally s.close()
@@ -132,15 +135,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         Math.floorDiv(timestamp, 1000L))))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: JMap[String, String]): Table = {
+  /** Validate CREATE properties → (key columns, optional bucket count).
+    * 'key' = one column, or a comma-separated tuple for COMPOSITE
+    * identity: the first column routes (files/zone maps), the full tuple
+    * is row identity. 'buckets' = n opts into the hash-bucketed
+    * storage-partitioned-join layout ([[GraftBucket]]). */
+  private def tableSpec(schema: StructType, partitions: Array[Transform],
+                        properties: JMap[String, String])
+      : (Seq[String], Option[Int]) = {
     require(partitions.isEmpty,
       "graft tables are key-sorted, not partitioned — Z-order/sort " +
         "within the layout instead of directory partitioning")
-    // 'key' = one column, or a comma-separated tuple for COMPOSITE
-    // identity: the first column routes (files/zone maps), the full
-    // tuple is row identity
     val keyCols = Option(properties.get("key")).map(
         _.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)
@@ -148,10 +153,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         "CREATE TABLE ... USING graft requires TBLPROPERTIES ('key' = '<merge key column[, more]>')"))
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k is not a column of ${schema.fieldNames.mkString(", ")}"))
+    val buckets = Option(properties.get("buckets")).map(_.trim.toInt)
+    buckets.foreach(n => require(n > 0, s"buckets must be positive, got $n"))
+    (keyCols, buckets)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val (keyCols, buckets) = tableSpec(schema, partitions, properties)
     val dir = dirFor(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     MutableParquetTable.commitEmpty(s"$dir/base", keyCols.head, schema,
-      keyCols.tail)
+      keyCols.tail, buckets)
     loadTable(ident)
   }
 
@@ -211,5 +225,96 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(Paths.get(to).getParent)
     Files.move(Paths.get(from), Paths.get(to))
+  }
+
+  // ---- CTAS / RTAS (StagingTableCatalog) ---------------------------
+  //
+  // `CREATE TABLE g.ns.t USING graft TBLPROPERTIES('key'='id') AS
+  // SELECT ...` stages a COMPLETE table root (empty base snapshot + the
+  // query's rows committed as v0 through the ordinary V2 write) in a
+  // hidden `.ctas-` sibling dir, then publishes it with one rename —
+  // readers never see a half-written table, and a failed query leaves
+  // only invisible debris (aborted and removed). REPLACE TABLE AS
+  // SELECT swaps the staged root in (old dir moved aside first, so a
+  // crash leaves the old or the new table, never neither).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (isTableDir(dirFor(ident))) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isTableDir(dirFor(ident))) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, replace = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: JMap[String, String], replace: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (keyCols, buckets) = tableSpec(schema, partitions, properties)
+    val target = dirFor(ident)
+    Files.createDirectories(Paths.get(target).getParent)
+    // staged root sits BESIDE the target (same filesystem, same depth)
+    // so the publish rename is atomic and reference entries stay valid
+    val tmp = s"${Paths.get(target).getParent}/.ctas-${ident.name()}-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    MutableParquetTable.commitEmpty(s"$tmp/base", keyCols.head, schema,
+      keyCols.tail, buckets)
+    new GraftStagedTable(
+      GraftSource.tableFor(Map("path" -> tmp)), tmp, target, replace)
+  }
+}
+
+/** A CTAS/RTAS staging handle: a fully functional graft table living in
+  * a hidden dir — the CTAS query's rows commit into it through the
+  * ordinary V2 write — published (or discarded) wholesale. */
+final class GraftStagedTable(delegate: GraftBatchTable, stagingDir: String,
+                             targetDir: String, replace: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = s"graft:staged:$targetDir"
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] =
+    delegate.capabilities()
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    delegate.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    val target = Paths.get(targetDir)
+    if (replace && Files.exists(target)) {
+      // move the old root aside before the swap: a crash between the two
+      // renames leaves the old table recoverable, never a missing table
+      val old = Paths.get(s"${target.getParent}/.replaced-${
+        java.util.UUID.randomUUID().toString.take(8)}")
+      Files.move(target, old)
+      try Files.move(Paths.get(stagingDir), target)
+      catch { case e: Throwable => Files.move(old, target); throw e }
+      MutableParquetTable.deleteDir(old)
+    } else {
+      Files.move(Paths.get(stagingDir), target)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val p = Paths.get(stagingDir)
+    if (Files.exists(p)) MutableParquetTable.deleteDir(p)
   }
 }

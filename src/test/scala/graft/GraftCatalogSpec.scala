@@ -328,4 +328,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got.length === 42)
     assert(got(37).getLong(1) === 74L && got(38).getLong(1) === -1L)
   }
+
+  test("CTAS stages atomically; RTAS swaps; failed CTAS leaves nothing") {
+    warehouse
+    // CTAS: create-from-query in one statement, atomic publish
+    spark.sql("""CREATE TABLE graft.ns.ctas USING graft
+                 TBLPROPERTIES ('key' = 'id')
+                 AS SELECT id, id * 3 AS v FROM range(0, 40)""")
+    val t = spark.sql("SELECT * FROM graft.ns.ctas ORDER BY id").collect()
+    assert(t.length === 40 && t(7).getLong(1) === 21L)
+    // the created table is a full graft table: merge + time travel work
+    spark.sql("""MERGE INTO graft.ns.ctas t USING (SELECT 5 AS id) s
+                 ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = -5""")
+    assert(spark.sql("SELECT v FROM graft.ns.ctas WHERE id = 5")
+      .head().getLong(0) === -5L)
+    assert(spark.sql(
+      "SELECT v FROM graft.ns.ctas VERSION AS OF 0 WHERE id = 5")
+      .head().getLong(0) === 15L)
+
+    // duplicate CTAS fails fast and leaves the original intact
+    val dup = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.ns.ctas USING graft
+                   TBLPROPERTIES ('key' = 'id')
+                   AS SELECT id, id AS v FROM range(0, 3)""")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists") ||
+      Option(dup.getCause).exists(_.getMessage.toLowerCase.contains("exists")))
+    assert(spark.sql("SELECT count(*) FROM graft.ns.ctas")
+      .head().getLong(0) === 40)
+
+    // RTAS: REPLACE swaps content + schema wholesale
+    spark.sql("""REPLACE TABLE graft.ns.ctas USING graft
+                 TBLPROPERTIES ('key' = 'id')
+                 AS SELECT id, concat('n', id) AS name FROM range(0, 7)""")
+    val r = spark.sql("SELECT * FROM graft.ns.ctas ORDER BY id").collect()
+    assert(r.length === 7 && r(2).getString(1) === "n2")
+
+    // a FAILING CTAS query aborts the stage: no table, no debris visible
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.ns.ctasfail USING graft
+                   TBLPROPERTIES ('key' = 'id')
+                   AS SELECT id, CAST(raise_error('boom') AS BIGINT) AS v
+                   FROM range(0, 3)""")
+    }
+    assert(!spark.catalog.tableExists("graft.ns.ctasfail"))
+    assert(!spark.sql("SHOW TABLES IN graft.ns").collect()
+      .exists(_.getString(1) == "ctasfail"))
+
+    // CTAS into a BUCKETED layout: spec recorded, files bucket-named
+    spark.sql("""CREATE TABLE graft.ns.ctasb USING graft
+                 TBLPROPERTIES ('key' = 'id', 'buckets' = '4')
+                 AS SELECT id, id * 2 AS v FROM range(0, 100)""")
+    val w = spark.conf.get("spark.sql.catalog.graft.root")
+    assert(graft.sources.MutableParquetTable.manifestBuckets(
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$w/ns/ctasb"))
+      === Some(4))
+    assert(spark.sql("SELECT count(*) FROM graft.ns.ctasb")
+      .head().getLong(0) === 100)
+  }
 }
