@@ -224,20 +224,31 @@ object Bench {
         spark.read.parquet(s"$workDir/batch-$name")
       }
 
+      // build every batch up front, then run the WHOLE sweep once
+      // untimed (parquet writer/committer JIT, codec init, page cache)
+      // before the timed passes: the ratio targets compare steady-state
+      // merge costs, and a cold first execution of whichever point runs
+      // first would skew exactly the ratio being judged (the r5 artifact
+      // pinned full/50% at 1.51× while an in-session remeasure said
+      // 1.93× — the cold-start asymmetry is the suspected gap)
+      val empty = spark.read.parquet(baseDir).withColumn("op", lit("upsert")).limit(0)
+      val b10 = batchBelow(0.1, "10")
+      val b50 = batchBelow(0.5, "50")
+      val bFull = batchBelow(1.0, "full")
+      t.merge(empty, snapshotDir = Some(s"$workDir/v-warm-noop"))
+      t.merge(b10, snapshotDir = Some(s"$workDir/v-warm-10"))
+      t.merge(b50, snapshotDir = Some(s"$workDir/v-warm-50"))
+      t.merge(bFull, snapshotDir = Some(s"$workDir/v-warm-full"))
       // best of 5 per point: the merge ratios are the headline numbers
       // and single local runs are noisy at seconds scale
       def best3(tag: String)(f: Int => Unit): Double =
         (1 to 5).map(i => time(f(i))).min
-      val empty = spark.read.parquet(baseDir).withColumn("op", lit("upsert")).limit(0)
       results("merge_noop") =
         best3("noop")(i => t.merge(empty, snapshotDir = Some(s"$workDir/v-noop-$i")))
-      val b10 = batchBelow(0.1, "10")
       results("merge_10pct_dirty") =
         best3("10")(i => t.merge(b10, snapshotDir = Some(s"$workDir/v-10-$i")))
-      val b50 = batchBelow(0.5, "50")
       results("merge_50pct_dirty") =
         best3("50")(i => t.merge(b50, snapshotDir = Some(s"$workDir/v-50-$i")))
-      val bFull = batchBelow(1.0, "full")
       results("merge_full_rewrite") =
         best3("full")(i => t.merge(bFull, snapshotDir = Some(s"$workDir/v-full-$i")))
       // NOTE: mergeFineGrained (row-group CoW per dirty file) is NOT
