@@ -74,6 +74,56 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       : (Long, graft.sources.MergeResult) =
     OptimisticCommit.deleteWhere(spark, root, key, cond, passthrough)
 
+  /** MERGE-ON-READ delete: commit `deleteKeys`' key tuples as DELETION
+    * TOMBSTONES — every data file passes through and only a delta-sized
+    * sidecar + manifest are written, so a scattered key-delete costs
+    * METADATA at any table size (the CoW paths rewrite every holder
+    * file). Readers subtract the sidecar with a broadcast anti-join
+    * (vectorized scan intact); a later upsert of a tombstoned key
+    * resurrects it; [[materializeTombstones]] folds the sidecar back
+    * into a physical rewrite (compaction/z-order require that first).
+    * Safe under concurrent writers. Returns the new version id. */
+  def deleteKeys(deleteKeys: DataFrame): Long =
+    OptimisticCommit.deleteKeysTombstone(spark, root, key, deleteKeys,
+      passthrough)._1
+
+  /** [[deleteKeys]] with the full merge summary. */
+  def deleteKeysResult(deleteKeys: DataFrame)
+      : (Long, graft.sources.MergeResult) =
+    OptimisticCommit.deleteKeysTombstone(spark, root, key, deleteKeys,
+      passthrough)
+
+  /** Fold the tombstone sidecar back into the physical layout: one CoW
+    * merge deleting the tombstoned keys — holder files rewrite without
+    * those rows, the new manifest carries no sidecar. No-op (returns the
+    * current version) when the table has none. */
+  def materializeTombstones(): Long = {
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val keys = key +: graft.sources.MutableParquetTable
+      .manifestMoreKeys(latest)
+    graft.sources.MutableParquetTable.tombstoneDf(spark, latest) match {
+      case None => versions.lastOption.getOrElse(-1L)
+      case Some(ts) =>
+        val schema = graft.sources.MutableParquetTable
+          .manifestSchema(latest)
+          .getOrElse(spark.read.parquet(latest).schema)
+        // a delete batch must carry the full table schema (whole-row
+        // contract); non-key columns ride as typed nulls — deletes never
+        // read them
+        val batch = schema.fields.foldLeft(
+          ts.select(keys.zipWithIndex.map { case (k, i) =>
+            org.apache.spark.sql.functions.col(s"__k$i").as(k) }: _*)) {
+          (df, f) =>
+            if (keys.contains(f.name)) df
+            else df.withColumn(f.name,
+              org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        }.select(schema.fieldNames.map(
+            org.apache.spark.sql.functions.col).toSeq: _*)
+          .withColumn("op", org.apache.spark.sql.functions.lit("delete"))
+        commit(batch)
+    }
+  }
+
   /** `UPDATE SET ... WHERE` committed as the next version: files the
     * zone maps prove untouched pass through, only intersecting files
     * rewrite (in place, CASE projection) — no table scan, no merge.
@@ -183,6 +233,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       "compact is not supported on a hash-bucketed table: byte-bin " +
         "packing would fold files across buckets and break the " +
         "file-bucket invariant storage-partitioned joins rely on")
+    require(
+      graft.sources.MutableParquetTable.manifestTombstoneRows(latest) == 0,
+      "compact on a tombstoned snapshot would splice logically-deleted " +
+        "rows byte-for-byte and drop the sidecar — run " +
+        "materializeTombstones() first")
     val target = s"$root/v$next"
     graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
       targetBytes)

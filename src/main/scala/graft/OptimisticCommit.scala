@@ -285,6 +285,47 @@ object OptimisticCommit {
         "times — pathological contention; raise maxAttempts or serialize writers")
   }
 
+  /** Commit a TOMBSTONE delete as the table's next version
+    * ([[graft.sources.MutableParquetTable.deleteKeysTombstone]]): every
+    * data file passes through, only the delta-sized tombstone sidecar
+    * and the manifest are written — a scattered key-delete at METADATA
+    * cost. Restaged per publish attempt (the sidecar folds into the
+    * base's current set, so a lost race invalidates it — and restaging
+    * is sidecar-sized). Returns (version, summary). */
+  def deleteKeysTombstone(spark: SparkSession, tableRoot: String, key: String,
+                          deleteKeys: DataFrame,
+                          passthrough: graft.sources.MutableParquetTable.Passthrough =
+                            graft.sources.MutableParquetTable.Link,
+                          maxAttempts: Int = 20)
+      : (Long, graft.sources.MergeResult) = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val baseV = CdcMergeSink.versions(tableRoot).lastOption
+      val latest = baseV.map(v => s"$tableRoot/v$v")
+        .getOrElse(s"$tableRoot/base")
+      val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
+      val dir = s"$tableRoot/.tx-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      val res = new MutableParquetTable(spark, latest, key, passthrough,
+        moreKeys).deleteKeysTombstone(deleteKeys, dir)
+      val target = baseV.getOrElse(-1L) + 1
+      val targetDir = s"$tableRoot/v$target"
+      if (tryPublish(dir, targetDir))
+        return (target, res.copy(snapshotDir = targetDir))
+      deleteQuietly(dir)
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$targetDir exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+    }
+    throw new IllegalStateException(
+      s"tombstone delete on $tableRoot lost the publish race $maxAttempts " +
+        "times — pathological contention; raise maxAttempts or serialize writers")
+  }
+
   /** Commit a zone-map `UPDATE ... WHERE` as the table's next version
     * ([[graft.sources.MutableParquetTable.updateWhere]]): proven-clean
     * files pass through, intersecting files rewrite in place with the
@@ -419,8 +460,11 @@ object OptimisticCommit {
         newNames.size != newRanges.size) return None // stat-less entries
     if (Seq(st.dir, newBase).exists(d =>
         MutableParquetTable.readManifest(d).exists(m =>
-          m.contains("\"dimRanges\"") || m.contains("\"buckets\""))))
-      return None // dim zone maps / bucket specs: re-merge recomputes them
+          m.contains("\"dimRanges\"") || m.contains("\"buckets\"") ||
+            m.contains("\"tombstoneFile\""))))
+      // dim zone maps / bucket specs / tombstone sidecars: the re-merge
+      // recomputes them against the new head correctly
+      return None
     if (MutableParquetTable.manifestMoreKeys(st.dir) !=
         MutableParquetTable.manifestMoreKeys(newBase)) return None
     val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)

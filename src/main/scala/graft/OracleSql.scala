@@ -1028,6 +1028,18 @@ object OracleSql {
       WHERE uuid NOT LIKE 'f%'
       ORDER BY uuid""",
 
+    // merge-on-read tombstone delete + resurrecting upsert: the final
+    // logical state recomputed relationally — a hash match proves the
+    // sidecar algebra (delete set minus resurrected keys) composed with
+    // the anti-join read exactly
+    "q108_tombstone_delete" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 34 = 3 THEN 'zz' ELSE lang END AS lang,
+        n_chars
+      FROM documents
+      WHERE doc_id % 17 <> 3 OR doc_id % 34 = 3
+      ORDER BY doc_id""",
+
     // CTAS lifecycle: the created-from-query rollup, after the MERGE
     // (n_now) joined with its own v0 (n_v0) — recomputed relationally
     "q107_ctas_lifecycle" -> """

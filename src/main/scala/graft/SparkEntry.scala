@@ -1563,6 +1563,32 @@ object SparkEntry {
           ORDER BY order_date""")
   }
 
+  /** MERGE-ON-READ deletion tombstones ([[graft.GraftTable.deleteKeys]]):
+    * a scattered key-delete commits as METADATA ONLY (every data file
+    * passes through; only the delta-sized sidecar + manifest are
+    * written — asserted), readers subtract it with a broadcast
+    * anti-join through the V2 relation's injected rewrite, and a later
+    * upsert RESURRECTS its keys. The oracle recomputes the final
+    * logical state from raw documents. */
+  def q108_tombstone_delete(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q108").toString
+    val root = s"$work/t"
+    val t = graft.GraftTable.create(docs, root, "doc_id", numFiles = 6)
+    val (_, res) = t.deleteKeysResult(
+      docs.where(col("doc_id") % 17 === 3).select(col("doc_id")))
+    require(res.rewrittenFiles.isEmpty && res.insertedFileCount == 0,
+      "a tombstone delete must be metadata-only")
+    // resurrect a subset (doc_id % 34 == 3 ⊂ % 17 == 3) with a new lang
+    t.commit(docs.where(col("doc_id") % 34 === 3)
+      .withColumn("lang", lit("zz"))
+      .withColumn("op", lit("upsert")))
+    s.read.format("graft").load(root)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2134,6 +2160,7 @@ object SparkEntry {
     "q105_nested_merge" -> (q105_nested_merge _),
     "q106_bucketed_join" -> (q106_bucketed_join _),
     "q107_ctas_lifecycle" -> (q107_ctas_lifecycle _),
+    "q108_tombstone_delete" -> (q108_tombstone_delete _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

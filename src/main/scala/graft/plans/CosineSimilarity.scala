@@ -116,5 +116,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the statements arrive fully resolved (star actions expanded, all
     // expressions bound) before being compiled onto the CoW merge
     ext.injectPostHocResolutionRule(_ => GraftDmlRule)
+    // AFTER the DML rule: a tombstoned DML target fails fast there; read
+    // relations then gain the tombstone anti-join
+    ext.injectPostHocResolutionRule(_ => GraftTombstoneRule)
   }
 }

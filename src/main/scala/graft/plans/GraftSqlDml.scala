@@ -67,15 +67,41 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * handling). */
   private[plans] def targetInfo(plan: LogicalPlan)
       : Option[(String, Seq[String], StructType)] = {
+    // a target already wrapped by GraftTombstoneRule (temp views analyze
+    // eagerly, so the stored plan carries the anti-join) is CORRECT as a
+    // DML base — the classification joins then see the logical (deleted-
+    // rows-subtracted) state; unwrap through it for table identity only
+    def tombstoneWrapLeft(p: LogicalPlan): Boolean = p match {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftBatchTable => g.tombstonesApplied
+        case _ => false
+      }
+      case SubqueryAlias(_, c) => tombstoneWrapLeft(c)
+      case _ => false
+    }
     @tailrec def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => unwrap(c)
       case v: View             => unwrap(v.child)
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
+            tombstoneWrapLeft(j.left) => unwrap(j.left)
       case other               => other
     }
     unwrap(plan) match {
       case r: DataSourceV2Relation =>
         r.table match {
           case g: GraftBatchTable =>
+            // a BARE tombstoned target (no anti-join wrap — e.g. a
+            // catalog-name DML, where the statement root shields the
+            // relation from the tombstone rule): the classification
+            // joins would treat logically-deleted rows as matched and an
+            // UPDATE/MERGE would resurrect them with new values — fail
+            // fast rather than mis-apply
+            if (g.tombstoneRows > 0 && !g.tombstonesApplied)
+              throw new UnsupportedOperationException(
+                s"SQL DML on ${g.snapshotDir}: the snapshot carries " +
+                  s"${g.tombstoneRows} deletion tombstones — materialize " +
+                  "them first (GraftTable.materializeTombstones) and re-run")
             for {
               root <- g.rootPath
               key <- g.keyName

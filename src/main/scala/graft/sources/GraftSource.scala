@@ -151,10 +151,24 @@ object GraftSource {
   * = one CoW merge commit). */
 final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
                             val rootPath: Option[String] = None,
-                            options: Map[String, String] = Map.empty)
+                            options: Map[String, String] = Map.empty,
+                            // deletion tombstones already subtracted by a
+                            // wrapping anti-join ([[graft.plans.GraftTombstoneRule]])
+                            private[graft] val tombstonesApplied: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** Deletion-tombstone count this snapshot declares (0 = none). */
+  private[graft] lazy val tombstoneRows: Long =
+    MutableParquetTable.manifestTombstoneRows(snapshotDir)
+
+  /** This table with the tombstone anti-join marked as applied — what
+    * [[graft.plans.GraftTombstoneRule]] substitutes so its rewrite
+    * reaches a fixpoint (and the scan-builder guard passes). */
+  private[graft] def withTombstonesApplied: GraftBatchTable =
+    new GraftBatchTable(spark, snapshotDir, rootPath, options,
+      tombstonesApplied = true)
 
   /** Manifest file list when committed; directory listing for a bare
     * `base` snapshot (writeSorted output has no manifest). */
@@ -213,7 +227,7 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
   private val lcOptions: Map[String, String] =
     options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
 
-  private[sources] val feedMode: Boolean =
+  private[graft] val feedMode: Boolean =
     lcOptions.get("changefeed").exists(_.equalsIgnoreCase("true"))
 
   private def longOpt(name: String): Option[Long] =
@@ -283,7 +297,19 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
         so("endingVersion").orElse(longOpt("endingVersion")),
         so("maxVersionsPerTrigger").map(_.toInt)
           .orElse(longOpt("maxVersionsPerTrigger").map(_.toInt)))
-    } else new GraftScanBuilder(spark, this)
+    } else {
+      // HARD correctness guard: a tombstoned snapshot may only be
+      // scanned through the injected anti-join — without the extension
+      // the raw scan would RESURRECT deleted rows silently
+      if (tombstoneRows > 0 && !tombstonesApplied)
+        throw new IllegalStateException(
+          s"$snapshotDir carries $tombstoneRows deletion tombstones — " +
+            "reads require graft.plans.GraftExtensions " +
+            "(spark.sql.extensions) so the tombstone anti-join is " +
+            "injected, or materialize them first " +
+            "(GraftTable.materializeTombstones)")
+      new GraftScanBuilder(spark, this)
+    }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -335,6 +361,10 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
   private def metadataAnswer(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (filters.nonEmpty || agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
+    // deletion tombstones: the manifest inventory counts PHYSICAL rows
+    // and the zone-map bounds may be tombstoned keys — decline, the
+    // scan + anti-join computes the logical answer
+    if (table.tombstoneRows > 0) return None
     lazy val count = MutableParquetTable.manifestExactRowCount(table.snapshotDir)
     lazy val listed = MutableParquetTable.manifestFileNames(table.snapshotDir)
     lazy val ranges = table.keyName.flatMap(k =>
@@ -498,7 +528,9 @@ final class GraftParquetScan(spark: SparkSession,
     val rowCounts = plannedFiles.map(table.fileRowCounts.get)
     val rows =
       if (plannedFiles.isEmpty) java.util.OptionalLong.of(0L)
-      else if (pushed.isEmpty && rowCounts.forall(_.isDefined))
+      // tombstones make the manifest inventory an overcount — report none
+      else if (pushed.isEmpty && table.tombstoneRows == 0 &&
+          rowCounts.forall(_.isDefined))
         java.util.OptionalLong.of(rowCounts.flatten.sum)
       else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {

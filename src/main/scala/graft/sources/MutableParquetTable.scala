@@ -51,7 +51,7 @@ final case class MergeResult(
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(snapshotDir))
     try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString))
       .filterNot(p => linked(p.getFileName.toString))
       .map(java.nio.file.Files.size).sum
     finally s.close()
@@ -167,8 +167,9 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                        = None): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.list(Paths.get(outDir))
-    val files = try s.iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toList.sorted
+    val files = try s.iterator().asScala
+      .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString))
+      .map(_.toString).toList.sorted
     finally s.close()
     require(files.nonEmpty, s"nothing to commit in $outDir")
     writeManifest(outDir, Nil, files, schema)
@@ -373,12 +374,15 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       else dirty.nonEmpty || clean.isEmpty
     if (needRewrite) {
       // distributed re-merge of just the dirty slice; explicit schema, so
-      // no per-merge footer-inference job runs
-      val base =
+      // no per-merge footer-inference job runs. Deletion tombstones are
+      // subtracted from the base read: tombstoned rows must neither
+      // survive the rewrite physically nor count as matched base rows
+      val base = MutableParquetTable.applyTombstones(spark, dir,
         if (dirty.nonEmpty) spark.read.schema(mergedSchema).parquet(dirty: _*)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          batchData.schema)
+          batchData.schema),
+        keys)
       // Output partitioning is DETERMINISTIC (known run boundaries →
       // bucket → probe-hash partition id), so the merge join streams
       // straight into the write exchange with no range-sampling pass.
@@ -525,12 +529,16 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(outDir))
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString))
         .map(_.toString).toList
         .filterNot(f => cleanNames.contains(fileName(f)))
       finally s.close()
     }
-    writeManifest(outDir, carried, newFiles, Some(mergedSchema), pt.refNames)
+    // tombstones carried = source sidecar minus this batch's keys
+    // (upserts resurrect; rewritten files already dropped their rows)
+    val ts = carryTombstonesMinus(batch, outDir)
+    writeManifest(outDir, carried, newFiles, Some(mergedSchema), pt.refNames,
+      tombstones = ts)
     phase("manifest")
     MergeResult(outDir, dirty, clean, inserted, phases.toMap,
       filesHardLinked = pt.linked, filesReferenced = pt.referenced,
@@ -567,6 +575,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // break the file-bucket invariant; the file-level merge branches to
     // the bucketed path itself
     if (MutableParquetTable.manifestBuckets(dir).isDefined)
+      return merge(batch, opCol, snapshotDir)
+    // deletion tombstones: raw row-group splices copy tombstoned rows
+    // byte-for-byte and this path writes its own manifests per file —
+    // the file-level merge subtracts/carries the sidecar correctly
+    if (MutableParquetTable.manifestTombstoneRows(dir) > 0)
       return merge(batch, opCol, snapshotDir)
     val ranges = sortedRanges()
     // an empty (or stat-less) table has nothing to splice — the
@@ -719,12 +732,16 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(outDir))
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString))
         .map(_.toString).toList
         .filterNot(f => keepNames.contains(fileName(f)))
       finally s.close()
     }
-    writeManifest(outDir, carried, newFiles, Some(tableSchema), pt.refNames)
+    // tombstoned rows may survive a residual rewrite physically (the
+    // keep-filter tests only `cond`) — the carried sidecar keeps hiding
+    // them; key membership never changes on this path
+    writeManifest(outDir, carried, newFiles, Some(tableSchema), pt.refNames,
+      tombstones = carryTombstonesVerbatim(outDir))
     phase("manifest")
     MergeResult(outDir, cls.rewrite, cls.keep, inserted, phases.toMap,
       filesHardLinked = pt.linked, filesReferenced = pt.referenced,
@@ -818,16 +835,117 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(outDir))
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString))
         .map(_.toString).toList
         .filterNot(f => keepNames.contains(fileName(f)))
       finally s.close()
     }
-    writeManifest(outDir, carried, newFiles, Some(tableSchema), pt.refNames)
+    // in-place updates never change key membership — carry verbatim
+    writeManifest(outDir, carried, newFiles, Some(tableSchema), pt.refNames,
+      tombstones = carryTombstonesVerbatim(outDir))
     phase("manifest")
     MergeResult(outDir, rewrite, cls.keep, inserted, phases.toMap,
       filesHardLinked = pt.linked, filesReferenced = pt.referenced,
       filesCopied = pt.copied)
+  }
+
+  /** MERGE-ON-READ delete: commit `deleteKeys`' key tuples as DELETION
+    * TOMBSTONES ([[MutableParquetTable.TombstoneName]]) — every data
+    * file passes through untouched and only the delta-sized sidecar +
+    * manifest are written, so a scattered key-delete costs METADATA at
+    * any table size (the CoW delete path rewrites every holder file).
+    * Readers subtract the sidecar with a broadcast anti-join; a later
+    * upsert of a tombstoned key resurrects it (merges subtract their
+    * batch keys); [[graft.GraftTable.materializeTombstones]] folds the
+    * sidecar back into a physical rewrite. Columns of `deleteKeys` must
+    * include the key tuple; extra columns are ignored. */
+  def deleteKeysTombstone(deleteKeys: DataFrame,
+                          outDir: String): MergeResult = {
+    require(!keys.exists(_.contains(".")),
+      "tombstone deletes are not supported on nested merge-key paths — " +
+        "use the CoW delete (merge with op=delete)")
+    var mark = System.nanoTime()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = (now - mark) / 1000000L
+      mark = now
+    }
+    val allFiles = MutableParquetTable.tableFiles(dir)
+    Files.createDirectories(Paths.get(outDir))
+    val pt = passThroughClean(allFiles, outDir)
+    phase("link")
+    // pin the sidecar's column types to the TABLE's key types so chained
+    // tombstone commits union cleanly whatever the batch carried
+    val newTs = deleteKeys.select(keys.zipWithIndex.map { case (k, i) =>
+      col(k).cast(MutableParquetTable.fieldTypeAt(tableSchema, k))
+        .as(s"__k$i") }: _*).distinct()
+    val merged = MutableParquetTable.tombstoneDf(spark, dir) match {
+      case Some(old) => old.unionByName(newTs).distinct()
+      case None => newTs
+    }
+    val n = writeTombstoneFile(merged, outDir)
+    phase("tombstones")
+    writeManifest(outDir, sortedRanges(), Nil, Some(tableSchema),
+      pt.refNames, tombstones = Some(n))
+    phase("manifest")
+    MergeResult(outDir, Nil, allFiles, 0, phases.toMap,
+      filesHardLinked = pt.linked, filesReferenced = pt.referenced,
+      filesCopied = pt.copied)
+  }
+
+  /** Write `ts` (columns `__k0..__kn`) as this snapshot's tombstone
+    * sidecar — one small file; returns the row count. */
+  private def writeTombstoneFile(ts: DataFrame, outDir: String): Long = {
+    val n = ts.count()
+    if (n == 0) return 0
+    val staging = s"$outDir/.staging-ts-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    ParquetTable.withMicrosTimestamps(spark) {
+      ts.repartition(1).write.mode("overwrite").parquet(staging)
+    }
+    // the sidecar is a DIRECTORY (Spark's file index hides _-prefixed
+    // FILES even when addressed directly; a directory root is exempt and
+    // its part files list normally) — drop Spark's markers, keep parts
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(staging))
+    val extras = try s.iterator().asScala
+      .filterNot(_.getFileName.toString.endsWith(".parquet")).toList
+    finally s.close()
+    extras.foreach(p => if (Files.isDirectory(p))
+      MutableParquetTable.deleteDir(p) else Files.delete(p))
+    val target = Paths.get(outDir, MutableParquetTable.TombstoneName)
+    if (Files.exists(target)) MutableParquetTable.deleteDir(target)
+    Files.move(Paths.get(staging), target)
+    n
+  }
+
+  /** The tombstone set a merge carries forward: the source snapshot's
+    * sidecar minus this batch's keys (an upsert RESURRECTS its key; a
+    * batch delete is applied physically by the rewrite). Writes the new
+    * sidecar into `outDir` and returns its row count (None = none). */
+  private def carryTombstonesMinus(batch: DataFrame,
+                                   outDir: String): Option[Long] =
+    MutableParquetTable.tombstoneDf(spark, dir).map { old =>
+      val batchKeys = MutableParquetTable.asTombstoneKeys(batch, keys)
+        .distinct()
+      val kept = old.join(broadcast(batchKeys),
+        keys.indices.map(i => old(s"__k$i") === batchKeys(s"__k$i"))
+          .reduce(_ && _),
+        "left_anti")
+      writeTombstoneFile(kept, outDir)
+    }.filter(_ > 0)
+
+  /** Carry the source snapshot's tombstone sidecar VERBATIM (zone-map
+    * delete/update rewrite rows in place and never change key
+    * membership). */
+  private def carryTombstonesVerbatim(outDir: String): Option[Long] = {
+    val n = MutableParquetTable.manifestTombstoneRows(dir)
+    if (n == 0) None
+    else {
+      MutableParquetTable.copyTombstoneDir(dir, outDir)
+      Some(n)
+    }
   }
 
   /** Copy-on-write merge for a HASH-BUCKETED layout ([[GraftBucket]]):
@@ -892,11 +1010,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     val needRewrite = dirty.nonEmpty ||
       !batch.where(col(opCol) =!= lit("delete")).isEmpty
     if (needRewrite) {
-      val base =
+      val base = MutableParquetTable.applyTombstones(spark, dir,
         if (dirty.nonEmpty) spark.read.schema(mergedSchema).parquet(dirty: _*)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          batchData.schema)
+          batchData.schema),
+        keys)
       val merged = MergeOps.applyMutationsMulti(base, batch, keys, opCol)
       GraftBucket.writeBucketed(merged, outDir, key, moreKeys, n)
     }
@@ -905,15 +1024,18 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(outDir))
       val cleanNames = clean.map(fileName).toSet
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet"))
+      try s.iterator().asScala
+        .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString))
+        .map(_.toString)
         .filterNot(f => cleanNames.contains(fileName(f))).toList.sorted
       finally s.close()
     }
     val ranges = sortedRanges()
     val carried = ranges.filter(r => !dirtyBuckets.contains(
       GraftBucket.bucketOfName(fileName(r.file)).getOrElse(-1)))
-    writeManifest(outDir, carried, newFiles, Some(mergedSchema), pt.refNames)
+    val ts = carryTombstonesMinus(batch, outDir)
+    writeManifest(outDir, carried, newFiles, Some(mergedSchema), pt.refNames,
+      tombstones = ts)
     phase("manifest")
     MergeResult(outDir, dirty, clean, newFiles.size, phases.toMap,
       filesHardLinked = pt.linked, filesReferenced = pt.referenced,
@@ -960,7 +1082,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                             newFiles: Seq[String],
                             schema: Option[org.apache.spark.sql.types.StructType]
                               = None,
-                            refNames: Map[String, String] = Map.empty): Unit = {
+                            refNames: Map[String, String] = Map.empty,
+                            // deletion tombstones: the caller has already
+                            // placed the `_tombstones` sidecar dir in outDir and
+                            // passes the row count (None = no tombstones)
+                            tombstones: Option[Long] = None): Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
@@ -978,7 +1104,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       import scala.jdk.CollectionConverters._
       val s = Files.list(Paths.get(outDir))
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).filterNot(rangedNames).toList.sorted
+        .filter(MutableParquetTable.isDataFileName)
+        .filterNot(rangedNames).toList.sorted
       finally s.close()
     } ++ refNames.collect { // referenced stat-less files are listed too
       case (base, rel) if !rangedNames(base) => rel
@@ -1030,8 +1157,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // the source snapshot so every commit stays bucketed
     val bucketsJson = MutableParquetTable.manifestBuckets(dir)
       .map(n => s""""buckets":$n,""").getOrElse("")
+    val tombstonesJson = tombstones.filter(_ > 0).map(n =>
+      s""""tombstoneFile":${js(MutableParquetTable.TombstoneName)},""" +
+        s""""tombstoneRows":$n,""").getOrElse("")
     val json =
-      s"""{"key":${js(key)},"keyType":"$keyType",""" +
+      s"""{"key":${js(key)},"keyType":"$keyType",""" + tombstonesJson +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         bucketsJson +
@@ -1254,6 +1384,10 @@ object MutableParquetTable {
     val m = readManifest(fromDir).getOrElse(throw new IllegalStateException(
       s"$fromDir has no manifest — only committed snapshots can change schema"))
     Files.createDirectories(Paths.get(toDir))
+    // the tombstone sidecar is snapshot-local (delta-sized) — copy it so
+    // the staged manifest's tombstoneFile entry stays resolvable
+    if (Files.isDirectory(Paths.get(fromDir, TombstoneName)))
+      copyTombstoneDir(fromDir, toDir)
     // both file inventory ("file") and dim zone-map ("dfile") entries
     // re-address, so attached dim pruning survives the schema change
     val readdressed = "\"(d?file)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
@@ -1352,6 +1486,77 @@ object MutableParquetTable {
   private[graft] def manifestFeedPending(snapshotDir: String): Boolean =
     readManifest(snapshotDir).exists(_.contains("\"feedPending\":true"))
 
+  /** DELETION TOMBSTONES — merge-on-read deletes. A snapshot may carry a
+    * `_tombstones` sidecar dir of deleted key tuples (columns
+    * `__k0..__kn`, positionally the table's key + moreKeys): those rows
+    * are LOGICALLY deleted while remaining physically present in the
+    * data files. A scattered key-delete then commits as METADATA ONLY —
+    * every data file passes through, only the delta-sized sidecar and
+    * the manifest are written — where the CoW paths would rewrite every
+    * holder file (rewrite amplification ∝ files touched × file size).
+    * Readers subtract the sidecar with a BROADCAST LEFT-ANTI join (keys
+    * live in exactly one logical row, so key tombstones ≡ position
+    * deletes), which keeps the vectorized scan + codegen fully intact —
+    * the Spark-first form of Delta/Iceberg deletion vectors. Merges
+    * subtract their batch keys (re-upserts resurrect) and filter
+    * tombstoned rows out of rewritten files; compaction/z-order require
+    * materialization first ([[graft.GraftTable.materializeTombstones]]).
+    * Reference anchor: S10 delete-by-key (ParquetRewriter.java:187-191)
+    * at metadata cost. */
+  val TombstoneName = "_tombstones"
+
+  /** A DATA file of a snapshot dir: `.parquet`, not `_`-prefixed —
+    * underscore names are metadata sidecars/dirs (`_tombstones`),
+    * exactly the convention Spark's own file index uses. */
+  private[graft] def isDataFileName(n: String): Boolean =
+    n.endsWith(".parquet") && !n.startsWith("_")
+
+  /** Copy a snapshot's tombstone sidecar dir into another snapshot. */
+  private[sources] def copyTombstoneDir(fromDir: String, toDir: String): Unit = {
+    val src = Paths.get(fromDir, TombstoneName)
+    val dst = Paths.get(toDir, TombstoneName)
+    if (Files.exists(dst)) deleteDir(dst)
+    Files.createDirectories(dst)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(src)
+    try s.iterator().asScala.foreach(p =>
+      Files.copy(p, dst.resolve(p.getFileName.toString)))
+    finally s.close()
+  }
+
+  /** Tombstone count a committed snapshot declares (0 = none). */
+  def manifestTombstoneRows(snapshotDir: String): Long =
+    readManifest(snapshotDir).flatMap(m =>
+      "\"tombstoneRows\":(\\d+)".r.findFirstMatchIn(m)
+        .map(_.group(1).toLong)).getOrElse(0L)
+
+  /** The snapshot's tombstone key set (columns `__k0..__kn`), when it
+    * declares one. */
+  def tombstoneDf(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
+    if (manifestTombstoneRows(snapshotDir) > 0)
+      Some(spark.read.parquet(s"$snapshotDir/$TombstoneName"))
+    else None
+
+  /** Subtract a snapshot's tombstones from `df` (whose columns include
+    * the key tuple `keys`, possibly as nested paths). No-op when the
+    * snapshot declares none. */
+  def applyTombstones(spark: SparkSession, snapshotDir: String,
+                      df: DataFrame, keys: Seq[String]): DataFrame =
+    tombstoneDf(spark, snapshotDir) match {
+      case None => df
+      case Some(ts) =>
+        df.join(broadcast(ts),
+          keys.zipWithIndex.map { case (k, i) =>
+            df(k) === ts(s"__k$i") }.reduce(_ && _),
+          "left_anti")
+    }
+
+  /** Key tuple projected to the tombstone sidecar's positional column
+    * names. */
+  private[graft] def asTombstoneKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.zipWithIndex.map { case (k, i) =>
+      col(k).as(s"__k$i") }: _*)
+
   /** Bucket count of a HASH-BUCKETED layout ([[GraftBucket]]), when the
     * snapshot declares one. Bucketed snapshots keep one file set per
     * bucket (bucket id in the file name) instead of disjoint key ranges. */
@@ -1407,9 +1612,19 @@ object MutableParquetTable {
     // the manifest schema, not footer inference: a schema-evolved snapshot
     // mixes physical shapes (old passthrough files lack the new columns),
     // and inference from one footer would read the wrong one
-    manifestSchema(snapshotDir).map(spark.read.schema)
+    val df = manifestSchema(snapshotDir).map(spark.read.schema)
       .getOrElse(spark.read)
       .parquet(files.map(n => resolvePath(snapshotDir, n)): _*)
+    // deletion tombstones subtract with a broadcast anti-join — vectorized
+    // scan + codegen intact, cost ∝ the delta-sized sidecar
+    if (manifestTombstoneRows(snapshotDir) == 0) df
+    else {
+      val keyName = manifestZoneMap(snapshotDir).map(_.keyName).getOrElse(
+        throw new IllegalStateException(
+          s"$snapshotDir declares tombstones but no key"))
+      applyTombstones(spark, snapshotDir, df,
+        keyName +: manifestMoreKeys(snapshotDir))
+    }
   }
 
   /** The table schema a committed snapshot's manifest embeds (None for
@@ -1448,8 +1663,11 @@ object MutableParquetTable {
           s"$snapshotDir has no $ManifestName — not a committed snapshot"))
     if (files.isEmpty)
       return readCommitted(spark, snapshotDir).where(lit(false))
-    spark.read.parquet(files: _*)
+    val df = spark.read.parquet(files: _*)
       .where(col(keyName) >= lit(lo) && col(keyName) <= lit(hi))
+    if (manifestTombstoneRows(snapshotDir) == 0) df
+    else applyTombstones(spark, snapshotDir, df,
+      keyName +: manifestMoreKeys(snapshotDir))
   }
 
   /** A snapshot's zone map parsed ONCE: key name, per-file encoded
@@ -1540,7 +1758,7 @@ object MutableParquetTable {
         import scala.jdk.CollectionConverters._
         val s = Files.list(Paths.get(dir))
         try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .filter(p => isDataFileName(p.getFileName.toString))
           .map(_.toString).toList.sorted
         finally s.close()
     }

@@ -217,7 +217,8 @@ object ParquetStats {
     val files =
       if (st.isDirectory)
         fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_")) // sidecars are not data
           .map(_.getPath.toString)
       else Seq(st.getPath.toString)
     files.sorted

@@ -230,10 +230,53 @@ object CdcMergeSink {
       return rowDiff(readPaths(Nil), readPaths(Nil), keys)
     val fromFiles = snapshotFileMap(fromDir)
     val toFiles = snapshotFileMap(toDir)
-    val before = readPaths(
-      (fromFiles -- toFiles.keySet).values.toSeq.sorted)
-    val after = readPaths(
-      (toFiles -- fromFiles.keySet).values.toSeq.sorted)
+    // DELETION TOMBSTONES: each side's sidecar subtracts from its reads
+    // (a tombstoned row is logically absent), and keys tombstoned in the
+    // after-state but live before are DELETES whose rows may sit in
+    // SHARED files the file-diff never opens — fetch their before images
+    // through the zone map (pruned to the holder files, delta-priced)
+    def applyTs(df: DataFrame, dir: String): DataFrame =
+      MutableParquetTable.tombstoneDf(spark, dir) match {
+        case None => df
+        case Some(ts) => df.join(broadcast(ts),
+          keys.zipWithIndex.map { case (k, i) =>
+            df(k) === ts(s"__k$i") }.reduce(_ && _),
+          "left_anti")
+      }
+    val before0 = applyTs(readPaths(
+      (fromFiles -- toFiles.keySet).values.toSeq.sorted), fromDir)
+    val after = applyTs(readPaths(
+      (toFiles -- fromFiles.keySet).values.toSeq.sorted), toDir)
+    val before = MutableParquetTable.tombstoneDf(spark, toDir) match {
+      case None => before0
+      case Some(toTs) =>
+        val newly = MutableParquetTable.tombstoneDf(spark, fromDir) match {
+          case None => toTs
+          case Some(fromTs) => toTs.join(broadcast(fromTs),
+            keys.indices.map(i => toTs(s"__k$i") === fromTs(s"__k$i"))
+              .reduce(_ && _),
+            "left_anti")
+        }
+        val sharedPaths = (fromFiles.keySet intersect toFiles.keySet)
+          .toSeq.sorted.map(fromFiles)
+        // leading-key point prune against the before manifest bounds the
+        // shared-file read to the holder files; the semi-join is exact
+        val leading = newly.select(col("__k0")).distinct().collect()
+          .map(_.get(0)).toSeq
+        val pruned =
+          if (leading.isEmpty) Nil
+          else MutableParquetTable
+            .pruneManifestFilesPoints(fromDir, leading)
+            .map(_._2.toSet)
+            .map(keep => sharedPaths.filter(keep))
+            .getOrElse(sharedPaths)
+        val shared = readPaths(pruned)
+        val extra = shared.join(broadcast(newly),
+          keys.zipWithIndex.map { case (k, i) =>
+            shared(k) === newly(s"__k$i") }.reduce(_ && _),
+          "left_semi")
+        before0.unionByName(extra)
+    }
     rowDiff(before, after, keys)
   }
 
