@@ -261,6 +261,42 @@ object Bench {
       System.err.println(s"[bench] merge experiment failed: ${e.getMessage}")
     }
 
+    // ---- merge-on-read tombstone delete vs CoW scattered delete ----
+    // ~300 keys scattered across all 32 files: the CoW path rewrites
+    // every holder file; the tombstone path writes a sidecar + manifest.
+    // The ratio is the feature's whole claim — deletes at metadata cost.
+    try {
+      val root = s"$workDir/ts-table"
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("li_key", monotonically_increasing_id())
+      GraftTable.create(li, root, "li_key", numFiles = 32)
+      val base0 = spark.read.parquet(s"$root/base")
+      base0.where(pmod(col("li_key"), lit(2001L)) === 0)
+        .select(col("li_key")).write.parquet(s"$workDir/ts-keys")
+      val keysDf = spark.read.parquet(s"$workDir/ts-keys")
+      base0.join(keysDf, "li_key").withColumn("op", lit("delete"))
+        .write.parquet(s"$workDir/ts-del-batch")
+      val delBatch = spark.read.parquet(s"$workDir/ts-del-batch")
+      val mt = MutableParquetTable(spark, s"$root/base", "li_key")
+      mt.deleteKeysTombstone(keysDf, s"$workDir/ts-warm")       // warm
+      mt.merge(delBatch, snapshotDir = Some(s"$workDir/ts-cow-warm"))
+      results("tombstone_delete") = (1 to 3).map(i => time(
+        mt.deleteKeysTombstone(keysDf, s"$workDir/ts-v$i"))).min
+      results("cow_scattered_delete") = (1 to 3).map(i => time(
+        mt.merge(delBatch, snapshotDir = Some(s"$workDir/ts-cow-$i")))).min
+      // and the read-side toll of the anti-join on a full-scan aggregate
+      def scanAgg(d: String) = runToNoop(
+        MutableParquetTable.readCommitted(spark, d)
+          .agg(sum(col("l_quantity")), count(lit(1))))
+      scanAgg(s"$workDir/ts-v1"); scanAgg(s"$root/base")        // warm
+      results("tombstone_read_scan") =
+        (1 to 3).map(_ => time(scanAgg(s"$workDir/ts-v1"))).min
+      results("plain_read_scan") =
+        (1 to 3).map(_ => time(scanAgg(s"$root/base"))).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] tombstone experiment failed: ${e.getMessage}")
+    }
+
     // ---- row-group CoW vs full rewrite of one fat file (README.md:109-111
     //      partial-rewrite scaling, at the reference's own granularity) ----
     try {

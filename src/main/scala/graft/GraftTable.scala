@@ -237,7 +237,8 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       graft.sources.MutableParquetTable.manifestTombstoneRows(latest) == 0,
       "compact on a tombstoned snapshot would splice logically-deleted " +
         "rows byte-for-byte and drop the sidecar — run " +
-        "materializeTombstones() first")
+        "materializeTombstones() (SQL: CALL <catalog>.system." +
+        "materialize_tombstones) first")
     val target = s"$root/v$next"
     graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
       targetBytes)

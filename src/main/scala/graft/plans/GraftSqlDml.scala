@@ -101,7 +101,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
               throw new UnsupportedOperationException(
                 s"SQL DML on ${g.snapshotDir}: the snapshot carries " +
                   s"${g.tombstoneRows} deletion tombstones — materialize " +
-                  "them first (GraftTable.materializeTombstones) and re-run")
+                  "them first (CALL <catalog>.system.materialize_tombstones " +
+                  "or GraftTable.materializeTombstones) and re-run")
             for {
               root <- g.rootPath
               key <- g.keyName

@@ -38,7 +38,11 @@ object GraftMetaTables {
     StructField("total_rows", LongType),
     StructField("txn_app", StringType),
     StructField("txn_epoch", LongType),
-    StructField("feed", BooleanType, nullable = false)))
+    StructField("feed", BooleanType, nullable = false),
+    // merge-on-read deletion tombstones this version carries (0 = none);
+    // total_rows stays the PHYSICAL inventory — logical rows = total_rows
+    // minus the tombstoned keys still physically present
+    StructField("tombstones", LongType, nullable = false)))
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -62,7 +66,8 @@ object GraftMetaTables {
         manifestLong(m, "totalRows"),
         txn.map(t => UTF8String.fromString(t._1)).orNull,
         txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
-        MutableParquetTable.manifestFeedPending(dir))
+        MutableParquetTable.manifestFeedPending(dir),
+        MutableParquetTable.manifestTombstoneRows(dir))
     }
 
   def filesRows(root: String): Seq[Array[Any]] = {

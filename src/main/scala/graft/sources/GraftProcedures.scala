@@ -45,7 +45,7 @@ object GraftProcedures {
   val Namespace = "system"
 
   private val names = Seq("history", "vacuum", "compact", "zorder",
-    "repair_feed")
+    "repair_feed", "materialize_tombstones")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -63,6 +63,7 @@ object GraftProcedures {
       case "compact" => new Compact(root)
       case "zorder"  => new ZOrderProc(root)
       case "repair_feed" => new RepairFeed(root)
+      case "materialize_tombstones" => new MaterializeTombstones(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -184,6 +185,31 @@ object GraftProcedures {
       graft.GraftTable(spark, dir, key).repairFeed(v)
       val n = spark.read.parquet(s"$dir/_changes/v$v").count()
       Seq(row(v, n))
+    }
+  }
+
+  /** [[graft.GraftTable.materializeTombstones]] as SQL: fold the
+    * merge-on-read deletion-tombstone sidecar back into a physical
+    * rewrite (one CoW delete merge of the tombstoned keys) — the remedy
+    * every tombstone-blocked operation (compact, bare-target SQL DML)
+    * points at, reachable without a Scala handle. No-op when the table
+    * carries none. */
+  private final class MaterializeTombstones(root: String) extends Proc(root) {
+    override def name(): String = "materialize_tombstones"
+    override def description(): String =
+      "fold deletion tombstones into a physical rewrite (CoW delete merge)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType, comment = "'ns.t' in this catalog"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("folded_tombstones", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val (key, _) = tableKeys(dir)
+      val folded = MutableParquetTable.manifestTombstoneRows(
+        CdcMergeSink.latestSnapshot(dir))
+      val v = graft.GraftTable(spark, dir, key).materializeTombstones()
+      Seq(row(v, folded))
     }
   }
 

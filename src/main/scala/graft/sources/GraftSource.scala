@@ -307,7 +307,8 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
             "reads require graft.plans.GraftExtensions " +
             "(spark.sql.extensions) so the tombstone anti-join is " +
             "injected, or materialize them first " +
-            "(GraftTable.materializeTombstones)")
+            "(GraftTable.materializeTombstones / CALL " +
+            "<catalog>.system.materialize_tombstones)")
       new GraftScanBuilder(spark, this)
     }
 

@@ -366,7 +366,9 @@ class GraftSourceSpec extends SparkSpec {
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val saved = (confs.map(_._1) :+
+        "spark.sql.sources.v2.bucketing.shuffle.enabled")
+      .map(k => k -> spark.conf.getOption(k))
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       def joined() = spark.table(s"$cat.ns.a")
@@ -397,6 +399,34 @@ class GraftSourceSpec extends SparkSpec {
       val plan2 = j2.queryExecution.executedPlan.toString
       assert(!plan2.contains("Exchange"),
         s"post-merge bucketed join must stay exchange-free:\n$plan2")
+
+      // aggregation on the key over a bucketed scan also elides its
+      // exchange: KeyGroupedPartitioning(bucket(n, id)) satisfies the
+      // aggregate's ClusteredDistribution(id)
+      val agg = spark.table(s"$cat.ns.a").groupBy("id")
+        .agg(sum(col("va")).as("s"))
+      assert(agg.count() === 5000)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"groupBy(key) over a bucketed scan must not shuffle:\n$aggPlan")
+
+      // ONE-side-bucketed join with v2 bucketing shuffle: Spark shuffles
+      // only the plain side TO the graft table's bucketing — evaluating
+      // the catalog's bucket function — so results prove the V2
+      // function's hash matches the physical file layout
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val plain = spark.range(0, 5000)
+        .select(col("id"), (col("id") * 7).as("vp"))
+      val j4 = spark.table(s"$cat.ns.a").join(plain, "id")
+        .select(col("id"), col("va"), col("vp"))
+      val got4 = j4.orderBy("id").collect()
+      assert(got4.length === 5000)
+      assert(got4(13).getLong(1) === 26L && got4(13).getLong(2) === 91L)
+      val plan4 = j4.queryExecution.executedPlan.toString
+      val exchanges4 =
+        "(?m)Exchange ".r.findAllMatchIn(plan4).size
+      assert(exchanges4 === 1,
+        s"one-side SPJ must shuffle ONLY the plain side:\n$plan4")
 
       // negative control: with v2 bucketing off the same join shuffles —
       // the elision above really is the reported KeyGroupedPartitioning

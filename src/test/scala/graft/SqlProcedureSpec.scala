@@ -41,8 +41,8 @@ class SqlProcedureSpec extends SparkSpec {
     warehouse
     val names = spark.sql("SHOW PROCEDURES IN gp.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(Set("history", "vacuum", "compact", "zorder", "repair_feed")
-      .subsetOf(names))
+    assert(Set("history", "vacuum", "compact", "zorder", "repair_feed",
+      "materialize_tombstones").subsetOf(names))
     val e = intercept[Exception] {
       spark.sql("CALL gp.system.nope(table => 'ns.x')").collect()
     }
@@ -134,5 +134,28 @@ class SqlProcedureSpec extends SparkSpec {
     val got = spark.sql("SELECT * FROM gp.ns.z1").collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
     assert(got === expect)
+  }
+
+  test("materialize_tombstones folds the sidecar from pure SQL") {
+    warehouse; mk("mt1")
+    import spark.implicits._
+    val root = s"$warehouse/ns/mt1"
+    GraftTable(spark, root, "id").deleteKeys(Seq(3L, 77L, 150L).toDF("id"))
+    // history shows the sidecar on the tombstone version
+    val h = spark.sql("CALL gp.system.history(table => 'ns.mt1')")
+    assert(h.columns.contains("version"))
+    assert(spark.sql("SELECT tombstones FROM gp.ns.mt1.history " +
+      "ORDER BY version DESC LIMIT 1").head().getLong(0) === 3L)
+    val r = spark.sql(
+      "CALL gp.system.materialize_tombstones(table => 'ns.mt1')").head()
+    assert(r.getLong(1) === 3L, "folded count")
+    assert(MutableParquetTable.manifestTombstoneRows(
+      CdcMergeSink.latestSnapshot(root)) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gp.ns.mt1").head().getLong(0)
+      === 197L)
+    // idempotent: a second call is a no-op at the same version
+    val r2 = spark.sql(
+      "CALL gp.system.materialize_tombstones(table => 'ns.mt1')").head()
+    assert(r2.getLong(0) === r.getLong(0) && r2.getLong(1) === 0L)
   }
 }
