@@ -338,12 +338,51 @@ final case class GraftDeleteCommand(delete: DeleteFromTable)
       graft.GraftTable(spark, root, keys.head).deleteWhere(
         org.apache.spark.sql.classic.GraftShims.column(unresolved))
     } else {
-      GraftDmlRule.lastDeleteStrategy = "batch"
       val targetAttrs = delete.table.output
-      val cols = schema.fieldNames.toSeq
-        .map(n => n -> (attrByName(targetAttrs, n): Expression))
-      val batchPlan = branch(delete.table, delete.condition, cols, "delete")
-      GraftSqlDml.commit(spark, root, keys.head, batchPlan)
+      // MERGE-ON-READ strategy (opt-in, the deletion-vector model):
+      // `spark.graft.delete.useTombstones=true` turns a small KEY-ONLY
+      // delete (predicate references nothing but key columns, matched
+      // count within spark.graft.delete.tombstoneMaxKeys) into a
+      // tombstone commit — metadata cost instead of rewriting every
+      // holder file. Opt-in because downstream maintenance economics
+      // change (compact requires materialization first); default
+      // behavior is byte-identical to before.
+      val tombstonesOn = spark.conf
+        .getOption("spark.graft.delete.useTombstones")
+        .exists(_.equalsIgnoreCase("true"))
+      val keyOnly = delete.condition.references
+        .forall(a => keys.exists(_.equalsIgnoreCase(a.name)))
+      val usedTombstones =
+        tombstonesOn && keyOnly && !keys.exists(_.contains(".")) && {
+          val maxKeys = spark.conf
+            .getOption("spark.graft.delete.tombstoneMaxKeys")
+            .map(_.toInt).getOrElse(100000)
+          val classic =
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val keysDf = org.apache.spark.sql.classic.GraftShims.ofRows(
+            classic,
+            Project(keys.map(n =>
+              Alias(attrByName(targetAttrs, n), n)()).toList,
+              org.apache.spark.sql.catalyst.plans.logical.Filter(
+                delete.condition, delete.table)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // bounded probe: stop counting past the threshold
+            val n = keysDf.limit(maxKeys + 1).count()
+            if (n > 0 && n <= maxKeys) {
+              GraftDmlRule.lastDeleteStrategy = "tombstone"
+              graft.GraftTable(spark, root, keys.head).deleteKeys(keysDf)
+              true
+            } else false
+          } finally { keysDf.unpersist(false): Unit }
+        }
+      if (!usedTombstones) {
+        GraftDmlRule.lastDeleteStrategy = "batch"
+        val cols = schema.fieldNames.toSeq
+          .map(n => n -> (attrByName(targetAttrs, n): Expression))
+        val batchPlan = branch(delete.table, delete.condition, cols, "delete")
+        GraftSqlDml.commit(spark, root, keys.head, batchPlan)
+      }
     }
     Seq.empty
   }

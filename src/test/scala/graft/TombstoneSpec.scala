@@ -201,6 +201,39 @@ class TombstoneSpec extends SparkSpec {
     assert(got(99L) === -99L && !got.contains(3L) && !got.contains(217L))
   }
 
+  test("SQL DELETE picks the tombstone strategy when opted in (key-only, small)") {
+    val root = freshRoot()
+    val t = mkTable(root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ts_strat USING graft " +
+      s"OPTIONS (path '$root')")
+    spark.conf.set("spark.graft.delete.useTombstones", "true")
+    try {
+      // key-only scattered predicate → tombstone commit, zero rewrites
+      spark.sql("DELETE FROM ts_strat WHERE k IN (11, 111, 311)")
+      assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "tombstone")
+      assert(MutableParquetTable.manifestTombstoneRows(s"$root/v0") === 3L)
+      assert(t.read().count() === 397L)
+
+      // non-key predicate still uses the batch CoW path
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW ts_strat2 USING graft " +
+        s"OPTIONS (path '$root')")
+      spark.sql("DELETE FROM ts_strat2 WHERE v = 20")
+      assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "batch")
+      assert(t.read().count() === 396L)
+
+      // a key-RANGE predicate the zone map proves keeps the zone path
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW ts_strat3 USING graft " +
+        s"OPTIONS (path '$root')")
+      spark.sql("DELETE FROM ts_strat3 WHERE k >= 350")
+      assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "zone")
+    } finally spark.conf.unset("spark.graft.delete.useTombstones")
+    // opt-out default: the same shape stays on the batch path
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ts_strat4 USING graft " +
+      s"OPTIONS (path '$root')")
+    spark.sql("DELETE FROM ts_strat4 WHERE k IN (12, 112)")
+    assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "batch")
+  }
+
   test("raw scans cannot resurrect: scan-builder guard without the anti-join") {
     val root = freshRoot()
     val t = mkTable(root)
