@@ -1504,7 +1504,9 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", work)
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val spjConf = "spark.sql.sources.v2.bucketing.enabled"
+    val prevSpj = s.conf.getOption(spjConf)
+    s.conf.set(spjConf, "true")
     val custs = customer(s, dir).select(col("c_custkey").as("custkey"),
       col("c_mktsegment").as("segment"), col("c_acctbal"))
     val ordAgg = orders(s, dir).groupBy(col("o_custkey"))
@@ -1522,10 +1524,20 @@ object SparkEntry {
     require(graft.sources.MutableParquetTable.manifestBuckets(
       graft.streaming.CdcMergeSink.latestSnapshot(s"$work/ns/c"))
       .contains(8), "merge must carry the bucket spec")
-    s.table(s"$cat.ns.c").join(s.table(s"$cat.ns.o"), "custkey")
-      .select(col("custkey"), col("segment"),
-        round(col("c_acctbal"), 2).as("bal"), col("n_orders"), col("total"))
-      .orderBy(col("custkey"))
+    // materialize under the SPJ conf, then restore it — the shared
+    // Verify/Bench session must not keep a non-default planner conf
+    try {
+      val joined = s.table(s"$cat.ns.c").join(s.table(s"$cat.ns.o"), "custkey")
+        .select(col("custkey"), col("segment"),
+          round(col("c_acctbal"), 2).as("bal"), col("n_orders"), col("total"))
+        .orderBy(col("custkey"))
+      val rows = joined.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+        .orderBy(col("custkey"))
+    } finally prevSpj match {
+      case Some(v) => s.conf.set(spjConf, v)
+      case None    => s.conf.unset(spjConf)
+    }
   }
 
   /** CTAS lifecycle: `CREATE TABLE ... AS SELECT` (atomic staged

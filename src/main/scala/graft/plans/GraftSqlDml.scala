@@ -53,7 +53,13 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if m.resolved && targetInfo(m.targetTable).isDefined =>
       GraftMergeCommand(m)
-    case d: DeleteFromTable if d.resolved && targetInfo(d.table).isDefined =>
+    // DELETE is tombstone-safe on a BARE target (it can only remove rows
+    // — an extra delete of an already-tombstoned key is idempotent, and
+    // the merge's batch-key subtraction + base filtering keep the sidecar
+    // algebra exact), so repeated catalog-addressed tombstone deletes
+    // accumulate at metadata cost as advertised
+    case d: DeleteFromTable if d.resolved &&
+        targetInfo(d.table, allowBareTombstones = true).isDefined =>
       GraftDeleteCommand(d)
     case u: UpdateTable if u.resolved && targetInfo(u.table).isDefined =>
       GraftUpdateCommand(u)
@@ -65,7 +71,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * composite secondaries), and schema. None when the target is not a
     * graft relation (the rule then leaves the plan to Spark's own
     * handling). */
-  private[plans] def targetInfo(plan: LogicalPlan)
+  private[plans] def targetInfo(plan: LogicalPlan,
+                                allowBareTombstones: Boolean = false)
       : Option[(String, Seq[String], StructType)] = {
     // a target already wrapped by GraftTombstoneRule (temp views analyze
     // eagerly, so the stored plan carries the anti-join) is CORRECT as a
@@ -97,7 +104,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             // joins would treat logically-deleted rows as matched and an
             // UPDATE/MERGE would resurrect them with new values — fail
             // fast rather than mis-apply
-            if (g.tombstoneRows > 0 && !g.tombstonesApplied)
+            if (g.tombstoneRows > 0 && !g.tombstonesApplied &&
+                !allowBareTombstones)
               throw new UnsupportedOperationException(
                 s"SQL DML on ${g.snapshotDir}: the snapshot carries " +
                   s"${g.tombstoneRows} deletion tombstones — materialize " +
@@ -320,7 +328,8 @@ final case class GraftDeleteCommand(delete: DeleteFromTable)
   import GraftDmlRule._
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (root, keys, schema) = targetInfo(delete.table).get
+    val (root, keys, schema) =
+      targetInfo(delete.table, allowBareTombstones = true).get
     val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
     val zoneWorthwhile = graft.sources.ZoneDelete
       .classify(latest, delete.condition)

@@ -144,8 +144,11 @@ object GraftChangeFeed {
     CdcMergeSink.versions(root)
       .filter(v => v >= from && v <= to)
       .foreach { v =>
-        if (MutableParquetTable.manifestFeedPending(s"$root/v$v") &&
-            !Files.exists(Paths.get(root, "_changes", s"v$v", "_SUCCESS")))
+        // cheap _SUCCESS stat FIRST: the manifest (feedPending) is read
+        // only for versions whose feed marker is absent — on a long
+        // feed-heavy history the sweep costs stats, not manifest reads
+        if (!Files.exists(Paths.get(root, "_changes", s"v$v", "_SUCCESS")) &&
+            MutableParquetTable.manifestFeedPending(s"$root/v$v"))
           throw new IllegalStateException(
             s"change-data feed of version $v at $root was declared " +
               "(feedPending) but never finished writing — a crashed " +

@@ -289,6 +289,14 @@ object GraftProcedures {
         .split(',').map(_.trim).toSeq.filter(_.nonEmpty)
       require(dims.nonEmpty, "zorder needs at least one dim column")
       val latest = CdcMergeSink.latestSnapshot(dir)
+      // a z-ordered rewrite emits plain part files: on a hash-bucketed
+      // table it would commit a manifest claiming buckets over un-bucketed
+      // files — every later merge would fail and SPJ silently degrade.
+      // The two layouts are contradictory clusterings; refuse.
+      require(MutableParquetTable.manifestBuckets(latest).isEmpty,
+        "zorder is not supported on a hash-bucketed table: the Morton " +
+          "layout would break the file-bucket invariant storage-" +
+          "partitioned joins rely on")
       val nFiles = {
         val cur = MutableParquetTable.manifestFileNames(latest)
           .map(_.size).getOrElse(0)

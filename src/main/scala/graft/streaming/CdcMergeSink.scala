@@ -235,18 +235,10 @@ object CdcMergeSink {
     // after-state but live before are DELETES whose rows may sit in
     // SHARED files the file-diff never opens — fetch their before images
     // through the zone map (pruned to the holder files, delta-priced)
-    def applyTs(df: DataFrame, dir: String): DataFrame =
-      MutableParquetTable.tombstoneDf(spark, dir) match {
-        case None => df
-        case Some(ts) => df.join(broadcast(ts),
-          keys.zipWithIndex.map { case (k, i) =>
-            df(k) === ts(s"__k$i") }.reduce(_ && _),
-          "left_anti")
-      }
-    val before0 = applyTs(readPaths(
-      (fromFiles -- toFiles.keySet).values.toSeq.sorted), fromDir)
-    val after = applyTs(readPaths(
-      (toFiles -- fromFiles.keySet).values.toSeq.sorted), toDir)
+    val before0 = MutableParquetTable.applyTombstones(spark, fromDir,
+      readPaths((fromFiles -- toFiles.keySet).values.toSeq.sorted), keys)
+    val after = MutableParquetTable.applyTombstones(spark, toDir,
+      readPaths((toFiles -- fromFiles.keySet).values.toSeq.sorted), keys)
     val before = MutableParquetTable.tombstoneDf(spark, toDir) match {
       case None => before0
       case Some(toTs) =>

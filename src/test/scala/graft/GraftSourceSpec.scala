@@ -439,5 +439,14 @@ class GraftSourceSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+
+    // maintenance that would break the bucket invariant refuses loudly:
+    // a z-order rewrite emits un-bucketed files under a bucketed manifest
+    val ez = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.zorder(table => 'ns.a', dims => 'va')")
+    }
+    def zmsg(x: Throwable): String = Option(x.getMessage).getOrElse("") +
+      Option(x.getCause).map(zmsg).getOrElse("")
+    assert(zmsg(ez).contains("bucket"), s"got: ${zmsg(ez)}")
   }
 }

@@ -226,6 +226,29 @@ class TombstoneSpec extends SparkSpec {
         s"OPTIONS (path '$root')")
       spark.sql("DELETE FROM ts_strat3 WHERE k >= 350")
       assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "zone")
+
+      // repeated CATALOG-addressed tombstone deletes accumulate: DELETE
+      // is tombstone-safe on a bare target, so the second statement must
+      // not demand materialization (UPDATE/MERGE still do)
+      val w2 = freshRoot()
+      val cat2 = "gts2_" + java.lang.Long.toHexString(System.nanoTime())
+      spark.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat2.root", w2)
+      mkTable(s"$w2/ns/t")
+      spark.sql(s"DELETE FROM $cat2.ns.t WHERE k IN (1, 2)")
+      assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "tombstone")
+      spark.sql(s"DELETE FROM $cat2.ns.t WHERE k IN (7)")
+      assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "tombstone")
+      assert(MutableParquetTable.manifestTombstoneRows(s"$w2/ns/t/v1") === 3L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat2.ns.t")
+        .head().getLong(0) === 397L)
+      def m2(x: Throwable): String = Option(x.getMessage).getOrElse("") +
+        Option(x.getCause).map(m2).getOrElse("")
+      val eu = intercept[Exception] {
+        spark.sql(s"UPDATE $cat2.ns.t SET v = 0 WHERE k = 8")
+      }
+      assert(m2(eu).contains("materialize"))
     } finally spark.conf.unset("spark.graft.delete.useTombstones")
     // opt-out default: the same shape stays on the batch path
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW ts_strat4 USING graft " +
