@@ -1028,6 +1028,32 @@ object OracleSql {
       WHERE uuid NOT LIKE 'f%'
       ORDER BY uuid""",
 
+    // deterministic shuffle: the identical md5-rank permutation computed
+    // globally — verifies the engine's distributed two-phase rank
+    "q109_corpus_shuffle" -> """
+      SELECT doc_id,
+        CAST(row_number() OVER (
+          ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) - 1
+          AS BIGINT) AS shuffle_pos
+      FROM documents
+      ORDER BY doc_id""",
+
+    // weighted mixture: the identical md5-threshold keep rule per source
+    "q110_corpus_mixture" -> """
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+             ELSE 'c' END AS mix_source,
+        n_chars
+      FROM documents
+      WHERE doc_id % 3 = 0
+         OR (doc_id % 3 = 1 AND
+             substring(md5('7:b:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '80000000')
+         OR (doc_id % 3 = 2 AND
+             substring(md5('7:c:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '40000000')
+      ORDER BY doc_id""",
+
     // merge-on-read tombstone delete + resurrecting upsert: the final
     // logical state recomputed relationally — a hash match proves the
     // sidecar algebra (delete set minus resurrected keys) composed with

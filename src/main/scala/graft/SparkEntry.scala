@@ -1601,6 +1601,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic training-order shuffle
+    * ([[graft.operators.CorpusPrep.shuffleOrder]]): every document's
+    * 0-based position in the seeded-hash permutation, computed as a
+    * distributed prefix count (never a single-task global window —
+    * plan-asserted in CorpusPrepSpec). The oracle derives the identical
+    * permutation from the same md5 rule, so a hash match proves the
+    * bucketed two-phase rank equals the global one exactly. */
+  def q109_corpus_shuffle(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.shuffleOrder(
+      documents(s, dir).select(col("doc_id")), "doc_id", seed = 42L)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy(col("doc_id"))
+
+  /** Weighted corpus mixture ([[graft.operators.CorpusPrep.mixture]]):
+    * three pseudo-corpora (doc_id mod 3) blended at weights 1.0 / 0.5 /
+    * 0.25 with the engine-portable md5-threshold rule; the oracle
+    * replicates the rule string-for-string. */
+  def q110_corpus_mixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val srcs = Seq(
+      ("a", docs.where(col("doc_id") % 3 === 0), 1.0),
+      ("b", docs.where(col("doc_id") % 3 === 1), 0.5),
+      ("c", docs.where(col("doc_id") % 3 === 2), 0.25))
+    CorpusPrep.mixture(srcs, "doc_id", seed = 7L)
+      .select(col("doc_id"), col("mix_source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2173,6 +2201,8 @@ object SparkEntry {
     "q106_bucketed_join" -> (q106_bucketed_join _),
     "q107_ctas_lifecycle" -> (q107_ctas_lifecycle _),
     "q108_tombstone_delete" -> (q108_tombstone_delete _),
+    "q109_corpus_shuffle" -> (q109_corpus_shuffle _),
+    "q110_corpus_mixture" -> (q110_corpus_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

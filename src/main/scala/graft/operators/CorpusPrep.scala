@@ -321,6 +321,54 @@ object CorpusPrep {
           col("start_offset")) / budget))
   }
 
+  // ---- deterministic shuffle + weighted mixtures -------------------------
+
+  /** Deterministic training-order SHUFFLE: each row's `shuffle_pos` is
+    * the rank of its seeded hash (md5 of `"seed:id"` — engine-portable,
+    * uniform, RNG-free, rerun-stable), 0-based. Training runs need a
+    * reproducible global permutation of the corpus; `rand()` is neither
+    * rerun- nor partitioning-stable, and a global `row_number` window is
+    * a single-task funnel — this is a distributed prefix COUNT over the
+    * hash order ([[exclusivePrefixSum]] of ones), so every stage stays
+    * parallel at any corpus size. Requires unique ids (md5 collisions at
+    * corpus scale are negligible and only perturb adjacent positions). */
+  def shuffleOrder(docs: DataFrame, idCol: String, seed: Long,
+                   nBuckets: Int = 64): DataFrame = {
+    val hashed = docs
+      .withColumn("__shuffle_key",
+        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+      .withColumn("__one", lit(1L))
+    exclusivePrefixSum(hashed, "__shuffle_key", "__one", nBuckets,
+      out = "shuffle_pos")
+      .drop("__one", "__shuffle_key")
+  }
+
+  /** Weighted corpus MIXTURE — the "data mixture" step of a pretraining
+    * pipeline: each source keeps a deterministic `weight` fraction of its
+    * rows and rides into the union tagged `mix_source`. The sampling rule
+    * is the first 8 hex chars of md5(`"seed:name:id"`) compared against
+    * `floor(weight·2³²)` rendered as 8 hex digits — a pure string
+    * comparison, so it is stable under repartitioning, reproducible
+    * across engines (DuckDB computes the identical rule), and consistent
+    * per id. Map-side filter per source + union: NO shuffle at any
+    * scale. Sources must share a schema (project first). */
+  def mixture(sources: Seq[(String, DataFrame, Double)], idCol: String,
+              seed: Long): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    sources.map { case (name, df, w) =>
+      require(w >= 0 && w <= 1, s"weight of $name must be in [0,1], got $w")
+      val kept =
+        if (w >= 1) df
+        else if (w <= 0) df.where(lit(false))
+        else {
+          val threshold = f"${math.floor(w * 4294967296.0).toLong}%08x"
+          df.where(substring(md5(concat_ws(":", lit(seed.toString),
+            lit(name), col(idCol).cast("string"))), 1, 8) < lit(threshold))
+        }
+      kept.withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document. Terms are lowercase alphanumeric

@@ -186,4 +186,51 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
 
   private val TextFunctions_stopwords =
     graft.functions.TextFunctions.stopwords.toSet
+
+  test("shuffleOrder: a deterministic permutation, parallel plan") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 500L).toDF("id")
+    val got = graft.operators.CorpusPrep
+      .shuffleOrder(docs, "id", seed = 9L, nBuckets = 8)
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // a permutation: positions are exactly 0..n-1
+    assert(rows.map(_._2).sorted.toSeq === (0L until 500L))
+    // equals the global md5 rank
+    val expect = (0L until 500L)
+      .sortBy(id => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"9:$id"))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    rows.foreach { case (id, pos) => assert(pos === expect(id), s"id $id") }
+    // rerun-stable
+    assert(graft.operators.CorpusPrep
+      .shuffleOrder(docs, "id", seed = 9L, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === rows.toMap)
+    // a different seed is a different permutation
+    assert(graft.operators.CorpusPrep
+      .shuffleOrder(docs, "id", seed = 10L, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap !== rows.toMap)
+    // never a single-task global window
+    assert(!got.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
+  test("mixture: weight-1 complete, fractional sources deterministic, no shuffle") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 3000L).toDF("id")
+    val mixed = graft.operators.CorpusPrep.mixture(Seq(
+      ("full", docs.where($"id" % 3 === 0), 1.0),
+      ("half", docs.where($"id" % 3 === 1), 0.5),
+      ("none", docs.where($"id" % 3 === 2), 0.0)), "id", seed = 3L)
+    val by = mixed.collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(by("full") === (0L until 3000L by 3).toSet)
+    assert(!by.contains("none"))
+    val half = by("half")
+    // deterministic: rerun identical; ratio near the weight
+    assert(graft.operators.CorpusPrep.mixture(Seq(
+      ("half", docs.where($"id" % 3 === 1), 0.5)), "id", seed = 3L)
+      .collect().map(_.getLong(0)).toSet === half)
+    assert(math.abs(half.size / 1000.0 - 0.5) < 0.1, s"got ${half.size}")
+    // map-side: no exchange anywhere in the plan
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
