@@ -48,10 +48,15 @@ class ZOrderSpec extends SparkSpec {
     assert(total >= 16, s"fixture too coarse: $total row groups")
 
     // the linear layout is the reference point: near-perfect on x,
-    // no pruning at all on y
+    // (essentially) no pruning on y. The bound is 4/5, not ~1: row-group
+    // boundaries shift run to run (repartitionByRange samples with an
+    // RDD-id-derived seed, so a longer-lived session lands different
+    // boundaries) and an unlucky cut can hand y a couple of narrow
+    // groups — the CLAIM is only that linear can't meaningfully prune
+    // the non-sort dim, which zY < linY below pins relatively anyway
     val linX = groups(linear, "x")
     val linY = groups(linear, "y")
-    assert(linY >= total * 9 / 10,
+    assert(linY >= total * 4 / 5,
       s"expected linear layout to scan ~all groups on y: $linY of $total")
 
     val zX = groups(zord, "x")
