@@ -1506,7 +1506,6 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat.root", work)
     val spjConf = "spark.sql.sources.v2.bucketing.enabled"
     val prevSpj = s.conf.getOption(spjConf)
-    s.conf.set(spjConf, "true")
     val custs = customer(s, dir).select(col("c_custkey").as("custkey"),
       col("c_mktsegment").as("segment"), col("c_acctbal"))
     val ordAgg = orders(s, dir).groupBy(col("o_custkey"))
@@ -1526,7 +1525,9 @@ object SparkEntry {
       .contains(8), "merge must carry the bucket spec")
     // materialize under the SPJ conf, then restore it — the shared
     // Verify/Bench session must not keep a non-default planner conf
+    // (the set sits INSIDE the try so a failing step can't leak it)
     try {
+      s.conf.set(spjConf, "true")
       val joined = s.table(s"$cat.ns.c").join(s.table(s"$cat.ns.o"), "custkey")
         .select(col("custkey"), col("segment"),
           round(col("c_acctbal"), 2).as("bal"), col("n_orders"), col("total"))

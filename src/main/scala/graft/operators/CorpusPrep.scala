@@ -287,11 +287,20 @@ object CorpusPrep {
                                    nBuckets: Int): Column = {
     // boundaries must sort in SPARK's order (UTF8 binary for strings —
     // a driver-side String sort can disagree on surrogate pairs), so the
-    // sample is distinct'd and ordered by the engine before collecting
+    // sample is distinct'd and ordered by the engine before collecting.
+    // The sample size is bounded by CALIBRATING THE FRACTION from a
+    // count, never by orderBy+limit: a limit keeps only the SMALLEST
+    // sampled keys, so past ~limit/fraction rows every boundary would
+    // sit in the key space's low tail and one bucket would hold nearly
+    // the whole corpus — the single-task funnel this machinery exists
+    // to avoid. The count is one column-pruned scan; prefix sums over
+    // string keys pay it once per call.
+    val n = df.count()
+    if (n == 0) return lit(1)
+    val fraction = math.min(1.0, 120.0 * nBuckets / n.toDouble)
     val sample = df.select(col(orderCol))
-      .sample(withReplacement = false, 0.1, seed = 42)
+      .sample(withReplacement = false, fraction, seed = 42)
       .distinct().orderBy(col(orderCol))
-      .limit(100 * nBuckets)
       .collect().map(_.get(0))
     val step = math.max(1, sample.length / nBuckets)
     val bounds = sample.zipWithIndex

@@ -330,62 +330,87 @@ final case class GraftDeleteCommand(delete: DeleteFromTable)
   override def run(spark: SparkSession): Seq[Row] = {
     val (root, keys, schema) =
       targetInfo(delete.table, allowBareTombstones = true).get
-    val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
-    val zoneWorthwhile = graft.sources.ZoneDelete
-      .classify(latest, delete.condition)
-      .exists(c => c.total == 0 || c.provenFraction >= 0.5)
-    if (zoneWorthwhile) {
-      GraftDmlRule.lastDeleteStrategy = "zone"
-      // re-resolvable form of the statement's own predicate: attribute
-      // refs bound to the DML plan are replaced by plain names, so the
-      // per-file residual filter resolves against each file scan
-      val unresolved = delete.condition.transform {
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            .quoted(a.name)
+    val targetAttrs = delete.table.output
+
+    // MERGE-ON-READ strategy first (opt-in, the deletion-vector model):
+    // `spark.graft.delete.useTombstones=true` turns a small KEY-ONLY
+    // delete into a tombstone commit — metadata cost instead of
+    // rewriting the holder files (which is what the zone path would do
+    // for scattered keys: it proves the NON-holders clean and rewrites
+    // the holders anyway, so for this shape tombstones strictly beat
+    // it; range deletes below still prefer zone's whole-file drops).
+    // The probe scan is key-pruned (the optimizer strips the no-op
+    // self-casts analysis adds, so the IN-set pushes down to the
+    // manifest); on fallback its cost is re-paid by the batch path —
+    // the price of not trusting a guess. `references.nonEmpty` guards
+    // the vacuous case (WHERE 1=1 references no columns and must not
+    // tombstone the whole table). Opt-in because maintenance economics
+    // change (compact requires materialization first).
+    val tombstonesOn = spark.conf
+      .getOption("spark.graft.delete.useTombstones")
+      .exists(_.equalsIgnoreCase("true"))
+    val refs = delete.condition.references
+    val keyOnly = refs.nonEmpty &&
+      refs.forall(a => keys.exists(_.equalsIgnoreCase(a.name)))
+    // tombstones are for SCATTERED POINT deletes (IN / equality shapes).
+    // A key RANGE stays on the zone path: whole-file drops reclaim space
+    // and leave no read toll, strictly better than tombstoning a span.
+    def pointShape(e: Expression): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+        vs.forall(_.foldable)
+      case _: org.apache.spark.sql.catalyst.expressions.EqualTo |
+           _: org.apache.spark.sql.catalyst.expressions.EqualNullSafe => true
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        pointShape(l) && pointShape(r)
+      case _ => false
+    }
+    val usedTombstones =
+      tombstonesOn && keyOnly && pointShape(delete.condition) &&
+        !keys.exists(_.contains(".")) && {
+        val maxKeys = spark.conf
+          .getOption("spark.graft.delete.tombstoneMaxKeys")
+          .map(v => try v.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"spark.graft.delete.tombstoneMaxKeys must be an int, got '$v'")
+          }).getOrElse(100000)
+        val classic =
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val keysDf = org.apache.spark.sql.classic.GraftShims.ofRows(
+          classic,
+          Project(keys.map(n =>
+            Alias(attrByName(targetAttrs, n), n)()).toList,
+            org.apache.spark.sql.catalyst.plans.logical.Filter(
+              delete.condition, delete.table)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // bounded probe: stop counting past the threshold
+          val n = keysDf.limit(maxKeys + 1).count()
+          if (n > 0 && n <= maxKeys) {
+            GraftDmlRule.lastDeleteStrategy = "tombstone"
+            graft.GraftTable(spark, root, keys.head).deleteKeys(keysDf)
+            true
+          } else false
+        } finally { keysDf.unpersist(false): Unit }
       }
-      graft.GraftTable(spark, root, keys.head).deleteWhere(
-        org.apache.spark.sql.classic.GraftShims.column(unresolved))
-    } else {
-      val targetAttrs = delete.table.output
-      // MERGE-ON-READ strategy (opt-in, the deletion-vector model):
-      // `spark.graft.delete.useTombstones=true` turns a small KEY-ONLY
-      // delete (predicate references nothing but key columns, matched
-      // count within spark.graft.delete.tombstoneMaxKeys) into a
-      // tombstone commit — metadata cost instead of rewriting every
-      // holder file. Opt-in because downstream maintenance economics
-      // change (compact requires materialization first); default
-      // behavior is byte-identical to before.
-      val tombstonesOn = spark.conf
-        .getOption("spark.graft.delete.useTombstones")
-        .exists(_.equalsIgnoreCase("true"))
-      val keyOnly = delete.condition.references
-        .forall(a => keys.exists(_.equalsIgnoreCase(a.name)))
-      val usedTombstones =
-        tombstonesOn && keyOnly && !keys.exists(_.contains(".")) && {
-          val maxKeys = spark.conf
-            .getOption("spark.graft.delete.tombstoneMaxKeys")
-            .map(_.toInt).getOrElse(100000)
-          val classic =
-            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          val keysDf = org.apache.spark.sql.classic.GraftShims.ofRows(
-            classic,
-            Project(keys.map(n =>
-              Alias(attrByName(targetAttrs, n), n)()).toList,
-              org.apache.spark.sql.catalyst.plans.logical.Filter(
-                delete.condition, delete.table)))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            // bounded probe: stop counting past the threshold
-            val n = keysDf.limit(maxKeys + 1).count()
-            if (n > 0 && n <= maxKeys) {
-              GraftDmlRule.lastDeleteStrategy = "tombstone"
-              graft.GraftTable(spark, root, keys.head).deleteKeys(keysDf)
-              true
-            } else false
-          } finally { keysDf.unpersist(false): Unit }
+    if (!usedTombstones) {
+      val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
+      val zoneWorthwhile = graft.sources.ZoneDelete
+        .classify(latest, delete.condition)
+        .exists(c => c.total == 0 || c.provenFraction >= 0.5)
+      if (zoneWorthwhile) {
+        GraftDmlRule.lastDeleteStrategy = "zone"
+        // re-resolvable form of the statement's own predicate: attribute
+        // refs bound to the DML plan are replaced by plain names, so the
+        // per-file residual filter resolves against each file scan
+        val unresolved = delete.condition.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              .quoted(a.name)
         }
-      if (!usedTombstones) {
+        graft.GraftTable(spark, root, keys.head).deleteWhere(
+          org.apache.spark.sql.classic.GraftShims.column(unresolved))
+      } else {
         GraftDmlRule.lastDeleteStrategy = "batch"
         val cols = schema.fieldNames.toSeq
           .map(n => n -> (attrByName(targetAttrs, n): Expression))

@@ -147,8 +147,8 @@ private[graft] object ZoneDelete {
         case NoneTrue if nullFree(c, keyName) => AllTrue
         case _ => Unknown
       }
-      case IsNotNull(a: Attribute) if isKey(a) => AllTrue
-      case IsNull(a: Attribute) if isKey(a)    => NoneTrue
+      case IsNotNull(BareAttr(a)) if isKey(a) => AllTrue
+      case IsNull(BareAttr(a)) if isKey(a)    => NoneTrue
       case cmp: BinaryComparison =>
         val op = cmp match {
           case _: LessThan           => Some("<")
@@ -162,11 +162,11 @@ private[graft] object ZoneDelete {
         val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
           "=" -> "=")
         (op, cmp.left, cmp.right) match {
-          case (Some(o), a: Attribute, v) if v.foldable => leaf(a, v, o)
-          case (Some(o), v, a: Attribute) if v.foldable => leaf(a, v, flip(o))
+          case (Some(o), BareAttr(a), v) if v.foldable => leaf(a, v, o)
+          case (Some(o), v, BareAttr(a)) if v.foldable => leaf(a, v, flip(o))
           case _ => Unknown
         }
-      case In(a: Attribute, vs) if vs.forall(_.foldable) =>
+      case In(BareAttr(a), vs) if vs.forall(_.foldable) =>
         val enc = vs.flatMap(v => encode(a.dataType, v.eval(null)))
         if (enc.size != vs.size) Unknown // an un-encodable or null member
         else boundsOf(a) match {
@@ -182,6 +182,22 @@ private[graft] object ZoneDelete {
       case _ => Unknown
     }
     ev(cond)
+  }
+
+  /** Analyzed SQL wraps columns in NO-OP self-casts (type coercion
+    * emits `Cast(k, k.dataType)` around IN-list keys and some
+    * comparisons) — strip them so the zone analysis sees the bare
+    * attribute; a cast that CHANGES type is left alone (its value
+    * mapping is not the identity this analysis assumes). Without this,
+    * a fully zone-provable `DELETE WHERE k IN (...)` silently fell to
+    * the batch rewrite path. */
+  private object BareAttr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.dataType == c.dataType => unapply(c.child)
+      case _ => None
+    }
   }
 
   /** Encode a catalyst-internal literal value in the attribute's type to
@@ -207,6 +223,8 @@ private[graft] object ZoneDelete {
     * literals. The precondition for inverting NoneTrue under Not. */
   private def nullFree(e: Expression, keyName: String): Boolean = e match {
     case Literal(v, _) => v != null
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.dataType == c.dataType => nullFree(c.child, keyName)
     case a: Attribute  => a.name.equalsIgnoreCase(keyName)
     case And(l, r)     => nullFree(l, keyName) && nullFree(r, keyName)
     case Or(l, r)      => nullFree(l, keyName) && nullFree(r, keyName)

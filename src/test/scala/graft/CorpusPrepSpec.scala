@@ -213,6 +213,21 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!got.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("sampledBucket stays balanced on a corpus much larger than its sample") {
+    // regression: fraction-calibrated sampling — the old orderBy+limit
+    // kept only the SMALLEST sampled keys, so past ~limit/fraction rows
+    // every boundary fell in the low tail and the last bucket held
+    // nearly the whole corpus (a single-task funnel at scale)
+    val docs = spark.range(0, 80000)
+      .select(md5(concat_ws(":", lit("s"), col("id").cast("string"))).as("k"))
+    val b = graft.operators.CorpusPrep.sampledBucket(docs, "k", 16)
+    val sizes = docs.withColumn("__b", b).groupBy(col("__b")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length >= 12, s"expected ~16 populated buckets: ${sizes.length}")
+    assert(sizes.max <= 80000 / 16 * 3,
+      s"bucket imbalance (max ${sizes.max} of 80000) — boundary collapse")
+  }
+
   test("mixture: weight-1 complete, fractional sources deterministic, no shuffle") {
     val s = spark; import s.implicits._
     val docs = (0L until 3000L).toDF("id")

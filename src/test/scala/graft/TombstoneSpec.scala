@@ -250,11 +250,13 @@ class TombstoneSpec extends SparkSpec {
       }
       assert(m2(eu).contains("materialize"))
     } finally spark.conf.unset("spark.graft.delete.useTombstones")
-    // opt-out default: the same shape stays on the batch path
+    // opt-out default: never tombstones — the same key-IN shape takes
+    // the zone path (the no-op-cast fix made IN-lists zone-provable:
+    // non-holder files pass through, only the holders rewrite)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW ts_strat4 USING graft " +
       s"OPTIONS (path '$root')")
     spark.sql("DELETE FROM ts_strat4 WHERE k IN (12, 112)")
-    assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "batch")
+    assert(graft.plans.GraftDmlRule.lastDeleteStrategy === "zone")
   }
 
   test("raw scans cannot resurrect: scan-builder guard without the anti-join") {
