@@ -138,6 +138,14 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       : (Long, graft.sources.MergeResult) =
     OptimisticCommit.updateWhere(spark, root, key, cond, sets, passthrough)
 
+  /** Roll the table back to `version`'s state (−1 = the base snapshot)
+    * as a NEW commit — metadata-only at any table size
+    * ([[OptimisticCommit.restore]]): the rollback manifest references
+    * the target's files in place, no data is read or written. History
+    * is preserved — the undone versions stay time-travel readable. */
+  def restoreTo(version: Long): Long =
+    OptimisticCommit.restore(spark, root, version)
+
   /** Latest committed state. */
   def read(): DataFrame =
     CdcMergeSink.readAsOf(spark, root, Long.MaxValue)

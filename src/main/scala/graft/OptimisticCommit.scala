@@ -243,6 +243,55 @@ object OptimisticCommit {
     } finally deleteQuietly(dir)
   }
 
+  /** Commit the table's next version whose LOGICAL STATE is exactly that
+    * of `toVersion` (−1 = the base snapshot) — rollback as a FORWARD
+    * commit, the engine's `RESTORE` (Delta `RESTORE TABLE ... VERSION AS
+    * OF` parity). Metadata-priced at any table size: the staged snapshot
+    * is one manifest whose entries reference the target's physical files
+    * in place ([[MutableParquetTable.stageRestoreManifest]]) — a 100 TB
+    * rollback writes no data bytes. History is preserved, not rewritten:
+    * every prior version (including the ones being undone) stays
+    * readable via time travel, and vacuum reference-counts the restored
+    * files like any other referenced snapshot. Publishes with the same
+    * atomic slot-claim as [[commit]]; like [[replace]], the content does
+    * not depend on the base version, so a lost race just re-aims the
+    * same staged dir at the new head's successor slot. */
+  def restore(spark: SparkSession, tableRoot: String, toVersion: Long,
+              maxAttempts: Int = 20): Long = {
+    val targetDir =
+      if (toVersion < 0) s"$tableRoot/base"
+      else {
+        val vs = CdcMergeSink.versions(tableRoot)
+        require(vs.contains(toVersion),
+          s"cannot restore $tableRoot to v$toVersion — committed versions: " +
+            s"base${vs.map(v => s", v$v").mkString}")
+        s"$tableRoot/v$toVersion"
+      }
+    val dir = s"$tableRoot/.tx-${
+      java.util.UUID.randomUUID().toString.take(12)}"
+    MutableParquetTable.stageRestoreManifest(dir, targetDir)
+    var attempts = 0
+    try {
+      while (attempts < maxAttempts) {
+        attempts += 1
+        val target =
+          CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L) + 1
+        val targetSlot = s"$tableRoot/v$target"
+        if (tryPublish(dir, targetSlot)) return target
+        val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+          .getOrElse(-1L)
+        if (nowLast < target)
+          throw new BlockedSlotException(
+            s"$targetSlot exists but is not a committed snapshot — a " +
+              "crashed direct applyBatch target or foreign directory is " +
+              "blocking the version chain; remove it (vacuum) and retry")
+      }
+      throw new IllegalStateException(
+        s"restore on $tableRoot lost the publish race $maxAttempts times " +
+          "— pathological contention; raise maxAttempts or serialize writers")
+    } finally deleteQuietly(dir)
+  }
+
   /** Commit a zone-map `DELETE WHERE` as the table's next version
     * ([[graft.sources.MutableParquetTable.deleteWhere]]): files the
     * manifest proves all-matching are dropped, none-matching files pass

@@ -1054,6 +1054,60 @@ object OracleSql {
                < '40000000')
       ORDER BY doc_id""",
 
+    // RESTORE lifecycle: v0 (bal+100 on %50) survives, v1 (the %70
+    // delete) is undone by the rollback, v3 (the %90 full-row upsert
+    // from the ORIGINAL rows) lands on top — recomputed relationally.
+    // A %90 row's upsert replaces the whole row, so its bal reverts to
+    // the raw value even when %50 also matched at v0.
+    "q111_restore" -> """
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 90 = 0 THEN 'post-restore'
+             ELSE c_name END AS name,
+        round(CASE WHEN c_custkey % 90 = 0 THEN c_acctbal
+                   WHEN c_custkey % 50 = 0 THEN c_acctbal + 100.0
+                   ELSE c_acctbal END, 2) AS bal
+      FROM customer
+      ORDER BY c_custkey""",
+
+    // top-k pushdown: the same ORDER BY/LIMIT over the raw table — the
+    // engine side must produce it from ONE planned file (asserted in the
+    // query itself)
+    "q112_topk_pushdown" -> """
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        o_orderstatus
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 25""",
+
+    // cross-document line dedup: same injected boilerplate, same
+    // >2-distinct-docs drop rule, same keep-short-lines rule, same
+    // ordered reassembly — zipped unnest gives each line its position
+    "q113_line_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0
+                THEN 'SHARED HEADER LINE' || chr(10) ELSE '' END)
+          || text ||
+          (CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || 'SHARED FOOTER LINE' ELSE '' END) AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id,
+          unnest(range(1, len(ls) + 1)) AS pos,
+          unnest(ls) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM corpus)),
+      dup AS (
+        SELECT trim(line) AS t
+        FROM lines WHERE length(trim(line)) >= 1
+        GROUP BY 1 HAVING count(DISTINCT doc_id) > 2)
+      SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+      FROM lines l
+      WHERE length(trim(l.line)) < 1
+         OR trim(l.line) NOT IN (SELECT t FROM dup)
+      GROUP BY l.doc_id
+      ORDER BY l.doc_id""",
+
     // merge-on-read tombstone delete + resurrecting upsert: the final
     // logical state recomputed relationally — a hash match proves the
     // sidecar algebra (delete set minus resurrected keys) composed with

@@ -1630,6 +1630,99 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** RESTORE / rollback ([[graft.GraftTable.restoreTo]]): base from
+    * customer, two merge commits, a metadata-only restore undoing the
+    * second, then a further merge ON TOP of the restore — the oracle
+    * recomputes the surviving edit history relationally, so a hash match
+    * proves the rollback manifest re-addressed every file reference
+    * exactly and left the chain mergeable. The restore itself writes no
+    * data files (asserted). */
+  def q111_restore(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q111").toString
+    val t = graft.GraftTable.create(c, s"$work/t", "c_custkey", numFiles = 6)
+    t.commit(c.where(col("c_custkey") % 50 === 0)                      // v0
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      .withColumn("op", lit("upsert")))
+    t.commit(c.where(col("c_custkey") % 70 === 0)                      // v1
+      .withColumn("op", lit("delete")))
+    val v = t.restoreTo(0L)                                            // v2
+    require(v == 2L, s"restore expected v2, got v$v")
+    val restored = java.nio.file.Paths.get(s"$work/t/v2")
+    val ls = java.nio.file.Files.list(restored)
+    val local = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally ls.close()
+    require(local == 0, s"restore must be metadata-only, wrote $local files")
+    t.commit(c.where(col("c_custkey") % 90 === 0)                      // v3
+      .withColumn("c_name", lit("post-restore"))
+      .withColumn("op", lit("upsert")))
+    s.read.format("graft").load(s"$work/t")
+      .select(col("c_custkey"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ORDER-BY-key LIMIT pushdown on the graft V2 scan
+    * (`SupportsPushDownTopN`): the key-sorted layout + manifest row
+    * counts make top-k a metadata question — the asc top-25 plans
+    * exactly ONE of the table's 8 files (asserted), at any table size.
+    * The oracle runs the same ORDER BY/LIMIT over the raw table. */
+  def q112_topk_pushdown(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q112").toString
+    graft.GraftTable.create(o, s"$work/t", "o_orderkey", numFiles = 8)
+    val g = s.read.format("graft").load(s"$work/t")
+    val topk = g.orderBy(col("o_orderkey")).limit(25)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"), col("o_orderstatus"))
+    require(topk.collect().length == 25, "top-k probe")
+    require(graft.sources.GraftSource.lastScanFiles.size == 1,
+      s"top-25 must plan one file, planned " +
+        s"${graft.sources.GraftSource.lastScanFiles.size}")
+    topk
+  }
+
+  /** Product-quantization ANN ([[graft.operators.Similarity.pqTopK]]):
+    * the corpus compressed to m=8 codes/vector (32× fewer scan bytes at
+    * dim=64), queries ranked by asymmetric-distance lookup tables, top
+    * candidates re-scored exactly. Deterministic end to end (seeded
+    * k-means, tie-broken ranking) but not SQL-expressible — rows-only
+    * check; SimilaritySpec holds the recall/exactness assertions. */
+  def q114_pq_ann(s: SparkSession, dir: String): DataFrame = {
+    val embs = embeddings(s, dir)
+    Similarity.pqTopK(s, embs, embs.where(col("vec_id") < 5),
+      "embedding", "vec_id", k = 10, dim = 64, m = 8, ksub = 16,
+      kmeansIters = 1, rerank = 100)
+      .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Cross-document line dedup ([[graft.operators.CorpusPrep.dedupLines]],
+    * the CCNet/C4 boilerplate-stripping family): a shared header is
+    * injected into every 3rd document and a shared footer into every 4th,
+    * then lines appearing in more than 2 distinct documents are dropped
+    * corpus-wide. The oracle rebuilds the same corpus and dedup algebra
+    * relationally — a hash match proves the explode → (fingerprint,line)
+    * count → anti-join → ordered reassembly pipeline exact, including
+    * the always-keep rule for sub-threshold structure lines. */
+  def q113_line_dedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          lit("SHARED HEADER LINE\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nSHARED FOOTER LINE")).otherwise(lit(""))).as("text"))
+    CorpusPrep.dedupLines(corpus, "text", "doc_id", maxDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2204,6 +2297,10 @@ object SparkEntry {
     "q108_tombstone_delete" -> (q108_tombstone_delete _),
     "q109_corpus_shuffle" -> (q109_corpus_shuffle _),
     "q110_corpus_mixture" -> (q110_corpus_mixture _),
+    "q111_restore" -> (q111_restore _),
+    "q112_topk_pushdown" -> (q112_topk_pushdown _),
+    "q113_line_dedup" -> (q113_line_dedup _),
+    "q114_pq_ann" -> (q114_pq_ann _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

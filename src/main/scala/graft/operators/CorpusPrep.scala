@@ -394,6 +394,52 @@ object CorpusPrep {
     * the second branch because column pruning defeats exchange reuse).
     * Window partition cardinalities are vocabulary resp. corpus sized —
     * never a funnel. */
+  /** Cross-document LINE deduplication (the CCNet/C4 paragraph-dedup
+    * family): drop every line whose trimmed content appears in more than
+    * `maxDocs` DISTINCT documents — boilerplate (headers, nav bars,
+    * cookie banners) repeats across a crawl while real prose doesn't.
+    * Documents come back with the surviving lines re-joined in original
+    * order as `textCol`; a document whose every content line was
+    * boilerplate drops out entirely. Lines shorter than `minLineChars`
+    * after trimming (blank separators and stray punctuation) are always
+    * kept — they are structure, not content, and counting them would
+    * make every document look like every other.
+    *
+    * Scale shape: one map-side explode (posexplode over a codegen'd
+    * split), one partial-agg count keyed by (fingerprint, line) — the
+    * 64-bit fingerprint leads the grouping key so the shuffle hashes
+    * uniformly and the carried line string disambiguates fingerprint
+    * collisions exactly — a broadcast-or-shuffle join of lines against
+    * the (rare) duplicated set, and one per-document reassembly agg
+    * (partition key = doc id, cardinality = corpus: never a funnel).
+    * Join volume ∝ duplicated lines, not corpus lines: the duplicate
+    * side is filtered to `docs > maxDocs` BEFORE the join, so at web
+    * scale the anti-join's build side is the boilerplate dictionary. */
+  def dedupLines(docs: DataFrame, textCol: String, idCol: String,
+                 maxDocs: Int = 1, minLineChars: Int = 1): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__t", trim(col("__line")))
+    val content = col("__t").isNotNull && length(col("__t")) >= minLineChars
+    val dup = lines.where(content)
+      .groupBy(xxhash64(col("__t")).as("__fp"), col("__t"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .where(col("__docs") > maxDocs)
+      .select(col("__fp"), col("__t").as("__dt"))
+    // structure lines can never be joined out: `dup` holds content lines
+    // exclusively (length >= minLineChars), so a short line's trimmed
+    // form cannot match any build-side row
+    val kept = lines.join(dup,
+        lines("__t") === dup("__dt") && xxhash64(lines("__t")) === dup("__fp"),
+        "left_anti")
+    kept
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          e => e("__line")), "\n").as(textCol))
+  }
+
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("__n"))

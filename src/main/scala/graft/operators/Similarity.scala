@@ -248,4 +248,121 @@ object Similarity {
         cosine(col("vec"), col("query_vec")).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  // ---- product quantization (compressed-corpus ANN) -------------------
+
+  /** Per-subspace PQ codebooks: `dim` split into `m` contiguous subspaces
+    * of dim/m; each gets its own deterministic k-means codebook
+    * ([[kmeansCodebook]]) over the corpus's sliced vectors. Build cost is
+    * m independent (and individually cached) codebook builds — an
+    * index-build-time cost, like any ANN training pass. */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                  dim: Int, m: Int, ksub: Int = 16,
+                  kmeansIters: Int = 2): Seq[Seq[(Long, Seq[Float])]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCodebook(
+        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub)
+          .as(vecCol)),
+        vecCol, idCol, ksub, kmeansIters)
+    }
+  }
+
+  /** Encode the corpus against PQ codebooks: each row becomes `m` cell
+    * ids — dim·4 bytes of floats compress to m small codes (32× at
+    * dim=64, m=8, ksub≤256). Pure map-side work: one broadcast fused
+    * argmin per subspace ([[nearestCentroidCol]]), no shuffle — the
+    * encoded corpus is what a 100 TB deployment persists and scans. */
+  def pqEncode(spark: SparkSession, corpus: DataFrame, vecCol: String,
+               idCol: String, books: Seq[Seq[(Long, Seq[Float])]],
+               dim: Int): DataFrame = {
+    val m = books.size
+    val sub = dim / m
+    corpus.select(col(idCol).as("id"),
+      array((0 until m).map(j =>
+        nearestCentroidCol(spark, slice(col(vecCol), j * sub + 1, sub),
+          books(j))): _*).as("codes"))
+  }
+
+  /** PQ top-k via ASYMMETRIC DISTANCE COMPUTATION: per query, a lookup
+    * table of ⟨query-slice, centroid⟩ partial inner products (and
+    * centroid norms) is built — m·ksub entries, metadata-sized — and
+    * broadcast; the encoded corpus is scanned once, each row's
+    * approximate cosine assembled by m table lookups (codegen'd
+    * `zip_with`/`aggregate` HOFs, no shuffle of the corpus). Per-query
+    * ranking is the bounded-heap partial agg shared by every variant.
+    *
+    *  - `rerank` > 0: the top `rerank` ADC candidates per query are
+    *    re-scored with EXACT cosine against the full vectors (a
+    *    candidate-sized semi-join back to the corpus — rows ∝ queries ×
+    *    rerank, never the corpus) before the final top-k. Scores are then
+    *    exact; only RECALL is approximate — the standard PQ+refine
+    *    pipeline.
+    *  - `rerank` = 0: scores are the ADC approximations.
+    *
+    * Scale shape: the scan reads m codes per row instead of dim floats —
+    * the 32× byte reduction is the point: at 100 TB of raw embeddings
+    * the PQ scan touches ~3 TB. Everything per-row is map-side; the only
+    * exchanges are the bounded top-k aggregations and (rerank) the
+    * candidate join keyed on corpus id. */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, kmeansIters: Int = 2,
+             rerank: Int = 0): DataFrame = {
+    val books = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
+    // a tiny corpus can seed fewer than ksub cells — the LUT's flattening
+    // arithmetic must use the REAL per-book size, and all books must agree
+    val kk = books.head.size
+    require(books.forall(_.size == kk),
+      s"ragged PQ codebooks: ${books.map(_.size)}")
+    val codes = pqEncode(spark, corpus, vecCol, idCol, books, dim)
+    val sub = dim / m
+
+    // (subspace, cell) → centroid rows, for the per-query LUT build
+    val centDf = spark.createDataFrame(
+      for { (book, j) <- books.zipWithIndex; (cid, v) <- book }
+        yield (j, cid, v)).toDF("j", "cid", "cvec")
+
+    // per query: ip[j*ksub + cid] = ⟨q_j, cent⟩, cn[...] = ‖cent‖² —
+    // flattened in (j, cid) order so the scan side indexes by arithmetic
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("query_vec"), col("j"), col("cid"),
+        dot(slice(col("query_vec"), col("j") * sub + 1, lit(sub)),
+          col("cvec")).as("ip"),
+        dot(col("cvec"), col("cvec")).as("cn"))
+      .groupBy(col("query_id"))
+      .agg(
+        transform(sort_array(collect_list(
+          struct(col("j"), col("cid"), col("ip")))), e => e("ip")).as("ip"),
+        transform(sort_array(collect_list(
+          struct(col("j"), col("cid"), col("cn")))), e => e("cn")).as("cn"),
+        sqrt(first(dot(col("query_vec"), col("query_vec")))).as("qn"))
+
+    def lutSum(table: Column) = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(table, (j * kk + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+
+    val adc = codes.crossJoin(broadcast(lut))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        (lutSum(col("ip")) / (col("qn") * sqrt(lutSum(col("cn")))))
+          .as("cosine"))
+
+    if (rerank <= 0) topKPerQuery(adc, k)
+    else {
+      val cand = topKPerQuery(adc, rerank)
+        .select(col("query_id"), col("id"))
+      val exact = cand
+        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("query_vec"))), Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          cosine(col("vec"), col("query_vec")).as("cosine"))
+      topKPerQuery(exact, k)
+    }
+  }
 }

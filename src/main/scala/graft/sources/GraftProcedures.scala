@@ -64,6 +64,7 @@ object GraftProcedures {
       case "zorder"  => new ZOrderProc(root)
       case "repair_feed" => new RepairFeed(root)
       case "materialize_tombstones" => new MaterializeTombstones(root)
+      case "restore" => new Restore(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -210,6 +211,30 @@ object GraftProcedures {
         CdcMergeSink.latestSnapshot(dir))
       val v = graft.GraftTable(spark, dir, key).materializeTombstones()
       Seq(row(v, folded))
+    }
+  }
+
+  /** [[graft.GraftTable.restoreTo]] as SQL: roll the table back to a
+    * prior version's state as a NEW commit (−1 = base). Metadata-only —
+    * the rollback manifest references the target's files in place — and
+    * history-preserving: the undone versions stay time-travel readable. */
+  private final class Restore(root: String) extends Proc(root) {
+    override def name(): String = "restore"
+    override def description(): String =
+      "roll back to a prior version's state as a new metadata-only commit"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("version", LongType, comment =
+        "committed version to restore to (-1 = the base snapshot)"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("restored_to", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val toV = input.getLong(1)
+      val (key, _) = tableKeys(dir)
+      val v = graft.GraftTable(spark, dir, key).restoreTo(toV)
+      Seq(row(toV, v))
     }
   }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
@@ -326,7 +326,8 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
 final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = table.schema
   private var filters: Array[Filter] = Array.empty
@@ -422,6 +423,107 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
       case None => false
     }
 
+  // ---- LIMIT / ORDER-BY-key LIMIT (top-k) file pruning --------------
+  //
+  // The layout invariant makes top-k a metadata question: committed
+  // files are key-sorted with per-file [min,max] + row counts in the
+  // manifest, so `ORDER BY key LIMIT k` needs only the files at the low
+  // (or high) end of the key space holding >= k rows — ONE file for any
+  // point-of-time "first/latest k" query at any table size. Both
+  // pushdowns are PARTIAL (Spark keeps its Sort/Limit above the scan),
+  // so pruning is purely an optimization: the kept files provably
+  // contain the true top-k rows.
+  //
+  // Declines (ordinary scan runs):
+  //  - pushed data filters (file row counts would overcount survivors,
+  //    so a prefix-by-count prune could under-deliver);
+  //  - deletion tombstones (physical counts exceed logical rows);
+  //  - any listed file without a ranged manifest entry (its keys are
+  //    invisible to the zone map);
+  //  - for top-k only: any file with a nonzero (or unrecorded) null-key
+  //    count in the manifest — null keys are invisible to min/max
+  //    bounds, so they both inflate row counts and (NULLS FIRST) belong
+  //    at the very front of the sort from ANY file.
+
+  private var limitFiles: Option[Seq[String]] = None
+  private var limitDesc: String = ""
+
+  /** Ranged entries covering EVERY listed file, when limit-style pruning
+    * is sound for this scan. */
+  private def prunableRanges: Option[Seq[ParquetStats.FileKeyRange]] = {
+    if (filters.nonEmpty || table.tombstoneRows > 0) return None
+    for {
+      names <- MutableParquetTable.manifestFileNames(table.snapshotDir)
+      key <- table.keyName
+      ranges <- MutableParquetTable.manifestRanges(table.snapshotDir, key)
+        if ranges.size == names.size && names.nonEmpty
+    } yield ranges
+  }
+
+  override def pushLimit(limit: Int): Boolean =
+    prunableRanges.exists { ranges =>
+      // order-free limit: ANY >= limit rows satisfy it — take the
+      // manifest-order prefix
+      var cum = 0L
+      val taken = ranges.takeWhile { r =>
+        val need = cum < limit; cum += r.rowCount; need
+      }
+      limitFiles = Some(taken.map(_.file))
+      limitDesc = s" PushedLimit: $limit (${taken.size}/${ranges.size} files)"
+      true
+    }
+
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (orders.length != 1) return false
+    val onKey = orders.head.expression() match {
+      case f: NamedReference =>
+        f.fieldNames.length == 1 && table.keyName.contains(f.fieldNames.head)
+      case _ => false
+    }
+    if (!onKey) return false
+    val asc = orders.head.direction() == SortDirection.ASCENDING
+    prunableRanges.filter(_.forall(_.nullKeys == 0)).exists { ranges =>
+      // walk files from the sort's end of the keyspace until the taken
+      // files hold >= limit rows; the k-th row's key is then bounded by
+      // the worst taken bound T, and (overlapped layouts) any OTHER file
+      // whose range crosses T could also hold qualifying rows — include
+      // those too. On a disjoint layout the T-sweep adds nothing.
+      val sorted =
+        if (asc) ranges.sortWith((a, b) =>
+          KeyBytes.compare(a.minBytes, b.minBytes) < 0)
+        else ranges.sortWith((a, b) =>
+          KeyBytes.compare(a.maxBytes, b.maxBytes) > 0)
+      var cum = 0L
+      val taken = sorted.takeWhile { r =>
+        val need = cum < limit; cum += r.rowCount; need
+      }
+      val keep: Set[String] =
+        if (taken.size == sorted.size) sorted.map(_.file).toSet
+        else if (asc) {
+          val t = taken.map(_.maxBytes).reduce((a, b) =>
+            if (KeyBytes.compare(a, b) >= 0) a else b)
+          sorted.collect {
+            case r if KeyBytes.compare(r.minBytes, t) <= 0 => r.file
+          }.toSet
+        } else {
+          val t = taken.map(_.minBytes).reduce((a, b) =>
+            if (KeyBytes.compare(a, b) <= 0) a else b)
+          sorted.collect {
+            case r if KeyBytes.compare(r.maxBytes, t) >= 0 => r.file
+          }.toSet
+        }
+      limitFiles = Some(ranges.map(_.file).filter(keep))
+      limitDesc = s" PushedTopN: ${if (asc) "ASC" else "DESC"} LIMIT $limit " +
+        s"(${keep.size}/${ranges.size} files)"
+      true
+    }
+  }
+
+  /** Both pushdowns keep Spark's Sort/Limit above the scan. */
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = pushedAgg match {
     case Some((values, schema)) =>
       GraftSource.recordScan(Nil) // metadata-only: no file is planned
@@ -450,7 +552,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
             fs.filter(f => !ranged(f) || keep(f))
           }
       }
-      new GraftParquetScan(spark, table, required, filters, files)
+      val limited = limitFiles match {
+        case Some(lf) => val s = lf.toSet; files.filter(s)
+        case None => files
+      }
+      new GraftParquetScan(spark, table, required, filters, limited, limitDesc)
   }
 }
 
@@ -466,7 +572,8 @@ final class GraftParquetScan(spark: SparkSession,
                              private val table: GraftBatchTable,
                              private val required: StructType,
                              private val pushed: Array[Filter],
-                             private val staticFiles: Seq[String])
+                             private val staticFiles: Seq[String],
+                             private val limitDesc: String = "")
     extends Scan with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -552,7 +659,7 @@ final class GraftParquetScan(spark: SparkSession,
 
   override def description(): String =
     s"GraftParquetScan(${table.snapshotDir}) " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" + limitDesc
 
   // value equality over the scan's defining inputs (runtime state
   // excluded, matching ParquetScan's own convention): identical scans

@@ -1112,7 +1112,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     }.toList.sorted
     val files = (ranges.map { r =>
       s"""{"file":${js(entryOf(r.file))},"minKey":${js(keyRepr(r.min))},""" +
-        s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}}"""
+        s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}""" +
+        (if (r.nullKeys != 0) s""","nullKeys":${r.nullKeys}}""" else "}")
     } ++ statless.map(n => s"""{"file":${js(n)}}""")).mkString("[", ",", "]")
     val keyType = ranges.headOption.map(_.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1340,7 +1341,8 @@ object MutableParquetTable {
     }
     val files = sorted.map { case (e, r) =>
       s"""{"file":${js(e)},"minKey":${js(keyRepr(r.min))},""" +
-        s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}}"""
+        s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}""" +
+        (if (r.nullKeys != 0) s""","nullKeys":${r.nullKeys}}""" else "}")
     }.mkString("[", ",", "]")
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
@@ -1485,6 +1487,56 @@ object MutableParquetTable {
   /** Whether a committed snapshot declared a persisted change feed. */
   private[graft] def manifestFeedPending(snapshotDir: String): Boolean =
     readManifest(snapshotDir).exists(_.contains("\"feedPending\":true"))
+
+  /** Stage a RESTORE snapshot at `stagedDir`: a manifest-only copy of
+    * `targetDir`'s state with every file entry re-addressed as a
+    * REFERENCE to its true physical holder — the rollback commit is
+    * metadata-priced at any table size (no data file is read or
+    * written). Entries that are themselves references re-resolve first,
+    * so a restored reference never chains through an intermediate
+    * snapshot that vacuum might later drop. The target's delta-sized
+    * tombstone sidecar (when present) is copied in — the sidecar is the
+    * one part of logical state that lives outside the manifest. Volatile
+    * per-commit stamps are stripped: txn markers (re-publishing an old
+    * epoch at the head would shadow newer markers for the same app in
+    * [[graft.streaming.CdcMergeSink.lastTxnEpoch]]'s newest-first walk),
+    * `feedPending` (no feed is written for a restore), and
+    * `committedAtMs` (re-stamped — commit times must stay monotone along
+    * the version chain for timestamp time travel). */
+  private[graft] def stageRestoreManifest(stagedDir: String,
+                                          targetDir: String): Unit = {
+    val m0 = readManifest(targetDir).getOrElse(throw new IllegalStateException(
+      s"$targetDir has no $ManifestName — only manifest-committed " +
+        "snapshots can be restored to"))
+    var m = m0.replaceFirst(
+      "\"txnApp\":\"(?:[^\"\\\\]|\\\\.)*\",\"txnEpoch\":-?\\d+,", "")
+    m = m.replaceFirst("\"feedPending\":true,", "")
+    m = m.replaceFirst("\"committedAtMs\":\\d+,",
+      s""""committedAtMs":${System.currentTimeMillis()},""")
+    Files.createDirectories(Paths.get(stagedDir))
+    val entryRe = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val rewritten = entryRe.replaceAllIn(m, mm => {
+      val abs = resolvePath(targetDir, unjs(mm.group(1)))
+      java.util.regex.Matcher.quoteReplacement(
+        s""""file":${js(relativize(stagedDir, abs))}""")
+    })
+    if (rewritten.contains("\"tombstoneFile\":")) {
+      val from = Paths.get(targetDir, TombstoneName)
+      val to = Paths.get(stagedDir, TombstoneName)
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(from)
+      try walk.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
+    val tmp = Paths.get(stagedDir, ManifestName + ".tmp")
+    Files.writeString(tmp, rewritten)
+    Files.move(tmp, Paths.get(stagedDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** DELETION TOMBSTONES — merge-on-read deletes. A snapshot may carry a
     * `_tombstones` sidecar dir of deleted key tuples (columns
@@ -1798,7 +1850,8 @@ object MutableParquetTable {
       else {
         val entry =
           ("\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\",\"minKey\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-            "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)").r
+            "\"maxKey\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)" +
+            "(?:,\"nullKeys\":(-?\\d+))?").r
         def typed(s: String): (Any, Array[Byte]) =
           if (isLong) { val l = s.toLong; (java.lang.Long.valueOf(l), KeyBytes.fromLong(l)) }
           else if (isBinary) { val b = hexDecode(s); (b, b) }
@@ -1807,7 +1860,8 @@ object MutableParquetTable {
           val (mn, mnB) = typed(unjs(e.group(2)))
           val (mx, mxB) = typed(unjs(e.group(3)))
           ParquetStats.FileKeyRange(resolvePath(dir, unjs(e.group(1))), mn, mx,
-            mnB, mxB, e.group(4).toLong)
+            mnB, mxB, e.group(4).toLong,
+            Option(e.group(5)).map(_.toLong).getOrElse(0L))
         }.toSeq)
       }
     }

@@ -296,6 +296,12 @@ object ParquetStats {
         }
         val minS = if (isRawBinary) null else st.map(_.minAsString()).orNull
         val maxS = if (isRawBinary) null else st.map(_.maxAsString()).orNull
+        // null count from the UNFILTERED stats (an all-null group has no
+        // min/max but a real numNulls); -1 = writer did not record it
+        val nullKeys: java.lang.Long = colMeta.map(_.getStatistics)
+          .filter(s => s != null && s.isNumNullsSet)
+          .map(s => java.lang.Long.valueOf(s.getNumNulls))
+          .getOrElse(java.lang.Long.valueOf(-1L))
         // fractional key stats are left out of BOTH lanes: a truncating
         // longValue would route keys to the wrong files (KeyBytes.fromAny
         // rejects such keys outright at merge time)
@@ -314,7 +320,7 @@ object ParquetStats {
         val maxB = if (!isRawBinary) null else st.map(_.genericGetMax).collect {
           case b2: org.apache.parquet.io.api.Binary => b2.getBytes }.orNull
         Row(f, i, b.getRowCount, b.getTotalByteSize, b.getCompressedSize,
-          minS, maxS, minL, maxL, minB, maxB)
+          minS, maxS, minL, maxL, minB, maxB, nullKeys)
       }
     } finally reader.close()
   }
@@ -327,7 +333,8 @@ object ParquetStats {
       StructField("minKeyLong", LongType, nullable = true),
       StructField("maxKeyLong", LongType, nullable = true),
       StructField("minKeyBinary", BinaryType, nullable = true),
-      StructField("maxKeyBinary", BinaryType, nullable = true)))
+      StructField("maxKeyBinary", BinaryType, nullable = true),
+      StructField("nullKeys", LongType, nullable = true)))
     if (files.size <= driverReadThreshold) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val rows = parFlatMap(files)(f => footerRows(f, keyCol, hconf))
@@ -360,9 +367,14 @@ object ParquetStats {
     * keys, `String` for string keys — usable directly in Column filters)
     * plus their order-preserving byte encodings ([[KeyBytes]]) for the
     * routing binary search. */
+  /** `nullKeys`: rows whose key is null in this file — INVISIBLE to the
+    * min/max bounds (parquet stats exclude nulls), so consumers that
+    * reason from bounds + row counts alone (the top-k file prune) must
+    * require 0. −1 = the writer recorded no null count (external files;
+    * decline such pruning conservatively). */
   final case class FileKeyRange(file: String, min: Any, max: Any,
                                 minBytes: Array[Byte], maxBytes: Array[Byte],
-                                rowCount: Long)
+                                rowCount: Long, nullKeys: Long = 0L)
 
   /** Key ranges for any supported key type, driver-side for small tables
     * (zero Spark jobs, a few ms — keeps no-op and small merges
@@ -381,16 +393,16 @@ object ParquetStats {
     def ofTyped(f: String, minL: Option[Long], maxL: Option[Long],
                 minS: Option[String], maxS: Option[String],
                 minB: Option[Array[Byte]], maxB: Option[Array[Byte]],
-                rows: Long): Option[FileKeyRange] =
+                rows: Long, nulls: Long): Option[FileKeyRange] =
       (minL, maxL) match {
         case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
-          KeyBytes.fromLong(lo), KeyBytes.fromLong(hi), rows))
+          KeyBytes.fromLong(lo), KeyBytes.fromLong(hi), rows, nulls))
         case _ => (minB, maxB) match {
           case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
-            KeyBytes.fromBinary(lo), KeyBytes.fromBinary(hi), rows))
+            KeyBytes.fromBinary(lo), KeyBytes.fromBinary(hi), rows, nulls))
           case _ => (minS, maxS) match {
             case (Some(lo), Some(hi)) => Some(FileKeyRange(f, lo, hi,
-              KeyBytes.fromString(lo), KeyBytes.fromString(hi), rows))
+              KeyBytes.fromString(lo), KeyBytes.fromString(hi), rows, nulls))
             case _ => None
           }
         }
@@ -415,13 +427,18 @@ object ParquetStats {
       val maxSs = rgs.flatMap(r => Option(r.getString(6)))
       val minBs = rgs.flatMap(r => Option(r.get(9)).map(_.asInstanceOf[Array[Byte]]))
       val maxBs = rgs.flatMap(r => Option(r.get(10)).map(_.asInstanceOf[Array[Byte]]))
+      // unknown (−1) in ANY row group poisons the file's null count —
+      // a partial sum would understate nulls and mislead the top-k prune
+      val nullsPerGroup = rgs.map(r =>
+        Option(r.get(11)).map(_.asInstanceOf[Long]).getOrElse(-1L))
       ofTyped(f,
         minLs.minOption, maxLs.maxOption,
         if (minSs.isEmpty) None else Some(byteMin(minSs)),
         if (maxSs.isEmpty) None else Some(byteMax(maxSs)),
         if (minBs.isEmpty) None else Some(byteMinB(minBs)),
         if (maxBs.isEmpty) None else Some(byteMaxB(maxBs)),
-        rgs.map(_.getLong(2)).sum)
+        rgs.map(_.getLong(2)).sum,
+        if (nullsPerGroup.contains(-1L)) -1L else nullsPerGroup.sum)
     }
     if (files.size <= driverReadThreshold) {
       val hconf = spark.sparkContext.hadoopConfiguration

@@ -38,6 +38,41 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(plan.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$plan")
   }
 
+  test("dedupLines strips cross-document boilerplate, keeps order and structure") {
+    val corpus = docs(
+      1L -> "COOKIE BANNER\nalpha prose one\n\nbeta prose one\nCOOKIE BANNER",
+      2L -> "COOKIE BANNER\ngamma prose two\n\ndelta prose two",
+      3L -> "COOKIE BANNER\nepsilon prose three",
+      4L -> "unique document with no shared lines at all")
+    val out = CorpusPrep.dedupLines(corpus, "text", "doc_id", maxDocs = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    // the banner is in 3 docs (> maxDocs=2) — dropped EVERYWHERE,
+    // including its second occurrence in doc 1; blank structure lines and
+    // unique prose survive in original order
+    assert(out(1L) === "alpha prose one\n\nbeta prose one")
+    assert(out(2L) === "gamma prose two\n\ndelta prose two")
+    assert(out(3L) === "epsilon prose three")
+    assert(out(4L) === "unique document with no shared lines at all")
+
+    // a doc that was ONLY boilerplate drops out entirely...
+    val all = docs(1L -> "SAME\nSAME", 2L -> "SAME", 3L -> "SAME",
+      4L -> "keep me")
+    val res = CorpusPrep.dedupLines(all, "text", "doc_id", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(res === Map(4L -> "keep me"))
+
+    // ...and whitespace-only trims count as the SAME line content (trim
+    // normalization), while maxDocs at the threshold keeps the pair
+    val pair = docs(1L -> "shared pair line \nmine", 2L -> " shared pair line\nyours")
+    val kept = CorpusPrep.dedupLines(pair, "text", "doc_id", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(kept === Map(1L -> "shared pair line \nmine",
+      2L -> " shared pair line\nyours"))
+    val dropped = CorpusPrep.dedupLines(pair, "text", "doc_id", maxDocs = 1)
+      .as[(Long, String)].collect().toMap
+    assert(dropped === Map(1L -> "mine", 2L -> "yours"))
+  }
+
   test("repetitionStats: hand-computable signals") {
     val got = CorpusPrep.repetitionStats(
       docs(1L -> "a a a a", 2L -> "w x y z", 3L -> ""), "text", "doc_id")

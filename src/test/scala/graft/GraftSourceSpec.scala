@@ -289,6 +289,98 @@ class GraftSourceSpec extends SparkSpec {
     assert(df2.where(col("id") === 10L).head().getLong(2) === -30L)
   }
 
+  test("ORDER BY key LIMIT k prunes to the files holding the top-k") {
+    val df = spark.read.format("graft").load(root)
+    df.select("id", "name").collect() // baseline: all files planned
+    val full = GraftSource.lastScanFiles.size
+    assert(full >= 8)
+
+    val expectAsc = GraftTable(spark, root, "id").read()
+      .orderBy("id").limit(5).collect()
+    val asc = df.orderBy("id").limit(5).collect()
+    assert(GraftSource.lastScanFiles.size === 1,
+      s"asc top-5 should read the low-end file: ${GraftSource.lastScanFiles}")
+    assert(asc === expectAsc)
+
+    val expectDesc = GraftTable(spark, root, "id").read()
+      .orderBy(col("id").desc).limit(7).collect()
+    val desc = df.orderBy(col("id").desc).limit(7).collect()
+    assert(GraftSource.lastScanFiles.size === 1,
+      s"desc top-7 should read the high-end file: ${GraftSource.lastScanFiles}")
+    assert(desc === expectDesc)
+  }
+
+  test("bare LIMIT k prunes to a row-count prefix of the manifest") {
+    val df = spark.read.format("graft").load(root)
+    val rows = df.limit(3).collect()
+    assert(rows.length === 3)
+    assert(GraftSource.lastScanFiles.size === 1,
+      s"limit 3 should plan one file: ${GraftSource.lastScanFiles}")
+  }
+
+  test("top-k pushdown declines when row counts can't bound survivors") {
+    val df = spark.read.format("graft").load(root)
+    df.select("id", "name").collect()
+    val full = GraftSource.lastScanFiles.size
+
+    // a pushed data filter makes per-file counts an overcount — decline
+    val got = df.where(col("grp") === 99).orderBy("id").limit(5).collect()
+    assert(GraftSource.lastScanFiles.size === full,
+      "filtered top-k must scan every candidate file")
+    val expect = GraftTable(spark, root, "id").read()
+      .where(col("grp") === 99).orderBy("id").limit(5).collect()
+    assert(got === expect)
+
+    // deletion tombstones: physical counts exceed logical rows — decline
+    val r2 = java.nio.file.Files.createTempDirectory("graft-topk-tomb").toString
+    val t2 = GraftTable.create(
+      (0L until 400L).map(i => (i, i * 2)).toDF("k", "v"), r2, "k", numFiles = 4)
+    t2.deleteKeys((0L until 10L).toDF("k")) // the asc top-k's own keys
+    val tdf = spark.read.format("graft").load(r2)
+    val topAfterDelete = tdf.orderBy("k").limit(5).collect()
+    assert(topAfterDelete.map(_.getLong(0)).toSeq === (10L until 15L).toSeq,
+      "tombstoned keys must not resurface in the top-k")
+
+    // an ACTUAL null key (out of merge contract but writable): invisible
+    // to min/max bounds, recorded in the manifest's nullKeys — decline
+    val r3 = java.nio.file.Files.createTempDirectory("graft-topk-null").toString
+    val n = ((0L until 100L).map(i => (java.lang.Long.valueOf(i), s"s$i"))
+      :+ ((null: java.lang.Long), "null-key")).toDF("k", "s")
+    GraftTable.create(n, r3, "k", numFiles = 4)
+    val ndf = spark.read.format("graft").load(r3)
+    ndf.select("k").collect()
+    val nfull = GraftSource.lastScanFiles.size
+    val nullsFirst = ndf.orderBy("k").limit(3).collect()
+    assert(GraftSource.lastScanFiles.size === nfull,
+      "null-key-bearing top-k must not prune")
+    assert(nullsFirst.head.isNullAt(0), "NULLS FIRST must surface the null")
+  }
+
+  test("top-k on an OVERLAPPED layout keeps every range-crossing file") {
+    // two overlap clusters: low files span [0,2000), high files
+    // [2000,4000) — an asc top-10 must keep BOTH low files (their ranges
+    // cross the 10th key's bound) and may drop both high files
+    val r = java.nio.file.Files.createTempDirectory("graft-topk-ovl").toString
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+    for (lo <- Seq(true, false); i <- 0 until 2) {
+      val cluster = if (lo) df.where(col("k") < 2000) else df.where(col("k") >= 2000)
+      cluster.where(pmod(col("k"), lit(2)) === i)
+        .coalesce(1).sortWithinPartitions("k")
+        .write.mode("append").parquet(s"$r/base")
+    }
+    MutableParquetTable(spark, s"$r/base", "k").commitManifest(s"$r/base")
+    val g = spark.read.format("graft").load(r)
+    val got = g.orderBy("k").limit(10).collect()
+    assert(got.map(_.getLong(0)).toSeq === (0L until 10L).toSeq)
+    assert(GraftSource.lastScanFiles.size === 2,
+      s"both low-cluster files (and only them): ${GraftSource.lastScanFiles}")
+    val gotDesc = g.orderBy(col("k").desc).limit(10).collect()
+    assert(gotDesc.map(_.getLong(0)).toSeq === (3999L to 3990L by -1).toSeq)
+    assert(GraftSource.lastScanFiles.size === 2,
+      s"both high-cluster files (and only them): ${GraftSource.lastScanFiles}")
+  }
+
   test("version option on a non-root path fails fast") {
     val work = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")

@@ -49,6 +49,82 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 100)
   }
 
+  test("restoreTo rolls back as a metadata-only commit, history intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-restore").toString
+    val t = GraftTable.create(
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "s"), root, "id",
+      numFiles = 4)
+    t.commit((0L until 200L by 10).map(i => (i, s"upd-$i", "upsert"))
+      .toDF("id", "s", "op"))                                    // v0
+    t.commit(Seq((7L, "", "delete"), (300L, "new", "upsert"))
+      .toDF("id", "s", "op"))                                    // v1
+    val stateV0 = t.readAsOf(0L).orderBy("id").collect()
+
+    val v = t.restoreTo(0L)                                      // v2
+    assert(v === 2L)
+    // logical state is exactly v0 (the v1 delete undone, 300 gone)
+    assert(t.read().orderBy("id").collect() === stateV0)
+    assert(t.read().where(col("id") === 7L).count() === 1)
+    assert(t.read().where(col("id") === 300L).isEmpty)
+
+    // metadata-only: the restored snapshot holds no data files of its
+    // own — every manifest entry is a reference into prior snapshots
+    val dir = java.nio.file.Paths.get(s"$root/v2")
+    val stream = java.nio.file.Files.list(dir)
+    val local = try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toList
+    } finally stream.close()
+    assert(local.isEmpty, s"restore must not copy data files: $local")
+
+    // history preserved: the undone v1 state is still time travelable
+    assert(t.readAsOf(1L).where(col("id") === 300L).count() === 1)
+    assert(t.readAsOf(1L).where(col("id") === 7L).isEmpty)
+
+    // the chain continues: a merge on top of the restore routes and
+    // commits normally (manifest zone maps survived the re-addressing)
+    t.commit(Seq((7L, "post-restore", "upsert")).toDF("id", "s", "op")) // v3
+    assert(t.read().where(col("id") === 7L).head().getString(1)
+      === "post-restore")
+    assert(t.read().count() === stateV0.length)
+
+    // restore through the V2 source reads identically
+    val viaSource = spark.read.format("graft").option("version", 2).load(root)
+    assert(viaSource.orderBy("id").collect() === stateV0)
+
+    // tombstoned state restores with its sidecar: delete via tombstone,
+    // commit more, restore back to the tombstoned version
+    t.deleteKeys(Seq(11L, 13L).toDF("id"))                       // v4
+    val tombState = t.read().orderBy("id").collect()
+    t.commit(Seq((11L, "back", "upsert")).toDF("id", "s", "op")) // v5
+    val v6 = t.restoreTo(4L)
+    assert(v6 === 6L)
+    assert(t.read().orderBy("id").collect() === tombState)
+    assert(t.read().where(col("id") === 11L).isEmpty)
+  }
+
+  test("SQL: CALL system.restore rolls a catalog table back") {
+    val root = java.nio.file.Files.createTempDirectory("graft-restore-sql").toString
+    spark.conf.set("spark.sql.catalog.gres", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gres.root", root)
+    try {
+      spark.sql("""CREATE TABLE gres.ns.t (id BIGINT, s STRING)
+                   USING graft TBLPROPERTIES ('key' = 'id')""")
+      spark.sql("INSERT INTO gres.ns.t VALUES (1, 'a'), (2, 'b')") // v0
+      spark.sql("INSERT INTO gres.ns.t VALUES (3, 'c')")           // v1
+      val out = spark.sql("CALL gres.system.restore('ns.t', 0)").collect()
+      assert(out.head.getLong(0) === 0L) // restored_to
+      assert(out.head.getLong(1) === 2L) // new version
+      assert(spark.sql("SELECT count(*) FROM gres.ns.t").head().getLong(0) === 2L)
+      assert(spark.sql("SELECT * FROM gres.ns.t VERSION AS OF 1")
+        .count() === 3L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gres")
+      spark.conf.unset("spark.sql.catalog.gres.root")
+    }
+  }
+
   test("composite-key facade: create records the tuple, commits discover it") {
     val root = java.nio.file.Files.createTempDirectory("graft-table-ck").toString
     val t = GraftTable.create(

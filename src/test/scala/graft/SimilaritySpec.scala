@@ -133,6 +133,50 @@ class SimilaritySpec extends SparkSpec {
     rs.sum / rs.size
   }
 
+  test("PQ ADC search: compressed codes rank usefully; rerank recovers exact scores") {
+    val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding",
+      "vec_id", 10))
+
+    // pure ADC: every corpus row is scored from its m codes — recall is
+    // bounded by quantization error only (no bucket misses)
+    val adc = topkMap(Similarity.pqTopK(spark, embs, queries, "embedding",
+      "vec_id", k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1))
+    val adcRecall = meanRecall(adc, exact)
+    assert(adcRecall >= 0.3, s"ADC recall@10 = $adcRecall")
+
+    // exact re-rank of a 10× candidate pool: recall must not drop, and
+    // surviving ranks carry TRUE cosines (spot-checked against brute)
+    val rr = Similarity.pqTopK(spark, embs, queries, "embedding", "vec_id",
+      k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1, rerank = 100)
+    val rrRecall = meanRecall(topkMap(rr), exact)
+    assert(rrRecall >= adcRecall - 1e-9,
+      s"rerank recall $rrRecall < ADC $adcRecall")
+    assert(rrRecall >= 0.5, s"rerank recall@10 = $rrRecall")
+    val exactScores = Similarity.bruteForceTopK(embs, queries, "embedding",
+      "vec_id", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.collect().foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(math.abs(s - r.getDouble(2)) < 1e-12,
+          "reranked score must be the exact cosine")
+      }
+    }
+
+    // the encoded corpus is m small codes per row — the 32× scan-byte
+    // story — and the whole pipeline is rerun-deterministic
+    val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
+      dim = 64, m = 8, ksub = 16, kmeansIters = 1)
+    assert(books.size === 8 && books.forall(_.size === 16))
+    val codes = Similarity.pqEncode(spark, embs, "embedding", "vec_id",
+      books, dim = 64)
+    val row = codes.orderBy("id").head()
+    assert(row.getSeq[Long](1).length === 8)
+    assert(row.getSeq[Long](1).forall(c => c >= 0 && c < 16))
+    val again = topkMap(Similarity.pqTopK(spark, embs, queries, "embedding",
+      "vec_id", k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1))
+    assert(again === adc, "PQ build/search must be deterministic")
+  }
+
   test("multi-probe LSH recall dominates single-probe at the same bits") {
     val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
     val single = meanRecall(topkMap(
