@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Similarity
 import graft.sources.{MutableParquetTable, ParquetLayout, ParquetTable}
 
 /** Benchmark main: one JSON line with per-query wall times plus the
@@ -389,6 +390,76 @@ object Bench {
       results("occ_commit_5pct") = (1 to 3).map(_ => time(t.commit(occB))).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench] change feed experiment failed: ${e.getMessage}")
+    }
+
+    // ---- ORDER BY key LIMIT k: manifest top-k file prune vs the full
+    //      sort-limit scan (TakeOrderedAndProject over every file). The
+    //      pruned plan's cost is ~one file at any table size; the files
+    //      planned are reported alongside the seconds. ----
+    try {
+      val root = s"$workDir/topk-table"
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("li_key", monotonically_increasing_id())
+      GraftTable.create(li, root, "li_key", numFiles = 32)
+      def viaGraft() = runToNoop(spark.read.format("graft").load(root)
+        .orderBy(col("li_key")).limit(100)
+        .select(col("li_key"), col("l_quantity"), col("l_extendedprice")))
+      def viaRaw() = runToNoop(spark.read.parquet(s"$root/base")
+        .orderBy(col("li_key")).limit(100)
+        .select(col("li_key"), col("l_quantity"), col("l_extendedprice")))
+      viaGraft(); viaRaw() // warm
+      results("topk_pushdown") = (1 to 3).map(_ => time(viaGraft())).min
+      results("topk_pushdown_files") =
+        graft.sources.GraftSource.lastScanFiles.size.toDouble
+      results("topk_full_sort") = (1 to 3).map(_ => time(viaRaw())).min
+
+      // ---- RESTORE: rollback to the base as a manifest-only commit —
+      //      metadata-priced regardless of table size ----
+      val t = GraftTable(spark, root, "li_key")
+      t.commit(spark.read.parquet(s"$root/base").limit(1000)
+        .withColumn("l_quantity", col("l_quantity") + 1.0)
+        .withColumn("op", lit("upsert")))
+      results("restore_commit") = (1 to 3).map(_ => time(t.restoreTo(-1L))).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] topk/restore experiment failed: ${e.getMessage}")
+    }
+
+    // ---- PQ (product-quantization) ANN vs brute cosine on the same
+    //      query load: the PQ scan reads m=8 codes/row instead of 64
+    //      floats (the 32× byte story); encode/codebook build is the
+    //      one-time index cost, reported separately ----
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      val q = e.where(col("vec_id") < 200)
+      val books = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        dim = 64, m = 8, ksub = 16, kmeansIters = 1)
+      results("pq_build_codebooks") = time {
+        Similarity.pqCodebooks(e, "embedding", "vec_id",
+          dim = 64, m = 8, ksub = 16, kmeansIters = 1)
+      }
+      val codesDir = s"$workDir/pq-codes"
+      results("pq_encode") = time {
+        Similarity.pqEncode(spark, e, "embedding", "vec_id", books, dim = 64)
+          .write.parquet(codesDir)
+      }
+      // the SERVING path: search a persisted code table (index built once
+      // above) — the number to put against cosine_topk_* on equal queries
+      val codesDf = spark.read.parquet(codesDir)
+      def search(native: Boolean) = runToNoop(Similarity.pqTopKEncoded(
+        spark, codesDf, e, q, books, "embedding", "vec_id", k = 10,
+        dim = 64, rerank = 50, native = native))
+      search(native = true); search(native = false) // warm
+      results("pq_search_hof") = (1 to 2).map(_ => time(search(native = false))).min
+      results("pq_search_native") = (1 to 2).map(_ => time(search(native = true))).min
+      // pure ADC (no refine): ONE ranking pipeline — the apples-to-apples
+      // per-pair cost against cosine_topk_native (m lookups vs dim mults)
+      def adcOnly() = runToNoop(Similarity.pqTopKEncoded(
+        spark, codesDf, e, q, books, "embedding", "vec_id", k = 10,
+        dim = 64, rerank = 0, native = true))
+      adcOnly() // warm
+      results("pq_adc_native") = (1 to 2).map(_ => time(adcOnly())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pq experiment failed: ${e.getMessage}")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

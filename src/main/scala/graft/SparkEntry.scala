@@ -1695,9 +1695,10 @@ object SparkEntry {
     * check; SimilaritySpec holds the recall/exactness assertions. */
   def q114_pq_ann(s: SparkSession, dir: String): DataFrame = {
     val embs = embeddings(s, dir)
+    graft.plans.PqAdcScore.register(s)
     Similarity.pqTopK(s, embs, embs.where(col("vec_id") < 5),
       "embedding", "vec_id", k = 10, dim = 64, m = 8, ksub = 16,
-      kmeansIters = 1, rerank = 100)
+      kmeansIters = 1, rerank = 100, native = true)
       .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))

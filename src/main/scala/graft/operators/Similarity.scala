@@ -309,14 +309,27 @@ object Similarity {
   def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, k: Int, dim: Int,
              m: Int = 8, ksub: Int = 16, kmeansIters: Int = 2,
-             rerank: Int = 0): DataFrame = {
+             rerank: Int = 0, native: Boolean = false): DataFrame = {
     val books = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
+    val codes = pqEncode(spark, corpus, vecCol, idCol, books, dim)
+    pqTopKEncoded(spark, codes, corpus, queries, books, vecCol, idCol,
+      k, dim, rerank, native)
+  }
+
+  /** Search over an ALREADY-ENCODED corpus — the serving path: a real
+    * deployment builds codebooks once, persists the code table, and runs
+    * every query load against it; [[pqTopK]] is build + this. `codes`
+    * must be `(id, codes)` as produced by [[pqEncode]] with `books`. */
+  def pqTopKEncoded(spark: SparkSession, codes: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, books: Seq[Seq[(Long, Seq[Float])]],
+                    vecCol: String, idCol: String, k: Int, dim: Int,
+                    rerank: Int = 0, native: Boolean = false): DataFrame = {
+    val m = books.size
     // a tiny corpus can seed fewer than ksub cells — the LUT's flattening
     // arithmetic must use the REAL per-book size, and all books must agree
     val kk = books.head.size
     require(books.forall(_.size == kk),
       s"ragged PQ codebooks: ${books.map(_.size)}")
-    val codes = pqEncode(spark, corpus, vecCol, idCol, books, dim)
     val sub = dim / m
 
     // (subspace, cell) → centroid rows, for the per-query LUT build
@@ -341,23 +354,34 @@ object Similarity {
           struct(col("j"), col("cid"), col("cn")))), e => e("cn")).as("cn"),
         sqrt(first(dot(col("query_vec"), col("query_vec")))).as("qn"))
 
+    // per-row score: m table lookups. The codegen'd expression
+    // ([[graft.plans.PqAdcScore]], `native = true` — callers register it
+    // first) is the hot-path form: the HOF chain evaluates INTERPRETED
+    // lambdas per element per (row × query) pair, which measured slower
+    // than even the exact native cosine — inverting the point of PQ.
     def lutSum(table: Column) = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, j) => element_at(table, (j * kk + c + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x)
+    val score =
+      if (native) call_function(graft.plans.PqAdcScore.name,
+        col("codes"), col("ip"), col("cn"), col("qn"))
+      else lutSum(col("ip")) / (col("qn") * sqrt(lutSum(col("cn"))))
 
     val adc = codes.crossJoin(broadcast(lut))
       .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"),
-        (lutSum(col("ip")) / (col("qn") * sqrt(lutSum(col("cn")))))
-          .as("cosine"))
+      .select(col("query_id"), col("id"), score.as("cosine"))
 
     if (rerank <= 0) topKPerQuery(adc, k)
     else {
+      // candidates are queries × rerank rows — BROADCAST them so the
+      // refine pass is a map-side semi-join on the corpus scan, not a
+      // corpus-sized shuffle
       val cand = topKPerQuery(adc, rerank)
         .select(col("query_id"), col("id"))
-      val exact = cand
-        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      val exact = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .join(broadcast(cand), Seq("id"))
         .join(broadcast(queries.select(col(idCol).as("query_id"),
           col(vecCol).as("query_vec"))), Seq("query_id"))
         .select(col("query_id"), col("id"),

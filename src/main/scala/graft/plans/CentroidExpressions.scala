@@ -132,3 +132,109 @@ case class NearestCentroids(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
 }
+
+/** PQ asymmetric-distance score as ONE fused codegen'd loop:
+  * `graft_pq_adc(codes, ip, cn, qn)` where `codes` are a row's m PQ cell
+  * ids, `ip`/`cn` the query's flattened lookup tables (⟨query-slice,
+  * centroid⟩ inner products and centroid squared norms, laid out
+  * `[subspace × cells]`), and `qn` the query's vector norm. Returns the
+  * approximate cosine `Σ ip[j·k+code_j] / (qn · sqrt(Σ cn[j·k+code_j]))`.
+  *
+  * The HOF formulation (`aggregate(zip_with(element_at ...))`) evaluates
+  * INTERPRETED lambdas per element per pair — measured 4.7× slower than
+  * even the exact native cosine at bench scale, inverting the whole
+  * point of scanning compressed codes. This expression is the same m
+  * lookups as a tight Java loop inside whole-stage codegen. Cells per
+  * subspace (`k`) is derived as `ip.length / codes.length`; a row whose
+  * tables don't divide evenly yields NULL (malformed input drops out
+  * rather than scoring garbage). */
+case class PqAdcScore(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(dt: DataType, et: DataType): Boolean = dt match {
+      case ArrayType(`et`, _) => true
+      case _ => false
+    }
+    if (arr(first.dataType, LongType) &&
+        arr(second.dataType, org.apache.spark.sql.types.DoubleType) &&
+        arr(third.dataType, org.apache.spark.sql.types.DoubleType) &&
+        fourth.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<double>, array<double>, " +
+        s"double), got ${children.map(_.dataType.catalogString).mkString(", ")}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(c: Any, i: Any, n: Any, q: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val ip = i.asInstanceOf[ArrayData]
+    val cn = n.asInstanceOf[ArrayData]
+    val qn = q.asInstanceOf[Double]
+    val m = codes.numElements()
+    if (m == 0 || ip.numElements() % m != 0 ||
+        cn.numElements() != ip.numElements()) return null
+    val k = ip.numElements() / m
+    var num = 0.0; var den = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * k + codes.getLong(j).toInt
+      num += ip.getDouble(idx); den += cn.getDouble(idx)
+      j += 1
+    }
+    val denom = qn * math.sqrt(den)
+    if (denom == 0.0) 0.0 else num / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, i, n, q) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val num = ctx.freshName("num")
+      val den = ctx.freshName("den")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $m = $c.numElements();
+        if ($m == 0 || $i.numElements() % $m != 0 ||
+            $n.numElements() != $i.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $k = $i.numElements() / $m;
+          double $num = 0.0; double $den = 0.0;
+          for (int $j = 0; $j < $m; $j++) {
+            int $idx = $j * $k + (int) $c.getLong($j);
+            $num += $i.getDouble($idx); $den += $n.getDouble($idx);
+          }
+          double $denom = $q * java.lang.Math.sqrt($den);
+          ${ev.value} = ($denom == 0.0) ? 0.0 : ($num / $denom);
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, o: Expression): PqAdcScore =
+    copy(first = f, second = s, third = t, fourth = o)
+}
+
+object PqAdcScore {
+  val name = "graft_pq_adc"
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[PqAdcScore].getName, name)
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 4, s"$name expects 4 arguments")
+    PqAdcScore(children(0), children(1), children(2), children(3))
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -112,6 +112,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(HyperplaneSignature.name), HyperplaneSignature.info,
         HyperplaneSignature.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(PqAdcScore.name), PqAdcScore.info,
+        PqAdcScore.builder))
     // SQL DML (MERGE INTO / DELETE / UPDATE) on graft tables: post-hoc so
     // the statements arrive fully resolved (star actions expanded, all
     // expressions bound) before being compiled onto the CoW merge

@@ -641,10 +641,80 @@ final class GraftParquetScan(spark: SparkSession,
           rowCounts.forall(_.isDefined))
         java.util.OptionalLong.of(rowCounts.flatten.sum)
       else java.util.OptionalLong.empty()
+    // KEY-COLUMN statistics for the cost-based optimizer, from metadata
+    // alone: the key is the table's IDENTITY, so distinctCount is EXACT
+    // (non-null rows — no NDV sketch could do better), null counts come
+    // from the manifest's per-file nullKeys, and min/max are the zone
+    // map's global bounds over the PLANNED files (numeric/date/time keys
+    // only — their internal form is unambiguous). With CBO on, a join on
+    // the key estimates its true cardinality instead of guessing.
+    // Same honesty rules as numRows: decline under pushed filters,
+    // tombstones, or unranged/unknown-null files.
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (rows.isPresent && plannedFiles.nonEmpty) {
+        for {
+          key <- table.keyName if required.fieldNames.contains(key)
+          all <- MutableParquetTable.manifestRanges(table.snapshotDir, key)
+        } {
+          val planned = plannedFiles.toSet
+          val ranges = all.filter(r => planned(r.file))
+          if (ranges.size == plannedFiles.size &&
+              ranges.forall(_.nullKeys >= 0)) {
+            val nulls = ranges.map(_.nullKeys).sum
+            val distinct = rows.getAsLong - nulls
+            val minV = ranges.minBy(_.minBytes)(KeyBytes.ordering).min
+            val maxV = ranges.maxBy(_.maxBytes)(KeyBytes.ordering).max
+            // manifest bounds are NORMALIZED longs; CBO expects the
+            // key's Catalyst-internal form (Integer for date/int, etc.)
+            def internalOf(v: Any): Any =
+              (v, table.schema(key).dataType) match {
+                case (l: java.lang.Long,
+                    LongType | TimestampType | TimestampNTZType) => l
+                case (l: java.lang.Long, IntegerType | DateType) =>
+                  java.lang.Integer.valueOf(l.toInt)
+                case (l: java.lang.Long, ShortType) =>
+                  java.lang.Short.valueOf(l.toShort)
+                case (l: java.lang.Long, ByteType) =>
+                  java.lang.Byte.valueOf(l.toByte)
+                case _ => null // string/binary: representation-unsafe
+              }
+            val numeric: Option[(Any, Any)] =
+              (internalOf(minV), internalOf(maxV)) match {
+                case (null, _) | (_, null) => None
+                case (a, b) => Some((a, b))
+              }
+            m.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(key),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(distinct)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+                override def min(): java.util.Optional[Object] =
+                  numeric.map(n => java.util.Optional.of(n._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  numeric.map(n => java.util.Optional.of(n._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+              })
+          }
+        }
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(scaled)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

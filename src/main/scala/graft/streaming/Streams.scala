@@ -131,4 +131,48 @@ object Streams {
       .mapGroupsWithState[UserTotals, UserTotals](timeoutConf)(
         updateTotals(idleTimeout))
   }
+
+  /** First-seen-per-key suppression with TTL'd state — the Spark 4
+    * `transformWithState` arbitrary-state API (the successor to
+    * `mapGroupsWithState`: typed state variables with NATIVE per-state
+    * TTL, timers, and batch parity). A key's first event passes; repeats
+    * are suppressed while the `seen` marker lives; the marker EXPIRES
+    * after `ttl` of processing time, after which the key re-emits — the
+    * at-least-once-replay / late-duplicate absorber a CDC ingest wants,
+    * with state bounded by the active-key set over one TTL window
+    * instead of growing forever (the eviction `dedupWithinWatermark`
+    * gets from event time, here from the state store itself).
+    *
+    * Engine requirement: `transformWithState` runs only on the RocksDB
+    * state store — set `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider` on the query's session. Batch frames
+    * run the same processor over empty initial state (= first row per
+    * key). */
+  final class FirstSeenProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserEvent] {
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserEvent] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+  }
+
+  def firstSeenWithTtl(events: Dataset[UserEvent],
+                       ttl: java.time.Duration): Dataset[UserEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

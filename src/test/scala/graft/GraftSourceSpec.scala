@@ -416,6 +416,33 @@ class GraftSourceSpec extends SparkSpec {
       "pushed-filter scans report no row count")
   }
 
+  test("key-column statistics reach the optimizer: exact NDV/nulls/bounds") {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft").load(root)
+      val attrStats = df.queryExecution.optimizedPlan.stats.attributeStats
+      val keyStat = attrStats.find(_._1.name == "id").map(_._2)
+        .getOrElse(fail(s"no column stats for the key: $attrStats"))
+      val expectRows = GraftTable(spark, root, "id").read().count()
+      assert(keyStat.distinctCount.exists(_.toLong === expectRows),
+        s"key NDV must be exact (identity column): ${keyStat.distinctCount}")
+      assert(keyStat.nullCount.contains(BigInt(0)))
+      assert(keyStat.min.contains(0L) || keyStat.min.contains(2L),
+        s"min from the zone map: ${keyStat.min}") // id=1 deleted in v1
+      assert(keyStat.max.exists(_.asInstanceOf[Long] >= 3900L),
+        s"max from the zone map: ${keyStat.max}")
+
+      // a tombstoned table must NOT report column stats (physical ≠ logical)
+      val r2 = java.nio.file.Files.createTempDirectory("graft-cbo-tomb").toString
+      val t2 = GraftTable.create(
+        (0L until 100L).map(i => (i, i)).toDF("k", "v"), r2, "k", numFiles = 2)
+      t2.deleteKeys(Seq(5L).toDF("k"))
+      val tdf = spark.read.format("graft").load(r2)
+      assert(tdf.queryExecution.optimizedPlan.stats.attributeStats.isEmpty,
+        "tombstoned snapshots must decline column stats")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("storage-partitioned join: bucketed graft tables join with NO exchange") {
     val w = java.nio.file.Files.createTempDirectory("graft-spj").toString
     val cat = "gspj"

@@ -44,6 +44,42 @@ class PlansSpec extends SparkSpec {
     assert(e.getMessage.contains("array<float>"))
   }
 
+  test("native PQ ADC score matches the HOF lookup chain; malformed input is null") {
+    graft.plans.PqAdcScore.register(spark)
+    val s = spark; import s.implicits._
+    // m=2 subspaces, k=3 cells: ip/cn flattened [subspace × cells]
+    val ip = Seq(0.5, 1.0, -0.25, 2.0, 0.0, 0.75)
+    val cn = Seq(1.0, 4.0, 0.25, 9.0, 1.0, 2.25)
+    val rows = Seq(
+      (Seq(0L, 2L), ip, cn, 2.0),
+      (Seq(2L, 0L), ip, cn, 1.5),
+      (Seq(1L, 1L), ip, cn, 1.0))
+      .toDF("codes", "ip", "cn", "qn")
+    def hof(mm: Int, kk: Int) = {
+      def lsum(t: org.apache.spark.sql.Column) = aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(mm - 1)),
+          (c, j) => element_at(t, (j * kk + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x)
+      lsum(col("ip")) / (col("qn") * sqrt(lsum(col("cn"))))
+    }
+    val both = rows.select(
+      call_function("graft_pq_adc", col("codes"), col("ip"), col("cn"),
+        col("qn")).as("native"),
+      hof(2, 3).as("hofv")).collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+    // hand-check one row: codes (0,2) → num 0.5+0.75, den 1.0+2.25, qn 2
+    val expect = (0.5 + 0.75) / (2.0 * math.sqrt(1.0 + 2.25))
+    assert(math.abs(both.head.getDouble(0) - expect) < 1e-12)
+
+    // tables that don't divide evenly into the code count → NULL
+    val bad = Seq((Seq(0L, 1L, 0L, 1L), ip, cn, 1.0))
+      .toDF("codes", "ip", "cn", "qn") // 6 table entries % 4 codes != 0
+    assert(bad.select(call_function("graft_pq_adc", col("codes"), col("ip"),
+      col("cn"), col("qn"))).head().isNullAt(0))
+  }
+
   test("native minhash signature is bit-identical to the explode/agg path") {
     graft.plans.MinHashSignature.register(spark)
     val docs = Tables.documents(spark, sf())

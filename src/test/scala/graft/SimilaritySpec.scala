@@ -175,6 +175,13 @@ class SimilaritySpec extends SparkSpec {
     val again = topkMap(Similarity.pqTopK(spark, embs, queries, "embedding",
       "vec_id", k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1))
     assert(again === adc, "PQ build/search must be deterministic")
+
+    // the codegen'd ADC kernel ranks identically to the HOF chain
+    graft.plans.PqAdcScore.register(spark)
+    val nat = topkMap(Similarity.pqTopK(spark, embs, queries, "embedding",
+      "vec_id", k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1,
+      native = true))
+    assert(nat === adc, "native ADC must rank exactly like the HOF path")
   }
 
   test("multi-probe LSH recall dominates single-probe at the same bits") {

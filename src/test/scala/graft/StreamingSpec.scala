@@ -112,6 +112,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: TTL'd first-seen suppression across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    // transformWithState runs only on the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // processing-time state (TTL) keeps the micro-batch engine
+      // scheduling batches FOREVER — `processAllAvailable` never sees the
+      // stream idle, and even AvailableNow keeps running state-driven
+      // empty batches past the bounded offsets (shouldRunAnotherBatch is
+      // unconditionally true in processing-time mode). Drive by POLLING
+      // the sink for the expected rows, then stop the query explicitly;
+      // round 2 restarts on the same checkpoint, proving the suppression
+      // state survives a restart.
+      val in = MemoryStream[Streams.UserEvent]
+      val out = Streams.firstSeenWithTtl(in.toDS(),
+        java.time.Duration.ofHours(1))
+      val ckpt = java.nio.file.Files.createTempDirectory("fsttl-ck").toString
+      // foreachBatch, not the memory sink: a restarted query must recover
+      // from the checkpoint (memory/console sinks reject recovery)
+      def drain(expect: Int): Seq[Streams.UserEvent] = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[
+          Streams.UserEvent]()
+        val q = out.writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streams.UserEvent],
+                           _: Long) => ds.collect().foreach(got.add) }
+          .start()
+        try {
+          val deadline = System.nanoTime + 180L * 1000 * 1000 * 1000
+          while (got.size < expect && System.nanoTime < deadline)
+            Thread.sleep(200)
+          // a short grace pass would catch EXTRA (wrongly unsuppressed)
+          // rows that trail the expected ones
+          Thread.sleep(1500)
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        got.iterator().asScala.toSeq
+      }
+      in.addData(Streams.UserEvent(1L, 1.0), Streams.UserEvent(1L, 2.0),
+        Streams.UserEvent(2L, 3.0))
+      val r1 = drain(2)
+      assert(r1.map(_.user_id).sorted === Seq(1L, 2L))
+      assert(r1.find(_.user_id == 1L).get.value === 1.0,
+        "the FIRST event per key wins within a batch")
+      // key 1 again in a later run: suppressed by CHECKPOINTED state
+      in.addData(Streams.UserEvent(1L, 9.0), Streams.UserEvent(3L, 4.0))
+      val r2 = drain(1)
+      assert(r2.map(_.user_id) === Seq(3L),
+        s"restarted query must suppress key 1 from restored state: $r2")
+
+      // batch parity: same processor over empty state = first row per key
+      val batch = Seq(Streams.UserEvent(7L, 1.0), Streams.UserEvent(7L, 2.0),
+        Streams.UserEvent(8L, 5.0)).toDS()
+      val bres = Streams.firstSeenWithTtl(batch, java.time.Duration.ofHours(1))
+        .collect()
+      assert(bres.map(_.user_id).sorted === Array(7L, 8L))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows merge events within the gap (batch = stream semantics)") {
     val s = spark; import s.implicits._
     val df = Seq(
