@@ -237,19 +237,21 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     val next = versions.lastOption.map(_ + 1).getOrElse(0L)
     val latest = CdcMergeSink.latestSnapshot(root)
     require(
-      graft.sources.MutableParquetTable.manifestBuckets(latest).isEmpty,
-      "compact is not supported on a hash-bucketed table: byte-bin " +
-        "packing would fold files across buckets and break the " +
-        "file-bucket invariant storage-partitioned joins rely on")
-    require(
       graft.sources.MutableParquetTable.manifestTombstoneRows(latest) == 0,
       "compact on a tombstoned snapshot would splice logically-deleted " +
         "rows byte-for-byte and drop the sidecar — run " +
         "materializeTombstones() (SQL: CALL <catalog>.system." +
         "materialize_tombstones) first")
     val target = s"$root/v$next"
-    graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
-      targetBytes)
+    // a hash-bucketed table folds PER BUCKET (outputs keep the bucket
+    // name encoding, so the SPJ file-bucket invariant survives); plain
+    // tables pack contiguously in key order
+    if (graft.sources.MutableParquetTable.manifestBuckets(latest).isDefined)
+      graft.sources.CompactionUtil.compactBucketedDir(spark, latest, target,
+        targetBytes)
+    else
+      graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
+        targetBytes)
     // moreKeys defaults to the manifest-discovered composite identity —
     // dropping it here would silently narrow row identity to the leading
     // key for every later merge

@@ -96,24 +96,9 @@ object CompactionUtil {
       .map(f => f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
     require(files.nonEmpty, s"no parquet files in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    // a CoW chain legitimately mixes physical schemas (e.g. required base
-    // columns vs optional merge rewrites) — bins must not span a schema
-    // boundary, so pack each schema-run separately (oversized runs of one
-    // file pass through alone, never corrupted)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val runs = {
-      val bySchema = files.map { case (f, b) => (f, b, schemaOf(hconf, f)) }
-      val out = Seq.newBuilder[Seq[(String, Long)]]
-      var cur = List.empty[(String, Long)]
-      var curSchema: Option[org.apache.parquet.schema.MessageType] = None
-      bySchema.foreach { case (f, b, s) =>
-        if (curSchema.exists(_ != s) ) { out += cur.reverse; cur = Nil }
-        curSchema = Some(s); cur ::= (f, b)
-      }
-      if (cur.nonEmpty) out += cur.reverse
-      out.result()
-    }
-    val groups = runs.flatMap(run => planBySize(run, targetBytes)).zipWithIndex
+    val groups = schemaRuns(hconf, files)
+      .flatMap(run => planBySize(run, targetBytes)).zipWithIndex
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val outs = groups.map { case (_, i) => f"$outDir/part-$i%05d.parquet" }
@@ -123,6 +108,64 @@ object CompactionUtil {
         concatFiles(conf.value, g, f"$outDir/part-$i%05d.parquet")
       }
     outs
+  }
+
+  /** Split `files` (in order) into runs sharing one EXACT parquet
+    * message type: a CoW chain legitimately mixes physical schemas (e.g.
+    * required base columns vs optional merge rewrites) — bins must not
+    * span a schema boundary, so callers pack each run separately
+    * (oversized runs of one file pass through alone, never corrupted). */
+  private def schemaRuns(conf: Configuration, files: Seq[(String, Long)])
+      : Seq[Seq[(String, Long)]] = {
+    val bySchema = files.map { case (f, b) => (f, b, schemaOf(conf, f)) }
+    val out = Seq.newBuilder[Seq[(String, Long)]]
+    var cur = List.empty[(String, Long)]
+    var curSchema: Option[org.apache.parquet.schema.MessageType] = None
+    bySchema.foreach { case (f, b, s) =>
+      if (curSchema.exists(_ != s)) { out += cur.reverse; cur = Nil }
+      curSchema = Some(s); cur ::= (f, b)
+    }
+    if (cur.nonEmpty) out += cur.reverse
+    out.result()
+  }
+
+  /** Per-BUCKET size-targeted compaction of a hash-bucketed snapshot:
+    * each bucket's files fold independently — NEVER across buckets — and
+    * outputs keep the `b<id>-` name encoding, so the file-bucket
+    * invariant (storage-partitioned joins, bucket-routed merges)
+    * survives storage maintenance. Within a bucket files hold
+    * OVERLAPPING key ranges (hash layout scatters the keyspace), so
+    * there is no contiguity to preserve; raw concat carries every
+    * original row group and its stats verbatim, so row-group skipping
+    * inside the folded file is unchanged, and the manifest entry's
+    * [min,max] (from the folded footer) is the inputs' union. One Spark
+    * task per output file, pure sequential byte IO. */
+  def compactBucketedDir(spark: SparkSession, dir: String, outDir: String,
+                         targetBytes: Long): Seq[String] = {
+    val files = MutableParquetTable.tableFiles(dir)
+      .map(f => f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+    require(files.nonEmpty, s"no parquet files in $dir")
+    val byBucket = files.groupBy { case (f, _) =>
+      GraftBucket.bucketOfName(new Path(f).getName).getOrElse(
+        throw new IllegalArgumentException(
+          s"$f carries no bucket name encoding — not a bucketed snapshot"))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val groups: Seq[(Seq[String], String)] =
+      byBucket.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+        schemaRuns(hconf, fs)
+          .flatMap(run => planBySize(run, targetBytes))
+          .zipWithIndex
+          .map { case (g, i) =>
+            (g, f"$outDir/b$b%05d-part-$i%05d.parquet")
+          }
+      }
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    spark.sparkContext
+      .parallelize(groups, math.max(1, math.min(groups.size, 64)))
+      .foreach { case (g, out) => concatFiles(conf.value, g, out): Unit }
+    groups.map(_._2)
   }
 
   /** Compact a CoW table directory's files into `targetFiles` outputs,

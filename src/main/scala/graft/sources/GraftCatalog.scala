@@ -111,6 +111,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           return new GraftRowsTable(s"$parent#files",
             GraftMetaTables.FilesSchema,
             () => GraftMetaTables.filesRows(parent))
+        case "detail" =>
+          return new GraftRowsTable(s"$parent#detail",
+            GraftMetaTables.DetailSchema,
+            () => GraftMetaTables.detailRows(parent))
         case _ => ()
       }
     }

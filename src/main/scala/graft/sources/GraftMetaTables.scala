@@ -70,6 +70,51 @@ object GraftMetaTables {
         MutableParquetTable.manifestTombstoneRows(dir))
     }
 
+  /** One-row table summary (`SELECT * FROM cat.ns.t.detail` — the
+    * DESCRIBE DETAIL analog): location, identity, layout, inventory and
+    * retention facts, all from the latest manifest + version listing. */
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("location", StringType, nullable = false),
+    StructField("key", StringType),
+    StructField("more_keys", StringType),
+    StructField("buckets", IntegerType),
+    StructField("num_versions", LongType, nullable = false),
+    StructField("latest_version", LongType),
+    StructField("file_count", LongType),
+    StructField("total_rows", LongType),
+    StructField("tombstones", LongType, nullable = false),
+    StructField("size_bytes", LongType),
+    StructField("committed_at_ms", LongType)))
+
+  def detailRows(root: String): Seq[Array[Any]] = {
+    val versions = CdcMergeSink.versions(root)
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val m = MutableParquetTable.readManifest(latest).getOrElse("")
+    val key = MutableParquetTable.pruneManifestFiles(latest, None, None)
+      .map(_._1)
+    val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
+    val sizeBytes = MutableParquetTable.manifestFileNames(latest)
+      .map(_.map { e =>
+        val p = java.nio.file.Paths.get(
+          MutableParquetTable.resolvePath(latest, e))
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      }.sum).map(java.lang.Long.valueOf).orNull
+    Seq(Array[Any](
+      UTF8String.fromString(root),
+      key.map(UTF8String.fromString).orNull,
+      if (moreKeys.isEmpty) null
+      else UTF8String.fromString(moreKeys.mkString(",")),
+      MutableParquetTable.manifestBuckets(latest)
+        .map(java.lang.Integer.valueOf).orNull,
+      java.lang.Long.valueOf(versions.size.toLong + 1L), // + base
+      versions.lastOption.map(java.lang.Long.valueOf).orNull,
+      manifestLong(m, "fileCount"),
+      manifestLong(m, "totalRows"),
+      MutableParquetTable.manifestTombstoneRows(latest),
+      sizeBytes,
+      manifestLong(m, "committedAtMs")))
+  }
+
   def filesRows(root: String): Seq[Array[Any]] = {
     val latest = CdcMergeSink.latestSnapshot(root)
     MutableParquetTable.manifestRangesAnyKey(latest).getOrElse(Nil).map { r =>

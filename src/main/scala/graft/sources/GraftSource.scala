@@ -476,7 +476,11 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (orders.length != 1) return false
+    // only the LEADING sort column gates the prune: the k-th row under
+    // (key, tiebreakers...) has key <= the k-th key under (key) alone, so
+    // the same bound T covers every row any tiebreaker could promote —
+    // extra orders ride along free (Spark re-sorts the kept rows anyway)
+    if (orders.isEmpty) return false
     val onKey = orders.head.expression() match {
       case f: NamedReference =>
         f.fieldNames.length == 1 && table.keyName.contains(f.fieldNames.head)

@@ -295,6 +295,20 @@ class GraftCatalogSpec extends SparkSpec {
          JOIN graft.ns.meta1.history p ON h.version = p.version + 1""")
       .head().getLong(0) === 1L)
 
+    // detail: the one-row DESCRIBE DETAIL analog, manifest-answered
+    val det = spark.sql(
+      "SELECT key, num_versions, latest_version, total_rows, tombstones, " +
+        "size_bytes, buckets FROM graft.ns.meta1.detail").collect()
+    assert(det.length === 1)
+    val d = det.head
+    assert(d.getString(0) === "id")
+    assert(d.getLong(1) === 3L) // base + v0 + v1
+    assert(d.getLong(2) === 1L)
+    assert(d.getLong(3) === 101L)
+    assert(d.getLong(4) === 0L)
+    assert(d.getLong(5) > 0L)
+    assert(d.isNullAt(6)) // not bucketed
+
     // a streaming-sink commit shows its txn marker in history
     import java.nio.file.Files
     implicit val ctx = spark.sqlContext

@@ -308,6 +308,22 @@ class GraftSourceSpec extends SparkSpec {
     assert(GraftSource.lastScanFiles.size === 1,
       s"desc top-7 should read the high-end file: ${GraftSource.lastScanFiles}")
     assert(desc === expectDesc)
+
+    // tiebreaker orders after the leading key ride along free (the k-th
+    // row's key bound is unchanged by them)
+    val expectTie = GraftTable(spark, root, "id").read()
+      .orderBy(col("id"), col("name").desc).limit(5).collect()
+    val tie = df.orderBy(col("id"), col("name").desc).limit(5).collect()
+    assert(GraftSource.lastScanFiles.size === 1,
+      s"tiebroken top-5 should still read one file: ${GraftSource.lastScanFiles}")
+    assert(tie === expectTie)
+
+    // a NON-key leading order must not prune
+    df.select("id", "name").collect()
+    val full2 = GraftSource.lastScanFiles.size
+    df.orderBy(col("name")).limit(5).collect()
+    assert(GraftSource.lastScanFiles.size === full2,
+      "non-key leading sort must scan every file")
   }
 
   test("bare LIMIT k prunes to a row-count prefix of the manifest") {

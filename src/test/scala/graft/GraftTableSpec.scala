@@ -104,6 +104,43 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().where(col("id") === 11L).isEmpty)
   }
 
+  test("bucketed compaction folds per bucket, layout and content intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bcompact").toString
+    val base = (0L until 2000L).map(i => (i, i * 3)).toDF("k", "v")
+    // small maxRecordsPerFile = several files PER BUCKET (the bucketed
+    // writer otherwise lands one file per bucket task)
+    val t = GraftTable.create(base, root, "k", numFiles = 0,
+      layout = graft.sources.ParquetLayout(maxRecordsPerFile = Some(150)),
+      buckets = Some(4))
+    // a small merge: dirty buckets rewrite, clean buckets keep their
+    // multi-file form — compaction must handle the mix
+    t.commit(Seq((1L, -1L, "upsert"), (2L, -2L, "upsert"))
+      .toDF("k", "v", "op"))
+    val before = t.read().orderBy("k").collect()
+    val filesBefore = graft.sources.MutableParquetTable.manifestFileNames(
+      graft.streaming.CdcMergeSink.latestSnapshot(root)).get.size
+
+    val v = t.compact(targetBytes = 512L * 1024 * 1024)
+    val latest = s"$root/v$v"
+    // content identical, bucket spec carried, every file bucket-encoded
+    assert(t.read().orderBy("k").collect() === before)
+    assert(graft.sources.MutableParquetTable.manifestBuckets(latest)
+      === Some(4))
+    val names = graft.sources.MutableParquetTable.manifestFileNames(latest)
+      .get.map(e => e.substring(e.lastIndexOf('/') + 1))
+    assert(names.nonEmpty && names.size < filesBefore,
+      s"compaction should fold files: $filesBefore -> ${names.size}")
+    assert(names.forall(n =>
+      graft.sources.GraftBucket.bucketOfName(n).isDefined),
+      s"outputs must keep the bucket encoding: $names")
+    assert(names.flatMap(graft.sources.GraftBucket.bucketOfName).toSet
+      === Set(0, 1, 2, 3))
+
+    // the compacted table still merges (bucket routing unaffected)
+    t.commit(Seq((1L, 999L, "upsert")).toDF("k", "v", "op"))
+    assert(t.read().where(col("k") === 1L).head().getLong(1) === 999L)
+  }
+
   test("SQL: CALL system.restore rolls a catalog table back") {
     val root = java.nio.file.Files.createTempDirectory("graft-restore-sql").toString
     spark.conf.set("spark.sql.catalog.gres", "graft.sources.GraftCatalog")
