@@ -146,6 +146,7 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def restoreTo(version: Long): Long =
     OptimisticCommit.restore(spark, root, version)
 
+
   /** Latest committed state. */
   def read(): DataFrame =
     CdcMergeSink.readAsOf(spark, root, Long.MaxValue)
@@ -299,6 +300,37 @@ object GraftTable {
             passthrough: graft.sources.MutableParquetTable.Passthrough =
               graft.sources.MutableParquetTable.Link): GraftTable =
     new GraftTable(spark, root, key, passthrough)
+
+  /** ZERO-COPY clone of `srcRoot`'s latest state into a NEW table at
+    * `dstRoot` (the Delta SHALLOW CLONE analog): the clone's base
+    * snapshot is one manifest referencing the source's physical files in
+    * place — no data bytes move at any table size. Identity (key +
+    * composite members), bucket spec, schema, and the tombstone sidecar
+    * carry over; the clone then lives its own life — merges route and
+    * pass through the referenced files like any committed snapshot
+    * (rewrites write INTO the clone, never the source), vacuum
+    * reference-counts, and time travel starts fresh at the clone point.
+    *
+    * Caveat (Delta's shallow-clone caveat too): the SOURCE's vacuum does
+    * not know about the clone's references — deep-cleaning the source
+    * past the cloned version can delete files the clone still lists.
+    * Retain that version on the source, or materialize the clone
+    * (`replace` with its own content) first. */
+  def cloneFrom(spark: SparkSession, srcRoot: String,
+                dstRoot: String): GraftTable = {
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dstRoot, "base")),
+      s"$dstRoot already holds a table — clone targets a fresh root")
+    val srcLatest = CdcMergeSink.latestSnapshot(srcRoot)
+    val key = graft.sources.MutableParquetTable
+      .pruneManifestFiles(srcLatest, None, None).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$srcLatest has no manifest key — only committed graft tables " +
+          "can be cloned"))
+    graft.sources.MutableParquetTable.stageRestoreManifest(
+      s"$dstRoot/base", srcLatest)
+    new GraftTable(spark, dstRoot, key)
+  }
 
   /** Create the base snapshot from a DataFrame and open the table.
     * The base is written all-nullable so every file the chain will ever

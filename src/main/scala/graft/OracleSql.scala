@@ -1054,6 +1054,19 @@ object OracleSql {
                < '40000000')
       ORDER BY doc_id""",
 
+    // shallow clone: source history (bal+50 on %40) + clone-only edits
+    // (delete %60 unless %90; full-row upsert 'cloned' on %90, which
+    // reverts bal to the raw value) recomputed relationally
+    "q115_clone" -> """
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 90 = 0 THEN 'cloned' ELSE c_name END AS name,
+        round(CASE WHEN c_custkey % 90 = 0 THEN c_acctbal
+                   WHEN c_custkey % 40 = 0 THEN c_acctbal + 50.0
+                   ELSE c_acctbal END, 2) AS bal
+      FROM customer
+      WHERE NOT (c_custkey % 60 = 0 AND c_custkey % 90 <> 0)
+      ORDER BY c_custkey""",
+
     // RESTORE lifecycle: v0 (bal+100 on %50) survives, v1 (the %70
     // delete) is undone by the rollback, v3 (the %90 full-row upsert
     // from the ORIGINAL rows) lands on top — recomputed relationally.

@@ -1724,6 +1724,44 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Zero-copy SHALLOW CLONE ([[graft.GraftTable.cloneFrom]]): source
+    * table from customer (one merge of history), cloned by reference
+    * (zero data files staged — asserted), then mutated independently;
+    * the oracle recomputes source-history + clone-only edits, so a hash
+    * match proves the referencing base composes with routing, CoW, and
+    * reads exactly — and the source-divergence asserts prove isolation. */
+  def q115_clone(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q115").toString
+    val src = graft.GraftTable.create(c, s"$work/src", "c_custkey", numFiles = 6)
+    src.commit(c.where(col("c_custkey") % 40 === 0)                   // src v0
+      .withColumn("c_acctbal", col("c_acctbal") + lit(50.0))
+      .withColumn("op", lit("upsert")))
+    val srcCount = src.read().count()
+
+    val dst = graft.GraftTable.cloneFrom(s, s"$work/src", s"$work/dst")
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/dst/base"))
+    val local = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally ls.close()
+    require(local == 0, s"clone must stage no data files, found $local")
+
+    dst.commit(                                                       // dst v0
+      c.where(col("c_custkey") % 60 === 0 && col("c_custkey") % 90 =!= 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(c.where(col("c_custkey") % 90 === 0)
+          .withColumn("c_name", lit("cloned"))
+          .withColumn("op", lit("upsert"))))
+    require(src.read().count() == srcCount,
+      "a clone-side merge must not change the source")
+    dst.read()
+      .select(col("c_custkey"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2302,6 +2340,7 @@ object SparkEntry {
     "q112_topk_pushdown" -> (q112_topk_pushdown _),
     "q113_line_dedup" -> (q113_line_dedup _),
     "q114_pq_ann" -> (q114_pq_ann _),
+    "q115_clone" -> (q115_clone _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

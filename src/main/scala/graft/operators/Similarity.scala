@@ -285,6 +285,24 @@ object Similarity {
           books(j))): _*).as("codes"))
   }
 
+  /** [[pqEncode]] with the codes PACKED to one byte per subspace
+    * (`binary`, requires ksub ≤ 256) — the form a deployment PERSISTS:
+    * m bytes per vector vs dim·4 of floats (32× at dim=64/m=8), and
+    * exactly the compressed row the native ADC kernel scans. Packed
+    * codes require `native = true` at search (HOFs can't index binary). */
+  def pqEncodePacked(spark: SparkSession, corpus: DataFrame, vecCol: String,
+                     idCol: String, books: Seq[Seq[(Long, Seq[Float])]],
+                     dim: Int): DataFrame = {
+    require(books.forall(_.size <= 256),
+      s"packed PQ codes need ksub <= 256, got ${books.map(_.size).max}")
+    val arr = pqEncode(spark, corpus, vecCol, idCol, books, dim)
+    arr.select(col("id"),
+      org.apache.spark.sql.classic.GraftShims.column(
+        graft.plans.PqPackCodes(
+          org.apache.spark.sql.classic.GraftShims.expression(col("codes"))))
+        .as("codes"))
+  }
+
   /** PQ top-k via ASYMMETRIC DISTANCE COMPUTATION: per query, a lookup
     * table of ⟨query-slice, centroid⟩ partial inner products (and
     * centroid norms) is built — m·ksub entries, metadata-sized — and
@@ -311,7 +329,12 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, kmeansIters: Int = 2,
              rerank: Int = 0, native: Boolean = false): DataFrame = {
     val books = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
-    val codes = pqEncode(spark, corpus, vecCol, idCol, books, dim)
+    // the native path scans the PACKED (deployment) form when it fits a
+    // byte; the HOF fallback needs indexable array codes
+    val codes =
+      if (native && books.forall(_.size <= 256))
+        pqEncodePacked(spark, corpus, vecCol, idCol, books, dim)
+      else pqEncode(spark, corpus, vecCol, idCol, books, dim)
     pqTopKEncoded(spark, codes, corpus, queries, books, vecCol, idCol,
       k, dim, rerank, native)
   }
@@ -324,6 +347,11 @@ object Similarity {
                     queries: DataFrame, books: Seq[Seq[(Long, Seq[Float])]],
                     vecCol: String, idCol: String, k: Int, dim: Int,
                     rerank: Int = 0, native: Boolean = false): DataFrame = {
+    require(native ||
+        codes.schema("codes").dataType !=
+          org.apache.spark.sql.types.BinaryType,
+      "packed (binary) PQ codes require the native ADC kernel " +
+        "(native = true; register graft.plans.PqAdcScore first)")
     val m = books.size
     // a tiny corpus can seed fewer than ksub cells — the LUT's flattening
     // arithmetic must use the REAL per-book size, and all books must agree

@@ -152,19 +152,24 @@ case class PqAdcScore(first: Expression, second: Expression,
                       third: Expression, fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
 
+  private def packedCodes: Boolean =
+    first.dataType == org.apache.spark.sql.types.BinaryType
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def arr(dt: DataType, et: DataType): Boolean = dt match {
       case ArrayType(`et`, _) => true
       case _ => false
     }
-    if (arr(first.dataType, LongType) &&
+    val codesOk = arr(first.dataType, LongType) || packedCodes
+    if (codesOk &&
         arr(second.dataType, org.apache.spark.sql.types.DoubleType) &&
         arr(third.dataType, org.apache.spark.sql.types.DoubleType) &&
         fourth.dataType == org.apache.spark.sql.types.DoubleType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (array<bigint>, array<double>, array<double>, " +
-        s"double), got ${children.map(_.dataType.catalogString).mkString(", ")}")
+      s"$prettyName expects (array<bigint> | binary, array<double>, " +
+        s"array<double>, double), got " +
+        children.map(_.dataType.catalogString).mkString(", "))
   }
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -172,18 +177,22 @@ case class PqAdcScore(first: Expression, second: Expression,
   override def prettyName: String = "graft_pq_adc"
 
   override def nullSafeEval(c: Any, i: Any, n: Any, q: Any): Any = {
-    val codes = c.asInstanceOf[ArrayData]
     val ip = i.asInstanceOf[ArrayData]
     val cn = n.asInstanceOf[ArrayData]
     val qn = q.asInstanceOf[Double]
-    val m = codes.numElements()
+    val m =
+      if (packedCodes) c.asInstanceOf[Array[Byte]].length
+      else c.asInstanceOf[ArrayData].numElements()
     if (m == 0 || ip.numElements() % m != 0 ||
         cn.numElements() != ip.numElements()) return null
     val k = ip.numElements() / m
     var num = 0.0; var den = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * k + codes.getLong(j).toInt
+      val code =
+        if (packedCodes) c.asInstanceOf[Array[Byte]](j) & 0xFF
+        else c.asInstanceOf[ArrayData].getLong(j).toInt
+      val idx = j * k + code
       num += ip.getDouble(idx); den += cn.getDouble(idx)
       j += 1
     }
@@ -200,8 +209,11 @@ case class PqAdcScore(first: Expression, second: Expression,
       val num = ctx.freshName("num")
       val den = ctx.freshName("den")
       val denom = ctx.freshName("denom")
+      val mExpr = if (packedCodes) s"$c.length" else s"$c.numElements()"
+      val codeExpr =
+        if (packedCodes) s"($c[$j] & 0xFF)" else s"(int) $c.getLong($j)"
       s"""
-        int $m = $c.numElements();
+        int $m = $mExpr;
         if ($m == 0 || $i.numElements() % $m != 0 ||
             $n.numElements() != $i.numElements()) {
           ${ev.isNull} = true;
@@ -209,7 +221,7 @@ case class PqAdcScore(first: Expression, second: Expression,
           int $k = $i.numElements() / $m;
           double $num = 0.0; double $den = 0.0;
           for (int $j = 0; $j < $m; $j++) {
-            int $idx = $j * $k + (int) $c.getLong($j);
+            int $idx = $j * $k + $codeExpr;
             $num += $i.getDouble($idx); $den += $n.getDouble($idx);
           }
           double $denom = $q * java.lang.Math.sqrt($den);
@@ -221,6 +233,60 @@ case class PqAdcScore(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, o: Expression): PqAdcScore =
     copy(first = f, second = s, third = t, fourth = o)
+}
+
+/** Pack PQ cell ids (`array<bigint>`, every value in [0,255]) into one
+  * BYTE each — the persisted form of an encoded corpus: m bytes per
+  * vector instead of an ~(16 + 8·m)-byte long array, and exactly the
+  * compressed row the ADC kernel scans. A code outside byte range
+  * (ksub > 256 codebooks) yields NULL rather than silent truncation. */
+case class PqPackCodes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pq_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = a.getLong(i)
+      if (c < 0L || c > 255L) return null
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      s"""
+        int $n = $a.numElements();
+        byte[] $out = new byte[$n];
+        boolean $bad = false;
+        for (int $i = 0; $i < $n && !$bad; $i++) {
+          long $c = $a.getLong($i);
+          if ($c < 0L || $c > 255L) $bad = true;
+          else $out[$i] = (byte) $c;
+        }
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqPackCodes =
+    copy(child = newChild)
 }
 
 object PqAdcScore {

@@ -65,6 +65,7 @@ object GraftProcedures {
       case "repair_feed" => new RepairFeed(root)
       case "materialize_tombstones" => new MaterializeTombstones(root)
       case "restore" => new Restore(root)
+      case "clone" => new CloneTable(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -235,6 +236,36 @@ object GraftProcedures {
       val (key, _) = tableKeys(dir)
       val v = graft.GraftTable(spark, dir, key).restoreTo(toV)
       Seq(row(toV, v))
+    }
+  }
+
+  /** [[graft.GraftTable.cloneFrom]] as SQL: zero-copy SHALLOW CLONE of a
+    * table's latest state into a new catalog table — one referencing
+    * manifest, no data bytes at any table size. The source's vacuum does
+    * not see the clone's references (the Delta shallow-clone caveat). */
+  private final class CloneTable(root: String) extends Proc(root) {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy shallow clone of a table's latest state into a new table"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source", StringType, comment = "'ns.t' in this catalog"),
+      param("target", StringType, comment =
+        "'ns.t2' to create (must not exist)"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("target_location", StringType, nullable = false),
+      StructField("referenced_files", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val src = tableDir(input)
+      val targetName = input.getUTF8String(1).toString
+      val dst = (root +: targetName.split('.').toSeq.filter(_.nonEmpty))
+        .mkString("/")
+      graft.GraftTable.cloneFrom(spark, src, dst)
+      val base = s"$dst/base"
+      Seq(row(dst,
+        MutableParquetTable.manifestFileNames(base).map(_.size.toLong)
+          .getOrElse(0L),
+        MutableParquetTable.manifestExactRowCount(base).getOrElse(-1L)))
     }
   }
 

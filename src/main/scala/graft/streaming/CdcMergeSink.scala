@@ -134,7 +134,13 @@ object CdcMergeSink {
     at match {
       case Some(v) =>
         MutableParquetTable.readCommitted(spark, s"$tableRoot/v$v")
-      case None => spark.read.parquet(s"$tableRoot/base")
+      case None =>
+        // a committed base reads manifest-trusted — a CLONE's base holds
+        // only reference entries (zero local data files), which a plain
+        // directory read cannot see
+        if (MutableParquetTable.isCommitted(s"$tableRoot/base"))
+          MutableParquetTable.readCommitted(spark, s"$tableRoot/base")
+        else spark.read.parquet(s"$tableRoot/base")
     }
   }
 

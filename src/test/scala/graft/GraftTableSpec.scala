@@ -141,6 +141,64 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().where(col("k") === 1L).head().getLong(1) === 999L)
   }
 
+  test("cloneFrom: zero-copy shallow clone with independent lineage") {
+    val work = java.nio.file.Files.createTempDirectory("graft-clone").toString
+    val src = GraftTable.create(
+      (0L until 500L).map(i => (i, s"s$i")).toDF("id", "s"),
+      s"$work/src", "id", numFiles = 4)
+    src.commit(Seq((7L, "srcv0", "upsert")).toDF("id", "s", "op"))
+    val srcState = src.read().orderBy("id").collect()
+
+    val dst = GraftTable.cloneFrom(spark, s"$work/src", s"$work/dst")
+    // identical content, ZERO local data files (manifest references only)
+    assert(dst.read().orderBy("id").collect() === srcState)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/dst/base"))
+    val local = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally ls.close()
+    assert(local === 0, "clone must not copy data files")
+
+    // diverge: a merge on the clone neither touches nor is seen by the
+    // source, and vice versa
+    dst.commit(Seq((7L, "dstv0", "upsert"), (900L, "new", "upsert"))
+      .toDF("id", "s", "op"))
+    src.commit(Seq((8L, "srcv1", "upsert")).toDF("id", "s", "op"))
+    assert(dst.read().where(col("id") === 7L).head().getString(1) === "dstv0")
+    assert(dst.read().where(col("id") === 8L).head().getString(1) === "s8")
+    assert(src.read().where(col("id") === 7L).head().getString(1) === "srcv0")
+    assert(src.read().where(col("id") === 900L).isEmpty)
+
+    // an occupied target refuses
+    intercept[IllegalArgumentException] {
+      GraftTable.cloneFrom(spark, s"$work/src", s"$work/dst")
+    }
+  }
+
+  test("SQL: CALL system.clone creates a referencing catalog table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-clone-sql").toString
+    spark.conf.set("spark.sql.catalog.gcl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcl.root", root)
+    try {
+      spark.sql("""CREATE TABLE gcl.ns.src (id BIGINT, v BIGINT)
+                   USING graft TBLPROPERTIES ('key' = 'id')""")
+      spark.sql("INSERT INTO gcl.ns.src SELECT id, id * 2 FROM range(0, 100)")
+      val out = spark.sql("CALL gcl.system.clone('ns.src', 'ns.copy')")
+        .collect()
+      assert(out.head.getLong(2) === 100L)
+      assert(spark.sql("SELECT count(*) FROM gcl.ns.copy").head().getLong(0)
+        === 100L)
+      spark.sql("INSERT INTO gcl.ns.copy VALUES (500, 1)")
+      assert(spark.sql("SELECT count(*) FROM gcl.ns.copy").head().getLong(0)
+        === 101L)
+      assert(spark.sql("SELECT count(*) FROM gcl.ns.src").head().getLong(0)
+        === 100L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcl")
+      spark.conf.unset("spark.sql.catalog.gcl.root")
+    }
+  }
+
   test("SQL: CALL system.restore rolls a catalog table back") {
     val root = java.nio.file.Files.createTempDirectory("graft-restore-sql").toString
     spark.conf.set("spark.sql.catalog.gres", "graft.sources.GraftCatalog")

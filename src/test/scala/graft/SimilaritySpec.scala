@@ -182,6 +182,24 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1,
       native = true))
     assert(nat === adc, "native ADC must rank exactly like the HOF path")
+
+    // PACKED codes (the persisted deployment form): one byte per
+    // subspace, identical ranking through the native kernel; the HOF
+    // path refuses them loudly
+    val packed = Similarity.pqEncodePacked(spark, embs, "embedding",
+      "vec_id", books, dim = 64)
+    assert(packed.schema("codes").dataType
+      === org.apache.spark.sql.types.BinaryType)
+    assert(packed.orderBy("id").head().getAs[Array[Byte]](1).length === 8)
+    val viaPacked = topkMap(Similarity.pqTopKEncoded(spark, packed, embs,
+      queries, books, "embedding", "vec_id", k = 10, dim = 64,
+      rerank = 0, native = true))
+    assert(viaPacked === nat, "packed codes must rank identically")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKEncoded(spark, packed, embs, queries, books,
+        "embedding", "vec_id", k = 10, dim = 64, rerank = 0,
+        native = false)
+    }
   }
 
   test("multi-probe LSH recall dominates single-probe at the same bits") {
