@@ -210,8 +210,8 @@ object OptimisticCommit {
       MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
         .commitManifest(dir, Some(batch.schema))
     }
-    // replace never rewrites its staged manifest on a lost race, so one
-    // stamp up front is durable across publish attempts
+    // re-aims only re-stamp committedAtMs, never the txn fields, so one
+    // marker stamp up front is durable across publish attempts
     txnMarker.foreach { case (a, e) =>
       MutableParquetTable.annotateTxn(dir, a, e) }
     var attempts = 0
@@ -236,6 +236,10 @@ object OptimisticCommit {
           if (CdcMergeSink.lastTxnEpoch(tableRoot, app).exists(_ >= epoch))
             return nowLast
         }
+        // the winner's stamp is newer than this staged one — re-stamp so
+        // commit times stay monotone along the chain (timestamp travel /
+        // feed binary search). The txn marker fields are untouched.
+        MutableParquetTable.restampCommittedAt(dir)
       }
       throw new IllegalStateException(
         s"replace on $tableRoot lost the publish race $maxAttempts times — " +
@@ -285,6 +289,8 @@ object OptimisticCommit {
             s"$targetSlot exists but is not a committed snapshot — a " +
               "crashed direct applyBatch target or foreign directory is " +
               "blocking the version chain; remove it (vacuum) and retry")
+        // keep commit times monotone across re-aims (see [[replace]])
+        MutableParquetTable.restampCommittedAt(dir)
       }
       throw new IllegalStateException(
         s"restore on $tableRoot lost the publish race $maxAttempts times " +

@@ -195,8 +195,19 @@ object Similarity {
     try {
       var it = 0
       while (it < iters) {
+        // per-iteration broadcast, destroyed after the eager collect —
+        // N iterations must not accumulate N codebook copies on executors
+        val (bc, dim) = broadcastCodebook(spark, cents)
+        val cidCol = org.apache.spark.sql.classic.GraftShims.column(
+          graft.plans.NearestCentroids(
+            org.apache.spark.sql.classic.GraftShims.expression(col("vec")),
+            bc, dim, 1))
         val means = vecs
-          .withColumn("cid", nearestCentroidCol(spark, col("vec"), cents))
+          .withColumn("cid", cidCol)
+          // a malformed vector (null, or length != dim) assigns cid NULL
+          // — it contributes to no cell's mean, same as the assignment
+          // path where it joins to no probe
+          .where(col("cid").isNotNull)
           .select(col("cid"), posexplode(col("vec")))
           .groupBy(col("cid"), col("pos"))
           .agg(avg(col("col")).as("m"))
@@ -205,6 +216,7 @@ object Similarity {
           .map { case (cid, rows) =>
             cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
           }
+        bc.destroy()
         cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
         it += 1
       }

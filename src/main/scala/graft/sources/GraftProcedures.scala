@@ -45,7 +45,7 @@ object GraftProcedures {
   val Namespace = "system"
 
   private val names = Seq("history", "vacuum", "compact", "zorder",
-    "repair_feed", "materialize_tombstones")
+    "repair_feed", "materialize_tombstones", "restore", "clone")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))

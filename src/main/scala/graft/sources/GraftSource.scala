@@ -587,13 +587,19 @@ final class GraftParquetScan(spark: SparkSession,
   private def baseName(f: String): String =
     f.substring(f.lastIndexOf('/') + 1)
 
-  /** (bucket id per planned file), when this snapshot is a bucketed
-    * layout and every planned file carries a bucket name. */
-  private def bucketByFile: Option[Map[String, Int]] =
+  /** (bucket id per STATICALLY planned file), when this snapshot is a
+    * bucketed layout and every such file carries a bucket name. Fixed at
+    * scan build time: the reported partitioning is a CONTRACT — runtime
+    * filtering may empty a bucket's file set, but its partition must
+    * still be emitted ([[GraftBucketedBatch]] backfills empties), or
+    * Spark's SPJ exec errors on the partition-count change. */
+  private val bucketByFile: Option[Map[String, Int]] =
     table.bucketSpec.filter(_ => table.keyName.isDefined).flatMap { _ =>
-      val parsed = plannedFiles.map(f =>
+      val parsed = staticFiles.map(f =>
         GraftBucket.bucketOfName(baseName(f)).map(f -> _))
-      if (parsed.forall(_.isDefined)) Some(parsed.flatten.toMap) else None
+      if (parsed.nonEmpty && parsed.forall(_.isDefined))
+        Some(parsed.flatten.toMap)
+      else None
     }
 
   /** STORAGE-PARTITIONED JOINS: a bucketed snapshot reports
@@ -810,7 +816,10 @@ final class GraftParquetScan(spark: SparkSession,
 
   override def toBatch: Batch = {
     GraftSource.recordScan(plannedFiles)
-    if (plannedFiles.isEmpty)
+    // an un-bucketed scan with nothing left to read short-circuits; a
+    // bucketed scan must still emit its plan-time partitions (empty) to
+    // honor the reported KeyGroupedPartitioning under runtime filtering
+    if (plannedFiles.isEmpty && bucketByFile.isEmpty)
       return new Batch {
         override def planInputPartitions(): Array[InputPartition] = Array.empty
         override def createReaderFactory(): PartitionReaderFactory =
@@ -825,7 +834,8 @@ final class GraftParquetScan(spark: SparkSession,
       options = CaseInsensitiveStringMap.empty()).toBatch
     bucketByFile match {
       case Some(byFile) => new GraftBucketedBatch(delegate,
-        byFile.map { case (f, b) => baseName(f) -> b })
+        byFile.map { case (f, b) => baseName(f) -> b },
+        byFile.values.toSet)
       case None => delegate
     }
   }
@@ -838,7 +848,8 @@ final class GraftParquetScan(spark: SparkSession,
   * Readers delegate to the parquet factory unchanged (columnar batches,
   * codegen). */
 final class GraftBucketedBatch(delegate: Batch,
-                               bucketOfBase: Map[String, Int]) extends Batch {
+                               bucketOfBase: Map[String, Int],
+                               allBuckets: Set[Int]) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = delegate.planInputPartitions().flatMap {
@@ -847,17 +858,19 @@ final class GraftBucketedBatch(delegate: Batch,
       case other => throw new IllegalStateException(
         s"unexpected parquet partition type: ${other.getClass}")
     }
-    files.groupBy { pf =>
-        val p = pf.filePath.toString
-        bucketOfBase(p.substring(p.lastIndexOf('/') + 1))
-      }
-      .toSeq.sortBy(_._1)
-      .zipWithIndex
-      .map { case ((b, pfs), i) =>
-        GraftBucketPartition(
-          org.apache.spark.sql.execution.datasources.FilePartition(i, pfs),
-          b)
-      }.toArray
+    val byBucket = files.groupBy { pf =>
+      val p = pf.filePath.toString
+      bucketOfBase(p.substring(p.lastIndexOf('/') + 1))
+    }
+    // every plan-time bucket emits a partition — runtime file pruning
+    // may leave one EMPTY, but the reported partitioning stays intact
+    allBuckets.toSeq.sorted.zipWithIndex.map { case (b, i) =>
+      GraftBucketPartition(
+        org.apache.spark.sql.execution.datasources.FilePartition(i,
+          byBucket.getOrElse(b,
+            Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile])),
+        b)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

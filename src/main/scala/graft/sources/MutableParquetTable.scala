@@ -238,27 +238,19 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     * few percent of the bytes a full rewrite would touch. */
   private def holderFileNames(batch: DataFrame,
                               allFiles: Seq[String]): Set[String] = {
-    if (keys.exists(_.contains("."))) {
-      // nested key: USING joins need top-level columns — alias the key
-      // expression on both sides (same semi-join shape)
-      val batchKeys = batch.select(keys.zipWithIndex.map {
-        case (k, i) => col(k).as(s"__gk$i") }: _*).distinct()
-      val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
-        .select(keys.zipWithIndex.map { case (k, i) =>
-          col(k).as(s"__gf$i") } :+ input_file_name().as("__graft_file"): _*)
-      withFile.join(batchKeys,
-          keys.indices.map(i => col(s"__gf$i") === col(s"__gk$i")).reduce(_ && _),
-          "left_semi")
-        .select("__graft_file").distinct()
-        .collect().map(r => fileName(r.getString(0))).toSet
-    } else {
-      val batchKeys = batch.select(keys.map(col): _*).distinct()
-      val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
-        .select(keys.map(col) :+ input_file_name().as("__graft_file"): _*)
-      withFile.join(batchKeys, keys, "left_semi")
-        .select("__graft_file").distinct()
-        .collect().map(r => fileName(r.getString(0))).toSet
-    }
+    // aliased key expressions on both sides: handles top-level AND nested
+    // (dotted-path) keys with one semi-join shape — same discipline as
+    // MergeOps/carryTombstonesMinus
+    val batchKeys = batch.select(keys.zipWithIndex.map {
+      case (k, i) => col(k).as(s"__gk$i") }: _*).distinct()
+    val withFile = spark.read.schema(tableSchema).parquet(allFiles: _*)
+      .select(keys.zipWithIndex.map { case (k, i) =>
+        col(k).as(s"__gf$i") } :+ input_file_name().as("__graft_file"): _*)
+    withFile.join(batchKeys,
+        keys.indices.map(i => col(s"__gf$i") === col(s"__gk$i")).reduce(_ && _),
+        "left_semi")
+      .select("__graft_file").distinct()
+      .collect().map(r => fileName(r.getString(0))).toSet
   }
 
   /** Copy-on-write merge. `batch` = base schema + op column.
@@ -714,8 +706,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           val parts = try st.iterator().asScala
             .filter(_.getFileName.toString.endsWith(".parquet")).toList
           finally st.close()
+          // a bucketed source file's rows stay in their bucket (deletes
+          // never move rows) — the rewrite keeps its b<id>- name prefix
+          // so the file-bucket invariant survives zone deletes
+          val bp = MutableParquetTable.bucketPrefixOf(f)
           parts.foreach { p =>
-            Files.move(p, Paths.get(outDir, s"del$i-${p.getFileName.toString}"),
+            Files.move(p,
+              Paths.get(outDir, s"${bp}del$i-${p.getFileName.toString}"),
               StandardCopyOption.ATOMIC_MOVE)
           }
           MutableParquetTable.deleteDir(Paths.get(staging))
@@ -818,8 +815,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         val parts = try st.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toList
         finally st.close()
+        // in-place updates keep rows in their bucket — preserve the
+        // b<id>- prefix (file-bucket invariant) through the rewrite
+        val bp = MutableParquetTable.bucketPrefixOf(f)
         parts.foreach { p =>
-          Files.move(p, Paths.get(outDir, s"upd$i-${p.getFileName.toString}"),
+          Files.move(p,
+            Paths.get(outDir, s"${bp}upd$i-${p.getFileName.toString}"),
             StandardCopyOption.ATOMIC_MOVE)
         }
         MutableParquetTable.deleteDir(Paths.get(staging))
@@ -1113,7 +1114,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     val files = (ranges.map { r =>
       s"""{"file":${js(entryOf(r.file))},"minKey":${js(keyRepr(r.min))},""" +
         s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}""" +
-        (if (r.nullKeys != 0) s""","nullKeys":${r.nullKeys}}""" else "}")
+        s""","nullKeys":${r.nullKeys}}"""
     } ++ statless.map(n => s"""{"file":${js(n)}}""")).mkString("[", ",", "]")
     val keyType = ranges.headOption.map(_.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1342,7 +1343,7 @@ object MutableParquetTable {
     val files = sorted.map { case (e, r) =>
       s"""{"file":${js(e)},"minKey":${js(keyRepr(r.min))},""" +
         s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}""" +
-        (if (r.nullKeys != 0) s""","nullKeys":${r.nullKeys}}""" else "}")
+        s""","nullKeys":${r.nullKeys}}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
@@ -1503,6 +1504,26 @@ object MutableParquetTable {
     * `feedPending` (no feed is written for a restore), and
     * `committedAtMs` (re-stamped — commit times must stay monotone along
     * the version chain for timestamp time travel). */
+  /** Re-stamp a staged manifest's `committedAtMs` to NOW. Commit times
+    * must be monotone along the version chain (timestamp time travel and
+    * the change feed's binary search depend on it) — a staged snapshot
+    * that lost a publish race carries a stamp OLDER than the version
+    * that beat it, so every re-aim re-stamps before retrying. */
+  private[graft] def restampCommittedAt(stagedDir: String): Unit = {
+    val m = readManifest(stagedDir).getOrElse(return)
+    val re = "\"committedAtMs\":\\d+".r
+    val now = s""""committedAtMs":${System.currentTimeMillis()}"""
+    val updated =
+      if (re.findFirstIn(m).isDefined)
+        re.replaceFirstIn(m, scala.util.matching.Regex.quoteReplacement(now))
+      else m.replaceFirst("\\{",
+        scala.util.matching.Regex.quoteReplacement(s"{$now,"))
+    val tmp = Paths.get(stagedDir, ManifestName + ".tmp")
+    Files.writeString(tmp, updated)
+    Files.move(tmp, Paths.get(stagedDir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private[graft] def stageRestoreManifest(stagedDir: String,
                                           targetDir: String): Unit = {
     val m0 = readManifest(targetDir).getOrElse(throw new IllegalStateException(
@@ -1514,11 +1535,13 @@ object MutableParquetTable {
     m = m.replaceFirst("\"committedAtMs\":\\d+,",
       s""""committedAtMs":${System.currentTimeMillis()},""")
     Files.createDirectories(Paths.get(stagedDir))
-    val entryRe = "\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    // both file inventory ("file") and dim zone-map ("dfile") entries
+    // re-address, so attached dim pruning survives the restore
+    val entryRe = "\"(d?file)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
     val rewritten = entryRe.replaceAllIn(m, mm => {
-      val abs = resolvePath(targetDir, unjs(mm.group(1)))
+      val abs = resolvePath(targetDir, unjs(mm.group(2)))
       java.util.regex.Matcher.quoteReplacement(
-        s""""file":${js(relativize(stagedDir, abs))}""")
+        s""""${mm.group(1)}":${js(relativize(stagedDir, abs))}""")
     })
     if (rewritten.contains("\"tombstoneFile\":")) {
       val from = Paths.get(targetDir, TombstoneName)
@@ -1562,6 +1585,13 @@ object MutableParquetTable {
     * exactly the convention Spark's own file index uses. */
   private[graft] def isDataFileName(n: String): Boolean =
     n.endsWith(".parquet") && !n.startsWith("_")
+
+  /** The `b<id>-` bucket-name prefix of a data file, or "" when the file
+    * is not part of a bucketed layout — for rewrites that must keep the
+    * file-bucket invariant (rows never change bucket in place). */
+  private[sources] def bucketPrefixOf(file: String): String =
+    GraftBucket.bucketOfName(Paths.get(file).getFileName.toString)
+      .map(b => f"b$b%05d-").getOrElse("")
 
   /** Copy a snapshot's tombstone sidecar dir into another snapshot. */
   private[sources] def copyTombstoneDir(fromDir: String, toDir: String): Unit = {
@@ -1861,7 +1891,10 @@ object MutableParquetTable {
           val (mx, mxB) = typed(unjs(e.group(3)))
           ParquetStats.FileKeyRange(resolvePath(dir, unjs(e.group(1))), mn, mx,
             mnB, mxB, e.group(4).toLong,
-            Option(e.group(5)).map(_.toLong).getOrElse(0L))
+            // absent = the manifest predates null-count recording (this
+            // writer always emits the field): UNKNOWN, not "known none" —
+            // consumers gating on nullKeys == 0 / >= 0 must decline
+            Option(e.group(5)).map(_.toLong).getOrElse(-1L))
         }.toSeq)
       }
     }

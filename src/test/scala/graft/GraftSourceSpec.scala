@@ -584,4 +584,92 @@ class GraftSourceSpec extends SparkSpec {
       Option(x.getCause).map(zmsg).getOrElse("")
     assert(zmsg(ez).contains("bucket"), s"got: ${zmsg(ez)}")
   }
+
+  test("legacy manifest without nullKeys counts declines top-k pruning") {
+    val r = java.nio.file.Files.createTempDirectory("graft-topk-legacy").toString
+    GraftTable.create(
+      (0L until 400L).map(i => (i, i * 2)).toDF("k", "v"), r, "k",
+      numFiles = 4)
+    val snap = graft.streaming.CdcMergeSink.latestSnapshot(r)
+    // simulate a manifest from a writer that predates null-count
+    // recording: strip every nullKeys field. Absent must parse as
+    // UNKNOWN (-1), never "known none" — a pre-upgrade file could hold
+    // null keys invisible to min/max bounds, so the prune must decline.
+    val mPath = java.nio.file.Paths.get(snap, "_manifest.json")
+    val legacy = java.nio.file.Files.readString(mPath)
+      .replaceAll(",\"nullKeys\":-?\\d+", "")
+    java.nio.file.Files.writeString(mPath, legacy)
+
+    val ranges = MutableParquetTable.manifestRanges(snap, "k").get
+    assert(ranges.forall(_.nullKeys === -1L),
+      "absent nullKeys must parse as unknown (-1)")
+
+    val df = spark.read.format("graft").load(r)
+    df.select("k").collect()
+    val full = GraftSource.lastScanFiles.size
+    val top = df.orderBy("k").limit(5).collect()
+    assert(GraftSource.lastScanFiles.size === full,
+      "legacy-manifest top-k must scan every file (unknown null counts)")
+    assert(top.map(_.getLong(0)).toSeq === (0L until 5L).toSeq)
+  }
+
+  test("runtime file pruning preserves the bucketed partitioning contract") {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-rf").toString
+    GraftTable.create(
+      spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")),
+      r, "id", numFiles = 4, buckets = Some(4))
+    val snap = graft.streaming.CdcMergeSink.latestSnapshot(r)
+    val tbl = new graft.sources.GraftBatchTable(spark, snap, Some(r))
+    val scan = tbl.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[graft.sources.GraftParquetScan]
+    val kgp = scan.outputPartitioning()
+      .asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+    val declared = kgp.numPartitions()
+    assert(declared === 4, s"one partition per bucket, got $declared")
+
+    // a runtime point filter on key 0 prunes every bucket file whose
+    // min > 0 — i.e. all but one. The reported partitioning is a
+    // CONTRACT: the batch must still emit `declared` partitions, the
+    // pruned buckets as EMPTY ones, or SPJ execution errors.
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("id", 0L)))
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length === declared,
+      s"runtime filtering must not change the partition count: ${parts.length}")
+    val byBucket = parts.map(_.asInstanceOf[graft.sources.GraftBucketPartition])
+    assert(byBucket.map(_.bucket).toSet === (0 until 4).toSet)
+    assert(byBucket.count(_.inner.files.nonEmpty) === 1,
+      "exactly one bucket still holds the probed key's file")
+    assert(byBucket.count(_.inner.files.isEmpty) === 3,
+      "pruned buckets must survive as empty partitions")
+  }
+
+  test("zone DELETE/UPDATE on a bucketed table keep the file-bucket invariant") {
+    val r = java.nio.file.Files.createTempDirectory("graft-bkt-dml").toString
+    val t = GraftTable.create(
+      spark.range(0, 2000).select(col("id"), (col("id") % 10).as("v")),
+      r, "id", numFiles = 4, buckets = Some(4))
+    // both predicates are zone-unprovable (no dim ranges on v): every
+    // file rewrites, and every rewritten file must keep its b<id>- name
+    t.updateWhere(col("v") === 3, "v" -> lit(33L))
+    t.deleteWhere(col("v") === 7)
+    val snap = graft.streaming.CdcMergeSink.latestSnapshot(r)
+    assert(MutableParquetTable.manifestBuckets(snap) === Some(4))
+    val names = MutableParquetTable.manifestFileNames(snap).get
+    assert(names.nonEmpty)
+    names.foreach { n =>
+      val base = n.substring(n.lastIndexOf('/') + 1)
+      assert(graft.sources.GraftBucket.bucketOfName(base).isDefined,
+        s"rewritten file lost its bucket name: $n")
+    }
+    // the invariant is what keeps the table MERGEABLE: a follow-up merge
+    // (mergeBucketed routes by file-name bucket) must succeed
+    t.commit(Seq((5L, 555L, "upsert")).toDF("id", "v", "op"))
+    val got = t.read().collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(got.size === 1800, s"deleted stratum must be gone: ${got.size}")
+    assert(got(3L) === 33L && got(13L) === 33L, "update applied")
+    assert(!got.contains(7L) && !got.contains(17L), "delete applied")
+    assert(got(5L) === 555L, "post-DML merge applied")
+  }
 }

@@ -104,6 +104,34 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().where(col("id") === 11L).isEmpty)
   }
 
+  test("restore re-addresses dim zone-map entries — dim pruning survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-restore-dim").toString
+    val t = GraftTable.create(
+      spark.range(0, 1000).select(col("id"),
+        (col("id") / 250).cast("long").as("d")),
+      root, "id", numFiles = 4)
+    graft.sources.MutableParquetTable.attachDimRanges(
+      spark, s"$root/base", Seq("d"))
+    val v = t.restoreTo(-1L) // v0: pure references into base
+    assert(v === 0L)
+    val snap = graft.streaming.CdcMergeSink.latestSnapshot(root)
+    val dims = graft.sources.MutableParquetTable.manifestDimRanges(snap)
+    assert(dims.get("d").exists(_.size === 4),
+      s"restored manifest must carry the dim entries: ${dims.keySet}")
+    dims("d").foreach(r =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(r.file)),
+        s"dfile entry must re-address to a live file: ${r.file}"))
+    // end-to-end: a dim point filter prunes through the restored manifest
+    val g = spark.read.format("graft").load(root)
+    g.select("id").collect()
+    val full = graft.sources.GraftSource.lastScanFiles.size
+    val got = g.where(col("d") === 0L).collect()
+    assert(got.length === 250)
+    assert(graft.sources.GraftSource.lastScanFiles.size < full,
+      s"dim pruning must survive the restore: " +
+        s"${graft.sources.GraftSource.lastScanFiles}")
+  }
+
   test("bucketed compaction folds per bucket, layout and content intact") {
     val root = java.nio.file.Files.createTempDirectory("graft-bcompact").toString
     val base = (0L until 2000L).map(i => (i, i * 3)).toDF("k", "v")

@@ -290,4 +290,24 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.select(Similarity.nearestCentroidCol(spark, col("vec"), big))
       .head().isNullAt(0))
   }
+
+  test("kmeansCodebook tolerates a ragged vector (no mean-pass NPE)") {
+    import spark.implicits._
+    val ids = 0L until 41L
+    // place the ragged vector at the hash-HIGHEST id so the hash-lowest
+    // seed sample can never pick it — the lane under test is the Lloyd
+    // mean pass, where a NULL cell id must drop out, not NPE
+    val hashes = ids.toDF("id")
+      .select(col("id"), xxhash64(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raggedId = ids.maxBy(hashes)
+    val corpus = ids.map(i =>
+      (i, if (i == raggedId) Seq(1.0f)
+          else Seq.tabulate(4)(j => ((i % 5) + j).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.kmeansCodebook(corpus, "vec", "id", k = 2, iters = 2)
+    assert(cents.size === 2)
+    assert(cents.forall(_._2.length === 4),
+      "means must come only from well-formed vectors")
+  }
 }

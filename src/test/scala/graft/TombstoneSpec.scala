@@ -274,6 +274,25 @@ class TombstoneSpec extends SparkSpec {
     assert(e.getMessage.contains("tombstones"))
   }
 
+  test("tombstone delete on an EMPTY table keeps the table readable") {
+    val root = freshRoot()
+    MutableParquetTable.commitEmpty(s"$root/base", "k",
+      new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType)
+        .add("v", org.apache.spark.sql.types.LongType))
+    val t = GraftTable(spark, root, "k")
+    t.deleteKeys(Seq(5L).toDF("k")) // subtracts nothing — must not brick
+    assert(t.read().isEmpty, "empty minus tombstones is empty")
+    assert(spark.read.format("graft").load(root).isEmpty,
+      "the V2 relation reads the tombstoned empty table")
+    // the chain continues: an insert of the tombstoned key lands (upsert
+    // resurrects) and subtracts the sidecar
+    t.commit(Seq((5L, 50L, "upsert")).toDF("k", "v", "op"))
+    val got = t.read().collect()
+    assert(got.length === 1 && got.head.getLong(1) === 50L)
+    assert(spark.read.format("graft").load(root).count() === 1)
+  }
+
   private def listSnapshotFiles(dir: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
