@@ -57,6 +57,40 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   def replace(batch: DataFrame, numFiles: Int = 0): Long =
     OptimisticCommit.replace(spark, root, key, batch, numFiles)
 
+  /** The CHECK constraints the latest committed version declares
+    * (name → SQL expression). */
+  def checks: Map[String, String] =
+    graft.sources.GraftChecks.manifestChecks(CdcMergeSink.latestSnapshot(root))
+
+  /** Add a named CHECK constraint (standard SQL semantics: a row
+    * violates only when the expression is FALSE — NULL passes, so
+    * `c IS NOT NULL` declares NOT NULL). Validates the expression
+    * against the schema AND the whole current table content (ONE scan —
+    * the only time existing rows are ever checked; every later write
+    * validates only its batch), then commits the constraint as a
+    * METADATA-ONLY version. Returns the new version id. */
+  def addCheck(name: String, expression: String): Long = {
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val existing = graft.sources.GraftChecks.manifestChecks(latest)
+    require(!existing.contains(name), s"check '$name' already exists")
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+      .getOrElse(throw new IllegalStateException(
+        s"$latest carries no schema — commit the table before adding checks"))
+    graft.sources.GraftChecks.validateExpr(spark, schema, name, expression)
+    graft.sources.GraftChecks.enforce(read(),
+      Map(name -> expression), s"existing rows of $root (ADD CONSTRAINT)")
+    OptimisticCommit.commitChecks(root, existing + (name -> expression))
+  }
+
+  /** Drop a named CHECK constraint as a METADATA-ONLY version. */
+  def dropCheck(name: String): Long = {
+    val existing =
+      graft.sources.GraftChecks.manifestChecks(CdcMergeSink.latestSnapshot(root))
+    require(existing.contains(name), s"check '$name' does not exist " +
+      existing.keys.mkString("(have: ", ", ", ")"))
+    OptimisticCommit.commitChecks(root, existing - name)
+  }
+
   /** `DELETE WHERE` committed as the next version at METADATA price
     * wherever the manifest can prove it ([[graft.sources.ZoneDelete]]):
     * files whose zone map shows every row matches are dropped whole,
@@ -341,8 +375,14 @@ object GraftTable {
              layout: graft.sources.ParquetLayout =
                graft.sources.ParquetLayout(),
              moreKeys: Seq[String] = Nil,
-             buckets: Option[Int] = None): GraftTable = {
+             buckets: Option[Int] = None,
+             checks: Map[String, String] = Map.empty): GraftTable = {
     val spark = df.sparkSession
+    // constraints gate the seed content too — validate before any write
+    checks.foreach { case (n, e) =>
+      graft.sources.GraftChecks.validateExpr(spark, df.schema, n, e) }
+    if (checks.nonEmpty)
+      graft.sources.GraftChecks.enforce(df, checks, s"CREATE of $root")
     val nullable = spark.createDataFrame(df.rdd,
       org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))))
@@ -366,6 +406,8 @@ object GraftTable {
       moreKeys = moreKeys).commitManifest(s"$root/base")
     buckets.foreach(n =>
       graft.sources.MutableParquetTable.annotateBuckets(s"$root/base", n))
+    if (checks.nonEmpty)
+      graft.sources.GraftChecks.annotateChecks(s"$root/base", checks)
     new GraftTable(spark, root, key)
   }
 }

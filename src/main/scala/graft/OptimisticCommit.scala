@@ -186,10 +186,16 @@ object OptimisticCommit {
     val bucketSpec = MutableParquetTable.manifestBuckets(latest)
     val dir = s"$tableRoot/.tx-${
       java.util.UUID.randomUUID().toString.take(12)}"
+    // CHECK constraints survive a replace (they are the table's write
+    // contract, not a property of its content) and gate the new content
+    val checks = graft.sources.GraftChecks.manifestChecks(latest)
     if (batch.isEmpty) {
       MutableParquetTable.commitEmpty(dir, key, batch.schema, moreKeys,
-        bucketSpec)
+        bucketSpec, checks)
     } else {
+      if (checks.nonEmpty)
+        graft.sources.GraftChecks.enforce(batch, checks,
+          s"INSERT OVERWRITE of $tableRoot")
       bucketSpec match {
         case Some(nb) =>
           graft.sources.GraftBucket.writeBucketed(batch, dir, key,
@@ -456,6 +462,40 @@ object OptimisticCommit {
         "times — pathological contention; raise maxAttempts or serialize writers")
   }
 
+  /** Commit a CHECK-CONSTRAINT change (add or drop) as the table's next
+    * version with ZERO data IO — the staged snapshot references every
+    * current file in place under the new `checks` set. The caller is
+    * responsible for having VALIDATED a newly added check against the
+    * current table content (one scan, [[graft.GraftTable.addCheck]]);
+    * this publishes the metadata. Restaged per publish attempt, safe
+    * under concurrent writers like [[commitSchema]]. */
+  def commitChecks(tableRoot: String, checks: Map[String, String],
+                   maxAttempts: Int = 20): Long = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val baseV = CdcMergeSink.versions(tableRoot).lastOption
+      val latest = baseV.map(v => s"$tableRoot/v$v")
+        .getOrElse(s"$tableRoot/base")
+      val dir = s"$tableRoot/.tx-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      graft.sources.GraftChecks.stageChecksChange(latest, dir, checks)
+      val target = baseV.getOrElse(-1L) + 1
+      if (tryPublish(dir, s"$tableRoot/v$target")) return target
+      deleteQuietly(dir)
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$tableRoot/v$target exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+    }
+    throw new IllegalStateException(
+      s"constraint change on $tableRoot lost the publish race " +
+        s"$maxAttempts times — pathological contention; raise " +
+        "maxAttempts or serialize writers")
+  }
+
   /** A staged-but-unpublished snapshot: its dir, the version it was
     * merged against (None = the base snapshot), and the merge summary. */
   private final case class Staged(dir: String, baseVersion: Option[Long],
@@ -522,6 +562,12 @@ object OptimisticCommit {
       return None
     if (MutableParquetTable.manifestMoreKeys(st.dir) !=
         MutableParquetTable.manifestMoreKeys(newBase)) return None
+    // CHECK constraints: a rebase may only carry them when both chains
+    // agree — a concurrent ADD/DROP CONSTRAINT means this batch was
+    // validated against a stale contract, so re-merge (and re-validate)
+    val checks = graft.sources.GraftChecks.manifestChecks(st.dir)
+    if (checks != graft.sources.GraftChecks.manifestChecks(newBase))
+      return None
     val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)
     if (schema.isEmpty ||
         schema != MutableParquetTable.manifestSchema(newBase).map(_.json))
@@ -566,7 +612,8 @@ object OptimisticCommit {
             myNew.map(r => name(r.file) -> r)
       }
     MutableParquetTable.writeManifestFromRanges(st.dir, key,
-      MutableParquetTable.manifestMoreKeys(st.dir), entries, schema)
+      MutableParquetTable.manifestMoreKeys(st.dir), entries, schema,
+      checks)
     Some(Staged(st.dir, Some(newLast),
       st.merge.copy(
         passthroughFiles = kept.map(_.file),

@@ -146,7 +146,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * storage-partitioned-join layout ([[GraftBucket]]). */
   private def tableSpec(schema: StructType, partitions: Array[Transform],
                         properties: JMap[String, String])
-      : (Seq[String], Option[Int]) = {
+      : (Seq[String], Option[Int], Map[String, String]) = {
     require(partitions.isEmpty,
       "graft tables are key-sorted, not partitioned — Z-order/sort " +
         "within the layout instead of directory partitioning")
@@ -159,17 +159,27 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       s"merge key $k is not a column of ${schema.fieldNames.mkString(", ")}"))
     val buckets = Option(properties.get("buckets")).map(_.trim.toInt)
     buckets.foreach(n => require(n > 0, s"buckets must be positive, got $n"))
-    (keyCols, buckets)
+    // `'check.<name>' = '<boolean sql>'` TBLPROPERTIES declare CHECK
+    // constraints, validated against the declared schema here and
+    // enforced on every write thereafter
+    val checks = scala.collection.immutable.ListMap(
+      properties.asScala.toSeq.sortBy(_._1).collect {
+        case (k, v) if k.startsWith("check.") && k.length > 6 =>
+          k.drop(6) -> v
+      }: _*)
+    checks.foreach { case (n, e) =>
+      GraftChecks.validateExpr(SparkSession.active, schema, n, e) }
+    (keyCols, buckets, checks)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    val (keyCols, buckets) = tableSpec(schema, partitions, properties)
+    val (keyCols, buckets, checks) = tableSpec(schema, partitions, properties)
     val dir = dirFor(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     MutableParquetTable.commitEmpty(s"$dir/base", keyCols.head, schema,
-      keyCols.tail, buckets)
+      keyCols.tail, buckets, checks)
     loadTable(ident)
   }
 
@@ -183,12 +193,36 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    // `ALTER TABLE ... SET TBLPROPERTIES ('check.<name>' = '<expr>')`
+    // adds a CHECK constraint (validating the whole current table once);
+    // UNSET drops it. Both are metadata-only commits.
+    val (checkProps, rest) = changes.partition {
+      case p: TableChange.SetProperty    => p.property.startsWith("check.")
+      case p: TableChange.RemoveProperty => p.property.startsWith("check.")
+      case _                             => false
+    }
+    if (checkProps.nonEmpty) {
+      val latest = graft.streaming.CdcMergeSink.latestSnapshot(dir)
+      val t = graft.GraftTable(SparkSession.active, dir,
+        MutableParquetTable.manifestKey(latest).getOrElse(
+          throw new IllegalStateException(
+            s"$latest carries no merge key — not a graft table")))
+      checkProps.foreach {
+        case p: TableChange.SetProperty =>
+          t.addCheck(p.property.drop(6), p.value)
+        case p: TableChange.RemoveProperty =>
+          t.dropCheck(p.property.drop(6))
+        case _ => ()
+      }
+      if (rest.isEmpty) return loadTable(ident)
+    }
+    val adds = rest.map {
       case a: TableChange.AddColumn => a
       case c => throw new UnsupportedOperationException(
-        s"only ADD COLUMN is supported (got ${c.getClass.getSimpleName}) — " +
-          "schema otherwise evolves through merges, and existing columns " +
-          "cannot change without rewriting committed files")
+        s"only ADD COLUMN and check.* table properties are supported " +
+          s"(got ${c.getClass.getSimpleName}) — schema otherwise evolves " +
+          "through merges, and existing columns cannot change without " +
+          "rewriting committed files")
     }
     val table = loadTable(ident)
     val schema = table.asInstanceOf[GraftBatchTable].schema
@@ -268,7 +302,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
                     partitions: Array[Transform],
                     properties: JMap[String, String], replace: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    val (keyCols, buckets) = tableSpec(schema, partitions, properties)
+    val (keyCols, buckets, checks) = tableSpec(schema, partitions, properties)
     val target = dirFor(ident)
     Files.createDirectories(Paths.get(target).getParent)
     // staged root sits BESIDE the target (same filesystem, same depth)
@@ -276,7 +310,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     val tmp = s"${Paths.get(target).getParent}/.ctas-${ident.name()}-${
       java.util.UUID.randomUUID().toString.take(8)}"
     MutableParquetTable.commitEmpty(s"$tmp/base", keyCols.head, schema,
-      keyCols.tail, buckets)
+      keyCols.tail, buckets, checks)
     new GraftStagedTable(
       GraftSource.tableFor(Map("path" -> tmp)), tmp, target, replace)
   }

@@ -130,7 +130,12 @@ final class GraftBatchWrite(root: String, key: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    MutableParquetTable.deleteDir(Paths.get(staging))
+    // a REJECTED commit (e.g. a CHECK-constraint violation thrown before
+    // anything staged, or after commit's own cleanup) may have no
+    // staging dir left — abort must stay quiet then, or the engine logs
+    // "failed to abort" over the real error
+    if (Files.exists(Paths.get(staging)))
+      MutableParquetTable.deleteDir(Paths.get(staging))
 }
 
 /** EXACTLY-ONCE streaming sink for graft tables:

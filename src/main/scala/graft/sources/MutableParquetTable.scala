@@ -269,6 +269,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         df.withColumn(k, when(col(k).isNull,
           raise_error(lit(s"null merge-key column $k — composite keys " +
             "must be fully populated"))).otherwise(col(k))))
+    // CHECK constraints gate the write BEFORE anything stages: only the
+    // batch's upserted rows are validated (deletes can't violate, and
+    // the table already satisfies its checks by induction) — one
+    // batch-sized job, never a table scan
+    val declaredChecks = GraftChecks.manifestChecks(dir)
+    if (declaredChecks.nonEmpty)
+      GraftChecks.enforce(batch.where(col(opCol) =!= lit("delete")),
+        declaredChecks, s"merge into $dir")
     // HASH-BUCKETED layout: routing is by bucket id, not key ranges —
     // the range/overlap machinery below assumes key-clustered files
     MutableParquetTable.manifestBuckets(dir).foreach { n =>
@@ -588,6 +596,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           case Seq(a, b) => KeyBytes.compare(a.maxBytes, b.minBytes) >= 0
           case _         => false
         }) return merge(batch, opCol, snapshotDir)
+    // CHECK constraints: validate the batch's upserts before any splice
+    // stages (the file-level merge fallbacks above enforce in merge())
+    val fgChecks = GraftChecks.manifestChecks(dir)
+    if (fgChecks.nonEmpty)
+      GraftChecks.enforce(batch.where(col(opCol) =!= lit("delete")),
+        fgChecks, s"row-group merge into $dir")
     val outDir = snapshotDir.getOrElse(s"$dir-v${System.currentTimeMillis()}")
     Files.createDirectories(Paths.get(outDir))
     val dirtyNames = routedFiles(ranges, batch.select(key)).map(fileName).toSet
@@ -799,6 +813,16 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         case None => col(f.name)
       }
     }
+    // CHECK constraints: validate the UPDATED rows (the `hit` filter —
+    // untouched rows satisfy the checks by induction) across the files
+    // being rewritten, before any rewrite stages. Cost ∝ intersecting
+    // files — the same files the rewrite reads anyway.
+    val updChecks = GraftChecks.manifestChecks(dir)
+    if (updChecks.nonEmpty && rewrite.nonEmpty)
+      GraftChecks.enforce(
+        spark.read.schema(tableSchema).parquet(rewrite: _*)
+          .where(hit).select(projection: _*),
+        updChecks, s"UPDATE on $dir")
     var inserted = 0
     if (rewrite.nonEmpty) {
       import scala.concurrent.{Await, Future}
@@ -1159,6 +1183,9 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // the source snapshot so every commit stays bucketed
     val bucketsJson = MutableParquetTable.manifestBuckets(dir)
       .map(n => s""""buckets":$n,""").getOrElse("")
+    // CHECK constraints are versioned table state: carry them forward
+    // like the bucket spec so every commit keeps enforcing them
+    val checksJson = GraftChecks.checksJsonField(GraftChecks.manifestChecks(dir))
     val tombstonesJson = tombstones.filter(_ > 0).map(n =>
       s""""tombstoneFile":${js(MutableParquetTable.TombstoneName)},""" +
         s""""tombstoneRows":$n,""").getOrElse("")
@@ -1166,7 +1193,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       s"""{"key":${js(key)},"keyType":"$keyType",""" + tombstonesJson +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
-        bucketsJson +
+        bucketsJson + checksJson +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
@@ -1308,13 +1335,15 @@ object MutableParquetTable {
   def commitEmpty(dir: String, key: String,
                   schema: org.apache.spark.sql.types.StructType,
                   moreKeys: Seq[String] = Nil,
-                  buckets: Option[Int] = None): Unit = {
+                  buckets: Option[Int] = None,
+                  checks: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(dir))
     val json =
       s"""{"key":${js(key)},"keyType":"unknown",""" +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         buckets.map(n => s""""buckets":$n,""").getOrElse("") +
+        GraftChecks.checksJsonField(checks) +
         s""""schema":${js(schema.json)},""" +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":0,"totalRows":0,"files":[]}"""
@@ -1332,7 +1361,8 @@ object MutableParquetTable {
   private[graft] def writeManifestFromRanges(outDir: String, key: String,
       moreKeys: Seq[String],
       entries: Seq[(String, ParquetStats.FileKeyRange)],
-      schemaJson: Option[String]): Unit = {
+      schemaJson: Option[String],
+      checks: Map[String, String] = Map.empty): Unit = {
     val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
     val keyType = sorted.headOption.map(_._2.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1349,6 +1379,7 @@ object MutableParquetTable {
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
+        GraftChecks.checksJsonField(checks) +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":${sorted.size},""" +
@@ -1363,6 +1394,16 @@ object MutableParquetTable {
     * manifest exists — the mid-merge-crash detector. */
   def isCommitted(snapshotDir: String): Boolean =
     Files.exists(Paths.get(snapshotDir, ManifestName))
+
+  /** A committed snapshot's leading merge key, when recorded. The raw
+    * `"key":"` pattern is unambiguous: nested occurrences (schema JSON,
+    * check expressions) live inside escaped strings, and the file
+    * entries' minKey/maxKey/keyType fields don't match it literally. */
+  def manifestKey(snapshotDir: String): Option[String] =
+    readManifest(snapshotDir).flatMap { m =>
+      "\"key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(m).map(x => unjs(x.group(1)))
+    }
 
   /** A committed snapshot's SECONDARY key columns (composite merge
     * identity beyond the leading routing key), when recorded. */
