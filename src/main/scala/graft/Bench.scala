@@ -138,6 +138,31 @@ object Bench {
       System.err.println(s"[bench] sketch experiment failed: ${e.getMessage}")
     }
 
+    // ---- incremental dedup vs full-corpus batch LSH: the probe ingest
+    //      (1/3 of docs) against a persisted index should beat
+    //      re-sketching the whole corpus (minhash_pairs_native, same
+    //      banding/threshold) — the gap widens with corpus/batch ratio ----
+    try {
+      graft.plans.MinHashSignature.register(spark)
+      val docs = Tables.documents(spark, dataDir)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val oldDocs = docs.where(col("doc_id") % 3 =!= 0)
+      val newDocs = docs.where(col("doc_id") % 3 === 0)
+      val root = s"$workDir/inc-idx"
+      // one-time corpus sketch (the index build), reported separately
+      results("incdedup_index_seed") = time {
+        graft.operators.Dedup.dedupIncremental(root, oldDocs, "text",
+          "doc_id", threshold = 0.25, native = true).pairs.count(): Unit
+      }
+      def probe(): Unit =
+        graft.operators.Dedup.dedupIncremental(root, newDocs, "text",
+          "doc_id", threshold = 0.25, native = true).pairs.count(): Unit
+      probe() // warm (idempotent: re-ingest upserts the same idx_keys)
+      results("incdedup_probe") = (1 to 2).map(_ => time(probe())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] incdedup experiment failed: ${e.getMessage}")
+    }
+
     // ---- z-order vs linear layout: secondary-dimension pruning ----
     try {
       val li = Tables.lineitem(spark, sfDir)

@@ -1054,6 +1054,18 @@ object OracleSql {
                < '40000000')
       ORDER BY doc_id""",
 
+    // CHECK-constraint lifecycle: only the ACCEPTED writes survive (the
+    // %10 zero-merge under the floor check, the %100 update after the
+    // cap check was dropped); the refused batches left no trace — both
+    // facts recomputed relationally
+    "q116_check_constraints" -> """
+      SELECT c_custkey, c_mktsegment AS segment,
+        CASE WHEN c_custkey % 100 = 0 THEN 99999.0
+             WHEN c_custkey % 10 = 0 THEN 0.0
+             ELSE round(CAST(c_acctbal AS DOUBLE), 2) END AS bal
+      FROM customer
+      ORDER BY c_custkey""",
+
     // shallow clone: source history (bal+50 on %40) + clone-only edits
     // (delete %60 unless %90; full-row upsert 'cloned' on %90, which
     // reverts bal to the raw value) recomputed relationally
@@ -1369,6 +1381,16 @@ object OracleSql {
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
         CAST(1 AS INT) AS lsh_found
       FROM jp ORDER BY id_a, id_b"""),
+
+    // incremental dedup: exact Jaccard pairs TOUCHING the new batch
+    // (id % 3 = 0), incr_found pinned to 1 — the persisted-index probe
+    // must surface every true pair the batch introduces
+    "q117_incremental_dedup" ->
+      (shingleJaccardPairs(0.6) + """
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+        CAST(1 AS INT) AS incr_found
+      FROM jp WHERE id_a % 3 = 0 OR id_b % 3 = 0
+      ORDER BY id_a, id_b"""),
 
     "q42_simhash_pairs" ->
       (shingleJaccardPairs(0.8) + """

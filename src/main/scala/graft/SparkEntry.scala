@@ -1762,6 +1762,91 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** CHECK-constraint lifecycle ([[graft.sources.GraftChecks]]): a
+    * table created under a write contract refuses violating batches on
+    * every path (merge, zone UPDATE), `addCheck` validates existing
+    * rows once and commits METADATA-ONLY (required in-query), and
+    * `dropCheck` lifts the contract so the previously refused update
+    * lands. The oracle recomputes the surviving state relationally — a
+    * hash match proves refused writes left no trace and accepted ones
+    * composed exactly. */
+  def q116_check_constraints(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q116").toString
+    val custs = customer(s, dir).select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      round(col("c_acctbal"), 2).as("bal"))
+    // TPC-H acctbal ∈ [-999.99, 9999.99]: the seed satisfies the check
+    val t = graft.GraftTable.create(custs, s"$work/t", "c_custkey",
+      numFiles = 6, checks = Map("bal_floor" -> "bal > -1000.0"))
+    // a violating upsert batch must refuse and commit nothing
+    val refused =
+      try { t.commit(custs.limit(1).withColumn("bal", lit(-5000.0))
+              .withColumn("op", lit("upsert"))); false }
+      catch { case _: graft.sources.GraftChecks.CheckViolation => true }
+    require(refused && t.versions.isEmpty,
+      "violating merge must refuse without committing")
+    // valid merge: zero the balance of every 10th key (passes the floor)
+    t.commit(custs.where(col("c_custkey") % 10 === 0)
+      .withColumn("bal", lit(0.0)).withColumn("op", lit("upsert")))
+    // ADD CONSTRAINT validates existing rows, then commits metadata-only
+    val vAdd = t.addCheck("bal_cap", "bal <= 10000.0")
+    val addDataFiles = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(s"$work/t/v$vAdd")
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    require(addDataFiles == 0, "ADD CONSTRAINT must be metadata-only")
+    // the cap refuses an over-limit zone UPDATE...
+    val refusedUpd =
+      try { t.updateWhere(col("c_custkey") % 100 === 0,
+              "bal" -> lit(99999.0)); false }
+      catch { case _: graft.sources.GraftChecks.CheckViolation => true }
+    require(refusedUpd, "violating UPDATE must refuse")
+    // ...until the contract is lifted
+    t.dropCheck("bal_cap")
+    t.updateWhere(col("c_custkey") % 100 === 0, "bal" -> lit(99999.0))
+    t.read()
+      .select(col("c_custkey"), col("segment"), col("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** INCREMENTAL near-dup dedup ([[Dedup.dedupIncremental]]): the old
+    * corpus (docs with id % 3 ≠ 0) is sketched ONCE into a persisted
+    * MinHash-LSH index (a graft table of (doc, band, bucket, signature)
+    * rows); the new batch (id % 3 = 0) probes that index — old TEXTS are
+    * never re-read — and extends it as the next index version. Output:
+    * exact-Jaccard ≥ 0.6 pairs touching the new batch, each flagged
+    * `incr_found` (the oracle pins the flag to 1: the incremental probe
+    * must surface every true near-dup pair the batch introduces, same
+    * recall-complete banding as q41). */
+  def q117_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MinHashSignature.register(s)
+    val docs = documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val oldDocs = docs.where(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.where(col("doc_id") % 3 === 0)
+    val work = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    val root = s"$work/idx"
+    // seed ingest (the corpus's own arrival), then the probed ingest
+    Dedup.dedupIncremental(root, oldDocs, "text", "doc_id",
+      shingleK = 3, bands = 32, rowsPerBand = 2, threshold = 0.25,
+      native = true)
+    val inc = Dedup.dedupIncremental(root, newDocs, "text", "doc_id",
+      shingleK = 3, bands = 32, rowsPerBand = 2, threshold = 0.25,
+      native = true)
+    require(inc.indexVersion == 0L,
+      "the probe ingest must commit the next index version")
+    val exact = Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
+      .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+    exact.join(inc.pairs.select(col("id_a"), col("id_b"), lit(1).as("f")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        coalesce(col("f"), lit(0)).as("incr_found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2341,6 +2426,8 @@ object SparkEntry {
     "q113_line_dedup" -> (q113_line_dedup _),
     "q114_pq_ann" -> (q114_pq_ann _),
     "q115_clone" -> (q115_clone _),
+    "q116_check_constraints" -> (q116_check_constraints _),
+    "q117_incremental_dedup" -> (q117_incremental_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

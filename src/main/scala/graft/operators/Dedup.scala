@@ -412,4 +412,131 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  // ---------------------------------------------------------------------
+  // INCREMENTAL near-dup: probe a persisted signature index, never
+  // re-sketch the corpus
+  // ---------------------------------------------------------------------
+
+  /** Result of one incremental ingest: the near-dup `pairs` the new
+    * batch introduced (id_a < id_b; at least one side is a new doc), and
+    * the graft-index version the batch's signatures landed as. */
+  final case class IncrementalDedup(pairs: DataFrame, indexVersion: Long)
+
+  /** The persisted LSH-index rows for `docs`: one row per (doc, band)
+    * carrying the band's bucket hash and the doc's full MinHash
+    * signature (for candidate verification — the index never stores
+    * text). `idx_key` leads with the ZERO-PADDED doc id, so
+    * ingest-monotone ids (the production case) append at the key-space
+    * tail and the index merge touches ~one boundary file. All map-side;
+    * signature via the fused native kernel when registered. */
+  def minHashIndexRows(docs: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 4,
+                       native: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = if (native) {
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        call_function(graft.plans.MinHashSignature.name,
+          shingleHashes(col(textCol), shingleK), lit(numHashes)).as("sig"))
+    } else {
+      val exploded = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(shingleHashes(col(textCol), shingleK)).as("h"))
+      val lanes = (0 until numHashes).map(i =>
+        min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      exploded.groupBy(col("doc_id"))
+        .agg(lanes.head, lanes.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(
+        concat(lpad(col("doc_id").cast("string"), 14, "0"), lit(":"),
+          lpad(col("band").cast("string"), 3, "0")).as("idx_key"),
+        col("doc_id"), col("band"), col("bucket"), col("sig"))
+  }
+
+  /** One INCREMENTAL dedup ingest against the persisted index at
+    * `indexRoot` (a graft table, created on first use): sketch the new
+    * batch map-side, probe the index for collisions, verify candidates
+    * by stored-signature agreement, and commit the batch's signatures
+    * as the next index version — the production shape for continuously
+    * ingested corpora, where re-sketching 100 TB per increment
+    * ([[minHashPairs]] over the union) is the thing to avoid.
+    *
+    * Scale shape: the index scan is MAP-SIDE filtered by a broadcast of
+    * the batch's (band, bucket) set before anything shuffles — only
+    * index rows in probed buckets cross the wire (the decontamination
+    * discipline), so per-ingest cost is batch-sized + collision-sized,
+    * never index-sized. The index merge is an ordinary graft CoW commit
+    * (idempotent on re-ingest: same doc id → same `idx_key`s upsert).
+    *
+    * Returned pairs (id_a < id_b, est_jaccard ≥ threshold): new-vs-
+    * corpus collisions AND new-vs-new pairs within the batch. Estimated
+    * Jaccard = signature agreement rate, as [[minHashPairs]]. */
+  def dedupIncremental(indexRoot: String, newDocs: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleK: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 4, threshold: Double = 0.5,
+                       native: Boolean = false): IncrementalDedup = {
+    val spark = newDocs.sparkSession
+    val numHashes = bands * rowsPerBand
+    val newRows = minHashIndexRows(newDocs, textCol, idCol, shingleK,
+      bands, rowsPerBand, native)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(indexRoot, "base",
+          graft.sources.MutableParquetTable.ManifestName))
+      val agree = (size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+        .cast("double") / numHashes).as("est_jaccard")
+      val corpusPairs = if (!exists) None else {
+        val index = spark.read.format("graft").load(indexRoot)
+        // broadcast the batch's probed buckets: the index scan stays
+        // map-side, only colliding rows shuffle
+        val probed = newRows.select(col("band"), col("bucket")).distinct()
+        Some(index
+          .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
+          .select(col("band"), col("bucket"), col("doc_id").as("id_idx"),
+            col("sig").as("sig_idx"))
+          .join(newRows.select(col("band"), col("bucket"),
+            col("doc_id").as("id_new"), col("sig").as("sig_new")),
+            Seq("band", "bucket"))
+          .where(col("id_idx") =!= col("id_new"))
+          .select(least(col("id_idx"), col("id_new")).as("id_a"),
+            greatest(col("id_idx"), col("id_new")).as("id_b"),
+            col("sig_idx").as("sig_a"), col("sig_new").as("sig_b")))
+      }
+      val a = newRows.select(col("band"), col("bucket"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = newRows.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val batchPairs = a.join(b, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      val pairs = corpusPairs.map(_.unionByName(batchPairs))
+        .getOrElse(batchPairs)
+        .select(col("id_a"), col("id_b"), agree)
+        .distinct()
+        .where(col("est_jaccard") >= threshold)
+        // materialize before the index commit mutates what a lazy plan
+        // would re-read (the probe must see the PRE-ingest index)
+        .localCheckpoint(eager = true)
+      val version =
+        if (!exists) {
+          graft.GraftTable.create(newRows, indexRoot, "idx_key",
+            numFiles = math.max(1, newRows.rdd.getNumPartitions.min(32)))
+          -1L
+        } else {
+          graft.GraftTable(spark, indexRoot, "idx_key")
+            .commit(newRows.withColumn("op", lit("upsert")))
+        }
+      IncrementalDedup(pairs, version)
+    } finally { newRows.unpersist(blocking = false): Unit }
+  }
 }

@@ -210,4 +210,69 @@ class DedupSpec extends SparkSpec {
     assert(rows(0L)._2 === rows(1L)._2)
     assert(rows(0L)._2 !== rows(2L)._2)   // rolling hash is order-sensitive
   }
+
+  // ------------------------------------------------------------------
+  // incremental dedup against the persisted LSH index
+  // ------------------------------------------------------------------
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental dedup == batch LSH on the union, restricted to new-touching pairs") {
+    val docs = corpus()
+    val oldDocs = docs.where(col("doc_id") % 2 === 0) // 0, 2, 4
+    val newDocs = docs.where(col("doc_id") % 2 === 1) // 1, 3, 5
+    val root = java.nio.file.Files.createTempDirectory("graft-incdd").toString + "/idx"
+
+    // seed the index from the old corpus (its own "first ingest")
+    val first = Dedup.dedupIncremental(root, oldDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    // probe + extend with the new batch
+    val second = Dedup.dedupIncremental(root, newDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    assert(second.indexVersion === 0L, "second ingest commits index v0")
+
+    val batch = Dedup.minHashPairs(docs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val newIds = Set(1L, 3L, 5L)
+    val expected = pairSet(batch).filter { case (a, b) =>
+      newIds(a) || newIds(b) }
+    assert(pairSet(second.pairs) === expected,
+      "incremental must find exactly the batch-LSH pairs touching new docs")
+    // the known dups of doc 0 are among them (exact + ws/case dup)
+    assert(pairSet(second.pairs).contains((0L, 1L)))
+    assert(pairSet(second.pairs).contains((0L, 5L)))
+    // est_jaccard of the exact dup is 1.0 (identical signatures)
+    val j01 = second.pairs.where(col("id_a") === 0L && col("id_b") === 1L)
+      .head().getDouble(2)
+    assert(j01 === 1.0)
+  }
+
+  test("incremental re-ingest is idempotent; the index is versioned graft state") {
+    val docs = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-incdd2").toString + "/idx"
+    val r1 = Dedup.dedupIncremental(root, docs.where(col("doc_id") < 3),
+      "text", "doc_id", bands = 16, rowsPerBand = 2)
+    // first ingest: no index existed — only batch-internal pairs
+    assert(pairSet(r1.pairs).forall { case (a, b) => a < 3 && b < 3 })
+
+    val idx1 = spark.read.format("graft").load(root)
+    val n1 = idx1.count()
+    assert(n1 === 3 * 16, "one index row per (doc, band)")
+
+    // re-ingesting the same batch upserts the same idx_keys: row count
+    // unchanged, and its corpus-probe re-finds the pairs (minus self)
+    val r2 = Dedup.dedupIncremental(root, docs.where(col("doc_id") < 3),
+      "text", "doc_id", bands = 16, rowsPerBand = 2)
+    assert(r2.indexVersion === 0L)
+    assert(spark.read.format("graft").load(root).count() === n1)
+
+    // a later batch probes ACROSS ingests
+    val r3 = Dedup.dedupIncremental(root, docs.where(col("doc_id") === 5L),
+      "text", "doc_id", bands = 16, rowsPerBand = 2)
+    assert(pairSet(r3.pairs).contains((0L, 5L)),
+      "cross-ingest near-dup must surface from the persisted index")
+    assert(spark.read.format("graft").load(root).count() === n1 + 16)
+  }
 }
