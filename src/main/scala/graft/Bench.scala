@@ -154,11 +154,22 @@ object Bench {
         graft.operators.Dedup.dedupIncremental(root, oldDocs, "text",
           "doc_id", threshold = 0.25, native = true).pairs.count(): Unit
       }
-      def probe(): Unit =
+      // pairs-only probe (extendIndex = false): sketch the batch +
+      // broadcast-filtered index join — the per-ingest DISCOVERY cost
+      // to put against re-sketching the corpus (minhash_pairs_native)
+      def probe(extend: Boolean): Unit =
         graft.operators.Dedup.dedupIncremental(root, newDocs, "text",
-          "doc_id", threshold = 0.25, native = true).pairs.count(): Unit
-      probe() // warm (idempotent: re-ingest upserts the same idx_keys)
-      results("incdedup_probe") = (1 to 2).map(_ => time(probe())).min
+          "doc_id", threshold = 0.25, native = true,
+          extendIndex = extend).pairs.count(): Unit
+      probe(extend = false) // warm
+      results("incdedup_probe_pairs") =
+        (1 to 2).map(_ => time(probe(extend = false))).min
+      // full ingest = probe + index-extension CoW commit. The fixture's
+      // interleaved doc ids make the extension worst-case (every index
+      // file dirty); production ingest-monotone ids append at the key
+      // tail ([[Dedup.minHashIndexRows]] key design)
+      results("incdedup_ingest") =
+        (1 to 2).map(_ => time(probe(extend = true))).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench] incdedup experiment failed: ${e.getMessage}")
     }

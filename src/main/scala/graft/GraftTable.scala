@@ -298,6 +298,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   /** Drop versions beyond the newest `keepLast`; returns dropped ids. */
   def vacuum(keepLast: Int): Seq[Long] = CdcMergeSink.vacuum(root, keepLast)
 
+  /** Time-based retention: drop versions committed more than
+    * `retainMillis` ago, always keeping at least `minKeepLast`. */
+  def vacuumRetain(retainMillis: Long, minKeepLast: Int = 1): Seq[Long] =
+    CdcMergeSink.vacuumRetain(root, retainMillis, minKeepLast)
+
   /** Catch the materialized view up to the latest version (sum/count,
     * plus optional min/max columns maintained with dirty-group rescan). */
   def refreshAggView(groupCols: Seq[String], sumCols: Seq[String],

@@ -482,7 +482,8 @@ object Dedup {
                        textCol: String, idCol: String,
                        shingleK: Int = 3, bands: Int = 8,
                        rowsPerBand: Int = 4, threshold: Double = 0.5,
-                       native: Boolean = false): IncrementalDedup = {
+                       native: Boolean = false,
+                       extendIndex: Boolean = true): IncrementalDedup = {
     val spark = newDocs.sparkSession
     val numHashes = bands * rowsPerBand
     val newRows = minHashIndexRows(newDocs, textCol, idCol, shingleK,
@@ -527,8 +528,11 @@ object Dedup {
         // materialize before the index commit mutates what a lazy plan
         // would re-read (the probe must see the PRE-ingest index)
         .localCheckpoint(eager = true)
+      // `extendIndex = false` probes WITHOUT committing (a dry-run /
+      // bench separation of pairs-finding from index maintenance)
       val version =
-        if (!exists) {
+        if (!extendIndex) -1L
+        else if (!exists) {
           graft.GraftTable.create(newRows, indexRoot, "idx_key",
             numFiles = math.max(1, newRows.rdd.getNumPartitions.min(32)))
           -1L

@@ -279,12 +279,22 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType, comment = "'ns.t' in this catalog"),
       param("keep_last", IntegerType, Some("10"),
-        "versions to retain (>= 1)"))
+        "versions to retain (>= 1)"),
+      param("retain_hours", IntegerType, Some("-1"),
+        "time-based retention: drop versions older than this many " +
+          "hours (keep_last then acts as the minimum kept); -1 = " +
+          "count-based only"))
     override val resultSchema: StructType = StructType(Seq(
       StructField("dropped_version", LongType, nullable = false)))
     override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
       val dir = tableDir(input)
-      CdcMergeSink.vacuum(dir, input.getInt(1)).map(row(_))
+      val retainHours = input.getInt(2)
+      val dropped =
+        if (retainHours >= 0)
+          CdcMergeSink.vacuumRetain(dir, retainHours * 3600L * 1000L,
+            minKeepLast = input.getInt(1))
+        else CdcMergeSink.vacuum(dir, input.getInt(1))
+      dropped.map(row(_))
     }
   }
 

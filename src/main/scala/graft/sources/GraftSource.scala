@@ -298,6 +298,9 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
         so("maxVersionsPerTrigger").map(_.toInt)
           .orElse(longOpt("maxVersionsPerTrigger").map(_.toInt)))
     } else {
+      // forward-compat guard: refuse manifests requiring features this
+      // reader does not implement (fail fast beats silently wrong rows)
+      MutableParquetTable.requireFeaturesSupported(snapshotDir)
       // HARD correctness guard: a tombstoned snapshot may only be
       // scanned through the injected anti-join — without the extension
       // the raw scan would RESURRECT deleted rows silently

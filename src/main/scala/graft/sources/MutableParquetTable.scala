@@ -125,6 +125,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
 
   import MutableParquetTable._
 
+  // fail fast before any read or mutation of a snapshot whose manifest
+  // requires features this library version does not implement
+  MutableParquetTable.requireFeaturesSupported(dir)
+
   /** Full merge identity: `key` is the LEADING column — it alone drives
     * file routing, zone maps, and slicing (files are sorted by the whole
     * tuple, so leading-column footer ranges stay valid; a leading value
@@ -1394,6 +1398,42 @@ object MutableParquetTable {
     * manifest exists — the mid-merge-crash detector. */
   def isCommitted(snapshotDir: String): Boolean =
     Files.exists(Paths.get(snapshotDir, ManifestName))
+
+  /** Manifest features THIS reader implements. A future writer that
+    * changes the format in a way old readers would silently misread
+    * (the pre-guard tombstone hazard, generalized) stamps the feature
+    * name into `requiredFeatures`; readers refuse unknown names instead
+    * of returning wrong rows. Every current feature is either
+    * backward-safe by construction (extra manifest fields are ignored
+    * harmlessly) or separately hard-guarded (tombstones), so current
+    * writers stamp nothing — the field is the forward-compat protocol. */
+  private[graft] val SupportedFeatures: Set[String] =
+    Set("tombstones", "buckets", "checks", "dimRanges", "references",
+      "compositeKeys", "nestedKeys")
+
+  /** The `requiredFeatures` a committed snapshot declares (empty for
+    * all manifests written by this library version). */
+  private[graft] def manifestRequiredFeatures(snapshotDir: String): Seq[String] =
+    readManifest(snapshotDir).flatMap { m =>
+      "\"requiredFeatures\":\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]".r
+        .findFirstMatchIn(m).map(_.group(1))
+    }.map { body =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
+        .map(x => unjs(x.group(1))).toSeq
+    }.getOrElse(Nil)
+
+  /** Refuse to touch a snapshot that requires a feature this reader
+    * does not implement — fail fast beats silently wrong rows. */
+  private[graft] def requireFeaturesSupported(snapshotDir: String): Unit = {
+    val unknown = manifestRequiredFeatures(snapshotDir)
+      .filterNot(SupportedFeatures)
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"$snapshotDir requires manifest feature(s) " +
+          unknown.mkString("[", ", ", "]") +
+          " this reader does not implement — upgrade the library " +
+          s"(supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")})")
+  }
 
   /** A committed snapshot's leading merge key, when recorded. The raw
     * `"key":"` pattern is unambiguous: nested occurrences (schema JSON,

@@ -294,6 +294,31 @@ object CdcMergeSink {
     * leftover dirs are re-swept every call, so files are reclaimed the
     * moment their last referencing version goes. As-of reads below the
     * retention horizon resolve to the base state. Returns dropped ids. */
+  /** TIME-BASED retention vacuum: drop versions whose commit time is
+    * older than `retainMillis`, always keeping at least `minKeepLast`
+    * (the operational form — "keep 7 days of history" — of [[vacuum]]'s
+    * count-based contract). Commit times are monotone along the chain
+    * ([[graft.OptimisticCommit]] re-stamps on every re-aim), so the
+    * cutoff is a suffix: this counts the in-retention suffix from the
+    * manifests' `committedAtMs` and delegates to [[vacuum]], inheriting
+    * its reference-counting, txn-marker retention and debris sweep. */
+  def vacuumRetain(tableRoot: String, retainMillis: Long,
+                   minKeepLast: Int = 1): Seq[Long] = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val all = versions(tableRoot)
+    if (all.isEmpty) return Nil
+    val recent = all.count { v =>
+      MutableParquetTable.readManifest(s"$tableRoot/v$v")
+        .flatMap("\"committedAtMs\":(\\d+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toLong)
+        // a manifest without a stamp predates retention semantics:
+        // treat as old (droppable) rather than pinned forever
+        .exists(_ >= cutoff)
+    }
+    vacuum(tableRoot, math.max(minKeepLast, recent))
+  }
+
   def vacuum(tableRoot: String, keepLast: Int,
              txRetainMillis: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the latest version")

@@ -585,6 +585,37 @@ class GraftSourceSpec extends SparkSpec {
     assert(zmsg(ez).contains("bucket"), s"got: ${zmsg(ez)}")
   }
 
+  test("unknown requiredFeatures in the manifest fail fast on every surface") {
+    val r = java.nio.file.Files.createTempDirectory("graft-feat").toString
+    val t = GraftTable.create(
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), r, "k", numFiles = 2)
+    val mPath = java.nio.file.Paths.get(s"$r/base", "_manifest.json")
+    val stamped = java.nio.file.Files.readString(mPath)
+      .patch(1, "\"requiredFeatures\":[\"quantum-compression\"],", 0)
+    java.nio.file.Files.writeString(mPath, stamped)
+
+    def msg(x: Throwable): String =
+      Option(x.getMessage).getOrElse("") +
+        Option(x.getCause).map(msg).getOrElse("")
+    // V2 read path
+    val e1 = intercept[Exception] {
+      spark.read.format("graft").load(r).collect()
+    }
+    assert(msg(e1).contains("quantum-compression"), msg(e1))
+    // Scala mutation path
+    val e2 = intercept[Exception] {
+      t.commit(Seq((1L, 2L, "upsert")).toDF("k", "v", "op"))
+    }
+    assert(msg(e2).contains("quantum-compression"), msg(e2))
+
+    // a manifest requiring only KNOWN features reads fine
+    val known = java.nio.file.Files.readString(mPath).replaceFirst(
+      "\"requiredFeatures\":\\[\"quantum-compression\"\\]",
+      "\"requiredFeatures\":[\"buckets\",\"checks\"]")
+    java.nio.file.Files.writeString(mPath, known)
+    assert(spark.read.format("graft").load(r).count() === 100)
+  }
+
   test("legacy manifest without nullKeys counts declines top-k pruning") {
     val r = java.nio.file.Files.createTempDirectory("graft-topk-legacy").toString
     GraftTable.create(

@@ -132,6 +132,34 @@ class GraftTableSpec extends SparkSpec {
         s"${graft.sources.GraftSource.lastScanFiles}")
   }
 
+  test("time-based retention vacuum drops only out-of-window versions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacret").toString
+    val t = GraftTable.create(
+      (0L until 100L).map(i => (i, i)).toDF("id", "v"), root, "id",
+      numFiles = 2)
+    (1 to 3).foreach(i =>
+      t.commit(Seq((i.toLong, i * 100L, "upsert")).toDF("id", "v", "op")))
+    assert(t.versions === Seq(0L, 1L, 2L))
+    // age v0 and v1 out of the window (commit times stay monotone)
+    def age(v: Long, ms: Long): Unit = {
+      val p = java.nio.file.Paths.get(s"$root/v$v", "_manifest.json")
+      val m = java.nio.file.Files.readString(p)
+        .replaceFirst("\"committedAtMs\":\\d+", s""""committedAtMs":$ms""")
+      java.nio.file.Files.writeString(p, m)
+    }
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    age(0L, old); age(1L, old + 1000)
+    val dropped = t.vacuumRetain(7L * 24 * 3600 * 1000)
+    assert(dropped === Seq(0L, 1L))
+    assert(t.versions === Seq(2L))
+    assert(t.read().where(col("id") === 3L).head().getLong(1) === 300L)
+    // everything in-window: nothing to drop (minKeepLast floors at 1)
+    assert(t.vacuumRetain(7L * 24 * 3600 * 1000).isEmpty)
+    // zero retention still keeps minKeepLast
+    assert(t.vacuumRetain(0L).isEmpty)
+    assert(t.versions === Seq(2L))
+  }
+
   test("bucketed compaction folds per bucket, layout and content intact") {
     val root = java.nio.file.Files.createTempDirectory("graft-bcompact").toString
     val base = (0L until 2000L).map(i => (i, i * 3)).toDF("k", "v")

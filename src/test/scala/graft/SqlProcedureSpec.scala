@@ -81,6 +81,23 @@ class SqlProcedureSpec extends SparkSpec {
       .head().getLong(0) === 0)
   }
 
+  test("vacuum retain_hours: time-based retention through SQL") {
+    warehouse; mk("vr")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO gp.ns.vr VALUES (${1000 + i}, 0, $i)"))
+    val dir = s"$warehouse/ns/vr"
+    // age v0 out of a 24h window; v1/v2 stay current
+    val p = java.nio.file.Paths.get(s"$dir/v0", "_manifest.json")
+    val aged = java.nio.file.Files.readString(p).replaceFirst(
+      "\"committedAtMs\":\\d+",
+      s""""committedAtMs":${System.currentTimeMillis() - 48L * 3600 * 1000}""")
+    java.nio.file.Files.writeString(p, aged)
+    val dropped = spark.sql(
+      "CALL gp.system.vacuum(table => 'ns.vr', keep_last => 1, retain_hours => 24)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dropped === Seq(0L))
+    assert(spark.sql("SELECT count(*) FROM gp.ns.vr").head().getLong(0) === 203)
+  }
+
   test("compact folds files as the next version; rows and identity survive") {
     warehouse
     // path/name interop: build a deliberately fragmented table with the
