@@ -230,6 +230,10 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
   private[graft] val feedMode: Boolean =
     lcOptions.get("changefeed").exists(_.equalsIgnoreCase("true"))
 
+  /** Case-insensitive reader option (for the scan's streaming path). */
+  private[sources] def stringOption(n: String): Option[String] =
+    lcOptions.get(n.toLowerCase(java.util.Locale.ROOT))
+
   private def longOpt(name: String): Option[Long] =
     lcOptions.get(name.toLowerCase(java.util.Locale.ROOT)).map(_.toLong)
 
@@ -733,12 +737,33 @@ final class GraftParquetScan(spark: SparkSession,
 
   override def readSchema(): StructType = required
 
+  /** LATEST-STATE streaming source ([[GraftStateStream]]): batch 1 = the
+    * current snapshot, later batches = post-image rows of subsequent
+    * commits' change feeds — the Delta streaming-source analog. The
+    * row-level diff form is the change feed
+    * (`option("changeFeed", "true")`). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    throw new UnsupportedOperationException(
-      "streaming read of a graft table is its change feed: add " +
-        ".option(\"changeFeed\", \"true\") (persist feeds with " +
-        "GraftTable.commitWithFeed)")
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val root = table.rootPath.getOrElse(throw new IllegalArgumentException(
+      s"${table.snapshotDir} is a bare snapshot, not a versioned table " +
+        "root — state streaming needs the version chain"))
+    val key = table.keyName.getOrElse(throw new IllegalArgumentException(
+      s"${table.snapshotDir} has no manifest key — state streaming " +
+        "reconstructs rows from keyed change feeds"))
+    if (table.tombstoneRows > 0)
+      throw new IllegalStateException(
+        s"${table.snapshotDir} carries deletion tombstones — materialize " +
+          "them first (CALL <catalog>.system.materialize_tombstones); " +
+          "an append stream cannot subtract rows")
+    new GraftStateStream(spark, root, table.schema, required,
+      key +: table.moreKeyNames,
+      ignoreDeletes = table.stringOption("ignoredeletes")
+        .exists(_.equalsIgnoreCase("true")),
+      maxFilesPerTrigger =
+        table.stringOption("maxfilespertrigger").map(_.toInt),
+      maxVersionsPerTrigger =
+        table.stringOption("maxversionspertrigger").map(_.toInt))
+  }
 
   override def description(): String =
     s"GraftParquetScan(${table.snapshotDir}) " +
