@@ -69,26 +69,51 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * the only time existing rows are ever checked; every later write
     * validates only its batch), then commits the constraint as a
     * METADATA-ONLY version. Returns the new version id. */
-  def addCheck(name: String, expression: String): Long = {
+  def addCheck(name: String, expression: String): Long =
+    alterChecks(Map(name -> expression), Nil)
+
+  /** Drop a named CHECK constraint as a METADATA-ONLY version.
+    * (Dropping can never create a violation, so no validation scan —
+    * but a concurrent constraint change still fails the commit rather
+    * than being silently stomped.) */
+  def dropCheck(name: String): Long = alterChecks(Map.empty, Seq(name))
+
+  /** Apply a BATCH of constraint changes as ONE metadata commit — what
+    * an `ALTER TABLE` with several `check.*` properties compiles to.
+    * Every added expression is validated against the schema FIRST (an
+    * invalid one aborts the whole statement before anything commits —
+    * no half-applied DDL), then existing rows are validated ONCE
+    * against the combined added set (one table scan however many checks
+    * the statement adds). If the publish races with a data writer, rows
+    * landed since that scan were validated only against the OLD
+    * contract — the rebase re-scans the new head before declaring the
+    * checks; a concurrent CONSTRAINT change fails the statement instead
+    * of being stomped. */
+  def alterChecks(add: Map[String, String], drop: Seq[String]): Long = {
+    val latestV = CdcMergeSink.versions(root).lastOption.getOrElse(-1L)
     val latest = CdcMergeSink.latestSnapshot(root)
     val existing = graft.sources.GraftChecks.manifestChecks(latest)
-    require(!existing.contains(name), s"check '$name' already exists")
-    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
-      .getOrElse(throw new IllegalStateException(
-        s"$latest carries no schema — commit the table before adding checks"))
-    graft.sources.GraftChecks.validateExpr(spark, schema, name, expression)
-    graft.sources.GraftChecks.enforce(read(),
-      Map(name -> expression), s"existing rows of $root (ADD CONSTRAINT)")
-    OptimisticCommit.commitChecks(root, existing + (name -> expression))
-  }
-
-  /** Drop a named CHECK constraint as a METADATA-ONLY version. */
-  def dropCheck(name: String): Long = {
-    val existing =
-      graft.sources.GraftChecks.manifestChecks(CdcMergeSink.latestSnapshot(root))
-    require(existing.contains(name), s"check '$name' does not exist " +
-      existing.keys.mkString("(have: ", ", ", ")"))
-    OptimisticCommit.commitChecks(root, existing - name)
+    add.keys.foreach(n =>
+      require(!existing.contains(n), s"check '$n' already exists"))
+    drop.foreach(n => require(existing.contains(n),
+      s"check '$n' does not exist " +
+        existing.keys.mkString("(have: ", ", ", ")")))
+    if (add.nonEmpty) {
+      val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+        .getOrElse(throw new IllegalStateException(
+          s"$latest carries no schema — commit the table before adding checks"))
+      add.foreach { case (n, e) =>
+        graft.sources.GraftChecks.validateExpr(spark, schema, n, e) }
+      graft.sources.GraftChecks.enforce(read(), add,
+        s"existing rows of $root (ADD CONSTRAINT)")
+    }
+    OptimisticCommit.commitChecks(root, existing -- drop ++ add,
+      validatedVersion = Some(latestV),
+      revalidate = _ => if (add.nonEmpty)
+        graft.sources.GraftChecks.enforce(read(), add,
+          s"existing rows of $root (ADD CONSTRAINT, rebased onto a " +
+            "concurrent commit)"),
+      expectedChecks = Some(existing))
   }
 
   /** `DELETE WHERE` committed as the next version at METADATA price

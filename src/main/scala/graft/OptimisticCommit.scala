@@ -468,15 +468,45 @@ object OptimisticCommit {
     * responsible for having VALIDATED a newly added check against the
     * current table content (one scan, [[graft.GraftTable.addCheck]]);
     * this publishes the metadata. Restaged per publish attempt, safe
-    * under concurrent writers like [[commitSchema]]. */
+    * under concurrent writers like [[commitSchema]] — with two guards
+    * the plain restage would miss:
+    *
+    *  - `validatedVersion`/`revalidate`: rows committed CONCURRENTLY by
+    *    a data writer were only checked against the OLD contract, so a
+    *    lost race onto a moved base re-runs the caller's validation scan
+    *    against the new head before staging — otherwise a table could
+    *    declare a check its rows violate, silently and permanently (the
+    *    "existing rows satisfy checks by induction" invariant every
+    *    later write trusts).
+    *  - `expectedChecks`: a concurrent CONSTRAINT change (another
+    *    add/drop winning a slot first) would be stomped by restaging the
+    *    caller's stale target set; detected and failed instead. */
   def commitChecks(tableRoot: String, checks: Map[String, String],
-                   maxAttempts: Int = 20): Long = {
+                   maxAttempts: Int = 20,
+                   validatedVersion: Option[Long] = None,
+                   revalidate: Long => Unit = _ => (),
+                   expectedChecks: Option[Map[String, String]] = None): Long = {
     var attempts = 0
+    var validatedAt = validatedVersion
     while (attempts < maxAttempts) {
       attempts += 1
       val baseV = CdcMergeSink.versions(tableRoot).lastOption
       val latest = baseV.map(v => s"$tableRoot/v$v")
         .getOrElse(s"$tableRoot/base")
+      expectedChecks.foreach { exp =>
+        val headChecks = graft.sources.GraftChecks.manifestChecks(latest)
+        if (headChecks != exp)
+          throw new IllegalStateException(
+            s"concurrent CHECK-constraint change on $tableRoot (this " +
+              s"change was computed against ${exp.keySet.toSeq.sorted
+                .mkString("{", ",", "}")}, head now declares " +
+              s"${headChecks.keySet.toSeq.sorted.mkString("{", ",", "}")}" +
+              ") — re-read the table and retry")
+      }
+      validatedAt.foreach { v =>
+        val now = baseV.getOrElse(-1L)
+        if (now != v) { revalidate(now); validatedAt = Some(now) }
+      }
       val dir = s"$tableRoot/.tx-${
         java.util.UUID.randomUUID().toString.take(12)}"
       graft.sources.GraftChecks.stageChecksChange(latest, dir, checks)

@@ -207,13 +207,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         MutableParquetTable.manifestKey(latest).getOrElse(
           throw new IllegalStateException(
             s"$latest carries no merge key — not a graft table")))
-      checkProps.foreach {
-        case p: TableChange.SetProperty =>
-          t.addCheck(p.property.drop(6), p.value)
-        case p: TableChange.RemoveProperty =>
-          t.dropCheck(p.property.drop(6))
-        case _ => ()
+      // ONE atomic commit + ONE validation scan for the whole statement
+      // (several check.* properties must not half-apply on failure)
+      val adds = checkProps.collect {
+        case p: TableChange.SetProperty => p.property.drop(6) -> p.value
+      }.toMap
+      val drops = checkProps.collect {
+        case p: TableChange.RemoveProperty => p.property.drop(6)
       }
+      t.alterChecks(adds, drops)
       if (rest.isEmpty) return loadTable(ident)
     }
     val adds = rest.map {

@@ -73,7 +73,17 @@ final class GraftStateStream(spark: SparkSession, root: String,
       val d = dirOf(version)
       MutableParquetTable.manifestFileNames(d)
         .map(_.map(n => MutableParquetTable.resolvePath(d, n)))
-        .getOrElse(MutableParquetTable.tableFiles(d))
+        .getOrElse {
+          // a committed version ALWAYS has a manifest — absence means the
+          // checkpoint-pinned snapshot was vacuumed; serving tableFiles
+          // of a swept dir would be a partial/empty snapshot, silently
+          if (version >= 0)
+            throw new IllegalStateException(
+              s"snapshot version v$version pinned by this stream's " +
+                s"checkpoint no longer exists under $root (vacuumed). " +
+                "Restart the stream from a fresh checkpoint")
+          MutableParquetTable.tableFiles(d) // bare `base`: no manifest
+        }
         .sorted.toIndexedSeq
     })
 
@@ -94,13 +104,34 @@ final class GraftStateStream(spark: SparkSession, root: String,
   private def feedDirExists(v: Long): Boolean =
     Files.isDirectory(Paths.get(root, "_changes", s"v$v"))
 
+  /** Versions this stream has yet to consume must still EXIST. Version
+    * ids are dense commit slots and vacuum only ever drops a PREFIX of
+    * them, so a gap between `from` and the lowest surviving version
+    * above it means retention dropped unconsumed versions — their change
+    * feeds are deleted with them, and advancing would be a SILENT data
+    * loss (exactly the gap mode this source's guards exist to prevent;
+    * Delta fails the same way on a checkpoint below the retention
+    * horizon). */
+  private def assertNotVacuumed(from: Long, surviving: Seq[Long]): Unit =
+    surviving.find(_ > from).foreach { lo =>
+      if (lo > from + 1)
+        throw new IllegalStateException(
+          s"stream checkpoint at version $from is below $root's " +
+            s"retention horizon: versions ${from + 1}..${lo - 1} were " +
+            "vacuumed and their change feeds deleted with them. Restart " +
+            "the stream from a fresh checkpoint (it will serve the " +
+            "current snapshot, then follow the feed)")
+    }
+
   /** Highest consumable version above `from`: every version must carry a
     * COMPLETE feed (committed with one, or backfilled by repair_feed) —
     * a feedless version is a data-loss hazard and fails the stream; an
     * in-flight feed (declared or mid-repair) holds the offset. */
   private def consumableHead(from: Long): Long = {
     var last = from
-    val it = CdcMergeSink.versions(root).iterator.filter(_ > from)
+    val surviving = CdcMergeSink.versions(root)
+    assertNotVacuumed(from, surviving)
+    val it = surviving.iterator.filter(_ > from)
     var stop = false
     while (it.hasNext && !stop) {
       val v = it.next()
@@ -177,7 +208,10 @@ final class GraftStateStream(spark: SparkSession, root: String,
       wrapFeed = false
     } else {
       // feed phase (a transition batch from the snapshot's tail plans
-      // feeds from the pinned snapshot version forward)
+      // feeds from the pinned snapshot version forward). A replayed
+      // batch (checkpoint WAL) bypasses latestOffset, so the vacuum
+      // guard must run here too.
+      assertNotVacuumed(s.version, CdcMergeSink.versions(root))
       planned = GraftChangeFeed.parquetBatch(spark,
         GraftChangeFeed.filesFor(root, s.version + 1, e.version), feedSchema)
       wrapFeed = true

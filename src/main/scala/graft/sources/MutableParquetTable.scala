@@ -692,7 +692,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       // the predicate provably matches the whole table: empty snapshot,
       // schema kept — structurally a truncate
       MutableParquetTable.commitEmpty(outDir, key, tableSchema, moreKeys,
-        MutableParquetTable.manifestBuckets(dir))
+        MutableParquetTable.manifestBuckets(dir),
+        GraftChecks.manifestChecks(dir))
       phase("manifest")
       return MergeResult(outDir, Nil, Nil, 0, phases.toMap,
         filesDropped = cls.drop.size)

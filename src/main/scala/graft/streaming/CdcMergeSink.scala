@@ -308,13 +308,15 @@ object CdcMergeSink {
     val cutoff = System.currentTimeMillis() - retainMillis
     val all = versions(tableRoot)
     if (all.isEmpty) return Nil
-    val recent = all.count { v =>
-      MutableParquetTable.readManifest(s"$tableRoot/v$v")
-        .flatMap("\"committedAtMs\":(\\d+)".r.findFirstMatchIn(_))
-        .map(_.group(1).toLong)
-        // a manifest without a stamp predates retention semantics:
-        // treat as old (droppable) rather than pinned forever
-        .exists(_ >= cutoff)
+    // monotone commit times → the in-window versions are a suffix,
+    // found by the same O(log n) binary search startingTimestamp uses
+    // (a daily retention job on a many-thousand-version table must not
+    // do O(versions) driver manifest reads). Stampless pre-retention
+    // manifests sort as -inf there: old (droppable), not pinned forever.
+    val recent = graft.sources.GraftChangeFeed
+      .versionAtOrAfter(tableRoot, cutoff) match {
+      case Some(first) => all.length - all.indexOf(first)
+      case None        => 0
     }
     vacuum(tableRoot, math.max(minKeepLast, recent))
   }

@@ -207,4 +207,94 @@ class GraftChecksSpec extends SparkSpec {
     }
     assert(root(e3).isInstanceOf[GraftChecks.CheckViolation])
   }
+
+  test("whole-table DELETE (provably-all zone path) keeps the contract") {
+    val root = freshRoot()
+    val t = GraftTable.create(
+      (0L until 50L).map(i => (i, i + 1)).toDF("k", "v"), root, "k",
+      numFiles = 2, checks = Map("v_pos" -> "v > 0"))
+    // predicate provably matches every file → the structurally-truncate
+    // commitEmpty path, which must carry the checks like any commit
+    t.deleteWhere(lit(true))
+    assert(t.read().isEmpty)
+    assert(t.checks === Map("v_pos" -> "v > 0"),
+      "a whole-table DELETE must not silently drop the write contract")
+    intercept[GraftChecks.CheckViolation] { t.commit(ups(1L -> -1L)) }
+  }
+
+  test("ALTER with several check properties is atomic: no half-apply, one version") {
+    val w = java.nio.file.Files.createTempDirectory("graft-chk-multi").toString
+    spark.conf.set("spark.sql.catalog.chkm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chkm.root", w)
+    spark.sql("""CREATE TABLE chkm.ns.m (k BIGINT, v BIGINT) USING graft
+      TBLPROPERTIES ('key' = 'k')""")
+    spark.sql("INSERT INTO chkm.ns.m VALUES (1, 5)")
+    // the second property is invalid — the WHOLE statement must abort
+    // before anything commits (previously check.a half-applied)
+    intercept[Exception] {
+      spark.sql("""ALTER TABLE chkm.ns.m SET TBLPROPERTIES
+        ('check.a' = 'v > 0', 'check.b' = 'bogus_col > 0')""")
+    }
+    assert(GraftChecks.manifestChecks(
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$w/ns/m")).isEmpty,
+      "a failed multi-check ALTER must leave no constraint behind")
+    spark.sql("INSERT INTO chkm.ns.m VALUES (2, -5)") // still unconstrained
+
+    // a valid multi-add lands BOTH checks in ONE commit (one version,
+    // one validation scan)
+    spark.sql("DELETE FROM chkm.ns.m WHERE v < 0")
+    val before = graft.streaming.CdcMergeSink.versions(s"$w/ns/m").size
+    spark.sql("""ALTER TABLE chkm.ns.m SET TBLPROPERTIES
+      ('check.a' = 'v > 0', 'check.c' = 'k >= 0')""")
+    val after = graft.streaming.CdcMergeSink.versions(s"$w/ns/m").size
+    assert(after === before + 1, "several check.* properties = ONE commit")
+    assert(GraftChecks.manifestChecks(
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$w/ns/m")).keySet ===
+      Set("a", "c"))
+  }
+
+  test("commitChecks rebase onto a moved base re-validates; concurrent constraint change refuses") {
+    val root = freshRoot()
+    val t = GraftTable.create(
+      (0L until 20L).map(i => (i, i + 1)).toDF("k", "v"), root, "k",
+      numFiles = 2)
+    t.commit(ups(5L -> -7L)) // v0 — contains a row violating v_pos
+
+    // simulate "validated at base, a data commit landed before publish":
+    // validatedVersion says base(-1), actual head is v0 → the rebase
+    // guard must re-run the validation, which now sees the -7 and throws
+    var revalidations = 0
+    intercept[GraftChecks.CheckViolation] {
+      OptimisticCommit.commitChecks(root, Map("v_pos" -> "v > 0"),
+        validatedVersion = Some(-1L),
+        revalidate = { _ =>
+          revalidations += 1
+          GraftChecks.enforce(t.read(), Map("v_pos" -> "v > 0"), "rebase")
+        })
+    }
+    assert(revalidations === 1)
+    assert(t.checks.isEmpty, "the violated check must not be declared")
+
+    // same rebase with clean content: revalidate runs, commit lands
+    t.commit(ups(5L -> 7L)) // v1 — now all rows satisfy v_pos
+    var ok = 0
+    OptimisticCommit.commitChecks(root, Map("v_pos" -> "v > 0"),
+      validatedVersion = Some(0L),
+      revalidate = { _ =>
+        ok += 1
+        GraftChecks.enforce(t.read(), Map("v_pos" -> "v > 0"), "rebase")
+      })
+    assert(ok === 1 && t.checks === Map("v_pos" -> "v > 0"))
+
+    // a concurrent CONSTRAINT change is detected, not stomped: this
+    // writer computed its target set against an empty contract, but the
+    // head now declares v_pos
+    val e = intercept[IllegalStateException] {
+      OptimisticCommit.commitChecks(root, Map("other" -> "k >= 0"),
+        expectedChecks = Some(Map.empty))
+    }
+    assert(e.getMessage.contains("concurrent CHECK-constraint change"))
+    assert(t.checks === Map("v_pos" -> "v > 0"))
+  }
 }

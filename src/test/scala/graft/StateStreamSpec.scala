@@ -196,4 +196,45 @@ class StateStreamSpec extends SparkSpec {
         "feed post-image must map by name into the pruned, reordered schema")
     } finally q2.stop()
   }
+
+  test("a checkpoint below the retention horizon FAILS instead of skipping vacuumed versions") {
+    val root = Files.createTempDirectory("graft-ss-vac").toString
+    val cp = Files.createTempDirectory("graft-ss-vac-cp").toString
+    val t = GraftTable.create(
+      spark.range(0, 10).select(col("id"), col("id").cast("double").as("v")),
+      root, "id", numFiles = 2)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def start() = spark.readStream.format("graft").load(root)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.addAndGet(df.count()); ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      t.commitWithFeed(mut(Seq((100L, 1.0, "upsert")))) // v0 — consumed
+      q.processAllAvailable()
+      assert(seen.get() === 11)
+    } finally q.stop()
+
+    // while the stream is down: three more commits, then retention
+    // drops all but the newest — the stream's next versions are GONE,
+    // their feeds deleted with them
+    t.commitWithFeed(mut(Seq((101L, 2.0, "upsert")))) // v1
+    t.commitWithFeed(mut(Seq((102L, 3.0, "upsert")))) // v2
+    t.commitWithFeed(mut(Seq((103L, 4.0, "upsert")))) // v3
+    t.vacuum(keepLast = 1)
+
+    // silently serving v3 would lose v1/v2's rows — must fail instead
+    val q2 = start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msg(x: Throwable): String =
+        Option(x.getMessage).getOrElse("") +
+          Option(x.getCause).map(msg).getOrElse("")
+      assert(msg(e).contains("retention horizon"), msg(e))
+    } finally q2.stop()
+  }
 }
