@@ -116,6 +116,46 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       expectedChecks = Some(existing))
   }
 
+  /** `ALTER TABLE ... DROP COLUMN` as a METADATA-ONLY commit at any
+    * table size: the next version references every current data file in
+    * place under the NARROWED schema — scans simply stop projecting the
+    * column (parquet prunes absent-from-schema columns for free on old
+    * files), and CoW rewrites shed the bytes lazily as files are
+    * touched. The name goes on the manifest's dropped-column blocklist
+    * so a later ADD / merge evolution cannot silently resurrect
+    * pre-drop values from surviving files (the list clears once a
+    * replace/truncate leaves no such file). Merge-key columns are
+    * immutable row identity and cannot be dropped; a column a CHECK
+    * constraint references needs the check dropped first. */
+  def dropColumn(name: String): Long = {
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+      .getOrElse(throw new IllegalStateException(
+        s"$latest carries no schema — only committed tables can drop columns"))
+    val keys = key +: graft.sources.MutableParquetTable.manifestMoreKeys(latest)
+    require(!keys.exists(_.equalsIgnoreCase(name)),
+      s"$name is a merge-key column — keys are immutable row identity " +
+        "and cannot be dropped")
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name does not exist " +
+          schema.fieldNames.mkString("(have: ", ", ", ")")))
+    val narrowed = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    // every CHECK must still resolve without the column — a contract
+    // referencing a ghost would fail every later write confusingly
+    graft.sources.GraftChecks.manifestChecks(latest).foreach { case (n, e) =>
+      try graft.sources.GraftChecks.validateExpr(spark, narrowed, n, e)
+      catch { case ex: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot drop ${field.name}: CHECK constraint '$n' ($e) " +
+            "references it — drop the check first", ex)
+      }
+    }
+    OptimisticCommit.commitSchema(root, narrowed,
+      recordDropped = Seq(field.name))
+  }
+
   /** `DELETE WHERE` committed as the next version at METADATA price
     * wherever the manifest can prove it ([[graft.sources.ZoneDelete]]):
     * files whose zone map shows every row matches are dropped whole,

@@ -437,7 +437,8 @@ object OptimisticCommit {
     * manifest rewrite, never a table rewrite. */
   def commitSchema(tableRoot: String,
                    newSchema: org.apache.spark.sql.types.StructType,
-                   maxAttempts: Int = 20): Long = {
+                   maxAttempts: Int = 20,
+                   recordDropped: Seq[String] = Nil): Long = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -446,7 +447,8 @@ object OptimisticCommit {
         .getOrElse(s"$tableRoot/base")
       val dir = s"$tableRoot/.tx-${
         java.util.UUID.randomUUID().toString.take(12)}"
-      MutableParquetTable.stageSchemaChange(latest, dir, newSchema)
+      MutableParquetTable.stageSchemaChange(latest, dir, newSchema,
+        recordDropped)
       val target = baseV.getOrElse(-1L) + 1
       if (tryPublish(dir, s"$tableRoot/v$target")) return target
       deleteQuietly(dir)
@@ -598,6 +600,11 @@ object OptimisticCommit {
     val checks = graft.sources.GraftChecks.manifestChecks(st.dir)
     if (checks != graft.sources.GraftChecks.manifestChecks(newBase))
       return None
+    // dropped-column blocklist: carry only when both chains agree (a
+    // concurrent DROP COLUMN changes what the merged inventory protects)
+    val dropped = MutableParquetTable.manifestDroppedColumns(st.dir)
+    if (dropped != MutableParquetTable.manifestDroppedColumns(newBase))
+      return None
     val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)
     if (schema.isEmpty ||
         schema != MutableParquetTable.manifestSchema(newBase).map(_.json))
@@ -643,7 +650,7 @@ object OptimisticCommit {
       }
     MutableParquetTable.writeManifestFromRanges(st.dir, key,
       MutableParquetTable.manifestMoreKeys(st.dir), entries, schema,
-      checks)
+      checks, dropped)
     Some(Staged(st.dir, Some(newLast),
       st.merge.copy(
         passthroughFiles = kept.map(_.file),

@@ -1382,6 +1382,27 @@ object OracleSql {
         CAST(1 AS INT) AS lsh_found
       FROM jp ORDER BY id_a, id_b"""),
 
+    // metadata-only DROP COLUMN lifecycle: pre_drop re-aggregates the
+    // dropped column's values via VERSION AS OF (per-version schema);
+    // current reflects the post-drop UPDATE through the narrowed shape
+    "q118_drop_column" -> """
+      WITH src AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               c_mktsegment AS seg
+        FROM customer)
+      SELECT 'pre_drop' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS BIGINT) AS bal_sum,
+             CAST(sum(length(seg)) AS BIGINT) AS seg_len
+      FROM src
+      UNION ALL
+      SELECT 'current', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN k % 10 = 0 THEN bal + 7 ELSE bal END)
+               AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM src
+      ORDER BY phase""",
+
     // incremental dedup: exact Jaccard pairs TOUCHING the new batch
     // (id % 3 = 0), incr_found pinned to 1 — the persisted-index probe
     // must surface every true pair the batch introduces

@@ -1847,6 +1847,44 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Metadata-only `ALTER TABLE DROP COLUMN`: the drop version
+    * references every data file in place under the NARROWED schema —
+    * zero data IO at any table size; scans stop projecting the column
+    * (parquet prunes it from old files for free) and later CoW rewrites
+    * shed the bytes lazily. Two phases of the same table: `pre_drop`
+    * (VERSION AS OF, the column's values aggregated — per-version
+    * schema) and `current` (post-drop UPDATE through the narrowed
+    * shape). The oracle recomputes both from the fixture, so a hash
+    * match proves the drop changed projection, never data. */
+  def q118_drop_column(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q118-wh").toString
+    val cat = "gq118_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q118_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.dc (c_custkey BIGINT, bal BIGINT,
+              seg STRING) USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.dc
+              SELECT CAST(c_custkey AS BIGINT),
+                     CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+              FROM q118_cust_src""")                       // v0
+    s.sql(s"ALTER TABLE $cat.ns.dc DROP COLUMN seg")       // v1, 0 IO
+    s.sql(s"""UPDATE $cat.ns.dc SET bal = bal + 7
+              WHERE c_custkey % 10 = 0""")                 // v2, narrowed CoW
+    s.sql(s"""
+      SELECT phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS BIGINT) AS bal_sum,
+             CAST(sum(seg_len) AS BIGINT) AS seg_len
+      FROM (
+        SELECT 'pre_drop' AS phase, bal, length(seg) AS seg_len
+        FROM $cat.ns.dc VERSION AS OF 0
+        UNION ALL
+        SELECT 'current', bal, 0 FROM $cat.ns.dc
+      ) GROUP BY phase""")
+      .orderBy(col("phase"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2428,6 +2466,7 @@ object SparkEntry {
     "q115_clone" -> (q115_clone _),
     "q116_check_constraints" -> (q116_check_constraints _),
     "q117_incremental_dedup" -> (q117_incremental_dedup _),
+    "q118_drop_column" -> (q118_drop_column _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

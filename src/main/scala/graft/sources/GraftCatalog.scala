@@ -218,13 +218,31 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       t.alterChecks(adds, drops)
       if (rest.isEmpty) return loadTable(ident)
     }
-    val adds = rest.map {
+    // `ALTER TABLE ... DROP COLUMN` — metadata-only narrowing (the
+    // GraftTable.dropColumn contract: key columns and check-referenced
+    // columns refuse; the name is blocklisted against resurrection)
+    val (colDrops, nonDrops) =
+      rest.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    if (colDrops.nonEmpty) {
+      val latest = graft.streaming.CdcMergeSink.latestSnapshot(dir)
+      val t = graft.GraftTable(SparkSession.active, dir,
+        MutableParquetTable.manifestKey(latest).getOrElse(
+          throw new IllegalStateException(
+            s"$latest carries no merge key — not a graft table")))
+      colDrops.foreach { case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"nested column ${d.fieldNames().mkString(".")} is not supported")
+        t.dropColumn(d.fieldNames().head)
+      }
+      if (nonDrops.isEmpty) return loadTable(ident)
+    }
+    val adds = nonDrops.map {
       case a: TableChange.AddColumn => a
       case c => throw new UnsupportedOperationException(
-        s"only ADD COLUMN and check.* table properties are supported " +
-          s"(got ${c.getClass.getSimpleName}) — schema otherwise evolves " +
-          "through merges, and existing columns cannot change without " +
-          "rewriting committed files")
+        s"only ADD COLUMN, DROP COLUMN and check.* table properties are " +
+          s"supported (got ${c.getClass.getSimpleName}) — schema " +
+          "otherwise evolves through merges, and existing columns cannot " +
+          "retype/rename without rewriting committed files")
     }
     val table = loadTable(ident)
     val schema = table.asInstanceOf[GraftBatchTable].schema

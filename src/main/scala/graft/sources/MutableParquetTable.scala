@@ -362,6 +362,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         " — cast the batch to the table types before merging")
     val newFields = batchData.schema.fields
       .filterNot(f => tableSchema.fieldNames.contains(f.name))
+    if (newFields.nonEmpty)
+      MutableParquetTable.guardResurrected(dir, newFields.map(_.name).toSeq)
     val mergedSchema =
       if (ranges.isEmpty && clean.isEmpty) batchData.schema
       else if (newFields.isEmpty) tableSchema
@@ -1031,6 +1033,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         drifted.map(f => s"${f.name}").mkString(", "))
     val newFields = batchData.schema.fields
       .filterNot(f => tableSchema.fieldNames.contains(f.name))
+    if (newFields.nonEmpty)
+      MutableParquetTable.guardResurrected(dir, newFields.map(_.name).toSeq)
     val mergedSchema =
       if (allFiles.isEmpty) batchData.schema
       else if (newFields.isEmpty) tableSchema
@@ -1191,6 +1195,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // CHECK constraints are versioned table state: carry them forward
     // like the bucket spec so every commit keeps enforcing them
     val checksJson = GraftChecks.checksJsonField(GraftChecks.manifestChecks(dir))
+    // the dropped-column blocklist protects files that physically
+    // predate a DROP COLUMN (re-adding the name would resurrect their
+    // stale values); once NO source file survives into this snapshot —
+    // carried and referenced both empty: a replace, or a merge that
+    // rewrote everything through the narrowed schema — it clears
+    val droppedJson = MutableParquetTable.droppedJsonField(
+      if (carried.isEmpty && refNames.isEmpty) Nil
+      else MutableParquetTable.manifestDroppedColumns(dir))
     val tombstonesJson = tombstones.filter(_ > 0).map(n =>
       s""""tombstoneFile":${js(MutableParquetTable.TombstoneName)},""" +
         s""""tombstoneRows":$n,""").getOrElse("")
@@ -1198,7 +1210,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       s"""{"key":${js(key)},"keyType":"$keyType",""" + tombstonesJson +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
-        bucketsJson + checksJson +
+        bucketsJson + checksJson + droppedJson +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
@@ -1367,7 +1379,8 @@ object MutableParquetTable {
       moreKeys: Seq[String],
       entries: Seq[(String, ParquetStats.FileKeyRange)],
       schemaJson: Option[String],
-      checks: Map[String, String] = Map.empty): Unit = {
+      checks: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil): Unit = {
     val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
     val keyType = sorted.headOption.map(_._2.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1385,6 +1398,7 @@ object MutableParquetTable {
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         GraftChecks.checksJsonField(checks) +
+        droppedJsonField(dropped) +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":${sorted.size},""" +
@@ -1411,6 +1425,40 @@ object MutableParquetTable {
   private[graft] val SupportedFeatures: Set[String] =
     Set("tombstones", "buckets", "checks", "dimRanges", "references",
       "compositeKeys", "nestedKeys")
+
+  /** Column names DROPPED from the table schema while files written
+    * BEFORE the drop may still physically carry the old values (the
+    * metadata-only `ALTER TABLE DROP COLUMN` never touches data files —
+    * scans just stop projecting the column). Re-ADDing such a name
+    * would silently resurrect those stale values on the old files
+    * (parquet reads columns by name), so schema widenings reject names
+    * on this list. The list clears once no pre-drop file survives (a
+    * replace/truncate, or a merge that rewrote every file through the
+    * narrowed schema). Stored comma-joined like `moreKeys`. */
+  private[graft] def manifestDroppedColumns(snapshotDir: String): Seq[String] =
+    readManifest(snapshotDir).flatMap(m =>
+      "\"droppedColumns\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+        .map(x => unjs(x.group(1)))).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+
+  private[graft] def droppedJsonField(names: Seq[String]): String =
+    if (names.isEmpty) ""
+    else s""""droppedColumns":${js(names.mkString(","))},"""
+
+  /** Schema widening (metadata ALTER or merge evolution) must not reuse
+    * a DROPPED column name while files predating the drop survive — see
+    * [[manifestDroppedColumns]]. */
+  private[sources] def guardResurrected(snapshotDir: String,
+                                        newNames: Seq[String]): Unit = {
+    val blocked = manifestDroppedColumns(snapshotDir)
+    if (blocked.isEmpty) return
+    val hit = newNames.filter(n => blocked.exists(_.equalsIgnoreCase(n)))
+    require(hit.isEmpty,
+      s"column(s) ${hit.mkString(", ")} were previously DROPPED and " +
+        "files written before the drop still carry their old values — " +
+        "bringing the name back would resurrect stale data. Rewrite the " +
+        "table (replace/compact) first, or use a different name")
+  }
 
   /** The `requiredFeatures` a committed snapshot declares (empty for
     * all manifests written by this library version). */
@@ -1465,9 +1513,28 @@ object MutableParquetTable {
     * table root (same depth as the version dirs) so relative entries are
     * already in final form when the stage is renamed into the chain. */
   private[graft] def stageSchemaChange(fromDir: String, toDir: String,
-      newSchema: org.apache.spark.sql.types.StructType): Unit = {
-    val m = readManifest(fromDir).getOrElse(throw new IllegalStateException(
+      newSchema: org.apache.spark.sql.types.StructType,
+      recordDropped: Seq[String] = Nil): Unit = {
+    val m0 = readManifest(fromDir).getOrElse(throw new IllegalStateException(
       s"$fromDir has no manifest — only committed snapshots can change schema"))
+    // a WIDENING must not reuse a dropped name: pre-drop files still
+    // physically carry the old column, and a by-name parquet read would
+    // resurrect their stale values instead of null
+    val blocked = manifestDroppedColumns(fromDir)
+    guardResurrected(fromDir, newSchema.fieldNames.toSeq.filterNot(n =>
+      recordDropped.exists(_.equalsIgnoreCase(n))))
+    val m = if (recordDropped.isEmpty) m0 else {
+      // record the newly dropped names (cumulative) and shed any dim
+      // zone-map entries on them — a pruning index over a column readers
+      // can no longer see is dead weight
+      val merged = (blocked ++ recordDropped).distinct
+      val f = droppedJsonField(merged)
+      val stripped = m0
+        .replaceAll("\"droppedColumns\":\"((?:[^\"\\\\]|\\\\.)*)\",", "")
+      val withField = stripped.replaceFirst("\\{",
+        scala.util.matching.Regex.quoteReplacement(s"{$f"))
+      recordDropped.foldLeft(withField)((acc, c) => stripDimEntries(acc, c))
+    }
     Files.createDirectories(Paths.get(toDir))
     // the tombstone sidecar is snapshot-local (delta-sized) — copy it so
     // the staged manifest's tombstoneFile entry stays resolvable
@@ -2044,6 +2111,21 @@ object MutableParquetTable {
                                     dmax: String): String =
     s"""{"dfile":${js(entryName)},"dcol":${js(col)},""" +
       s""""dtype":"$dtype","dmin":${js(dmin)},"dmax":${js(dmax)}}"""
+
+  /** Remove every dim zone-map entry on `colName` from a manifest JSON —
+    * a pruning index over a column readers can no longer see (DROP
+    * COLUMN) is dead weight. */
+  private[sources] def stripDimEntries(m: String, colName: String): String = {
+    val entry =
+      ("\\{\"dfile\":\"((?:[^\"\\\\]|\\\\.)*)\",\"dcol\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+        "\"dtype\":\"(\\w+)\",\"dmin\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+        "\"dmax\":\"((?:[^\"\\\\]|\\\\.)*)\"\\},?").r
+    entry.replaceAllIn(m, e =>
+      if (unjs(e.group(2)).equalsIgnoreCase(colName)) ""
+      else scala.util.matching.Regex.quoteReplacement(e.matched))
+      .replaceAll(",\\]", "]")            // trailing comma our removal left
+      .replaceAll("\"dimRanges\":\\[\\],", "") // emptied list drops whole
+  }
 
   /** Serialize a typed range bound pair for the manifest. */
   private[sources] def dimTypedRepr(min: Any, max: Any): (String, String, String) =

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MutableParquetTable
+
+/** `ALTER TABLE ... DROP COLUMN` as a METADATA-ONLY commit: the next
+  * version references every data file in place under the narrowed
+  * schema (scans stop projecting the column; parquet prunes it from old
+  * files for free), CoW rewrites shed the bytes lazily, and the name is
+  * BLOCKLISTED against re-ADD while pre-drop files survive — a by-name
+  * parquet read would silently resurrect their stale values (the Delta
+  * column-mapping hazard, solved here by refusal instead of mapping). */
+class DropColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-dropcol").toString
+
+  private def ups(rows: (Long, Long, String)*) =
+    rows.map { case (k, v, e) => (k, v, e, "upsert") }
+      .toDF("k", "v", "extra", "op")
+
+  private def seed(root: String): GraftTable =
+    GraftTable.create(
+      (0L until 100L).map(i => (i, i * 10, s"e$i")).toDF("k", "v", "extra"),
+      root, "k", numFiles = 4)
+
+  test("drop is metadata-only; reads narrow; time travel keeps the old shape") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.commit(ups((5L, 55L, "e5b"))) // v0
+    val v = t.dropColumn("extra")   // v1
+    assert(v === 1L)
+
+    // metadata-only: the drop version owns zero data files
+    val dataFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/v$v"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(dataFiles === 0, "DROP COLUMN must be a reference-only commit")
+
+    // reads narrow — and values are untouched
+    val now = t.read()
+    assert(now.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(now.count() === 100)
+    assert(now.where(col("k") === 5L).head().getLong(1) === 55L)
+
+    // the schema is per-version state: pre-drop versions keep the column
+    val old = MutableParquetTable(spark, s"$root/v0", "k").read()
+    assert(old.schema.fieldNames.contains("extra"))
+    assert(old.where(col("k") === 5L).head().getString(2) === "e5b")
+  }
+
+  test("blocklist: re-ADD refuses while pre-drop files survive; clears after replace") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.dropColumn("extra") // v0
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v0") ===
+      Seq("extra"))
+
+    // metadata ADD of the same name refuses (stale values would resurrect)
+    val e = intercept[IllegalArgumentException] {
+      OptimisticCommit.commitSchema(root, t.read().schema
+        .add(org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+
+    // merge schema evolution with the same name refuses too
+    val e2 = intercept[IllegalArgumentException] { t.commit(ups((5L, 1L, "zz"))) }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+
+    // a merge that carries files forward KEEPS the blocklist
+    t.commit(Seq((5L, 1L, "upsert")).toDF("k", "v", "op")) // v1
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v1") ===
+      Seq("extra"))
+
+    // replace rewrites everything — no pre-drop file survives, the name
+    // is safe to reuse
+    t.replace((0L until 10L).map(i => (i, i)).toDF("k", "v")) // v2
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v2").isEmpty)
+    t.commit(ups((3L, 3L, "fresh"))) // evolution re-adds cleanly
+    assert(t.read().schema.fieldNames.contains("extra"))
+    assert(t.read().where(col("k") === 0L).head()
+      .isNullAt(2), "old rows read the re-added column as null")
+  }
+
+  test("guards: key columns and check-referenced columns refuse") {
+    val root = freshRoot()
+    val t = seed(root)
+    intercept[IllegalArgumentException] { t.dropColumn("k") }
+    intercept[IllegalArgumentException] { t.dropColumn("nope") }
+
+    t.addCheck("v_pos", "v >= 0") // references v
+    val e = intercept[IllegalArgumentException] { t.dropColumn("v") }
+    assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+    t.dropCheck("v_pos")
+    t.dropColumn("v") // now fine
+    assert(t.read().schema.fieldNames.toSeq === Seq("k", "extra"))
+  }
+
+  test("CoW rewrites shed the dropped column physically; carried files keep it until touched") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.dropColumn("extra") // v0
+    t.commit(Seq((5L, 1L, "upsert")).toDF("k", "v", "op")) // v1: one file dirty
+    val files = MutableParquetTable.manifestFileNames(s"$root/v1").get
+      .map(n => MutableParquetTable.resolvePath(s"$root/v1", n))
+    val shapes = files.map(f => spark.read.parquet(f).schema.fieldNames.toSet)
+    assert(shapes.exists(_ === Set("k", "v")),
+      "the rewritten file must shed the dropped column")
+    assert(shapes.exists(_.contains("extra")),
+      "carried files keep their physical bytes (that is the point)")
+    // logical reads never see it regardless of physical shape
+    assert(t.read().schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(t.read().count() === 100)
+  }
+
+  test("dim zone maps on the dropped column are shed; restore undoes the drop") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.commit(Seq((5L, 1L, "upsert")).toDF(
+      "k", "v", "op").withColumn("extra", lit("x"))) // v0
+    MutableParquetTable.attachDimRanges(spark, s"$root/v0", Seq("v", "extra"))
+    assert(MutableParquetTable.manifestDimRanges(s"$root/v0")
+      .keySet === Set("v", "extra"))
+    t.dropColumn("extra") // v1
+    assert(MutableParquetTable.manifestDimRanges(s"$root/v1")
+      .keySet === Set("v"), "zone maps on a dropped column are dead weight")
+
+    // RESTORE to the pre-drop version brings the column (and its values)
+    // back — the drop is versioned state like everything else
+    t.restoreTo(0L) // v2
+    assert(t.read().schema.fieldNames.contains("extra"))
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v2").isEmpty)
+  }
+
+  test("SQL surface: ALTER TABLE DROP COLUMN by name; ADD of the name refuses") {
+    val w = java.nio.file.Files.createTempDirectory("graft-dropcol-cat").toString
+    spark.conf.set("spark.sql.catalog.dc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dc.root", w)
+    spark.sql("""CREATE TABLE dc.ns.d (k BIGINT, v BIGINT, extra STRING)
+      USING graft TBLPROPERTIES ('key' = 'k')""")
+    spark.sql("INSERT INTO dc.ns.d SELECT id, id * 2, concat('e', id) FROM range(0, 20)")
+    spark.sql("ALTER TABLE dc.ns.d DROP COLUMN extra")
+    val got = spark.sql("SELECT * FROM dc.ns.d ORDER BY k")
+    assert(got.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(got.count() === 20)
+
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE dc.ns.d ADD COLUMN extra STRING")
+    }
+    def msg(x: Throwable): String =
+      Option(x.getMessage).getOrElse("") +
+        Option(x.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("DROPPED"), msg(e))
+
+    // DML keeps working on the narrowed shape
+    spark.sql("UPDATE dc.ns.d SET v = 0 WHERE k = 3")
+    assert(spark.sql("SELECT v FROM dc.ns.d WHERE k = 3").head().getLong(0) === 0L)
+  }
+}

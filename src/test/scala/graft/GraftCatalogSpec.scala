@@ -236,9 +236,10 @@ class GraftCatalogSpec extends SparkSpec {
       hot.last.getLong(3) === 40L)
     assert(spark.sql("SELECT * FROM graft.ns.ac VERSION AS OF 0")
       .schema.fieldNames.toSeq === Seq("id", "v"))
-    // non-ADD alters stay rejected
+    // retype/rename alters stay rejected (DROP COLUMN became a
+    // metadata-only commit — DropColumnSpec owns that surface)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.ns.ac DROP COLUMN v")
+      spark.sql("ALTER TABLE graft.ns.ac RENAME COLUMN v TO v2")
     }
   }
 
