@@ -43,7 +43,7 @@ object Bench {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val s = Paths.get(src)
     val d = Paths.get(dst)
-    MutableParquetTable.deleteDir(d)
+    if (Files.exists(d)) MutableParquetTable.deleteDir(d)
     val walk = Files.walk(s)
     try walk.forEach { p =>
       val t = d.resolve(s.relativize(p).toString)
