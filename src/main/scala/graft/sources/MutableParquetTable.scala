@@ -1523,13 +1523,22 @@ object MutableParquetTable {
     val blocked = manifestDroppedColumns(fromDir)
     guardResurrected(fromDir, newSchema.fieldNames.toSeq.filterNot(n =>
       recordDropped.exists(_.equalsIgnoreCase(n))))
-    val m = if (recordDropped.isEmpty) m0 else {
+    // volatile per-commit stamps never carry into a METADATA commit
+    // (same contract as stageRestoreManifest): no feed is written for
+    // it — a carried `feedPending` reads as a crashed commitWithFeed
+    // and stalls/refuses CDF readers — and a carried txn marker would
+    // re-declare another writer's epoch at the head
+    val mv = m0
+      .replaceFirst(
+        "\"txnApp\":\"(?:[^\"\\\\]|\\\\.)*\",\"txnEpoch\":-?\\d+,", "")
+      .replaceFirst("\"feedPending\":true,", "")
+    val m = if (recordDropped.isEmpty) mv else {
       // record the newly dropped names (cumulative) and shed any dim
       // zone-map entries on them — a pruning index over a column readers
       // can no longer see is dead weight
       val merged = (blocked ++ recordDropped).distinct
       val f = droppedJsonField(merged)
-      val stripped = m0
+      val stripped = mv
         .replaceAll("\"droppedColumns\":\"((?:[^\"\\\\]|\\\\.)*)\",", "")
       val withField = stripped.replaceFirst("\\{",
         scala.util.matching.Regex.quoteReplacement(s"{$f"))

@@ -138,6 +138,70 @@ class DropColumnSpec extends SparkSpec {
     assert(MutableParquetTable.manifestDroppedColumns(s"$root/v2").isEmpty)
   }
 
+  test("CDF reads pre-drop feeds under the narrowed schema (clipped structs)") {
+    val root = freshRoot()
+    val t = GraftTable.create(
+      spark.range(0, 20).select(col("id"), (col("id") * 2).as("v"),
+        concat(lit("t"), col("id")).as("tag")),
+      root, "id", numFiles = 1)
+    t.commitWithFeed(Seq((3L, 33L, "x3", "upsert"))
+      .toDF("id", "v", "tag", "op"))     // v0 — feed structs carry `tag`
+    t.dropColumn("tag")                  // v1, metadata-only
+    t.commitWithFeed(Seq((4L, 44L, "upsert"))
+      .toDF("id", "v", "op"))            // v2 — narrowed feed
+
+    val feed = spark.read.format("graft").option("changeFeed", "true")
+      .load(root)
+    val afterFields = feed.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(afterFields === Seq("v"),
+      "the feed schema follows the CURRENT table shape")
+    val got = feed
+      .select(col("id"), col("_commit_version").as("cv"), col("after.v"))
+      .orderBy("cv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // v0's wider feed file reads CLIPPED — values intact, tag invisible
+    assert(got === Seq((3L, 0L, 33L), (4L, 2L, 44L)))
+  }
+
+  test("optimistic metadata rebase carries the blocklist") {
+    val root = freshRoot()
+    val t = seed(root) // 4 key-disjoint files
+    t.dropColumn("extra") // v0
+    val mine = Seq.tabulate(5)(i => (i.toLong, -i.toLong, "upsert"))
+      .toDF("k", "v", "op")                 // dirties the first file only
+    val theirs = Seq.tabulate(5)(i => (90L + i, -(90L + i), "upsert"))
+      .toDF("k", "v", "op")                 // dirties the last file only
+    var fired = false
+    val r = OptimisticCommit.commit(spark, root, "k", mine,
+      testHookAfterStage = () => {
+        if (!fired) { fired = true
+          OptimisticCommit.commit(spark, root, "k", theirs)
+        }
+      })
+    assert(r.rebases === 1, "disjoint files must resolve by manifest rebase")
+    assert(MutableParquetTable.manifestDroppedColumns(
+      s"$root/v${r.version}") === Seq("extra"),
+      "the rebased manifest must keep the dropped-column blocklist")
+    intercept[IllegalArgumentException] { t.commit(ups((1L, 1L, "zz"))) }
+  }
+
+  test("bucketed layout: drop survives; the bucket-routed merge reads narrowed") {
+    val root = freshRoot()
+    val t = GraftTable.create(
+      spark.range(0, 200).select(col("id").as("k"), (col("id") + 1).as("v"),
+        concat(lit("e"), col("id")).as("extra")),
+      root, "k", numFiles = 4, buckets = Some(4))
+    t.dropColumn("extra") // v0
+    assert(MutableParquetTable.manifestBuckets(s"$root/v0") === Some(4))
+    t.commit(Seq((3L, 30L, "upsert")).toDF("k", "v", "op")) // v1
+    assert(t.read().schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(t.read().where(col("k") === 3L).head().getLong(1) === 30L)
+    assert(t.read().count() === 200)
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v1") ===
+      Seq("extra"), "the bucketed merge carries the blocklist")
+  }
+
   test("SQL surface: ALTER TABLE DROP COLUMN by name; ADD of the name refuses") {
     val w = java.nio.file.Files.createTempDirectory("graft-dropcol-cat").toString
     spark.conf.set("spark.sql.catalog.dc",
