@@ -650,7 +650,12 @@ object OptimisticCommit {
       }
     MutableParquetTable.writeManifestFromRanges(st.dir, key,
       MutableParquetTable.manifestMoreKeys(st.dir), entries, schema,
-      checks, dropped)
+      checks, dropped,
+      // sizes from BOTH chains' manifests (kept files from the new
+      // head, this writer's outputs from its staged manifest) — the
+      // rebase stays a zero-filesystem-call operation
+      MutableParquetTable.manifestBytesByName(newBase) ++
+        MutableParquetTable.manifestBytesByName(st.dir))
     Some(Staged(st.dir, Some(newLast),
       st.merge.copy(
         passthroughFiles = kept.map(_.file),

@@ -644,9 +644,15 @@ final class GraftParquetScan(spark: SparkSession,
     * the manifest instead. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
+    // manifest-recorded sizes first (zero filesystem calls — at scale a
+    // per-file stat sweep per planning is the object-store anti-pattern);
+    // pre-recording entries fall back to one stat each
+    val recorded = MutableParquetTable.manifestBytesByName(table.snapshotDir)
     val bytes = plannedFiles.iterator.map { f =>
-      val p = java.nio.file.Paths.get(f)
-      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      recorded.get(f.split('/').last).getOrElse {
+        val p = java.nio.file.Paths.get(f)
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      }
     }.sum
     val scaled =
       (bytes * spark.sessionState.conf.fileCompressionFactor).toLong
@@ -762,7 +768,9 @@ final class GraftParquetScan(spark: SparkSession,
       maxFilesPerTrigger =
         table.stringOption("maxfilespertrigger").map(_.toInt),
       maxVersionsPerTrigger =
-        table.stringOption("maxversionspertrigger").map(_.toInt))
+        table.stringOption("maxversionspertrigger").map(_.toInt),
+      maxBytesPerTrigger =
+        table.stringOption("maxbytespertrigger").map(_.toLong))
   }
 
   override def description(): String =

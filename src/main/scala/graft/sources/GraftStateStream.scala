@@ -45,7 +45,8 @@ final class GraftStateStream(spark: SparkSession, root: String,
                              keys: Seq[String],
                              ignoreDeletes: Boolean,
                              maxFilesPerTrigger: Option[Int] = None,
-                             maxVersionsPerTrigger: Option[Int] = None)
+                             maxVersionsPerTrigger: Option[Int] = None,
+                             maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val feedSchema = GraftChangeFeed.feedSchema(tableSchema, keys)
@@ -85,6 +86,23 @@ final class GraftStateStream(spark: SparkSession, root: String,
           MutableParquetTable.tableFiles(d) // bare `base`: no manifest
         }
         .sorted.toIndexedSeq
+    })
+
+  /** Per-file byte sizes of a snapshot version's file list (aligned with
+    * [[snapshotFiles]]) — `maxBytesPerTrigger` pacing. Manifest-recorded
+    * sizes when present (zero filesystem calls); one stat per
+    * pre-recording entry. */
+  private val bytesCache =
+    scala.collection.mutable.Map.empty[Long, IndexedSeq[Long]]
+  private def snapshotBytes(version: Long): IndexedSeq[Long] =
+    bytesCache.getOrElseUpdate(version, {
+      val rec = MutableParquetTable.manifestBytesByName(dirOf(version))
+      snapshotFiles(version).map { f =>
+        rec.getOrElse(f.split('/').last, {
+          val p = Paths.get(f)
+          if (Files.exists(p)) Files.size(p) else 0L
+        })
+      }
     })
 
   // the planned batch's reader factory — set by planInputPartitions,
@@ -175,11 +193,24 @@ final class GraftStateStream(spark: SparkSession, root: String,
     val so = start.asInstanceOf[GraftStateOffset]
     if (so.index >= 0L) {
       // snapshot phase (version pinned IN the offset): advance by
-      // maxFilesPerTrigger files, then switch to version offsets once
-      // every file is served
+      // maxFilesPerTrigger files and/or maxBytesPerTrigger bytes
+      // (whichever caps first; always at least one file so the stream
+      // makes progress), then switch to version offsets once every file
+      // is served
       val size = snapshotFiles(so.version).size.toLong
-      val next = maxFilesPerTrigger
+      val byFiles = maxFilesPerTrigger
         .map(m => math.min(size, so.index + m)).getOrElse(size)
+      val byBytes = maxBytesPerTrigger.map { cap =>
+        val bs = snapshotBytes(so.version)
+        var i = so.index.toInt
+        var acc = 0L
+        var taken = 0
+        while (i < bs.length && (taken == 0 || acc + bs(i) <= cap)) {
+          acc += bs(i); i += 1; taken += 1
+        }
+        i.toLong
+      }.getOrElse(size)
+      val next = math.min(byFiles, byBytes)
       if (so.index < size) GraftStateOffset(so.version, next)
       else GraftStateOffset(cappedHead(so.version), -1L)
     } else GraftStateOffset(cappedHead(so.version), -1L)

@@ -1144,11 +1144,28 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     } ++ refNames.collect { // referenced stat-less files are listed too
       case (base, rel) if !rangedNames(base) => rel
     }.toList.sorted
+    // per-file byte sizes: carried/referenced entries inherit the SOURCE
+    // manifest's recorded size (zero filesystem calls — the object-store
+    // discipline), files physically present in outDir (new + linked)
+    // stat once at commit time. Entries that predate size recording stay
+    // size-less rather than triggering a stat sweep of old versions;
+    // consumers (planner stats, byte pacing) fall back per entry.
+    val srcBytes = MutableParquetTable.manifestBytesByName(dir)
+    def bytesField(absFile: String): String = {
+      val name = fileName(absFile)
+      srcBytes.get(name).orElse {
+        val local = Paths.get(outDir, name)
+        if (Files.exists(local)) Some(Files.size(local)) else None
+      }.map(b => s""","bytes":$b""").getOrElse("")
+    }
     val files = (ranges.map { r =>
       s"""{"file":${js(entryOf(r.file))},"minKey":${js(keyRepr(r.min))},""" +
         s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}""" +
-        s""","nullKeys":${r.nullKeys}}"""
-    } ++ statless.map(n => s"""{"file":${js(n)}}""")).mkString("[", ",", "]")
+        s""","nullKeys":${r.nullKeys}${bytesField(r.file)}}"""
+    } ++ statless.map(n =>
+      s"""{"file":${js(n)}${
+        bytesField(MutableParquetTable.resolvePath(outDir, n))}}"""))
+      .mkString("[", ",", "]")
     val keyType = ranges.headOption.map(_.min) match {
       case Some(_: java.lang.Long) => "long"
       case Some(_: Array[Byte])    => "binary"
@@ -1380,7 +1397,8 @@ object MutableParquetTable {
       entries: Seq[(String, ParquetStats.FileKeyRange)],
       schemaJson: Option[String],
       checks: Map[String, String] = Map.empty,
-      dropped: Seq[String] = Nil): Unit = {
+      dropped: Seq[String] = Nil,
+      bytesByName: Map[String, Long] = Map.empty): Unit = {
     val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
     val keyType = sorted.headOption.map(_._2.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1389,9 +1407,11 @@ object MutableParquetTable {
       case None                    => "unknown"
     }
     val files = sorted.map { case (e, r) =>
+      val bf = bytesByName.get(e.split('/').last)
+        .map(b => s""","bytes":$b""").getOrElse("")
       s"""{"file":${js(e)},"minKey":${js(keyRepr(r.min))},""" +
         s""""maxKey":${js(keyRepr(r.max))},"rows":${r.rowCount}""" +
-        s""","nullKeys":${r.nullKeys}}"""
+        s""","nullKeys":${r.nullKeys}$bf}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"key":${js(key)},"keyType":"$keyType",""" +
@@ -1425,6 +1445,20 @@ object MutableParquetTable {
   private[graft] val SupportedFeatures: Set[String] =
     Set("tombstones", "buckets", "checks", "dimRanges", "references",
       "compositeKeys", "nestedKeys")
+
+  /** Per-file BYTE SIZES recorded in the manifest (file NAME → bytes).
+    * Written at commit time — new/linked files stat once, carried and
+    * referenced entries inherit the source manifest's size — so readers
+    * (planner statistics, byte-paced streams, compaction planning) get
+    * exact sizes with ZERO filesystem calls. Entries written before
+    * size recording are simply absent; consumers fall back per entry. */
+  private[graft] def manifestBytesByName(snapshotDir: String): Map[String, Long] =
+    readManifest(snapshotDir).map { m =>
+      "\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"[^}]*?\"bytes\":(\\d+)".r
+        .findAllMatchIn(m)
+        .map(e => unjs(e.group(1)).split('/').last -> e.group(2).toLong)
+        .toMap
+    }.getOrElse(Map.empty)
 
   /** Column names DROPPED from the table schema while files written
     * BEFORE the drop may still physically carry the old values (the

@@ -7,6 +7,33 @@ import org.apache.spark.sql.functions._
 class GraftTableSpec extends SparkSpec {
   import spark.implicits._
 
+  test("manifests record per-file bytes; carried entries inherit with zero stat calls") {
+    import graft.sources.MutableParquetTable
+    val root = java.nio.file.Files.createTempDirectory("graft-bytes").toString
+    val t = GraftTable.create(
+      spark.range(0, 100).select(col("id"), (col("id") * 2).as("v")),
+      root, "id", numFiles = 4)
+    def actualSizes(dir: String): Map[String, Long] =
+      MutableParquetTable.manifestFileNames(dir).get.map { n =>
+        val p = java.nio.file.Paths.get(
+          MutableParquetTable.resolvePath(dir, n))
+        p.getFileName.toString -> java.nio.file.Files.size(p)
+      }.toMap
+    assert(MutableParquetTable.manifestBytesByName(s"$root/base") ===
+      actualSizes(s"$root/base"))
+
+    // a merge: 3 carried entries inherit the recorded size, the
+    // rewritten file stats once — every entry sized, all exact
+    t.commit(Seq((7L, 700L, "upsert")).toDF("id", "v", "op"))
+    val v0 = MutableParquetTable.manifestBytesByName(s"$root/v0")
+    assert(v0.size === 4)
+    assert(v0 === actualSizes(s"$root/v0"))
+
+    // metadata-only commits carry sizes through verbatim
+    t.addCheck("v_any", "v IS NOT NULL OR v IS NULL")
+    assert(MutableParquetTable.manifestBytesByName(s"$root/v1") === v0)
+  }
+
   test("full lifecycle through the facade") {
     val root = java.nio.file.Files.createTempDirectory("graft-table").toString
     val t = GraftTable.create(

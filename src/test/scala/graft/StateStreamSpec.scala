@@ -87,6 +87,32 @@ class StateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger paces the snapshot by recorded file sizes") {
+    val root = Files.createTempDirectory("graft-ss-bytes").toString
+    GraftTable.create(
+      spark.range(0, 40).select(col("id"), col("id").cast("double").as("v")),
+      root, "id", numFiles = 4)
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // a cap below any single file's size still takes ONE file per batch
+    // (progress guarantee) — so the 4-file snapshot arrives as 4 batches
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(root)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ss-bytes-cp").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.add(df.count()); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val bs = batches.iterator().asScala.toSeq
+      assert(bs.count(_ > 0) === 4, s"got $bs")
+      assert(bs.sum === 40)
+    } finally q.stop()
+  }
+
   test("delete rows refuse by default; ignoreDeletes skips them") {
     val root = Files.createTempDirectory("graft-ss-del").toString
     val t = GraftTable.create(
