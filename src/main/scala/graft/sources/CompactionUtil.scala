@@ -92,8 +92,10 @@ object CompactionUtil {
     // manifest-first inventory: a committed snapshot's files may live in
     // PRIOR snapshot dirs (reference passthrough) — a directory listing
     // would silently compact only the locally-present subset
+    val recorded = MutableParquetTable.manifestBytesByName(dir)
     val files = MutableParquetTable.tableFiles(dir)
-      .map(f => f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+      .map(f => f -> recorded.getOrElse(f.split('/').last,
+        java.nio.file.Files.size(java.nio.file.Paths.get(f))))
     require(files.nonEmpty, s"no parquet files in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -142,8 +144,10 @@ object CompactionUtil {
     * task per output file, pure sequential byte IO. */
   def compactBucketedDir(spark: SparkSession, dir: String, outDir: String,
                          targetBytes: Long): Seq[String] = {
+    val recorded = MutableParquetTable.manifestBytesByName(dir)
     val files = MutableParquetTable.tableFiles(dir)
-      .map(f => f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+      .map(f => f -> recorded.getOrElse(f.split('/').last,
+        java.nio.file.Files.size(java.nio.file.Paths.get(f))))
     require(files.nonEmpty, s"no parquet files in $dir")
     val byBucket = files.groupBy { case (f, _) =>
       GraftBucket.bucketOfName(new Path(f).getName).getOrElse(

@@ -770,7 +770,17 @@ final class GraftParquetScan(spark: SparkSession,
       maxVersionsPerTrigger =
         table.stringOption("maxversionspertrigger").map(_.toInt),
       maxBytesPerTrigger =
-        table.stringOption("maxbytespertrigger").map(_.toLong))
+        table.stringOption("maxbytespertrigger").map(_.toLong),
+      startingVersion = table.stringOption("startingversion").map {
+        // "latest": changes committed AFTER stream start only
+        case s if s.equalsIgnoreCase("latest") =>
+          graft.streaming.CdcMergeSink.versions(root).lastOption
+            .getOrElse(-1L) + 1
+        case s =>
+          val v = s.toLong
+          require(v >= 0, s"startingVersion must be >= 0 (got $v)")
+          v
+      })
   }
 
   override def description(): String =

@@ -46,7 +46,8 @@ final class GraftStateStream(spark: SparkSession, root: String,
                              ignoreDeletes: Boolean,
                              maxFilesPerTrigger: Option[Int] = None,
                              maxVersionsPerTrigger: Option[Int] = None,
-                             maxBytesPerTrigger: Option[Long] = None)
+                             maxBytesPerTrigger: Option[Long] = None,
+                             startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val feedSchema = GraftChangeFeed.feedSchema(tableSchema, keys)
@@ -111,7 +112,21 @@ final class GraftStateStream(spark: SparkSession, root: String,
     GraftChangeFeed.parquetBatch(spark, Nil, required)
   private var wrapFeed: Boolean = false
 
-  override def initialOffset(): Offset = GraftStateOffset(snapshotVersion, 0L)
+  /** `option("startingVersion", n)` — the Delta option: SKIP the
+    * snapshot and deliver changes from table version n on (a consumer
+    * that already holds the table's state, e.g. restored from its own
+    * checkpointed sink, must not re-receive 100 TB). The offset starts
+    * as "consumed through n−1"; the retention guard fails a start below
+    * the vacuum horizon rather than silently skipping. */
+  override def initialOffset(): Offset = startingVersion match {
+    case Some(v) => GraftStateOffset(v - 1, -1L)
+    case None    => GraftStateOffset(snapshotVersion, 0L)
+  }
+
+  /** The floor version AvailableNow/reporting reason from: the pinned
+    * snapshot, or the startingVersion's predecessor in skip mode. */
+  private def offsetFloor: Long =
+    startingVersion.map(_ - 1).getOrElse(math.max(snapshotVersion, -1L))
 
   private def hasFeed(v: Long): Boolean =
     MutableParquetTable.manifestFeedPending(s"$root/v$v")
@@ -169,10 +184,8 @@ final class GraftStateStream(spark: SparkSession, root: String,
 
   private var availableNowCap: Option[Long] = None
 
-  override def prepareForTriggerAvailableNow(): Unit = {
-    val floor = math.max(snapshotVersion, -1L)
-    availableNowCap = Some(consumableHead(floor))
-  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(consumableHead(offsetFloor))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -220,7 +233,7 @@ final class GraftStateStream(spark: SparkSession, root: String,
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def reportLatestOffset(): Offset = {
-    val floor = math.max(snapshotVersion, -1L)
+    val floor = offsetFloor
     GraftStateOffset(
       try consumableHead(floor) catch { case _: IllegalStateException => floor },
       -1L)

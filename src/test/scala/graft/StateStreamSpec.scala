@@ -113,6 +113,37 @@ class StateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingVersion skips the snapshot and streams changes from that version") {
+    val root = Files.createTempDirectory("graft-ss-sv").toString
+    val t = GraftTable.create(
+      spark.range(0, 10).select(col("id"), col("id").cast("double").as("v")),
+      root, "id", numFiles = 1)
+    t.commitWithFeed(mut(Seq((100L, 1.0, "upsert")))) // v0
+    t.commitWithFeed(mut(Seq((101L, 2.0, "upsert")))) // v1
+
+    val q = startStream(root, "ss_sv",
+      Map("startingVersion" -> "1"))
+    try {
+      q.processAllAvailable()
+      // no 10-row snapshot, no v0 — exactly v1's post-image
+      assert(rows("ss_sv") === Seq((101L, 2.0)))
+      t.commitWithFeed(mut(Seq((102L, 3.0, "upsert")))) // v2 streams on
+      q.processAllAvailable()
+      assert(rows("ss_sv") === Seq((101L, 2.0), (102L, 3.0)))
+    } finally q.stop()
+
+    // "latest": only commits made after stream start
+    val q2 = startStream(root, "ss_sv_latest",
+      Map("startingVersion" -> "latest"))
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("ss_sv_latest").isEmpty)
+      t.commitWithFeed(mut(Seq((103L, 4.0, "upsert"))))
+      q2.processAllAvailable()
+      assert(rows("ss_sv_latest") === Seq((103L, 4.0)))
+    } finally q2.stop()
+  }
+
   test("delete rows refuse by default; ignoreDeletes skips them") {
     val root = Files.createTempDirectory("graft-ss-del").toString
     val t = GraftTable.create(
