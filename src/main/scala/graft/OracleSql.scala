@@ -1382,6 +1382,45 @@ object OracleSql {
         CAST(1 AS INT) AS lsh_found
       FROM jp ORDER BY id_a, id_b"""),
 
+    // the corpus pipeline end to end: quality gate → exact dedup →
+    // decontamination → per-language accounting (stage semantics are
+    // the q30/q31/q75 oracles', composed)
+    "q119_corpus_pipeline" -> """
+      WITH q AS (
+        SELECT *, CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS nt
+        FROM documents),
+      qf AS (SELECT * FROM q WHERE nt >= 5),
+      fp AS (
+        SELECT *, md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f
+        FROM qf),
+      d AS (SELECT * FROM fp
+            QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 3), i ->
+                 array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))
+          END AS sh
+        FROM t),
+      ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh
+             WHERE doc_id % 17 = 0),
+      cs AS (SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM sh),
+      hits AS (
+        SELECT cs.doc_id, count(*) AS n_overlap
+        FROM cs JOIN ev USING (shingle) GROUP BY cs.doc_id),
+      surv AS (
+        SELECT d.* FROM d LEFT JOIN hits USING (doc_id)
+        WHERE coalesce(n_overlap, 0) < 3)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(nt) AS BIGINT) AS total_tokens
+      FROM surv GROUP BY lang ORDER BY lang""",
+
     // metadata-only DROP COLUMN lifecycle: pre_drop re-aggregates the
     // dropped column's values via VERSION AS OF (per-version schema);
     // current reflects the post-drop UPDATE through the narrowed shape

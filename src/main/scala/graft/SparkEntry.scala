@@ -1885,6 +1885,36 @@ object SparkEntry {
       .orderBy(col("phase"))
   }
 
+  /** The training-corpus pipeline END TO END, composed from the engine's
+    * own stages: quality gate (token count), exact content dedup
+    * (keep-first by normalized fingerprint), eval-set decontamination
+    * (5-shingle overlap ≥ 3 drops the doc), then the per-language corpus
+    * accounting a dataset card reports. Every stage is an operator the
+    * suite already proves in isolation — this query proves they COMPOSE
+    * (the oracle recomputes the whole pipeline relationally in DuckDB).
+    * Scale shape: gate+fingerprint are map-side, dedup is one
+    * fingerprint shuffle, decontamination broadcasts the eval shingles
+    * and anti-joins a broadcast of the (small) contaminated-id set —
+    * the corpus is never shuffled whole. */
+  def q119_corpus_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    // 1) quality gate: ≥ 5 tokens (the shared tokenizer semantics)
+    val gated = docs
+      .withColumn("__nt", TextFunctions.tokenCount(col("text")))
+      .where(col("__nt") >= 5)
+    // 2) exact content dedup, keep-first by doc id
+    val deduped = Dedup.exact(gated, "text", "doc_id")
+    // 3) decontamination vs the q75 eval slice, same shingles/threshold
+    val eval = docs.where(col("doc_id") % 17 === 0)
+    val survivors = CorpusPrep.decontaminate(
+      deduped, eval, "text", "doc_id", k = 5, minOverlap = 3L)
+    survivors.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("__nt")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact-substring dedup signal: per-document counts of word-5-shingles
     * duplicated across distinct documents (cross-document repeated spans).
     * One gram-keyed shuffle into a join-free count window, one per-doc
@@ -2467,6 +2497,7 @@ object SparkEntry {
     "q116_check_constraints" -> (q116_check_constraints _),
     "q117_incremental_dedup" -> (q117_incremental_dedup _),
     "q118_drop_column" -> (q118_drop_column _),
+    "q119_corpus_pipeline" -> (q119_corpus_pipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
