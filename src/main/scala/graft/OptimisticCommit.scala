@@ -253,6 +253,77 @@ object OptimisticCommit {
     } finally deleteQuietly(dir)
   }
 
+  /** Test/diagnostic seam: whether the most recent V2 replace published
+    * its executor-staged files DIRECTLY (single materialization) or fell
+    * back to the re-sort path. */
+  @volatile private[graft] var lastReplaceDirect = false
+
+  /** INSERT OVERWRITE in ONE materialization. The V2 write declared
+    * ordered distribution ([[graft.sources.GraftWrite]]), so the
+    * executor-staged files should already be key-disjoint and key-sorted
+    * — PROVE it from their footers (one sweep of the new files only),
+    * enforce the table's CHECK constraints over them, write the manifest
+    * INTO the staging dir and publish it by the same atomic slot claim
+    * every commit uses. Returns false — caller falls back to the legacy
+    * re-read + re-sort replace — when the proof fails: overlapping
+    * ranges (a planner that did not honor the distribution) or
+    * stat-less files. The replace contract holds either way: checks
+    * carried and enforced, dropped-column blocklist cleared (all-new
+    * files), bucketed layouts decline upstream. */
+  def replaceStagedDirect(spark: SparkSession, tableRoot: String,
+                          key: String, moreKeysDeclared: Seq[String],
+                          stagingDir: String, staged: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType)
+      : Boolean = {
+    lastReplaceDirect = false
+    val latest = CdcMergeSink.latestSnapshot(tableRoot)
+    MutableParquetTable.requireFeaturesSupported(latest)
+    val moreKeys = {
+      val m = MutableParquetTable.manifestMoreKeys(latest)
+      if (m.nonEmpty) m else moreKeysDeclared
+    }
+    val ranges =
+      graft.sources.ParquetStats.fileKeyRangesTypedFor(spark, staged, key)
+    if (ranges.size != staged.size) return false // stat-less file(s)
+    val sorted = ranges.sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    val overlaps = sorted.iterator.zip(sorted.iterator.drop(1)).exists {
+      case (a, b) =>
+        graft.sources.KeyBytes.compare(b.minBytes, a.maxBytes) <= 0
+    }
+    if (overlaps) return false
+    val checks = graft.sources.GraftChecks.manifestChecks(latest)
+    if (checks.nonEmpty)
+      graft.sources.GraftChecks.enforce(
+        spark.read.schema(schema).parquet(staged: _*), checks,
+        s"INSERT OVERWRITE of $tableRoot")
+    val bytes = staged.map(f => f.split('/').last ->
+      java.nio.file.Files.size(java.nio.file.Paths.get(f))).toMap
+    MutableParquetTable.writeManifestFromRanges(stagingDir, key, moreKeys,
+      sorted.map(r => r.file.split('/').last -> r), Some(schema.json),
+      checks, Nil, bytes)
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val target =
+        CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L) + 1
+      if (tryPublish(stagingDir, s"$tableRoot/v$target")) {
+        lastReplaceDirect = true
+        return true
+      }
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$tableRoot/v$target exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+      // the winner's stamp is newer — keep commit times monotone
+      MutableParquetTable.restampCommittedAt(stagingDir)
+    }
+    throw new IllegalStateException(
+      s"direct replace on $tableRoot lost the publish race 20 times — " +
+        "pathological contention; serialize writers")
+  }
+
   /** Commit the table's next version whose LOGICAL STATE is exactly that
     * of `toVersion` (−1 = the base snapshot) — rollback as a FORWARD
     * commit, the engine's `RESTORE` (Delta `RESTORE TABLE ... VERSION AS

@@ -75,7 +75,11 @@ final class GraftWriteBuilder(spark: SparkSession, table: GraftBatchTable,
     new GraftWrite(root, key, info.schema(), new SerializableConfiguration(hc),
       replace, info.queryId(),
       info.options().getOrDefault("opColumn", "op"),
-      Option(info.options().get("seqColumn")))
+      Option(info.options().get("seqColumn")),
+      moreKeys = table.moreKeyNames,
+      // bucketed replace re-buckets through its own writer — only the
+      // plain layout takes the ordered single-pass path
+      orderedReplace = replace && table.bucketSpec.isEmpty)
   }
 }
 
@@ -84,9 +88,41 @@ final class GraftWrite(root: String, key: String, schema: StructType,
                        replace: Boolean = false,
                        queryId: String = "",
                        opCol: String = "op",
-                       seqCol: Option[String] = None) extends Write {
+                       seqCol: Option[String] = None,
+                       moreKeys: Seq[String] = Nil,
+                       orderedReplace: Boolean = false) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
+
+  /** INSERT OVERWRITE plans its own layout: the replaced content must be
+    * range-partitioned and sorted on the merge key anyway (the table's
+    * disjoint-file invariant), so DECLARE that to Catalyst and let the
+    * QUERY'S exchange produce it — the staged files arrive key-disjoint
+    * and key-sorted, and the commit publishes them directly instead of
+    * re-reading and re-sorting the whole batch (one materialization, not
+    * two). Append writes stay unspecified: the CoW merge routes and
+    * rewrites per dirty file regardless of batch order. */
+  private def sortOrders: Array[VSortOrder] =
+    (key +: moreKeys).map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (orderedReplace) Distributions.ordered(sortOrders)
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[VSortOrder] =
+    if (orderedReplace) sortOrders else Array.empty
+
+  override def requiredNumPartitions(): Int = 0 // AQE picks
+
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (orderedReplace) 128L * 1024 * 1024 else 0L
+
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, key, schema, conf, replace)
+    new GraftBatchWrite(root, key, schema, conf, replace,
+      moreKeys = moreKeys, orderedReplace = orderedReplace)
 
   /** `df.writeStream.format("graft").start(root)` — the EXACTLY-ONCE
     * streaming sink ([[GraftStreamingWrite]]). */
@@ -97,7 +133,9 @@ final class GraftWrite(root: String, key: String, schema: StructType,
 
 final class GraftBatchWrite(root: String, key: String, schema: StructType,
                             conf: SerializableConfiguration,
-                            replace: Boolean = false)
+                            replace: Boolean = false,
+                            moreKeys: Seq[String] = Nil,
+                            orderedReplace: Boolean = false)
     extends BatchWrite {
 
   private val staging =
@@ -115,18 +153,29 @@ final class GraftBatchWrite(root: String, key: String, schema: StructType,
       val staged = messages.collect { case GraftFileCommitted(p) => p }
       if (replace) {
         // INSERT OVERWRITE: the staged batch IS the table's next version
-        // (empty select = truncate — an empty snapshot, schema kept)
-        val batch =
-          if (staged.nonEmpty) spark.read.schema(schema).parquet(staged: _*)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        graft.GraftTable(spark, root, key).replace(batch)
+        // (empty select = truncate — an empty snapshot, schema kept).
+        // When the write declared ordered distribution, the staged files
+        // are already range-partitioned and key-sorted — publish them
+        // DIRECTLY (footer sweep + manifest + rename), skipping the
+        // legacy re-read + re-sort second materialization; any files
+        // that fail the disjointness proof fall back to that path.
+        val direct = orderedReplace && staged.nonEmpty &&
+          graft.OptimisticCommit.replaceStagedDirect(
+            spark, root, key, moreKeys, staging, staged.toSeq, schema)
+        if (!direct) {
+          val batch =
+            if (staged.nonEmpty) spark.read.schema(schema).parquet(staged: _*)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          graft.GraftTable(spark, root, key).replace(batch)
+        }
       } else if (staged.nonEmpty) {
         val batch = spark.read.schema(schema).parquet(staged: _*)
           .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
         graft.GraftTable(spark, root, key).commit(batch)
       }
-    } finally MutableParquetTable.deleteDir(Paths.get(staging))
+    } finally if (Files.exists(Paths.get(staging))) // direct publish MOVED it
+      MutableParquetTable.deleteDir(Paths.get(staging))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -243,6 +243,45 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE publishes the query's own ordered output directly") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.ov (k BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'k')""")
+    spark.sql("INSERT INTO graft.ns.ov SELECT id, id * 2 FROM range(0, 1000)")
+    OptimisticCommit.lastReplaceDirect = false
+    // an UNSORTED source: the write's declared ordered distribution must
+    // range-partition + sort it, and the staged files publish as-is —
+    // one materialization, no second re-read/re-sort pass
+    spark.sql("""INSERT OVERWRITE graft.ns.ov
+                 SELECT id AS k, id * 3 AS v FROM range(0, 500)
+                 WHERE id % 2 = 0""")
+    assert(OptimisticCommit.lastReplaceDirect,
+      "ordered staged files must publish directly")
+    val got = spark.sql("SELECT * FROM graft.ns.ov ORDER BY k").collect()
+    assert(got.length === 250)
+    assert(got.forall(r => r.getLong(1) === r.getLong(0) * 3))
+
+    // the direct-committed snapshot is a full citizen: manifest-ranged,
+    // disjoint, sized — and the next merge routes on it normally
+    val dir = graft.streaming.CdcMergeSink.latestSnapshot(
+      s"$warehouse/ns/ov")
+    val ranges = graft.sources.MutableParquetTable
+      .manifestRanges(dir, "k").get
+    assert(ranges.nonEmpty)
+    val sorted = ranges.sortBy(_.minBytes)(graft.sources.KeyBytes.ordering)
+    sorted.iterator.zip(sorted.iterator.drop(1)).foreach { case (a, b) =>
+      assert(graft.sources.KeyBytes.compare(b.minBytes, a.maxBytes) > 0,
+        "direct-committed files must be key-disjoint")
+    }
+    val bytes = graft.sources.MutableParquetTable.manifestBytesByName(dir)
+    assert(ranges.forall(r => bytes.contains(r.file.split('/').last)))
+    spark.sql("INSERT INTO graft.ns.ov VALUES (4, -1)")
+    assert(spark.sql("SELECT v FROM graft.ns.ov WHERE k = 4")
+      .head().getLong(0) === -1L)
+    assert(spark.sql("SELECT count(*) FROM graft.ns.ov").head().getLong(0)
+      === 250)
+  }
+
   test("ALTER after zorder: dim zone maps re-address and still prune") {
     warehouse
     spark.sql("""CREATE TABLE graft.ns.az (id BIGINT, a BIGINT, b BIGINT)
