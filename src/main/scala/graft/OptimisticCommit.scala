@@ -273,14 +273,23 @@ object OptimisticCommit {
   def replaceStagedDirect(spark: SparkSession, tableRoot: String,
                           key: String, moreKeysDeclared: Seq[String],
                           stagingDir: String, staged: Seq[String],
-                          schema: org.apache.spark.sql.types.StructType)
-      : Boolean = {
+                          schema: org.apache.spark.sql.types.StructType,
+                          insertIntoEmpty: Boolean = false): Boolean = {
     lastReplaceDirect = false
     val latest = CdcMergeSink.latestSnapshot(tableRoot)
     MutableParquetTable.requireFeaturesSupported(latest)
     val moreKeys = {
       val m = MutableParquetTable.manifestMoreKeys(latest)
       if (m.nonEmpty) m else moreKeysDeclared
+    }
+    if (insertIntoEmpty) {
+      // the append form is valid only while the table is STILL empty —
+      // a concurrent insert since analysis means this batch must merge,
+      // not replace. Re-checked here; the single no-retry slot attempt
+      // below closes the remaining race window.
+      val stillEmpty = MutableParquetTable.isCommitted(latest) &&
+        MutableParquetTable.manifestFileNames(latest).exists(_.isEmpty)
+      if (!stillEmpty) return false
     }
     val ranges =
       graft.sources.ParquetStats.fileKeyRangesTypedFor(spark, staged, key)
@@ -291,11 +300,17 @@ object OptimisticCommit {
         graft.sources.KeyBytes.compare(b.minBytes, a.maxBytes) <= 0
     }
     if (overlaps) return false
+    // NOTE on duplicate batch keys (out-of-contract data): the merge
+    // path this bypasses does NOT collapse them either without a
+    // seqColumn (MergeOps.applyMutationsMulti inserts the batch as-is
+    // into an empty base), so semantics are identical. A duplicate
+    // STRADDLING two staged files shows up as a range overlap and falls
+    // back via the proof above.
     val checks = graft.sources.GraftChecks.manifestChecks(latest)
     if (checks.nonEmpty)
       graft.sources.GraftChecks.enforce(
         spark.read.schema(schema).parquet(staged: _*), checks,
-        s"INSERT OVERWRITE of $tableRoot")
+        s"${if (insertIntoEmpty) "INSERT INTO (empty)" else "INSERT OVERWRITE"} of $tableRoot")
     val bytes = staged.map(f => f.split('/').last ->
       java.nio.file.Files.size(java.nio.file.Paths.get(f))).toMap
     MutableParquetTable.writeManifestFromRanges(stagingDir, key, moreKeys,
@@ -310,6 +325,10 @@ object OptimisticCommit {
         lastReplaceDirect = true
         return true
       }
+      // a lost race invalidates the EMPTINESS the append form proved —
+      // the batch must merge against whatever won. Replace semantics
+      // (the content IS the next state regardless of the head) re-aim.
+      if (insertIntoEmpty) return false
       val nowLast = CdcMergeSink.versions(tableRoot).lastOption
         .getOrElse(-1L)
       if (nowLast < target)

@@ -77,9 +77,15 @@ final class GraftWriteBuilder(spark: SparkSession, table: GraftBatchTable,
       info.options().getOrDefault("opColumn", "op"),
       Option(info.options().get("seqColumn")),
       moreKeys = table.moreKeyNames,
-      // bucketed replace re-buckets through its own writer — only the
-      // plain layout takes the ordered single-pass path
-      orderedReplace = replace && table.bucketSpec.isEmpty)
+      // bucketed layouts re-bucket through their own writer — only the
+      // plain layout takes the ordered single-pass paths
+      orderedReplace = replace && table.bucketSpec.isEmpty,
+      // INSERT INTO an EMPTY table (CREATE + first load, CTAS): same
+      // single-pass opportunity — and the legacy path funnels the whole
+      // load through ONE task (repartition(1)); emptiness is re-proven
+      // at commit time, so a concurrent insert falls back to the merge
+      orderedEmptyInsert = !replace && table.bucketSpec.isEmpty &&
+        table.allFiles.isEmpty)
   }
 }
 
@@ -90,39 +96,45 @@ final class GraftWrite(root: String, key: String, schema: StructType,
                        opCol: String = "op",
                        seqCol: Option[String] = None,
                        moreKeys: Seq[String] = Nil,
-                       orderedReplace: Boolean = false) extends Write
+                       orderedReplace: Boolean = false,
+                       orderedEmptyInsert: Boolean = false) extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
 
-  /** INSERT OVERWRITE plans its own layout: the replaced content must be
-    * range-partitioned and sorted on the merge key anyway (the table's
-    * disjoint-file invariant), so DECLARE that to Catalyst and let the
-    * QUERY'S exchange produce it — the staged files arrive key-disjoint
-    * and key-sorted, and the commit publishes them directly instead of
-    * re-reading and re-sorting the whole batch (one materialization, not
-    * two). Append writes stay unspecified: the CoW merge routes and
-    * rewrites per dirty file regardless of batch order. */
+  /** INSERT OVERWRITE — and the first load of an EMPTY table — plan
+    * their own layout: the written content must be range-partitioned and
+    * sorted on the merge key anyway (the table's disjoint-file
+    * invariant), so DECLARE that to Catalyst and let the QUERY'S
+    * exchange produce it — the staged files arrive key-disjoint and
+    * key-sorted, and the commit publishes them directly instead of
+    * re-reading and re-sorting the whole batch (one materialization,
+    * not two). Appends into a NON-empty table stay unspecified: the CoW
+    * merge routes and rewrites per dirty file regardless of batch
+    * order. */
   private def sortOrders: Array[VSortOrder] =
     (key +: moreKeys).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
+  private def ordered: Boolean = orderedReplace || orderedEmptyInsert
+
   override def requiredDistribution(): Distribution =
-    if (orderedReplace) Distributions.ordered(sortOrders)
+    if (ordered) Distributions.ordered(sortOrders)
     else Distributions.unspecified()
 
   override def requiredOrdering(): Array[VSortOrder] =
-    if (orderedReplace) sortOrders else Array.empty
+    if (ordered) sortOrders else Array.empty
 
   override def requiredNumPartitions(): Int = 0 // AQE picks
 
   override def advisoryPartitionSizeInBytes(): Long =
-    if (orderedReplace) 128L * 1024 * 1024 else 0L
+    if (ordered) 128L * 1024 * 1024 else 0L
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, key, schema, conf, replace,
-      moreKeys = moreKeys, orderedReplace = orderedReplace)
+      moreKeys = moreKeys, orderedReplace = orderedReplace,
+      orderedEmptyInsert = orderedEmptyInsert)
 
   /** `df.writeStream.format("graft").start(root)` — the EXACTLY-ONCE
     * streaming sink ([[GraftStreamingWrite]]). */
@@ -135,7 +147,8 @@ final class GraftBatchWrite(root: String, key: String, schema: StructType,
                             conf: SerializableConfiguration,
                             replace: Boolean = false,
                             moreKeys: Seq[String] = Nil,
-                            orderedReplace: Boolean = false)
+                            orderedReplace: Boolean = false,
+                            orderedEmptyInsert: Boolean = false)
     extends BatchWrite {
 
   private val staging =
@@ -170,9 +183,20 @@ final class GraftBatchWrite(root: String, key: String, schema: StructType,
           graft.GraftTable(spark, root, key).replace(batch)
         }
       } else if (staged.nonEmpty) {
-        val batch = spark.read.schema(schema).parquet(staged: _*)
-          .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
-        graft.GraftTable(spark, root, key).commit(batch)
+        // first load of an EMPTY table: the ordered staged files publish
+        // directly when the footer proof AND the key-uniqueness check
+        // hold (the merge path collapses duplicate keys — semantics are
+        // preserved by falling back to it when they exist); any
+        // concurrent commit since analysis also falls back to the merge
+        val direct = orderedEmptyInsert &&
+          graft.OptimisticCommit.replaceStagedDirect(
+            spark, root, key, moreKeys, staging, staged.toSeq, schema,
+            insertIntoEmpty = true)
+        if (!direct) {
+          val batch = spark.read.schema(schema).parquet(staged: _*)
+            .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
+          graft.GraftTable(spark, root, key).commit(batch)
+        }
       }
     } finally if (Files.exists(Paths.get(staging))) // direct publish MOVED it
       MutableParquetTable.deleteDir(Paths.get(staging))

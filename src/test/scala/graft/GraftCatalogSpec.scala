@@ -282,6 +282,33 @@ class GraftCatalogSpec extends SparkSpec {
       === 250)
   }
 
+  test("first INSERT into an empty table publishes directly; duplicates fall back to the collapsing merge") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.ns.fi (k BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'k')""")
+    OptimisticCommit.lastReplaceDirect = false
+    spark.sql("INSERT INTO graft.ns.fi SELECT id, id * 2 FROM range(0, 1000)")
+    assert(OptimisticCommit.lastReplaceDirect,
+      "the first load of an empty table must publish its ordered " +
+        "staged files directly (no repartition(1) funnel, no re-sort)")
+    assert(spark.sql("SELECT count(*) FROM graft.ns.fi").head().getLong(0)
+      === 1000)
+    // the direct snapshot merges normally afterwards
+    spark.sql("INSERT INTO graft.ns.fi VALUES (5, -1)")
+    assert(spark.sql("SELECT v FROM graft.ns.fi WHERE k = 5")
+      .head().getLong(0) === -1L)
+
+    // duplicate keys in the first load are OUT-OF-CONTRACT data; the
+    // merge path passes them through un-collapsed (no seqColumn), and
+    // the direct path must preserve exactly that
+    spark.sql("""CREATE TABLE graft.ns.fd (k BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'k')""")
+    spark.sql("""INSERT INTO graft.ns.fd
+                 SELECT id % 10 AS k, id AS v FROM range(0, 100)""")
+    assert(spark.sql("SELECT count(*) FROM graft.ns.fd").head().getLong(0)
+      === 100, "duplicates pass through, same as the merge path")
+  }
+
   test("ALTER after zorder: dim zone maps re-address and still prune") {
     warehouse
     spark.sql("""CREATE TABLE graft.ns.az (id BIGINT, a BIGINT, b BIGINT)
