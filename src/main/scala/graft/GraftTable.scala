@@ -343,20 +343,54 @@ final class GraftTable private (val spark: SparkSession, val root: String,
         "materializeTombstones() (SQL: CALL <catalog>.system." +
         "materialize_tombstones) first")
     val target = s"$root/v$next"
-    // a hash-bucketed table folds PER BUCKET (outputs keep the bucket
-    // name encoding, so the SPJ file-bucket invariant survives); plain
-    // tables pack contiguously in key order
-    if (graft.sources.MutableParquetTable.manifestBuckets(latest).isDefined)
-      graft.sources.CompactionUtil.compactBucketedDir(spark, latest, target,
-        targetBytes)
-    else
-      graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
-        targetBytes)
-    // moreKeys defaults to the manifest-discovered composite identity —
-    // dropping it here would silently narrow row identity to the leading
-    // key for every later merge
-    graft.sources.MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
-      .commitManifest(target)
+    val buckets = graft.sources.MutableParquetTable.manifestBuckets(latest)
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+    val dropped =
+      graft.sources.MutableParquetTable.manifestDroppedColumns(latest)
+    if (dropped.nonEmpty) {
+      // PURGE rewrite: files predating a metadata-only DROP COLUMN still
+      // physically carry the dropped values, so a raw byte splice would
+      // keep them on disk forever. Rewrite through the LOGICAL schema
+      // instead — the stale bytes are gone, which also clears the
+      // resurrection blocklist: compact IS the documented remedy for
+      // re-ADDing a dropped name (guardResurrected's error message).
+      val state = CdcMergeSink.readAsOf(spark, root, Long.MaxValue)
+      buckets match {
+        case Some(n) =>
+          graft.sources.GraftBucket.writeBucketed(state, target, key,
+            moreKeys, n)
+        case None =>
+          val recorded =
+            graft.sources.MutableParquetTable.manifestBytesByName(latest)
+          val totalBytes = graft.sources.MutableParquetTable
+            .tableFiles(latest)
+            .map(f => graft.sources.MutableParquetTable
+              .recordedOrStatSize(latest, f, recorded)).sum
+          val n = math.max(1L, math.min(4096L,
+            (totalBytes + targetBytes - 1) / math.max(1L, targetBytes))).toInt
+          ParquetTable.withMicrosTimestamps(spark) {
+            ParquetTable.writeSortedBy(state, target, key +: moreKeys, n)
+          }
+      }
+      graft.sources.MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
+        .commitManifest(target, schema, physicalRewrite = true)
+    } else {
+      // a hash-bucketed table folds PER BUCKET (outputs keep the bucket
+      // name encoding, so the SPJ file-bucket invariant survives); plain
+      // tables pack contiguously in key order
+      if (buckets.isDefined)
+        graft.sources.CompactionUtil.compactBucketedDir(spark, latest, target,
+          targetBytes)
+      else
+        graft.sources.CompactionUtil.compactDirBySize(spark, latest, target,
+          targetBytes)
+      // moreKeys defaults to the manifest-discovered composite identity —
+      // dropping it here would silently narrow row identity to the leading
+      // key for every later merge. The explicit schema keeps the commit on
+      // the LOGICAL schema (spliced footers may predate metadata ALTERs).
+      graft.sources.MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
+        .commitManifest(target, schema)
+    }
     next
   }
 

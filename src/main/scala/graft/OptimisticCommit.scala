@@ -178,7 +178,8 @@ object OptimisticCommit {
   def replace(spark: SparkSession, tableRoot: String, key: String,
               batch: DataFrame, numFiles: Int = 0,
               maxAttempts: Int = 20,
-              txnMarker: Option[(String, Long)] = None): Long = {
+              txnMarker: Option[(String, Long)] = None,
+              testHookAfterStage: () => Unit = () => ()): Long = {
     val latest = CdcMergeSink.latestSnapshot(tableRoot)
     val moreKeys = MutableParquetTable.manifestMoreKeys(latest)
     // a bucketed table's replace re-buckets: the layout is the table's
@@ -188,8 +189,9 @@ object OptimisticCommit {
       java.util.UUID.randomUUID().toString.take(12)}"
     // CHECK constraints survive a replace (they are the table's write
     // contract, not a property of its content) and gate the new content
-    val checks = graft.sources.GraftChecks.manifestChecks(latest)
-    if (batch.isEmpty) {
+    var checks = graft.sources.GraftChecks.manifestChecks(latest)
+    val emptyBatch = batch.isEmpty
+    if (emptyBatch) {
       MutableParquetTable.commitEmpty(dir, key, batch.schema, moreKeys,
         bucketSpec, checks)
     } else {
@@ -214,19 +216,37 @@ object OptimisticCommit {
           }
       }
       MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
-        .commitManifest(dir, Some(batch.schema))
+        // replace content is entirely new bytes written through the
+        // batch schema — no pre-drop file survives, blocklist clears
+        .commitManifest(dir, Some(batch.schema), physicalRewrite = true)
     }
     // re-aims only re-stamp committedAtMs, never the txn fields, so one
     // marker stamp up front is durable across publish attempts
     txnMarker.foreach { case (a, e) =>
       MutableParquetTable.annotateTxn(dir, a, e) }
     var attempts = 0
+    var syncedFrom = latest
+    testHookAfterStage()
     try {
       while (attempts < maxAttempts) {
         attempts += 1
         val target =
           CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L) + 1
         val targetDir = s"$tableRoot/v$target"
+        // a racing ALTER ... CONSTRAINT moved the table contract while
+        // we were staging (or since the last attempt) — carry and
+        // enforce it BEFORE claiming the slot, or it silently vanishes
+        // from the chain. Checked against the PUBLISH base, not just on
+        // lost races: the drift window opens the moment `checks` was
+        // read above.
+        val headDir =
+          if (target == 0) s"$tableRoot/base" else s"$tableRoot/v${target - 1}"
+        if (headDir != syncedFrom) {
+          checks = resyncChecks(headDir, dir, checks,
+            if (emptyBatch) None else Some(spark.read.parquet(dir)),
+            s"INSERT OVERWRITE of $tableRoot")
+          syncedFrom = headDir
+        }
         if (tryPublish(dir, targetDir)) return target
         val nowLast = CdcMergeSink.versions(tableRoot).lastOption
           .getOrElse(-1L)
@@ -253,6 +273,32 @@ object OptimisticCommit {
     } finally deleteQuietly(dir)
   }
 
+  /** Re-read the publish base's CHECK contract and, when it drifted from
+    * `current`, enforce the newly-added checks over the staged content
+    * and restamp the staged manifest. A replace's CONTENT is
+    * base-independent, but its CONTRACT is not: publishing past a racing
+    * `ALTER TABLE ADD CONSTRAINT` with the stale checks map would erase
+    * the constraint from the chain forever, unvalidated — and the drift
+    * window opens the moment the contract is first read, not only on a
+    * lost rename. [[tryRebase]] declines on the same drift; replace can
+    * re-validate instead because the staged content is self-contained.
+    * Returns the contract now carried (a violation throws, failing the
+    * replace). */
+  private def resyncChecks(headDir: String,
+                           stagedDir: String,
+                           current: Map[String, String],
+                           content: => Option[DataFrame],
+                           context: String): Map[String, String] = {
+    val head = graft.sources.GraftChecks.manifestChecks(headDir)
+    if (head == current) return current
+    val added = head.filterNot { case (n, e) => current.get(n).contains(e) }
+    if (added.nonEmpty) content.foreach(df =>
+      graft.sources.GraftChecks.enforce(df, added,
+        s"$context (constraint added concurrently)"))
+    graft.sources.GraftChecks.annotateChecks(stagedDir, head)
+    head
+  }
+
   /** Test/diagnostic seam: whether the most recent V2 replace published
     * its executor-staged files DIRECTLY (single materialization) or fell
     * back to the re-sort path. */
@@ -274,7 +320,8 @@ object OptimisticCommit {
                           key: String, moreKeysDeclared: Seq[String],
                           stagingDir: String, staged: Seq[String],
                           schema: org.apache.spark.sql.types.StructType,
-                          insertIntoEmpty: Boolean = false): Boolean = {
+                          insertIntoEmpty: Boolean = false,
+                          testHookAfterStage: () => Unit = () => ()): Boolean = {
     lastReplaceDirect = false
     val latest = CdcMergeSink.latestSnapshot(tableRoot)
     MutableParquetTable.requireFeaturesSupported(latest)
@@ -306,21 +353,57 @@ object OptimisticCommit {
     // into an empty base), so semantics are identical. A duplicate
     // STRADDLING two staged files shows up as a range overlap and falls
     // back via the proof above.
-    val checks = graft.sources.GraftChecks.manifestChecks(latest)
+    val context =
+      s"${if (insertIntoEmpty) "INSERT INTO (empty)" else "INSERT OVERWRITE"} of $tableRoot"
+    var checks = graft.sources.GraftChecks.manifestChecks(latest)
     if (checks.nonEmpty)
       graft.sources.GraftChecks.enforce(
-        spark.read.schema(schema).parquet(staged: _*), checks,
-        s"${if (insertIntoEmpty) "INSERT INTO (empty)" else "INSERT OVERWRITE"} of $tableRoot")
+        spark.read.schema(schema).parquet(staged: _*), checks, context)
+    // crashed-task debris: a task that died mid-write (JVM kill — its
+    // abort() never ran) left a partial/duplicate file in the staging
+    // dir that no commit message names. The manifest below lists only
+    // committed files, but the publish renames the WHOLE dir — sweep
+    // non-committed data files first, or they ship into the published
+    // snapshot (corrupting the direct spark.read.parquet(dir) view and
+    // leaking bytes no vacuum ever reclaims).
+    locally {
+      import scala.jdk.CollectionConverters._
+      val committed = staged.map(f => f.split('/').last).toSet
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(stagingDir))
+      try ls.iterator().asScala
+        .filter(p => MutableParquetTable.isDataFileName(p.getFileName.toString)
+          && !committed(p.getFileName.toString))
+        .foreach(java.nio.file.Files.delete)
+      finally ls.close()
+    }
     val bytes = staged.map(f => f.split('/').last ->
       java.nio.file.Files.size(java.nio.file.Paths.get(f))).toMap
     MutableParquetTable.writeManifestFromRanges(stagingDir, key, moreKeys,
       sorted.map(r => r.file.split('/').last -> r), Some(schema.json),
       checks, Nil, bytes)
     var attempts = 0
+    var syncedFrom = latest
+    testHookAfterStage()
     while (attempts < 20) {
       attempts += 1
       val target =
         CdcMergeSink.versions(tableRoot).lastOption.getOrElse(-1L) + 1
+      // the table CONTRACT may have moved even though the content is
+      // base-independent: a racing ALTER ... ADD CONSTRAINT must gate
+      // this content and survive into this manifest, or it is silently
+      // erased from the chain forever. Checked against the publish base
+      // on EVERY attempt (the drift window opens at the checks read
+      // above, not at a lost rename).
+      val headDir =
+        if (target == 0) s"$tableRoot/base" else s"$tableRoot/v${target - 1}"
+      if (headDir != syncedFrom) {
+        // an empty-insert that raced ANY commit falls back to the merge
+        // below anyway; only full replaces re-validate and re-aim
+        if (insertIntoEmpty) return false
+        checks = resyncChecks(headDir, stagingDir, checks,
+          Some(spark.read.schema(schema).parquet(staged: _*)), context)
+        syncedFrom = headDir
+      }
       if (tryPublish(stagingDir, s"$tableRoot/v$target")) {
         lastReplaceDirect = true
         return true

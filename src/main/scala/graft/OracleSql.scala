@@ -1442,6 +1442,20 @@ object OracleSql {
       FROM src
       ORDER BY phase""",
 
+    // drop → purging compact → re-add: the final state carries the
+    // source balances, and `seg` is non-null ONLY for the post-re-add
+    // UPDATE's rows — a resurrected pre-drop value would inflate
+    // seg_n/seg_len and break the hash
+    "q120_compact_purge" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_sum,
+             CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS seg_n,
+             CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 0 END)
+               AS BIGINT) AS seg_len
+      FROM customer""",
+
     // incremental dedup: exact Jaccard pairs TOUCHING the new batch
     // (id % 3 = 0), incr_found pinned to 1 — the persisted-index probe
     // must surface every true pair the batch introduces

@@ -1885,6 +1885,45 @@ object SparkEntry {
       .orderBy(col("phase"))
   }
 
+  /** DROP COLUMN → purging compact → re-ADD, the full column-lifecycle
+    * loop: the metadata-only drop leaves stale bytes in old files (and
+    * blocklists the name against resurrection), `CALL system.compact`
+    * detects the live blocklist and REWRITES through the logical schema
+    * instead of byte-splicing — purging the stale values and clearing
+    * the blocklist — after which re-ADDing the name is legal and sees
+    * only fresh NULLs. The final aggregate counts non-null `seg` rows:
+    * a hash match proves exactly the post-re-add writes are visible
+    * (any resurrected pre-drop value would inflate `seg_n`/`seg_len`).
+    * Scale: the purge costs one logical rewrite of the table — the same
+    * price the reference pays to physically shed a column — and ONLY
+    * when a blocklist is live; blocklist-free compacts stay zero-decode
+    * splices. */
+  def q120_compact_purge(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q120-wh").toString
+    val cat = "gq120_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q120_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.pc (c_custkey BIGINT, bal BIGINT,
+              seg STRING) USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.pc
+              SELECT CAST(c_custkey AS BIGINT),
+                     CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+              FROM q120_cust_src""")                        // v0
+    s.sql(s"ALTER TABLE $cat.ns.pc DROP COLUMN seg")        // v1, 0 IO
+    s.sql(s"CALL $cat.system.compact('ns.pc', 64)")         // v2, PURGE
+    s.sql(s"ALTER TABLE $cat.ns.pc ADD COLUMNS (seg STRING)") // v3 — legal now
+    s.sql(s"""UPDATE $cat.ns.pc SET seg = 'rx'
+              WHERE c_custkey % 10 = 0""")                  // v4
+    s.sql(s"""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS BIGINT) AS bal_sum,
+             CAST(count(seg) AS BIGINT) AS seg_n,
+             CAST(coalesce(sum(length(seg)), 0) AS BIGINT) AS seg_len
+      FROM $cat.ns.pc""")
+  }
+
   /** The training-corpus pipeline END TO END, composed from the engine's
     * own stages: quality gate (token count), exact content dedup
     * (keep-first by normalized fingerprint), eval-set decontamination
@@ -2498,6 +2537,7 @@ object SparkEntry {
     "q117_incremental_dedup" -> (q117_incremental_dedup _),
     "q118_drop_column" -> (q118_drop_column _),
     "q119_corpus_pipeline" -> (q119_corpus_pipeline _),
+    "q120_compact_purge" -> (q120_compact_purge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

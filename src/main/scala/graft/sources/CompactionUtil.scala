@@ -94,8 +94,7 @@ object CompactionUtil {
     // would silently compact only the locally-present subset
     val recorded = MutableParquetTable.manifestBytesByName(dir)
     val files = MutableParquetTable.tableFiles(dir)
-      .map(f => f -> recorded.getOrElse(f.split('/').last,
-        java.nio.file.Files.size(java.nio.file.Paths.get(f))))
+      .map(f => f -> MutableParquetTable.recordedOrStatSize(dir, f, recorded))
     require(files.nonEmpty, s"no parquet files in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -146,8 +145,7 @@ object CompactionUtil {
                          targetBytes: Long): Seq[String] = {
     val recorded = MutableParquetTable.manifestBytesByName(dir)
     val files = MutableParquetTable.tableFiles(dir)
-      .map(f => f -> recorded.getOrElse(f.split('/').last,
-        java.nio.file.Files.size(java.nio.file.Paths.get(f))))
+      .map(f => f -> MutableParquetTable.recordedOrStatSize(dir, f, recorded))
     require(files.nonEmpty, s"no parquet files in $dir")
     val byBucket = files.groupBy { case (f, _) =>
       GraftBucket.bucketOfName(new Path(f).getName).getOrElse(

@@ -300,7 +300,11 @@ object GraftProcedures {
 
   /** Size-targeted compaction committed as the next version: raw
     * row-group splicing (zero decode), composite identity and dim zone
-    * maps preserved via the manifest carry. */
+    * maps preserved via the manifest carry. When a dropped-column
+    * blocklist is live, compaction instead REWRITES through the logical
+    * schema ([[graft.GraftTable.compact]]) — purging the stale bytes and
+    * clearing the blocklist, the documented path to re-ADDing a dropped
+    * name. */
   private final class Compact(root: String) extends Proc(root) {
     override def name(): String = "compact"
     override def description(): String =
@@ -379,7 +383,9 @@ object GraftProcedures {
       // the union of prior dims and the curve dims
       MutableParquetTable(spark, latest, key,
         moreKeys = MutableParquetTable.manifestMoreKeys(latest))
-        .commitManifest(target)
+        // the curve rewrite reads through the logical schema, so dropped
+        // columns' stale bytes are purged — blocklist clears
+        .commitManifest(target, physicalRewrite = true)
       val allDims = (MutableParquetTable.manifestDimRanges(latest).keys.toSeq
         ++ dims).distinct.sorted
       MutableParquetTable.attachDimRanges(spark, target, allDims)

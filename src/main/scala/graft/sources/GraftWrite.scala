@@ -117,7 +117,20 @@ final class GraftWrite(root: String, key: String, schema: StructType,
     (key +: moreKeys).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
-  private def ordered: Boolean = orderedReplace || orderedEmptyInsert
+  // A STREAMING consumer never takes the direct-publish path (its
+  // commits run through the merge/replace protocol with txn markers,
+  // which re-sort as needed), so the ordered declaration would tax
+  // EVERY micro-batch with a global range-partition + sort that buys
+  // nothing — and `orderedEmptyInsert` would stay true for the stream's
+  // whole lifetime even after the first epoch fills the table. V2Writes
+  // resolves `toStreaming` before it consults the distribution
+  // (prepareQuery), so clearing the flags here is observed; if a future
+  // Spark reorders those steps the declaration is merely wasted work,
+  // never a correctness hazard.
+  @volatile private var streamingConsumer = false
+
+  private def ordered: Boolean =
+    !streamingConsumer && (orderedReplace || orderedEmptyInsert)
 
   override def requiredDistribution(): Distribution =
     if (ordered) Distributions.ordered(sortOrders)
@@ -138,9 +151,11 @@ final class GraftWrite(root: String, key: String, schema: StructType,
 
   /** `df.writeStream.format("graft").start(root)` — the EXACTLY-ONCE
     * streaming sink ([[GraftStreamingWrite]]). */
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    streamingConsumer = true
     new GraftStreamingWrite(root, key, schema, conf, replace, queryId,
       opCol, seqCol)
+  }
 }
 
 final class GraftBatchWrite(root: String, key: String, schema: StructType,

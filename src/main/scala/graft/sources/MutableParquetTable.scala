@@ -165,10 +165,21 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
   /** Commit `outDir` as a snapshot of this table's key: build the manifest
     * from its files' footers and write it atomically. For snapshot dirs
     * produced OUTSIDE `merge` — e.g. a compaction output — so they join
-    * the committed chain with the same read/prune/crash guarantees. */
+    * the committed chain with the same read/prune/crash guarantees.
+    *
+    * The committed schema defaults to the SOURCE manifest's logical
+    * schema, not a footer probe of the new files: byte-spliced outputs
+    * (compaction) physically carry whatever columns their inputs did, so
+    * a footer probe would resurrect a metadata-only DROP COLUMN (and
+    * lose a metadata-only ADD COLUMNS). The dropped-column blocklist is
+    * carried for the same reason — spliced bytes still hold the old
+    * values. `physicalRewrite = true` declares the content was rewritten
+    * THROUGH the logical schema (z-order, replace): stale column bytes
+    * are gone, so the blocklist legitimately clears. */
   def commitManifest(outDir: String,
                      schema: Option[org.apache.spark.sql.types.StructType]
-                       = None): Unit = {
+                       = None,
+                     physicalRewrite: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.list(Paths.get(outDir))
     val files = try s.iterator().asScala
@@ -176,7 +187,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       .map(_.toString).toList.sorted
     finally s.close()
     require(files.nonEmpty, s"nothing to commit in $outDir")
-    writeManifest(outDir, Nil, files, schema)
+    val dropped =
+      if (physicalRewrite) Nil
+      else MutableParquetTable.manifestDroppedColumns(dir)
+    writeManifest(outDir, Nil, files,
+      schema orElse MutableParquetTable.manifestSchema(dir),
+      droppedOverride = Some(dropped))
   }
 
   /** Route update keys to files: a key is owned by the last file (in key
@@ -1120,7 +1136,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                             // deletion tombstones: the caller has already
                             // placed the `_tombstones` sidecar dir in outDir and
                             // passes the row count (None = no tombstones)
-                            tombstones: Option[Long] = None): Unit = {
+                            tombstones: Option[Long] = None,
+                            // Some(list) pins the dropped-column blocklist
+                            // verbatim (commitManifest: spliced bytes keep
+                            // stale values even though no SOURCE file
+                            // survives); None applies the survivors rule
+                            droppedOverride: Option[Seq[String]] = None): Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
@@ -1218,8 +1239,9 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // carried and referenced both empty: a replace, or a merge that
     // rewrote everything through the narrowed schema — it clears
     val droppedJson = MutableParquetTable.droppedJsonField(
-      if (carried.isEmpty && refNames.isEmpty) Nil
-      else MutableParquetTable.manifestDroppedColumns(dir))
+      droppedOverride.getOrElse(
+        if (carried.isEmpty && refNames.isEmpty) Nil
+        else MutableParquetTable.manifestDroppedColumns(dir)))
     val tombstonesJson = tombstones.filter(_ > 0).map(n =>
       s""""tombstoneFile":${js(MutableParquetTable.TombstoneName)},""" +
         s""""tombstoneRows":$n,""").getOrElse("")
@@ -1452,6 +1474,18 @@ object MutableParquetTable {
     * (planner statistics, byte-paced streams, compaction planning) get
     * exact sizes with ZERO filesystem calls. Entries written before
     * size recording are simply absent; consumers fall back per entry. */
+  /** A table file's byte size: the manifest-recorded value when present
+    * (zero filesystem calls — the object-store discipline), else one
+    * stat of the resolved path. The one lookup every size consumer
+    * (planner stats, byte pacing, compaction planning) shares, so the
+    * fallback semantics live in one place. `recorded` lets callers doing
+    * many lookups parse the manifest once. */
+  private[graft] def recordedOrStatSize(snapshotDir: String, file: String,
+      recorded: Map[String, Long]): Long =
+    recorded.getOrElse(file.split('/').last,
+      Files.size(Paths.get(
+        if (file.startsWith("/")) file else resolvePath(snapshotDir, file))))
+
   private[graft] def manifestBytesByName(snapshotDir: String): Map[String, Long] =
     readManifest(snapshotDir).map { m =>
       "\\{\"file\":\"((?:[^\"\\\\]|\\\\.)*)\"[^}]*?\"bytes\":(\\d+)".r
@@ -2025,7 +2059,7 @@ object MutableParquetTable {
     * (the commit defines the contents — a stray uncommitted file next to
     * the snapshot is invisible, same discipline as [[readCommitted]]),
     * or the directory listing for bare parquet dirs. */
-  private[sources] def tableFiles(dir: String): List[String] =
+  private[graft] def tableFiles(dir: String): List[String] =
     manifestFileNames(dir) match {
       case Some(names) => names.map(n => resolvePath(dir, n)).toList.sorted
       case None =>
@@ -2159,15 +2193,32 @@ object MutableParquetTable {
     * a pruning index over a column readers can no longer see (DROP
     * COLUMN) is dead weight. */
   private[sources] def stripDimEntries(m: String, colName: String): String = {
+    // rebuild the dimRanges SECTION from its parsed entries rather than
+    // regex-repairing the whole manifest: a global `,]` → `]` cleanup
+    // would also rewrite a string KEY BOUND whose value happens to end
+    // in ",]" — silently lowering a zone-map bound. The entry pattern
+    // itself is safe manifest-wide (a raw `{"dfile":"` cannot occur
+    // inside a JSON string: its quotes would be escaped).
+    val head = "\"dimRanges\":["
+    val start = m.indexOf(head)
+    if (start < 0) return m
     val entry =
       ("\\{\"dfile\":\"((?:[^\"\\\\]|\\\\.)*)\",\"dcol\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
         "\"dtype\":\"(\\w+)\",\"dmin\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-        "\"dmax\":\"((?:[^\"\\\\]|\\\\.)*)\"\\},?").r
-    entry.replaceAllIn(m, e =>
-      if (unjs(e.group(2)).equalsIgnoreCase(colName)) ""
-      else scala.util.matching.Regex.quoteReplacement(e.matched))
-      .replaceAll(",\\]", "]")            // trailing comma our removal left
-      .replaceAll("\"dimRanges\":\\[\\],", "") // emptied list drops whole
+        "\"dmax\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+    val entries = entry.findAllMatchIn(m).toList
+    val sectionEnd = entries.lastOption.map(_.end)
+      .getOrElse(start + head.length)
+    // writeManifest emits the section compact: `"dimRanges":[e1,...,en],`
+    require(m.startsWith("],", sectionEnd),
+      s"malformed dimRanges section in manifest (at $sectionEnd)")
+    val kept = entries.collect {
+      case e if !unjs(e.group(2)).equalsIgnoreCase(colName) => e.matched
+    }
+    val section =
+      if (kept.isEmpty) "" // emptied list drops the whole field
+      else kept.mkString(head, ",", "],")
+    m.substring(0, start) + section + m.substring(sectionEnd + 2)
   }
 
   /** Serialize a typed range bound pair for the manifest. */

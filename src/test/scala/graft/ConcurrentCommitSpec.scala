@@ -259,4 +259,82 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(Files.exists(fresh), "a live writer's staging dir must survive")
     Files.delete(fresh)
   }
+
+  private def stageSorted(root: String, staging: String,
+                          rows: Long): (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val df = spark.range(0, rows).select(col("id").as("k"), col("id").as("v"))
+    graft.sources.ParquetTable.writeSortedBy(df, staging, Seq("k"), 2)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(staging))
+    val staged = try s.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toList.sorted
+    finally s.close()
+    (staged, df.schema)
+  }
+
+  test("direct publish sweeps crashed-task orphans from the staging dir") {
+    val root = freshRoot()
+    mkTable(root)
+    val staging = s"$root/.staging-orphan-test"
+    val (staged, schema) = stageSorted(root, staging, 100)
+    assert(staged.size === 2)
+    // a crashed attempt's partial file: present on disk, named by NO
+    // writer commit message (its abort() never ran)
+    val orphan = Paths.get(staging, "part-9-99999.parquet")
+    Files.copy(Paths.get(staged.head), orphan)
+    assert(OptimisticCommit.replaceStagedDirect(
+      spark, root, "k", Nil, staging, staged, schema))
+    val dir = CdcMergeSink.latestSnapshot(root)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(dir))
+    val names = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    finally s.close()
+    assert(names.size === 2 && !names.contains("part-9-99999.parquet"),
+      "orphan bytes must not ship into the published snapshot")
+    // the direct spark.read.parquet(dir) convenience sees no duplicates
+    assert(spark.read.parquet(dir).count() === 100)
+    assert(spark.read.format("graft").load(dir).count() === 100)
+  }
+
+  test("replace enforces and carries a constraint that races in during staging") {
+    val root = freshRoot()
+    val t = mkTable(root) // k, v = 2k over 200 rows
+    val good = spark.range(0, 50).select(col("id").as("k"),
+      (col("id") + 1).as("v"))
+    OptimisticCommit.replace(spark, root, "k", good,
+      testHookAfterStage = () => { t.addCheck("v_pos", "v >= 0"); () })
+    assert(graft.sources.GraftChecks.manifestChecks(
+        CdcMergeSink.latestSnapshot(root)) === Map("v_pos" -> "v >= 0"),
+      "a constraint added while the replace staged must survive its commit")
+    assert(t.read().count() === 50)
+
+    // staged content violating the RACED-IN contract must fail the
+    // replace, not erase the constraint: v = 500 passes v_pos but
+    // violates the concurrently-added cap
+    val bad = spark.range(0, 10).select(col("id").as("k"), lit(500L).as("v"))
+    intercept[graft.sources.GraftChecks.CheckViolation] {
+      OptimisticCommit.replace(spark, root, "k", bad,
+        testHookAfterStage = () => { t.addCheck("v_cap", "v < 100"); () })
+    }
+    val latest = CdcMergeSink.latestSnapshot(root)
+    assert(graft.sources.GraftChecks.manifestChecks(latest).keySet ===
+      Set("v_pos", "v_cap"))
+    assert(t.read().count() === 50, "the failed replace must not land")
+  }
+
+  test("direct publish re-validates against a constraint that races in") {
+    val root = freshRoot()
+    val t = mkTable(root)
+    val staging = s"$root/.staging-resync-test"
+    val (staged, schema) = stageSorted(root, staging, 80)
+    assert(OptimisticCommit.replaceStagedDirect(
+      spark, root, "k", Nil, staging, staged, schema,
+      testHookAfterStage = () => { t.addCheck("v_pos", "v >= 0"); () }))
+    val latest = CdcMergeSink.latestSnapshot(root)
+    assert(graft.sources.GraftChecks.manifestChecks(latest) ===
+      Map("v_pos" -> "v >= 0"),
+      "the direct publish must carry the raced-in contract")
+    assert(spark.read.format("graft").load(latest).count() === 80)
+  }
 }

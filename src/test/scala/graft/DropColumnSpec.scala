@@ -227,4 +227,80 @@ class DropColumnSpec extends SparkSpec {
     spark.sql("UPDATE dc.ns.d SET v = 0 WHERE k = 3")
     assert(spark.sql("SELECT v FROM dc.ns.d WHERE k = 3").head().getLong(0) === 0L)
   }
+
+  test("compact after drop PURGES the stale bytes and clears the blocklist") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.dropColumn("extra") // v0, metadata-only — files still carry the bytes
+    val v = t.compact(1L << 20) // v1 — must rewrite, not byte-splice
+    assert(t.read().schema.fieldNames.toSeq === Seq("k", "v"),
+      "a compact must never resurrect a dropped column into the schema")
+    assert(t.read().count() === 100)
+    // the purge is PHYSICAL: every output file sheds the column
+    val files = MutableParquetTable.manifestFileNames(s"$root/v$v").get
+      .map(n => MutableParquetTable.resolvePath(s"$root/v$v", n))
+    files.foreach(f =>
+      assert(!spark.read.parquet(f).schema.fieldNames.contains("extra"),
+        s"$f still physically carries the dropped column after compact"))
+    // ... so the blocklist clears — compact IS guardResurrected's
+    // documented remedy — and a re-ADD sees only fresh NULLs
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v$v").isEmpty)
+    OptimisticCommit.commitSchema(root, t.read().schema
+      .add("extra", org.apache.spark.sql.types.StringType)) // v2
+    val back = t.read()
+    assert(back.schema.fieldNames.contains("extra"))
+    assert(back.where(col("extra").isNotNull).count() === 0,
+      "re-ADD after a purging compact must not resurrect stale values")
+  }
+
+  test("compact keeps a metadata-widened schema (spliced footers predate the ALTER)") {
+    val root = freshRoot()
+    val t = seed(root)
+    OptimisticCommit.commitSchema(root, t.read().schema
+      .add("w", org.apache.spark.sql.types.LongType)) // v0, metadata-only
+    val v = t.compact(1L << 20) // v1 — splice path; old footers lack `w`
+    assert(v === 1L)
+    val now = t.read()
+    assert(now.schema.fieldNames.toSeq === Seq("k", "v", "extra", "w"),
+      "compact must commit the LOGICAL schema, not a footer probe")
+    assert(now.count() === 100)
+    assert(now.where(col("w").isNotNull).count() === 0)
+  }
+
+  test("bucketed compact after drop purges while keeping the bucket layout") {
+    val root = freshRoot()
+    val t = GraftTable.create(
+      spark.range(0, 200).select(col("id").as("k"), (col("id") + 1).as("v"),
+        concat(lit("e"), col("id")).as("extra")),
+      root, "k", numFiles = 4, buckets = Some(4))
+    t.dropColumn("extra") // v0
+    val v = t.compact(1L << 20) // v1 — bucketed purge rewrite
+    assert(MutableParquetTable.manifestBuckets(s"$root/v$v") === Some(4),
+      "the purge rewrite must keep the table's bucket contract")
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v$v").isEmpty)
+    assert(t.read().schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(t.read().count() === 200)
+    // the bucket-routed merge still works on the compacted layout
+    t.commit(Seq((3L, 30L, "upsert")).toDF("k", "v", "op")) // v2
+    assert(t.read().where(col("k") === 3L).head().getLong(1) === 30L)
+  }
+
+  test("dropping a dim-mapped column leaves a string key bound ending in ',]' intact") {
+    val root = freshRoot()
+    val df = Seq(("aaa", 1L, "x"), ("zzz,]", 2L, "y")).toDF("k", "v", "extra")
+    val t = GraftTable.create(df, root, "k", numFiles = 1)
+    t.commit(Seq(("aaa", 5L, "x2", "upsert"))
+      .toDF("k", "v", "extra", "op")) // v0
+    MutableParquetTable.attachDimRanges(spark, s"$root/v0", Seq("extra"))
+    t.dropColumn("extra") // v1 — stripDimEntries rewrites the manifest
+    val ranges = MutableParquetTable.manifestRanges(s"$root/v1", "k").get
+    assert(ranges.exists(_.maxBytes.sameElements(
+        graft.sources.KeyBytes.fromString("zzz,]"))),
+      "a global ',]' cleanup must not rewrite a key bound that ends in ',]'")
+    assert(MutableParquetTable.manifestDimRanges(s"$root/v1").isEmpty)
+    // and the bound still routes merges to the right file
+    t.commit(Seq(("zzz,]", 9L, "upsert")).toDF("k", "v", "op")) // v2
+    assert(t.read().where(col("k") === "zzz,]").head().getLong(1) === 9L)
+    assert(t.read().count() === 2)
+  }
 }

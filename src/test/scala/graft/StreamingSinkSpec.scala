@@ -194,4 +194,27 @@ class StreamingSinkSpec extends SparkSpec {
       .orderBy("word").as[(String, Long)].collect().toSeq
     assert(got === Seq(("a", 3L), ("b", 1L), ("c", 1L), ("seed", 0L)))
   }
+
+  test("ordered distribution is declared for batch writes only, never streaming epochs") {
+    // a streaming consumer commits through the merge/replace protocol —
+    // the ordered declaration would range-partition + sort EVERY
+    // micro-batch for nothing (and orderedEmptyInsert would stay true
+    // for the stream's whole lifetime). V2Writes resolves toStreaming
+    // before consulting the distribution, so the flags clear in time.
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.LongType)
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val w = new graft.sources.GraftWrite("/tmp/none", "k", schema, conf,
+      replace = true, orderedReplace = true)
+    assert(w.requiredOrdering().nonEmpty, "batch INSERT OVERWRITE declares")
+    assert(w.requiredDistribution().isInstanceOf[
+      org.apache.spark.sql.connector.distributions.OrderedDistribution])
+    w.toStreaming
+    assert(w.requiredOrdering().isEmpty,
+      "a streaming consumer must not inherit the ordered declaration")
+    assert(!w.requiredDistribution().isInstanceOf[
+      org.apache.spark.sql.connector.distributions.OrderedDistribution])
+    assert(w.advisoryPartitionSizeInBytes() === 0L)
+  }
 }
