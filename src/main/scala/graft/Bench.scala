@@ -524,6 +524,17 @@ object Bench {
         dim = 64, rerank = 0, native = true))
       adcOnly() // warm
       results("pq_adc_native") = (1 to 2).map(_ => time(adcOnly())).min
+
+      // ---- Lloyd-iteration scaling: kmeansCodebook persists its
+      //      projected input, so iterations 2..n pay a cached columnar
+      //      re-read instead of recomputing the upstream — per-iteration
+      //      cost after the first should be a fraction of iteration 1
+      //      ((iter3 - iter1) / 2 per extra iteration) ----
+      def buildK(iters: Int) = Similarity.kmeansCodebook(
+        e, "embedding", "vec_id", k = 16, iters = iters)
+      buildK(1) // warm
+      results("ivf_codebook_iter1") = (1 to 2).map(_ => time(buildK(1))).min
+      results("ivf_codebook_iter3") = (1 to 2).map(_ => time(buildK(3))).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq experiment failed: ${e.getMessage}")
     }
