@@ -127,33 +127,63 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * replace/truncate leaves no such file). Merge-key columns are
     * immutable row identity and cannot be dropped; a column a CHECK
     * constraint references needs the check dropped first. */
-  def dropColumn(name: String): Long = {
+  def dropColumn(name: String): Long = dropColumns(Seq(name))
+
+  /** [[dropColumn]] for a whole `ALTER TABLE ... DROP COLUMN a, b, ...`
+    * statement: every name is validated FIRST and the batch commits as
+    * ONE metadata version — a failure on any column aborts the whole
+    * statement before anything publishes (no half-applied DDL). With
+    * `ifExists`, names not in the schema are skipped (standard
+    * `DROP COLUMN IF EXISTS`); an all-missing batch is a no-op returning
+    * the current version. The commit carries schema+checks drift guards:
+    * a column added concurrently (ADD COLUMNS or merge evolution) or a
+    * check added concurrently between this read and the publish fails
+    * the statement instead of being silently erased / left referencing a
+    * ghost column. */
+  def dropColumns(names: Seq[String], ifExists: Boolean = false): Long = {
+    require(names.nonEmpty, "no columns to drop")
     val latest = CdcMergeSink.latestSnapshot(root)
     val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
       .getOrElse(throw new IllegalStateException(
         s"$latest carries no schema — only committed tables can drop columns"))
     val keys = key +: graft.sources.MutableParquetTable.manifestMoreKeys(latest)
-    require(!keys.exists(_.equalsIgnoreCase(name)),
-      s"$name is a merge-key column — keys are immutable row identity " +
-        "and cannot be dropped")
-    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $name does not exist " +
-          schema.fieldNames.mkString("(have: ", ", ", ")")))
+    names.foreach { name =>
+      // a nested key path ('a.b' via the nestedKeys feature) is rooted in
+      // its struct column — dropping 'a' would commit a table whose
+      // manifest key no longer resolves; exact-name equality misses it
+      require(!keys.exists(k => k.equalsIgnoreCase(name) ||
+          k.toLowerCase.startsWith(name.toLowerCase + ".")),
+        s"$name is (or contains) a merge-key column — keys are immutable " +
+          "row identity and cannot be dropped")
+    }
+    val (present, missing) = names.partition(n =>
+      schema.fields.exists(_.name.equalsIgnoreCase(n)))
+    if (missing.nonEmpty && !ifExists)
+      throw new IllegalArgumentException(
+        s"column${if (missing.size > 1) "s" else ""} ${missing.mkString(", ")} " +
+          "do" + (if (missing.size > 1) "" else "es") + " not exist " +
+          schema.fieldNames.mkString("(have: ", ", ", ")"))
+    if (present.isEmpty) return versions.lastOption.getOrElse(-1L)
+    val fields = present.map(n =>
+      schema.fields.find(_.name.equalsIgnoreCase(n)).get)
+    val dropSet = fields.map(_.name.toLowerCase).toSet
     val narrowed = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
-    // every CHECK must still resolve without the column — a contract
+      schema.fields.filterNot(f => dropSet.contains(f.name.toLowerCase)))
+    // every CHECK must still resolve without the columns — a contract
     // referencing a ghost would fail every later write confusingly
-    graft.sources.GraftChecks.manifestChecks(latest).foreach { case (n, e) =>
+    val checks = graft.sources.GraftChecks.manifestChecks(latest)
+    checks.foreach { case (n, e) =>
       try graft.sources.GraftChecks.validateExpr(spark, narrowed, n, e)
       catch { case ex: Exception =>
         throw new IllegalArgumentException(
-          s"cannot drop ${field.name}: CHECK constraint '$n' ($e) " +
-            "references it — drop the check first", ex)
+          s"cannot drop ${fields.map(_.name).mkString(", ")}: CHECK " +
+            s"constraint '$n' ($e) references a dropped column — drop " +
+            "the check first", ex)
       }
     }
     OptimisticCommit.commitSchema(root, narrowed,
-      recordDropped = Seq(field.name))
+      recordDropped = fields.map(_.name),
+      expectedSchema = Some(schema), expectedChecks = Some(checks))
   }
 
   /** `DELETE WHERE` committed as the next version at METADATA price

@@ -611,13 +611,43 @@ object OptimisticCommit {
   def commitSchema(tableRoot: String,
                    newSchema: org.apache.spark.sql.types.StructType,
                    maxAttempts: Int = 20,
-                   recordDropped: Seq[String] = Nil): Long = {
+                   recordDropped: Seq[String] = Nil,
+                   expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                   expectedChecks: Option[Map[String, String]] = None): Long = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
       val baseV = CdcMergeSink.versions(tableRoot).lastOption
       val latest = baseV.map(v => s"$tableRoot/v$v")
         .getOrElse(s"$tableRoot/base")
+      // drift guards (the commitChecks expectedChecks pattern): the
+      // caller computed `newSchema` and ran its guards against a head it
+      // read BEFORE this loop. Restaging that result onto a head whose
+      // schema moved (a concurrent ADD COLUMNS / merge evolution) would
+      // silently ERASE the concurrently-added column — guardResurrected
+      // cannot catch it, the column was never dropped. A concurrently
+      // added CHECK referencing a column this change drops would commit
+      // as a ghost contract failing every later write. Fail instead;
+      // the caller re-reads and re-derives.
+      expectedSchema.foreach { exp =>
+        val head = MutableParquetTable.manifestSchema(latest)
+        if (head.exists(_ != exp))
+          throw new IllegalStateException(
+            s"concurrent schema change on $tableRoot (this change was " +
+              s"computed against ${exp.fieldNames.mkString("[", ",", "]")}, " +
+              s"head now carries ${head.map(_.fieldNames.mkString("[", ",", "]"))
+                .getOrElse("<none>")}) — re-read the table and retry")
+      }
+      expectedChecks.foreach { exp =>
+        val headChecks = graft.sources.GraftChecks.manifestChecks(latest)
+        if (headChecks != exp)
+          throw new IllegalStateException(
+            s"concurrent CHECK-constraint change on $tableRoot (this " +
+              s"schema change was validated against ${exp.keySet.toSeq.sorted
+                .mkString("{", ",", "}")}, head now declares ${headChecks
+                .keySet.toSeq.sorted.mkString("{", ",", "}")}) — re-read " +
+              "the table and retry")
+      }
       val dir = s"$tableRoot/.tx-${
         java.util.UUID.randomUUID().toString.take(12)}"
       MutableParquetTable.stageSchemaChange(latest, dir, newSchema,
@@ -708,8 +738,23 @@ object OptimisticCommit {
 
   /** Atomic slot claim. True = this staged dir is now the committed
     * version. False = the slot is already occupied (conflict). Errors
-    * that are not slot-occupancy propagate. */
-  private def tryPublish(staging: String, target: String): Boolean =
+    * that are not slot-occupancy propagate.
+    *
+    * Before the rename, the staged stamp is CLAMPED to the predecessor
+    * slot's commit time ([[MutableParquetTable.clampCommittedAt]]): a
+    * multi-process writer with a lagging clock can win its first attempt
+    * and would otherwise publish a non-monotone `committedAtMs`, which
+    * breaks the binary search behind timestamp travel / change-feed
+    * resolution and makes retention vacuum undercount recent versions.
+    * Centralized here so every publish path (merge, replace, schema,
+    * checks, restore, delete, update) inherits the invariant. */
+  private def tryPublish(staging: String, target: String): Boolean = {
+    "^(.*)/v(\\d+)$".r.findFirstMatchIn(target).foreach { m =>
+      val n = m.group(2).toLong
+      val head =
+        if (n == 0) s"${m.group(1)}/base" else s"${m.group(1)}/v${n - 1}"
+      MutableParquetTable.clampCommittedAt(staging, head)
+    }
     try {
       Files.move(Paths.get(staging), Paths.get(target),
         StandardCopyOption.ATOMIC_MOVE)
@@ -720,6 +765,7 @@ object OptimisticCommit {
       case e: java.nio.file.FileSystemException
           if Files.exists(Paths.get(target)) => false
     }
+  }
 
   /** Metadata-only conflict resolution: when the intervening commits
     * provably touched a DISJOINT set of files, this writer's staged

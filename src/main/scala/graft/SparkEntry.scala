@@ -1690,18 +1690,23 @@ object SparkEntry {
   /** Product-quantization ANN ([[graft.operators.Similarity.pqTopK]]):
     * the corpus compressed to m=8 codes/vector (32× fewer scan bytes at
     * dim=64), queries ranked by asymmetric-distance lookup tables, top
-    * candidates re-scored exactly. Deterministic end to end (seeded
-    * k-means, tie-broken ranking) but not SQL-expressible — rows-only
-    * check; SimilaritySpec holds the recall/exactness assertions. */
+    * candidates re-scored exactly. Oracle-checkable via the q44/q45
+    * recall form: the emitted rows are the exact brute-force top-10 per
+    * query (DuckDB recomputes them) plus a per-query `recall_ok` flag
+    * pinned to 1, asserting the ADC-ranked, rerank-rescored PQ search
+    * recovered >= 60% of the true neighbors — so a hash match proves the
+    * codebook → packed-code scan → LUT ranking → exact rerank pipeline
+    * actually achieves its recall target on real data. */
   def q114_pq_ann(s: SparkSession, dir: String): DataFrame = {
     val embs = embeddings(s, dir)
     graft.plans.PqAdcScore.register(s)
-    Similarity.pqTopK(s, embs, embs.where(col("vec_id") < 5),
+    val q = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, q, "embedding", "vec_id",
+      k = 10, native = true)
+    val ann = Similarity.pqTopK(s, embs, q,
       "embedding", "vec_id", k = 10, dim = 64, m = 8, ksub = 16,
       kmeansIters = 1, rerank = 100, native = true)
-      .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    annRecallForm(exact, ann, target = 0.6)
   }
 
   /** Cross-document line dedup ([[graft.operators.CorpusPrep.dedupLines]],

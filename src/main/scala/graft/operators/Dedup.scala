@@ -55,7 +55,39 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5, native: Boolean = false): DataFrame = {
+                   threshold: Double = 0.5, native: Boolean = false): DataFrame =
+    minHashPairsFromBanded(
+      minHashBanded(docs, textCol, idCol, shingleK, bands, rowsPerBand, native),
+      bands * rowsPerBand, threshold)
+
+  /** [[minHashPairs]] with a hot-bucket guard for degenerate corpora (a
+    * slice of near-identical short docs collapses into one (band, bucket),
+    * and the within-bucket self-join is quadratic in its width — at 100 TB
+    * a 50M-doc boilerplate bucket is 2.5e15 pair rows in ONE task).
+    * Buckets wider than `maxBucketWidth` are down-sampled to ~that width by
+    * a deterministic per-doc hash draw (each doc kept with probability
+    * cap/width — survivors are a fixed function of (id, band, bucket), not
+    * of partitioning or run order). The cap is NOT silent: the second
+    * DataFrame returned lists every capped bucket with its true width and
+    * expected drop count — callers must surface it (log/metrics) before
+    * trusting the pair set as complete. Cost of the guard: one extra
+    * map-side-combined count pass over the banded rows (the hot set itself
+    * is tiny — only degenerate buckets — and broadcast). */
+  def minHashPairsCapped(docs: DataFrame, textCol: String, idCol: String,
+                         maxBucketWidth: Int,
+                         shingleK: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 4, threshold: Double = 0.5,
+                         native: Boolean = false): (DataFrame, DataFrame) = {
+    val banded = minHashBanded(docs, textCol, idCol, shingleK, bands,
+      rowsPerBand, native)
+    val (guarded, overflow) =
+      capBucketWidth(banded, Seq("band", "bucket"), maxBucketWidth)
+    (minHashPairsFromBanded(guarded, bands * rowsPerBand, threshold), overflow)
+  }
+
+  private def minHashBanded(docs: DataFrame, textCol: String, idCol: String,
+                            shingleK: Int, bands: Int, rowsPerBand: Int,
+                            native: Boolean): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Signature stage, two equivalent plans (bit-identical output):
     //  - native: the fused one-pass codegen kernel
@@ -88,12 +120,16 @@ object Dedup {
     // sides then share one canonical exchange subtree, so the signature
     // pipeline runs once and the second side is a ReusedExchange (without
     // this, each side of the self-join recomputes every signature)
-    val banded = sig.select(col("id"), col("sig"),
+    sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .repartition(col("band"), col("bucket"))
+  }
+
+  private def minHashPairsFromBanded(banded: DataFrame, numHashes: Int,
+                                     threshold: Double): DataFrame = {
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -106,6 +142,32 @@ object Dedup {
           / numHashes).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Shared hot-bucket guard for the banded LSH self-joins. Keeps each row
+    * of a bucket wider than `cap` with probability cap/width via a
+    * deterministic hash draw (survivor set is a pure function of the doc id
+    * and bucket key), leaving buckets at/under the cap untouched — so the
+    * guard is a no-op on healthy corpora and only degenerate buckets lose
+    * pairs. Returns (guarded banded rows, overflow stats): one stats row
+    * per capped bucket with its true `bucket_width` and `dropped_est`
+    * (width - cap, the expected row loss). The stats side is the cap's
+    * required visibility — never discard it silently. */
+  private def capBucketWidth(banded: DataFrame, keyCols: Seq[String],
+                             cap: Int): (DataFrame, DataFrame) = {
+    require(cap > 0, "maxBucketWidth must be positive")
+    val widths = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_width"))
+    val hot = widths.where(col("bucket_width") > cap)
+    val keep = banded.join(broadcast(hot), keyCols, "left")
+      .where(col("bucket_width").isNull ||
+        pmod(xxhash64(col("id") +: keyCols.map(col): _*),
+          col("bucket_width")) < cap)
+      .drop("bucket_width")
+    val overflow = hot.select(keyCols.map(col) :+
+      col("bucket_width") :+
+      (col("bucket_width") - cap).as("dropped_est"): _*)
+    (keep, overflow)
   }
 
   /** EXACT all-pairs Jaccard similarity join over a set-valued column via
@@ -193,7 +255,28 @@ object Dedup {
     * levels (chunk pairs first, then singles) or cap bucket width. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, native: Boolean = false,
-                   chunks: Int = 4): DataFrame = {
+                   chunks: Int = 4): DataFrame =
+    simHashPairsFromBanded(
+      simHashBanded(docs, textCol, idCol, native, chunks), maxHamming)
+
+  /** [[simHashPairs]] with the same hot-bucket guard (and the same
+    * overflow-stats contract) as [[minHashPairsCapped]] — a degenerate
+    * chunk bucket (boilerplate docs sharing a 16-bit chunk) otherwise
+    * joins quadratically in one task. Capping trades candidate
+    * completeness inside the listed buckets for boundedness; the returned
+    * stats row per capped bucket is the honesty receipt. */
+  def simHashPairsCapped(docs: DataFrame, textCol: String, idCol: String,
+                         maxBucketWidth: Int, maxHamming: Int = 3,
+                         native: Boolean = false,
+                         chunks: Int = 4): (DataFrame, DataFrame) = {
+    val banded = simHashBanded(docs, textCol, idCol, native, chunks)
+    val (guarded, overflow) =
+      capBucketWidth(banded, Seq("band", "chunk"), maxBucketWidth)
+    (simHashPairsFromBanded(guarded, maxHamming), overflow)
+  }
+
+  private def simHashBanded(docs: DataFrame, textCol: String, idCol: String,
+                            native: Boolean, chunks: Int): DataFrame = {
     require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
     val chunkBits = 64 / chunks
     // signature stage: fused one-pass kernel ([[graft.plans.SimHash]],
@@ -222,11 +305,15 @@ object Dedup {
     }
     // shared exchange before the per-side renames — see minHashPairs
     val low = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
-    val banded = sigs.select(col("id"), col("sim"),
+    sigs.select(col("id"), col("sim"),
       posexplode(array((0 until chunks).map(i =>
         col("sim").bitwiseAND(lit(low << (chunkBits * i)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
       .repartition(col("band"), col("chunk"))
+  }
+
+  private def simHashPairsFromBanded(banded: DataFrame,
+                                     maxHamming: Int): DataFrame = {
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "chunk"))

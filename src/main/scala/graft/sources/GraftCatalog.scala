@@ -218,9 +218,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       t.alterChecks(adds, drops)
       if (rest.isEmpty) return loadTable(ident)
     }
-    // `ALTER TABLE ... DROP COLUMN` — metadata-only narrowing (the
-    // GraftTable.dropColumn contract: key columns and check-referenced
-    // columns refuse; the name is blocklisted against resurrection)
+    // `ALTER TABLE ... DROP COLUMN [IF EXISTS] a, b` — metadata-only
+    // narrowing (the GraftTable.dropColumns contract: key columns and
+    // check-referenced columns refuse; names are blocklisted against
+    // resurrection). ALL drops of the statement land as ONE commit —
+    // per-column commits would half-apply the statement when a later
+    // column fails validation, the non-atomic-DDL hazard alterChecks
+    // already closes for batched check.* properties. A statement mixing
+    // IF EXISTS and plain drops takes the strict path (missing → error).
     val (colDrops, nonDrops) =
       rest.partition(_.isInstanceOf[TableChange.DeleteColumn])
     if (colDrops.nonEmpty) {
@@ -229,11 +234,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         MutableParquetTable.manifestKey(latest).getOrElse(
           throw new IllegalStateException(
             s"$latest carries no merge key — not a graft table")))
-      colDrops.foreach { case d: TableChange.DeleteColumn =>
+      val drops = colDrops.map { case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           s"nested column ${d.fieldNames().mkString(".")} is not supported")
-        t.dropColumn(d.fieldNames().head)
+        (d.fieldNames().head, d.ifExists())
       }
+      t.dropColumns(drops.map(_._1), ifExists = drops.forall(_._2))
       if (nonDrops.isEmpty) return loadTable(ident)
     }
     val adds = nonDrops.map {
@@ -256,7 +262,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       s.add(org.apache.spark.sql.types.StructField(name, a.dataType(),
         nullable = true))
     }
-    graft.OptimisticCommit.commitSchema(dir, widened)
+    // expectedSchema: a concurrent ADD/DROP between the schema read above
+    // and the publish would be silently stomped by restaging this widened
+    // schema — fail the statement instead (same drift class as dropColumns)
+    graft.OptimisticCommit.commitSchema(dir, widened,
+      expectedSchema = Some(schema))
     loadTable(ident)
   }
 

@@ -1735,15 +1735,36 @@ object MutableParquetTable {
     * the change feed's binary search depend on it) — a staged snapshot
     * that lost a publish race carries a stamp OLDER than the version
     * that beat it, so every re-aim re-stamps before retrying. */
-  private[graft] def restampCommittedAt(stagedDir: String): Unit = {
+  private[graft] def restampCommittedAt(stagedDir: String): Unit =
+    stampCommittedAt(stagedDir, System.currentTimeMillis())
+
+  /** Clamp a staged manifest's `committedAtMs` to be >= the chain head's
+    * stamp, right before publish. [[restampCommittedAt]] only repairs the
+    * LOST-RACE path; a multi-process writer whose clock runs behind the
+    * previous committer's can win its FIRST publish attempt and land a
+    * stamp older than the head — breaking the monotone order that
+    * timestamp time travel and the change feed's binary search
+    * ([[graft.sources.GraftChangeFeed.versionAtOrAfter]]) depend on
+    * (retention vacuum then undercounts "recent" and can drop in-window
+    * snapshots). Equal stamps are fine ("at or after" is inclusive);
+    * no-op when the staged stamp is already current. */
+  private[graft] def clampCommittedAt(stagedDir: String,
+                                      headDir: String): Unit =
+    for {
+      head <- committedAtMs(headDir)
+      staged <- committedAtMs(stagedDir)
+      if staged < head
+    } stampCommittedAt(stagedDir, head)
+
+  private def stampCommittedAt(stagedDir: String, ts: Long): Unit = {
     val m = readManifest(stagedDir).getOrElse(return)
     val re = "\"committedAtMs\":\\d+".r
-    val now = s""""committedAtMs":${System.currentTimeMillis()}"""
+    val stamp = s""""committedAtMs":$ts"""
     val updated =
       if (re.findFirstIn(m).isDefined)
-        re.replaceFirstIn(m, scala.util.matching.Regex.quoteReplacement(now))
+        re.replaceFirstIn(m, scala.util.matching.Regex.quoteReplacement(stamp))
       else m.replaceFirst("\\{",
-        scala.util.matching.Regex.quoteReplacement(s"{$now,"))
+        scala.util.matching.Regex.quoteReplacement(s"{$stamp,"))
     val tmp = Paths.get(stagedDir, ManifestName + ".tmp")
     Files.writeString(tmp, updated)
     Files.move(tmp, Paths.get(stagedDir, ManifestName),

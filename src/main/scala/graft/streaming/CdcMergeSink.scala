@@ -36,6 +36,14 @@ import graft.sources.MutableParquetTable
   */
 object CdcMergeSink {
 
+  /** Cap on the delta leading keys [[changeFeed]] collects driver-side
+    * for the shared-file point prune. ~100k keys is a few MB of driver
+    * heap; a delta with more distinct keys than this (a bulk tombstone
+    * batch) would touch most shared files anyway, so the prune's IO
+    * saving no longer justifies an unbounded driver materialization and
+    * the feed falls back to reading all shared files — exact either way. */
+  val PointPruneMaxKeys: Int = 100000
+
   /** `v<id>` children of `dir` passing `committed`, ids ascending — the
     * one version-listing used by the table chain (manifest-committed) and
     * [[AggView]] (`_SUCCESS`-committed). */
@@ -216,7 +224,8 @@ object CdcMergeSink {
     * (A key that moved between two rewritten files with an unchanged
     * value joins equal and drops out — the feed stays exact.) */
   def changeFeed(spark: SparkSession, tableRoot: String,
-                 fromBatch: Long, toBatch: Long, key: String): DataFrame = {
+                 fromBatch: Long, toBatch: Long, key: String,
+                 pointPruneMaxKeys: Int = CdcMergeSink.PointPruneMaxKeys): DataFrame = {
     val fromDir = resolveAsOf(tableRoot, fromBatch)
     val toDir = resolveAsOf(tableRoot, toBatch)
     // composite identity is the TABLE's property, discovered from the
@@ -258,11 +267,17 @@ object CdcMergeSink {
         val sharedPaths = (fromFiles.keySet intersect toFiles.keySet)
           .toSeq.sorted.map(fromFiles)
         // leading-key point prune against the before manifest bounds the
-        // shared-file read to the holder files; the semi-join is exact
-        val leading = newly.select(col("__k0")).distinct().collect()
-          .map(_.get(0)).toSeq
+        // shared-file read to the holder files; the semi-join is exact.
+        // The collect is CAPPED: it is bounded by the delta's distinct
+        // leading keys, which a bulk tombstone batch can push to tens of
+        // millions — past the cap we skip the prune and read all shared
+        // files (the pre-prune behavior: more IO, still exact) instead of
+        // materializing an unbounded key set on the driver.
+        val leading = newly.select(col("__k0")).distinct()
+          .limit(pointPruneMaxKeys + 1).collect().map(_.get(0)).toSeq
         val pruned =
           if (leading.isEmpty) Nil
+          else if (leading.size > pointPruneMaxKeys) sharedPaths
           else MutableParquetTable
             .pruneManifestFilesPoints(fromDir, leading)
             .map(_._2.toSet)

@@ -54,6 +54,42 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(tx.isEmpty, s"leftover staging dirs: $tx")
   }
 
+  test("commit stamps stay monotone under clock skew (first-attempt clamp)") {
+    val root = freshRoot()
+    val t = mkTable(root)
+    import spark.implicits._
+    t.commit(Seq((1L, -1L, "upsert")).toDF("k", "v", "op")) // v0
+    // simulate a writer whose clock ran AHEAD: doctor v0's stamp an hour
+    // into the future. The next committer's clock (ours) is now "behind";
+    // without the publish-time clamp it would land v1 with an OLDER stamp
+    // on its FIRST attempt (no lost race, so restampCommittedAt never runs)
+    val m0 = Paths.get(root, "v0",
+      graft.sources.MutableParquetTable.ManifestName)
+    val skewed = System.currentTimeMillis() + 3600L * 1000
+    Files.writeString(m0, Files.readString(m0).replaceFirst(
+      "\"committedAtMs\":\\d+", s""""committedAtMs":$skewed"""))
+    t.commit(Seq((2L, -2L, "upsert")).toDF("k", "v", "op"))       // v1: merge
+    t.deleteWhere(col("k") === 199L)                              // v2: delete
+    t.addCheck("v_ok", "v IS NOT NULL")                           // v3: checks
+    OptimisticCommit.commitSchema(root,
+      graft.sources.MutableParquetTable.manifestSchema(s"$root/v3").get
+        .add("w", org.apache.spark.sql.types.LongType))           // v4: schema
+    t.restoreTo(1L)                                               // v5: restore
+    val stamps = t.versions.map(v =>
+      graft.sources.MutableParquetTable.committedAtMs(s"$root/v$v").get)
+    assert(stamps === stamps.sorted,
+      s"committedAtMs must be monotone along the chain, got $stamps")
+    assert(stamps.head === skewed)
+    // the binary search that retention vacuum / timestamp travel rely on
+    // resolves correctly against the clamped chain
+    assert(graft.sources.GraftChangeFeed.versionAtOrAfter(root, skewed)
+      === Some(0L))
+    // every later commit clamped to exactly the skewed stamp (clock still
+    // behind it), so nothing is "at or after" one tick past it
+    assert(graft.sources.GraftChangeFeed.versionAtOrAfter(root, skewed + 1)
+      === None)
+  }
+
   test("publish conflict is detected and retried with the competitor applied first") {
     val root = freshRoot()
     mkTable(root)

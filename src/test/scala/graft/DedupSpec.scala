@@ -87,6 +87,49 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("hot-bucket guard: degenerate bucket is capped, surfaced, deterministic; healthy corpus untouched") {
+    val s = spark; import s.implicits._
+    // 40 identical docs: every band maps them to ONE (band,bucket) of
+    // width 40 — the planted degenerate bucket — plus two normal docs
+    val boiler = "buy now limited offer click here best price free shipping " +
+      "act fast deal ends soon subscribe today"
+    val docs = ((0L until 40L).map(i => (i, boiler)) ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "columnar storage formats with vectorized execution engines"))).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minHashPairs(docs, "text", "doc_id", threshold = 0.5)
+    assert(uncapped.count() === 40L * 39 / 2, "uncapped is quadratic in the bucket")
+
+    val cap = 8
+    val (pairs, overflow) = Dedup.minHashPairsCapped(docs, "text", "doc_id",
+      maxBucketWidth = cap, threshold = 0.5)
+    val n = pairs.count()
+    assert(n > 0 && n < 40L * 39 / 2, s"capped pair count $n must be bounded below quadratic")
+    // the overflow receipt names every capped bucket with its true width
+    val ov = overflow.collect()
+    assert(ov.nonEmpty, "cap must not be silent")
+    ov.foreach { r =>
+      assert(r.getAs[Long]("bucket_width") === 40L)
+      assert(r.getAs[Long]("dropped_est") === 40L - cap)
+    }
+    // deterministic: the hash-draw survivors are a pure function of ids
+    val (pairs2, _) = Dedup.minHashPairsCapped(docs, "text", "doc_id",
+      maxBucketWidth = cap, threshold = 0.5)
+    assert(pairSet(pairs2) === pairSet(pairs))
+    // a cap above every bucket width is a no-op with an empty receipt
+    val (pairsWide, ovWide) = Dedup.minHashPairsCapped(docs, "text", "doc_id",
+      maxBucketWidth = 1000, threshold = 0.5)
+    assert(pairSet(pairsWide) === pairSet(uncapped))
+    assert(ovWide.isEmpty)
+
+    // same guard on the simhash chunk lane
+    val (shPairs, shOv) = Dedup.simHashPairsCapped(docs, "text", "doc_id",
+      maxBucketWidth = cap, maxHamming = 3)
+    assert(shPairs.count() < 40L * 39 / 2)
+    assert(shOv.collect().forall(_.getAs[Long]("bucket_width") === 40L))
+    assert(shOv.count() > 0)
+  }
+
   test("ngram jaccard: identical = 1.0, matches exact set computation") {
     val s = spark; import s.implicits._
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 4L)).toDF("id_a", "id_b")

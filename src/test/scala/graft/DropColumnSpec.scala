@@ -102,6 +102,88 @@ class DropColumnSpec extends SparkSpec {
     assert(t.read().schema.fieldNames.toSeq === Seq("k", "extra"))
   }
 
+  test("batched drops: one commit, atomic refusal, IF EXISTS skips") {
+    val root = freshRoot()
+    val t = GraftTable.create(
+      (0L until 50L).map(i => (i, i * 10, s"e$i", s"f$i"))
+        .toDF("k", "v", "extra", "extra2"),
+      root, "k", numFiles = 2)
+    // two drops = ONE metadata version (no half-applied DDL)
+    val v = t.dropColumns(Seq("extra", "extra2"))
+    assert(v === 0L)
+    assert(t.read().schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(MutableParquetTable.manifestDroppedColumns(s"$root/v0").toSet ===
+      Set("extra", "extra2"))
+
+    // a bad name anywhere in the batch aborts the WHOLE statement
+    val t2root = freshRoot()
+    val t2 = seed(t2root)
+    intercept[IllegalArgumentException] {
+      t2.dropColumns(Seq("extra", "nope"))
+    }
+    assert(t2.read().schema.fieldNames.contains("extra"),
+      "a failed batch must not half-apply")
+    assert(t2.versions.isEmpty, "a failed batch must commit nothing")
+
+    // IF EXISTS: missing names skip; all-missing is a version-less no-op
+    val v2 = t2.dropColumns(Seq("extra", "nope"), ifExists = true)
+    assert(t2.read().schema.fieldNames.toSeq === Seq("k", "v"))
+    val v3 = t2.dropColumns(Seq("gone", "also_gone"), ifExists = true)
+    assert(v3 === v2, "all-missing IF EXISTS batch is a no-op")
+    assert(t2.versions.size === 1)
+  }
+
+  test("nested merge-key path: dropping the root struct column refuses") {
+    val root = freshRoot()
+    val df = spark.sql("""
+      SELECT named_struct('uuid', concat('u', id), 'name', concat('n', id))
+               AS person,
+             id AS bal, concat('x', id) AS extra
+      FROM range(0, 20)""")
+    val t = GraftTable.create(df, root, "person.uuid", numFiles = 1)
+    val e = intercept[IllegalArgumentException] { t.dropColumn("person") }
+    assert(e.getMessage.contains("merge-key"), e.getMessage)
+    t.dropColumn("extra") // non-key columns still drop fine
+    assert(t.read().schema.fieldNames.toSeq === Seq("person", "bal"))
+  }
+
+  test("schema/check drift guards: a concurrent ALTER fails the stale publish") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.commit(ups((1L, 11L, "e1b"))) // v0
+    val staleSchema = MutableParquetTable.manifestSchema(s"$root/v0").get
+    val narrowed = org.apache.spark.sql.types.StructType(
+      staleSchema.fields.filterNot(_.name == "extra"))
+
+    // schema moved (concurrent ADD COLUMNS) after the drop was computed —
+    // restaging the stale narrowed schema would erase `w`
+    OptimisticCommit.commitSchema(root, staleSchema.add("w",
+      org.apache.spark.sql.types.LongType)) // v1
+    val e = intercept[IllegalStateException] {
+      OptimisticCommit.commitSchema(root, narrowed,
+        recordDropped = Seq("extra"), expectedSchema = Some(staleSchema))
+    }
+    assert(e.getMessage.contains("concurrent schema change"), e.getMessage)
+
+    // checks moved (concurrent ADD CONSTRAINT) — a check referencing the
+    // dropped column would become a ghost contract
+    val root2 = freshRoot()
+    val t2 = seed(root2)
+    t2.commit(ups((1L, 11L, "e1b"))) // v0
+    val s2 = MutableParquetTable.manifestSchema(s"$root2/v0").get
+    t2.addCheck("extra_nn", "extra IS NOT NULL") // v1
+    val e2 = intercept[IllegalStateException] {
+      OptimisticCommit.commitSchema(root2,
+        org.apache.spark.sql.types.StructType(
+          s2.fields.filterNot(_.name == "extra")),
+        recordDropped = Seq("extra"), expectedChecks = Some(Map.empty))
+    }
+    assert(e2.getMessage.contains("concurrent CHECK"), e2.getMessage)
+    // the guarded surface end-to-end: dropColumns re-reads and refuses on
+    // the check (validated against the CURRENT head, not the stale one)
+    intercept[IllegalArgumentException] { t2.dropColumns(Seq("extra")) }
+  }
+
   test("CoW rewrites shed the dropped column physically; carried files keep it until touched") {
     val root = freshRoot()
     val t = seed(root)
@@ -226,6 +308,19 @@ class DropColumnSpec extends SparkSpec {
     // DML keeps working on the narrowed shape
     spark.sql("UPDATE dc.ns.d SET v = 0 WHERE k = 3")
     assert(spark.sql("SELECT v FROM dc.ns.d WHERE k = 3").head().getLong(0) === 0L)
+
+    // IF EXISTS on a missing column is a no-op, not an error
+    spark.sql("ALTER TABLE dc.ns.d DROP COLUMN IF EXISTS never_was")
+    assert(spark.sql("SELECT * FROM dc.ns.d").schema.fieldNames.toSeq ===
+      Seq("k", "v"))
+    // multi-column DROP lands as ONE metadata version
+    spark.sql("ALTER TABLE dc.ns.d ADD COLUMNS (a BIGINT, b BIGINT)")
+    val before = graft.streaming.CdcMergeSink.versions(s"$w/ns/d").last
+    spark.sql("ALTER TABLE dc.ns.d DROP COLUMNS (a, b)")
+    assert(graft.streaming.CdcMergeSink.versions(s"$w/ns/d").last ===
+      before + 1, "a multi-column DROP must be one atomic commit")
+    assert(spark.sql("SELECT * FROM dc.ns.d").schema.fieldNames.toSeq ===
+      Seq("k", "v"))
   }
 
   test("compact after drop PURGES the stale bytes and clears the blocklist") {

@@ -111,6 +111,23 @@ class TombstoneSpec extends SparkSpec {
       === Seq((25L, "insert", -1L)))
   }
 
+  test("change feed over-cap delta: point-prune fallback reads all shared files, stays exact") {
+    val root = freshRoot()
+    val t = mkTable(root)
+    // a bulk tombstone batch with more distinct leading keys than the cap
+    val keys = (0L until 400L by 3).toSeq
+    t.deleteKeys(keys.toDF("k"))
+    val expected = keys.map(k => (k, "delete")).sortBy(_._1)
+    def rows(cap: Int) = graft.streaming.CdcMergeSink
+      .changeFeed(spark, root, -1L, 0L, "k", pointPruneMaxKeys = cap)
+      .select(col("k"), col("change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // cap below the delta's key count → fallback branch (all shared files)
+    assert(rows(cap = 4) === expected)
+    // pruned branch agrees
+    assert(rows(cap = 1000000) === expected)
+  }
+
   test("materializeTombstones folds the sidecar into a physical rewrite") {
     val root = freshRoot()
     val t = mkTable(root)
