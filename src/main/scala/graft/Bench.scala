@@ -301,18 +301,34 @@ object Bench {
       t.merge(b10, snapshotDir = Some(s"$workDir/v-warm-10"))
       t.merge(b50, snapshotDir = Some(s"$workDir/v-warm-50"))
       t.merge(bFull, snapshotDir = Some(s"$workDir/v-warm-full"))
-      // best of 5 per point: the merge ratios are the headline numbers
-      // and single local runs are noisy at seconds scale
-      def best3(tag: String)(f: Int => Unit): Double =
-        (1 to 5).map(i => time(f(i))).min
-      results("merge_noop") =
-        best3("noop")(i => t.merge(empty, snapshotDir = Some(s"$workDir/v-noop-$i")))
-      results("merge_10pct_dirty") =
-        best3("10")(i => t.merge(b10, snapshotDir = Some(s"$workDir/v-10-$i")))
-      results("merge_50pct_dirty") =
-        best3("50")(i => t.merge(b50, snapshotDir = Some(s"$workDir/v-50-$i")))
-      results("merge_full_rewrite") =
-        best3("full")(i => t.merge(bFull, snapshotDir = Some(s"$workDir/v-full-$i")))
+      // INTERLEAVED A/B rounds, median per point: the headline numbers
+      // are RATIOS (full/10%, full/50%), and running each point as its
+      // own block of repeats lets a host-speed phase change between
+      // blocks invert a ratio that is flat on quiet hardware (the r6
+      // driver re-run read full/50% at 1.17× where three same-host A/Bs
+      // said 2.0-2.4× — the full block ran in a faster phase than the
+      // 50% block). One round times every point back-to-back so drift
+      // hits all points equally; the median across rounds (not best-of)
+      // keeps one lucky outlier for one point from skewing the ratio
+      // while still shedding GC/scheduler spikes.
+      val points = Seq(
+        "merge_noop" -> ((i: Int) =>
+          t.merge(empty, snapshotDir = Some(s"$workDir/v-noop-$i"))),
+        "merge_10pct_dirty" -> ((i: Int) =>
+          t.merge(b10, snapshotDir = Some(s"$workDir/v-10-$i"))),
+        "merge_50pct_dirty" -> ((i: Int) =>
+          t.merge(b50, snapshotDir = Some(s"$workDir/v-50-$i"))),
+        "merge_full_rewrite" -> ((i: Int) =>
+          t.merge(bFull, snapshotDir = Some(s"$workDir/v-full-$i"))))
+      val samples = scala.collection.mutable.Map(
+        points.map(_._1 -> Vector.empty[Double]): _*)
+      for (i <- 1 to 5; (name, run) <- points)
+        samples(name) = samples(name) :+ time(run(i))
+      def median(xs: Vector[Double]): Double = {
+        val s = xs.sorted; s((s.size - 1) / 2)
+      }
+      points.foreach { case (name, _) =>
+        results(name) = median(samples(name)) }
       // NOTE: mergeFineGrained (row-group CoW per dirty file) is NOT
       // benched here — at sf0.1's ~7 MB files its per-file Spark-job
       // overhead dominates the decode/encode it saves, so the honest
