@@ -181,9 +181,92 @@ final class GraftTable private (val spark: SparkSession, val root: String,
             "the check first", ex)
       }
     }
+    // renamed columns: the resurrection blocklist must record the
+    // PHYSICAL on-file name (that is what surviving files carry — the
+    // logical name never existed in any file), and the rename entry dies
+    // with the column
+    val renames0 = graft.sources.MutableParquetTable.manifestRenames(latest)
+    val physNames = fields.map(f => renames0.getOrElse(f.name, f.name))
+    val newRenames = renames0 -- fields.map(_.name)
     OptimisticCommit.commitSchema(root, narrowed,
-      recordDropped = fields.map(_.name),
-      expectedSchema = Some(schema), expectedChecks = Some(checks))
+      recordDropped = physNames,
+      expectedSchema = Some(schema), expectedChecks = Some(checks),
+      newRenames = if (newRenames == renames0) None else Some(newRenames))
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` as a METADATA-ONLY
+    * commit at any table size: data files keep the column's PHYSICAL
+    * (birth) name forever and the manifest records a logical→physical
+    * mapping — scans alias at the file boundary, rewrites write the
+    * physical name back, so no data file is ever touched by the rename.
+    * A non-empty mapping stamps the `columnRenames` manifest feature:
+    * readers without the mapping refuse instead of silently returning
+    * the old column name. The mapping materializes (and clears) on the
+    * next full physical rewrite (replace / z-order). Renaming back to
+    * the birth name simply clears the entry.
+    *
+    * Refused for merge-key columns (immutable row identity — and the
+    * whole routing/zone-map layer keys on the physical name), for
+    * targets that collide with an existing logical or physical name or
+    * a dropped-column blocklist entry, and while a CHECK constraint
+    * references the column (drop the check first). Dim zone maps
+    * attached under the old name stop pruning until re-attached
+    * ([[graft.sources.MutableParquetTable.attachDimRanges]] resolves
+    * the physical name itself). Time travel shows each version under
+    * the name it had when committed. */
+  def renameColumn(from: String, to: String): Long = {
+    require(to.nonEmpty && !to.contains("."), s"invalid column name '$to'")
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+      .getOrElse(throw new IllegalStateException(
+        s"$latest carries no schema — only committed tables can rename columns"))
+    val keys = key +: graft.sources.MutableParquetTable.manifestMoreKeys(latest)
+    require(!keys.exists(k => k.equalsIgnoreCase(from) ||
+        k.toLowerCase.startsWith(from.toLowerCase + ".")),
+      s"$from is (or contains) a merge-key column — keys are immutable " +
+        "row identity and cannot be renamed")
+    val field = schema.fields.find(_.name.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $from does not exist " +
+          schema.fieldNames.mkString("(have: ", ", ", ")")))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(to)),
+      s"column $to already exists")
+    val renames0 = graft.sources.MutableParquetTable.manifestRenames(latest)
+    // `to` must not shadow another column's PHYSICAL name: the physical
+    // read schema would then carry the name twice
+    val otherPhysical = schema.fields
+      .filterNot(_.name.equalsIgnoreCase(field.name))
+      .map(f => renames0.getOrElse(f.name, f.name))
+    require(!otherPhysical.exists(_.equalsIgnoreCase(to)),
+      s"column name $to is the physical on-file name of another column — " +
+        "pick a different name or rewrite the table (replace) first")
+    require(!graft.sources.MutableParquetTable.manifestDroppedColumns(latest)
+        .exists(_.equalsIgnoreCase(to)),
+      s"column name $to was previously DROPPED and files still carry its " +
+        "old values — rewrite the table (replace/compact) first")
+    // every CHECK must keep resolving; a constraint naming `from` would
+    // become a ghost contract failing every later write
+    val checks = graft.sources.GraftChecks.manifestChecks(latest)
+    val renamedSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+    checks.foreach { case (n, e) =>
+      try graft.sources.GraftChecks.validateExpr(spark, renamedSchema, n, e)
+      catch { case ex: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot rename ${field.name}: CHECK constraint '$n' ($e) " +
+            "references it — drop the check first", ex)
+      }
+    }
+    // chained renames resolve to the BIRTH name (a→b→c maps c→a);
+    // renaming back to the birth name clears the entry
+    val physical = renames0.getOrElse(field.name, field.name)
+    val newRenames = (renames0 - field.name) ++
+      (if (to.equalsIgnoreCase(physical)) Map.empty[String, String]
+       else Map(to -> physical))
+    OptimisticCommit.commitSchema(root, renamedSchema,
+      expectedSchema = Some(schema), expectedChecks = Some(checks),
+      newRenames = Some(newRenames))
   }
 
   /** `DELETE WHERE` committed as the next version at METADATA price

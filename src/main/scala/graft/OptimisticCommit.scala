@@ -613,7 +613,8 @@ object OptimisticCommit {
                    maxAttempts: Int = 20,
                    recordDropped: Seq[String] = Nil,
                    expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
-                   expectedChecks: Option[Map[String, String]] = None): Long = {
+                   expectedChecks: Option[Map[String, String]] = None,
+                   newRenames: Option[Map[String, String]] = None): Long = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -651,7 +652,7 @@ object OptimisticCommit {
       val dir = s"$tableRoot/.tx-${
         java.util.UUID.randomUUID().toString.take(12)}"
       MutableParquetTable.stageSchemaChange(latest, dir, newSchema,
-        recordDropped)
+        recordDropped, newRenames)
       val target = baseV.getOrElse(-1L) + 1
       if (tryPublish(dir, s"$tableRoot/v$target")) return target
       deleteQuietly(dir)
@@ -824,6 +825,12 @@ object OptimisticCommit {
     val dropped = MutableParquetTable.manifestDroppedColumns(st.dir)
     if (dropped != MutableParquetTable.manifestDroppedColumns(newBase))
       return None
+    // the rename mapping must match too (implied by schema equality for
+    // any reachable history, but cheap to assert) — the rebuilt manifest
+    // re-declares it, so a silent mismatch would misalias columns
+    val renames = MutableParquetTable.manifestRenames(st.dir)
+    if (renames != MutableParquetTable.manifestRenames(newBase))
+      return None
     val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)
     if (schema.isEmpty ||
         schema != MutableParquetTable.manifestSchema(newBase).map(_.json))
@@ -874,7 +881,8 @@ object OptimisticCommit {
       // head, this writer's outputs from its staged manifest) — the
       // rebase stays a zero-filesystem-call operation
       MutableParquetTable.manifestBytesByName(newBase) ++
-        MutableParquetTable.manifestBytesByName(st.dir))
+        MutableParquetTable.manifestBytesByName(st.dir),
+      renames)
     Some(Staged(st.dir, Some(newLast),
       st.merge.copy(
         passthroughFiles = kept.map(_.file),

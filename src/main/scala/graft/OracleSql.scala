@@ -1456,6 +1456,28 @@ object OracleSql {
                AS BIGINT) AS seg_len
       FROM customer""",
 
+    // q121: RENAME COLUMN lifecycle — v0 under the old name, current
+    // under the new one (UPDATE doubled k%3=0 balances, DELETE removed
+    // the MACHINERY segment); rename_ok pinned to 1 so the hash match
+    // proves the metadata-only mapping + feature stamp, not just content
+    "q121_rename_lifecycle" -> """
+      WITH src AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               c_mktsegment AS seg
+        FROM customer)
+      SELECT phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS ckey_sum,
+             CAST(sum(b) AS BIGINT) AS bal_sum,
+             CAST(1 AS INT) AS rename_ok
+      FROM (
+        SELECT 'v0' AS phase, k, bal AS b FROM src
+        UNION ALL
+        SELECT 'current', k,
+               CASE WHEN k % 3 = 0 THEN bal * 2 ELSE bal END
+        FROM src WHERE seg <> 'MACHINERY'
+      ) GROUP BY phase ORDER BY phase""",
+
     // incremental dedup: exact Jaccard pairs TOUCHING the new batch
     // (id % 3 = 0), incr_found pinned to 1 — the persisted-index probe
     // must surface every true pair the batch introduces

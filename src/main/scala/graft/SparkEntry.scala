@@ -1929,6 +1929,57 @@ object SparkEntry {
       FROM $cat.ns.pc""")
   }
 
+  /** `ALTER TABLE RENAME COLUMN` end to end, oracle-pinned: rename is a
+    * METADATA-ONLY commit (data files keep the column's birth name; the
+    * manifest maps logical→physical and scans alias at the file
+    * boundary), after which UPDATE/DELETE run under the NEW name, and
+    * time travel shows each version under the name it had when
+    * committed. The `rename_ok` flag — pinned to 1 by the oracle — holds
+    * only if the current schema carries the new name, VERSION AS OF 0
+    * still carries the old one, the manifest mapping points new→birth,
+    * and the `columnRenames` feature is stamped (pre-rename readers
+    * refuse rather than silently show the old name). */
+  def q121_rename_lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q121-wh").toString
+    val cat = "gq121_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q121_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.rn (c_custkey BIGINT, bal BIGINT,
+              seg STRING) USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.rn
+              SELECT CAST(c_custkey AS BIGINT),
+                     CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+              FROM q121_cust_src""")                            // v0
+    s.sql(s"ALTER TABLE $cat.ns.rn RENAME COLUMN bal TO balance") // v1, 0 IO
+    s.sql(s"""UPDATE $cat.ns.rn SET balance = balance * 2
+              WHERE c_custkey % 3 = 0""")                       // v2, new name
+    s.sql(s"DELETE FROM $cat.ns.rn WHERE seg = 'MACHINERY'")    // v3
+    val latest = graft.streaming.CdcMergeSink.latestSnapshot(s"$wh/ns/rn")
+    val nowFields = s.sql(s"SELECT * FROM $cat.ns.rn").schema.fieldNames.toSeq
+    val v0Fields =
+      s.sql(s"SELECT * FROM $cat.ns.rn VERSION AS OF 0").schema.fieldNames.toSeq
+    val renameOk =
+      if (nowFields.contains("balance") && !nowFields.contains("bal") &&
+        v0Fields.contains("bal") &&
+        graft.sources.MutableParquetTable.manifestRenames(latest) ==
+          Map("balance" -> "bal") &&
+        graft.sources.MutableParquetTable.manifestRequiredFeatures(latest)
+          .contains("columnRenames")) 1 else 0
+    s.sql(s"""
+      SELECT phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS ckey_sum,
+             CAST(sum(b) AS BIGINT) AS bal_sum,
+             CAST($renameOk AS INT) AS rename_ok
+      FROM (
+        SELECT 'v0' AS phase, c_custkey AS k, bal AS b
+        FROM $cat.ns.rn VERSION AS OF 0
+        UNION ALL
+        SELECT 'current', c_custkey, balance FROM $cat.ns.rn
+      ) GROUP BY phase""").orderBy(col("phase"))
+  }
+
   /** The training-corpus pipeline END TO END, composed from the engine's
     * own stages: quality gate (token count), exact content dedup
     * (keep-first by normalized fingerprint), eval-set decontamination
@@ -2543,6 +2594,7 @@ object SparkEntry {
     "q118_drop_column" -> (q118_drop_column _),
     "q119_corpus_pipeline" -> (q119_corpus_pipeline _),
     "q120_compact_purge" -> (q120_compact_purge _),
+    "q121_rename_lifecycle" -> (q121_rename_lifecycle _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

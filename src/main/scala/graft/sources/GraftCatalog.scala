@@ -183,13 +183,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` as a METADATA-ONLY commit: the next
-    * version references every current data file in place with the
-    * widened schema — zero data IO at any table size. Existing files
-    * simply lack the new column, which the scan reads as null (the same
-    * mechanics as schema evolution through merges). Other ALTERs stay
-    * unsupported: dropping/renaming/retyping columns would break files
-    * already written, and key columns are immutable identity. */
+  /** `ALTER TABLE ... ADD/DROP/RENAME COLUMN(S)` as METADATA-ONLY
+    * commits: the next version references every current data file in
+    * place — zero data IO at any table size. ADD: existing files lack
+    * the new column, which the scan reads as null. DROP: scans stop
+    * projecting; the name is blocklisted against resurrection. RENAME:
+    * the manifest maps the new logical name to the column's on-file
+    * birth name; scans alias at the file boundary. Retyping stays
+    * unsupported (it would break files already written), and key
+    * columns are immutable identity. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
@@ -242,13 +244,32 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       t.dropColumns(drops.map(_._1), ifExists = drops.forall(_._2))
       if (nonDrops.isEmpty) return loadTable(ident)
     }
-    val adds = nonDrops.map {
+    // `ALTER TABLE ... RENAME COLUMN a TO b` — metadata-only via the
+    // manifest's logical→physical mapping (GraftTable.renameColumn:
+    // key columns and check-referenced columns refuse; data files keep
+    // the birth name, scans alias at the file boundary)
+    val (colRenames, others) =
+      nonDrops.partition(_.isInstanceOf[TableChange.RenameColumn])
+    if (colRenames.nonEmpty) {
+      val latest = graft.streaming.CdcMergeSink.latestSnapshot(dir)
+      val t = graft.GraftTable(SparkSession.active, dir,
+        MutableParquetTable.manifestKey(latest).getOrElse(
+          throw new IllegalStateException(
+            s"$latest carries no merge key — not a graft table")))
+      colRenames.foreach { case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"nested column ${r.fieldNames().mkString(".")} is not supported")
+        t.renameColumn(r.fieldNames().head, r.newName())
+      }
+      if (others.isEmpty) return loadTable(ident)
+    }
+    val adds = others.map {
       case a: TableChange.AddColumn => a
       case c => throw new UnsupportedOperationException(
-        s"only ADD COLUMN, DROP COLUMN and check.* table properties are " +
-          s"supported (got ${c.getClass.getSimpleName}) — schema " +
-          "otherwise evolves through merges, and existing columns cannot " +
-          "retype/rename without rewriting committed files")
+        s"only ADD COLUMN, DROP COLUMN, RENAME COLUMN and check.* table " +
+          s"properties are supported (got ${c.getClass.getSimpleName}) — " +
+          "schema otherwise evolves through merges, and existing columns " +
+          "cannot retype without rewriting committed files")
     }
     val table = loadTable(ident)
     val schema = table.asInstanceOf[GraftBatchTable].schema

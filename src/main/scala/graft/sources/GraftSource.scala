@@ -163,6 +163,13 @@ final class GraftBatchTable(spark: SparkSession, val snapshotDir: String,
   private[graft] lazy val tombstoneRows: Long =
     MutableParquetTable.manifestTombstoneRows(snapshotDir)
 
+  /** Logical→physical column renames this snapshot declares (empty
+    * usually). The advertised schema is LOGICAL; the parquet delegate
+    * reads files under the physical names ([[GraftParquetScan.toBatch]]'s
+    * positional alias). */
+  private[graft] lazy val renames: Map[String, String] =
+    MutableParquetTable.manifestRenames(snapshotDir)
+
   /** This table with the tombstone anti-join marked as applied — what
     * [[graft.plans.GraftTombstoneRule]] substitutes so its rewrite
     * reaches a fixpoint (and the scan-builder guard passes). */
@@ -871,12 +878,27 @@ final class GraftParquetScan(spark: SparkSession,
         override def createReaderFactory(): PartitionReaderFactory =
           new GraftMetadataReaderFactory
       }
+    // renamed columns: the files carry PHYSICAL names, so the parquet
+    // delegate gets the physical form of both schemas — SAME positions
+    // and types, names swapped. V2 scan output binds to the relation's
+    // attributes POSITIONALLY, so the logical readSchema() above and the
+    // physical reader line up column-for-column. Pushed filters naming a
+    // renamed column are dropped from the delegate (every filter is
+    // returned as residual, so Catalyst re-applies it above the scan —
+    // the drop only costs row-group skipping on that column).
+    val physData =
+      MutableParquetTable.physicalSchemaOf(table.schema, table.renames)
+    val physRequired =
+      MutableParquetTable.physicalSchemaOf(required, table.renames)
+    val physPushed =
+      if (table.renames.isEmpty) pushed
+      else pushed.filterNot(_.references.exists(table.renames.contains))
     val index = new InMemoryFileIndex(spark, plannedFiles.map(new Path(_)),
-      Map.empty[String, String], Some(table.schema),
+      Map.empty[String, String], Some(physData),
       FileStatusCache.getOrCreate(spark), None, None)
     val delegate = ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
-      dataSchema = table.schema, readDataSchema = required,
-      readPartitionSchema = new StructType(), pushedFilters = pushed,
+      dataSchema = physData, readDataSchema = physRequired,
+      readPartitionSchema = new StructType(), pushedFilters = physPushed,
       options = CaseInsensitiveStringMap.empty()).toBatch
     bucketByFile match {
       case Some(byFile) => new GraftBucketedBatch(delegate,

@@ -245,10 +245,14 @@ final class GraftStateStream(spark: SparkSession, root: String,
     val e = end.asInstanceOf[GraftStateOffset]
     if (s.index >= 0L && e.index >= 0L) {
       // a snapshot slice [s.index, e.index) of the OFFSET-pinned
-      // version, pruned-schema scan
+      // version, pruned-schema scan. Renamed columns: the files carry
+      // PHYSICAL names — scan under them; rows bind to the source's
+      // logical attributes positionally (names swapped, positions/types
+      // identical), so the stream output stays logical
       planned = GraftChangeFeed.parquetBatch(spark,
         snapshotFiles(s.version).slice(s.index.toInt, e.index.toInt),
-        required)
+        MutableParquetTable.physicalSchemaOf(required,
+          MutableParquetTable.manifestRenames(dirOf(s.version))))
       wrapFeed = false
     } else {
       // feed phase (a transition batch from the snapshot's tail plans

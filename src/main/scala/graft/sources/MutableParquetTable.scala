@@ -159,6 +159,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     MutableParquetTable.manifestSchema(dir)
       .getOrElse(spark.read.parquet(dir).schema)
 
+  /** Logical→physical rename mapping ([[MutableParquetTable.manifestRenames]]):
+    * data files keep renamed columns' birth names, so every full-width
+    * file read aliases physical→logical and every rewrite writes
+    * physical names back. Key columns are never renamed — routing, zone
+    * maps, slicing and tombstones stay mapping-free. */
+  private lazy val renames: Map[String, String] =
+    MutableParquetTable.manifestRenames(dir)
+
   /** Per-file [minKey, maxKey] from footers only. */
   def fileRanges(): DataFrame = ParquetStats.fileKeyRanges(spark, dir, key)
 
@@ -190,9 +198,16 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     val dropped =
       if (physicalRewrite) Nil
       else MutableParquetTable.manifestDroppedColumns(dir)
+    // a physical rewrite's outputs were written from LOGICAL frames, so
+    // the rename mapping is materialized into the files and clears;
+    // spliced bytes keep their physical names, so the mapping carries
+    val renames =
+      if (physicalRewrite) Map.empty[String, String]
+      else MutableParquetTable.manifestRenames(dir)
     writeManifest(outDir, Nil, files,
       schema orElse MutableParquetTable.manifestSchema(dir),
-      droppedOverride = Some(dropped))
+      droppedOverride = Some(dropped),
+      renamesOverride = Some(renames))
   }
 
   /** Route update keys to files: a key is owned by the last file (in key
@@ -400,7 +415,9 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       // subtracted from the base read: tombstoned rows must neither
       // survive the rewrite physically nor count as matched base rows
       val base = MutableParquetTable.applyTombstones(spark, dir,
-        if (dirty.nonEmpty) spark.read.schema(mergedSchema).parquet(dirty: _*)
+        if (dirty.nonEmpty)
+          MutableParquetTable.readFilesLogical(spark, dirty, mergedSchema,
+            renames)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           batchData.schema),
@@ -410,7 +427,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       // straight into the write exchange with no range-sampling pass.
       // Persist only when several runs each re-slice the merged set;
       // the common contiguous-dirty case is one pass end to end.
-      val merged0 = MergeOps.applyMutationsMulti(base, batch, keys, opCol)
+      // rewritten files carry PHYSICAL column names (renamed tables):
+      // slicing/sorting below touch only key columns, which never rename
+      val merged0 = MutableParquetTable.toPhysicalNames(
+        MergeOps.applyMutationsMulti(base, batch, keys, opCol), renames)
       if (ranges.isEmpty) {
         ParquetTable.withMicrosTimestamps(spark) {
           merged0.repartition(1).sortWithinPartitions(keys.map(col): _*)
@@ -603,6 +623,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // the file-level merge subtracts/carries the sidecar correctly
     if (MutableParquetTable.manifestTombstoneRows(dir) > 0)
       return merge(batch, opCol, snapshotDir)
+    // renamed columns: per-file splice merges would have to map the
+    // batch's logical names onto each file's physical schema inside the
+    // row-group writer — the file-level merge already does the mapping
+    // once ([[readFilesLogical]]/[[toPhysicalNames]]), so fall back
+    if (renames.nonEmpty) return merge(batch, opCol, snapshotDir)
     val ranges = sortedRanges()
     // an empty (or stat-less) table has nothing to splice — the
     // file-level merge owns the insert-into-empty path; silently
@@ -727,7 +752,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val jobs = cls.rewrite.zipWithIndex.map { case (f, i) => Future {
-        val kept = spark.read.schema(tableSchema).parquet(f)
+        val kept = MutableParquetTable.readFilesLogical(spark, Seq(f),
+            tableSchema, renames)
           .where(keepFilter)
         if (kept.isEmpty) 0 // residual emptied the file — drop it too
         else {
@@ -735,7 +761,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           // output dir (committer cleanup races on _temporary)
           val staging = s"$outDir/.staging-del-$i"
           ParquetTable.withMicrosTimestamps(spark) {
-            kept.repartition(1).sortWithinPartitions(keys.map(col): _*)
+            MutableParquetTable.toPhysicalNames(kept, renames)
+              .repartition(1).sortWithinPartitions(keys.map(col): _*)
               .write.mode("append").parquet(staging)
           }
           import scala.jdk.CollectionConverters._
@@ -843,7 +870,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     val updChecks = GraftChecks.manifestChecks(dir)
     if (updChecks.nonEmpty && rewrite.nonEmpty)
       GraftChecks.enforce(
-        spark.read.schema(tableSchema).parquet(rewrite: _*)
+        MutableParquetTable.readFilesLogical(spark, rewrite, tableSchema,
+            renames)
           .where(hit).select(projection: _*),
         updChecks, s"UPDATE on $dir")
     var inserted = 0
@@ -853,7 +881,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       val jobs = rewrite.zipWithIndex.map { case (f, i) => Future {
         val staging = s"$outDir/.staging-upd-$i"
         ParquetTable.withMicrosTimestamps(spark) {
-          spark.read.schema(tableSchema).parquet(f).select(projection: _*)
+          MutableParquetTable.toPhysicalNames(
+            MutableParquetTable.readFilesLogical(spark, Seq(f), tableSchema,
+                renames)
+              .select(projection: _*), renames)
             .repartition(1).sortWithinPartitions(keys.map(col): _*)
             .write.mode("append").parquet(staging)
         }
@@ -1061,12 +1092,15 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       !batch.where(col(opCol) =!= lit("delete")).isEmpty
     if (needRewrite) {
       val base = MutableParquetTable.applyTombstones(spark, dir,
-        if (dirty.nonEmpty) spark.read.schema(mergedSchema).parquet(dirty: _*)
+        if (dirty.nonEmpty)
+          MutableParquetTable.readFilesLogical(spark, dirty, mergedSchema,
+            renames)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           batchData.schema),
         keys)
-      val merged = MergeOps.applyMutationsMulti(base, batch, keys, opCol)
+      val merged = MutableParquetTable.toPhysicalNames(
+        MergeOps.applyMutationsMulti(base, batch, keys, opCol), renames)
       GraftBucket.writeBucketed(merged, outDir, key, moreKeys, n)
     }
     phase("rewrite")
@@ -1141,7 +1175,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                             // verbatim (commitManifest: spliced bytes keep
                             // stale values even though no SOURCE file
                             // survives); None applies the survivors rule
-                            droppedOverride: Option[Seq[String]] = None): Unit = {
+                            droppedOverride: Option[Seq[String]] = None,
+                            // Some(map) pins the logical→physical rename
+                            // mapping (commitManifest's physical-rewrite
+                            // clear); None carries the source manifest's —
+                            // merge rewrites always write PHYSICAL names,
+                            // so the mapping survives every CoW commit
+                            renamesOverride: Option[Map[String, String]] = None)
+      : Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
       .sortBy(_.minBytes)(KeyBytes.ordering)
@@ -1218,8 +1259,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           case (f, c, t, mn, mx) if carriedNames.contains(fileName(f)) =>
             MutableParquetTable.dimEntryJson(carriedNames(fileName(f)), c, t, mn, mx)
         }
+        // rewritten files carry the names this commit's mapping implies:
+        // PHYSICAL for CoW merges (mapping carried), LOGICAL for a
+        // physical rewrite (mapping pinned empty) — sweep accordingly
+        val sweepNames = renamesOverride.getOrElse(renames)
         val fresh = dims.flatMap { d =>
-          ParquetStats.fileKeyRangesTypedFor(spark, newFiles, d).map { r =>
+          ParquetStats.fileKeyRangesTypedFor(spark, newFiles,
+              sweepNames.getOrElse(d, d)).map { r =>
             val (t, mn, mx) = MutableParquetTable.dimTypedRepr(r.min, r.max)
             MutableParquetTable.dimEntryJson(fileName(r.file), d, t, mn, mx)
           }
@@ -1242,6 +1288,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       droppedOverride.getOrElse(
         if (carried.isEmpty && refNames.isEmpty) Nil
         else MutableParquetTable.manifestDroppedColumns(dir)))
+    // the rename mapping is versioned table state like checks/buckets;
+    // unlike the blocklist it survives an all-files rewrite too, because
+    // CoW rewrites write the PHYSICAL names (only commitManifest's
+    // physicalRewrite — replace/z-order, whose outputs were written from
+    // LOGICAL frames — pins it empty)
+    val renamesJson = MutableParquetTable.renamesJsonField(
+      renamesOverride.getOrElse(MutableParquetTable.manifestRenames(dir)))
     val tombstonesJson = tombstones.filter(_ > 0).map(n =>
       s""""tombstoneFile":${js(MutableParquetTable.TombstoneName)},""" +
         s""""tombstoneRows":$n,""").getOrElse("")
@@ -1249,7 +1302,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       s"""{"key":${js(key)},"keyType":"$keyType",""" + tombstonesJson +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
-        bucketsJson + checksJson + droppedJson +
+        bucketsJson + checksJson + droppedJson + renamesJson +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
@@ -1420,7 +1473,8 @@ object MutableParquetTable {
       schemaJson: Option[String],
       checks: Map[String, String] = Map.empty,
       dropped: Seq[String] = Nil,
-      bytesByName: Map[String, Long] = Map.empty): Unit = {
+      bytesByName: Map[String, Long] = Map.empty,
+      renames: Map[String, String] = Map.empty): Unit = {
     val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
     val keyType = sorted.headOption.map(_._2.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1440,7 +1494,7 @@ object MutableParquetTable {
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         GraftChecks.checksJsonField(checks) +
-        droppedJsonField(dropped) +
+        droppedJsonField(dropped) + renamesJsonField(renames) +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":${sorted.size},""" +
@@ -1466,7 +1520,7 @@ object MutableParquetTable {
     * writers stamp nothing — the field is the forward-compat protocol. */
   private[graft] val SupportedFeatures: Set[String] =
     Set("tombstones", "buckets", "checks", "dimRanges", "references",
-      "compositeKeys", "nestedKeys")
+      "compositeKeys", "nestedKeys", "columnRenames")
 
   /** Per-file BYTE SIZES recorded in the manifest (file NAME → bytes).
     * Written at commit time — new/linked files stat once, carried and
@@ -1515,18 +1569,103 @@ object MutableParquetTable {
 
   /** Schema widening (metadata ALTER or merge evolution) must not reuse
     * a DROPPED column name while files predating the drop survive — see
-    * [[manifestDroppedColumns]]. */
+    * [[manifestDroppedColumns]] — nor the PHYSICAL (on-file) name behind
+    * a metadata-only RENAME: data files still carry that name, so a new
+    * column reusing it would silently read the renamed column's values
+    * on every existing file. */
   private[sources] def guardResurrected(snapshotDir: String,
-                                        newNames: Seq[String]): Unit = {
+                                        newNames: Seq[String],
+                                        // Some(map) = the mapping the NEW
+                                        // commit will declare (a rename
+                                        // back to the birth name legally
+                                        // frees it); None = the current one
+                                        renamesOverride: Option[Map[String, String]]
+                                          = None): Unit = {
     val blocked = manifestDroppedColumns(snapshotDir)
-    if (blocked.isEmpty) return
     val hit = newNames.filter(n => blocked.exists(_.equalsIgnoreCase(n)))
     require(hit.isEmpty,
       s"column(s) ${hit.mkString(", ")} were previously DROPPED and " +
         "files written before the drop still carry their old values — " +
         "bringing the name back would resurrect stale data. Rewrite the " +
         "table (replace/compact) first, or use a different name")
+    val mapping = renamesOverride.getOrElse(manifestRenames(snapshotDir))
+    // a name is dangerous iff it is some OTHER column's on-file physical
+    // name while reading itself unmapped — the physical read schema would
+    // then resolve the same file column twice. A name that is itself a
+    // mapped logical reads its own physical source and never collides.
+    val physical = mapping.values.toSeq
+    val phit = newNames.filter(n => physical.exists(_.equalsIgnoreCase(n)) &&
+      !mapping.keys.exists(_.equalsIgnoreCase(n)))
+    require(phit.isEmpty,
+      s"column(s) ${phit.mkString(", ")} are the PHYSICAL on-file names " +
+        "of renamed columns — a new column reusing the name would read " +
+        "the renamed column's values on existing files. Rewrite the " +
+        "table (replace) first, or use a different name")
   }
+
+  /** Metadata-only column renames a committed snapshot declares:
+    * LOGICAL (user-visible) name → PHYSICAL (on-file) name. Data files
+    * keep the column's birth name forever — a rename is one manifest
+    * commit at any table size — and every file-facing read/write maps
+    * through this table-level entry ([[readFilesLogical]] /
+    * [[toPhysicalNames]]). Empty for tables that never renamed (or whose
+    * last full physical rewrite materialized the mapping). Merge keys
+    * cannot be renamed, so routing/zone-map machinery never consults
+    * this. Stored as a JSON object `"renames":{"logical":"physical"}`;
+    * a non-empty map stamps the `columnRenames` required feature so a
+    * reader without this mapping refuses instead of silently returning
+    * physical names. */
+  private[graft] def manifestRenames(snapshotDir: String): Map[String, String] =
+    readManifest(snapshotDir).flatMap(m =>
+      "\"renames\":\\{((?:[^}\"\\\\]|\"(?:[^\"\\\\]|\\\\.)*\"|\\\\.)*)\\}".r
+        .findFirstMatchIn(m).map(_.group(1))).map { body =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(body)
+        .map(x => unjs(x.group(1)) -> unjs(x.group(2))).toMap
+    }.getOrElse(Map.empty)
+
+  private[graft] def renamesJsonField(renames: Map[String, String]): String =
+    if (renames.isEmpty) ""
+    else {
+      val body = renames.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"${js(l)}:${js(p)}" }.mkString(",")
+      // the feature stamp rides with the field: any manifest declaring a
+      // rename refuses pre-rename readers (silent physical names would
+      // be wrong column names, possibly wrong semantics)
+      s""""requiredFeatures":["columnRenames"],"renames":{$body},"""
+    }
+
+  /** `logical` with renamed fields mapped back to their on-file names —
+    * the schema to hand parquet readers/writers. Positions and types are
+    * untouched, so frames convert between the two shapes by pure
+    * column aliasing. */
+  private[graft] def physicalSchemaOf(
+      logical: org.apache.spark.sql.types.StructType,
+      renames: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (renames.isEmpty) logical
+    else org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
+  /** Read data `files` under a snapshot's rename mapping: physical
+    * column names on disk, LOGICAL names in the returned frame. The
+    * no-rename case is the plain explicit-schema read (zero overhead). */
+  private[graft] def readFilesLogical(spark: SparkSession, files: Seq[String],
+      logical: org.apache.spark.sql.types.StructType,
+      renames: Map[String, String]): DataFrame = {
+    val raw = spark.read.schema(physicalSchemaOf(logical, renames))
+      .parquet(files: _*)
+    if (renames.isEmpty) raw
+    else raw.select(logical.fields.map(f =>
+      col(renames.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+  }
+
+  /** Rename a LOGICAL-named frame's columns to their physical (on-file)
+    * names for writing — pure projection, no-op without renames. */
+  private[graft] def toPhysicalNames(df: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(renames.getOrElse(c, c))).toSeq: _*)
 
   /** The `requiredFeatures` a committed snapshot declares (empty for
     * all manifests written by this library version). */
@@ -1582,7 +1721,8 @@ object MutableParquetTable {
     * already in final form when the stage is renamed into the chain. */
   private[graft] def stageSchemaChange(fromDir: String, toDir: String,
       newSchema: org.apache.spark.sql.types.StructType,
-      recordDropped: Seq[String] = Nil): Unit = {
+      recordDropped: Seq[String] = Nil,
+      newRenames: Option[Map[String, String]] = None): Unit = {
     val m0 = readManifest(fromDir).getOrElse(throw new IllegalStateException(
       s"$fromDir has no manifest — only committed snapshots can change schema"))
     // a WIDENING must not reuse a dropped name: pre-drop files still
@@ -1590,7 +1730,7 @@ object MutableParquetTable {
     // resurrect their stale values instead of null
     val blocked = manifestDroppedColumns(fromDir)
     guardResurrected(fromDir, newSchema.fieldNames.toSeq.filterNot(n =>
-      recordDropped.exists(_.equalsIgnoreCase(n))))
+      recordDropped.exists(_.equalsIgnoreCase(n))), newRenames)
     // volatile per-commit stamps never carry into a METADATA commit
     // (same contract as stageRestoreManifest): no feed is written for
     // it — a carried `feedPending` reads as a crashed commitWithFeed
@@ -1600,7 +1740,7 @@ object MutableParquetTable {
       .replaceFirst(
         "\"txnApp\":\"(?:[^\"\\\\]|\\\\.)*\",\"txnEpoch\":-?\\d+,", "")
       .replaceFirst("\"feedPending\":true,", "")
-    val m = if (recordDropped.isEmpty) mv else {
+    val md = if (recordDropped.isEmpty) mv else {
       // record the newly dropped names (cumulative) and shed any dim
       // zone-map entries on them — a pruning index over a column readers
       // can no longer see is dead weight
@@ -1611,6 +1751,21 @@ object MutableParquetTable {
       val withField = stripped.replaceFirst("\\{",
         scala.util.matching.Regex.quoteReplacement(s"{$f"))
       recordDropped.foldLeft(withField)((acc, c) => stripDimEntries(acc, c))
+    }
+    // replace the logical→physical rename mapping (RENAME COLUMN commits
+    // and drops of renamed columns): strip the old field + its feature
+    // stamp, then re-emit the new map's field (which re-stamps when still
+    // non-empty)
+    val m = newRenames.fold(md) { rn =>
+      val stripped = md
+        .replaceAll("\"requiredFeatures\":\\[\"columnRenames\"\\],", "")
+        .replaceAll(
+          "\"renames\":\\{(?:[^}\"\\\\]|\"(?:[^\"\\\\]|\\\\.)*\"|\\\\.)*\\},",
+          "")
+      val f = renamesJsonField(rn)
+      if (f.isEmpty) stripped
+      else stripped.replaceFirst("\\{",
+        scala.util.matching.Regex.quoteReplacement(s"{$f"))
     }
     Files.createDirectories(Paths.get(toDir))
     // the tombstone sidecar is snapshot-local (delta-sized) — copy it so
@@ -1940,10 +2095,13 @@ object MutableParquetTable {
     }
     // the manifest schema, not footer inference: a schema-evolved snapshot
     // mixes physical shapes (old passthrough files lack the new columns),
-    // and inference from one footer would read the wrong one
-    val df = manifestSchema(snapshotDir).map(spark.read.schema)
-      .getOrElse(spark.read)
-      .parquet(files.map(n => resolvePath(snapshotDir, n)): _*)
+    // and inference from one footer would read the wrong one. Renamed
+    // columns read their on-file physical name, aliased back to logical.
+    val df = manifestSchema(snapshotDir).map(s =>
+        readFilesLogical(spark, files.map(n => resolvePath(snapshotDir, n)),
+          s, manifestRenames(snapshotDir)))
+      .getOrElse(spark.read
+        .parquet(files.map(n => resolvePath(snapshotDir, n)): _*))
     // deletion tombstones subtract with a broadcast anti-join — vectorized
     // scan + codegen intact, cost ∝ the delta-sized sidecar
     if (manifestTombstoneRows(snapshotDir) == 0) df
@@ -1992,7 +2150,9 @@ object MutableParquetTable {
           s"$snapshotDir has no $ManifestName — not a committed snapshot"))
     if (files.isEmpty)
       return readCommitted(spark, snapshotDir).where(lit(false))
-    val df = spark.read.parquet(files: _*)
+    val df = manifestSchema(snapshotDir).map(s =>
+        readFilesLogical(spark, files, s, manifestRenames(snapshotDir)))
+      .getOrElse(spark.read.parquet(files: _*))
       .where(col(keyName) >= lit(lo) && col(keyName) <= lit(hi))
     if (manifestTombstoneRows(snapshotDir) == 0) df
     else applyTombstones(spark, snapshotDir, df,
@@ -2165,11 +2325,15 @@ object MutableParquetTable {
     val resolvedToEntry =
       entries.map(e => resolvePath(snapshotDir, e) -> e).toMap
     val files = resolvedToEntry.keys.toSeq.sorted
+    // renamed dims: footers carry the column's PHYSICAL name — sweep by
+    // it, record the entry under the LOGICAL name pushed filters use
+    val rn = manifestRenames(snapshotDir)
     val dimJson = dims.flatMap { d =>
-      ParquetStats.fileKeyRangesTypedFor(spark, files, d).map { r =>
-        val (tpe, mn, mx) = dimTypedRepr(r.min, r.max)
-        dimEntryJson(resolvedToEntry(r.file), d, tpe, mn, mx)
-      }
+      ParquetStats.fileKeyRangesTypedFor(spark, files, rn.getOrElse(d, d))
+        .map { r =>
+          val (tpe, mn, mx) = dimTypedRepr(r.min, r.max)
+          dimEntryJson(resolvedToEntry(r.file), d, tpe, mn, mx)
+        }
     }
     val marker = "\"files\":"
     val at = m.indexOf(marker)

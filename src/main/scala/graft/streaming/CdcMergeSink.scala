@@ -237,10 +237,20 @@ object CdcMergeSink {
     // and only when a side has no files of its own (the delta never does)
     lazy val schema = MutableParquetTable.manifestSchema(fromDir)
       .getOrElse(spark.read.parquet(fromDir).schema)
+    // renamed columns: files on BOTH sides carry the same PHYSICAL names
+    // (the rename is metadata-only), so the whole diff runs under the
+    // CURRENT (to-side) logical names — the dropColumn precedent: the
+    // feed follows the present table shape
+    val renames = MutableParquetTable.manifestRenames(toDir)
+    lazy val logicalSchema =
+      if (renames.isEmpty) schema
+      else MutableParquetTable.manifestSchema(toDir).getOrElse(schema)
     def readPaths(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.parquet(paths: _*)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logicalSchema)
+      else if (renames.isEmpty) spark.read.parquet(paths: _*)
+      else MutableParquetTable.readFilesLogical(spark, paths, logicalSchema,
+        renames)
     if (fromDir == toDir)
       return rowDiff(readPaths(Nil), readPaths(Nil), keys)
     val fromFiles = snapshotFileMap(fromDir)

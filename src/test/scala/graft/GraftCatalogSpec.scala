@@ -236,10 +236,13 @@ class GraftCatalogSpec extends SparkSpec {
       hot.last.getLong(3) === 40L)
     assert(spark.sql("SELECT * FROM graft.ns.ac VERSION AS OF 0")
       .schema.fieldNames.toSeq === Seq("id", "v"))
-    // retype/rename alters stay rejected (DROP COLUMN became a
-    // metadata-only commit — DropColumnSpec owns that surface)
+    // RENAME COLUMN is a metadata-only commit now (RenameColumnSpec owns
+    // that surface); retype alters stay rejected
+    spark.sql("ALTER TABLE graft.ns.ac RENAME COLUMN v TO v2")
+    assert(spark.sql("SELECT * FROM graft.ns.ac ORDER BY id")
+      .schema.fieldNames.toSeq === Seq("id", "v2", "tag", "w"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.ns.ac RENAME COLUMN v TO v2")
+      spark.sql("ALTER TABLE graft.ns.ac ALTER COLUMN v2 TYPE STRING")
     }
   }
 
