@@ -507,6 +507,58 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     next
   }
 
+  /** Change the table's hash-bucket layout, committed as the NEXT
+    * version: `Some(n)` re-buckets to n buckets (adding SPJ to a plain
+    * table, or changing a bucketed table's fixed count — the one layout
+    * parameter CREATE pins forever otherwise), `None` de-buckets back to
+    * the key-sorted range layout. Necessarily a FULL REWRITE (the bucket
+    * function changes every row's placement), through the LOGICAL
+    * schema — so like the purging compact it also materializes dropped
+    * columns, renames, and tombstones away (blocklist/mapping/sidecar
+    * all clear). Time travel keeps the old layout readable; every later
+    * merge routes by the new spec. Returns the new version id. */
+  def rebucket(buckets: Option[Int], targetBytes: Long = 128L << 20,
+               moreKeys: Seq[String] =
+                 graft.sources.MutableParquetTable.manifestMoreKeys(
+                   CdcMergeSink.latestSnapshot(root))): Long = {
+    buckets.foreach(n => require(n > 0,
+      s"bucket count must be positive (got $n) — use None to de-bucket"))
+    val next = versions.lastOption.map(_ + 1).getOrElse(0L)
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+    val target = s"$root/v$next"
+    val state = CdcMergeSink.readAsOf(spark, root, Long.MaxValue)
+    if (state.isEmpty) {
+      // an empty table re-buckets at metadata price: commit an empty
+      // snapshot declaring the new spec (contract carried)
+      graft.sources.MutableParquetTable.commitEmpty(target, key,
+        schema.getOrElse(state.schema), moreKeys, buckets,
+        graft.sources.GraftChecks.manifestChecks(latest))
+      return next
+    }
+    buckets match {
+      case Some(n) =>
+        graft.sources.GraftBucket.writeBucketed(state, target, key,
+          moreKeys, n)
+      case None =>
+        val recorded =
+          graft.sources.MutableParquetTable.manifestBytesByName(latest)
+        val totalBytes = graft.sources.MutableParquetTable
+          .tableFiles(latest)
+          .map(f => graft.sources.MutableParquetTable
+            .recordedOrStatSize(latest, f, recorded)).sum
+        val n = math.max(1L, math.min(4096L,
+          (totalBytes + targetBytes - 1) / math.max(1L, targetBytes))).toInt
+        ParquetTable.withMicrosTimestamps(spark) {
+          ParquetTable.writeSortedBy(state, target, key +: moreKeys, n)
+        }
+    }
+    graft.sources.MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
+      .commitManifest(target, schema, physicalRewrite = true,
+        bucketsOverride = Some(buckets))
+    next
+  }
+
   /** Drop versions beyond the newest `keepLast`; returns dropped ids. */
   def vacuum(keepLast: Int): Seq[Long] = CdcMergeSink.vacuum(root, keepLast)
 

@@ -1478,6 +1478,20 @@ object OracleSql {
         FROM src WHERE seg <> 'MACHINERY'
       ) GROUP BY phase ORDER BY phase""",
 
+    // q122: rebucket lifecycle — content after CREATE(buckets=2) →
+    // CALL rebucket(4) → UPDATE; spec_ok pinned to 1 proves the
+    // procedure's before/after report, the new manifest spec, and the
+    // per-file bucket prefixes, not just the final rows
+    "q122_rebucket" -> """
+      SELECT o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 5 = 0
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                           ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END) AS BIGINT) AS price_sum,
+             CAST(1 AS INT) AS spec_ok
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // incremental dedup: exact Jaccard pairs TOUCHING the new batch
     // (id % 3 = 0), incr_found pinned to 1 — the persisted-index probe
     // must surface every true pair the batch introduces

@@ -1980,6 +1980,48 @@ object SparkEntry {
       ) GROUP BY phase""").orderBy(col("phase"))
   }
 
+  /** Bucket-count evolution end to end (`CALL system.rebucket`),
+    * oracle-pinned: a bucketed table's count is fixed at CREATE — the
+    * rebucket maintenance commit re-hashes the content to a new spec as
+    * the next version (full rewrite by necessity: the bucket function
+    * moves every row), after which DML routes by the new layout. The
+    * pinned `spec_ok` flag holds only if the procedure reported the old
+    * and new counts and the manifest declares the new spec with every
+    * file carrying a valid bucket prefix. */
+  def q122_rebucket(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q122-wh").toString
+    val cat = "gq122_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    orders(s, dir).createOrReplaceTempView("q122_ord_src")
+    s.sql(s"""CREATE TABLE $cat.ns.rb (o_orderkey BIGINT, price_c BIGINT,
+              status STRING) USING graft
+              TBLPROPERTIES ('key' = 'o_orderkey', 'buckets' = '2')""")
+    s.sql(s"""INSERT INTO $cat.ns.rb
+              SELECT CAST(o_orderkey AS BIGINT),
+                     CAST(round(o_totalprice * 100) AS BIGINT),
+                     o_orderstatus
+              FROM q122_ord_src""")                            // v0
+    val res = s.sql(s"CALL $cat.system.rebucket('ns.rb', 4)")
+      .collect().head                                          // v1
+    s.sql(s"""UPDATE $cat.ns.rb SET price_c = price_c * 2
+              WHERE o_orderkey % 5 = 0""")                     // v2
+    val latest = graft.streaming.CdcMergeSink.latestSnapshot(s"$wh/ns/rb")
+    val specOk =
+      if (res.getInt(1) == 2 && res.getInt(2) == 4 &&
+        graft.sources.MutableParquetTable.manifestBuckets(latest)
+          == Some(4) &&
+        graft.sources.MutableParquetTable.manifestFileNames(latest).get
+          .forall(f => graft.sources.GraftBucket
+            .bucketOfName(f.split('/').last).exists(_ < 4))) 1 else 0
+    s.sql(s"""
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(price_c) AS BIGINT) AS price_sum,
+             CAST($specOk AS INT) AS spec_ok
+      FROM $cat.ns.rb GROUP BY status""").orderBy(col("status"))
+  }
+
   /** The training-corpus pipeline END TO END, composed from the engine's
     * own stages: quality gate (token count), exact content dedup
     * (keep-first by normalized fingerprint), eval-set decontamination
@@ -2595,6 +2637,7 @@ object SparkEntry {
     "q119_corpus_pipeline" -> (q119_corpus_pipeline _),
     "q120_compact_purge" -> (q120_compact_purge _),
     "q121_rename_lifecycle" -> (q121_rename_lifecycle _),
+    "q122_rebucket" -> (q122_rebucket _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -45,7 +45,7 @@ object GraftProcedures {
   val Namespace = "system"
 
   private val names = Seq("history", "vacuum", "compact", "zorder",
-    "repair_feed", "materialize_tombstones", "restore", "clone")
+    "repair_feed", "materialize_tombstones", "restore", "clone", "rebucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -66,6 +66,7 @@ object GraftProcedures {
       case "materialize_tombstones" => new MaterializeTombstones(root)
       case "restore" => new Restore(root)
       case "clone" => new CloneTable(root)
+      case "rebucket" => new Rebucket(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -327,6 +328,42 @@ object GraftProcedures {
       val after = MutableParquetTable.manifestFileNames(s"$dir/v$v")
         .map(_.size).getOrElse(0)
       Seq(row(v, before, after))
+    }
+  }
+
+  /** [[graft.GraftTable.rebucket]] as SQL: change (or add, or remove)
+    * the table's fixed hash-bucket layout, committed as the next
+    * version — the lifecycle closer for the one parameter CREATE pins
+    * forever. A full rewrite by necessity (the bucket function moves
+    * every row), so dropped columns, renames, and tombstones
+    * materialize away with it. */
+  private final class Rebucket(root: String) extends Proc(root) {
+    override def name(): String = "rebucket"
+    override def description(): String =
+      "re-hash the table into `buckets` buckets (0 = de-bucket), " +
+        "committed as the next version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("buckets", IntegerType,
+        comment = "new bucket count; 0 de-buckets to the range layout"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("buckets_before", IntegerType, nullable = false),
+      StructField("buckets_after", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val (key, moreKeys) = tableKeys(dir)
+      val before = MutableParquetTable
+        .manifestBuckets(CdcMergeSink.latestSnapshot(dir)).getOrElse(0)
+      val asked = input.getInt(1)
+      require(asked >= 0, s"buckets must be >= 0 (got $asked)")
+      val spec = if (asked == 0) None else Some(asked)
+      val v = graft.GraftTable(spark, dir, key)
+        .rebucket(spec, moreKeys = moreKeys)
+      val after = MutableParquetTable.manifestFileNames(s"$dir/v$v")
+        .map(_.size).getOrElse(0)
+      Seq(row(v, before, asked, after))
     }
   }
 

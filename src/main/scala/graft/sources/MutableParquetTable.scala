@@ -187,7 +187,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
   def commitManifest(outDir: String,
                      schema: Option[org.apache.spark.sql.types.StructType]
                        = None,
-                     physicalRewrite: Boolean = false): Unit = {
+                     physicalRewrite: Boolean = false,
+                     bucketsOverride: Option[Option[Int]] = None): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.list(Paths.get(outDir))
     val files = try s.iterator().asScala
@@ -207,7 +208,8 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     writeManifest(outDir, Nil, files,
       schema orElse MutableParquetTable.manifestSchema(dir),
       droppedOverride = Some(dropped),
-      renamesOverride = Some(renames))
+      renamesOverride = Some(renames),
+      bucketsOverride = bucketsOverride)
   }
 
   /** Route update keys to files: a key is owned by the last file (in key
@@ -1181,7 +1183,11 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                             // clear); None carries the source manifest's —
                             // merge rewrites always write PHYSICAL names,
                             // so the mapping survives every CoW commit
-                            renamesOverride: Option[Map[String, String]] = None)
+                            renamesOverride: Option[Map[String, String]] = None,
+                            // Some(spec) pins the bucket layout (rebucket:
+                            // Some(n) declares n buckets, None de-buckets);
+                            // outer None carries the source manifest's
+                            bucketsOverride: Option[Option[Int]] = None)
       : Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
@@ -1273,8 +1279,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
         s""""dimRanges":[${(kept ++ fresh).mkString(",")}],"""
       }
     // a bucketed layout is a property of the TABLE: carry the spec from
-    // the source snapshot so every commit stays bucketed
-    val bucketsJson = MutableParquetTable.manifestBuckets(dir)
+    // the source snapshot so every commit stays bucketed (rebucket pins
+    // a new spec — or none — via the override)
+    val bucketsJson = bucketsOverride
+      .getOrElse(MutableParquetTable.manifestBuckets(dir))
       .map(n => s""""buckets":$n,""").getOrElse("")
     // CHECK constraints are versioned table state: carry them forward
     // like the bucket spec so every commit keeps enforcing them
