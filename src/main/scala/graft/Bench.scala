@@ -28,18 +28,18 @@ import graft.sources.{MutableParquetTable, ParquetLayout, ParquetTable}
   */
 object Bench {
 
-  private def time[A](f: => A): Double = {
+  private[graft] def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def runToNoop(df: DataFrame): Unit =
+  private[graft] def runToNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   /** Recursive dir copy (replaces `dst`) — bench-state snapshot/restore
     * so mutating experiments can re-measure the same starting state. */
-  private def copyDir(src: String, dst: String): Unit = {
+  private[graft] def copyDir(src: String, dst: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val s = Paths.get(src)
     val d = Paths.get(dst)

@@ -194,6 +194,69 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       newRenames = if (newRenames == renames0) None else Some(newRenames))
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN name TYPE wider` as a METADATA-ONLY
+    * commit, for the WIDENING-safe pairs only (byte→short→int→long,
+    * float→double, byte/short/int→double): the manifest schema takes the
+    * wide type and existing files keep their narrow physical bytes —
+    * Spark's parquet readers upcast narrow physicals to the requested
+    * wider type (the Delta type-widening mechanic), CoW rewrites write
+    * the wide type going forward, and values exceeding the old range
+    * become writable immediately. The column lands on a
+    * `widenedColumns` marker while pre-ALTER files survive: byte-splice
+    * maintenance must not mix physical shapes in one file, so
+    * compaction switches to the purging rewrite and the row-group merge
+    * falls back to the file-level path; the marker clears once no such
+    * file remains (replace / purging compact / a merge that rewrote
+    * everything). Any other retype — narrowing, string↔numeric,
+    * decimal — refuses: it would misread committed files. Key columns
+    * refuse (bucket hashes and zone-map encodings are width-typed).
+    * Dim zone maps on the column are shed (re-attach sweeps the wide
+    * type). Time travel shows each version's own type. */
+  def alterColumnType(name: String,
+                      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+      .getOrElse(throw new IllegalStateException(
+        s"$latest carries no schema — only committed tables can retype columns"))
+    val keys = key +: graft.sources.MutableParquetTable.manifestMoreKeys(latest)
+    require(!keys.exists(k => k.equalsIgnoreCase(name) ||
+        k.toLowerCase.startsWith(name.toLowerCase + ".")),
+      s"$name is (or contains) a merge-key column — key types drive " +
+        "bucket hashes and zone-map encodings and cannot change")
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name does not exist " +
+          schema.fieldNames.mkString("(have: ", ", ", ")")))
+    val wideningSafe: Set[(DataType, DataType)] = Set(
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType), (FloatType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType),
+      (IntegerType, DoubleType))
+    require(wideningSafe((field.dataType, newType)),
+      s"cannot retype ${field.name} ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString}: only widening-safe pairs " +
+        "(byte->short->int->long, float->double, byte/short/int->double) " +
+        "are readable from committed files without a rewrite")
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f))
+    // CHECK constraints must keep resolving under the wide type
+    val checks = graft.sources.GraftChecks.manifestChecks(latest)
+    checks.foreach { case (n, e) =>
+      try graft.sources.GraftChecks.validateExpr(spark, widened, n, e)
+      catch { case ex: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot retype ${field.name}: CHECK constraint '$n' ($e) " +
+            "does not resolve under the new type — drop the check first", ex)
+      }
+    }
+    OptimisticCommit.commitSchema(root, widened,
+      expectedSchema = Some(schema), expectedChecks = Some(checks),
+      recordWidened = Seq(field.name))
+  }
+
   /** `ALTER TABLE ... RENAME COLUMN from TO to` as a METADATA-ONLY
     * commit at any table size: data files keep the column's PHYSICAL
     * (birth) name forever and the manifest records a logical→physical
@@ -460,13 +523,17 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
     val dropped =
       graft.sources.MutableParquetTable.manifestDroppedColumns(latest)
-    if (dropped.nonEmpty) {
+    val widened =
+      graft.sources.MutableParquetTable.manifestWidened(latest)
+    if (dropped.nonEmpty || widened.nonEmpty) {
       // PURGE rewrite: files predating a metadata-only DROP COLUMN still
       // physically carry the dropped values, so a raw byte splice would
-      // keep them on disk forever. Rewrite through the LOGICAL schema
-      // instead — the stale bytes are gone, which also clears the
-      // resurrection blocklist: compact IS the documented remedy for
-      // re-ADDing a dropped name (guardResurrected's error message).
+      // keep them on disk forever — and files predating an ALTER TYPE
+      // widening carry the NARROW physical type, which a splice must not
+      // mix with wide-typed row groups in one file. Rewrite through the
+      // LOGICAL schema instead — the stale bytes are gone and both
+      // markers clear: compact IS the documented remedy for re-ADDing a
+      // dropped name (guardResurrected's error message).
       val state = CdcMergeSink.readAsOf(spark, root, Long.MaxValue)
       buckets match {
         case Some(n) =>

@@ -614,7 +614,8 @@ object OptimisticCommit {
                    recordDropped: Seq[String] = Nil,
                    expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
                    expectedChecks: Option[Map[String, String]] = None,
-                   newRenames: Option[Map[String, String]] = None): Long = {
+                   newRenames: Option[Map[String, String]] = None,
+                   recordWidened: Seq[String] = Nil): Long = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -652,7 +653,7 @@ object OptimisticCommit {
       val dir = s"$tableRoot/.tx-${
         java.util.UUID.randomUUID().toString.take(12)}"
       MutableParquetTable.stageSchemaChange(latest, dir, newSchema,
-        recordDropped, newRenames)
+        recordDropped, newRenames, recordWidened)
       val target = baseV.getOrElse(-1L) + 1
       if (tryPublish(dir, s"$tableRoot/v$target")) return target
       deleteQuietly(dir)
@@ -831,6 +832,11 @@ object OptimisticCommit {
     val renames = MutableParquetTable.manifestRenames(st.dir)
     if (renames != MutableParquetTable.manifestRenames(newBase))
       return None
+    // widened-column marker drift: a racing ALTER TYPE already fails the
+    // schema equality above; equal markers just carry through
+    val widened = MutableParquetTable.manifestWidened(st.dir)
+    if (widened != MutableParquetTable.manifestWidened(newBase))
+      return None
     val schema = MutableParquetTable.manifestSchema(st.dir).map(_.json)
     if (schema.isEmpty ||
         schema != MutableParquetTable.manifestSchema(newBase).map(_.json))
@@ -882,7 +888,7 @@ object OptimisticCommit {
       // rebase stays a zero-filesystem-call operation
       MutableParquetTable.manifestBytesByName(newBase) ++
         MutableParquetTable.manifestBytesByName(st.dir),
-      renames)
+      renames, widened)
     Some(Staged(st.dir, Some(newLast),
       st.merge.copy(
         passthroughFiles = kept.map(_.file),

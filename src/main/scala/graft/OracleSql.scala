@@ -1492,6 +1492,19 @@ object OracleSql {
              CAST(1 AS INT) AS spec_ok
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // q123: widening ALTER COLUMN TYPE — final per-segment aggregates
+    // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
+    // pinned to 1 proves the metadata-only type change (zero-file ALTER
+    // version, wide current schema, narrow time-travel schema)
+    "q123_widen_type" -> """
+      SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c_custkey % 7 = 0
+                           THEN (c_custkey % 1000) + 4000000000
+                           ELSE c_custkey % 1000 END) AS BIGINT) AS cnt_sum,
+             CAST(1 AS INT) AS widen_ok
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // incremental dedup: exact Jaccard pairs TOUCHING the new batch
     // (id % 3 = 0), incr_found pinned to 1 — the persisted-index probe
     // must surface every true pair the batch introduces

@@ -2022,6 +2022,51 @@ object SparkEntry {
       FROM $cat.ns.rb GROUP BY status""").orderBy(col("status"))
   }
 
+  /** `ALTER COLUMN TYPE` widening end to end, oracle-pinned: the
+    * manifest schema takes the wide type as a metadata-only commit,
+    * narrow physical files upcast on read (Spark's parquet readers),
+    * and a post-ALTER UPDATE writes a value beyond the old type's range
+    * — so the final aggregate is only right if both the upcast reads
+    * and the wide writes work over the mixed-physical snapshot. The
+    * pinned `widen_ok` flag additionally requires the ALTER version to
+    * own zero data files and time travel to show the narrow type. */
+  def q123_widen_type(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q123-wh").toString
+    val cat = "gq123_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q123_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.wd (c_custkey BIGINT, cnt INT,
+              seg STRING) USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.wd
+              SELECT CAST(c_custkey AS BIGINT),
+                     CAST(c_custkey % 1000 AS INT), c_mktsegment
+              FROM q123_cust_src""")                           // v0
+    s.sql(s"ALTER TABLE $cat.ns.wd ALTER COLUMN cnt TYPE BIGINT") // v1, 0 IO
+    s.sql(s"""UPDATE $cat.ns.wd SET cnt = cnt + 4000000000
+              WHERE c_custkey % 7 = 0""")                      // v2: > int max
+    val alterDir = s"$wh/ns/wd/v1"
+    val alterOwns = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(alterDir))
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val widenOk =
+      if (s.sql(s"SELECT * FROM $cat.ns.wd").schema("cnt").dataType ==
+            org.apache.spark.sql.types.LongType &&
+          s.sql(s"SELECT * FROM $cat.ns.wd VERSION AS OF 0")
+            .schema("cnt").dataType ==
+            org.apache.spark.sql.types.IntegerType &&
+          alterOwns == 0) 1 else 0
+    s.sql(s"""
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS cnt_sum,
+             CAST($widenOk AS INT) AS widen_ok
+      FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
+  }
+
   /** The training-corpus pipeline END TO END, composed from the engine's
     * own stages: quality gate (token count), exact content dedup
     * (keep-first by normalized fingerprint), eval-set decontamination
@@ -2638,6 +2683,7 @@ object SparkEntry {
     "q120_compact_purge" -> (q120_compact_purge _),
     "q121_rename_lifecycle" -> (q121_rename_lifecycle _),
     "q122_rebucket" -> (q122_rebucket _),
+    "q123_widen_type" -> (q123_widen_type _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -244,12 +244,30 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       t.dropColumns(drops.map(_._1), ifExists = drops.forall(_._2))
       if (nonDrops.isEmpty) return loadTable(ident)
     }
+    // `ALTER TABLE ... ALTER COLUMN x TYPE wider` — metadata-only for
+    // the widening-safe pairs (GraftTable.alterColumnType: parquet
+    // readers upcast narrow physicals; anything else refuses)
+    val (colTypes, nonTypes) = nonDrops.partition(
+      _.isInstanceOf[TableChange.UpdateColumnType])
+    if (colTypes.nonEmpty) {
+      val latest = graft.streaming.CdcMergeSink.latestSnapshot(dir)
+      val t = graft.GraftTable(SparkSession.active, dir,
+        MutableParquetTable.manifestKey(latest).getOrElse(
+          throw new IllegalStateException(
+            s"$latest carries no merge key — not a graft table")))
+      colTypes.foreach { case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          s"nested column ${u.fieldNames().mkString(".")} is not supported")
+        t.alterColumnType(u.fieldNames().head, u.newDataType())
+      }
+      if (nonTypes.isEmpty) return loadTable(ident)
+    }
     // `ALTER TABLE ... RENAME COLUMN a TO b` — metadata-only via the
     // manifest's logical→physical mapping (GraftTable.renameColumn:
     // key columns and check-referenced columns refuse; data files keep
     // the birth name, scans alias at the file boundary)
     val (colRenames, others) =
-      nonDrops.partition(_.isInstanceOf[TableChange.RenameColumn])
+      nonTypes.partition(_.isInstanceOf[TableChange.RenameColumn])
     if (colRenames.nonEmpty) {
       val latest = graft.streaming.CdcMergeSink.latestSnapshot(dir)
       val t = graft.GraftTable(SparkSession.active, dir,
@@ -266,10 +284,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     val adds = others.map {
       case a: TableChange.AddColumn => a
       case c => throw new UnsupportedOperationException(
-        s"only ADD COLUMN, DROP COLUMN, RENAME COLUMN and check.* table " +
-          s"properties are supported (got ${c.getClass.getSimpleName}) — " +
-          "schema otherwise evolves through merges, and existing columns " +
-          "cannot retype without rewriting committed files")
+        s"only ADD COLUMN, DROP COLUMN, RENAME COLUMN, widening ALTER " +
+          s"COLUMN TYPE and check.* table properties are supported (got " +
+          s"${c.getClass.getSimpleName}) — schema otherwise evolves " +
+          "through merges, and non-widening retypes would misread " +
+          "committed files")
     }
     val table = loadTable(ident)
     val schema = table.asInstanceOf[GraftBatchTable].schema

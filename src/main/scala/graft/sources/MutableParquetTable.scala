@@ -205,11 +205,15 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     val renames =
       if (physicalRewrite) Map.empty[String, String]
       else MutableParquetTable.manifestRenames(dir)
+    val widened =
+      if (physicalRewrite) Nil
+      else MutableParquetTable.manifestWidened(dir)
     writeManifest(outDir, Nil, files,
       schema orElse MutableParquetTable.manifestSchema(dir),
       droppedOverride = Some(dropped),
       renamesOverride = Some(renames),
-      bucketsOverride = bucketsOverride)
+      bucketsOverride = bucketsOverride,
+      widenedOverride = Some(widened))
   }
 
   /** Route update keys to files: a key is owned by the last file (in key
@@ -630,6 +634,12 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // row-group writer — the file-level merge already does the mapping
     // once ([[readFilesLogical]]/[[toPhysicalNames]]), so fall back
     if (renames.nonEmpty) return merge(batch, opCol, snapshotDir)
+    // widened columns: pre-ALTER files carry the NARROW physical type;
+    // a per-file splice would write the wide batch rows through the
+    // file's narrow source schema (or mix physical shapes) — fall back
+    // until a rewrite clears the marker
+    if (MutableParquetTable.manifestWidened(dir).nonEmpty)
+      return merge(batch, opCol, snapshotDir)
     val ranges = sortedRanges()
     // an empty (or stat-less) table has nothing to splice — the
     // file-level merge owns the insert-into-empty path; silently
@@ -1187,7 +1197,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                             // Some(spec) pins the bucket layout (rebucket:
                             // Some(n) declares n buckets, None de-buckets);
                             // outer None carries the source manifest's
-                            bucketsOverride: Option[Option[Int]] = None)
+                            bucketsOverride: Option[Option[Int]] = None,
+                            // widened-column marker, same contract as
+                            // droppedOverride
+                            widenedOverride: Option[Seq[String]] = None)
       : Unit = {
     val ranges = (carried ++
       ParquetStats.fileKeyRangesTypedFor(spark, newFiles, key))
@@ -1296,6 +1309,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       droppedOverride.getOrElse(
         if (carried.isEmpty && refNames.isEmpty) Nil
         else MutableParquetTable.manifestDroppedColumns(dir)))
+    // widened-column marker: same survivors rule — once no pre-widen file
+    // survives, every file physically carries the wide type and raw
+    // splices are safe again
+    val widenedJson = MutableParquetTable.widenedJsonField(
+      widenedOverride.getOrElse(
+        if (carried.isEmpty && refNames.isEmpty) Nil
+        else MutableParquetTable.manifestWidened(dir)))
     // the rename mapping is versioned table state like checks/buckets;
     // unlike the blocklist it survives an all-files rewrite too, because
     // CoW rewrites write the PHYSICAL names (only commitManifest's
@@ -1310,7 +1330,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       s"""{"key":${js(key)},"keyType":"$keyType",""" + tombstonesJson +
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
-        bucketsJson + checksJson + droppedJson + renamesJson +
+        bucketsJson + checksJson + droppedJson + widenedJson + renamesJson +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         dimsJson +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
@@ -1482,7 +1502,8 @@ object MutableParquetTable {
       checks: Map[String, String] = Map.empty,
       dropped: Seq[String] = Nil,
       bytesByName: Map[String, Long] = Map.empty,
-      renames: Map[String, String] = Map.empty): Unit = {
+      renames: Map[String, String] = Map.empty,
+      widened: Seq[String] = Nil): Unit = {
     val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
     val keyType = sorted.headOption.map(_._2.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1502,7 +1523,8 @@ object MutableParquetTable {
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         GraftChecks.checksJsonField(checks) +
-        droppedJsonField(dropped) + renamesJsonField(renames) +
+        droppedJsonField(dropped) + widenedJsonField(widened) +
+        renamesJsonField(renames) +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":${sorted.size},""" +
@@ -1574,6 +1596,25 @@ object MutableParquetTable {
   private[graft] def droppedJsonField(names: Seq[String]): String =
     if (names.isEmpty) ""
     else s""""droppedColumns":${js(names.mkString(","))},"""
+
+  /** Columns WIDENED by a metadata-only `ALTER COLUMN ... TYPE` while
+    * files written before the change may still carry the NARROW physical
+    * type (int32 under a bigint schema, float under double). Reads are
+    * unaffected — Spark's parquet readers upcast narrow physicals to the
+    * requested wider type — but raw byte splices must not mix the two
+    * physical shapes in one file, so compaction switches to the purging
+    * rewrite and the row-group merge falls back to the file-level path
+    * while any such file survives. Same survivors lifecycle as
+    * [[manifestDroppedColumns]]: clears once no pre-widen file remains. */
+  private[graft] def manifestWidened(snapshotDir: String): Seq[String] =
+    readManifest(snapshotDir).flatMap(m =>
+      "\"widenedColumns\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(m)
+        .map(x => unjs(x.group(1)))).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+
+  private[graft] def widenedJsonField(names: Seq[String]): String =
+    if (names.isEmpty) ""
+    else s""""widenedColumns":${js(names.mkString(","))},"""
 
   /** Schema widening (metadata ALTER or merge evolution) must not reuse
     * a DROPPED column name while files predating the drop survive — see
@@ -1730,7 +1771,8 @@ object MutableParquetTable {
   private[graft] def stageSchemaChange(fromDir: String, toDir: String,
       newSchema: org.apache.spark.sql.types.StructType,
       recordDropped: Seq[String] = Nil,
-      newRenames: Option[Map[String, String]] = None): Unit = {
+      newRenames: Option[Map[String, String]] = None,
+      recordWidened: Seq[String] = Nil): Unit = {
     val m0 = readManifest(fromDir).getOrElse(throw new IllegalStateException(
       s"$fromDir has no manifest — only committed snapshots can change schema"))
     // a WIDENING must not reuse a dropped name: pre-drop files still
@@ -1760,12 +1802,26 @@ object MutableParquetTable {
         scala.util.matching.Regex.quoteReplacement(s"{$f"))
       recordDropped.foldLeft(withField)((acc, c) => stripDimEntries(acc, c))
     }
+    // record newly widened columns (cumulative, the dropped-list shape):
+    // files predating the ALTER still carry the narrow physical type, so
+    // byte-splice maintenance must avoid mixing shapes until a rewrite
+    // clears the marker. Dim zone-map entries on the column are shed —
+    // their encodings were swept under the narrow type.
+    val mw = if (recordWidened.isEmpty) md else {
+      val merged = (manifestWidened(fromDir) ++ recordWidened).distinct
+      val f = widenedJsonField(merged)
+      val stripped = md
+        .replaceAll("\"widenedColumns\":\"((?:[^\"\\\\]|\\\\.)*)\",", "")
+      val withField = stripped.replaceFirst("\\{",
+        scala.util.matching.Regex.quoteReplacement(s"{$f"))
+      recordWidened.foldLeft(withField)((acc, c) => stripDimEntries(acc, c))
+    }
     // replace the logical→physical rename mapping (RENAME COLUMN commits
     // and drops of renamed columns): strip the old field + its feature
     // stamp, then re-emit the new map's field (which re-stamps when still
     // non-empty)
-    val m = newRenames.fold(md) { rn =>
-      val stripped = md
+    val m = newRenames.fold(mw) { rn =>
+      val stripped = mw
         .replaceAll("\"requiredFeatures\":\\[\"columnRenames\"\\],", "")
         .replaceAll(
           "\"renames\":\\{(?:[^}\"\\\\]|\"(?:[^\"\\\\]|\\\\.)*\"|\\\\.)*\\},",
