@@ -1557,6 +1557,7 @@ object OracleSql {
     "q44_lsh_topk" -> annTopKOracle,
     "q45_ivf_topk" -> annTopKOracle,
     "q114_pq_ann" -> annTopKOracle,
+    "q124_ivfpq_ann" -> annTopKOracle,
 
     "q46_rolling_fingerprint" -> """
       WITH d AS (SELECT doc_id,
@@ -1604,8 +1605,8 @@ object OracleSql {
     """
   }
 
-  /** q44/q45/q114 share one oracle: the exact brute-force top-10 (q35's
-    * query) with the ANN recall flag pinned to 1. */
+  /** q44/q45/q114/q124 share one oracle: the exact brute-force top-10
+    * (q35's query) with the ANN recall flag pinned to 1. */
   private def annTopKOracle: String = """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

@@ -1709,6 +1709,25 @@ object SparkEntry {
     annRecallForm(exact, ann, target = 0.6)
   }
 
+  /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]) in the shared q44/q45/q114
+    * recall form: coarse cells restrict the compressed-code ADC scan to
+    * the probed fraction of the corpus, exact rerank makes the scores
+    * oracle-exact. The same cell structure as q45 (16 cells, 12 probed,
+    * 2 Lloyd iterations — the fixture's neighbors sit at noise-level
+    * cosine, so recall needs a wide probe) composed with q114's PQ
+    * codes + rerank. */
+  def q124_ivfpq_ann(s: SparkSession, dir: String): DataFrame = {
+    val embs = embeddings(s, dir)
+    graft.plans.PqAdcScore.register(s)
+    val q = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, q, "embedding", "vec_id",
+      k = 10, native = true)
+    val ann = Similarity.ivfPqTopK(s, embs, q, "embedding", "vec_id",
+      k = 10, dim = 64, nCentroids = 16, nProbe = 12, m = 8, ksub = 16,
+      kmeansIters = 2, rerank = 100, native = true)
+    annRecallForm(exact, ann, target = 0.6)
+  }
+
   /** Cross-document line dedup ([[graft.operators.CorpusPrep.dedupLines]],
     * the CCNet/C4 boilerplate-stripping family): a shared header is
     * injected into every 3rd document and a shared footer into every 4th,
@@ -2684,6 +2703,7 @@ object SparkEntry {
     "q121_rename_lifecycle" -> (q121_rename_lifecycle _),
     "q122_rebucket" -> (q122_rebucket _),
     "q123_widen_type" -> (q123_widen_type _),
+    "q124_ivfpq_ann" -> (q124_ivfpq_ann _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

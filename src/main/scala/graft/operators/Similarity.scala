@@ -364,22 +364,31 @@ object Similarity {
           org.apache.spark.sql.types.BinaryType,
       "packed (binary) PQ codes require the native ADC kernel " +
         "(native = true; register graft.plans.PqAdcScore first)")
-    val m = books.size
-    // a tiny corpus can seed fewer than ksub cells — the LUT's flattening
-    // arithmetic must use the REAL per-book size, and all books must agree
-    val kk = books.head.size
-    require(books.forall(_.size == kk),
-      s"ragged PQ codebooks: ${books.map(_.size)}")
-    val sub = dim / m
+    val adc = codes.crossJoin(broadcast(pqLut(spark, queries, books,
+        vecCol, idCol, dim)))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        pqScoreCol(books, native).as("cosine"))
 
+    if (rerank <= 0) topKPerQuery(adc, k)
+    else topKPerQuery(
+      rerankExact(adc, corpus, queries, vecCol, idCol, rerank), k)
+  }
+
+  /** Per-query ADC lookup table: ip[j·ksub + cid] = ⟨q_j, centroid⟩ and
+    * cn[...] = ‖centroid‖², flattened in (j, cid) order so the scan side
+    * indexes by arithmetic; plus the query norm. m·ksub entries per
+    * query — metadata-sized, built for broadcast. */
+  private def pqLut(spark: SparkSession, queries: DataFrame,
+                    books: Seq[Seq[(Long, Seq[Float])]],
+                    vecCol: String, idCol: String, dim: Int): DataFrame = {
+    val m = books.size
+    val sub = dim / m
     // (subspace, cell) → centroid rows, for the per-query LUT build
     val centDf = spark.createDataFrame(
       for { (book, j) <- books.zipWithIndex; (cid, v) <- book }
         yield (j, cid, v)).toDF("j", "cid", "cvec")
-
-    // per query: ip[j*ksub + cid] = ⟨q_j, cent⟩, cn[...] = ‖cent‖² —
-    // flattened in (j, cid) order so the scan side indexes by arithmetic
-    val lut = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .crossJoin(broadcast(centDf))
       .select(col("query_id"), col("query_vec"), col("j"), col("cid"),
@@ -393,40 +402,129 @@ object Similarity {
         transform(sort_array(collect_list(
           struct(col("j"), col("cid"), col("cn")))), e => e("cn")).as("cn"),
         sqrt(first(dot(col("query_vec"), col("query_vec")))).as("qn"))
+  }
 
-    // per-row score: m table lookups. The codegen'd expression
-    // ([[graft.plans.PqAdcScore]], `native = true` — callers register it
-    // first) is the hot-path form: the HOF chain evaluates INTERPRETED
-    // lambdas per element per (row × query) pair, which measured slower
-    // than even the exact native cosine — inverting the point of PQ.
+  /** Per-row ADC score over `codes` + a joined [[pqLut]] row: m table
+    * lookups. The codegen'd expression ([[graft.plans.PqAdcScore]],
+    * `native = true` — callers register it first) is the hot-path form:
+    * the HOF chain evaluates INTERPRETED lambdas per element per
+    * (row × query) pair, which measured slower than even the exact
+    * native cosine — inverting the point of PQ. */
+  private def pqScoreCol(books: Seq[Seq[(Long, Seq[Float])]],
+                         native: Boolean): Column = {
+    val m = books.size
+    // a tiny corpus can seed fewer than ksub cells — the LUT's flattening
+    // arithmetic must use the REAL per-book size, and all books must agree
+    val kk = books.head.size
+    require(books.forall(_.size == kk),
+      s"ragged PQ codebooks: ${books.map(_.size)}")
     def lutSum(table: Column) = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, j) => element_at(table, (j * kk + c + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x)
-    val score =
-      if (native) call_function(graft.plans.PqAdcScore.name,
-        col("codes"), col("ip"), col("cn"), col("qn"))
-      else lutSum(col("ip")) / (col("qn") * sqrt(lutSum(col("cn"))))
+    if (native) call_function(graft.plans.PqAdcScore.name,
+      col("codes"), col("ip"), col("cn"), col("qn"))
+    else lutSum(col("ip")) / (col("qn") * sqrt(lutSum(col("cn"))))
+  }
 
-    val adc = codes.crossJoin(broadcast(lut))
+  /** Exact-cosine refinement of the top `rerank` approximate candidates
+    * per query: candidates are queries × rerank rows — BROADCAST them so
+    * the refine pass is a map-side semi-join on the corpus scan, not a
+    * corpus-sized shuffle. Returned scores are exact; only recall stays
+    * approximate — the standard ANN+refine pipeline. */
+  private def rerankExact(approx: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, vecCol: String, idCol: String,
+                          rerank: Int): DataFrame = {
+    val cand = topKPerQuery(approx, rerank)
+      .select(col("query_id"), col("id"))
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("vec"), col("query_vec")).as("cosine"))
+  }
+
+  /** IVF-PQ: the coarse quantizer and the compressed-code scan COMPOSED —
+    * the FAISS-style big-corpus serving shape. The corpus is assigned to
+    * `nCentroids` k-means cells (map-side broadcast argmin, zero shuffle)
+    * and PQ-encoded (packed 1-byte codes under `native`); a query probes
+    * its `nProbe` nearest cells, and the ADC scan reads ONLY the probed
+    * cells' code rows — bytes touched per query:
+    * corpus · (nProbe/nCentroids) · (m / 4·dim), the two reductions
+    * multiplying (at 100 TB of raw embeddings, 16 cells / 4 probed and
+    * dim=64→m=8 codes: ~780 GB per full query sweep). On a graft/parquet
+    * code table clustered by `cid`, the cell restriction additionally
+    * prunes FILES via zone maps, not just rows.
+    *
+    * Codebooks are shared across cells (IMI/residual refinements trade
+    * accuracy for more build passes; the recall knobs here are `nProbe`
+    * and the exact `rerank`). With `rerank` > 0 scores are exact, recall
+    * approximate — same contract as [[pqTopK]]. A persisted-index serving
+    * variant is [[ivfPqTopKEncoded]]. */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int, dim: Int,
+                nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
+                ksub: Int = 16, kmeansIters: Int = 1, rerank: Int = 0,
+                native: Boolean = false): DataFrame = {
+    val cents = kmeansCodebook(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    val books = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
+    // one-pass index build: cell id + codes, all map-side broadcast argmins
+    val sub = dim / m
+    val codesArr = array((0 until m).map(j =>
+      nearestCentroidCol(spark, slice(col(vecCol), j * sub + 1, sub),
+        books(j))): _*)
+    val packed = native && books.forall(_.size <= 256)
+    val codes = corpus.select(col(idCol).as("id"),
+      nearestCentroidCol(spark, col(vecCol), cents).as("cid"),
+      (if (packed) org.apache.spark.sql.classic.GraftShims.column(
+        graft.plans.PqPackCodes(
+          org.apache.spark.sql.classic.GraftShims.expression(codesArr)))
+       else codesArr).as("codes"))
+    ivfPqTopKEncoded(spark, codes, corpus, queries, cents, books,
+      vecCol, idCol, k, dim, nProbe, rerank, native)
+  }
+
+  /** Search an ALREADY-BUILT IVF-PQ index — the serving path: `codes`
+    * must be `(id, cid, codes)` rows with `cid` assigned against `cents`
+    * and `codes` encoded against `books` (see [[ivfPqTopK]]'s build). */
+  def ivfPqTopKEncoded(spark: SparkSession, codes: DataFrame,
+                       corpus: DataFrame, queries: DataFrame,
+                       cents: Seq[(Long, Seq[Float])],
+                       books: Seq[Seq[(Long, Seq[Float])]],
+                       vecCol: String, idCol: String, k: Int, dim: Int,
+                       nProbe: Int, rerank: Int = 0,
+                       native: Boolean = false): DataFrame = {
+    require(native ||
+        codes.schema("codes").dataType !=
+          org.apache.spark.sql.types.BinaryType,
+      "packed (binary) PQ codes require the native ADC kernel " +
+        "(native = true; register graft.plans.PqAdcScore first)")
+    // queries probe their nProbe nearest cells (broadcast-sized work,
+    // same probe construction as ivfTopK)
+    val centDf = spark.createDataFrame(cents.map(c => (c._1, c._2)))
+      .toDF("cid", "cvec")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("d", l2Distance(col("query_vec"), col("cvec")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d"), col("cid"))))
+      .where(col("rnk") <= nProbe)
+      .select(col("cid"), col("query_id"))
+    // the restricted ADC scan: joining the code scan to the broadcast
+    // (cid, query_id) probe set replaces pqTopKEncoded's crossJoin —
+    // each code row is scored only against the queries probing its cell
+    val adc = codes.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(pqLut(spark, queries, books, vecCol, idCol, dim)),
+        Seq("query_id"))
       .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"), score.as("cosine"))
-
+      .select(col("query_id"), col("id"),
+        pqScoreCol(books, native).as("cosine"))
     if (rerank <= 0) topKPerQuery(adc, k)
-    else {
-      // candidates are queries × rerank rows — BROADCAST them so the
-      // refine pass is a map-side semi-join on the corpus scan, not a
-      // corpus-sized shuffle
-      val cand = topKPerQuery(adc, rerank)
-        .select(col("query_id"), col("id"))
-      val exact = corpus
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .join(broadcast(cand), Seq("id"))
-        .join(broadcast(queries.select(col(idCol).as("query_id"),
-          col(vecCol).as("query_vec"))), Seq("query_id"))
-        .select(col("query_id"), col("id"),
-          cosine(col("vec"), col("query_vec")).as("cosine"))
-      topKPerQuery(exact, k)
-    }
+    else topKPerQuery(
+      rerankExact(adc, corpus, queries, vecCol, idCol, rerank), k)
   }
 }

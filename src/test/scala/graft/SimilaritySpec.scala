@@ -202,6 +202,75 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: full probe matches plain PQ exactly; narrow probe restricts the scan; rerank exact") {
+    val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding",
+      "vec_id", 10))
+
+    // probing ALL cells makes the cell restriction a no-op partition of
+    // the corpus — ranking must be bit-identical to the unrestricted PQ
+    // scan over the same codebooks
+    val pq = topkMap(Similarity.pqTopK(spark, embs, queries, "embedding",
+      "vec_id", k = 10, dim = 64, m = 8, ksub = 16, kmeansIters = 1))
+    val fullProbe = topkMap(Similarity.ivfPqTopK(spark, embs, queries,
+      "embedding", "vec_id", k = 10, dim = 64, nCentroids = 16,
+      nProbe = 16, m = 8, ksub = 16, kmeansIters = 1))
+    assert(fullProbe === pq,
+      "nProbe = nCentroids must reduce to the unrestricted PQ scan")
+
+    // a narrow probe really restricts: every returned candidate sits in
+    // one of its query's probed cells (membership recomputed out-of-band
+    // from the same deterministic codebook)
+    val cents = Similarity.kmeansCodebook(embs, "embedding", "vec_id", 16, 1)
+    val cellOf = embs.select(col("vec_id"),
+      Similarity.nearestCentroidCol(spark, col("embedding"), cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def probedCells(qid: Long): Set[Long] = {
+      val vec = embs.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0)
+      cents.map { case (cid, c) =>
+        val d = c.zip(vec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1).toSet
+    }
+    val narrow = Similarity.ivfPqTopK(spark, embs, queries, "embedding",
+      "vec_id", k = 10, dim = 64, nCentroids = 16, nProbe = 4, m = 8,
+      ksub = 16, kmeansIters = 1)
+    val narrowRows = narrow.collect()
+    assert(narrowRows.nonEmpty)
+    narrowRows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val probed = probedCells(qid)
+      rs.foreach(r => assert(probed.contains(cellOf(r.getLong(1))),
+        s"candidate ${r.getLong(1)} of query $qid sits outside its probed cells"))
+    }
+
+    // wide probe + exact rerank: recall floor holds and scores are TRUE
+    // cosines (the q124 contract)
+    graft.plans.PqAdcScore.register(spark)
+    val rr = Similarity.ivfPqTopK(spark, embs, queries, "embedding",
+      "vec_id", k = 10, dim = 64, nCentroids = 16, nProbe = 12, m = 8,
+      ksub = 16, kmeansIters = 2, rerank = 100, native = true)
+    val rrRecall = meanRecall(topkMap(rr), exact)
+    assert(rrRecall >= 0.6, s"IVF-PQ rerank recall@10 = $rrRecall")
+    val exactScores = Similarity.bruteForceTopK(embs, queries, "embedding",
+      "vec_id", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.collect().foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(math.abs(s - r.getDouble(2)) < 1e-12,
+          "IVF-PQ reranked score must be the exact cosine")
+      }
+    }
+
+    // native + packed serving path ranks exactly like the HOF/array form
+    val hof = topkMap(Similarity.ivfPqTopK(spark, embs, queries,
+      "embedding", "vec_id", k = 10, dim = 64, nCentroids = 16,
+      nProbe = 12, m = 8, ksub = 16, kmeansIters = 1))
+    val nat = topkMap(Similarity.ivfPqTopK(spark, embs, queries,
+      "embedding", "vec_id", k = 10, dim = 64, nCentroids = 16,
+      nProbe = 12, m = 8, ksub = 16, kmeansIters = 1, native = true))
+    assert(nat === hof, "native packed IVF-PQ must rank like the HOF path")
+  }
+
   test("multi-probe LSH recall dominates single-probe at the same bits") {
     val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
     val single = meanRecall(topkMap(
