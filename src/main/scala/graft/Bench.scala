@@ -541,6 +541,22 @@ object Bench {
       adcOnly() // warm
       results("pq_adc_native") = (1 to 2).map(_ => time(adcOnly())).min
 
+      // IVF-restricted ADC serving (q124's shape): same persisted packed
+      // codes + a cell column; probing 4/16 cells scores ~1/4 of the
+      // rows pq_adc_native scans — the two byte reductions composing
+      val cents = Similarity.kmeansCodebook(e, "embedding", "vec_id", 16, 1)
+      val ivfCodesDir = s"$workDir/ivfpq-codes"
+      codesDf.join(e.select(col("vec_id").as("id"),
+          Similarity.nearestCentroidCol(spark, col("embedding"), cents)
+            .as("cid")), Seq("id"))
+        .write.parquet(ivfCodesDir)   // index build, untimed here
+      val ivfCodes = spark.read.parquet(ivfCodesDir)
+      def ivfAdc() = runToNoop(Similarity.ivfPqTopKEncoded(spark, ivfCodes,
+        e, q, cents, books, "embedding", "vec_id", k = 10, dim = 64,
+        nProbe = 4, rerank = 0, native = true))
+      ivfAdc() // warm
+      results("ivfpq_adc_native") = (1 to 2).map(_ => time(ivfAdc())).min
+
       // ---- Lloyd-iteration scaling: kmeansCodebook persists its
       //      projected input, so iterations 2..n pay a cached columnar
       //      re-read instead of recomputing the upstream — per-iteration

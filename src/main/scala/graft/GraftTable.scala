@@ -574,6 +574,39 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     next
   }
 
+  /** Range-scoped [[compact]]: fold ONLY the files whose key interval
+    * intersects `[lo, hi]`, pass everything else through metadata-only —
+    * the maintenance shape a 100 TB table actually needs (the write-hot
+    * range accumulates small merge outputs; the cold bulk stays
+    * untouched, unread, and unlinked beyond a manifest entry). Commits
+    * as the next version; a range selecting nothing is a NO-OP returning
+    * the current version (no empty commit). Cost: one manifest zone-map
+    * pass to select, byte-splice of the selected files (or the purging
+    * rewrite while DROP/widen markers are live — markers clear exactly
+    * when the range covered every file), footer reads for the new files
+    * only. Tombstoned snapshots and bucketed layouts refuse, as
+    * [[compact]]. */
+  def compactRange(lo: Any, hi: Any, targetBytes: Long,
+                   moreKeys: Seq[String] =
+                     graft.sources.MutableParquetTable.manifestMoreKeys(
+                       CdcMergeSink.latestSnapshot(root))): Long = {
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val cur = versions.lastOption.getOrElse(-1L)
+    val next = cur + 1
+    val target = s"$root/v$next"
+    val t = graft.sources.MutableParquetTable(spark, latest, key,
+      moreKeys = moreKeys)
+    val folded = t.compactRange(lo, hi, targetBytes, target)
+    if (folded == 0) {
+      // nothing selected: compactRange returned before staging anything
+      val p = java.nio.file.Paths.get(target)
+      if (java.nio.file.Files.exists(p))
+        graft.sources.MutableParquetTable.deleteDir(p)
+      return cur
+    }
+    next
+  }
+
   /** Change the table's hash-bucket layout, committed as the NEXT
     * version: `Some(n)` re-buckets to n buckets (adding SPJ to a plain
     * table, or changing a bucketed table's fixed count — the one layout

@@ -1492,6 +1492,20 @@ object OracleSql {
              CAST(1 AS INT) AS spec_ok
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // q125: range-scoped compaction — per-bucket aggregates over the
+    // mixed carried+spliced snapshot with two point UPDATEs applied;
+    // scoped_ok pinned to 1 proves the fold reduced files, passthrough
+    // preserved out-of-range names, and new files carry the rc- prefix
+    "q125_compact_range" -> """
+      SELECT c_custkey % 8 AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                      + CASE WHEN c_custkey = 5 THEN 7
+                             WHEN c_custkey = 40 THEN 11 ELSE 0 END)
+               AS BIGINT) AS bal_sum,
+             CAST(1 AS INT) AS scoped_ok
+      FROM customer GROUP BY c_custkey % 8 ORDER BY bucket""",
+
     // q123: widening ALTER COLUMN TYPE — final per-segment aggregates
     // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
     // pinned to 1 proves the metadata-only type change (zero-file ALTER

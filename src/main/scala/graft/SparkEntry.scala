@@ -1948,6 +1948,60 @@ object SparkEntry {
       FROM $cat.ns.pc""")
   }
 
+  /** Range-scoped compaction end to end, oracle-pinned: UPDATEs fragment
+    * the low key range, `CALL system.compact_range` folds ONLY the files
+    * intersecting it, and the pinned `scoped_ok` flag holds only if
+    * (a) the fold strictly reduced the file count, (b) at least one
+    * out-of-range file survived UNDER ITS OWN NAME (metadata
+    * passthrough, not a rewrite), and (c) the new files carry the
+    * range-compaction prefix. The final per-bucket aggregate proves the
+    * mixed carried+spliced snapshot reads exactly. */
+  def q125_compact_range(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q125-wh").toString
+    val cat = "gq125_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val src = customer(s, dir)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+    src.createOrReplaceTempView("q125_cust_src")
+    // Scala-side create pins an 8-file layout (the SQL first-load sizes
+    // files for real data volumes — one file at fixture scale, which
+    // would leave the scoped fold nothing to prove); the catalog
+    // discovers the table by directory
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/ns"))
+    graft.GraftTable.create(src, s"$wh/ns/cr", "c_custkey", numFiles = 8) // v0
+    // two point UPDATEs fragment the low range (each a small CoW slice)
+    s.sql(s"UPDATE $cat.ns.cr SET bal = bal + 7 WHERE c_custkey = 5")  // v1
+    s.sql(s"UPDATE $cat.ns.cr SET bal = bal + 11 WHERE c_custkey = 40") // v2
+    val maxKey = s.sql(s"SELECT max(c_custkey) FROM q125_cust_src")
+      .head().getLong(0)
+    val lo = 0L
+    val hi = maxKey / 4                                        // low quarter
+    val tdir = s"$wh/ns/cr"
+    val beforeDir = graft.streaming.CdcMergeSink.latestSnapshot(tdir)
+    val before = graft.sources.MutableParquetTable
+      .manifestFileNames(beforeDir).map(_.toSet).getOrElse(Set.empty)
+    s.sql(s"CALL $cat.system.compact_range('ns.cr', '$lo', '$hi', 1024)") // v3
+    val afterDir = graft.streaming.CdcMergeSink.latestSnapshot(tdir)
+    val after = graft.sources.MutableParquetTable
+      .manifestFileNames(afterDir).map(_.toSet).getOrElse(Set.empty)
+    val newOnes = after.diff(before)
+    val scopedOk =
+      if (after.size < before.size &&
+          after.intersect(before).nonEmpty &&
+          newOnes.nonEmpty &&
+          newOnes.forall(_.split('/').last.startsWith("rc-"))) 1 else 0
+    s.sql(s"""
+      SELECT c_custkey % 8 AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS BIGINT) AS bal_sum,
+             CAST($scopedOk AS INT) AS scoped_ok
+      FROM $cat.ns.cr GROUP BY c_custkey % 8""").orderBy(col("bucket"))
+  }
+
   /** `ALTER TABLE RENAME COLUMN` end to end, oracle-pinned: rename is a
     * METADATA-ONLY commit (data files keep the column's birth name; the
     * manifest maps logical→physical and scans alias at the file
@@ -2704,6 +2758,7 @@ object SparkEntry {
     "q122_rebucket" -> (q122_rebucket _),
     "q123_widen_type" -> (q123_widen_type _),
     "q124_ivfpq_ann" -> (q124_ivfpq_ann _),
+    "q125_compact_range" -> (q125_compact_range _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

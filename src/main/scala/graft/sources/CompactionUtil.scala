@@ -92,21 +92,35 @@ object CompactionUtil {
     // manifest-first inventory: a committed snapshot's files may live in
     // PRIOR snapshot dirs (reference passthrough) — a directory listing
     // would silently compact only the locally-present subset
-    val recorded = MutableParquetTable.manifestBytesByName(dir)
     val files = MutableParquetTable.tableFiles(dir)
-      .map(f => f -> MutableParquetTable.recordedOrStatSize(dir, f, recorded))
     require(files.nonEmpty, s"no parquet files in $dir")
+    compactFilesBySize(spark, dir, outDir, files, targetBytes)
+  }
+
+  /** [[compactDirBySize]] over an explicit FILE SUBSET — the range-scoped
+    * compaction splice ([[MutableParquetTable.compactRange]]): only the
+    * named files fold; the caller passes the rest through metadata-only.
+    * `prefix` keeps the spliced outputs' names disjoint from any
+    * original file names that land in the same snapshot dir via
+    * hard-link passthrough. */
+  def compactFilesBySize(spark: SparkSession, dir: String, outDir: String,
+                         subset: Seq[String], targetBytes: Long,
+                         prefix: String = "part"): Seq[String] = {
+    val recorded = MutableParquetTable.manifestBytesByName(dir)
+    val files = subset
+      .map(f => f -> MutableParquetTable.recordedOrStatSize(dir, f, recorded))
+    require(files.nonEmpty, s"no parquet files to compact in $dir")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val hconf = spark.sparkContext.hadoopConfiguration
     val groups = schemaRuns(hconf, files)
       .flatMap(run => planBySize(run, targetBytes)).zipWithIndex
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val outs = groups.map { case (_, i) => f"$outDir/part-$i%05d.parquet" }
+    val outs = groups.map { case (_, i) => f"$outDir/$prefix-$i%05d.parquet" }
     spark.sparkContext
       .parallelize(groups, math.max(1, math.min(groups.size, 64)))
       .foreach { case (g, i) =>
-        concatFiles(conf.value, g, f"$outDir/part-$i%05d.parquet")
+        concatFiles(conf.value, g, f"$outDir/$prefix-$i%05d.parquet")
       }
     outs
   }

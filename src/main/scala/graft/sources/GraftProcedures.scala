@@ -44,8 +44,9 @@ object GraftProcedures {
 
   val Namespace = "system"
 
-  private val names = Seq("history", "vacuum", "compact", "zorder",
-    "repair_feed", "materialize_tombstones", "restore", "clone", "rebucket")
+  private val names = Seq("history", "vacuum", "compact", "compact_range",
+    "zorder", "repair_feed", "materialize_tombstones", "restore", "clone",
+    "rebucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -61,6 +62,7 @@ object GraftProcedures {
       case "history" => new History(root)
       case "vacuum"  => new Vacuum(root)
       case "compact" => new Compact(root)
+      case "compact_range" => new CompactRange(root)
       case "zorder"  => new ZOrderProc(root)
       case "repair_feed" => new RepairFeed(root)
       case "materialize_tombstones" => new MaterializeTombstones(root)
@@ -327,6 +329,61 @@ object GraftProcedures {
         .compact(input.getInt(1).toLong * 1024 * 1024, moreKeys)
       val after = MutableParquetTable.manifestFileNames(s"$dir/v$v")
         .map(_.size).getOrElse(0)
+      Seq(row(v, before, after))
+    }
+  }
+
+  /** [[graft.GraftTable.compactRange]] as SQL: fold only the files whose
+    * key interval intersects `[lo, hi]`, pass the rest through
+    * metadata-only — the maintenance a write-hot key range needs without
+    * touching the cold 99% of a big table. `lo`/`hi` arrive as strings
+    * and coerce through the table's key type (integral, string, or date
+    * keys — the dominant layouts; other key types use the Scala API with
+    * properly-typed bounds). */
+  private final class CompactRange(root: String) extends Proc(root) {
+    override def name(): String = "compact_range"
+    override def description(): String =
+      "fold the files intersecting [lo, hi] to ~target_mb each; " +
+        "files outside the range pass through metadata-only"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("lo", StringType, comment = "range lower bound (inclusive)"),
+      param("hi", StringType, comment = "range upper bound (inclusive)"),
+      param("target_mb", IntegerType, Some("128"), "target file size"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val (key, moreKeys) = tableKeys(dir)
+      val latest = CdcMergeSink.latestSnapshot(dir)
+      val loS = input.getUTF8String(1).toString
+      val hiS = input.getUTF8String(2).toString
+      val kt = MutableParquetTable.manifestSchema(latest)
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(key)))
+        .map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.LongType)
+      def coerce(s: String): Any = kt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => s.toLong
+        case org.apache.spark.sql.types.StringType => s
+        case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf(s)
+        case other => throw new IllegalArgumentException(
+          s"compact_range string bounds cannot address a " +
+            s"${other.simpleString} key — use GraftTable.compactRange " +
+            "with typed bounds")
+      }
+      val before = MutableParquetTable.manifestFileNames(latest)
+        .map(_.size).getOrElse(0)
+      val v = graft.GraftTable(spark, dir, key)
+        .compactRange(coerce(loS), coerce(hiS),
+          input.getInt(3).toLong * 1024 * 1024, moreKeys)
+      val vd = s"$dir/v$v"
+      val after = MutableParquetTable.manifestFileNames(vd)
+        .map(_.size).getOrElse(before)
       Seq(row(v, before, after))
     }
   }

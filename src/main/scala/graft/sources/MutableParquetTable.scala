@@ -517,8 +517,28 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
                 .write.mode("append").parquet(target)
             } else {
               val bounds = run.tail.map(i => ranges(i).min)
-              val boundsCol = array(bounds.map(lit(_)): _*)
-              val bucket = size(filter(boundsCol, b => nk >= b))
+              // bucket = count of run boundaries <= key. Long-normalized
+              // domains (integral/date/timestamp keys) route through the
+              // codegen'd binary search — the HOF filter evaluates an
+              // interpreted lambda per BOUNDARY per row, O(dirtyFiles)
+              // work that dominates wide rewrites; strings/binary keep
+              // the HOF form (boundary counts there are small and the
+              // comparison is type-dispatched anyway)
+              val longDomain = bounds.forall(_.isInstanceOf[java.lang.Long])
+              val bucket =
+                if (longDomain)
+                  // cast: some normalized domains are INT-typed columns
+                  // (epoch days) against Long boundary stats — widening
+                  // preserves order and equality
+                  org.apache.spark.sql.classic.GraftShims.column(
+                    graft.plans.SearchSortedLong(
+                      org.apache.spark.sql.classic.GraftShims.expression(
+                        nk.cast("long")),
+                      bounds.map(_.asInstanceOf[java.lang.Long].longValue).toArray))
+                else {
+                  val boundsCol = array(bounds.map(lit(_)): _*)
+                  size(filter(boundsCol, b => nk >= b))
+                }
               val probes = MutableParquetTable.partitionProbes(run.size)
               out {
                 slice
@@ -591,6 +611,91 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     MergeResult(outDir, dirty, clean, inserted, phases.toMap,
       filesHardLinked = pt.linked, filesReferenced = pt.referenced,
       filesCopied = pt.copied)
+  }
+
+  /** Range-scoped compaction: fold ONLY the files whose key interval
+    * intersects `[lo, hi]` into ~`targetBytes` outputs; every other file
+    * passes through METADATA-ONLY (hard link / reference, the merge's
+    * clean-file discipline). At 100 TB nobody compacts a whole table —
+    * the write-hot key range accumulates small merge outputs while the
+    * cold bulk is already well-laid-out, so maintenance must price by
+    * the RANGE, not the table. Selection is one manifest zone-map pass
+    * (no footer IO; stat-less files are conservatively included), the
+    * fold is the zero-decode byte splice when no schema markers are
+    * live, and the manifest commit pays footer reads only for the new
+    * files.
+    *
+    * Live `droppedColumns`/`widenedColumns` markers switch the fold to
+    * the purging rewrite THROUGH the logical schema (same rule as
+    * [[graft.GraftTable.compact]]) — the markers carry unless the range
+    * covers every file (writeManifest's survivors rule clears them
+    * exactly when no pre-change file remains). Rename mappings carry
+    * either way (both fold paths keep physical column names on disk).
+    * Returns the spliced/rewritten output count (0 = nothing selected:
+    * the caller can skip committing a no-op version). Bucketed layouts
+    * refuse — buckets are hash-, not range-, clustered; their scoped
+    * maintenance is per-bucket compaction. */
+  def compactRange(lo: Any, hi: Any, targetBytes: Long,
+                   outDir: String): Int = {
+    require(MutableParquetTable.manifestBuckets(dir).isEmpty,
+      "range compaction needs a key-clustered layout — a bucketed " +
+        "table's scoped maintenance is per-bucket (CALL system.compact)")
+    require(MutableParquetTable.manifestTombstoneRows(dir) == 0,
+      "range compaction on a tombstoned snapshot would splice " +
+        "logically-deleted rows and drop the sidecar — run " +
+        "materializeTombstones() first")
+    val all = MutableParquetTable.tableFiles(dir)
+    val (_, sel) = MutableParquetTable.pruneManifestFiles(
+      dir, Some(lo), Some(hi)).getOrElse(throw new IllegalStateException(
+        s"$dir has no manifest — only committed snapshots compact by range"))
+    val selSet = sel.map(fileName).toSet
+    val (picked, clean) = all.partition(f => selSet(fileName(f)))
+    if (picked.isEmpty) return 0
+    Files.createDirectories(Paths.get(outDir))
+    val pt = passThroughClean(clean, outDir)
+    val schema = MutableParquetTable.manifestSchema(dir)
+    val dropped = MutableParquetTable.manifestDroppedColumns(dir)
+    val widened = MutableParquetTable.manifestWidened(dir)
+    val renames = MutableParquetTable.manifestRenames(dir)
+    val newFiles: Seq[String] =
+      if (dropped.isEmpty && widened.isEmpty)
+        // zero-decode byte splice of just the selected files; `rc` prefix
+        // keeps spliced names disjoint from passthrough-linked originals
+        CompactionUtil.compactFilesBySize(spark, dir, outDir, picked,
+          targetBytes, prefix = "rc")
+      else {
+        // purge rewrite of the SUBSET through the logical schema: the
+        // selected files' stale dropped bytes / narrow physicals are
+        // shed; files outside the range still carry theirs, so the
+        // markers persist via writeManifest's survivors rule
+        val recorded = MutableParquetTable.manifestBytesByName(dir)
+        val bytes = picked.map(f =>
+          MutableParquetTable.recordedOrStatSize(dir, f, recorded)).sum
+        val n = math.max(1L, math.min(4096L,
+          (bytes + targetBytes - 1) / math.max(1L, targetBytes))).toInt
+        val df = MutableParquetTable.toPhysicalNames(
+          MutableParquetTable.readFilesLogical(spark, picked,
+            schema.getOrElse(spark.read.parquet(picked: _*).schema), renames),
+          renames)
+        ParquetTable.withMicrosTimestamps(spark) {
+          (if (n == 1) df.repartition(1)
+           else df.repartitionByRange(n, keys.map(col): _*))
+            .sortWithinPartitions(keys.map(col): _*)
+            .write.mode("append").parquet(outDir)
+        }
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(Paths.get(outDir))
+        try s.iterator().asScala
+          .filter(p => MutableParquetTable.isDataFileName(
+            p.getFileName.toString))
+          .map(_.toString).toList
+          .filterNot(f => clean.map(fileName).toSet(fileName(f)))
+        finally s.close()
+      }
+    val cleanNames = clean.map(fileName).toSet
+    val carried = sortedRanges().filter(r => cleanNames(fileName(r.file)))
+    writeManifest(outDir, carried, newFiles, schema, pt.refNames)
+    newFiles.size
   }
 
   /** Row-group-granularity CoW merge: like [[merge]], but each dirty
