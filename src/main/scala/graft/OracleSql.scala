@@ -1529,6 +1529,16 @@ object OracleSql {
       FROM jp WHERE id_a % 3 = 0 OR id_b % 3 = 0
       ORDER BY id_a, id_b"""),
 
+    // q126: STREAMING incremental dedup — the epoch-unioned pair stream
+    // must surface every exact-Jaccard >= 0.6 pair (same-epoch pairs via
+    // new-vs-new, cross-epoch via the persisted-index probe);
+    // stream_found pinned to 1
+    "q126_stream_dedup" ->
+      (shingleJaccardPairs(0.6) + """
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+        CAST(1 AS INT) AS stream_found
+      FROM jp ORDER BY id_a, id_b"""),
+
     "q42_simhash_pairs" ->
       (shingleJaccardPairs(0.8) + """
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard,

@@ -1871,6 +1871,46 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** STREAMING incremental dedup ([[graft.streaming.Streams
+    * .dedupIncrementalSink]]): documents arrive over three micro-batch
+    * epochs; each epoch probes and extends the persisted LSH index, so
+    * cross-epoch near-duplicates are caught the moment the later copy
+    * arrives. The emitted pair stream, unioned across epochs, must
+    * surface every exact-Jaccard ≥ 0.6 pair of the corpus — whether the
+    * two docs arrived in the same epoch (new-vs-new) or epochs apart
+    * (new-vs-index) — which the oracle pins via `stream_found` = 1 on
+    * the exact pair set it recomputes relationally. */
+  def q126_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MinHashSignature.register(s)
+    val docs = documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q126").toString
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = docs.as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = s"$work/pairs"
+    val q = graft.streaming.Streams.dedupIncrementalSink(
+      in.toDF().toDF("doc_id", "text"), s"$work/idx", "text", "doc_id",
+      s"$work/cp", shingleK = 3, bands = 32, rowsPerBand = 2,
+      threshold = 0.25, native = true) { (pairs, epoch) =>
+      pairs.withColumn("epoch", lit(epoch))
+        .write.mode("append").parquet(out)
+    }
+    try (0 until 3).foreach { e =>
+      in.addData(rows.filter(_._1 % 3 == e).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val found = s.read.parquet(out)
+      .select(col("id_a"), col("id_b")).distinct()
+    val exact = Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
+    exact.join(found.withColumn("f", lit(1)), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        coalesce(col("f"), lit(0)).as("stream_found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Metadata-only `ALTER TABLE DROP COLUMN`: the drop version
     * references every data file in place under the NARROWED schema —
     * zero data IO at any table size; scans stop projecting the column
@@ -2759,6 +2799,7 @@ object SparkEntry {
     "q123_widen_type" -> (q123_widen_type _),
     "q124_ivfpq_ann" -> (q124_ivfpq_ann _),
     "q125_compact_range" -> (q125_compact_range _),
+    "q126_stream_dedup" -> (q126_stream_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

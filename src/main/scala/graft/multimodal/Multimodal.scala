@@ -215,6 +215,39 @@ object Multimodal {
     math.rint(e * 1e6) / 1e6
   }
 
+  /** REAL image resize for "image" payloads: decode (ImageIO), scale to
+    * `w`×`h` (Graphics2D bilinear — the JDK's actual raster scaler, no
+    * stub), re-encode PNG. Batched narrow map like [[extractFeatures]]:
+    * no exchange, output rows ∝ input images, per-row memory bounded by
+    * one decoded raster. Output payloads are themselves decodable PNGs
+    * of exactly the target dimensions — the property the spec pins. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
+                   batchSize: Int = 64): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val src = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(src != null, "payload is not a decodable image")
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null): Unit
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          (m.media_id, src.getWidth, src.getHeight, w, h, bos.toByteArray)
+        }
+      }
+    }.toDF("media_id", "src_w", "src_h", "width", "height", "payload")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th REAL container
     * frame, exploded to one row per sampled frame (each `frame_bytes` is
     * itself a decodable PNG). */

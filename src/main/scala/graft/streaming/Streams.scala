@@ -175,4 +175,42 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** CONTINUOUS near-duplicate detection: each micro-batch of arriving
+    * documents probes — and extends — the PERSISTED LSH index
+    * ([[graft.operators.Dedup.dedupIncremental]]), so every new doc is
+    * checked against the ENTIRE corpus seen so far at batch-sized cost
+    * (the probe broadcast-filters the index to the batch's buckets
+    * before any shuffle; per-epoch work ∝ batch + collisions, never the
+    * index). Emitted pairs per epoch go to `onPairs` — typically a
+    * quarantine table or a routing decision for the ingest pipeline.
+    *
+    * Delivery contract: AT-LEAST-ONCE on the pairs. A crashed epoch
+    * re-executes under foreachBatch; the index extension is an ordinary
+    * graft CoW upsert keyed by (doc, band), so the re-ingest is
+    * idempotent on the INDEX (same doc ids → same `idx_key`s), and the
+    * replayed epoch re-emits its pairs. Downstream dedup of the pair
+    * stream (id_a, id_b are deterministic) makes it effectively-once —
+    * the same discipline CDC consumers apply. At 100 TB the index is a
+    * graft table like any other: zone-map routed, compactable,
+    * time-travelable. */
+  def dedupIncrementalSink(docs: DataFrame, indexRoot: String,
+                           textCol: String, idCol: String,
+                           checkpoint: String,
+                           shingleK: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 4, threshold: Double = 0.5,
+                           native: Boolean = false)
+                          (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // an empty trigger must not commit an empty index version
+        if (!batch.isEmpty) {
+          val r = graft.operators.Dedup.dedupIncremental(indexRoot, batch,
+            textCol, idCol, shingleK, bands, rowsPerBand, threshold, native)
+          onPairs(r.pairs, epoch)
+        }
+      }
+      .start()
 }

@@ -72,4 +72,27 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("resizeImages re-encodes real PNGs at the target dims, narrow map") {
+    val out = Multimodal.resizeImages(media, 16, 12)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      // source dims are the generator's ground truth for the image kind
+      assert((r.getInt(1), r.getInt(2)) === Multimodal.imageDims(id))
+      assert((r.getInt(3), r.getInt(4)) === (16, 12))
+      // the payload is a REAL decodable PNG of exactly the target size
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](5)))
+      assert(img != null, s"resized payload of media $id not decodable")
+      assert((img.getWidth, img.getHeight) === (16, 12))
+    }
+    // only image rows resize; audio/video payloads are filtered, not mangled
+    assert(rows.length === media.filter(_.kind == "image").count().toInt)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImages(media, 0, 12)
+    }
+  }
 }

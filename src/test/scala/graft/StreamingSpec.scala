@@ -226,6 +226,46 @@ class StreamingSpec extends SparkSpec {
     assert(got === closed)
   }
 
+  test("streaming incremental dedup: cross-epoch pairs via the persisted index, within-epoch via new-vs-new") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-sds").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = Streams.dedupIncrementalSink(
+      in.toDF().toDF("doc_id", "text"), s"$work/idx", "text", "doc_id",
+      s"$work/cp", threshold = 0.25) { (pairs, epoch) =>
+      got.synchronized {
+        got(epoch) = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    try {
+      // epoch 0: one doc + one unrelated doc — no pairs
+      in.addData((1L, base), (2L, "completely different words " * 20))
+      q.processAllAvailable()
+      // epoch 1: a near-dup of doc 1 (cross-epoch, via the index), plus
+      // a fresh pair of near-dups arriving together (within-batch)
+      in.addData((3L, base + " tail"),
+        (4L, "shared sentence material here " * 10),
+        (5L, "shared sentence material here " * 10 + " coda"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val e0 = got.getOrElse(0L, Set.empty)
+    val e1 = got.values.flatten.toSet -- e0
+    assert(e0.isEmpty, s"unrelated docs must not pair: $e0")
+    assert(e1.contains((1L, 3L)),
+      s"cross-epoch near-dup must surface via the persisted index: $e1")
+    assert(e1.contains((4L, 5L)),
+      s"same-epoch near-dups must surface via new-vs-new: $e1")
+    assert(!e1.exists(p => p._1 == 2L || p._2 == 2L),
+      s"the unrelated doc must stay unpaired: $e1")
+    // the index is a real graft table extended per epoch: both ingests
+    // committed (seed base + one extension version)
+    assert(graft.streaming.CdcMergeSink.versions(s"$work/idx").nonEmpty)
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
