@@ -379,6 +379,28 @@ object Bench {
       System.err.println(s"[bench] tombstone experiment failed: ${e.getMessage}")
     }
 
+    // ---- range-scoped vs whole-table compaction: maintenance priced by
+    //      the RANGE — the scoped fold splices only the selected files
+    //      and links the rest, so cost tracks the range's bytes while the
+    //      full compact pays the whole table every time ----
+    try {
+      val root = s"$workDir/rc-table"
+      val li = Tables.lineitem(spark, sfDir)
+        .withColumn("li_key", monotonically_increasing_id())
+      GraftTable.create(li, root, "li_key", numFiles = 64)
+      val t = GraftTable(spark, root, "li_key")
+      val base0 = spark.read.parquet(s"$root/base")
+      val thr = base0.stat.approxQuantile("li_key", Array(0.1), 0.001).head.toLong
+      t.compactRange(0L, thr, 16L << 20)                    // warm
+      t.compact(16L << 20)                                  // warm
+      results("compact_range_10pct") = (1 to 2).map(_ =>
+        time(t.compactRange(0L, thr, 16L << 20))).min
+      results("compact_full") = (1 to 2).map(_ =>
+        time(t.compact(16L << 20))).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] compact-range experiment failed: ${e.getMessage}")
+    }
+
     // ---- row-group CoW vs full rewrite of one fat file (README.md:109-111
     //      partial-rewrite scaling, at the reference's own granularity) ----
     try {

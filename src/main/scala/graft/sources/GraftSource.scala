@@ -574,18 +574,40 @@ final class GraftScanBuilder(spark: SparkSession, table: GraftBatchTable)
       // surviving files; files without a dim entry are never pruned
       val files = table.dimRanges.foldLeft(keyPruned) {
         case (fs, (dcol, ranges)) =>
+          val ranged = ranges.map(_.file).toSet
           val (lo, hi) = GraftScanBuilder.keyBounds(dcol, filters)
-          if (lo.isEmpty && hi.isEmpty) fs
-          else {
-            val loB = lo.map(KeyBytes.fromAny)
-            val hiB = hi.map(KeyBytes.fromAny)
-            val ranged = ranges.map(_.file).toSet
+          val envPass =
+            if (lo.isEmpty && hi.isEmpty) fs
+            else {
+              val loB = lo.map(KeyBytes.fromAny)
+              val hiB = hi.map(KeyBytes.fromAny)
+              val keep = ranges.collect {
+                case r if hiB.forall(h => KeyBytes.compare(r.minBytes, h) <= 0) &&
+                          loB.forall(l => KeyBytes.compare(r.maxBytes, l) >= 0) =>
+                  r.file
+              }.toSet
+              fs.filter(f => !ranged(f) || keep(f))
+            }
+          // a scattered static IN on the dim gets the same point-set
+          // prune as the key (its envelope spans the dim space)
+          filters.collect {
+            case In(c, vs) if c == dcol && vs.nonEmpty && !vs.contains(null) =>
+              vs.toSeq
+          }.foldLeft(envPass) { (acc, vs) =>
+            val pts = vs.map(KeyBytes.fromAny).sorted(KeyBytes.ordering).toArray
+            def anyIn(mnB: Array[Byte], mxB: Array[Byte]): Boolean = {
+              var l = 0; var h = pts.length - 1; var ans = -1
+              while (l <= h) {
+                val mid = (l + h) >>> 1
+                if (KeyBytes.compare(pts(mid), mnB) >= 0) { ans = mid; h = mid - 1 }
+                else l = mid + 1
+              }
+              ans >= 0 && KeyBytes.compare(pts(ans), mxB) <= 0
+            }
             val keep = ranges.collect {
-              case r if hiB.forall(h => KeyBytes.compare(r.minBytes, h) <= 0) &&
-                        loB.forall(l => KeyBytes.compare(r.maxBytes, l) >= 0) =>
-                r.file
+              case r if anyIn(r.minBytes, r.maxBytes) => r.file
             }.toSet
-            fs.filter(f => !ranged(f) || keep(f))
+            acc.filter(f => !ranged(f) || keep(f))
           }
       }
       val limited = limitFiles match {

@@ -272,6 +272,13 @@ class GraftSourceSpec extends SparkSpec {
     val prunedStatic = GraftSource.lastScanFiles.size
     assert(prunedStatic < full, s"static dim prune: $prunedStatic vs $full")
 
+    // STATIC scattered IN on the dim: the envelope [0, 7] would keep
+    // every file — the point-set prune keeps only the two holders
+    val ends = df.where(col("region").isin(0L, 7L)).collect()
+    assert(ends.length === 1000)
+    val prunedIn = GraftSource.lastScanFiles.size
+    assert(prunedIn < full, s"static dim IN prune: $prunedIn vs $full")
+
     // RUNTIME: a star join on the dim column — the broadcast side's keys
     // reach the scan at execution time and prune via the dim zone map
     val ddir = java.nio.file.Files.createTempDirectory("graft-dims-d").toString
