@@ -385,18 +385,24 @@ object Bench {
     //      full compact pays the whole table every time ----
     try {
       val root = s"$workDir/rc-table"
-      val li = Tables.lineitem(spark, sfDir)
+      // ×8 volume (~600 MB): at the bare sf0.1 table both arms were
+      // fixed-cost-floored (~0.22 s each); the claim is byte scaling —
+      // the scoped fold splices the range's bytes, the full compact the
+      // whole table's
+      val li0 = Tables.lineitem(spark, sfDir)
+      val li = (0 until 8).map(r => li0.withColumn("rep", lit(r)))
+        .reduce(_ unionByName _)
         .withColumn("li_key", monotonically_increasing_id())
       GraftTable.create(li, root, "li_key", numFiles = 64)
       val t = GraftTable(spark, root, "li_key")
       val base0 = spark.read.parquet(s"$root/base")
       val thr = base0.stat.approxQuantile("li_key", Array(0.1), 0.001).head.toLong
-      t.compactRange(0L, thr, 16L << 20)                    // warm
-      t.compact(16L << 20)                                  // warm
+      t.compactRange(0L, thr, 32L << 20)                    // warm
+      t.compact(32L << 20)                                  // warm
       results("compact_range_10pct") = (1 to 2).map(_ =>
-        time(t.compactRange(0L, thr, 16L << 20))).min
+        time(t.compactRange(0L, thr, 32L << 20))).min
       results("compact_full") = (1 to 2).map(_ =>
-        time(t.compact(16L << 20))).min
+        time(t.compact(32L << 20))).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench] compact-range experiment failed: ${e.getMessage}")
     }

@@ -535,6 +535,40 @@ object Similarity {
     (cents, books)
   }
 
+  /** INCREMENTAL maintenance of a persisted [[ivfPqIndexTable]]: encode
+    * the arriving vectors against the EXISTING codebooks (map-side
+    * broadcast argmins, zero shuffle) and upsert them as an ordinary
+    * graft CoW merge — per-ingest cost ∝ batch + the dirty index files
+    * its cells route to, never the index. Re-ingesting a vector id
+    * replaces its codes (the (cid, id) key), so upstream retries are
+    * idempotent; deletes flow through the same merge (`op = delete`
+    * rows). Centroids and codebooks stay FIXED — the standard serving
+    * trade (FAISS add_with_ids): quantization error drifts as the
+    * distribution moves, and the remedy is a rebuild, not per-batch
+    * retraining. Returns the new index version. */
+  def ivfPqIndexIngest(spark: SparkSession, indexRoot: String,
+                       newVecs: DataFrame,
+                       cents: Seq[(Long, Seq[Float])],
+                       books: Seq[Seq[(Long, Seq[Float])]],
+                       vecCol: String, idCol: String, dim: Int,
+                       native: Boolean = false): Long = {
+    val m = books.size
+    val sub = dim / m
+    val codesArr = array((0 until m).map(j =>
+      nearestCentroidCol(spark, slice(col(vecCol), j * sub + 1, sub),
+        books(j))): _*)
+    val packed = native && books.forall(_.size <= 256)
+    val rows = newVecs.select(
+      nearestCentroidCol(spark, col(vecCol), cents).as("cid"),
+      col(idCol).as("id"),
+      (if (packed) org.apache.spark.sql.classic.GraftShims.column(
+        graft.plans.PqPackCodes(
+          org.apache.spark.sql.classic.GraftShims.expression(codesArr)))
+       else codesArr).as("codes"),
+      lit("upsert").as("op"))
+    graft.GraftTable(spark, indexRoot, "cid").commit(rows)
+  }
+
   /** Serve IVF-PQ queries against a PERSISTED [[ivfPqIndexTable]]: the
     * probed cell set (queries × nProbe cell ids — driver-tiny) becomes
     * an `IN` filter on the graft read, which the V2 scan pushes into

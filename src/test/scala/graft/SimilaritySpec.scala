@@ -304,6 +304,41 @@ class SimilaritySpec extends SparkSpec {
       "file-pruned serving must rank exactly like the full-scan form")
   }
 
+  test("IVF-PQ incremental ingest: new vectors upsert into the persisted index and are served") {
+    graft.plans.PqAdcScore.register(spark)
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-ing").toString + "/idx"
+    // seed the index WITHOUT one known vector, then ingest it
+    val held = embs.where(col("vec_id") === 7L)
+    val seedCorpus = embs.where(col("vec_id") =!= 7L)
+    val (cents, books) = Similarity.ivfPqIndexTable(spark, seedCorpus, root,
+      "embedding", "vec_id", dim = 64, nCentroids = 16, numFiles = 8,
+      native = true)
+    val before = spark.read.format("graft").load(root).count()
+    // a near-clone of vector 7 queries the index: before the ingest the
+    // true best match is absent; after, it must surface at rank 1
+    val q = held.select(col("vec_id") + 1000000L as "vec_id",
+      expr("transform(embedding, x -> x + cast(0.001 as float))") as "embedding")
+    val v = Similarity.ivfPqIndexIngest(spark, root, held,
+      cents, books, "embedding", "vec_id", dim = 64, native = true)
+    val after = spark.read.format("graft").load(root)
+    assert(after.count() === before + 1)
+    assert(after.where(col("id") === 7L).count() === 1)
+    val got = Similarity.ivfPqTopKGraft(spark, root,
+      embs.select(col("vec_id"), col("embedding")).unionByName(q), q,
+      cents, books, "embedding", "vec_id", k = 5, dim = 64, nProbe = 4,
+      rerank = 20, native = true).collect()
+    assert(got.nonEmpty)
+    assert(got.minBy(_.getInt(3)).getLong(1) === 7L,
+      s"the ingested vector must serve at rank 1: ${got.mkString(", ")}")
+    // idempotent re-ingest: same ids, same codes — row count unchanged
+    Similarity.ivfPqIndexIngest(spark, root, held,
+      cents, books, "embedding", "vec_id", dim = 64, native = true)
+    assert(spark.read.format("graft").load(root).count() === before + 1)
+    assert(v >= 0L)
+  }
+
   test("multi-probe LSH recall dominates single-probe at the same bits") {
     val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
     val single = meanRecall(topkMap(
