@@ -99,7 +99,7 @@ object BenchScale {
           t.merge(bFull, snapshotDir = Some(s"$workDir/v-full-$i"))))
       val samples = scala.collection.mutable.Map(
         points.map(_._1 -> Vector.empty[Double]): _*)
-      for (i <- 1 to 3; (name, run) <- points) {
+      for (i <- 1 to 5; (name, run) <- points) {
         samples(name) = samples(name) :+ time(run(i))
         // merge snapshots of a 2+ GB table pile up fast — drop each
         // round's outputs (untimed) so the sandbox disk survives
@@ -113,6 +113,14 @@ object BenchScale {
       }
       points.foreach { case (name, _) =>
         results(name) = median(samples(name)) }
+      // drift-canceled ratio points, the Bench discipline: the median of
+      // PER-ROUND ratios is immune to host-speed phases between rounds
+      def ratioOf(num: String, den: String): Double = median(
+        samples(num).zip(samples(den)).map { case (a, b) => a / b })
+      results("merge_ratio_full_over_10pct") =
+        ratioOf("merge_full_rewrite", "merge_10pct_dirty")
+      results("merge_ratio_full_over_50pct") =
+        ratioOf("merge_full_rewrite", "merge_50pct_dirty")
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] merge experiment failed: ${e.getMessage}")
     }
