@@ -196,7 +196,11 @@ final class GraftTable private (val spark: SparkSession, val root: String,
 
   /** `ALTER TABLE ... ALTER COLUMN name TYPE wider` as a METADATA-ONLY
     * commit, for the WIDENING-safe pairs only (byte→short→int→long,
-    * float→double, byte/short/int→double): the manifest schema takes the
+    * float→double, byte/short/int→double, decimal(p,s)→decimal(p',s')
+    * with s'≥s and p'−s'≥p−s — precision growth, and scale growth backed
+    * by the readers' lossless 10^(s'−s) rescale — plus
+    * byte/short/int→decimal with ≥10 integer digits, long→decimal with
+    * ≥20, and date→timestamp_ntz): the manifest schema takes the
     * wide type and existing files keep their narrow physical bytes —
     * Spark's parquet readers upcast narrow physicals to the requested
     * wider type (the Delta type-widening mechanic), CoW rewrites write
@@ -228,17 +232,37 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       .getOrElse(throw new IllegalArgumentException(
         s"column $name does not exist " +
           schema.fieldNames.mkString("(have: ", ", ", ")")))
-    val wideningSafe: Set[(DataType, DataType)] = Set(
-      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
-      (ShortType, IntegerType), (ShortType, LongType),
-      (IntegerType, LongType), (FloatType, DoubleType),
-      (ByteType, DoubleType), (ShortType, DoubleType),
-      (IntegerType, DoubleType))
-    require(wideningSafe((field.dataType, newType)),
+    // the matrix is exactly what Spark 4's parquet readers upcast from
+    // committed narrow physicals (ParquetVectorUpdaterFactory /
+    // ParquetRowConverter): integral/float promotion, decimal growth
+    // where the scale never shrinks and the INTEGER digits never shrink
+    // (p-s, the reader's isDecimalTypeMatched rule — values rescale by
+    // 10^(s'-s) losslessly), integrals into a decimal wide enough for
+    // their full range (int needs >=10 integer digits, long >=20), and
+    // date into the day-start timestamp without a zone
+    def wideningSafe(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType)            => true
+      case (IntegerType, LongType | DoubleType)                        => true
+      case (FloatType, DoubleType)                                     => true
+      case (d: DecimalType, d2: DecimalType) =>
+        (d2.precision != d.precision || d2.scale != d.scale) &&
+          d2.scale >= d.scale &&
+          (d2.precision - d2.scale) >= (d.precision - d.scale)
+      case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+        d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (DateType, TimestampNTZType)        => true
+      case _                                   => false
+    }
+    require(wideningSafe(field.dataType, newType),
       s"cannot retype ${field.name} ${field.dataType.simpleString} -> " +
         s"${newType.simpleString}: only widening-safe pairs " +
-        "(byte->short->int->long, float->double, byte/short/int->double) " +
-        "are readable from committed files without a rewrite")
+        "(byte->short->int->long, float->double, byte/short/int->double, " +
+        "decimal growth keeping scale and integer digits, " +
+        "byte/short/int->decimal(>=10 int digits), long->decimal(>=20), " +
+        "date->timestamp_ntz) are readable from committed files without " +
+        "a rewrite")
     val widened = org.apache.spark.sql.types.StructType(
       schema.fields.map(f =>
         if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f))

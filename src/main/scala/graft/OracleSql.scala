@@ -1510,6 +1510,22 @@ object OracleSql {
     // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
     // pinned to 1 proves the metadata-only type change (zero-file ALTER
     // version, wide current schema, narrow time-travel schema)
+    // q127: decimal widening — recompute the widened-scale arithmetic in
+    // DuckDB decimals (integer-derived values, no double rounding);
+    // sums compared as scale-4 strings, widen_ok pinned 1
+    "q127_widen_decimal" -> """
+      SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CASE WHEN c_custkey % 11 = 0
+               THEN CAST(CAST(c_custkey % 100000 + 0.25 AS DECIMAL(9,2))
+                      AS DECIMAL(22,4))
+                    + CAST('100000000000.1234' AS DECIMAL(22,4))
+               ELSE CAST(CAST(c_custkey % 100000 + 0.25 AS DECIMAL(9,2))
+                      AS DECIMAL(22,4)) END) AS DECIMAL(32,4)) AS VARCHAR)
+               AS bal_sum,
+             CAST(1 AS INT) AS widen_ok
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "q123_widen_type" -> """
       SELECT c_mktsegment AS seg,
              CAST(count(*) AS BIGINT) AS n,

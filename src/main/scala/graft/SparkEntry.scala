@@ -2180,6 +2180,57 @@ object SparkEntry {
       FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
   }
 
+  /** DECIMAL widening through the same metadata-only ALTER COLUMN TYPE
+    * surface as q123 ([[GraftTable.alterColumnType]]): DECIMAL(9,2) is
+    * int32-physical on disk, the widened DECIMAL(22,4) request makes
+    * Spark's parquet readers upcast AND rescale (×100) the narrow
+    * physicals on read — so precision growth and scale growth are both
+    * one manifest commit at any table size, and a value 13 digits past
+    * the old range is immediately writable. The decimal values derive
+    * from integers (k % 100000 + 0.25) so the oracle reproduces them
+    * bit-exactly without double→decimal rounding ambiguity; sums emit
+    * as strings (both engines render scale-4 decimals identically).
+    * `widen_ok` pins: the ALTER version owns zero data files, the
+    * current schema carries DECIMAL(22,4), time travel to v0 still
+    * shows DECIMAL(9,2). */
+  def q127_widen_decimal(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q127-wh").toString
+    val cat = "gq127_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q127_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.wd (c_custkey BIGINT, bal DECIMAL(9,2),
+              seg STRING) USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.wd
+              SELECT c_custkey, CAST(c_custkey % 100000 + 0.25 AS DECIMAL(9,2)),
+                     c_mktsegment
+              FROM q127_cust_src""")                              // v0
+    s.sql(s"ALTER TABLE $cat.ns.wd ALTER COLUMN bal TYPE DECIMAL(22,4)") // v1
+    s.sql(s"""UPDATE $cat.ns.wd
+              SET bal = bal + CAST('100000000000.1234' AS DECIMAL(22,4))
+              WHERE c_custkey % 11 = 0""")                        // v2
+    val alterDir = s"$wh/ns/wd/v1"
+    val alterOwns = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(alterDir))
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    import org.apache.spark.sql.types._
+    val widenOk =
+      if (s.sql(s"SELECT * FROM $cat.ns.wd").schema("bal").dataType ==
+            DecimalType(22, 4) &&
+          s.sql(s"SELECT * FROM $cat.ns.wd VERSION AS OF 0")
+            .schema("bal").dataType == DecimalType(9, 2) &&
+          alterOwns == 0) 1 else 0
+    s.sql(s"""
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(bal) AS DECIMAL(32,4)) AS STRING) AS bal_sum,
+             CAST($widenOk AS INT) AS widen_ok
+      FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
+  }
+
   /** The training-corpus pipeline END TO END, composed from the engine's
     * own stages: quality gate (token count), exact content dedup
     * (keep-first by normalized fingerprint), eval-set decontamination
@@ -2800,6 +2851,7 @@ object SparkEntry {
     "q124_ivfpq_ann" -> (q124_ivfpq_ann _),
     "q125_compact_range" -> (q125_compact_range _),
     "q126_stream_dedup" -> (q126_stream_dedup _),
+    "q127_widen_decimal" -> (q127_widen_decimal _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

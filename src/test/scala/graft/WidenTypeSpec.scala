@@ -148,6 +148,90 @@ class WidenTypeSpec extends SparkSpec {
       (0L until 100L).sum - 9 + 3000000000L)
   }
 
+  test("decimal widening: precision growth, scale growth rescales, both reader paths") {
+    val root = freshRoot()
+    // DECIMAL(9,2) is int32-physical on disk — the narrowest bucket
+    val df = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") + lit(0.25)).cast(DecimalType(9, 2)).as("amt"))
+    val t = GraftTable.create(df, root, "k", numFiles = 4)
+    val v1 = t.alterColumnType("amt", DecimalType(18, 2))  // int64 request
+    val v2 = t.alterColumnType("amt", DecimalType(22, 4))  // binary request, scale +2
+    assert(MutableParquetTable.manifestWidened(s"$root/v$v2") === Seq("amt"))
+    Seq(v1, v2).foreach { v =>
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/v$v"))
+      val n = try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+      assert(n === 0, s"ALTER TYPE version v$v must own zero data files")
+    }
+    val now = t.read()
+    assert(now.schema("amt").dataType === DecimalType(22, 4))
+    // int32-physical decimals upcast and rescale (0.25 -> 0.2500) on read
+    val got5 = now.where(col("k") === 5L).head().getDecimal(1)
+    assert(got5.compareTo(new java.math.BigDecimal("5.2500")) === 0,
+      s"vectorized upcast+rescale, got $got5")
+    // the row-converter path must agree (nested/fallback reads)
+    withSQLConf("spark.sql.parquet.enableVectorizedReader" -> "false") {
+      val g = t.read().where(col("k") === 5L).head().getDecimal(1)
+      assert(g.compareTo(new java.math.BigDecimal("5.2500")) === 0,
+        s"row-converter upcast+rescale, got $g")
+    }
+    // a value beyond DECIMAL(9,2)'s range is now writable
+    val big = new java.math.BigDecimal("123456789012345678.1234")
+    t.commit(spark.sql(
+      s"SELECT 9L AS k, CAST('$big' AS DECIMAL(22,4)) AS amt, 'upsert' AS op"))
+    val total = t.read().agg(sum(col("amt"))).head().getDecimal(0)
+    val expect = new java.math.BigDecimal(
+      (0 until 100).filter(_ != 9).map(i => BigDecimal(i) + 0.25).sum
+        .toString()).add(big)
+    assert(total.compareTo(expect) === 0, s"mixed-physical sum, got $total")
+    // time travel shows each version's own type (create committed `base`)
+    assert(MutableParquetTable.readCommitted(spark, s"$root/base")
+      .schema("amt").dataType === DecimalType(9, 2))
+  }
+
+  test("int->decimal and date->timestamp_ntz widen; range/scale guards refuse") {
+    val root = freshRoot()
+    val df = spark.range(0, 50).select(col("id").as("k"),
+      col("id").cast("int").as("cnt"),
+      expr("date_add(DATE'2024-01-01', CAST(id AS INT))").as("d"))
+    val t = GraftTable.create(df, root, "k", numFiles = 2)
+    // int needs >= 10 integer digits in the target
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("cnt", DecimalType(9, 0)) }
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("cnt", DecimalType(11, 2)) }  // 9 int digits
+    t.alterColumnType("cnt", DecimalType(12, 2))
+    t.alterColumnType("d", TimestampNTZType)
+    val now = t.read()
+    assert(now.schema("cnt").dataType === DecimalType(12, 2))
+    assert(now.schema("d").dataType === TimestampNTZType)
+    val r = now.where(col("k") === 3L).head()
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("3.00")) === 0)
+    assert(r.getAs[java.time.LocalDateTime]("d") ===
+      java.time.LocalDateTime.of(2024, 1, 4, 0, 0), "day-start upcast")
+    withSQLConf("spark.sql.parquet.enableVectorizedReader" -> "false") {
+      val r2 = t.read().where(col("k") === 3L).head()
+      assert(r2.getDecimal(1).compareTo(new java.math.BigDecimal("3.00")) === 0)
+      assert(r2.getAs[java.time.LocalDateTime]("d") ===
+        java.time.LocalDateTime.of(2024, 1, 4, 0, 0))
+    }
+    // decimal guards: scale shrink and integer-digit shrink refuse
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("cnt", DecimalType(12, 1)) }  // scale shrink
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("cnt", DecimalType(12, 4)) }  // int digits 10 -> 8
+    // long->decimal needs >= 20 integer digits
+    val root2 = freshRoot()
+    val t2 = GraftTable.create(spark.range(0, 10)
+      .select(col("id").as("k"), col("id").as("v")), root2, "k", numFiles = 1)
+    intercept[IllegalArgumentException] {
+      t2.alterColumnType("v", DecimalType(19, 0)) }
+    t2.alterColumnType("v", DecimalType(22, 2))
+    assert(t2.read().where(col("k") === 7L).head().getDecimal(1)
+      .compareTo(new java.math.BigDecimal("7.00")) === 0)
+  }
+
   test("SQL surface: ALTER COLUMN TYPE, aggregation over mixed physicals, time travel") {
     val w = java.nio.file.Files.createTempDirectory("graft-widen-cat").toString
     spark.conf.set("spark.sql.catalog.wt",
