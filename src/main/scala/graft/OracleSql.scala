@@ -1598,6 +1598,7 @@ object OracleSql {
     "q45_ivf_topk" -> annTopKOracle,
     "q114_pq_ann" -> annTopKOracle,
     "q124_ivfpq_ann" -> annTopKOracle,
+    "q128_sq_ann" -> annTopKOracle,
 
     "q46_rolling_fingerprint" -> """
       WITH d AS (SELECT doc_id,

@@ -1716,6 +1716,25 @@ object SparkEntry {
     * 2 Lloyd iterations — the fixture's neighbors sit at noise-level
     * cosine, so recall needs a wide probe) composed with q114's PQ
     * codes + rerank. */
+  /** SQ8 scalar-quantized ANN ([[Similarity.sqTopK]]) in the shared
+    * q44/q45/q114 recall form: per-vector symmetric int8 codes packed to
+    * 1 byte/dim (4× fewer scan bytes than float32), scored by the fused
+    * native kernel ([[graft.plans.Sq8Cosine]] — the scale cancels in
+    * cosine so the bytes rank alone), exact rerank pins the scores.
+    * SQ8 is the high-fidelity middle rung of the quantized-serving
+    * ladder (float32 → SQ8 4× → PQ 32×): recall here clears the target
+    * with a far smaller rerank than PQ needs. */
+  def q128_sq_ann(s: SparkSession, dir: String): DataFrame = {
+    val embs = embeddings(s, dir)
+    graft.plans.Sq8Cosine.register(s)
+    val q = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, q, "embedding", "vec_id",
+      k = 10, native = true)
+    val ann = Similarity.sqTopK(s, embs, q, "embedding", "vec_id",
+      k = 10, rerank = 30, native = true)
+    annRecallForm(exact, ann, target = 0.6)
+  }
+
   def q124_ivfpq_ann(s: SparkSession, dir: String): DataFrame = {
     val embs = embeddings(s, dir)
     graft.plans.PqAdcScore.register(s)
@@ -2852,6 +2871,7 @@ object SparkEntry {
     "q125_compact_range" -> (q125_compact_range _),
     "q126_stream_dedup" -> (q126_stream_dedup _),
     "q127_widen_decimal" -> (q127_widen_decimal _),
+    "q128_sq_ann" -> (q128_sq_ann _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

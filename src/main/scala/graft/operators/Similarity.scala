@@ -375,6 +375,67 @@ object Similarity {
       rerankExact(adc, corpus, queries, vecCol, idCol, rerank), k)
   }
 
+  /** SQ8 scalar-quantized encoding of an embedding corpus: per-vector
+    * symmetric int8 codes ([[VectorFunctions.int8Quantize]] against
+    * [[VectorFunctions.int8Scale]]), packed to one signed byte per
+    * dimension under `native` ([[graft.plans.Sq8Pack]]) — the stored
+    * form is 4× smaller than float32 and ranks with near-exact
+    * fidelity. NO scale column is carried: symmetric quantization makes
+    * the scale cancel in cosine, so the code bytes alone rank
+    * ([[graft.plans.Sq8Cosine]]); exact scores come from the rerank
+    * pass against the raw corpus. Map-side only — one projection, zero
+    * shuffle at any corpus size. */
+  def sqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               native: Boolean = false): DataFrame = {
+    val codes = int8Quantize(col(vecCol), int8Scale(col(vecCol)))
+    corpus.select(col(idCol).as("id"),
+      (if (native) org.apache.spark.sql.classic.GraftShims.column(
+        graft.plans.Sq8Pack(
+          org.apache.spark.sql.classic.GraftShims.expression(codes)))
+       else codes).as("codes"))
+  }
+
+  /** Search an ALREADY-ENCODED SQ8 corpus — the serving path: the scan
+    * reads dim BYTES per row instead of 4·dim (the FAISS SQ8 trade:
+    * 4× fewer bytes at near-exact ranking fidelity — the high-fidelity
+    * middle rung between raw floats and PQ's 32×-but-codebook-coarse
+    * codes). Plan shape matches [[bruteForceTopK]]: broadcast queries,
+    * one map-side scored pass over the code column, bounded-heap top-k —
+    * no shuffle of the corpus. `rerank > 0` re-scores the top
+    * candidates with exact cosine against the raw vectors (broadcast
+    * semi-join), making returned scores exact while recall stays
+    * SQ8-approximate. */
+  def sqTopKEncoded(spark: SparkSession, codes: DataFrame,
+                    corpus: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String, k: Int,
+                    rerank: Int = 0, native: Boolean = false): DataFrame = {
+    require(native ||
+        codes.schema("codes").dataType !=
+          org.apache.spark.sql.types.BinaryType,
+      "packed (binary) SQ8 codes require the native kernel " +
+        "(native = true; register graft.plans.Sq8Cosine first)")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"))
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        (if (native) call_function(graft.plans.Sq8Cosine.name,
+          col("codes"), col("query_vec"))
+         else cosine(col("codes"), col("query_vec"))).as("cosine"))
+    if (rerank <= 0) topKPerQuery(scored, k)
+    else topKPerQuery(
+      rerankExact(scored, corpus, queries, vecCol, idCol, rerank), k)
+  }
+
+  /** [[sqEncode]] + [[sqTopKEncoded]] in one call — build-and-search for
+    * tests and one-shot jobs; a real deployment persists the encoded
+    * table once and serves every query load from it. */
+  def sqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int, rerank: Int = 0,
+             native: Boolean = false): DataFrame =
+    sqTopKEncoded(spark, sqEncode(corpus, vecCol, idCol, native), corpus,
+      queries, vecCol, idCol, k, rerank, native)
+
   /** Per-query ADC lookup table: ip[j·ksub + cid] = ⟨q_j, centroid⟩ and
     * cn[...] = ‖centroid‖², flattened in (j, cid) order so the scan side
     * indexes by arithmetic; plus the query norm. m·ksub entries per

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Pack symmetric-int8 quantization codes (array<int>, each in
+  * [-128, 127] — [[graft.functions.VectorFunctions.int8Quantize]]'s
+  * output) into one signed byte per dimension: the STORED form of an
+  * SQ8-quantized embedding column. dim floats (4·dim bytes) become dim
+  * bytes — a 4× scan-byte reduction with near-exact ranking fidelity,
+  * the FAISS `SQ8` storage trade (PQ compresses 32×, but its ranking is
+  * codebook-approximate; SQ8 is the high-fidelity middle rung).
+  * Out-of-range codes yield NULL (malformed input, not silent wrap). */
+case class Sq8Pack(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_sq8_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = a.getInt(i)
+      if (c < -128 || c > 127) return null
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        byte[] $out = new byte[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          int $c = $a.getInt($i);
+          if ($c < -128 || $c > 127) { ${ev.isNull} = true; break; }
+          $out[$i] = (byte) $c;
+        }
+        if (!${ev.isNull}) { ${ev.value} = $out; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Pack =
+    copy(child = newChild)
+}
+
+/** Cosine between a PACKED SQ8 code vector (binary, signed bytes) and a
+  * float query vector, fused in one codegen'd loop — the asymmetric
+  * scoring kernel of SQ8 ANN search. With per-vector SYMMETRIC
+  * quantization (code = round(x·127/scale)) the scale factor cancels in
+  * the cosine, so the stored codes rank WITHOUT carrying the scale:
+  * cos(x̂, q) = Σc·q / (‖c‖·‖q‖). Length mismatch yields NULL (the
+  * malformed-row discipline of [[CentroidExpressions]]); a zero-norm
+  * side yields 0.0, matching [[CosineSimilarity]] exactly. */
+case class Sq8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def floats(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (left.dataType == BinaryType && floats(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, array<float>), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = Sq8Cosine.name
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val q = b.asInstanceOf[ArrayData]
+    if (codes.length != q.numElements()) return null
+    var dot = 0.0; var nc = 0.0; var nq = 0.0
+    var i = 0
+    while (i < codes.length) {
+      val c = codes(i).toDouble
+      val x = q.getFloat(i).toDouble
+      dot += c * x; nc += c * c; nq += x * x
+      i += 1
+    }
+    val denom = math.sqrt(nc) * math.sqrt(nq)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nc = ctx.freshName("nc")
+      val nq = ctx.freshName("nq")
+      val denom = ctx.freshName("denom")
+      s"""
+        if ($l.length != $r.numElements()) { ${ev.isNull} = true; }
+        else {
+          double $dot = 0.0; double $nc = 0.0; double $nq = 0.0;
+          for (int $i = 0; $i < $l.length; $i++) {
+            double c = (double) $l[$i];
+            double x = (double) $r.getFloat($i);
+            $dot += c * x; $nc += c * c; $nq += x * x;
+          }
+          double $denom = java.lang.Math.sqrt($nc) * java.lang.Math.sqrt($nq);
+          ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Cosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Cosine {
+  val name = "graft_sq8_cosine"
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[Sq8Cosine].getName, name)
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$name expects 2 arguments")
+    Sq8Cosine(children.head, children(1))
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -133,6 +133,60 @@ class SimilaritySpec extends SparkSpec {
     rs.sum / rs.size
   }
 
+  test("SQ8 search: packed native ≡ HOF ranking bit-exactly, near-exact recall, rerank exact") {
+    graft.plans.Sq8Cosine.register(spark)
+    val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10))
+    val hof = Similarity.sqTopK(spark, embs, queries, "embedding", "vec_id", 10)
+    val nat = Similarity.sqTopK(spark, embs, queries, "embedding", "vec_id", 10,
+      native = true)
+    // the packed binary scan and the array-HOF fallback are the same
+    // double math in the same order — identical ranking AND scores
+    assert(topkMap(nat) === topkMap(hof))
+    val sHof = hof.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sNat = nat.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sHof.foreach { case (k, v) => assert(math.abs(sNat(k) - v) < 1e-12) }
+    // symmetric int8 codes rank near-exactly (the SQ8 fidelity claim)
+    assert(meanRecall(topkMap(nat), exact) >= 0.8,
+      s"SQ8 recall ${meanRecall(topkMap(nat), exact)}")
+    // rerank recovers exact cosines: rank-1 matches brute force exactly
+    val rr = Similarity.sqTopK(spark, embs, queries, "embedding", "vec_id", 10,
+      rerank = 30, native = true)
+    assert(meanRecall(topkMap(rr), exact) >= 0.9,
+      s"SQ8+rerank recall ${meanRecall(topkMap(rr), exact)}")
+    val exactScores = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exactScores.get(k).foreach(e => assert(math.abs(r.getDouble(2) - e) < 1e-12,
+        s"reranked score must be exact at $k"))
+    }
+    // the stored form really is 1 byte per dimension
+    val packed = Similarity.sqEncode(embs, "embedding", "vec_id", native = true)
+    assert(packed.select(length(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(64))
+  }
+
+  test("SQ8 degenerate vectors: zero norm scores 0, length mismatch drops, range guard") {
+    val s = spark; import s.implicits._
+    graft.plans.Sq8Cosine.register(spark)
+    val v = (0 until 8).map(i => (i * 0.3).toFloat).toArray
+    val zero = Array.fill(8)(0f)
+    val short = Array.fill(4)(1f)
+    val df = Seq((1L, v), (2L, zero), (3L, short)).toDF("vec_id", "embedding")
+    val got = Similarity.sqTopK(spark, df, df.where(col("vec_id") === 1),
+      "embedding", "vec_id", 5, native = true).collect()
+    // zero-norm corpus row scores 0.0 (ranked, never NaN); the
+    // length-mismatched row scores null and drops out
+    assert(got.map(_.getLong(1)).toSet === Set(2L))
+    assert(got.forall(r => !r.getDouble(2).isNaN))
+    // Sq8Pack refuses out-of-range codes rather than wrapping
+    val bad = Seq((1L, Array(200))).toDF("vec_id", "codes")
+      .select(org.apache.spark.sql.classic.GraftShims.column(
+        graft.plans.Sq8Pack(org.apache.spark.sql.classic.GraftShims.expression(
+          col("codes")))).as("p"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("PQ ADC search: compressed codes rank usefully; rerank recovers exact scores") {
     val exact = topkMap(Similarity.bruteForceTopK(embs, queries, "embedding",
       "vec_id", 10))
