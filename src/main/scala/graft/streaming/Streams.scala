@@ -213,4 +213,41 @@ object Streams {
         }
       }
       .start()
+
+  /** CONTINUOUS ANN-index maintenance: each micro-batch of arriving
+    * embeddings is encoded against the FIXED codebooks (map-side
+    * broadcast argmins, zero shuffle) and upserted into a persisted
+    * [[graft.operators.Similarity.ivfPqIndexTable]] — per-epoch cost ∝
+    * batch + the dirty index files its cells route to, never the index,
+    * so freshly-arrived vectors are servable by
+    * [[graft.operators.Similarity.ivfPqTopKGraft]] one CoW commit after
+    * they land. This is the ingest half of a streaming vector-search
+    * deployment; codebooks stay fixed (the FAISS add_with_ids trade —
+    * drift is remedied by rebuild, not per-batch retraining).
+    *
+    * Delivery contract: EFFECTIVELY-ONCE on the index. A crashed epoch
+    * re-executes under foreachBatch, and the re-ingest upserts the same
+    * (cid, id) keys with the same codes — byte-identical index state, no
+    * duplicate rows. `onCommit(version, epoch)` fires per non-empty
+    * epoch (index version published, e.g. to trigger a serving-side
+    * refresh or a compaction policy). */
+  def annIndexSink(vecs: DataFrame, indexRoot: String,
+                   cents: Seq[(Long, Seq[Float])],
+                   books: Seq[Seq[(Long, Seq[Float])]],
+                   vecCol: String, idCol: String, dim: Int,
+                   checkpoint: String, native: Boolean = false)
+                  (onCommit: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // an empty trigger must not commit an empty index version
+        if (!batch.isEmpty) {
+          val v = graft.operators.Similarity.ivfPqIndexIngest(
+            batch.sparkSession, indexRoot, batch, cents, books,
+            vecCol, idCol, dim, native)
+          onCommit(v, epoch)
+        }
+      }
+      .start()
 }

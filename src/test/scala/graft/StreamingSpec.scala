@@ -266,6 +266,56 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.CdcMergeSink.versions(s"$work/idx").nonEmpty)
   }
 
+  test("streaming ANN index sink: per-epoch CoW ingest, new vectors servable, replay idempotent") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-anns").toString
+    val embs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // seed the index WITHOUT two known vectors, then stream them in
+    val seed = embs.where(!col("vec_id").isin(7L, 8L))
+    val (cents, books) = graft.operators.Similarity.ivfPqIndexTable(
+      spark, seed, s"$work/idx", "embedding", "vec_id", dim = 64,
+      nCentroids = 16, numFiles = 8)
+    val before = spark.read.format("graft").load(s"$work/idx").count()
+    val held = embs.where(col("vec_id").isin(7L, 8L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val commits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.annIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), s"$work/idx", cents, books,
+      "embedding", "vec_id", dim = 64, checkpoint = s"$work/cp") {
+      (v, e) => commits.synchronized { commits += ((v, e)) }
+    }
+    try {
+      in.addData(held(0)) // epoch 0: vector 7
+      q.processAllAvailable()
+      in.addData(held(1)) // epoch 1: vector 8
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(commits.size === 2, s"one index commit per non-empty epoch: $commits")
+    assert(commits.map(_._1).distinct.size === 2, "distinct index versions")
+    val after = spark.read.format("graft").load(s"$work/idx")
+    assert(after.count() === before + 2)
+    assert(after.where(col("id").isin(7L, 8L)).count() === 2)
+    // a near-clone of vector 7 must now serve it at rank 1
+    val probe = embs.where(col("vec_id") === 7L)
+      .select(col("vec_id") + 1000000L as "vec_id",
+        expr("transform(embedding, x -> x + cast(0.001 as float))") as "embedding")
+    val got = graft.operators.Similarity.ivfPqTopKGraft(spark, s"$work/idx",
+      embs.unionByName(probe), probe, cents, books, "embedding", "vec_id",
+      k = 5, dim = 64, nProbe = 4, rerank = 20).collect()
+    assert(got.nonEmpty)
+    assert(got.minBy(_.getInt(3)).getLong(1) === 7L,
+      s"streamed vector must serve at rank 1: ${got.mkString(", ")}")
+    // replayed epoch (same rows re-ingested) is byte-idempotent on the index
+    graft.operators.Similarity.ivfPqIndexIngest(spark, s"$work/idx",
+      spark.createDataFrame(held.toSeq).toDF("vec_id", "embedding"),
+      cents, books, "embedding", "vec_id", dim = 64)
+    assert(spark.read.format("graft").load(s"$work/idx").count() === before + 2)
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
