@@ -615,6 +615,31 @@ object Bench {
       System.err.println(s"[bench] pq experiment failed: ${e.getMessage}")
     }
 
+    // ---- SQ8 (scalar-quantization) serving: the 4×-fewer-bytes middle
+    //      rung — packed 1-byte/dim codes scored by the fused kernel.
+    //      sq_scan_native (rerank=0) is the apples-to-apples per-pair
+    //      cost against cosine_topk_native (byte loads vs float mults);
+    //      sq_search_native is the shipped path (rerank pins scores) ----
+    try {
+      graft.plans.Sq8Cosine.register(spark)
+      val e = Tables.embeddings(spark, sfDir)
+      val q = e.where(col("vec_id") < 200)
+      val sqDir = s"$workDir/sq-codes"
+      results("sq_encode") = time {
+        Similarity.sqEncode(e, "embedding", "vec_id", native = true)
+          .write.parquet(sqDir)
+      }
+      val codes = spark.read.parquet(sqDir)
+      def sqSearch(rerank: Int) = runToNoop(Similarity.sqTopKEncoded(
+        spark, codes, e, q, "embedding", "vec_id", k = 10, rerank = rerank,
+        native = true))
+      sqSearch(0); sqSearch(30) // warm
+      results("sq_scan_native") = (1 to 2).map(_ => time(sqSearch(0))).min
+      results("sq_search_native") = (1 to 2).map(_ => time(sqSearch(30))).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sq8 experiment failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // headline metric = the query battery; experiment entries (ingest,
     // merge scaling, cosine comparison, rowgroup sweep incl. _mb sizes)
