@@ -1510,6 +1510,19 @@ object OracleSql {
     // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
     // pinned to 1 proves the metadata-only type change (zero-file ALTER
     // version, wide current schema, narrow time-travel schema)
+    // q129: text normalization — identical dirt injected (DuckDB chr()
+    // is codepoint-based), then NFC + Cc/Cf strip + collapse + trim
+    // reproduced rule for rule
+    "q129_clean_text" -> """
+      WITH c AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(
+          nfc_normalize(chr(11) || ' ' || text || '  e' || chr(769) || ' '
+            || chr(1) || 'tail ' || chr(8203) || 'z'),
+          '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+        FROM documents)
+      SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_chars_clean
+      FROM c ORDER BY doc_id""",
+
     // q127: decimal widening — recompute the widened-scale arithmetic in
     // DuckDB decimals (integer-derived values, no double rounding);
     // sums compared as scale-4 strings, widen_ok pinned 1

@@ -2250,6 +2250,23 @@ object SparkEntry {
       FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
   }
 
+  /** Corpus text normalization ([[TextFunctions.cleanText]]): NFC
+    * composition (native codegen'd expression — Spark has none built
+    * in), control/format-character strip, whitespace collapse, trim —
+    * the standard pre-dedup cleaning stage. The fixture text is clean
+    * ASCII, so the query injects deterministic dirt (vertical tab,
+    * double spaces, a DECOMPOSED e+U+0301, an SOH control, a zero-width
+    * space) that both engines construct identically — the oracle then
+    * exercises every rule, not the identity path. Map-side only. */
+  def q129_clean_text(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.cleanText(concat(
+          lit("\u000b "), col("text"),
+          lit("  e\u0301 \u0001tail \u200bz"))).as("cleaned"))
+      .withColumn("n_chars_clean", length(col("cleaned")).cast("int"))
+      .orderBy(col("doc_id"))
+
   /** The training-corpus pipeline END TO END, composed from the engine's
     * own stages: quality gate (token count), exact content dedup
     * (keep-first by normalized fingerprint), eval-set decontamination
@@ -2872,6 +2889,7 @@ object SparkEntry {
     "q126_stream_dedup" -> (q126_stream_dedup _),
     "q127_widen_decimal" -> (q127_widen_decimal _),
     "q128_sq_ann" -> (q128_sq_ann _),
+    "q129_clean_text" -> (q129_clean_text _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode NFC canonical composition ([[graft.plans.NfcNormalize]],
+    * codegen'd, common-case zero-copy). Mixed composed/decomposed forms
+    * of visually identical text otherwise split dedup fingerprints and
+    * shingle sets silently. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.classic.GraftShims.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.classic.GraftShims.expression(text)))
+
+  /** Corpus text normalization — the standard pre-dedup cleaning stage:
+    * NFC-compose, replace control (Cc) and invisible format (Cf —
+    * zero-width spaces/joiners, BOM, bidi marks) characters with
+    * spaces, collapse whitespace runs (tabs/newlines included — this is
+    * the FLATTENING normalizer; line structure consumers run BEFORE
+    * it), trim. Deterministic, engine-portable (the oracle reproduces
+    * it in DuckDB), and idempotent — clean(clean(x)) == clean(x). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
+
   /** Whitespace tokenization; empty string → empty array. */
   def tokens(text: Column): Column = {
     val t = trim(text)

@@ -118,6 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(Sq8Cosine.name), Sq8Cosine.info,
         Sq8Cosine.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(NfcNormalize.name), NfcNormalize.info,
+        NfcNormalize.builder))
     // SQL DML (MERGE INTO / DELETE / UPDATE) on graft tables: post-hoc so
     // the statements arrive fully resolved (star actions expanded, all
     // expressions bound) before being compiled onto the CoW merge

@@ -19,6 +19,33 @@ class TextSpec extends SparkSpec {
     assert(one[Int](tokenCount(col("t")), "one") === 1)
   }
 
+  test("nfc composes decomposed forms; normalized input returns unchanged") {
+    // decomposed e + U+0301 composes to the single codepoint U+00E9
+    assert(one[String](nfc(col("t")), "cafe\u0301") === "caf\u00e9")
+    assert(one[String](nfc(col("t")), "caf\u00e9") === "caf\u00e9")
+    assert(one[String](nfc(col("t")), "plain ascii") === "plain ascii")
+    // composition changes LENGTH, not just bytes — the dedup-split hazard
+    val s = spark; import s.implicits._
+    assert(Seq(("cafe\u0301", "caf\u00e9")).toDF("a", "b")
+      .select((length(nfc(col("a"))) === length(nfc(col("b")))).as("eq"))
+      .head().getBoolean(0))
+  }
+
+  test("cleanText: control/format strip, whitespace collapse, trim, idempotent") {
+    assert(one[String](cleanText(col("t")),
+      " hello  world \u200b!") === "hello world !")
+    // tabs and newlines flatten (documented: this is the one-line form)
+    assert(one[String](cleanText(col("t")), "a\tb\nc\r\nd") === "a b c d")
+    // NFC runs before the strip, so decomposed accents survive composed
+    assert(one[String](cleanText(col("t")), " e\u0301 ") === "\u00e9")
+    // BOM / zero-width joiners (Cf) vanish into collapsed spaces
+    assert(one[String](cleanText(col("t")), "\ufeffa\u200dz") === "a z")
+    assert(one[String](cleanText(col("t")), "   ") === "")
+    assert(one[String](cleanText(col("t")), "") === "")
+    val once = one[String](cleanText(col("t")), " x  y\u200b")
+    assert(one[String](cleanText(col("t")), once) === once, "idempotent")
+  }
+
   test("shingles: k-grams of words, short docs collapse to one shingle") {
     assert(one[Seq[String]](shingles(col("t"), 2), "a b c") === Seq("a b", "b c"))
     assert(one[Seq[String]](shingles(col("t"), 5), "a b c") === Seq("a b c"))
