@@ -164,6 +164,12 @@ class SimilaritySpec extends SparkSpec {
     val packed = Similarity.sqEncode(embs, "embedding", "vec_id", native = true)
     assert(packed.select(length(col("codes"))).distinct().collect()
       .map(_.getInt(0)).toSeq === Seq(64))
+    // plan shape: queries broadcast, corpus never shuffled except the
+    // final bounded-heap top-k agg — and no per-query window
+    val plan = nat.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "no per-query window")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "queries must broadcast")
   }
 
   test("SQ8 degenerate vectors: zero norm scores 0, length mismatch drops, range guard") {
