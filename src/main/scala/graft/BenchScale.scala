@@ -218,6 +218,21 @@ object BenchScale {
         dim = 64, rerank = 50, native = true))
       search() // warm
       results("pq_search_native") = (1 to 2).map(_ => time(search())).min
+      // SQ8: the 4x rung on the same corpus/query load — scan cost should
+      // land between cosine_topk_native (4*dim bytes) and pq (m bytes)
+      graft.plans.Sq8Cosine.register(spark)
+      val sqDir = s"$workDir/sq-codes"
+      results("sq_encode") = time {
+        Similarity.sqEncode(e, "embedding", "vec_id", native = true)
+          .write.parquet(sqDir)
+      }
+      val sqCodes = spark.read.parquet(sqDir)
+      def sqSearch(rerank: Int) = runToNoop(Similarity.sqTopKEncoded(
+        spark, sqCodes, e, q, "embedding", "vec_id", k = 10, rerank = rerank,
+        native = true))
+      sqSearch(0); sqSearch(30) // warm
+      results("sq_scan_native") = (1 to 2).map(_ => time(sqSearch(0))).min
+      results("sq_search_native") = (1 to 2).map(_ => time(sqSearch(30))).min
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] ann experiment failed: ${e.getMessage}")
     }
