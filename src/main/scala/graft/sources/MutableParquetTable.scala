@@ -724,6 +724,14 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
       s"schema evolution (new columns ${extraCols.mkString(", ")}) needs " +
         "the file-level merge — the row-group splice keeps each file's " +
         "source schema byte-for-byte")
+    // the same whole-row upsert contract as merge(): a batch missing an
+    // existing table column would silently null it on replaced rows
+    val missingCols = tableSchema.fieldNames
+      .filterNot(batch.schema.fieldNames.contains)
+    require(missingCols.isEmpty,
+      s"batch lacks table columns ${missingCols.mkString(", ")} — " +
+        "upserts replace whole rows; project the missing columns " +
+        "explicitly (e.g. as nulls) if that is intended")
     // bucketed layouts rewrite whole buckets — row-group splicing would
     // break the file-bucket invariant; the file-level merge branches to
     // the bucketed path itself
@@ -800,7 +808,19 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           RowGroupCoW.rewriteFile(spark, f,
             s"$outDir/${fileName(f)}", key, slice, opCol, moreKeys)
         }}
-        Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+        try Await.result(Future.sequence(jobs),
+          scala.concurrent.duration.Duration.Inf)
+        catch {
+          case e: RowGroupCoW.SchemaBeyondFileException =>
+            // a dirty file's physical schema predates a column the batch
+            // carries (metadata ADD COLUMN / merge evolution left narrow
+            // files behind): the splice would silently drop its values —
+            // rewriteFile fail-fasts before writing, so discard the
+            // partial staging and run the file-level merge, which reads
+            // files logical and writes the full logical schema
+            MutableParquetTable.deleteDir(Paths.get(outDir))
+            return merge(batch, opCol, snapshotDir)
+        }
       } finally b.unpersist(false)
     }
 

@@ -48,6 +48,44 @@ final case class RowGroupRewrite(
   */
 object RowGroupCoW {
 
+  /** Thrown BEFORE any output is written when the mutation batch carries
+    * a column (top-level or nested struct field) the source file's
+    * physical schema lacks — a file predating a metadata-only
+    * `ADD COLUMN` or a merge schema evolution. The splice re-encodes
+    * dirty rows under the SOURCE schema ([[MergeOps.applyMutationsMulti]]
+    * projects to the base's columns), so proceeding would SILENTLY DROP
+    * the batch's values for that column. Callers fall back to the
+    * file-level merge, which reads files logical and writes the full
+    * logical schema. */
+  final class SchemaBeyondFileException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Batch fields (recursively, through plain struct groups) missing
+    * from the source parquet schema, as dotted paths. LIST/MAP-annotated
+    * groups are not descended — element-level evolution never happens
+    * through metadata ALTERs here, and a shape mismatch inside them
+    * fails the merge-run union loudly rather than silently. */
+  private[sources] def fieldsBeyondSource(
+      batch: org.apache.spark.sql.types.StructType,
+      src: org.apache.parquet.schema.GroupType): Seq[String] = {
+    def walk(prefix: String,
+             fields: Seq[org.apache.spark.sql.types.StructField],
+             grp: org.apache.parquet.schema.GroupType): Seq[String] =
+      fields.flatMap { f =>
+        grp.getFields.asScala.find(_.getName.equalsIgnoreCase(f.name)) match {
+          case None => Seq(prefix + f.name)
+          case Some(pt) => f.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if !pt.isPrimitive &&
+                  pt.asGroupType.getLogicalTypeAnnotation == null =>
+              walk(prefix + f.name + ".", st.fields.toSeq, pt.asGroupType)
+            case _ => Nil
+          }
+        }
+      }
+    walk("", batch.fields.toSeq, src)
+  }
+
   /** @param batch mutation rows: base schema + `opCol` in {upsert,delete};
     *              assumed routed/small relative to the file (its distinct
     *              keys are collected to classify row groups). */
@@ -97,6 +135,17 @@ object RowGroupCoW {
         (r.getFooter.getFileMetaData.getSchema, bs, stats.map(_._1), stats.map(_._2))
       } finally r.close()
     }
+
+    // refuse (loudly, before any writes) when the batch carries columns
+    // this file's physical schema lacks — the splice would re-encode
+    // dirty rows under the narrow source schema and silently drop them
+    val beyond = fieldsBeyondSource(batch.drop(opCol).schema, schema)
+    if (beyond.nonEmpty)
+      throw new SchemaBeyondFileException(
+        s"$srcFile predates columns ${beyond.mkString(", ")} carried by " +
+          "the batch (metadata ADD COLUMN / merge evolution) — the " +
+          "row-group splice writes under the file's source schema and " +
+          "would drop their values; use the file-level merge")
 
     // classify: route each batch key to the last group with min <= key
     val keys = batch.select(col(keyCol)).distinct()

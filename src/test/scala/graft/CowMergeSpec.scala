@@ -746,6 +746,47 @@ class CowMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("drift"), s"unexpected error: $e")
   }
 
+  test("fine-grained merge vs metadata ADD: narrow files fall back, values survive") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fgadd").toString
+    GraftTable.create(
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v")),
+      root, "k", numFiles = 4)
+    // metadata-only ADD COLUMN c: every data file stays physically narrow
+    graft.OptimisticCommit.commitSchema(root,
+      GraftTable(spark, root, "k").read().schema.add("c",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val latest = graft.streaming.CdcMergeSink.latestSnapshot(root)
+    val t = MutableParquetTable(spark, latest, "k")
+    // a batch CARRYING the new column must not lose its values to the
+    // row-group splice (which re-encodes under the narrow source
+    // schema): rewriteFile fail-fasts and the file-level merge runs
+    val r = t.mergeFineGrained(
+      Seq((5L, 55L, 77L, "upsert")).toDF("k", "v", "c", "op"))
+    val got = MutableParquetTable.readCommitted(spark, r.snapshotDir)
+    val hit = got.where(col("k") === 5L).head()
+    assert(hit.getLong(1) === 55L && !hit.isNullAt(2) && hit.getLong(2) === 77L,
+      "the metadata-added column's batch value must survive the merge")
+    assert(got.where(col("k") =!= 5L && col("c").isNotNull).count() === 0)
+    assert(got.count() === 100)
+
+    // a batch MISSING the (now-existing) column violates the whole-row
+    // upsert contract — same refusal as merge(), not a confusing
+    // unresolved-column error from inside the splice
+    val t2 = MutableParquetTable(spark, r.snapshotDir, "k")
+    intercept[IllegalArgumentException] {
+      t2.mergeFineGrained(Seq((7L, -7L, "upsert")).toDF("k", "v", "op"))
+    }
+    // a whole-row batch through the mixed narrow/wide snapshot: exact
+    val r2 = t2.mergeFineGrained(Seq((7L, -7L, null.asInstanceOf[java.lang.Long],
+      "upsert")).toDF("k", "v", "c", "op"))
+    val got2 = MutableParquetTable.readCommitted(spark, r2.snapshotDir)
+    assert(got2.where(col("k") === 7L).head().getLong(1) === -7L)
+    assert(got2.where(col("k") === 5L).head().getLong(2) === 77L,
+      "the wide rewritten file's values carry through the next merge")
+    assert(got2.count() === 100)
+  }
+
   test("composite (date, id) merge key: route by leading column, match on the tuple") {
     val s = spark; import s.implicits._
     val dir = freshDir()
