@@ -156,19 +156,23 @@ final class GraftTable private (val spark: SparkSession, val root: String,
         s"$name is (or contains) a merge-key column — keys are immutable " +
           "row identity and cannot be dropped")
     }
-    val (present, missing) = names.partition(n =>
-      schema.fields.exists(_.name.equalsIgnoreCase(n)))
-    if (missing.nonEmpty && !ifExists)
+    // dotted names drop NESTED struct fields ("s.c") — resolved
+    // case-insensitively; a path through a non-struct throws (malformed,
+    // not merely absent)
+    val resolved = names.map(n => n -> GraftTable.resolveFieldPath(schema, n))
+    val (present0, missing0) = resolved.partition(_._2.isDefined)
+    if (missing0.nonEmpty && !ifExists) {
+      val missing = missing0.map(_._1)
       throw new IllegalArgumentException(
         s"column${if (missing.size > 1) "s" else ""} ${missing.mkString(", ")} " +
           "do" + (if (missing.size > 1) "" else "es") + " not exist " +
           schema.fieldNames.mkString("(have: ", ", ", ")"))
-    if (present.isEmpty) return versions.lastOption.getOrElse(-1L)
-    val fields = present.map(n =>
-      schema.fields.find(_.name.equalsIgnoreCase(n)).get)
-    val dropSet = fields.map(_.name.toLowerCase).toSet
-    val narrowed = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(f => dropSet.contains(f.name.toLowerCase)))
+    }
+    if (present0.isEmpty) return versions.lastOption.getOrElse(-1L)
+    val paths = present0.map(_._2.get._1)             // canonical casing
+    val fields = present0.map { case (_, r) =>
+      r.get._2.copy(name = r.get._1.mkString(".")) }
+    val narrowed = paths.foldLeft(schema)(GraftTable.dropNestedField)
     // every CHECK must still resolve without the columns — a contract
     // referencing a ghost would fail every later write confusingly
     val checks = graft.sources.GraftChecks.manifestChecks(latest)
@@ -186,8 +190,17 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     // logical name never existed in any file), and the rename entry dies
     // with the column
     val renames0 = graft.sources.MutableParquetTable.manifestRenames(latest)
-    val physNames = fields.map(f => renames0.getOrElse(f.name, f.name))
-    val newRenames = renames0 -- fields.map(_.name)
+    // a dotted path's physical form maps its CONTAINER through the
+    // rename table: dropping a.b under a renamed container a→pa
+    // blocklists pa.b (the bytes surviving files actually carry)
+    val physNames = paths.map { p =>
+      (renames0.collectFirst {
+        case (l, phys) if l.equalsIgnoreCase(p.head) => phys
+      }.getOrElse(p.head) +: p.tail).mkString(".")
+    }
+    val droppedTop = fields.map(_.name).filterNot(_.contains("."))
+    val newRenames = renames0.filterNot { case (l, _) =>
+      droppedTop.exists(_.equalsIgnoreCase(l)) }
     OptimisticCommit.commitSchema(root, narrowed,
       recordDropped = physNames,
       expectedSchema = Some(schema), expectedChecks = Some(checks),
@@ -718,6 +731,88 @@ final class GraftTable private (val spark: SparkSession, val root: String,
 }
 
 object GraftTable {
+
+  import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+  /** Resolve a (possibly dotted) column path against a schema,
+    * case-insensitively, descending plain structs only. Returns the
+    * CANONICAL path (schema casing) and the resolved leaf field; None
+    * when any step is missing. A step through a non-struct (primitive,
+    * array, map) throws — the caller's path is malformed rather than
+    * merely absent, and "does not exist" would mislead. */
+  private[graft] def resolveFieldPath(schema: StructType, name: String)
+      : Option[(Seq[String], StructField)] = {
+    val parts = name.split("\\.").toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"invalid column path '$name'")
+    def walk(st: StructType, rest: Seq[String],
+             acc: Seq[String]): Option[(Seq[String], StructField)] =
+      st.fields.find(_.name.equalsIgnoreCase(rest.head)) match {
+        case None => None
+        case Some(f) if rest.size == 1 => Some((acc :+ f.name, f))
+        case Some(f) => f.dataType match {
+          case s: StructType => walk(s, rest.tail, acc :+ f.name)
+          case dt => throw new IllegalArgumentException(
+            s"cannot resolve $name: ${(acc :+ f.name).mkString(".")} is " +
+              s"${dt.simpleString}, not a struct — fields inside " +
+              "array/map elements do not evolve through metadata ALTERs")
+        }
+      }
+    walk(schema, parts, Nil)
+  }
+
+  /** Insert a NULLABLE field at a dotted path ("s.c" adds c to struct
+    * s), appended in field order at its level — the nested form of
+    * `ADD COLUMN`. Every prefix must resolve to a plain struct; the
+    * leaf must not already exist. */
+  private[graft] def addNestedField(schema: StructType, path: Seq[String],
+                                    dt: DataType): StructType = {
+    require(path.nonEmpty)
+    if (path.size == 1) {
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(path.head)),
+        s"column ${path.head} already exists")
+      schema.add(StructField(path.head, dt, nullable = true))
+    } else {
+      val head = schema.fields.find(_.name.equalsIgnoreCase(path.head))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column ${path.head} does not exist " +
+            schema.fieldNames.mkString("(have: ", ", ", ")")))
+      val inner = head.dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"cannot add ${path.mkString(".")}: ${head.name} is " +
+            s"${other.simpleString}, not a struct — fields inside " +
+            "array/map elements do not evolve through metadata ALTERs")
+      }
+      StructType(schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(path.head))
+          f.copy(dataType = addNestedField(inner, path.tail, dt))
+        else f))
+    }
+  }
+
+  /** Remove the field at a RESOLVED dotted path — the nested form of
+    * `DROP COLUMN`. Refuses to leave an empty struct behind (parquet
+    * cannot represent a zero-field group; drop the struct column
+    * itself). */
+  private[graft] def dropNestedField(schema: StructType,
+                                     path: Seq[String]): StructType = {
+    require(path.nonEmpty)
+    if (path.size == 1)
+      StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(path.head)))
+    else {
+      val inner = schema.fields
+        .find(_.name.equalsIgnoreCase(path.head)).get.dataType
+        .asInstanceOf[StructType]
+      val narrowed = dropNestedField(inner, path.tail)
+      require(narrowed.fields.nonEmpty,
+        s"dropping ${path.mkString(".")} would leave struct " +
+          s"${path.head} with no fields — drop the struct column itself")
+      StructType(schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(path.head)) f.copy(dataType = narrowed)
+        else f))
+    }
+  }
 
   /** Open an existing versioned table root. `passthrough = Reference`
     * selects the object-store CoW mode: merges write zero clean-file

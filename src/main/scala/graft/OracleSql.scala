@@ -1510,6 +1510,24 @@ object OracleSql {
     // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
     // pinned to 1 proves the metadata-only type change (zero-file ALTER
     // version, wide current schema, narrow time-travel schema)
+    // q130: nested DDL — both phases recomputed from raw customer
+    // (pre_drop still sees info.bal; current nulls it), nested_ok pinned
+    "q130_nested_ddl" -> """
+      SELECT 'pre_drop' AS phase, c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c_custkey % 13 = 0
+                           THEN c_custkey % 100 END) AS BIGINT) AS rank_sum,
+             CAST(sum(c_custkey % 1000) AS BIGINT) AS bal_sum,
+             CAST(1 AS INT) AS nested_ok
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'current', c_mktsegment, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_custkey % 13 = 0
+                           THEN c_custkey % 100 END) AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(1 AS INT)
+      FROM customer GROUP BY c_mktsegment
+      ORDER BY phase, seg""",
+
     // q129: text normalization — identical dirt injected (DuckDB chr()
     // is codepoint-based), then NFC + Cc/Cf strip + collapse + trim
     // reproduced rule for rule

@@ -2250,6 +2250,65 @@ object SparkEntry {
       FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
   }
 
+  /** NESTED struct-field DDL through the same metadata-only surface as
+    * q118/q121: `ADD COLUMNS (info.rank)` and `DROP COLUMN info.bal`
+    * each commit ONE manifest version owning zero data files at any
+    * table size — old files read the added field as null and stop
+    * projecting the dropped one (parquet missing-field semantics /
+    * schema pruning); the resurrection blocklist carries the DOTTED
+    * path. Two phases: `pre_drop` (VERSION AS OF, the dropped nested
+    * field's values aggregated — per-version schema) and `current`
+    * (post-drop, the added field filled by a whole-struct UPDATE).
+    * `nested_ok` pins: both ALTER versions own zero files, the current
+    * struct is (seg, rank), time travel to v0 shows (seg, bal). */
+  def q130_nested_ddl(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q130-wh").toString
+    val cat = "gq130_" + java.lang.Long.toHexString(System.nanoTime())
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    customer(s, dir).createOrReplaceTempView("q130_cust_src")
+    s.sql(s"""CREATE TABLE $cat.ns.nd (c_custkey BIGINT,
+              info STRUCT<seg: STRING, bal: BIGINT>)
+              USING graft TBLPROPERTIES ('key' = 'c_custkey')""")
+    s.sql(s"""INSERT INTO $cat.ns.nd
+              SELECT c_custkey,
+                     named_struct('seg', c_mktsegment, 'bal', c_custkey % 1000)
+              FROM q130_cust_src""")                                  // v0
+    s.sql(s"ALTER TABLE $cat.ns.nd ADD COLUMNS (info.rank BIGINT)")  // v1
+    s.sql(s"""UPDATE $cat.ns.nd
+              SET info = named_struct('seg', info.seg, 'bal', info.bal,
+                                      'rank', c_custkey % 100)
+              WHERE c_custkey % 13 = 0""")                            // v2
+    s.sql(s"ALTER TABLE $cat.ns.nd DROP COLUMN info.bal")            // v3
+    def owns(v: Int): Int = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$wh/ns/nd/v$v"))
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    def fieldsOf(df: DataFrame): Seq[String] = df.schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val nestedOk =
+      if (owns(1) == 0 && owns(3) == 0 &&
+          fieldsOf(s.sql(s"SELECT * FROM $cat.ns.nd")) == Seq("seg", "rank") &&
+          fieldsOf(s.sql(s"SELECT * FROM $cat.ns.nd VERSION AS OF 0")) ==
+            Seq("seg", "bal")) 1 else 0
+    s.sql(s"""
+      SELECT 'pre_drop' AS phase, info.seg AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(info.rank) AS BIGINT) AS rank_sum,
+             CAST(sum(info.bal) AS BIGINT) AS bal_sum,
+             CAST($nestedOk AS INT) AS nested_ok
+      FROM $cat.ns.nd VERSION AS OF 2 GROUP BY info.seg
+      UNION ALL
+      SELECT 'current', info.seg, CAST(count(*) AS BIGINT),
+             CAST(sum(info.rank) AS BIGINT), CAST(NULL AS BIGINT),
+             CAST($nestedOk AS INT)
+      FROM $cat.ns.nd GROUP BY info.seg""").orderBy(col("phase"), col("seg"))
+  }
+
   /** Corpus text normalization ([[TextFunctions.cleanText]]): NFC
     * composition (native codegen'd expression — Spark has none built
     * in), control/format-character strip, whitespace collapse, trim —
@@ -2890,6 +2949,7 @@ object SparkEntry {
     "q127_widen_decimal" -> (q127_widen_decimal _),
     "q128_sq_ann" -> (q128_sq_ann _),
     "q129_clean_text" -> (q129_clean_text _),
+    "q130_nested_ddl" -> (q130_nested_ddl _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

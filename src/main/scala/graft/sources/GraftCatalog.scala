@@ -237,9 +237,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           throw new IllegalStateException(
             s"$latest carries no merge key — not a graft table")))
       val drops = colDrops.map { case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
-          s"nested column ${d.fieldNames().mkString(".")} is not supported")
-        (d.fieldNames().head, d.ifExists())
+        // multi-part names drop NESTED struct fields ("s.c") — same
+        // metadata-only commit, dotted blocklist entry
+        (d.fieldNames().mkString("."), d.ifExists())
       }
       t.dropColumns(drops.map(_._1), ifExists = drops.forall(_._2))
       if (nonDrops.isEmpty) return loadTable(ident)
@@ -293,14 +293,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     val table = loadTable(ident)
     val schema = table.asInstanceOf[GraftBatchTable].schema
     val widened = adds.foldLeft(schema) { (s, a) =>
-      require(a.fieldNames().length == 1,
-        s"nested column ${a.fieldNames().mkString(".")} is not supported")
-      val name = a.fieldNames().head
-      require(!s.fieldNames.contains(name), s"column $name already exists")
+      val path = a.fieldNames().toSeq
       require(a.isNullable,
-        s"new column $name must be nullable — existing rows have no value")
-      s.add(org.apache.spark.sql.types.StructField(name, a.dataType(),
-        nullable = true))
+        s"new column ${path.mkString(".")} must be nullable — existing " +
+          "rows have no value")
+      // multi-part paths add NESTED struct fields ("s.c"): old files
+      // read the new field as null (parquet missing-field semantics),
+      // rewrites carry it physically — the same metadata-only mechanics
+      // as a top-level ADD; addNestedField validates struct prefixes
+      // and duplicate leaves
+      graft.GraftTable.addNestedField(s, path, a.dataType())
     }
     // expectedSchema: a concurrent ADD/DROP between the schema read above
     // and the publish would be silently stomped by restaging this widened

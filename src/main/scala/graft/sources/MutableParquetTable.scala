@@ -1747,6 +1747,23 @@ object MutableParquetTable {
     * a metadata-only RENAME: data files still carry that name, so a new
     * column reusing it would silently read the renamed column's values
     * on every existing file. */
+  /** Every field of a schema as a dotted path, descending plain structs
+    * ("s", "s.a", "s.a.x", ...) — the candidate set the resurrection
+    * guard checks against the (possibly dotted) dropped blocklist. */
+  private[graft] def allFieldPaths(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    def walk(prefix: String,
+             st: org.apache.spark.sql.types.StructType): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        val p = prefix + f.name
+        p +: (f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => walk(p + ".", s)
+          case _ => Nil
+        })
+      }
+    walk("", schema)
+  }
+
   private[sources] def guardResurrected(snapshotDir: String,
                                         newNames: Seq[String],
                                         // Some(map) = the mapping the NEW
@@ -1754,22 +1771,44 @@ object MutableParquetTable {
                                         // back to the birth name legally
                                         // frees it); None = the current one
                                         renamesOverride: Option[Map[String, String]]
-                                          = None): Unit = {
+                                          = None,
+                                        // dotted PHYSICAL paths this very
+                                        // commit is dropping — excluded
+                                        // from the resurrection compare
+                                        excludePhysical: Seq[String] = Nil)
+      : Unit = {
     val blocked = manifestDroppedColumns(snapshotDir)
-    val hit = newNames.filter(n => blocked.exists(_.equalsIgnoreCase(n)))
+    val mapping0 = renamesOverride.getOrElse(manifestRenames(snapshotDir))
+    // a dotted (nested) candidate's ON-FILE path maps its CONTAINER
+    // through the rename table — dropping `a.b` under a renamed
+    // container a→pa blocklists `pa.b`, and a later logical `a.b` would
+    // read exactly those bytes
+    def physOf(n: String): String = {
+      val i = n.indexOf('.')
+      val (head, rest) = if (i < 0) (n, "") else (n.substring(0, i), n.substring(i))
+      mapping0.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(head) => p + rest
+      }.getOrElse(n)
+    }
+    val cand = newNames.filterNot(n =>
+      excludePhysical.exists(_.equalsIgnoreCase(physOf(n))))
+    val hit = cand.filter(n => blocked.exists(b =>
+      b.equalsIgnoreCase(n) || b.equalsIgnoreCase(physOf(n))))
     require(hit.isEmpty,
       s"column(s) ${hit.mkString(", ")} were previously DROPPED and " +
         "files written before the drop still carry their old values — " +
         "bringing the name back would resurrect stale data. Rewrite the " +
         "table (replace/compact) first, or use a different name")
-    val mapping = renamesOverride.getOrElse(manifestRenames(snapshotDir))
     // a name is dangerous iff it is some OTHER column's on-file physical
     // name while reading itself unmapped — the physical read schema would
     // then resolve the same file column twice. A name that is itself a
     // mapped logical reads its own physical source and never collides.
-    val physical = mapping.values.toSeq
-    val phit = newNames.filter(n => physical.exists(_.equalsIgnoreCase(n)) &&
-      !mapping.keys.exists(_.equalsIgnoreCase(n)))
+    // (Top-level only: nested paths live INSIDE their container's
+    // physical group and cannot collide across containers.)
+    val physical = mapping0.values.toSeq
+    val phit = newNames.filter(n => !n.contains(".") &&
+      physical.exists(_.equalsIgnoreCase(n)) &&
+      !mapping0.keys.exists(_.equalsIgnoreCase(n)))
     require(phit.isEmpty,
       s"column(s) ${phit.mkString(", ")} are the PHYSICAL on-file names " +
         "of renamed columns — a new column reusing the name would read " +
@@ -1900,12 +1939,13 @@ object MutableParquetTable {
       recordWidened: Seq[String] = Nil): Unit = {
     val m0 = readManifest(fromDir).getOrElse(throw new IllegalStateException(
       s"$fromDir has no manifest — only committed snapshots can change schema"))
-    // a WIDENING must not reuse a dropped name: pre-drop files still
-    // physically carry the old column, and a by-name parquet read would
-    // resurrect their stale values instead of null
+    // a WIDENING must not reuse a dropped name — top-level OR a nested
+    // dotted path: pre-drop files still physically carry the old
+    // column/field, and a by-name parquet read would resurrect their
+    // stale values instead of null
     val blocked = manifestDroppedColumns(fromDir)
-    guardResurrected(fromDir, newSchema.fieldNames.toSeq.filterNot(n =>
-      recordDropped.exists(_.equalsIgnoreCase(n))), newRenames)
+    guardResurrected(fromDir, allFieldPaths(newSchema), newRenames,
+      excludePhysical = recordDropped)
     // volatile per-commit stamps never carry into a METADATA commit
     // (same contract as stageRestoreManifest): no feed is written for
     // it — a carried `feedPending` reads as a crashed commitWithFeed
