@@ -214,7 +214,9 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * by the readers' lossless 10^(s'−s) rescale — plus
     * byte/short/int→decimal with ≥10 integer digits, long→decimal with
     * ≥20, and date→timestamp_ntz): the manifest schema takes the
-    * wide type and existing files keep their narrow physical bytes —
+    * wide type and existing files keep their narrow physical bytes.
+    * Dotted names retype NESTED struct fields ("s.c") under the same
+    * contract — the readers' upcast operates per leaf column chunk —
     * Spark's parquet readers upcast narrow physicals to the requested
     * wider type (the Delta type-widening mechanic), CoW rewrites write
     * the wide type going forward, and values exceeding the old range
@@ -241,10 +243,14 @@ final class GraftTable private (val spark: SparkSession, val root: String,
         k.toLowerCase.startsWith(name.toLowerCase + ".")),
       s"$name is (or contains) a merge-key column — key types drive " +
         "bucket hashes and zone-map encodings and cannot change")
-    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+    // dotted names retype NESTED struct fields ("s.c") — the readers'
+    // upcast operates per leaf column chunk, so the same metadata-only
+    // contract holds at any nesting depth
+    val (path, field0) = GraftTable.resolveFieldPath(schema, name)
       .getOrElse(throw new IllegalArgumentException(
         s"column $name does not exist " +
           schema.fieldNames.mkString("(have: ", ", ", ")")))
+    val field = field0.copy(name = path.mkString("."))
     // the matrix is exactly what Spark 4's parquet readers upcast from
     // committed narrow physicals (ParquetVectorUpdaterFactory /
     // ParquetRowConverter): integral/float promotion, decimal growth
@@ -276,9 +282,7 @@ final class GraftTable private (val spark: SparkSession, val root: String,
         "byte/short/int->decimal(>=10 int digits), long->decimal(>=20), " +
         "date->timestamp_ntz) are readable from committed files without " +
         "a rewrite")
-    val widened = org.apache.spark.sql.types.StructType(
-      schema.fields.map(f =>
-        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f))
+    val widened = GraftTable.retypeNestedField(schema, path, newType)
     // CHECK constraints must keep resolving under the wide type
     val checks = graft.sources.GraftChecks.manifestChecks(latest)
     checks.foreach { case (n, e) =>
@@ -789,6 +793,19 @@ object GraftTable {
           f.copy(dataType = addNestedField(inner, path.tail, dt))
         else f))
     }
+  }
+
+  /** Replace the type of the field at a RESOLVED dotted path — the
+    * nested form of `ALTER COLUMN TYPE` (callers validate the pair). */
+  private[graft] def retypeNestedField(schema: StructType, path: Seq[String],
+                                       dt: DataType): StructType = {
+    require(path.nonEmpty)
+    StructType(schema.fields.map { f =>
+      if (!f.name.equalsIgnoreCase(path.head)) f
+      else if (path.size == 1) f.copy(dataType = dt)
+      else f.copy(dataType = retypeNestedField(
+        f.dataType.asInstanceOf[StructType], path.tail, dt))
+    })
   }
 
   /** Remove the field at a RESOLVED dotted path — the nested form of

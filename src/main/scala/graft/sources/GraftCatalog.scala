@@ -256,9 +256,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           throw new IllegalStateException(
             s"$latest carries no merge key — not a graft table")))
       colTypes.foreach { case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1,
-          s"nested column ${u.fieldNames().mkString(".")} is not supported")
-        t.alterColumnType(u.fieldNames().head, u.newDataType())
+        // multi-part names retype NESTED struct fields ("s.c") — the
+        // readers' upcast is per leaf column chunk, nesting-agnostic
+        t.alterColumnType(u.fieldNames().mkString("."), u.newDataType())
       }
       if (nonTypes.isEmpty) return loadTable(ident)
     }

@@ -232,6 +232,44 @@ class WidenTypeSpec extends SparkSpec {
       .compareTo(new java.math.BigDecimal("7.00")) === 0)
   }
 
+  test("NESTED field widening: s.c int->long metadata-only, upcast reads, out-of-range write") {
+    val root = freshRoot()
+    val df = spark.range(0, 60).select(col("id").as("k"),
+      struct(col("id").cast("int").as("a"),
+        col("id").cast("int").as("c")).as("s"))
+    val t = GraftTable.create(df, root, "k", numFiles = 3)
+    val v = t.alterColumnType("s.c", LongType)
+    assert(MutableParquetTable.manifestWidened(s"$root/v$v") === Seq("s.c"))
+    locally {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/v$v"))
+      val n = try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+      assert(n === 0, "nested ALTER TYPE must own zero data files")
+    }
+    val now = t.read()
+    assert(now.schema("s").dataType.asInstanceOf[StructType]("c").dataType
+      === LongType)
+    assert(now.where(col("k") === 5L).select(col("s.c")).head().getLong(0) === 5L)
+    withSQLConf("spark.sql.parquet.enableVectorizedReader" -> "false") {
+      assert(t.read().where(col("k") === 5L).select(col("s.c")).head()
+        .getLong(0) === 5L)
+    }
+    // a value past Int.MaxValue is writable through the whole-struct merge
+    t.commit(spark.sql(
+      "SELECT 9L AS k, named_struct('a', 9, 'c', 4000000000L) AS s, 'upsert' AS op"))
+    assert(t.read().where(col("k") === 9L).select(col("s.c")).head()
+      .getLong(0) === 4000000000L)
+    // guards hold at depth: key-rooted and narrowing refusals
+    intercept[IllegalArgumentException] { t.alterColumnType("s.nope", LongType) }
+    intercept[IllegalArgumentException] { t.alterColumnType("s.a", ShortType) }
+    // purging compact materializes the wide type and clears the marker
+    val vc = t.compact(1L << 20)
+    assert(MutableParquetTable.manifestWidened(s"$root/v$vc").isEmpty)
+    assert(t.read().agg(sum(col("s.c"))).head().getLong(0) ===
+      (0L until 60L).sum - 9 + 4000000000L)
+  }
+
   test("SQL surface: ALTER COLUMN TYPE, aggregation over mixed physicals, time travel") {
     val w = java.nio.file.Files.createTempDirectory("graft-widen-cat").toString
     spark.conf.set("spark.sql.catalog.wt",
