@@ -1510,6 +1510,34 @@ object OracleSql {
     // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
     // pinned to 1 proves the metadata-only type change (zero-file ALTER
     // version, wide current schema, narrow time-travel schema)
+    // q131: the ANN pipeline — near-dup closure (recursive CTE, q66's
+    // component form over cosine pairs), canonical keep, then exact
+    // brute-force ranking over the SURVIVORS; recall_ok pinned 1
+    "q131_ann_pipeline" -> """
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a, e b WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.45),
+      ed AS (SELECT id_a AS src, id_b AS dst FROM p
+             UNION SELECT id_b, id_a FROM p),
+      r(src, dst) AS (SELECT src, dst FROM ed
+                      UNION
+                      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src),
+      comp AS (SELECT src AS id, least(src, min(dst)) AS c FROM r GROUP BY src),
+      surv AS (SELECT vec_id, v FROM e LEFT JOIN comp ON e.vec_id = comp.id
+               WHERE comp.c IS NULL OR comp.c = e.vec_id),
+      q AS (SELECT vec_id AS qid, v AS qv FROM surv WHERE vec_id < 5),
+      s AS (SELECT qid, s2.vec_id AS cid, list_cosine_similarity(s2.v, qv) AS cos
+            FROM surv s2, q WHERE s2.vec_id <> qid),
+      rr AS (SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+             FROM s)
+      SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+        CAST(rn AS INT) AS rank, CAST(1 AS INT) AS recall_ok
+      FROM rr WHERE rn <= 10
+      ORDER BY query_id, rank""",
+
     // q130: nested DDL — both phases recomputed from raw customer
     // (pre_drop still sees info.bal; current nulls it), nested_ok pinned
     "q130_nested_ddl" -> """

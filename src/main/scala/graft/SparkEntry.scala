@@ -2250,6 +2250,38 @@ object SparkEntry {
       FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
   }
 
+  /** The VECTOR pipeline END TO END, composed from the engine's own
+    * stages (q119's discipline for the ANN side of the house): exact
+    * embedding near-dup pairs (broadcast sweep, native cosine) →
+    * connected components + canonical keep ([[Dedup.keepCanonical]] —
+    * the min-id member of each near-dup cluster survives) → SQ8-encode
+    * the deduped corpus and serve top-k through the packed-byte kernel
+    * with exact rerank ([[Similarity.sqTopK]]). Every stage is proven
+    * in isolation (q43, q66, q128); this query proves they COMPOSE —
+    * the oracle recomputes the whole pipeline (recursive closure for
+    * components, brute-force ranking over the survivors) in DuckDB.
+    * Scale shape: pair sweep broadcasts one side, components iterate
+    * edge-sized joins, encode is map-only, serving reads 1 byte/dim. */
+  def q131_ann_pipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    graft.plans.Sq8Cosine.register(s)
+    val e = embeddings(s, dir)
+    val cos = call_function(graft.plans.CosineSimilarity.name,
+      col("va"), col("vb"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .where(col("cosine") >= 0.45)
+    val canon = Dedup.keepCanonical(e, "vec_id", pairs)
+    val q = canon.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(canon, q, "embedding", "vec_id",
+      k = 10, native = true)
+    val ann = Similarity.sqTopK(s, canon, q, "embedding", "vec_id",
+      k = 10, rerank = 30, native = true)
+    annRecallForm(exact, ann, target = 0.6)
+  }
+
   /** NESTED struct-field DDL through the same metadata-only surface as
     * q118/q121: `ADD COLUMNS (info.rank)` and `DROP COLUMN info.bal`
     * each commit ONE manifest version owning zero data files at any
@@ -2950,6 +2982,7 @@ object SparkEntry {
     "q128_sq_ann" -> (q128_sq_ann _),
     "q129_clean_text" -> (q129_clean_text _),
     "q130_nested_ddl" -> (q130_nested_ddl _),
+    "q131_ann_pipeline" -> (q131_ann_pipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
