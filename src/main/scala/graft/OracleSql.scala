@@ -1510,6 +1510,59 @@ object OracleSql {
     // with a post-ALTER UPDATE writing past Int.MaxValue; widen_ok
     // pinned to 1 proves the metadata-only type change (zero-file ALTER
     // version, wide current schema, narrow time-travel schema)
+    // q132: the Gopher quality gate — every rule recomputed from the
+    // same deterministically-dirtied text (ASCII dirt, identical
+    // construction in both engines)
+    "q132_gopher_gate" -> """
+      WITH d0 AS (SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0
+          THEN text || chr(10) || '- bullet one' || chr(10) ||
+               '- bullet two' || chr(10) || '#x #y ok...'
+          ELSE text END AS d
+        FROM documents),
+      t AS (SELECT doc_id, d,
+        CASE WHEN trim(d) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(d), '\s+') END AS toks,
+        CASE WHEN trim(d) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(lower(d)), '\s+') END AS ltoks,
+        string_split(d, chr(10)) AS lines
+        FROM d0),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_words,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks) END AS mwl,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE ((length(d) - length(replace(d, '#', ''))) +
+                   (length(d) - length(replace(d, '...', ''))) / 3)
+                  / CAST(len(toks) AS DOUBLE) END AS symr,
+        CASE WHEN length(d) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(lines, l ->
+                    regexp_matches(trim(l), '^[-*\x{2022}]')))
+                    AS DOUBLE) / len(lines) END AS bulr,
+        CASE WHEN length(d) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(lines, l ->
+                    regexp_matches(trim(l), '(\.\.\.|\x{2026})$')))
+                    AS DOUBLE) / len(lines) END AS ellr,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks, x ->
+                    regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / len(toks) END AS alpr,
+        CAST(len(list_filter(list_distinct(ltoks), x -> x IN
+          ('the','be','to','of','and','that','have','with'))) AS INT)
+          AS shits
+        FROM t)
+      SELECT doc_id, n_words, round(mwl, 6) AS mean_wl,
+        round(symr, 6) AS symbol_ratio, round(bulr, 6) AS bullet_ratio,
+        round(ellr, 6) AS ellipsis_ratio, round(alpr, 6) AS alpha_ratio,
+        shits AS stop_hits,
+        CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                   AND mwl BETWEEN 3.0 AND 10.0
+                   AND symr <= 0.1 AND bulr <= 0.9 AND ellr <= 0.3
+                   AND alpr >= 0.8 AND shits >= 2
+              THEN 1 ELSE 0 END AS INT) AS gopher_pass
+      FROM m ORDER BY doc_id""",
+
     // q131: the ANN pipeline — near-dup closure (recursive CTE, q66's
     // component form over cosine pairs), canonical keep, then exact
     // brute-force ranking over the SURVIVORS; recall_ok pinned 1

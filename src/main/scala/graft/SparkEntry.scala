@@ -2250,6 +2250,33 @@ object SparkEntry {
       FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
   }
 
+  /** The Gopher document-quality gate ([[TextFunctions.gopherPass]] and
+    * its seven per-rule signals): word-count bounds, mean word length,
+    * symbol-to-word ratio, bullet/ellipsis line ratios, alphabetic-word
+    * ratio, required-stopword hits. Every fourth doc gets deterministic
+    * ASCII dirt (bullet lines, #tags, a trailing ellipsis) injected
+    * identically by both engines, so the line- and symbol-rules are
+    * exercised on the clean fixture, not constant-zero. Map-side only. */
+  def q132_gopher_gate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = when(col("doc_id") % 4 === 0,
+      concat(col("text"),
+        lit("\n- bullet one\n- bullet two\n#x #y ok...")))
+      .otherwise(col("text"))
+    documents(s, dir)
+      .select(col("doc_id"), d.as("__d"))
+      .select(col("doc_id"),
+        tokenCount(col("__d")).as("n_words"),
+        round(meanWordLength(col("__d")), 6).as("mean_wl"),
+        round(symbolWordRatio(col("__d")), 6).as("symbol_ratio"),
+        round(bulletLineRatio(col("__d")), 6).as("bullet_ratio"),
+        round(ellipsisLineRatio(col("__d")), 6).as("ellipsis_ratio"),
+        round(alphaWordRatio(col("__d")), 6).as("alpha_ratio"),
+        stopwordHits(col("__d")).as("stop_hits"),
+        gopherPass(col("__d")).cast("int").as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The VECTOR pipeline END TO END, composed from the engine's own
     * stages (q119's discipline for the ANN side of the house): exact
     * embedding near-dup pairs (broadcast sweep, native cosine) →
@@ -2983,6 +3010,7 @@ object SparkEntry {
     "q129_clean_text" -> (q129_clean_text _),
     "q130_nested_ddl" -> (q130_nested_ddl _),
     "q131_ann_pipeline" -> (q131_ann_pipeline _),
+    "q132_gopher_gate" -> (q132_gopher_gate _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

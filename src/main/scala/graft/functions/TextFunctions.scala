@@ -99,6 +99,67 @@ object TextFunctions {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
+  /** Occurrences of '#' plus non-overlapping '...' per word — Gopher's
+    * symbol-to-word rule (markup/truncation soup reads as low-quality
+    * prose). 0 for empty docs. */
+  def symbolWordRatio(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val dots = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    when(n === 0.0, lit(0.0)).otherwise((hashes + dots).cast("double") / n)
+  }
+
+  /** Fraction of lines starting with a bullet marker (-, *, •). Lines
+    * split on \n, ratio over ALL lines; 0 for empty docs. */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+        trim(l).rlike("^[-*\\u2022]"))).cast("double") / size(lines))
+  }
+
+  /** Fraction of lines ending with an ellipsis ('...' or '…'). */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+        trim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast("double") / size(lines))
+  }
+
+  /** Fraction of words containing at least one ASCII letter — Gopher's
+    * alphabetic-word rule (numbers/punctuation soup fails it). */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks))
+  }
+
+  /** How many DISTINCT members of Gopher's required-stopword set
+    * (the, be, to, of, and, that, have, with) appear as words. */
+  def stopwordHits(text: Column): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
+
+  /** The Gopher document-quality gate (Rae et al. 2021, the quality
+    * heuristics): word-count bounds, mean word length in [3, 10],
+    * symbol-to-word ratio <= 0.1, <= 90% bullet lines, <= 30%
+    * ellipsis lines, >= 80% alphabetic words, >= 2 required stopwords.
+    * Each signal is exposed above so pipelines can tune thresholds;
+    * this is the canonical conjunction. Map-side, codegen'd. */
+  def gopherPass(text: Column, minWords: Int = 50,
+                 maxWords: Int = 100000): Column = {
+    val n = tokenCount(text)
+    val mwl = meanWordLength(text)
+    (n >= minWords) && (n <= maxWords) &&
+      (mwl >= 3.0) && (mwl <= 10.0) &&
+      (symbolWordRatio(text) <= 0.1) &&
+      (bulletLineRatio(text) <= 0.9) &&
+      (ellipsisLineRatio(text) <= 0.3) &&
+      (alphaWordRatio(text) >= 0.8) &&
+      (stopwordHits(text) >= 2)
+  }
+
   /** Composite quality score in [0,1]: C4/Gopher-style heuristics —
     * reasonable length, some stopwords (signals prose), sane word length,
     * not punctuation-soup. Deterministic and SQL-expressible.

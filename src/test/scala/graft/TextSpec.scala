@@ -67,6 +67,25 @@ class TextSpec extends SparkSpec {
     assert(one[Double](meanWordLength(col("t")), "") === 0.0)
   }
 
+  test("Gopher signals: symbol, bullet, ellipsis, alpha, stopword-hit rules") {
+    assert(one[Double](symbolWordRatio(col("t")), "a #b c... d") === 0.5)
+    assert(one[Double](symbolWordRatio(col("t")), "") === 0.0)
+    // '....' counts ONE non-overlapping '...' occurrence
+    assert(one[Double](symbolWordRatio(col("t")), "x....") === 1.0)
+    assert(one[Double](bulletLineRatio(col("t")), "- a\nplain\n* b\n• c") === 0.75)
+    assert(one[Double](bulletLineRatio(col("t")), "no bullets here") === 0.0)
+    assert(one[Double](ellipsisLineRatio(col("t")), "done...\nplain\nmore…") === 2.0 / 3)
+    assert(one[Double](alphaWordRatio(col("t")), "abc 123 4d 99") === 0.5)
+    assert(one[Int](stopwordHits(col("t")), "the cat and the dog") === 2)
+    assert(one[Int](stopwordHits(col("t")), "qwerty zxcvb") === 0)
+    // the gate: plausible prose passes, short/noisy docs fail
+    val prose = ("the quick brown fox jumps over that lazy dog and " +
+      "then it runs back to the forest with great speed again ") * 3
+    assert(one[Boolean](gopherPass(col("t")), prose))
+    assert(!one[Boolean](gopherPass(col("t")), "too short to pass"))
+    assert(!one[Boolean](gopherPass(col("t")), ("### " * 60) + "the of"))
+  }
+
   test("quality score is in [0,1] and prose beats noise") {
     val prose = "the quick brown fox jumps over the lazy dog and then it runs " +
       "to the forest where it lives in a den by the old oak tree"
