@@ -582,6 +582,34 @@ object OracleSql {
       FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
       ORDER BY g.user_id, hour_start""",
 
+    // q133: linear interpolation on the hourly grid — same grid/window
+    // construction as q63; identical double op order ((v1-v0)*num/den)
+    // so values match bit-exactly before the final round
+    "q133_interpolate" -> """
+      WITH h AS (
+        SELECT user_id, date_trunc('hour', ts) AS t0,
+          CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS v0,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      nx AS (
+        SELECT user_id, t0, v0, n,
+          lead(t0) OVER (PARTITION BY user_id ORDER BY t0) AS t1,
+          lead(v0) OVER (PARTITION BY user_id ORDER BY t0) AS v1
+        FROM h),
+      g AS (
+        SELECT user_id, t0, v0, n, t1, v1,
+          unnest(generate_series(t0,
+            coalesce(t1 - INTERVAL 1 HOUR, t0), INTERVAL 1 HOUR)) AS gh
+        FROM nx)
+      SELECT user_id, strftime(gh, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        CASE WHEN gh = t0 THEN n ELSE CAST(0 AS BIGINT) END AS n_events,
+        CAST(floor((CASE WHEN gh = t0 THEN v0
+              ELSE v0 + (v1 - v0)
+                   * CAST(date_diff('second', t0, gh) AS DOUBLE)
+                   / CAST(date_diff('second', t0, t1) AS DOUBLE) END) * 1e6)
+          AS BIGINT) AS v_interp_micro
+      FROM g ORDER BY user_id, hour_start""",
+
     "q64_window_distribution" -> """
       SELECT o_orderkey, o_orderstatus, quartile, pr, cd, cheapest_key
       FROM (

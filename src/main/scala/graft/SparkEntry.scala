@@ -2250,6 +2250,27 @@ object SparkEntry {
       FROM $cat.ns.wd GROUP BY seg""").orderBy(col("seg"))
   }
 
+  /** Linear interpolation over the hourly grid
+    * ([[AsOfJoin.interpolateGrid]]) — the companion of q63's LOCF gap
+    * fill: missing hours between two observations take the linear blend
+    * v0 + (v1−v0)·(g−t0)/(t1−t0); observed hours keep their own
+    * (decimal-summed, so engine-exact) value; each user's grid spans
+    * its observed range (no extrapolation). Same q63 plan discipline —
+    * key-only shuffles, rows ∝ output grid. */
+  def q133_interpolate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AsOfJoin.interpolateGrid(
+      events(s, dir), "user_id", "ts", dsum(col("value")))
+      .select(col("user_id"),
+        date_format(col("grid_ts"), fmtS).as("hour_start"),
+        col("n_events"),
+        // fixed-point micro-units: both engines compute bit-identical
+        // doubles (same IEEE op order), but their round() semantics
+        // differ on decimal-tie boundaries (exact-BigDecimal HALF_UP vs
+        // float-math rounding) — floor of the scaled double is
+        // deterministic on the shared bits
+        floor(col("v_interp") * 1e6).cast("long").as("v_interp_micro"))
+      .orderBy(col("user_id"), col("hour_start"))
+
   /** The Gopher document-quality gate ([[TextFunctions.gopherPass]] and
     * its seven per-rule signals): word-count bounds, mean word length,
     * symbol-to-word ratio, bullet/ellipsis line ratios, alphabetic-word
@@ -3011,6 +3032,7 @@ object SparkEntry {
     "q130_nested_ddl" -> (q130_nested_ddl _),
     "q131_ann_pipeline" -> (q131_ann_pipeline _),
     "q132_gopher_gate" -> (q132_gopher_gate _),
+    "q133_interpolate" -> (q133_interpolate _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

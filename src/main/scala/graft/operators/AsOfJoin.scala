@@ -297,4 +297,49 @@ object AsOfJoin {
       rightPayloadCols.map(c => col("__m").getField(c).as(s"$matchPrefix$c"))
     swept.select(outCols: _*)
   }
+
+  /** Dense per-key time grid with LINEAR interpolation — the companion
+    * of the LOCF gap fill (q63): observations are bucketed to the grid
+    * step, missing grid points between two observations take the linear
+    * blend v0 + (v1−v0)·(g−t0)/(t1−t0), observed points keep their own
+    * (aggregated) value, and the grid spans each key's observed range so
+    * no extrapolation happens. Returns
+    * (keyCol, grid_ts, n_events, v_interp).
+    *
+    * Plan shape (the q63 discipline, no per-key blow-up): one
+    * aggregation to the grid step, one window per key for the NEXT
+    * observation, one `sequence` explode bounded by the neighbor gap —
+    * every stage shuffles on the key only, rows ∝ output grid. The
+    * aggregated value should be made deterministic by the caller
+    * (e.g. a decimal-summed double) when an oracle recomputes it. */
+  def interpolateGrid(events: DataFrame, keyCol: String, tsCol: String,
+                      valCol: Column, stepSeconds: Long = 3600L): DataFrame = {
+    val step = s"INTERVAL $stepSeconds SECOND"
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / stepSeconds) * stepSeconds)
+    val hourly = events
+      .groupBy(col(keyCol), bucket.as("__t0"))
+      .agg(valCol.as("__v0"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t0"))
+    hourly
+      .select(col(keyCol), col("__t0"), col("__v0"), col("__n"),
+        lead(col("__t0"), 1).over(w).as("__t1"),
+        lead(col("__v0"), 1).over(w).as("__v1"))
+      .select(col(keyCol), col("__t0"), col("__v0"), col("__n"),
+        col("__t1"), col("__v1"),
+        explode(sequence(col("__t0"),
+          coalesce(col("__t1") - expr(step), col("__t0")),
+          expr(step))).as("__g"))
+      .select(col(keyCol), col("__g").as("grid_ts"),
+        when(col("__g") === col("__t0"), col("__n")).otherwise(lit(0L))
+          .as("n_events"),
+        when(col("__g") === col("__t0"), col("__v0"))
+          .otherwise(col("__v0") +
+            (col("__v1") - col("__v0")) *
+              (unix_timestamp(col("__g")) - unix_timestamp(col("__t0")))
+                .cast("double") /
+              (unix_timestamp(col("__t1")) - unix_timestamp(col("__t0")))
+                .cast("double"))
+          .as("v_interp"))
+  }
 }
