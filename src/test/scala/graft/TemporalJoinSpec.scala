@@ -201,6 +201,37 @@ class TemporalJoinSpec extends SparkSpec {
     assert("hashpartitioning\\(__k[^)]*__b".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("interpolateGrid: linear blends between neighbors, no extrapolation, single-point keys") {
+    val s = spark; import s.implicits._
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // key 1: observations at hours 0 (v=10) and 4 (v=30) — hours 1..3
+    // interpolate linearly; key 2: a single observation — one grid row
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(4), 30.0),
+      (2L, ts(7), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.interpolateGrid(ev, "user_id", "ts", sum(col("value")))
+      .orderBy(col("user_id"), col("grid_ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L, 10.0),
+      (1L, "2024-01-01 01:00:00.0", 0L, 15.0),
+      (1L, "2024-01-01 02:00:00.0", 0L, 20.0),
+      (1L, "2024-01-01 03:00:00.0", 0L, 25.0),
+      (1L, "2024-01-01 04:00:00.0", 1L, 30.0),
+      (2L, "2024-01-01 07:00:00.0", 1L, 5.0)))
+    // two events in one bucket aggregate before interpolation
+    val ev2 = Seq((1L, ts(0), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 2.0),
+      (1L, ts(2), 9.0)).toDF("user_id", "ts", "value")
+    val g2 = AsOfJoin.interpolateGrid(ev2, "user_id", "ts", sum(col("value")))
+      .orderBy(col("grid_ts")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(g2.toSeq === Seq((2L, 3.0), (0L, 6.0), (1L, 9.0)))
+  }
+
   test("range join plan is a hash/sort-merge equi-join, not a nested loop") {
     val pts = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_acctbal"))
     val ivs = Tables.part(spark, sf()).select(col("p_partkey"),
