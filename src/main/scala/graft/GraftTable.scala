@@ -293,9 +293,17 @@ final class GraftTable private (val spark: SparkSession, val root: String,
             "does not resolve under the new type — drop the check first", ex)
       }
     }
+    // record the PHYSICAL dotted path, like dropColumns' blocklist: a
+    // column widened under a renamed container must name the bytes the
+    // surviving files actually carry, so dim-entry strips and any future
+    // physical-path consumer see one naming convention across markers
+    val renames0 = graft.sources.MutableParquetTable.manifestRenames(latest)
+    val physName = (renames0.collectFirst {
+      case (l, phys) if l.equalsIgnoreCase(path.head) => phys
+    }.getOrElse(path.head) +: path.tail).mkString(".")
     OptimisticCommit.commitSchema(root, widened,
       expectedSchema = Some(schema), expectedChecks = Some(checks),
-      recordWidened = Seq(field.name))
+      recordWidened = Seq(physName))
   }
 
   /** `ALTER TABLE ... RENAME COLUMN from TO to` as a METADATA-ONLY

@@ -475,7 +475,37 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, vecCol: String, idCol: String,
                        dim: Int, threshold: Double = 0.95,
                        nBits: Int = 12, native: Boolean = false,
-                       tables: Int = 1): DataFrame = {
+                       tables: Int = 1): DataFrame =
+    embeddingPairsFromBanded(
+      hyperplaneBanded(embs, vecCol, idCol, dim, nBits, native, tables),
+      threshold, native)
+
+  /** [[embeddingNearDup]] with the same hot-bucket guard its MinHash and
+    * SimHash siblings carry ([[minHashPairsCapped]]): a degenerate corpus
+    * slice — a padded/zero-vector cluster, a boilerplate embedding — lands
+    * on one side of every hyperplane and collapses into a single
+    * (table, bucket), where the within-bucket self-join goes quadratic in
+    * ONE task. Buckets wider than `maxBucketWidth` are down-sampled to
+    * ~that width by the shared deterministic per-id hash draw
+    * ([[capBucketWidth]]); the guard is a no-op on healthy corpora. The
+    * cap is NOT silent: the second DataFrame lists every capped
+    * (table, bucket) with its true width and expected drop count —
+    * surface it before trusting the pair set as complete. */
+  def embeddingNearDupCapped(embs: DataFrame, vecCol: String, idCol: String,
+                             dim: Int, maxBucketWidth: Int,
+                             threshold: Double = 0.95,
+                             nBits: Int = 12, native: Boolean = false,
+                             tables: Int = 1): (DataFrame, DataFrame) = {
+    val banded =
+      hyperplaneBanded(embs, vecCol, idCol, dim, nBits, native, tables)
+    val (guarded, overflow) =
+      capBucketWidth(banded, Seq("table", "bucket"), maxBucketWidth)
+    (embeddingPairsFromBanded(guarded, threshold, native), overflow)
+  }
+
+  private def hyperplaneBanded(embs: DataFrame, vecCol: String,
+                               idCol: String, dim: Int, nBits: Int,
+                               native: Boolean, tables: Int): DataFrame = {
     // no forced exchange here: the signature table is vec-sized rows over
     // few (2^nBits) buckets — a bucket shuffle skews, while letting AQE
     // broadcast the smaller side costs only a cheap recompute (measured
@@ -484,9 +514,13 @@ object Dedup {
       if (native) call_function(graft.plans.HyperplaneSignature.name,
         col(vecCol), lit(nBits), lit(dim), lit(42L + t))
       else VectorFunctions.hyperplaneSignature(col(vecCol), nBits, dim, 42L + t)
-    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(bucket): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+  }
+
+  private def embeddingPairsFromBanded(sig: DataFrame, threshold: Double,
+                                       native: Boolean): DataFrame = {
     val a = sig.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sig.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     val cos =

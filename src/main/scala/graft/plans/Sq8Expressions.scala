@@ -110,14 +110,16 @@ case class Sq8Cosine(left: Expression, right: Expression)
       val nc = ctx.freshName("nc")
       val nq = ctx.freshName("nq")
       val denom = ctx.freshName("denom")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
       s"""
         if ($l.length != $r.numElements()) { ${ev.isNull} = true; }
         else {
           double $dot = 0.0; double $nc = 0.0; double $nq = 0.0;
           for (int $i = 0; $i < $l.length; $i++) {
-            double c = (double) $l[$i];
-            double x = (double) $r.getFloat($i);
-            $dot += c * x; $nc += c * c; $nq += x * x;
+            double $c = (double) $l[$i];
+            double $x = (double) $r.getFloat($i);
+            $dot += $c * $x; $nc += $c * $c; $nq += $x * $x;
           }
           double $denom = java.lang.Math.sqrt($nc) * java.lang.Math.sqrt($nq);
           ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);

@@ -718,8 +718,10 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     * rewrites straddling files together) for out-of-contract data. */
   def mergeFineGrained(batch: DataFrame, opCol: String = "op",
                        snapshotDir: Option[String] = None): MergeResult = {
+    // case-insensitive name matching, like the rest of the table layer
+    // (drops, renames, path resolution)
     val extraCols = batch.drop(opCol).schema.fieldNames
-      .filterNot(tableSchema.fieldNames.contains)
+      .filterNot(n => tableSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(extraCols.isEmpty,
       s"schema evolution (new columns ${extraCols.mkString(", ")}) needs " +
         "the file-level merge — the row-group splice keeps each file's " +
@@ -727,7 +729,7 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // the same whole-row upsert contract as merge(): a batch missing an
     // existing table column would silently null it on replaced rows
     val missingCols = tableSchema.fieldNames
-      .filterNot(batch.schema.fieldNames.contains)
+      .filterNot(n => batch.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(missingCols.isEmpty,
       s"batch lacks table columns ${missingCols.mkString(", ")} — " +
         "upserts replace whole rows; project the missing columns " +
@@ -808,18 +810,31 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
           RowGroupCoW.rewriteFile(spark, f,
             s"$outDir/${fileName(f)}", key, slice, opCol, moreKeys)
         }}
-        try Await.result(Future.sequence(jobs),
+        // settle EVERY per-file job before inspecting failures:
+        // Future.sequence fails fast on the first error while sibling
+        // rewriteFile futures keep writing into outDir — deleting the
+        // staging dir under a still-running splice races a repopulating
+        // directory, and a late finisher could drop a stray parquet file
+        // into a directory the fallback merge has re-committed
+        val settled = Await.result(
+          Future.sequence(jobs.map(_.transform(scala.util.Success(_)))),
           scala.concurrent.duration.Duration.Inf)
-        catch {
-          case e: RowGroupCoW.SchemaBeyondFileException =>
+        settled.collectFirst {
+          case scala.util.Failure(_: RowGroupCoW.SchemaBeyondFileException) =>
+            ()
+        } match {
+          case Some(_) =>
             // a dirty file's physical schema predates a column the batch
             // carries (metadata ADD COLUMN / merge evolution left narrow
             // files behind): the splice would silently drop its values —
             // rewriteFile fail-fasts before writing, so discard the
-            // partial staging and run the file-level merge, which reads
-            // files logical and writes the full logical schema
+            // (now fully quiesced) staging and run the file-level merge,
+            // which reads files logical and writes the full logical schema
             MutableParquetTable.deleteDir(Paths.get(outDir))
             return merge(batch, opCol, snapshotDir)
+          case None =>
+            // any non-schema failure propagates as before
+            settled.foreach(_.get)
         }
       } finally b.unpersist(false)
     }

@@ -162,6 +162,47 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => b == 3L })
   }
 
+  test("embedding hot-bucket guard: near-identical cluster is capped, surfaced, deterministic") {
+    val s = spark; import s.implicits._
+    // 40 near-identical embeddings: they land on the same side of every
+    // hyperplane → ONE (table, bucket) of width 40, the planted degenerate
+    // cluster (a padded/zero-vector slice at 100 TB); plus two normal vecs
+    val base = (0 until 16).map(i => math.sin(i * 1.7).toFloat).toArray
+    def jig(i: Int): Array[Float] = {
+      val v = base.clone(); v(0) = v(0) + i * 1e-5f; v
+    }
+    val far1 = (0 until 16).map(i => math.cos(i * 9.1).toFloat).toArray
+    val far2 = (0 until 16).map(i => math.sin(i * 5.3 + 1).toFloat).toArray
+    val df = ((0L until 40L).map(i => (i, jig(i.toInt))) ++
+      Seq((100L, far1), (101L, far2))).toDF("vec_id", "embedding")
+
+    val uncapped = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      dim = 16, threshold = 0.999, nBits = 4)
+    assert(uncapped.count() === 40L * 39 / 2, "uncapped is quadratic in the bucket")
+
+    val cap = 8
+    val (pairs, overflow) = Dedup.embeddingNearDupCapped(df, "embedding",
+      "vec_id", dim = 16, maxBucketWidth = cap, threshold = 0.999, nBits = 4)
+    val n = pairs.count()
+    assert(n > 0 && n < 40L * 39 / 2, s"capped pair count $n must be bounded below quadratic")
+    // the overflow receipt names the capped bucket with its true width
+    val ov = overflow.collect()
+    assert(ov.nonEmpty, "cap must not be silent")
+    ov.foreach { r =>
+      assert(r.getAs[Long]("bucket_width") === 40L)
+      assert(r.getAs[Long]("dropped_est") === 40L - cap)
+    }
+    // deterministic: the hash-draw survivors are a pure function of ids
+    val (pairs2, _) = Dedup.embeddingNearDupCapped(df, "embedding",
+      "vec_id", dim = 16, maxBucketWidth = cap, threshold = 0.999, nBits = 4)
+    assert(pairSet(pairs2) === pairSet(pairs))
+    // a cap above every bucket width is a no-op with an empty receipt
+    val (pairsWide, ovWide) = Dedup.embeddingNearDupCapped(df, "embedding",
+      "vec_id", dim = 16, maxBucketWidth = 1000, threshold = 0.999, nBits = 4)
+    assert(pairSet(pairsWide) === pairSet(uncapped))
+    assert(ovWide.isEmpty)
+  }
+
   test("components: min-label propagation finds transitive clusters") {
     val s = spark; import s.implicits._
     // chain 1-2-3 (transitive through 2), pair 5-6, 9 untouched

@@ -123,7 +123,9 @@ class WidenTypeSpec extends SparkSpec {
     val t = seed(root)
     t.renameColumn("cnt", "count2")                 // v0: logical count2 -> physical cnt
     t.alterColumnType("count2", LongType)           // v1: wide logical over narrow physical
-    assert(MutableParquetTable.manifestWidened(s"$root/v1") === Seq("count2"))
+    // the marker records the PHYSICAL (birth) name — the same convention
+    // as the dropped-column blocklist and the dim-range entries it strips
+    assert(MutableParquetTable.manifestWidened(s"$root/v1") === Seq("cnt"))
     val now = t.read()
     assert(now.schema("count2").dataType === LongType)
     assert(now.where(col("k") === 5L).head().getLong(1) === 5L,
