@@ -583,8 +583,11 @@ object OracleSql {
       ORDER BY g.user_id, hour_start""",
 
     // q133: linear interpolation on the hourly grid — same grid/window
-    // construction as q63; identical double op order ((v1-v0)*num/den)
-    // so values match bit-exactly before the final round
+    // construction as q63; identical double op order (the blend RATIO is
+    // one division, then (v1-v0)*ratio) so values match bit-exactly
+    // before the final floor — Spark computes the ratio on epoch MICROS,
+    // which is bit-identical to this seconds form because a correctly
+    // rounded division depends only on the real quotient
     "q133_interpolate" -> """
       WITH h AS (
         SELECT user_id, date_trunc('hour', ts) AS t0,
@@ -605,8 +608,8 @@ object OracleSql {
         CASE WHEN gh = t0 THEN n ELSE CAST(0 AS BIGINT) END AS n_events,
         CAST(floor((CASE WHEN gh = t0 THEN v0
               ELSE v0 + (v1 - v0)
-                   * CAST(date_diff('second', t0, gh) AS DOUBLE)
-                   / CAST(date_diff('second', t0, t1) AS DOUBLE) END) * 1e6)
+                   * (CAST(date_diff('second', t0, gh) AS DOUBLE)
+                      / CAST(date_diff('second', t0, t1) AS DOUBLE)) END) * 1e6)
           AS BIGINT) AS v_interp_micro
       FROM g ORDER BY user_id, hour_start""",
 

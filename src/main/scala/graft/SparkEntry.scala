@@ -2309,7 +2309,12 @@ object SparkEntry {
     * the oracle recomputes the whole pipeline (recursive closure for
     * components, brute-force ranking over the survivors) in DuckDB.
     * Scale shape: pair sweep broadcasts one side, components iterate
-    * edge-sized joins, encode is map-only, serving reads 1 byte/dim. */
+    * edge-sized joins, encode is map-only, serving reads 1 byte/dim.
+    * NOTE — the exact all-pairs sweep here is the ORACLE-CHECKABLE
+    * stage, not the recommended scale shape: at 100 TB swap it for
+    * [[Dedup.semanticNearDup]] (bounded per-cell quadratic) or
+    * [[Dedup.embeddingNearDupCapped]] (LSH with a hot-bucket guard);
+    * the rest of the pipeline composes unchanged. */
   def q131_ann_pipeline(s: SparkSession, dir: String): DataFrame = {
     graft.plans.CosineSimilarity.register(s)
     graft.plans.Sq8Cosine.register(s)

@@ -306,6 +306,15 @@ object AsOfJoin {
     * no extrapolation happens. Returns
     * (keyCol, grid_ts, n_events, v_interp).
     *
+    * Granularity contract: bucketing and blend weights are computed on
+    * EPOCH MICROSECONDS (Spark's full timestamp precision) — sub-second
+    * event times route to the right bucket and move the blend; nothing
+    * truncates to whole seconds. Sub-second grids go through
+    * [[interpolateGridMicros]]; this overload is the whole-second
+    * convenience (for second-aligned buckets the micro blend weights are
+    * exact multiples of 10⁶, so the double division is bit-identical to
+    * the seconds form — whole-second oracles are unaffected).
+    *
     * Plan shape (the q63 discipline, no per-key blow-up): one
     * aggregation to the grid step, one window per key for the NEXT
     * observation, one `sequence` explode bounded by the neighbor gap —
@@ -313,10 +322,21 @@ object AsOfJoin {
     * aggregated value should be made deterministic by the caller
     * (e.g. a decimal-summed double) when an oracle recomputes it. */
   def interpolateGrid(events: DataFrame, keyCol: String, tsCol: String,
-                      valCol: Column, stepSeconds: Long = 3600L): DataFrame = {
-    val step = s"INTERVAL $stepSeconds SECOND"
-    val bucket = timestamp_seconds(
-      floor(unix_timestamp(col(tsCol)) / stepSeconds) * stepSeconds)
+                      valCol: Column, stepSeconds: Long = 3600L): DataFrame =
+    interpolateGridMicros(events, keyCol, tsCol, valCol,
+      stepSeconds * 1000000L)
+
+  /** [[interpolateGrid]] with the step in MICROSECONDS — the sub-second
+    * form (e.g. 250 ms sensor grids). Same plan shape and contract. */
+  def interpolateGridMicros(events: DataFrame, keyCol: String,
+                            tsCol: String, valCol: Column,
+                            stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, "grid step must be positive")
+    val step = s"INTERVAL $stepMicros MICROSECOND"
+    // long-exact floor-to-step (epoch micros are positive; pmod keeps the
+    // arithmetic integral — no double round-trip at 2^50-scale operands)
+    val us = unix_micros(col(tsCol))
+    val bucket = timestamp_micros(us - pmod(us, lit(stepMicros)))
     val hourly = events
       .groupBy(col(keyCol), bucket.as("__t0"))
       .agg(valCol.as("__v0"), count(lit(1)).as("__n"))
@@ -334,12 +354,16 @@ object AsOfJoin {
         when(col("__g") === col("__t0"), col("__n")).otherwise(lit(0L))
           .as("n_events"),
         when(col("__g") === col("__t0"), col("__v0"))
+          // ratio FIRST as one division (a pure function of the real
+          // quotient, so micros and seconds weights are bit-identical),
+          // THEN scale the delta — a left-assoc (v1−v0)·num/den shape
+          // would round the micros-scaled intermediate differently
           .otherwise(col("__v0") +
             (col("__v1") - col("__v0")) *
-              (unix_timestamp(col("__g")) - unix_timestamp(col("__t0")))
+              ((unix_micros(col("__g")) - unix_micros(col("__t0")))
                 .cast("double") /
-              (unix_timestamp(col("__t1")) - unix_timestamp(col("__t0")))
-                .cast("double"))
+               (unix_micros(col("__t1")) - unix_micros(col("__t0")))
+                .cast("double")))
           .as("v_interp"))
   }
 }

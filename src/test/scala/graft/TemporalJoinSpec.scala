@@ -232,6 +232,41 @@ class TemporalJoinSpec extends SparkSpec {
     assert(g2.toSeq === Seq((2L, 3.0), (0L, 6.0), (1L, 9.0)))
   }
 
+  test("interpolateGrid is microsecond-granular: millisecond inputs bucket and blend sub-second") {
+    val s = spark; import s.implicits._
+    val t = (ms: String) => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:$ms")
+    // 250 ms grid: observations at 0.000 (v=0) and 1.000 (v=8) — the
+    // three sub-second grid points 0.250/0.500/0.750 blend 2/4/6; a
+    // seconds-truncating implementation would collapse both observations'
+    // millisecond structure and emit nothing between whole seconds
+    val ev = Seq(
+      (1L, t("00.000"), 0.0), (1L, t("01.000"), 8.0),
+      // two events 300 ms apart inside ONE second land in DIFFERENT
+      // 250 ms buckets (second-granular bucketing would merge them)
+      (2L, t("05.100"), 1.0), (2L, t("05.400"), 3.0)
+    ).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.interpolateGridMicros(ev, "user_id", "ts",
+      sum(col("value")), stepMicros = 250000L)
+      .orderBy(col("user_id"), col("grid_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L, 0.0),
+      (1L, "2024-01-01 00:00:00.25", 0L, 2.0),
+      (1L, "2024-01-01 00:00:00.5", 0L, 4.0),
+      (1L, "2024-01-01 00:00:00.75", 0L, 6.0),
+      (1L, "2024-01-01 00:00:01.0", 1L, 8.0),
+      (2L, "2024-01-01 00:00:05.0", 1L, 1.0),
+      (2L, "2024-01-01 00:00:05.25", 1L, 3.0)))
+    // the whole-second overload routes sub-second events to the right
+    // hour bucket (no unix_timestamp truncation anywhere in the path)
+    val ev2 = Seq((1L, t("59.999"), 7.0)).toDF("user_id", "ts", "value")
+    val one = AsOfJoin.interpolateGrid(ev2, "user_id", "ts", sum(col("value")))
+      .collect()
+    assert(one.length === 1 &&
+      one.head.getTimestamp(1).toString === "2024-01-01 00:00:00.0")
+  }
+
   test("range join plan is a hash/sort-merge equi-join, not a nested loop") {
     val pts = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_acctbal"))
     val ivs = Tables.part(spark, sf()).select(col("p_partkey"),
