@@ -588,6 +588,19 @@ object OracleSql {
     // before the final floor — Spark computes the ratio on epoch MICROS,
     // which is bit-identical to this seconds form because a correctly
     // rounded division depends only on the real quotient
+    // q134: image perceptual-hash dedup. DuckDB cannot decode PNG, so
+    // the oracle is the planted-duplicate ground truth (the q47
+    // discipline): the Spark side unions each image (doc_id%3=0, id<90)
+    // with a re-encoded pixel-identical copy at id+100000; a correct
+    // decode+dHash pipeline pairs EXACTLY source/copy at Hamming 0 —
+    // any hash collapse would add noise-image pairs (precision), any
+    // decode/hash fault would miss planted pairs (recall)
+    "q134_image_dedup" -> """
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+             CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 90
+      ORDER BY id_a, id_b""",
+
     "q133_interpolate" -> """
       WITH h AS (
         SELECT user_id, date_trunc('hour', ts) AS t0,

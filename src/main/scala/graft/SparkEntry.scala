@@ -2271,6 +2271,33 @@ object SparkEntry {
         floor(col("v_interp") * 1e6).cast("long").as("v_interp_micro"))
       .orderBy(col("user_id"), col("hour_start"))
 
+  /** Image near-dup — the multimodal member of the dedup family
+    * ([[Multimodal.imageNearDup]]): decode every image payload to the
+    * 9×8 area-averaged luma raster (batched narrow map), fingerprint
+    * with the codegen'd dHash kernel, and Hamming-band the 64-bit
+    * hashes through the shared chunk machinery. The fixture plants a
+    * RE-ENCODED copy of each image (valid PNG, pixel-identical,
+    * different bytes — spliced tEXt chunk): byte-level dedup finds
+    * nothing, the perceptual hash pairs every copy with its source at
+    * distance exactly 0 — and no two distinct noise images pair at the
+    * threshold, so the oracle (which recomputes the planted-pair list
+    * from the documents table) checks recall AND precision. The pair
+    * stage moves 16-byte fingerprints only; payloads never shuffle. */
+  def q134_image_dedup(s: SparkSession, dir: String): DataFrame = {
+    val mdir = cachedDerivedDir(dir, "documents.parquet", "media") { out =>
+      Multimodal.fromDocuments(documents(s, dir))
+        .write.mode("overwrite").parquet(out)
+    }
+    import s.implicits._
+    val media = s.read.parquet(mdir).as[graft.multimodal.MediaRecord]
+      .filter(m => m.kind == "image" && m.media_id < 90)
+    val planted = Multimodal.reencodeImages(media, idOffset = 100000L)
+    Multimodal.imageNearDup(media.union(planted), maxHamming = 2)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The Gopher document-quality gate ([[TextFunctions.gopherPass]] and
     * its seven per-rule signals): word-count bounds, mean word length,
     * symbol-to-word ratio, bullet/ellipsis line ratios, alphabetic-word
@@ -3038,6 +3065,7 @@ object SparkEntry {
     "q131_ann_pipeline" -> (q131_ann_pipeline _),
     "q132_gopher_gate" -> (q132_gopher_gate _),
     "q133_interpolate" -> (q133_interpolate _),
+    "q134_image_dedup" -> (q134_image_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

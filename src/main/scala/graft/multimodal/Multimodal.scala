@@ -248,6 +248,153 @@ object Multimodal {
     }.toDF("media_id", "src_w", "src_h", "width", "height", "payload")
   }
 
+  // ---- perceptual image hashing / image near-dup -----------------------
+
+  /** Decode each "image" payload and area-average its luma onto the
+    * fixed 9×8 grayscale grid ([[graft.plans.ImageHash]]'s raster
+    * contract, 72 unsigned bytes row-major) — the decode stage of the
+    * perceptual-hash pipeline. Batched narrow map like
+    * [[extractFeatures]]: no exchange, decode cost dominates, output is
+    * 72 bytes/row no matter the source size. Area averaging (integer
+    * box mean, luma = (77R+150G+29B)>>8) rather than point sampling is
+    * what buys resize stability: the cell mean of a downscaled image
+    * converges to the cell mean of the original. */
+  def grayRasters(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val gw = graft.plans.ImageHash.GridW
+    val gh = graft.plans.ImageHash.GridH
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(img != null, "payload is not a decodable image")
+          (m.media_id, rasterOf(img, gw, gh))
+        }
+      }
+    }.toDF("media_id", "raster")
+  }
+
+  private[graft] def rasterOf(img: java.awt.image.BufferedImage,
+                              gw: Int, gh: Int): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+              29 * (rgb & 0xFF)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * gw + cx) = (sum / ((x1 - x0).toLong * (y1 - y0))).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Perceptual fingerprints for every "image" payload: decode to the
+    * shared raster, then the codegen'd [[graft.plans.ImageDHash]] /
+    * [[graft.plans.ImageAHash]] kernels. Returns
+    * (media_id, dhash, ahash) — 16 bytes of fingerprint per image,
+    * however large the source. */
+  def imageHashes(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    graft.plans.ImageDHash.register(spark)
+    graft.plans.ImageAHash.register(spark)
+    grayRasters(media, batchSize).select(col("media_id"),
+      call_function(graft.plans.ImageDHash.name, col("raster")).as("dhash"),
+      call_function(graft.plans.ImageAHash.name, col("raster")).as("ahash"))
+  }
+
+  /** Image near-dup pairs — the multimodal member of the dedup family:
+    * dHash fingerprints (robust to re-encode and global
+    * brightness/contrast shifts; pixel-identical copies hash
+    * identically whatever their bytes) joined by the shared Hamming
+    * chunk-banding machinery ([[graft.operators.Dedup.hammingPairs]]).
+    * Recall is exact for maxHamming <= chunks-1. Output
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape: decode is a narrow map; everything after moves 16-byte
+    * fingerprint rows — the candidate join never touches a payload. For
+    * corpora with degenerate thumbnail clusters (solid-color images all
+    * hash to 0L) use [[imageNearDupCapped]]. */
+  def imageNearDup(media: Dataset[MediaRecord], maxHamming: Int = 2,
+                   chunks: Int = 4): DataFrame =
+    graft.operators.Dedup.hammingPairs(imageHashes(media),
+      "media_id", "dhash", maxHamming, chunks)
+
+  /** [[imageNearDup]] with the dedup family's hot-bucket guard and
+    * overflow-stats visibility contract
+    * ([[graft.operators.Dedup.hammingPairsCapped]]). */
+  def imageNearDupCapped(media: Dataset[MediaRecord], maxBucketWidth: Int,
+                         maxHamming: Int = 2,
+                         chunks: Int = 4): (DataFrame, DataFrame) =
+    graft.operators.Dedup.hammingPairsCapped(imageHashes(media),
+      "media_id", "dhash", maxBucketWidth, maxHamming, chunks)
+
+  /** Re-encode each "image" payload: decode, PNG-encode, and splice a
+    * tEXt ancillary chunk before IEND — a VALID PNG with
+    * pixel-IDENTICAL content and guaranteed-different bytes (metadata
+    * chunks don't touch the raster). The canonical perceptual-dedup
+    * test article: byte-hash dedup misses it, dHash distance is exactly
+    * 0. Batched narrow map. */
+  def reencodeImages(media: Dataset[MediaRecord], idOffset: Long,
+                     batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val src = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(src != null, "payload is not a decodable image")
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(src, "png", bos)
+          MediaRecord(m.media_id + idOffset, m.kind,
+            withTextChunk(bos.toByteArray, "Comment", "re-encoded"),
+            m.source)
+        }
+      }
+    }
+  }
+
+  /** Splice a PNG tEXt chunk (keyword NUL text, with the standard CRC32
+    * over type+data) immediately before IEND. */
+  private[graft] def withTextChunk(png: Array[Byte], keyword: String,
+                                   text: String): Array[Byte] = {
+    // IEND is always the final 12 bytes of a well-formed PNG
+    require(png.length >= 12, "not a PNG")
+    val data = (keyword + "\u0000" + text)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bos = new ByteArrayOutputStream()
+    bos.write(png, 0, png.length - 12)
+    writeInt(bos, data.length)
+    val typ = "tEXt".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    bos.write(typ)
+    bos.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ); crc.update(data)
+    writeInt(bos, crc.getValue.toInt)
+    bos.write(png, png.length - 12, 12)
+    bos.toByteArray
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th REAL container
     * frame, exploded to one row per sampled frame (each `frame_bytes` is
     * itself a decodable PNG). */

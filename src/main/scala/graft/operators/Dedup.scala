@@ -277,8 +277,6 @@ object Dedup {
 
   private def simHashBanded(docs: DataFrame, textCol: String, idCol: String,
                             native: Boolean, chunks: Int): DataFrame = {
-    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
-    val chunkBits = 64 / chunks
     // signature stage: fused one-pass kernel ([[graft.plans.SimHash]],
     // register first) vs explode → 64 conditional sums via vectorized hash
     // agg (same rationale as minHashPairs); docs with zero tokens have no
@@ -303,13 +301,49 @@ object Dedup {
           (0 until 64).map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
             .reduce(_ bitwiseOR _).as("sim"))
     }
-    // shared exchange before the per-side renames — see minHashPairs
+    bandLongHash(sigs, chunks)
+  }
+
+  /** Chunk-band a 64-bit fingerprint table (`id`, `sim`) for the Hamming
+    * candidate join — the shared tail of [[simHashPairs]] and the image
+    * perceptual-hash join ([[hammingPairs]]). Shared exchange before the
+    * per-side renames — see minHashPairs. */
+  private def bandLongHash(sigs: DataFrame, chunks: Int): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    val chunkBits = 64 / chunks
     val low = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
     sigs.select(col("id"), col("sim"),
       posexplode(array((0 until chunks).map(i =>
         col("sim").bitwiseAND(lit(low << (chunkBits * i)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
       .repartition(col("band"), col("chunk"))
+  }
+
+  /** Hamming near-dup join over ANY precomputed 64-bit fingerprint
+    * column (SimHash, image dHash/aHash, …): chunk-band the hash,
+    * candidate pairs agree on a chunk, verify bit_count(xor) <=
+    * maxHamming. Same completeness bound as [[simHashPairs]]: recall is
+    * EXACT for maxHamming <= chunks-1 (pigeonhole — some chunk survives).
+    * Output (id_a, id_b, hamming), id_a < id_b. */
+  def hammingPairs(fps: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    simHashPairsFromBanded(
+      bandLongHash(fps.select(col(idCol).as("id"), col(hashCol).as("sim")),
+        chunks), maxHamming)
+
+  /** [[hammingPairs]] with the family's hot-bucket guard and
+    * overflow-stats contract ([[minHashPairsCapped]]): a degenerate
+    * fingerprint cluster (e.g. thousands of byte-identical thumbnails)
+    * shares every chunk bucket and joins quadratically in one task
+    * otherwise. */
+  def hammingPairsCapped(fps: DataFrame, idCol: String, hashCol: String,
+                         maxBucketWidth: Int, maxHamming: Int = 3,
+                         chunks: Int = 4): (DataFrame, DataFrame) = {
+    val banded = bandLongHash(
+      fps.select(col(idCol).as("id"), col(hashCol).as("sim")), chunks)
+    val (guarded, overflow) =
+      capBucketWidth(banded, Seq("band", "chunk"), maxBucketWidth)
+    (simHashPairsFromBanded(guarded, maxHamming), overflow)
   }
 
   private def simHashPairsFromBanded(banded: DataFrame,

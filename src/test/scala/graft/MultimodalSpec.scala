@@ -95,4 +95,114 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizeImages(media, 0, 12)
     }
   }
+
+  // ---- perceptual image hashing / image near-dup -----------------------
+
+  /** Smooth radial-gradient PNG in scale-relative coordinates — the SAME
+    * scene at any resolution, so perceptual hashes should agree across
+    * sizes (noise fixtures are the perceptual-hash worst case). */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dx = (x + 0.5) / w - 0.5
+      val dy = (y + 0.5) / h - 0.5
+      val v = math.max(0, math.min(255,
+        (255 * (1.0 - 2.0 * math.sqrt(dx * dx + dy * dy))).toInt))
+      img.setRGB(x, y, v * 0x010101)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Pure-Scala reference hashes over a raster — the spec-side oracle
+    * for the codegen'd expressions. */
+  private def refDHash(r: Array[Byte]): Long = {
+    var hsh = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if ((r(y * 9 + x + 1) & 0xFF) > (r(y * 9 + x) & 0xFF))
+        hsh |= 1L << (y * 8 + x)
+    hsh
+  }
+  private def refAHash(r: Array[Byte]): Long = {
+    val px = for (y <- 0 until 8; x <- 0 until 8) yield (r(y * 9 + x) & 0xFF).toLong
+    val total = px.sum
+    px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (p * 64L > total) acc | (1L << i) else acc }
+  }
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("image hash expressions match the Scala reference; wrong-length raster is null") {
+    val s = spark; import s.implicits._
+    val rasters = Multimodal.grayRasters(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rasters.nonEmpty && rasters.values.forall(_.length === 72))
+    val got = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (id, (d, a)) =>
+      assert(d === refDHash(rasters(id)), s"dhash of $id")
+      assert(a === refAHash(rasters(id)), s"ahash of $id")
+    }
+    graft.plans.ImageDHash.register(s)
+    graft.plans.ImageAHash.register(s)
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("raster").select(
+      call_function(graft.plans.ImageDHash.name, col("raster")).as("d"),
+      call_function(graft.plans.ImageAHash.name, col("raster")).as("a"))
+      .head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
+  test("perceptual hashes are resize- and re-encode-stable on smooth images") {
+    val s = spark; import s.implicits._
+    import graft.multimodal.MediaRecord
+    // the same smooth scene rendered at three resolutions
+    val scene = Seq(
+      MediaRecord(1L, "image", gradientPng(64, 64), "t"),
+      MediaRecord(2L, "image", gradientPng(32, 32), "t"),
+      MediaRecord(3L, "image", gradientPng(48, 36), "t")).toDS()
+    val hs = Multimodal.imageHashes(scene).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (i <- Seq(2L, 3L)) {
+      assert(ham(hs(1L)._1, hs(i)._1) <= 4, s"dhash 1 vs $i")
+      assert(ham(hs(1L)._2, hs(i)._2) <= 4, s"ahash 1 vs $i")
+    }
+    // bilinear-resized copy of a real fixture image stays nearby too
+    val one = media.filter(m => m.kind == "image" && m.media_id == 0L)
+    val resizedPayload = Multimodal.resizeImages(one, 24, 24)
+      .head().getAs[Array[Byte]]("payload")
+    val both = one.union(Seq(
+      MediaRecord(500L, "image", resizedPayload, "t")).toDS())
+    val h2 = Multimodal.imageHashes(both).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ham(h2(0L), h2(500L)) <= 12,
+      s"ahash across a bilinear resize of a noise image: ${ham(h2(0L), h2(500L))}")
+    // garbage payloads are rejected, not silently hashed
+    val garbage = Seq(MediaRecord(9L, "image", Array[Byte](9, 9, 9), "t")).toDS()
+    intercept[Exception](Multimodal.imageHashes(garbage).collect())
+  }
+
+  test("imageNearDup: re-encoded copies pair at hamming 0, byte-level dedup would miss them, noise images don't pair") {
+    val planted = Multimodal.reencodeImages(media, idOffset = 100000L)
+    // the bytes really differ (byte-identical dedup finds nothing)...
+    val origBytes = media.filter(_.kind == "image").collect()
+      .map(m => m.media_id -> m.payload).toMap
+    planted.collect().foreach { m =>
+      assert(!java.util.Arrays.equals(m.payload, origBytes(m.media_id - 100000L)),
+        s"re-encode of ${m.media_id} must change bytes")
+    }
+    // ...but every planted copy pairs with its source at distance 0,
+    // and no two distinct noise images pair at this threshold
+    val pairs = Multimodal.imageNearDup(media.union(planted), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val expected = origBytes.keySet.map(id => (id, id + 100000L, 0L))
+    assert(pairs.toSet === expected, s"got ${pairs.sorted.toSeq}")
+
+    // the capped form is a no-op here (healthy corpus) with an empty receipt
+    val (capped, overflow) = Multimodal.imageNearDupCapped(
+      media.union(planted), maxBucketWidth = 1000, maxHamming = 2)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .toSet === expected)
+    assert(overflow.isEmpty)
+  }
 }
