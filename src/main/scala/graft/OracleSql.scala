@@ -588,6 +588,55 @@ object OracleSql {
     // before the final floor — Spark computes the ratio on epoch MICROS,
     // which is bit-identical to this seconds form because a correctly
     // rounded division depends only on the real quotient
+    // q135: exact-substring duplicated-span removal (Lee et al.) — the
+    // full pipeline replayed relationally: word positions, k-gram
+    // postings, cross-doc frequency with keep-first, covered-position
+    // union, ordered reassembly. Tokenization mirrors the q95 shingle
+    // contract (trim + \s+ split, whole-doc gram at <= 5 tokens); the
+    // empty-text guard covers DuckDB's ['']-vs-[] split semantics.
+    "q135_span_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0
+                THEN 'alpha beta gamma delta epsilon zeta ' ELSE '' END)
+          || text ||
+          (CASE WHEN doc_id % 4 = 0
+                THEN ' one two three four five six seven' ELSE '' END) AS text
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM corpus),
+      g AS (
+        SELECT doc_id, n, unnest(range(len(sh))) AS p, unnest(sh) AS gram
+        FROM (SELECT doc_id, len(toks) AS n,
+                CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 3), i ->
+                       array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) END AS sh
+              FROM t WHERE len(toks) > 0)),
+      stats AS (
+        SELECT gram, min(doc_id) AS keep
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      rm AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT g.doc_id, unnest(range(g.p, least(g.p + 5, g.n))) AS pos
+          FROM g JOIN stats USING (gram)
+          WHERE g.doc_id <> stats.keep)),
+      w AS (
+        SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS word
+        FROM t WHERE len(toks) > 0),
+      reb AS (
+        SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) AS text,
+               count(*) AS kept_n
+        FROM w LEFT JOIN rm ON w.doc_id = rm.doc_id AND w.pos = rm.pos
+        WHERE rm.doc_id IS NULL
+        GROUP BY w.doc_id)
+      SELECT t.doc_id, coalesce(reb.text, '') AS text,
+        CAST(len(t.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed
+      FROM t LEFT JOIN reb USING (doc_id)
+      ORDER BY doc_id""",
+
     // q134: image perceptual-hash dedup. DuckDB cannot decode PNG, so
     // the oracle is the planted-duplicate ground truth (the q47
     // discipline): the Spark side unions each image (doc_id%3=0, id<90)

@@ -2298,6 +2298,31 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact-substring duplicated-SPAN removal
+    * ([[CorpusPrep.removeDupSpans]], Lee et al. 2022) — the step beyond
+    * q95's dup-gram COUNTS and q113's whole-LINE strips: boilerplate
+    * word spans (injected identically by both engines: a shared 6-word
+    * prefix on every third doc, a shared 7-word suffix on every fourth)
+    * are spliced OUT of every doc except the lowest-id holder
+    * (keep-first), overlapping gram hits merging into one contiguous
+    * removal. The oracle replays the whole posting → keep-first → span
+    * union → reassembly pipeline relationally in DuckDB, so a hash
+    * match proves the reconstructed TEXTS are byte-exact, not just the
+    * removal counts. */
+  def q135_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          lit("alpha beta gamma delta epsilon zeta ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" one two three four five six seven")).otherwise(lit("")))
+        .as("text"))
+    CorpusPrep.removeDupSpans(corpus, "text", "doc_id",
+      k = 5, minDocs = 2, keepFirst = true)
+      .orderBy(col("doc_id"))
+  }
+
   /** The Gopher document-quality gate ([[TextFunctions.gopherPass]] and
     * its seven per-rule signals): word-count bounds, mean word length,
     * symbol-to-word ratio, bullet/ellipsis line ratios, alphabetic-word
@@ -3066,6 +3091,7 @@ object SparkEntry {
     "q132_gopher_gate" -> (q132_gopher_gate _),
     "q133_interpolate" -> (q133_interpolate _),
     "q134_image_dedup" -> (q134_image_dedup _),
+    "q135_span_dedup" -> (q135_span_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -440,6 +440,82 @@ object CorpusPrep {
           e => e("__line")), "\n").as(textCol))
   }
 
+  /** EXACT-SUBSTRING duplicated-span REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): where
+    * [[graft.operators.Dedup.duplicatedNgramStats]] COUNTS cross-document
+    * repeated word-k-grams per doc (q95) and [[dedupLines]] strips exact
+    * LINES (q113), this removes the duplicated SPANS THEMSELVES from
+    * surviving documents. A word k-gram is duplicated when the identical
+    * gram occurs in >= `minDocs` DISTINCT documents; every word covered
+    * by a duplicated gram hit is removed and the doc is rebuilt from the
+    * survivors in order (token-joined — output text is
+    * whitespace-normalized to the tokenizer's canonical form, the same
+    * contract as token-level chunking). Overlapping/adjacent gram hits
+    * merge naturally: removal is the set UNION of covered positions, so
+    * a run of consecutive duplicated grams strips one contiguous span.
+    *
+    * `keepFirst = true` (keep-first policy) leaves the lowest-id
+    * document's copy of each gram intact — other docs holding it lose
+    * theirs; `false` (keep-none) strips every copy everywhere. Returns
+    * (idCol, textCol, n_removed) for EVERY input doc (docs with nothing
+    * removed pass through token-joined; fully-duplicated docs come back
+    * as the empty string with n_removed = token count).
+    *
+    * Scale shape: gram doc-stats are ONE shuffle keyed on the gram
+    * (at web scale shuffle `xxhash64(gram)` fingerprints instead of the
+    * string — same plan, 8-byte keys); the stats join back is inner, so
+    * only hits on DUPLICATED grams flow further (rows ∝ duplicated
+    * mass, not corpus size); coverage explode is ≤ k rows per hit and
+    * de-duplicates to span length; reassembly is one shuffle on the doc
+    * id with per-doc memory bounded by doc length — exactly
+    * [[dedupLines]]'s collect-and-sort discipline. */
+  def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 5, minDocs: Int = 2,
+                     keepFirst: Boolean = true): DataFrame = {
+    require(k >= 1, "gram width must be positive")
+    require(minDocs >= 2, "a span is duplicated only across >= 2 docs")
+    val base = docs.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    // gram at 0-based position p covers words p..p+k-1; docs at or under
+    // k tokens form ONE whole-doc gram (shingles()' contract, so q95's
+    // dup counts and this removal agree on what "a duplicated gram" is)
+    val grams = base.where(size(col("__toks")) > 0)
+      .select(col("__id"), size(col("__toks")).as("__n"),
+        posexplode(
+          when(size(col("__toks")) <= k,
+            array(concat_ws(" ", col("__toks"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("__toks")) - lit(k) + lit(1)),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(k)))))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__gram")
+    val stats = grams.groupBy(col("__gram"))
+      .agg(countDistinct(col("__id")).as("__df"),
+        min(col("__id")).as("__keep"))
+      .where(col("__df") >= minDocs)
+    val hits = grams.join(stats, "__gram")
+    val removable = (if (keepFirst) hits.where(col("__id") =!= col("__keep"))
+                     else hits)
+      .select(col("__id"), explode(sequence(col("__p"),
+        least(col("__p") + lit(k - 1), col("__n") - 1))).as("__rm"))
+      .distinct()
+    val words = base
+      .select(col("__id"), posexplode(col("__toks")).as(Seq("__p", "__w")))
+    val kept = words.join(removable,
+      words("__id") === removable("__id") && col("__p") === col("__rm"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__w")))),
+          e => e("__w")), " ").as("__text"),
+        count(lit(1)).as("__kept"))
+    base.select(col("__id"), size(col("__toks")).as("__total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        (col("__total") - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("__n"))

@@ -73,6 +73,57 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(dropped === Map(1L -> "mine", 2L -> "yours"))
   }
 
+  test("removeDupSpans splices duplicated spans out, merges overlaps, keep-first keeps one copy") {
+    // docs 1 and 2 share an 8-word boilerplate run (grams w1..w8 at k=3:
+    // six consecutive duplicated grams -> ONE merged 8-word span); doc 3
+    // is untouched prose
+    val corpus = docs(
+      1L -> "intro one w1 w2 w3 w4 w5 w6 w7 w8 tail one",
+      2L -> "different opening w1 w2 w3 w4 w5 w6 w7 w8 closing words here",
+      3L -> "completely unrelated document content with no shared runs")
+    val out = CorpusPrep.removeDupSpans(corpus, "text", "doc_id",
+      k = 3, minDocs = 2, keepFirst = true)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // keep-first: doc 1 (lowest id) keeps its copy; doc 2 loses the
+    // whole contiguous span in one splice; doc 3 passes through
+    assert(out(0) === ((1L, "intro one w1 w2 w3 w4 w5 w6 w7 w8 tail one", 0L)))
+    assert(out(1) === ((2L, "different opening closing words here", 8L)))
+    assert(out(2) === ((3L, "completely unrelated document content with no shared runs", 0L)))
+
+    // keep-none strips every copy everywhere
+    val none = CorpusPrep.removeDupSpans(corpus, "text", "doc_id",
+      k = 3, minDocs = 2, keepFirst = false)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(none(0) === ((1L, "intro one tail one", 8L)))
+    assert(none(1) === ((2L, "different opening closing words here", 8L)))
+
+    // a doc at or under k tokens is ONE whole-doc gram: duplicated
+    // short docs empty out entirely (keep-first saves the lowest id)
+    val shorts = docs(1L -> "tiny dup", 2L -> "tiny dup", 3L -> "other")
+    val sres = CorpusPrep.removeDupSpans(shorts, "text", "doc_id",
+      k = 5, minDocs = 2, keepFirst = true)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(sres(0) === ((1L, "tiny dup", 0L)))
+    assert(sres(1) === ((2L, "", 2L)))
+    assert(sres(2) === ((3L, "other", 0L)))
+
+    // within-ONE-doc repetition is not cross-document duplication
+    val selfRep = docs(1L -> "loop a b c loop a b c loop a b c",
+      2L -> "nothing shared with the first document at all")
+    val rres = CorpusPrep.removeDupSpans(selfRep, "text", "doc_id",
+      k = 3, minDocs = 2).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(rres.forall(_._3 === 0L))
+
+    // minDocs threshold: a pair-shared gram survives minDocs = 3
+    val pair = docs(1L -> "x shared run y", 2L -> "z shared run w",
+      3L -> "shared elsewhere run")
+    val pres = CorpusPrep.removeDupSpans(pair, "text", "doc_id",
+      k = 2, minDocs = 3).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(pres.forall(_._3 === 0L))
+  }
+
   test("repetitionStats: hand-computable signals") {
     val got = CorpusPrep.repetitionStats(
       docs(1L -> "a a a a", 2L -> "w x y z", 3L -> ""), "text", "doc_id")
