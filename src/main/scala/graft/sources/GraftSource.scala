@@ -726,6 +726,39 @@ final class GraftParquetScan(spark: SparkSession,
       val m = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      // manifest bounds are NORMALIZED longs; CBO expects the column's
+      // Catalyst-internal form (Integer for date/int, etc.) — anything
+      // representation-unsafe (string/binary) declines to null
+      def internalOf(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+        (v, dt) match {
+          case (l: java.lang.Long,
+              LongType | TimestampType | TimestampNTZType) => l
+          case (l: java.lang.Long, IntegerType | DateType) =>
+            java.lang.Integer.valueOf(l.toInt)
+          case (l: java.lang.Long, ShortType) =>
+            java.lang.Short.valueOf(l.toShort)
+          case (l: java.lang.Long, ByteType) =>
+            java.lang.Byte.valueOf(l.toByte)
+          case _ => null
+        }
+      def put(colName: String, distinct: Option[Long], nulls: Option[Long],
+              bounds: Option[(Any, Any)]): Unit =
+        m.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(colName),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              distinct.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              bounds.map(n => java.util.Optional.of(n._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              bounds.map(n => java.util.Optional.of(n._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
       if (rows.isPresent && plannedFiles.nonEmpty) {
         for {
           key <- table.keyName if required.fieldNames.contains(key)
@@ -739,41 +772,50 @@ final class GraftParquetScan(spark: SparkSession,
             val distinct = rows.getAsLong - nulls
             val minV = ranges.minBy(_.minBytes)(KeyBytes.ordering).min
             val maxV = ranges.maxBy(_.maxBytes)(KeyBytes.ordering).max
-            // manifest bounds are NORMALIZED longs; CBO expects the
-            // key's Catalyst-internal form (Integer for date/int, etc.)
-            def internalOf(v: Any): Any =
-              (v, table.schema(key).dataType) match {
-                case (l: java.lang.Long,
-                    LongType | TimestampType | TimestampNTZType) => l
-                case (l: java.lang.Long, IntegerType | DateType) =>
-                  java.lang.Integer.valueOf(l.toInt)
-                case (l: java.lang.Long, ShortType) =>
-                  java.lang.Short.valueOf(l.toShort)
-                case (l: java.lang.Long, ByteType) =>
-                  java.lang.Byte.valueOf(l.toByte)
-                case _ => null // string/binary: representation-unsafe
-              }
-            val numeric: Option[(Any, Any)] =
-              (internalOf(minV), internalOf(maxV)) match {
+            val numeric: Option[(Any, Any)] = {
+              val dt = table.schema(key).dataType
+              (internalOf(minV, dt), internalOf(maxV, dt)) match {
                 case (null, _) | (_, null) => None
                 case (a, b) => Some((a, b))
               }
-            m.put(
-              org.apache.spark.sql.connector.expressions.Expressions.column(key),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def distinctCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(distinct)
-                override def nullCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(nulls)
-                override def min(): java.util.Optional[Object] =
-                  numeric.map(n => java.util.Optional.of(n._1.asInstanceOf[Object]))
-                    .getOrElse(java.util.Optional.empty[Object]())
-                override def max(): java.util.Optional[Object] =
-                  numeric.map(n => java.util.Optional.of(n._2.asInstanceOf[Object]))
-                    .getOrElse(java.util.Optional.empty[Object]())
-              })
+            }
+            put(key, Some(distinct), Some(nulls), numeric)
           }
         }
+      }
+      // DIM-COLUMN bounds (round 8): the manifest's non-key zone maps
+      // already hold per-file min/max for attached dim columns — serve
+      // the global envelope over the PLANNED files, so a range filter or
+      // star join on a tracked dim estimates selectivity from metadata
+      // the table carries anyway. Bounds stay TRUE under pushed filters
+      // (a superset envelope), so they are served even when row counts
+      // decline; distinct/null counts are NOT known for dims (entries
+      // hold bounds only) — left empty rather than guessed. Decline when
+      // any planned file lacks an entry (its bounds are unknown) or the
+      // entry type is string/binary (the key path's
+      // representation-honesty rule). Dim entries are recorded under
+      // LOGICAL names, matching the relation's attributes.
+      if (plannedFiles.nonEmpty) {
+        val planned = plannedFiles.toSet
+        MutableParquetTable.manifestDimEntriesRaw(table.snapshotDir)
+          .groupBy(_._2).foreach { case (dcol, es) =>
+            val isStatColumn = required.fieldNames.contains(dcol) &&
+              !table.keyName.contains(dcol) &&
+              table.schema.fieldNames.contains(dcol)
+            if (isStatColumn) {
+              val mine = es.filter(e => planned(e._1))
+              if (mine.map(_._1).toSet == planned &&
+                  mine.forall(_._3 == "long")) {
+                val dt = table.schema(dcol).dataType
+                val lo = internalOf(
+                  java.lang.Long.valueOf(mine.map(_._4.toLong).min), dt)
+                val hi = internalOf(
+                  java.lang.Long.valueOf(mine.map(_._5.toLong).max), dt)
+                if (lo != null && hi != null)
+                  put(dcol, None, None, Some((lo, hi)))
+              }
+            }
+          }
       }
       m
     }

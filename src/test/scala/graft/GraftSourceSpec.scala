@@ -452,6 +452,63 @@ class GraftSourceSpec extends SparkSpec {
       "pushed-filter scans report no row count")
   }
 
+  test("dim-column bounds reach the optimizer: range selectivity from the zone map") {
+    val s2 = spark; import s2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dimstats").toString
+    val fdir = s"$work/fact"
+    val fact = (0L until 4000L).map(i => (i, i / 500L, i * 3))
+      .toDF("id", "region", "v")
+    ParquetTable.writeSorted(fact, fdir, "id", 8)
+    MutableParquetTable(spark, fdir, "id").commitManifest(fdir)
+    MutableParquetTable.attachDimRanges(spark, fdir, Seq("region"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft").load(fdir)
+      val attrStats = df.queryExecution.optimizedPlan.stats.attributeStats
+      val dimStat = attrStats.find(_._1.name == "region").map(_._2)
+        .getOrElse(fail(s"no column stats for the attached dim: $attrStats"))
+      // bounds from the manifest dim entries; distinct/null honestly absent
+      assert(dimStat.min.contains(0L), s"dim min: ${dimStat.min}")
+      assert(dimStat.max.contains(7L), s"dim max: ${dimStat.max}")
+      assert(dimStat.distinctCount.isEmpty && dimStat.nullCount.isEmpty,
+        "dims carry bounds only — counts must decline, not guess")
+      // the key stats still report alongside
+      assert(attrStats.exists(_._1.name == "id"))
+
+      // an un-attached column reports no stats
+      assert(!attrStats.exists(_._1.name == "v"))
+
+      // a range filter on the dim TIGHTENS the size estimate through
+      // zone-map file pruning (every pushed filter is re-applied above
+      // the scan, so row counts decline honestly — bytes carry the
+      // tightening), and the tightened estimate flips the join to a
+      // broadcast: threshold between the full and pruned sizes
+      val fullSize = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val pruned = df.where(col("region") === 2L)
+      val prunedSize = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(prunedSize < fullSize,
+        s"dim prune must shrink the estimate: $prunedSize vs $fullSize")
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((prunedSize + fullSize) / 2).toString)
+      try {
+        val facts = spark.range(0, 50000)
+          .select(pmod(col("id"), lit(8L)).as("region"),
+            col("id").as("fv"))
+        val bj = facts.join(pruned.select(col("region"), col("v")), "region")
+        assert(bj.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "dim-pruned side must broadcast from the tightened estimate:\n" +
+            bj.queryExecution.executedPlan)
+        val nb = facts.join(df.select(col("region"), col("v")), "region")
+        assert(!nb.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "the unpruned side must NOT broadcast at the same threshold")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("key-column statistics reach the optimizer: exact NDV/nulls/bounds") {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
