@@ -153,6 +153,60 @@ object Bench {
       System.err.println(s"[bench] sketch experiment failed: ${e.getMessage}")
     }
 
+    // ---- perceptual image hashing (round 8): decode+hash narrow map,
+    //      then the fingerprint-only Hamming join — the candidate stage
+    //      moves 16 bytes per image, payloads never shuffle, so the join
+    //      lane should be minhash_pairs-class, not decode-class ----
+    try {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dataDir)
+        .where(col("doc_id") % 3 === 0)
+      val mdir = s"$workDir/media-img"
+      // fixture synthesis (PNG encode) reported separately — the
+      // operator under measurement is the DECODE+HASH pipeline
+      results("image_synth") = time {
+        graft.multimodal.Multimodal.fromDocuments(docs)
+          .write.mode("overwrite").parquet(mdir)
+      }
+      def mediaDs = spark.read.parquet(mdir)
+        .as[graft.multimodal.MediaRecord]
+      def hashes() = runToNoop(
+        graft.multimodal.Multimodal.imageHashes(mediaDs))
+      hashes() // codegen warm
+      results("image_hash_decode") = (1 to 2).map(_ => time(hashes())).min
+      val fp = graft.multimodal.Multimodal.imageHashes(mediaDs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fp.count(): Unit
+      try {
+        def hp() = runToNoop(graft.operators.Dedup.hammingPairs(
+          fp, "media_id", "dhash", maxHamming = 2))
+        hp() // warm
+        results("image_hamming_pairs") = (1 to 2).map(_ => time(hp())).min
+      } finally fp.unpersist(blocking = false): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] image-hash experiment failed: ${e.getMessage}")
+    }
+
+    // ---- hot-bucket guard overhead (round 8): the capped hyperplane
+    //      path vs the uncapped one on a HEALTHY corpus — the guard's
+    //      extra width-count pass should be noise, not a tax ----
+    try {
+      graft.plans.HyperplaneSignature.register(spark)
+      graft.plans.CosineSimilarity.register(spark)
+      val e = Tables.embeddings(spark, dataDir)
+      def und() = runToNoop(graft.operators.Dedup.embeddingNearDup(
+        e, "embedding", "vec_id", dim = 64, threshold = 0.45,
+        nBits = 8, native = true, tables = 4))
+      def cap() = runToNoop(graft.operators.Dedup.embeddingNearDupCapped(
+        e, "embedding", "vec_id", dim = 64, maxBucketWidth = 10000,
+        threshold = 0.45, nBits = 8, native = true, tables = 4)._1)
+      und(); cap() // warm
+      results("embdedup_uncapped") = (1 to 2).map(_ => time(und())).min
+      results("embdedup_capped") = (1 to 2).map(_ => time(cap())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] emb-cap experiment failed: ${e.getMessage}")
+    }
+
     // ---- incremental dedup vs full-corpus batch LSH: the probe ingest
     //      (1/3 of docs) against a persisted index should beat
     //      re-sketching the whole corpus (minhash_pairs_native, same

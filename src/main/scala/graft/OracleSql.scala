@@ -637,6 +637,20 @@ object OracleSql {
       FROM t LEFT JOIN reb USING (doc_id)
       ORDER BY doc_id""",
 
+    // q136: the full multimodal dedup matrix — the q134 planted-dup
+    // discipline per modality (DuckDB cannot decode PNG/WAV/containers;
+    // the structural ground truth is the planted re-encode list, and
+    // distance-0 exactness plus zero stray pairs check the real
+    // decode+fingerprint path for each kind)
+    "q136_multimodal_dedup" -> """
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             doc_id AS id_a, doc_id + 100000 AS id_b,
+             CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 90
+      ORDER BY kind, id_a, id_b""",
+
     // q134: image perceptual-hash dedup. DuckDB cannot decode PNG, so
     // the oracle is the planted-duplicate ground truth (the q47
     // discipline): the Spark side unions each image (doc_id%3=0, id<90)

@@ -2298,6 +2298,43 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The WHOLE multimodal dedup matrix in one query: image, audio, and
+    * video near-dup over one planted corpus — each modality's payloads
+    * re-encoded byte-differently but content-identically (PNG tEXt
+    * splice / WAV LIST chunk / per-frame re-encode), fingerprinted
+    * through the shared 72-byte raster contract (image dHash, audio
+    * energy-envelope dHash, video majority-of-frame-dHashes), and
+    * paired by the one Hamming banding. A correct decode+hash pipeline
+    * pairs EXACTLY source/copy at distance 0 per modality; any collapse
+    * adds cross-noise pairs, any fault loses planted ones — recall and
+    * precision, per modality, against the structural oracle. */
+  def q136_multimodal_dedup(s: SparkSession, dir: String): DataFrame = {
+    val mdir = cachedDerivedDir(dir, "documents.parquet", "media") { out =>
+      Multimodal.fromDocuments(documents(s, dir))
+        .write.mode("overwrite").parquet(out)
+    }
+    import s.implicits._
+    val media = s.read.parquet(mdir).as[graft.multimodal.MediaRecord]
+      .filter(_.media_id < 90)
+    def lane(kind: String,
+             planted: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+             pairs: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]
+               => DataFrame): DataFrame =
+      pairs(media.filter(_.kind == kind).union(planted))
+        .select(lit(kind).as("kind"), col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    lane("image", Multimodal.reencodeImages(media, 100000L),
+        m => Multimodal.imageNearDup(m, maxHamming = 2))
+      // audio at maxHamming 0: the fixture's clips are one sine family,
+      // so neighbors are GENUINE envelope near-dups at distance 1-2 —
+      // the planted-exactness oracle pins the distance-0 contract
+      .unionByName(lane("audio", Multimodal.reencodeAudio(media, 100000L),
+        m => Multimodal.audioNearDup(m, maxHamming = 0)))
+      .unionByName(lane("video", Multimodal.reencodeVideo(media, 100000L),
+        m => Multimodal.videoNearDup(m, maxHamming = 2)))
+      .orderBy(col("kind"), col("id_a"), col("id_b"))
+  }
+
   /** Exact-substring duplicated-SPAN removal
     * ([[CorpusPrep.removeDupSpans]], Lee et al. 2022) — the step beyond
     * q95's dup-gram COUNTS and q113's whole-LINE strips: boilerplate
@@ -3092,6 +3129,7 @@ object SparkEntry {
     "q133_interpolate" -> (q133_interpolate _),
     "q134_image_dedup" -> (q134_image_dedup _),
     "q135_span_dedup" -> (q135_span_dedup _),
+    "q136_multimodal_dedup" -> (q136_multimodal_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -349,6 +349,135 @@ object Multimodal {
     graft.operators.Dedup.hammingPairsCapped(imageHashes(media),
       "media_id", "dhash", maxBucketWidth, maxHamming, chunks)
 
+  // ---- audio fingerprinting / audio near-dup ---------------------------
+
+  /** Decode each "audio" payload (WAV via AudioSystem) and reduce its
+    * PCM16 stream to the SAME 72-byte raster contract the image hashes
+    * use ([[graft.plans.ImageHash]]): 72 equal time windows, mean
+    * absolute amplitude per window, per-file min–max normalized to
+    * unsigned bytes. Normalization makes the envelope GAIN-invariant
+    * (volume changes rescale every window together), and dHash over it
+    * keys on the energy-gradient SIGN pattern — a chromaprint-style
+    * shape fingerprint cheap enough for a narrow map. Integer math
+    * throughout (deterministic across runs/hosts). */
+  def audioEnvelopes(media: Dataset[MediaRecord],
+                     batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cells = graft.plans.ImageHash.RasterLen
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val in = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.payload))
+          val pcm =
+            try in.readAllBytes()
+            finally in.close()
+          val n = pcm.length / 2 // PCM16 mono little-endian
+          require(n > 0, "audio payload holds no samples")
+          val env = new Array[Long](cells)
+          var c = 0
+          while (c < cells) {
+            val s0 = c * n / cells
+            val s1 = math.max(s0 + 1, (c + 1) * n / cells)
+            var sum = 0L
+            var i = s0
+            while (i < s1) {
+              val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort
+              sum += math.abs(v.toLong)
+              i += 1
+            }
+            env(c) = sum / (s1 - s0)
+            c += 1
+          }
+          val lo = env.min; val hi = env.max
+          val span = math.max(1L, hi - lo)
+          val raster = env.map(e => ((e - lo) * 255L / span).toByte)
+          (m.media_id, raster)
+        }
+      }
+    }.toDF("media_id", "raster")
+  }
+
+  /** Perceptual fingerprints for every "audio" payload: the envelope
+    * raster through the SAME codegen'd dHash/aHash kernels the image
+    * path uses — one fingerprint algebra across modalities. */
+  def audioHashes(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    graft.plans.ImageDHash.register(spark)
+    graft.plans.ImageAHash.register(spark)
+    audioEnvelopes(media, batchSize).select(col("media_id"),
+      call_function(graft.plans.ImageDHash.name, col("raster")).as("dhash"),
+      call_function(graft.plans.ImageAHash.name, col("raster")).as("ahash"))
+  }
+
+  /** Audio near-dup pairs over the envelope dHash — re-encoded and
+    * gain-shifted copies collide; the candidate join is the shared
+    * Hamming banding ([[graft.operators.Dedup.hammingPairs]]),
+    * fingerprints only. */
+  def audioNearDup(media: Dataset[MediaRecord], maxHamming: Int = 2,
+                   chunks: Int = 4): DataFrame =
+    graft.operators.Dedup.hammingPairs(audioHashes(media),
+      "media_id", "dhash", maxHamming, chunks)
+
+  /** Re-encode each "audio" payload: decode to PCM, re-write the WAV,
+    * and append a RIFF LIST/INFO metadata chunk (RIFF size patched) —
+    * byte-DIFFERENT, sample-IDENTICAL, still a decodable WAV. The audio
+    * twin of [[reencodeImages]]. */
+  def reencodeAudio(media: Dataset[MediaRecord], idOffset: Long,
+                    batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val in = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.payload))
+          val (fmt, pcm) =
+            try (in.getFormat, in.readAllBytes())
+            finally in.close()
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(new AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt,
+            pcm.length / fmt.getFrameSize),
+            AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(m.media_id + idOffset, m.kind,
+            withRiffListChunk(bos.toByteArray, "re-encoded"), m.source)
+        }
+      }
+    }
+  }
+
+  /** Append a RIFF LIST/INFO chunk (ICMT comment) to a WAV and patch
+    * the RIFF size field — valid container, trailing metadata only. */
+  private[graft] def withRiffListChunk(wav: Array[Byte],
+                                       comment: String): Array[Byte] = {
+    require(wav.length >= 12 && wav(0) == 'R' && wav(1) == 'I', "not RIFF")
+    val cbytes0 = comment.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // ICMT data NUL-terminated and padded to even length (RIFF rule)
+    val cbytes = cbytes0 ++ (if (cbytes0.length % 2 == 0) Array[Byte](0, 0)
+                             else Array[Byte](0))
+    val bos = new ByteArrayOutputStream()
+    bos.write(wav)
+    def le(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bos.write("LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bos.write(le(4 + 8 + cbytes.length)) // "INFO" + ICMT header + data
+    bos.write("INFO".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bos.write("ICMT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bos.write(le(cbytes.length))
+    bos.write(cbytes)
+    val out = bos.toByteArray
+    val riffSize = out.length - 8
+    out(4) = (riffSize & 0xff).toByte
+    out(5) = ((riffSize >> 8) & 0xff).toByte
+    out(6) = ((riffSize >> 16) & 0xff).toByte
+    out(7) = ((riffSize >> 24) & 0xff).toByte
+    out
+  }
+
   /** Re-encode each "image" payload: decode, PNG-encode, and splice a
     * tEXt ancillary chunk before IEND — a VALID PNG with
     * pixel-IDENTICAL content and guaranteed-different bytes (metadata
@@ -393,6 +522,101 @@ object Multimodal {
     writeInt(bos, crc.getValue.toInt)
     bos.write(png, png.length - 12, 12)
     bos.toByteArray
+  }
+
+  // ---- video fingerprinting / video near-dup ---------------------------
+
+  /** Decoded grayscale rasters for every `stride`-th frame of each
+    * "video" payload — [[grayRasters]] at frame granularity, one row
+    * per sampled frame. Narrow map; the container walk is
+    * [[sampleFrames]]'s. */
+  def frameRasters(media: Dataset[MediaRecord], stride: Int = 1,
+                   batchSize: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val gw = graft.plans.ImageHash.GridW
+    val gh = graft.plans.ImageHash.GridH
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+          var off = 8; var idx = 0
+          while (off < m.payload.length) {
+            val len = readInt(m.payload, off)
+            require(len > 0 && off.toLong + 4 + len <= m.payload.length,
+              s"corrupt frame length $len at offset $off")
+            if (idx % stride == 0) {
+              val img = ImageIO.read(
+                new ByteArrayInputStream(m.payload, off + 4, len))
+              require(img != null, s"frame $idx is not a decodable image")
+              frames += ((idx, rasterOf(img, gw, gh)))
+            }
+            off += 4 + len; idx += 1
+          }
+          frames.map { case (i, r) => (m.media_id, i, r) }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "raster")
+  }
+
+  /** One 64-bit fingerprint per "video" payload: dHash every sampled
+    * frame (codegen'd kernel), then MAJORITY-VOTE the per-frame hashes
+    * bitwise — [[graft.operators.Dedup.simHashFromHashes]] reused as
+    * the frame aggregator, so a few changed/reordered frames move only
+    * the bits they dominate. One narrow decode map + one agg keyed on
+    * the video id. */
+  def videoHashes(media: Dataset[MediaRecord], stride: Int = 1,
+                  batchSize: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    graft.plans.ImageDHash.register(spark)
+    frameRasters(media, stride, batchSize)
+      .select(col("media_id"),
+        call_function(graft.plans.ImageDHash.name, col("raster")).as("fh"))
+      .groupBy(col("media_id"))
+      .agg(graft.operators.Dedup.simHashFromHashes(collect_list(col("fh")))
+        .as("dhash"), count(lit(1)).as("n_frames"))
+  }
+
+  /** Video near-dup pairs over the majority frame fingerprint — the
+    * shared Hamming banding once more. */
+  def videoNearDup(media: Dataset[MediaRecord], maxHamming: Int = 2,
+                   chunks: Int = 4, stride: Int = 1): DataFrame =
+    graft.operators.Dedup.hammingPairs(videoHashes(media, stride),
+      "media_id", "dhash", maxHamming, chunks)
+
+  /** Re-encode each "video" payload: every frame decoded, PNG
+    * re-encoded with a spliced tEXt chunk, container rebuilt — byte-
+    * different everywhere, pixel-identical frames. The video twin of
+    * [[reencodeImages]]. */
+  def reencodeVideo(media: Dataset[MediaRecord], idOffset: Long,
+                    batchSize: Int = 16): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val bos = new ByteArrayOutputStream()
+          bos.write(VideoMagic)
+          writeInt(bos, readInt(m.payload, 4))
+          var off = 8
+          while (off < m.payload.length) {
+            val len = readInt(m.payload, off)
+            require(len > 0 && off.toLong + 4 + len <= m.payload.length,
+              s"corrupt frame length $len at offset $off")
+            val img = ImageIO.read(
+              new ByteArrayInputStream(m.payload, off + 4, len))
+            require(img != null, "frame is not a decodable image")
+            val fb = new ByteArrayOutputStream()
+            ImageIO.write(img, "png", fb)
+            val spliced = withTextChunk(fb.toByteArray, "Comment", "re-encoded")
+            writeInt(bos, spliced.length)
+            bos.write(spliced)
+            off += 4 + len
+          }
+          MediaRecord(m.media_id + idOffset, m.kind, bos.toByteArray, m.source)
+        }
+      }
+    }
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th REAL container

@@ -205,4 +205,71 @@ class MultimodalSpec extends SparkSpec {
       .toSet === expected)
     assert(overflow.isEmpty)
   }
+
+  test("audioNearDup: re-encoded WAVs pair at hamming 0; the envelope hash is gain-invariant") {
+    val s = spark; import s.implicits._
+    import graft.multimodal.MediaRecord
+    val audio = media.filter(_.kind == "audio")
+    val planted = Multimodal.reencodeAudio(audio, idOffset = 100000L)
+    val origBytes = audio.collect().map(m => m.media_id -> m.payload).toMap
+    planted.collect().foreach { m =>
+      assert(!java.util.Arrays.equals(m.payload, origBytes(m.media_id - 100000L)),
+        s"re-encode of ${m.media_id} must change bytes")
+      // the spliced LIST chunk keeps the WAV decodable
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try assert(in.getFrameLength ===
+        Multimodal.audioSamples(m.media_id - 100000L).toLong)
+      finally in.close()
+    }
+    // fixture audio clips are one sine family: neighbors (phase/length
+    // a few samples apart) land at envelope Hamming 1-2 — GENUINE
+    // near-dups the hash correctly surfaces; the exact-plant assertion
+    // uses maxHamming = 0 (re-encodes are distance exactly 0)
+    val pairs = Multimodal.audioNearDup(audio.union(planted), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val expected = origBytes.keySet.map(id => (id, id + 100000L, 0L))
+    assert(pairs.toSet === expected, s"got ${pairs.sorted.toSeq}")
+
+    // gain invariance: halve the PCM amplitude of one clip — the
+    // min-max-normalized envelope keeps the gradient-sign pattern
+    val one = audio.filter(_.media_id == 1L).head()
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(one.payload))
+    val (fmt, pcm) = try (in.getFormat, in.readAllBytes()) finally in.close()
+    val half = pcm.clone()
+    for (i <- 0 until pcm.length / 2) {
+      val v = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort / 2).toShort
+      half(2 * i) = (v & 0xff).toByte
+      half(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(half), fmt, half.length / 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val pairCorpus = Seq(one,
+      MediaRecord(900L, "audio", bos.toByteArray, "t")).toDS()
+    val hs = Multimodal.audioHashes(pairCorpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(hs(1L), hs(900L)) <= 2,
+      s"gain shift moved the envelope hash by ${ham(hs(1L), hs(900L))} bits")
+  }
+
+  test("videoNearDup: per-frame re-encoded containers pair at hamming 0, noise videos don't") {
+    val video = media.filter(_.kind == "video")
+    val planted = Multimodal.reencodeVideo(video, idOffset = 100000L)
+    val origBytes = video.collect().map(m => m.media_id -> m.payload).toMap
+    planted.collect().foreach { m =>
+      assert(!java.util.Arrays.equals(m.payload, origBytes(m.media_id - 100000L)))
+      // still a well-formed container with the same frame count
+      val (w, h, n) = Multimodal.decode("video", m.payload)
+      assert(n === Multimodal.videoFrames(m.media_id - 100000L))
+      assert((w, h) === Multimodal.videoDims(m.media_id - 100000L))
+    }
+    val pairs = Multimodal.videoNearDup(video.union(planted), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val expected = origBytes.keySet.map(id => (id, id + 100000L, 0L))
+    assert(pairs.toSet === expected, s"got ${pairs.sorted.toSeq}")
+  }
 }
