@@ -530,8 +530,15 @@ object Dedup {
                              threshold: Double = 0.95,
                              nBits: Int = 12, native: Boolean = false,
                              tables: Int = 1): (DataFrame, DataFrame) = {
+    // the guard reads the banded rows TWICE (width count + filtered
+    // keep) — an explicit exchange on the bucket key makes the second
+    // read a ReusedExchange instead of recomputing every hyperplane
+    // signature (the minHashPairsCapped discipline; measured 2× at
+    // sf0.1 without it). Rows-per-bucket skew in that exchange is
+    // linear and exactly what the cap then bounds
     val banded =
       hyperplaneBanded(embs, vecCol, idCol, dim, nBits, native, tables)
+        .repartition(col("table"), col("bucket"))
     val (guarded, overflow) =
       capBucketWidth(banded, Seq("table", "bucket"), maxBucketWidth)
     (embeddingPairsFromBanded(guarded, threshold, native), overflow)

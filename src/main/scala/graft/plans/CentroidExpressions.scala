@@ -172,6 +172,13 @@ case class PqAdcScore(first: Expression, second: Expression,
         children.map(_.dataType.catalogString).mkString(", "))
   }
 
+  // malformed input (length/range mismatch) yields NULL even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to the FalseLiteral constant and the generated
+  // `isNull = true` assignment is an ILLEGAL Java lvalue: janino fails
+  // the whole stage (surfaced by a non-null array() input chain)
+  override def nullable: Boolean = true
+
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
   override def prettyName: String = "graft_pq_adc"
@@ -247,6 +254,13 @@ case class PqPackCodes(child: Expression) extends UnaryExpression {
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<bigint>, got ${dt.catalogString}")
   }
+
+  // malformed input (length/range mismatch) yields NULL even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to the FalseLiteral constant and the generated
+  // `isNull = true` assignment is an ILLEGAL Java lvalue: janino fails
+  // the whole stage (surfaced by a non-null array() input chain)
+  override def nullable: Boolean = true
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def prettyName: String = "graft_pq_pack"

@@ -42,6 +42,13 @@ case class ImageDHash(child: Expression) extends UnaryExpression {
       s"$prettyName expects binary, got ${dt.catalogString}")
   }
 
+  // malformed input (length/range mismatch) yields NULL even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to the FalseLiteral constant and the generated
+  // `isNull = true` assignment is an ILLEGAL Java lvalue: janino fails
+  // the whole stage (surfaced by a non-null array() input chain)
+  override def nullable: Boolean = true
+
   override def dataType: DataType = LongType
   override def prettyName: String = ImageDHash.name
 
@@ -116,6 +123,13 @@ case class ImageAHash(child: Expression) extends UnaryExpression {
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects binary, got ${dt.catalogString}")
   }
+
+  // malformed input (length/range mismatch) yields NULL even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to the FalseLiteral constant and the generated
+  // `isNull = true` assignment is an ILLEGAL Java lvalue: janino fails
+  // the whole stage (surfaced by a non-null array() input chain)
+  override def nullable: Boolean = true
 
   override def dataType: DataType = LongType
   override def prettyName: String = ImageAHash.name

@@ -22,6 +22,13 @@ case class Sq8Pack(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<int>, got ${dt.catalogString}")
   }
 
+  // malformed input (length/range mismatch) yields NULL even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to the FalseLiteral constant and the generated
+  // `isNull = true` assignment is an ILLEGAL Java lvalue: janino fails
+  // the whole stage (surfaced by a non-null array() input chain)
+  override def nullable: Boolean = true
+
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_sq8_pack"
 
@@ -83,6 +90,13 @@ case class Sq8Cosine(left: Expression, right: Expression)
       s"$prettyName expects (binary, array<float>), got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
+
+  // malformed input (length/range mismatch) yields NULL even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to the FalseLiteral constant and the generated
+  // `isNull = true` assignment is an ILLEGAL Java lvalue: janino fails
+  // the whole stage (surfaced by a non-null array() input chain)
+  override def nullable: Boolean = true
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = Sq8Cosine.name

@@ -173,4 +173,44 @@ class PlansSpec extends SparkSpec {
     assert(json.count() === 2)
     assert(json.columns.toSet === Set("id", "tag"))
   }
+
+  test("null-capable kernels survive NON-NULLABLE input chains under codegen") {
+    // every kernel that can emit NULL for malformed input must declare
+    // nullable=true: with a non-nullable child (array()/lit chains),
+    // nullSafeCodeGen otherwise pins ev.isNull to the `false` constant
+    // and the generated `isNull = true` is an illegal Java lvalue —
+    // janino fails the WHOLE stage (found by the cold-bench PQ encode
+    // over a freshly-built corpus). Literal/array() inputs here are
+    // exactly the non-nullable shape.
+    graft.plans.PqAdcScore.register(spark)
+    graft.plans.Sq8Cosine.register(spark)
+    graft.plans.ImageDHash.register(spark)
+    graft.plans.ImageAHash.register(spark)
+    import org.apache.spark.sql.classic.GraftShims.{column => xcol, expression => xexpr}
+    val s = spark; import s.implicits._
+    val one = Seq(1).toDF("i")
+    val packed = one.select(
+      xcol(graft.plans.PqPackCodes(
+        xexpr(array(lit(0L), lit(2L))))).as("codes"),
+      xcol(graft.plans.Sq8Pack(
+        xexpr(array(lit(1), lit(-2))))).as("sq"))
+    val pr = packed.head()
+    assert(pr.getAs[Array[Byte]](0).toSeq === Seq[Byte](0, 2))
+    assert(pr.getAs[Array[Byte]](1).toSeq === Seq[Byte](1, -2))
+    val scored = packed.select(
+      call_function(graft.plans.PqAdcScore.name,
+        xcol(graft.plans.PqPackCodes(xexpr(array(lit(0L), lit(2L))))),
+        array(Seq(0.5, 1.0, -0.25, 2.0, 0.0, 0.75).map(lit): _*),
+        array(Seq(1.0, 4.0, 0.25, 9.0, 1.0, 2.25).map(lit): _*),
+        lit(2.0)).as("adc"),
+      call_function(graft.plans.Sq8Cosine.name, col("sq"),
+        array(lit(1.0f), lit(-2.0f))).as("cos"))
+    val sr = scored.head()
+    assert(!sr.isNullAt(0) && math.abs(sr.getDouble(1) - 1.0) < 1e-9)
+    val raster = lit(Array.tabulate[Byte](72)(i => (i % 17).toByte))
+    val hr = one.select(
+      call_function(graft.plans.ImageDHash.name, raster).as("d"),
+      call_function(graft.plans.ImageAHash.name, raster).as("a")).head()
+    assert(!hr.isNullAt(0) && !hr.isNullAt(1))
+  }
 }
