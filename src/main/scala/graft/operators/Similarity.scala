@@ -387,12 +387,25 @@ object Similarity {
     * shuffle at any corpus size. */
   def sqEncode(corpus: DataFrame, vecCol: String, idCol: String,
                native: Boolean = false): DataFrame = {
-    val codes = int8Quantize(col(vecCol), int8Scale(col(vecCol)))
-    corpus.select(col(idCol).as("id"),
-      (if (native) org.apache.spark.sql.classic.GraftShims.column(
-        graft.plans.Sq8Pack(
-          org.apache.spark.sql.classic.GraftShims.expression(codes)))
-       else codes).as("codes"))
+    if (native)
+      // fused one-pass kernel: scale + quantize + pack in codegen —
+      // bit-identical to the HOF chain (PlansSpec), 40× cheaper at 40M
+      // vectors (the HOF form re-evaluated the scale aggregate per
+      // element; BENCH_COLD)
+      corpus.select(col(idCol).as("id"),
+        org.apache.spark.sql.classic.GraftShims.column(
+          graft.plans.Sq8Encode(
+            org.apache.spark.sql.classic.GraftShims.expression(
+              col(vecCol)))).as("codes"))
+    else {
+      // fallback: BIND the scale to its own column first — an aggregate
+      // HOF referenced inside the quantize lambda re-evaluates per
+      // element (O(dim²) per row, the interpreted-HOF gotcha)
+      corpus
+        .select(col(idCol).as("id"), col(vecCol).as("__v"),
+          int8Scale(col(vecCol)).as("__s"))
+        .select(col("id"), int8Quantize(col("__v"), col("__s")).as("codes"))
+    }
   }
 
   /** Search an ALREADY-ENCODED SQ8 corpus — the serving path: the scan

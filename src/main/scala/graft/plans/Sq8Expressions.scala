@@ -161,3 +161,91 @@ object Sq8Cosine {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 }
+
+/** FUSED SQ8 encode: array<float> → packed signed-byte codes in ONE
+  * codegen'd pass — scale = max|x|, code = floor(x·127/scale + 0.5)
+  * (the exact [[graft.functions.VectorFunctions.int8Quantize]] op
+  * order, so the fused path is bit-identical to the HOF chain). The
+  * HOF formulation (aggregate for the scale + transform to quantize +
+  * pack) is interpreted AND re-evaluates the scale aggregate PER
+  * ELEMENT when referenced inside the lambda — O(dim²) per row; this
+  * kernel made the 40M-vector encode 40× cheaper (BENCH_COLD). A
+  * zero vector encodes to all-zero codes, matching the HOF's
+  * scale==0 branch. */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = Sq8Encode.name
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > scale) scale = x
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(
+          a.getFloat(i).toDouble * 127.0 / scale + 0.5).toInt.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val scale = ctx.freshName("scale")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        double $scale = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = java.lang.Math.abs((double) $a.getFloat($i));
+          if ($x > $scale) $scale = $x;
+        }
+        byte[] $out = new byte[$n];
+        if ($scale != 0.0) {
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = (byte) (int) java.lang.Math.floor(
+              (double) $a.getFloat($i) * 127.0 / $scale + 0.5);
+          }
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+object Sq8Encode {
+  val name = "graft_sq8_encode"
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[Sq8Encode].getName, name)
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$name expects 1 argument")
+    Sq8Encode(children.head)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

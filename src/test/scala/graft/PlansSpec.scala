@@ -174,6 +174,33 @@ class PlansSpec extends SparkSpec {
     assert(json.columns.toSet === Set("id", "tag"))
   }
 
+  test("fused Sq8Encode is bit-identical to the bound-scale HOF chain; zero vector encodes to zeros") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.classic.GraftShims.{column => xcol, expression => xexpr}
+    val embs = Tables.embeddings(spark, sf())
+    val fused = xcol(graft.plans.Sq8Encode(xexpr(col("embedding"))))
+    val hofBound = embs
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.int8Scale(col("embedding")).as("__s"))
+      .select(col("vec_id"),
+        xcol(graft.plans.Sq8Pack(xexpr(
+          VectorFunctions.int8Quantize(col("embedding"), col("__s")))))
+          .as("hof"))
+    val both = embs.select(col("vec_id"), fused.as("fused"))
+      .join(hofBound, "vec_id")
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("fused"), r.getAs[Array[Byte]]("hof")),
+        s"codes differ for vec ${r.getLong(0)}")
+    }
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .select(xcol(graft.plans.Sq8Encode(xexpr(col("embedding")))).as("c"))
+      .head().getAs[Array[Byte]](0)
+    assert(z.toSeq === Seq.fill(8)(0: Byte))
+  }
+
   test("null-capable kernels survive NON-NULLABLE input chains under codegen") {
     // every kernel that can emit NULL for malformed input must declare
     // nullable=true: with a non-nullable child (array()/lit chains),
