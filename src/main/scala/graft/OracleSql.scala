@@ -637,6 +637,17 @@ object OracleSql {
       FROM t LEFT JOIN reb USING (doc_id)
       ORDER BY doc_id""",
 
+    // q137: incremental image dedup — the probe ingest's pairs are the
+    // planted re-encode list (same ground-truth discipline as q134):
+    // every re-encoded copy collides with its source ACROSS the ingest
+    // boundary at distance exactly 0, and batch-internal re-encode
+    // pairs don't exist (distinct noise images never collide)
+    "q137_incremental_image_dedup" -> """
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+             CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 90
+      ORDER BY id_a, id_b""",
+
     // q136: the full multimodal dedup matrix — the q134 planted-dup
     // discipline per modality (DuckDB cannot decode PNG/WAV/containers;
     // the structural ground truth is the planted re-encode list, and

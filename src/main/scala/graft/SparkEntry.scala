@@ -2335,6 +2335,34 @@ object SparkEntry {
       .orderBy(col("kind"), col("id_a"), col("id_b"))
   }
 
+  /** INCREMENTAL image dedup against a persisted fingerprint index
+    * ([[Multimodal.imageDedupIncremental]] /
+    * [[Dedup.hammingIncremental]]): ingest 1 seeds the index with every
+    * original image's dHash; ingest 2 probes the RE-ENCODED copies
+    * (different bytes, identical pixels) against it — each must collide
+    * with its source AT DISTANCE 0 across the ingest boundary, decoding
+    * only the new batch. The production shape: a daily image batch
+    * pairs against a 100 TB corpus through 16-byte fingerprints, never
+    * re-decoding stored pixels. */
+  def q137_incremental_image_dedup(s: SparkSession, dir: String): DataFrame = {
+    val mdir = cachedDerivedDir(dir, "documents.parquet", "media") { out =>
+      Multimodal.fromDocuments(documents(s, dir))
+        .write.mode("overwrite").parquet(out)
+    }
+    import s.implicits._
+    val media = s.read.parquet(mdir).as[graft.multimodal.MediaRecord]
+      .filter(m => m.kind == "image" && m.media_id < 90)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q137").toString + "/idx"
+    Multimodal.imageDedupIncremental(root, media, maxHamming = 2)
+    val probe = Multimodal.imageDedupIncremental(root,
+      Multimodal.reencodeImages(media, idOffset = 100000L), maxHamming = 2)
+    probe.pairs
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact-substring duplicated-SPAN removal
     * ([[CorpusPrep.removeDupSpans]], Lee et al. 2022) — the step beyond
     * q95's dup-gram COUNTS and q113's whole-LINE strips: boilerplate
@@ -3130,6 +3158,7 @@ object SparkEntry {
     "q134_image_dedup" -> (q134_image_dedup _),
     "q135_span_dedup" -> (q135_span_dedup _),
     "q136_multimodal_dedup" -> (q136_multimodal_dedup _),
+    "q137_incremental_image_dedup" -> (q137_incremental_image_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -478,6 +478,23 @@ object Multimodal {
     out
   }
 
+  /** One INCREMENTAL image-dedup ingest against the persisted
+    * fingerprint index at `indexRoot`
+    * ([[graft.operators.Dedup.hammingIncremental]]): decode + hash
+    * ONLY the new batch (narrow map), probe the index broadcast-
+    * filtered to the batch's buckets, commit the batch's fingerprints
+    * as the next index version. A 100 TB image corpus ingesting a
+    * daily batch never re-decodes a stored image — the index holds 16
+    * bytes per image, not pixels. */
+  def imageDedupIncremental(indexRoot: String,
+                            media: Dataset[MediaRecord],
+                            maxHamming: Int = 2, chunks: Int = 4,
+                            extendIndex: Boolean = true)
+      : graft.operators.Dedup.IncrementalDedup =
+    graft.operators.Dedup.hammingIncremental(indexRoot,
+      imageHashes(media), "media_id", "dhash", maxHamming, chunks,
+      extendIndex)
+
   /** Re-encode each "image" payload: decode, PNG-encode, and splice a
     * tEXt ancillary chunk before IEND — a VALID PNG with
     * pixel-IDENTICAL content and guaranteed-different bytes (metadata

@@ -622,6 +622,92 @@ object Dedup {
         col("doc_id"), col("band"), col("bucket"), col("sig"))
   }
 
+  /** The persisted-index rows for a 64-bit FINGERPRINT table
+    * (`fps`: idCol + hashCol — image dHash, audio-envelope dHash,
+    * video majority hash, SimHash): one row per (id, chunk band)
+    * carrying the band's masked chunk and the full fingerprint.
+    * `idx_key` leads with the zero-padded id — ingest-monotone ids
+    * append at the key-space tail, so index merges touch ~one boundary
+    * file (the [[minHashIndexRows]] key design). All map-side. */
+  def hammingIndexRows(fps: DataFrame, idCol: String, hashCol: String,
+                       chunks: Int = 4): DataFrame =
+    bandLongHash(fps.select(col(idCol).cast("long").as("id"),
+        col(hashCol).as("sim")), chunks)
+      .select(
+        concat(lpad(col("id").cast("string"), 14, "0"), lit(":"),
+          lpad(col("band").cast("string"), 3, "0")).as("idx_key"),
+        col("id").as("doc_id"), col("band"), col("chunk"), col("sim"))
+
+  /** One INCREMENTAL Hamming-dedup ingest against the persisted
+    * fingerprint index at `indexRoot` — [[dedupIncremental]]'s shape
+    * for ANY 64-bit fingerprint family (the multimodal hashes,
+    * SimHash): band the batch's fingerprints map-side, probe the index
+    * broadcast-filtered to the batch's (band, chunk) buckets (only
+    * collisions shuffle — per-ingest cost ∝ batch + collisions, never
+    * index size), verify by bit_count(xor) <= maxHamming, and commit
+    * the batch's rows as the next index version. A 100 TB image corpus
+    * ingesting a daily batch re-decodes and re-pairs ONLY the batch.
+    *
+    * Returned pairs (id_a < id_b, hamming): batch-vs-corpus AND
+    * batch-internal. Exact recall for maxHamming <= chunks-1, as
+    * [[hammingPairs]]. Re-ingesting a batch is idempotent (same id →
+    * same idx_keys upsert). */
+  def hammingIncremental(indexRoot: String, fps: DataFrame,
+                         idCol: String, hashCol: String,
+                         maxHamming: Int = 2, chunks: Int = 4,
+                         extendIndex: Boolean = true): IncrementalDedup = {
+    val spark = fps.sparkSession
+    val newRows = hammingIndexRows(fps, idCol, hashCol, chunks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(indexRoot, "base",
+          graft.sources.MutableParquetTable.ManifestName))
+      val corpusPairs = if (!exists) None else {
+        val index = spark.read.format("graft").load(indexRoot)
+        val probed = newRows.select(col("band"), col("chunk")).distinct()
+        Some(index
+          .join(broadcast(probed), Seq("band", "chunk"), "left_semi")
+          .select(col("band"), col("chunk"), col("doc_id").as("id_idx"),
+            col("sim").as("sim_idx"))
+          .join(newRows.select(col("band"), col("chunk"),
+            col("doc_id").as("id_new"), col("sim").as("sim_new")),
+            Seq("band", "chunk"))
+          .where(col("id_idx") =!= col("id_new"))
+          .select(least(col("id_idx"), col("id_new")).as("id_a"),
+            greatest(col("id_idx"), col("id_new")).as("id_b"),
+            col("sim_idx").as("sim_a"), col("sim_new").as("sim_b")))
+      }
+      val a = newRows.select(col("band"), col("chunk"),
+        col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = newRows.select(col("band"), col("chunk"),
+        col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      val batchPairs = a.join(b, Seq("band", "chunk"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      val pairs = corpusPairs.map(_.unionByName(batchPairs))
+        .getOrElse(batchPairs)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= maxHamming)
+        // materialize before the index commit mutates what a lazy plan
+        // would re-read (the probe must see the PRE-ingest index)
+        .localCheckpoint(eager = true)
+      val version =
+        if (!extendIndex) -1L
+        else if (!exists) {
+          graft.GraftTable.create(newRows, indexRoot, "idx_key",
+            numFiles = math.max(1, newRows.rdd.getNumPartitions.min(32)))
+          -1L
+        } else {
+          graft.GraftTable(spark, indexRoot, "idx_key")
+            .commit(newRows.withColumn("op", lit("upsert")))
+        }
+      IncrementalDedup(pairs, version)
+    } finally { newRows.unpersist(blocking = false): Unit }
+  }
+
   /** One INCREMENTAL dedup ingest against the persisted index at
     * `indexRoot` (a graft table, created on first use): sketch the new
     * batch map-side, probe the index for collisions, verify candidates

@@ -359,4 +359,57 @@ class DedupSpec extends SparkSpec {
       "cross-ingest near-dup must surface from the persisted index")
     assert(spark.read.format("graft").load(root).count() === n1 + 16)
   }
+
+  test("incremental Hamming dedup == batch hammingPairs on the union, restricted to new-touching pairs") {
+    val s = spark; import s.implicits._
+    // 64-bit fingerprints with planted near-dups: 10/11 identical,
+    // 12 at distance 1 from 10, 20/21 identical in the new batch,
+    // 30/31/32 mutually far
+    def fp(bits: Long*) = bits.foldLeft(0L)((a, b) => a | (1L << b))
+    val all = Seq(
+      10L -> fp(1, 5, 9, 40), 11L -> fp(1, 5, 9, 40),
+      12L -> fp(1, 5, 9, 40, 63),
+      20L -> fp(2, 22, 44), 21L -> fp(2, 22, 44),
+      30L -> fp(0, 16, 32, 48), 31L -> fp(3, 19, 35, 51),
+      32L -> fp(7, 23, 39, 55)).toDF("media_id", "dhash")
+    val old = all.where(col("media_id") < 20L)
+    val fresh = all.where(col("media_id") >= 20L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inchm").toString + "/idx"
+
+    val r1 = Dedup.hammingIncremental(root, old, "media_id", "dhash",
+      maxHamming = 1)
+    assert(pairSet(r1.pairs) === Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      "first ingest finds the batch-internal pairs")
+
+    val r2 = Dedup.hammingIncremental(root, fresh, "media_id", "dhash",
+      maxHamming = 1)
+    assert(r2.indexVersion === 0L, "second ingest commits index v0")
+    // equivalence: batch hammingPairs over the union, restricted to
+    // pairs touching a new id
+    val union = Dedup.hammingPairs(all, "media_id", "dhash", maxHamming = 1)
+    val newIds = Set(20L, 21L, 30L, 31L, 32L)
+    val expected = pairSet(union).filter { case (a, b) =>
+      newIds(a) || newIds(b) }
+    assert(pairSet(r2.pairs) === expected)
+    assert(pairSet(r2.pairs) === Set((20L, 21L)),
+      "the new batch's only near-dup is its internal identical pair")
+
+    // a later single-item ingest probes ACROSS ingests at distance 1
+    val r3 = Dedup.hammingIncremental(root,
+      Seq(40L -> fp(1, 5, 9)).toDF("media_id", "dhash"),
+      "media_id", "dhash", maxHamming = 1)
+    assert(pairSet(r3.pairs) === Set((10L, 40L), (11L, 40L)),
+      "cross-ingest Hamming-1 neighbors surface from the persisted index")
+    // hamming values are exact
+    assert(r3.pairs.collect().forall(_.getInt(2) === 1))
+
+    // dry-run probe (extendIndex = false) leaves the index untouched
+    val before = spark.read.format("graft").load(root).count()
+    val r4 = Dedup.hammingIncremental(root,
+      Seq(41L -> fp(1, 5, 9)).toDF("media_id", "dhash"),
+      "media_id", "dhash", maxHamming = 1, extendIndex = false)
+    assert(pairSet(r4.pairs).contains((40L, 41L)))
+    assert(spark.read.format("graft").load(root).count() === before)
+  }
 }
