@@ -214,6 +214,38 @@ object Streams {
       }
       .start()
 
+  /** CONTINUOUS multimodal (Hamming) dedup: each micro-batch of
+    * arriving media rows is decoded + perceptually fingerprinted
+    * (narrow map — ONLY the batch decodes), probed against the
+    * persisted fingerprint index
+    * ([[graft.operators.Dedup.hammingIncremental]]), and its
+    * fingerprints committed as the next index version. The streaming
+    * image-ingest dedup shape: every new image is checked against the
+    * whole corpus seen so far at batch cost, through 16-byte
+    * fingerprints. `media` must stream rows deserializable as
+    * [[graft.multimodal.MediaRecord]]; non-image kinds are ignored.
+    * Delivery: AT-LEAST-ONCE on pairs, effectively-once on the index
+    * (re-ingest upserts identical keys) — the
+    * [[dedupIncrementalSink]] contract. */
+  def imageDedupSink(media: DataFrame, indexRoot: String,
+                     checkpoint: String, maxHamming: Int = 2,
+                     chunks: Int = 4)
+                    (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ds = batch.as[graft.multimodal.MediaRecord]
+        if (!batch.isEmpty && !ds.filter(_.kind == "image").isEmpty) {
+          val r = graft.multimodal.Multimodal.imageDedupIncremental(
+            indexRoot, ds, maxHamming, chunks)
+          onPairs(r.pairs, epoch)
+        }
+      }
+      .start()
+
   /** CONTINUOUS ANN-index maintenance: each micro-batch of arriving
     * embeddings is encoded against the FIXED codebooks (map-side
     * broadcast argmins, zero shuffle) and upserted into a persisted

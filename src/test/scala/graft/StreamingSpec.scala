@@ -266,6 +266,48 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.CdcMergeSink.versions(s"$work/idx").nonEmpty)
   }
 
+  test("streaming image dedup sink: cross-epoch re-encode pairs via the fingerprint index") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val work = java.nio.file.Files.createTempDirectory("graft-imgs").toString
+    val imgs = Multimodal.fromDocuments(
+      Tables.documents(spark, sf()).where(col("doc_id").isin(0L, 3L, 6L)))
+      .collect().map(m => m.media_id -> m).toMap
+    def reenc(id: Long, newId: Long): MediaRecord = {
+      val one = Seq(imgs(id)).toDS()
+      Multimodal.reencodeImages(one, newId - id).head()
+    }
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int)]]
+    val in = MemoryStream[MediaRecord]
+    val q = Streams.imageDedupSink(in.toDF(), s"$work/idx", s"$work/cp") {
+      (pairs, epoch) => got.synchronized {
+        got(epoch) = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      }
+    }
+    try {
+      // epoch 0: two distinct noise images — no pairs
+      in.addData(imgs(0L), imgs(3L))
+      q.processAllAvailable()
+      // epoch 1: a re-encode of image 0 (cross-epoch, via the index) +
+      // a fresh image and ITS re-encode (within-epoch pair)
+      in.addData(reenc(0L, 100000L), imgs(6L), reenc(6L, 100006L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val e0 = got.getOrElse(0L, Set.empty)
+    val e1 = got.values.flatten.toSet -- e0
+    assert(e0.isEmpty, s"distinct noise images must not pair: $e0")
+    assert(e1.contains((0L, 100000L, 0)),
+      s"cross-epoch re-encode must pair at distance 0 via the index: $e1")
+    assert(e1.contains((6L, 100006L, 0)),
+      s"within-epoch re-encode must pair via new-vs-new: $e1")
+    assert(!e1.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the unpaired image must stay unpaired: $e1")
+    assert(graft.streaming.CdcMergeSink.versions(s"$work/idx").nonEmpty,
+      "the fingerprint index is versioned graft state extended per epoch")
+  }
+
   test("streaming ANN index sink: per-epoch CoW ingest, new vectors servable, replay idempotent") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
