@@ -461,14 +461,14 @@ object CorpusPrep {
     * removed pass through token-joined; fully-duplicated docs come back
     * as the empty string with n_removed = token count).
     *
-    * Scale shape: gram doc-stats are ONE shuffle keyed on the gram
-    * (at web scale shuffle `xxhash64(gram)` fingerprints instead of the
-    * string — same plan, 8-byte keys); the stats join back is inner, so
-    * only hits on DUPLICATED grams flow further (rows ∝ duplicated
-    * mass, not corpus size); coverage explode is ≤ k rows per hit and
-    * de-duplicates to span length; reassembly is one shuffle on the doc
-    * id with per-doc memory bounded by doc length — exactly
-    * [[dedupLines]]'s collect-and-sort discipline. */
+    * Scale shape: gram doc-stats are ONE shuffle whose key LEADS with
+    * the gram's 64-bit fingerprint (uniform hashing; the carried string
+    * disambiguates collisions exactly — [[dedupLines]]'s discipline);
+    * the stats join back is inner, so only hits on DUPLICATED grams
+    * flow further (rows ∝ duplicated mass, not corpus size); coverage
+    * explode is ≤ k rows per hit and de-duplicates to span length;
+    * reassembly is one shuffle on the doc id with per-doc memory
+    * bounded by doc length — [[dedupLines]]'s collect-and-sort. */
   def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
                      k: Int = 5, minDocs: Int = 2,
                      keepFirst: Boolean = true): DataFrame = {
@@ -488,11 +488,12 @@ object CorpusPrep {
             sequence(lit(1), size(col("__toks")) - lit(k) + lit(1)),
             i => concat_ws(" ", slice(col("__toks"), i, lit(k)))))))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__gram")
-    val stats = grams.groupBy(col("__gram"))
+      .withColumn("__fp", xxhash64(col("__gram")))
+    val stats = grams.groupBy(col("__fp"), col("__gram"))
       .agg(countDistinct(col("__id")).as("__df"),
         min(col("__id")).as("__keep"))
       .where(col("__df") >= minDocs)
-    val hits = grams.join(stats, "__gram")
+    val hits = grams.join(stats, Seq("__fp", "__gram"))
     val removable = (if (keepFirst) hits.where(col("__id") =!= col("__keep"))
                      else hits)
       .select(col("__id"), explode(sequence(col("__p"),
