@@ -637,6 +637,51 @@ object OracleSql {
       FROM t LEFT JOIN reb USING (doc_id)
       ORDER BY doc_id""",
 
+    // q138: the C4 cleaning filter replayed rule for rule — every rule
+    // is a contains/suffix/count check (no regex), so both engines
+    // compute them identically; kept text reassembles ordered and
+    // hash-matches byte-exactly. Sentence count = terminal-punct chars
+    // in the kept text (translate is PG-compatible in both engines).
+    "q138_c4_filter" -> """
+      WITH corpus AS (
+        SELECT doc_id, text ||
+          (CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'click here now' || chr(10) ||
+                 'free javascript widgets available today.' ELSE '' END) ||
+          (CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+          AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id, text AS orig,
+          unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+        FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM corpus)),
+      flagged AS (
+        SELECT doc_id, orig, pos, line,
+          (length(trim(line)) > 0
+           AND right(trim(line), 1) IN ('.', '!', '?', '"')
+           AND len(string_split_regex(trim(line), '\s+')) >= 5
+           AND position('javascript' IN lower(trim(line))) = 0) AS keep
+        FROM lines),
+      agg AS (
+        SELECT doc_id, orig,
+          coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+            ORDER BY pos), '') AS text,
+          CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+          CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+        FROM flagged GROUP BY doc_id, orig)
+      SELECT doc_id, text, n_kept, n_dropped,
+        CAST(position('lorem ipsum' IN lower(orig)) = 0
+         AND position('{' IN orig) = 0
+         AND position('terms of use' IN lower(orig)) = 0
+         AND position('privacy policy' IN lower(orig)) = 0
+         AND position('cookie policy' IN lower(orig)) = 0
+         AND position('uses cookies' IN lower(orig)) = 0
+         AND length(text) - length(translate(text, '.!?', '')) >= 3
+          AS INT) AS c4_pass
+      FROM agg ORDER BY doc_id""",
+
     // q137: incremental image dedup — the probe ingest's pairs are the
     // planted re-encode list (same ground-truth discipline as q134):
     // every re-encoded copy collides with its source ACROSS the ingest

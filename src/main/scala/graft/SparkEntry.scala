@@ -2335,6 +2335,26 @@ object SparkEntry {
       .orderBy(col("kind"), col("id_a"), col("id_b"))
   }
 
+  /** The C4 cleaning filter ([[CorpusPrep.c4Filter]], Raffel et al.
+    * 2020) — the canonical line-rule + page-rule corpus gate next to
+    * q132's Gopher rules: deterministic dirt (a no-punctuation short
+    * line, a javascript line, a lorem-ipsum tail on every 7th doc)
+    * injected identically by both engines; the oracle replays every
+    * rule (terminal punctuation, word minimum, javascript contains,
+    * page phrases, surviving-sentence minimum) and the reassembled kept
+    * text hash-matches byte-exactly. */
+  def q138_c4_filter(s: SparkSession, dir: String): DataFrame = {
+    val corpus = documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nclick here now\nfree javascript widgets available today."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit(""))).as("text"))
+    CorpusPrep.c4Filter(corpus, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL image dedup against a persisted fingerprint index
     * ([[Multimodal.imageDedupIncremental]] /
     * [[Dedup.hammingIncremental]]): ingest 1 seeds the index with every
@@ -3159,6 +3179,7 @@ object SparkEntry {
     "q135_span_dedup" -> (q135_span_dedup _),
     "q136_multimodal_dedup" -> (q136_multimodal_dedup _),
     "q137_incremental_image_dedup" -> (q137_incremental_image_dedup _),
+    "q138_c4_filter" -> (q138_c4_filter _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -517,6 +517,61 @@ object CorpusPrep {
           .cast("long").as("n_removed"))
   }
 
+  /** The C4 cleaning filter (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning..." §2.2) — the other canonical corpus gate
+    * next to the Gopher rules (q132): LINE rules drop boilerplate
+    * lines, PAGE rules drop whole documents.
+    *
+    * Line keeps require: ends in terminal punctuation (. ! ? or a
+    * closing double quote) AND at least `minWordsPerLine` words AND no
+    * "javascript" mention (case-insensitive). Page drops: any "lorem
+    * ipsum" (case-insensitive), any curly brace `{`, any policy-ish
+    * phrase ("terms of use", "privacy policy", "cookie policy", "uses
+    * cookies"), or fewer than `minSentences` sentences surviving the
+    * line filter (sentence count = terminal-punctuation characters in
+    * the kept text — the portable approximation both engines compute
+    * identically).
+    *
+    * Returns EVERY input doc: (idCol, textCol = kept lines re-joined,
+    * n_kept, n_dropped, c4_pass) — callers filter on the flag, so the
+    * gate is auditable (what dropped and why stays queryable). All
+    * rules are contains/suffix/count checks (no regex), so an external
+    * engine reproduces them rule for rule. Map-side per line + one
+    * reassembly shuffle on the doc id ([[dedupLines]]'s shape). */
+  def c4Filter(docs: DataFrame, textCol: String, idCol: String,
+               minWordsPerLine: Int = 5,
+               minSentences: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col(idCol), col(textCol).as("__orig"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__t", trim(col("__line")))
+    val lastChar = substring(col("__t"), -1, 1)
+    val keep = (length(col("__t")) > 0) &&
+      (lastChar.isin(".", "!", "?", "\"")) &&
+      (size(split(col("__t"), "\\s+")) >= minWordsPerLine) &&
+      !lower(col("__t")).contains("javascript")
+    val perDoc = lines
+      .groupBy(col(idCol), col("__orig"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(keep, struct(col("__pos"), col("__line"))))),
+          e => e("__line")), "\n").as("__text"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped"))
+    val kept = col("__text")
+    val sentences = length(kept) -
+      length(translate(kept, ".!?", ""))
+    val lo = lower(col("__orig"))
+    val pageOk = !lo.contains("lorem ipsum") &&
+      !col("__orig").contains("{") &&
+      !lo.contains("terms of use") && !lo.contains("privacy policy") &&
+      !lo.contains("cookie policy") && !lo.contains("uses cookies") &&
+      (sentences >= minSentences)
+    perDoc.select(col(idCol), kept.as(textCol),
+      col("n_kept"), col("n_dropped"),
+      pageOk.cast("int").as("c4_pass"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("__n"))

@@ -124,6 +124,39 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(pres.forall(_._3 === 0L))
   }
 
+  test("c4Filter: line rules drop boilerplate, page rules gate documents, every doc returned") {
+    val corpus = docs(
+      1L -> ("This is a perfectly reasonable first sentence.\n" +
+        "short line\n" +                                 // < 5 words
+        "Another long and complete sentence follows right here.\n" +
+        "This line mentions javascript libraries and frameworks today.\n" + // javascript
+        "no terminal punctuation on this long line at all\n" +  // no punct
+        "And a third full sentence closes the document properly!"),
+      2L -> "Lorem Ipsum dolor sit amet is placeholder text everywhere.", // page drop
+      3L -> "A curly brace appears here { so the page drops entirely.",   // page drop
+      4L -> ("Only two real sentences live in this document here.\n" +
+        "And this second one is the last sentence present."),    // < 3 sentences
+      5L -> "Please read our Privacy Policy before continuing to browse site.")
+    val out = CorpusPrep.c4Filter(corpus, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // doc 1: three sentence lines survive, three boilerplate lines drop
+    assert(out(1L)._1 ===
+      "This is a perfectly reasonable first sentence.\n" +
+      "Another long and complete sentence follows right here.\n" +
+      "And a third full sentence closes the document properly!")
+    assert(out(1L)._2 === 3L && out(1L)._3 === 3L && out(1L)._4 === 1)
+    // page drops: lorem ipsum (case-insensitive), curly brace, policy
+    // phrase — the kept TEXT still reassembles (auditable gate)
+    assert(out(2L)._4 === 0 && out(3L)._4 === 0 && out(5L)._4 === 0)
+    assert(out(2L)._1.nonEmpty)
+    // sentence minimum: two surviving sentences < 3 fails the page
+    assert(out(4L)._2 === 2L && out(4L)._4 === 0)
+    // every input doc comes back exactly once
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("repetitionStats: hand-computable signals") {
     val got = CorpusPrep.repetitionStats(
       docs(1L -> "a a a a", 2L -> "w x y z", 3L -> ""), "text", "doc_id")
