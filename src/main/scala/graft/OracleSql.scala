@@ -637,6 +637,77 @@ object OracleSql {
       FROM t LEFT JOIN reb USING (doc_id)
       ORDER BY doc_id""",
 
+    // q139: the round-8 text-cleaning composition — the q113 line-dedup
+    // reconstruction CHAINED into the q135 span-removal reconstruction
+    // (one rebuilt text feeds the next tokenizer), then a per-language
+    // aggregate; a hash match proves the rebuilt-text contracts compose
+    "q139_clean_pipeline" -> """
+      WITH corpus AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0
+                THEN 'SHARED HEADER LINE' || chr(10) ELSE '' END)
+          || text ||
+          (CASE WHEN doc_id % 5 = 0
+                THEN ' alpha beta gamma delta epsilon zeta' ELSE '' END) ||
+          (CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || 'SHARED FOOTER LINE' ELSE '' END) AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id,
+          unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM corpus)),
+      dup AS (
+        SELECT trim(line) AS t
+        FROM lines WHERE length(trim(line)) >= 1
+        GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+      ld AS (
+        SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+        FROM lines l
+        WHERE length(trim(l.line)) < 1
+           OR trim(l.line) NOT IN (SELECT t FROM dup)
+        GROUP BY l.doc_id),
+      t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM ld),
+      g AS (
+        SELECT doc_id, n, unnest(range(len(sh))) AS p, unnest(sh) AS gram
+        FROM (SELECT doc_id, len(toks) AS n,
+                CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 3), i ->
+                       array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) END AS sh
+              FROM t WHERE len(toks) > 0)),
+      stats AS (
+        SELECT gram, min(doc_id) AS keep
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      rm AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT g.doc_id, unnest(range(g.p, least(g.p + 5, g.n))) AS pos
+          FROM g JOIN stats USING (gram)
+          WHERE g.doc_id <> stats.keep)),
+      w AS (
+        SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS word
+        FROM t WHERE len(toks) > 0),
+      reb AS (
+        SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) AS text,
+               count(*) AS kept_n
+        FROM w LEFT JOIN rm ON w.doc_id = rm.doc_id AND w.pos = rm.pos
+        WHERE rm.doc_id IS NULL
+        GROUP BY w.doc_id),
+      final AS (
+        SELECT t.doc_id, coalesce(reb.text, '') AS text,
+          CAST(len(t.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN reb USING (doc_id))
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN trim(f.text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(f.text), '\s+')) END)
+          AS BIGINT) AS total_tokens,
+        CAST(sum(f.n_removed) AS BIGINT) AS total_removed
+      FROM final f JOIN documents d USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang""",
+
     // q138: the C4 cleaning filter replayed rule for rule — every rule
     // is a contains/suffix/count check (no regex), so both engines
     // compute them identically; kept text reassembles ordered and

@@ -2335,6 +2335,38 @@ object SparkEntry {
       .orderBy(col("kind"), col("id_a"), col("id_b"))
   }
 
+  /** The round-8 TEXT-CLEANING stages composed END TO END (the q119
+    * discipline for the reconstruction-heavy operators): inject shared
+    * boilerplate lines AND shared word spans → [[CorpusPrep.dedupLines]]
+    * strips the cross-document lines → [[CorpusPrep.removeDupSpans]]
+    * splices the cross-document spans out of the line-cleaned TEXTS
+    * (one operator's rebuilt output feeds the other's tokenizer) →
+    * per-language aggregate of the surviving token mass. The oracle
+    * chains both reconstructions relationally, so a hash match proves
+    * the rebuilt-text contracts COMPOSE, not just hold in isolation. */
+  def q139_clean_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val corpus = documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          lit("SHARED HEADER LINE\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" alpha beta gamma delta epsilon zeta")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nSHARED FOOTER LINE")).otherwise(lit(""))).as("text"))
+    val lineClean = CorpusPrep.dedupLines(corpus, "text", "doc_id",
+      maxDocs = 2)
+    val spanClean = CorpusPrep.removeDupSpans(lineClean, "text", "doc_id",
+      k = 5, minDocs = 2, keepFirst = true)
+    spanClean
+      .join(documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+        sum(col("n_removed")).as("total_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** The C4 cleaning filter ([[CorpusPrep.c4Filter]], Raffel et al.
     * 2020) — the canonical line-rule + page-rule corpus gate next to
     * q132's Gopher rules: deterministic dirt (a no-punctuation short
@@ -3180,6 +3212,7 @@ object SparkEntry {
     "q136_multimodal_dedup" -> (q136_multimodal_dedup _),
     "q137_incremental_image_dedup" -> (q137_incremental_image_dedup _),
     "q138_c4_filter" -> (q138_c4_filter _),
+    "q139_clean_pipeline" -> (q139_clean_pipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
