@@ -201,10 +201,16 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     val droppedTop = fields.map(_.name).filterNot(_.contains("."))
     val newRenames = renames0.filterNot { case (l, _) =>
       droppedTop.exists(_.equalsIgnoreCase(l)) }
+    // dim entries are keyed by the LOGICAL name; the blocklist strips by
+    // the physical one — shed the logical-name entries too (dead weight
+    // over a column readers can no longer see)
+    val logicalNames = paths.map(_.mkString("."))
     OptimisticCommit.commitSchema(root, narrowed,
       recordDropped = physNames,
       expectedSchema = Some(schema), expectedChecks = Some(checks),
-      newRenames = if (newRenames == renames0) None else Some(newRenames))
+      newRenames = if (newRenames == renames0) None else Some(newRenames),
+      stripDims = logicalNames.filterNot(l =>
+        physNames.exists(_.equalsIgnoreCase(l))))
   }
 
   /** `ALTER TABLE ... ALTER COLUMN name TYPE wider` as a METADATA-ONLY
@@ -301,9 +307,15 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     val physName = (renames0.collectFirst {
       case (l, phys) if l.equalsIgnoreCase(path.head) => phys
     }.getOrElse(path.head) +: path.tail).mkString(".")
+    // dim zone-map entries are keyed by the LOGICAL name (attachDimRanges
+    // records the name pushed filters carry) — strip by it as well as the
+    // physical marker name, or a renamed-then-widened column's live
+    // entries survive and their narrow-encoded bounds wrongly prune
+    // wide-typed filter values (silently missing rows)
     OptimisticCommit.commitSchema(root, widened,
       expectedSchema = Some(schema), expectedChecks = Some(checks),
-      recordWidened = Seq(physName))
+      recordWidened = Seq(physName),
+      stripDims = Seq(field.name).filterNot(_.equalsIgnoreCase(physName)))
   }
 
   /** `ALTER TABLE ... RENAME COLUMN from TO to` as a METADATA-ONLY

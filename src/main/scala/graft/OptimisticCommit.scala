@@ -615,7 +615,8 @@ object OptimisticCommit {
                    expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
                    expectedChecks: Option[Map[String, String]] = None,
                    newRenames: Option[Map[String, String]] = None,
-                   recordWidened: Seq[String] = Nil): Long = {
+                   recordWidened: Seq[String] = Nil,
+                   stripDims: Seq[String] = Nil): Long = {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -653,7 +654,7 @@ object OptimisticCommit {
       val dir = s"$tableRoot/.tx-${
         java.util.UUID.randomUUID().toString.take(12)}"
       MutableParquetTable.stageSchemaChange(latest, dir, newSchema,
-        recordDropped, newRenames, recordWidened)
+        recordDropped, newRenames, recordWidened, stripDims)
       val target = baseV.getOrElse(-1L) + 1
       if (tryPublish(dir, s"$tableRoot/v$target")) return target
       deleteQuietly(dir)

@@ -1951,7 +1951,8 @@ object MutableParquetTable {
       newSchema: org.apache.spark.sql.types.StructType,
       recordDropped: Seq[String] = Nil,
       newRenames: Option[Map[String, String]] = None,
-      recordWidened: Seq[String] = Nil): Unit = {
+      recordWidened: Seq[String] = Nil,
+      stripDims: Seq[String] = Nil): Unit = {
     val m0 = readManifest(fromDir).getOrElse(throw new IllegalStateException(
       s"$fromDir has no manifest — only committed snapshots can change schema"))
     // a WIDENING must not reuse a dropped name — top-level OR a nested
@@ -1996,12 +1997,19 @@ object MutableParquetTable {
         scala.util.matching.Regex.quoteReplacement(s"{$f"))
       recordWidened.foldLeft(withField)((acc, c) => stripDimEntries(acc, c))
     }
+    // extra dim-entry strips beyond the recorded marker names: dim
+    // zone-map entries are keyed by the LOGICAL name pushed filters use
+    // (attachDimRanges), while drop/widen markers record the PHYSICAL
+    // (birth) name — for a renamed-then-widened column the physical
+    // strip alone would leave live logical-name entries whose
+    // narrow-type-encoded bounds wrongly prune wide-typed filters
+    val mws = stripDims.foldLeft(mw)((acc, c) => stripDimEntries(acc, c))
     // replace the logical→physical rename mapping (RENAME COLUMN commits
     // and drops of renamed columns): strip the old field + its feature
     // stamp, then re-emit the new map's field (which re-stamps when still
     // non-empty)
-    val m = newRenames.fold(mw) { rn =>
-      val stripped = mw
+    val m = newRenames.fold(mws) { rn =>
+      val stripped = mws
         .replaceAll("\"requiredFeatures\":\\[\"columnRenames\"\\],", "")
         .replaceAll(
           "\"renames\":\\{(?:[^}\"\\\\]|\"(?:[^\"\\\\]|\\\\.)*\"|\\\\.)*\\},",

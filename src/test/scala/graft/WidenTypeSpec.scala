@@ -150,6 +150,29 @@ class WidenTypeSpec extends SparkSpec {
       (0L until 100L).sum - 9 + 3000000000L)
   }
 
+  test("widen a RENAMED column sheds LOGICAL-name dim zone maps (no stale narrow bounds)") {
+    val root = freshRoot()
+    val t = seed(root)
+    t.commit(Seq((5L, 5, 0.5f, "upsert")).toDF("k", "cnt", "ratio", "op")) // v0
+    t.renameColumn("cnt", "count2")                 // v1: logical count2 -> physical cnt
+    // dim entries are recorded under the LOGICAL name (the name pushed
+    // filters carry); the sweep resolves the physical footer name itself
+    MutableParquetTable.attachDimRanges(spark, s"$root/v1", Seq("count2"))
+    assert(MutableParquetTable.manifestDimRanges(s"$root/v1")
+      .keySet === Set("count2"))
+    val v2 = t.alterColumnType("count2", LongType)  // marker records "cnt"
+    assert(MutableParquetTable.manifestWidened(s"$root/v$v2") === Seq("cnt"))
+    // the widen must shed the LIVE logical-name entries, not just any
+    // inert physical-name ones: narrow-encoded bounds compared against
+    // wide-typed filter values would wrongly prune files (missing rows)
+    assert(MutableParquetTable.manifestDimRanges(s"$root/v$v2").isEmpty,
+      "dim zone maps keyed by the logical name must not survive the widen")
+    // filtered reads stay correct under the wide type
+    val got = t.read().where(col("count2") === 80L).collect()
+    assert(got.length === 1 && got.head.getLong(0) === 80L)
+    assert(t.read().where(col("count2") === 5L).head().getLong(1) === 5L)
+  }
+
   test("decimal widening: precision growth, scale growth rescales, both reader paths") {
     val root = freshRoot()
     // DECIMAL(9,2) is int32-physical on disk — the narrowest bucket
