@@ -142,6 +142,49 @@ object Multimodal {
       }
   }
 
+  // ---- decode-error policy ---------------------------------------------
+
+  /** The multimodal family's decode-error policy. A 100-TB web-scraped
+    * corpus GUARANTEES corrupt media; a policy where one truncated PNG
+    * in a billion aborts the whole dedup job (and deterministically
+    * re-aborts on retry) cannot finish a real run. The engine's
+    * contract is that degraded paths are visible, never fatal-or-silent
+    * (the passthrough-telemetry discipline,
+    * reference ParquetRewriter.java merge metrics):
+    *
+    *  - `"fail"` (default) — any undecodable payload throws and kills
+    *    the job. Right at fixture scale: garbage is rejected loudly.
+    *  - `"skip"` — undecodable payloads are dropped; the output schema
+    *    is unchanged. Pair with [[quarantineStats]] on a flagged run
+    *    when drop counts must be audited.
+    *  - `"flag"` — EVERY input row comes back: undecodable payloads
+    *    carry null data columns and a non-null `error` string (class +
+    *    message), decodable ones `error = null`. The auditable-gate
+    *    shape [[graft.corpus.CorpusPrep.c4Filter]]/`gopherPass` follow —
+    *    downstream hash/join paths drop the null rows, the quarantine
+    *    stays queryable.
+    */
+  private[graft] def checkMode(onError: String): Unit =
+    require(onError == "fail" || onError == "skip" || onError == "flag",
+      s"onError must be fail|skip|flag, got '$onError'")
+
+  /** Run one payload's decode under the policy: Right(value), or
+    * Left(error) when a non-fatal decode failure is quarantined. */
+  private def guarded[T](onError: String)(body: => T): Either[String, T] =
+    if (onError == "fail") Right(body)
+    else try Right(body) catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** The counts receipt for a `flag`-mode run: one row —
+    * (n_rows, n_ok, n_quarantined) — from the `error` column. Per-error
+    * breakdowns are one `groupBy("error")` away on the same output. */
+  def quarantineStats(flagged: DataFrame): DataFrame =
+    flagged.agg(count(lit(1)).as("n_rows"),
+      count(when(col("error").isNull, 1)).as("n_ok"),
+      count(col("error")).as("n_quarantined"))
+
   // ---- real decode ----------------------------------------------------
 
   /** Decode a payload into (width, height, n_frames) with JDK codecs. */
@@ -188,18 +231,39 @@ object Multimodal {
     * frame-sample slot. Batches of `batchSize` records are materialized at
     * a time (mirroring arrow-batch processing) so the decoder amortizes
     * setup without holding a whole partition in memory. */
-  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64,
+                      onError: String = "fail"): DataFrame = {
+    checkMode(onError)
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    val rows = media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { m =>
-          val (w, h, frames) = decode(m.kind, m.payload)
-          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-            w, h, frames, byteEntropy(m.payload))
+        batch.flatMap { m =>
+          guarded(onError) {
+            val (w, h, frames) = decode(m.kind, m.payload)
+            (m.media_id, m.kind, m.payload.length.toLong,
+              w, h, frames, byteEntropy(m.payload), null: String)
+          } match {
+            case Right(r) => Some(r)
+            case Left(_) if onError == "skip" => None
+            case Left(e) =>
+              Some((m.media_id, m.kind, m.payload.length.toLong,
+                0, 0, 0, 0.0, e))
+          }
         }
       }
-    }.toDF()
+    }.toDF("media_id", "kind", "n_bytes", "width", "height", "n_frames",
+      "byte_entropy", "error")
+    // fail/skip keep the historical MediaFeatures schema; flag carries
+    // the quarantine column (null data fields on flagged rows)
+    if (onError == "flag")
+      rows.select(col("media_id"), col("kind"), col("n_bytes"),
+        when(col("error").isNull, col("width")).as("width"),
+        when(col("error").isNull, col("height")).as("height"),
+        when(col("error").isNull, col("n_frames")).as("n_frames"),
+        when(col("error").isNull, col("byte_entropy")).as("byte_entropy"),
+        col("error"))
+    else rows.drop("error")
   }
 
   /** Shannon entropy of the byte histogram. */
@@ -222,30 +286,41 @@ object Multimodal {
     * one decoded raster. Output payloads are themselves decodable PNGs
     * of exactly the target dimensions — the property the spec pins. */
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
-                   batchSize: Int = 64): DataFrame = {
+                   batchSize: Int = 64,
+                   onError: String = "fail"): DataFrame = {
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    checkMode(onError)
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "image").mapPartitions { it =>
+    val rows = media.filter(_.kind == "image").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { m =>
-          val src = ImageIO.read(new ByteArrayInputStream(m.payload))
-          require(src != null, "payload is not a decodable image")
-          val dst = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = dst.createGraphics()
-          try {
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(src, 0, 0, w, h, null): Unit
-          } finally g.dispose()
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(dst, "png", bos)
-          (m.media_id, src.getWidth, src.getHeight, w, h, bos.toByteArray)
+        batch.flatMap { m =>
+          guarded(onError) {
+            val src = ImageIO.read(new ByteArrayInputStream(m.payload))
+            require(src != null, "payload is not a decodable image")
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w, h, null): Unit
+            } finally g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(dst, "png", bos)
+            (src.getWidth, src.getHeight, bos.toByteArray)
+          } match {
+            case Right((sw, sh, p)) =>
+              Some((m.media_id, sw, sh, w, h, p, null: String))
+            case Left(_) if onError == "skip" => None
+            case Left(e) =>
+              Some((m.media_id, 0, 0, w, h, null: Array[Byte], e))
+          }
         }
       }
-    }.toDF("media_id", "src_w", "src_h", "width", "height", "payload")
+    }.toDF("media_id", "src_w", "src_h", "width", "height", "payload", "error")
+    if (onError == "flag") rows else rows.drop("error")
   }
 
   // ---- perceptual image hashing / image near-dup -----------------------
@@ -260,20 +335,29 @@ object Multimodal {
     * what buys resize stability: the cell mean of a downscaled image
     * converges to the cell mean of the original. */
   def grayRasters(media: Dataset[MediaRecord],
-                  batchSize: Int = 64): DataFrame = {
+                  batchSize: Int = 64,
+                  onError: String = "fail"): DataFrame = {
+    checkMode(onError)
     val spark = media.sparkSession
     import spark.implicits._
     val gw = graft.plans.ImageHash.GridW
     val gh = graft.plans.ImageHash.GridH
-    media.filter(_.kind == "image").mapPartitions { it =>
+    val rows = media.filter(_.kind == "image").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { m =>
-          val img = ImageIO.read(new ByteArrayInputStream(m.payload))
-          require(img != null, "payload is not a decodable image")
-          (m.media_id, rasterOf(img, gw, gh))
+        batch.flatMap { m =>
+          guarded(onError) {
+            val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+            require(img != null, "payload is not a decodable image")
+            rasterOf(img, gw, gh)
+          } match {
+            case Right(r) => Some((m.media_id, r, null: String))
+            case Left(_) if onError == "skip" => None
+            case Left(e) => Some((m.media_id, null: Array[Byte], e))
+          }
         }
       }
-    }.toDF("media_id", "raster")
+    }.toDF("media_id", "raster", "error")
+    if (onError == "flag") rows else rows.drop("error")
   }
 
   private[graft] def rasterOf(img: java.awt.image.BufferedImage,
@@ -314,13 +398,21 @@ object Multimodal {
     * (media_id, dhash, ahash) — 16 bytes of fingerprint per image,
     * however large the source. */
   def imageHashes(media: Dataset[MediaRecord],
-                  batchSize: Int = 64): DataFrame = {
+                  batchSize: Int = 64,
+                  onError: String = "fail"): DataFrame = {
     val spark = media.sparkSession
     graft.plans.ImageDHash.register(spark)
     graft.plans.ImageAHash.register(spark)
-    grayRasters(media, batchSize).select(col("media_id"),
-      call_function(graft.plans.ImageDHash.name, col("raster")).as("dhash"),
-      call_function(graft.plans.ImageAHash.name, col("raster")).as("ahash"))
+    val rasters = grayRasters(media, batchSize, onError)
+    // hash paths drop the quarantined (null-raster) rows; flag mode
+    // still carries them through with null fingerprints + the error
+    val cols = Seq(col("media_id"),
+      when(col("raster").isNotNull,
+        call_function(graft.plans.ImageDHash.name, col("raster"))).as("dhash"),
+      when(col("raster").isNotNull,
+        call_function(graft.plans.ImageAHash.name, col("raster"))).as("ahash")) ++
+      (if (onError == "flag") Seq(col("error")) else Nil)
+    rasters.select(cols: _*)
   }
 
   /** Image near-dup pairs — the multimodal member of the dedup family:
@@ -336,18 +428,30 @@ object Multimodal {
     * corpora with degenerate thumbnail clusters (solid-color images all
     * hash to 0L) use [[imageNearDupCapped]]. */
   def imageNearDup(media: Dataset[MediaRecord], maxHamming: Int = 2,
-                   chunks: Int = 4): DataFrame =
-    graft.operators.Dedup.hammingPairs(imageHashes(media),
+                   chunks: Int = 4, onError: String = "fail"): DataFrame =
+    graft.operators.Dedup.hammingPairs(dedupHashInput(media, onError),
       "media_id", "dhash", maxHamming, chunks)
 
   /** [[imageNearDup]] with the dedup family's hot-bucket guard and
     * overflow-stats visibility contract
     * ([[graft.operators.Dedup.hammingPairsCapped]]). */
   def imageNearDupCapped(media: Dataset[MediaRecord], maxBucketWidth: Int,
-                         maxHamming: Int = 2,
-                         chunks: Int = 4): (DataFrame, DataFrame) =
-    graft.operators.Dedup.hammingPairsCapped(imageHashes(media),
+                         maxHamming: Int = 2, chunks: Int = 4,
+                         onError: String = "fail"): (DataFrame, DataFrame) =
+    graft.operators.Dedup.hammingPairsCapped(dedupHashInput(media, onError),
       "media_id", "dhash", maxBucketWidth, maxHamming, chunks)
+
+  /** The near-dup wrappers' fingerprint feed under the decode policy:
+    * pairs cannot represent per-media errors, so `flag` and `skip` both
+    * drop quarantined media from the JOIN — run [[imageHashes]] with
+    * `onError = "flag"` + [[quarantineStats]] when the drop counts must
+    * be audited. */
+  private def dedupHashInput(media: Dataset[MediaRecord],
+                             onError: String): DataFrame = {
+    checkMode(onError)
+    val mode = if (onError == "flag") "skip" else onError
+    imageHashes(media, onError = mode)
+  }
 
   // ---- audio fingerprinting / audio near-dup ---------------------------
 
@@ -361,15 +465,32 @@ object Multimodal {
     * shape fingerprint cheap enough for a narrow map. Integer math
     * throughout (deterministic across runs/hosts). */
   def audioEnvelopes(media: Dataset[MediaRecord],
-                     batchSize: Int = 64): DataFrame = {
+                     batchSize: Int = 64,
+                     onError: String = "fail"): DataFrame = {
+    checkMode(onError)
     val spark = media.sparkSession
     import spark.implicits._
     val cells = graft.plans.ImageHash.RasterLen
-    media.filter(_.kind == "audio").mapPartitions { it =>
+    val rows = media.filter(_.kind == "audio").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { m =>
-          val in = AudioSystem.getAudioInputStream(
+        batch.flatMap { m =>
+          guarded(onError) {
+          val in0 = AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(m.payload))
+          // the window math below reads PCM16 LITTLE-ENDIAN MONO — an
+          // 8-bit, big-endian, or stereo WAV would decode without error
+          // and produce a silently WRONG envelope (channels interleave
+          // into the amplitude windows). Convert what the JDK's
+          // PCM-to-PCM codec can (sample size, sign, endianness);
+          // multi-channel has no JDK downmix — reject it loudly.
+          val fmt0 = in0.getFormat
+          require(fmt0.getChannels == 1,
+            s"audio envelope requires mono, got ${fmt0.getChannels} channels")
+          val target = new AudioFormat(fmt0.getSampleRate, 16, 1, true, false)
+          val in =
+            if (fmt0.getSampleSizeInBits == 16 && !fmt0.isBigEndian &&
+                fmt0.getEncoding == AudioFormat.Encoding.PCM_SIGNED) in0
+            else AudioSystem.getAudioInputStream(target, in0)
           val pcm =
             try in.readAllBytes()
             finally in.close()
@@ -392,24 +513,34 @@ object Multimodal {
           }
           val lo = env.min; val hi = env.max
           val span = math.max(1L, hi - lo)
-          val raster = env.map(e => ((e - lo) * 255L / span).toByte)
-          (m.media_id, raster)
+          env.map(e => ((e - lo) * 255L / span).toByte)
+          } match {
+            case Right(r) => Some((m.media_id, r, null: String))
+            case Left(_) if onError == "skip" => None
+            case Left(e) => Some((m.media_id, null: Array[Byte], e))
+          }
         }
       }
-    }.toDF("media_id", "raster")
+    }.toDF("media_id", "raster", "error")
+    if (onError == "flag") rows else rows.drop("error")
   }
 
   /** Perceptual fingerprints for every "audio" payload: the envelope
     * raster through the SAME codegen'd dHash/aHash kernels the image
     * path uses — one fingerprint algebra across modalities. */
   def audioHashes(media: Dataset[MediaRecord],
-                  batchSize: Int = 64): DataFrame = {
+                  batchSize: Int = 64,
+                  onError: String = "fail"): DataFrame = {
     val spark = media.sparkSession
     graft.plans.ImageDHash.register(spark)
     graft.plans.ImageAHash.register(spark)
-    audioEnvelopes(media, batchSize).select(col("media_id"),
-      call_function(graft.plans.ImageDHash.name, col("raster")).as("dhash"),
-      call_function(graft.plans.ImageAHash.name, col("raster")).as("ahash"))
+    val cols = Seq(col("media_id"),
+      when(col("raster").isNotNull,
+        call_function(graft.plans.ImageDHash.name, col("raster"))).as("dhash"),
+      when(col("raster").isNotNull,
+        call_function(graft.plans.ImageAHash.name, col("raster"))).as("ahash")) ++
+      (if (onError == "flag") Seq(col("error")) else Nil)
+    audioEnvelopes(media, batchSize, onError).select(cols: _*)
   }
 
   /** Audio near-dup pairs over the envelope dHash — re-encoded and
@@ -417,9 +548,12 @@ object Multimodal {
     * Hamming banding ([[graft.operators.Dedup.hammingPairs]]),
     * fingerprints only. */
   def audioNearDup(media: Dataset[MediaRecord], maxHamming: Int = 2,
-                   chunks: Int = 4): DataFrame =
-    graft.operators.Dedup.hammingPairs(audioHashes(media),
+                   chunks: Int = 4, onError: String = "fail"): DataFrame = {
+    checkMode(onError)
+    val mode = if (onError == "flag") "skip" else onError
+    graft.operators.Dedup.hammingPairs(audioHashes(media, onError = mode),
       "media_id", "dhash", maxHamming, chunks)
+  }
 
   /** Re-encode each "audio" payload: decode to PCM, re-write the WAV,
     * and append a RIFF LIST/INFO metadata chunk (RIFF size patched) —
@@ -489,11 +623,17 @@ object Multimodal {
   def imageDedupIncremental(indexRoot: String,
                             media: Dataset[MediaRecord],
                             maxHamming: Int = 2, chunks: Int = 4,
-                            extendIndex: Boolean = true)
-      : graft.operators.Dedup.IncrementalDedup =
+                            extendIndex: Boolean = true,
+                            onError: String = "fail")
+      : graft.operators.Dedup.IncrementalDedup = {
+    checkMode(onError)
+    // quarantined media must never enter the PERSISTED index (a null
+    // fingerprint is unprobeable forever) — flag degrades to skip here
+    val mode = if (onError == "flag") "skip" else onError
     graft.operators.Dedup.hammingIncremental(indexRoot,
-      imageHashes(media), "media_id", "dhash", maxHamming, chunks,
-      extendIndex)
+      imageHashes(media, onError = mode), "media_id", "dhash", maxHamming,
+      chunks, extendIndex)
+  }
 
   /** Re-encode each "image" payload: decode, PNG-encode, and splice a
     * tEXt ancillary chunk before IEND — a VALID PNG with
@@ -548,32 +688,48 @@ object Multimodal {
     * per sampled frame. Narrow map; the container walk is
     * [[sampleFrames]]'s. */
   def frameRasters(media: Dataset[MediaRecord], stride: Int = 1,
-                   batchSize: Int = 16): DataFrame = {
+                   batchSize: Int = 16,
+                   onError: String = "fail"): DataFrame = {
+    checkMode(onError)
     val spark = media.sparkSession
     import spark.implicits._
     val gw = graft.plans.ImageHash.GridW
     val gh = graft.plans.ImageHash.GridH
-    media.filter(_.kind == "video").mapPartitions { it =>
+    val rows = media.filter(_.kind == "video").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { m =>
-          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
-          var off = 8; var idx = 0
-          while (off < m.payload.length) {
-            val len = readInt(m.payload, off)
-            require(len > 0 && off.toLong + 4 + len <= m.payload.length,
-              s"corrupt frame length $len at offset $off")
-            if (idx % stride == 0) {
-              val img = ImageIO.read(
-                new ByteArrayInputStream(m.payload, off + 4, len))
-              require(img != null, s"frame $idx is not a decodable image")
-              frames += ((idx, rasterOf(img, gw, gh)))
+          // a corrupt container/frame quarantines the WHOLE video (the
+          // length walk cannot be trusted past a bad slot): one flagged
+          // row per media_id, frame_idx = -1
+          guarded(onError) {
+            require(m.payload.length >= 8 &&
+              VideoMagic.indices.forall(i => m.payload(i) == VideoMagic(i)),
+              "payload is not a GVID container")
+            val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+            var off = 8; var idx = 0
+            while (off < m.payload.length) {
+              require(off + 4 <= m.payload.length, "truncated frame-length slot")
+              val len = readInt(m.payload, off)
+              require(len > 0 && off.toLong + 4 + len <= m.payload.length,
+                s"corrupt frame length $len at offset $off")
+              if (idx % stride == 0) {
+                val img = ImageIO.read(
+                  new ByteArrayInputStream(m.payload, off + 4, len))
+                require(img != null, s"frame $idx is not a decodable image")
+                frames += ((idx, rasterOf(img, gw, gh)))
+              }
+              off += 4 + len; idx += 1
             }
-            off += 4 + len; idx += 1
+            frames.toSeq
+          } match {
+            case Right(fs) => fs.map { case (i, r) => (m.media_id, i, r, null: String) }
+            case Left(_) if onError == "skip" => Nil
+            case Left(e) => Seq((m.media_id, -1, null: Array[Byte], e))
           }
-          frames.map { case (i, r) => (m.media_id, i, r) }
         }
       }
-    }.toDF("media_id", "frame_idx", "raster")
+    }.toDF("media_id", "frame_idx", "raster", "error")
+    if (onError == "flag") rows else rows.drop("error")
   }
 
   /** One 64-bit fingerprint per "video" payload: dHash every sampled
@@ -583,23 +739,46 @@ object Multimodal {
     * the bits they dominate. One narrow decode map + one agg keyed on
     * the video id. */
   def videoHashes(media: Dataset[MediaRecord], stride: Int = 1,
-                  batchSize: Int = 16): DataFrame = {
+                  batchSize: Int = 16,
+                  onError: String = "fail"): DataFrame = {
     val spark = media.sparkSession
     graft.plans.ImageDHash.register(spark)
-    frameRasters(media, stride, batchSize)
-      .select(col("media_id"),
-        call_function(graft.plans.ImageDHash.name, col("raster")).as("fh"))
-      .groupBy(col("media_id"))
-      .agg(graft.operators.Dedup.simHashFromHashes(collect_list(col("fh")))
-        .as("dhash"), count(lit(1)).as("n_frames"))
+    if (onError != "flag")
+      frameRasters(media, stride, batchSize, onError)
+        .select(col("media_id"),
+          call_function(graft.plans.ImageDHash.name, col("raster")).as("fh"))
+        .groupBy(col("media_id"))
+        .agg(graft.operators.Dedup.simHashFromHashes(collect_list(col("fh")))
+          .as("dhash"), count(lit(1)).as("n_frames"))
+    else
+      // a quarantined video arrives as ONE null-raster row carrying the
+      // error; collect_list drops the null hash, so the video groups to
+      // (null dhash, null n_frames, error) — visible, never fatal
+      frameRasters(media, stride, batchSize, onError)
+        .select(col("media_id"),
+          when(col("raster").isNotNull,
+            call_function(graft.plans.ImageDHash.name, col("raster"))).as("fh"),
+          col("error"))
+        .groupBy(col("media_id"))
+        .agg(
+          when(max(col("error")).isNull,
+            graft.operators.Dedup.simHashFromHashes(collect_list(col("fh"))))
+            .as("dhash"),
+          when(max(col("error")).isNull, count(col("fh"))).as("n_frames"),
+          max(col("error")).as("error"))
   }
 
   /** Video near-dup pairs over the majority frame fingerprint — the
     * shared Hamming banding once more. */
   def videoNearDup(media: Dataset[MediaRecord], maxHamming: Int = 2,
-                   chunks: Int = 4, stride: Int = 1): DataFrame =
-    graft.operators.Dedup.hammingPairs(videoHashes(media, stride),
+                   chunks: Int = 4, stride: Int = 1,
+                   onError: String = "fail"): DataFrame = {
+    checkMode(onError)
+    val mode = if (onError == "flag") "skip" else onError
+    graft.operators.Dedup.hammingPairs(
+      videoHashes(media, stride, onError = mode),
       "media_id", "dhash", maxHamming, chunks)
+  }
 
   /** Re-encode each "video" payload: every frame decoded, PNG
     * re-encoded with a spliced tEXt chunk, container rebuilt — byte-

@@ -272,4 +272,123 @@ class MultimodalSpec extends SparkSpec {
     val expected = origBytes.keySet.map(id => (id, id + 100000L, 0L))
     assert(pairs.toSet === expected, s"got ${pairs.sorted.toSeq}")
   }
+
+  // ---- decode-error policy (onError = fail|skip|flag) -------------------
+
+  private def corruptBatch = {
+    val s = spark; import s.implicits._
+    import graft.multimodal.MediaRecord
+    media.union(Seq(
+      MediaRecord(9001L, "image", Array[Byte](1, 2, 3, 4), "corrupt"),
+      MediaRecord(9002L, "audio", Array[Byte](82, 73, 70, 70), "corrupt"),
+      MediaRecord(9003L, "video", "GVIDxxxxgarbage".getBytes, "corrupt")).toDS())
+  }
+
+  test("onError=fail (default): one corrupt payload in a healthy batch still aborts") {
+    intercept[Exception](Multimodal.extractFeatures(corruptBatch).collect())
+    intercept[Exception](Multimodal.grayRasters(corruptBatch).collect())
+    intercept[Exception](Multimodal.audioEnvelopes(corruptBatch).collect())
+    intercept[Exception](Multimodal.frameRasters(corruptBatch).collect())
+    intercept[IllegalArgumentException](
+      Multimodal.extractFeatures(media, onError = "quarantine"))
+  }
+
+  test("onError=flag: every row returns, corrupt ones flagged, quarantine counted") {
+    val flagged = Multimodal.extractFeatures(corruptBatch, onError = "flag")
+    val rows = flagged.collect()
+    assert(rows.length === corruptBatch.count().toInt,
+      "flag mode must return EVERY input row")
+    val bad = rows.filter(!_.isNullAt(7))
+    assert(bad.map(_.getLong(0)).toSet === Set(9001L, 9002L, 9003L))
+    bad.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+        "flagged rows carry null feature fields")
+    }
+    // healthy rows are bit-identical to a healthy-only fail-mode run
+    val healthy = Multimodal.extractFeatures(media).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    assert(rows.filter(_.isNullAt(7))
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toSet === healthy)
+    // the counts receipt
+    val q = Multimodal.quarantineStats(flagged).head()
+    assert(q.getLong(0) === rows.length.toLong)
+    assert(q.getLong(1) === rows.length - 3L)
+    assert(q.getLong(2) === 3L)
+
+    // per-modality flag lanes: raster/envelope/frame paths each flag
+    // their own corrupt payload and keep the healthy ones
+    val gr = Multimodal.grayRasters(corruptBatch, onError = "flag").collect()
+    assert(gr.filter(!_.isNullAt(2)).map(_.getLong(0)).toSeq === Seq(9001L))
+    assert(gr.filter(!_.isNullAt(2)).forall(_.isNullAt(1)))
+    val ae = Multimodal.audioEnvelopes(corruptBatch, onError = "flag").collect()
+    assert(ae.filter(!_.isNullAt(2)).map(_.getLong(0)).toSeq === Seq(9002L))
+    val fr = Multimodal.frameRasters(corruptBatch, onError = "flag").collect()
+    val frBad = fr.filter(!_.isNullAt(3))
+    assert(frBad.map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((9003L, -1)))
+    // videoHashes groups the quarantined video to (null dhash, error)
+    val vh = Multimodal.videoHashes(corruptBatch, onError = "flag").collect()
+    val vhBad = vh.filter(!_.isNullAt(3))
+    assert(vhBad.map(_.getLong(0)).toSeq === Seq(9003L))
+    assert(vhBad.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("onError=skip: corrupt rows dropped, schema unchanged, dedup completes") {
+    val feats = Multimodal.extractFeatures(corruptBatch, onError = "skip")
+    assert(feats.schema.fieldNames.toSeq ===
+      Multimodal.extractFeatures(media).schema.fieldNames.toSeq,
+      "skip keeps the historical schema")
+    assert(feats.count() === media.count())
+    assert(!feats.select("media_id").collect().map(_.getLong(0))
+      .exists(_ >= 9000L))
+    // the whole near-dup family completes over a corpus with corrupt
+    // media — the round-8 scale-killer (one bad PNG aborting a 100-TB
+    // dedup job) is gone; pairs match the healthy-only run
+    val healthyPairs = Multimodal.imageNearDup(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq("skip", "flag").foreach { mode =>
+      val p = Multimodal.imageNearDup(corruptBatch, maxHamming = 2,
+        onError = mode).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p === healthyPairs, s"mode=$mode")
+    }
+    assert(Multimodal.audioNearDup(corruptBatch, maxHamming = 0,
+      onError = "skip").collect().forall(r => r.getLong(0) < 9000L))
+    assert(Multimodal.videoNearDup(corruptBatch, maxHamming = 2,
+      onError = "skip").collect().forall(r => r.getLong(0) < 9000L))
+  }
+
+  test("audio format guard: non-PCM16LE-mono WAVs convert or flag, never silently wrong") {
+    val s = spark; import s.implicits._
+    import graft.multimodal.MediaRecord
+    import javax.sound.sampled._
+    // an 8-bit unsigned WAV: decodable, but the raw stream read as PCM16
+    // would produce a silently wrong envelope — the JDK codec converts it
+    val u8 = Array.tabulate[Byte](256)(i =>
+      ((math.sin(i * 0.1) * 100).toInt + 128).toByte)
+    val u8fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(u8), u8fmt, 256L),
+      AudioFileFormat.Type.WAVE, bos8)
+    // a STEREO WAV: no JDK downmix exists — must reject loudly, not
+    // interleave channels into the amplitude windows
+    val st = new Array[Byte](256 * 4)
+    val stFmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bosSt = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(st), stFmt, 256L),
+      AudioFileFormat.Type.WAVE, bosSt)
+    val mixed = Seq(
+      MediaRecord(1L, "audio", bos8.toByteArray, "u8"),
+      MediaRecord(2L, "audio", bosSt.toByteArray, "stereo")).toDS()
+    intercept[Exception](Multimodal.audioEnvelopes(mixed).collect())
+    val out = Multimodal.audioEnvelopes(mixed, onError = "flag").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2), "u8 mono converts cleanly")
+    assert(byId(1L).getAs[Array[Byte]](1).length ===
+      graft.plans.ImageHash.RasterLen)
+    assert(!byId(2L).isNullAt(2) && byId(2L).getString(2).contains("mono"),
+      "stereo is rejected with a loud, specific error")
+  }
 }
