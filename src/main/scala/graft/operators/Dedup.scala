@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,14 +154,15 @@ object Dedup {
     * (width - cap, the expected row loss). The stats side is the cap's
     * required visibility — never discard it silently. */
   private def capBucketWidth(banded: DataFrame, keyCols: Seq[String],
-                             cap: Int): (DataFrame, DataFrame) = {
+                             cap: Int,
+                             idCol: String = "id"): (DataFrame, DataFrame) = {
     require(cap > 0, "maxBucketWidth must be positive")
     val widths = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_width"))
     val hot = widths.where(col("bucket_width") > cap)
     val keep = banded.join(broadcast(hot), keyCols, "left")
       .where(col("bucket_width").isNull ||
-        pmod(xxhash64(col("id") +: keyCols.map(col): _*),
+        pmod(xxhash64(col(idCol) +: keyCols.map(col): _*),
           col("bucket_width")) < cap)
       .drop("bucket_width")
     val overflow = hot.select(keyCols.map(col) :+
@@ -581,21 +582,54 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Result of one incremental ingest: the near-dup `pairs` the new
-    * batch introduced (id_a < id_b; at least one side is a new doc), and
-    * the graft-index version the batch's signatures landed as. */
-  final case class IncrementalDedup(pairs: DataFrame, indexVersion: Long)
+    * batch introduced (id_a < id_b; at least one side is a new doc), the
+    * graft-index version the batch's signatures landed as, and — when a
+    * batch-bucket cap was requested — the [[capBucketWidth]] overflow
+    * receipt (one row per capped batch bucket; None = no cap asked). */
+  final case class IncrementalDedup(pairs: DataFrame, indexVersion: Long,
+                                    overflow: Option[DataFrame] = None)
+
+  /** The two persisted-index layouts and their trade:
+    *
+    *  - `probeLayout = false` (default) — `idx_key` leads with the
+    *    zero-padded doc id. INGEST-local: monotone ids append at the
+    *    key-space tail, an index merge touches ~one boundary file. But a
+    *    probe reads the WHOLE index: every file spans every band, so no
+    *    file prunes — scan IO is index-sized per ingest (16-byte rows,
+    *    map-side filtered, but still index-sized IO).
+    *  - `probeLayout = true` — `idx_key` leads with band:bucket, and the
+    *    incremental functions attach manifest dim zone maps on
+    *    (band, bucket/chunk). PROBE-local: files cluster by bucket, the
+    *    probe's broadcast join pushes its bucket set into the scan at
+    *    runtime ([[graft.sources.GraftSource]] dim point-set pruning, the
+    *    `ivfPqTopKGraft` discipline) and reads only files holding probed
+    *    buckets — probe IO ∝ collisions. The cost: a batch's upserts
+    *    scatter across the bucket key space, so index merges dirty many
+    *    files instead of one boundary file.
+    *
+    * Steady-state guidance: append-heavy pipelines that rarely probe keep
+    * the default; dedup-on-ingest pipelines (probe every batch, merge
+    * cost amortized by compaction) want `probeLayout = true`. */
+  private def idxKey(probeLayout: Boolean, bucketCol: String): Column =
+    if (!probeLayout)
+      concat(lpad(col("doc_id").cast("string"), 14, "0"), lit(":"),
+        lpad(col("band").cast("string"), 3, "0"))
+    else
+      concat(lpad(col("band").cast("string"), 3, "0"), lit(":"),
+        lpad(hex(col(bucketCol)), 16, "0"), lit(":"),
+        lpad(col("doc_id").cast("string"), 14, "0"))
 
   /** The persisted LSH-index rows for `docs`: one row per (doc, band)
     * carrying the band's bucket hash and the doc's full MinHash
     * signature (for candidate verification — the index never stores
-    * text). `idx_key` leads with the ZERO-PADDED doc id, so
-    * ingest-monotone ids (the production case) append at the key-space
-    * tail and the index merge touches ~one boundary file. All map-side;
-    * signature via the fused native kernel when registered. */
+    * text). `idx_key` layout per [[idxKey]]: ingest-local (doc-id-led,
+    * default) or probe-local (band:bucket-led). All map-side; signature
+    * via the fused native kernel when registered. */
   def minHashIndexRows(docs: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, bands: Int = 8,
                        rowsPerBand: Int = 4,
-                       native: Boolean = false): DataFrame = {
+                       native: Boolean = false,
+                       probeLayout: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = if (native) {
       docs.select(col(idCol).cast("long").as("doc_id"),
@@ -616,37 +650,54 @@ object Dedup {
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .select(
-        concat(lpad(col("doc_id").cast("string"), 14, "0"), lit(":"),
-          lpad(col("band").cast("string"), 3, "0")).as("idx_key"),
-        col("doc_id"), col("band"), col("bucket"), col("sig"))
+      // band as LONG: manifest dim zone maps encode long bounds exactly
+      // (an int32 footer stat would fall to the string repr and mis-
+      // compare against long-typed runtime filter values)
+      .select(idxKey(probeLayout, "bucket").as("idx_key"),
+        col("doc_id"), col("band").cast("long").as("band"),
+        col("bucket"), col("sig"))
   }
 
   /** The persisted-index rows for a 64-bit FINGERPRINT table
     * (`fps`: idCol + hashCol — image dHash, audio-envelope dHash,
     * video majority hash, SimHash): one row per (id, chunk band)
     * carrying the band's masked chunk and the full fingerprint.
-    * `idx_key` leads with the zero-padded id — ingest-monotone ids
-    * append at the key-space tail, so index merges touch ~one boundary
-    * file (the [[minHashIndexRows]] key design). All map-side. */
+    * `idx_key` layout per [[idxKey]] (ingest-local default,
+    * band:chunk-led probe layout). All map-side. */
   def hammingIndexRows(fps: DataFrame, idCol: String, hashCol: String,
-                       chunks: Int = 4): DataFrame =
+                       chunks: Int = 4,
+                       probeLayout: Boolean = false): DataFrame =
     bandLongHash(fps.select(col(idCol).cast("long").as("id"),
         col(hashCol).as("sim")), chunks)
-      .select(
-        concat(lpad(col("id").cast("string"), 14, "0"), lit(":"),
-          lpad(col("band").cast("string"), 3, "0")).as("idx_key"),
-        col("id").as("doc_id"), col("band"), col("chunk"), col("sim"))
+      .withColumnRenamed("id", "doc_id")
+      .select(idxKey(probeLayout, "chunk").as("idx_key"),
+        col("doc_id"), col("band").cast("long").as("band"),
+        col("chunk"), col("sim"))
 
   /** One INCREMENTAL Hamming-dedup ingest against the persisted
     * fingerprint index at `indexRoot` — [[dedupIncremental]]'s shape
     * for ANY 64-bit fingerprint family (the multimodal hashes,
-    * SimHash): band the batch's fingerprints map-side, probe the index
-    * broadcast-filtered to the batch's (band, chunk) buckets (only
-    * collisions shuffle — per-ingest cost ∝ batch + collisions, never
-    * index size), verify by bit_count(xor) <= maxHamming, and commit
-    * the batch's rows as the next index version. A 100 TB image corpus
-    * ingesting a daily batch re-decodes and re-pairs ONLY the batch.
+    * SimHash): band the batch's fingerprints map-side, probe the index,
+    * verify by bit_count(xor) <= maxHamming, and commit the batch's
+    * rows as the next index version. A 100 TB image corpus ingesting a
+    * daily batch re-decodes and re-hashes ONLY the batch.
+    *
+    * Probe cost, honestly: the SHUFFLE is always ∝ batch + collisions
+    * (the index side is semi-join-filtered map-side before anything
+    * crosses the wire), but scan IO depends on the layout. The default
+    * ingest-local layout reads the whole index per probe (every file
+    * spans every band — 16-byte rows, but index-sized IO). With
+    * `probeLayout = true` the index clusters by (band, chunk) and
+    * carries dim zone maps on both, so the probe's broadcast join
+    * prunes FILES at runtime and scan IO is ∝ collisions — at the cost
+    * of ingest-scattered merges ([[idxKey]] documents the trade).
+    *
+    * `maxBucketWidth` (optional) routes the BATCH-INTERNAL self-join
+    * through the [[capBucketWidth]] hot-bucket guard — a degenerate
+    * batch (solid-color thumbnails all hashing 0L) otherwise goes
+    * quadratic in one task. The overflow receipt lands in
+    * [[IncrementalDedup.overflow]]; the cap never drops rows from the
+    * COMMITTED index, only from the batch self-join.
     *
     * Returned pairs (id_a < id_b, hamming): batch-vs-corpus AND
     * batch-internal. Exact recall for maxHamming <= chunks-1, as
@@ -655,17 +706,20 @@ object Dedup {
   def hammingIncremental(indexRoot: String, fps: DataFrame,
                          idCol: String, hashCol: String,
                          maxHamming: Int = 2, chunks: Int = 4,
-                         extendIndex: Boolean = true): IncrementalDedup = {
+                         extendIndex: Boolean = true,
+                         probeLayout: Boolean = false,
+                         maxBucketWidth: Option[Int] = None,
+                         indexFiles: Int = 0): IncrementalDedup = {
     val spark = fps.sparkSession
-    val newRows = hammingIndexRows(fps, idCol, hashCol, chunks)
+    val newRows = hammingIndexRows(fps, idCol, hashCol, chunks, probeLayout)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val exists = java.nio.file.Files.exists(
         java.nio.file.Paths.get(indexRoot, "base",
           graft.sources.MutableParquetTable.ManifestName))
       val corpusPairs = if (!exists) None else {
-        val index = spark.read.format("graft").load(indexRoot)
         val probed = newRows.select(col("band"), col("chunk")).distinct()
+        val index = probePrunedIndex(spark, indexRoot, probed, "chunk")
         Some(index
           .join(broadcast(probed), Seq("band", "chunk"), "left_semi")
           .select(col("band"), col("chunk"), col("doc_id").as("id_idx"),
@@ -678,9 +732,16 @@ object Dedup {
             greatest(col("id_idx"), col("id_new")).as("id_b"),
             col("sim_idx").as("sim_a"), col("sim_new").as("sim_b")))
       }
-      val a = newRows.select(col("band"), col("chunk"),
+      val (joinRows, overflow) = maxBucketWidth match {
+        case Some(cap) =>
+          val (kept, ov) = capBucketWidth(newRows,
+            Seq("band", "chunk"), cap, idCol = "doc_id")
+          (kept, Some(ov.localCheckpoint(eager = true)))
+        case None => (newRows, None)
+      }
+      val a = joinRows.select(col("band"), col("chunk"),
         col("doc_id").as("id_a"), col("sim").as("sim_a"))
-      val b = newRows.select(col("band"), col("chunk"),
+      val b = joinRows.select(col("band"), col("chunk"),
         col("doc_id").as("id_b"), col("sim").as("sim_b"))
       val batchPairs = a.join(b, Seq("band", "chunk"))
         .where(col("id_a") < col("id_b"))
@@ -694,19 +755,66 @@ object Dedup {
         // materialize before the index commit mutates what a lazy plan
         // would re-read (the probe must see the PRE-ingest index)
         .localCheckpoint(eager = true)
-      val version =
-        if (!extendIndex) -1L
-        else if (!exists) {
-          graft.GraftTable.create(newRows, indexRoot, "idx_key",
-            numFiles = math.max(1, newRows.rdd.getNumPartitions.min(32)))
-          -1L
-        } else {
-          graft.GraftTable(spark, indexRoot, "idx_key")
-            .commit(newRows.withColumn("op", lit("upsert")))
-        }
-      IncrementalDedup(pairs, version)
+      val version = commitIndex(spark, indexRoot, newRows, exists,
+        extendIndex, probeLayout, Seq("band", "chunk"), indexFiles)
+      IncrementalDedup(pairs, version, overflow)
     } finally { newRows.unpersist(blocking = false): Unit }
   }
+
+  /** The probe side of an incremental ingest, with static file pruning
+    * when the index was created `probeLayout = true`: the batch's
+    * (band, bucket) point set is pushed into the index scan as per-column
+    * `In` filters, and the manifest's dim zone maps (tight under the
+    * band:bucket-clustered layout) keep only FILES holding probed buckets
+    * — scan IO ∝ collisions, the `ivfPqTopKGraft` discipline. The
+    * per-column sets are a cross-product superset of the exact pairs;
+    * the broadcast semi join downstream restores exactness, so results
+    * are layout-independent. Detection is from the manifest itself (dim
+    * entries on the banding columns), so a probe never needs to be told
+    * which layout it is reading. Skipped — plain full-scan feed, the
+    * ingest-layout behavior — when the probe set exceeds `cap` (the
+    * collect is bounded at cap+1 rows, never batch-sized surprise). */
+  private def probePrunedIndex(spark: SparkSession, indexRoot: String,
+                               probed: DataFrame, bucketCol: String,
+                               cap: Int = 1 << 16): DataFrame = {
+    val index = spark.read.format("graft").load(indexRoot)
+    val snap = graft.streaming.CdcMergeSink.latestSnapshot(indexRoot)
+    val dims = graft.sources.MutableParquetTable.manifestDimRanges(snap).keySet
+    if (!dims.contains("band") || !dims.contains(bucketCol)) index
+    else {
+      val pts = probed.limit(cap + 1).collect()
+      if (pts.length > cap) index
+      else {
+        val bands = pts.map(_.getLong(0)).distinct.toSeq
+        val buckets = pts.map(_.getLong(1)).distinct.toSeq
+        index.where(col("band").isin(bands: _*) &&
+          col(bucketCol).isin(buckets: _*))
+      }
+    }
+  }
+
+  /** Commit one ingest's index rows: create on first use (attaching the
+    * probe layout's dim zone maps on the banding columns — carried and
+    * re-swept by every later merge), upsert otherwise. */
+  private def commitIndex(spark: SparkSession, indexRoot: String,
+                          newRows: DataFrame, exists: Boolean,
+                          extendIndex: Boolean, probeLayout: Boolean,
+                          dimCols: Seq[String],
+                          indexFiles: Int = 0): Long =
+    if (!extendIndex) -1L
+    else if (!exists) {
+      graft.GraftTable.create(newRows, indexRoot, "idx_key",
+        numFiles =
+          if (indexFiles > 0) indexFiles
+          else math.max(1, newRows.rdd.getNumPartitions.min(32)))
+      if (probeLayout)
+        graft.sources.MutableParquetTable.attachDimRanges(spark,
+          graft.streaming.CdcMergeSink.latestSnapshot(indexRoot), dimCols)
+      -1L
+    } else {
+      graft.GraftTable(spark, indexRoot, "idx_key")
+        .commit(newRows.withColumn("op", lit("upsert")))
+    }
 
   /** One INCREMENTAL dedup ingest against the persisted index at
     * `indexRoot` (a graft table, created on first use): sketch the new
@@ -719,9 +827,17 @@ object Dedup {
     * Scale shape: the index scan is MAP-SIDE filtered by a broadcast of
     * the batch's (band, bucket) set before anything shuffles — only
     * index rows in probed buckets cross the wire (the decontamination
-    * discipline), so per-ingest cost is batch-sized + collision-sized,
-    * never index-sized. The index merge is an ordinary graft CoW commit
-    * (idempotent on re-ingest: same doc id → same `idx_key`s upsert).
+    * discipline), so the SHUFFLE is batch-sized + collision-sized. Scan
+    * IO is layout-dependent: the default ingest-local layout still
+    * READS the whole index per probe; `probeLayout = true` clusters by
+    * (band, bucket) with dim zone maps so the probe prunes files and IO
+    * is ∝ collisions (see [[idxKey]] for the trade). The index merge is
+    * an ordinary graft CoW commit (idempotent on re-ingest: same doc id
+    * → same `idx_key`s upsert).
+    *
+    * `maxBucketWidth` caps the batch-internal self-join per
+    * [[hammingIncremental]] (overflow receipt in the result; the
+    * committed index is never capped).
     *
     * Returned pairs (id_a < id_b, est_jaccard ≥ threshold): new-vs-
     * corpus collisions AND new-vs-new pairs within the batch. Estimated
@@ -731,11 +847,14 @@ object Dedup {
                        shingleK: Int = 3, bands: Int = 8,
                        rowsPerBand: Int = 4, threshold: Double = 0.5,
                        native: Boolean = false,
-                       extendIndex: Boolean = true): IncrementalDedup = {
+                       extendIndex: Boolean = true,
+                       probeLayout: Boolean = false,
+                       maxBucketWidth: Option[Int] = None,
+                       indexFiles: Int = 0): IncrementalDedup = {
     val spark = newDocs.sparkSession
     val numHashes = bands * rowsPerBand
     val newRows = minHashIndexRows(newDocs, textCol, idCol, shingleK,
-      bands, rowsPerBand, native)
+      bands, rowsPerBand, native, probeLayout)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val exists = java.nio.file.Files.exists(
@@ -745,10 +864,11 @@ object Dedup {
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
         .cast("double") / numHashes).as("est_jaccard")
       val corpusPairs = if (!exists) None else {
-        val index = spark.read.format("graft").load(indexRoot)
         // broadcast the batch's probed buckets: the index scan stays
-        // map-side, only colliding rows shuffle
+        // map-side, only colliding rows shuffle (and prunes FILES under
+        // the probe layout — probePrunedIndex)
         val probed = newRows.select(col("band"), col("bucket")).distinct()
+        val index = probePrunedIndex(spark, indexRoot, probed, "bucket")
         Some(index
           .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
           .select(col("band"), col("bucket"), col("doc_id").as("id_idx"),
@@ -761,9 +881,16 @@ object Dedup {
             greatest(col("id_idx"), col("id_new")).as("id_b"),
             col("sig_idx").as("sig_a"), col("sig_new").as("sig_b")))
       }
-      val a = newRows.select(col("band"), col("bucket"),
+      val (joinRows, overflow) = maxBucketWidth match {
+        case Some(cap) =>
+          val (kept, ov) = capBucketWidth(newRows,
+            Seq("band", "bucket"), cap, idCol = "doc_id")
+          (kept, Some(ov.localCheckpoint(eager = true)))
+        case None => (newRows, None)
+      }
+      val a = joinRows.select(col("band"), col("bucket"),
         col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = newRows.select(col("band"), col("bucket"),
+      val b = joinRows.select(col("band"), col("bucket"),
         col("doc_id").as("id_b"), col("sig").as("sig_b"))
       val batchPairs = a.join(b, Seq("band", "bucket"))
         .where(col("id_a") < col("id_b"))
@@ -778,17 +905,9 @@ object Dedup {
         .localCheckpoint(eager = true)
       // `extendIndex = false` probes WITHOUT committing (a dry-run /
       // bench separation of pairs-finding from index maintenance)
-      val version =
-        if (!extendIndex) -1L
-        else if (!exists) {
-          graft.GraftTable.create(newRows, indexRoot, "idx_key",
-            numFiles = math.max(1, newRows.rdd.getNumPartitions.min(32)))
-          -1L
-        } else {
-          graft.GraftTable(spark, indexRoot, "idx_key")
-            .commit(newRows.withColumn("op", lit("upsert")))
-        }
-      IncrementalDedup(pairs, version)
+      val version = commitIndex(spark, indexRoot, newRows, exists,
+        extendIndex, probeLayout, Seq("band", "bucket"), indexFiles)
+      IncrementalDedup(pairs, version, overflow)
     } finally { newRows.unpersist(blocking = false): Unit }
   }
 }

@@ -412,4 +412,100 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(r4.pairs).contains((40L, 41L)))
     assert(spark.read.format("graft").load(root).count() === before)
   }
+
+  test("probe layout: the probe prunes index FILES (strict subset), pairs parity with ingest layout") {
+    val s = spark; import s.implicits._
+    // 2000 fingerprints spread across the chunk space (distinct high/low
+    // chunks per id), plus one planted near-dup target
+    val fps = (0L until 2000L).map(i => i -> (i * 2654435761L)).toDF("media_id", "dhash")
+    val probeFp = Seq(9999L -> (7L * 2654435761L)).toDF("media_id", "dhash")
+
+    val rootP = java.nio.file.Files
+      .createTempDirectory("graft-probe").toString + "/idx"
+    val rootI = java.nio.file.Files
+      .createTempDirectory("graft-ingest").toString + "/idx"
+    Dedup.hammingIncremental(rootP, fps, "media_id", "dhash",
+      maxHamming = 1, probeLayout = true, indexFiles = 16)
+    Dedup.hammingIncremental(rootI, fps, "media_id", "dhash",
+      maxHamming = 1, indexFiles = 16)
+
+    val snapP = graft.streaming.CdcMergeSink.latestSnapshot(rootP)
+    import graft.sources.MutableParquetTable
+    // the probe layout committed dim zone maps on the banding columns
+    assert(MutableParquetTable.manifestDimRanges(snapP).keySet
+      .intersect(Set("band", "chunk")) === Set("band", "chunk"))
+    val totalP = MutableParquetTable.manifestFileNames(snapP).get.size
+    assert(totalP > 4, s"need a multi-file index to prove pruning, got $totalP")
+
+    // dry-run probe against each layout: identical pairs...
+    val rP = Dedup.hammingIncremental(rootP, probeFp, "media_id", "dhash",
+      maxHamming = 1, extendIndex = false)
+    val probeScanned = graft.sources.GraftSource.lastScanFiles.size
+    val rI = Dedup.hammingIncremental(rootI, probeFp, "media_id", "dhash",
+      maxHamming = 1, extendIndex = false)
+    val ingestScanned = graft.sources.GraftSource.lastScanFiles.size
+    assert(pairSet(rP.pairs) === pairSet(rI.pairs),
+      "results must be layout-independent")
+    assert(pairSet(rP.pairs) === Set((7L, 9999L)))
+    // ...but the probe layout reads a strict subset of the index files
+    // while the ingest layout scans all of them
+    assert(ingestScanned === MutableParquetTable
+      .manifestFileNames(graft.streaming.CdcMergeSink.latestSnapshot(rootI))
+      .get.size, "ingest layout probe is a full index scan")
+    assert(probeScanned < totalP,
+      s"probe layout must file-prune: scanned $probeScanned of $totalP")
+
+    // the dim zone maps survive a later ingest (merge carries + resweeps)
+    Dedup.hammingIncremental(rootP,
+      Seq(10000L -> 12345L).toDF("media_id", "dhash"),
+      "media_id", "dhash", maxHamming = 1, probeLayout = true)
+    val snapP2 = graft.streaming.CdcMergeSink.latestSnapshot(rootP)
+    assert(snapP2 !== snapP)
+    assert(MutableParquetTable.manifestDimRanges(snapP2).keySet
+      .intersect(Set("band", "chunk")) === Set("band", "chunk"),
+      "dim zone maps must carry through index merges")
+  }
+
+  test("incremental batch self-join cap: degenerate batch completes, overflow surfaced, healthy batch untouched") {
+    val s = spark; import s.implicits._
+    // degenerate batch: 64 solid-color thumbnails all hashing 0L — the
+    // uncapped self-join is quadratic in one (band, chunk) task
+    val degenerate = (0L until 64L).map(i => i -> 0L).toDF("media_id", "dhash")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-degen").toString + "/idx"
+    val r = Dedup.hammingIncremental(root, degenerate, "media_id", "dhash",
+      maxHamming = 1, maxBucketWidth = Some(8))
+    assert(r.overflow.isDefined, "cap requested -> receipt returned")
+    val ov = r.overflow.get.collect()
+    assert(ov.nonEmpty, "the degenerate bucket must be surfaced")
+    assert(ov.forall(_.getAs[Long]("bucket_width") === 64L))
+    // capped pairs exist but are bounded: ~8 survivors per band
+    // (binomial draw) -> order 4 x C(8,2), nowhere near C(64,2) = 2016
+    val n = r.pairs.count()
+    assert(n > 0 && n <= 500L, s"capped pair count $n")
+    // the COMMITTED index is never capped: every fingerprint persisted
+    assert(spark.read.format("graft").load(root)
+      .select("doc_id").distinct().count() === 64L)
+
+    // healthy batch: cap is a no-op, receipt empty, pairs unchanged
+    def fp(bits: Long*) = bits.foldLeft(0L)((a, b) => a | (1L << b))
+    val healthy = Seq(1L -> fp(1, 5), 2L -> fp(1, 5), 3L -> fp(40, 60))
+      .toDF("media_id", "dhash")
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-healthy").toString + "/idx"
+    val rh = Dedup.hammingIncremental(root2, healthy, "media_id", "dhash",
+      maxHamming = 1, maxBucketWidth = Some(8))
+    assert(rh.overflow.get.isEmpty)
+    assert(pairSet(rh.pairs) === Set((1L, 2L)))
+
+    // the minhash twin: same guard through dedupIncremental
+    val docs = (0L until 40L).map(i => i -> "the same exact text every time")
+      .toDF("doc_id", "text")
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft-degen-mh").toString + "/idx"
+    val rm = Dedup.dedupIncremental(root3, docs, "text", "doc_id",
+      bands = 8, rowsPerBand = 4, maxBucketWidth = Some(4))
+    assert(rm.overflow.get.count() > 0)
+    assert(rm.pairs.count() > 0)
+  }
 }
