@@ -1797,6 +1797,104 @@ object OracleSql {
               THEN 1 ELSE 0 END AS INT) AS gopher_pass
       FROM m ORDER BY doc_id""",
 
+    // q140: the LEARNED quality gate — hashed uni+bigram features
+    // (polynomial codepoint hash, the q46 fold, mod 1024 buckets),
+    // fixed-point weights derived per bucket, logit = exact long sum.
+    // DuckDB replays hashing, weights, and score bit-for-bit; the
+    // threshold flag falls out of the shared logit
+    "q140_quality_gate" -> """
+      WITH d AS (SELECT doc_id, trim(text) AS raw, trim(lower(text)) AS t
+                 FROM documents),
+      tk AS (SELECT doc_id,
+        CASE WHEN raw = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(raw, '\s+') END AS rtoks,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks
+        FROM d),
+      feats AS (SELECT doc_id, rtoks,
+        CASE WHEN len(toks) < 2 THEN toks
+             ELSE list_concat(toks, list_transform(range(1, len(toks)),
+               i -> toks[CAST(i AS INT)] || ' ' ||
+                    toks[CAST(i + 1 AS INT)])) END AS fs
+        FROM tk),
+      scored AS (SELECT doc_id, rtoks,
+        CASE WHEN len(fs) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(list_sum(list_transform(fs, f ->
+          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(f) + 1),
+                i -> CAST(unicode(substr(f, CAST(i AS INT), 1)) AS BIGINT))),
+              (h, c) -> (h * 131 + c) % 1000000007) % 1024)
+            * 2654435761 + 104729) % 4001 - 2000)) AS BIGINT)
+        END AS logit
+        FROM feats)
+      SELECT doc_id, CAST(len(rtoks) AS BIGINT) AS n_tokens, logit,
+        CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS q_pass
+      FROM scored ORDER BY doc_id""",
+
+    // q141: token-budgeted greedy chunking — the per-word token rule
+    // (alpha runs at ceil(len/4) + digit/punct chars) recomputed
+    // verbatim, then the greedy fold replayed WORD BY WORD as a
+    // recursive CTE (state = running cost + chunk index); chunk texts
+    // and costs reassemble by group
+    "q141_token_chunks" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, trim(text) AS t FROM documents WHERE trim(text) <> ''),
+      tk AS (SELECT doc_id, string_split_regex(t, '\s+') AS toks FROM d),
+      w AS (SELECT doc_id,
+        CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+        unnest(toks) AS tok
+        FROM tk),
+      wc AS (SELECT doc_id, pos, tok,
+        CAST(coalesce(list_sum(list_transform(
+            regexp_extract_all(tok, '[A-Za-z]+'), r -> (length(r)+3)//4)), 0)
+          + length(regexp_replace(tok, '[^0-9]', '', 'g'))
+          + length(regexp_replace(tok, '[A-Za-z0-9]', '', 'g'))
+          AS BIGINT) AS c
+        FROM w),
+      rec AS (
+        SELECT doc_id, pos, tok, c, c AS cum, 0 AS chunk_idx
+        FROM wc WHERE pos = 1
+        UNION ALL
+        SELECT wc.doc_id, wc.pos, wc.tok, wc.c,
+          CASE WHEN rec.cum + wc.c > 24 THEN wc.c
+               ELSE rec.cum + wc.c END,
+          CASE WHEN rec.cum + wc.c > 24 THEN rec.chunk_idx + 1
+               ELSE rec.chunk_idx END
+        FROM rec JOIN wc
+          ON wc.doc_id = rec.doc_id AND wc.pos = rec.pos + 1)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        CAST(sum(c) AS BIGINT) AS n_chunk_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM rec GROUP BY doc_id, chunk_idx
+      ORDER BY doc_id, chunk_idx""",
+
+    // q142: token-budgeted packing — same token rule per doc, offsets
+    // by window sum, pack spans by integer division
+    "q142_token_pack" -> """
+      WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+      tk AS (SELECT doc_id,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks
+        FROM d),
+      est AS (SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(toks, w ->
+          coalesce(list_sum(list_transform(
+            regexp_extract_all(w, '[A-Za-z]+'), r -> (length(r)+3)//4)), 0)
+          + length(regexp_replace(w, '[^0-9]', '', 'g'))
+          + length(regexp_replace(w, '[A-Za-z0-9]', '', 'g')))), 0)
+          AS BIGINT) AS est_tokens
+        FROM tk),
+      o AS (SELECT doc_id, est_tokens,
+        CAST(coalesce(sum(est_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_offset
+        FROM est)
+      SELECT doc_id, est_tokens, start_offset,
+        CAST(start_offset // 512 AS BIGINT) AS pack_first,
+        CAST(greatest(start_offset + est_tokens - 1, start_offset) // 512
+          AS BIGINT) AS pack_last
+      FROM o ORDER BY doc_id""",
+
     // q131: the ANN pipeline — near-dup closure (recursive CTE, q66's
     // component form over cosine pairs), canonical keep, then exact
     // brute-force ranking over the SURVIVORS; recall_ok pinned 1

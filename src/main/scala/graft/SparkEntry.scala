@@ -2467,6 +2467,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The LEARNED quality gate ([[TextFunctions.qualityLogit]]): a
+    * fastText-style logistic scorer over hashed token uni+bigram
+    * features with fixed-point integer weights — the trained-filter
+    * stage public LLM-data pipelines run after the heuristic gates
+    * (q132 Gopher, q138 C4). Every doc returns with its logit and pass
+    * flag (the auditable-gate shape). Exact long arithmetic end to end,
+    * so the oracle replays hashing, weights, and score bit-for-bit.
+    * Scale shape: pure map over docs; the weight vector is one 8 KB
+    * array literal shipped in the plan. */
+  def q140_quality_gate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val w = derivedQualityWeights(1024)
+    documents(s, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        qualityLogit(col("text"), w).as("logit"))
+      .withColumn("q_pass", (col("logit") >= 0L).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TOKEN-budgeted greedy chunking ([[CorpusPrep.chunkTokens]]):
+    * context windows are budgeted in TOKENIZER tokens, not words — the
+    * documented deterministic token rule
+    * ([[graft.functions.TextFunctions.wordTokenCost]]: ceil(len/4) per
+    * alpha run + 1 per digit/punct char) feeds the greedy word-boundary
+    * packer. The oracle replays the rule and the greedy fold word by
+    * word (recursive CTE) — chunk boundaries, costs, and texts must all
+    * agree. Map-side only; rows ∝ chunks. */
+  def q141_token_chunks(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.chunkTokens(documents(s, dir), "text", "doc_id",
+        maxTokens = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** TOKEN-budgeted sequence packing ([[CorpusPrep.packTokens]]):
+    * q77's concat-then-slice stream measured in estimated BPE tokens.
+    * Same distributed prefix-sum shape (no single-task window); the
+    * oracle recomputes the token estimate and the offsets by a window
+    * sum. */
+  def q142_token_pack(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.packTokens(documents(s, dir), "doc_id", "text",
+        budget = 512)
+      .select(col("doc_id"), col("est_tokens"), col("start_offset"),
+        col("pack_first"), col("pack_last"))
+      .orderBy(col("doc_id"))
+
   /** The VECTOR pipeline END TO END, composed from the engine's own
     * stages (q119's discipline for the ANN side of the house): exact
     * embedding near-dup pairs (broadcast sweep, native cosine) →
@@ -3213,6 +3258,9 @@ object SparkEntry {
     "q137_incremental_image_dedup" -> (q137_incremental_image_dedup _),
     "q138_c4_filter" -> (q138_c4_filter _),
     "q139_clean_pipeline" -> (q139_clean_pipeline _),
+    "q140_quality_gate" -> (q140_quality_gate _),
+    "q141_token_chunks" -> (q141_token_chunks _),
+    "q142_token_pack" -> (q142_token_pack _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

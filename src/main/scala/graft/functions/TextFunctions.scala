@@ -252,6 +252,87 @@ object TextFunctions {
             i => aggregate(slice(cps, i, lit(k)), lit(0L), polyStep))))),
       1)
 
+  /** Estimated BPE token cost of ONE whitespace-token, by a documented
+    * deterministic rule (the public "~4 chars per token" average, plus
+    * GPT-2's digit/punctuation splitting behavior):
+    *
+    *   cost(word) = Σ_alpha-runs ceil(len/4) + #digits + #other-chars
+    *
+    * — each maximal [A-Za-z]+ run costs ceil(len/4) subword tokens, and
+    * every digit or non-alphanumeric character is its own token. Exact
+    * integer arithmetic, regex-free per char class in any engine with
+    * RE2/Java regex — an external oracle replays it verbatim. A real
+    * trained tokenizer slots in by replacing THIS function; everything
+    * budgeted on top ([[graft.operators.CorpusPrep.chunkTokens]],
+    * `packTokens`) is cost-function-agnostic. */
+  def wordTokenCost(word: Column): Column =
+    aggregate(filter(split(word, "[^A-Za-z]+"), r => r =!= ""),
+      lit(0L), (acc, r) => acc + shiftright(length(r) + 3, 2)) +
+      (length(word) - length(regexp_replace(word, "[0-9]", ""))).cast("long") +
+      length(regexp_replace(word, "[A-Za-z0-9]", "")).cast("long")
+
+  /** Estimated BPE token count of a document: Σ [[wordTokenCost]] over
+    * its whitespace tokens (whitespace itself costs nothing — merged
+    * into the following word by real BPEs). The token-budget twin of
+    * [[tokenCount]]. */
+  def tokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + wordTokenCost(w))
+
+  /** Hashed-feature bucket of one token: polynomial hash of its code
+    * points ([[polyStep]] — exact long arithmetic) folded into
+    * `numBuckets` by pmod. Chosen over xxhash64 because an external
+    * engine can recompute it exactly from the raw text — the hashing
+    * trick (Weinberger et al. ICML'09) with an engine-portable hash. */
+  private def featureBucket(tok: Column, numBuckets: Int): Column =
+    pmod(aggregate(codePoints(tok), lit(0L), polyStep),
+      lit(numBuckets.toLong))
+
+  /** Deterministic fixed-point stand-in weights for [[qualityLogit]]:
+    * micro-unit integers in [-2000, 2000] derived from the bucket id
+    * (Knuth multiplicative mix). In production these are TRAINED
+    * fastText-style linear weights loaded from a model file; the derived
+    * table gives tests and oracles a committed, recomputable instance
+    * with the same shape. */
+  def derivedQualityWeights(numBuckets: Int, seed: Long = 104729L): Array[Long] =
+    Array.tabulate(numBuckets)(b => ((b * 2654435761L + seed) % 4001L) - 2000L)
+
+  /** Learned quality gate, scoring half: a logistic-regression LINEAR
+    * score (the logit) over hashed token unigram + bigram features —
+    * the fastText-style learned filter public LLM-data pipelines run
+    * after the heuristic gates ([[gopherPass]], C4). `weights` is the
+    * trained weight vector in FIXED-POINT micro-units (index =
+    * [[featureBucket]]); it ships to executors as ONE array literal
+    * (broadcast-sized: 4k buckets = 32 KB), the fold is a codegen'd
+    * HOF chain, and every step is exact 64-bit integer arithmetic — so
+    * an external engine replays the score bit-for-bit (the judge-able
+    * property; a float sigmoid would not be). Monotone in the
+    * probability, so thresholding the logit IS thresholding the
+    * sigmoid: pass = logit >= tau. Empty text scores `bias`.
+    *
+    * Overflow contract: |weights| <= ~2000 micro-units keeps a 100k-token
+    * document's sum < 2^31 — far from long overflow; callers loading
+    * larger trained weights must bound |w| * maxTokens < 2^62. */
+  def qualityLogit(text: Column, weights: Array[Long], bias: Long = 0L,
+                   bigrams: Boolean = true): Column = {
+    val nb = weights.length
+    require(nb > 0, "weights must be non-empty")
+    val warr = lit(weights)
+    // bind the token array once: HOF lambdas are interpreted, and an
+    // unbound tokens(text) reference would re-tokenize per feature
+    element_at(transform(array(tokens(lower(text))), ts => {
+      val uniSum = aggregate(ts, lit(0L), (acc, t) =>
+        acc + element_at(warr, (featureBucket(t, nb) + 1L).cast("int")))
+      val biSum =
+        if (!bigrams) lit(0L)
+        else when(size(ts) < 2, lit(0L)).otherwise(
+          aggregate(sequence(lit(1), size(ts) - 1), lit(0L), (acc, i) =>
+            acc + element_at(warr, (featureBucket(
+              concat(element_at(ts, i), lit(" "), element_at(ts, i + 1)),
+              nb) + 1L).cast("int"))))
+      lit(bias) + uniSum + biSum
+    }), 1)
+  }
+
   /** PII scrub patterns, kept to syntax with identical semantics in Java
     * regex and RE2 (no backrefs, no lookaround) so an external engine can
     * verify the scrub byte-for-byte. */

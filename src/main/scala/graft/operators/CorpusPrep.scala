@@ -186,6 +186,85 @@ object CorpusPrep {
         col("col").as("chunk_text"))
   }
 
+  /** TOKEN-budgeted chunking — [[chunkWords]] with the budget in
+    * estimated BPE tokens ([[TextFunctions.wordTokenCost]]) instead of
+    * words, the unit context windows are actually budgeted in. GREEDY
+    * word-boundary packing: words accumulate into the current chunk
+    * until the next word would exceed `maxTokens`, then a new chunk
+    * starts — so every chunk costs <= maxTokens EXCEPT a single word
+    * whose own cost exceeds the budget, which gets a chunk to itself
+    * (never split mid-word; a real tokenizer's pieces don't respect
+    * char offsets, so splitting words here would desync from it).
+    * Chunks cover the normalized text exactly: concatenating a doc's
+    * chunk_texts in chunk_idx order reconstructs its space-joined
+    * tokens (the spec's reconstruction lane).
+    *
+    * Shape: one fold per doc builds the break positions (O(words), the
+    * bound-lambda discipline), then one posexplode — all map-side, no
+    * shuffle, row growth = chunks per doc. Swapping in a real
+    * tokenizer's costs changes only the cost lambda. */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    // fold (cost, position) pairs into greedy chunk-start positions:
+    // start a chunk at word i when the running cost since the last
+    // break would exceed the budget (and the chunk is non-empty)
+    val breaks = aggregate(
+      zip_with(col("__costs"),
+        sequence(lit(1), size(col("__costs"))),
+        (c, i) => struct(c.as("c"), i.as("i"))),
+      struct(lit(0L).as("cum"), array(lit(1)).as("starts")),
+      (acc, p) =>
+        when(acc.getField("cum") + p.getField("c") > maxTokens &&
+            acc.getField("cum") > 0L,
+          struct(p.getField("c").as("cum"),
+            concat(acc.getField("starts"),
+              array(p.getField("i"))).as("starts")))
+          .otherwise(struct(
+            (acc.getField("cum") + p.getField("c")).as("cum"),
+            acc.getField("starts").as("starts"))),
+      acc => acc.getField("starts"))
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        transform(col("__toks"),
+          w => TextFunctions.wordTokenCost(w)).as("__costs"))
+      .select(col(idCol), col("__toks"), col("__costs"),
+        when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(breaks).as("__starts"))
+      .select(col(idCol), col("__toks"), col("__costs"), col("__starts"),
+        // chunk k spans [starts(k), starts(k+1)) — the ends array is the
+        // starts shifted left with n+1 appended. Empty docs emit zero
+        // chunks (zip_with would otherwise null-pad one bogus row).
+        when(size(col("__toks")) === 0,
+          array().cast("array<struct<n:bigint,t:string>>"))
+          .otherwise(zip_with(col("__starts"),
+            concat(slice(col("__starts"), lit(2),
+              greatest(size(col("__starts")) - 1, lit(0))),
+              array(size(col("__toks")) + 1)),
+            (s, e) => struct(
+              aggregate(slice(col("__costs"), s, e - s), lit(0L),
+                (a, c) => a + c).as("n"),
+              concat_ws(" ", slice(col("__toks"), s, e - s)).as("t"))))
+          .as("__chunks"))
+      .select(col(idCol), posexplode(col("__chunks")))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.n").as("n_chunk_tokens"), col("col.t").as("chunk_text"))
+  }
+
+  /** [[packConcat]] with the budget in estimated BPE tokens: the
+    * concat-then-slice stream is measured by
+    * [[TextFunctions.tokenEstimate]] instead of a word count. Same
+    * distributed prefix-sum machinery, same output contract (absolute
+    * token offset + first/last pack per doc). */
+  def packTokens(docs: DataFrame, orderCol: String, textCol: String,
+                 budget: Int, nBuckets: Int = 64,
+                 skewRobust: Boolean = false): DataFrame =
+    packConcat(docs.withColumn("__est_tokens",
+        TextFunctions.tokenEstimate(col(textCol))),
+      orderCol, "__est_tokens", budget, nBuckets, skewRobust)
+      .withColumnRenamed("__est_tokens", "est_tokens")
+
   // ---- distributed prefix sum + sequence packing -------------------------
 
   /** Exclusive prefix sum of `valueCol` in global `orderCol` order, computed

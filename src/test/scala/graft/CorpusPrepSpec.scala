@@ -192,6 +192,69 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(one.head().getAs[String]("chunk_text") === "a b c")
   }
 
+  test("chunkTokens: greedy budget respected, reconstruction exact, oversized word isolated") {
+    import graft.functions.TextFunctions
+    // Scala reference for the documented token rule
+    def cost(w: String): Long =
+      "[A-Za-z]+".r.findAllIn(w).map(r => (r.length + 3) / 4).sum.toLong +
+        w.count(_.isDigit) + w.count(c => !c.isLetterOrDigit)
+    val text = "the quick brown-fox42 jumps over 13 lazy dogs, " +
+      "supercalifragilisticexpialidocious and then some more words here " +
+      "to make several chunks appear in the output stream okay"
+    val got = CorpusPrep.chunkTokens(docs(1L -> text), "text", "doc_id", 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Long, String)].collect()
+    assert(got.nonEmpty)
+    // indices are dense from 0, reconstruction is exact
+    assert(got.map(_._1).toSeq === got.indices.toSeq)
+    assert(got.map(_._3).mkString(" ") === text.trim.replaceAll("\\s+", " "))
+    // every chunk's cost = sum of its word costs, and respects the budget
+    // unless it is a single over-budget word
+    got.foreach { case (i, n, t) =>
+      val ws = t.split(" ")
+      assert(n === ws.map(cost).sum, s"chunk $i cost")
+      assert(n <= 8 || ws.length === 1, s"chunk $i over budget with ${ws.length} words")
+    }
+    // greedy: a chunk plus its successor's first word always overflows
+    got.sliding(2).foreach {
+      case Array((_, n, _), (_, _, t2)) =>
+        assert(n + cost(t2.split(" ").head) > 8, "break must be forced")
+      case _ =>
+    }
+    // a single word over the budget gets its own chunk
+    val big = CorpusPrep.chunkTokens(
+      docs(2L -> "a supercalifragilisticexpialidocious b"), "text", "doc_id", 3)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(big.exists(_ === "supercalifragilisticexpialidocious"))
+    // empty doc -> zero chunks; tokenEstimate matches the reference
+    assert(CorpusPrep.chunkTokens(docs(3L -> "  "), "text", "doc_id", 8)
+      .count() === 0L)
+    val est = docs(4L -> text).select(
+      TextFunctions.tokenEstimate(col("text"))).head().getLong(0)
+    assert(est === text.trim.split("\\s+").map(cost).sum)
+  }
+
+  test("packTokens: concat-then-slice budgeted in estimated tokens") {
+    val rows = (1 to 40).map(i => (i.toLong, s"word$i " * i))
+    val df = rows.toDF("doc_id", "text")
+    val got = CorpusPrep.packTokens(df, "doc_id", "text", budget = 50)
+      .orderBy("doc_id")
+      .select("doc_id", "est_tokens", "start_offset", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // offsets chain exactly in doc order
+    got.sliding(2).foreach {
+      case Array((_, n, off, _, _), (_, _, off2, _, _)) =>
+        assert(off2 === off + n)
+      case _ =>
+    }
+    // pack spans honor the budget arithmetic
+    got.foreach { case (_, n, off, pf, pl) =>
+      assert(pf === off / 50)
+      assert(pl === math.max(off + n - 1, off) / 50)
+    }
+  }
+
   test("exclusivePrefixSum matches the sequential scan on random input") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 500).map(i => (i.toLong * 3 + 7, rnd.nextInt(100).toLong))

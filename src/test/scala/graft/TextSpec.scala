@@ -109,4 +109,44 @@ class TextSpec extends SparkSpec {
     assert(one[Int](subwordCountEstimate(col("t")), "hello,world") === 3)
     assert(one[Int](subwordCountEstimate(col("t")), "abc def") === 2)
   }
+
+  test("learned quality gate: logit matches the Scala fixed-point reference exactly") {
+    val nb = 1024
+    val w = derivedQualityWeights(nb)
+    // the Scala reference: same polynomial bucket, same weights
+    def bucket(tok: String): Int = {
+      var h = 0L
+      tok.foreach(c => h = (h * 131L + c.toLong) % 1000000007L)
+      (h % nb).toInt
+    }
+    def ref(text: String, bias: Long = 0L): Long = {
+      val ts = text.trim.toLowerCase
+      val toks = if (ts.isEmpty) Array.empty[String] else ts.split("\\s+")
+      val uni = toks.map(t => w(bucket(t))).sum
+      val bi = toks.sliding(2).filter(_.length == 2)
+        .map(p => w(bucket(p(0) + " " + p(1)))).sum
+      bias + uni + (if (toks.length < 2) 0L else bi)
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "single",
+      "",
+      "   ",
+      "The QUICK the quick",      // case-insensitive folding
+      "x!!! ??? ,,, ;;;")
+    samples.foreach { s =>
+      assert(one[Long](qualityLogit(col("t"), w), s) === ref(s),
+        s"logit mismatch for '$s'")
+    }
+    // bias shifts the logit exactly; unigram-only mode drops the bigrams
+    assert(one[Long](qualityLogit(col("t"), w, bias = 500L), samples.head) ===
+      ref(samples.head, 500L))
+    val uniOnly = one[Long](
+      qualityLogit(col("t"), w, bigrams = false), samples.head)
+    val toks = samples.head.split("\\s+")
+    assert(uniOnly === toks.map(t => w(bucket(t))).sum)
+    // deterministic weights are committed shape: bounded micro-units
+    assert(w.forall(x => x >= -2000L && x <= 2000L))
+    assert(derivedQualityWeights(nb).toSeq === w.toSeq)
+  }
 }
