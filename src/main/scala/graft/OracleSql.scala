@@ -785,6 +785,12 @@ object OracleSql {
     // decode+dHash pipeline pairs EXACTLY source/copy at Hamming 0 —
     // any hash collapse would add noise-image pairs (precision), any
     // decode/hash fault would miss planted pairs (recall)
+    "q143_phash_crop_dedup" -> """
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+             CAST(1 AS INT) AS phash_found
+      FROM documents WHERE doc_id < 60
+      ORDER BY id_a, id_b""",
+
     "q134_image_dedup" -> """
       SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
              CAST(0 AS BIGINT) AS hamming

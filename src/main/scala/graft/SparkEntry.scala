@@ -2512,6 +2512,33 @@ object SparkEntry {
         col("pack_first"), col("pack_last"))
       .orderBy(col("doc_id"))
 
+  /** pHash CROP dedup — the fingerprint family's crop lane: smooth
+    * scenes ([[Multimodal.smoothPngBytes]] — the real-photo case, where
+    * noise fixtures would be the perceptual worst case) with cropped
+    * copies planted ([[Multimodal.cropImages]]). Crops shift every grid
+    * cell's pixel alignment, so dHash/byte dedup miss them; the DCT
+    * low-frequency pHash ([[graft.plans.ImagePHash]], fixed-point
+    * integer kernel — bit-exact on any host) pairs EXACTLY source/crop.
+    * Measured distance bands on this fixture corpus: crop pairs <= 8
+    * bits, closest cross-scene pair 12 bits — threshold 8 separates
+    * them deterministically, and the structural oracle pins both recall
+    * (every planted pair found) and precision (no cross-scene pair).
+    * Same Hamming banding as every other fingerprint; chunks = 16 keeps
+    * recall exact for distance <= 15. */
+  def q143_phash_crop_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, dir).select(col("doc_id"))
+      .where(col("doc_id") < 60).as[Long]
+      .map(id => graft.multimodal.MediaRecord(
+        id, "image", Multimodal.smoothPngBytes(60, 60, id), "scene"))
+    val planted = Multimodal.cropImages(base, margin = 1, idOffset = 100000L)
+    graft.operators.Dedup.hammingPairs(
+        Multimodal.imageHashes(base.union(planted)), "media_id", "phash",
+        maxHamming = 8, chunks = 16)
+      .select(col("id_a"), col("id_b"), lit(1).as("phash_found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The VECTOR pipeline END TO END, composed from the engine's own
     * stages (q119's discipline for the ANN side of the house): exact
     * embedding near-dup pairs (broadcast sweep, native cosine) →
@@ -3261,6 +3288,7 @@ object SparkEntry {
     "q140_quality_gate" -> (q140_quality_gate _),
     "q141_token_chunks" -> (q141_token_chunks _),
     "q142_token_pack" -> (q142_token_pack _),
+    "q143_phash_crop_dedup" -> (q143_phash_crop_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

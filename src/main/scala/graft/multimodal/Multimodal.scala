@@ -342,21 +342,26 @@ object Multimodal {
     import spark.implicits._
     val gw = graft.plans.ImageHash.GridW
     val gh = graft.plans.ImageHash.GridH
+    val pg = graft.plans.ImageHash.PGrid
     val rows = media.filter(_.kind == "image").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { m =>
           guarded(onError) {
             val img = ImageIO.read(new ByteArrayInputStream(m.payload))
             require(img != null, "payload is not a decodable image")
-            rasterOf(img, gw, gh)
+            // BOTH raster contracts from ONE decode: the 9×8 dedup grid
+            // (dHash/aHash) and the 16×16 pHash grid — decode dominates,
+            // the second area-average is noise next to it
+            (rasterOf(img, gw, gh), rasterOf(img, pg, pg))
           } match {
-            case Right(r) => Some((m.media_id, r, null: String))
+            case Right((r, r16)) => Some((m.media_id, r, r16, null: String))
             case Left(_) if onError == "skip" => None
-            case Left(e) => Some((m.media_id, null: Array[Byte], e))
+            case Left(e) =>
+              Some((m.media_id, null: Array[Byte], null: Array[Byte], e))
           }
         }
       }
-    }.toDF("media_id", "raster", "error")
+    }.toDF("media_id", "raster", "raster16", "error")
     if (onError == "flag") rows else rows.drop("error")
   }
 
@@ -403,14 +408,23 @@ object Multimodal {
     val spark = media.sparkSession
     graft.plans.ImageDHash.register(spark)
     graft.plans.ImageAHash.register(spark)
+    graft.plans.ImagePHash.register(spark)
     val rasters = grayRasters(media, batchSize, onError)
     // hash paths drop the quarantined (null-raster) rows; flag mode
-    // still carries them through with null fingerprints + the error
+    // still carries them through with null fingerprints + the error.
+    // Three fingerprints per image, one decode: dhash (gradient signs —
+    // re-encode/brightness robust), ahash (mean threshold — resize
+    // workhorse), phash (DCT low-frequency — crop/scale robust where
+    // dhash's pixel-adjacent comparisons flip). Join on whichever
+    // column matches the threat model; all ride the same Hamming
+    // machinery.
     val cols = Seq(col("media_id"),
       when(col("raster").isNotNull,
         call_function(graft.plans.ImageDHash.name, col("raster"))).as("dhash"),
       when(col("raster").isNotNull,
-        call_function(graft.plans.ImageAHash.name, col("raster"))).as("ahash")) ++
+        call_function(graft.plans.ImageAHash.name, col("raster"))).as("ahash"),
+      when(col("raster16").isNotNull,
+        call_function(graft.plans.ImagePHash.name, col("raster16"))).as("phash")) ++
       (if (onError == "flag") Seq(col("error")) else Nil)
     rasters.select(cols: _*)
   }
@@ -655,6 +669,87 @@ object Multimodal {
           MediaRecord(m.media_id + idOffset, m.kind,
             withTextChunk(bos.toByteArray, "Comment", "re-encoded"),
             m.source)
+        }
+      }
+    }
+  }
+
+  /** Deterministic SMOOTH-scene PNG: a 1/f²-weighted sum of low-frequency
+    * cosines with seed-derived phases — the perceptual twin of the noise
+    * fixture ([[fromDocuments]]'s `pngBytes`). Noise is the perceptual-
+    * hash worst case (every pixel independent, crops share nothing);
+    * smooth scenes are the REAL-photo case where crops and rescales stay
+    * perceptually identical, which is what the crop-robust pHash lane
+    * (q143) exercises. */
+  def smoothPngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fx = (x + 0.5) / w; val fy = (y + 0.5) / h
+        var s = 0.0
+        var u = 0
+        while (u <= 3) {
+          var v = 0
+          while (v <= 3) {
+            if (u + v >= 1) {
+              // the phase must mix seed AND component: a seed-only
+              // offset shifts every component identically and nearby
+              // seeds render near-identical scenes (cross-pair noise)
+              val p = ((((seed + 1) * (u * 11 + v * 17 + 1) * 2654435761L)
+                % 97 + 97) % 97).toDouble * 0.13
+              s += 90.0 / ((1 + u + v) * (1 + u + v)) *
+                math.cos(2 * math.Pi * u * fx + p) *
+                math.cos(2 * math.Pi * v * fy + p * 0.7)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val vv = math.max(0, math.min(255, (128 + s).toInt))
+        img.setRGB(x, y, vv * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** CROP each "image" payload by `margin` pixels on every side and
+    * re-encode — the canonical pHash test article: bytes differ, pixels
+    * differ (every grid cell's alignment shifts), but the large-scale
+    * structure pHash keys on survives. Batched narrow map, the
+    * [[reencodeImages]] shape. Images too small to crop pass through
+    * re-encoded. */
+  def cropImages(media: Dataset[MediaRecord], margin: Int, idOffset: Long,
+                 batchSize: Int = 64): Dataset[MediaRecord] = {
+    require(margin > 0, "margin must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val src = ImageIO.read(new ByteArrayInputStream(m.payload))
+          require(src != null, "payload is not a decodable image")
+          val (w, h) = (src.getWidth, src.getHeight)
+          val img =
+            if (w <= 2 * margin || h <= 2 * margin) src
+            else {
+              val sub = src.getSubimage(margin, margin,
+                w - 2 * margin, h - 2 * margin)
+              val copy = new java.awt.image.BufferedImage(sub.getWidth,
+                sub.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = copy.createGraphics()
+              try g.drawImage(sub, 0, 0, null): Unit finally g.dispose()
+              copy
+            }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          MediaRecord(m.media_id + idOffset, m.kind, bos.toByteArray, m.source)
         }
       }
     }

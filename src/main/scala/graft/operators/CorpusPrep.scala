@@ -613,10 +613,15 @@ object CorpusPrep {
     *
     * Returns EVERY input doc: (idCol, textCol = kept lines re-joined,
     * n_kept, n_dropped, c4_pass) — callers filter on the flag, so the
-    * gate is auditable (what dropped and why stays queryable). All
-    * rules are contains/suffix/count checks (no regex), so an external
-    * engine reproduces them rule for rule. Map-side per line + one
-    * reassembly shuffle on the doc id ([[dedupLines]]'s shape). */
+    * gate is auditable (what dropped and why stays queryable). The
+    * rules are contains/suffix/count checks plus one whitespace-split
+    * word count (`\s+` — a regex split, but one with identical
+    * semantics in Java regex and RE2), so an external engine reproduces
+    * them rule for rule. Map-side per line + one reassembly shuffle on
+    * the DOC ID ONLY — the original text rides as an aggregated VALUE
+    * (`first`), never in the shuffle key, so the exchange hashes and
+    * compares 8-byte ids, not multi-KB strings ([[dedupLines]]'s
+    * discipline). */
   def c4Filter(docs: DataFrame, textCol: String, idCol: String,
                minWordsPerLine: Int = 5,
                minSentences: Int = 3): DataFrame = {
@@ -630,8 +635,9 @@ object CorpusPrep {
       (size(split(col("__t"), "\\s+")) >= minWordsPerLine) &&
       !lower(col("__t")).contains("javascript")
     val perDoc = lines
-      .groupBy(col(idCol), col("__orig"))
+      .groupBy(col(idCol))
       .agg(
+        first(col("__orig")).as("__orig"),
         array_join(transform(array_sort(collect_list(
             when(keep, struct(col("__pos"), col("__line"))))),
           e => e("__line")), "\n").as("__text"),

@@ -26,6 +26,19 @@ object ImageHash {
   val GridW = 9
   val GridH = 8
   val RasterLen: Int = GridW * GridH
+
+  /** The pHash raster contract: the classic 32×32 grid (1024 bytes,
+    * python-imagehash's default) from the same decode pass. pHash
+    * thresholds the DCT's top-left 8×8 block, and those coefficients
+    * are only meaningfully LOW-frequency when the transform runs over a
+    * grid much coarser than the kept block — on the 9×8 dedup raster
+    * the "low 8×8" spans the full band and smooth images flip ~25 bits
+    * under a 10% crop (measured); at 16×16 crop and cross-scene
+    * distance bands still overlap (measured: crop <= 14, cross >= 10);
+    * at 32×32 the kept block is the bottom 1/16 of the spectrum and
+    * the bands separate. */
+  val PGrid = 32
+  val PRasterLen: Int = PGrid * PGrid
 }
 
 /** dHash (difference hash): bit (y·8+x) is set when the pixel to the
@@ -190,6 +203,123 @@ case class ImageAHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ImageAHash =
     copy(child = newChild)
+}
+
+/** pHash (DCT perceptual hash): 2-D DCT-II over the 16×16 pHash raster
+  * ([[ImageHash.PGrid]] — the second output of `grayRasters`' decode
+  * pass), keep the top-left 8×8 LOW-FREQUENCY coefficient block, set
+  * bit (v·8+u) when the coefficient exceeds the block's lower median
+  * (the python-imagehash convention, DC included). Low-frequency energy
+  * describes the image's large-scale structure, which survives mild
+  * CROPS and rescales that flip dHash's pixel-adjacent gradient signs —
+  * the reason public dedup stacks carry pHash next to dHash.
+  *
+  * All arithmetic is FIXED-POINT integer: the cosine tables are
+  * pre-rounded longs (scale 2^14; DCT-II normalization at scale 32,
+  * 32/√2 → 23), so the hash is bit-identical across platforms and libm
+  * versions — no floating point anywhere. Magnitudes: 255·16·2^14 per
+  * row fold, ×16·2^14 ≈ 2^44, /2^14 ×2^10 ≈ 2^40 — no overflow.
+  * Median = 32nd smallest of the 64 coefficients (lower median;
+  * strictly-greater sets the bit), so no fractional average rounds the
+  * boundary. */
+case class ImagePHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${dt.catalogString}")
+  }
+
+  // malformed input yields NULL even under a non-nullable child — the
+  // ImageDHash janino lvalue discipline
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = ImagePHash.name
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = input.asInstanceOf[Array[Byte]]
+    if (r.length != ImageHash.PRasterLen) return null
+    ImagePHash.hash(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r => {
+      val obj = ctx.addReferenceObj("phash", ImagePHash,
+        ImagePHash.getClass.getName.stripSuffix("$") + "$")
+      s"""
+        if ($r.length != ${ImageHash.PRasterLen}) { ${ev.isNull} = true; }
+        else { ${ev.value} = $obj.hash($r); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImagePHash =
+    copy(child = newChild)
+}
+
+object ImagePHash {
+  val name = "graft_image_phash"
+
+  private val N = ImageHash.PGrid // 16
+
+  /** cos((2x+1)·u·π / (2N)) at fixed-point scale 2^14, x,u in [0,N). */
+  private val cosT: Array[Long] = Array.tabulate(N * N) { i =>
+    val x = i / N; val u = i % N
+    math.round(math.cos((2 * x + 1) * u * math.Pi / (2 * N)) * 16384.0)
+  }
+  /** DCT-II normalization at scale 32 (1/√2 → 23 for the DC basis). */
+  private val norm: Array[Long] = Array.tabulate(8)(u =>
+    if (u == 0) 23L else 32L)
+
+  /** The shared interpreted/codegen kernel (codegen calls it via an
+    * addReferenceObj handle — the table lookups dominate; one virtual
+    * call per row is noise next to 16k multiply-adds). */
+  def hash(r: Array[Byte]): Long = {
+    val coeff = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var y = 0
+        while (y < N) {
+          var rowAcc = 0L
+          var x = 0
+          while (x < N) {
+            rowAcc += (r(y * N + x) & 0xFF).toLong * cosT(x * N + u)
+            x += 1
+          }
+          acc += rowAcc * cosT(y * N + v)
+          y += 1
+        }
+        coeff(v * 8 + u) = acc / 16384L * norm(u) * norm(v)
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = java.util.Arrays.copyOf(coeff, 64)
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31)
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (coeff(i) > median) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[ImagePHash].getName, name)
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$name expects 1 argument")
+    ImagePHash(children.head)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
 
 object ImageAHash {

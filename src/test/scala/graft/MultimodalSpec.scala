@@ -144,13 +144,81 @@ class MultimodalSpec extends SparkSpec {
       assert(d === refDHash(rasters(id)), s"dhash of $id")
       assert(a === refAHash(rasters(id)), s"ahash of $id")
     }
+    // phash: the codegen'd column equals the shared fixed-point kernel
+    // over the 16x16 pHash raster, and differs from dhash/ahash (a
+    // genuinely distinct fingerprint)
+    val rasters16 = Multimodal.grayRasters(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("raster16")).toMap
+    assert(rasters16.values.forall(_.length === graft.plans.ImageHash.PRasterLen))
+    val ph = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    ph.foreach { case (id, p) =>
+      assert(p === graft.plans.ImagePHash.hash(rasters16(id)), s"phash of $id")
+    }
+    assert(ph.exists { case (id, p) =>
+      p != got(id)._1 && p != got(id)._2 },
+      "phash must be a distinct fingerprint, not an alias of dhash/ahash")
     graft.plans.ImageDHash.register(s)
     graft.plans.ImageAHash.register(s)
+    graft.plans.ImagePHash.register(s)
     val bad = Seq(Array[Byte](1, 2, 3)).toDF("raster").select(
       call_function(graft.plans.ImageDHash.name, col("raster")).as("d"),
-      call_function(graft.plans.ImageAHash.name, col("raster")).as("a"))
+      call_function(graft.plans.ImageAHash.name, col("raster")).as("a"),
+      call_function(graft.plans.ImagePHash.name, col("raster")).as("p"))
       .head()
-    assert(bad.isNullAt(0) && bad.isNullAt(1))
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+  }
+
+  test("pHash is crop-stable where dHash flips: DCT low frequencies survive a 10% crop") {
+    val s = spark; import s.implicits._
+    import graft.multimodal.MediaRecord
+    // a spectrally RICH scene (1/f²-weighted low-frequency components
+    // with varied phases, like a real photo — a smooth radial gradient
+    // would be the degenerate case where most DCT coefficients sit at
+    // zero and ANY median-threshold hash thrashes around its boundary)
+    def scenePng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val fx = (x + 0.5) / w; val fy = (y + 0.5) / h
+        var sum = 0.0
+        for (u <- 0 to 3; v <- 0 to 3; if u + v >= 1) {
+          val p = (u * 7 + v * 13) % 6
+          sum += 90.0 / ((1 + u + v) * (1 + u + v)) *
+            math.cos(2 * math.Pi * u * fx + p) *
+            math.cos(2 * math.Pi * v * fy + p * 0.7)
+        }
+        val vv = math.max(0, math.min(255, (128 + sum).toInt))
+        img.setRGB(x, y, vv * 0x010101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def cropped(png: Array[Byte], crop: Int): Array[Byte] = {
+      val full = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val sub = full.getSubimage(crop, crop,
+        full.getWidth - 2 * crop, full.getHeight - 2 * crop)
+      val copy = new java.awt.image.BufferedImage(
+        sub.getWidth, sub.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = copy.createGraphics()
+      try g.drawImage(sub, 0, 0, null): Unit finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(copy, "png", bos)
+      bos.toByteArray
+    }
+    val base = scenePng(60, 60)
+    val pairCorpus = Seq(
+      MediaRecord(1L, "image", base, "t"),
+      MediaRecord(2L, "image", cropped(base, 3), "t")).toDS()
+    val hs = Multimodal.imageHashes(pairCorpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val dDist = ham(hs(1L)._1, hs(2L)._1)
+    val pDist = ham(hs(1L)._2, hs(2L)._2)
+    assert(pDist <= 8, s"phash must survive the crop, moved $pDist bits")
+    assert(pDist < dDist,
+      s"crop robustness is phash's reason to exist: phash=$pDist dhash=$dDist")
   }
 
   test("perceptual hashes are resize- and re-encode-stable on smooth images") {
@@ -319,8 +387,8 @@ class MultimodalSpec extends SparkSpec {
     // per-modality flag lanes: raster/envelope/frame paths each flag
     // their own corrupt payload and keep the healthy ones
     val gr = Multimodal.grayRasters(corruptBatch, onError = "flag").collect()
-    assert(gr.filter(!_.isNullAt(2)).map(_.getLong(0)).toSeq === Seq(9001L))
-    assert(gr.filter(!_.isNullAt(2)).forall(_.isNullAt(1)))
+    assert(gr.filter(!_.isNullAt(3)).map(_.getLong(0)).toSeq === Seq(9001L))
+    assert(gr.filter(!_.isNullAt(3)).forall(r => r.isNullAt(1) && r.isNullAt(2)))
     val ae = Multimodal.audioEnvelopes(corruptBatch, onError = "flag").collect()
     assert(ae.filter(!_.isNullAt(2)).map(_.getLong(0)).toSeq === Seq(9002L))
     val fr = Multimodal.frameRasters(corruptBatch, onError = "flag").collect()

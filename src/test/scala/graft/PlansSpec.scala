@@ -234,10 +234,16 @@ class PlansSpec extends SparkSpec {
         array(lit(1.0f), lit(-2.0f))).as("cos"))
     val sr = scored.head()
     assert(!sr.isNullAt(0) && math.abs(sr.getDouble(1) - 1.0) < 1e-9)
+    graft.plans.ImagePHash.register(spark)
     val raster = lit(Array.tabulate[Byte](72)(i => (i % 17).toByte))
+    val raster16 = lit(Array.tabulate[Byte](
+      graft.plans.ImageHash.PRasterLen)(i => (i % 29).toByte))
     val hr = one.select(
       call_function(graft.plans.ImageDHash.name, raster).as("d"),
-      call_function(graft.plans.ImageAHash.name, raster).as("a")).head()
-    assert(!hr.isNullAt(0) && !hr.isNullAt(1))
+      call_function(graft.plans.ImageAHash.name, raster).as("a"),
+      call_function(graft.plans.ImagePHash.name, raster16).as("p")).head()
+    assert(!hr.isNullAt(0) && !hr.isNullAt(1) && !hr.isNullAt(2))
+    assert(hr.getLong(2) === graft.plans.ImagePHash.hash(Array.tabulate[Byte](
+      graft.plans.ImageHash.PRasterLen)(i => (i % 29).toByte)))
   }
 }
