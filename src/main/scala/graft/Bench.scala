@@ -253,6 +253,68 @@ object Bench {
       System.err.println(s"[bench] incdedup experiment failed: ${e.getMessage}")
     }
 
+    // ---- dedup-index layout trade, measured both ways on the
+    //      production shape (a SMALL batch probing a LARGE persisted
+    //      fingerprint index — daily image-dedup ingest): the PROBE
+    //      layout (band:chunk-led keys + dim zone maps) must file-prune
+    //      the probe (index_probe_files << index_total_files) at the
+    //      cost of scattered ingest upserts; the default INGEST layout
+    //      scans every index file per probe but its merges touch few
+    //      files. Same batch, same pairs — only IO moves. Pruning needs
+    //      probes-per-band << files-per-band, which is exactly the
+    //      100-TB regime (thousands of files, batch-sized probes); the
+    //      file counts here are the direct receipt. ----
+    try {
+      val idxN = 200000L
+      val fps = spark.range(0L, idxN)
+        .select(col("id").as("media_id"), xxhash64(col("id")).as("dhash"))
+      val batch = spark.range(idxN, idxN + 10L)
+        .select(col("id").as("media_id"),
+          xxhash64(col("id") % 1000L).as("dhash"))
+      val rootP = s"$workDir/hamming-idx-probelayout"
+      val rootI = s"$workDir/hamming-idx-ingestlayout"
+      results("hamming_seed_probelayout") = time {
+        graft.operators.Dedup.hammingIncremental(rootP, fps, "media_id",
+          "dhash", maxHamming = 1, probeLayout = true,
+          indexFiles = 128).pairs.count(): Unit
+      }
+      results("hamming_seed_ingestlayout") = time {
+        graft.operators.Dedup.hammingIncremental(rootI, fps, "media_id",
+          "dhash", maxHamming = 1, indexFiles = 128).pairs.count(): Unit
+      }
+      def probe(root: String, extend: Boolean): Unit =
+        graft.operators.Dedup.hammingIncremental(root, batch, "media_id",
+          "dhash", maxHamming = 1, extendIndex = extend).pairs.count(): Unit
+      probe(rootP, extend = false); probe(rootI, extend = false) // warm
+      results("hamming_probe_probelayout") =
+        (1 to 2).map(_ => time(probe(rootP, extend = false))).min
+      results("hamming_probe_ingestlayout") =
+        (1 to 2).map(_ => time(probe(rootI, extend = false))).min
+      // the pruning receipt: files each probe's index scan actually read
+      probe(rootP, extend = false)
+      results("index_probe_files") =
+        graft.sources.GraftSource.lastScanFiles.size.toDouble
+      probe(rootI, extend = false)
+      results("index_probe_files_ingestlayout") =
+        graft.sources.GraftSource.lastScanFiles.size.toDouble
+      results("index_total_files") = MutableParquetTable
+        .manifestFileNames(graft.streaming.CdcMergeSink.latestSnapshot(rootP))
+        .map(_.size).getOrElse(0).toDouble
+      // ingest (probe + CoW extension): the trade's other side — the
+      // probe layout scatters the batch's upserts across the key space
+      for ((root, tag) <- Seq(rootP -> "probelayout", rootI -> "ingestlayout")) {
+        val seeded = s"$root-seeded"
+        copyDir(root, seeded)
+        results(s"hamming_ingest_$tag") = (1 to 2).map { _ =>
+          MutableParquetTable.deleteDir(java.nio.file.Paths.get(root))
+          copyDir(seeded, root)
+          time(probe(root, extend = true))
+        }.min
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] probe-layout experiment failed: ${e.getMessage}")
+    }
+
     // ---- z-order vs linear layout: secondary-dimension pruning ----
     try {
       val li = Tables.lineitem(spark, sfDir)
