@@ -171,7 +171,12 @@ object Sq8Cosine {
   * ELEMENT when referenced inside the lambda — O(dim²) per row; this
   * kernel made the 40M-vector encode 40× cheaper (BENCH_COLD). A
   * zero vector encodes to all-zero codes, matching the HOF's
-  * scale==0 branch. */
+  * scale==0 branch. A vector containing NaN yields NULL codes — the
+  * malformed-input discipline ([[Sq8Pack]]): the HOF chain's
+  * `greatest` treats NaN as the maximum, so its scale goes NaN and the
+  * ANSI int cast THROWS; a plain `x > scale` compare here is false for
+  * NaN and would silently emit a finite scale and garbage codes
+  * instead. Null, never garbage, never a whole-job abort. */
 case class Sq8Encode(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -179,6 +184,11 @@ case class Sq8Encode(child: Expression) extends UnaryExpression {
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<float>, got ${dt.catalogString}")
   }
+
+  // NaN input yields NULL even under a non-nullable child — the
+  // ImageDHash janino lvalue discipline (nullSafeCodeGen would
+  // otherwise pin ev.isNull to the FalseLiteral constant)
+  override def nullable: Boolean = true
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = Sq8Encode.name
@@ -190,9 +200,12 @@ case class Sq8Encode(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       val x = math.abs(a.getFloat(i).toDouble)
-      if (x > scale) scale = x
+      // NaN propagates (x > scale is false for NaN — the silent-garbage
+      // path this guard exists to close)
+      if (x > scale || java.lang.Double.isNaN(x)) scale = x
       i += 1
     }
+    if (java.lang.Double.isNaN(scale)) return null
     val out = new Array[Byte](n)
     if (scale != 0.0) {
       i = 0
@@ -217,16 +230,19 @@ case class Sq8Encode(child: Expression) extends UnaryExpression {
         double $scale = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $x = java.lang.Math.abs((double) $a.getFloat($i));
-          if ($x > $scale) $scale = $x;
+          if ($x > $scale || java.lang.Double.isNaN($x)) $scale = $x;
         }
-        byte[] $out = new byte[$n];
-        if ($scale != 0.0) {
-          for (int $i = 0; $i < $n; $i++) {
-            $out[$i] = (byte) (int) java.lang.Math.floor(
-              (double) $a.getFloat($i) * 127.0 / $scale + 0.5);
+        if (java.lang.Double.isNaN($scale)) { ${ev.isNull} = true; }
+        else {
+          byte[] $out = new byte[$n];
+          if ($scale != 0.0) {
+            for (int $i = 0; $i < $n; $i++) {
+              $out[$i] = (byte) (int) java.lang.Math.floor(
+                (double) $a.getFloat($i) * 127.0 / $scale + 0.5);
+            }
           }
+          ${ev.value} = $out;
         }
-        ${ev.value} = $out;
       """
     })
 

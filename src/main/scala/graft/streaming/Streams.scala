@@ -226,10 +226,18 @@ object Streams {
     * [[graft.multimodal.MediaRecord]]; non-image kinds are ignored.
     * Delivery: AT-LEAST-ONCE on pairs, effectively-once on the index
     * (re-ingest upserts identical keys) — the
-    * [[dedupIncrementalSink]] contract. */
+    * [[dedupIncrementalSink]] contract.
+    *
+    * `onError` is the multimodal decode policy
+    * ([[graft.multimodal.Multimodal]]): a CONTINUOUS ingest of scraped
+    * media WILL see corrupt payloads, and under the default `fail` one
+    * bad PNG kills the stream and every restart replays it — set
+    * `"skip"` (or `"flag"`, same pairs) so corrupt media drops from the
+    * fingerprint feed and the stream survives; audit drops with a
+    * flag-mode [[graft.multimodal.Multimodal.quarantineStats]] pass. */
   def imageDedupSink(media: DataFrame, indexRoot: String,
                      checkpoint: String, maxHamming: Int = 2,
-                     chunks: Int = 4)
+                     chunks: Int = 4, onError: String = "fail")
                     (onPairs: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
@@ -240,7 +248,7 @@ object Streams {
         val ds = batch.as[graft.multimodal.MediaRecord]
         if (!batch.isEmpty && !ds.filter(_.kind == "image").isEmpty) {
           val r = graft.multimodal.Multimodal.imageDedupIncremental(
-            indexRoot, ds, maxHamming, chunks)
+            indexRoot, ds, maxHamming, chunks, onError = onError)
           onPairs(r.pairs, epoch)
         }
       }

@@ -199,6 +199,18 @@ class PlansSpec extends SparkSpec {
       .select(xcol(graft.plans.Sq8Encode(xexpr(col("embedding")))).as("c"))
       .head().getAs[Array[Byte]](0)
     assert(z.toSeq === Seq.fill(8)(0: Byte))
+    // NaN elements: the HOF chain's greatest() makes the scale NaN and
+    // the ANSI int cast throws; the fused kernel must NOT silently emit
+    // a finite scale + garbage codes — it yields NULL (and a healthy
+    // row in the same batch still encodes)
+    val nan = Seq(
+      (1L, Array(1.0f, Float.NaN, 2.0f)),
+      (2L, Array(1.0f, -2.0f, 0.5f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        xcol(graft.plans.Sq8Encode(xexpr(col("embedding")))).as("c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(nan(1L).isNullAt(1), "NaN vector must encode to NULL, not garbage")
+    assert(nan(2L).getAs[Array[Byte]](1).toSeq === Seq[Byte](64, -127, 32))
   }
 
   test("null-capable kernels survive NON-NULLABLE input chains under codegen") {

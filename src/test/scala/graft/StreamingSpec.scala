@@ -308,6 +308,47 @@ class StreamingSpec extends SparkSpec {
       "the fingerprint index is versioned graft state extended per epoch")
   }
 
+  test("streaming image dedup sink survives corrupt payloads under onError=skip") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val work = java.nio.file.Files.createTempDirectory("graft-imgc").toString
+    val imgs = Multimodal.fromDocuments(
+      Tables.documents(spark, sf()).where(col("doc_id").isin(0L, 6L)))
+      .collect().map(m => m.media_id -> m).toMap
+    def reenc(id: Long, newId: Long): MediaRecord =
+      Multimodal.reencodeImages(Seq(imgs(id)).toDS(), newId - id).head()
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val in = MemoryStream[MediaRecord]
+    // a scraped-media stream WILL carry corrupt payloads; the sink must
+    // quarantine them, not die (and a restart would replay the same
+    // corrupt epoch forever under fail)
+    val q = Streams.imageDedupSink(in.toDF(), s"$work/idx", s"$work/cp",
+      onError = "skip") { (pairs, epoch) =>
+      got.synchronized {
+        got(epoch) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    try {
+      in.addData(imgs(0L),
+        MediaRecord(9001L, "image", Array[Byte](1, 2, 3), "corrupt"))
+      q.processAllAvailable()
+      in.addData(reenc(0L, 100000L), imgs(6L),
+        MediaRecord(9002L, "image", "nope".getBytes, "corrupt"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = got.values.flatten.toSet
+    assert(all.contains((0L, 100000L)),
+      s"cross-epoch pair must still surface around the corrupt rows: $all")
+    val corrupt = Set(9001L, 9002L)
+    assert(!all.exists(p => corrupt(p._1) || corrupt(p._2)),
+      s"corrupt media must never pair: $all")
+    // the quarantined ids never entered the persisted index
+    assert(spark.read.format("graft").load(s"$work/idx")
+      .where(col("doc_id").isin(9001L, 9002L)).isEmpty,
+      "null fingerprints must not be committed to the index")
+  }
+
   test("streaming ANN index sink: per-epoch CoW ingest, new vectors servable, replay idempotent") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
