@@ -265,11 +265,20 @@ object TextFunctions {
     * trained tokenizer slots in by replacing THIS function; everything
     * budgeted on top ([[graft.operators.CorpusPrep.chunkTokens]],
     * `packTokens`) is cost-function-agnostic. */
-  def wordTokenCost(word: Column): Column =
-    aggregate(filter(split(word, "[^A-Za-z]+"), r => r =!= ""),
-      lit(0L), (acc, r) => acc + shiftright(length(r) + 3, 2)) +
-      (length(word) - length(regexp_replace(word, "[0-9]", ""))).cast("long") +
-      length(regexp_replace(word, "[A-Za-z0-9]", "")).cast("long")
+  def wordTokenCost(word: Column): Column = {
+    // ONE single-char-class split does all the classification: splitting
+    // on every non-alpha CHAR yields exactly the alpha runs as pieces
+    // (empties cost ceil(0/4) = 0) and `pieces - 1` IS the non-alpha
+    // char count — digits and punctuation both cost 1, so they need no
+    // class distinction. (Spark's split keeps trailing empties, so the
+    // count holds at word edges.) One regex pass + an integer fold; the
+    // equivalent 3-regex form (split [^A-Za-z]+ plus two regexp_replace
+    // counts) and a per-codepoint struct fold both measured slower
+    // inside interpreted HOF lambdas.
+    val p = split(word, "[^A-Za-z]")
+    (size(p) - 1).cast("long") +
+      aggregate(p, lit(0L), (acc, r) => acc + shiftright(length(r) + 3, 2))
+  }
 
   /** Estimated BPE token count of a document: Σ [[wordTokenCost]] over
     * its whitespace tokens (whitespace itself costs nothing — merged
