@@ -235,6 +235,19 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(est === text.trim.split("\\s+").map(cost).sum)
   }
 
+  test("chunkTokens and the quality gate are narrow maps: no exchange before the explode") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf())
+    val chunkPlan = CorpusPrep.chunkTokens(docs, "text", "doc_id", 24)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), chunkPlan)
+    val gatePlan = docs.select(col("doc_id"),
+      TextFunctions.qualityLogit(col("text"),
+        TextFunctions.derivedQualityWeights(1024)).as("logit"))
+      .queryExecution.executedPlan.toString
+    assert(!gatePlan.contains("Exchange"), gatePlan)
+  }
+
   test("packTokens: concat-then-slice budgeted in estimated tokens") {
     val rows = (1 to 40).map(i => (i.toLong, s"word$i " * i))
     val df = rows.toDF("doc_id", "text")
