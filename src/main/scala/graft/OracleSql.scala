@@ -1837,6 +1837,128 @@ object OracleSql {
         CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS q_pass
       FROM scored ORDER BY doc_id""",
 
+    // q144: the FineWeb-style quality pipeline — the q138 C4 CTEs (on
+    // the clean corpus), the q132 Gopher rules and the q140 fixed-point
+    // scorer both re-applied to the KEPT text, and the q119 dedup
+    // window, all chained; every stage's oracle piece reused verbatim
+    "q144_quality_pipeline" -> """
+      WITH pages AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3
+            THEN 'the quality corpus material is good to be with that ' ||
+                 'and have more of the sentence words here today ' ||
+                 'together. all of the words are good and ready here. ' ||
+                 'one more sentence is here with them.'
+            ELSE text || ' one.' || chr(10) || 'short bit' ||
+              CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'it is good to be with that and have ' ||
+                     'more of the words here today. all good.'
+                ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+          END AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id, text AS orig,
+          unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+        FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM pages)),
+      lflag AS (
+        SELECT doc_id, orig, pos, line,
+          (length(trim(line)) > 0
+           AND right(trim(line), 1) IN ('.', '!', '?', '"')
+           AND len(string_split_regex(trim(line), '\s+')) >= 5
+           AND position('javascript' IN lower(trim(line))) = 0) AS keep
+        FROM lines),
+      agg AS (
+        SELECT doc_id, orig,
+          coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+            ORDER BY pos), '') AS t
+        FROM lflag GROUP BY doc_id, orig),
+      c4 AS (
+        SELECT doc_id, t,
+          CAST(position('lorem ipsum' IN lower(orig)) = 0
+           AND position('{' IN orig) = 0
+           AND position('terms of use' IN lower(orig)) = 0
+           AND position('privacy policy' IN lower(orig)) = 0
+           AND position('cookie policy' IN lower(orig)) = 0
+           AND position('uses cookies' IN lower(orig)) = 0
+           AND length(t) - length(translate(t, '.!?', '')) >= 3
+            AS INT) AS c4_pass
+        FROM agg),
+      gtoks AS (
+        SELECT doc_id, t, c4_pass,
+          CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(t), '\s+') END AS toks,
+          CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(t)), '\s+') END AS ltoks,
+          string_split(t, chr(10)) AS glines
+        FROM c4),
+      gm AS (
+        SELECT doc_id, t, c4_pass, toks, ltoks,
+          CAST(len(toks) AS INT) AS n_words,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks) END AS mwl,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE ((length(t) - length(replace(t, '#', ''))) +
+                     (length(t) - length(replace(t, '...', ''))) / 3)
+                    / CAST(len(toks) AS DOUBLE) END AS symr,
+          CASE WHEN length(t) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(glines, l ->
+                      regexp_matches(trim(l), '^[-*\x{2022}]')))
+                      AS DOUBLE) / len(glines) END AS bulr,
+          CASE WHEN length(t) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(glines, l ->
+                      regexp_matches(trim(l), '(\.\.\.|\x{2026})$')))
+                      AS DOUBLE) / len(glines) END AS ellr,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x ->
+                      regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(toks) END AS alpr,
+          CAST(len(list_filter(list_distinct(ltoks), x -> x IN
+            ('the','be','to','of','and','that','have','with'))) AS INT)
+            AS shits
+        FROM gtoks),
+      g AS (
+        SELECT doc_id, t, c4_pass, ltoks,
+          CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                     AND mwl BETWEEN 3.0 AND 10.0
+                     AND symr <= 0.1 AND bulr <= 0.9 AND ellr <= 0.3
+                     AND alpr >= 0.8 AND shits >= 2
+                THEN 1 ELSE 0 END AS INT) AS gopher_pass
+        FROM gm),
+      feats AS (
+        SELECT doc_id, t, c4_pass, gopher_pass,
+          CASE WHEN len(ltoks) < 2 THEN ltoks
+               ELSE list_concat(ltoks, list_transform(range(1, len(ltoks)),
+                 i -> ltoks[CAST(i AS INT)] || ' ' ||
+                      ltoks[CAST(i + 1 AS INT)])) END AS fs
+        FROM g),
+      scored AS (
+        SELECT doc_id, t, c4_pass, gopher_pass,
+          CASE WHEN len(fs) = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(list_sum(list_transform(fs, f ->
+            ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(f) + 1),
+                  i -> CAST(unicode(substr(f, CAST(i AS INT), 1)) AS BIGINT))),
+                (h, c) -> (h * 131 + c) % 1000000007) % 1024)
+              * 2654435761 + 104729) % 4001 - 2000)) AS BIGINT)
+          END AS logit
+        FROM feats),
+      p AS (
+        SELECT doc_id, c4_pass, gopher_pass,
+          CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS q_pass,
+          CASE WHEN c4_pass = 1 AND gopher_pass = 1 AND logit >= 0
+               THEN md5(array_to_string(
+                 string_split_regex(trim(lower(t)), '\s+'), ' ')) END AS fp
+        FROM scored)
+      SELECT doc_id, c4_pass, gopher_pass, q_pass,
+        CAST(CASE WHEN fp IS NOT NULL AND row_number()
+               OVER (PARTITION BY fp ORDER BY doc_id) = 1
+             THEN 1 ELSE 0 END AS INT) AS survived
+      FROM p ORDER BY doc_id""",
+
     // q141: token-budgeted greedy chunking — the per-word token rule
     // (alpha runs at ceil(len/4) + digit/punct chars) recomputed
     // verbatim, then the greedy fold replayed WORD BY WORD as a

@@ -2512,6 +2512,64 @@ object SparkEntry {
         col("pack_first"), col("pack_last"))
       .orderBy(col("doc_id"))
 
+  /** The QUALITY pipeline END TO END — the FineWeb/RefinedWeb-style
+    * gate stack composed from the engine's own stages (the q119/q131/
+    * q139 composition discipline): C4 line+page cleaning
+    * ([[CorpusPrep.c4Filter]]) feeds its KEPT text into the Gopher
+    * heuristic gate ([[TextFunctions.gopherPass]]), the LEARNED
+    * logistic gate ([[TextFunctions.qualityLogit]] >= 0), and
+    * keep-first exact dedup over the cleaned text — every doc returns
+    * with all four flags (the auditable-gate contract; `survived` is
+    * the conjunction + canonical-copy bit). Each stage is proven alone
+    * (q138, q132, q140, q30); this proves they COMPOSE on the same
+    * kept-text contract. Scale shape: gates are pure maps over the
+    * C4 reassembly's id-keyed shuffle; dedup adds one fingerprint
+    * shuffle — the corpus text never shuffles twice. */
+  def q144_quality_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val w = derivedQualityWeights(1024)
+    // the fixture text is punctuation-free word soup (every C4 line rule
+    // would drop it) — build a deterministic PAGE per doc so each gate
+    // has real work: a kept sentence from the doc's own words, a
+    // boilerplate line the line rules drop, a stopword-rich two-sentence
+    // tail on even ids (C4's >= 3-sentence page rule + Gopher's
+    // stopword rule then split the corpus), and the lorem-ipsum page
+    // poison on id % 7 (identical construction in the oracle)
+    val page0 = concat(col("text"), lit(" one."),
+      lit("\nshort bit"),
+      when(col("doc_id") % 2 === 0,
+        lit("\nit is good to be with that and have more of the words " +
+          "here today. all good.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")))
+    // id % 11 == 3 docs all carry ONE identical gate-passing page — the
+    // boilerplate-mirror case exact dedup exists for: they collapse to
+    // a single canonical survivor (survived < all_pass, visibly)
+    val page = when(col("doc_id") % 11 === 3,
+      lit("the quality corpus material is good to be with that and " +
+        "have more of the sentence words here today together. all of " +
+        "the words are good and ready here. one more sentence is here " +
+        "with them.")).otherwise(page0)
+    val pages = documents(s, dir).select(col("doc_id"), page.as("text"))
+    val c4 = CorpusPrep.c4Filter(pages, "text", "doc_id")
+    val gated = c4.select(col("doc_id"), col("text"), col("c4_pass"),
+      gopherPass(col("text"), minWords = 30).cast("int").as("gopher_pass"),
+      (qualityLogit(col("text"), w) >= 0L).cast("int").as("q_pass"))
+    val flagged = gated
+      .withColumn("all_pass",
+        (col("c4_pass") === 1 && col("gopher_pass") === 1 &&
+          col("q_pass") === 1).cast("int"))
+      .withColumn("__fp",
+        when(col("all_pass") === 1, normalizedFingerprint(col("text"))))
+    val win = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    flagged
+      .withColumn("survived",
+        (col("all_pass") === 1 && row_number().over(win) === 1).cast("int"))
+      .select(col("doc_id"), col("c4_pass"), col("gopher_pass"),
+        col("q_pass"), col("survived"))
+      .orderBy(col("doc_id"))
+  }
+
   /** pHash CROP dedup — the fingerprint family's crop lane: smooth
     * scenes ([[Multimodal.smoothPngBytes]] — the real-photo case, where
     * noise fixtures would be the perceptual worst case) with cropped
@@ -3289,6 +3347,7 @@ object SparkEntry {
     "q141_token_chunks" -> (q141_token_chunks _),
     "q142_token_pack" -> (q142_token_pack _),
     "q143_phash_crop_dedup" -> (q143_phash_crop_dedup _),
+    "q144_quality_pipeline" -> (q144_quality_pipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
