@@ -1959,6 +1959,33 @@ object OracleSql {
              THEN 1 ELSE 0 END AS INT) AS survived
       FROM p ORDER BY doc_id""",
 
+    // q145: temperature mixture at alpha = 0.5 — weights from
+    // sqrt(total/c) normalized by the max (sqrt and division are
+    // correctly-rounded IEEE, so both engines derive identical doubles,
+    // identical floor-micros, and identical hash thresholds); the kept
+    // membership replays mixture's md5 rule with the derived thresholds
+    "q145_temperature_mixture" -> """
+      WITH src AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 < 3 THEN 'a'
+               WHEN doc_id % 6 < 5 THEN 'b' ELSE 'c' END AS s
+        FROM documents),
+      cnt AS (SELECT s, CAST(count(*) AS DOUBLE) AS c FROM src GROUP BY s),
+      wts AS (
+        SELECT s, sqrt((SELECT sum(c) FROM cnt) / c) AS raw FROM cnt),
+      nrm AS (
+        SELECT s, raw / (SELECT max(raw) FROM wts) AS w FROM wts),
+      kept AS (
+        SELECT src.doc_id, src.s, nrm.w FROM src JOIN nrm ON src.s = nrm.s
+        WHERE nrm.w >= 1.0
+           OR substring(md5('7:' || src.s || ':' ||
+                CAST(src.doc_id AS VARCHAR)), 1, 8)
+              < lpad(lower(hex(CAST(floor(nrm.w * 4294967296.0)
+                  AS BIGINT))), 8, '0'))
+      SELECT s AS mix_source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(floor(any_value(w) * 1000000.0) AS BIGINT) AS weight_micros
+      FROM kept GROUP BY s ORDER BY mix_source""",
+
     // q141: token-budgeted greedy chunking — the per-word token rule
     // (alpha runs at ceil(len/4) + digit/punct chars) recomputed
     // verbatim, then the greedy fold replayed WORD BY WORD as a

@@ -2512,6 +2512,33 @@ object SparkEntry {
         col("pack_first"), col("pack_last"))
       .orderBy(col("doc_id"))
 
+  /** TEMPERATURE-rebalanced mixture ([[CorpusPrep.temperatureMixture]],
+    * the mT5/XLM-R sampling rule at alpha = 0.5): three unequal source
+    * slices of the corpus, keep fractions derived as p^(alpha-1) and
+    * normalized downsample-only — the smallest source keeps everything,
+    * the bigger ones thin toward equalized shares. alpha = 0.5 keeps
+    * the derivation bit-exact across engines (sqrt + division only), so
+    * the oracle replays the WEIGHTS, the hash thresholds, and the exact
+    * kept membership. Weights emitted as floor-micros (the fixed-point
+    * compare discipline — round() half-up vs float-round differs across
+    * engines). */
+  def q145_temperature_mixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val a = docs.where(col("doc_id") % 6 < 3)
+    val b = docs.where(col("doc_id") % 6 >= 3 && col("doc_id") % 6 < 5)
+    val c = docs.where(col("doc_id") % 6 === 5)
+    val (mixed, weights) = CorpusPrep.temperatureMixture(
+      Seq("a" -> a, "b" -> b, "c" -> c), alpha = 0.5, "doc_id", seed = 7L)
+    val sI = s; import sI.implicits._
+    val wdf = weights.toDF("mix_source", "__w")
+    mixed.groupBy(col("mix_source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .join(broadcast(wdf), "mix_source")
+      .select(col("mix_source"), col("n_docs"),
+        floor(col("__w") * 1e6).cast("long").as("weight_micros"))
+      .orderBy(col("mix_source"))
+  }
+
   /** The QUALITY pipeline END TO END — the FineWeb/RefinedWeb-style
     * gate stack composed from the engine's own stages (the q119/q131/
     * q139 composition discipline): C4 line+page cleaning
@@ -3348,6 +3375,7 @@ object SparkEntry {
     "q142_token_pack" -> (q142_token_pack _),
     "q143_phash_crop_dedup" -> (q143_phash_crop_dedup _),
     "q144_quality_pipeline" -> (q144_quality_pipeline _),
+    "q145_temperature_mixture" -> (q145_temperature_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

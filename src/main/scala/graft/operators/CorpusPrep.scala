@@ -464,6 +464,43 @@ object CorpusPrep {
     }.reduce(_ unionByName _)
   }
 
+  /** TEMPERATURE-rebalanced mixture (the mT5 §3.2 / XLM-R sampling rule,
+    * public multilingual practice): the target sampling distribution is
+    * q_i ∝ p_i^alpha over source shares p_i = c_i/Σc — alpha = 1 keeps
+    * natural proportions, alpha → 0 equalizes sources, upweighting
+    * low-resource ones. Realized DOWNSAMPLE-ONLY (no replacement
+    * duplication): per-source keep fractions w_i ∝ p_i^(alpha-1),
+    * normalized so the binding source (the smallest, under alpha < 1)
+    * keeps everything — kept_i ∝ p_i^alpha exactly, with maximal data
+    * retention. Derivation costs one column-pruned count per source
+    * (metadata jobs); sampling is [[mixture]]'s engine-portable
+    * deterministic hash rule, map-side, no shuffle. Returns the mixture
+    * and the derived (source, weight) receipt — surface it: silent
+    * rebalancing is how mixtures drift. */
+  def temperatureMixture(sources: Seq[(String, DataFrame)], alpha: Double,
+                         idCol: String, seed: Long)
+      : (DataFrame, Seq[(String, Double)]) = {
+    require(sources.nonEmpty, "at least one source required")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0,1] (1 = natural shares, 0 = uniform), got $alpha")
+    val counts = sources.map { case (n, df) => (n, df.count().toDouble) }
+    counts.foreach { case (n, c) =>
+      require(c > 0, s"source $n is empty — temperature shares are undefined") }
+    val total = counts.map(_._2).sum
+    // alpha = 0.5 is the common setting and stays BIT-EXACT across
+    // engines (sqrt and division are correctly-rounded IEEE ops; a
+    // generic pow is not), so oracles can replay the exact thresholds
+    val raw = counts.map { case (n, c) =>
+      (n, if (alpha == 0.5) math.sqrt(total / c)
+          else math.pow(c / total, alpha - 1.0))
+    }
+    val mx = raw.map(_._2).max
+    val weights = raw.map { case (n, r) => (n, r / mx) }
+    val wmap = weights.toMap
+    (mixture(sources.map { case (n, df) => (n, df, wmap(n)) }, idCol, seed),
+      weights)
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document. Terms are lowercase alphanumeric

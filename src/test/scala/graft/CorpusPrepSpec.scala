@@ -235,6 +235,45 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(est === text.trim.split("\\s+").map(cost).sum)
   }
 
+  test("temperatureMixture: downsample-only p^alpha rebalance, receipt exact, deterministic") {
+    val s = spark; import s.implicits._
+    // 600 / 300 / 100 docs — natural shares 0.6 / 0.3 / 0.1
+    val big = (0L until 600L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val mid = (1000L until 1300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val small = (2000L until 2100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val (mixed, weights) = CorpusPrep.temperatureMixture(
+      Seq("big" -> big, "mid" -> mid, "small" -> small),
+      alpha = 0.5, "doc_id", seed = 42L)
+    val w = weights.toMap
+    // the binding (smallest) source keeps everything; w_i = sqrt(c_min/c_i)
+    assert(w("small") === 1.0)
+    assert(math.abs(w("mid") - math.sqrt(100.0 / 300.0)) < 1e-12)
+    assert(math.abs(w("big") - math.sqrt(100.0 / 600.0)) < 1e-12)
+    val counts = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") === 100L, "binding source must keep every row")
+    // kept_i ~ c_i * w_i = sqrt(c_min * c_i): 245 and 173 expected —
+    // the hash draw is uniform, allow binomial slack
+    assert(math.abs(counts("big") - math.sqrt(100.0 * 600.0)) < 40,
+      s"big kept ${counts("big")}")
+    assert(math.abs(counts("mid") - math.sqrt(100.0 * 300.0)) < 35,
+      s"mid kept ${counts("mid")}")
+    // deterministic: the same seed reproduces the exact membership
+    val (mixed2, _) = CorpusPrep.temperatureMixture(
+      Seq("big" -> big, "mid" -> mid, "small" -> small),
+      alpha = 0.5, "doc_id", seed = 42L)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      mixed2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // alpha = 1 keeps natural shares (every weight 1)
+    val (_, natural) = CorpusPrep.temperatureMixture(
+      Seq("big" -> big, "small" -> small), alpha = 1.0, "doc_id", 42L)
+    assert(natural.forall(_._2 === 1.0))
+    intercept[IllegalArgumentException] {
+      CorpusPrep.temperatureMixture(Seq("big" -> big), alpha = 2.0,
+        "doc_id", 42L)
+    }
+  }
+
   test("chunkTokens and the quality gate are narrow maps: no exchange before the explode") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sf())
