@@ -466,6 +466,38 @@ class DedupSpec extends SparkSpec {
       "dim zone maps must carry through index merges")
   }
 
+  test("minhash probe layout: dim maps committed, pairs parity with ingest layout") {
+    val docs = corpus()
+    val oldDocs = docs.where(col("doc_id") % 2 === 0)
+    val newDocs = docs.where(col("doc_id") % 2 === 1)
+    val rootP = java.nio.file.Files
+      .createTempDirectory("graft-mh-probe").toString + "/idx"
+    val rootI = java.nio.file.Files
+      .createTempDirectory("graft-mh-ingest").toString + "/idx"
+    Dedup.dedupIncremental(rootP, oldDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, probeLayout = true)
+    Dedup.dedupIncremental(rootI, oldDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2)
+    import graft.sources.MutableParquetTable
+    val snapP = graft.streaming.CdcMergeSink.latestSnapshot(rootP)
+    assert(MutableParquetTable.manifestDimRanges(snapP).keySet
+      .intersect(Set("band", "bucket")) === Set("band", "bucket"),
+      "probe layout must commit dim zone maps on (band, bucket)")
+    assert(MutableParquetTable
+      .manifestDimRanges(graft.streaming.CdcMergeSink.latestSnapshot(rootI))
+      .isEmpty, "ingest layout carries no dim maps")
+    // the probe finds identical pairs through either layout (the static
+    // In-prune is a superset restriction; the semi join restores
+    // exactness)
+    val rP = Dedup.dedupIncremental(rootP, newDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, extendIndex = false)
+    val rI = Dedup.dedupIncremental(rootI, newDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, extendIndex = false)
+    assert(pairSet(rP.pairs) === pairSet(rI.pairs))
+    assert(pairSet(rP.pairs).contains((0L, 1L)),
+      "the known exact dup must surface through the probe layout")
+  }
+
   test("incremental batch self-join cap: degenerate batch completes, overflow surfaced, healthy batch untouched") {
     val s = spark; import s.implicits._
     // degenerate batch: 64 solid-color thumbnails all hashing 0L — the
