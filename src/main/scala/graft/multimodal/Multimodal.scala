@@ -638,7 +638,9 @@ object Multimodal {
                             media: Dataset[MediaRecord],
                             maxHamming: Int = 2, chunks: Int = 4,
                             extendIndex: Boolean = true,
-                            onError: String = "fail")
+                            onError: String = "fail",
+                            probeLayout: Boolean = false,
+                            maxBucketWidth: Option[Int] = None)
       : graft.operators.Dedup.IncrementalDedup = {
     checkMode(onError)
     // quarantined media must never enter the PERSISTED index (a null
@@ -646,7 +648,7 @@ object Multimodal {
     val mode = if (onError == "flag") "skip" else onError
     graft.operators.Dedup.hammingIncremental(indexRoot,
       imageHashes(media, onError = mode), "media_id", "dhash", maxHamming,
-      chunks, extendIndex)
+      chunks, extendIndex, probeLayout, maxBucketWidth)
   }
 
   /** Re-encode each "image" payload: decode, PNG-encode, and splice a

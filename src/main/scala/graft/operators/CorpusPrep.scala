@@ -212,7 +212,8 @@ object CorpusPrep {
     // use site, and the per-chunk lambda below references the cost and
     // token arrays once PER CHUNK — inlined, that re-tokenized and
     // re-costed the whole document per chunk, O(chunks x words x regex)
-    // (measured 11 s for 5k docs at sf0.1; bound form: ~0.4 s). Lambda
+    // (measured 11 s for 5k docs at sf0.1; bound form: 1.6 s warm in the
+    // same local[4] harness, 0.63 s in the local[32] battery). Lambda
     // variables are opaque to the optimizer and O(1) reads at eval.
     val chunks = element_at(transform(
       array(TextFunctions.tokens(col(textCol))), toks =>

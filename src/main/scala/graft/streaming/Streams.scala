@@ -237,7 +237,9 @@ object Streams {
     * flag-mode [[graft.multimodal.Multimodal.quarantineStats]] pass. */
   def imageDedupSink(media: DataFrame, indexRoot: String,
                      checkpoint: String, maxHamming: Int = 2,
-                     chunks: Int = 4, onError: String = "fail")
+                     chunks: Int = 4, onError: String = "fail",
+                     probeLayout: Boolean = false,
+                     maxBucketWidth: Option[Int] = None)
                     (onPairs: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
@@ -248,7 +250,8 @@ object Streams {
         val ds = batch.as[graft.multimodal.MediaRecord]
         if (!batch.isEmpty && !ds.filter(_.kind == "image").isEmpty) {
           val r = graft.multimodal.Multimodal.imageDedupIncremental(
-            indexRoot, ds, maxHamming, chunks, onError = onError)
+            indexRoot, ds, maxHamming, chunks, onError = onError,
+            probeLayout = probeLayout, maxBucketWidth = maxBucketWidth)
           onPairs(r.pairs, epoch)
         }
       }
