@@ -1986,6 +1986,41 @@ object OracleSql {
         CAST(floor(any_value(w) * 1000000.0) AS BIGINT) AS weight_micros
       FROM kept GROUP BY s ORDER BY mix_source""",
 
+    // q146: sliding token windows — the q141 token rule per word, a
+    // per-doc window sum for start offsets, the k-range arithmetic
+    // (double floor, exact below 2^53), lateral range unnest for
+    // membership, ordered reassembly per (doc, window)
+    "q146_sliding_windows" -> """
+      WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
+                 WHERE trim(text) <> ''),
+      tk AS (SELECT doc_id, string_split_regex(t, '\s+') AS toks FROM d),
+      w AS (SELECT doc_id,
+        CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+        unnest(toks) AS tok
+        FROM tk),
+      wc AS (SELECT doc_id, pos, tok,
+        CAST(coalesce(list_sum(list_transform(
+            regexp_extract_all(tok, '[A-Za-z]+'), r -> (length(r)+3)//4)), 0)
+          + length(regexp_replace(tok, '[^0-9]', '', 'g'))
+          + length(regexp_replace(tok, '[A-Za-z0-9]', '', 'g'))
+          AS BIGINT) AS c
+        FROM w),
+      off AS (SELECT doc_id, pos, tok, c,
+        CAST(coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS o
+        FROM wc),
+      ks AS (SELECT doc_id, pos, tok, c,
+        CAST(unnest(range(
+          greatest(0, CAST(floor((o - 32) / 16.0) AS BIGINT) + 1),
+          CAST(floor(o / 16.0) AS BIGINT) + 1)) AS BIGINT) AS k
+        FROM off)
+      SELECT doc_id, CAST(k AS INT) AS window_idx,
+        CAST(sum(c) AS BIGINT) AS n_window_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS window_text
+      FROM ks GROUP BY doc_id, k
+      ORDER BY doc_id, window_idx""",
+
     // q141: token-budgeted greedy chunking — the per-word token rule
     // (alpha runs at ceil(len/4) + digit/punct chars) recomputed
     // verbatim, then the greedy fold replayed WORD BY WORD as a

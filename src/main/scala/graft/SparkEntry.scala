@@ -2512,6 +2512,16 @@ object SparkEntry {
         col("pack_first"), col("pack_last"))
       .orderBy(col("doc_id"))
 
+  /** SLIDING token windows ([[CorpusPrep.chunkTokensSliding]]) — the
+    * GPT-2 eval-stride pattern: overlapping windows of 32 estimated
+    * tokens advancing by 16, membership by start-offset containment.
+    * The oracle replays the token rule, the per-doc offset window sum,
+    * the k-range arithmetic, and the reassembly. */
+  def q146_sliding_windows(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.chunkTokensSliding(documents(s, dir), "text", "doc_id",
+        window = 32, stride = 16)
+      .orderBy(col("doc_id"), col("window_idx"))
+
   /** TEMPERATURE-rebalanced mixture ([[CorpusPrep.temperatureMixture]],
     * the mT5/XLM-R sampling rule at alpha = 0.5): three unequal source
     * slices of the corpus, keep fractions derived as p^(alpha-1) and
@@ -3376,6 +3386,7 @@ object SparkEntry {
     "q143_phash_crop_dedup" -> (q143_phash_crop_dedup _),
     "q144_quality_pipeline" -> (q144_quality_pipeline _),
     "q145_temperature_mixture" -> (q145_temperature_mixture _),
+    "q146_sliding_windows" -> (q146_sliding_windows _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -260,6 +260,53 @@ object CorpusPrep {
         col("col.n").as("n_chunk_tokens"), col("col.t").as("chunk_text"))
   }
 
+  /** SLIDING token windows — the eval-stride pattern (GPT-2-style
+    * perplexity evaluation: overlapping context windows advancing by
+    * `stride` tokens, each `window` tokens wide). Window k covers the
+    * words whose START token-offset falls in [k·stride, k·stride +
+    * window) — word granularity, so the final member word may overrun
+    * the boundary by its own cost - 1 (a real tokenizer's pieces would
+    * split there; ours never splits words, the [[chunkTokens]]
+    * contract). Only non-empty windows emit. `stride = window` degrades
+    * to non-overlapping offset-cut chunking.
+    *
+    * Scale shape: per-doc token offsets are ONE window-sum partitioned
+    * by the doc id (parallel — never a global window), membership is
+    * arithmetic (each word lands in ~window/stride windows, the honest
+    * row-growth factor), and reassembly groups on (doc, window) — the
+    * dedupLines discipline. Two doc-keyed shuffles total; nothing
+    * corpus-global. */
+  def chunkTokensSliding(docs: DataFrame, textCol: String, idCol: String,
+                         window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val words = docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("__pos", "__w")))
+      .withColumn("__c", TextFunctions.wordTokenCost(col("__w")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = words
+      .withColumn("__o", sum(col("__c")).over(byDoc) - col("__c"))
+    // k ranges over floor((o - window)/stride) + 1 .. floor(o/stride)
+    // (the windows whose [k·stride, k·stride + window) holds o); the
+    // double floor is exact — offsets are far below 2^53
+    val kmin = greatest(lit(0L),
+      floor((col("__o") - window).cast("double") / stride).cast("long") + 1L)
+    val kmax = floor(col("__o").cast("double") / stride).cast("long")
+    withOff
+      .select(col(idCol), col("__pos"), col("__w"), col("__c"),
+        explode(sequence(kmin, kmax)).as("__k"))
+      .groupBy(col(idCol), col("__k"))
+      .agg(
+        sum(col("__c")).as("n_window_tokens"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__pos"), col("__w")))), e => e("__w")), " ")
+          .as("window_text"))
+      .select(col(idCol), col("__k").cast("int").as("window_idx"),
+        col("n_window_tokens"), col("window_text"))
+  }
+
   /** [[packConcat]] with the budget in estimated BPE tokens: the
     * concat-then-slice stream is measured by
     * [[TextFunctions.tokenEstimate]] instead of a word count. Same

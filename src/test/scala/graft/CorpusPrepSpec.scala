@@ -287,6 +287,43 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!gatePlan.contains("Exchange"), gatePlan)
   }
 
+  test("chunkTokensSliding: stride overlap, start-offset membership, degenerate = partition") {
+    import graft.functions.TextFunctions
+    def cost(w: String): Long =
+      "[A-Za-z]+".r.findAllIn(w).map(r => (r.length + 3) / 4).sum.toLong +
+        w.count(_.isDigit) + w.count(c => !c.isLetterOrDigit)
+    val text = (1 to 40).map(i => s"word$i").mkString(" ")  // cost 2 each
+    val got = CorpusPrep.chunkTokensSliding(
+      docs(1L -> text), "text", "doc_id", window = 16, stride = 8)
+      .orderBy("window_idx")
+      .select("window_idx", "n_window_tokens", "window_text")
+      .as[(Int, Long, String)].collect()
+    assert(got.nonEmpty)
+    // the Scala reference: word i (0-based) starts at offset 2i and
+    // belongs to window k iff 8k <= 2i < 8k + 16
+    val words = text.split(" ")
+    val offs = words.scanLeft(0L)((a, w) => a + cost(w)).dropRight(1)
+    val ref = (for {
+      (w, o) <- words.zip(offs)
+      k <- (math.max(0L, math.floorDiv(o - 16, 8) + 1) to o / 8)
+    } yield (k.toInt, w)).groupBy(_._1).map { case (k, ws) =>
+      (k, ws.map(x => cost(x._2)).sum, ws.map(_._2).mkString(" "))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === ref, "sliding windows must match the reference")
+    // overlap: interior words appear in exactly window/stride = 2 windows
+    val appearances = got.flatMap(_._3.split(" ")).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(appearances("word20") === 2)
+    // stride == window degrades to a partition that reconstructs the doc
+    val part = CorpusPrep.chunkTokensSliding(
+      docs(2L -> text), "text", "doc_id", window = 16, stride = 16)
+      .orderBy("window_idx").select("window_text").as[String].collect()
+    assert(part.mkString(" ") === text)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.chunkTokensSliding(docs(3L -> text), "text", "doc_id", 8, 16)
+    }
+  }
+
   test("packTokens: concat-then-slice budgeted in estimated tokens") {
     val rows = (1 to 40).map(i => (i.toLong, s"word$i " * i))
     val df = rows.toDF("doc_id", "text")
