@@ -1986,6 +1986,38 @@ object OracleSql {
         CAST(floor(any_value(w) * 1000000.0) AS BIGINT) AS weight_micros
       FROM kept GROUP BY s ORDER BY mix_source""",
 
+    // q147: BM25 — tf over query-term postings, the Lucene IDF form,
+    // length normalization against the corpus average; round(·, 6) is
+    // safe here because differing (tf, df, dl) integer inputs separate
+    // scores far beyond a ulp (the q88 ln-agreement discipline)
+    "q147_bm25_search" -> """
+      WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+      lens AS (SELECT doc_id,
+        CASE WHEN t = '' THEN 0
+             ELSE len(string_split_regex(t, '\s+')) END AS dl
+        FROM d),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+      tok AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS w
+              FROM d WHERE t <> ''),
+      post AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+               FROM tok WHERE w IN ('data', 'merge', 'window')
+               GROUP BY doc_id, w),
+      dfr AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY w),
+      sc AS (
+        SELECT post.doc_id,
+          ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+            (post.tf * 2.2) /
+            (post.tf + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+              / stats.avgdl)) AS s
+        FROM post
+        JOIN dfr ON post.w = dfr.w
+        JOIN lens ON post.doc_id = lens.doc_id
+        CROSS JOIN stats)
+      SELECT doc_id, round(sum(s), 6) AS bm25
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 15""",
+
     // q146: sliding token windows — the q141 token rule per word, a
     // per-doc window sum for start offsets, the k-range arithmetic
     // (double floor, exact below 2^53), lateral range unnest for

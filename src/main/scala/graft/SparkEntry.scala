@@ -2512,6 +2512,15 @@ object SparkEntry {
         col("pack_first"), col("pack_last"))
       .orderBy(col("doc_id"))
 
+  /** BM25 retrieval ([[CorpusPrep.bm25TopK]], Okapi defaults): rank the
+    * corpus against a literal query — postings filtered to the query
+    * terms BEFORE any shuffle, df/avgdl broadcast back, TakeOrdered
+    * top-k. The oracle recomputes the whole scorer (tf, df, length
+    * normalization, the Lucene IDF form) relationally. */
+  def q147_bm25_search(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.bm25TopK(documents(s, dir), "text", "doc_id",
+      query = Seq("data", "merge", "window"), k = 15)
+
   /** SLIDING token windows ([[CorpusPrep.chunkTokensSliding]]) — the
     * GPT-2 eval-stride pattern: overlapping windows of 32 estimated
     * tokens advancing by 16, membership by start-offset containment.
@@ -3387,6 +3396,7 @@ object SparkEntry {
     "q144_quality_pipeline" -> (q144_quality_pipeline _),
     "q145_temperature_mixture" -> (q145_temperature_mixture _),
     "q146_sliding_windows" -> (q146_sliding_windows _),
+    "q147_bm25_search" -> (q147_bm25_search _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

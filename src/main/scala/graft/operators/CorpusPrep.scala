@@ -549,6 +549,56 @@ object CorpusPrep {
       weights)
   }
 
+  /** BM25 ranking of the corpus against a literal term query (Robertson
+    * & Zaragoza 2009; the Okapi defaults k1 = 1.2, b = 0.75) — the
+    * classic retrieval scorer next to [[tfidfTopTerms]]'s salience
+    * ranking. IDF = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    * non-negative Lucene form), tf saturates by k1 and normalizes by
+    * doc length against the corpus average.
+    *
+    * Scale shape: the corpus side explodes tokens FILTERED to the query
+    * terms before anything shuffles (query-selective — the posting
+    * rows, not the corpus, cross the wire), then one doc-keyed partial
+    * agg; df and avgdl are metadata-sized aggregates broadcast back;
+    * the final top-k is a TakeOrdered (never a global sort). Ties break
+    * by doc id, so the ranking is fully deterministic. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    require(k > 0, "k must be positive")
+    val terms = query.map(_.toLowerCase).distinct
+    val lens = docs.select(col(idCol),
+      TextFunctions.tokenCount(lower(col(textCol))).cast("double").as("__dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val postings = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+      .where(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val df = postings.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    postings
+      .join(broadcast(df), "__t")
+      // lens is corpus-sized — never broadcast it; the postings side is
+      // query-selective (small), so AQE broadcasts THAT into the
+      // id-keyed join
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (idf * (col("__tf") * lit(k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("__dl") / col("__avgdl")))).as("__s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document. Terms are lowercase alphanumeric

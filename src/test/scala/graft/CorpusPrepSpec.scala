@@ -235,6 +235,39 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(est === text.trim.split("\\s+").map(cost).sum)
   }
 
+  test("bm25TopK: hand-checked scores, rarity beats frequency, deterministic ties") {
+    val corpus = docs(
+      1L -> "data data data merge other words here",     // tf(data)=3, long-ish
+      2L -> "data merge",                                 // short doc, both terms
+      3L -> "other words entirely without the terms",
+      4L -> "merge")                                      // rare-term-only doc
+    val got = CorpusPrep.bm25TopK(corpus, "text", "doc_id",
+      Seq("data", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 has no query terms — absent entirely
+    assert(!got.contains(3L) && got.size === 3)
+    // the Scala reference (same formula, same op order)
+    val n = 4.0; val avgdl = (7 + 2 + 6 + 1) / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp1 = s(3, 7, 2) + s(1, 7, 3)   // df(data)=2, df(merge)=3
+    val exp2 = s(1, 2, 2) + s(1, 2, 3)
+    val exp4 = s(1, 1, 3)
+    assert(math.abs(got(1L) - math.rint(exp1 * 1e6) / 1e6) < 2e-6)
+    assert(math.abs(got(2L) - math.rint(exp2 * 1e6) / 1e6) < 2e-6)
+    assert(math.abs(got(4L) - math.rint(exp4 * 1e6) / 1e6) < 2e-6)
+    // the short doc with both terms outranks the long tf-heavy one
+    // (length normalization) and the single-term doc
+    assert(got(2L) > got(4L))
+    // k truncates deterministically
+    assert(CorpusPrep.bm25TopK(corpus, "text", "doc_id",
+      Seq("data", "merge"), k = 1).count() === 1)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.bm25TopK(corpus, "text", "doc_id", Nil, 5)
+    }
+  }
+
   test("temperatureMixture: downsample-only p^alpha rebalance, receipt exact, deterministic") {
     val s = spark; import s.implicits._
     // 600 / 300 / 100 docs — natural shares 0.6 / 0.3 / 0.1
