@@ -2018,6 +2018,131 @@ object OracleSql {
       FROM sc GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id LIMIT 15""",
 
+    // q148: hybrid retrieval — the q147 BM25 scorer and the q35 cosine
+    // ranking recomputed verbatim (50 candidates each), fused by
+    // reciprocal rank: 1/(60+rank) summed left-to-right, absent list
+    // contributes 0; ordering on the ROUNDED fused score with doc-id
+    // tiebreak in both engines
+    "q148_hybrid_rrf" -> """
+      WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+      lens AS (SELECT doc_id,
+        CASE WHEN t = '' THEN 0
+             ELSE len(string_split_regex(t, '\s+')) END AS dl
+        FROM d),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+      tok AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS w
+              FROM d WHERE t <> ''),
+      post AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+               FROM tok WHERE w IN ('data', 'merge', 'window')
+               GROUP BY doc_id, w),
+      dfr AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY w),
+      sc AS (
+        SELECT post.doc_id,
+          ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+            (post.tf * 2.2) /
+            (post.tf + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+              / stats.avgdl)) AS s
+        FROM post
+        JOIN dfr ON post.w = dfr.w
+        JOIN lens ON post.doc_id = lens.doc_id
+        CROSS JOIN stats),
+      bm AS (SELECT doc_id, round(sum(s), 6) AS bm25
+             FROM sc GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 50),
+      bmr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+              FROM bm),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qv AS (SELECT v AS q FROM e WHERE vec_id = 7),
+      cs AS (SELECT vec_id AS cid, list_cosine_similarity(v, q) AS cos
+             FROM e, qv WHERE vec_id <> 7),
+      denr AS (SELECT cid, rn AS dense_rank FROM
+        (SELECT cid, row_number() OVER (ORDER BY cos DESC, cid) AS rn FROM cs)
+        WHERE rn <= 50),
+      f AS (SELECT coalesce(b.doc_id, d.cid) AS doc_id,
+              b.bm25_rank, d.dense_rank
+            FROM bmr b FULL OUTER JOIN denr d ON b.doc_id = d.cid)
+      SELECT doc_id, CAST(bm25_rank AS INT) AS bm25_rank,
+        CAST(dense_rank AS INT) AS dense_rank,
+        round(coalesce(1.0 / (60.0 + bm25_rank), 0.0)
+            + coalesce(1.0 / (60.0 + dense_rank), 0.0), 6) AS rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
+
+    // q149: per-language quantile prune — the q140 fixed-point logit
+    // recomputed verbatim, then the exact keep rule as one row_number:
+    // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine
+    // reaches the same membership without a per-group corpus sort
+    "q149_quantile_prune" -> """
+      WITH d AS (SELECT doc_id, lang, trim(lower(text)) AS t FROM documents),
+      tk AS (SELECT doc_id, lang,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks
+        FROM d),
+      feats AS (SELECT doc_id, lang,
+        CASE WHEN len(toks) < 2 THEN toks
+             ELSE list_concat(toks, list_transform(range(1, len(toks)),
+               i -> toks[CAST(i AS INT)] || ' ' ||
+                    toks[CAST(i + 1 AS INT)])) END AS fs
+        FROM tk),
+      scored AS (SELECT doc_id, lang,
+        CASE WHEN len(fs) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(list_sum(list_transform(fs, f ->
+          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(f) + 1),
+                i -> CAST(unicode(substr(f, CAST(i AS INT), 1)) AS BIGINT))),
+              (h, c) -> (h * 131 + c) % 1000000007) % 1024)
+            * 2654435761 + 104729) % 4001 - 2000)) AS BIGINT)
+        END AS logit
+        FROM feats),
+      r AS (SELECT doc_id, lang, logit,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY logit DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY lang) AS n
+            FROM scored)
+      SELECT doc_id, lang, logit,
+        CAST(CASE WHEN rn <= CAST(ceil(n * 0.5) AS BIGINT)
+             THEN 1 ELSE 0 END AS INT) AS kept
+      FROM r ORDER BY doc_id""",
+
+    // q150: per-source diversity report — exact distinct unigram/bigram
+    // vocabularies and type-token ratios; bigrams are adjacent-token
+    // joins within a doc, denominators count actual grams (empty docs
+    // contribute zero bigrams, not -1)
+    "q150_diversity_stats" -> """
+      WITH d AS (SELECT doc_id, source, trim(lower(text)) AS t FROM documents),
+      tk AS (SELECT doc_id, source,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks
+        FROM d),
+      base AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bigrams
+        FROM tk GROUP BY source),
+      uni AS (SELECT source, count(DISTINCT w) AS distinct_unigrams
+              FROM (SELECT source, unnest(toks) AS w FROM tk)
+              GROUP BY source),
+      bi AS (SELECT source, count(DISTINCT b) AS distinct_bigrams
+             FROM (SELECT source,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[CAST(i AS INT)] || ' ' ||
+                            toks[CAST(i + 1 AS INT)])) AS b
+                   FROM tk)
+             GROUP BY source)
+      SELECT base.source, base.n_docs, base.n_tokens, base.n_bigrams,
+        coalesce(uni.distinct_unigrams, 0) AS distinct_unigrams,
+        coalesce(bi.distinct_bigrams, 0) AS distinct_bigrams,
+        CASE WHEN base.n_tokens = 0 THEN 0.0
+             ELSE round(CAST(coalesce(uni.distinct_unigrams, 0) AS DOUBLE)
+                        / base.n_tokens, 6) END AS ttr,
+        CASE WHEN base.n_bigrams = 0 THEN 0.0
+             ELSE round(CAST(coalesce(bi.distinct_bigrams, 0) AS DOUBLE)
+                        / base.n_bigrams, 6) END AS bigram_ttr
+      FROM base
+      LEFT JOIN uni ON base.source = uni.source
+      LEFT JOIN bi ON base.source = bi.source
+      ORDER BY base.source""",
+
     // q146: sliding token windows — the q141 token rule per word, a
     // per-doc window sum for start offsets, the k-range arithmetic
     // (double floor, exact below 2^53), lateral range unnest for

@@ -2521,6 +2521,57 @@ object SparkEntry {
     CorpusPrep.bm25TopK(documents(s, dir), "text", "doc_id",
       query = Seq("data", "merge", "window"), k = 15)
 
+  /** HYBRID sparse+dense retrieval ([[CorpusPrep.hybridTopK]]):
+    * BM25 lexical candidates and exact-cosine dense candidates fused
+    * with reciprocal-rank fusion ([[CorpusPrep.rrfFuse]], Cormack et
+    * al. 2009) — the standard RAG retrieval merge. Rank-based fusion,
+    * so the incomparable raw scores never mix; 50 candidates drawn per
+    * retriever, top-20 fused. The oracle recomputes BOTH retrievers
+    * (the q147 BM25 scorer, the q35 cosine ranking) and the fused
+    * 1/(60+rank) sums. Fusion sees only 2·nCand rows no matter the
+    * corpus size. */
+  def q148_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    val e = embeddings(s, dir)
+    CorpusPrep.hybridTopK(documents(s, dir), "text", "doc_id",
+        e, "embedding", "vec_id",
+        terms = Seq("data", "merge", "window"),
+        queryVec = e.where(col("vec_id") === 7),
+        k = 20, nCand = 50, native = true)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** Per-group QUANTILE pruning ([[CorpusPrep.quantilePrune]]): keep
+    * the top half of each language by the LEARNED quality logit (q140's
+    * exact fixed-point scorer) — the "filter to the best X% per slice"
+    * stage quality pipelines run after scoring. Every doc returns with
+    * its kept flag (auditable gate). The keep rule is exactly
+    * row_number over (logit desc, doc_id) <= ceil(n_lang / 2), which
+    * the oracle replays — but the ENGINE never sorts the corpus per
+    * group: counts over distinct scores + a window over the distinct-
+    * score table + an id-ranked straddling tie block only. */
+  def q149_quantile_prune(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val w = derivedQualityWeights(1024)
+    val scored = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        qualityLogit(col("text"), w).as("logit"))
+    CorpusPrep.quantilePrune(scored, "lang", "logit", "doc_id",
+        keepFrac = 0.5, ascending = false)
+      .select(col("doc_id"), col("lang"), col("logit"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
+    * source, exact distinct-unigram/bigram vocabularies and type-token
+    * ratios — the repetitiveness/diversity signals compared across
+    * corpus slices before mixing. One token explode + exact two-phase
+    * count-distincts (vocabulary-bounded); `approx_count_distinct` is
+    * the stated 100-TB swap. */
+  def q150_diversity_stats(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.diversityStats(documents(s, dir), "text", "source", "doc_id")
+      .orderBy(col("source"))
+
   /** SLIDING token windows ([[CorpusPrep.chunkTokensSliding]]) — the
     * GPT-2 eval-stride pattern: overlapping windows of 32 estimated
     * tokens advancing by 16, membership by start-offset containment.
@@ -3397,6 +3448,9 @@ object SparkEntry {
     "q145_temperature_mixture" -> (q145_temperature_mixture _),
     "q146_sliding_windows" -> (q146_sliding_windows _),
     "q147_bm25_search" -> (q147_bm25_search _),
+    "q148_hybrid_rrf" -> (q148_hybrid_rrf _),
+    "q149_quantile_prune" -> (q149_quantile_prune _),
+    "q150_diversity_stats" -> (q150_diversity_stats _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -799,6 +799,183 @@ object CorpusPrep {
       pageOk.cast("int").as("c4_pass"))
   }
 
+  // ---- hybrid retrieval: reciprocal-rank fusion ------------------------
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    * any number of independently-ranked candidate lists into one ranking
+    * by `sum_i 1 / (rrfK + rank_i)`, the standard hybrid-retrieval merge
+    * (BM25 + dense vectors) — rank-based, so the lists' incomparable raw
+    * scores never mix. A document absent from a list contributes 0 for
+    * that list.
+    *
+    * Each input is `(name, ranked)` where `ranked` carries `idCol` and
+    * `rankCol` (1-based, unique per list); the output exposes each list's
+    * rank as `<name>_rank` (null when absent) plus the fused `rrf` score,
+    * top-`k` by (`rrf` desc, id) — ties across equal rank combinations
+    * break deterministically on the id. The fused score is summed in the
+    * given list order (left-to-right), so the double arithmetic is
+    * reproducible term for term.
+    *
+    * Scale shape: the inputs are top-N retrieval results — k-sized by
+    * construction, not corpus-sized — so the full-outer join chain and
+    * the final TakeOrdered are metadata-sized no matter how large the
+    * corpus behind the retrievers is. */
+  def rrfFuse(ranked: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    require(k > 0, "k must be positive")
+    require(rrfK >= 0, "rrfK must be non-negative")
+    val lists = ranked.map { case (name, df) =>
+      df.select(col(idCol), col(rankCol).cast("int").as(s"${name}_rank"))
+    }
+    val joined = lists.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = ranked.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + col(s"${name}_rank")),
+        lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf", round(score, 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Hybrid sparse+dense retrieval: [[bm25TopK]] lexical candidates fused
+    * with exact-cosine dense candidates
+    * ([[graft.operators.Similarity.bruteForceTopK]] — swap in the IVF/PQ
+    * paths unchanged, they emit the same (id, rank) shape) via [[rrfFuse]].
+    * `queryVec` is a one-row DataFrame carrying (`embIdCol`, `vecCol`);
+    * `nCand` candidates are drawn from EACH retriever before fusion (the
+    * standard over-retrieve-then-fuse shape), top-`k` fused rows return.
+    *
+    * Scale shape: each retriever does its own corpus-scale work with its
+    * own scale story (BM25 filters postings to the query terms before any
+    * shuffle; dense search broadcasts the query); fusion itself only ever
+    * sees 2·nCand rows. */
+  def hybridTopK(docs: DataFrame, textCol: String, idCol: String,
+                 embs: DataFrame, vecCol: String, embIdCol: String,
+                 terms: Seq[String], queryVec: DataFrame,
+                 k: Int, nCand: Int = 50, rrfK: Int = 60,
+                 native: Boolean = false): DataFrame = {
+    // the window runs over the nCand-row BM25 result, not the corpus
+    val bm25Ranked = bm25TopK(docs, textCol, idCol, terms, nCand)
+      .select(col(idCol), row_number()
+        .over(Window.orderBy(col("bm25").desc, col(idCol))).as("__rank"))
+    val denseRanked = Similarity
+      .bruteForceTopK(embs, queryVec, vecCol, embIdCol, nCand, native)
+      .select(col("id").as(idCol), col("rank").as("__rank"))
+    rrfFuse(Seq("bm25" -> bm25Ranked, "dense" -> denseRanked),
+      idCol, "__rank", k, rrfK)
+  }
+
+  // ---- per-group quantile pruning --------------------------------------
+
+  /** EXACT per-group quantile gate: flag the best `keepFrac` fraction of
+    * each group by `scoreCol` — `ascending = true` keeps the SMALLEST
+    * scores (perplexity-style: lower is better), `false` the largest
+    * (quality-logit-style). Every row returns with a `kept` flag (the
+    * auditable-gate shape — nothing silently disappears); the keep rule
+    * is exactly `rank <= ceil(keepFrac * n_group)` under the total order
+    * (score, id), bit-for-bit replayable by an oracle's row_number.
+    *
+    * Scale shape — the point of this operator is what it does NOT do:
+    * no corpus-wide per-group sort (a per-language window at 100 TB is
+    * one executor sorting terabytes). Instead: (1) one (group, score)
+    * count aggregation — distinct-score-pair-sized; (2) a running-sum
+    * window over that DISTINCT-score table (bounded by score cardinality,
+    * not corpus rows — integer/fixed-point scores keep this small);
+    * (3) rows join back on (group, score) to read their strictly-better
+    * count, and only the single STRADDLING score value per group — the
+    * one value whose tie block crosses the cutoff — gets an id-ordered
+    * row_number over its own (small) tie block. Degenerate all-one-score
+    * groups collapse to that tie-block sort; every other distribution
+    * never sorts corpus rows at all. */
+  def quantilePrune(docs: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String, keepFrac: Double,
+                    ascending: Boolean = true): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val cnt = docs.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val wRun = Window.partitionBy(col(groupCol)).orderBy(ord)
+    val cum = cnt.select(col(groupCol), col(scoreCol), col("__c"),
+      (sum(col("__c")).over(wRun) - col("__c")).as("__before"))
+    val lim = cnt.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+      .select(col(groupCol),
+        ceil(col("__n") * lit(keepFrac)).cast("long").as("__k"))
+    val gated = docs
+      .join(cum, Seq(groupCol, scoreCol))
+      .join(broadcast(lim), Seq(groupCol))
+    val straddles = col("__before") < col("__k") &&
+      col("__before") + col("__c") > col("__k")
+    // non-straddling rows decide from counts alone — no sort touches them
+    val clear = gated.where(!straddles)
+      .withColumn("kept",
+        (col("__before") + col("__c") <= col("__k")).cast("int"))
+    // only the one crossing tie block per group is id-ranked
+    val wTie = Window.partitionBy(col(groupCol), col(scoreCol))
+      .orderBy(col(idCol))
+    val straddle = gated.where(straddles)
+      .withColumn("kept",
+        (col("__before") + row_number().over(wTie) <= col("__k")).cast("int"))
+    clear.unionByName(straddle)
+      .drop("__c", "__before", "__k")
+  }
+
+  // ---- corpus diversity statistics --------------------------------------
+
+  /** Per-group lexical-diversity report: document/token counts, DISTINCT
+    * unigram and bigram vocabularies, and the type-token ratios
+    * (distinct/total — the standard repetitiveness/diversity signals for
+    * comparing corpus slices before mixing). Tokens are the engine's
+    * lowercased whitespace tokens; bigrams are adjacent-token joins
+    * within a document (never across documents).
+    *
+    * Scale shape: one token explode (corpus-token-sized by necessity,
+    * same as every n-gram operator here) feeding exact two-phase
+    * count-distinct aggregations — distinct grams are vocabulary-bounded,
+    * far below corpus size. At 100 TB swap the exact distincts for
+    * `approx_count_distinct` unchanged; the exact form is what the
+    * oracle replays. */
+  def diversityStats(docs: DataFrame, textCol: String, groupCol: String,
+                     idCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol), col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val base = toks.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("__toks"))).cast("long").as("n_tokens"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("long")
+        .as("n_bigrams"))
+    val uni = toks
+      .select(col(groupCol), explode(col("__toks")).as("__w"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("__w")).as("distinct_unigrams"))
+    val bigrams = when(size(col("__toks")) >= 2,
+      zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    val bi = toks
+      .select(col(groupCol), explode(bigrams).as("__b"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("__b")).as("distinct_bigrams"))
+    base
+      .join(uni, Seq(groupCol), "left")
+      .join(bi, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_bigrams"),
+        coalesce(col("distinct_unigrams"), lit(0L)).as("distinct_unigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("distinct_unigrams").cast("double") /
+            col("n_tokens"), 6)))
+      .withColumn("bigram_ttr",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(col("distinct_bigrams").cast("double") /
+            col("n_bigrams"), 6)))
+  }
+
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("__n"))

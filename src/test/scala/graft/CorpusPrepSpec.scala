@@ -552,4 +552,124 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     // map-side: no exchange anywhere in the plan
     assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("rrfFuse: hand-computed fusion, absent-list zero, id tiebreak") {
+    val s = spark; import s.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "r")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "r")
+    val out = CorpusPrep.rrfFuse(Seq("x" -> a, "y" -> b), "id", "r",
+      k = 10, rrfK = 60).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 20 is in both lists: 1/62 + 1/61
+    assert(byId(20L)._3 ===
+      math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
+    // absent from a list -> null rank, zero contribution
+    assert(byId(40L) === ((None, Some(2), math.rint(1.0 / 62 * 1e6) / 1e6)))
+    assert(byId(10L) === ((Some(1), None, math.rint(1.0 / 61 * 1e6) / 1e6)))
+    // 10 (x-rank 1) and 40 (y-rank... ) tie cases: 10 vs 20's order
+    val ordered = out.map(_.getLong(0)).toSeq
+    assert(ordered.head === 20L, s"both-list doc must lead: $ordered")
+    // equal scores (x rank 1 alone vs y rank 1 alone) break on id:
+    // 10 scores 1/61, as would a y-only rank-1 — here 10 > 40 by score
+    assert(ordered === Seq(20L, 10L, 40L, 30L))
+  }
+
+  test("quantilePrune matches the row_number rule exactly, both directions") {
+    val s = spark; import s.implicits._
+    // heavy ties ON the cutoff: scores collide across groups and inside
+    val rows = (0L until 400L).map { i =>
+      (i, if (i % 2 == 0) "g0" else "g1", (i * 7919 % 13).toInt)
+    }
+    val df = rows.toDF("id", "g", "score")
+    for (asc <- Seq(true, false); frac <- Seq(0.25, 0.5, 1.0)) {
+      val got = CorpusPrep.quantilePrune(df, "g", "score", "id", frac, asc)
+        .select("id", "kept").as[(Long, Int)].collect().toMap
+      // independent reference: the one-window formulation
+      val ord = if (asc) Seq(col("score").asc, col("id").asc)
+                else Seq(col("score").desc, col("id").asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(ord: _*)
+      val wantDf = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+        .select(col("id"),
+          (col("rn") <= ceil(col("n") * frac)).cast("int").as("kept"))
+      val want = wantDf.as[(Long, Int)].collect().toMap
+      assert(got === want, s"asc=$asc frac=$frac")
+      assert(got.size === 400, "every row returns with a flag")
+    }
+  }
+
+  test("quantilePrune: only the straddling tie block is ever id-sorted") {
+    val s = spark; import s.implicits._
+    // one group, 10 rows of score 1, 10 of score 2: frac=0.75 cuts at 15,
+    // INSIDE the score-2 block -> ids 10..14 of that block keep
+    val df = (0L until 20L).map(i => (i, "g", if (i < 10) 1 else 2))
+      .toDF("id", "g", "score")
+    val kept = CorpusPrep.quantilePrune(df, "g", "score", "id", 0.75)
+      .where(col("kept") === 1).select("id").as[Long].collect().toSet
+    assert(kept === (0L until 15L).toSet)
+    // degenerate: ALL one score -> the tie block is the group, still exact
+    val flat = (0L until 9L).map(i => (i, "g", 5)).toDF("id", "g", "score")
+    val k2 = CorpusPrep.quantilePrune(flat, "g", "score", "id", 1.0 / 3)
+      .where(col("kept") === 1).select("id").as[Long].collect().toSet
+    assert(k2 === Set(0L, 1L, 2L))
+  }
+
+  test("diversityStats: hand-computed vocabularies, empty and 1-token docs") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a", "x y x"),       // tokens 3, bigrams: "x y","y x"
+      (2L, "a", "x"),           // 1 token, 0 bigrams
+      (3L, "a", "  "),          // empty after trim
+      (4L, "b", "p q p q"))     // tokens 4, bigrams "p q","q p","p q"
+      .toDF("doc_id", "src", "text")
+    val out = CorpusPrep.diversityStats(df, "text", "src", "doc_id")
+      .orderBy("src").collect()
+    val aRow = out(0); val bRow = out(1)
+    assert(aRow.getString(0) === "a")
+    assert((aRow.getLong(1), aRow.getLong(2), aRow.getLong(3)) === ((3L, 4L, 2L)))
+    assert((aRow.getLong(4), aRow.getLong(5)) === ((2L, 2L)))   // {x,y}; {"x y","y x"}
+    assert(aRow.getDouble(6) === 0.5)                            // 2/4
+    assert(aRow.getDouble(7) === 1.0)                            // 2/2
+    assert((bRow.getLong(1), bRow.getLong(2), bRow.getLong(3)) === ((1L, 4L, 3L)))
+    assert((bRow.getLong(4), bRow.getLong(5)) === ((2L, 2L)))   // {p,q}; {"p q","q p"}
+    assert(bRow.getDouble(6) === 0.5)
+    assert(bRow.getDouble(7) === math.rint(2.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("hybridTopK: fused ranks agree with the two retrievers run alone") {
+    val s = spark; import s.implicits._
+    graft.plans.CosineSimilarity.register(s)
+    val docs = Seq(
+      (0L, "data merge window data"),
+      (1L, "data only here"),
+      (2L, "window window merge"),
+      (3L, "nothing relevant at all"),
+      (4L, "merge data")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.8f, 0.2f)), (4L, Seq(-1f, 0f)), (7L, Seq(1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val fused = CorpusPrep.hybridTopK(docs, "text", "doc_id",
+      embs, "embedding", "vec_id", Seq("data", "merge", "window"),
+      embs.where(col("vec_id") === 7L), k = 6, nCand = 4, native = true)
+      .collect()
+    // doc 3 has no query terms -> bm25_rank null but a dense rank
+    val d3 = fused.find(_.getLong(0) == 3L).get
+    assert(d3.isNullAt(1) && !d3.isNullAt(2))
+    // every fused score is the sum of its two rank reciprocals
+    fused.foreach { r =>
+      val exp = (Option(r.get(1)).map(v => 1.0 / (60 + v.asInstanceOf[Int]))
+        .getOrElse(0.0)) +
+        (Option(r.get(2)).map(v => 1.0 / (60 + v.asInstanceOf[Int]))
+          .getOrElse(0.0))
+      assert(r.getDouble(3) === math.rint(exp * 1e6) / 1e6, s"row $r")
+    }
+    // descending by fused score
+    val scores = fused.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
