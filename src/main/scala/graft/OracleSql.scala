@@ -2069,6 +2069,49 @@ object OracleSql {
             + coalesce(1.0 / (60.0 + dense_rank), 0.0), 6) AS rrf
       FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
 
+    // q151: MMR rerank — the q35 cosine retrieval feeds an UNROLLED
+    // 5-stage greedy: each stage picks argmax(0.5*rel - 0.5*maxsim) with
+    // id tiebreak, then folds the pick's similarity into the running max.
+    // lambda = 0.5 keeps 1-lambda exactly representable, so the stage
+    // scores are bit-identical across engines
+    "q151_mmr_rerank" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qv AS (SELECT v AS q FROM e WHERE vec_id = 7),
+      cs AS (SELECT vec_id AS cid, v, list_cosine_similarity(v, q) AS rel
+             FROM e, qv WHERE vec_id <> 7),
+      cand AS (SELECT cid, v, rel FROM
+        (SELECT cid, v, rel, row_number() OVER (ORDER BY rel DESC, cid) AS rn
+         FROM cs) WHERE rn <= 15),
+      s1 AS (SELECT cid, v, rel, 0.5 * rel AS mmr FROM cand
+             ORDER BY mmr DESC, cid LIMIT 1),
+      r1 AS (SELECT c.cid, c.v, c.rel, list_cosine_similarity(c.v, s.v) AS ms
+             FROM cand c, s1 s WHERE c.cid <> s.cid),
+      s2 AS (SELECT cid, v, rel, 0.5 * rel - 0.5 * ms AS mmr FROM r1
+             ORDER BY mmr DESC, cid LIMIT 1),
+      r2 AS (SELECT r.cid, r.v, r.rel,
+               greatest(r.ms, list_cosine_similarity(r.v, s.v)) AS ms
+             FROM r1 r, s2 s WHERE r.cid <> s.cid),
+      s3 AS (SELECT cid, v, rel, 0.5 * rel - 0.5 * ms AS mmr FROM r2
+             ORDER BY mmr DESC, cid LIMIT 1),
+      r3 AS (SELECT r.cid, r.v, r.rel,
+               greatest(r.ms, list_cosine_similarity(r.v, s.v)) AS ms
+             FROM r2 r, s3 s WHERE r.cid <> s.cid),
+      s4 AS (SELECT cid, v, rel, 0.5 * rel - 0.5 * ms AS mmr FROM r3
+             ORDER BY mmr DESC, cid LIMIT 1),
+      r4 AS (SELECT r.cid, r.v, r.rel,
+               greatest(r.ms, list_cosine_similarity(r.v, s.v)) AS ms
+             FROM r3 r, s4 s WHERE r.cid <> s.cid),
+      s5 AS (SELECT cid, v, rel, 0.5 * rel - 0.5 * ms AS mmr FROM r4
+             ORDER BY mmr DESC, cid LIMIT 1),
+      sel AS (SELECT cid, rel, mmr, 1 AS k FROM s1
+        UNION ALL SELECT cid, rel, mmr, 2 FROM s2
+        UNION ALL SELECT cid, rel, mmr, 3 FROM s3
+        UNION ALL SELECT cid, rel, mmr, 4 FROM s4
+        UNION ALL SELECT cid, rel, mmr, 5 FROM s5)
+      SELECT cid AS vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr,
+        CAST(k AS INT) AS mmr_rank
+      FROM sel ORDER BY mmr_rank""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

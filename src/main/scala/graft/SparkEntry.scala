@@ -2562,6 +2562,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MMR diversified rerank ([[Similarity.mmrRerank]], Carbonell &
+    * Goldstein 1998): the post-retrieval diversification step — from
+    * the exact-cosine top-15 for one query, greedily select 5
+    * maximizing `0.5·rel − 0.5·max-sim-to-selected`. lambda = 0.5 keeps
+    * `1 − lambda` exactly representable so both engines score
+    * identically; ties break on the smaller id at every step. The
+    * greedy is driver-side over the METADATA-SIZED candidate list (the
+    * corpus-scale work happened in the retriever); the oracle unrolls
+    * all five selection stages relationally. */
+  def q151_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    val e = embeddings(s, dir)
+    val cands = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 7),
+        "embedding", "vec_id", 15, native = true)
+      .join(e.select(col("vec_id").as("id"), col("embedding")), "id")
+    Similarity.mmrRerank(s, cands, "id", "cosine", "embedding",
+        k = 5, lambda = 0.5)
+      .select(col("id").as("vec_id"), round(col("cosine"), 6).as("rel"),
+        round(col("mmr"), 6).as("mmr"), col("mmr_rank"))
+      .orderBy(col("mmr_rank"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3451,6 +3473,7 @@ object SparkEntry {
     "q148_hybrid_rrf" -> (q148_hybrid_rrf _),
     "q149_quantile_prune" -> (q149_quantile_prune _),
     "q150_diversity_stats" -> (q150_diversity_stats _),
+    "q151_mmr_rerank" -> (q151_mmr_rerank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -713,4 +713,93 @@ object Similarity {
     else topKPerQuery(
       rerankExact(adc, corpus, queries, vecCol, idCol, rerank), k)
   }
+
+  /** The exact double cosine the native kernel computes
+    * ([[graft.plans.CosineSimilarity]] — floats upcast per element,
+    * sequential accumulation, `dot / (sqrt(nx)·sqrt(ny))`), for
+    * driver-side reranking math that must agree bit-for-bit with the
+    * distributed scoring. */
+  private def cosineExact(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): from
+    * a TOP-N retrieval result, greedily select `k` items maximizing
+    * `lambda·rel − (1−lambda)·max_{s∈selected} cos(item, s)` — the
+    * standard post-retrieval diversification step (near-duplicate
+    * results stop crowding the final ranking). The first pick maximizes
+    * `lambda·rel` alone (empty selected set contributes 0); ties break
+    * on the smaller id at every step, so the selection is fully
+    * deterministic and an oracle can replay it stage by stage.
+    *
+    * The greedy recurrence is inherently sequential, and `candidates` is
+    * a top-N retrieval OUTPUT — metadata-sized by construction (the
+    * corpus-scale work already happened inside the retriever). So this
+    * runs on the driver over the collected candidate set, the same
+    * bounded-driver-work discipline as the broadcast PQ codebooks: never
+    * hand this a corpus-sized frame (the require bounds it). Pairwise
+    * similarities use [[cosineExact]] — bit-identical to the distributed
+    * kernel's scoring.
+    *
+    * Pass `lambda` as an exactly-representable double (0.5, 0.25, …) if
+    * an external system must reproduce `1 − lambda` bit-for-bit.
+    *
+    * Output: one row per selected item — id (as `idCol`), its input
+    * relevance, its MMR score at selection time, and `mmr_rank`. */
+  def mmrRerank(spark: SparkSession, candidates: DataFrame, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5, maxCandidates: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        col(vecCol))
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank is a driver-side rerank over a top-N retrieval result " +
+        s"(got ${rows.length} rows, cap $maxCandidates) — rerank a " +
+        "bounded candidate list, not a corpus")
+    case class Cand(id: Long, rel: Double, vec: Array[Float])
+    val cands = rows.map { r =>
+      val vec = r.getSeq[Float](2).toArray
+      Cand(r.getLong(0), r.getDouble(1), vec)
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c.id -> c): _*)
+    // max similarity to the selected set; ABSENT until the first pick —
+    // an empty selected set contributes 0, but a populated one may
+    // contribute a NEGATIVE max (anti-correlated vectors), which must
+    // not clamp at 0
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Double]
+    def penalty(id: Long): Double = maxSim.getOrElse(id, 0.0)
+    val picked = Seq.newBuilder[(Long, Double, Double, Int)]
+    var rank = 1
+    while (rank <= math.min(k, cands.length)) {
+      val best = remaining.values.minBy { c =>
+        // maximize score, then smaller id: negate for minBy ordering
+        (-(lambda * c.rel - (1.0 - lambda) * penalty(c.id)), c.id)
+      }
+      val score = lambda * best.rel - (1.0 - lambda) * penalty(best.id)
+      picked += ((best.id, best.rel, score, rank))
+      remaining.remove(best.id)
+      remaining.valuesIterator.foreach { c =>
+        val s = cosineExact(c.vec, best.vec)
+        maxSim.get(c.id) match {
+          case Some(prev) => if (s > prev) maxSim(c.id) = s
+          case None       => maxSim(c.id) = s
+        }
+      }
+      rank += 1
+    }
+    val sI = spark; import sI.implicits._
+    picked.result().toDF(idCol, relCol, "mmr", "mmr_rank")
+  }
 }

@@ -507,4 +507,47 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.forall(_._2.length === 4),
       "means must come only from well-formed vectors")
   }
+
+  test("mmrRerank diversifies: the near-duplicate of the top pick defers") {
+    import spark.implicits._
+    // 10 and 11 are near-identical and most relevant; 20 is orthogonal
+    // with lower relevance. Pure relevance order: 10, 11, 20. MMR must
+    // pick 10, then 20 (11's sim-to-10 penalty sinks it), then 11.
+    val cands = Seq(
+      (10L, 0.99, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, 0.98, Seq(0.999f, 0.04f, 0.0f)),
+      (20L, 0.60, Seq(0.0f, 1.0f, 0.0f))).toDF("id", "rel", "vec")
+    val out = Similarity.mmrRerank(spark, cands, "id", "rel", "vec", k = 3)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 20L, 11L))
+    // stage scores: rank1 = 0.5*rel; later = 0.5*rel - 0.5*maxsim
+    assert(out(0).getDouble(2) === 0.5 * 0.99)
+    val sim2010 = 0.0 // orthogonal
+    assert(out(1).getDouble(2) === 0.5 * 0.60 - 0.5 * sim2010)
+    assert(out(2).getDouble(2) < 0.5 * 0.98 - 0.4,
+      "the near-duplicate must carry a large similarity penalty")
+    // ties break on id: two identical candidates pick the smaller first
+    val tied = Seq(
+      (5L, 0.9, Seq(1.0f, 0.0f)), (3L, 0.9, Seq(1.0f, 0.0f)))
+      .toDF("id", "rel", "vec")
+    val t = Similarity.mmrRerank(spark, tied, "id", "rel", "vec", k = 2)
+      .orderBy("mmr_rank").collect()
+    assert(t.map(_.getLong(0)).toSeq === Seq(3L, 5L))
+    // k beyond the list returns the whole list; the corpus-cap guard fires
+    assert(Similarity.mmrRerank(spark, tied, "id", "rel", "vec", k = 99)
+      .count() === 2)
+    // a NEGATIVE max-similarity is a bonus, never clamped at zero
+    val anti = Seq(
+      (1L, 0.9, Seq(1.0f, 0.0f)), (2L, 0.1, Seq(-1.0f, 0.0f)))
+      .toDF("id", "rel", "vec")
+    val a = Similarity.mmrRerank(spark, anti, "id", "rel", "vec", k = 2)
+      .orderBy("mmr_rank").collect()
+    assert(a(1).getDouble(2) === 0.5 * 0.1 - 0.5 * -1.0)
+    val big = (0L until 50L).map(i => (i, 0.5, Seq(i.toFloat))).toDF("id", "rel", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(spark, big, "id", "rel", "vec", k = 2,
+        maxCandidates = 10)
+    }
+    assert(ex.getMessage.contains("bounded candidate list"))
+  }
 }
