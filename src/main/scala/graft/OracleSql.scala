@@ -2112,6 +2112,47 @@ object OracleSql {
         CAST(k AS INT) AS mmr_rank
       FROM sel ORDER BY mmr_rank""",
 
+    // q152: JL random projection — the ±1 sign matrix re-derived from the
+    // portable integer hash, the same sequential left fold, division by
+    // sqrt(outDim) (NOT multiplication by its reciprocal — different
+    // doubles), floor-micros output
+    "q152_random_projection" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      js AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j),
+      p AS (SELECT vec_id, j,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(0, len(v)), i ->
+            (CASE WHEN (((i * 131 + j) * 2654435761 + 104729)
+                        % 1000000007) % 2 = 0
+                  THEN -1.0 ELSE 1.0 END) * v[CAST(i + 1 AS INT)])),
+          (acc, x) -> acc + x) / sqrt(CAST(8 AS DOUBLE)) AS pj
+        FROM e, js)
+      SELECT vec_id, CAST(j AS INT) AS dim_idx,
+        CAST(floor(pj * 1000000.0) AS BIGINT) AS proj_micros
+      FROM p ORDER BY vec_id, dim_idx""",
+
+    // q153: vocabulary coverage — exact top-50 term counts with the
+    // (count desc, term asc) boundary, per-doc OOV via a left join;
+    // empty docs kept at 0/0
+    "q153_vocab_oov" -> """
+      WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+      tok AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS w
+              FROM d WHERE t <> ''),
+      vc AS (SELECT w AS term, count(*) AS c FROM tok GROUP BY w
+             ORDER BY c DESC, term LIMIT 50),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN vc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov
+        FROM tok LEFT JOIN vc ON tok.w = vc.term GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov,
+        CASE WHEN coalesce(agg.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(CAST(agg.n_oov AS DOUBLE) / agg.n_tokens
+                             * 1000000.0) AS BIGINT) END AS oov_micros
+      FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

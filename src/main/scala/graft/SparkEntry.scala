@@ -2584,6 +2584,35 @@ object SparkEntry {
       .orderBy(col("mmr_rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection
+    * ([[graft.functions.VectorFunctions.randomProject]], Achlioptas ±1
+    * signs): 64-dim embeddings compressed to 8 dims — the cheap
+    * first-stage compression before SQ8/PQ. The sign matrix derives from
+    * an engine-portable integer hash (no overflow wrap), the sum is a
+    * sequential left fold, and the output compares as floor-micros, so
+    * the oracle replays every bit. Pure map over rows. */
+  def q152_random_projection(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions
+          .randomProject(col("embedding"), 8)))
+      .select(col("vec_id"), col("pos").cast("int").as("dim_idx"),
+        floor(col("col") * lit(1000000.0)).cast("long").as("proj_micros"))
+      .orderBy(col("vec_id"), col("dim_idx"))
+
+  /** Vocabulary coverage ([[CorpusPrep.vocabulary]] +
+    * [[CorpusPrep.oovStats]]): the top-50 exact-frequency vocabulary
+    * (deterministic boundary: count desc, term asc) and each document's
+    * out-of-vocabulary rate against it — the tokenizer-coverage signal.
+    * Every doc returns (empty docs report 0/0). One term-count shuffle +
+    * a broadcast vocab join + one doc-keyed agg. */
+  def q153_vocab_oov(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    CorpusPrep.oovStats(docs, "text", "doc_id",
+        CorpusPrep.vocabulary(docs, "text", topV = 50))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3474,6 +3503,8 @@ object SparkEntry {
     "q149_quantile_prune" -> (q149_quantile_prune _),
     "q150_diversity_stats" -> (q150_diversity_stats _),
     "q151_mmr_rerank" -> (q151_mmr_rerank _),
+    "q152_random_projection" -> (q152_random_projection _),
+    "q153_vocab_oov" -> (q153_vocab_oov _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

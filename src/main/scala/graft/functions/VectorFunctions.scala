@@ -85,6 +85,36 @@ object VectorFunctions {
     sqrt(aggregate(sq, lit(0.0), (acc, v) => acc + v))
   }
 
+  /** Johnson–Lindenstrauss random projection with a SIGN matrix
+    * (Achlioptas 2003, the database-friendly ±1 construction):
+    * `out_j = (Σ_i s(i,j)·v_i) / sqrt(outDim)` with `s(i,j) ∈ {−1,+1}`
+    * drawn from the ENGINE-PORTABLE integer hash
+    * `((i·131 + j)·2654435761 + 104729) mod 1e9+7 mod 2` — exact 64-bit
+    * arithmetic with no overflow wrap (ANSI engines refuse wrapping
+    * multiplies; the SplitMix finalizer used for the LSH hyperplanes is
+    * deliberately NOT reused here, it needs wrapping 64-bit semantics an
+    * oracle can't replay). Pairwise distances are preserved in
+    * expectation with ~1/sqrt(outDim) distortion — the cheap first-stage
+    * compression before SQ8/PQ when raw dims are wide.
+    *
+    * Pure map-side column, O(dim·outDim) per row; the inner sum is a
+    * sequential left fold so the double arithmetic is bit-reproducible.
+    * Empty input projects to an empty array; null propagates. */
+  def randomProject(vec: Column, outDim: Int): Column = {
+    require(outDim > 0, "outDim must be positive")
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        sequence(lit(0), size(vec) - 1), lit(0.0),
+        (acc, i) => {
+          val h = ((i.cast("long") * lit(131L) + j.cast("long")) *
+            lit(2654435761L) + lit(104729L)) % lit(1000000007L)
+          val s = when(h % lit(2L) === 0L, lit(-1.0)).otherwise(lit(1.0))
+          acc + s * element_at(vec, (i + 1).cast("int")).cast("double")
+        }) / sqrt(lit(outDim.toDouble)))
+    when(size(vec) >= 1, proj)
+      .otherwise(array().cast("array<double>"))
+  }
+
   /** Deterministic pseudo-random weight in [-0.5, 0.5).
     *
     * Full SplitMix64-style finalizer (Steele et al., "Fast splittable

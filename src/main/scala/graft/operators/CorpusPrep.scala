@@ -799,6 +799,50 @@ object CorpusPrep {
       pageOk.cast("int").as("c4_pass"))
   }
 
+  // ---- vocabulary / out-of-vocabulary rate ------------------------------
+
+  /** Top-`topV` corpus vocabulary by exact token frequency (lowercased
+    * whitespace tokens), ties at the boundary broken lexicographically —
+    * fully deterministic, so the cut is replayable. Scale shape: one
+    * (term)-keyed count shuffle (vocabulary-bounded output) + TakeOrdered
+    * top-V; the corpus never sorts. */
+  def vocabulary(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    require(topV > 0, "topV must be positive")
+    docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(topV)
+  }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary table (the
+    * tokenizer-coverage signal: how much of each doc a fixed vocab fails
+    * to cover). Every doc returns — empty docs report 0/0 with rate 0.
+    * Rate is emitted as floor-micros (the fixed-point compare
+    * discipline). Scale shape: the vocabulary is broadcast (top-V is
+    * metadata-sized by construction); one doc-keyed partial agg; the
+    * docs-side reattach keeps empty docs visible. */
+  def oovStats(docs: DataFrame, textCol: String, idCol: String,
+               vocab: DataFrame, termCol: String = "term"): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+    val joined = terms.join(
+      broadcast(vocab.select(col(termCol).as("__t"), lit(1).as("__in"))),
+      Seq("__t"), "left")
+    val agg = joined.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_micros",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(col("n_oov").cast("double") / col("n_tokens")
+            * lit(1000000.0)).cast("long")))
+  }
+
   // ---- hybrid retrieval: reciprocal-rank fusion ------------------------
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine

@@ -640,6 +640,36 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(bRow.getDouble(7) === math.rint(2.0 / 3 * 1e6) / 1e6)
   }
 
+  test("vocabulary boundary is deterministic; oovStats keeps empty docs") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "aa aa aa bb bb cc"),
+      (2L, "bb cc dd"),
+      (3L, "  "),
+      (4L, "zz")).toDF("doc_id", "text")
+    // counts: aa=3 bb=3 cc=2 dd=1 zz=1 — topV=3 cuts inside the
+    // (cc=2 vs nothing) and the dd/zz=1 tie would cut lexicographically
+    val v3 = CorpusPrep.vocabulary(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(v3 === Seq(("aa", 3L), ("bb", 3L), ("cc", 2L)))
+    val v4 = CorpusPrep.vocabulary(df, "text", 4)
+      .as[(String, Long)].collect().toSeq
+    assert(v4.last === (("dd", 1L)), "count tie breaks lexicographically")
+    val oov = CorpusPrep.oovStats(df, "text", "doc_id",
+        CorpusPrep.vocabulary(df, "text", 3))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(oov === Seq(
+      (1L, 6L, 0L, 0L),
+      (2L, 3L, 1L, 333333L),       // dd is OOV: floor(1/3 * 1e6)
+      (3L, 0L, 0L, 0L),            // empty doc present at 0/0
+      (4L, 1L, 1L, 1000000L)))
+    // the vocab side broadcasts
+    val plan = CorpusPrep.oovStats(df, "text", "doc_id",
+      CorpusPrep.vocabulary(df, "text", 3)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+  }
+
   test("hybridTopK: fused ranks agree with the two retrievers run alone") {
     val s = spark; import s.implicits._
     graft.plans.CosineSimilarity.register(s)

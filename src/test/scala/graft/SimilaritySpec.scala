@@ -550,4 +550,51 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("bounded candidate list"))
   }
+
+  test("randomProject: exact Scala-reference parity, JL distortion, map-side") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // NOT sin(i*24+j): that family spans a rank-2 subspace (angle-sum
+    // identity) and says nothing about distortion; square the phase for
+    // a full-rank fixture
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(24) { j =>
+        val t = (i * 24 + j + 1).toDouble
+        math.sin(t * t * 0.7).toFloat
+      })
+    }
+    val df = vecs.toDF("id", "vec")
+    val outDim = 8
+    val got = df.select(col("id"),
+        VectorFunctions.randomProject(col("vec"), outDim).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // reference: same hash rule, same sequential fold, same division
+    def signRef(i: Int, j: Int): Double =
+      if ((((i.toLong * 131 + j) * 2654435761L + 104729L) % 1000000007L)
+          % 2 == 0) -1.0 else 1.0
+    val want = vecs.map { case (id, v) =>
+      id -> (0 until outDim).map { j =>
+        var acc = 0.0
+        for (i <- v.indices) acc += signRef(i, j) * v(i).toDouble
+        acc / math.sqrt(outDim.toDouble)
+      }
+    }.toMap
+    vecs.foreach { case (id, _) =>
+      assert(got(id) === want(id), s"vector $id") }
+    // JL property: mean pairwise distance ratio near 1 on the fixture
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for (x <- 0L until 20L; y <- (x + 1) until 20L) yield
+      l2(got(x), got(y)) / l2(orig(x), orig(y))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+    // empty vector -> empty projection; map-side only
+    val empty = Seq((1L, Seq.empty[Float])).toDF("id", "vec")
+      .select(VectorFunctions.randomProject(col("vec"), 4)).head().getSeq[Double](0)
+    assert(empty.isEmpty)
+    val plan = df.select(VectorFunctions.randomProject(col("vec"), 4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be map-side:\n$plan")
+  }
 }
