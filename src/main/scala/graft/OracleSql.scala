@@ -2153,6 +2153,55 @@ object OracleSql {
       FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
       ORDER BY d.doc_id""",
 
+    // q154: cross-source overlap — the q95 5-shingle construction per
+    // lang, distinct'd, gram-joined pairwise, full matrix incl. zero
+    // pairs, Jaccard as floor-micros
+    "q154_source_overlap" -> """
+      WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents WHERE trim(text) <> ''),
+      s AS (SELECT lang,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 3), i ->
+               array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))
+        END AS sh
+        FROM t),
+      g AS (SELECT DISTINCT lang, gram FROM
+        (SELECT lang, unnest(sh) AS gram FROM s) WHERE gram <> ''),
+      sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY lang),
+      cm AS (SELECT a.lang AS source_a, b.lang AS source_b,
+               CAST(count(*) AS BIGINT) AS common
+             FROM g a JOIN g b ON a.gram = b.gram AND a.lang < b.lang
+             GROUP BY 1, 2),
+      p AS (SELECT a.lang AS source_a, b.lang AS source_b,
+              a.n AS grams_a, b.n AS grams_b
+            FROM sz a, sz b WHERE a.lang < b.lang)
+      SELECT p.source_a, p.source_b, p.grams_a, p.grams_b,
+        CAST(coalesce(cm.common, 0) AS BIGINT) AS common_grams,
+        CAST(floor(CAST(coalesce(cm.common, 0) AS DOUBLE)
+          / (p.grams_a + p.grams_b - coalesce(cm.common, 0))
+          * 1000000.0) AS BIGINT) AS jaccard_micros
+      FROM p LEFT JOIN cm
+        ON p.source_a = cm.source_a AND p.source_b = cm.source_b
+      ORDER BY p.source_a, p.source_b""",
+
+    // q155: leakage-safe split — the mixture md5 threshold rule for
+    // membership (0.1 -> 0x19999999), the q30 normalized fingerprint for
+    // exact-duplicate leaks from test back into train
+    "q155_leakage_split" -> """
+      WITH fp AS (SELECT doc_id,
+          md5(array_to_string(
+            string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f,
+          CASE WHEN substring(md5('7:test:' || CAST(doc_id AS VARCHAR)),
+                              1, 8) < '19999999'
+               THEN 'test' ELSE 'train' END AS split
+        FROM documents),
+      t AS (SELECT DISTINCT f FROM fp WHERE split = 'test')
+      SELECT fp.doc_id, fp.split,
+        CAST(CASE WHEN fp.split = 'train' AND t.f IS NOT NULL
+             THEN 1 ELSE 0 END AS INT) AS leaked
+      FROM fp LEFT JOIN t ON fp.f = t.f
+      ORDER BY fp.doc_id""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

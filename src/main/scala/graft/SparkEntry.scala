@@ -2613,6 +2613,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source OVERLAP matrix ([[CorpusPrep.sourceOverlap]]):
+    * pairwise 5-shingle Jaccard between the language slices — the
+    * "are these two slices really one corpus" signal read before
+    * weighting a mixture. The pair join keys on the gram with at most
+    * |groups| rows per key; the matrix assembly is groups²-sized. */
+  def q154_source_overlap(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.sourceOverlap(documents(s, dir), "text", "lang", k = 5)
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** LEAKAGE-safe split ([[CorpusPrep.leakageSafeSplit]]): deterministic
+    * 90/10 train/test assignment by the portable md5 threshold rule,
+    * then every train doc whose normalized fingerprint also appears in
+    * test is flagged — the doc an honest eval must drop from train.
+    * Split is a pure map; leak detection shuffles fingerprints only. */
+  def q155_leakage_split(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.leakageSafeSplit(documents(s, dir), "text", "doc_id",
+        testFrac = 0.1, seed = 7L)
+      .orderBy(col("doc_id"))
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3505,6 +3524,8 @@ object SparkEntry {
     "q151_mmr_rerank" -> (q151_mmr_rerank _),
     "q152_random_projection" -> (q152_random_projection _),
     "q153_vocab_oov" -> (q153_vocab_oov _),
+    "q154_source_overlap" -> (q154_source_overlap _),
+    "q155_leakage_split" -> (q155_leakage_split _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -843,6 +843,84 @@ object CorpusPrep {
             * lit(1000000.0)).cast("long")))
   }
 
+  // ---- cross-source overlap matrix ---------------------------------------
+
+  /** Pairwise k-shingle overlap between corpus slices — "how much does
+    * source A duplicate source B" — the cross-SOURCE complement of
+    * [[diversityStats]] and the signal to read before [[mixture]] weights
+    * two slices that are really one. Every unordered pair returns
+    * (grams_a, grams_b, common, Jaccard as floor-micros), including
+    * zero-overlap pairs.
+    *
+    * Scale shape: shingles distinct per (group, gram) — vocabulary-
+    * bounded; the pair join keys on the gram with at most |groups| rows
+    * per key (posting lists are per-GROUP after the distinct, so the join
+    * volume is bounded by grams × groups², never corpus²); the explicit
+    * gram repartition before the self-join's per-side renames makes the
+    * distinct's exchange reusable instead of recomputed. The final
+    * matrix assembly is groups²-sized — metadata. */
+  def sourceOverlap(docs: DataFrame, textCol: String, groupCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val grams = docs
+      .select(col(groupCol),
+        explode(TextFunctions.shingles(col(textCol), k)).as("__g"))
+      .where(col("__g") =!= "")
+      .distinct()
+      .repartition(col("__g"))
+    val sizes = grams.groupBy(col(groupCol)).agg(count(lit(1)).as("__sz"))
+    val common = grams.select(col(groupCol).as("source_a"), col("__g"))
+      .join(grams.select(col(groupCol).as("source_b"), col("__g")), Seq("__g"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("common_grams"))
+    val pairs = sizes
+      .select(col(groupCol).as("source_a"), col("__sz").as("grams_a"))
+      .crossJoin(
+        sizes.select(col(groupCol).as("source_b"), col("__sz").as("grams_b")))
+      .where(col("source_a") < col("source_b"))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("grams_a"),
+        col("grams_b"),
+        coalesce(col("common_grams"), lit(0L)).as("common_grams"))
+      .withColumn("jaccard_micros",
+        floor(col("common_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("common_grams"))
+          * lit(1000000.0)).cast("long"))
+  }
+
+  // ---- leakage-safe train/test split -------------------------------------
+
+  /** Deterministic train/test split with EXACT-duplicate leak detection:
+    * assignment by the engine-portable md5 threshold rule ([[mixture]]'s
+    * sampling hash, so an oracle replays membership), then every train
+    * doc whose normalized text fingerprint also appears in the test
+    * slice is flagged `leaked` — the doc an evaluation-honest pipeline
+    * must drop from train (or the eval numbers measure memorization).
+    * Every doc returns with (split, leaked) — the auditable-gate shape.
+    *
+    * Scale shape: split assignment is a pure map; leak detection is one
+    * fingerprint-keyed join where only 16-byte-ish fingerprints shuffle
+    * (the [[graft.operators.Dedup.exact]] discipline), never the text. */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+                       testFrac: Double, seed: Long): DataFrame = {
+    require(testFrac > 0.0 && testFrac < 1.0,
+      s"testFrac must be in (0, 1), got $testFrac")
+    val threshold = f"${math.floor(testFrac * 4294967296.0).toLong}%08x"
+    val withFp = docs.select(col(idCol),
+        TextFunctions.normalizedFingerprint(col(textCol)).as("__fp"))
+      .withColumn("split",
+        when(substring(md5(concat_ws(":", lit(seed.toString), lit("test"),
+          col(idCol).cast("string"))), 1, 8) < lit(threshold), lit("test"))
+          .otherwise(lit("train")))
+    val testFps = withFp.where(col("split") === "test")
+      .select(col("__fp")).distinct().withColumn("__leak", lit(1))
+    withFp.join(testFps, Seq("__fp"), "left")
+      .select(col(idCol), col("split"),
+        (col("split") === "train" && col("__leak").isNotNull)
+          .cast("int").as("leaked"))
+  }
+
   // ---- hybrid retrieval: reciprocal-rank fusion ------------------------
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine

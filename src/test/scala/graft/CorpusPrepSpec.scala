@@ -670,6 +670,48 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
   }
 
+  test("sourceOverlap: hand-computed matrix including the zero pair") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a", "w1 w2 w3 w4"),     // shingles(3): "w1 w2 w3","w2 w3 w4"
+      (2L, "a", "w1 w2 w3"),        // "w1 w2 w3" (dup within group -> distinct)
+      (3L, "b", "w2 w3 w4 w5"),     // "w2 w3 w4","w3 w4 w5"
+      (4L, "c", "x y z"))           // "x y z" — overlaps nothing
+      .toDF("doc_id", "src", "text")
+    val out = CorpusPrep.sourceOverlap(df, "text", "src", k = 3)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // a={w123,w234} b={w234,w345} c={xyz}
+    assert(out === Seq(
+      ("a", "b", 2L, 2L, 1L, 333333L),   // floor(1/3 * 1e6)
+      ("a", "c", 2L, 1L, 0L, 0L),
+      ("b", "c", 2L, 1L, 0L, 0L)))
+  }
+
+  test("leakageSafeSplit: train twins of test docs flagged, nothing else") {
+    val s = spark; import s.implicits._
+    // several duplicate groups: across whatever split the hash picks,
+    // a train doc is leaked IFF its fingerprint appears in test
+    val df = (0L until 120L).map(i => (i, s"shared text ${i % 12}"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.leakageSafeSplit(df, "text", "doc_id", 0.3, seed = 5L)
+      .as[(Long, String, Int)].collect()
+    assert(out.length === 120, "every doc returns")
+    val splitOf = out.map(r => r._1 -> r._2).toMap
+    val testGroups = (0L until 120L)
+      .filter(i => splitOf(i) == "test").map(_ % 12).toSet
+    assert(testGroups.nonEmpty && testGroups.size < 12,
+      s"fixture must split groups across the boundary: $testGroups")
+    out.foreach { case (id, split, leaked) =>
+      val expect = split == "train" && testGroups.contains(id % 12)
+      assert(leaked === (if (expect) 1 else 0), s"doc $id ($split)")
+    }
+    // deterministic: same seed, same membership
+    val again = CorpusPrep.leakageSafeSplit(df, "text", "doc_id", 0.3, 5L)
+      .as[(Long, String, Int)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("hybridTopK: fused ranks agree with the two retrievers run alone") {
     val s = spark; import s.implicits._
     graft.plans.CosineSimilarity.register(s)
