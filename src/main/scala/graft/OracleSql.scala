@@ -2202,6 +2202,39 @@ object OracleSql {
       FROM fp LEFT JOIN t ON fp.f = t.f
       ORDER BY fp.doc_id""",
 
+    // q156: per-dim embedding stats — floor-micros BEFORE aggregation so
+    // min/max/sum are exact longs in any order
+    "q156_dim_stats" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ix AS (SELECT vec_id, v,
+               CAST(unnest(range(0, len(v))) AS BIGINT) AS d FROM e),
+      px AS (SELECT d,
+               CAST(floor(v[CAST(d + 1 AS INT)] * 1000000.0) AS BIGINT) AS m
+             FROM ix)
+      SELECT CAST(d AS INT) AS dim_idx, CAST(count(*) AS BIGINT) AS n,
+        CAST(min(m) AS BIGINT) AS min_micros,
+        CAST(max(m) AS BIGINT) AS max_micros,
+        CAST(sum(m) AS BIGINT) AS sum_micros
+      FROM px GROUP BY d ORDER BY dim_idx""",
+
+    // q157: unit-L2 normalization — the sequential square fold, the
+    // sqrt, and each per-element division replayed; floor-micros
+    "q157_l2_normalize" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 100),
+      nm AS (SELECT vec_id, v,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             FROM e),
+      ix AS (SELECT vec_id,
+               CAST(unnest(range(0, len(v))) AS BIGINT) AS d, v, nrm
+             FROM nm)
+      SELECT vec_id, CAST(d AS INT) AS dim_idx,
+        CAST(floor(CASE WHEN nrm = 0 THEN v[CAST(d + 1 AS INT)]
+                        ELSE v[CAST(d + 1 AS INT)] / nrm END
+                   * 1000000.0) AS BIGINT) AS unit_micros
+      FROM ix ORDER BY vec_id, dim_idx""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -2632,6 +2632,31 @@ object SparkEntry {
         testFrac = 0.1, seed = 7L)
       .orderBy(col("doc_id"))
 
+  /** Per-dimension embedding STATS ([[Similarity.dimStats]]): the
+    * QA/normalization report before training quantizers. Fixed-point
+    * floor-micros BEFORE aggregation, so min/max/sum are exact longs in
+    * any aggregation order — no double-sum order sensitivity, no
+    * decimal-from-double casts. One explode + one dim-keyed agg. */
+  def q156_dim_stats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(embeddings(s, dir), "embedding")
+      .orderBy(col("dim_idx"))
+
+  /** Unit-L2 NORMALIZATION
+    * ([[graft.functions.VectorFunctions.l2Normalize]]): cosine becomes a
+    * dot product downstream. The norm binds once (single-element
+    * transform trick — interpreted HOFs re-evaluate free references per
+    * element); the oracle replays the fold, the sqrt, and each division,
+    * compared as floor-micros. Pure map over rows. */
+  def q157_l2_normalize(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .where(col("vec_id") < 100)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions
+          .l2Normalize(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("int").as("dim_idx"),
+        floor(col("col") * lit(1000000.0)).cast("long").as("unit_micros"))
+      .orderBy(col("vec_id"), col("dim_idx"))
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3526,6 +3551,8 @@ object SparkEntry {
     "q153_vocab_oov" -> (q153_vocab_oov _),
     "q154_source_overlap" -> (q154_source_overlap _),
     "q155_leakage_split" -> (q155_leakage_split _),
+    "q156_dim_stats" -> (q156_dim_stats _),
+    "q157_l2_normalize" -> (q157_l2_normalize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

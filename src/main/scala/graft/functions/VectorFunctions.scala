@@ -115,6 +115,20 @@ object VectorFunctions {
       .otherwise(array().cast("array<double>"))
   }
 
+  /** Unit-L2 normalization — the standard pre-ANN step (cosine becomes a
+    * dot product; IVF/PQ codebooks train on comparable magnitudes). The
+    * norm is a sequential left fold bound ONCE via the single-element
+    * transform trick (a bare reference inside the per-element lambda
+    * would re-reduce the whole vector per element — interpreted HOFs do
+    * no CSE). All-zero and empty vectors normalize to themselves; null
+    * propagates. Pure map-side. */
+  def l2Normalize(vec: Column): Column =
+    element_at(transform(array(
+      sqrt(aggregate(vec, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))), n =>
+      when(n === 0.0, transform(vec, x => x.cast("double")))
+        .otherwise(transform(vec, x => x.cast("double") / n))), 1)
+
   /** Deterministic pseudo-random weight in [-0.5, 0.5).
     *
     * Full SplitMix64-style finalizer (Steele et al., "Fast splittable

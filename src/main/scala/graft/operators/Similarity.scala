@@ -714,6 +714,26 @@ object Similarity {
       rerankExact(adc, corpus, queries, vecCol, idCol, rerank), k)
   }
 
+  /** Per-DIMENSION corpus statistics over an embedding column — the
+    * normalization/QA report run before training quantizers (a dim with
+    * a collapsed range wastes a PQ sub-codebook; a wild one dominates
+    * SQ8 scales). Values are fixed-point floor-micros BEFORE
+    * aggregation, so min/max/sum are exact 64-bit arithmetic an oracle
+    * replays regardless of aggregation order — decimal-from-double casts
+    * round differently across engines and are deliberately avoided.
+    * One explode + one dim-keyed partial agg (output rows = dims). */
+  def dimStats(embs: DataFrame, vecCol: String): DataFrame =
+    embs
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").cast("int").as("dim_idx"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("__m"))
+      .groupBy(col("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__m")).as("min_micros"),
+        max(col("__m")).as("max_micros"),
+        sum(col("__m")).as("sum_micros"))
+
   /** The exact double cosine the native kernel computes
     * ([[graft.plans.CosineSimilarity]] — floats upcast per element,
     * sequential accumulation, `dot / (sqrt(nx)·sqrt(ny))`), for

@@ -551,6 +551,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("bounded candidate list"))
   }
 
+  test("dimStats: exact fixed-point mins/maxes/sums, ragged lengths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.25f, 2.0f)),
+      (2L, Seq(1.5f, 0.75f)),          // shorter vector: dim 2 has n=2
+      (3L, Seq(-0.5f, 0.25f, 1.0f))).toDF("id", "vec")
+    val out = Similarity.dimStats(df, "vec").orderBy("dim_idx")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0, 3L, -500000L, 1500000L, 1500000L),
+      (1, 3L, -1250000L, 750000L, -250000L),
+      (2, 2L, 1000000L, 2000000L, 3000000L)))
+  }
+
+  test("l2Normalize: exact values, zero and empty vectors") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq.empty[Float])).toDF("id", "vec")
+    val got = df.select(col("id"), VectorFunctions.l2Normalize(col("vec")))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) === Seq(0.6, 0.8))     // 3-4-5 triangle: exact
+    assert(got(2L) === Seq(0.0, 0.0))
+    assert(got(3L) === Seq.empty[Double])
+  }
+
   test("randomProject: exact Scala-reference parity, JL distortion, map-side") {
     import spark.implicits._
     import graft.functions.VectorFunctions
