@@ -2235,6 +2235,73 @@ object OracleSql {
                    * 1000000.0) AS BIGINT) AS unit_micros
       FROM ix ORDER BY vec_id, dim_idx""",
 
+    // q158: filtered ANN — the q35 ranking restricted to the label
+    // stripe BEFORE ranking (top-k among matches)
+    "q158_filtered_ann" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid, v FROM e WHERE label % 3 = 0),
+      s AS (SELECT qid, cid, list_cosine_similarity(v, qv) AS cos
+            FROM c, q WHERE cid <> qid),
+      r AS (SELECT qid, cid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                AS rn
+            FROM s)
+      SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+        CAST(rn AS INT) AS rank
+      FROM r WHERE rn <= 10
+      ORDER BY query_id, rank""",
+
+    // q159: exact-k per-group sample — the mixture md5 hash as the
+    // score, rank <= least(n, k) per lang, id tiebreak
+    "q159_exact_sample" -> """
+      WITH h AS (SELECT doc_id, lang,
+          substring(md5('11:sample:' || CAST(doc_id AS VARCHAR)), 1, 16)
+            AS hh
+        FROM documents),
+      r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+                AS rn,
+              count(*) OVER (PARTITION BY lang) AS n
+            FROM h)
+      SELECT doc_id, lang,
+        CAST(CASE WHEN rn <= least(n, 20) THEN 1 ELSE 0 END AS INT)
+          AS kept
+      FROM r ORDER BY doc_id""",
+
+    // q160: late-interaction MaxSim — 8 slices per side, max cosine per
+    // query slice (exact in any order), then the ORDERED list fold for
+    // the sequential outer sum
+    "q160_late_interaction" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qi AS (SELECT vec_id AS qid, CAST(unnest(range(0, 8)) AS BIGINT) AS i, v
+             FROM e WHERE vec_id < 3),
+      qsub AS (SELECT qid, i,
+                 v[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)] AS qs
+               FROM qi),
+      di AS (SELECT vec_id AS did, CAST(unnest(range(0, 8)) AS BIGINT) AS j, v
+             FROM e),
+      dsub AS (SELECT did, j,
+                 v[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)] AS ds
+               FROM di),
+      cs AS (SELECT q.qid, d.did, q.i,
+               list_cosine_similarity(d.ds, q.qs) AS c
+             FROM qsub q, dsub d WHERE d.did <> q.qid),
+      mx AS (SELECT qid, did, i, max(c) AS m FROM cs GROUP BY 1, 2, 3),
+      sm AS (SELECT qid, did,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(m ORDER BY i)), (a, b) -> a + b) AS s
+             FROM mx GROUP BY qid, did),
+      r AS (SELECT qid, did, s,
+              row_number() OVER (PARTITION BY qid ORDER BY s DESC, did)
+                AS rn
+            FROM sm)
+      SELECT qid AS query_id, did AS vec_id, round(s, 6) AS maxsim,
+        CAST(rn AS INT) AS rank
+      FROM r WHERE rn <= 10
+      ORDER BY query_id, rank""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -2657,6 +2657,50 @@ object SparkEntry {
         floor(col("col") * lit(1000000.0)).cast("long").as("unit_micros"))
       .orderBy(col("vec_id"), col("dim_idx"))
 
+  /** FILTERED vector search: exact cosine top-k restricted to a
+    * metadata predicate (label stripe) — the filter lands in the corpus
+    * SCAN (pushed to parquet), so the search prices by the filtered
+    * stripe, and the ranking is top-k AMONG matches (not post-filtered
+    * top-k, which under-fills). Composes with the IVF/PQ paths the same
+    * way — the predicate rides the index scan. */
+  def q158_filtered_ann(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    val e = embeddings(s, dir)
+    Similarity.bruteForceTopK(e.where(col("label") % 3 === 0),
+        e.where(col("vec_id") < 3), "embedding", "vec_id", 10,
+        native = true)
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** EXACT-k deterministic sampling per group
+    * ([[CorpusPrep.sampleExactK]] over [[CorpusPrep.topKPerGroup]], the
+    * generalized quantile-prune machinery): keep exactly
+    * min(k, n_group) rows per language by the portable md5 hash —
+    * replayable membership, uniform in the hash, every row returns with
+    * its kept flag. */
+  def q159_exact_sample(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.sampleExactK(documents(s, dir)
+        .select(col("doc_id"), col("lang")), "lang", "doc_id",
+        k = 20, seed = 11L)
+      .orderBy(col("doc_id"))
+
+  /** LATE-INTERACTION retrieval ([[Similarity.lateInteractionTopK]],
+    * ColBERT MaxSim): the 64-dim embeddings reshaped into 8 sub-vectors
+    * per side, pair score = sum over query slices of the best-matching
+    * doc slice. The outer sum is a sequential fold, the inner max exact
+    * in any order, so the oracle replays the score relationally (max
+    * per slice pair, ordered list fold). */
+  def q160_late_interaction(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Similarity.lateInteractionTopK(e, e.where(col("vec_id") < 3),
+        "embedding", "vec_id", m = 8, dim = 64, k = 10)
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("cosine"), 6).as("maxsim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3553,6 +3597,9 @@ object SparkEntry {
     "q155_leakage_split" -> (q155_leakage_split _),
     "q156_dim_stats" -> (q156_dim_stats _),
     "q157_l2_normalize" -> (q157_l2_normalize _),
+    "q158_filtered_ann" -> (q158_filtered_ann _),
+    "q159_exact_sample" -> (q159_exact_sample _),
+    "q160_late_interaction" -> (q160_late_interaction _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

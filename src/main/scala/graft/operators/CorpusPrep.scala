@@ -1016,6 +1016,42 @@ object CorpusPrep {
                     ascending: Boolean = true): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
+    gateByRank(docs, groupCol, scoreCol, idCol, ascending,
+      ceil(col("__n") * lit(keepFrac)))
+  }
+
+  /** EXACT top-`k` rows per group by (score, id) — [[quantilePrune]]'s
+    * machinery with an absolute cutoff instead of a fraction: same
+    * distinct-score window, same straddling-tie-block-only sort, same
+    * every-row-returns `kept` flag. */
+  def topKPerGroup(docs: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int,
+                   ascending: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    gateByRank(docs, groupCol, scoreCol, idCol, ascending,
+      least(col("__n"), lit(k.toLong)))
+  }
+
+  /** Deterministic EXACT-k sample per group: keep the `k` rows with the
+    * smallest portable hash (the [[mixture]] md5 rule keyed by the row
+    * id), id tiebreak — replayable membership, uniform in the hash.
+    * Honest scale note: hash scores are unique per row, so the
+    * distinct-score table [[gateByRank]] windows over IS row-sized here —
+    * the op still sorts only (group, hash, count) triples, never
+    * payloads, but unlike integer-score pruning the sort is corpus-sized;
+    * that is the inherent cost of exact-k uniform sampling. */
+  def sampleExactK(docs: DataFrame, groupCol: String, idCol: String,
+                   k: Int, seed: Long): DataFrame =
+    topKPerGroup(
+      docs.withColumn("__h", substring(md5(concat_ws(":",
+        lit(seed.toString), lit("sample"), col(idCol).cast("string"))),
+        1, 16)),
+      groupCol, "__h", idCol, k, ascending = true)
+      .drop("__h")
+
+  private def gateByRank(docs: DataFrame, groupCol: String,
+                         scoreCol: String, idCol: String,
+                         ascending: Boolean, kExpr: Column): DataFrame = {
     val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
     val cnt = docs.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
@@ -1023,8 +1059,7 @@ object CorpusPrep {
     val cum = cnt.select(col(groupCol), col(scoreCol), col("__c"),
       (sum(col("__c")).over(wRun) - col("__c")).as("__before"))
     val lim = cnt.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
-      .select(col(groupCol),
-        ceil(col("__n") * lit(keepFrac)).cast("long").as("__k"))
+      .select(col(groupCol), kExpr.cast("long").as("__k"))
     val gated = docs
       .join(cum, Seq(groupCol, scoreCol))
       .join(broadcast(lim), Seq(groupCol))

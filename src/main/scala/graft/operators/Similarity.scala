@@ -734,6 +734,45 @@ object Similarity {
         max(col("__m")).as("max_micros"),
         sum(col("__m")).as("sum_micros"))
 
+  /** Split a `dim`-wide vector into `m` contiguous sub-vectors (the PQ
+    * slicing, exposed as a column) — the multi-vector reshape for
+    * late-interaction scoring. */
+  def subVectors(vec: Column, m: Int, dim: Int): Column = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m slices")
+    val sub = dim / m
+    transform(sequence(lit(0), lit(m - 1)), i =>
+      slice(vec, i * lit(sub) + lit(1), lit(sub)))
+  }
+
+  /** Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia 2020)
+    * top-k: each side carries `m` sub-vectors; the pair score is
+    * `Σ_i max_j cos(q_i, d_j)` — finer-grained matching than one pooled
+    * cosine (a doc scores on its best-matching region per query slice).
+    * Here the `m` slices come from [[subVectors]] over one embedding
+    * column; token-level multi-vector inputs drop in unchanged.
+    *
+    * Determinism: the outer sum is a SEQUENTIAL fold over query slices
+    * (bit-reproducible); the inner max is exact in any order. Scale
+    * shape: same as [[bruteForceTopK]] — queries broadcast, one corpus
+    * scan, map-side bounded-heap ranking; per-pair cost is m² cosines of
+    * dim/m-wide slices ≈ m× the pooled cosine, the honest
+    * late-interaction price. */
+  def lateInteractionTopK(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String,
+                          m: Int, dim: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      subVectors(col(vecCol), m, dim).as("__dsubs"))
+    val q = queries.select(col(idCol).as("query_id"),
+      subVectors(col(vecCol), m, dim).as("__qsubs"))
+    val score = aggregate(col("__qsubs"), lit(0.0), (acc, qs) =>
+      acc + aggregate(col("__dsubs"), lit(Double.NegativeInfinity),
+        (mx, ds) => greatest(mx, VectorFunctions.cosine(qs, ds))))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"), score.as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** The exact double cosine the native kernel computes
     * ([[graft.plans.CosineSimilarity]] — floats upcast per element,
     * sequential accumulation, `dot / (sqrt(nx)·sqrt(ny))`), for

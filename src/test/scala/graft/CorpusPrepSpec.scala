@@ -670,6 +670,43 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
   }
 
+  test("topKPerGroup and sampleExactK: exact counts, replayable membership") {
+    val s = spark; import s.implicits._
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}", (i % 7).toInt))
+      .toDF("id", "g", "score")
+    // absolute-k keep rule == the row_number formulation
+    val got = CorpusPrep.topKPerGroup(df, "g", "score", "id", k = 10)
+      .select("id", "kept").as[(Long, Int)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").asc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .select(col("id"), (col("rn") <= 10).cast("int").as("kept"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === want)
+    // k beyond the group size keeps everything
+    assert(CorpusPrep.topKPerGroup(df, "g", "score", "id", k = 1000)
+      .where(col("kept") === 1).count() === 100)
+    // exact-k sampling: exactly min(k, n) kept per group, deterministic
+    val samp = CorpusPrep.sampleExactK(df.select("id", "g"), "g", "id",
+      k = 5, seed = 3L)
+    val byG = samp.where(col("kept") === 1).groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    assert(byG.values.toSet === Set(5L))
+    val again = CorpusPrep.sampleExactK(df.select("id", "g"), "g", "id",
+      k = 5, seed = 3L).where(col("kept") === 1)
+      .select("id").as[Long].collect().toSet
+    val first = samp.where(col("kept") === 1)
+      .select("id").as[Long].collect().toSet
+    assert(again === first)
+    // a different seed picks a different 15
+    val other = CorpusPrep.sampleExactK(df.select("id", "g"), "g", "id",
+      k = 5, seed = 4L).where(col("kept") === 1)
+      .select("id").as[Long].collect().toSet
+    assert(other !== first)
+    // the hash helper column never leaks into the output
+    assert(!samp.columns.contains("__h"))
+  }
+
   test("sourceOverlap: hand-computed matrix including the zero pair") {
     val s = spark; import s.implicits._
     val df = Seq(

@@ -551,6 +551,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("bounded candidate list"))
   }
 
+  test("lateInteractionTopK: MaxSim finds the slice-level match pooled cosine misses") {
+    import spark.implicits._
+    // both query slices probe [1,0]. doc 1 carries a PERFECT [1,0]
+    // region (its other half orthogonal); doc 2 is a mediocre match
+    // everywhere. Pooled cosine prefers doc 2 (0.707 vs 0.5); MaxSim
+    // prefers doc 1 (each query slice finds the perfect region: 2.0
+    // vs sqrt(2)) — the point of late interaction.
+    val q = Seq((100L, Seq(1f, 0f, 1f, 0f))).toDF("id", "vec")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 1f)),
+      (2L, Seq(1f, 1f, 1f, 1f)))
+      .toDF("id", "vec")
+    val out = Similarity.lateInteractionTopK(corpus, q, "vec", "id",
+        m = 2, dim = 4, k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSeq === Seq(1L, 2L))
+    assert(out(0)._3 === 2.0)
+    assert(math.abs(out(1)._3 - math.sqrt(2.0)) < 1e-12)
+    val pooled = Similarity.bruteForceTopK(corpus, q, "vec", "id", k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(pooled.map(_._2).toSeq === Seq(2L, 1L),
+      "pooled cosine must prefer the mediocre all-over match here")
+    // subVectors guard
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.subVectors(col("vec"), 3, 4)
+    }
+    assert(ex.getMessage.contains("divide"))
+  }
+
   test("dimStats: exact fixed-point mins/maxes/sums, ragged lengths") {
     import spark.implicits._
     val df = Seq(
