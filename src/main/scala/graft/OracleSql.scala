@@ -2302,6 +2302,47 @@ object OracleSql {
       FROM r WHERE rn <= 10
       ORDER BY query_id, rank""",
 
+    // q161: strict-order funnel — per-step first-match times anchored at
+    // the view entry, 24h completion window, chain-break nulls
+    "q161_funnel" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+                  JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id)
+      SELECT u.user_id,
+        strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t1,
+        strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t2,
+        strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t3,
+        CAST(CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INT)
+          AS steps_completed
+      FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+             LEFT JOIN s2 ON u.user_id = s2.user_id
+             LEFT JOIN s3 ON u.user_id = s3.user_id
+      ORDER BY u.user_id""",
+
+    // q162: cohort retention triangle — first-active day per user,
+    // per-(cohort, offset) distinct-user counts
+    "q162_retention" -> """
+      WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      c AS (SELECT user_id, min(d) AS cd FROM a GROUP BY user_id)
+      SELECT strftime(c.cd, '%Y-%m-%d') AS cohort_date,
+        CAST(date_diff('day', c.cd, a.d) AS INT) AS day_offset,
+        CAST(count(*) AS BIGINT) AS active_users
+      FROM a JOIN c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

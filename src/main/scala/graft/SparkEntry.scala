@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 import graft.functions.Udx
 import graft.functions.VectorFunctions
-import graft.operators.{CorpusPrep, Dedup, MergeOps, Similarity}
+import graft.operators.{CorpusPrep, Dedup, EventAnalytics, MergeOps, Similarity}
 import graft.multimodal.Multimodal
 
 /** Driver contract: the engine's declared operator inventory (SURVEY.md §2b)
@@ -2701,6 +2701,33 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Strict-order conversion FUNNEL ([[EventAnalytics.funnel]]):
+    * view → click → purchase, each later step the first matching event
+    * after the previous step and within 24 h of entering the funnel.
+    * Every user returns with per-step timestamps + steps_completed.
+    * Per-step filtered scans (predicate pushed down) + user-keyed
+    * mins/joins — never an event-log-wide sort. */
+  def q161_funnel(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        date_format(col("step_1_ts"), "yyyy-MM-dd HH:mm:ss").as("t1"),
+        date_format(col("step_2_ts"), "yyyy-MM-dd HH:mm:ss").as("t2"),
+        date_format(col("step_3_ts"), "yyyy-MM-dd HH:mm:ss").as("t3"),
+        col("steps_completed"))
+      .orderBy(col("user_id"))
+
+  /** COHORT retention ([[EventAnalytics.retentionCohorts]]): users by
+    * first-active day, counted on each later active day — the classic
+    * retention triangle; day-0 equals cohort size. One (user, day)
+    * distinct + user-keyed min + (cohort, offset) count. */
+  def q162_retention(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.retentionCohorts(events(s, dir), "user_id", "ts")
+      .select(date_format(col("cohort_date"), "yyyy-MM-dd")
+          .as("cohort_date"),
+        col("day_offset"), col("active_users"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3600,6 +3627,8 @@ object SparkEntry {
     "q158_filtered_ann" -> (q158_filtered_ann _),
     "q159_exact_sample" -> (q159_exact_sample _),
     "q160_late_interaction" -> (q160_late_interaction _),
+    "q161_funnel" -> (q161_funnel _),
+    "q162_retention" -> (q162_retention _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics over the (user, type, timestamp)
+  * shape: ordered funnels and cohort retention — the classic
+  * warehouse-side companions to the windowed/sessionized operators.
+  *
+  * Both are declarative multi-join plans keyed on the user: every stage
+  * is a user-keyed partial aggregation or join, so the shuffles are
+  * user-cardinality-bounded and the event table streams through scans
+  * with the step predicates pushed down — no per-user event-list
+  * collection, no window over the whole event log.
+  */
+object EventAnalytics {
+
+  /** Strict-order conversion funnel: for each user, step 1 anchors at
+    * their FIRST `steps(0)` event; each later step is the first matching
+    * event strictly after the previous step's time and within `window`
+    * of the anchor (the "complete the funnel within N hours of entering"
+    * convention). Every user in the table returns with their per-step
+    * timestamps (null once the chain breaks — a later step can never be
+    * non-null under a broken earlier one) and `steps_completed`.
+    *
+    * Scale shape: one filtered scan + user-keyed min per step (the step
+    * predicate reaches the parquet scan), chained through user-keyed
+    * joins — shuffles are user-bounded, never event-log-sorted. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             window: String = "24 hours"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val users = events.select(col(userCol)).distinct()
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("step_1_ts"))
+      .withColumn("__deadline", col("step_1_ts") + expr(s"INTERVAL $window"))
+    val chain = steps.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (st, i)) =>
+        val prevTs = s"step_${i}_ts"
+        val curTs = s"step_${i + 1}_ts"
+        val cur = events.where(col(typeCol) === st)
+          .join(prev.select(col(userCol), col(prevTs), col("__deadline")),
+            Seq(userCol))
+          .where(col(tsCol) > col(prevTs) && col(tsCol) <= col("__deadline"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(curTs))
+        prev.join(cur, Seq(userCol), "left")
+    }
+    val stepCols = steps.indices.map(i => col(s"step_${i + 1}_ts"))
+    val completed = stepCols.map(_.isNotNull.cast("int")).reduce(_ + _)
+    users.join(chain.drop("__deadline"), Seq(userCol), "left")
+      .select(col(userCol) +: stepCols :+ completed.as("steps_completed"): _*)
+  }
+
+  /** Cohort retention: users grouped by their first-active DAY, counted
+    * on each later day they return — the (cohort_date, day_offset,
+    * active_users) triangle. Day-0 row per cohort equals the cohort
+    * size. One (user, day) distinct + one user-keyed min + one
+    * (cohort, offset) count; rows after the first distinct are already
+    * unique per (user, day), so the final count needs no distinct. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("__d")).distinct()
+    val cohort = activity.groupBy(col(userCol))
+      .agg(min(col("__d")).as("cohort_date"))
+    activity.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_date"),
+        datediff(col("__d"), col("cohort_date")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+}

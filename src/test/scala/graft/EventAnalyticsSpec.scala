@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Funnel and cohort-retention analytics over the event-stream shape. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: ordering, window expiry, chain breaks, absent users") {
+    val ev = Seq(
+      // user 1: clean view -> click -> purchase inside 24h
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: click BEFORE the first view never counts; the later
+      // click does; purchase lands past the 24h anchor window
+      (2L, "click", ts("2024-01-01 08:00:00")),
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-02 09:30:00")),
+      // user 3: view only
+      (3L, "view", ts("2024-01-05 00:00:00")),
+      // user 4: never enters the funnel (no view at all)
+      (4L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 5: two views — the FIRST anchors; click sits between them
+      (5L, "view", ts("2024-01-03 10:00:00")),
+      (5L, "click", ts("2024-01-03 10:30:00")),
+      (5L, "view", ts("2024-01-03 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    val byUser = out.map(r => r.getLong(0) ->
+      ((r.get(1), r.get(2), r.get(3), r.getInt(4)))).toMap
+    assert(byUser(1L)._4 === 3)
+    assert(byUser(2L) === ((ts("2024-01-01 09:00:00"),
+      ts("2024-01-01 10:00:00"), null, 2)))
+    assert(byUser(3L) === ((ts("2024-01-05 00:00:00"), null, null, 1)))
+    assert(byUser(4L) === ((null, null, null, 0)))
+    assert(byUser(5L) === ((ts("2024-01-03 10:00:00"),
+      ts("2024-01-03 10:30:00"), null, 2)))
+    // invariant: a later step is never set under a broken earlier one
+    out.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(3), s"row $r")
+    }
+  }
+
+  test("retention: day-0 equals cohort size; offsets hand-computed") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 05:00:00")), (2L, ts("2024-01-02 05:00:00")),
+      (3L, ts("2024-01-02 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+      .select(date_format(col("cohort_date"), "yyyy-MM-dd"),
+        col("day_offset"), col("active_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0, 2L),   // users 1 and 2
+      ("2024-01-01", 1, 1L),   // user 2 returns next day
+      ("2024-01-01", 2, 1L),   // user 1 returns on day 2
+      ("2024-01-02", 0, 1L)))  // user 3's cohort
+  }
+}
