@@ -2343,6 +2343,18 @@ object OracleSql {
       FROM a JOIN c ON a.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // q163: heavy hitters — capacity >= distinct terms makes Misra-Gries
+    // exact, so the oracle is the exact frequency ranking
+    "q163_heavy_hitters" -> """
+      WITH d AS (SELECT trim(lower(text)) AS t FROM documents),
+      tok AS (SELECT unnest(string_split_regex(t, '\s+')) AS w
+              FROM d WHERE t <> ''),
+      c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+      r AS (SELECT w, n,
+              row_number() OVER (ORDER BY n DESC, w) AS rn FROM c)
+      SELECT CAST(rn AS INT) AS rank, w AS term, n AS term_count
+      FROM r WHERE rn <= 30 ORDER BY rank""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -2728,6 +2728,26 @@ object SparkEntry {
         col("day_offset"), col("active_users"))
       .orderBy(col("cohort_date"), col("day_offset"))
 
+  /** HEAVY HITTERS ([[graft.functions.Udx.HeavyHittersAggregator]],
+    * Misra–Gries): the mergeable bounded frequency summary — map-side
+    * partial aggregation carries at most `capacity` entries per
+    * partition instead of an exact (term, count) shuffle. With capacity
+    * ≥ distinct terms the counts are EXACT (no decrement fires), which
+    * is what the oracle replays; the spec proves the bounded-budget
+    * guarantees on crafted skew. */
+  def q163_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val hh = Udx.heavyHitters(1024)
+    documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("__t"))
+      .agg(hh(col("__t")).as("__hh"))
+      .select(posexplode(col("__hh")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"), col("col.cnt").as("term_count"))
+      .where(col("rank") <= 30)
+      .orderBy(col("rank"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3629,6 +3649,7 @@ object SparkEntry {
     "q160_late_interaction" -> (q160_late_interaction _),
     "q161_funnel" -> (q161_funnel _),
     "q162_retention" -> (q162_retention _),
+    "q163_heavy_hitters" -> (q163_heavy_hitters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

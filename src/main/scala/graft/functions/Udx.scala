@@ -42,6 +42,59 @@ object Udx {
     (score, id) => fn(score, id)
   }
 
+  // ---- typed UDAF: Misra–Gries heavy hitters --------------------------
+
+  final case class TermCount(term: String, cnt: Long)
+
+  /** Misra–Gries / Space-Saving heavy hitters (Misra & Gries 1982): a
+    * MERGEABLE bounded summary of term frequencies — the at-scale answer
+    * to "top domains/URLs/tokens in 100 TB" when an exact (term, count)
+    * shuffle is too wide. Guarantees with budget c over n items: every
+    * term with true count > n/(c+1) is PRESENT, and each reported count
+    * undercounts by at most n/(c+1); with c >= distinct terms the counts
+    * are EXACT (no decrement ever fires — that exactness is what the
+    * DuckDB oracle replays). Partial aggregation runs map-side, so the
+    * shuffle carries <= c entries per partition; the classic agg-merge
+    * trim (subtract the (c+1)-th largest, drop non-positive) keeps the
+    * merged buffer bounded. Output sorted (count desc, term asc). */
+  final class HeavyHittersAggregator(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Seq[TermCount]] {
+    require(capacity > 0, "capacity must be positive")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], term: String): Map[String, Long] = {
+      val cur = b.getOrElse(term, 0L)
+      if (cur > 0L || b.size < capacity) b.updated(term, cur + 1L)
+      else {
+        // full and unseen: decrement everyone (the new term cancels out)
+        b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+      }
+    }
+    override def merge(b1: Map[String, Long],
+                       b2: Map[String, Long]): Map[String, Long] = {
+      val sum = b2.foldLeft(b1) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= capacity) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        sum.flatMap { case (t, c) =>
+          if (c > cut) Some(t -> (c - cut)) else None
+        }
+      }
+    }
+    override def finish(r: Map[String, Long]): Seq[TermCount] =
+      r.toSeq.sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => TermCount(t, c) }
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[TermCount]] = ExpressionEncoder()
+  }
+
+  /** Column form: `heavyHitters(1024)(col("term"))` inside an agg. */
+  def heavyHitters(capacity: Int): Column => Column = {
+    val fn = udaf(new HeavyHittersAggregator(capacity))
+    term => fn(term)
+  }
+
   // ---- scalar UDF ----------------------------------------------------
 
   /** Scalar UDF example (black-box Scala). Prefer Column expressions when

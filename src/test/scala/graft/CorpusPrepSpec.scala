@@ -707,6 +707,35 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!samp.columns.contains("__h"))
   }
 
+  test("heavyHitters: exact when capacity >= distinct; MG bounds on skew") {
+    val s = spark; import s.implicits._
+    import graft.functions.Udx
+    // exactness lane: 5 distinct terms, capacity 16, many partitions so
+    // the agg-merge path runs
+    val terms = (0L until 1000L).map(i => s"t${i % 5}")
+      .toDF("t").repartition(7)
+    val exact = Udx.heavyHitters(16)
+    val got = terms.agg(exact(col("t")).as("h"))
+      .select(explode(col("h"))).select("col.term", "col.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(got === (0 until 5).map(i => s"t$i" -> 200L).toMap)
+    // bounded-budget lane: one hot term among 50 cold ones, capacity 8.
+    // n = 10000, so any reported count undercounts by <= n/(c+1) ~ 1112
+    // and the hot term (5000 > 1112) must be present
+    val skew = ((0L until 5000L).map(_ => "hot") ++
+      (0L until 5000L).map(i => s"cold${i % 50}"))
+      .toDF("t").repartition(7)
+    val mg = Udx.heavyHitters(8)
+    val hh = skew.agg(mg(col("t")).as("h"))
+      .select(explode(col("h"))).select("col.term", "col.cnt")
+      .as[(String, Long)].collect()
+    assert(hh.length <= 8, s"budget blown: ${hh.length}")
+    val hot = hh.find(_._1 == "hot")
+    assert(hot.isDefined, s"true heavy hitter evicted: ${hh.toSeq}")
+    assert(hot.get._2 >= 5000L - 10000L / 9 && hot.get._2 <= 5000L,
+      s"count ${hot.get._2} outside the MG band")
+  }
+
   test("sourceOverlap: hand-computed matrix including the zero pair") {
     val s = spark; import s.implicits._
     val df = Seq(
