@@ -194,6 +194,91 @@ object Streams {
     * the same discipline CDC consumers apply. At 100 TB the index is a
     * graft table like any other: zone-map routed, compactable,
     * time-travelable. */
+  // ---- streaming funnel ------------------------------------------------
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts: java.sql.Timestamp)
+  /** step = next expected index into `steps`; times in micros. */
+  final case class FunnelState(step: Int, anchorMicros: Long,
+                               lastMicros: Long)
+  final case class FunnelCompletion(user_id: Long,
+                                    anchor: java.sql.Timestamp,
+                                    completed: java.sql.Timestamp,
+                                    duration_micros: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def fromMicros(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** The per-user funnel state machine behind [[streamingFunnel]],
+    * factored out for direct `TestGroupState` unit testing. Batch rows
+    * sort by (ts, type) before folding, so within-batch order is
+    * deterministic; state carries progress ACROSS micro-batches. */
+  private[graft] def advanceFunnel(steps: Seq[String], windowMicros: Long)(
+      user: Long, it: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelCompletion] = {
+    var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+    val out = Seq.newBuilder[FunnelCompletion]
+    it.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+      val m = micros(e.ts)
+      if (st.step == 0) {
+        if (e.event_type == steps.head) {
+          st = FunnelState(1, m, m)
+          if (steps.size == 1) {
+            out += FunnelCompletion(user, fromMicros(m), fromMicros(m), 0L)
+            st = FunnelState(0, 0L, 0L)
+          }
+        }
+      } else if (e.event_type == steps.head &&
+          m > st.anchorMicros + windowMicros) {
+        // the open attempt expired — a fresh entry event re-anchors
+        st = FunnelState(1, m, m)
+      } else if (e.event_type == steps(st.step) && m > st.lastMicros &&
+          m <= st.anchorMicros + windowMicros) {
+        if (st.step + 1 == steps.size) {
+          out += FunnelCompletion(user, fromMicros(st.anchorMicros),
+            fromMicros(m), m - st.anchorMicros)
+          st = FunnelState(0, 0L, 0L)  // converted: eligible again
+        } else st = FunnelState(st.step + 1, st.anchorMicros, m)
+      }
+    }
+    if (st.step > 0) state.update(st)
+    else if (state.exists) state.remove()
+    out.result().iterator
+  }
+
+  /** STREAMING strict-order funnel: the per-user state machine of
+    * [[graft.operators.EventAnalytics.funnel]] run continuously — one
+    * `FunnelCompletion` row per user conversion, emitted in the
+    * micro-batch where the final step lands, with progress carried
+    * across batches in keyed state (step 1 in one batch, step 2 minutes
+    * later in another). An expired attempt re-anchors on the next entry
+    * event; a converted user is immediately eligible for another pass.
+    * State per user is three numbers — the active-user set bounds it,
+    * never the event log. */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+                      window: String = "24 hours"): Dataset[FunnelCompletion] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val windowMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(window)) match {
+      case iv =>
+        require(iv.months == 0, "calendar-month windows are not supported")
+        iv.days * 86400000000L + iv.microseconds
+    }
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(advanceFunnel(steps, windowMicros))
+  }
+
   def dedupIncrementalSink(docs: DataFrame, indexRoot: String,
                            textCol: String, idCol: String,
                            checkpoint: String,

@@ -445,4 +445,46 @@ class StreamingSpec extends SparkSpec {
     assert(out2 === Streams.UserTotals(1L, 2L, 5.0))
     assert(s2.isRemoved)
   }
+
+  test("streaming funnel: cross-batch progression, expiry re-anchor, repeat conversion") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_type", "ts")
+      .as[Streams.FunnelEvent]
+    val q = Streams.streamingFunnel(events,
+        Seq("view", "click", "purchase"), window = "10 minutes")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 enters; user 3 enters
+      in.addData((1L, "view", ts(0)), (3L, "view", ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("funnel").count() === 0)
+      // batch 2: user 1 clicks (state carried across batches); user 3's
+      // click arrives PAST the 10-minute window -> dropped
+      in.addData((1L, "click", ts(5)), (3L, "click", ts(15)))
+      q.processAllAvailable()
+      assert(spark.table("funnel").count() === 0)
+      // batch 3: user 1 converts; user 3 re-anchors on a fresh view and
+      // converts inside the new window — all in one batch
+      in.addData((1L, "purchase", ts(9)),
+        (3L, "view", ts(20)), (3L, "click", ts(21)), (3L, "purchase", ts(22)))
+      q.processAllAvailable()
+      val got = spark.table("funnel")
+        .select(col("user_id"),
+          date_format(col("anchor"), "HH:mm").as("a"),
+          date_format(col("completed"), "HH:mm").as("c"),
+          col("duration_micros"))
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got === Set(
+        (1L, "10:00", "10:09", 9L * 60 * 1000000),
+        (3L, "10:20", "10:22", 2L * 60 * 1000000)))
+      // batch 4: a converted user is immediately eligible again
+      in.addData((1L, "view", ts(30)), (1L, "click", ts(31)),
+        (1L, "purchase", ts(32)))
+      q.processAllAvailable()
+      assert(spark.table("funnel").where(col("user_id") === 1L).count() === 2)
+    } finally q.stop()
+  }
 }
