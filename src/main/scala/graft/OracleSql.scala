@@ -2355,6 +2355,22 @@ object OracleSql {
       SELECT CAST(rn AS INT) AS rank, w AS term, n AS term_count
       FROM r WHERE rn <= 30 ORDER BY rank""",
 
+    // q164: transition matrix — lead over (user order by ts, type),
+    // (from, to) counts, per-source probability as floor-micros
+    "q164_transitions" -> """
+      WITH p AS (SELECT event_type AS f,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_type) AS t
+        FROM events),
+      c AS (SELECT f AS from_type, t AS to_type,
+              CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE t IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(floor(CAST(n AS DOUBLE)
+          / sum(n) OVER (PARTITION BY from_type) * 1000000.0) AS BIGINT)
+          AS p_micros
+      FROM c ORDER BY from_type, to_type""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -2748,6 +2748,16 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Event-type TRANSITION matrix
+    * ([[EventAnalytics.transitionMatrix]]): consecutive-pair counts per
+    * user timeline + per-source transition probabilities (floor-micros)
+    * — the Markov journey view. The only per-event sort is the
+    * user-partitioned lead window; the matrix itself is |types|². */
+  def q164_transitions(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.transitionMatrix(events(s, dir), "user_id",
+        "event_type", "ts")
+      .orderBy(col("from_type"), col("to_type"))
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3650,6 +3660,7 @@ object SparkEntry {
     "q161_funnel" -> (q161_funnel _),
     "q162_retention" -> (q162_retention _),
     "q163_heavy_hitters" -> (q163_heavy_hitters _),
+    "q164_transitions" -> (q164_transitions _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

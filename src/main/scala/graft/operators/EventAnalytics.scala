@@ -52,6 +52,33 @@ object EventAnalytics {
       .select(col(userCol) +: stepCols :+ completed.as("steps_completed"): _*)
   }
 
+  /** Event-type TRANSITION matrix: consecutive-event pairs within each
+    * user's timeline (ordered by (ts, type) so equal timestamps stay
+    * deterministic), counted per (from, to) with the per-source
+    * transition probability as floor-micros — the Markov view of user
+    * journeys (what follows a view? where do errors lead?).
+    *
+    * Scale shape: the only per-event sort is the user-partitioned lead
+    * window — bounded by one user's history, never the event log; the
+    * (from, to) aggregate is |types|²-sized, and the probability
+    * normalization windows over THAT, metadata. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(typeCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol), col(tsCol))
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .where(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p_micros",
+      floor(col("n").cast("double") / sum(col("n")).over(perFrom)
+        * lit(1000000.0)).cast("long"))
+  }
+
   /** Cohort retention: users grouped by their first-active DAY, counted
     * on each later day they return — the (cohort_date, day_offset,
     * active_users) triangle. Day-0 row per cohort equals the cohort

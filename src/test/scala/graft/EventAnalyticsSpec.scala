@@ -51,6 +51,26 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix: hand-computed pairs, per-source normalization") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "view", ts("2024-01-01 10:02:00")),
+      (1L, "click", ts("2024-01-01 10:03:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "error", ts("2024-01-01 10:05:00")),
+      (3L, "click", ts("2024-01-01 11:00:00")))  // single event: no pair
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_type", "ts")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // view->click x2, click->view x1, view->error x1
+    assert(out === Seq(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 2L, 666666L),     // floor(2/3 * 1e6)
+      ("view", "error", 1L, 333333L)))
+  }
+
   test("retention: day-0 equals cohort size; offsets hand-computed") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
