@@ -752,6 +752,18 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       ("a", "b", 2L, 2L, 1L, 333333L),   // floor(1/3 * 1e6)
       ("a", "c", 2L, 1L, 0L, 0L),
       ("b", "c", 2L, 1L, 0L, 0L)))
+    // the gram-distinct subtree feeds three consumers (sizes + both join
+    // sides); the explicit __g repartition canonicalizes them so the
+    // runtime plan REUSES the exchange (this Spark surfaces that as
+    // ReusedExchange nodes wrapping fresh stage ids, one per consumer)
+    val executed = CorpusPrep.sourceOverlap(df, "text", "src", k = 3)
+      .queryExecution
+    executed.executedPlan.execute() // force AQE finalization via an action
+    val reused = "ReusedExchange".r
+      .findAllMatchIn(executed.executedPlan.toString).size
+    assert(reused >= 2,
+      s"expected the gram exchange reused across consumers:\n" +
+        executed.executedPlan.toString.take(2000))
   }
 
   test("leakageSafeSplit: train twins of test docs flagged, nothing else") {
