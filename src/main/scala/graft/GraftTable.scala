@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.sources.ParquetTable
 import graft.streaming.{AggView, CdcMergeSink}
@@ -537,6 +537,49 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       .write.mode("overwrite").parquet(s"$root/_changes/v$v")
   }
 
+  /** Incremental REPLICATION into another graft table: apply this
+    * table's row-level change feed since the last synced version to
+    * `target` as ONE merge commit, then advance the watermark sidecar
+    * (`_replication.json` under the target — underscore-hidden from
+    * file indexes, like `_manifest.json`). Returns the target commit id
+    * or None when the target is already current.
+    *
+    * Delta-priced end to end: [[changeFeed]] diffs snapshots reading
+    * only unshared files and emits the NET change per key, the merge
+    * prices by dirty files, and nothing rescans either table. Re-running
+    * after a crash between the commit and the watermark write re-applies
+    * the same net batch — upserts overwrite equal rows, deletes of
+    * absent keys no-op — so the sync is idempotent. Target schema must
+    * match (replicate after DDL by aligning the target first). */
+  def replicateTo(target: GraftTable): Option[Long] = {
+    require(target.key == key,
+      s"replication key mismatch: source $key, target ${target.key}")
+    require(target.root != root, "cannot replicate a table into itself")
+    val latest = versions.lastOption.getOrElse(-1L)
+    val applied = GraftTable.replicationWatermark(target.root, root)
+    if (latest <= applied) None
+    else {
+      val feed = changeFeed(applied, latest)
+      val cols = read().columns
+      // key columns ride top-level in the feed; non-key fields live in
+      // the before/after structs (before for deletes — after is null)
+      val keys = (key +: graft.sources.MutableParquetTable.manifestMoreKeys(
+        CdcMergeSink.latestSnapshot(root))).map(_.toLowerCase).toSet
+      val row = when(col("change_type") === "delete", col("before"))
+        .otherwise(col("after"))
+      val batch = feed.select(
+        when(col("change_type") === "delete", lit("delete"))
+          .otherwise(lit("upsert")).as("__op") +:
+          cols.map { c =>
+            if (keys.contains(c.toLowerCase)) col(c)
+            else row.getField(c).as(c)
+          }: _*)
+      val v = target.commit(batch, "__op")
+      GraftTable.writeReplicationWatermark(target.root, root, latest)
+      Some(v)
+    }
+  }
+
   /** Streaming change-feed consumer: Spark's own file stream source over
     * the persisted per-version feed directories, so each
     * [[commitWithFeed]] becomes a micro-batch with the file source's
@@ -757,6 +800,42 @@ final class GraftTable private (val spark: SparkSession, val root: String,
 object GraftTable {
 
   import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+  /** Replication watermark sidecar: `_replication.tsv` under the TARGET
+    * root (underscore-hidden from Spark's file index, the
+    * `_manifest.json` discipline), one `<version>\t<sourceRoot>` line
+    * per upstream source. Rewritten whole via temp + atomic move. */
+  private val ReplicationSidecar = "_replication.tsv"
+
+  private def replicationLines(targetRoot: String): Seq[(String, Long)] = {
+    val p = java.nio.file.Paths.get(targetRoot, ReplicationSidecar)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readAllLines(p).toArray.toSeq.collect {
+      case s: String if s.contains('\t') =>
+        val Array(v, src) = s.split("\t", 2)
+        src -> v.toLong
+    }
+  }
+
+  /** Last `sourceRoot` version applied to `targetRoot` (−1 = never). */
+  def replicationWatermark(targetRoot: String, sourceRoot: String): Long =
+    replicationLines(targetRoot).collectFirst {
+      case (src, v) if src == sourceRoot => v
+    }.getOrElse(-1L)
+
+  private[graft] def writeReplicationWatermark(targetRoot: String,
+                                               sourceRoot: String,
+                                               version: Long): Unit = {
+    val updated = (replicationLines(targetRoot).toMap +
+      (sourceRoot -> version)).toSeq.sortBy(_._1)
+      .map { case (src, v) => s"$v\t$src" }
+    val tmp = java.nio.file.Paths.get(targetRoot, ReplicationSidecar + ".tmp")
+    java.nio.file.Files.writeString(tmp, updated.mkString("\n"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(targetRoot, ReplicationSidecar),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Resolve a (possibly dotted) column path against a schema,
     * case-insensitively, descending plain structs only. Returns the

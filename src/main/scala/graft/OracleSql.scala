@@ -2371,6 +2371,25 @@ object OracleSql {
           AS p_micros
       FROM c ORDER BY from_type, to_type""",
 
+    // q165: table replication — the replica's final state recomputed
+    // relationally: bal doubled on %10, %7 deleted, %13 re-upserted from
+    // the ORIGINAL row with a renamed suffix (overriding both earlier
+    // effects); both syncs applied, the third a no-op
+    "q165_replication" -> """
+      WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                 FROM customer),
+      a1 AS (SELECT k, c_name,
+               CASE WHEN k % 10 = 0 THEN bal * 2 ELSE bal END AS bal
+             FROM c),
+      a2 AS (SELECT * FROM a1 WHERE k % 7 <> 0),
+      f AS (SELECT k, c_name, bal FROM a2 WHERE k % 13 <> 0
+            UNION ALL
+            SELECT k, c_name || ' R2', bal FROM c WHERE k % 13 = 0)
+      SELECT k AS c_custkey, c_name, bal AS bal_c,
+        CAST(1 AS INT) AS synced, CAST(1 AS INT) AS final_noop
+      FROM f ORDER BY c_custkey""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -1272,6 +1272,44 @@ object SparkEntry {
       .orderBy(col("phase"))
   }
 
+  /** Incremental table REPLICATION ([[GraftTable.replicateTo]]): a
+    * seeded replica kept in sync by applying the source's row-level
+    * change feed — two syncs (upsert+delete batch, then a re-inserting
+    * upsert batch), then a no-op sync proving the watermark holds.
+    * Delta-priced end to end: the feed diffs snapshots reading only
+    * unshared files, the apply is one merge priced by dirty files,
+    * nothing rescans either table. The oracle recomputes the final
+    * replica state relationally. */
+  def q165_replication(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q165").toString
+    val df0 = customer(s, dir).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_name"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val src = GraftTable.create(df0, s"$base/src", "c_custkey", numFiles = 4)
+    val tgt = GraftTable.create(df0, s"$base/tgt", "c_custkey", numFiles = 4)
+    val up = df0.where(col("c_custkey") % 10 === 0)
+      .withColumn("bal_c", col("bal_c") * 2)
+      .withColumn("op", lit("upsert"))
+    src.commit(up, "op")
+    val del = df0.where(col("c_custkey") % 7 === 0)
+      .withColumn("op", lit("delete"))
+    src.commit(del, "op")
+    val sync1 = src.replicateTo(tgt)
+    val up2 = df0.where(col("c_custkey") % 13 === 0)
+      .withColumn("c_name", concat(col("c_name"), lit(" R2")))
+      .withColumn("op", lit("upsert"))
+    src.commit(up2, "op")
+    val sync2 = src.replicateTo(tgt)
+    val sync3 = src.replicateTo(tgt) // already current
+    tgt.read()
+      .select(col("c_custkey"), col("c_name"), col("bal_c"))
+      .withColumn("synced",
+        lit(if (sync1.isDefined && sync2.isDefined) 1 else 0))
+      .withColumn("final_noop", lit(if (sync3.isEmpty) 1 else 0))
+      .orderBy(col("c_custkey"))
+  }
+
   /** SQL `DELETE` under BOTH execution strategies, oracle-pinned: a
     * key-range retention delete takes the metadata-priced zone path
     * ([[graft.sources.ZoneDelete]] — whole files dropped from the
@@ -3661,6 +3699,7 @@ object SparkEntry {
     "q162_retention" -> (q162_retention _),
     "q163_heavy_hitters" -> (q163_heavy_hitters _),
     "q164_transitions" -> (q164_transitions _),
+    "q165_replication" -> (q165_replication _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -430,4 +430,35 @@ class GraftTableSpec extends SparkSpec {
       assert(t.readAggView().agg(sum(col("cnt"))).head().getLong(0) === 60L)
     } finally q.stop()
   }
+
+  test("replicateTo: delta sync, watermark no-op, crash-idempotent re-apply") {
+    val base = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 10)).toDF("k", "name", "v")
+    val src = GraftTable.create(df, s"$base/s", "k", numFiles = 4)
+    val tgt = GraftTable.create(df, s"$base/t", "k", numFiles = 4)
+    def snap(t: GraftTable) =
+      t.read().orderBy("k").collect().toSeq
+    src.commit(df.where(col("k") % 9 === 0)
+      .withColumn("v", col("v") + 1).withColumn("op", lit("upsert")), "op")
+    src.commit(df.where(col("k") % 4 === 0)
+      .withColumn("op", lit("delete")), "op")
+    assert(src.replicateTo(tgt).isDefined)
+    assert(snap(tgt) === snap(src))
+    // current target: sync is a watermark no-op, no empty commit
+    val vBefore = tgt.versions.size
+    assert(src.replicateTo(tgt).isEmpty)
+    assert(tgt.versions.size === vBefore)
+    // incremental: only the new delta applies
+    src.commit(df.where(col("k") === 3L)
+      .withColumn("name", lit("three")).withColumn("op", lit("upsert")), "op")
+    assert(src.replicateTo(tgt).isDefined)
+    assert(snap(tgt) === snap(src))
+    // crash between apply and watermark write: re-applying the SAME net
+    // feed converges (upserts overwrite equals, absent-key deletes no-op)
+    GraftTable.writeReplicationWatermark(s"$base/t", s"$base/s", -1L)
+    assert(src.replicateTo(tgt).isDefined)
+    assert(snap(tgt) === snap(src))
+    // self-replication refused
+    intercept[IllegalArgumentException] { src.replicateTo(src) }
+  }
 }
