@@ -559,26 +559,45 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     val applied = GraftTable.replicationWatermark(target.root, root)
     if (latest <= applied) None
     else {
-      val feed = changeFeed(applied, latest)
-      val cols = read().columns
-      // key columns ride top-level in the feed; non-key fields live in
-      // the before/after structs (before for deletes — after is null)
-      val keys = (key +: graft.sources.MutableParquetTable.manifestMoreKeys(
-        CdcMergeSink.latestSnapshot(root))).map(_.toLowerCase).toSet
-      val row = when(col("change_type") === "delete", col("before"))
-        .otherwise(col("after"))
-      val batch = feed.select(
-        when(col("change_type") === "delete", lit("delete"))
-          .otherwise(lit("upsert")).as("__op") +:
-          cols.map { c =>
-            if (keys.contains(c.toLowerCase)) col(c)
-            else row.getField(c).as(c)
-          }: _*)
+      val batch = feedMutations(changeFeed(applied, latest))
       val v = target.commit(batch, "__op")
       GraftTable.writeReplicationWatermark(target.root, root, latest)
       Some(v)
     }
   }
+
+  /** Feed rows → a mutation frame the merge sinks accept: `__op` in
+    * upsert|delete plus the full table row. Key columns ride top-level
+    * in the feed; non-key fields come from the before/after structs
+    * (before for deletes — after is null there). */
+  private def feedMutations(feed: DataFrame): DataFrame = {
+    val cols = read().columns
+    val keys = (key +: graft.sources.MutableParquetTable.manifestMoreKeys(
+      CdcMergeSink.latestSnapshot(root))).map(_.toLowerCase).toSet
+    val row = when(col("change_type") === "delete", col("before"))
+      .otherwise(col("after"))
+    feed.select(
+      when(col("change_type") === "delete", lit("delete"))
+        .otherwise(lit("upsert")).as("__op") +:
+        cols.map { c =>
+          if (keys.contains(c.toLowerCase)) col(c)
+          else row.getField(c).as(c)
+        }: _*)
+  }
+
+  /** CONTINUOUS replication — the streaming twin of [[replicateTo]]:
+    * the persisted change-feed stream (each [[commitWithFeed]] becomes
+    * a micro-batch) projected to mutations and applied to the replica
+    * through the exactly-once CDC merge sink (replayed epochs detect
+    * their committed snapshot and no-op, so restarts never double-apply).
+    * The source must commit with [[commitWithFeed]]; the replica root
+    * should start empty or seeded from the same base. */
+  def replicateStream(targetRoot: String,
+                      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    CdcMergeSink.start(feedMutations(changeFeedStream()), targetRoot, key,
+      "__op", checkpointDir = checkpointDir,
+      queryName = s"graft-replicate-${java.util.UUID.randomUUID}")
 
   /** Streaming change-feed consumer: Spark's own file stream source over
     * the persisted per-version feed directories, so each

@@ -461,4 +461,26 @@ class GraftTableSpec extends SparkSpec {
     // self-replication refused
     intercept[IllegalArgumentException] { src.replicateTo(src) }
   }
+
+  test("replicateStream: continuous replica via the persisted feed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-rs").toString
+    val df = (1L to 50L).map(i => (i, i * 10)).toDF("k", "v")
+    val src = GraftTable.create(df, s"$base/s", "k", numFiles = 2)
+    GraftTable.create(df, s"$base/t", "k", numFiles = 2) // seeded replica
+    src.commitWithFeed(df.where(col("k") % 5 === 0)
+      .withColumn("v", col("v") + 1).withColumn("op", lit("upsert")), "op")
+    val q = src.replicateStream(s"$base/t")
+    try {
+      q.processAllAvailable()
+      val tgt = GraftTable(spark, s"$base/t", "k")
+      def snap(t: GraftTable) = t.read().orderBy("k").collect().toSeq
+      assert(snap(tgt) === snap(src))
+      // keep flowing: a delete batch lands in the next micro-batch
+      src.commitWithFeed(df.where(col("k") % 4 === 0)
+        .withColumn("op", lit("delete")), "op")
+      q.processAllAvailable()
+      assert(snap(tgt) === snap(src))
+      assert(tgt.read().count() === 50 - 12) // 12 multiples of 4 in 1..50
+    } finally q.stop()
+  }
 }
