@@ -2139,7 +2139,7 @@ object OracleSql {
       tok AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS w
               FROM d WHERE t <> ''),
       vc AS (SELECT w AS term, count(*) AS c FROM tok GROUP BY w
-             ORDER BY c DESC, term LIMIT 50),
+             ORDER BY c DESC, term LIMIT 20),
       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         CAST(sum(CASE WHEN vc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS n_oov

@@ -2639,15 +2639,17 @@ object SparkEntry {
       .orderBy(col("vec_id"), col("dim_idx"))
 
   /** Vocabulary coverage ([[CorpusPrep.vocabulary]] +
-    * [[CorpusPrep.oovStats]]): the top-50 exact-frequency vocabulary
+    * [[CorpusPrep.oovStats]]): the top-20 exact-frequency vocabulary
     * (deterministic boundary: count desc, term asc) and each document's
     * out-of-vocabulary rate against it — the tokenizer-coverage signal.
-    * Every doc returns (empty docs report 0/0). One term-count shuffle +
-    * a broadcast vocab join + one doc-keyed agg. */
+    * topV = 20 sits BELOW the fixture's distinct-token count so the OOV
+    * rates are real, not constant zero. Every doc returns (empty docs
+    * report 0/0). One term-count shuffle + a broadcast vocab join + one
+    * doc-keyed agg. */
   def q153_vocab_oov(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     CorpusPrep.oovStats(docs, "text", "doc_id",
-        CorpusPrep.vocabulary(docs, "text", topV = 50))
+        CorpusPrep.vocabulary(docs, "text", topV = 20))
       .orderBy(col("doc_id"))
   }
 
