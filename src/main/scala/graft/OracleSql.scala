@@ -2188,13 +2188,18 @@ object OracleSql {
     // membership (0.1 -> 0x19999999), the q30 normalized fingerprint for
     // exact-duplicate leaks from test back into train
     "q155_leakage_split" -> """
-      WITH fp AS (SELECT doc_id,
+      WITH d AS (SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0
+               THEN 'shared corpus page ' || CAST(doc_id % 3 AS VARCHAR)
+               ELSE text END AS text
+        FROM documents),
+      fp AS (SELECT doc_id,
           md5(array_to_string(
             string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f,
           CASE WHEN substring(md5('7:test:' || CAST(doc_id AS VARCHAR)),
                               1, 8) < '19999999'
                THEN 'test' ELSE 'train' END AS split
-        FROM documents),
+        FROM d),
       t AS (SELECT DISTINCT f FROM fp WHERE split = 'test')
       SELECT fp.doc_id, fp.split,
         CAST(CASE WHEN fp.split = 'train' AND t.f IS NOT NULL

@@ -2666,11 +2666,21 @@ object SparkEntry {
     * 90/10 train/test assignment by the portable md5 threshold rule,
     * then every train doc whose normalized fingerprint also appears in
     * test is flagged — the doc an honest eval must drop from train.
-    * Split is a pure map; leak detection shuffles fingerprints only. */
-  def q155_leakage_split(s: SparkSession, dir: String): DataFrame =
-    CorpusPrep.leakageSafeSplit(documents(s, dir), "text", "doc_id",
-        testFrac = 0.1, seed = 7L)
+    * The fixture corpus is duplicate-free, so docs with id % 17 == 0
+    * are planted onto three shared texts (identically in the oracle) —
+    * duplicate groups big enough that the hash split strands copies on
+    * both sides and the leak flag does real work. Split is a pure map;
+    * leak detection shuffles fingerprints only. */
+  def q155_leakage_split(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 17 === 0,
+      concat(lit("shared corpus page "),
+        (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    CorpusPrep.leakageSafeSplit(
+        documents(s, dir).select(col("doc_id"), planted.as("text")),
+        "text", "doc_id", testFrac = 0.1, seed = 7L)
       .orderBy(col("doc_id"))
+  }
 
   /** Per-dimension embedding STATS ([[Similarity.dimStats]]): the
     * QA/normalization report before training quantizers. Fixed-point
