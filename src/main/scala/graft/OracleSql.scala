@@ -2395,6 +2395,48 @@ object OracleSql {
         CAST(1 AS INT) AS synced, CAST(1 AS INT) AS final_noop
       FROM f ORDER BY c_custkey""",
 
+    // q166: k-NN classification — the q35 ranking + neighbor-label
+    // votes + (votes desc, label) argmax per query
+    "q166_knn_classify" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS tl, v AS qv FROM e
+            WHERE vec_id < 50),
+      s AS (SELECT qid, vec_id AS cid, e.label AS nl,
+              list_cosine_similarity(v, qv) AS cos
+            FROM e, q WHERE vec_id <> qid),
+      r AS (SELECT qid, nl FROM
+        (SELECT qid, nl, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+             AS rn
+         FROM s) WHERE rn <= 10),
+      vt AS (SELECT qid, nl, count(*) AS v FROM r GROUP BY 1, 2),
+      p AS (SELECT qid, nl AS predicted FROM
+        (SELECT qid, nl, v,
+           row_number() OVER (PARTITION BY qid ORDER BY v DESC, nl) AS rn
+         FROM vt) WHERE rn = 1)
+      SELECT q.qid AS query_id, q.tl AS label, p.predicted,
+        CAST(CASE WHEN p.predicted = q.tl THEN 1 ELSE 0 END AS INT)
+          AS correct
+      FROM q JOIN p ON q.qid = p.qid ORDER BY query_id""",
+
+    // q167: label-pair cosine diagnostics — per-pair floor-micros BEFORE
+    // aggregation, exact long sums, floor-division mean
+    "q167_label_cosines" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT least(a.label, b.label) AS la,
+              greatest(a.label, b.label) AS lb,
+              CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0)
+                   AS BIGINT) AS cm
+            FROM e a, e b WHERE a.vec_id < b.vec_id)
+      SELECT la AS label_a, lb AS label_b,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(floor(CAST(sum(cm) AS DOUBLE) / count(*)) AS BIGINT)
+          AS mean_cos_micros,
+        CAST(CASE WHEN la = lb THEN 1 ELSE 0 END AS INT) AS within
+      FROM p GROUP BY la, lb ORDER BY label_a, label_b""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

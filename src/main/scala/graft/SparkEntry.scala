@@ -2808,6 +2808,30 @@ object SparkEntry {
         "event_type", "ts")
       .orderBy(col("from_type"), col("to_type"))
 
+  /** k-NN CLASSIFICATION ([[Similarity.knnClassify]]): 50 queries
+    * labeled by majority vote among their 10 nearest neighbors — the
+    * embedding-quality probe. Votes and the per-query argmax run over
+    * k-sized rows; retrieval is the proven brute-force kernel. */
+  def q166_knn_classify(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    val e = embeddings(s, dir)
+    Similarity.knnClassify(e, "embedding", "vec_id", "label",
+        e.where(col("vec_id") < 50), k = 10, native = true)
+      .orderBy(col("query_id"))
+  }
+
+  /** Label-pair cosine DIAGNOSTICS ([[Similarity.labelPairCosines]]):
+    * mean pairwise cosine within vs across labels, each pair's cosine
+    * fixed-pointed BEFORE summation so every aggregate is exact in any
+    * order. The all-pairs form is the exact eval diagnostic (sampled at
+    * scale; LSH/IVF are the production neighbor paths). */
+  def q167_label_cosines(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    Similarity.labelPairCosines(embeddings(s, dir), "embedding",
+        "vec_id", "label", native = true)
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3712,6 +3736,8 @@ object SparkEntry {
     "q163_heavy_hitters" -> (q163_heavy_hitters _),
     "q164_transitions" -> (q164_transitions _),
     "q165_replication" -> (q165_replication _),
+    "q166_knn_classify" -> (q166_knn_classify _),
+    "q167_label_cosines" -> (q167_label_cosines _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

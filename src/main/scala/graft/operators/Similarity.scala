@@ -734,6 +734,66 @@ object Similarity {
         max(col("__m")).as("max_micros"),
         sum(col("__m")).as("sum_micros"))
 
+  /** k-NN CLASSIFICATION over the embedding column: each query's label
+    * predicted by majority vote among its `k` nearest corpus rows
+    * (ties: more votes win, then the smaller label — fully
+    * deterministic), returned next to the true label with a `correct`
+    * flag — the standard embedding-quality probe (can the space's
+    * neighborhoods recover the labels?). Scale = the underlying
+    * retrieval's (brute force here; the ANN paths drop in — same
+    * (query_id, id, rank) shape); the vote aggregation and the
+    * per-query argmax window run over k-sized rows only. */
+  def knnClassify(embs: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, queries: DataFrame, k: Int,
+                  native: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = bruteForceTopK(embs, queries, vecCol, idCol, k, native)
+    val votes = nn
+      .join(embs.select(col(idCol).as("id"), col(labelCol).as("__nl")),
+        Seq("id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__v").desc, col("__nl").asc)
+    votes
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("predicted"))
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("label")), Seq("query_id"))
+      .select(col("query_id"), col("label"), col("predicted"),
+        (col("predicted") === col("label")).cast("int").as("correct"))
+  }
+
+  /** Label-pair cosine DIAGNOSTICS: mean pairwise cosine within and
+    * across label groups — the "is this embedding space separable"
+    * report (healthy spaces show within ≫ across). Each pair's cosine
+    * lands as floor-micros BEFORE summing, so the aggregates are exact
+    * longs in any order; the mean is integer floor-division. All-pairs
+    * by construction (the exact eval diagnostic, run on a sample at
+    * scale — the LSH/IVF families are the production path for
+    * corpus-sized neighbor work). */
+  def labelPairCosines(embs: DataFrame, vecCol: String, idCol: String,
+                       labelCol: String,
+                       native: Boolean = false): DataFrame = {
+    val a = embs.select(col(idCol).as("__ia"), col(labelCol).as("__la"),
+      col(vecCol).as("__va"))
+    val b = embs.select(col(idCol).as("__ib"), col(labelCol).as("__lb"),
+      col(vecCol).as("__vb"))
+    a.join(b, col("__ia") < col("__ib"))
+      .select(
+        least(col("__la"), col("__lb")).as("label_a"),
+        greatest(col("__la"), col("__lb")).as("label_b"),
+        floor(cosineCol(col("__va"), col("__vb"), native) * lit(1000000.0))
+          .cast("long").as("__cm"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__cm")).as("__sum"))
+      .select(col("label_a"), col("label_b"), col("n_pairs"),
+        floor(col("__sum").cast("double") / col("n_pairs")).cast("long")
+          .as("mean_cos_micros"),
+        (col("label_a") === col("label_b")).cast("int").as("within"))
+  }
+
   /** Split a `dim`-wide vector into `m` contiguous sub-vectors (the PQ
     * slicing, exposed as a column) — the multi-vector reshape for
     * late-interaction scoring. */

@@ -580,6 +580,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("divide"))
   }
 
+  test("knnClassify: majority vote, deterministic tie on the smaller label") {
+    import spark.implicits._
+    graft.plans.CosineSimilarity.register(spark)
+    val corpus = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 1, Seq(0f, 1f)), (4L, 1, Seq(0.1f, 0.9f)),
+      (10L, 0, Seq(0.95f, 0.05f)),   // clear label-0 neighborhood
+      (11L, 1, Seq(0.5f, 0.5f)))     // exactly between: 1 vote each at k=2
+      .toDF("id", "label", "vec")
+    val out = Similarity.knnClassify(corpus, "vec", "id", "label",
+        corpus.where(col("id") >= 10L), k = 2, native = true)
+      .orderBy("query_id")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(out === Seq(
+      (10L, 0, 0, 1),   // both neighbors label 0
+      (11L, 1, 0, 0)))  // 1-1 tie -> smaller label 0, a miss
+  }
+
+  test("labelPairCosines: hand-computed within/across means, exact micros") {
+    import spark.implicits._
+    graft.plans.CosineSimilarity.register(spark)
+    val e = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 1, Seq(0f, 1f)), (4L, 1, Seq(0f, 1f)))
+      .toDF("id", "label", "vec")
+    val out = Similarity.labelPairCosines(e, "vec", "id", "label",
+        native = true)
+      .orderBy("label_a", "label_b")
+      .as[(Int, Int, Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (0, 0, 1L, 1000000L, 1),
+      (0, 1, 4L, 0L, 0),
+      (1, 1, 1L, 1000000L, 1)))
+  }
+
   test("dimStats: exact fixed-point mins/maxes/sums, ragged lengths") {
     import spark.implicits._
     val df = Seq(
