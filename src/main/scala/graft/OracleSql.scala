@@ -2437,6 +2437,73 @@ object OracleSql {
         CAST(CASE WHEN la = lb THEN 1 ELSE 0 END AS INT) AS within
       FROM p GROUP BY la, lb ORDER BY label_a, label_b""",
 
+    // q168: langId confusion matrix — the q33 scorer + argmax against
+    // the true lang labels
+    "q168_lang_confusion" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS INT) AS s_en,
+          CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS INT) AS s_es,
+          CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS INT) AS s_fr,
+          CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS INT) AS s_zh
+        FROM t),
+      p AS (SELECT lang,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted
+        FROM sc)
+      SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n,
+        CAST(CASE WHEN lang = predicted THEN 1 ELSE 0 END AS INT) AS hit
+      FROM p GROUP BY lang, predicted
+      ORDER BY lang, predicted""",
+
+    // q169: the one-row dataset card — all exact integer arithmetic
+    // (the q140 logit, md5 fingerprints, token counts)
+    "q169_datasheet" -> """
+      WITH d AS (SELECT doc_id, lang, trim(text) AS raw,
+                   trim(lower(text)) AS t
+                 FROM documents),
+      tk AS (SELECT doc_id, lang,
+        CASE WHEN raw = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(raw, '\s+') END AS rtoks,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks
+        FROM d),
+      feats AS (SELECT doc_id, lang, rtoks, toks,
+        CASE WHEN len(toks) < 2 THEN toks
+             ELSE list_concat(toks, list_transform(range(1, len(toks)),
+               i -> toks[CAST(i AS INT)] || ' ' ||
+                    toks[CAST(i + 1 AS INT)])) END AS fs
+        FROM tk),
+      scored AS (SELECT doc_id, lang,
+        CAST(len(rtoks) AS BIGINT) AS ntk,
+        md5(array_to_string(toks, ' ')) AS fp,
+        CASE WHEN len(fs) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(list_sum(list_transform(fs, f ->
+          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(f) + 1),
+                i -> CAST(unicode(substr(f, CAST(i AS INT), 1)) AS BIGINT))),
+              (h, c) -> (h * 131 + c) % 1000000007) % 1024)
+            * 2654435761 + 104729) % 4001 - 2000)) AS BIGINT)
+        END AS logit
+        FROM feats)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(ntk) AS BIGINT) AS n_tokens,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+        CAST(count_if(logit >= 0) AS BIGINT) AS n_quality_pass,
+        CAST(floor(CAST(sum(logit) AS DOUBLE) / count(*)) AS BIGINT)
+          AS mean_logit_floor
+      FROM scored""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -415,6 +415,46 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("predicted"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID CONFUSION matrix: the engine's langId prediction
+    * scored against the corpus's true `lang` labels, per (true,
+    * predicted) cell with a diagonal flag — the eval report for the
+    * classifier the cleaning pipeline routes on. (On this synthetic
+    * corpus the report exposes exactly what it should: the text is
+    * English-like word soup under random lang labels, so only the `en`
+    * diagonal hits — the matrix is the tool that WOULD catch that in a
+    * real corpus.) Pure map + a |langs|²-sized aggregate. */
+  def q168_lang_confusion(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hit", (col("lang") === col("predicted")).cast("int"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Corpus DATASHEET: the one-row dataset card — doc/token/language
+    * counts, exact-duplicate mass (fingerprint distinct), learned-gate
+    * pass count, and the mean quality logit — every number exact
+    * integer arithmetic (logits are fixed-point longs; the mean is a
+    * floor-division with sums far below 2^53). One pass over the
+    * corpus; the two count-distincts are the only shuffles. */
+  def q169_datasheet(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val w = derivedQualityWeights(1024)
+    documents(s, dir)
+      .select(col("lang"),
+        tokenCount(col("text")).cast("long").as("__tk"),
+        qualityLogit(col("text"), w).as("__lg"),
+        normalizedFingerprint(col("text")).as("__fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tk")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        sum((col("__lg") >= 0L).cast("long")).as("n_quality_pass"),
+        floor(sum(col("__lg")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_logit_floor"))
+  }
+
   /** Exact char-3-gram Jaccard over all pairs of a small doc slice. */
   def q34_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).where(col("doc_id") < 25)
@@ -3738,6 +3778,8 @@ object SparkEntry {
     "q165_replication" -> (q165_replication _),
     "q166_knn_classify" -> (q166_knn_classify _),
     "q167_label_cosines" -> (q167_label_cosines _),
+    "q168_lang_confusion" -> (q168_lang_confusion _),
+    "q169_datasheet" -> (q169_datasheet _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
