@@ -2504,6 +2504,60 @@ object OracleSql {
           AS mean_logit_floor
       FROM scored""",
 
+    // q170: PMI collocations — distinct-doc term sets filtered to the
+    // top-30 vocabulary, per-doc pairs, integer-exact ratio then ln
+    "q170_pmi_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+      terms AS (SELECT DISTINCT doc_id, w FROM toks
+        WHERE regexp_matches(w, '^[a-z0-9]{3,}$')
+          AND w NOT IN ('the','a','an','and','or','of','to','in','is','are',
+            'was','for','on','with','as','by','at','from','that','this','it','be')),
+      vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM terms
+                GROUP BY w ORDER BY df DESC, w LIMIT 30),
+      dt AS (SELECT t.doc_id, t.w, v.df FROM terms t JOIN vocab v ON t.w = v.w),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      pr AS (SELECT a.w AS term_a, b.w AS term_b,
+               CAST(count(*) AS BIGINT) AS pair_docs,
+               CAST(min(a.df) AS BIGINT) AS df_a,
+               CAST(min(b.df) AS BIGINT) AS df_b
+             FROM dt a JOIN dt b
+               ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+             HAVING count(*) >= 5)
+      SELECT term_a, term_b, pair_docs, df_a, df_b,
+        round(ln(CAST(pair_docs * nd.n AS DOUBLE) / (df_a * df_b)), 6)
+          AS pmi
+      FROM pr, nd
+      ORDER BY pmi DESC, term_a, term_b LIMIT 40""",
+
+    // q171: funnel time-to-convert — the q161 step CTEs, completed
+    // conversions only, exact nearest-rank percentile picks
+    "q171_funnel_durations" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+                  JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+      d AS (SELECT CAST(epoch_us(s3.t3) - epoch_us(s1.t1) AS BIGINT) AS dur
+            FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+      r AS (SELECT dur, row_number() OVER (ORDER BY dur) AS rn,
+              count(*) OVER () AS n
+            FROM d),
+      ps AS (SELECT CAST(unnest([50, 90, 100]) AS INT) AS pct)
+      SELECT ps.pct, r.dur AS duration_micros, CAST(r.n AS BIGINT) AS n
+      FROM ps JOIN r ON r.rn = (r.n * ps.pct + 99) // 100
+      ORDER BY ps.pct""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

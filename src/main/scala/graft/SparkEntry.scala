@@ -2872,6 +2872,29 @@ object SparkEntry {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** PMI co-occurrence pairs ([[CorpusPrep.pmiPairs]]): top collocations
+    * by pointwise mutual information over document co-occurrence,
+    * restricted to the broadcast top-30 vocabulary, pairs in >= 5 docs.
+    * Integer-exact ratio before the ln (the q88 discipline). */
+  def q170_pmi_pairs(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.pmiPairs(documents(s, dir), "text", "doc_id",
+      topVocab = 30, minPairCount = 5, k = 40)
+
+  /** Funnel TIME-TO-CONVERT percentiles
+    * ([[EventAnalytics.durationPercentiles]]): exact nearest-rank
+    * p50/p90/p100 over the q161 funnel's completed conversions —
+    * long-exact rank arithmetic, the ranking window sized by
+    * conversions, never the event log. */
+  def q171_funnel_durations(s: SparkSession, dir: String): DataFrame = {
+    val conv = EventAnalytics.funnel(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .where(col("steps_completed") === 3)
+      .select((unix_micros(col("step_3_ts")) -
+        unix_micros(col("step_1_ts"))).as("dur"))
+    EventAnalytics.durationPercentiles(conv, "dur", Seq(50, 90, 100))
+      .orderBy(col("pct"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3780,6 +3803,8 @@ object SparkEntry {
     "q167_label_cosines" -> (q167_label_cosines _),
     "q168_lang_confusion" -> (q168_lang_confusion _),
     "q169_datasheet" -> (q169_datasheet _),
+    "q170_pmi_pairs" -> (q170_pmi_pairs _),
+    "q171_funnel_durations" -> (q171_funnel_durations _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

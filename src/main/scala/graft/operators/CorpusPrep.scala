@@ -1133,6 +1133,54 @@ object CorpusPrep {
             col("n_bigrams"), 6)))
   }
 
+  // ---- PMI co-occurrence -------------------------------------------------
+
+  /** Top-`k` co-occurring term pairs by pointwise mutual information:
+    * `ln(df_ab·N / (df_a·df_b))` over DOCUMENT co-occurrence (all counts
+    * are distinct-doc frequencies), restricted to the corpus's
+    * `topVocab` most document-frequent content terms and pairs seen in
+    * at least `minPairCount` docs — the classic collocation/topic
+    * signal. The ratio is built integer-exact (long products, ONE
+    * division) before the ln, so both engines round identically (the
+    * q88 ln-agreement discipline); ordering on the rounded PMI with a
+    * pair tiebreak.
+    *
+    * Scale shape: terms filter against the BROADCAST top-vocab before
+    * the per-doc self-join, so pair volume is bounded by
+    * docs × topVocab² at worst and the aggregate by topVocab² — the
+    * corpus never pairs its full vocabulary. */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+               topVocab: Int, minPairCount: Long, k: Int): DataFrame = {
+    require(topVocab > 0 && k > 0, "topVocab and k must be positive")
+    val terms = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+      .where(col("__t").rlike("^[a-z0-9]{3,}$") &&
+        !col("__t").isin(TextFunctions.stopwords: _*))
+      .distinct()
+    val vocab = terms.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__t"))
+      .limit(topVocab)
+    val dt = terms.join(broadcast(vocab), Seq("__t"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    dt.select(col(idCol), col("__t").as("term_a"), col("__df").as("__dfa"))
+      .join(dt.select(col(idCol), col("__t").as("term_b"),
+        col("__df").as("__dfb")), Seq(idCol))
+      .where(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("pair_docs"),
+        first(col("__dfa")).as("__dfa"), first(col("__dfb")).as("__dfb"))
+      .where(col("pair_docs") >= minPairCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("pair_docs"),
+        col("__dfa").as("df_a"), col("__dfb").as("df_b"),
+        round(log((col("pair_docs") * col("__n")).cast("double") /
+          (col("__dfa") * col("__dfb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("__n"))

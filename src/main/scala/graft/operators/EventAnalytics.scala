@@ -79,6 +79,36 @@ object EventAnalytics {
         * lit(1000000.0)).cast("long"))
   }
 
+  /** EXACT nearest-rank percentiles over a duration column — time-to-
+    * convert reporting for funnel completions. Nearest-rank:
+    * `rank_p = ceil(p·n/100)` computed in exact long arithmetic
+    * (`(n·p + 99) / 100`), so the picked rows are bit-replayable. The
+    * ranking window runs over the input relation — sized for funnel
+    * COMPLETIONS (the funnel's output, orders of magnitude below the
+    * event log); for corpus-scale inputs the per-group gate machinery
+    * (CorpusPrep.gateByRank) is the sort-free path. */
+  def durationPercentiles(rows: DataFrame, durCol: String,
+                          percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val n = rows.agg(count(lit(1)).as("__n"))
+    val ranked = rows.select(col(durCol).cast("long").as("__d"))
+      .withColumn("__r", row_number().over(Window.orderBy(col("__d").asc)))
+      .crossJoin(broadcast(n))
+    percentiles.distinct.sorted.map { p =>
+      // ceil(p·n/100) as (n·p + 99) div 100 — Column./ is DOUBLE
+      // division, so floor the exact-representable quotient
+      ranked
+        .where(col("__r") ===
+          floor((col("__n") * lit(p.toLong) + lit(99L)) / lit(100.0))
+            .cast("long"))
+        .select(lit(p).as("pct"), col("__d").as("duration_micros"),
+          col("__n").as("n"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cohort retention: users grouped by their first-active DAY, counted
     * on each later day they return — the (cohort_date, day_offset,
     * active_users) triangle. Day-0 row per cohort equals the cohort

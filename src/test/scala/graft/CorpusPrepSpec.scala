@@ -707,6 +707,24 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!samp.columns.contains("__h"))
   }
 
+  test("pmiPairs: hand-computed document-cooccurrence PMI") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "alpha gamma"), (4L, "delta gamma"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.pmiPairs(df, "text", "doc_id",
+        topVocab = 10, minPairCount = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // dfs: alpha 3, beta 2, gamma 2, delta 1; N = 4
+    def pmi(ab: Long, a: Long, b: Long) =
+      math.rint(math.log(ab * 4.0 / (a * b)) * 1e6) / 1e6
+    assert(out === Seq(
+      ("delta", "gamma", 1L, 1L, 2L, pmi(1, 1, 2)),   // ln 2
+      ("alpha", "beta", 2L, 3L, 2L, pmi(2, 3, 2)),    // ln(8/6)
+      ("alpha", "gamma", 1L, 3L, 2L, pmi(1, 3, 2))))  // ln(2/3)
+  }
+
   test("heavyHitters: exact when capacity >= distinct; MG bounds on skew") {
     val s = spark; import s.implicits._
     import graft.functions.Udx

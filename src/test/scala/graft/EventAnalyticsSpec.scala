@@ -71,6 +71,18 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", "error", 1L, 333333L)))
   }
 
+  test("durationPercentiles: nearest-rank picks, exact long arithmetic") {
+    val s = spark; import s.implicits._
+    val d = Seq(10L, 20L, 30L, 40L).toDF("dur")
+    val out = EventAnalytics.durationPercentiles(d, "dur", Seq(25, 50, 100))
+      .orderBy("pct").as[(Int, Long, Long)].collect().toSeq
+    // ceil(.25*4)=1, ceil(.5*4)=2, ceil(4)=4
+    assert(out === Seq((25, 10L, 4L), (50, 20L, 4L), (100, 40L, 4L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.durationPercentiles(d, "dur", Seq(0))
+    }
+  }
+
   test("retention: day-0 equals cohort size; offsets hand-computed") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
