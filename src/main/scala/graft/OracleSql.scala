@@ -2558,6 +2558,31 @@ object OracleSql {
       FROM ps JOIN r ON r.rn = (r.n * ps.pct + 99) // 100
       ORDER BY ps.pct""",
 
+    // q172: label-centroid outliers — per-(label, dim) fixed-point means,
+    // ordered list reassembly, cosine to own centroid, flag at 0.3
+    "q172_centroid_outliers" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      ix AS (SELECT label, CAST(unnest(range(0, len(v))) AS BIGINT) AS d, v
+             FROM e),
+      pm AS (SELECT label, d,
+               CAST(floor(v[CAST(d + 1 AS INT)] * 1000000.0) AS BIGINT) AS m
+             FROM ix),
+      cd AS (SELECT label, d,
+               CAST(floor(CAST(sum(m) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+             FROM pm GROUP BY 1, 2),
+      ct AS (SELECT label,
+               list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY d) AS cent
+             FROM cd GROUP BY label)
+      SELECT e.vec_id, e.label,
+        CAST(floor(list_cosine_similarity(e.v, ct.cent) * 1000000.0)
+             AS BIGINT) AS centroid_cos_micros,
+        CAST(CASE WHEN floor(list_cosine_similarity(e.v, ct.cent)
+                             * 1000000.0) < 300000
+             THEN 1 ELSE 0 END AS INT) AS outlier
+      FROM e JOIN ct ON e.label = ct.label
+      ORDER BY e.vec_id""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

@@ -2895,6 +2895,16 @@ object SparkEntry {
       .orderBy(col("pct"))
   }
 
+  /** Label-centroid OUTLIERS ([[Similarity.labelCentroidOutliers]]):
+    * exact fixed-point per-label centroids (no order-sensitive float
+    * accumulation), every vector scored by cosine against its own
+    * label's centroid and flagged below 0.3 — the mislabeled/corrupt
+    * embedding sweep. One (label, dim) aggregate + a broadcast map. */
+  def q172_centroid_outliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidOutliers(embeddings(s, dir), "embedding",
+        "vec_id", "label", minCos = 0.3)
+      .orderBy(col("vec_id"))
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3805,6 +3815,7 @@ object SparkEntry {
     "q169_datasheet" -> (q169_datasheet _),
     "q170_pmi_pairs" -> (q170_pmi_pairs _),
     "q171_funnel_durations" -> (q171_funnel_durations _),
+    "q172_centroid_outliers" -> (q172_centroid_outliers _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

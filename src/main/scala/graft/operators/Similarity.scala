@@ -794,6 +794,47 @@ object Similarity {
         (col("label_a") === col("label_b")).cast("int").as("within"))
   }
 
+  /** Label-centroid OUTLIER detection: per-label centroids built in
+    * exact fixed-point (per-dimension floor-micros sums and
+    * floor-division means — no order-sensitive float accumulation
+    * anywhere), then every vector scored by cosine against its own
+    * label's centroid and flagged when it falls below `minCos` — the
+    * mislabeled/corrupt-embedding sweep run before training. Every row
+    * returns with its score (auditable gate).
+    *
+    * Scale shape: one explode + one (label, dim)-keyed exact aggregate
+    * (output = labels × dims), centroids reassembled label-side and
+    * broadcast back into a pure map — the corpus shuffles nothing but
+    * its exploded micros. */
+  def labelCentroidOutliers(embs: DataFrame, vecCol: String, idCol: String,
+                            labelCol: String, minCos: Double): DataFrame = {
+    val dims = embs
+      .select(col(labelCol).as("__l"), posexplode(col(vecCol)))
+      .select(col("__l"), col("pos"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("__m"))
+      .groupBy(col("__l"), col("pos"))
+      .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__c"))
+      .select(col("__l"), col("pos"),
+        floor(col("__s").cast("double") / col("__c")).cast("long")
+          .as("__cm"))
+    val centroids = dims
+      .groupBy(col("__l"))
+      .agg(collect_list(struct(col("pos"), col("__cm"))).as("__parts"))
+      .select(col("__l"),
+        transform(array_sort(col("__parts")),
+          p => p.getField("__cm").cast("double") / lit(1000000.0))
+          .as("__cent"))
+    embs
+      .join(broadcast(centroids), col(labelCol) === col("__l"))
+      .select(col(idCol), col(labelCol),
+        floor(VectorFunctions.cosine(col(vecCol), col("__cent"))
+          * lit(1000000.0)).cast("long").as("centroid_cos_micros"))
+      .withColumn("outlier",
+        (col("centroid_cos_micros") <
+          (minCos * 1000000.0).toLong).cast("int"))
+  }
+
   /** Split a `dim`-wide vector into `m` contiguous sub-vectors (the PQ
     * slicing, exposed as a column) — the multi-vector reshape for
     * late-interaction scoring. */

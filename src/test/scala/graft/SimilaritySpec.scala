@@ -598,6 +598,19 @@ class SimilaritySpec extends SparkSpec {
       (11L, 1, 0, 0)))  // 1-1 tie -> smaller label 0, a miss
   }
 
+  test("labelCentroidOutliers: exact centroid, hand-computed scores") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),   // centroid (.5, .5)
+      (3L, 1, Seq(1f, 0f)))                         // centroid (1, 0)
+      .toDF("id", "label", "vec")
+    val out = Similarity.labelCentroidOutliers(e, "vec", "id", "label",
+        minCos = 0.8)
+      .orderBy("id").as[(Long, Int, Long, Int)].collect().toSeq
+    val c = math.floor(1.0 / math.sqrt(2.0) * 1e6).toLong // cos to (.5,.5)
+    assert(out === Seq((1L, 0, c, 1), (2L, 0, c, 1), (3L, 1, 1000000L, 0)))
+  }
+
   test("labelPairCosines: hand-computed within/across means, exact micros") {
     import spark.implicits._
     graft.plans.CosineSimilarity.register(spark)
