@@ -2583,6 +2583,29 @@ object OracleSql {
       FROM e JOIN ct ON e.label = ct.label
       ORDER BY e.vec_id""",
 
+    // q173: script histogram — per-char codepoints (substr is
+    // char-indexed in DuckDB), identical range classes, per-lang shares
+    "q173_script_histogram" -> """
+      WITH cp AS (SELECT lang,
+          unicode(substr(text, CAST(i AS INT), 1)) AS u
+        FROM (SELECT lang, text,
+                unnest(range(1, length(text) + 1)) AS i
+              FROM documents)),
+      cl AS (SELECT lang,
+        CASE WHEN (u BETWEEN 97 AND 122) OR (u BETWEEN 65 AND 90)
+               THEN 'latin'
+             WHEN u BETWEEN 48 AND 57 THEN 'digit'
+             WHEN u BETWEEN 19968 AND 40959 THEN 'han'
+             WHEN u IN (32, 9, 10, 13) THEN 'space'
+             ELSE 'other' END AS script
+        FROM cp),
+      c AS (SELECT lang, script, CAST(count(*) AS BIGINT) AS n
+            FROM cl GROUP BY 1, 2)
+      SELECT lang, script, n,
+        CAST(floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)
+                   * 1000000.0) AS BIGINT) AS share_micros
+      FROM c ORDER BY lang, script""",
+
     // q149: per-language quantile prune — the q140 fixed-point logit
     // recomputed verbatim, then the exact keep rule as one row_number:
     // rank by (logit desc, doc_id) <= ceil(n_lang * 0.5); the engine

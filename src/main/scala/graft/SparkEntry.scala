@@ -2905,6 +2905,27 @@ object SparkEntry {
         "vec_id", "label", minCos = 0.3)
       .orderBy(col("vec_id"))
 
+  /** Unicode SCRIPT histogram per language
+    * ([[graft.functions.TextFunctions.scriptClass]]): codepoint-class
+    * counts + per-lang shares — the script-detection check against the
+    * lang labels (a "zh" slice that is all Latin script is mislabeled
+    * or mojibake — exactly what this fixture shows). One codepoint
+    * explode (corpus-char-sized by necessity) + a |langs|·|scripts|
+    * aggregate; shares normalize over that tiny table. */
+  def q173_script_histogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    documents(s, dir)
+      .select(col("lang"), explode(codepoints(col("text"))).as("__cp"))
+      .select(col("lang"), scriptClass(col("__cp")).as("script"))
+      .groupBy(col("lang"), col("script"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_micros",
+        floor(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang")))
+          * lit(1000000.0)).cast("long"))
+      .orderBy(col("lang"), col("script"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3816,6 +3837,7 @@ object SparkEntry {
     "q170_pmi_pairs" -> (q170_pmi_pairs _),
     "q171_funnel_durations" -> (q171_funnel_durations _),
     "q172_centroid_outliers" -> (q172_centroid_outliers _),
+    "q173_script_histogram" -> (q173_script_histogram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -73,6 +73,22 @@ object TextFunctions {
           .otherwise(transform(sequence(lit(1), size(chars) - lit(n) + lit(1)),
             i => concat_ws("", slice(chars, i, lit(n)))))), 1)
 
+  /** Codepoint array of the text (split-once, O(n) — never a substr
+    * walk; BMP-correct, the fixtures are ASCII). */
+  def codepoints(text: Column): Column =
+    transform(array_remove(split(text, ""), ""), c => ascii(c).cast("long"))
+
+  /** Coarse Unicode script class of a codepoint — the script-detection
+    * complement to [[langId]] (a lang label whose text is mostly the
+    * wrong script is mislabeled/mojibake). Deterministic range tests an
+    * oracle replays verbatim. */
+  def scriptClass(cp: Column): Column =
+    when(cp.between(97L, 122L) || cp.between(65L, 90L), "latin")
+      .when(cp.between(48L, 57L), "digit")
+      .when(cp.between(19968L, 40959L), "han")
+      .when(cp.isin(32L, 9L, 10L, 13L), "space")
+      .otherwise("other")
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"\\(\\)\\-]", ""))

@@ -149,4 +149,22 @@ class TextSpec extends SparkSpec {
     assert(w.forall(x => x >= -2000L && x <= 2000L))
     assert(derivedQualityWeights(nb).toSeq === w.toSeq)
   }
+
+  test("scriptClass: exact range boundaries; codepoints is O(n) split-once") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // boundary chars: range ends of every class + an 'other'
+    // (\uXXXX escapes — raw CJK through editor tooling can silently
+    // NFC-mangle; the lexer resolves these before the string exists)
+    val t = "Az09 一鿿!"
+    val got = Seq(t).toDF("t")
+      .select(transform(codepoints(col("t")), c => scriptClass(c)).as("c"))
+      .head().getSeq[String](0)
+    assert(got === Seq("latin", "latin", "digit", "digit", "space",
+      "han", "han", "other"))
+    // empty text classifies to an empty array, not a null walk
+    assert(Seq("").toDF("t").select(codepoints(col("t")))
+      .head().getSeq[Long](0).isEmpty)
+  }
 }
