@@ -154,9 +154,10 @@ class TextSpec extends SparkSpec {
     import graft.functions.TextFunctions._
     import org.apache.spark.sql.functions._
     val s = spark; import s.implicits._
-    // boundary chars: range ends of every class + an 'other'
-    // (\uXXXX escapes — raw CJK through editor tooling can silently
-    // NFC-mangle; the lexer resolves these before the string exists)
+    // boundary chars: range ends of every class + an 'other' — the CJK
+    // literals are U+4E00 and U+9FFF, the han range's exact endpoints
+    // (verified by the expected classes below; a mangled byte would
+    // classify 'other' and fail)
     val t = "Az09 一鿿!"
     val got = Seq(t).toDF("t")
       .select(transform(codepoints(col("t")), c => scriptClass(c)).as("c"))
