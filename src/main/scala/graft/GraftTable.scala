@@ -540,9 +540,18 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   /** Incremental REPLICATION into another graft table: apply this
     * table's row-level change feed since the last synced version to
     * `target` as ONE merge commit, then advance the watermark sidecar
-    * (`_replication.json` under the target — underscore-hidden from
+    * (`_replication.tsv` under the target — underscore-hidden from
     * file indexes, like `_manifest.json`). Returns the target commit id
     * or None when the target is already current.
+    *
+    * Concurrency discipline: ONE replicator per target at a time. The
+    * sidecar is rewritten whole (read-modify-write under an atomic
+    * move), so two concurrent `replicateTo` calls into the same target
+    * from DIFFERENT sources can each persist a file missing the other's
+    * line. Nothing corrupts — the next sync from the dropped source
+    * re-reads watermark −1..latest and the idempotent merge re-applies
+    * a delta it already holds — but the re-sync wastes the full feed, so
+    * serialize replications per target.
     *
     * Delta-priced end to end: [[changeFeed]] diffs snapshots reading
     * only unshared files and emits the NET change per key, the merge
@@ -590,8 +599,12 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * a micro-batch) projected to mutations and applied to the replica
     * through the exactly-once CDC merge sink (replayed epochs detect
     * their committed snapshot and no-op, so restarts never double-apply).
-    * The source must commit with [[commitWithFeed]]; the replica root
-    * should start empty or seeded from the same base. */
+    * The source must commit with [[commitWithFeed]]; seed the replica
+    * root from the source's CURRENT base first (shallow [[clone]] or a
+    * one-shot [[replicateTo]]) — persisted feeds begin at the first
+    * `commitWithFeed`, so an EMPTY replica start is valid only when the
+    * source base is itself empty (pre-feed source history never reaches
+    * the stream). */
   def replicateStream(targetRoot: String,
                       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -865,9 +865,9 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   /** Exact interpolated percentiles + median per group (single-pass sort
-    * agg per group; at scale prefer approx_percentile — exercised in
-    * q40's HLL neighborhood — but the exact form is the oracle-checkable
-    * one). */
+    * agg per group; at scale prefer `approx_percentile` — the sketch
+    * form is exercised against the exact values in q176 — but the exact
+    * form is the directly oracle-checkable one). */
   def q59_percentiles(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .groupBy(col("o_orderstatus"))

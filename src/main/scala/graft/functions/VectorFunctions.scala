@@ -111,7 +111,11 @@ object VectorFunctions {
           val s = when(h % lit(2L) === 0L, lit(-1.0)).otherwise(lit(1.0))
           acc + s * element_at(vec, (i + 1).cast("int")).cast("double")
         }) / sqrt(lit(outDim.toDouble)))
-    when(size(vec) >= 1, proj)
+    // the isNull guard comes FIRST: size(null) is null, which would fall
+    // through a bare size >= 1 test to the empty-array branch — null must
+    // propagate (the l2Normalize contract), not silently become []
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) >= 1, proj)
       .otherwise(array().cast("array<double>"))
   }
 

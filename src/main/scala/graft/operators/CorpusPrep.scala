@@ -1060,9 +1060,18 @@ object CorpusPrep {
       (sum(col("__c")).over(wRun) - col("__c")).as("__before"))
     val lim = cnt.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
       .select(col(groupCol), kExpr.cast("long").as("__k"))
+    // null-SAFE joins (<=>): a null group or score still groups, counts,
+    // and ranks (Spark orders nulls first asc / last desc, deterministic),
+    // so the "every row returns with a kept flag" contract holds — a
+    // plain equi-join would silently drop null-keyed rows from the gate
+    val cumR = cum.withColumnRenamed(groupCol, "__gq")
+      .withColumnRenamed(scoreCol, "__sq")
+    val limR = lim.withColumnRenamed(groupCol, "__gl")
     val gated = docs
-      .join(cum, Seq(groupCol, scoreCol))
-      .join(broadcast(lim), Seq(groupCol))
+      .join(cumR, col(groupCol) <=> col("__gq") && col(scoreCol) <=> col("__sq"))
+      .drop("__gq", "__sq")
+      .join(broadcast(limR), col(groupCol) <=> col("__gl"))
+      .drop("__gl")
     val straddles = col("__before") < col("__k") &&
       col("__before") + col("__c") > col("__k")
     // non-straddling rows decide from counts alone — no sort touches them

@@ -769,12 +769,21 @@ object Similarity {
     * report (healthy spaces show within ≫ across). Each pair's cosine
     * lands as floor-micros BEFORE summing, so the aggregates are exact
     * longs in any order; the mean is integer floor-division. All-pairs
-    * by construction (the exact eval diagnostic, run on a sample at
-    * scale — the LSH/IVF families are the production path for
-    * corpus-sized neighbor work). */
+    * by construction (the exact eval diagnostic — the LSH/IVF families
+    * are the production path for corpus-sized neighbor work), so the
+    * input is GUARDED like [[mmrRerank]]'s candidate cap: more than
+    * `maxRows` rows fails fast instead of launching an O(n²) join — at
+    * scale, hand this a deterministic sample (the [[CorpusPrep.mixture]]
+    * md5 rule keeps the sample replayable), not the corpus. The count
+    * costs one cheap pre-job on an eval-sized diagnostic input. */
   def labelPairCosines(embs: DataFrame, vecCol: String, idCol: String,
                        labelCol: String,
-                       native: Boolean = false): DataFrame = {
+                       native: Boolean = false,
+                       maxRows: Int = 4096): DataFrame = {
+    val n = embs.count()
+    require(n <= maxRows,
+      s"labelPairCosines is an all-pairs eval diagnostic (got $n rows, " +
+        s"cap $maxRows) — run it on a deterministic sample, not a corpus")
     val a = embs.select(col(idCol).as("__ia"), col(labelCol).as("__la"),
       col(vecCol).as("__va"))
     val b = embs.select(col(idCol).as("__ib"), col(labelCol).as("__lb"),

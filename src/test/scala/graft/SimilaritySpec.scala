@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{CorpusPrep, Similarity}
 
 /** ANN operators against the exact brute-force baseline. */
 class SimilaritySpec extends SparkSpec {
@@ -626,6 +626,45 @@ class SimilaritySpec extends SparkSpec {
       (0, 0, 1L, 1000000L, 1),
       (0, 1, 4L, 0L, 0),
       (1, 1, 1L, 1000000L, 1)))
+  }
+
+  test("labelPairCosines: maxRows guard fails fast on oversized input") {
+    import spark.implicits._
+    val big = spark.range(5).select(col("id"), lit(0).as("label"),
+      array(lit(1f), lit(0f)).as("vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.labelPairCosines(big, "vec", "id", "label", maxRows = 4)
+    }
+    assert(ex.getMessage.contains("all-pairs"))
+    // at exactly the cap the diagnostic still runs
+    assert(Similarity.labelPairCosines(big, "vec", "id", "label",
+      maxRows = 5).count() === 1L)
+  }
+
+  test("randomProject: null vector propagates null (not empty array)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("id", "vec")
+    val got = df.select(col("id"),
+        VectorFunctions.randomProject(col("vec"), 2).as("p"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1))
+    assert(got(1).isNullAt(1), "null input must project to null")
+  }
+
+  test("quantilePrune: null group and null score rows still get a kept flag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("en"), Some(10L)), (2L, Some("en"), Some(5L)),
+      (3L, None: Option[String], Some(7L)),   // null group
+      (4L, Some("en"), None: Option[Long]))   // null score
+      .toDF("doc_id", "lang", "score")
+    val out = CorpusPrep.quantilePrune(df, "lang", "score", "doc_id",
+      keepFrac = 0.5, ascending = false)
+    // the auditable-gate contract: EVERY input row returns with a flag
+    assert(out.count() === 4L)
+    assert(out.where(col("kept").isNull).count() === 0L)
   }
 
   test("dimStats: exact fixed-point mins/maxes/sums, ragged lengths") {
