@@ -9,6 +9,8 @@ package graft
 object OracleSql {
 
   val all: Map[String, String] = Map(
+    "q174_bpe_tokens" -> q174BpeTokens,
+    "q175_bpe_chunks" -> q175BpeChunks,
     "q01_agg_pricing" -> """
       SELECT l_returnflag, l_linestatus,
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -2973,6 +2975,116 @@ object OracleSql {
              FROM p WHERE u > 0 AND CAST(i AS DOUBLE) / u >= $t)
     """
   }
+
+  // ---- exact BPE oracles (q174/q175) -------------------------------------
+
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  /** The committed merges table as a VALUES list — spliced from the SAME
+    * resource the Spark kernel loads ([[graft.functions.Bpe.default]]),
+    * so the two engines cannot drift. */
+  private lazy val bpeMergesValues: String =
+    graft.functions.Bpe.default.merges.zipWithIndex.map {
+      case ((l, r), i) => s"(${i + 1}, '${sqlEsc(l)}', '${sqlEsc(r)}')"
+    }.mkString(",\n        ")
+
+  /** Same planted fixture docs as `SparkEntry.bpeFixtureDocs`. */
+  private lazy val bpeFixtureValues: String = """
+      VALUES (-1, 'the quick table merges running 12345 (parens) end-to-end'),
+             (-2, 'don''t scan? z#9 Xylophone counting corpus streamsort'),
+             (-3, ''), (-4, '   ')"""
+
+  /** The estimate rule (q141/q142's) for one word expression `w`. */
+  private def estRule(w: String): String =
+    s"""coalesce(list_sum(list_transform(
+            regexp_extract_all($w, '[A-Za-z]+'), r -> (length(r)+3)//4)), 0)
+          + length(regexp_replace($w, '[^0-9]', '', 'g'))
+          + length(regexp_replace($w, '[A-Za-z0-9]', '', 'g'))"""
+
+  /** Relational replay of the EXACT BPE encoder over the distinct
+    * pretokens of `tk(doc_id, toks)`: each word starts as its
+    * space-joined codepoints (leading/trailing space so edge symbols
+    * delimit), and each recursion step applies ONE merge — the
+    * lowest-rank pair present, leftmost occurrence — as a first-match
+    * string splice. Space-delimited matching is unambiguous because
+    * symbols never contain spaces. Terminal states are the rows no
+    * merge applies to; token count = spaces − 1. */
+  private lazy val bpeEncodeCtes: String = s"""
+      wd(tok) AS (SELECT DISTINCT unnest(toks) FROM tk),
+      rec AS (
+        SELECT tok AS wid,
+          ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' ' AS w
+        FROM wd
+        UNION ALL
+        SELECT r.wid,
+          substr(r.w, 1, strpos(r.w, b.pat) - 1) || b.rep ||
+            substr(r.w, strpos(r.w, b.pat) + length(b.pat))
+        FROM rec r JOIN LATERAL (
+          SELECT ' ' || m.lhs || ' ' || m.rhs || ' ' AS pat,
+                 ' ' || m.lhs || m.rhs || ' ' AS rep
+          FROM merges m
+          WHERE strpos(r.w, ' ' || m.lhs || ' ' || m.rhs || ' ') > 0
+          ORDER BY m.rank LIMIT 1) b ON true),
+      fin AS (
+        SELECT wid, length(w) - length(replace(w, ' ', '')) - 1 AS c
+        FROM rec r
+        WHERE NOT EXISTS (SELECT 1 FROM merges m
+          WHERE strpos(r.w, ' ' || m.lhs || ' ' || m.rhs || ' ') > 0))"""
+
+  private lazy val q174BpeTokens: String = s"""
+      WITH RECURSIVE
+      merges(rank, lhs, rhs) AS (VALUES $bpeMergesValues),
+      d(doc_id, text) AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL $bpeFixtureValues),
+      tk AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM d),
+      $bpeEncodeCtes,
+      dw AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+      bp AS (SELECT dw.doc_id, CAST(sum(f.c) AS BIGINT) AS bpe
+             FROM dw JOIN fin f ON f.wid = dw.tok GROUP BY dw.doc_id)
+      SELECT tk.doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, w -> ${estRule("w")})), 0)
+          AS BIGINT) AS est_tokens,
+        CAST(coalesce(bp.bpe, 0) AS BIGINT) AS bpe_tokens
+      FROM tk LEFT JOIN bp ON bp.doc_id = tk.doc_id
+      ORDER BY tk.doc_id"""
+
+  /** q141's greedy fold CTE, budgeted by the EXACT per-word costs from
+    * the encode recursion. */
+  private lazy val q175BpeChunks: String = s"""
+      WITH RECURSIVE
+      merges(rank, lhs, rhs) AS (VALUES $bpeMergesValues),
+      d(doc_id, text) AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL $bpeFixtureValues),
+      tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             FROM d WHERE trim(text) <> ''),
+      $bpeEncodeCtes,
+      w AS (SELECT doc_id,
+        CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+        unnest(toks) AS tok
+        FROM tk),
+      wc AS (SELECT w.doc_id, w.pos, w.tok, f.c
+             FROM w JOIN fin f ON f.wid = w.tok),
+      recc AS (
+        SELECT doc_id, pos, tok, c, c AS cum, 0 AS chunk_idx
+        FROM wc WHERE pos = 1
+        UNION ALL
+        SELECT wc.doc_id, wc.pos, wc.tok, wc.c,
+          CASE WHEN recc.cum + wc.c > 16 THEN wc.c
+               ELSE recc.cum + wc.c END,
+          CASE WHEN recc.cum + wc.c > 16 THEN recc.chunk_idx + 1
+               ELSE recc.chunk_idx END
+        FROM recc JOIN wc
+          ON wc.doc_id = recc.doc_id AND wc.pos = recc.pos + 1)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        CAST(sum(c) AS BIGINT) AS n_chunk_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM recc GROUP BY doc_id, chunk_idx
+      ORDER BY doc_id, chunk_idx"""
 
   /** q44/q45/q114/q124 share one oracle: the exact brute-force top-10
     * (q35's query) with the ANN recall flag pinned to 1. */

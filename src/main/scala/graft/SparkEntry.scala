@@ -2926,6 +2926,61 @@ object SparkEntry {
       .orderBy(col("lang"), col("script"))
   }
 
+  /** Fixture documents for the BPE lanes: multi-merge English, digits,
+    * punctuation, apostrophes, unseen characters, and empty/whitespace
+    * edge docs — the synthetic corpus alone is a 31-word vocabulary, so
+    * these exercise the encoder paths it can't (the q144/q153 planted-
+    * fixture discipline; the oracle unions the same rows). */
+  private def bpeFixtureDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (-1L, "the quick table merges running 12345 (parens) end-to-end"),
+      (-2L, "don't scan? z#9 Xylophone counting corpus streamsort"),
+      (-3L, ""),
+      (-4L, "   ")).toDF("doc_id", "text")
+  }
+
+  /** EXACT BPE token counts ([[graft.plans.BpeTokenCount]] over the
+    * committed merges table, `src/main/resources/graft/bpe_merges.tsv`)
+    * next to the documented estimate rule — the real-tokenizer upgrade
+    * of every token-denominated operator. The oracle replays the WHOLE
+    * tokenizer relationally: the same merges as a VALUES table (spliced
+    * from the same resource by [[OracleSql]]) and the documented
+    * min-rank-first / leftmost-occurrence encode loop as a recursive
+    * CTE over the DISTINCT pretokens (one leftmost string-replace per
+    * step), then per-doc sums — token counts must hash-match exactly.
+    * Scale shape: the Spark side is ONE codegen'd map-side kernel with
+    * a per-executor word cache; nothing shuffles. */
+  def q174_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.BpeExpressions.register(s)
+    import graft.functions.TextFunctions._
+    documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(bpeFixtureDocs(s))
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        tokenEstimate(col("text")).as("est_tokens"),
+        call_function("graft_bpe_count", col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TOKEN-budgeted chunking under the EXACT tokenizer — q141's greedy
+    * word-boundary packer with `tokenizer = "bpe"`
+    * ([[CorpusPrep.chunkTokens]]): budgets measured in true
+    * committed-merges BPE tokens instead of the estimate. The oracle
+    * composes its two replayable halves: per-word exact costs from the
+    * q174 recursive encode CTE, then q141's greedy fold CTE over those
+    * costs — boundaries, costs, and chunk texts must all agree. Same
+    * map-side shape as q141; only the cost lambda changed (the
+    * documented switch contract). */
+  def q175_bpe_chunks(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.BpeExpressions.register(s)
+    CorpusPrep.chunkTokens(
+        documents(s, dir).select(col("doc_id"), col("text"))
+          .unionByName(bpeFixtureDocs(s)),
+        "text", "doc_id", maxTokens = 16, tokenizer = "bpe")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3838,6 +3893,8 @@ object SparkEntry {
     "q171_funnel_durations" -> (q171_funnel_durations _),
     "q172_centroid_outliers" -> (q172_centroid_outliers _),
     "q173_script_histogram" -> (q173_script_histogram _),
+    "q174_bpe_tokens" -> (q174_bpe_tokens _),
+    "q175_bpe_chunks" -> (q175_bpe_chunks _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -303,6 +303,32 @@ object TextFunctions {
   def tokenEstimate(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => acc + wordTokenCost(w))
 
+  /** Tokenizer switch for every token-budgeted operator: the per-WORD
+    * cost column under `tokenizer` ∈ {"estimate", "bpe"}. "estimate" is
+    * the documented deterministic rule ([[wordTokenCost]]); "bpe" is
+    * the EXACT committed-merges encoder
+    * ([[graft.plans.BpeWordCost]] — register
+    * [[graft.plans.BpeExpressions]] on the session first). Budgets,
+    * chunk boundaries, and packing are cost-function-agnostic, so this
+    * one switch moves them all between the approximate and the exact
+    * tokenizer. */
+  def wordCost(word: Column, tokenizer: String): Column = tokenizer match {
+    case "estimate" => wordTokenCost(word)
+    case "bpe" => call_function(graft.plans.BpeWordCost.name, word)
+    case other => throw new IllegalArgumentException(
+      s"tokenizer must be estimate|bpe, got $other")
+  }
+
+  /** Per-DOCUMENT token count under the chosen tokenizer (the
+    * [[wordCost]] switch summed over `\s+` pretokens; the bpe kernel
+    * pretokenizes inside one codegen'd call). */
+  def tokenCountOf(text: Column, tokenizer: String): Column = tokenizer match {
+    case "estimate" => tokenEstimate(text)
+    case "bpe" => call_function(graft.plans.BpeTokenCount.name, text)
+    case other => throw new IllegalArgumentException(
+      s"tokenizer must be estimate|bpe, got $other")
+  }
+
   /** Hashed-feature bucket of one token: polynomial hash of its code
     * points ([[polyStep]] — exact long arithmetic) folded into
     * `numBuckets` by pmod. Chosen over xxhash64 because an external

@@ -201,10 +201,14 @@ object CorpusPrep {
     *
     * Shape: one fold per doc builds the break positions (O(words), the
     * bound-lambda discipline), then one posexplode — all map-side, no
-    * shuffle, row growth = chunks per doc. Swapping in a real
-    * tokenizer's costs changes only the cost lambda. */
+    * shuffle, row growth = chunks per doc. `tokenizer` IS the
+    * real-tokenizer swap: "estimate" budgets by the documented
+    * deterministic rule, "bpe" by the exact committed-merges encoder
+    * ([[TextFunctions.wordCost]]; register
+    * [[graft.plans.BpeExpressions]] first) — only the cost lambda
+    * changes, the greedy fold and the output contract are identical. */
   def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
-                  maxTokens: Int): DataFrame = {
+                  maxTokens: Int, tokenizer: String = "estimate"): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     // EVERYTHING shared (tokens, costs, starts) is bound as a LAMBDA
     // VARIABLE via the single-element-transform trick, never a projected
@@ -218,7 +222,7 @@ object CorpusPrep {
     val chunks = element_at(transform(
       array(TextFunctions.tokens(col(textCol))), toks =>
         element_at(transform(
-          array(transform(toks, w => TextFunctions.wordTokenCost(w))), cs => {
+          array(transform(toks, w => TextFunctions.wordCost(w, tokenizer))), cs => {
             // fold (cost, position) pairs into greedy chunk-start
             // positions: a chunk starts at word i when the running cost
             // since the last break would exceed the budget (and the
@@ -277,13 +281,14 @@ object CorpusPrep {
     * dedupLines discipline. Two doc-keyed shuffles total; nothing
     * corpus-global. */
   def chunkTokensSliding(docs: DataFrame, textCol: String, idCol: String,
-                         window: Int, stride: Int): DataFrame = {
+                         window: Int, stride: Int,
+                         tokenizer: String = "estimate"): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val words = docs
       .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol)))
         .as(Seq("__pos", "__w")))
-      .withColumn("__c", TextFunctions.wordTokenCost(col("__w")))
+      .withColumn("__c", TextFunctions.wordCost(col("__w"), tokenizer))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withOff = words
@@ -314,9 +319,10 @@ object CorpusPrep {
     * token offset + first/last pack per doc). */
   def packTokens(docs: DataFrame, orderCol: String, textCol: String,
                  budget: Int, nBuckets: Int = 64,
-                 skewRobust: Boolean = false): DataFrame =
+                 skewRobust: Boolean = false,
+                 tokenizer: String = "estimate"): DataFrame =
     packConcat(docs.withColumn("__est_tokens",
-        TextFunctions.tokenEstimate(col(textCol))),
+        TextFunctions.tokenCountOf(col(textCol), tokenizer)),
       orderCol, "__est_tokens", budget, nBuckets, skewRobust)
       .withColumnRenamed("__est_tokens", "est_tokens")
 
