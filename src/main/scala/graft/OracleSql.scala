@@ -11,6 +11,141 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "q174_bpe_tokens" -> q174BpeTokens,
     "q175_bpe_chunks" -> q175BpeChunks,
+
+    // q176: exact quartiles are recomputed; the sketch's rank-ε flag is
+    // the q40 discipline — accuracy 10000 bounds rank error under one
+    // row at this scale, so it pins to 1
+    "q176_approx_percentile" -> """
+      SELECT o_orderstatus,
+        CAST(round(quantile_cont(o_totalprice, 0.25), 4) AS DOUBLE) AS p25,
+        CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+        CAST(round(quantile_cont(o_totalprice, 0.75), 4) AS DOUBLE) AS p75,
+        CAST(1 AS INT) AS sketch_ok
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    // q177: the same deterministic HTML wrap, then the extractor's
+    // rule chain replayed verbatim (DuckDB regexp_replace needs 'g' —
+    // Spark's replaces all by default)
+    "q177_html_extract" -> """
+      WITH h AS (SELECT doc_id,
+        '<html><head><title>T</title><style>p{color:red}</style>'
+        || '<script type="text/javascript">var x = 1 < 2;</script></head>'
+        || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        || '<!-- hidden --><p>A &amp; B &lt;tag&gt; &quot;q&quot; '
+        || '&#39;s&#39;&nbsp;end</p><div>' || text
+        || '</div><P CLASS="x">tail<br/>line</P></body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT doc_id,
+        regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g')
+          AS t FROM h),
+      s2 AS (SELECT doc_id,
+        regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g')
+          AS t FROM s1),
+      s3 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, regexp_replace(t,
+        '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|pre|section|article|header|footer|nav|head|body|html|title)\b[^>]*>',
+        chr(10), 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+             FROM s4),
+      s6 AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&amp;', '&') AS t FROM s5),
+      clean AS (SELECT doc_id,
+        array_to_string(list_filter(list_transform(string_split(t, chr(10)),
+          b -> trim(regexp_replace(b, '\s+', ' ', 'g'))), b -> b <> ''),
+          chr(10)) AS text_clean FROM s6)
+      SELECT doc_id,
+        CAST(CASE WHEN text_clean = '' THEN 0
+             ELSE len(string_split(text_clean, chr(10))) END AS BIGINT)
+          AS n_blocks,
+        CAST(CASE WHEN trim(text_clean) = '' THEN 0
+          ELSE coalesce(list_sum(list_transform(
+            string_split_regex(trim(text_clean), '\s+'), w ->
+            coalesce(list_sum(list_transform(
+              regexp_extract_all(w, '[A-Za-z]+'), r -> (length(r)+3)//4)), 0)
+            + length(regexp_replace(w, '[^0-9]', '', 'g'))
+            + length(regexp_replace(w, '[A-Za-z0-9]', '', 'g')))), 0) END
+          AS BIGINT) AS est_tokens,
+        text_clean
+      FROM clean ORDER BY doc_id""",
+
+    // q178: the same five planted URL spellings per logical page, the
+    // same canonicalization rules (lowercase scheme/host, fragment and
+    // default-port strip, trailing-slash and query-param-order
+    // normalization), then the exact-dedup counts
+    "q178_url_dedup" -> """
+      WITH v AS (SELECT doc_id, doc_id % 20 AS page,
+        (doc_id // 20) % 5 + 1 AS vi FROM documents),
+      h AS (SELECT *, ['en.wikipedia.org','github.com','data.example.com',
+          'blog.example.net','arxiv.org'][CAST(page % 5 + 1 AS INT)] AS host
+        FROM v),
+      u AS (SELECT doc_id, CASE vi
+          WHEN 1 THEN 'https://' || host || '/doc/' || CAST(page AS VARCHAR) || '?b=2&a=1'
+          WHEN 2 THEN 'HTTPS://' || upper(host) || '/doc/' || CAST(page AS VARCHAR) || '?a=1&b=2#frag'
+          WHEN 3 THEN 'https://' || host || ':443/doc/' || CAST(page AS VARCHAR) || '?b=2&a=1'
+          WHEN 4 THEN 'https://' || host || '/doc/' || CAST(page AS VARCHAR) || '/?a=1&b=2'
+          ELSE 'https://' || host || '/doc/' || CAST(page AS VARCHAR) || '#x' END AS url
+        FROM h),
+      c1 AS (SELECT doc_id, trim(url) AS u0 FROM u),
+      c2 AS (SELECT doc_id, u0, regexp_replace(u0, '#.*', '') AS nf FROM c1),
+      c3 AS (SELECT doc_id, u0, nf,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c2),
+      c4 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c3),
+      c5 AS (SELECT *,
+        CASE scheme WHEN 'http' THEN regexp_replace(hostport, ':80$', '')
+                    WHEN 'https' THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END AS host2,
+        regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        regexp_replace(regexp_replace(pathq, '^[^?]*', ''), '^\?', '') AS qbody
+        FROM c4),
+      c6 AS (SELECT *,
+        CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(path, '/+$', '') END AS pathn,
+        CASE WHEN qbody = '' THEN ''
+             ELSE '?' || array_to_string(list_sort(string_split(qbody, '&')), '&')
+             END AS qnorm FROM c5),
+      c AS (SELECT doc_id,
+        CASE WHEN scheme = '' THEN u0
+             ELSE scheme || '://' || host2 || pathn || qnorm END AS canonical_url
+        FROM c6)
+      SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+        min(doc_id) AS keeper_doc
+      FROM c GROUP BY canonical_url ORDER BY canonical_url""",
+
+    // q179: both retrievals are exact brute-force rankings (full vs
+    // 8-dim-truncated vectors), so recall@10 replays verbatim; the
+    // query_id = -1 row is the mean
+    "q179_recall_at_k" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      st AS (SELECT qid, vec_id AS cid,
+        row_number() OVER (PARTITION BY qid
+          ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rn
+        FROM e, q WHERE vec_id <> qid),
+      truth AS (SELECT qid, cid FROM st WHERE rn <= 10),
+      e8 AS (SELECT vec_id, v[1:8] AS v FROM e),
+      q8 AS (SELECT vec_id AS qid, v AS qv FROM e8 WHERE vec_id < 10),
+      sa AS (SELECT qid, vec_id AS cid,
+        row_number() OVER (PARTITION BY qid
+          ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rn
+        FROM e8, q8 WHERE vec_id <> qid),
+      ann AS (SELECT qid, cid FROM sa WHERE rn <= 10),
+      hits AS (SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits
+               FROM truth t LEFT JOIN ann a ON a.qid = t.qid AND a.cid = t.cid
+               GROUP BY t.qid),
+      per AS (SELECT CAST(qid AS BIGINT) AS query_id, n_hits,
+        CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_micros FROM hits)
+      SELECT * FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(sum(n_hits) AS BIGINT),
+        CAST(sum(n_hits) * 1000000 // (10 * count(*)) AS BIGINT) FROM per
+      ORDER BY query_id""",
     "q01_agg_pricing" -> """
       SELECT l_returnflag, l_linestatus,
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

@@ -2981,6 +2981,141 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Sketch percentiles next to the exact form: q59's exact
+    * interpolated quartiles per order status PLUS a `sketch_ok` flag
+    * proving `approx_percentile` (the at-scale form — one mergeable
+    * KLL-style sketch pass, no per-group sort) lands within rank-ε of
+    * the truth (the q40 approx-vs-exact discipline). The flag is
+    * computed from the sketch's PERCENT RANK, not its value: for each
+    * quantile q, the share of rows ≤ the sketch's answer must sit
+    * within ±0.02 of q — accuracy 10000 bounds rank error at n/10000
+    * (< 1 row here), so the flag pins to 1 and an engine-independent
+    * oracle can assert it without reproducing the sketch. */
+  def q176_approx_percentile(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val agg = o.groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("__apx"),
+        count(lit(1)).as("__n"))
+    o.select(col("o_orderstatus"), col("o_totalprice"))
+      .join(broadcast(agg), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),
+        col("__n"))
+      .agg(
+        sum((col("o_totalprice") <= element_at(col("__apx"), 1))
+          .cast("long")).as("__le25"),
+        sum((col("o_totalprice") <= element_at(col("__apx"), 2))
+          .cast("long")).as("__le50"),
+        sum((col("o_totalprice") <= element_at(col("__apx"), 3))
+          .cast("long")).as("__le75"))
+      .select(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),
+        (abs(col("__le25").cast("double") / col("__n") - 0.25) <= 0.02 &&
+          abs(col("__le50").cast("double") / col("__n") - 0.5) <= 0.02 &&
+          abs(col("__le75").cast("double") / col("__n") - 0.75) <= 0.02)
+          .cast("int").as("sketch_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** HTML → TEXT extraction ([[graft.functions.TextFunctions
+    * .htmlToText]]) — the step BEFORE every shipped text gate in real
+    * pipelines (C4/CCNet extract first; the gates run on extracted
+    * text). The corpus text is deterministically wrapped into HTML —
+    * head with style+script, a heading, an entity-laden paragraph, a
+    * comment, the body text in a div — IDENTICALLY in both engines
+    * (the q86/q144 planted-fixture discipline), then extracted: tags
+    * stripped, scripts/styles/comments dropped whole, entities
+    * decoded, blocks segmented and whitespace-collapsed. The oracle
+    * replays every regexp/replace rule verbatim (RE2 ≡ Java for these
+    * patterns) and the downstream token count composes the extractor
+    * into the budget pipeline. Pure map-side. */
+  def q177_html_extract(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val html = concat(
+      lit("<html><head><title>T</title><style>p{color:red}</style>"),
+      lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head>"),
+      lit("<body><h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<!-- hidden --><p>A &amp; B &lt;tag&gt; &quot;q&quot; "),
+      lit("&#39;s&#39;&nbsp;end</p><div>"), col("text"),
+      lit("</div><P CLASS=\"x\">tail<br/>line</P></body></html>"))
+    documents(s, dir)
+      .select(col("doc_id"), htmlToText(html).as("text_clean"))
+      .select(col("doc_id"),
+        htmlBlockCount(col("text_clean")).as("n_blocks"),
+        tokenEstimate(col("text_clean")).as("est_tokens"),
+        col("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL canonicalization + exact URL dedup
+    * ([[graft.functions.TextFunctions.canonicalUrl]]): lowercase
+    * scheme/host, strip fragment and default port, sort query params,
+    * normalize the path's trailing slash — then exact dedup on the
+    * canonical form (public pipelines dedup fetched pages by canonical
+    * URL before any content dedup). Variants are planted
+    * deterministically per doc — case-mangled host, fragment,
+    * reordered params, :443 — in BOTH engines; every group of five
+    * variants must collapse to ONE canonical URL. Pure string rules →
+    * one codegen'd map + one hash-groupBy (the [[Dedup.exact]]
+    * shape). */
+  def q178_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    // 20 logical pages; the variant a doc fetches cycles INDEPENDENTLY
+    // of its page (doc_id/20 vs doc_id%20), so every page collects a
+    // mix of all five spellings
+    val page = (col("doc_id") % 20).cast("long")
+    val vIdx = (floor(col("doc_id") / lit(20.0)).cast("long") % 5 + 1)
+      .cast("int")
+    val host = element_at(array(Seq("en.wikipedia.org", "github.com",
+      "data.example.com", "blog.example.net", "arxiv.org").map(lit): _*),
+      (page % 5 + 1).cast("int"))
+    val variant = element_at(array(
+      concat(lit("https://"), host, lit("/doc/"), page, lit("?b=2&a=1")),
+      concat(lit("HTTPS://"), upper(host), lit("/doc/"), page,
+        lit("?a=1&b=2#frag")),
+      concat(lit("https://"), host, lit(":443/doc/"), page,
+        lit("?b=2&a=1")),
+      concat(lit("https://"), host, lit("/doc/"), page, lit("/?a=1&b=2")),
+      concat(lit("https://"), host, lit("/doc/"), page, lit("#x"))), vIdx)
+    // variants 1-4 all canonicalize to …/doc/<page>?a=1&b=2; variant 5
+    // (fragment only, no query) to the bare …/doc/<page> — so each page
+    // must collapse 5 spellings into exactly TWO canonical forms
+    documents(s, dir)
+      .select(col("doc_id"), variant.as("url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
+  /** ANN recall@k as a first-class REPORT ([[Similarity.recallAtK]]):
+    * per-query and mean recall of an approximate retrieval against the
+    * exact truth, in floor-micros. The measured approximation is
+    * dimension truncation — top-10 by cosine over the first 8 of 64
+    * dims vs the full-vector truth — because BOTH sides are exact
+    * brute-force rankings an external engine replays verbatim (the
+    * q35 discipline); the same operator pointed at the LSH/IVF/PQ
+    * results powers the spec-level recall assertions. Summary row
+    * rides with query_id = −1. Join volume is (queries × k) —
+    * metadata-sized at any corpus scale. */
+  def q179_recall_at_k(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(s)
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10,
+      native = true)
+    val trunc8 = (d: DataFrame) =>
+      d.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    val ann = Similarity.bruteForceTopK(trunc8(e), trunc8(q), "embedding",
+      "vec_id", 10, native = true)
+    Similarity.recallAtK(ann, truth, "query_id", "id", k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -3895,6 +4030,10 @@ object SparkEntry {
     "q173_script_histogram" -> (q173_script_histogram _),
     "q174_bpe_tokens" -> (q174_bpe_tokens _),
     "q175_bpe_chunks" -> (q175_bpe_chunks _),
+    "q176_approx_percentile" -> (q176_approx_percentile _),
+    "q177_html_extract" -> (q177_html_extract _),
+    "q178_url_dedup" -> (q178_url_dedup _),
+    "q179_recall_at_k" -> (q179_recall_at_k _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

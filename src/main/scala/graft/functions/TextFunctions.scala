@@ -403,4 +403,112 @@ object TextFunctions {
     regexp_replace(
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
+
+  // ---- HTML → text extraction --------------------------------------------
+
+  /** Block-level tags whose open/close becomes a block boundary. */
+  val htmlBlockTags: String =
+    "p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|pre|" +
+      "section|article|header|footer|nav|head|body|html|title"
+
+  /** HTML → text extraction — the step BEFORE every text gate in real
+    * pipelines (C4/CCNet operate on EXTRACTED text; the extractor is
+    * where half the quality is won). Deterministic rule-based contract,
+    * replayable verbatim in any RE2/Java-regex engine (the
+    * [[redactPii]] discipline — no DOM parser, no backrefs, no
+    * engine-specific classes):
+    *
+    *   1. drop `<script>…</script>` / `<style>…</style>` whole
+    *      (`(?is)` dotall + case-fold, lazy body) and `<!-- … -->`
+    *      comments;
+    *   2. open/close BLOCK tags ([[htmlBlockTags]]) become newlines —
+    *      the block segmentation;
+    *   3. every remaining tag is stripped to a space (inline tags must
+    *      not glue adjacent words);
+    *   4. the core named entities decode via fixed string replaces —
+    *      `&nbsp; &lt; &gt; &quot; &#39;` first, `&amp;` LAST (so
+    *      `&amp;lt;` decodes to the literal text `&lt;`, the standard
+    *      order) — decoded angle brackets are already past tag
+    *      stripping, so entity-encoded "tags" stay text (correct);
+    *   5. per block: whitespace-collapse + trim, drop empty blocks,
+    *      re-join with a single `\n`.
+    *
+    * Pure map-side codegen'd regexp/replace chain, linear in input
+    * bytes. Null propagates. Plain text with no markup passes through
+    * (modulo whitespace normalization) — safe to run unconditionally
+    * at ingest. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val seg = regexp_replace(noComment,
+      s"(?i)</?($htmlBlockTags)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(seg, "<[^>]*>", " ")
+    val decoded = replace(replace(replace(replace(replace(noTags,
+      lit("&nbsp;"), lit(" ")),
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'"))
+    val done = replace(decoded, lit("&amp;"), lit("&"))
+    array_join(
+      filter(
+        transform(split(done, "\n"),
+          b => trim(regexp_replace(b, "\\s+", " "))),
+        b => b =!= ""),
+      "\n")
+  }
+
+  /** Block count of [[htmlToText]]'s output (0 for empty extraction). */
+  def htmlBlockCount(clean: Column): Column =
+    when(clean === "", lit(0L))
+      .otherwise(size(split(clean, "\n")).cast("long"))
+
+  // ---- URL canonicalization ----------------------------------------------
+
+  /** URL canonicalization — the exact-dedup key public crawl pipelines
+    * compute before any content dedup (the same page is fetched under
+    * many spellings). Deterministic string rules, each one plain
+    * regexp/split/sort replayable in any engine:
+    *
+    *   1. trim; strip the fragment (`#…`);
+    *   2. lowercase the scheme and the host (ONLY those — path and
+    *      query are case-significant per RFC 3986);
+    *   3. drop the scheme's default port (`:80` http, `:443` https);
+    *   4. strip trailing slashes from the path; an empty path
+    *      canonicalizes to `/`… then to the bare authority form —
+    *      kept simple: empty → "/" is normalized to "/" and a bare
+    *      host keeps exactly one slash;
+    *   5. sort query parameters (`&`-split, lexicographic) — parameter
+    *      ORDER is presentation noise, duplicates are preserved;
+    *      an empty query drops its `?`.
+    *
+    * Inputs without a `scheme://` prefix are returned trimmed,
+    * untouched (not URLs — garbage in, unchanged out, so the column is
+    * safe to run over mixed fields). Pure map-side codegen'd chain. */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_extract(pathQ, "^([^?]*)", 1)
+    val pathStripped = regexp_replace(path, "/+$", "")
+    val pathNorm = when(pathStripped === "", lit("/"))
+      .otherwise(pathStripped)
+    val qBody = regexp_replace(regexp_replace(pathQ, "^[^?]*", ""),
+      "^\\?", "")
+    val qNorm = when(qBody === "", lit(""))
+      .otherwise(concat(lit("?"),
+        array_join(array_sort(split(qBody, "&")), "&")))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, pathNorm, qNorm))
+  }
 }

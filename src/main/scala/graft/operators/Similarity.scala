@@ -803,6 +803,43 @@ object Similarity {
         (col("label_a") === col("label_b")).cast("int").as("within"))
   }
 
+  /** Recall@k REPORT: per-query and mean recall of any approximate
+    * retrieval result against a ground-truth result — the first-class
+    * eval surface for the ANN ladder (specs assert recall bounds; this
+    * turns the measurement into a queryable operator). Both inputs are
+    * (queryCol, idCol[, …]) neighbor tables, e.g. an LSH/IVF/PQ/SQ8
+    * result vs [[bruteForceTopK]]. Per query: hits = |ann ∩ truth|,
+    * recall = floor(hits·1e6 / k) micros (exact integer arithmetic —
+    * the fixed-point discipline); queries the ANN missed entirely
+    * still report (0 hits). One summary row rides along with
+    * `query_id = −1`: total hits and floor(total·1e6 / (k·nQueries)).
+    *
+    * Shape: top-k tables are (queries × k)-sized — metadata next to
+    * the corpus — so the inner join and the distinct are trivially
+    * cheap at any corpus scale; nothing here touches corpus rows. */
+  def recallAtK(ann: DataFrame, truth: DataFrame, queryCol: String,
+                idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = ann.select(col(queryCol).as("query_id"), col(idCol).as("__i"))
+      .join(truth.select(col(queryCol).as("query_id"), col(idCol).as("__i")),
+        Seq("query_id", "__i"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val per = truth.select(col(queryCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id").cast("long"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_micros", col("n_hits") * lit(1000000L) / lit(k.toLong))
+      .select(col("query_id"), col("n_hits"),
+        floor(col("recall_micros")).cast("long").as("recall_micros"))
+    val mean = per.agg(
+        sum(col("n_hits")).as("__t"), count(lit(1)).as("__q"))
+      .select(lit(-1L).as("query_id"), col("__t").as("n_hits"),
+        floor(col("__t") * lit(1000000L) /
+          (lit(k.toLong) * col("__q"))).cast("long").as("recall_micros"))
+    per.unionByName(mean)
+  }
+
   /** Label-centroid OUTLIER detection: per-label centroids built in
     * exact fixed-point (per-dimension floor-micros sums and
     * floor-division means — no order-sensitive float accumulation

@@ -641,6 +641,33 @@ class SimilaritySpec extends SparkSpec {
       maxRows = 5).count() === 1L)
   }
 
+  test("recallAtK: hand-computed per-query and mean rows, missing query = 0") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "id")
+    val ann = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "id") // query 3 entirely missed
+    val out = Similarity.recallAtK(ann, truth, "query_id", "id", k = 2)
+      .orderBy("query_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (-1L, 3L, 500000L),     // mean: 3 hits / (2 × 3 queries)
+      (1L, 1L, 500000L),
+      (2L, 2L, 1000000L),
+      (3L, 0L, 0L)))
+  }
+
+  test("recallAtK on the ANN ladder: LSH recall is within (0, 1] and real") {
+    graft.plans.CosineSimilarity.register(spark)
+    val truth = Similarity.bruteForceTopK(embs, queries, "embedding",
+      "vec_id", 10)
+    val lsh = Similarity.lshTopK(embs, queries, "embedding", "vec_id",
+      k = 10, dim = 64, nBits = 8, multiProbe = 2)
+    val rep = Similarity.recallAtK(lsh, truth, "query_id", "id", k = 10)
+    val mean = rep.where(col("query_id") === -1L).head()
+    assert(mean.getLong(2) > 0L && mean.getLong(2) <= 1000000L)
+    assert(rep.count() === 11L) // 10 queries + the mean row
+  }
+
   test("randomProject: null vector propagates null (not empty array)") {
     import spark.implicits._
     import graft.functions.VectorFunctions

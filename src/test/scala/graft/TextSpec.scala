@@ -168,4 +168,67 @@ class TextSpec extends SparkSpec {
     assert(Seq("").toDF("t").select(codepoints(col("t")))
       .head().getSeq[Long](0).isEmpty)
   }
+
+  test("htmlToText: scripts/styles/comments drop, entities decode, blocks segment") {
+    // script with a '<' inside its body, style, comment all vanish whole
+    assert(one[String](htmlToText(col("t")),
+      "<html><head><style>p{x}</style><script>if (1 < 2) {}</script>" +
+        "</head><body><h1>Hi</h1><!-- no --><p>a b</p></body></html>")
+      === "Hi\na b")
+    // inline tags become spaces (no word gluing); block tags newline
+    assert(one[String](htmlToText(col("t")),
+      "<div>one<b>two</b>three<br/>four</div>") === "one two three\nfour")
+    // entity decode order: &amp;lt; is the literal TEXT "&lt;", and
+    // decoded angle brackets are NOT re-parsed as tags
+    assert(one[String](htmlToText(col("t")),
+      "<p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;x</p>")
+      === "&lt; <b> \"q\" 's' x")
+    // attribute-laden and case-mangled tags still match
+    assert(one[String](htmlToText(col("t")),
+      "<P CLASS=\"big\" data-x='1'>t</P><SCRIPT type=\"a\">z</SCRIPT>")
+      === "t")
+    // plain text passes through modulo whitespace normalization
+    assert(one[String](htmlToText(col("t")), "just   plain\n\ntext")
+      === "just plain\ntext")
+    assert(one[String](htmlToText(col("t")), "") === "")
+    // null propagates
+    val s = spark; import s.implicits._
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(htmlToText(col("t"))).head().isNullAt(0))
+    // block count
+    assert(one[Long](htmlBlockCount(htmlToText(col("t"))),
+      "<p>a</p><p>b</p>") === 2L)
+    assert(one[Long](htmlBlockCount(htmlToText(col("t"))), "") === 0L)
+  }
+
+  test("canonicalUrl: every rule, one at a time") {
+    val c = canonicalUrl(col("t"))
+    // fragment strip + scheme/host lowercase (path case preserved)
+    assert(one[String](c, "HTTPS://EN.Wikipedia.ORG/Doc/X#frag")
+      === "https://en.wikipedia.org/Doc/X")
+    // default ports drop only for their scheme
+    assert(one[String](c, "https://a.com:443/p") === "https://a.com/p")
+    assert(one[String](c, "http://a.com:80/p") === "http://a.com/p")
+    assert(one[String](c, "http://a.com:8080/p") === "http://a.com:8080/p")
+    assert(one[String](c, "ftp://a.com:443/p") === "ftp://a.com:443/p")
+    // trailing slash strips; bare host gets exactly one
+    assert(one[String](c, "https://a.com/p///") === "https://a.com/p")
+    assert(one[String](c, "https://a.com") === "https://a.com/")
+    assert(one[String](c, "https://a.com/") === "https://a.com/")
+    // query params sort; duplicates are preserved; empty query drops '?'
+    assert(one[String](c, "https://a.com/p?b=2&a=1&a=0")
+      === "https://a.com/p?a=0&a=1&b=2")
+    assert(one[String](c, "https://a.com/p?") === "https://a.com/p")
+    // non-URLs pass through trimmed, untouched
+    assert(one[String](c, "  not a url  ") === "not a url")
+    // five spellings of one page all collapse
+    val forms = Seq(
+      "https://A.com/doc/7?b=2&a=1",
+      "HTTPS://a.COM/doc/7?a=1&b=2#z",
+      "https://a.com:443/doc/7?b=2&a=1",
+      "https://a.com/doc/7/?a=1&b=2")
+    forms.foreach { f =>
+      assert(one[String](c, f) === "https://a.com/doc/7?a=1&b=2", f)
+    }
+  }
 }
