@@ -153,6 +153,48 @@ object Bench {
       System.err.println(s"[bench] sketch experiment failed: ${e.getMessage}")
     }
 
+    // ---- text-kernel throughput (round 10): the exact BPE encoder vs
+    //      the regex estimate (the tokenizer=estimate|bpe switch's real
+    //      price), the HTML extractor, and the Bloom membership gate vs
+    //      the exact semi-join it fronts. All map-side; the Bloom
+    //      contrast shows the summary (32 KiB over the wire) replacing
+    //      a corpus-sized shuffle ----
+    try {
+      graft.plans.BpeExpressions.register(spark)
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(spark, dataDir)
+      def agg1(c: org.apache.spark.sql.Column): Unit =
+        runToNoop(docs.agg(sum(c)))
+      agg1(call_function("graft_bpe_count", col("text"))) // codegen+cache warm
+      results("bpe_count_exact") = (1 to 2).map(_ => time(
+        agg1(call_function("graft_bpe_count", col("text"))))).min
+      results("token_count_estimate") = (1 to 2).map(_ => time(
+        agg1(TextFunctions.tokenEstimate(col("text"))))).min
+      // deterministic HTML wrap (q177's fixture rule) then extract —
+      // the measured operator is the tag-strip/segment/decode chain
+      val html = concat(lit("<html><head><script>skip()</script></head>"),
+        lit("<body><h1>T</h1><p>"), col("text"), lit("</p></body></html>"))
+      def extract(): Unit = runToNoop(docs.select(
+        sum(length(TextFunctions.htmlToText(html)))))
+      extract() // warm
+      results("html_extract") = (1 to 2).map(_ => time(extract())).min
+      // Bloom gate vs the exact semi-join: same membership question,
+      // summary-broadcast vs corpus-shuffle
+      val fp = docs.select(col("doc_id"),
+        TextFunctions.normalizedFingerprint(col("text")).as("fp"))
+      val corpus = fp.where(col("doc_id") % 2 === 0)
+      def bloom(): Unit = runToNoop(graft.operators.Dedup
+        .bloomMembership(corpus, "fp", fp, "fp",
+          numBits = 1 << 20, numHashes = 4))
+      def exactJoin(): Unit = runToNoop(fp.join(
+        corpus.select(col("fp")).distinct(), Seq("fp"), "left_semi"))
+      bloom(); exactJoin() // warm
+      results("bloom_membership") = (1 to 2).map(_ => time(bloom())).min
+      results("membership_exact_join") = (1 to 2).map(_ => time(exactJoin())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] text-kernel experiment failed: ${e.getMessage}")
+    }
+
     // ---- perceptual image hashing (round 8): decode+hash narrow map,
     //      then the fingerprint-only Hamming join — the candidate stage
     //      moves 16 bytes per image, payloads never shuffle, so the join

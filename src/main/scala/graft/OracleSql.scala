@@ -146,6 +146,147 @@ object OracleSql {
       SELECT CAST(-1 AS BIGINT), CAST(sum(n_hits) AS BIGINT),
         CAST(sum(n_hits) * 1000000 // (10 * count(*)) AS BIGINT) FROM per
       ORDER BY query_id""",
+
+    "q180_sentence_split" -> (s"""
+      WITH $sentenceCtes,
+      st AS (SELECT doc_id,
+        CAST(len(sents) AS BIGINT) AS n_sentences,
+        CAST(coalesce(list_sum(list_transform(sents,
+          x -> len(string_split_regex(x, '\\s+')))), 0) AS BIGINT)
+          AS n_words,
+        CAST(coalesce(list_max(list_transform(sents,
+          x -> len(string_split_regex(x, '\\s+')))), 0) AS BIGINT)
+          AS max_sentence_words
+        FROM ss)
+      SELECT doc_id, n_sentences, n_words, max_sentence_words,
+        CAST(CASE WHEN n_sentences > 0
+          THEN n_words * 1000000 // n_sentences ELSE 0 END AS BIGINT)
+          AS avg_sentence_words_micros
+      FROM st ORDER BY doc_id"""),
+
+    "q181_attribution" -> """
+      WITH t AS (SELECT user_id, event_type AS tt, ts AS tts FROM events
+                 WHERE event_type IN ('click', 'signup', 'view')),
+      c AS (SELECT DISTINCT user_id, ts AS cts FROM events
+            WHERE event_type = 'purchase'),
+      j AS (SELECT c.user_id, c.cts, t.tt, t.tts
+            FROM c LEFT JOIN t ON t.user_id = c.user_id
+              AND t.tts <= c.cts AND t.tts > c.cts - INTERVAL 12 HOUR),
+      r AS (SELECT user_id, cts, tt, tts,
+        row_number() OVER (PARTITION BY user_id, cts
+          ORDER BY tts, tt) AS rf,
+        row_number() OVER (PARTITION BY user_id, cts
+          ORDER BY tts DESC, tt DESC) AS rl,
+        count(tt) OVER (PARTITION BY user_id, cts) AS nt
+        FROM j)
+      SELECT f.user_id,
+        strftime(f.cts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+        f.tt AS first_touch,
+        strftime(f.tts, '%Y-%m-%d %H:%M:%S') AS first_touch_ts,
+        l.tt AS last_touch,
+        strftime(l.tts, '%Y-%m-%d %H:%M:%S') AS last_touch_ts,
+        CAST(f.nt AS BIGINT) AS n_touches
+      FROM (SELECT * FROM r WHERE rf = 1) f
+      JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id, cts)
+      ORDER BY user_id, conv_ts""",
+
+    // bloom_hit is pinned EQUAL to exact membership: no false negatives
+    // by construction, and at 1<<18 bits / 4 lanes / <=300 keys the
+    // false-positive probability is ~1e-13 per probe (the q40/q41
+    // pinned-flag discipline for sketch operators)
+    "q182_bloom_membership" -> """
+      WITH fp AS (SELECT doc_id, md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f
+        FROM documents),
+      m AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0)
+      SELECT doc_id AS probe_id,
+        CAST(CASE WHEN f IN (SELECT f FROM m) THEN 1 ELSE 0 END AS INT)
+          AS is_member,
+        CAST(CASE WHEN f IN (SELECT f FROM m) THEN 1 ELSE 0 END AS INT)
+          AS bloom_hit
+      FROM fp ORDER BY probe_id""",
+
+    "q183_sentence_chunks" -> (s"""
+      WITH RECURSIVE $sentenceCtes,
+      sr AS (SELECT doc_id,
+        CAST(unnest(range(1, len(sents) + 1)) AS INT) AS pos,
+        unnest(sents) AS sent
+        FROM ss WHERE len(sents) > 0),
+      sc AS (SELECT doc_id, pos, sent,
+        CAST(len(string_split_regex(sent, '\\s+')) AS BIGINT) AS c
+        FROM sr),
+      rec AS (
+        SELECT doc_id, pos, sent, c, c AS cum, 0 AS chunk_idx
+        FROM sc WHERE pos = 1
+        UNION ALL
+        SELECT sc.doc_id, sc.pos, sc.sent, sc.c,
+          CASE WHEN rec.cum + sc.c > 24 THEN sc.c
+               ELSE rec.cum + sc.c END,
+          CASE WHEN rec.cum + sc.c > 24 THEN rec.chunk_idx + 1
+               ELSE rec.chunk_idx END
+        FROM rec JOIN sc
+          ON sc.doc_id = rec.doc_id AND sc.pos = rec.pos + 1)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        CAST(sum(c) AS BIGINT) AS n_chunk_words,
+        string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+      FROM rec GROUP BY doc_id, chunk_idx
+      ORDER BY doc_id, chunk_idx"""),
+
+    "q184_bpe_fertility" -> (s"""
+      WITH RECURSIVE
+      merges(rank, lhs, rhs) AS (VALUES $bpeMergesValues),
+      d(doc_id, text) AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL $bpeFixtureValues),
+      tk AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM d),
+      $bpeEncodeCtes,
+      dw AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+      bp AS (SELECT dw.doc_id, CAST(sum(f.c) AS BIGINT) AS bpe
+             FROM dw JOIN fin f ON f.wid = dw.tok GROUP BY dw.doc_id),
+      lt AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ltoks
+        FROM d),
+      lsc AS (SELECT doc_id,
+        CAST(len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+        CAST(len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS INT) AS s_en,
+        CAST(len(list_filter(ltoks, x -> x IN ('el','la','los','que','es'))) AS INT) AS s_es,
+        CAST(len(list_filter(ltoks, x -> x IN ('le','la','les','et','est'))) AS INT) AS s_fr,
+        CAST(len(list_filter(ltoks, x -> x IN ('的','是','了','在','我'))) AS INT) AS s_zh
+        FROM lt),
+      lg AS (SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang
+        FROM lsc),
+      met AS (SELECT tk.doc_id,
+        CAST(len(toks) AS BIGINT) AS w,
+        CAST(coalesce(bp.bpe, 0) AS BIGINT) AS b,
+        CAST(length(regexp_replace(trim(d.text), '\\s+', '', 'g'))
+          AS BIGINT) AS ch
+        FROM tk JOIN d ON d.doc_id = tk.doc_id
+        LEFT JOIN bp ON bp.doc_id = tk.doc_id),
+      ag AS (SELECT lg.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS n_words,
+        CAST(sum(b) AS BIGINT) AS bpe_tokens,
+        CAST(sum(ch) AS BIGINT) AS n_chars
+        FROM met JOIN lg ON lg.doc_id = met.doc_id
+        GROUP BY lg.lang)
+      SELECT lang, n_docs, n_words, bpe_tokens, n_chars,
+        CAST(CASE WHEN n_words > 0
+          THEN bpe_tokens * 1000000 // n_words ELSE 0 END AS BIGINT)
+          AS tokens_per_word_micros,
+        CAST(CASE WHEN bpe_tokens > 0
+          THEN n_chars * 1000000 // bpe_tokens ELSE 0 END AS BIGINT)
+          AS chars_per_token_micros
+      FROM ag ORDER BY lang"""),
     "q01_agg_pricing" -> """
       SELECT l_returnflag, l_linestatus,
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -3165,6 +3306,42 @@ object OracleSql {
         FROM rec r
         WHERE NOT EXISTS (SELECT 1 FROM merges m
           WHERE strpos(r.w, ' ' || m.lhs || ' ' || m.rhs || ' ') > 0))"""
+
+  /** Shared sentence-lane CTEs (q180/q183): replay of
+    * `SparkEntry.sentencify` over the corpus (every 7th word gains a
+    * terminal mark cycling . ! ? by sentence ordinal, plus a final '.'
+    * unless the last word was marked), the planted fixture docs, then
+    * the `TextFunctions.sentencesOf` marker-replace/split/trim rule.
+    * Produces `sd(doc_id, text)` and `ss(doc_id, sents)`. Plain (non-
+    * interpolated) string — regexes carry SINGLE backslashes here. */
+  private lazy val sentenceCtes: String = """
+      sw AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS ws
+        FROM documents),
+      sj AS (SELECT doc_id, ws,
+        array_to_string(list_transform(range(1, len(ws) + 1),
+          i -> CASE WHEN i % 7 = 0
+                 THEN ws[CAST(i AS INT)] ||
+                   ['.','!','?'][CAST((i // 7 - 1) % 3 AS INT) + 1]
+                 ELSE ws[CAST(i AS INT)] END), ' ') AS j
+        FROM sw),
+      sd(doc_id, text) AS (
+        SELECT doc_id, CASE WHEN len(ws) = 0 THEN ''
+          WHEN len(ws) % 7 = 0 THEN j ELSE j || '.' END
+        FROM sj
+        UNION ALL
+        VALUES (-1, 'One. Two sentences here! A third?  And a fourth without end'),
+               (-2, 'No terminal punctuation at all'),
+               (-3, 'Trailing punct.'),
+               (-4, ''),
+               (-5, '   '),
+               (-6, 'Multi.  Space!   After? Punct. ')),
+      ss AS (SELECT doc_id, list_transform(list_filter(
+          string_split(regexp_replace(trim(text), '([.!?])\s+',
+            '\1' || chr(30), 'g'), chr(30)),
+          x -> trim(x) <> ''), x -> trim(x)) AS sents
+        FROM sd)"""
 
   private lazy val q174BpeTokens: String = s"""
       WITH RECURSIVE

@@ -3116,6 +3116,171 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Deterministically SENTENCIFY the synthetic corpus (which carries
+    * no sentence punctuation): every 7th word gains a terminal mark
+    * cycling . ! ? by sentence ordinal, and the doc gains a final '.'
+    * unless its last word was already marked. A pure word-array rule
+    * the oracle replays verbatim (the q144/q153 planted-fixture
+    * discipline) so the sentence lanes (q180/q183) exercise real
+    * boundaries. */
+  private def sentencify(text: Column): Column = {
+    import graft.functions.TextFunctions.tokens
+    val ws = tokens(text)
+    val marked = zip_with(ws, sequence(lit(1), size(ws)), (w, i) =>
+      when(i % 7 === 0,
+        concat(w, element_at(array(lit("."), lit("!"), lit("?")),
+          (pmod(floor(i / lit(7)) - 1, lit(3)) + 1).cast("int"))))
+        .otherwise(w))
+    val joined = concat_ws(" ", marked)
+    when(size(ws) === 0, lit(""))
+      .otherwise(when(size(ws) % 7 === 0, joined)
+        .otherwise(concat(joined, lit("."))))
+  }
+
+  /** Fixture docs for the sentence lanes: genuine multi-mark text,
+    * punctuation-free text (one sentence), trailing marks, double
+    * spaces after marks, and empty/blank edges — planted identically in
+    * the oracle. */
+  private def sentenceFixtureDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (-1L, "One. Two sentences here! A third?  And a fourth without end"),
+      (-2L, "No terminal punctuation at all"),
+      (-3L, "Trailing punct."),
+      (-4L, ""),
+      (-5L, "   "),
+      (-6L, "Multi.  Space!   After? Punct. ")).toDF("doc_id", "text")
+  }
+
+  /** Rule-based SENTENCE segmentation ([[graft.functions.TextFunctions
+    * .sentencesOf]]) over the sentencified corpus + edge fixtures:
+    * per-doc sentence count, summed/max per-sentence word counts, and
+    * the mean sentence length in floor-micros (integer `div` — the
+    * fixed-point discipline). One codegen'd map over the scan; nothing
+    * shuffles. The oracle replays the marker-replace/split/trim rule
+    * and the arithmetic exactly. */
+  def q180_sentence_split(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = documents(s, dir)
+      .select(col("doc_id"), sentencify(col("text")).as("text"))
+      .unionByName(sentenceFixtureDocs(s))
+    d.select(col("doc_id"),
+        element_at(transform(array(sentencesOf(col("text"))), ss =>
+          struct(
+            size(ss).cast("long").as("ns"),
+            aggregate(transform(ss,
+                x => size(split(x, "\\s+")).cast("long")),
+              lit(0L), (a, c) => a + c).as("nw"),
+            coalesce(array_max(transform(ss,
+              x => size(split(x, "\\s+")).cast("long"))), lit(0L)).as("mx")
+          )), 1).as("__st"))
+      .select(col("doc_id"),
+        col("__st.ns").as("n_sentences"),
+        col("__st.nw").as("n_words"),
+        col("__st.mx").as("max_sentence_words"))
+      .withColumn("avg_sentence_words_micros",
+        expr("CAST(CASE WHEN n_sentences > 0 THEN " +
+          "(n_words * 1000000L) DIV n_sentences ELSE 0L END AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First/last-touch ATTRIBUTION ([[EventAnalytics.attribution]]):
+    * every purchase attributed to its earliest and latest in-window
+    * touch (view/click/signup within 12 h), with the touch count;
+    * conversions with no touch keep their row (n_touches = 0). Both
+    * sides type-filter at the scan before the one user-keyed shuffle;
+    * tie-breaks are deterministic (ts, then type) so the oracle's
+    * window replay matches exactly. */
+  def q181_attribution(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.attribution(events(s, dir), "user_id", "event_type",
+        "ts", conversionType = "purchase",
+        touchTypes = Seq("click", "signup", "view"), lookback = "12 hours")
+      .select(col("user_id"),
+        date_format(col("conv_ts"), "yyyy-MM-dd HH:mm:ss").as("conv_ts"),
+        col("first_touch"),
+        date_format(col("first_touch_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("first_touch_ts"),
+        col("last_touch"),
+        date_format(col("last_touch_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("last_touch_ts"),
+        col("n_touches"))
+      .orderBy(col("user_id"), col("conv_ts"))
+
+  /** BLOOM-FILTER membership ([[Dedup.bloomMembership]] over
+    * [[graft.functions.Udx.bloomBits]]): the even-doc fingerprint set
+    * summarized into one 1<<18-bit mergeable bitmap, then ALL docs
+    * probed — the join-free "seen before" gate. Ground truth
+    * (`is_member`, an exact semi-join the oracle replays) sits beside
+    * the probe result; at these parameters (≤300 keys, 4 lanes, 256
+    * Kbit) the false-positive probability is ~1e-13 per probe, so
+    * `bloom_hit` pins EQUAL to membership — no false negatives by
+    * construction, no false positives by sizing (the q40
+    * approx-vs-exact discipline). */
+  def q182_bloom_membership(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = documents(s, dir)
+      .select(col("doc_id"), normalizedFingerprint(col("text")).as("fp"))
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val probed = Dedup.bloomMembership(corpus, "fp", d, "fp",
+      numBits = 1 << 18, numHashes = 4)
+    val members = corpus.select(col("fp")).distinct()
+      .withColumn("__m", lit(1))
+    probed.join(members, Seq("fp"), "left")
+      .select(col("doc_id").as("probe_id"),
+        coalesce(col("__m"), lit(0)).as("is_member"),
+        col("bloom_hit"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** SENTENCE-boundary chunking ([[CorpusPrep.chunkSentences]]): the
+    * RAG/embedding chunker — whole sentences greedy-packed into
+    * 24-word-budget chunks over the sentencified corpus + fixtures.
+    * The oracle composes its replayable halves: the q180 segmentation
+    * rule, per-sentence word costs, and q141's greedy fold CTE with
+    * sentences as the units — boundaries, costs, and chunk texts must
+    * all agree. */
+  def q183_sentence_chunks(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), sentencify(col("text")).as("text"))
+      .unionByName(sentenceFixtureDocs(s))
+    CorpusPrep.chunkSentences(d, "text", "doc_id", maxWords = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** BPE FERTILITY per language — the tokenizer-QA report every
+    * multilingual corpus needs: exact committed-merges token counts
+    * ([[graft.plans.BpeExpressions]]) aggregated by [[graft.functions
+    * .TextFunctions.langId]] prediction into tokens-per-word and
+    * chars-per-token (floor-micros, integer `div`). Languages the
+    * merges table never saw (zh) tokenize near character granularity —
+    * exactly the signal this report surfaces. Map-side kernel + one
+    * 5-row aggregation; the oracle replays the full relational encoder
+    * (q174's recursive CTE), the q33 langId rule, and the fixed-point
+    * arithmetic. */
+  def q184_bpe_fertility(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.BpeExpressions.register(s)
+    import graft.functions.TextFunctions._
+    documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(bpeFixtureDocs(s))
+      .select(langId(col("text")).as("lang"),
+        tokenCount(col("text")).cast("long").as("__w"),
+        call_function("graft_bpe_count", col("text")).as("__b"),
+        length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("long").as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("bpe_tokens"),
+        sum(col("__c")).as("n_chars"))
+      .withColumn("tokens_per_word_micros",
+        expr("CAST(CASE WHEN n_words > 0 THEN " +
+          "(bpe_tokens * 1000000L) DIV n_words ELSE 0L END AS BIGINT)"))
+      .withColumn("chars_per_token_micros",
+        expr("CAST(CASE WHEN bpe_tokens > 0 THEN " +
+          "(n_chars * 1000000L) DIV bpe_tokens ELSE 0L END AS BIGINT)"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus DIVERSITY report ([[CorpusPrep.diversityStats]]): per
     * source, exact distinct-unigram/bigram vocabularies and type-token
     * ratios — the repetitiveness/diversity signals compared across
@@ -4034,6 +4199,11 @@ object SparkEntry {
     "q177_html_extract" -> (q177_html_extract _),
     "q178_url_dedup" -> (q178_url_dedup _),
     "q179_recall_at_k" -> (q179_recall_at_k _),
+    "q180_sentence_split" -> (q180_sentence_split _),
+    "q181_attribution" -> (q181_attribution _),
+    "q182_bloom_membership" -> (q182_bloom_membership _),
+    "q183_sentence_chunks" -> (q183_sentence_chunks _),
+    "q184_bpe_fertility" -> (q184_bpe_fertility _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -41,6 +41,24 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Rule-based SENTENCE segmentation as `array<string>` — the unit
+    * every sentence-aware pipeline stage (RAG chunking, per-sentence
+    * quality scores, sentence-level dedup) runs on. Deterministic and
+    * RE2-safe so the oracle replays it verbatim in DuckDB (no
+    * lookbehind, which RE2 lacks): mark each sentence-final
+    * [.!?]-then-whitespace boundary with U+001E (record separator,
+    * DuckDB `chr(30)`) via one capture-group replace, split on the marker, drop whitespace-only pieces, trim.
+    * Text without terminal punctuation is one sentence; empty/blank
+    * text segments to zero sentences. Abbreviation handling is out of
+    * scope by design — the rule must stay replayable, the q71/q138
+    * regexp discipline. */
+  def sentencesOf(text: Column): Column = {
+    val Sep = "\u001E"
+    val marked = regexp_replace(trim(text), "([.!?])\\s+", "$1" + Sep)
+    transform(filter(split(marked, Sep), s => trim(s) =!= ""),
+      s => trim(s))
+  }
+
   /** BPE-ish subword count estimate: word-pieces + digits + punctuation as
     * separate tokens (a cheap regex proxy for a real tokenizer's count). */
   def subwordCountEstimate(text: Column): Column =

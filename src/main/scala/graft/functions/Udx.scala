@@ -95,6 +95,62 @@ object Udx {
     term => fn(term)
   }
 
+  // ---- typed UDAF: Bloom-filter bitmap --------------------------------
+
+  /** MERGEABLE Bloom-filter bitmap over pre-hashed bit positions: the
+    * at-scale "have we seen this key" summary — one map-side pass builds
+    * a fixed-size bitset (merge = bitwise OR), and membership probes are
+    * then a broadcast + a few bit tests instead of a corpus-sized join.
+    * Never a false NEGATIVE; false-positive rate ~ (1-e^{-kn/m})^k for k
+    * hashes / m bits / n keys — size `numBits` to the key cardinality.
+    * Positions are computed OUTSIDE the aggregator with Spark's
+    * codegen'd `xxhash64` ([[bloomPos]]) so the build and probe sides
+    * hash identically by construction. Buffer is numBits/8 bytes
+    * (default 1<<18 bits = 32 KiB per partial). */
+  final class BloomBitsAggregator(numBits: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits > 0 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64 (got $numBits)")
+    override def zero: Array[Long] = new Array[Long](numBits / 64)
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      val p = pos.toInt
+      b(p >>> 6) |= 1L << (p & 63)
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Column form: `bloomBits(1 << 18)(col("__pos"))` inside an agg. */
+  def bloomBits(numBits: Int): Column => Column = {
+    val fn = udaf(new BloomBitsAggregator(numBits))
+    pos => fn(pos)
+  }
+
+  /** Bit position of hash lane `i` for `key` — codegen'd `xxhash64`
+    * with the lane index as a second hash input, mod the bitmap size.
+    * Shared by the build and probe sides. */
+  def bloomPos(key: Column, i: Int, numBits: Int): Column =
+    pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+
+  /** Probe `bits` (the [[bloomBits]] bitmap as `array<long>`) for `key`
+    * under `numHashes` lanes: true iff every lane's bit is set. Pure
+    * Column bit tests — codegen'd, broadcast-friendly. */
+  def bloomProbe(bits: Column, key: Column, numHashes: Int,
+                 numBits: Int): Column =
+    (0 until numHashes).map { i =>
+      val pos = bloomPos(key, i, numBits)
+      element_at(bits, (shiftright(pos, 6) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+
   // ---- scalar UDF ----------------------------------------------------
 
   /** Scalar UDF example (black-box Scala). Prefer Column expressions when

@@ -264,6 +264,59 @@ object CorpusPrep {
         col("col.n").as("n_chunk_tokens"), col("col.t").as("chunk_text"))
   }
 
+  /** SENTENCE-boundary-respecting chunking — the RAG/embedding chunker:
+    * greedy-pack whole sentences ([[TextFunctions.sentencesOf]]) into
+    * chunks of at most `maxWords` words, never splitting inside a
+    * sentence (a sentence longer than the budget gets its own chunk —
+    * the [[chunkTokens]] at-least-one-unit rule, with sentences as the
+    * units and word counts as the costs). Chunk text rejoins its
+    * sentences with single spaces.
+    *
+    * Same map-side shape and lambda-binding discipline as
+    * [[chunkTokens]]: the sentence array and cost array bind ONCE as
+    * lambda variables (CollapseProject would otherwise re-segment the
+    * document per chunk), the fold is one pass, nothing shuffles. */
+  def chunkSentences(docs: DataFrame, textCol: String, idCol: String,
+                     maxWords: Int): DataFrame = {
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val chunks = element_at(transform(
+      array(TextFunctions.sentencesOf(col(textCol))), sents =>
+        element_at(transform(
+          array(transform(sents,
+            sv => size(split(sv, "\\s+")).cast("long"))), cs => {
+            val breaks = aggregate(
+              zip_with(cs, sequence(lit(1), size(cs)),
+                (c, i) => struct(c.as("c"), i.as("i"))),
+              struct(lit(0L).as("cum"), array(lit(1)).as("starts")),
+              (acc, p) =>
+                when(acc.getField("cum") + p.getField("c") > maxWords &&
+                    acc.getField("cum") > 0L,
+                  struct(p.getField("c").as("cum"),
+                    concat(acc.getField("starts"),
+                      array(p.getField("i"))).as("starts")))
+                  .otherwise(struct(
+                    (acc.getField("cum") + p.getField("c")).as("cum"),
+                    acc.getField("starts").as("starts"))),
+              acc => acc.getField("starts"))
+            when(size(sents) === 0,
+              array().cast("array<struct<n:bigint,t:string>>"))
+              .otherwise(element_at(transform(array(breaks), starts =>
+                zip_with(starts,
+                  concat(slice(starts, lit(2),
+                    greatest(size(starts) - 1, lit(0))),
+                    array(size(sents) + 1)),
+                  (st, en) => struct(
+                    aggregate(slice(cs, st, en - st), lit(0L),
+                      (a, c) => a + c).as("n"),
+                    concat_ws(" ", slice(sents, st, en - st)).as("t")))), 1))
+          }), 1)), 1)
+    docs
+      .select(col(idCol), chunks.as("__chunks"))
+      .select(col(idCol), posexplode(col("__chunks")))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.n").as("n_chunk_words"), col("col.t").as("chunk_text"))
+  }
+
   /** SLIDING token windows — the eval-stride pattern (GPT-2-style
     * perplexity evaluation: overlapping context windows advancing by
     * `stride` tokens, each `window` tokens wide). Window k covers the

@@ -910,4 +910,104 @@ object Dedup {
       IncrementalDedup(pairs, version, overflow)
     } finally { newRows.unpersist(blocking = false): Unit }
   }
+
+  /** Rewrite a persisted signature index into the OTHER [[idxKey]]
+    * layout, committed as the table's next version — the maintenance
+    * move for a pipeline whose probe/ingest balance changed after the
+    * index was seeded (an append-mostly table that starts deduping every
+    * batch wants to flip to the probe layout without re-sketching the
+    * corpus). Full rewrite through the rebucket discipline: read the
+    * latest state, recompute `idx_key` under the target layout, write
+    * key-sorted as `v<next>`, and commit — time travel keeps the old
+    * layout readable, every later probe/merge sees the new one.
+    *
+    * The probe layout's dim zone maps on (band, bucket|chunk) are
+    * attached after the commit; flipping back to the ingest layout sheds
+    * them (the physical rewrite carries no dim entries, and
+    * [[probePrunedIndex]] auto-detects the layout from their absence).
+    * Works on both index families — MinHash (`bucket`) and Hamming
+    * (`chunk`) — detected from the index's own columns. Results of any
+    * later probe are layout-independent; only the IO shape changes.
+    *
+    * `files = 0` keeps the current file count. Returns the new version.
+    * Exposed in SQL as `CALL <cat>.system.rebuild_index(...)`
+    * ([[graft.sources.GraftProcedures]]). */
+  def rebuildIndexLayout(spark: SparkSession, indexRoot: String,
+                         probeLayout: Boolean, files: Int = 0): Long = {
+    import graft.sources.{MutableParquetTable, ParquetTable}
+    import graft.streaming.CdcMergeSink
+    val latest = CdcMergeSink.latestSnapshot(indexRoot)
+    val state = CdcMergeSink.readAsOf(spark, indexRoot, Long.MaxValue)
+    val cols = state.columns.toSet
+    require(Set("idx_key", "doc_id", "band").subsetOf(cols),
+      s"$indexRoot is not a graft signature index " +
+        "(idx_key/doc_id/band columns required)")
+    val bucketCol =
+      if (cols.contains("bucket")) "bucket"
+      else if (cols.contains("chunk")) "chunk"
+      else throw new IllegalArgumentException(
+        s"$indexRoot has neither a bucket nor a chunk banding column")
+    val next = CdcMergeSink.versions(indexRoot).lastOption
+      .map(_ + 1).getOrElse(0L)
+    val target = s"$indexRoot/v$next"
+    val schema = MutableParquetTable.manifestSchema(latest)
+    if (state.isEmpty) {
+      MutableParquetTable.commitEmpty(target, "idx_key",
+        schema.getOrElse(state.schema),
+        checks = graft.sources.GraftChecks.manifestChecks(latest))
+      return next
+    }
+    val relaid = state.withColumn("idx_key", idxKey(probeLayout, bucketCol))
+    val n = if (files > 0) files else math.max(1,
+      MutableParquetTable.manifestFileNames(latest).map(_.size).getOrElse(1))
+    ParquetTable.withMicrosTimestamps(spark) {
+      ParquetTable.writeSortedBy(relaid, target, Seq("idx_key"), n)
+    }
+    MutableParquetTable(spark, latest, "idx_key")
+      .commitManifest(target, schema, physicalRewrite = true)
+    // probe layout declares itself through the dim zone maps (probes
+    // auto-detect from their presence) — attach on the way in, shed on
+    // the way out (commitManifest carries the old entries forward)
+    if (probeLayout)
+      MutableParquetTable.attachDimRanges(spark,
+        CdcMergeSink.latestSnapshot(indexRoot), Seq("band", bucketCol))
+    else
+      MutableParquetTable.detachDimRanges(
+        CdcMergeSink.latestSnapshot(indexRoot), Seq("band", bucketCol))
+    next
+  }
+
+  /** BLOOM-FILTER membership probe — the join-free "seen before" test
+    * for ingest gating at scale: ONE map-side pass over `corpus` builds
+    * a fixed-size mergeable bitmap ([[graft.functions.Udx.bloomBits]],
+    * `numBits/8` bytes total regardless of corpus size), which then
+    * broadcasts to the probe side for a few codegen'd bit tests per
+    * row. At 100 TB the corpus never shuffles and the batch never joins
+    * it — the summary IS the wire traffic, the sketch discipline
+    * (q40/q163). Contrast with [[exact]] (a corpus-wide hash shuffle)
+    * and the incremental index (exact, but IO ∝ collisions): Bloom
+    * trades a sized false-positive rate (~`(1-e^{-kn/m})^k`, never a
+    * false negative) for constant probe cost — the right first gate in
+    * front of an exact path.
+    *
+    * Returns `probes` plus `bloom_hit` (int 0/1). Size `numBits` to the
+    * corpus key cardinality (default 1<<18 bits ≈ 3% fpp at 10k keys
+    * with 4 hashes); both sides hash via the shared codegen'd
+    * [[graft.functions.Udx.bloomPos]] lanes, so build and probe cannot
+    * drift. */
+  def bloomMembership(corpus: DataFrame, corpusKeyCol: String,
+                      probes: DataFrame, probeKeyCol: String,
+                      numBits: Int = 1 << 18,
+                      numHashes: Int = 4): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive (got $numHashes)")
+    import graft.functions.Udx
+    val positions = corpus.select(explode(array((0 until numHashes).map(i =>
+      Udx.bloomPos(col(corpusKeyCol), i, numBits)): _*)).as("__pos"))
+    val bits = positions.agg(Udx.bloomBits(numBits)(col("__pos")).as("__bits"))
+    probes.crossJoin(broadcast(bits))
+      .withColumn("bloom_hit",
+        Udx.bloomProbe(col("__bits"), col(probeKeyCol), numHashes, numBits)
+          .cast("int"))
+      .drop("__bits")
+  }
 }

@@ -126,4 +126,56 @@ object EventAnalytics {
         datediff(col("__d"), col("cohort_date")).as("day_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** First/last-touch ATTRIBUTION: for every `conversionType` event,
+    * the earliest and latest preceding touch event (type in
+    * `touchTypes`, same user, within `lookback` of the conversion,
+    * strictly before-or-at it) plus the touch count — the standard
+    * marketing-attribution report, and the general "what led to X"
+    * join for event corpora. Conversions with no in-window touch keep
+    * their row with null touches and `n_touches = 0` (auditable — the
+    * gate-with-receipts discipline).
+    *
+    * Tie-breaks are deterministic: at equal timestamps the
+    * alphabetically-first type wins on both ends (min/max over a
+    * (ts, type) struct), so results are engine-replayable.
+    *
+    * Scale shape: both sides are type-filtered AT THE SCAN (predicate
+    * pushdown) before the one user-keyed shuffle; the in-window range
+    * predicate bounds the per-conversion fan-in, so the join output is
+    * conversions × their lookback touches, never the event log
+    * squared. No window over the full log. */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, conversionType: String,
+                  touchTypes: Seq[String],
+                  lookback: String = "7 days"): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(typeCol).as("__tt"),
+        col(tsCol).as("__tts"))
+    val convs = events.where(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol).as("conv_ts")).distinct()
+    convs
+      .join(touches,
+        convs(userCol) === touches(userCol) &&
+          col("__tts") <= col("conv_ts") &&
+          col("__tts") > col("conv_ts") - expr(s"INTERVAL $lookback"),
+        "left")
+      .select(convs(userCol), col("conv_ts"), col("__tt"), col("__tts"))
+      .groupBy(col(userCol), col("conv_ts"))
+      .agg(
+        min(when(col("__tt").isNotNull,
+          struct(col("__tts"), col("__tt")))).as("__f"),
+        max(when(col("__tt").isNotNull,
+          struct(col("__tts"), col("__tt")))).as("__l"),
+        count(col("__tt")).as("n_touches"))
+      .select(col(userCol), col("conv_ts"),
+        col("__f.__tt").as("first_touch"),
+        col("__f.__tts").as("first_touch_ts"),
+        col("__l.__tt").as("last_touch"),
+        col("__l.__tts").as("last_touch_ts"),
+        col("n_touches"))
+  }
 }

@@ -46,7 +46,7 @@ object GraftProcedures {
 
   private val names = Seq("history", "vacuum", "compact", "compact_range",
     "zorder", "repair_feed", "materialize_tombstones", "restore", "clone",
-    "rebucket")
+    "rebucket", "rebuild_index")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -69,6 +69,7 @@ object GraftProcedures {
       case "restore" => new Restore(root)
       case "clone" => new CloneTable(root)
       case "rebucket" => new Rebucket(root)
+      case "rebuild_index" => new RebuildIndex(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -421,6 +422,46 @@ object GraftProcedures {
       val after = MutableParquetTable.manifestFileNames(s"$dir/v$v")
         .map(_.size).getOrElse(0)
       Seq(row(v, before, asked, after))
+    }
+  }
+
+  /** `CALL g.system.rebuild_index(table => 'idx.t', layout => 'probe')` —
+    * re-lay-out a persisted dedup signature index (MinHash or Hamming,
+    * [[graft.operators.Dedup.rebuildIndexLayout]]) between the
+    * ingest-local (doc-id-led `idx_key`) and probe-local (band:bucket-led
+    * + dim zone maps) layouts, committed as the next version like
+    * `rebucket`. Lets an orchestrator flip the layout as a scheduled
+    * maintenance commit when a pipeline's probe/ingest balance changes,
+    * with no Scala handle and no re-sketching. */
+  private final class RebuildIndex(root: String) extends Proc(root) {
+    override def name(): String = "rebuild_index"
+    override def description(): String =
+      "rewrite a dedup signature index into the 'probe' or 'ingest' " +
+        "layout, committed as the next version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("layout", StringType, comment =
+        "'probe' (band:bucket-led idx_key + dim zone maps, probe prunes " +
+          "files) or 'ingest' (doc-id-led idx_key, merges touch ~one file)"),
+      param("files", IntegerType, default = Some("0"),
+        comment = "output file count; 0 keeps the current count"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("layout", StringType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val layout = input.getUTF8String(1).toString
+        .toLowerCase(java.util.Locale.ROOT)
+      require(layout == "probe" || layout == "ingest",
+        s"layout must be 'probe' or 'ingest' (got '$layout')")
+      val files = input.getInt(2)
+      require(files >= 0, s"files must be >= 0 (got $files)")
+      val v = graft.operators.Dedup.rebuildIndexLayout(spark, dir,
+        probeLayout = layout == "probe", files = files)
+      val after = MutableParquetTable.manifestFileNames(s"$dir/v$v")
+        .map(_.size).getOrElse(0)
+      Seq(row(v, layout, after))
     }
   }
 

@@ -2598,6 +2598,24 @@ object MutableParquetTable {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Remove the dim zone-map entries on `dims` from a committed
+    * snapshot's manifest — the [[attachDimRanges]] inverse, for layout
+    * changes that deliberately shed a pruning index (an index rewritten
+    * to the ingest-local layout has near-table-wide per-file dim ranges,
+    * which prune nothing and mis-declare the layout to probes that
+    * auto-detect it from the dim section). Atomic rewrite; a manifest
+    * without matching entries is left untouched. */
+  def detachDimRanges(snapshotDir: String, dims: Seq[String]): Unit = {
+    val m0 = readManifest(snapshotDir).getOrElse(return)
+    val m = dims.foldLeft(m0)((acc, c) => stripDimEntries(acc, c))
+    if (m != m0) {
+      val tmp = Paths.get(snapshotDir, ManifestName + ".tmp")
+      Files.writeString(tmp, m)
+      Files.move(tmp, Paths.get(snapshotDir, ManifestName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** A non-key column's per-file bounds, encoded for [[KeyBytes]] order. */
   final case class DimRange(file: String, minBytes: Array[Byte],
                             maxBytes: Array[Byte])

@@ -840,4 +840,37 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     val scores = fused.map(_.getDouble(3)).toSeq
     assert(scores === scores.sorted.reverse)
   }
+
+  test("chunkSentences: whole sentences only, budget respected, coverage exact") {
+    val text = "One two three. Four five six seven eight! " +
+      "Nine ten? Eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty. Done"
+    // sentences: 3 / 5 / 2 / 10 / 1 words
+    val got = CorpusPrep.chunkSentences(docs(1L -> text), "text", "doc_id", 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_words", "chunk_text")
+      .as[(Int, Long, String)].collect()
+    // greedy: [3+5], [2], [10 alone, over budget], [1]
+    assert(got.map(_._2).toSeq === Seq(8L, 2L, 10L, 1L))
+    assert(got.map(_._1).toSeq === got.indices.toSeq)
+    // every chunk boundary is a sentence boundary: chunk text ends with
+    // a mark or is the unterminated tail, and reconstruction is exact
+    assert(got.map(_._3).mkString(" ") === text.trim.replaceAll("\\s+", " "))
+    got.dropRight(1).foreach { case (i, _, t) =>
+      assert(t.matches(".*[.!?]$"), s"chunk $i must end at a sentence mark")
+    }
+    // a chunk exceeds the budget only when it is a single sentence
+    got.foreach { case (i, n, t) =>
+      assert(n <= 8 || !t.dropRight(1).exists(".!?".contains(_)),
+        s"chunk $i over budget with more than one sentence")
+    }
+    // empty and punctuation-free docs
+    assert(CorpusPrep.chunkSentences(docs(2L -> " "), "text", "doc_id", 8)
+      .count() === 0L)
+    val noPunct = CorpusPrep.chunkSentences(
+      docs(3L -> "five plain words no marks"), "text", "doc_id", 3)
+      .select("chunk_text").as[String].collect()
+    assert(noPunct.toSeq === Seq("five plain words no marks"),
+      "an unterminated doc is one sentence and never splits")
+  }
 }

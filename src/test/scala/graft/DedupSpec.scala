@@ -540,4 +540,30 @@ class DedupSpec extends SparkSpec {
     assert(rm.overflow.get.count() > 0)
     assert(rm.pairs.count() > 0)
   }
+
+  // ------------------------------------------------------------------
+  // Bloom-filter membership
+  // ------------------------------------------------------------------
+
+  test("bloomMembership: no false negatives, sized false positives, merge across partitions") {
+    val s = spark; import s.implicits._
+    val corpus = (0L until 200L).map(i => s"key-$i").toDF("k")
+      .repartition(8) // bitmap partials must merge across partitions
+    val members = (0L until 200L).map(i => s"key-$i")
+    val nonMembers = (0L until 200L).map(i => s"other-$i")
+    val probes = (members ++ nonMembers).toDF("k")
+    val got = graft.operators.Dedup
+      .bloomMembership(corpus, "k", probes, "k",
+        numBits = 1 << 18, numHashes = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // every member hits — the structural no-false-negative guarantee
+    members.foreach(k => assert(got(k) === 1, s"false negative on $k"))
+    // at 800 set bits / 256 Kbit / 4 lanes the per-probe fp probability
+    // is ~1e-10 — zero of 200 non-members may hit
+    nonMembers.foreach(k => assert(got(k) === 0, s"false positive on $k"))
+    // bitmap sizing contract
+    intercept[IllegalArgumentException] {
+      new graft.functions.Udx.BloomBitsAggregator(100)
+    }
+  }
 }

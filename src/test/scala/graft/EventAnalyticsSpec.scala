@@ -100,4 +100,43 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 2, 1L),   // user 1 returns on day 2
       ("2024-01-02", 0, 1L)))  // user 3's cohort
   }
+
+  test("attribution: first/last touch, lookback, no-touch rows, tie-breaks") {
+    val ev = Seq(
+      // user 1: view then click before the purchase — first=view, last=click
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 2: only touch is OUTSIDE the 12h lookback — counts as none
+      (2L, "view", ts("2024-01-01 08:00:00")),
+      (2L, "purchase", ts("2024-01-02 09:00:00")),
+      // user 3: conversion with no touches at all
+      (3L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 4: two touches at the SAME instant — alphabetical
+      // tie-break: first = click (asc), last = view (desc)
+      (4L, "click", ts("2024-01-01 09:00:00")),
+      (4L, "view", ts("2024-01-01 09:00:00")),
+      (4L, "purchase", ts("2024-01-01 09:30:00")),
+      // user 5: a touch AT the conversion instant is included; a touch
+      // after it is not
+      (5L, "click", ts("2024-01-01 12:00:00")),
+      (5L, "view", ts("2024-01-01 12:30:00")),
+      (5L, "purchase", ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.attribution(ev, "user_id", "event_type", "ts",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "signup", "view"), lookback = "12 hours")
+      .collect().map(r => r.getLong(0) ->
+        ((r.get(2), r.get(4), r.getLong(6)))).toMap
+    assert(out(1L) === (("view", "click", 2L)))
+    assert(out(2L) === ((null, null, 0L)))
+    assert(out(3L) === ((null, null, 0L)))
+    assert(out(4L) === (("click", "view", 2L)))
+    assert(out(5L) === (("click", "click", 1L)))
+    // conversionType in touchTypes is a contract violation
+    intercept[IllegalArgumentException] {
+      EventAnalytics.attribution(ev, "user_id", "event_type", "ts",
+        "purchase", Seq("purchase", "view"))
+    }
+  }
 }

@@ -175,4 +175,64 @@ class SqlProcedureSpec extends SparkSpec {
       "CALL gp.system.materialize_tombstones(table => 'ns.mt1')").head()
     assert(r2.getLong(0) === r.getLong(0) && r2.getLong(1) === 0L)
   }
+
+  test("rebuild_index flips a dedup index between layouts as a maintenance commit") {
+    warehouse
+    val s = spark; import s.implicits._
+    val baseText = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while birds sing in the morning light and the wind " +
+      "moves through tall grass"
+    val docs = Seq(
+      (0L, baseText),
+      (1L, baseText),                          // exact dup of 0
+      (2L, baseText.replace("quick", "slow")), // near dup of 0
+      (3L, "completely different content about spark query engines and " +
+        "columnar storage formats with vectorized execution")
+    ).toDF("doc_id", "text")
+    val oldDocs = docs.where(col("doc_id") < 2)
+    val newDocs = docs.where(col("doc_id") >= 2)
+    val root = s"$warehouse/idx/mh"
+    // seed in the default ingest layout: no dim zone maps
+    graft.operators.Dedup.dedupIncremental(root, oldDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2)
+    assert(MutableParquetTable
+      .manifestDimRanges(CdcMergeSink.latestSnapshot(root)).isEmpty)
+    val probe = () => graft.operators.Dedup.dedupIncremental(root, newDocs,
+      "text", "doc_id", bands = 16, rowsPerBand = 2, extendIndex = false)
+      .pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.contains((0L, 2L)), "near dup must surface pre-rebuild")
+
+    // flip to the probe layout through pure SQL
+    // the seed ingest is the table's `base`, so the rebuild commits v0
+    val r = spark.sql("CALL gp.system.rebuild_index(" +
+      "table => 'idx.mh', layout => 'probe')").head()
+    assert(r.getLong(0) === 0L && r.getString(1) === "probe")
+    assert(r.getInt(2) > 0, "relaid version lists files")
+    val dims = MutableParquetTable
+      .manifestDimRanges(CdcMergeSink.latestSnapshot(root)).keySet
+    assert(dims.intersect(Set("band", "bucket")) === Set("band", "bucket"),
+      "probe layout must attach dim zone maps on (band, bucket)")
+    assert(probe() === before, "probe results are layout-independent")
+
+    // and back: the physical rewrite sheds the dim maps
+    val r2 = spark.sql("CALL gp.system.rebuild_index(" +
+      "table => 'idx.mh', layout => 'ingest')").head()
+    assert(r2.getLong(0) === 1L && r2.getString(1) === "ingest")
+    assert(MutableParquetTable
+      .manifestDimRanges(CdcMergeSink.latestSnapshot(root)).isEmpty,
+      "ingest layout carries no dim maps")
+    assert(probe() === before)
+    // time travel keeps the pre-rebuild layout readable
+    assert(spark.read.format("graft").option("version", 0)
+      .load(root).count() ===
+      spark.read.format("graft").load(root).count())
+
+    val e = intercept[Exception] {
+      spark.sql("CALL gp.system.rebuild_index(" +
+        "table => 'idx.mh', layout => 'zorder')").collect()
+    }
+    assert(e.getMessage.contains("probe"))
+  }
 }

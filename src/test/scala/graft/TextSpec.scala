@@ -231,4 +231,24 @@ class TextSpec extends SparkSpec {
       assert(one[String](c, f) === "https://a.com/doc/7?a=1&b=2", f)
     }
   }
+
+  test("sentencesOf: boundaries, no-punct, trailing marks, blanks") {
+    val c = sentencesOf(col("t"))
+    assert(one[Seq[String]](c,
+      "One. Two sentences here! A third?  And a fourth without end")
+      === Seq("One.", "Two sentences here!", "A third?",
+        "And a fourth without end"))
+    // no terminal punctuation = one sentence
+    assert(one[Seq[String]](c, "No terminal punctuation at all")
+      === Seq("No terminal punctuation at all"))
+    // a mark at end-of-string closes the last sentence without a split
+    assert(one[Seq[String]](c, "Trailing punct.") === Seq("Trailing punct."))
+    // trailing whitespace after the final mark yields no empty sentence
+    assert(one[Seq[String]](c, "Multi.  Space!   After? Punct. ")
+      === Seq("Multi.", "Space!", "After?", "Punct."))
+    // mid-word punctuation (no following whitespace) never splits
+    assert(one[Seq[String]](c, "version 2.5 ships") === Seq("version 2.5 ships"))
+    assert(one[Seq[String]](c, "") === Seq.empty)
+    assert(one[Seq[String]](c, "   ") === Seq.empty)
+  }
 }
