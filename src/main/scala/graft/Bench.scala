@@ -195,6 +195,38 @@ object Bench {
       System.err.println(s"[bench] text-kernel experiment failed: ${e.getMessage}")
     }
 
+    // ---- persisted BM25 index (round 10): seed once, then serve term
+    //      probes from the index vs recomputing postings from text —
+    //      the recompute re-tokenizes the corpus per query set, the
+    //      indexed probe reads term-pruned posting files ----
+    try {
+      val docs = Tables.documents(spark, dataDir)
+      val idxRoot = s"$workDir/bm25/idx"
+      val q = Seq("data", "merge", "window")
+      results("bm25_index_seed") = time(
+        graft.operators.CorpusPrep.bm25SeedIndex(idxRoot, docs, "text", "doc_id"))
+      def probe(): Unit = runToNoop(
+        graft.operators.CorpusPrep.bm25TopKIndexed(spark, idxRoot, q, 15))
+      def recompute(): Unit = runToNoop(
+        graft.operators.CorpusPrep.bm25TopK(docs, "text", "doc_id", q, 15))
+      probe(); recompute() // codegen warm
+      results("bm25_probe_indexed") = (1 to 2).map(_ => time(probe())).min
+      results("bm25_recompute") = (1 to 2).map(_ => time(recompute())).min
+      // the pruning receipt: posting files the probe's term filter
+      // actually reads (measured on the postings scan alone — the full
+      // probe also scans doclen, which would overwrite lastScanFiles)
+      runToNoop(spark.read.format("graft").load(s"$idxRoot/postings")
+        .where(col("term").isin(q.map(_.toLowerCase): _*)))
+      results("bm25_probe_files") =
+        graft.sources.GraftSource.lastScanFiles.size.toDouble
+      results("bm25_index_files") = MutableParquetTable
+        .manifestFileNames(graft.streaming.CdcMergeSink
+          .latestSnapshot(s"$idxRoot/postings"))
+        .map(_.size).getOrElse(0).toDouble
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bm25-index experiment failed: ${e.getMessage}")
+    }
+
     // ---- perceptual image hashing (round 8): decode+hash narrow map,
     //      then the fingerprint-only Hamming join — the candidate stage
     //      moves 16 bytes per image, payloads never shuffle, so the join

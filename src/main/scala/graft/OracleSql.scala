@@ -232,6 +232,62 @@ object OracleSql {
       FROM rec GROUP BY doc_id, chunk_idx
       ORDER BY doc_id, chunk_idx"""),
 
+    // the q147 BM25 scorer over the FULL corpus — the indexed path
+    // (seed + incremental ingest + index-served probe) must reproduce
+    // the batch recompute exactly
+    "q185_bm25_indexed" -> """
+      WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+      lens AS (SELECT doc_id,
+        CASE WHEN t = '' THEN 0
+             ELSE len(string_split_regex(t, '\s+')) END AS dl
+        FROM d),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+      tok AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS w
+              FROM d WHERE t <> ''),
+      post AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+               FROM tok WHERE w IN ('table', 'scan', 'stream')
+               GROUP BY doc_id, w),
+      dfr AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY w),
+      sc AS (
+        SELECT post.doc_id,
+          ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+            (post.tf * 2.2) /
+            (post.tf + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+              / stats.avgdl)) AS s
+        FROM post
+        JOIN dfr ON post.w = dfr.w
+        JOIN lens ON post.doc_id = lens.doc_id
+        CROSS JOIN stats)
+      SELECT doc_id, round(sum(s), 6) AS bm25
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 12""",
+
+    "q186_ngram_novelty" -> """
+      WITH t AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 3), i ->
+               array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))
+        END AS g
+        FROM t),
+      gr AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM sh),
+      fh AS (SELECT doc_id, gram,
+        min(doc_id) OVER (PARTITION BY gram) AS first_doc FROM gr),
+      ag AS (SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel
+        FROM fh GROUP BY doc_id)
+      SELECT doc_id, n_grams, n_novel,
+        CAST(CASE WHEN n_grams > 0
+          THEN n_novel * 1000000 // n_grams ELSE 0 END AS BIGINT)
+          AS novelty_micros
+      FROM ag ORDER BY doc_id""",
+
     "q184_bpe_fertility" -> (s"""
       WITH RECURSIVE
       merges(rank, lhs, rhs) AS (VALUES $bpeMergesValues),

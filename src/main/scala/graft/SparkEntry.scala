@@ -3247,6 +3247,52 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** BM25 served from the PERSISTED inverted index
+    * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
+    * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
+    * odd half as an incremental batch, probe — the result must equal
+    * the batch recompute over the FULL corpus, which is exactly what
+    * the oracle (the q147 scorer) replays. Proves seed + ingest +
+    * index-served scoring ≡ recompute: tf/df/dl from the index, N and
+    * avgdl from the compact doclen table, postings term-filtered with
+    * dim zone-map file pruning before IO. */
+  def q185_bm25_indexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx").toString + "/idx"
+    CorpusPrep.bm25SeedIndex(root,
+      docs.where(col("doc_id") % 2 === 0), "text", "doc_id")
+    CorpusPrep.bm25IndexIngest(root,
+      docs.where(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    CorpusPrep.bm25TopKIndexed(s, root,
+      query = Seq("table", "scan", "stream"), k = 12)
+  }
+
+  /** N-GRAM NOVELTY per document — the memorization/duplication signal
+    * (Lee et al. flavor): the fraction of a doc's DISTINCT 5-word
+    * shingles whose FIRST holder (lowest doc id) is the doc itself.
+    * Exact duplicates score 0 unless they are the first copy;
+    * boilerplate-heavy docs score low. One shuffle keyed on the gram
+    * (first-holder via a gram-partitioned min window — join-free, no
+    * second corpus explode) + one doc-keyed aggregate; at web scale
+    * the gram key becomes xxhash64 with the carried gram
+    * disambiguating collisions (the dedupLines discipline). */
+  def q186_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sh = documents(s, dir).select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 5))).as("__g"))
+    val w = Window.partitionBy(col("__g"))
+    sh.withColumn("__first", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micros",
+        expr("CAST(CASE WHEN n_grams > 0 THEN " +
+          "(n_novel * 1000000L) DIV n_grams ELSE 0L END AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE FERTILITY per language — the tokenizer-QA report every
     * multilingual corpus needs: exact committed-merges token counts
     * ([[graft.plans.BpeExpressions]]) aggregated by [[graft.functions
@@ -4204,6 +4250,8 @@ object SparkEntry {
     "q182_bloom_membership" -> (q182_bloom_membership _),
     "q183_sentence_chunks" -> (q183_sentence_chunks _),
     "q184_bpe_fertility" -> (q184_bpe_fertility _),
+    "q185_bm25_indexed" -> (q185_bm25_indexed _),
+    "q186_ngram_novelty" -> (q186_ngram_novelty _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

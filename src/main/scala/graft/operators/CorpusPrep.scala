@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -655,6 +655,124 @@ object CorpusPrep {
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- persisted BM25 inverted index -------------------------------------
+
+  /** One doc's (term, doc, tf, dl) posting rows, term-led `idx_key`
+    * (`term:<14-digit doc id>` — the digit suffix is fixed-length, so
+    * keys are unique even for terms containing ':') so a graft postings
+    * table CLUSTERS by term and a term probe prunes FILES. `dl` is
+    * denormalized onto every posting so scoring never joins the length
+    * table. */
+  private def bm25PostingRows(docs: DataFrame, textCol: String,
+                              idCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("dl"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(concat(col("term"), lit(":"),
+          lpad(col("doc_id").cast("string"), 14, "0")).as("idx_key"),
+        col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  /** Doc-length rows for the companion `doclen` table (EVERY doc, empty
+    * ones included — they count in N and avgdl, the q147 lens rule). */
+  private def bm25LenRows(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("dl"))
+
+  /** Seed a PERSISTED BM25 inverted index at `indexRoot` — the
+    * [[graft.operators.Dedup.dedupIncremental]] discipline applied to
+    * retrieval: sparse search over a continuously ingested corpus
+    * should re-tokenize only each arriving batch, and a probe should
+    * read postings for ITS terms, not the corpus.
+    *
+    * Two graft tables: `postings` keyed by the term-led `idx_key`
+    * (term-clustered files + dim zone maps on `term`, so a probe's
+    * `IN` set prunes FILES — the probe-layout dedup-index machinery)
+    * and `doclen` keyed by doc id (exact N/avgdl without scanning
+    * text). At 100 TB the postings table is the tokenized corpus
+    * (≪ raw text), `doclen` is 16 bytes/doc, and probe IO is
+    * ∝ postings of the queried terms. */
+  def bm25SeedIndex(indexRoot: String, docs: DataFrame, textCol: String,
+                    idCol: String, indexFiles: Int = 0): Unit = {
+    val spark = docs.sparkSession
+    val postings = bm25PostingRows(docs, textCol, idCol)
+    val nP = if (indexFiles > 0) indexFiles
+      else math.max(1, postings.rdd.getNumPartitions.min(32))
+    graft.GraftTable.create(postings, s"$indexRoot/postings", "idx_key", nP)
+    graft.sources.MutableParquetTable.attachDimRanges(spark,
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$indexRoot/postings"),
+      Seq("term"))
+    val lens = bm25LenRows(docs, textCol, idCol)
+    graft.GraftTable.create(lens, s"$indexRoot/doclen", "doc_id",
+      math.max(1, lens.rdd.getNumPartitions.min(16)))
+  }
+
+  /** Ingest one batch into the persisted BM25 index: tokenize the BATCH
+    * map-side, upsert its postings and lengths as ordinary graft CoW
+    * merges — per-ingest cost ∝ batch + the dirty index files its terms
+    * route to, never the index. Re-ingesting an unchanged batch is
+    * idempotent (same (term, doc) keys upsert to the same rows).
+    *
+    * Contract: APPEND-ONLY corpus semantics. Re-ingesting a CHANGED doc
+    * updates lengths and shared-term postings but leaves postings for
+    * its REMOVED terms stale (upserts can't know them) — the FAISS
+    * add_with_ids trade: document-update/delete drift is remedied by
+    * rebuild ([[bm25SeedIndex]]), not per-batch retraining. Returns the
+    * postings-table version. */
+  def bm25IndexIngest(indexRoot: String, newDocs: DataFrame,
+                      textCol: String, idCol: String): Long = {
+    val spark = newDocs.sparkSession
+    graft.GraftTable(spark, s"$indexRoot/doclen", "doc_id")
+      .commit(bm25LenRows(newDocs, textCol, idCol)
+        .withColumn("op", lit("upsert"))): Unit
+    graft.GraftTable(spark, s"$indexRoot/postings", "idx_key")
+      .commit(bm25PostingRows(newDocs, textCol, idCol)
+        .withColumn("op", lit("upsert")))
+  }
+
+  /** BM25 top-k served FROM the persisted index — bit-identical scoring
+    * to [[bm25TopK]] (same Column expression shapes, so the q147 oracle
+    * replays this path verbatim) with the corpus stages replaced by
+    * index reads: postings arrive term-filtered (dim zone maps prune
+    * files before IO), df comes from the probed postings (exact — a
+    * term's df is its posting count), and N/avgdl aggregate the compact
+    * `doclen` table (one pass over 16-byte rows; swap in a maintained
+    * [[graft.streaming.AggView]] when even that scan is too much).
+    * Nothing here touches document text. */
+  def bm25TopKIndexed(spark: SparkSession, indexRoot: String,
+                      query: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    require(k > 0, "k must be positive")
+    val terms = query.map(_.toLowerCase).distinct
+    val post = spark.read.format("graft").load(s"$indexRoot/postings")
+      .where(col("term").isin(terms: _*))
+      .select(col("term").as("__t"), col("doc_id"),
+        col("tf").cast("double").as("__tf"),
+        col("dl").cast("double").as("__dl"))
+    val stats = spark.read.format("graft").load(s"$indexRoot/doclen")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("dl").cast("double")).as("__avgdl"))
+    val df = post.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    post
+      .join(broadcast(df), "__t")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * (col("__tf") * lit(k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("__dl") / col("__avgdl")))).as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
 

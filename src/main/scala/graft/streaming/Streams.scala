@@ -378,4 +378,33 @@ object Streams {
         }
       }
       .start()
+
+  /** CONTINUOUS BM25-index maintenance — the retrieval twin of
+    * [[annIndexSink]]: each micro-batch of arriving documents is
+    * tokenized map-side and upserted into the persisted inverted index
+    * ([[graft.operators.CorpusPrep.bm25IndexIngest]] — postings +
+    * doclen CoW merges), so freshly-landed documents are servable by
+    * [[graft.operators.CorpusPrep.bm25TopKIndexed]] one commit after
+    * they arrive. Per-epoch cost ∝ batch + the dirty posting files its
+    * terms route to. The index must be seeded first
+    * ([[graft.operators.CorpusPrep.bm25SeedIndex]]); the append-only
+    * contract is the batch operator's.
+    *
+    * Delivery: EFFECTIVELY-ONCE — a crashed epoch re-executes and
+    * upserts the same (term, doc) keys to byte-identical rows.
+    * `onCommit(version, epoch)` fires per non-empty epoch. */
+  def bm25IndexSink(docs: DataFrame, indexRoot: String,
+                    textCol: String, idCol: String, checkpoint: String)
+                   (onCommit: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val v = graft.operators.CorpusPrep.bm25IndexIngest(
+            indexRoot, batch, textCol, idCol)
+          onCommit(v, epoch)
+        }
+      }
+      .start()
 }

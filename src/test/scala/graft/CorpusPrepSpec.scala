@@ -841,6 +841,58 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("bm25 index: seed + ingest + indexed probe equals the batch recompute") {
+    val corpus = docs(
+      1L -> "data data data merge other words here",
+      2L -> "merge window data something else entirely goes on",
+      3L -> "window window merge data data then more",
+      4L -> "nothing relevant at all in this one",
+      5L -> "data merge window data window tail",
+      6L -> "")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25spec").toString + "/idx"
+    CorpusPrep.bm25SeedIndex(root,
+      corpus.where(col("doc_id") <= 3), "text", "doc_id")
+    CorpusPrep.bm25IndexIngest(root,
+      corpus.where(col("doc_id") > 3), "text", "doc_id")
+    val q = Seq("data", "merge", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = rows(CorpusPrep.bm25TopK(corpus, "text", "doc_id", q, 10))
+    val indexed = rows(CorpusPrep.bm25TopKIndexed(spark, root, q, 10))
+    assert(indexed === batch,
+      "index-served scores must equal the batch recompute exactly")
+    // re-ingesting the same batch is idempotent
+    CorpusPrep.bm25IndexIngest(root,
+      corpus.where(col("doc_id") > 3), "text", "doc_id")
+    assert(rows(CorpusPrep.bm25TopKIndexed(spark, root, q, 10)) === batch)
+    // the postings table carries term dim zone maps for file pruning
+    import graft.sources.MutableParquetTable
+    assert(MutableParquetTable.manifestDimRanges(
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$root/postings"))
+      .contains("term"))
+    // N and avgdl count EVERY doc, including the empty one
+    val n = spark.read.format("graft").load(s"$root/doclen").count()
+    assert(n === 6L)
+    // term-clustered multi-file index: a 3-term probe's postings scan
+    // file-prunes (reads a strict subset) and still scores identically
+    val root8 = java.nio.file.Files
+      .createTempDirectory("graft-bm25prune").toString + "/idx"
+    CorpusPrep.bm25SeedIndex(root8, corpus, "text", "doc_id",
+      indexFiles = 8)
+    assert(rows(CorpusPrep.bm25TopKIndexed(spark, root8, q, 10)) === batch)
+    // receipt from the probe's postings-scan shape alone (the probe
+    // also scans doclen, which would overwrite lastScanFiles)
+    spark.read.format("graft").load(s"$root8/postings")
+      .where(col("term").isin(q: _*)).collect(): Unit
+    val read = graft.sources.GraftSource.lastScanFiles.size
+    val total = MutableParquetTable.manifestFileNames(
+      graft.streaming.CdcMergeSink.latestSnapshot(s"$root8/postings"))
+      .map(_.size).getOrElse(0)
+    assert(total >= 4, s"fixture must spread postings (got $total files)")
+    assert(read < total, s"probe must prune files ($read of $total read)")
+  }
+
   test("chunkSentences: whole sentences only, budget respected, coverage exact") {
     val text = "One two three. Four five six seven eight! " +
       "Nine ten? Eleven twelve thirteen fourteen fifteen sixteen " +

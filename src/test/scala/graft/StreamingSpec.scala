@@ -399,6 +399,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.format("graft").load(s"$work/idx").count() === before + 2)
   }
 
+  test("bm25IndexSink: streamed docs become servable; replay is idempotent") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.CorpusPrep
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-bm25stream").toString
+    val seed = Seq(
+      (1L, "data data merge other words here"),
+      (2L, "window merge data something else")).toDF("doc_id", "text")
+    CorpusPrep.bm25SeedIndex(s"$work/idx", seed, "text", "doc_id")
+    val commits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.bm25IndexSink(
+      in.toDF().toDF("doc_id", "text"), s"$work/idx", "text", "doc_id",
+      checkpoint = s"$work/cp") {
+      (v, e) => commits.synchronized { commits += ((v, e)) }
+    }
+    val late = (3L, "data data data window heavy late arrival")
+    try {
+      in.addData(late)
+      q.processAllAvailable()
+      in.addData((4L, "irrelevant filler text only"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(commits.size === 2, s"one commit per non-empty epoch: $commits")
+    // the streamed corpus now serves identically to a batch recompute
+    val all = seed.unionByName(Seq(late, (4L, "irrelevant filler text only"))
+      .toDF("doc_id", "text"))
+    val batch = CorpusPrep.bm25TopK(all, "text", "doc_id",
+      Seq("data", "window"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val served = CorpusPrep.bm25TopKIndexed(spark, s"$work/idx",
+      Seq("data", "window"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq === batch.toSeq)
+    assert(served.head._1 === 3L, "the streamed heavy doc must lead")
+    // replayed epoch re-ingests the same keys — index state unchanged
+    val before = spark.read.format("graft").load(s"$work/idx/postings").count()
+    CorpusPrep.bm25IndexIngest(s"$work/idx",
+      Seq(late).toDF("doc_id", "text"), "text", "doc_id"): Unit
+    assert(spark.read.format("graft").load(s"$work/idx/postings").count()
+      === before)
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark; import s.implicits._
     implicit val ctx = s.sqlContext
