@@ -171,6 +171,30 @@ object BenchScale {
         full, "text", "doc_id", threshold = 0.25, native = true))
       resketch() // warm
       results("minhash_resketch_full") = (1 to 2).map(_ => time(resketch())).min
+
+      // ---- persisted BM25 index on the same 10× corpus: term-pruned
+      //      probe vs re-tokenizing recompute — the contrast only shows
+      //      its shape once the corpus dwarfs the probed postings ----
+      val bmRoot = s"$workDir/bm25-idx"
+      val bmq = Seq("data", "merge", "window")
+      results("bm25_index_seed") = time(
+        graft.operators.CorpusPrep.bm25SeedIndex(
+          bmRoot, corpusDf, "text", "doc_id"))
+      def bmProbe(): Unit = runToNoop(
+        graft.operators.CorpusPrep.bm25TopKIndexed(spark, bmRoot, bmq, 15))
+      def bmRecompute(): Unit = runToNoop(
+        graft.operators.CorpusPrep.bm25TopK(corpusDf, "text", "doc_id", bmq, 15))
+      bmProbe(); bmRecompute() // warm
+      results("bm25_probe_indexed") = (1 to 2).map(_ => time(bmProbe())).min
+      results("bm25_recompute") = (1 to 2).map(_ => time(bmRecompute())).min
+      runToNoop(spark.read.format("graft").load(s"$bmRoot/postings")
+        .where(col("term").isin(bmq: _*)))
+      results("bm25_probe_files") =
+        graft.sources.GraftSource.lastScanFiles.size.toDouble
+      results("bm25_index_files") = MutableParquetTable
+        .manifestFileNames(graft.streaming.CdcMergeSink
+          .latestSnapshot(s"$bmRoot/postings"))
+        .map(_.size).getOrElse(0).toDouble
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] incdedup experiment failed: ${e.getMessage}")
     }

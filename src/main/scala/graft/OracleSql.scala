@@ -232,6 +232,47 @@ object OracleSql {
       FROM rec GROUP BY doc_id, chunk_idx
       ORDER BY doc_id, chunk_idx"""),
 
+    "q187_sql_subqueries" -> """
+      SELECT c_custkey, c_mktsegment,
+        (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT strftime(min(o.o_orderdate), '%Y-%m-%d')
+          FROM orders o WHERE o.o_custkey = c.c_custkey) AS first_order,
+        CAST(CASE WHEN EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+          THEN 1 ELSE 0 END AS INT) AS has_urgent
+      FROM customer c
+      WHERE c.c_custkey IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderstatus = 'F' AND o.o_orderpriority = '5-LOW')
+      ORDER BY c_custkey""",
+
+    "q188_lateral_topk" -> """
+      SELECT c.c_custkey, t.o_orderkey,
+        strftime(t.o_orderdate, '%Y-%m-%d') AS order_date
+      FROM customer c,
+      LATERAL (SELECT o.o_orderkey, o.o_orderdate FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o.o_orderdate DESC, o.o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c.c_custkey, t.o_orderkey""",
+
+    "q189_recursive_cte" -> """
+      WITH RECURSIVE yrs(y) AS (
+        SELECT 1992
+        UNION ALL
+        SELECT y + 1 FROM yrs WHERE y < 1998
+      )
+      SELECT y,
+        CAST((SELECT count(*) FROM orders o
+          WHERE year(o.o_orderdate) = y) AS BIGINT) AS n_orders,
+        CAST((SELECT count(DISTINCT o.o_custkey) FROM orders o
+          WHERE year(o.o_orderdate) = y) AS BIGINT) AS n_customers
+      FROM yrs ORDER BY y""",
+
     // the q147 BM25 scorer over the FULL corpus — the indexed path
     // (seed + incremental ingest + index-served probe) must reproduce
     // the batch recompute exactly

@@ -3247,6 +3247,76 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** SQL SUBQUERY surface — scalar (correlated aggregate in SELECT),
+    * `IN`, correlated `EXISTS`, and `NOT EXISTS` in one statement:
+    * Catalyst's subquery machinery (RewriteCorrelatedScalarSubquery,
+    * RewritePredicateSubquery) decorrelates all four into the
+    * semi/anti/left-join plans the engine already proves (q04-q07) —
+    * this lane proves the SQL FORMS resolve to them. Integer/date-only
+    * outputs (counts, formatted min date, flags), so both engines are
+    * exact. */
+  def q187_sql_subqueries(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("orders_sq")
+    customer(s, dir).createOrReplaceTempView("customer_sq")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment,
+        (SELECT count(*) FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT date_format(min(o.o_orderdate), 'yyyy-MM-dd')
+          FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS first_order,
+        CAST(CASE WHEN EXISTS (SELECT 1 FROM orders_sq o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+          THEN 1 ELSE 0 END AS INT) AS has_urgent
+      FROM customer_sq c
+      WHERE c.c_custkey IN
+          (SELECT o_custkey FROM orders_sq WHERE o_orderstatus = 'O')
+        AND NOT EXISTS (SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderstatus = 'F' AND o.o_orderpriority = '5-LOW')
+      ORDER BY c_custkey""")
+  }
+
+  /** LATERAL correlated subquery — per-row top-k without a window over
+    * the whole table: each customer's 2 most recent orders via a
+    * correlated ORDER BY/LIMIT subquery (the SQL form of the top-k
+    * pattern q03/q49 prove as operators). Ties broken by order key so
+    * both engines pick identical rows. */
+  def q188_lateral_topk(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("orders_sq")
+    customer(s, dir).createOrReplaceTempView("customer_sq")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey,
+        date_format(t.o_orderdate, 'yyyy-MM-dd') AS order_date
+      FROM customer_sq c,
+      LATERAL (SELECT o.o_orderkey, o.o_orderdate FROM orders_sq o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o.o_orderdate DESC, o.o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c.c_custkey, t.o_orderkey""")
+  }
+
+  /** RECURSIVE CTE surface (`WITH RECURSIVE`, new in Spark 4): an
+    * acyclic bounded recursion generating the order-date year series,
+    * each year then scored by a correlated scalar subquery — the SQL
+    * form of iterative series generation both engines terminate and
+    * agree on exactly (counts only; no floats). */
+  def q189_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql("""
+      WITH RECURSIVE yrs(y) AS (
+        SELECT 1992
+        UNION ALL
+        SELECT y + 1 FROM yrs WHERE y < 1998
+      )
+      SELECT y,
+        (SELECT count(*) FROM orders_sq o WHERE year(o.o_orderdate) = y)
+          AS n_orders,
+        (SELECT count(DISTINCT o.o_custkey) FROM orders_sq o
+          WHERE year(o.o_orderdate) = y) AS n_customers
+      FROM yrs ORDER BY y""")
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4252,6 +4322,9 @@ object SparkEntry {
     "q184_bpe_fertility" -> (q184_bpe_fertility _),
     "q185_bm25_indexed" -> (q185_bm25_indexed _),
     "q186_ngram_novelty" -> (q186_ngram_novelty _),
+    "q187_sql_subqueries" -> (q187_sql_subqueries _),
+    "q188_lateral_topk" -> (q188_lateral_topk _),
+    "q189_recursive_cte" -> (q189_recursive_cte _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
