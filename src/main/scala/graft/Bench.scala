@@ -203,8 +203,11 @@ object Bench {
       val docs = Tables.documents(spark, dataDir)
       val idxRoot = s"$workDir/bm25/idx"
       val q = Seq("data", "merge", "window")
+      // 16 term-clustered files so the probe's file-prune receipt is
+      // meaningful at this corpus size
       results("bm25_index_seed") = time(
-        graft.operators.CorpusPrep.bm25SeedIndex(idxRoot, docs, "text", "doc_id"))
+        graft.operators.CorpusPrep.bm25SeedIndex(idxRoot, docs, "text",
+          "doc_id", indexFiles = 16))
       def probe(): Unit = runToNoop(
         graft.operators.CorpusPrep.bm25TopKIndexed(spark, idxRoot, q, 15))
       def recompute(): Unit = runToNoop(

@@ -179,7 +179,7 @@ object BenchScale {
       val bmq = Seq("data", "merge", "window")
       results("bm25_index_seed") = time(
         graft.operators.CorpusPrep.bm25SeedIndex(
-          bmRoot, corpusDf, "text", "doc_id"))
+          bmRoot, corpusDf, "text", "doc_id", indexFiles = 64))
       def bmProbe(): Unit = runToNoop(
         graft.operators.CorpusPrep.bm25TopKIndexed(spark, bmRoot, bmq, 15))
       def bmRecompute(): Unit = runToNoop(

@@ -260,6 +260,30 @@ object OracleSql {
       WHERE c.c_custkey <= 200
       ORDER BY c.c_custkey, t.o_orderkey""",
 
+    // the q66 closure CTEs feeding a size histogram; singletons from an
+    // anti-membership count as size-1 clusters
+    "q190_cluster_histogram" ->
+      (shingleJaccardPairs(0.5, recursive = true) + """,
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      r(src, dst) AS (SELECT src, dst FROM e
+                      UNION
+                      SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+      comp AS (SELECT src AS id, least(src, min(dst)) AS c FROM r GROUP BY src),
+      sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY c),
+      multi AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz),
+      single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents WHERE doc_id NOT IN (SELECT id FROM comp))
+      SELECT * FROM multi
+      UNION ALL
+      SELECT * FROM single WHERE n_clusters > 0
+      ORDER BY cluster_size"""),
+
     "q189_recursive_cte" -> """
       WITH RECURSIVE yrs(y) AS (
         SELECT 1992

@@ -3296,6 +3296,35 @@ object SparkEntry {
       ORDER BY c.c_custkey, t.o_orderkey""")
   }
 
+  /** DUPLICATE-CLUSTER size HISTOGRAM — the corpus-accounting view of
+    * the near-dup graph ("how much of my corpus sits in how-big
+    * duplicate clusters"): exact Jaccard ≥ 0.5 pairs → connected
+    * components ([[Dedup.components]], min-label) → cluster sizes →
+    * (size, clusters, docs) histogram, with unpaired docs reported as
+    * size-1 clusters via an anti-join (no driver-side counting). The
+    * component labels and closure are what q66 proves; this reports
+    * their distribution. Histogram stages are component- then
+    * size-cardinality aggregates — metadata-sized after the pair
+    * join. */
+  def q190_cluster_histogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.jaccardJoinExact(shingleSets(docs), 0.5)
+    val comp = Dedup.components(pairs)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    val multi = sizes.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .select(col("sz").cast("long").as("cluster_size"),
+        col("n_clusters"), col("n_docs"))
+    val single = docs
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+      .where(col("n_clusters") > 0)
+    multi.unionByName(single).orderBy(col("cluster_size"))
+  }
+
   /** RECURSIVE CTE surface (`WITH RECURSIVE`, new in Spark 4): an
     * acyclic bounded recursion generating the order-date year series,
     * each year then scored by a correlated scalar subquery — the SQL
@@ -3342,21 +3371,31 @@ object SparkEntry {
     * (Lee et al. flavor): the fraction of a doc's DISTINCT 5-word
     * shingles whose FIRST holder (lowest doc id) is the doc itself.
     * Exact duplicates score 0 unless they are the first copy;
-    * boilerplate-heavy docs score low. One shuffle keyed on the gram
-    * (first-holder via a gram-partitioned min window — join-free, no
-    * second corpus explode) + one doc-keyed aggregate; at web scale
-    * the gram key becomes xxhash64 with the carried gram
-    * disambiguating collisions (the dedupLines discipline). */
+    * boilerplate-heavy docs score low.
+    *
+    * Shape chosen FOR skew: each gram contributes its novelty credit to
+    * exactly its first holder, so `n_novel` comes straight off the
+    * first-holder table — two partial AGGREGATIONS (min per gram, count
+    * per doc; both map-side combined, so a boilerplate gram present in
+    * EVERY doc collapses before the shuffle) + one doc-keyed join of
+    * two doc-sized tables. A gram-partitioned min WINDOW would compute
+    * the same thing in one pass but puts the hot gram's whole corpus in
+    * ONE window partition — a funnel AQE cannot split; the corpus-sized
+    * gram⋈first-holder join has the same hot task (AQE-splittable, but
+    * why pay it). At web scale the gram key becomes xxhash64 with the
+    * carried gram disambiguating collisions (the dedupLines
+    * discipline). */
   def q186_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     val sh = documents(s, dir).select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 5))).as("__g"))
-    val w = Window.partitionBy(col("__g"))
-    sh.withColumn("__first", min(col("doc_id")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val novel = sh.groupBy(col("__g")).agg(min(col("doc_id")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("__first", "doc_id")
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_micros",
         expr("CAST(CASE WHEN n_grams > 0 THEN " +
           "(n_novel * 1000000L) DIV n_grams ELSE 0L END AS BIGINT)"))
@@ -4325,6 +4364,7 @@ object SparkEntry {
     "q187_sql_subqueries" -> (q187_sql_subqueries _),
     "q188_lateral_topk" -> (q188_lateral_topk _),
     "q189_recursive_cte" -> (q189_recursive_cte _),
+    "q190_cluster_histogram" -> (q190_cluster_histogram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

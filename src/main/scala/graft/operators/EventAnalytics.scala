@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream product analytics over the (user, type, timestamp)
@@ -137,14 +138,21 @@ object EventAnalytics {
     * gate-with-receipts discipline).
     *
     * Tie-breaks are deterministic: at equal timestamps the
-    * alphabetically-first type wins on both ends (min/max over a
-    * (ts, type) struct), so results are engine-replayable.
+    * alphabetically-first type wins for first touch and the
+    * alphabetically-last for last touch (min/max over a (ts, type)
+    * struct), so results are engine-replayable.
     *
-    * Scale shape: both sides are type-filtered AT THE SCAN (predicate
-    * pushdown) before the one user-keyed shuffle; the in-window range
-    * predicate bounds the per-conversion fan-in, so the join output is
-    * conversions × their lookback touches, never the event log
-    * squared. No window over the full log. */
+    * Scale shape: a RANGE-FRAME window over user-ordered events —
+    * min/max/count of touch structs in the sliding
+    * `(conv − lookback, conv]` frame — never the conv×touch join a
+    * naive formulation materializes (a bot user with k conversions and
+    * m in-window touches costs k·m rows there; here one pass over that
+    * user's timeline). The scan is type-filtered to touches +
+    * conversions (pushdown) and the only shuffle is the user-keyed
+    * window partition, bounded by one user's history — the funnel
+    * family's accepted shape. The exclusive lower bound is exact: the
+    * frame starts at `−(lookback − 1 µs)`, and the fixture timestamps
+    * are microsecond-aligned. */
   def attribution(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, conversionType: String,
                   touchTypes: Seq[String],
@@ -152,30 +160,30 @@ object EventAnalytics {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(!touchTypes.contains(conversionType),
       "conversionType cannot also be a touch type")
-    val touches = events.where(col(typeCol).isin(touchTypes: _*))
-      .select(col(userCol), col(typeCol).as("__tt"),
-        col(tsCol).as("__tts"))
-    val convs = events.where(col(typeCol) === conversionType)
-      .select(col(userCol), col(tsCol).as("conv_ts")).distinct()
-    convs
-      .join(touches,
-        convs(userCol) === touches(userCol) &&
-          col("__tts") <= col("conv_ts") &&
-          col("__tts") > col("conv_ts") - expr(s"INTERVAL $lookback"),
-        "left")
-      .select(convs(userCol), col("conv_ts"), col("__tt"), col("__tts"))
-      .groupBy(col(userCol), col("conv_ts"))
-      .agg(
-        min(when(col("__tt").isNotNull,
-          struct(col("__tts"), col("__tt")))).as("__f"),
-        max(when(col("__tt").isNotNull,
-          struct(col("__tts"), col("__tt")))).as("__l"),
-        count(col("__tt")).as("n_touches"))
-      .select(col(userCol), col("conv_ts"),
+    val spark = events.sparkSession
+    // interval string → exact micros (one constant-folding driver query)
+    val lookMicros = spark.sql(
+      s"SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00Z' " +
+        s"+ INTERVAL $lookback)").head().getLong(0)
+    require(lookMicros > 0, s"lookback must be positive (got $lookback)")
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val touchStruct = when(isTouch,
+      struct(col(tsCol).as("__tts"), col(typeCol).as("__tt")))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(lookMicros - 1), 0)
+    events
+      .where(isTouch || col(typeCol) === conversionType)
+      .withColumn("__f", min(touchStruct).over(w))
+      .withColumn("__l", max(touchStruct).over(w))
+      .withColumn("__n", count(touchStruct).over(w))
+      .where(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol).as("conv_ts"),
         col("__f.__tt").as("first_touch"),
         col("__f.__tts").as("first_touch_ts"),
         col("__l.__tt").as("last_touch"),
         col("__l.__tts").as("last_touch_ts"),
-        col("n_touches"))
+        col("__n").as("n_touches"))
+      .dropDuplicates(Seq(userCol, "conv_ts"))
   }
 }
