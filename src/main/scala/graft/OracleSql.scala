@@ -284,6 +284,8 @@ object OracleSql {
       SELECT * FROM single WHERE n_clusters > 0
       ORDER BY cluster_size"""),
 
+    "q191_bpe_train" -> q191BpeTrain,
+
     "q189_recursive_cte" -> """
       WITH RECURSIVE yrs(y) AS (
         SELECT 1992
@@ -3463,6 +3465,57 @@ object OracleSql {
             '\1' || chr(30), 'g'), chr(30)),
           x -> trim(x) <> ''), x -> trim(x)) AS sents
         FROM sd)"""
+
+  /** q191: relational replay of BPE TRAINING (24 steps, generated
+    * CTE chain — the [[bpeMergesValues]] generated-SQL precedent).
+    * Per step i over state s{i-1}(repr, count): position-weighted
+    * adjacent-pair counts (overlaps included — the trainer's rule),
+    * argmax by (count desc, lhs, rhs) with the >= 2 floor, then the
+    * leftmost-non-overlapping merge rewrite. The rewrite uses the
+    * DOUBLE-SPACE trick: duplicating separators makes DuckDB's
+    * left-to-right non-overlapping `replace` consume only one boundary
+    * space per match, so back-to-back occurrences ("a b a b", even
+    * "a a a") merge exactly like the trainer's single pass; a
+    * whitespace re-collapse restores the canonical repr. An exhausted
+    * step (no pair twice) carries state unchanged, so all later steps
+    * stay empty and ranks remain dense. */
+  private lazy val q191BpeTrain: String = {
+    val n = 24
+    val steps = (1 to n).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""
+      a$i AS (SELECT string_split(r, ' ') AS sy, c FROM $prev
+              WHERE len(string_split(r, ' ')) > 1),
+      p$i AS (SELECT sy, c,
+                CAST(unnest(range(1, len(sy))) AS INT) AS ix FROM a$i),
+      g$i AS (SELECT sy[ix] AS l, sy[ix + 1] AS rr,
+                CAST(sum(c) AS BIGINT) AS pc
+              FROM p$i GROUP BY 1, 2),
+      b$i AS MATERIALIZED (SELECT l, rr FROM g$i WHERE pc >= 2
+              ORDER BY pc DESC, l, rr LIMIT 1),
+      s$i AS MATERIALIZED (SELECT CASE WHEN b.l IS NULL THEN s.r ELSE
+                trim(regexp_replace(
+                  replace(' ' || regexp_replace(s.r, ' ', '  ', 'g') || ' ',
+                    ' ' || b.l || '  ' || b.rr || ' ',
+                    ' ' || b.l || b.rr || ' '),
+                  ' +', ' ', 'g')) END AS r, s.c
+              FROM $prev s LEFT JOIN b$i b ON true)"""
+    }.mkString(",")
+    val ranks = (1 to n).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, l AS lhs, rr AS rhs FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH d AS (SELECT trim(text) AS t FROM documents),
+      tk AS (SELECT CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(t, '\\s+') END AS toks FROM d),
+      wc AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+      s0 AS MATERIALIZED (
+        SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS r, c
+        FROM wc),
+      $steps
+      SELECT * FROM ($ranks) ORDER BY rank"""
+  }
 
   private lazy val q174BpeTokens: String = s"""
       WITH RECURSIVE

@@ -3325,6 +3325,27 @@ object SparkEntry {
     multi.unionByName(single).orderBy(col("cluster_size"))
   }
 
+  /** BPE training ON the corpus ([[graft.functions.Bpe.trainOnCorpus]]):
+    * one distributed pass collapses the corpus to its word-frequency
+    * table, the merge loop runs over the vocabulary — the
+    * train-your-tokenizer-on-your-data step a pipeline runs before
+    * q174-style exact counting. The oracle replays ALL 24 TRAINING
+    * STEPS relationally: per step, position-weighted pair counts over
+    * the evolving symbol representations, the max-count /
+    * lexicographic-tie argmax, and the leftmost-non-overlapping rewrite
+    * (a double-space replace trick makes DuckDB's left-to-right
+    * `replace` exactly the trainer's merge pass) — the trained merges
+    * must hash-match rank by rank. */
+  def q191_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.functions.Bpe.trainOnCorpus(
+      documents(s, dir).select(col("text")), "text", nMerges = 24)
+    val sI = s; import sI.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "lhs", "rhs")
+      .orderBy(col("rank"))
+  }
+
   /** RECURSIVE CTE surface (`WITH RECURSIVE`, new in Spark 4): an
     * acyclic bounded recursion generating the order-date year series,
     * each year then scored by a correlated scalar subquery — the SQL
@@ -4365,6 +4386,7 @@ object SparkEntry {
     "q188_lateral_topk" -> (q188_lateral_topk _),
     "q189_recursive_cte" -> (q189_recursive_cte _),
     "q190_cluster_histogram" -> (q190_cluster_histogram _),
+    "q191_bpe_train" -> (q191_bpe_train _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -168,6 +168,24 @@ object Bpe {
     * deterministic, so retraining on the same seed reproduces the
     * committed file byte-for-byte (BpeSpec pins this). */
   def train(corpus: Seq[String], nMerges: Int): IndexedSeq[(String, String)] = {
+    val counts = corpus.iterator
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .toSeq.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }.toSeq
+    trainFromCounts(counts, nMerges)
+  }
+
+  /** The training loop over a WORD-FREQUENCY table — how BPE training
+    * actually scales: the corpus collapses to its vocabulary in one
+    * distributed pass ([[trainOnCorpus]]), and the merge iterations run
+    * over (word, count) pairs whose cardinality is the vocabulary, not
+    * the corpus. Same rules as [[train]] (all-position pair counts
+    * weighted by word frequency, max count with lexicographic (lhs,
+    * rhs) tie-break, leftmost-non-overlapping rewrite, stop below
+    * count 2); input order never matters (the state is a map and the
+    * tie-break is total). */
+  def trainFromCounts(wordCounts: Seq[(String, Long)],
+                      nMerges: Int): IndexedSeq[(String, String)] = {
     // codepoint split, matching BpeTable.encode's initial symbols
     def syms(w: String): Vector[String] = {
       val b = Vector.newBuilder[String]
@@ -179,10 +197,8 @@ object Bpe {
       }
       b.result()
     }
-    var words: Map[Vector[String], Long] = corpus.iterator
-      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
-      .toSeq.groupBy(identity)
-      .map { case (w, ws) => syms(w) -> ws.size.toLong }
+    var words: Map[Vector[String], Long] = wordCounts.iterator
+      .map { case (w, c) => syms(w) -> c }.toMap
     val out = mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && out.length < nMerges) {
@@ -221,6 +237,33 @@ object Bpe {
       }
     }
     out.toIndexedSeq
+  }
+
+  /** Train a merges table ON A CORPUS DataFrame — the distributed form:
+    * ONE pass over the corpus aggregates the word-frequency table
+    * ([[graft.functions.TextFunctions.tokens]] pretokenization, so the
+    * trained table's word boundaries agree with every consumer), and
+    * the merge iterations then run driver-side over the
+    * VOCABULARY-sized counts (the kmeansCodebook bounded-driver-state
+    * discipline: the collect is capped at `maxVocab` rows and refuses
+    * past it rather than silently truncating — pre-prune rare words
+    * upstream, e.g. `HAVING count >= minCount`, to fit web-scale
+    * vocabularies). Tokenizing 100 TB is the distributed part; training
+    * over the dictionary never was. Deterministic: identical counts →
+    * identical merges regardless of row order. */
+  def trainOnCorpus(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    nMerges: Int,
+                    maxVocab: Int = 1 << 20): IndexedSeq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val rows = counts.limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"corpus vocabulary exceeds maxVocab=$maxVocab — raise the cap or " +
+        "pre-prune rare words before training")
+    trainFromCounts(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq,
+      nMerges)
   }
 
   /** The seed text the committed table is trained on: ordinary English

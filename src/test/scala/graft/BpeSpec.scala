@@ -136,4 +136,28 @@ class BpeSpec extends SparkSpec {
       off += n
     }
   }
+
+  test("trainOnCorpus: distributed word counts reproduce the local trainer exactly") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      "the cat sat on the mat and the cat ran",
+      "the dog sat on the log and the dog ran after the cat",
+      "a cat and a dog and a rat sat flat",
+      "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(5) // counts must merge across partitions
+    val dist = Bpe.trainOnCorpus(docs, "text", nMerges = 12)
+    val local = Bpe.train(texts, nMerges = 12)
+    assert(dist === local,
+      "corpus-trained merges must equal the sequential reference trainer")
+    assert(dist.nonEmpty && dist.size <= 12)
+    // the trained table round-trips through the encoder
+    val table = new BpeTable(dist)
+    assert(table.tokenCount("the cat sat") > 0)
+    // vocabulary cap refuses rather than silently truncating
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainOnCorpus(docs, "text", nMerges = 4, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
 }
