@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, struct, when}
 
 import graft.sources.ParquetTable
 import graft.streaming.{AggView, CdcMergeSink}
@@ -495,6 +495,33 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * hard-linked files are never read). */
   def changeFeed(fromVersion: Long, toVersion: Long): DataFrame =
     CdcMergeSink.changeFeed(spark, root, fromVersion, toVersion, key)
+
+  /** SEMANTIC diff between two versions: every key present in either
+    * snapshot, classified `added` / `removed` / `updated` / `unchanged`
+    * by a key-keyed full outer join of the two time-travel reads with a
+    * null-safe whole-row struct compare over the columns the versions
+    * SHARE (schema evolution between the versions is thus diffed on the
+    * common projection; a column only one side has never flips a row to
+    * `updated`). Unlike [[changeFeed]] — which is delta-PRICED but needs
+    * the feed's commit history — this works between ANY two versions,
+    * including across compaction/restore boundaries, at the cost of
+    * reading both snapshots (one key-keyed shuffle pair; both sides
+    * key-sorted disjoint layouts, so at scale the join is a merge of
+    * co-clustered files, and zone-map pruning applies to any key-range
+    * predicate pushed on top). */
+  def diffVersions(vOld: Long, vNew: Long): DataFrame = {
+    val o = readAsOf(vOld)
+    val n = readAsOf(vNew)
+    val common = o.columns.filter(c => c != key && n.columns.contains(c)).toSeq
+    val os = o.select(col(key).as("__key"), struct(common.map(col): _*).as("__o"))
+    val ns = n.select(col(key).as("__key"), struct(common.map(col): _*).as("__n"))
+    os.join(ns, Seq("__key"), "full_outer")
+      .select(col("__key").as(key),
+        when(col("__o").isNull, "added")
+          .when(col("__n").isNull, "removed")
+          .when(!(col("__o") <=> col("__n")), "updated")
+          .otherwise("unchanged").as("change"))
+  }
 
   /** [[commit]] + persist this commit's row-level change feed under
     * `_changes/v{id}` (delta-priced: the feed write costs the rows the

@@ -286,6 +286,85 @@ object OracleSql {
 
     "q191_bpe_train" -> q191BpeTrain,
 
+    "q192_pagerank" -> q192PageRank,
+
+    // the mutation batch's residue rules replayed over the base keys:
+    // upsert wins where both residues hit (the batch construction),
+    // fresh keys live past the offset
+    "q195_version_diff" -> """
+      SELECT k AS c_custkey,
+        CASE WHEN k >= 1000000 THEN 'added'
+             WHEN k % 40 = 0 THEN 'updated'
+             WHEN k % 55 = 0 THEN 'removed'
+             ELSE 'unchanged' END AS change
+      FROM (SELECT c_custkey AS k FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000 FROM customer
+            WHERE c_custkey % 100 = 0)
+      ORDER BY k""",
+
+    // exact per-key counts; both sketch flags pin to 1 — no-undercount
+    // is structural (every cell >= the key's true count), exactness at
+    // 4x16384 vs ~150 keys is the q182 sizing discipline
+    "q194_cms_counts" -> """
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(1 AS INT) AS never_undercounts,
+        CAST(1 AS INT) AS sketch_exact
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // content-defined chunking replayed verbatim: the q46 rolling-hash
+    // fold over each trailing 8-codepoint window, cuts where the low 6
+    // bits are zero, chunk slicing, then q186's first-holder credit
+    "q193_cdc_chunks" -> """
+      WITH d0 AS (SELECT doc_id, text FROM documents),
+      tw AS (SELECT doc_id + 1000000 AS doc_id,
+             'shifted boilerplate prefix ' || text AS text FROM d0
+             WHERE doc_id % 50 = 0),
+      d AS (SELECT * FROM d0 UNION ALL SELECT * FROM tw),
+      nt AS (SELECT doc_id,
+        array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS t
+        FROM d),
+      cp AS (SELECT doc_id, t,
+        list_transform(range(1, length(t) + 1),
+          i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS cps,
+        CAST(length(t) AS BIGINT) AS n
+        FROM nt),
+      bd AS (SELECT doc_id, t, n,
+        CASE WHEN n < 8 THEN CAST([] AS BIGINT[])
+             ELSE list_filter(range(8, n + 1), i ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i-7:i]),
+                 (h, c) -> (h * 131 + c) % 1000000007) % 64 = 0)
+        END AS b
+        FROM cp),
+      ck AS (SELECT doc_id, t, n,
+        list_append(list_filter(b, x -> x < n), n) AS ends
+        FROM bd WHERE n > 0),
+      ch AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(ends) + 1), j ->
+          substr(t,
+            CAST(CASE WHEN j = 1 THEN 1
+                 ELSE ends[CAST(j - 1 AS INT)] + 1 END AS INT),
+            CAST(ends[CAST(j AS INT)] -
+              CASE WHEN j = 1 THEN 0
+                   ELSE ends[CAST(j - 1 AS INT)] END AS INT)))) AS chunk
+        FROM ck),
+      dch AS (SELECT DISTINCT doc_id, chunk FROM ch),
+      fh AS (SELECT chunk, min(doc_id) AS first_doc FROM dch GROUP BY chunk),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              FROM dch GROUP BY doc_id),
+      nv AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+             FROM fh GROUP BY first_doc)
+      SELECT d.doc_id,
+        CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+        CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        CAST(CASE WHEN coalesce(per.n_chunks, 0) > 0
+          THEN coalesce(nv.n_novel, 0) * 1000000 // per.n_chunks
+          ELSE 0 END AS BIGINT) AS novelty_micros
+      FROM d LEFT JOIN per ON per.doc_id = d.doc_id
+      LEFT JOIN nv ON nv.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
     "q189_recursive_cte" -> """
       WITH RECURSIVE yrs(y) AS (
         SELECT 1992
@@ -3515,6 +3594,54 @@ object OracleSql {
         FROM wc),
       $steps
       SELECT * FROM ($ranks) ORDER BY rank"""
+  }
+
+  /** q192: relational replay of the PageRank POWER ITERATION (6
+    * supersteps, generated MATERIALIZED-CTE chain — the q191
+    * iterative-state discipline). All arithmetic is exact pico-rank
+    * fixed point (positive-operand floor division), so every superstep
+    * is order-independent and the chain hash-matches Spark bit for bit:
+    * per step, per-edge contributions `(rp·w) // outw` summed by dst,
+    * the dangling mass share (zero here — the graph is symmetrized),
+    * and the damped update `base + 85·(inflow + share) // 100`. */
+  private lazy val q192PageRank: String = {
+    val iters = 6
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""
+      inf$i AS (SELECT en.dst AS id,
+          CAST(sum((r.rp * en.w) // en.outw) AS BIGINT) AS f
+        FROM en JOIN $prev r ON r.id = en.src GROUP BY en.dst),
+      dg$i AS (SELECT CAST(coalesce(sum(r.rp), 0) AS BIGINT)
+            // (SELECT n FROM nn) AS share
+        FROM $prev r JOIN dang d ON d.id = r.id),
+      r$i AS MATERIALIZED (SELECT n.id,
+          CAST(150000000000 + (85 * (coalesce(f.f, 0) + dg.share)) // 100
+            AS BIGINT) AS rp
+        FROM nodes n LEFT JOIN inf$i f ON f.id = n.id CROSS JOIN dg$i dg)"""
+    }.mkString(",")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk,
+          CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      en AS MATERIALIZED (
+        SELECT src, dst, w,
+          CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+        FROM (SELECT c AS src, sk AS dst, w FROM e0
+              UNION ALL SELECT sk, c, w FROM e0)),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM en
+        UNION SELECT DISTINCT dst FROM en),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      dang AS (SELECT id FROM nodes
+               WHERE id NOT IN (SELECT src FROM en)),
+      r0 AS MATERIALIZED (
+        SELECT id, CAST(1000000000000 AS BIGINT) AS rp FROM nodes),
+      $steps
+      SELECT id AS node_id, rp AS rank_pico FROM r$iters
+      ORDER BY rank_pico DESC, node_id LIMIT 30"""
   }
 
   private lazy val q174BpeTokens: String = s"""

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 import graft.functions.Udx
 import graft.functions.VectorFunctions
-import graft.operators.{CorpusPrep, Dedup, EventAnalytics, MergeOps, Similarity}
+import graft.operators.{CorpusPrep, Dedup, EventAnalytics, Graph, MergeOps, Similarity}
 import graft.multimodal.Multimodal
 
 /** Driver contract: the engine's declared operator inventory (SURVEY.md §2b)
@@ -3367,6 +3367,108 @@ object SparkEntry {
       FROM yrs ORDER BY y""")
   }
 
+  /** PAGERANK over the customer⇄supplier trade graph
+    * ([[graft.operators.Graph.pageRank]]): edges are the orders⋈lineitem
+    * pairs collapsed to (customer, supplier, lineitem-count) and
+    * symmetrized (both directions carry the weight), so importance flows
+    * through shared trading partners — the link-analysis primitive a
+    * crawl pipeline runs over its host graph to prioritize fetch/keep
+    * decisions. Exact pico-rank fixed point: the oracle replays ALL six
+    * power-iteration supersteps relationally as a MATERIALIZED-CTE chain
+    * (the q191 iterative-state discipline) and the top-30 ranks must
+    * hash-match bit for bit. */
+  def q192_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("sk"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
+      .unionByName(e0.select(col("sk").as("src"), col("c").as("dst"),
+        col("w")))
+    Graph.pageRank(edges, iterations = 6)
+      .orderBy(col("rank_pico").desc, col("node_id"))
+      .limit(30)
+  }
+
+  /** CONTENT-DEFINED-CHUNK dedup accounting
+    * ([[CorpusPrep.cdcChunkNovelty]] over [[graft.functions
+    * .TextFunctions.cdcChunks]]): Rabin rolling-hash boundaries make
+    * chunking SHIFT-ROBUST — the planted twins here are earlier docs
+    * with a prefix spliced on, which line/fixed-width splitting would
+    * see as 100% new content; CDC re-aligns after the edit, so each
+    * twin scores near-zero novelty (only the chunks the splice touched
+    * are new). The oracle replays the rolling hash, the cut rule, the
+    * chunk slicing, and the first-holder credit verbatim. */
+  def q193_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    val d0 = documents(s, dir).select(col("doc_id"), col("text"))
+    val twins = d0.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("shifted boilerplate prefix "), col("text")).as("text"))
+    CorpusPrep.cdcChunkNovelty(d0.unionByName(twins), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** COUNT-MIN SKETCH frequency estimates
+    * ([[graft.functions.Udx.CountCellsAggregator]] + the codegen'd
+    * [[graft.functions.Udx.cmsPos]]/[[graft.functions.Udx.cmsEstimate]]
+    * lanes): one map-side pass summarizes per-(event_type, day)
+    * frequencies into a 4×16384 mergeable linear sketch, the sketch
+    * broadcasts, and every key's estimate is the min over its lane
+    * cells — the at-scale frequency table when the exact key shuffle
+    * is too wide. `never_undercounts` is the structural CMS guarantee;
+    * `sketch_exact` pins estimate == exact at this width/cardinality
+    * (the q182 Bloom-gate sizing discipline) — both verified
+    * engine-independently against DuckDB's exact counts. */
+  def q194_cms_counts(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4; val width = 16384
+    val ev = events(s, dir).select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .withColumn("__k", concat_ws("|", col("event_type"), col("day")))
+    val sketch = ev
+      .select(explode(Udx.cmsPositions(col("__k"), depth, width)).as("__pos"))
+      .agg(Udx.cmsCells(depth * width)(col("__pos")).as("__cells"))
+    events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("__est", Udx.cmsEstimate(col("__cells"),
+        concat_ws("|", col("event_type"), col("day")), depth, width))
+      .select(col("event_type"), col("day"), col("n_exact"),
+        (col("__est") >= col("n_exact")).cast("int").as("never_undercounts"),
+        (col("__est") === col("n_exact")).cast("int").as("sketch_exact"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** TABLE-VERSION semantic diff ([[graft.GraftTable.diffVersions]]):
+    * every key across two snapshots classified added / removed /
+    * updated / unchanged via a full outer join of two time-travel
+    * reads with a null-safe whole-row compare — the "what changed
+    * between Tuesday and today" audit that works between ANY two
+    * versions (compaction/restore boundaries included), where the
+    * change feed needs contiguous commit history. The fixture commits
+    * one deterministic mutation batch (updates %40, deletes %55 that
+    * aren't %40, inserts offset fresh keys); the oracle replays the
+    * residue rules over the base table. */
+  def q195_version_diff(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q195").toString
+    val t = graft.GraftTable.create(c, s"$work/t", "c_custkey", numFiles = 6)
+    val batch = c.where(col("c_custkey") % 40 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(10.0))
+      .withColumn("op", lit("upsert"))
+      .unionByName(c.where(col("c_custkey") % 40 =!= 0 &&
+          col("c_custkey") % 55 === 0)
+        .withColumn("op", lit("delete")))
+      .unionByName(c.where(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+        .withColumn("op", lit("upsert")))
+    t.commit(batch) // v0
+    t.diffVersions(-1L, 0L).orderBy(col("c_custkey"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4387,6 +4489,10 @@ object SparkEntry {
     "q189_recursive_cte" -> (q189_recursive_cte _),
     "q190_cluster_histogram" -> (q190_cluster_histogram _),
     "q191_bpe_train" -> (q191_bpe_train _),
+    "q192_pagerank" -> (q192_pagerank _),
+    "q193_cdc_chunks" -> (q193_cdc_chunks _),
+    "q194_cms_counts" -> (q194_cms_counts _),
+    "q195_version_diff" -> (q195_version_diff _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -286,6 +286,47 @@ object TextFunctions {
             i => aggregate(slice(cps, i, lit(k)), lit(0L), polyStep))))),
       1)
 
+  /** Content-defined chunking (Rabin-style): split the normalized text
+    * at every position whose trailing `window`-codepoint rolling hash
+    * ([[polyStep]], the q46 fold) has its low `maskBits` bits zero —
+    * boundaries are a function of LOCAL content only, so an insertion
+    * shifts at most the chunks it touches and every downstream chunk
+    * re-aligns (the property fixed-size or line splitting lacks, and
+    * the reason dedup storage systems chunk this way). Expected chunk
+    * length ≈ 2^maskBits codepoints. Returns the chunk TEXTS in order;
+    * their concatenation is exactly the normalized text. Empty/null
+    * text → empty array; text shorter than `window` → one chunk.
+    *
+    * One codegen'd HOF chain, zero shuffle; the codepoint array and the
+    * raw text are BOUND to lambda variables (interpreted-lambda
+    * discipline — a bare re-reference would re-derive them per
+    * position). The per-chunk `substr` walk is O(start); at corpus
+    * scale the dominant cost stays the O(n·window) boundary scan.
+    * Deterministic in any 64-bit-integer engine — an oracle replays
+    * boundaries and chunks verbatim. */
+  def cdcChunks(text: Column, window: Int = 8, maskBits: Int = 6): Column = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits must be in [1, 20] (got $maskBits)")
+    val modv = 1L << maskBits
+    val t0 = concat_ws(" ", tokens(lower(text)))
+    val out = element_at(transform(array(t0), tt =>
+      element_at(transform(array(codePoints(tt)), cps => {
+        val n = size(cps)
+        val bounds =
+          when(lit(window) > n, array().cast("array<int>"))
+            .otherwise(filter(sequence(lit(window), n), i =>
+              aggregate(slice(cps, i - lit(window) + 1, lit(window)),
+                lit(0L), polyStep) % lit(modv) === lit(0L)))
+        val ends = concat(filter(bounds, x => x < n), array(n))
+        val starts = concat(array(lit(1)),
+          transform(slice(ends, lit(1), size(ends) - 1), x => x + 1))
+        when(n === 0, array().cast("array<string>"))
+          .otherwise(zip_with(starts, ends, (a, b) => tt.substr(a, b - a + 1)))
+      }), 1)), 1)
+    when(text.isNull, array().cast("array<string>")).otherwise(out)
+  }
+
   /** Estimated BPE token cost of ONE whitespace-token, by a documented
     * deterministic rule (the public "~4 chars per token" average, plus
     * GPT-2's digit/punctuation splitting behavior):

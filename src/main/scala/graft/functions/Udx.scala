@@ -151,6 +151,69 @@ object Udx {
           pmod(pos, lit(64L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
 
+  // ---- typed UDAF: Count-Min sketch -----------------------------------
+
+  /** MERGEABLE Count-Min sketch (Cormode & Muthukrishnan 2005) over
+    * pre-hashed cell positions: the at-scale frequency summary — one
+    * map-side pass increments `depth × width` counters (merge =
+    * elementwise SUM, the linear-sketch property), the sketch
+    * broadcasts, and any key's frequency is then estimated driver-free
+    * as the MIN over its `depth` cells. Estimates NEVER undercount
+    * (every cell holds the key's true count plus nonnegative collision
+    * mass); overcount ≤ e·n/width with probability 1 − e^−depth — size
+    * `width` to the distinct-key cardinality and the estimate is exact
+    * with near-certainty (the pinnable form, the Bloom-gate
+    * discipline). Positions are computed OUTSIDE the aggregator with
+    * codegen'd `xxhash64` ([[cmsPos]], lane-offset encoded) so build
+    * and probe hash identically by construction; each input row
+    * contributes one increment per lane ([[cmsPositions]] explodes the
+    * lanes). Buffer is depth·width·8 bytes per partial (the default
+    * 4×16384 = 512 KiB). */
+  final class CountCellsAggregator(cells: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(cells > 0, s"cells must be positive (got $cells)")
+    override def zero: Array[Long] = new Array[Long](cells)
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      b(pos.toInt) += 1L
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Column form: `cmsCells(depth * width)(col("__pos"))` inside an agg. */
+  def cmsCells(cells: Int): Column => Column = {
+    val fn = udaf(new CountCellsAggregator(cells))
+    pos => fn(pos)
+  }
+
+  /** Cell position of hash lane `lane` for `key` — codegen'd `xxhash64`
+    * with the lane as a second hash input, offset into the lane's row of
+    * the flattened depth×width array. Shared by build and probe. */
+  def cmsPos(key: Column, lane: Int, width: Int): Column =
+    lit(lane.toLong * width) + pmod(xxhash64(key, lit(lane)), lit(width.toLong))
+
+  /** All `depth` lane positions for `key` — explode over this on the
+    * build side so each row increments one cell per lane. */
+  def cmsPositions(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(cmsPos(key, _, width)): _*)
+
+  /** Estimate `key`'s frequency from a [[cmsCells]] sketch (the
+    * `array<long>` cells, broadcast-friendly): min over the `depth`
+    * lane cells. Pure Column arithmetic — codegen'd. */
+  def cmsEstimate(cells: Column, key: Column, depth: Int, width: Int): Column = {
+    val lanes = (0 until depth).map { lane =>
+      element_at(cells, (cmsPos(key, lane, width) + 1).cast("int"))
+    }
+    if (lanes.size == 1) lanes.head else least(lanes: _*)
+  }
+
   // ---- scalar UDF ----------------------------------------------------
 
   /** Scalar UDF example (black-box Scala). Prefer Column expressions when

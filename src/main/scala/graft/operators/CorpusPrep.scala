@@ -838,6 +838,48 @@ object CorpusPrep {
           e => e("__line")), "\n").as(textCol))
   }
 
+  /** Content-defined-chunk NOVELTY — the shift-robust counterpart of
+    * [[dedupLines]]/q186: documents are cut at content-defined
+    * boundaries ([[graft.functions.TextFunctions.cdcChunks]] — Rabin
+    * rolling-hash cuts, so a prefix insertion or edit re-aligns every
+    * downstream chunk instead of shifting all of them the way line or
+    * fixed-width splitting would), then each doc is scored by the
+    * fraction of its DISTINCT chunks whose FIRST holder (lowest id) is
+    * the doc itself. A shifted near-copy of an earlier doc scores ~0:
+    * only the chunks its edit actually touched are novel.
+    *
+    * Returns (doc_id, n_chunks, n_novel, novelty_micros) for EVERY
+    * input doc (empty docs score 0 over 0). Scale shape is q186's:
+    * chunking is map-side; first-holder credit comes from two
+    * map-side-combined aggregations (min per chunk, count per first
+    * holder) — a boilerplate chunk present in every doc collapses
+    * before the shuffle, never a hot window partition — plus one
+    * doc-keyed join of doc-sized tables. At web scale the chunk key
+    * becomes xxhash64 with the carried text disambiguating (the
+    * dedupLines discipline). */
+  def cdcChunkNovelty(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int = 8, maskBits: Int = 6): DataFrame = {
+    val dch = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.cdcChunks(col(textCol), window, maskBits))
+          .as("__chunk"))
+      .distinct()
+    val novel = dch.groupBy(col("__chunk"))
+      .agg(min(col("doc_id")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("__first", "doc_id")
+    val per = dch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(per, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_micros",
+        expr("CAST(CASE WHEN n_chunks > 0 THEN " +
+          "(n_novel * 1000000L) DIV n_chunks ELSE 0L END AS BIGINT)"))
+  }
+
   /** EXACT-SUBSTRING duplicated-span REMOVAL (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): where
     * [[graft.operators.Dedup.duplicatedNgramStats]] COUNTS cross-document

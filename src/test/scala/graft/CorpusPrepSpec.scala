@@ -925,4 +925,46 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(noPunct.toSeq === Seq("five plain words no marks"),
       "an unterminated doc is one sentence and never splits")
   }
+
+  test("cdcChunks: coverage exact, shift-robust boundaries, edges") {
+    import graft.functions.TextFunctions
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cunning red vixen naps beside a warm stone wall in autumn sun"
+    val d = docs(1L -> base, 2L -> ("PREFIX SPLICE " + base),
+      3L -> "tiny", 4L -> "", 5L -> null.asInstanceOf[String])
+    val out = d.select(col("doc_id"),
+        TextFunctions.cdcChunks(col("text")).as("ch"))
+      .orderBy("doc_id").collect()
+    // chunk concatenation IS the normalized text
+    val norm1 = base.toLowerCase.trim.replaceAll("\\s+", " ")
+    assert(out(0).getSeq[String](1).mkString("") === norm1)
+    // shift-robustness: after the spliced prefix, the twin re-aligns —
+    // its chunk multiset shares all but the first chunk(s) of the base
+    val c1 = out(0).getSeq[String](1)
+    val c2 = out(1).getSeq[String](1)
+    val shared = c2.toSet.intersect(c1.toSet)
+    assert(shared.size >= c1.size - 1,
+      s"CDC must re-align after a prefix edit (shared $shared of $c1)")
+    // short text: one chunk; empty and null: zero chunks
+    assert(out(2).getSeq[String](1) === Seq("tiny"))
+    assert(out(3).getSeq[String](1).isEmpty)
+    assert(out(4).getSeq[String](1).isEmpty)
+  }
+
+  test("cdcChunkNovelty: twins score near zero, firsts keep the credit") {
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cunning red vixen naps beside a warm stone wall in autumn sun"
+    val d = docs(1L -> base, 2L -> ("PREFIX SPLICE " + base), 3L -> "")
+    // maskBits = 4 → ~16-char chunks, enough cuts on a short fixture for
+    // the re-alignment to dominate
+    val out = CorpusPrep.cdcChunkNovelty(d, "doc_id", "text", maskBits = 4)
+      .orderBy("doc_id").collect()
+    val (n1, nov1) = (out(0).getLong(1), out(0).getLong(2))
+    val (n2, nov2) = (out(1).getLong(1), out(1).getLong(2))
+    assert(nov1 === n1, "the first holder owns every one of its chunks")
+    assert(n2 >= 4 && nov2 <= 2,
+      s"the shifted twin must re-align (novel $nov2/$n2, base $nov1/$n1)")
+    assert(out(2).getLong(1) === 0L && out(2).getLong(3) === 0L,
+      "an empty doc scores 0 over 0")
+  }
 }

@@ -483,4 +483,29 @@ class GraftTableSpec extends SparkSpec {
       assert(tgt.read().count() === 50 - 12) // 12 multiples of 4 in 1..50
     } finally q.stop()
   }
+
+  test("diffVersions: added/removed/updated/unchanged; evolution-safe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    val df = (1L to 20L).map(i => (i, i * 10)).toDF("k", "v")
+    val t = GraftTable.create(df, root, "k", numFiles = 2)
+    t.commit(
+      Seq((3L, 999L, "upsert"), (7L, 70L, "upsert"), // 7 -> identical values
+        (5L, 0L, "delete"), (21L, 210L, "upsert"))
+        .toDF("k", "v", "op")) // v0
+    val d = t.diffVersions(-1L, 0L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d(3L) === "updated")
+    assert(d(5L) === "removed")
+    assert(d(21L) === "added")
+    assert(d(7L) === "unchanged", "an upsert writing identical values is no change")
+    assert(d(1L) === "unchanged")
+    assert(d.size === 21)
+    // a column added AFTER vOld (merge evolution) never flips
+    // common-projection rows — k=1 keeps its v, gains only w
+    t.commit(Seq((1L, 10L, 77L, "upsert")).toDF("k", "v", "w", "op")) // v1
+    val d2 = t.diffVersions(0L, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2.values.forall(_ == "unchanged"),
+      s"schema-only evolution must diff clean, got ${d2.filter(_._2 != "unchanged")}")
+  }
 }

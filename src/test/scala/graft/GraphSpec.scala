@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Exact fixed-point PageRank: hand-computed supersteps, dangling mass,
+  * symmetry, and mass conservation. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val UNIT = 1000000000000L
+  private val BASE = 150000000000L // (unit * 15) / 100
+
+  test("symmetric 2-cycle: ranks stay exactly at unit") {
+    // a <-> b, equal weights: inflow(v) = rank(u) each step, so
+    // rank' = base + 85 * unit / 100 = unit exactly (fixed point)
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(e, iterations = 4).orderBy("node_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(UNIT, UNIT))
+  }
+
+  test("star graph: the hub out-ranks the leaves, hand-checked step") {
+    // leaves 1..4 -> hub 0 and hub -> each leaf (w=1). After one step:
+    //   hub inflow = 4 * (unit * 1 DIV 1) = 4 * unit
+    //   leaf inflow = (unit * 1) DIV 4 (hub splits over 4 out-edges)
+    val leaves = (1L to 4L)
+    val e = (leaves.map(l => (l, 0L, 1L)) ++ leaves.map(l => (0L, l, 1L)))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.pageRank(e, iterations = 1).orderBy("node_id").collect()
+    val hub1 = BASE + 85L * (4L * UNIT) / 100L
+    val leaf1 = BASE + 85L * (UNIT / 4L) / 100L
+    assert(r1.head.getLong(1) == hub1)
+    assert(r1.tail.map(_.getLong(1)).toSeq == Seq.fill(4)(leaf1))
+    // a second step distributes the hub's mass back: hand-fold it
+    val r2 = Graph.pageRank(e, iterations = 2).orderBy("node_id").collect()
+    val hub2 = BASE + 85L * (4L * leaf1) / 100L
+    val leaf2 = BASE + 85L * (hub1 / 4L) / 100L
+    assert(r2.head.getLong(1) == hub2)
+    assert(r2.tail.map(_.getLong(1)).toSeq == Seq.fill(4)(leaf2))
+  }
+
+  test("dangling node redistributes its mass, mass is conserved") {
+    // 1 -> 2, 2 has no out-edges: 2's rank re-enters as dangShare
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(e, iterations = 1).orderBy("node_id").collect()
+    // dangShare = unit DIV 2; node 1 gets only the dangling share,
+    // node 2 gets node 1's full rank plus the share
+    val share = UNIT / 2L
+    assert(r(0).getLong(1) == BASE + 85L * share / 100L)
+    assert(r(1).getLong(1) == BASE + 85L * (UNIT + share) / 100L)
+    // mass conserved up to floor shavings (never grows)
+    val total = r.map(_.getLong(1)).sum
+    assert(total <= 2 * UNIT && total > 2 * UNIT - 100L)
+  }
+
+  test("parallel edges collapse; weights steer the split") {
+    // 0 -> 1 twice (w=1 each) and 0 -> 2 (w=2): both dsts get half
+    val e = Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(e, iterations = 3).orderBy("node_id").collect()
+    assert(r(1).getLong(1) == r(2).getLong(1)) // symmetric halves
+    assert(r(0).getLong(1) > r(1).getLong(1)) // the hub dominates
+  }
+
+  test("guards: bad damping and zero iterations refuse") {
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](Graph.pageRank(e, 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, 1, dampNum = 100L, dampDen = 100L))
+  }
+}
