@@ -195,6 +195,29 @@ object Bench {
       System.err.println(s"[bench] text-kernel experiment failed: ${e.getMessage}")
     }
 
+    // ---- round-10 additions: CDC boundary-scan throughput (map-side,
+    //      prices the O(n·window) rolling-hash cut scan) and the CMS
+    //      sketch build vs the exact key-count shuffle it replaces ----
+    try {
+      import graft.functions.{TextFunctions, Udx}
+      val docs = Tables.documents(spark, dataDir)
+      def cdc(): Unit = runToNoop(docs.select(
+        sum(size(TextFunctions.cdcChunks(col("text"))))))
+      cdc() // codegen warm
+      results("cdc_chunk_scan") = (1 to 2).map(_ => time(cdc())).min
+      val ev = Tables.events(spark, dataDir).select(concat_ws("|",
+        col("event_type"), date_format(col("ts"), "yyyy-MM-dd")).as("k"))
+      def cms(): Unit = runToNoop(ev.select(explode(
+          Udx.cmsPositions(col("k"), 4, 16384)).as("p"))
+        .agg(Udx.cmsCells(4 * 16384)(col("p"))))
+      def exactCnt(): Unit = runToNoop(ev.groupBy("k").count())
+      cms(); exactCnt() // warm
+      results("cms_build") = (1 to 2).map(_ => time(cms())).min
+      results("exact_key_counts") = (1 to 2).map(_ => time(exactCnt())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] round-10 kernels failed: ${e.getMessage}")
+    }
+
     // ---- persisted BM25 index (round 10): seed once, then serve term
     //      probes from the index vs recomputing postings from text —
     //      the recompute re-tokenizes the corpus per query set, the

@@ -288,6 +288,33 @@ object OracleSql {
 
     "q192_pagerank" -> q192PageRank,
 
+    "q196_shortest_paths" -> q196ShortestPaths,
+
+    "q198_shard_assign" -> q198ShardAssign,
+
+    // triangles counted orientation-free: canonical id-ordered triple
+    // join — must agree exactly with the degree-oriented decomposition
+    "q197_triangles" -> """
+      WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                  FROM lineitem),
+      pr AS (SELECT x.s AS sa, y.s AS sb, count(*) AS sh
+             FROM sp x JOIN sp y ON x.p = y.p AND x.s < y.s
+             GROUP BY 1, 2),
+      und AS (SELECT sa AS a, sb AS b FROM pr
+              WHERE sh >= 4 AND (sa * 131 + sb) % 10 < 4),
+      nodes AS (SELECT DISTINCT a AS id FROM und UNION SELECT b FROM und),
+      tri AS (SELECT u.a AS x, u.b AS y, v.b AS z
+              FROM und u JOIN und v ON v.a = u.b
+              JOIN und w ON w.a = u.a AND w.b = v.b),
+      per AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+              GROUP BY id)
+      SELECT n.id AS node_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_triangles
+      FROM nodes n LEFT JOIN per ON per.id = n.id
+      ORDER BY n.id""",
+
     // the mutation batch's residue rules replayed over the base keys:
     // upsert wins where both residues hit (the batch construction),
     // fresh keys live past the offset
@@ -3643,6 +3670,64 @@ object OracleSql {
       SELECT id AS node_id, rp AS rank_pico FROM r$iters
       ORDER BY rank_pico DESC, node_id LIMIT 30"""
   }
+
+  /** q196: the BFS relaxation chain, generated (the q192 discipline).
+    * Step i: min over relaxed in-edges vs the carried distance; seeds
+    * are every 10th supplier node. */
+  private lazy val q196ShortestPaths: String = {
+    val hops = 4
+    val steps = (1 to hops).map { i =>
+      val prev = s"d${i - 1}"
+      s"""
+      r$i AS (SELECT e.dst AS id, CAST(min(d.d) + 1 AS BIGINT) AS c
+        FROM e JOIN $prev d ON d.id = e.src
+        WHERE d.d IS NOT NULL GROUP BY e.dst),
+      d$i AS MATERIALIZED (SELECT n.id,
+          CASE WHEN n.d IS NULL THEN r.c
+               WHEN r.c IS NULL THEN n.d
+               ELSE least(n.d, r.c) END AS d
+        FROM $prev n LEFT JOIN r$i r ON r.id = n.id)"""
+    }.mkString(",")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      e AS MATERIALIZED (
+        SELECT c AS src, sk AS dst FROM e0
+        UNION ALL SELECT sk, c FROM e0),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+      d0 AS MATERIALIZED (SELECT id,
+          CASE WHEN id >= 1000000 AND (id - 1000000) % 10 = 0
+               THEN CAST(0 AS BIGINT) END AS d
+        FROM nodes),
+      $steps
+      SELECT id AS node_id, CAST(coalesce(d, -1) AS BIGINT) AS dist
+      FROM d$hops ORDER BY id"""
+  }
+
+  /** q198: the shard-manifest replay — estimate token costs (the q174
+    * est rule), an exclusive window prefix sum in doc_id order, the
+    * `offset // budget` shard rule, and the per-shard aggregate. */
+  private lazy val q198ShardAssign: String = s"""
+      WITH t AS (SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE CAST(coalesce(list_sum(list_transform(
+                   string_split_regex(trim(text), '\\s+'),
+                   w -> ${estRule("w")})), 0) AS BIGINT)
+          END AS c
+        FROM documents),
+      o AS (SELECT doc_id, c,
+          CAST(coalesce(sum(c) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS off
+        FROM t),
+      s AS (SELECT doc_id, c, off // 2000 AS shard_id FROM o)
+      SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM s GROUP BY shard_id ORDER BY shard_id"""
 
   private lazy val q174BpeTokens: String = s"""
       WITH RECURSIVE

@@ -3469,6 +3469,69 @@ object SparkEntry {
     t.diffVersions(-1L, 0L).orderBy(col("c_custkey"))
   }
 
+  /** MULTI-SOURCE BFS hop distances ([[Graph.shortestPaths]]) over the
+    * q192 trade graph from every 10th supplier — link-distance from a
+    * seed set, the crawl-frontier prioritization primitive. Exact
+    * integer relaxation, bounded supersteps; unreached surfaces as −1.
+    * The oracle replays all four relaxation steps as a generated
+    * MATERIALIZED-CTE chain. */
+  def q196_shortest_paths(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("sk"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
+      .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+    val sources = e0.select(col("sk")).distinct()
+      .where((col("sk") - 1000000L) % 10 === 0)
+    Graph.shortestPaths(edges, sources, maxHops = 4)
+      .select(col("node_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("node_id"))
+  }
+
+  /** PER-NODE TRIANGLE COUNTS ([[Graph.triangleCounts]]) on the
+    * supplier co-supply graph (edge when two suppliers share >= 4
+    * distinct parts, hash-thinned to ~40% of pairs — the co-supply
+    * graph is near-complete at every sf, so a deterministic replayable
+    * down-sample gives the fixture real structure; the mixture
+    * hash-sampling discipline) — the clustering/community signal over
+    * a similarity graph, by DEGREE-ORDERED orientation (wedge volume
+    * Σ out-deg², out-degree O(√m) — the formulation that survives a
+    * celebrity hub). The oracle counts the same triangles through the
+    * orientation-free canonical triple join: per-node counts must
+    * agree exactly, proving the oriented decomposition loses and
+    * double-counts nothing. */
+  def q197_triangles(s: SparkSession, dir: String): DataFrame = {
+    val sp = lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
+      .distinct()
+    val edges = sp.as("x").join(sp.as("y"),
+        col("x.p") === col("y.p") && col("x.sv") < col("y.sv"))
+      .groupBy(col("x.sv").as("src"), col("y.sv").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 4 &&
+        pmod(col("src") * 131 + col("dst"), lit(10)) < 4)
+      .select(col("src"), col("dst"))
+    Graph.triangleCounts(edges).orderBy(col("node_id"))
+  }
+
+  /** TRAINING-SHARD assignment ([[CorpusPrep.assignShards]]): contiguous
+    * token-budgeted shard ids from a distributed exclusive prefix sum —
+    * the manifest-producing export step (`partitionBy("shard_id")`
+    * writes the shards; this query IS the manifest: per-shard doc/token
+    * counts and id ranges). The oracle replays the prefix sum, the DIV
+    * rule, and the manifest aggregate over the estimate tokenizer. */
+  def q198_shard_assign(s: SparkSession, dir: String): DataFrame = {
+    CorpusPrep.assignShards(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", shardTokens = 2000L)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4493,6 +4556,9 @@ object SparkEntry {
     "q193_cdc_chunks" -> (q193_cdc_chunks _),
     "q194_cms_counts" -> (q194_cms_counts _),
     "q195_version_diff" -> (q195_version_diff _),
+    "q196_shortest_paths" -> (q196_shortest_paths _),
+    "q197_triangles" -> (q197_triangles _),
+    "q198_shard_assign" -> (q198_shard_assign _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -455,6 +455,30 @@ object CorpusPrep {
       .drop("__bucket")
   }
 
+  /** TRAINING-SHARD assignment — the export step before writing packed
+    * corpora: every doc gets `token_offset` (exclusive prefix sum of its
+    * token cost in `orderCol` order) and `shard_id = token_offset DIV
+    * shardTokens`, so shards are CONTIGUOUS in the order, hold ≈
+    * `shardTokens` tokens, and at most one budget-straddling doc each;
+    * `df.write.partitionBy("shard_id")` then lays down byte-bounded
+    * training shards whose manifest (per-shard doc/token counts) is one
+    * aggregate away. Cost is [[exclusivePrefixSum]]'s: one bucketed
+    * window + a #buckets-row collect — never a global sort partition.
+    * `tokenizer` ∈ estimate|bpe (the [[graft.functions.TextFunctions
+    * .tokenCountOf]] switch); the estimate path is fully replayable by
+    * an external oracle. */
+  def assignShards(docs: DataFrame, orderCol: String, textCol: String,
+                   shardTokens: Long, tokenizer: String = "estimate",
+                   nBuckets: Int = 32): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1 (got $shardTokens)")
+    val withCost = docs.withColumn("__tok",
+      TextFunctions.tokenCountOf(col(textCol), tokenizer))
+    exclusivePrefixSum(withCost, orderCol, "__tok", nBuckets,
+        out = "token_offset")
+      .withColumn("shard_id", expr(s"token_offset DIV ${shardTokens}L"))
+      .withColumnRenamed("__tok", "n_tokens")
+  }
+
   /** Key-order-monotone bucket assignment with near-equal row counts per
     * bucket regardless of key skew: boundaries are the key's quantiles
     * (one `approxQuantile` pass, driver holds `nBuckets` doubles), bucket

@@ -115,4 +115,99 @@ object Graph {
     }
     rank
   }
+
+  /** Multi-source BFS hop distances, bounded at `maxHops` supersteps:
+    * `dist(v)` = fewest edges from any node in `sources` (a one-column
+    * node-id frame), null where unreached within the bound. Each
+    * superstep relaxes every edge once — one src-keyed join + one
+    * dst-keyed min-agg shuffle, frontier persisted per step (the
+    * pageRank discipline; the full dist table is carried, so the step
+    * is idempotent once distances converge and the bound is purely a
+    * cost cap). Exact integers end to end — an oracle replays the
+    * relaxation chain relationally. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst")))
+      .distinct()
+    val src = sources.toDF("node_id")
+    var dist = nodes
+      .join(src.withColumn("__z", lit(0L)), Seq("node_id"), "left")
+      .select(col("node_id"), col("__z").as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node_id", "src"), Seq("src"))
+        .where(col("dist").isNotNull)
+        .groupBy(col("dst").as("node_id"))
+        .agg((min(col("dist")) + 1L).as("__c"))
+      val next = dist
+        .join(relaxed, Seq("node_id"), "left")
+        .select(col("node_id"),
+          when(col("dist").isNull, col("__c"))
+            .when(col("__c").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("__c"))).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      dist.unpersist()
+      dist = next
+      i += 1
+    }
+    dist
+  }
+
+  /** Per-node triangle counts by DEGREE-ORDERED edge orientation (the
+    * node-iterator++ / Chiba–Nishizeki discipline): undirected edges
+    * orient from the (degree, id)-smaller endpoint, every triangle
+    * {x≺y≺z} then materializes as exactly one wedge at its ≺-minimum
+    * vertex closed by one membership probe — wedge volume is
+    * Σ out-deg², and degree ordering caps out-degree at O(√m) on any
+    * graph (a celebrity hub fans IN, never out), which is what keeps
+    * the wedge join alive at web scale where id-ordered orientation
+    * explodes. Three shuffles total: degree agg, wedge self-join,
+    * closing-edge semi-equijoin. Returns (node_id, n_triangles) for
+    * every node (0 where none). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node_id"))
+      .union(und.select(col("b")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src' = the smaller endpoint under that order
+    val o = und
+      .join(deg.select(col("node_id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node_id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("src").as("__s"), col("dst").as("__u"))
+    val e2 = o.select(col("src").as("__s"), col("dst").as("__v"))
+    val wedges = e1.join(e2, Seq("__s")).where(col("__u") < col("__v"))
+    val tri = wedges.join(und,
+        least(col("__u"), col("__v")) === col("a") &&
+          greatest(col("__u"), col("__v")) === col("b"),
+        "left_semi")
+      .select(col("__s").as("x"), col("__u").as("y"), col("__v").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node_id"))
+      .join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -46,7 +46,7 @@ object GraftProcedures {
 
   private val names = Seq("history", "vacuum", "compact", "compact_range",
     "zorder", "repair_feed", "materialize_tombstones", "restore", "clone",
-    "rebucket", "rebuild_index")
+    "rebucket", "rebuild_index", "diff_versions")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -70,6 +70,7 @@ object GraftProcedures {
       case "clone" => new CloneTable(root)
       case "rebucket" => new Rebucket(root)
       case "rebuild_index" => new RebuildIndex(root)
+      case "diff_versions" => new DiffVersions(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -165,6 +166,35 @@ object GraftProcedures {
         row(v, d, entries.size, rows.map(java.lang.Long.valueOf).orNull,
           bytes)
       }
+    }
+  }
+
+  /** [[graft.GraftTable.diffVersions]] as SQL: the per-key change
+    * classification between ANY two versions, summarized to bounded
+    * counts (the row-level frame is the Scala API; a procedure result
+    * collects, so it stays aggregate-sized). */
+  private final class DiffVersions(root: String) extends Proc(root) {
+    override def name(): String = "diff_versions"
+    override def description(): String =
+      "per-key change summary between two versions " +
+        "(added/removed/updated/unchanged counts)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' in this catalog"),
+      param("v_old", LongType, comment = "older version (-1 = base)"),
+      param("v_new", LongType, comment = "newer version"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("change", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val dir = tableDir(input)
+      val (key, _) = tableKeys(dir)
+      graft.GraftTable(spark, dir, key)
+        .diffVersions(input.getLong(1), input.getLong(2))
+        .groupBy("change").count()
+        .orderBy("change")
+        .collect()
+        .map(r => row(r.getString(0), r.getLong(1)))
+        .toSeq
     }
   }
 

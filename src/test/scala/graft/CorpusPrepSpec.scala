@@ -926,6 +926,24 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       "an unterminated doc is one sentence and never splits")
   }
 
+  test("assignShards: contiguous budget shards, straddler rule, partition-proof") {
+    // words of 4 letters cost exactly 1 estimate token each
+    val d = (1L to 6L).map(i => (i, Seq.fill(4)("abcd").mkString(" ")))
+      .toDF("doc_id", "text") // 6 docs x 4 tokens
+    val out = CorpusPrep.assignShards(d.repartition(5), "doc_id", "text",
+        shardTokens = 10L, nBuckets = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "token_offset", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).forall(_ == 4L))
+    assert(out.map(_._3).toSeq == Seq(0L, 4L, 8L, 12L, 16L, 20L))
+    // doc 3 STRADDLES the 10-token boundary (offset 8) and stays in
+    // shard 0 — at most one straddler per shard, shards contiguous
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+    intercept[IllegalArgumentException](
+      CorpusPrep.assignShards(d, "doc_id", "text", shardTokens = 0L))
+  }
+
   test("cdcChunks: coverage exact, shift-robust boundaries, edges") {
     import graft.functions.TextFunctions
     val base = "the quick brown fox jumps over the lazy dog while the " +

@@ -63,6 +63,41 @@ class GraphSpec extends SparkSpec {
     assert(r(0).getLong(1) > r(1).getLong(1)) // the hub dominates
   }
 
+  test("shortestPaths: path graph, hop bound, disconnected stays null") {
+    // 1-2-3-4-5 chain (symmetric) plus isolated pair 8-9
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node_id")
+    val d4 = Graph.shortestPaths(e, src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d4 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      8L -> -1L, 9L -> -1L))
+    // the bound caps work, not correctness of what's reached
+    val d2 = Graph.shortestPaths(e, src, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d2(3L) == 2L && d2(4L) == -1L && d2(5L) == -1L)
+    // multi-source takes the min side
+    val dm = Graph.shortestPaths(e, Seq(1L, 5L).toDF("node_id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(dm(3L) == 2L && dm(4L) == 1L && dm(5L) == 0L)
+  }
+
+  test("triangleCounts: K4 plus pendant, star has none") {
+    // K4 over 1..4 (4 triangles, 3 per node), pendant 5 on node 1
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (k4 :+ (1L, 5L)).toDF("src", "dst")
+    val t = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    // a star (hub 0, leaves 1..5) closes no wedge — and duplicate /
+    // reversed input edges collapse first
+    val star = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val ts = Graph.triangleCounts(star.toDF("src", "dst"))
+      .collect().map(r => r.getLong(1)).sum
+    assert(ts == 0L)
+  }
+
   test("guards: bad damping and zero iterations refuse") {
     val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))

@@ -235,4 +235,23 @@ class SqlProcedureSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("probe"))
   }
+
+  test("diff_versions summarizes per-key changes between any versions") {
+    warehouse; mk("dv", rows = 100)                                 // v0
+    spark.sql("UPDATE gp.ns.dv SET v = v + 1 WHERE id % 10 = 0")    // v1
+    spark.sql("DELETE FROM gp.ns.dv WHERE id % 25 = 3")             // v2
+    spark.sql("INSERT INTO gp.ns.dv VALUES (900, 1, 1), (901, 1, 1)") // v3
+    val d = spark.sql(
+        "CALL gp.system.diff_versions(table => 'ns.dv', v_old => 0, v_new => 3)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("added") === 2L)
+    assert(d("removed") === 4L)   // ids 3, 28, 53, 78
+    assert(d("updated") === 10L)  // ids 0, 10, ..., 90
+    assert(d("unchanged") === 100L - 10L - 4L)
+    // identical endpoints diff clean
+    val same = spark.sql(
+        "CALL gp.system.diff_versions(table => 'ns.dv', v_old => 3, v_new => 3)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same === Map("unchanged" -> 98L))
+  }
 }
