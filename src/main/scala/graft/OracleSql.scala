@@ -292,6 +292,44 @@ object OracleSql {
 
     "q198_shard_assign" -> q198ShardAssign,
 
+    // the exact integer detector replayed verbatim: planted spikes,
+    // milli fixed point, trailing exclusive window, (n·x−S)² > k²(n·Q−S²)
+    "q199_rolling_anomaly" -> """
+      WITH e AS (SELECT event_id, user_id, ts,
+          CASE WHEN event_id % 997 = 0 THEN value * 10 ELSE value END AS val
+        FROM events),
+      v AS (SELECT event_id, user_id, ts,
+          CAST(floor(val * 1000) AS BIGINT) AS vv FROM e),
+      w AS (SELECT event_id, user_id, vv,
+          CAST(count(*) OVER win AS BIGINT) AS n,
+          CAST(coalesce(sum(vv) OVER win, 0) AS BIGINT) AS s,
+          CAST(coalesce(sum(vv * vv) OVER win, 0) AS BIGINT) AS q
+        FROM v
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, vv AS v_scaled, n AS n_prior,
+        CAST(CASE WHEN n >= 8
+            AND (n * vv - s) * (n * vv - s) > 9 * (n * q - s * s)
+          THEN 1 ELSE 0 END AS INT) AS is_anomaly
+      FROM w ORDER BY event_id""",
+
+    "q200_ohlc" -> """
+      WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          ts, event_id, value FROM events),
+      r AS (SELECT event_type, day, value,
+          row_number() OVER (PARTITION BY event_type, day
+            ORDER BY ts, event_id) AS ra,
+          row_number() OVER (PARTITION BY event_type, day
+            ORDER BY ts DESC, event_id DESC) AS rd
+        FROM e)
+      SELECT event_type, day,
+        max(CASE WHEN ra = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        max(CASE WHEN rd = 1 THEN value END) AS close,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY event_type, day
+      ORDER BY event_type, day""",
+
     // triangles counted orientation-free: canonical id-ordered triple
     // join — must agree exactly with the degree-oriented decomposition
     "q197_triangles" -> """

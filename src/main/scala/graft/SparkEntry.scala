@@ -3532,6 +3532,49 @@ object SparkEntry {
       .orderBy(col("shard_id"))
   }
 
+  /** ROLLING ANOMALY DETECTION ([[EventAnalytics.rollingAnomalies]]):
+    * per-user trailing-window z-score flags in exact integer arithmetic
+    * — the metric-monitoring primitive, with planted deterministic
+    * spikes (every 997th event ×10, a rule both engines replay) so the
+    * detector provably fires. The (n·x−S)² > k²(n·Q−S²) formulation
+    * needs no sqrt and no float accumulation, so the oracle replays the
+    * whole detector including the flags. */
+  def q199_rolling_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(col("event_id") % 997 === 0, col("value") * 10)
+          .otherwise(col("value")).as("val"))
+    EventAnalytics.rollingAnomalies(ev, "user_id", "ts", "event_id", "val")
+      .select(col("event_id"), col("user_id"), col("v_scaled"),
+        col("n_prior"), col("is_anomaly"))
+      .orderBy(col("event_id"))
+  }
+
+  /** OHLC DOWNSAMPLING: per (event_type, day) open/high/low/close of
+    * the value stream — the time-series compaction every metrics store
+    * runs; open/close picked by row_number over the (ts, event_id)
+    * order (exact row values, no accumulation — doubles compare
+    * bit-identically), high/low are exact picks too. One bounded
+    * (type, day) window + one aggregate. */
+  def q200_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(when(col("__ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("__rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4559,6 +4602,8 @@ object SparkEntry {
     "q196_shortest_paths" -> (q196_shortest_paths _),
     "q197_triangles" -> (q197_triangles _),
     "q198_shard_assign" -> (q198_shard_assign _),
+    "q199_rolling_anomaly" -> (q199_rolling_anomaly _),
+    "q200_ohlc" -> (q200_ohlc _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -479,6 +479,27 @@ object CorpusPrep {
       .withColumnRenamed("__tok", "n_tokens")
   }
 
+  /** Physical shard EXPORT: [[assignShards]] then one
+    * `partitionBy("shard_id")` parquet write — each shard a directory of
+    * ≈`shardTokens` tokens — returning the shard MANIFEST (per-shard
+    * doc/token counts and id range) computed from the same assignment
+    * frame (persisted once, consumed by the write and the manifest
+    * aggregate). The write is one pass; at cluster scale the assignment
+    * frame arrives already bucket-clustered from the prefix sum, so the
+    * partitioned write is append-friendly. */
+  def writeShards(docs: DataFrame, orderCol: String, textCol: String,
+                  shardTokens: Long, outRoot: String,
+                  tokenizer: String = "estimate",
+                  nBuckets: Int = 32): DataFrame = {
+    val a = assignShards(docs, orderCol, textCol, shardTokens, tokenizer,
+        nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a.write.mode("overwrite").partitionBy("shard_id").parquet(outRoot)
+    a.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col(orderCol)).as("first_id"), max(col(orderCol)).as("last_id"))
+  }
+
   /** Key-order-monotone bucket assignment with near-equal row counts per
     * bucket regardless of key skew: boundaries are the key's quantiles
     * (one `approxQuantile` pass, driver holds `nBuckets` doubles), bucket

@@ -153,6 +153,52 @@ object EventAnalytics {
     * family's accepted shape. The exclusive lower bound is exact: the
     * frame starts at `−(lookback − 1 µs)`, and the fixture timestamps
     * are microsecond-aligned. */
+  /** Rolling z-score ANOMALY DETECTION over a per-key ordered value
+    * stream — in EXACT integer arithmetic with no square root and no
+    * float accumulation: with S/Q/n the trailing window's sum /
+    * sum-of-squares / count (current row EXCLUDED — the forecast
+    * residual convention), x is anomalous iff
+    *
+    *   (n·x − S)² > k² · (n·Q − S²)        [ ⟺ (x − μ)² > k²σ², ×n² ]
+    *
+    * Values enter as `scale`-fixed-point longs (floor(v·scale) — both
+    * engines produce the same double product, floor of shared bits is
+    * deterministic), so the whole detector is order-independent and
+    * replayable by an external oracle. `minPrior` suppresses the
+    * cold-start rows (n too small for a meaningful σ). Every input row
+    * returns with its flag (auditable-gate contract).
+    *
+    * Scale shape: ONE per-key ordered window (rows-frame sum/count) —
+    * the funnel family's accepted user-bounded partition; nothing else
+    * shuffles. Overflow headroom: needs n·(scale·|v|max)² < 2^63/k²
+    * — at scale=1000, n=20, k=3 that allows |v| up to ~10^6. */
+  def rollingAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valueCol: String,
+                       lookback: Int = 20, kSigma: Int = 3,
+                       minPrior: Int = 8, scale: Int = 1000): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2 (got $lookback)")
+    require(kSigma >= 1 && minPrior >= 2, "kSigma >= 1 and minPrior >= 2")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    events
+      .withColumn("__v", floor(col(valueCol) * lit(scale)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", coalesce(sum(col("__v")).over(w), lit(0L)))
+      .withColumn("__q",
+        coalesce(sum(col("__v") * col("__v")).over(w), lit(0L)))
+      .withColumn("__d", col("__n") * col("__v") - col("__s"))
+      .withColumn("is_anomaly",
+        (col("__n") >= minPrior &&
+          col("__d") * col("__d") >
+            lit(kSigma.toLong * kSigma) *
+              (col("__n") * col("__q") - col("__s") * col("__s")))
+          .cast("int"))
+      .withColumnRenamed("__v", "v_scaled")
+      .withColumnRenamed("__n", "n_prior")
+      .drop("__s", "__q", "__d")
+  }
+
   def attribution(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, conversionType: String,
                   touchTypes: Seq[String],

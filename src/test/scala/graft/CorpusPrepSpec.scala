@@ -944,6 +944,28 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       CorpusPrep.assignShards(d, "doc_id", "text", shardTokens = 0L))
   }
 
+  test("writeShards: shard dirs on disk, readback equals manifest") {
+    val d = (1L to 6L).map(i => (i, Seq.fill(4)("abcd").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = CorpusPrep.writeShards(d, "doc_id", "text",
+        shardTokens = 10L, outRoot = out, nBuckets = 2)
+      .orderBy("shard_id").collect()
+    assert(manifest.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(manifest.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L)) // docs/shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard_id=0", "shard_id=1", "shard_id=2"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 6)
+    // partition-column readback infers INT — normalize through Number
+    val perShard = back.groupBy("shard_id").count()
+      .collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1))
+      .toMap
+    assert(perShard == Map(0L -> 3L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("cdcChunks: coverage exact, shift-robust boundaries, edges") {
     import graft.functions.TextFunctions
     val base = "the quick brown fox jumps over the lazy dog while the " +

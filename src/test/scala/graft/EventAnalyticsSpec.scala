@@ -12,6 +12,32 @@ class EventAnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("rollingAnomalies: sigma-zero spike, 3-sigma boundary, cold start") {
+    def mk(vals: Seq[Double], user: Long = 1L) = vals.zipWithIndex.map {
+      case (v, i) => (user, i.toLong, ts(f"2024-01-01 10:00:${i}%02d"), v)
+    }
+    // constant prior (sigma = 0): any deviation flags, equality doesn't;
+    // first rows are cold (n < minPrior) and never flag
+    val flat = mk(Seq.fill(10)(10.0) ++ Seq(100.0, 10.0))
+      .toDF("user_id", "event_id", "ts", "val")
+    val f = EventAnalytics.rollingAnomalies(flat, "user_id", "ts",
+        "event_id", "val", lookback = 20, kSigma = 3, minPrior = 8)
+      .orderBy("event_id").collect()
+    assert(f.take(8).forall(_.getAs[Int]("is_anomaly") == 0), "cold start")
+    assert(f(10).getAs[Int]("is_anomaly") == 1, "spike over sigma=0 flags")
+    assert(f(9).getAs[Int]("is_anomaly") == 0, "equal value never flags")
+    // hand-computed 3-sigma boundary over an alternating 9/11 window:
+    // (n·x−S)² vs 9(nQ−S²) → 12.0 stays, 15.0 flags
+    val alt = Seq.fill(4)(Seq(9.0, 11.0)).flatten
+    val a = EventAnalytics.rollingAnomalies(
+        (mk(alt :+ 12.0, user = 2L) ++ mk(alt :+ 15.0, user = 3L))
+          .toDF("user_id", "event_id", "ts", "val"),
+        "user_id", "ts", "event_id", "val",
+        lookback = 8, kSigma = 3, minPrior = 8)
+      .where(col("event_id") === 8).orderBy("user_id").collect()
+    assert(a.map(_.getAs[Int]("is_anomaly")).toSeq == Seq(0, 1))
+  }
+
   test("funnel: ordering, window expiry, chain breaks, absent users") {
     val ev = Seq(
       // user 1: clean view -> click -> purchase inside 24h
