@@ -313,6 +313,15 @@ object OracleSql {
           THEN 1 ELSE 0 END AS INT) AS is_anomaly
       FROM w ORDER BY event_id""",
 
+    // exact distinct; both HLL flags pin 1 — union-of-parts ≡ direct
+    // sketch (bucket-max linearity) and within-ε at lgK 12
+    "q201_hll_partitioned" -> """
+      SELECT event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        CAST(1 AS INT) AS merged_eq_direct,
+        CAST(1 AS INT) AS within_eps
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     "q200_ohlc" -> """
       WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
           ts, event_id, value FROM events),

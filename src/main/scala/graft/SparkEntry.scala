@@ -3575,6 +3575,35 @@ object SparkEntry {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** PARTITIONED HLL DISTINCT COUNTING: per-(type, day) DataSketches
+    * HLL sketches built once (the persistable incremental form — at
+    * scale these live in a sketch-column table and new days merge in
+    * without rescanning history), then UNIONED per type; the estimate
+    * from the union must EQUAL the direct whole-scan sketch
+    * (`merged_eq_direct` pinned 1 — HLL's bucket-max structure makes
+    * sketch(A∪B) ≡ union(sketch(A), sketch(B)), the linearity that
+    * makes incremental maintenance exact), and sit within 5% of the
+    * exact distinct (`within_eps` pinned 1 — lgK 12 ⇒ ~1.6% rsd). The
+    * oracle pins both flags against DuckDB's exact distinct. */
+  def q201_hll_partitioned(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val parts = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+    val merged = parts.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est_m"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__est_d"),
+        countDistinct(col("user_id")).as("n_exact"))
+    direct.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (col("__est_m") === col("__est_d")).cast("int")
+          .as("merged_eq_direct"),
+        (abs(col("__est_d") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).cast("int").as("within_eps"))
+      .orderBy(col("event_type"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4604,6 +4633,7 @@ object SparkEntry {
     "q198_shard_assign" -> (q198_shard_assign _),
     "q199_rolling_anomaly" -> (q199_rolling_anomaly _),
     "q200_ohlc" -> (q200_ohlc _),
+    "q201_hll_partitioned" -> (q201_hll_partitioned _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -279,6 +279,63 @@ object Streams {
         GroupStateTimeout.NoTimeout)(advanceFunnel(steps, windowMicros))
   }
 
+  final case class MetricEvent(user_id: Long, event_id: Long,
+                               ts: java.sql.Timestamp, value: Double)
+  final case class AnomalyState(vals: Seq[Long])
+  final case class AnomalyFlag(user_id: Long, event_id: Long,
+                               v_scaled: Long, n_prior: Long,
+                               is_anomaly: Int)
+
+  /** The per-key detector behind [[streamingAnomalies]], factored for
+    * direct `TestGroupState` testing. Batch rows fold in (ts, id)
+    * order; state is the trailing ring of the last `lookback` scaled
+    * values — bounded per key, carried across micro-batches, and the
+    * fold applies EXACTLY [[graft.operators.EventAnalytics
+    * .rollingAnomalies]]' integer inequality, so stream ≡ batch row for
+    * row (the incremental-dedup parity discipline). */
+  private[graft] def advanceAnomaly(lookback: Int, kSigma: Int,
+                                    minPrior: Int, scale: Int)(
+      user: Long, it: Iterator[MetricEvent],
+      state: GroupState[AnomalyState]): Iterator[AnomalyFlag] = {
+    var vals = state.getOption.map(_.vals).getOrElse(Seq.empty)
+    val out = Seq.newBuilder[AnomalyFlag]
+    it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+      val v = math.floor(e.value * scale).toLong
+      val n = vals.size.toLong
+      val s = vals.sum
+      val q = vals.iterator.map(x => x * x).sum
+      val d = n * v - s
+      val flag = if (n >= minPrior &&
+        d * d > kSigma.toLong * kSigma * (n * q - s * s)) 1 else 0
+      out += AnomalyFlag(user, e.event_id, v, n, flag)
+      vals = (vals :+ v).takeRight(lookback)
+    }
+    if (vals.nonEmpty) state.update(AnomalyState(vals))
+    out.result().iterator
+  }
+
+  /** STREAMING rolling anomaly detection: [[graft.operators
+    * .EventAnalytics.rollingAnomalies]] run continuously — per-key
+    * trailing-window z-score flags emitted in the micro-batch each
+    * event arrives in, the trailing ring carried across batches in
+    * keyed state (`lookback` longs per ACTIVE key — the active-key set
+    * bounds state, never the event log). Exact integer arithmetic
+    * everywhere, so a row's flag is identical whether it flowed
+    * through this stream or the batch window. */
+  def streamingAnomalies(events: Dataset[MetricEvent],
+                         lookback: Int = 20, kSigma: Int = 3,
+                         minPrior: Int = 8,
+                         scale: Int = 1000): Dataset[AnomalyFlag] = {
+    require(lookback >= 2, s"lookback must be >= 2 (got $lookback)")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        advanceAnomaly(lookback, kSigma, minPrior, scale))
+  }
+
   def dedupIncrementalSink(docs: DataFrame, indexRoot: String,
                            textCol: String, idCol: String,
                            checkpoint: String,

@@ -529,4 +529,39 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("funnel").where(col("user_id") === 1L).count() === 2)
     } finally q.stop()
   }
+
+  test("streaming anomalies: stream == batch row for row across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, i: Long, v: Double) =
+      Streams.MetricEvent(u, i, ts(i.toInt), v)
+    // deterministic series, one spike per user, flags must agree with
+    // the batch window operator exactly — including the cold start and
+    // the ring handoff across micro-batch boundaries
+    val all = (0L until 30L).flatMap { i =>
+      Seq(ev(1L, i, if (i == 25) 99.0 else 10.0 + (i % 3)),
+        ev(2L, i, if (i == 27) 199.0 else 5.0 + (i % 5)))
+    }
+    val in = MemoryStream[Streams.MetricEvent]
+    val q = Streams.streamingAnomalies(in.toDS(),
+        lookback = 10, kSigma = 3, minPrior = 6)
+      .writeStream.format("memory").queryName("anoms")
+      .outputMode("append").start()
+    try {
+      all.grouped(20).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("anoms").as[Streams.AnomalyFlag].collect()
+        .map(f => (f.user_id, f.event_id) ->
+          ((f.v_scaled, f.n_prior, f.is_anomaly))).toMap
+      val batch = graft.operators.EventAnalytics.rollingAnomalies(
+          all.toDF(), "user_id", "ts", "event_id", "value",
+          lookback = 10, kSigma = 3, minPrior = 6)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("event_id")) ->
+          ((r.getAs[Long]("v_scaled"), r.getAs[Long]("n_prior"),
+            r.getAs[Int]("is_anomaly")))).toMap
+      assert(streamed.size === all.size)
+      assert(streamed === batch, "stream and batch flags must be identical")
+      assert(streamed((1L, 25L))._3 === 1 && streamed((2L, 27L))._3 === 1)
+    } finally q.stop()
+  }
 }
