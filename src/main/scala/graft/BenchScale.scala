@@ -199,6 +199,36 @@ object BenchScale {
       System.err.println(s"[bench-sf1] incdedup experiment failed: ${e.getMessage}")
     }
 
+    // ---- graph lanes: PageRank / BFS supersteps on a 10× node+edge
+    //      graph (each replica its own component — node AND edge count
+    //      scale together, so the per-superstep shuffle-pair cost is
+    //      read directly) ----
+    try {
+      val o0 = Tables.orders(spark, sfDir)
+      val l0 = Tables.lineitem(spark, sfDir)
+      val e0 = o0.join(l0, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"),
+          (lit(1000000L) + col("l_suppkey")).as("sk"))
+        .agg(count(lit(1)).as("w"))
+      val rep = (0 until mult).map { r =>
+        e0.select((col("c") + lit(r * 10000000L)).as("src"),
+          (col("sk") + lit(r * 10000000L)).as("dst"), col("w"))
+      }.reduce(_ unionByName _)
+      rep.unionByName(rep.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        .write.parquet(s"$workDir/graph-edges")
+      val eg = spark.read.parquet(s"$workDir/graph-edges")
+      results("graph_edges") = eg.count().toDouble
+      results("pagerank_6step") = time(runToNoop(
+        graft.operators.Graph.pageRank(eg, iterations = 6)))
+      val seeds = eg.select(col("src").as("node_id")).distinct()
+        .where(pmod(col("node_id"), lit(10L)) === 0)
+      results("bfs_4hop") = time(runToNoop(
+        graft.operators.Graph.shortestPaths(eg, seeds, maxHops = 4)))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-sf1] graph experiment failed: ${e.getMessage}")
+    }
+
     // ---- ANN serving on a 10× vector corpus ----
     try {
       graft.plans.CosineSimilarity.register(spark)

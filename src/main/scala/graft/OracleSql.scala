@@ -292,6 +292,8 @@ object OracleSql {
 
     "q198_shard_assign" -> q198ShardAssign,
 
+    "q202_token_mixture" -> q202TokenMixture,
+
     // the exact integer detector replayed verbatim: planted spikes,
     // milli fixed point, trailing exclusive window, (n·x−S)² > k²(n·Q−S²)
     "q199_rolling_anomaly" -> """
@@ -3752,6 +3754,29 @@ object OracleSql {
       SELECT id AS node_id, CAST(coalesce(d, -1) AS BIGINT) AS dist
       FROM d$hops ORDER BY id"""
   }
+
+  /** q202: the token-budget mixture replay — the multiplicative hash,
+    * the per-source (hash, id) order, the exclusive window prefix sum,
+    * and the `offset < budget` keep rule. */
+  private lazy val q202TokenMixture: String = s"""
+      WITH t AS (SELECT doc_id, source,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE CAST(coalesce(list_sum(list_transform(
+                   string_split_regex(trim(text), '\\s+'),
+                   w -> ${estRule("w")})), 0) AS BIGINT)
+          END AS c,
+          (doc_id + 42) * 2654435761 % 2147483648 AS h
+        FROM documents),
+      o AS (SELECT source, doc_id, c,
+          CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS off
+        FROM t)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN off < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN off < 3000 THEN c ELSE 0 END) AS BIGINT)
+          AS kept_tokens
+      FROM o GROUP BY source ORDER BY source"""
 
   /** q198: the shard-manifest replay — estimate token costs (the q174
     * est rule), an exclusive window prefix sum in doc_id order, the

@@ -3604,6 +3604,27 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** TOKEN-BUDGETED per-source mixture
+    * ([[CorpusPrep.tokenBudgetMixture]]): "take ~3000 tokens from each
+    * source" — the unit real mixture specs are written in (doc-count
+    * mixtures over-weight short-doc sources). Deterministic
+    * multiplicative-hash order within source, a GROUPED distributed
+    * prefix sum (monotone hash-bit buckets — never one window
+    * partition per source), keep while the exclusive prefix is under
+    * budget. The oracle replays the hash, the order, the window prefix
+    * sum, and the keep rule verbatim. */
+  def q202_token_mixture(s: SparkSession, dir: String): DataFrame = {
+    CorpusPrep.tokenBudgetMixture(
+        documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "source", "text", "doc_id", tokenBudget = 3000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4634,6 +4655,7 @@ object SparkEntry {
     "q199_rolling_anomaly" -> (q199_rolling_anomaly _),
     "q200_ohlc" -> (q200_ohlc _),
     "q201_hll_partitioned" -> (q201_hll_partitioned _),
+    "q202_token_mixture" -> (q202_token_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

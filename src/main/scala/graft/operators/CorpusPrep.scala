@@ -479,6 +479,68 @@ object CorpusPrep {
       .withColumnRenamed("__tok", "n_tokens")
   }
 
+  /** TOKEN-BUDGETED per-source sampling — "take ~N tokens from each
+    * source", the unit real mixture specs are written in (doc-count
+    * mixtures over-weight short-doc sources): docs order within their
+    * source by a deterministic multiplicative hash (engine-portable —
+    * an oracle replays it), and a doc is kept while its source's
+    * EXCLUSIVE token prefix sum is still under the budget, so each
+    * source lands ≥ its budget with at most one straddler (or takes
+    * everything it has). Every row returns with `kept` (auditable).
+    *
+    * Scale shape — a GROUPED distributed prefix sum: the hash order is
+    * uniform, so bucketing by its high bits ([[shift]] ⇒ 256 monotone
+    * buckets) splits every source's window into bounded partitions; one
+    * (source, bucket) partial-sum pass collects |sources|·256 rows to
+    * the driver for offsets (broadcast back), then the within-bucket
+    * window runs on corpus/(|sources|·256)-sized partitions. A plain
+    * per-source window would put each source's WHOLE slice in one
+    * unsplittable partition — the documented self-inflicted skew shape,
+    * rejected here. */
+  def tokenBudgetMixture(docs: DataFrame, sourceCol: String,
+                         textCol: String, idCol: String,
+                         tokenBudget: Long, seed: Long = 42L,
+                         tokenizer: String = "estimate"): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1 (got $tokenBudget)")
+    // multiplicative hash (Knuth): exact in any 64-bit engine for ids
+    // up to ~3.4e9; 31 bits kept, top 8 form the monotone bucket
+    val h = pmod((col(idCol) + lit(seed)) * lit(2654435761L), lit(1L << 31))
+    val bucketed = docs
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 23).cast("int"))
+      .withColumn("__tok", TextFunctions.tokenCountOf(col(textCol), tokenizer))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = bucketed
+      .groupBy(col(sourceCol).cast("string").as("__srcs"),
+        col("__b").as("__bb"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect()
+      .groupBy(_.getString(0))
+      .toSeq
+      .flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_.getInt(1)).toSeq
+        sorted.map(_.getInt(1))
+          .zip(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _).dropRight(1))
+          .map { case (b, off) => (src, b, off) }
+      }
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val offsetsDf = offsets.toDF("__srcs", "__bb", "__off")
+    val w = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsetsDf),
+        col(sourceCol).cast("string") === col("__srcs") &&
+          col("__b") === col("__bb"))
+      .withColumn("token_offset",
+        sum(col("__tok")).over(w) - col("__tok") + col("__off"))
+      .withColumn("kept",
+        (col("token_offset") < lit(tokenBudget)).cast("int"))
+      .withColumnRenamed("__tok", "n_tokens")
+      .drop("__h", "__b", "__srcs", "__bb", "__off")
+  }
+
   /** Physical shard EXPORT: [[assignShards]] then one
     * `partitionBy("shard_id")` parquet write — each shard a directory of
     * ≈`shardTokens` tokens — returning the shard MANIFEST (per-shard

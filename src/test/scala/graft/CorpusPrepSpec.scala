@@ -944,6 +944,30 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       CorpusPrep.assignShards(d, "doc_id", "text", shardTokens = 0L))
   }
 
+  test("tokenBudgetMixture: per-source budgets, straddler kept, auditable") {
+    // 4 docs x 4 estimate tokens per source; budget 10 keeps exactly 3
+    // per source (exclusive offsets 0/4/8 < 10; the 8-offset doc
+    // STRADDLES and is kept; offset 12 is out)
+    val d = (1L to 8L).map(i =>
+        (i, if (i <= 4) "a" else "b", Seq.fill(4)("abcd").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusPrep.tokenBudgetMixture(d.repartition(3), "source",
+        "text", "doc_id", tokenBudget = 10L)
+      .collect()
+    assert(out.length == 8, "every row returns with its kept flag")
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    for ((s, rows) <- bySrc) {
+      assert(rows.count(_.getAs[Int]("kept") == 1) == 3, s"source $s")
+      assert(rows.filter(_.getAs[Int]("kept") == 1)
+        .map(_.getAs[Long]("n_tokens")).sum == 12L)
+      // offsets are a permutation of the exclusive prefix sums
+      assert(rows.map(_.getAs[Long]("token_offset")).sorted.toSeq ==
+        Seq(0L, 4L, 8L, 12L))
+    }
+    intercept[IllegalArgumentException](CorpusPrep.tokenBudgetMixture(
+      d, "source", "text", "doc_id", tokenBudget = 0L))
+  }
+
   test("writeShards: shard dirs on disk, readback equals manifest") {
     val d = (1L to 6L).map(i => (i, Seq.fill(4)("abcd").mkString(" ")))
       .toDF("doc_id", "text")
