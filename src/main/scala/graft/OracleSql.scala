@@ -294,6 +294,50 @@ object OracleSql {
 
     "q202_token_mixture" -> q202TokenMixture,
 
+    "q203_kcore" -> q203KCore,
+
+    // brute-force every pair with DuckDB's levenshtein (identical
+    // unit-cost semantics) — hash-matching proves the Spark side's
+    // gram blocking is COMPLETE, not just its verification correct
+    // the epoch explode, the fixed-point fractional threshold, and the
+    // multiplicative keep-hash replayed verbatim; weight classes come
+    // from the same last-char rule in both engines
+    "q205_epoch_upsample" -> """
+      WITH cl AS (SELECT doc_id, source,
+          ascii(substr(source, length(source), 1)) % 3 AS c
+        FROM documents),
+      x AS (SELECT doc_id, source, c,
+          CAST(unnest(range(CASE c WHEN 0 THEN 3 ELSE 1 END)) AS BIGINT)
+            AS epoch
+        FROM cl),
+      k AS (SELECT source, epoch FROM x
+        WHERE epoch < CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+           OR (epoch = CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+               AND (doc_id + 42 + epoch * 1000003) * 2654435761
+                   % 2147483648 <
+                   CASE c WHEN 0 THEN 1073741824
+                          WHEN 1 THEN 0 ELSE 536870912 END))
+      SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_rows
+      FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q204_fuzzy_join" -> """
+      WITH ks AS (SELECT doc_id, lower(substr(trim(text), 1, 12)) AS k
+        FROM documents WHERE doc_id % 5 = 0
+          AND length(lower(substr(trim(text), 1, 12))) >= 12),
+      tw AS (SELECT doc_id + 1000000 AS doc_id,
+               substr(k, 1, 3) || 'x' || substr(k, 5, 8) AS k
+             FROM ks WHERE doc_id % 50 = 0
+             UNION ALL
+             SELECT doc_id + 2000000,
+               substr(k, 1, 6) || 'zz' || substr(k, 7, 6)
+             FROM ks WHERE doc_id % 50 = 0),
+      a AS (SELECT * FROM ks UNION ALL SELECT * FROM tw)
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(levenshtein(x.k, y.k) AS BIGINT) AS edit_distance
+      FROM a x JOIN a y ON x.doc_id < y.doc_id
+      WHERE levenshtein(x.k, y.k) <= 2
+      ORDER BY id_a, id_b""",
+
     // the exact integer detector replayed verbatim: planted spikes,
     // milli fixed point, trailing exclusive window, (n·x−S)² > k²(n·Q−S²)
     "q199_rolling_anomaly" -> """
@@ -3753,6 +3797,33 @@ object OracleSql {
       $steps
       SELECT id AS node_id, CAST(coalesce(d, -1) AS BIGINT) AS dist
       FROM d$hops ORDER BY id"""
+  }
+
+  /** q203: the k-core peel replayed as a fixed 12-round generated chain
+    * (peeling is idempotent after its fixpoint, and the Spark operator
+    * fail-fasts if the fixpoint needs more than 12 rounds — so the
+    * fixed chain IS the fixpoint). */
+  private lazy val q203KCore: String = {
+    val (k, rounds) = (5, 12)
+    val steps = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""
+      d$i AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+          SELECT a AS id FROM $prev UNION ALL SELECT b FROM $prev)
+        GROUP BY id),
+      s$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= $k),
+      e$i AS MATERIALIZED (SELECT a, b FROM $prev
+        WHERE a IN (SELECT id FROM s$i) AND b IN (SELECT id FROM s$i))"""
+    }.mkString(",")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT o.o_custkey AS a, 1000000 + l.l_suppkey AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      $steps
+      SELECT id AS node_id FROM (
+        SELECT a AS id FROM e$rounds UNION SELECT b FROM e$rounds)
+      ORDER BY id"""
   }
 
   /** q202: the token-budget mixture replay — the multiplicative hash,

@@ -3625,6 +3625,75 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** k-CORE of the customer⇄supplier trade graph ([[Graph.kCore]],
+    * k = 5 over pairs with ≥ 2 lineitems): iterative peeling to the
+    * maximal subgraph of well-connected participants — the community/
+    * spam-farm pruning primitive. Bipartite peeling has real depth
+    * here (a customer's survival depends on its suppliers' survival
+    * and vice versa); the operator runs to the FIXPOINT and fail-fasts
+    * past `maxRounds`, and because peeling is idempotent after
+    * convergence the oracle replays a fixed 12-round chain exactly. */
+  def q203_kcore(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select(col("src"), col("dst"))
+    Graph.kCore(e0, k = 5, maxRounds = 12).orderBy(col("node_id"))
+  }
+
+  /** EDIT-DISTANCE similarity join ([[Dedup.editDistancePairs]]): fuzzy
+    * key matching over 12-char text prefixes with planted substitution
+    * (ed 1) and double-insertion (ed 2) twins — the entity-resolution
+    * primitive. Candidates via the q-gram COUNT-FILTER guarantee (the
+    * lemma makes gram blocking complete for these lengths), verified by
+    * codegen'd levenshtein; the oracle brute-forces every pair with
+    * DuckDB's levenshtein (identical unit-cost semantics), so blocking
+    * completeness itself is what hash-matching proves. */
+  def q204_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val ks = documents(s, dir).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, 12)).as("k"))
+      .where(length(col("k")) >= 12)
+    val seed = ks.where(col("doc_id") % 50 === 0)
+    val tw1 = seed.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(substring(col("k"), 1, 3), lit("x"),
+        substring(col("k"), 5, 8)).as("k"))
+    val tw2 = seed.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(substring(col("k"), 1, 6), lit("zz"),
+        substring(col("k"), 7, 6)).as("k"))
+    Dedup.editDistancePairs(ks.unionByName(tw1).unionByName(tw2),
+        "k", "doc_id", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** EPOCH UPSAMPLING ([[CorpusPrep.upsampleEpochs]]): fractional
+    * per-source repeat weights (2.5 / 1.0 / 0.25 epochs, classed by a
+    * deterministic rule on the source name both engines replay) — the
+    * Gopher/LLaMA-style mixing step. ⌊w⌋ full epochs plus a
+    * hash-thresholded fractional one; the oracle replays the epoch
+    * explode, the fixed-point threshold, and the keep rule verbatim.
+    * The distinct-source collect here is manifest-sized (the weights
+    * TABLE is caller input in production). */
+  def q205_epoch_upsample(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("source"))
+    val srcs = d.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val weights = srcs.toSeq.map { src =>
+      src -> ((src.last.toInt % 3) match {
+        case 0 => 2.5
+        case 1 => 1.0
+        case _ => 0.25
+      })
+    }
+    CorpusPrep.upsampleEpochs(d, "source", "doc_id", weights)
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("source"), col("epoch"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4656,6 +4725,9 @@ object SparkEntry {
     "q200_ohlc" -> (q200_ohlc _),
     "q201_hll_partitioned" -> (q201_hll_partitioned _),
     "q202_token_mixture" -> (q202_token_mixture _),
+    "q203_kcore" -> (q203_kcore _),
+    "q204_fuzzy_join" -> (q204_fuzzy_join _),
+    "q205_epoch_upsample" -> (q205_epoch_upsample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

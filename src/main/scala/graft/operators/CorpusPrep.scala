@@ -479,6 +479,46 @@ object CorpusPrep {
       .withColumnRenamed("__tok", "n_tokens")
   }
 
+  /** EPOCH UPSAMPLING with fractional repeats — "2.5 epochs of source
+    * A, 0.25 of source B", the way real training mixes over- and
+    * under-sample sources (Gopher/LLaMA-style weights): every doc of a
+    * source with weight w appears ⌊w⌋ times plus one more with
+    * probability w−⌊w⌋, decided by a deterministic multiplicative hash
+    * of (id, epoch) against a fixed-point threshold — replayable by an
+    * external oracle, stable across runs/partitionings. Rows carry
+    * `epoch` (0-based) so downstream shuffles can interleave epochs.
+    * `maxRepeat` guards against a fat-finger weight amplifying a
+    * source a thousandfold. Sources ABSENT from `weights` are dropped
+    * (an explicit 0-weight — the inner broadcast join is the filter).
+    * One broadcast join + one bounded explode — map-side, zero
+    * shuffles. */
+  def upsampleEpochs(docs: DataFrame, sourceCol: String, idCol: String,
+                     weights: Seq[(String, Double)],
+                     maxRepeat: Int = 8, seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "need at least one (source, weight)")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0 && w <= maxRepeat,
+        s"weight for '$s' must be in (0, $maxRepeat] (got $w)") }
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val wrows = weights.map { case (s, w) =>
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      // fixed-point fractional threshold against a 31-bit hash
+      (s, math.ceil(w).toLong, whole, math.floor(frac * (1L << 31)).toLong)
+    }
+    val wdf = wrows.toDF("__wsrc", "__ceil", "__whole", "__thresh")
+    val h = pmod((col(idCol) + lit(seed) + col("epoch") * 1000003L) *
+      lit(2654435761L), lit(1L << 31))
+    docs
+      .join(broadcast(wdf), col(sourceCol).cast("string") === col("__wsrc"))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__ceil") - 1L)))
+      .where(col("epoch") < col("__whole") ||
+        (col("epoch") === col("__whole") && h < col("__thresh")))
+      .drop("__wsrc", "__ceil", "__whole", "__thresh")
+  }
+
   /** TOKEN-BUDGETED per-source sampling — "take ~N tokens from each
     * source", the unit real mixture specs are written in (doc-count
     * mixtures over-weight short-doc sources): docs order within their

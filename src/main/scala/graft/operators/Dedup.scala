@@ -223,6 +223,75 @@ object Dedup {
         (col("i").cast("double") / col("u")).as("jaccard"))
   }
 
+  /** EDIT-DISTANCE similarity join (entity resolution / fuzzy key
+    * matching): all pairs with `levenshtein(a, b) <= maxDist`, EXACT,
+    * over lowercased strings. Candidates come from character-q-gram
+    * blocking with the COUNT-FILTER guarantee (Gravano et al. 2001):
+    * strings at edit distance ≤ d share at least
+    * `max(|s|,|t|) − q + 1 − q·d` q-grams, so any pair whose longer
+    * side has ≥ q·(d+1) chars shares ≥ 1 gram — those pairs flow
+    * through one gram-keyed join (+ the |len| ≤ d filter the distance
+    * implies). Pairs that CAN'T be gram-guaranteed (both sides shorter
+    * than q·(d+1) — a longer-vs-tiny pair is already impossible, its
+    * length gap alone exceeds d) fall back to a length-bucketed
+    * nested-loop join over the short-string population only, kept
+    * exact and guarded by `maxShortStrings` (fail-fast beats a silent
+    * quadratic). Verification is one codegen'd `levenshtein` per
+    * candidate. Output: (id_a, id_b, edit_distance), id_a < id_b.
+    *
+    * Scale shape: the gram join is the inverted-index pattern
+    * (jaccardJoinExact's) — volume Σ posting²; a hot gram (common
+    * prefix/boilerplate) is the skew to watch: pass `maxBucketWidth`
+    * to cap postings per gram with overflow receipts (the LSH-family
+    * trade: bounded work, documented recall loss), or pre-strip known
+    * constant prefixes. */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = 2, q: Int = 3,
+                        maxBucketWidth: Int = 0,
+                        maxShortStrings: Long = 100000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    require(q >= 2, s"q must be >= 2 (got $q)")
+    val minLong = q * (maxDist + 1)
+    val base = df.select(col(idCol).as("id"),
+        lower(col(textCol)).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    val grams = base.where(col("len") >= q)
+      .select(col("id"), col("s"), col("len"),
+        explode(array_distinct(charNgrams(col("s"), q))).as("g"))
+    val posted =
+      if (maxBucketWidth > 0)
+        capBucketWidth(grams, Seq("g"), maxBucketWidth)._1
+      else grams
+    val longCand = posted
+      .select(col("g"), col("id").as("id_a"), col("s").as("s_a"),
+        col("len").as("la"))
+      .join(posted.select(col("g"), col("id").as("id_b"),
+        col("s").as("s_b"), col("len").as("lb")), Seq("g"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxDist &&
+        greatest(col("la"), col("lb")) >= minLong)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+    val short = base.where(col("len") < minLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nShort = short.count()
+    require(nShort <= maxShortStrings,
+      s"$nShort strings shorter than $minLong chars exceed the " +
+        s"maxShortStrings=$maxShortStrings nested-loop guard")
+    val shortCand = short.select(col("id").as("id_a"), col("s").as("s_a"),
+        col("len").as("la"))
+      .join(short.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("len").as("lb")),
+        col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+    longCand.unionByName(shortCand)
+      .withColumn("edit_distance", levenshtein(col("s_a"), col("s_b")))
+      .where(col("edit_distance") <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        col("edit_distance").cast("long").as("edit_distance"))
+  }
+
   /** 64-bit SimHash from a *materialized* token-hash array column: single
     * aggregate pass building the 64 bit-votes as an array accumulator,
     * then sign-pack. One traversal of the hashes, all codegen'd. */

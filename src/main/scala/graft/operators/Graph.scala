@@ -40,12 +40,16 @@ object Graph {
     * then persists for the whole run; each iteration is exactly one
     * src-keyed join (rank is node-sized) + one dst-keyed partial-agg
     * shuffle, with the dangling mass a one-row broadcast. The rank
-    * frontier is persisted and MATERIALIZED each superstep — it is
-    * referenced twice per step (contributions + dangling sum), and an
-    * unpersisted frontier would re-run the whole prefix of iterations
-    * per reference (exponential lineage, the classic iterative-Spark
-    * trap). Per-iteration driver sync is one count(), the accepted
-    * iterative-algorithm pattern.
+    * frontier is LOCAL-CHECKPOINTED (eager) each superstep: it is
+    * referenced twice per step (contributions + dangling sum), an
+    * unmaterialized frontier would re-run the whole prefix of
+    * iterations per reference (exponential lineage), and persist +
+    * unpersist-the-parent is NOT a fix — `Dataset.unpersist` CASCADES,
+    * evicting every cached child whose plan embeds the unpersisted
+    * plan, so the loop silently recomputes from scratch (measured 10×
+    * on the sf0.1 bench lane before this was a checkpoint). Eager
+    * localCheckpoint truncates the lineage instead; superseded
+    * frontier blocks are reclaimed by the ContextCleaner.
     *
     * Overflow headroom: rank(u) ≤ total mass ≈ n·unit, so rank·w needs
     * n·unit·w_max < 2^63 — at the default unit=1e12 that bounds
@@ -82,11 +86,13 @@ object Graph {
       .join(e.select(col("src").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    // one-time scalars: the node count (the dangling divisor) and
+    // whether the dangling term exists at all — a symmetrized graph
+    // skips the per-superstep dangling-mass job entirely
+    val nNodes = nodes.count()
+    val hasDangling = !dangling.isEmpty
 
-    var rank = nodes.withColumn("rank_pico", lit(unit))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    rank.count()
+    var rank = nodes.withColumn("rank_pico", lit(unit)).localCheckpoint()
     var i = 0
     while (i < iterations) {
       val inflow = e
@@ -95,22 +101,24 @@ object Graph {
           expr("(rank_pico * w) DIV outw").as("__c"))
         .groupBy(col("node_id"))
         .agg(sum(col("__c")).as("__inflow"))
-      val dangShare = rank
-        .join(dangling, Seq("node_id"), "left_semi")
-        .agg(coalesce(sum(col("rank_pico")), lit(0L)).as("__dt"))
-        .crossJoin(broadcast(nRow))
-        .select(expr("__dt DIV __n").as("__share"))
-      val next = nodes
-        .join(inflow, Seq("node_id"), "left")
-        .crossJoin(broadcast(dangShare))
+      val withShare =
+        if (!hasDangling)
+          nodes.join(inflow, Seq("node_id"), "left")
+            .withColumn("__share", lit(0L))
+        else {
+          val dangShare = rank
+            .join(dangling, Seq("node_id"), "left_semi")
+            .agg(coalesce(sum(col("rank_pico")), lit(0L)).as("__dt"))
+            .select(expr(s"__dt DIV ${nNodes}L").as("__share"))
+          nodes.join(inflow, Seq("node_id"), "left")
+            .crossJoin(broadcast(dangShare))
+        }
+      rank = withShare
         .select(col("node_id"),
           (lit(base) +
             expr(s"($dampNum * (coalesce(__inflow, 0L) + __share)) " +
               s"DIV $dampDen")).as("rank_pico"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      rank.unpersist()
-      rank = next
+        .localCheckpoint()
       i += 1
     }
     rank
@@ -120,11 +128,12 @@ object Graph {
     * `dist(v)` = fewest edges from any node in `sources` (a one-column
     * node-id frame), null where unreached within the bound. Each
     * superstep relaxes every edge once — one src-keyed join + one
-    * dst-keyed min-agg shuffle, frontier persisted per step (the
-    * pageRank discipline; the full dist table is carried, so the step
-    * is idempotent once distances converge and the bound is purely a
-    * cost cap). Exact integers end to end — an oracle replays the
-    * relaxation chain relationally. */
+    * dst-keyed min-agg shuffle, frontier eagerly local-checkpointed per
+    * step (the pageRank discipline — see its scaladoc for why persist +
+    * cascading unpersist is NOT the fix; the full dist table is
+    * carried, so the step is idempotent once distances converge and the
+    * bound is purely a cost cap). Exact integers end to end — an oracle
+    * replays the relaxation chain relationally. */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
                     maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
@@ -137,8 +146,7 @@ object Graph {
     var dist = nodes
       .join(src.withColumn("__z", lit(0L)), Seq("node_id"), "left")
       .select(col("node_id"), col("__z").as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dist.count()
+      .localCheckpoint()
     var i = 0
     while (i < maxHops) {
       val relaxed = e
@@ -146,19 +154,60 @@ object Graph {
         .where(col("dist").isNotNull)
         .groupBy(col("dst").as("node_id"))
         .agg((min(col("dist")) + 1L).as("__c"))
-      val next = dist
+      dist = dist
         .join(relaxed, Seq("node_id"), "left")
         .select(col("node_id"),
           when(col("dist").isNull, col("__c"))
             .when(col("__c").isNull, col("dist"))
             .otherwise(least(col("dist"), col("__c"))).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      dist.unpersist()
-      dist = next
+        .localCheckpoint()
       i += 1
     }
     dist
+  }
+
+  /** k-CORE: the maximal subgraph in which every node keeps degree ≥ k,
+    * by iterative peeling — drop all nodes below k, re-count, repeat
+    * until the edge set is stable (e' ⊆ e, so equal COUNT ⇒ equal set
+    * ⇒ fixpoint; extra rounds are no-ops, which is what lets a
+    * fixed-round oracle replay a fixpoint exactly). The community/
+    * spam-farm pruning primitive over similarity and link graphs.
+    * Refuses (fail-fast) if `maxRounds` peels don't converge — peeling
+    * depth is data-dependent and silently-partial cores are wrong
+    * answers. Each round is one degree partial-agg + two semi-joins on
+    * the shrinking edge table, eagerly local-checkpointed per round
+    * (the pageRank frontier discipline). Returns the core's node
+    * ids. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var round = 0
+    var converged = n == 0L
+    while (!converged && round < maxRounds) {
+      val keep = e.select(col("a").as("node_id")).union(e.select(col("b")))
+        .groupBy(col("node_id")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k)
+        .select(col("node_id"))
+      val e2 = e
+        .join(keep.withColumnRenamed("node_id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node_id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2
+      n = n2
+      round += 1
+    }
+    require(converged,
+      s"k-core peeling did not converge within $maxRounds rounds — raise maxRounds")
+    e.select(col("a").as("node_id")).union(e.select(col("b"))).distinct()
   }
 
   /** Per-node triangle counts by DEGREE-ORDERED edge orientation (the

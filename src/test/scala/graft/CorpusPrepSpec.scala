@@ -944,6 +944,30 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       CorpusPrep.assignShards(d, "doc_id", "text", shardTokens = 0L))
   }
 
+  test("upsampleEpochs: floor epochs exact, fractional epoch hashed, guard") {
+    val d = (1L to 100L).map(i => (i, if (i <= 60) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = CorpusPrep.upsampleEpochs(d, "source", "doc_id",
+        Seq("a" -> 2.5, "b" -> 0.25))
+      .groupBy("source", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // two FULL epochs of a, exactly
+    assert(out(("a", 0L)) == 60L && out(("a", 1L)) == 60L)
+    // the fractional epochs are hash-thinned strict subsets
+    val a2 = out.getOrElse(("a", 2L), 0L)
+    val b0 = out.getOrElse(("b", 0L), 0L)
+    assert(a2 > 0L && a2 < 60L, s"~half of a's third epoch (got $a2)")
+    assert(b0 > 0L && b0 < 40L, s"~quarter of b (got $b0)")
+    // deterministic: identical on re-run
+    val again = CorpusPrep.upsampleEpochs(d.repartition(7), "source",
+        "doc_id", Seq("a" -> 2.5, "b" -> 0.25))
+      .groupBy("source", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException](CorpusPrep.upsampleEpochs(
+      d, "source", "doc_id", Seq("a" -> 99.0)))
+  }
+
   test("tokenBudgetMixture: per-source budgets, straddler kept, auditable") {
     // 4 docs x 4 estimate tokens per source; budget 10 keeps exactly 3
     // per source (exclusive offsets 0/4/8 < 10; the 8-offset doc

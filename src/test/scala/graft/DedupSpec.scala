@@ -1,4 +1,5 @@
 package graft
+// (editDistancePairs lanes live at the bottom of this suite)
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -565,5 +566,33 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       new graft.functions.Udx.BloomBitsAggregator(100)
     }
+  }
+
+  test("editDistancePairs: exact matches, blocking completeness, short fallback") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "wonderful spark engine"),   // base
+      (2L, "wonderful spark enginX"),   // substitution, ed 1
+      (3L, "wonderful spark enginee"),  // one insertion vs 1, ed 1
+      (4L, "a completely different one"),
+      (5L, "Wonderful Spark Engine"),   // case-folds to ed 0 vs 1
+      (6L, "cat"), (7L, "cot"), (8L, "coats"),  // short-string fallback
+      (9L, "elephantine"))
+      .toDF("id", "txt")
+    val got = graft.operators.Dedup
+      .editDistancePairs(rows, "txt", "id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 1L)
+    assert(got((1L, 5L)) == 0L, "comparison is case-insensitive")
+    assert(got((1L, 3L)) == 1L)
+    assert(got((2L, 5L)) == 1L && got((3L, 5L)) == 1L)
+    assert(got((2L, 3L)) == 2L, "substitution + insertion compose to 2")
+    assert(got((6L, 7L)) == 1L, "short strings flow through the fallback")
+    assert(got((7L, 8L)) == 2L)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the fallback guard fail-fasts instead of going quadratic
+    intercept[IllegalArgumentException](graft.operators.Dedup
+      .editDistancePairs(rows, "txt", "id", maxDist = 2,
+        maxShortStrings = 1L).collect())
   }
 }

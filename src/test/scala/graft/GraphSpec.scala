@@ -98,6 +98,23 @@ class GraphSpec extends SparkSpec {
     assert(ts == 0L)
   }
 
+  test("kCore: triangle core survives, pendant and path peel away") {
+    // triangle 1-2-3 with pendant 4 on node 1: 2-core = the triangle
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val core = Graph.kCore(e, k = 2).collect().map(_.getLong(0)).sorted
+    assert(core.toSeq == Seq(1L, 2L, 3L))
+    // a path has no 2-core — peeling eats it end-in (multi-round)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    assert(Graph.kCore(path, k = 2).count() == 0L)
+    // the same path needs >1 round: a 1-round bound must fail fast,
+    // never return a partial core
+    intercept[IllegalArgumentException](
+      Graph.kCore(path, k = 2, maxRounds = 1).collect())
+    // k above max degree: empty, converges immediately after one peel
+    assert(Graph.kCore(e, k = 5).count() == 0L)
+  }
+
   test("guards: bad damping and zero iterations refuse") {
     val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))
