@@ -536,7 +536,11 @@ object CorpusPrep {
     * window runs on corpus/(|sources|·256)-sized partitions. A plain
     * per-source window would put each source's WHOLE slice in one
     * unsplittable partition — the documented self-inflicted skew shape,
-    * rejected here. */
+    * rejected here.
+    *
+    * Rows with a NULL source are dropped (the inner offsets join can't
+    * assign them a budget) — coalesce the source upstream if they must
+    * participate. */
   def tokenBudgetMixture(docs: DataFrame, sourceCol: String,
                          textCol: String, idCol: String,
                          tokenBudget: Long, seed: Long = 42L,

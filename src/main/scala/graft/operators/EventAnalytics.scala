@@ -166,7 +166,10 @@ object EventAnalytics {
     * deterministic), so the whole detector is order-independent and
     * replayable by an external oracle. `minPrior` suppresses the
     * cold-start rows (n too small for a meaningful σ). Every input row
-    * returns with its flag (auditable-gate contract).
+    * returns with its flag (auditable-gate contract); a NULL value has
+    * no basis for a verdict and carries a NULL flag, and it never
+    * enters later windows (n counts VALUES, not rows, so S/Q/n stay
+    * consistent when nulls occur).
     *
     * Scale shape: ONE per-key ordered window (rows-frame sum/count) —
     * the funnel family's accepted user-bounded partition; nothing else
@@ -183,7 +186,7 @@ object EventAnalytics {
       .rowsBetween(-lookback, -1)
     events
       .withColumn("__v", floor(col(valueCol) * lit(scale)).cast("long"))
-      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__n", count(col("__v")).over(w))
       .withColumn("__s", coalesce(sum(col("__v")).over(w), lit(0L)))
       .withColumn("__q",
         coalesce(sum(col("__v") * col("__v")).over(w), lit(0L)))
