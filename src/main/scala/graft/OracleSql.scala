@@ -288,6 +288,8 @@ object OracleSql {
 
     "q192_pagerank" -> q192PageRank,
 
+    "q206_personalized_pr" -> q206PersonalizedPr,
+
     "q196_shortest_paths" -> q196ShortestPaths,
 
     "q198_shard_assign" -> q198ShardAssign,
@@ -3724,7 +3726,15 @@ object OracleSql {
     * per step, per-edge contributions `(rp·w) // outw` summed by dst,
     * the dangling mass share (zero here — the graph is symmetrized),
     * and the damped update `base + 85·(inflow + share) // 100`. */
-  private lazy val q192PageRank: String = {
+  private lazy val q192PageRank: String = pageRankOracle(seeded = false)
+
+  /** q206: the same chain with the PERSONALIZED teleport — the whole
+    * (1−d) mass on every 10th supplier, per-seed base
+    * `150e9 · nNodes // nSeeds`, total teleport mass identical to the
+    * uniform run. */
+  private lazy val q206PersonalizedPr: String = pageRankOracle(seeded = true)
+
+  private def pageRankOracle(seeded: Boolean): String = {
     val iters = 6
     val steps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
@@ -3736,10 +3746,25 @@ object OracleSql {
             // (SELECT n FROM nn) AS share
         FROM $prev r JOIN dang d ON d.id = r.id),
       r$i AS MATERIALIZED (SELECT n.id,
-          CAST(150000000000 + (85 * (coalesce(f.f, 0) + dg.share)) // 100
+          CAST(nb.b + (85 * (coalesce(f.f, 0) + dg.share)) // 100
             AS BIGINT) AS rp
-        FROM nodes n LEFT JOIN inf$i f ON f.id = n.id CROSS JOIN dg$i dg)"""
+        FROM nodes n
+        JOIN nb ON nb.id = n.id
+        LEFT JOIN inf$i f ON f.id = n.id CROSS JOIN dg$i dg)"""
     }.mkString(",")
+    val baseCte =
+      if (!seeded) """
+      nb AS MATERIALIZED (SELECT id, CAST(150000000000 AS BIGINT) AS b
+        FROM nodes)"""
+      else """
+      seeds AS (SELECT id FROM nodes
+                WHERE id >= 1000000 AND (id - 1000000) % 10 = 0),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+      nb AS MATERIALIZED (SELECT id,
+          CAST(CASE WHEN id IN (SELECT id FROM seeds)
+            THEN (150000000000 * (SELECT n FROM nn)) // (SELECT n FROM ns)
+            ELSE 0 END AS BIGINT) AS b
+        FROM nodes)"""
     s"""
       WITH e0 AS MATERIALIZED (
         SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk,
@@ -3756,7 +3781,7 @@ object OracleSql {
         UNION SELECT DISTINCT dst FROM en),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
       dang AS (SELECT id FROM nodes
-               WHERE id NOT IN (SELECT src FROM en)),
+               WHERE id NOT IN (SELECT src FROM en)),$baseCte,
       r0 AS MATERIALIZED (
         SELECT id, CAST(1000000000000 AS BIGINT) AS rp FROM nodes),
       $steps

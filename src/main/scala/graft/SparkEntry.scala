@@ -3694,6 +3694,29 @@ object SparkEntry {
       .orderBy(col("source"), col("epoch"))
   }
 
+  /** PERSONALIZED PageRank ([[Graph.pageRank]] with `seeds`): the whole
+    * teleport mass lands uniformly on every 10th supplier — rank now
+    * measures proximity-weighted importance RELATIVE to the seed set
+    * (crawl-frontier prioritization / TrustRank), while total teleport
+    * mass matches q192's uniform run so the two are comparable. Same
+    * exact fixed point; the oracle replays the seeded six-superstep
+    * chain bit for bit. */
+  def q206_personalized_pr(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("sk"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
+      .unionByName(e0.select(col("sk").as("src"), col("c").as("dst"),
+        col("w")))
+    val seeds = e0.select(col("sk")).distinct()
+      .where((col("sk") - 1000000L) % 10 === 0)
+    Graph.pageRank(edges, iterations = 6, seeds = Some(seeds))
+      .orderBy(col("rank_pico").desc, col("node_id"))
+      .limit(30)
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4728,6 +4751,7 @@ object SparkEntry {
     "q203_kcore" -> (q203_kcore _),
     "q204_fuzzy_join" -> (q204_fuzzy_join _),
     "q205_epoch_upsample" -> (q205_epoch_upsample _),
+    "q206_personalized_pr" -> (q206_personalized_pr _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -51,6 +51,12 @@ object Graph {
     * localCheckpoint truncates the lineage instead; superseded
     * frontier blocks are reclaimed by the ContextCleaner.
     *
+    * `seeds` switches to PERSONALIZED PageRank (crawl prioritization /
+    * TrustRank): the whole (1−d) teleport mass lands uniformly on the
+    * seed set instead of on all nodes — per-seed base is
+    * `base·nNodes div nSeeds`, so TOTAL teleport mass matches the
+    * uniform variant and ranks stay directly comparable.
+    *
     * Overflow headroom: rank(u) ≤ total mass ≈ n·unit, so rank·w needs
     * n·unit·w_max < 2^63 — at the default unit=1e12 that bounds
     * n·w_max < ~9.2e6; for billion-node graphs drop `unit` to 1e6
@@ -60,7 +66,8 @@ object Graph {
                iterations: Int,
                dampNum: Long = 85L,
                dampDen: Long = 100L,
-               unit: Long = 1000000000000L): DataFrame = {
+               unit: Long = 1000000000000L,
+               seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen (got $dampNum/$dampDen)")
@@ -92,6 +99,27 @@ object Graph {
     val nNodes = nodes.count()
     val hasDangling = !dangling.isEmpty
 
+    // PERSONALIZED teleport: the whole (1-d) mass lands on the seed set
+    // (uniformly within it) instead of uniformly on all nodes — the
+    // crawl-frontier / trust-propagation form. Total teleport mass is
+    // IDENTICAL to the uniform case (base x nNodes), so the two variants
+    // are directly comparable and the overflow analysis carries over.
+    val nodesWithBase = seeds match {
+      case None => nodes.withColumn("__base", lit(base))
+      case Some(sd) =>
+        val seedSet = sd.toDF("node_id").distinct()
+          .join(nodes, Seq("node_id"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nSeeds = seedSet.count()
+        require(nSeeds >= 1, "seeds must intersect the graph's nodes")
+        val perSeed = base * nNodes / nSeeds
+        nodes.join(seedSet.withColumn("__b", lit(perSeed)),
+            Seq("node_id"), "left")
+          .withColumn("__base", coalesce(col("__b"), lit(0L)))
+          .drop("__b")
+    }
+    nodesWithBase.persist(StorageLevel.MEMORY_AND_DISK)
+
     var rank = nodes.withColumn("rank_pico", lit(unit)).localCheckpoint()
     var i = 0
     while (i < iterations) {
@@ -103,19 +131,19 @@ object Graph {
         .agg(sum(col("__c")).as("__inflow"))
       val withShare =
         if (!hasDangling)
-          nodes.join(inflow, Seq("node_id"), "left")
+          nodesWithBase.join(inflow, Seq("node_id"), "left")
             .withColumn("__share", lit(0L))
         else {
           val dangShare = rank
             .join(dangling, Seq("node_id"), "left_semi")
             .agg(coalesce(sum(col("rank_pico")), lit(0L)).as("__dt"))
             .select(expr(s"__dt DIV ${nNodes}L").as("__share"))
-          nodes.join(inflow, Seq("node_id"), "left")
+          nodesWithBase.join(inflow, Seq("node_id"), "left")
             .crossJoin(broadcast(dangShare))
         }
       rank = withShare
         .select(col("node_id"),
-          (lit(base) +
+          (col("__base") +
             expr(s"($dampNum * (coalesce(__inflow, 0L) + __share)) " +
               s"DIV $dampDen")).as("rank_pico"))
         .localCheckpoint()

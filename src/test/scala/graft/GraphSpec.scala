@@ -63,6 +63,21 @@ class GraphSpec extends SparkSpec {
     assert(r(0).getLong(1) > r(1).getLong(1)) // the hub dominates
   }
 
+  test("personalized teleport: seeds absorb the (1-d) mass, hand-folded") {
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(e, 2, seeds = Some(Seq(1L).toDF("node_id")))
+      .orderBy("node_id").collect().map(_.getLong(1))
+    val perSeed = 2L * BASE // base * nNodes / nSeeds
+    val r1s = perSeed + 85L * UNIT / 100L
+    val r1n = 85L * UNIT / 100L
+    assert(r(0) == perSeed + 85L * r1n / 100L)
+    assert(r(1) == 85L * r1s / 100L)
+    assert(r(0) > r(1), "the seed out-ranks under personalization")
+    assert(r.sum == 2L * UNIT, "teleport mass total matches the uniform run")
+    intercept[IllegalArgumentException](Graph.pageRank(e, 1,
+      seeds = Some(Seq(99L).toDF("node_id"))))
+  }
+
   test("shortestPaths: path graph, hop bound, disconnected stays null") {
     // 1-2-3-4-5 chain (symmetric) plus isolated pair 8-9
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
