@@ -292,6 +292,22 @@ object OracleSql {
 
     "q196_shortest_paths" -> q196ShortestPaths,
 
+    // closed-form scene arithmetic: the two-scene fixture's only
+    // frame-to-frame change is the splice at videoFrames(id) = 2+id%6;
+    // one-scene controls (+3000000 ≡ 0 mod 6) have no cut
+    "q207_scene_cuts" -> """
+      SELECT doc_id AS media_id,
+        CAST((2 + doc_id % 6) + (2 + (doc_id * 31 + 7) % 6) AS BIGINT)
+          AS n_frames,
+        CAST(1 AS BIGINT) AS n_cuts,
+        CAST(2 + doc_id % 6 AS INT) AS first_cut
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 3000000,
+        CAST(2 + doc_id % 6 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS INT)
+      FROM documents WHERE doc_id % 11 = 0
+      ORDER BY media_id""",
+
     "q198_shard_assign" -> q198ShardAssign,
 
     "q202_token_mixture" -> q202TokenMixture,

@@ -3717,6 +3717,24 @@ object SparkEntry {
       .limit(30)
   }
 
+  /** SCENE-CHANGE detection ([[Multimodal.sceneChanges]]): per-frame
+    * dHash + predecessor Hamming over each video's frame order — the
+    * shot-boundary step before per-scene sampling/dedup. Two-scene
+    * fixture videos (constant frames, one splice at the closed-form
+    * index) must report exactly one cut AT that index; one-scene
+    * controls report none. The oracle replays the closed-form frame
+    * arithmetic — the detector's output must land on it exactly. */
+  def q207_scene_cuts(s: SparkSession, dir: String): DataFrame = {
+    val two = Multimodal.sceneFixtureVideos(
+      documents(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id")), scenes = 2)
+    val one = Multimodal.sceneFixtureVideos(
+      documents(s, dir).where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id")), scenes = 1)
+    Multimodal.sceneChanges(two.unionByName(one))
+      .orderBy(col("media_id"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4752,6 +4770,7 @@ object SparkEntry {
     "q204_fuzzy_join" -> (q204_fuzzy_join _),
     "q205_epoch_upsample" -> (q205_epoch_upsample _),
     "q206_personalized_pr" -> (q206_personalized_pr _),
+    "q207_scene_cuts" -> (q207_scene_cuts _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -912,6 +912,68 @@ object Multimodal {
     }
   }
 
+  /** SCENE-CHANGE segmentation for "video" payloads: dHash every
+    * sampled frame (the [[frameRasters]] decode + the codegen'd image
+    * kernel), then flag each frame whose Hamming distance to its
+    * PREDECESSOR exceeds `maxHamming` — the shot-boundary detector a
+    * video pipeline runs before per-scene sampling/dedup. Returns one
+    * AUDITABLE row per video: (media_id, n_frames, n_cuts, first_cut
+    * — −1 when none). One narrow decode map + one per-video ordered
+    * window (frame counts bound the partition) + one aggregate. */
+  def sceneChanges(media: Dataset[MediaRecord], maxHamming: Int = 10,
+                   stride: Int = 1, batchSize: Int = 16,
+                   onError: String = "fail"): DataFrame = {
+    checkMode(onError)
+    require(maxHamming >= 1 && maxHamming <= 63,
+      s"maxHamming must be in [1, 63] (got $maxHamming)")
+    val spark = media.sparkSession
+    graft.plans.ImageDHash.register(spark)
+    val mode = if (onError == "flag") "skip" else onError
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameRasters(media, stride, batchSize, mode)
+      .select(col("media_id"), col("frame_idx"),
+        call_function(graft.plans.ImageDHash.name, col("raster")).as("__fh"))
+      .withColumn("__prev", lag(col("__fh"), 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNotNull &&
+          bit_count(col("__fh").bitwiseXOR(col("__prev"))) > maxHamming, 1)
+          .otherwise(0))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("__cut")).cast("long").as("n_cuts"),
+        coalesce(min(when(col("__cut") === 1, col("frame_idx"))),
+          lit(-1)).as("first_cut"))
+  }
+
+  /** Fixture/demo builder for [[sceneChanges]]: one video per doc id
+    * made of `scenes` CONSTANT scenes — `videoFrames(id)` identical
+    * frames seeded by the id, then (for scenes = 2)
+    * `videoFrames(id·31 + 7)` identical frames from a far seed. The
+    * ONLY frame-to-frame change is the splice, at the closed-form
+    * index `videoFrames(id)` — which is exactly what an external
+    * oracle replays. */
+  def sceneFixtureVideos(docs: DataFrame, scenes: Int): Dataset[MediaRecord] = {
+    require(scenes == 1 || scenes == 2, s"scenes must be 1 or 2 (got $scenes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = videoDims(id)
+      val n1 = videoFrames(id)
+      val n2 = if (scenes == 2) videoFrames(id * 31 + 7) else 0
+      val p1 = pngBytes(w, h, id)
+      val bos = new ByteArrayOutputStream()
+      bos.write(VideoMagic)
+      writeInt(bos, n1 + n2)
+      (0 until n1).foreach { _ => writeInt(bos, p1.length); bos.write(p1) }
+      if (scenes == 2) {
+        val p2 = pngBytes(w, h, id + 999983L)
+        (0 until n2).foreach { _ => writeInt(bos, p2.length); bos.write(p2) }
+      }
+      MediaRecord(id, "video", bos.toByteArray, "scene-fixture")
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th REAL container
     * frame, exploded to one row per sampled frame (each `frame_bytes` is
     * itself a decodable PNG). */

@@ -459,4 +459,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!byId(2L).isNullAt(2) && byId(2L).getString(2).contains("mono"),
       "stereo is rejected with a loud, specific error")
   }
+
+  test("sceneChanges: one cut at the splice, none within a scene") {
+    val s = spark; import s.implicits._
+    val ids = Seq(3L, 10L, 17L).toDF("doc_id")
+    val two = Multimodal.sceneFixtureVideos(ids, scenes = 2)
+    val out = Multimodal.sceneChanges(two)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    for (id <- Seq(3L, 10L, 17L)) {
+      val n1 = (2 + id % 6).toInt
+      val n2 = (2 + (id * 31 + 7) % 6).toInt
+      assert(out(id) === ((n1 + n2).toLong, 1L, n1),
+        s"video $id must cut exactly once, at frame $n1")
+    }
+    // one-scene controls never cut; an impossible threshold never cuts
+    val one = Multimodal.sceneFixtureVideos(ids, scenes = 1)
+    assert(Multimodal.sceneChanges(one)
+      .collect().forall(r => r.getLong(2) == 0L && r.getInt(3) == -1))
+    assert(Multimodal.sceneChanges(two, maxHamming = 63)
+      .collect().forall(_.getLong(2) == 0L),
+      "hamming can never exceed 63 — threshold 63 must yield zero cuts")
+  }
 }
