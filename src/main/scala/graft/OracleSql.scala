@@ -292,6 +292,24 @@ object OracleSql {
 
     "q196_shortest_paths" -> q196ShortestPaths,
 
+    // the MAU contribution flip replayed: each distinct (user, day)
+    // fans out to the 28 days it covers; DAU/MAU exact, ratio in
+    // floor-micros
+    "q208_stickiness" -> """
+      WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                  FROM events),
+      dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+              FROM ud GROUP BY d),
+      mx AS (SELECT DISTINCT u, CAST(unnest(range(0, 28)) AS INT) AS k, d
+             FROM ud),
+      mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau FROM (
+                SELECT DISTINCT u, d + to_days(k) AS day FROM mx)
+              GROUP BY day)
+      SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stickiness_micros
+      FROM dau JOIN mau ON mau.day = dau.day
+      ORDER BY day""",
+
     // closed-form scene arithmetic: the two-scene fixture's only
     // frame-to-frame change is the splice at videoFrames(id) = 2+id%6;
     // one-scene controls (+3000000 ≡ 0 mod 6) have no cut

@@ -3735,6 +3735,20 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** DAU/MAU STICKINESS ([[EventAnalytics.stickiness]]): daily actives
+    * over the trailing-28-day actives, exact counts and a floor-micros
+    * ratio. The MAU side uses the contribution flip (each active day
+    * fans out to the 28 days it makes the user MAU-visible on — one
+    * bounded map-side explode + two partial-agg shuffles) instead of a
+    * distinct-over-range window no engine can partial-aggregate. The
+    * oracle replays the flip relationally. */
+  def q208_stickiness(s: SparkSession, dir: String): DataFrame = {
+    EventAnalytics.stickiness(events(s, dir), "user_id", "ts")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"), col("stickiness_micros"))
+      .orderBy(col("day"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4771,6 +4785,7 @@ object SparkEntry {
     "q205_epoch_upsample" -> (q205_epoch_upsample _),
     "q206_personalized_pr" -> (q206_personalized_pr _),
     "q207_scene_cuts" -> (q207_scene_cuts _),
+    "q208_stickiness" -> (q208_stickiness _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -202,6 +202,39 @@ object EventAnalytics {
       .drop("__s", "__q", "__d")
   }
 
+  /** DAU / rolling-MAU STICKINESS per day — the engagement ratio every
+    * product dashboard carries, exact: DAU(d) = distinct users active
+    * on d; MAU(d) = distinct users active in (d − window, d]. The MAU
+    * side avoids a distinct-over-range window (not expressible as a
+    * partial agg) by the CONTRIBUTION flip: a user active on day a is
+    * MAU-visible on days [a, a + window), so one bounded explode of
+    * the DISTINCT (user, day) pairs (× window rows each, map-side)
+    * followed by a distinct + count gives every day's MAU in two
+    * partial-agg shuffles — no day ever owns a corpus-sized window
+    * partition. Ratio in floor-micros. Trailing days past the data's
+    * edge are reported (their MAU window simply extends back). */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    val ud = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val dau = ud.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("__u"),
+        explode(sequence(col("__d"),
+          date_add(col("__d"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("mau"))
+    // report only days with activity (the dashboard convention); the
+    // left join keeps the contract explicit
+    dau.join(mau, Seq("day"))
+      .withColumn("stickiness_micros",
+        expr("CAST((dau * 1000000L) DIV mau AS BIGINT)"))
+  }
+
   def attribution(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, conversionType: String,
                   touchTypes: Seq[String],

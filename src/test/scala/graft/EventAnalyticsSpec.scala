@@ -12,6 +12,22 @@ class EventAnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("stickiness: hand-computed DAU/MAU with a 2-day window") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 12:00:00")), // same user+day dedups
+      (2L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-03 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.stickiness(ev, "user_id", "ts", windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d1: DAU {1,2}, MAU(d0..d1) {1,2}; d2: DAU {2}, MAU {1,2};
+    // d3: DAU {3}, MAU(d2..d3) {2,3}
+    assert(out.toSeq == Seq((2L, 2L, 1000000L),
+      (1L, 2L, 500000L), (1L, 2L, 500000L)))
+  }
+
   test("rollingAnomalies: sigma-zero spike, 3-sigma boundary, cold start") {
     def mk(vals: Seq[Double], user: Long = 1L) = vals.zipWithIndex.map {
       case (v, i) => (user, i.toLong, ts(f"2024-01-01 10:00:${i}%02d"), v)
