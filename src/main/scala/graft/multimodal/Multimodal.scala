@@ -919,7 +919,10 @@ object Multimodal {
     * video pipeline runs before per-scene sampling/dedup. Returns one
     * AUDITABLE row per video: (media_id, n_frames, n_cuts, first_cut
     * — −1 when none). One narrow decode map + one per-video ordered
-    * window (frame counts bound the partition) + one aggregate. */
+    * window (frame counts bound the partition) + one aggregate.
+    * `onError = flag` degrades to `skip` here — a quarantined video has
+    * no trustworthy frame order to segment; run [[frameRasters]]
+    * directly when the error receipts are the point. */
   def sceneChanges(media: Dataset[MediaRecord], maxHamming: Int = 10,
                    stride: Int = 1, batchSize: Int = 16,
                    onError: String = "fail"): DataFrame = {

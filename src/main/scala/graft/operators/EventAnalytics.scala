@@ -228,8 +228,9 @@ object EventAnalytics {
       .distinct()
       .groupBy(col("day"))
       .agg(count(lit(1)).as("mau"))
-    // report only days with activity (the dashboard convention); the
-    // left join keeps the contract explicit
+    // report only days with activity (the dashboard convention); every
+    // DAU day has an MAU row by construction (the day contributes to
+    // its own window), so the inner join drops nothing
     dau.join(mau, Seq("day"))
       .withColumn("stickiness_micros",
         expr("CAST((dau * 1000000L) DIV mau AS BIGINT)"))
