@@ -292,6 +292,8 @@ object OracleSql {
 
     "q196_shortest_paths" -> q196ShortestPaths,
 
+    "q209_weighted_paths" -> q209WeightedPaths,
+
     // the MAU contribution flip replayed: each distinct (user, day)
     // fans out to the 28 days it covers; DAU/MAU exact, ratio in
     // floor-micros
@@ -3930,6 +3932,45 @@ object OracleSql {
         CAST(sum(c) AS BIGINT) AS n_tokens,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM s GROUP BY shard_id ORDER BY shard_id"""
+
+  /** q209: the q196 relaxation chain with weighted edges — cost
+    * `1 + 100 // w`, parallel edges collapsed to the cheapest,
+    * min(d + cost) per step (bounded Bellman–Ford). */
+  private lazy val q209WeightedPaths: String = {
+    val hops = 4
+    val steps = (1 to hops).map { i =>
+      val prev = s"d${i - 1}"
+      s"""
+      r$i AS (SELECT e.dst AS id, CAST(min(d.d + e.cost) AS BIGINT) AS c
+        FROM e JOIN $prev d ON d.id = e.src
+        WHERE d.d IS NOT NULL GROUP BY e.dst),
+      d$i AS MATERIALIZED (SELECT n.id,
+          CASE WHEN n.d IS NULL THEN r.c
+               WHEN r.c IS NULL THEN n.d
+               ELSE least(n.d, r.c) END AS d
+        FROM $prev n LEFT JOIN r$i r ON r.id = n.id)"""
+    }.mkString(",")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk,
+          CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      e AS MATERIALIZED (
+        SELECT src, dst, CAST(min(1 + 100 // w) AS BIGINT) AS cost FROM (
+          SELECT c AS src, sk AS dst, w FROM e0
+          UNION ALL SELECT sk, c, w FROM e0)
+        GROUP BY src, dst),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+      d0 AS MATERIALIZED (SELECT id,
+          CASE WHEN id >= 1000000 AND (id - 1000000) % 10 = 0
+               THEN CAST(0 AS BIGINT) END AS d
+        FROM nodes),
+      $steps
+      SELECT id AS node_id, CAST(coalesce(d, -1) AS BIGINT) AS dist
+      FROM d$hops ORDER BY id"""
+  }
 
   private lazy val q174BpeTokens: String = s"""
       WITH RECURSIVE

@@ -3749,6 +3749,31 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** WEIGHTED shortest paths (bounded Bellman–Ford,
+    * [[Graph.shortestPaths]] with `weightCol`): edge cost
+    * `1 + 100 DIV lineitem-count` makes strong trade ties cheap, so
+    * distance now measures RELATIONSHIP-WEIGHTED proximity from the
+    * seed suppliers — a cheap 2-hop detour beats an expensive direct
+    * edge, which is exactly what the oracle's relaxation chain
+    * replays. Exact for paths of ≤ 4 edges (the hop horizon). */
+  def q209_weighted_paths(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("sk"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
+      .unionByName(e0.select(col("sk").as("src"), col("c").as("dst"),
+        col("w")))
+      .withColumn("cost", lit(1L) + expr("100L DIV w"))
+    val sources = e0.select(col("sk")).distinct()
+      .where((col("sk") - 1000000L) % 10 === 0)
+    Graph.shortestPaths(edges, sources, maxHops = 4,
+        weightCol = Some("cost"))
+      .select(col("node_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("node_id"))
+  }
+
   /** BM25 served from the PERSISTED inverted index
     * ([[CorpusPrep.bm25SeedIndex]]/[[CorpusPrep.bm25IndexIngest]]/
     * [[CorpusPrep.bm25TopKIndexed]]): seed on the even half, ingest the
@@ -4786,6 +4811,7 @@ object SparkEntry {
     "q206_personalized_pr" -> (q206_personalized_pr _),
     "q207_scene_cuts" -> (q207_scene_cuts _),
     "q208_stickiness" -> (q208_stickiness _),
+    "q209_weighted_paths" -> (q209_weighted_paths _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -152,21 +152,32 @@ object Graph {
     rank
   }
 
-  /** Multi-source BFS hop distances, bounded at `maxHops` supersteps:
-    * `dist(v)` = fewest edges from any node in `sources` (a one-column
-    * node-id frame), null where unreached within the bound. Each
-    * superstep relaxes every edge once — one src-keyed join + one
-    * dst-keyed min-agg shuffle, frontier eagerly local-checkpointed per
-    * step (the pageRank discipline — see its scaladoc for why persist +
-    * cascading unpersist is NOT the fix; the full dist table is
-    * carried, so the step is idempotent once distances converge and the
-    * bound is purely a cost cap). Exact integers end to end — an oracle
-    * replays the relaxation chain relationally. */
+  /** Multi-source shortest-path distances, bounded at `maxHops`
+    * supersteps: `dist(v)` = fewest edges (or, with `weightCol`, the
+    * cheapest total NON-NEGATIVE edge weight — the bounded Bellman–Ford
+    * rounds) from any node in `sources` (a one-column node-id frame),
+    * null where unreached within the bound. Weighted answers are exact
+    * for paths of ≤ `maxHops` EDGES — the bound is the hop horizon, the
+    * standard distributed Bellman–Ford contract. Each superstep relaxes
+    * every edge once — one src-keyed join + one dst-keyed min-agg
+    * shuffle, frontier eagerly local-checkpointed per step (the
+    * pageRank discipline — see its scaladoc for why persist + cascading
+    * unpersist is NOT the fix; the full dist table is carried, so the
+    * step is idempotent once distances converge and the bound is purely
+    * a cost cap). Exact integers end to end — an oracle replays the
+    * relaxation chain relationally. Parallel edges keep the cheapest
+    * weight. */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
-                    maxHops: Int): DataFrame = {
+                    maxHops: Int,
+                    weightCol: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = (weightCol match {
+      case None =>
+        edges.select(col("src"), col("dst"), lit(1L).as("__w")).distinct()
+      case Some(wc) =>
+        edges.select(col("src"), col("dst"), col(wc).cast("long").as("__w"))
+          .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst")))
       .distinct()
@@ -181,7 +192,7 @@ object Graph {
         .join(dist.withColumnRenamed("node_id", "src"), Seq("src"))
         .where(col("dist").isNotNull)
         .groupBy(col("dst").as("node_id"))
-        .agg((min(col("dist")) + 1L).as("__c"))
+        .agg(min(col("dist") + col("__w")).as("__c"))
       dist = dist
         .join(relaxed, Seq("node_id"), "left")
         .select(col("node_id"),

@@ -98,6 +98,24 @@ class GraphSpec extends SparkSpec {
     assert(dm(3L) == 2L && dm(4L) == 1L && dm(5L) == 0L)
   }
 
+  test("weighted shortestPaths: cheap detour beats the direct edge") {
+    // 1->2 costs 10 direct; 1->3->2 costs 2+3=5; hop horizon matters
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L))
+      .toDF("src", "dst", "cost")
+    val src = Seq(1L).toDF("node_id")
+    def run(h: Int) = Graph.shortestPaths(e, src, h, Some("cost"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+    assert(run(1)(2L) == 10L, "a 1-hop horizon can only see the direct edge")
+    // parallel edges keep the cheapest
+    val dup = Seq((1L, 2L, 10L), (1L, 2L, 4L)).toDF("src", "dst", "cost")
+    val dd = Graph.shortestPaths(dup, src, 1, Some("cost"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(dd(2L) == 4L)
+  }
+
   test("triangleCounts: K4 plus pendant, star has none") {
     // K4 over 1..4 (4 triangles, 3 per node), pendant 5 on node 1
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
