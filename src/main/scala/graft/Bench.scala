@@ -112,12 +112,21 @@ object Bench {
     // best-of-2 because single local runs see multi-second scheduler/GC
     // outliers at this data scale
     val warmDir = "/root/testdata/sf0.001"
+    var laneIdx = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try runToNoop(fn(spark, warmDir)) catch { case _: Throwable => }
       val t = try {
         (1 to 2).map(_ => time(runToNoop(fn(spark, dataDir)))).min
       } catch { case _: Throwable => -1.0 }
       results(name) = t
+      // lane isolation: clear any cached plans a lane left behind, and
+      // periodically force a GC so the ContextCleaner reclaims
+      // superseded localCheckpoint blocks — without this, block-manager
+      // pressure from heavy iterative lanes inflated ~12 UNCHANGED
+      // sub-second lanes 5-18x in the round-10 pin (BENCH_NOTES)
+      spark.catalog.clearCache()
+      laneIdx += 1
+      if (laneIdx % 20 == 0) System.gc()
     }
 
     // ---- HOF vs native-expression cosine on a large pair count ----

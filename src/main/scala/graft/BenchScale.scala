@@ -208,7 +208,7 @@ object BenchScale {
       val l0 = Tables.lineitem(spark, sfDir)
       val e0 = o0.join(l0, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"),
-          (lit(1000000L) + col("l_suppkey")).as("sk"))
+          (lit(SparkEntry.SuppNodeOffset) + col("l_suppkey")).as("sk"))
         .agg(count(lit(1)).as("w"))
       val rep = (0 until mult).map { r =>
         e0.select((col("c") + lit(r * 10000000L)).as("src"),
@@ -216,7 +216,9 @@ object BenchScale {
       }.reduce(_ unionByName _)
       rep.unionByName(rep.select(col("dst").as("src"),
           col("src").as("dst"), col("w")))
-        .write.parquet(s"$workDir/graph-edges")
+        // overwrite: a rerun against an existing workDir must re-measure,
+        // not throw into the catch-all and silently skip the lane
+        .write.mode("overwrite").parquet(s"$workDir/graph-edges")
       val eg = spark.read.parquet(s"$workDir/graph-edges")
       results("graph_edges") = eg.count().toDouble
       results("pagerank_6step") = time(runToNoop(

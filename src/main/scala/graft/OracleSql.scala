@@ -8,6 +8,12 @@ package graft
   */
 object OracleSql {
 
+  /** Supplier node-id offset in the graph lanes — 2^40, far above any
+    * o_custkey at any TPC-H scale factor, so the customer and supplier
+    * node-id spaces stay disjoint (must equal
+    * `SparkEntry.SuppNodeOffset`). */
+  private val SuppNodeOffset: Long = 1L << 40
+
   val all: Map[String, String] = Map(
     "q174_bpe_tokens" -> q174BpeTokens,
     "q175_bpe_chunks" -> q175BpeChunks,
@@ -293,6 +299,23 @@ object OracleSql {
     "q196_shortest_paths" -> q196ShortestPaths,
 
     "q209_weighted_paths" -> q209WeightedPaths,
+
+    // q213: TRUE components via an independent reachability closure —
+    // not a replay of the star-contraction rounds, so a hash match
+    // proves the algorithm correct on this graph
+    "q213_connected_components" -> s"""
+      WITH RECURSIVE e0 AS MATERIALIZED (
+        SELECT o.o_custkey AS c, $SuppNodeOffset + l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      und AS MATERIALIZED (
+        SELECT c AS u, sk AS v FROM e0 UNION SELECT sk, c FROM e0),
+      r(a, b) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT r.a, und.v FROM r JOIN und ON und.u = r.b)
+      SELECT a AS node_id, CAST(min(b) AS BIGINT) AS component
+      FROM r GROUP BY a ORDER BY node_id""",
 
     // the MAU contribution flip replayed: each distinct (user, day)
     // fans out to the 28 days it covers; DAU/MAU exact, ratio in
@@ -3772,6 +3795,11 @@ object OracleSql {
 
   private def pageRankOracle(seeded: Boolean): String = {
     val iters = 6
+    // seeded mode: the dangling total is redistributed over the SEEDS
+    // (dangTotal // nSeeds per seed, 0 elsewhere — the personalization
+    // vector), uniform mode over all nodes; `nb.b > 0` identifies the
+    // teleport targets in both modes (per-seed base is always positive)
+    val dangDiv = if (seeded) "(SELECT n FROM ns)" else "(SELECT n FROM nn)"
     val steps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""
@@ -3779,10 +3807,11 @@ object OracleSql {
           CAST(sum((r.rp * en.w) // en.outw) AS BIGINT) AS f
         FROM en JOIN $prev r ON r.id = en.src GROUP BY en.dst),
       dg$i AS (SELECT CAST(coalesce(sum(r.rp), 0) AS BIGINT)
-            // (SELECT n FROM nn) AS share
+            // $dangDiv AS share
         FROM $prev r JOIN dang d ON d.id = r.id),
       r$i AS MATERIALIZED (SELECT n.id,
-          CAST(nb.b + (85 * (coalesce(f.f, 0) + dg.share)) // 100
+          CAST(nb.b + (85 * (coalesce(f.f, 0) +
+            CASE WHEN nb.b > 0 THEN dg.share ELSE 0 END)) // 100
             AS BIGINT) AS rp
         FROM nodes n
         JOIN nb ON nb.id = n.id
@@ -3790,11 +3819,13 @@ object OracleSql {
     }.mkString(",")
     val baseCte =
       if (!seeded) """
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
       nb AS MATERIALIZED (SELECT id, CAST(150000000000 AS BIGINT) AS b
         FROM nodes)"""
-      else """
+      else s"""
       seeds AS (SELECT id FROM nodes
-                WHERE id >= 1000000 AND (id - 1000000) % 10 = 0),
+                WHERE id >= $SuppNodeOffset
+                  AND (id - $SuppNodeOffset) % 10 = 0),
       ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
       nb AS MATERIALIZED (SELECT id,
           CAST(CASE WHEN id IN (SELECT id FROM seeds)
@@ -3803,7 +3834,7 @@ object OracleSql {
         FROM nodes)"""
     s"""
       WITH e0 AS MATERIALIZED (
-        SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk,
+        SELECT o.o_custkey AS c, $SuppNodeOffset + l.l_suppkey AS sk,
           CAST(count(*) AS BIGINT) AS w
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2),
@@ -3844,7 +3875,7 @@ object OracleSql {
     }.mkString(",")
     s"""
       WITH e0 AS MATERIALIZED (
-        SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk
+        SELECT DISTINCT o.o_custkey AS c, $SuppNodeOffset + l.l_suppkey AS sk
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
       e AS MATERIALIZED (
         SELECT c AS src, sk AS dst FROM e0
@@ -3852,7 +3883,7 @@ object OracleSql {
       nodes AS MATERIALIZED (
         SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
       d0 AS MATERIALIZED (SELECT id,
-          CASE WHEN id >= 1000000 AND (id - 1000000) % 10 = 0
+          CASE WHEN id >= $SuppNodeOffset AND (id - $SuppNodeOffset) % 10 = 0
                THEN CAST(0 AS BIGINT) END AS d
         FROM nodes),
       $steps
@@ -3878,7 +3909,7 @@ object OracleSql {
     }.mkString(",")
     s"""
       WITH e0 AS MATERIALIZED (
-        SELECT o.o_custkey AS a, 1000000 + l.l_suppkey AS b
+        SELECT o.o_custkey AS a, $SuppNodeOffset + l.l_suppkey AS b
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2 HAVING count(*) >= 2),
       $steps
@@ -3952,7 +3983,7 @@ object OracleSql {
     }.mkString(",")
     s"""
       WITH e0 AS MATERIALIZED (
-        SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS sk,
+        SELECT o.o_custkey AS c, $SuppNodeOffset + l.l_suppkey AS sk,
           CAST(count(*) AS BIGINT) AS w
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2),
@@ -3964,7 +3995,7 @@ object OracleSql {
       nodes AS MATERIALIZED (
         SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
       d0 AS MATERIALIZED (SELECT id,
-          CASE WHEN id >= 1000000 AND (id - 1000000) % 10 = 0
+          CASE WHEN id >= $SuppNodeOffset AND (id - $SuppNodeOffset) % 10 = 0
                THEN CAST(0 AS BIGINT) END AS d
         FROM nodes),
       $steps

@@ -25,6 +25,13 @@ import graft.multimodal.Multimodal
 object SparkEntry {
   import Tables._
 
+  /** Supplier node-id offset in the graph lanes (q192/q196/q203/q206/
+    * q209) — 2^40, far above any o_custkey at any TPC-H scale factor,
+    * so customer and supplier node-id spaces stay disjoint (a 1e6
+    * offset would silently merge them at sf ≳ 7). Mirrored verbatim in
+    * the OracleSql generators. */
+  private[graft] val SuppNodeOffset: Long = 1L << 40
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
     * lineitem⋈orders revenue rollup — scan, SMJ/broadcast join, hash agg. */
   def entry(spark: SparkSession): DataFrame =
@@ -3381,7 +3388,7 @@ object SparkEntry {
     val e0 = orders(s, dir)
       .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"),
-        (lit(1000000L) + col("l_suppkey")).as("sk"))
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("sk"))
       .agg(count(lit(1)).as("w"))
     val edges = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
       .unionByName(e0.select(col("sk").as("src"), col("c").as("dst"),
@@ -3479,12 +3486,12 @@ object SparkEntry {
     val e0 = orders(s, dir)
       .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"),
-        (lit(1000000L) + col("l_suppkey")).as("sk"))
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("sk"))
       .agg(count(lit(1)).as("w"))
     val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
       .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
     val sources = e0.select(col("sk")).distinct()
-      .where((col("sk") - 1000000L) % 10 === 0)
+      .where((col("sk") - SuppNodeOffset) % 10 === 0)
     Graph.shortestPaths(edges, sources, maxHops = 4)
       .select(col("node_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
       .orderBy(col("node_id"))
@@ -3637,7 +3644,7 @@ object SparkEntry {
     val e0 = orders(s, dir)
       .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("dst"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2)
       .select(col("src"), col("dst"))
@@ -3705,13 +3712,13 @@ object SparkEntry {
     val e0 = orders(s, dir)
       .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"),
-        (lit(1000000L) + col("l_suppkey")).as("sk"))
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("sk"))
       .agg(count(lit(1)).as("w"))
     val edges = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
       .unionByName(e0.select(col("sk").as("src"), col("c").as("dst"),
         col("w")))
     val seeds = e0.select(col("sk")).distinct()
-      .where((col("sk") - 1000000L) % 10 === 0)
+      .where((col("sk") - SuppNodeOffset) % 10 === 0)
     Graph.pageRank(edges, iterations = 6, seeds = Some(seeds))
       .orderBy(col("rank_pico").desc, col("node_id"))
       .limit(30)
@@ -3760,17 +3767,37 @@ object SparkEntry {
     val e0 = orders(s, dir)
       .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"),
-        (lit(1000000L) + col("l_suppkey")).as("sk"))
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("sk"))
       .agg(count(lit(1)).as("w"))
     val edges = e0.select(col("c").as("src"), col("sk").as("dst"), col("w"))
       .unionByName(e0.select(col("sk").as("src"), col("c").as("dst"),
         col("w")))
       .withColumn("cost", lit(1L) + expr("100L DIV w"))
     val sources = e0.select(col("sk")).distinct()
-      .where((col("sk") - 1000000L) % 10 === 0)
+      .where((col("sk") - SuppNodeOffset) % 10 === 0)
     Graph.shortestPaths(edges, sources, maxHops = 4,
         weightCol = Some("cost"))
       .select(col("node_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("node_id"))
+  }
+
+  /** CONNECTED COMPONENTS ([[Graph.connectedComponents]], alternating
+    * large-star/small-star — O(log²) rounds, diameter-independent) over
+    * the strong-tie trade graph (customer–supplier pairs with ≥ 3
+    * lineitems, so the graph fragments into real components). Every
+    * node is labeled with its component's minimum id; the oracle
+    * computes TRUE components independently via a recursive-CTE
+    * reachability closure, so hash-matching proves the star-contraction
+    * algorithm itself correct on this graph — not merely replayed. */
+  def q213_connected_components(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 3)
+      .select(col("src"), col("dst"))
+    Graph.connectedComponents(e0, maxRounds = 12)
       .orderBy(col("node_id"))
   }
 
@@ -4812,6 +4839,7 @@ object SparkEntry {
     "q207_scene_cuts" -> (q207_scene_cuts _),
     "q208_stickiness" -> (q208_stickiness _),
     "q209_weighted_paths" -> (q209_weighted_paths _),
+    "q213_connected_components" -> (q213_connected_components _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

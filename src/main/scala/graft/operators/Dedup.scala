@@ -256,40 +256,54 @@ object Dedup {
         lower(col(textCol)).as("s"))
       .where(col("s").isNotNull)
       .withColumn("len", length(col("s")))
+    // the gram-keyed candidate join carries (g, id, len) ONLY — a
+    // candidate pair materializes once per shared gram, so attaching
+    // the string payloads here would shuffle Σ(shared grams × string
+    // bytes); instead the pair set is distinct'd first and the two text
+    // columns join back by id (two id-keyed joins of doc-sized tables)
     val grams = base.where(col("len") >= q)
-      .select(col("id"), col("s"), col("len"),
+      .select(col("id"), col("len"),
         explode(array_distinct(charNgrams(col("s"), q))).as("g"))
     val posted =
       if (maxBucketWidth > 0)
         capBucketWidth(grams, Seq("g"), maxBucketWidth)._1
       else grams
     val longCand = posted
-      .select(col("g"), col("id").as("id_a"), col("s").as("s_a"),
-        col("len").as("la"))
+      .select(col("g"), col("id").as("id_a"), col("len").as("la"))
       .join(posted.select(col("g"), col("id").as("id_b"),
-        col("s").as("s_b"), col("len").as("lb")), Seq("g"))
+        col("len").as("lb")), Seq("g"))
       .where(col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist &&
         greatest(col("la"), col("lb")) >= minLong)
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
     val short = base.where(col("len") < minLong)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nShort = short.count()
-    require(nShort <= maxShortStrings,
-      s"$nShort strings shorter than $minLong chars exceed the " +
-        s"maxShortStrings=$maxShortStrings nested-loop guard")
-    val shortCand = short.select(col("id").as("id_a"), col("s").as("s_a"),
-        col("len").as("la"))
-      .join(short.select(col("id").as("id_b"), col("s").as("s_b"),
-        col("len").as("lb")),
-        col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= maxDist)
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
-    longCand.unionByName(shortCand)
-      .withColumn("edit_distance", levenshtein(col("s_a"), col("s_b")))
-      .where(col("edit_distance") <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        col("edit_distance").cast("long").as("edit_distance"))
+    try {
+      val nShort = short.count()
+      require(nShort <= maxShortStrings,
+        s"$nShort strings shorter than $minLong chars exceed the " +
+          s"maxShortStrings=$maxShortStrings nested-loop guard")
+      val shortCand = short.select(col("id").as("id_a"), col("s").as("s_a"),
+          col("len").as("la"))
+        .join(short.select(col("id").as("id_b"), col("s").as("s_b"),
+          col("len").as("lb")),
+          col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= maxDist)
+        .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      longCand.unionByName(shortCand)
+        .withColumn("edit_distance", levenshtein(col("s_a"), col("s_b")))
+        .where(col("edit_distance") <= maxDist)
+        .select(col("id_a"), col("id_b"),
+          col("edit_distance").cast("long").as("edit_distance"))
+        // eager materialization (pair-sized) so `short` can be released
+        // in finally without the result recomputing it uncached
+        .localCheckpoint()
+    } finally short.unpersist(blocking = false)
   }
 
   /** 64-bit SimHash from a *materialized* token-hash array column: single

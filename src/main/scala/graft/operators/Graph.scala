@@ -55,7 +55,18 @@ object Graph {
     * TrustRank): the whole (1−d) teleport mass lands uniformly on the
     * seed set instead of on all nodes — per-seed base is
     * `base·nNodes div nSeeds`, so TOTAL teleport mass matches the
-    * uniform variant and ranks stay directly comparable.
+    * uniform variant and ranks stay directly comparable. DANGLING mass
+    * follows the personalization vector too (the standard personalized
+    * formulation): in seeded mode each superstep's dangling total is
+    * redistributed over the SEEDS (`dangTotal div nSeeds` per seed, 0
+    * elsewhere) rather than uniformly over all nodes — a sink cannot
+    * leak rank mass back to non-seed nodes.
+    *
+    * Every helper frame persisted here (edge table, node set, dangling
+    * set, per-node base) is released in `finally` before returning —
+    * safe because the returned frontier is localCheckpointed (lineage
+    * already truncated, so the unpersist cascade cannot reach it); a
+    * long-lived session running many pageRank calls retains nothing.
     *
     * Overflow headroom: rank(u) ≤ total mass ≈ n·unit, so rank·w needs
     * n·unit·w_max < 2^63 — at the default unit=1e12 that bounds
@@ -93,63 +104,84 @@ object Graph {
       .join(e.select(col("src").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one-time scalars: the node count (the dangling divisor) and
-    // whether the dangling term exists at all — a symmetrized graph
-    // skips the per-superstep dangling-mass job entirely
-    val nNodes = nodes.count()
-    val hasDangling = !dangling.isEmpty
+    var seedSet: Option[DataFrame] = None
+    var nodesWithBase: DataFrame = null
+    try {
+      // one-time scalars: the node count (the dangling divisor) and
+      // whether the dangling term exists at all — a symmetrized graph
+      // skips the per-superstep dangling-mass job entirely
+      val nNodes = nodes.count()
+      val hasDangling = !dangling.isEmpty
 
-    // PERSONALIZED teleport: the whole (1-d) mass lands on the seed set
-    // (uniformly within it) instead of uniformly on all nodes — the
-    // crawl-frontier / trust-propagation form. Total teleport mass is
-    // IDENTICAL to the uniform case (base x nNodes), so the two variants
-    // are directly comparable and the overflow analysis carries over.
-    val nodesWithBase = seeds match {
-      case None => nodes.withColumn("__base", lit(base))
-      case Some(sd) =>
-        val seedSet = sd.toDF("node_id").distinct()
-          .join(nodes, Seq("node_id"), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val nSeeds = seedSet.count()
-        require(nSeeds >= 1, "seeds must intersect the graph's nodes")
-        val perSeed = base * nNodes / nSeeds
-        nodes.join(seedSet.withColumn("__b", lit(perSeed)),
-            Seq("node_id"), "left")
-          .withColumn("__base", coalesce(col("__b"), lit(0L)))
-          .drop("__b")
-    }
-    nodesWithBase.persist(StorageLevel.MEMORY_AND_DISK)
+      // PERSONALIZED teleport: the whole (1-d) mass lands on the seed set
+      // (uniformly within it) instead of uniformly on all nodes — the
+      // crawl-frontier / trust-propagation form. Total teleport mass is
+      // IDENTICAL to the uniform case (base x nNodes), so the two variants
+      // are directly comparable and the overflow analysis carries over.
+      // __seed marks the dangling-mass recipients; dangDiv is their count.
+      val dangDiv = seeds match {
+        case None =>
+          nodesWithBase = nodes.withColumn("__base", lit(base))
+            .withColumn("__seed", lit(true))
+          nNodes
+        case Some(sd) =>
+          val ss = sd.toDF("node_id").distinct()
+            .join(nodes, Seq("node_id"), "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          seedSet = Some(ss)
+          val nSeeds = ss.count()
+          require(nSeeds >= 1, "seeds must intersect the graph's nodes")
+          val perSeed = base * nNodes / nSeeds
+          nodesWithBase = nodes
+            .join(ss.withColumn("__b", lit(perSeed)), Seq("node_id"), "left")
+            .withColumn("__base", coalesce(col("__b"), lit(0L)))
+            .withColumn("__seed", col("__b").isNotNull)
+            .drop("__b")
+          nSeeds
+      }
+      nodesWithBase.persist(StorageLevel.MEMORY_AND_DISK)
 
-    var rank = nodes.withColumn("rank_pico", lit(unit)).localCheckpoint()
-    var i = 0
-    while (i < iterations) {
-      val inflow = e
-        .join(rank.withColumnRenamed("node_id", "src"), Seq("src"))
-        .select(col("dst").as("node_id"),
-          expr("(rank_pico * w) DIV outw").as("__c"))
-        .groupBy(col("node_id"))
-        .agg(sum(col("__c")).as("__inflow"))
-      val withShare =
-        if (!hasDangling)
-          nodesWithBase.join(inflow, Seq("node_id"), "left")
-            .withColumn("__share", lit(0L))
-        else {
-          val dangShare = rank
-            .join(dangling, Seq("node_id"), "left_semi")
-            .agg(coalesce(sum(col("rank_pico")), lit(0L)).as("__dt"))
-            .select(expr(s"__dt DIV ${nNodes}L").as("__share"))
-          nodesWithBase.join(inflow, Seq("node_id"), "left")
-            .crossJoin(broadcast(dangShare))
-        }
-      rank = withShare
-        .select(col("node_id"),
-          (col("__base") +
-            expr(s"($dampNum * (coalesce(__inflow, 0L) + __share)) " +
-              s"DIV $dampDen")).as("rank_pico"))
-        .localCheckpoint()
-      i += 1
+      var rank = nodes.withColumn("rank_pico", lit(unit)).localCheckpoint()
+      var i = 0
+      while (i < iterations) {
+        val inflow = e
+          .join(rank.withColumnRenamed("node_id", "src"), Seq("src"))
+          .select(col("dst").as("node_id"),
+            expr("(rank_pico * w) DIV outw").as("__c"))
+          .groupBy(col("node_id"))
+          .agg(sum(col("__c")).as("__inflow"))
+        val withShare =
+          if (!hasDangling)
+            nodesWithBase.join(inflow, Seq("node_id"), "left")
+              .withColumn("__share", lit(0L))
+          else {
+            // dangling mass goes to the teleport targets: all nodes in
+            // uniform mode, the seed set in personalized mode
+            val dangTotal = rank
+              .join(dangling, Seq("node_id"), "left_semi")
+              .agg(coalesce(sum(col("rank_pico")), lit(0L)).as("__dt"))
+            nodesWithBase.join(inflow, Seq("node_id"), "left")
+              .crossJoin(broadcast(dangTotal))
+              .withColumn("__share",
+                when(col("__seed"), expr(s"__dt DIV ${dangDiv}L"))
+                  .otherwise(lit(0L)))
+          }
+        rank = withShare
+          .select(col("node_id"),
+            (col("__base") +
+              expr(s"($dampNum * (coalesce(__inflow, 0L) + __share)) " +
+                s"DIV $dampDen")).as("rank_pico"))
+          .localCheckpoint()
+        i += 1
+      }
+      rank
+    } finally {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      dangling.unpersist(blocking = false)
+      seedSet.foreach(_.unpersist(blocking = false))
+      if (nodesWithBase != null) nodesWithBase.unpersist(blocking = false)
     }
-    rank
   }
 
   /** Multi-source shortest-path distances, bounded at `maxHops`
@@ -178,31 +210,38 @@ object Graph {
         edges.select(col("src"), col("dst"), col(wc).cast("long").as("__w"))
           .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node_id"))
-      .union(e.select(col("dst")))
-      .distinct()
-    val src = sources.toDF("node_id")
-    var dist = nodes
-      .join(src.withColumn("__z", lit(0L)), Seq("node_id"), "left")
-      .select(col("node_id"), col("__z").as("dist"))
-      .localCheckpoint()
-    var i = 0
-    while (i < maxHops) {
-      val relaxed = e
-        .join(dist.withColumnRenamed("node_id", "src"), Seq("src"))
-        .where(col("dist").isNotNull)
-        .groupBy(col("dst").as("node_id"))
-        .agg(min(col("dist") + col("__w")).as("__c"))
-      dist = dist
-        .join(relaxed, Seq("node_id"), "left")
-        .select(col("node_id"),
-          when(col("dist").isNull, col("__c"))
-            .when(col("__c").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("__c"))).as("dist"))
+    try {
+      val nodes = e.select(col("src").as("node_id"))
+        .union(e.select(col("dst")))
+        .distinct()
+      // distinct: a duplicated source id would otherwise fan out the
+      // initial left join and carry duplicate per-node rows through
+      // every superstep (the pageRank seed-set discipline)
+      val src = sources.toDF("node_id").distinct()
+      var dist = nodes
+        .join(src.withColumn("__z", lit(0L)), Seq("node_id"), "left")
+        .select(col("node_id"), col("__z").as("dist"))
         .localCheckpoint()
-      i += 1
-    }
-    dist
+      require(!dist.where(col("dist").isNotNull).isEmpty,
+        "sources must intersect the graph's nodes")
+      var i = 0
+      while (i < maxHops) {
+        val relaxed = e
+          .join(dist.withColumnRenamed("node_id", "src"), Seq("src"))
+          .where(col("dist").isNotNull)
+          .groupBy(col("dst").as("node_id"))
+          .agg(min(col("dist") + col("__w")).as("__c"))
+        dist = dist
+          .join(relaxed, Seq("node_id"), "left")
+          .select(col("node_id"),
+            when(col("dist").isNull, col("__c"))
+              .when(col("__c").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("__c"))).as("dist"))
+          .localCheckpoint()
+        i += 1
+      }
+      dist
+    } finally e.unpersist(blocking = false)
   }
 
   /** k-CORE: the maximal subgraph in which every node keeps degree ≥ k,
@@ -267,35 +306,125 @@ object Graph {
       .where(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("a").as("node_id"))
-      .union(und.select(col("b")))
-      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): src' = the smaller endpoint under that order
-    val o = und
-      .join(deg.select(col("node_id").as("a"), col("deg").as("__da")), Seq("a"))
-      .join(deg.select(col("node_id").as("b"), col("deg").as("__db")), Seq("b"))
-      .select(
-        when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          col("a")).otherwise(col("b")).as("src"),
-        when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          col("b")).otherwise(col("a")).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val e1 = o.select(col("src").as("__s"), col("dst").as("__u"))
-    val e2 = o.select(col("src").as("__s"), col("dst").as("__v"))
-    val wedges = e1.join(e2, Seq("__s")).where(col("__u") < col("__v"))
-    val tri = wedges.join(und,
-        least(col("__u"), col("__v")) === col("a") &&
-          greatest(col("__u"), col("__v")) === col("b"),
-        "left_semi")
-      .select(col("__s").as("x"), col("__u").as("y"), col("__v").as("z"))
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
-      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("node_id"))
-      .join(perNode, Seq("node_id"), "left")
+    var o: DataFrame = null
+    try {
+      val deg = und.select(col("a").as("node_id"))
+        .union(und.select(col("b")))
+        .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+      // orient by (deg, id): src' = the smaller endpoint under that order
+      o = und
+        .join(deg.select(col("node_id").as("a"), col("deg").as("__da")), Seq("a"))
+        .join(deg.select(col("node_id").as("b"), col("deg").as("__db")), Seq("b"))
+        .select(
+          when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("src"),
+          when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val e1 = o.select(col("src").as("__s"), col("dst").as("__u"))
+      val e2 = o.select(col("src").as("__s"), col("dst").as("__v"))
+      val wedges = e1.join(e2, Seq("__s")).where(col("__u") < col("__v"))
+      val tri = wedges.join(und,
+          least(col("__u"), col("__v")) === col("a") &&
+            greatest(col("__u"), col("__v")) === col("b"),
+          "left_semi")
+        .select(col("__s").as("x"), col("__u").as("y"), col("__v").as("z"))
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+        .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+      // eager materialization (node-sized) so the helper frames can be
+      // released in finally without the result recomputing uncached
+      deg.select(col("node_id"))
+        .join(perNode, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .localCheckpoint()
+    } finally {
+      und.unpersist(blocking = false)
+      if (o != null) o.unpersist(blocking = false)
+    }
+  }
+
+  /** CONNECTED COMPONENTS over an arbitrary edge table by the
+    * ALTERNATING large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log²)-round form whose convergence does NOT depend on graph
+    * diameter (min-label propagation needs diameter rounds; a 10⁶-hop
+    * chain would never finish). One round is:
+    *
+    *  - '''large-star''': per node u with undirected neighborhood Γ(u),
+    *    m = min(Γ(u) ∪ {u}); every STRICTLY LARGER neighbor repoints to
+    *    m — edges {(v, m) : v ∈ Γ(u), v > u}.
+    *  - '''small-star''': per node u over its smaller neighbors
+    *    N = {v ∈ Γ(u) : v < u}, m = min(N ∪ {u}); emit {(v, m) : v ∈ N}
+    *    ∪ {(u, m)}, self-loops dropped.
+    *
+    * Each half-round is one groupBy-min + one node-keyed join over the
+    * current edge set; the set is localCheckpointed per round (the
+    * pageRank frontier discipline). The ONLY fixpoints of the
+    * alternation are min-rooted star forests (paper, Thm 1-2), so
+    * convergence is an exact edge-set equality check (count + except),
+    * and once converged both operators are the identity — extra rounds
+    * are no-ops, which is what lets a fixed-round oracle replay a
+    * fixpoint exactly (the kCore discipline). Fail-fasts past
+    * `maxRounds` — a silently-partial labeling is a wrong answer.
+    *
+    * Returns (node_id, component) for every endpoint of `edges` (after
+    * self-loop removal), where `component` is the smallest node id in
+    * the node's component. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .select(col("b").as("u"), col("a").as("v")) // directed big→small
+      .localCheckpoint()
+    val allNodes = e.select(col("u").as("node_id"))
+      .union(e.select(col("v")))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var round = 0
+    var converged = n == 0L
+    while (!converged && round < maxRounds) {
+      // large-star over the undirected view
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("__m"))
+      val ls = nbrs.where(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the (already big→small) directed set
+      val minsS = ls.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("__m"))
+      val ss = ls.join(minsS, Seq("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(minsS.select(col("u"), col("__m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val n2 = ss.count()
+      converged = n2 == n && ss.exceptAll(e).isEmpty
+      e = ss
+      n = n2
+      round += 1
+    }
+    require(converged,
+      s"connected components did not converge within $maxRounds rounds — " +
+        "raise maxRounds")
+    // at the star-forest fixpoint every child points at its component's
+    // minimum; roots (and isolated endpoints of dropped self-loops)
+    // label themselves
+    allNodes
+      .join(e.withColumnRenamed("u", "node_id"), Seq("node_id"), "left")
       .select(col("node_id"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        coalesce(col("v"), col("node_id")).as("component"))
   }
 }

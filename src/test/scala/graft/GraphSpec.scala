@@ -154,4 +154,84 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(e, 1, dampNum = 100L, dampDen = 100L))
   }
+
+  test("seeded dangling: sink mass teleports to the seeds, hand-folded") {
+    // 1 -> 2 only; 2 is a sink. Personalized on {1}: 2's whole rank
+    // re-enters at node 1 (dangTotal DIV nSeeds), NOT uniformly — a
+    // sink cannot leak mass to non-seed nodes.
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(e, 1, seeds = Some(Seq(1L).toDF("node_id")))
+      .orderBy("node_id").collect().map(_.getLong(1))
+    val perSeed = 2L * BASE
+    assert(r(0) == perSeed + 85L * UNIT / 100L) // share = UNIT DIV 1
+    assert(r(1) == 85L * UNIT / 100L)           // inflow only, no share
+    assert(r.sum == 2L * UNIT, "mass conserved exactly")
+  }
+
+  test("shortestPaths: duplicate sources collapse; disjoint sources refuse") {
+    val und = Seq((1L, 2L), (2L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // a duplicated source id must not fan rows out
+    val d = Graph.shortestPaths(e, Seq(1L, 1L, 1L).toDF("node_id"), 2)
+    assert(d.count() == 3L)
+    assert(d.groupBy("node_id").count().where(col("count") > 1).isEmpty)
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(e, Seq(99L).toDF("node_id"), 2))
+  }
+
+  test("no cached plans linger after the graph operators run") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+      .withColumn("w", lit(1L))
+    Graph.pageRank(e, 3, seeds = Some(Seq(1L).toDF("node_id"))).collect()
+    Graph.shortestPaths(e, Seq(1L).toDF("node_id"), 2).collect()
+    Graph.triangleCounts(e).collect()
+    Graph.connectedComponents(e).collect()
+    // every Dataset.persist goes through the CacheManager, whose strong
+    // references outlive the call — the operators must release them
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph operators left persisted frames in the CacheManager")
+  }
+
+  test("connectedComponents: chains, stars, isolated pairs, brute-force") {
+    // two components: a 5-chain (high diameter for its size) + a pair
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val e = und.toDF("src", "dst")
+    val cc = Graph.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    // a too-small round budget fail-fasts, never a partial labeling
+    intercept[IllegalArgumentException](
+      Graph.connectedComponents(e, maxRounds = 1))
+    // deterministic pseudo-random graph vs driver-side union-find
+    val n = 60
+    val edges = (0 until 150).map { i =>
+      ((i * 31L + 7L) % n, (i * i * 17L + 3L) % n)
+    }.filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // self-loops alone contribute nothing; empty input is empty
+    assert(Graph.connectedComponents(Seq((7L, 7L)).toDF("src", "dst"))
+      .count() == 0L)
+  }
+
+  test("connectedComponents: extra rounds are no-ops (fixed-round replay)") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val e = und.toDF("src", "dst")
+    val a = Graph.connectedComponents(e, maxRounds = 3)
+      .orderBy("node_id").collect().toSeq
+    val b = Graph.connectedComponents(e, maxRounds = 16)
+      .orderBy("node_id").collect().toSeq
+    assert(a == b, "a converged star forest must be a fixpoint")
+  }
 }
