@@ -17,6 +17,7 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "q174_bpe_tokens" -> q174BpeTokens,
     "q175_bpe_chunks" -> q175BpeChunks,
+    "q210_bpe_byte" -> q210BpeByte,
 
     // q176: exact quartiles are recomputed; the sketch's rank-ε flag is
     // the q40 discipline — accuracy 10000 bounds rank error under one
@@ -3689,6 +3690,101 @@ object OracleSql {
         FROM rec r
         WHERE NOT EXISTS (SELECT 1 FROM merges m
           WHERE strpos(r.w, ' ' || m.lhs || ' ' || m.rhs || ' ') > 0))"""
+
+  // ---- byte-level BPE oracle (q210) --------------------------------------
+
+  /** The committed BYTE-level merges as a VALUES list — spliced from
+    * the same resource the Spark kernel loads
+    * ([[graft.functions.BpeByte.default]]). Symbols are byte-space
+    * chars (printable, never a space), so the space-delimited encode
+    * machinery carries over unchanged. */
+  private lazy val bpeByteMergesValues: String =
+    graft.functions.BpeByte.default.merges.zipWithIndex.map {
+      case ((l, r), i) => s"(${i + 1}, '${sqlEsc(l)}', '${sqlEsc(r)}')"
+    }.mkString(",\n        ")
+
+  /** The GPT-2 byte→unicode bijection as a 256-row VALUES list keyed
+    * by UPPERCASE hex pair (DuckDB `hex()` output), generated from the
+    * same table the kernel uses. */
+  private lazy val bpeByteMapValues: String =
+    (0 until 256).map { b =>
+      f"('$b%02X', '${sqlEsc(graft.functions.BpeByte.byteToChar(b).toString)}')"
+    }.mkString(",\n        ")
+
+  /** The pretokenizer pattern, escaped for a DuckDB string literal —
+    * the SAME string Spark compiles
+    * ([[graft.functions.BpeByte.PretokenRegex]]), RE2-safe by
+    * construction. */
+  private lazy val bpeBytePatternSql: String =
+    sqlEsc(graft.functions.BpeByte.PretokenRegex)
+
+  /** Same planted fixture docs as `SparkEntry.bpeByteFixtureDocs` —
+    * non-ASCII built with chr() codepoints so the bytes match the
+    * Spark side's \uXXXX literals exactly. */
+  private lazy val bpeByteFixtureValues: String = """
+      VALUES (-1, 'don''t scan? It''s $19.99 -- really?!'),
+             (-2, 'caf' || chr(233) || ' r' || chr(233) || 'sum' ||
+                  chr(233) || ' ' || chr(8364) || '100 at 25' ||
+                  chr(176) || 'C'),
+             (-3, 'line1' || chr(10) || 'line2' || chr(9) ||
+                  'tab  two spaces'),
+             (-4, chr(128512) || chr(128512) || ' emoji'),
+             (-5, ''),
+             (-6, '   ')"""
+
+  /** q210: full relational replay of the byte-level tokenizer —
+    * regex pretokenize (identical pattern), byte-map each UTF-8 byte
+    * of each distinct pretoken via hex pairs, then the q174 recursive
+    * min-rank/leftmost encode chain over the byte merges. */
+  private lazy val q210BpeByte: String = s"""
+      WITH RECURSIVE
+      bmerges(rank, lhs, rhs) AS (VALUES $bpeByteMergesValues),
+      bmap(hx, sym) AS (VALUES $bpeByteMapValues),
+      d(doc_id, text) AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL $bpeByteFixtureValues),
+      pt AS (SELECT doc_id,
+        unnest(regexp_extract_all(text, '$bpeBytePatternSql')) AS tok
+        FROM d),
+      wd(tok) AS (SELECT DISTINCT tok FROM pt),
+      wb AS (SELECT tok, hex(encode(tok)) AS h FROM wd),
+      pos AS (SELECT tok, h,
+        unnest(range(1, CAST(length(h) // 2 AS BIGINT) + 1)) AS i
+        FROM wb),
+      sy AS (SELECT p.tok, p.i, bm.sym
+        FROM pos p JOIN bmap bm
+          ON bm.hx = substr(p.h, CAST(2 * p.i - 1 AS INT), 2)),
+      w0 AS MATERIALIZED (SELECT tok,
+          ' ' || string_agg(sym, ' ' ORDER BY i) || ' ' AS w
+        FROM sy GROUP BY tok),
+      rec AS (
+        SELECT tok AS wid, w FROM w0
+        UNION ALL
+        SELECT r.wid,
+          substr(r.w, 1, strpos(r.w, b.pat) - 1) || b.rep ||
+            substr(r.w, strpos(r.w, b.pat) + length(b.pat))
+        FROM rec r JOIN LATERAL (
+          SELECT ' ' || m.lhs || ' ' || m.rhs || ' ' AS pat,
+                 ' ' || m.lhs || m.rhs || ' ' AS rep
+          FROM bmerges m
+          WHERE strpos(r.w, ' ' || m.lhs || ' ' || m.rhs || ' ') > 0
+          ORDER BY m.rank LIMIT 1) b ON true),
+      fin AS (
+        SELECT wid, length(w) - length(replace(w, ' ', '')) - 1 AS c
+        FROM rec r
+        WHERE NOT EXISTS (SELECT 1 FROM bmerges m
+          WHERE strpos(r.w, ' ' || m.lhs || ' ' || m.rhs || ' ') > 0)),
+      np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pt
+        GROUP BY doc_id),
+      bp AS (SELECT pt.doc_id, CAST(sum(f.c) AS BIGINT) AS b
+        FROM pt JOIN fin f ON f.wid = pt.tok GROUP BY pt.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(np.n, 0) AS BIGINT) AS n_pretokens,
+        CAST(coalesce(bp.b, 0) AS BIGINT) AS bpe_byte_tokens
+      FROM d
+      LEFT JOIN np ON np.doc_id = d.doc_id
+      LEFT JOIN bp ON bp.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
 
   /** Shared sentence-lane CTEs (q180/q183): replay of
     * `SparkEntry.sentencify` over the corpus (every 7th word gains a

@@ -2988,6 +2988,51 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Fixture documents for the BYTE-level BPE lane: contractions,
+    * glued punctuation, prices, whitespace runs (tab/newline), and
+    * multi-byte UTF-8 (latin-1 accents, a 3-byte euro sign, a 4-byte
+    * emoji — byte fallback across every UTF-8 width). Non-ASCII is
+    * authored as \\uXXXX escapes here and as chr() codepoints in the
+    * oracle, so both engines hold identical bytes. */
+  private def bpeByteFixtureDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (-1L, "don't scan? It's $19.99 -- really?!"),
+      (-2L, "caf\u00e9 r\u00e9sum\u00e9 \u20ac100 at 25\u00b0C"),
+      (-3L, "line1\nline2\ttab  two spaces"),
+      (-4L, "\ud83d\ude00\ud83d\ude00 emoji"),
+      (-5L, ""),
+      (-6L, "   ")).toDF("doc_id", "text")
+  }
+
+  /** BYTE-LEVEL BPE token counts ([[graft.plans.BpeByteTokenCount]]
+    * over `src/main/resources/graft/bpe_byte_merges.tsv`) — the
+    * GPT-2-class tokenizer shape: a real regex pretokenizer
+    * (contraction/letter/digit/punctuation/whitespace splits,
+    * [[graft.functions.BpeByte.PretokenRegex]], RE2-safe by
+    * construction), the byte↔unicode alphabet, and the standard
+    * encoder. The oracle replays ALL THREE stages relationally:
+    * `regexp_extract_all` with the identical pattern, the 256-row
+    * byte-map VALUES table over `hex(encode(tok))` pairs, and the
+    * q174 recursive min-rank/leftmost encode CTE over the byte-space
+    * merges — pretoken counts and token counts must hash-match
+    * exactly. Unlike q174's whitespace pretokens, "scan?" here splits
+    * into `scan|?` and whitespace runs cost tokens (real byte-level
+    * behavior). Same 100-TB shape as q174: one codegen'd map-side
+    * kernel, nothing shuffles. */
+  def q210_bpe_byte(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.BpeByteExpressions.register(s)
+    documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(bpeByteFixtureDocs(s))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(graft.functions.BpeByte.PretokenRegex), lit(0)))
+          .cast("long").as("n_pretokens"),
+        call_function("graft_bpe_byte_count", col("text"))
+          .as("bpe_byte_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch percentiles next to the exact form: q59's exact
     * interpolated quartiles per order status PLUS a `sketch_ok` flag
     * proving `approx_percentile` (the at-scale form — one mergeable
@@ -4839,6 +4884,7 @@ object SparkEntry {
     "q207_scene_cuts" -> (q207_scene_cuts _),
     "q208_stickiness" -> (q208_stickiness _),
     "q209_weighted_paths" -> (q209_weighted_paths _),
+    "q210_bpe_byte" -> (q210_bpe_byte _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

@@ -374,8 +374,9 @@ object TextFunctions {
   def wordCost(word: Column, tokenizer: String): Column = tokenizer match {
     case "estimate" => wordTokenCost(word)
     case "bpe" => call_function(graft.plans.BpeWordCost.name, word)
+    case "bpe-byte" => call_function(graft.plans.BpeByteWordCost.name, word)
     case other => throw new IllegalArgumentException(
-      s"tokenizer must be estimate|bpe, got $other")
+      s"tokenizer must be estimate|bpe|bpe-byte, got $other")
   }
 
   /** Per-DOCUMENT token count under the chosen tokenizer (the
@@ -384,8 +385,9 @@ object TextFunctions {
   def tokenCountOf(text: Column, tokenizer: String): Column = tokenizer match {
     case "estimate" => tokenEstimate(text)
     case "bpe" => call_function(graft.plans.BpeTokenCount.name, text)
+    case "bpe-byte" => call_function(graft.plans.BpeByteTokenCount.name, text)
     case other => throw new IllegalArgumentException(
-      s"tokenizer must be estimate|bpe, got $other")
+      s"tokenizer must be estimate|bpe|bpe-byte, got $other")
   }
 
   /** Hashed-feature bucket of one token: polynomial hash of its code
