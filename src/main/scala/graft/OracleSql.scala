@@ -19,6 +19,18 @@ object OracleSql {
     "q175_bpe_chunks" -> q175BpeChunks,
     "q210_bpe_byte" -> q210BpeByte,
 
+    // q211: the oracle retrains the identical stupid-backoff LM — same
+    // trim/lower/\s+ tokenizer, same clean-split, same count tables,
+    // same backoff chain with alpha=0.4; backoff-level counts are exact
+    // integers, nll/ppl follow the q88 ln-agreement discipline
+    "q211_backoff_ppl" -> q211BackoffPpl,
+
+    // q212: the ppl gate composed with the Gopher gate per source —
+    // the backoff chain (q211's) and the gopher replay (q132's) feed
+    // one per-source rollup
+    "q212_ppl_quality_gate" -> q212PplQualityGate,
+
+
     // q176: exact quartiles are recomputed; the sketch's rank-ε flag is
     // the q40 discipline — accuracy 10000 bounds rank error under one
     // row at this scale, so it pins to 1
@@ -3785,6 +3797,147 @@ object OracleSql {
       LEFT JOIN np ON np.doc_id = d.doc_id
       LEFT JOIN bp ON bp.doc_id = d.doc_id
       ORDER BY d.doc_id"""
+
+  // ---- stupid-backoff LM oracles (q211/q212) -----------------------------
+
+  /** The shared stupid-backoff chain: trains uni/bi/tri count tables
+    * on the clean split (doc_id % 3 = 0), scores every token through
+    * trigram→bigram→unigram→OOV with α = 0.4, and aggregates per doc
+    * (`agg`: n_tri/n_bi/n_uni/n_oov exact, anll float). `tdoc` carries
+    * (doc_id, source, text, toks) so composition lanes can join gates. */
+  private def backoffChain(finalSelect: String): String = s"""
+      WITH tdoc AS (
+        SELECT doc_id, source, text,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents),
+      tr AS (SELECT toks FROM tdoc WHERE doc_id % 3 = 0),
+      ug AS (SELECT unnest(toks) AS g FROM tr),
+      uni AS (SELECT g, count(*) AS c1 FROM ug GROUP BY 1),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS g
+        FROM tr WHERE len(toks) >= 2),
+      bi AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+      tg AS (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+            || ' ' || toks[CAST(i + 2 AS INT)])) AS g
+        FROM tr WHERE len(toks) >= 3),
+      tri AS (SELECT g, count(*) AS c3 FROM tg GROUP BY 1),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS v FROM uni),
+      tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+        FROM tdoc),
+      tk2 AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS w,
+          CASE WHEN i >= 2 THEN toks[CAST(i - 1 AS INT)] END AS p1,
+          CASE WHEN i >= 3 THEN toks[CAST(i - 2 AS INT)] END AS p2
+        FROM tk),
+      sc AS (
+        SELECT t.doc_id,
+          CASE WHEN t.p2 IS NOT NULL AND t3.c3 IS NOT NULL THEN 'tri'
+               WHEN t.p1 IS NOT NULL AND b2.c2 IS NOT NULL THEN 'bi'
+               WHEN u1.c1 IS NOT NULL THEN 'uni'
+               ELSE 'oov' END AS lvl,
+          CASE WHEN t.p2 IS NOT NULL AND t3.c3 IS NOT NULL
+                 THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+               WHEN t.p1 IS NOT NULL AND b2.c2 IS NOT NULL
+                 THEN CAST(b2.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)
+               WHEN u1.c1 IS NOT NULL
+                 THEN CAST(u1.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               ELSE 1.0 / CAST(tot.n + tot.v AS DOUBLE) END AS base,
+          CASE WHEN t.p2 IS NOT NULL THEN
+                 CASE WHEN t3.c3 IS NOT NULL THEN 0
+                      WHEN b2.c2 IS NOT NULL THEN 1 ELSE 2 END
+               WHEN t.p1 IS NOT NULL THEN
+                 CASE WHEN b2.c2 IS NOT NULL THEN 0 ELSE 1 END
+               ELSE 0 END AS steps
+        FROM tk2 t
+        LEFT JOIN tri t3 ON t.p2 IS NOT NULL
+          AND t3.g = t.p2 || ' ' || t.p1 || ' ' || t.w
+        LEFT JOIN bi bc ON t.p2 IS NOT NULL
+          AND bc.g = t.p2 || ' ' || t.p1
+        LEFT JOIN bi b2 ON t.p1 IS NOT NULL
+          AND b2.g = t.p1 || ' ' || t.w
+        LEFT JOIN uni uc ON uc.g = t.p1
+        LEFT JOIN uni u1 ON u1.g = t.w
+        CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN lvl = 'tri' THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+          CAST(sum(CASE WHEN lvl = 'bi' THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+          CAST(sum(CASE WHEN lvl = 'uni' THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+          CAST(sum(CASE WHEN lvl = 'oov' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          avg(-ln(CASE WHEN steps = 0 THEN base
+                       WHEN steps = 1 THEN 0.4 * base
+                       ELSE 0.4 * (0.4 * base) END)) AS anll
+        FROM sc GROUP BY doc_id)
+      $finalSelect"""
+
+  private lazy val q211BackoffPpl: String = backoffChain("""
+      SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+        CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+        CAST(coalesce(a.n_uni, 0) AS BIGINT) AS n_uni,
+        CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+        round(a.anll, 6) AS nll, round(exp(a.anll), 6) AS ppl
+      FROM tdoc d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
+
+  /** q212: per-source rollup of the ppl gate (rounded ppl <= 20, the
+    * q211 value) composed with the Gopher gate (q132's replay,
+    * minWords = 30) — kept-token accounting included. */
+  private lazy val q212PplQualityGate: String = backoffChain("""
+      , gf AS (
+        SELECT doc_id,
+          CASE WHEN len(toks2) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(toks2, x -> length(x)))
+                      AS DOUBLE) / len(toks2) END AS mwl,
+          CASE WHEN len(toks2) = 0 THEN 0.0
+               ELSE ((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) / 3)
+                    / CAST(len(toks2) AS DOUBLE) END AS symr,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lines, l ->
+                      regexp_matches(trim(l), '^[-*\x{2022}]')))
+                      AS DOUBLE) / len(lines) END AS bulr,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lines, l ->
+                      regexp_matches(trim(l), '(\.\.\.|\x{2026})$')))
+                      AS DOUBLE) / len(lines) END AS ellr,
+          CASE WHEN len(toks2) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks2, x ->
+                      regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(toks2) END AS alpr,
+          CAST(len(list_filter(list_distinct(toks), x -> x IN
+            ('the','be','to','of','and','that','have','with'))) AS INT)
+            AS shits,
+          CAST(len(toks2) AS INT) AS nw
+        FROM (SELECT doc_id, text, toks,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(text), '\s+') END AS toks2,
+                string_split(text, chr(10)) AS lines
+              FROM tdoc)),
+      flags AS (
+        SELECT d.doc_id, d.source,
+          CAST(len(d.toks) AS BIGINT) AS n_tokens,
+          CASE WHEN a.anll IS NOT NULL
+                AND round(exp(a.anll), 6) <= 20.0 THEN 1 ELSE 0 END AS p,
+          CASE WHEN g.nw BETWEEN 30 AND 100000
+                AND g.mwl BETWEEN 3.0 AND 10.0
+                AND g.symr <= 0.1 AND g.bulr <= 0.9 AND g.ellr <= 0.3
+                AND g.alpr >= 0.8 AND g.shits >= 2
+               THEN 1 ELSE 0 END AS gp
+        FROM tdoc d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        JOIN gf g ON g.doc_id = d.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(p) AS BIGINT) AS n_ppl_pass,
+        CAST(sum(gp) AS BIGINT) AS n_gopher_pass,
+        CAST(sum(p * gp) AS BIGINT) AS n_both,
+        CAST(sum(CASE WHEN p * gp = 1 THEN n_tokens ELSE 0 END)
+          AS BIGINT) AS kept_tokens
+      FROM flags GROUP BY source ORDER BY source""")
 
   /** Shared sentence-lane CTEs (q180/q183): replay of
     * `SparkEntry.sentencify` over the corpus (every 7th word gains a

@@ -3826,6 +3826,52 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** STUPID-BACKOFF PERPLEXITY under a clean-corpus LM
+    * ([[CorpusPrep.stupidBackoffScore]]) — the CCNet-style gate stage:
+    * the LM trains on the designated clean third of the corpus
+    * (doc_id % 3 = 0) and scores EVERY document through the
+    * trigram→bigram→unigram→OOV backoff chain. The oracle retrains
+    * the identical count tables and replays the chain per token; the
+    * per-doc backoff-level counts (n_tri/n_bi/n_uni/n_oov) are exact
+    * integers — the hash-stable proof of the backoff logic — and
+    * nll/ppl follow q88's ln-agreement discipline. */
+  def q211_backoff_ppl(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    CorpusPrep.stupidBackoffScore(docs,
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The PERPLEXITY GATE composed into the quality stack
+    * ([[CorpusPrep.stupidBackoffScore]] + [[graft.functions
+    * .TextFunctions.gopherPass]]): per-source counts of documents
+    * passing the clean-corpus-LM gate (rounded ppl <= 20 — train-split
+    * docs score ~4-10, the rest ~40-80, so the threshold genuinely
+    * splits), the Gopher gate, and both, with kept-token accounting —
+    * the CCNet-style stage slotted next to the existing heuristic
+    * gates. The oracle recomputes BOTH gates from scratch (the q211
+    * chain + the q132 replay) and the rollup. */
+  def q212_ppl_quality_gate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = documents(s, dir).select(col("doc_id"), col("source"),
+      col("text"))
+    val scored = CorpusPrep.stupidBackoffScore(docs,
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("ppl"))
+    docs.join(scored, Seq("doc_id"))
+      .select(col("source"), col("n_tokens"),
+        coalesce((col("ppl") <= 20.0).cast("int"), lit(0)).as("__p"),
+        gopherPass(col("text"), minWords = 30).cast("int").as("__g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__p")).cast("long").as("n_ppl_pass"),
+        sum(col("__g")).cast("long").as("n_gopher_pass"),
+        sum(col("__p") * col("__g")).cast("long").as("n_both"),
+        sum(when(col("__p") * col("__g") === 1, col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** CONNECTED COMPONENTS ([[Graph.connectedComponents]], alternating
     * large-star/small-star — O(log²) rounds, diameter-independent) over
     * the strong-tie trade graph (customer–supplier pairs with ≥ 3
@@ -4885,6 +4931,8 @@ object SparkEntry {
     "q208_stickiness" -> (q208_stickiness _),
     "q209_weighted_paths" -> (q209_weighted_paths _),
     "q210_bpe_byte" -> (q210_bpe_byte _),
+    "q211_backoff_ppl" -> (q211_backoff_ppl _),
+    "q212_ppl_quality_gate" -> (q212_ppl_quality_gate _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

@@ -109,6 +109,132 @@ object CorpusPrep {
         coalesce(col("__nbi"), lit(0L)).as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity gate LM: STUPID BACKOFF (Brants et al.,
+    * "Large Language Models in Machine Translation", EMNLP'07) over
+    * word trigrams, trained on a designated CLEAN corpus and scoring
+    * every document — the canonical "perplexity under a clean-corpus
+    * LM" quality stage (Wenzek et al., CCNet, LREC'20). Unlike
+    * [[lmPerplexity]] (a smoothed bigram self-model), this is a
+    * reference-corpus model with the standard backoff chain:
+    *
+    *   S(w | u,v) = c3(uvw)/c2(uv)        if c3 > 0
+    *              = α·S(w | v)            otherwise
+    *   S(w | v)   = c2(vw)/c1(v)          if c2 > 0
+    *              = α·S(w)                otherwise
+    *   S(w)       = c1(w)/N               if c1 > 0
+    *              = 1/(N+V)               otherwise (OOV floor)
+    *
+    * Doc-initial positions start at the deepest level their context
+    * allows (no α penalty for a missing, as opposed to unmatched,
+    * context). Scores are not normalized probabilities — the standard
+    * stupid-backoff trade; at web scale it matches smoothed Kneser-Ney
+    * gates while needing only COUNT TABLES, which is what makes it
+    * trainable relationally (one explode + groupBy per order, the q191
+    * trainer discipline) and replayable by an external oracle: every
+    * ratio is a quotient of exact integer counts, the backoff LEVEL of
+    * every token is emitted as exact per-doc counts (n_tri/n_bi/n_uni/
+    * n_oov — the hash-stable half), and nll/ppl follow the q88
+    * ln-agreement discipline (ln of identical IEEE doubles, rounded).
+    *
+    * Scale shape: counts are vocabulary-sized aggregates of the TRAIN
+    * corpus (broadcastable in the common case); scoring is one
+    * posexplode + one per-doc window (two lags) + five count-table
+    * joins + one per-doc agg — no self-joins of the corpus, row volume
+    * ∝ tokens. Tokenization is the house trim/lower/`\s+` convention.
+    *
+    * Output: idCol, n_tokens, n_tri, n_bi, n_uni, n_oov, nll, ppl
+    * (nll/ppl null for empty docs). */
+  def stupidBackoffScore(docs: DataFrame, train: DataFrame,
+                         textCol: String, idCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val docToks = docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val trainToks = train
+      .select(TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val n = size(col("__toks"))
+    def grams(k: Int) = trainToks.where(n >= k).select(
+      explode(
+        if (k == 1) col("__toks")
+        else (2 to k).foldLeft(slice(col("__toks"), lit(1), n - (k - 1))) {
+          (acc, j) => zip_with(acc,
+            slice(col("__toks"), lit(j), n - (k - 1)),
+            (a, b) => concat_ws(" ", a, b))
+        }).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as(s"__c$k"))
+    val uni = grams(1)
+    val bi = grams(2)
+    val tri = grams(3)
+    val totals = uni.agg(sum(col("__c1")).as("__N"),
+      count(lit(1)).as("__V"))
+
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val t = docToks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i", "__w")))
+      .withColumn("__p1", lag(col("__w"), 1).over(w))
+      .withColumn("__p2", lag(col("__w"), 2).over(w))
+    val scoredTok = t
+      .join(tri.select(col("g").as("__g3"), col("__c3")),
+        concat_ws(" ", col("__p2"), col("__p1"), col("__w")) === col("__g3"),
+        "left")
+      .join(bi.select(col("g").as("__gc2"), col("__c2").as("__c2ctx")),
+        concat_ws(" ", col("__p2"), col("__p1")) === col("__gc2"), "left")
+      .join(bi.select(col("g").as("__g2"), col("__c2")),
+        concat_ws(" ", col("__p1"), col("__w")) === col("__g2"), "left")
+      .join(uni.select(col("g").as("__gc1"), col("__c1").as("__c1ctx")),
+        col("__p1") === col("__gc1"), "left")
+      .join(uni.select(col("g").as("__g1"), col("__c1")),
+        col("__w") === col("__g1"), "left")
+      .crossJoin(broadcast(totals))
+    // level: deepest order whose n-gram the train corpus has seen,
+    // bounded by how much context the position carries
+    val level =
+      when(col("__p2").isNotNull && col("__c3").isNotNull, lit("tri"))
+        .when(col("__p1").isNotNull && col("__c2").isNotNull, lit("bi"))
+        .when(col("__c1").isNotNull, lit("uni"))
+        .otherwise(lit("oov"))
+    // α once per UNMATCHED backoff step (a missing context level is
+    // not a penalty); fixed multiplication chains keep the IEEE op
+    // order identical in both engines
+    val steps =
+      when(col("__p2").isNotNull,
+        when(level === "tri", 0).when(level === "bi", 1).otherwise(2))
+        .when(col("__p1").isNotNull,
+          when(level === "bi", 0).otherwise(1))
+        .otherwise(0)
+    val base =
+      when(level === "tri",
+        col("__c3").cast("double") / col("__c2ctx").cast("double"))
+        .when(level === "bi",
+          col("__c2").cast("double") / col("__c1ctx").cast("double"))
+        .when(level === "uni",
+          col("__c1").cast("double") / col("__N").cast("double"))
+        .otherwise(lit(1.0) / (col("__N") + col("__V")).cast("double"))
+    val score =
+      when(steps === 0, base)
+        .when(steps === 1, lit(alpha) * base)
+        .otherwise(lit(alpha) * (lit(alpha) * base))
+    val perDoc = scoredTok
+      .withColumn("__lvl", level)
+      .withColumn("__nll", -log(score))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__lvl") === "tri", 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("__lvl") === "bi", 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("__lvl") === "uni", 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("__lvl") === "oov", 1L).otherwise(0L)).as("n_oov"),
+        avg(col("__nll")).as("__anll"))
+    docToks.select(col(idCol), n.cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(col("__anll"), 6).as("nll"),
+        round(exp(col("__anll")), 6).as("ppl"))
+  }
+
   // ---- deterministic stratified sampling ---------------------------------
 
   /** Exact-quota stratified sample: the `quota` lowest-md5 rows of every

@@ -1055,4 +1055,37 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out(2).getLong(1) === 0L && out(2).getLong(3) === 0L,
       "an empty doc scores 0 over 0")
   }
+
+  test("stupidBackoffScore: hand-computed backoff levels and nll") {
+    // train: two 3-token docs. counts: uni a:2 b:2 c:1 d:1 (N=6, V=4);
+    // bi "a b":2 "b c":1 "b d":1; tri "a b c":1 "a b d":1
+    val train = docs(10L -> "a b c", 11L -> "a b d")
+    val d = docs(1L -> "a b c", 2L -> "x b d", 3L -> "")
+    val out = CorpusPrep.stupidBackoffScore(d, train, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 1: a→uni 2/6, b→bi 2/2, c→tri 1/2 (no backoff steps anywhere)
+    val r1 = out(0)
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getLong(5))
+      === ((1L, 1L, 1L, 0L)))
+    val nll1 = -(math.log(2.0 / 6) + math.log(2.0 / 2) + math.log(1.0 / 2)) / 3
+    assert(math.abs(r1.getDouble(6) - nll1) < 1e-6)
+    assert(math.abs(r1.getDouble(7) - math.exp(nll1)) < 1e-5)
+    // doc 2: x→oov 1/(6+4); b after unseen x → one backoff step to
+    // unigram 0.4*(2/6); d→"b d" bigram after one step 0.4*(1/2)
+    val r2 = out(1)
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4), r2.getLong(5))
+      === ((0L, 1L, 1L, 1L)))
+    val nll2 = -(math.log(1.0 / 10) + math.log(0.4 * (2.0 / 6)) +
+      math.log(0.4 * (1.0 / 2))) / 3
+    assert(math.abs(r2.getDouble(6) - nll2) < 1e-6)
+    // doc 3: empty — zero counts, null nll/ppl
+    val r3 = out(2)
+    assert(r3.getLong(1) === 0L && r3.getLong(2) === 0L &&
+      r3.isNullAt(6) && r3.isNullAt(7))
+    // a train doc scored against its own LM sits far below a foreign
+    // doc — the gate property
+    assert(r1.getDouble(7) < r2.getDouble(7))
+    intercept[IllegalArgumentException](
+      CorpusPrep.stupidBackoffScore(d, train, "text", "doc_id", alpha = 1.5))
+  }
 }
