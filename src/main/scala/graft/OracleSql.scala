@@ -1759,6 +1759,15 @@ object OracleSql {
         strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // q214: Avro round-trip — same discipline as q80: the oracle
+    // aggregates the parquet directly, so the container-file write +
+    // read must be lossless to hash-match
+    "q214_avro_ingest" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // q81: the expected change feed derived straight from the raw table;
     // an upsert writing the value already present must NOT appear
     "q81_change_feed" -> """

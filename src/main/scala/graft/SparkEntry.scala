@@ -4554,6 +4554,31 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** AVRO ingest round-trip ([[graft.sources.Ingest.toAvro]]/
+    * [[graft.sources.Ingest.avro]]): orders lands as zstd Avro object
+    * container files once (content-keyed cache), is read back through
+    * the container reader (one partition per file), and aggregated;
+    * the oracle computes the same aggregate from the parquet directly,
+    * so the Avro round-trip (longs, doubles, the date logical type,
+    * [null,T] unions) must be lossless — the q80 ORC discipline for
+    * the remaining interchange format (Spark ships the Avro library
+    * but not the spark-avro DataSource; see Ingest's container-file
+    * scaladoc). */
+  def q214_avro_ingest(s: SparkSession, dir: String): DataFrame = {
+    val adir = cachedDerivedDir(dir, "orders.parquet", "avro-orders") { out =>
+      graft.sources.Ingest.toAvro(
+        orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderdate")),
+        out)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
+    }
+    graft.sources.Ingest.avro(s, adir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** The q81/q82 fixture: a versioned (doc_id, lang, tok) table with one
     * committed mutation batch — every 10th doc's lang upserted to 'xx',
     * every 7th-mod-3 doc deleted (upsert wins on overlap). */
@@ -4933,6 +4958,7 @@ object SparkEntry {
     "q210_bpe_byte" -> (q210_bpe_byte _),
     "q211_backoff_ppl" -> (q211_backoff_ppl _),
     "q212_ppl_quality_gate" -> (q212_ppl_quality_gate _),
+    "q214_avro_ingest" -> (q214_avro_ingest _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 
