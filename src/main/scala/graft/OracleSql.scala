@@ -1779,6 +1779,24 @@ object OracleSql {
       FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 3
       ORDER BY doc_id""",
 
+    // q215: cnt + exact distinct from the mutated final state; the two
+    // sketch flags are pinned — delta-maintained estimate must equal
+    // the full recompute (union linearity) and the exact count (the
+    // domain is far under the sketch's saturation)
+    "q215_hll_incremental" -> """
+      WITH final AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents
+        WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3))
+      SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+        CAST(1 AS INT) AS delta_eq_full,
+        CAST(1 AS INT) AS within_eps
+      FROM final GROUP BY lang ORDER BY lang""",
+
     // q82: the oracle aggregates the mutated FINAL state from scratch;
     // the engine maintained the same numbers incrementally from the feed
     "q82_agg_view" -> """

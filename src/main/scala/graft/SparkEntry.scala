@@ -4623,6 +4623,38 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** INCREMENTAL HLL MAINTENANCE ([[graft.operators.IncrementalAgg
+    * .applyDeltaWithHll]]): the per-(lang) distinct-token-count sketch
+    * column maintained from the SAME change feed q81 exposes — inserts
+    * merge into the stored sketch (union linearity, the property q201
+    * pins, now operational), retractions rescan ONLY their group. The
+    * delta-maintained estimate must EQUAL the full recompute's
+    * (`delta_eq_full` pinned 1) and sit within ε of the exact distinct
+    * (`within_eps` pinned 1 — the domain here is far under lgK=12's
+    * saturation, so the sketch is exact); the oracle recomputes cnt
+    * and the exact distinct from the mutated final state. */
+  def q215_hll_incremental(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.GraftTable(s, cdcDocsTable(s, dir), "doc_id")
+    val prev = graft.operators.IncrementalAgg.fullAggWithHll(t.readAsOf(-1L),
+      Seq("lang"), "tok")
+    val cur = t.read()
+    val delta = graft.operators.IncrementalAgg.applyDeltaWithHll(prev,
+      t.changeFeed(-1L, 0L), cur, Seq("lang"), "tok")
+    val full = graft.operators.IncrementalAgg.fullAggWithHll(cur, Seq("lang"), "tok")
+    val exact = cur.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    delta.select(col("lang"), col("cnt"),
+        hll_sketch_estimate(col("hll_tok")).as("__ed"))
+      .join(full.select(col("lang"),
+        hll_sketch_estimate(col("hll_tok")).as("__ef")), Seq("lang"))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("cnt"), col("n_exact"),
+        (col("__ed") === col("__ef")).cast("int").as("delta_eq_full"),
+        (abs(col("__ef") - col("n_exact").cast("double")) /
+          col("n_exact") <= 0.05).cast("int").as("within_eps"))
+      .orderBy(col("lang"))
+  }
+
   /** Skew-safe grouped top-k ([[graft.operators.Skew.saltedTopKPerKey]]):
     * top-3 orders per customer through the salted two-stage reduction —
     * per-final-task rows bounded by k·buckets however hot the key. The
@@ -4959,6 +4991,7 @@ object SparkEntry {
     "q211_backoff_ppl" -> (q211_backoff_ppl _),
     "q212_ppl_quality_gate" -> (q212_ppl_quality_gate _),
     "q214_avro_ingest" -> (q214_avro_ingest _),
+    "q215_hll_incremental" -> (q215_hll_incremental _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

@@ -131,6 +131,99 @@ object IncrementalAgg {
         extremaCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
   }
 
+  /** Full recompute with a mergeable HLL sketch column — defines the
+    * schema of [[applyDeltaWithHll]]: groupCols ++ (cnt,
+    * hll_<distinctCol>). The sketch column is the PERSISTED incremental
+    * distinct-count state: store it in the aggregate table and new data
+    * merges in without rescanning history (DataSketches HLL union is
+    * exact over sketches — sketch(A∪B) ≡ union(sketch(A), sketch(B)),
+    * the linearity the q201 lane pins). */
+  def fullAggWithHll(table: DataFrame, groupCols: Seq[String],
+                     distinctCol: String, lgK: Int = 12): DataFrame =
+    table.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        hll_sketch_agg(col(distinctCol), lit(lgK)).as(s"hll_$distinctCol"))
+
+  /** Maintain a per-group HLL distinct-count sketch from a change feed
+    * — the sketch analog of [[applyDeltaWithExtrema]]'s min/max
+    * discipline, with the same insert/retract asymmetry handled the
+    * same way: INSERTS merge exactly (one sketch-union per touched
+    * group — cost ∝ delta, never a rescan), while a RETRACTION of a
+    * value makes its group "dirty" (HLL cannot subtract) and only
+    * dirty groups recompute — from `newTable` filtered to them (a
+    * group-key join the scan can prune on). An UPDATE that keeps both
+    * the group and the distinct value is NOT dirty (nothing was
+    * retracted from the sketch's domain). A steady append-mostly
+    * workload pays one KB-sized sketch merge per group per batch.
+    *
+    * `newTable` must be the table state AFTER the feed was applied.
+    * Delta-maintained estimates equal the full recompute's EXACTLY
+    * for clean groups (union linearity) and trivially for recomputed
+    * ones — the spec pins estimate equality, not approximate
+    * closeness. */
+  def applyDeltaWithHll(prevAgg: DataFrame, feed: DataFrame,
+                        newTable: DataFrame, groupCols: Seq[String],
+                        distinctCol: String, lgK: Int = 12): DataFrame = {
+    val sk = s"hll_$distinctCol"
+    val cnts = applyDelta(
+      prevAgg.select(groupCols.map(col) :+ col("cnt"): _*),
+      feed, groupCols, Seq.empty)
+    // insert-side sketch per group (one pass over the feed)
+    val ins = feed.where(col("after").isNotNull)
+      .select(groupCols.map(g => col(s"after.$g").as(g)) :+
+        col(s"after.$distinctCol").as("__v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__ins"))
+      .select(groupCols.map(g => col(g).as(s"__i_$g")) :+ col("__ins"): _*)
+    // dirty = a retraction whose (group, value) does not survive
+    // in place — group moves, value changes, and deletes all retract
+    val survives = col("after").isNotNull &&
+      groupCols.map(g => col(s"after.$g") <=> col(s"before.$g"))
+        .reduce(_ && _) &&
+      (col(s"after.$distinctCol") <=> col(s"before.$distinctCol"))
+    val dirtyKeys = feed.where(col("before").isNotNull && !survives)
+      .select(groupCols.map(g => col(s"before.$g").as(s"__d_$g")): _*)
+      .distinct()
+      // explicit marker: a NULL group key is a group like any other,
+      // so presence cannot be read off the key columns themselves
+      .withColumn("__isdirty", lit(true))
+    // clean path: previous sketch ∪ inserted sketch (either side may
+    // be absent — hll_union null-propagates, so coalesce by presence)
+    val prevSk = prevAgg.select(groupCols.map(col) :+ col(sk): _*)
+    val insCond = groupCols.map(g => prevSk(g) <=> ins(s"__i_$g"))
+      .reduce(_ && _)
+    val merged = prevSk.join(ins, insCond, "full_outer")
+      .select(
+        groupCols.map(g => coalesce(prevSk(g), ins(s"__i_$g")).as(g)) :+
+          when(col(sk).isNull, col("__ins"))
+            .when(col("__ins").isNull, col(sk))
+            .otherwise(hll_union(col(sk), col("__ins"))).as("__clean"): _*)
+    val dirtyCond = groupCols.map(g => merged(g) <=> dirtyKeys(s"__d_$g"))
+      .reduce(_ && _)
+    val cleanWithFlag = merged.join(dirtyKeys, dirtyCond, "full_outer")
+      .select(
+        groupCols.map(g =>
+          coalesce(merged(g), dirtyKeys(s"__d_$g")).as(g)) :+
+          col("__clean") :+
+          coalesce(col("__isdirty"), lit(false)).as("__dirty"): _*)
+    // recompute ONLY the dirty groups from the post-feed table
+    val recCond = groupCols.map(g => newTable(g) <=> dirtyKeys(s"__d_$g"))
+      .reduce(_ && _)
+    val recomputed = newTable.join(dirtyKeys, recCond, "inner")
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("__re"))
+      .select(groupCols.map(g => col(g).as(s"__r_$g")) :+ col("__re"): _*)
+    val reCond = groupCols.map(g => cleanWithFlag(g) <=> recomputed(s"__r_$g"))
+      .reduce(_ && _)
+    val sketches = cleanWithFlag.join(recomputed, reCond, "left_outer")
+      .select(groupCols.map(g => cleanWithFlag(g).as(s"__s_$g")) :+
+        when(col("__dirty"), col("__re")).otherwise(col("__clean")).as(sk): _*)
+    val finalCond = groupCols.map(g => cnts(g) <=> sketches(s"__s_$g"))
+      .reduce(_ && _)
+    cnts.join(sketches, finalCond, "left_outer")
+      .select(groupCols.map(g => cnts(g)) :+ col("cnt") :+ col(sk): _*)
+  }
+
   /** Apply a change feed (key, change_type, before, after — the
     * [[graft.streaming.CdcMergeSink.rowDiff]] shape) to a previous
     * aggregate. Group and sum columns are fields of the before/after

@@ -157,4 +157,71 @@ class IncrementalAggSpec extends SparkSpec {
     assert(sortedRows(IncrementalAgg.applyDelta(agg, emptyFeed,
       Seq("cat"), Seq("v"))) === sortedRows(agg))
   }
+
+  test("hll maintenance: delta refresh == full recompute; inserts merge, retractions rescan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iaggh").toString
+    // values deliberately collide across rows: distinct(v) per group is
+    // what the sketch tracks, so surviving duplicates matter
+    val base = spark.range(0, 90).select(col("id"),
+      concat(lit("h"), (col("id") % 3).cast("string")).as("cat"),
+      concat(lit("v"), (col("id") % 7).cast("string")).as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 3)
+    CdcMergeSink.applyBatch(spark,
+      Seq(
+        (200L, "h0", "v99", "upsert"),  // pure insert: union path (clean)
+        (201L, "h1", "v0", "upsert"),   // insert of an already-seen value
+        (3L, "", "", "delete"),         // retraction -> h0 dirty
+        (4L, "h4", "v4", "upsert"),     // group move h1 -> h4: h1 dirty
+        (5L, "h2", "vX", "upsert"),     // value change in place: h2 dirty
+        (7L, "h1", "v0", "upsert"))     // no-op-shaped update: NOT dirty
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 0L)
+    val prev = IncrementalAgg.fullAggWithHll(
+      spark.read.parquet(s"$root/base"), Seq("cat"), "v")
+    val newState = CdcMergeSink.readAsOf(spark, root, 0L)
+    val feed = CdcMergeSink.changeFeed(spark, root, -1L, 0L, "id")
+    val got = IncrementalAgg.applyDeltaWithHll(prev, feed, newState,
+      Seq("cat"), "v")
+    val full = IncrementalAgg.fullAggWithHll(newState, Seq("cat"), "v")
+    def est(df: DataFrame) = df
+      .select(col("cat"), col("cnt"),
+        hll_sketch_estimate(col("hll_v")).as("e"))
+      .orderBy("cat").collect().map(_.toSeq).toSeq
+    // delta-maintained estimates EQUAL the full recompute's (union
+    // linearity for clean groups, rescan for dirty ones)
+    assert(est(got) === est(full))
+    // ... and the estimates match the exact distincts at this scale
+    val exact = newState.groupBy("cat")
+      .agg(countDistinct(col("v")).as("d"))
+      .orderBy("cat").collect().map(r => r.getString(0) -> r.getLong(1))
+    val gotE = got.select(col("cat"),
+        hll_sketch_estimate(col("hll_v")).as("e"))
+      .orderBy("cat").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(gotE.toSeq === exact.toSeq)
+    // cost ∝ delta: ONLY the retraction-touched groups rescan — the
+    // recompute branch's input is newTable ⋈ dirtyKeys, so an
+    // insert-only feed must keep the dirty set EMPTY (plan-checkable
+    // via the feed-derived dirty predicate itself)
+    val insertOnly = CdcMergeSink.rowDiff(
+      spark.emptyDataFrame.select(lit(1L).as("id"), lit("x").as("cat"),
+        lit("v").as("v")).where(lit(false)),
+      Seq((300L, "h0", "vNew")).toDF("id", "cat", "v"), "id")
+    val survives2 = col("after").isNotNull &&
+      (col("after.cat") <=> col("before.cat")) &&
+      (col("after.v") <=> col("before.v"))
+    assert(insertOnly.where(col("before").isNotNull && !survives2).isEmpty,
+      "insert-only feed must mark no group dirty")
+    // second batch chains on the maintained state (sketch state is
+    // genuinely incremental, not recomputed from scratch)
+    CdcMergeSink.applyBatch(spark,
+      Seq((301L, "h0", "vZ", "upsert"), (6L, "", "", "delete"))
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 1L)
+    val state2 = CdcMergeSink.readAsOf(spark, root, 1L)
+    val got2 = IncrementalAgg.applyDeltaWithHll(got,
+      CdcMergeSink.changeFeed(spark, root, 0L, 1L, "id"),
+      state2, Seq("cat"), "v")
+    assert(est(got2) === est(IncrementalAgg.fullAggWithHll(state2,
+      Seq("cat"), "v")))
+  }
 }
