@@ -227,6 +227,30 @@ object Bench {
       System.err.println(s"[bench] round-10 kernels failed: ${e.getMessage}")
     }
 
+    // ---- round-11 additions: the byte-level BPE kernel next to the
+    //      char-level one (regex pretokenize + byte map + encode, all
+    //      map-side), and the edit-distance join over LONG strings —
+    //      the de-amplified candidate path (id-pair dedup before the
+    //      texts join back; the gram join shuffles (g, id, len) only,
+    //      never Σ(shared grams × string bytes)) ----
+    try {
+      graft.plans.BpeByteExpressions.register(spark)
+      val docs = Tables.documents(spark, dataDir)
+      def bb(): Unit = runToNoop(docs.agg(
+        sum(call_function("graft_bpe_byte_count", col("text")))))
+      bb() // codegen + word-cache warm
+      results("bpe_byte_count") = (1 to 2).map(_ => time(bb())).min
+      val long = docs.select(col("doc_id"),
+          lower(substring(trim(col("text")), 1, 96)).as("k"))
+        .where(length(col("k")) >= 48)
+      def ed(): Unit = runToNoop(graft.operators.Dedup.editDistancePairs(
+        long, "k", "doc_id", maxDist = 2, maxBucketWidth = 64))
+      ed() // warm
+      results("edit_distance_long") = (1 to 2).map(_ => time(ed())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] round-11 kernels failed: ${e.getMessage}")
+    }
+
     // ---- persisted BM25 index (round 10): seed once, then serve term
     //      probes from the index vs recomputing postings from text —
     //      the recompute re-tokenizes the corpus per query set, the

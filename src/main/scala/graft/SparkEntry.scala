@@ -3899,8 +3899,10 @@ object SparkEntry {
     * the batch recompute over the FULL corpus, which is exactly what
     * the oracle (the q147 scorer) replays. Proves seed + ingest +
     * index-served scoring ≡ recompute: tf/df/dl from the index, N and
-    * avgdl from the compact doclen table, postings term-filtered with
-    * dim zone-map file pruning before IO. */
+    * avgdl from the MAINTAINED stats AggView (one row, caught up
+    * delta-priced at each ingest — exact longs, so the view path's
+    * scores are bit-identical to the doclen scan's), postings
+    * term-filtered with dim zone-map file pruning before IO. */
   def q185_bm25_indexed(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("text"))
     val root = java.nio.file.Files
@@ -3910,7 +3912,8 @@ object SparkEntry {
     CorpusPrep.bm25IndexIngest(root,
       docs.where(col("doc_id") % 2 =!= 0), "text", "doc_id")
     CorpusPrep.bm25TopKIndexed(s, root,
-      query = Seq("table", "scan", "stream"), k = 12)
+      query = Seq("table", "scan", "stream"), k = 12,
+      statsFromView = true)
   }
 
   /** N-GRAM NOVELTY per document — the memorization/duplication signal

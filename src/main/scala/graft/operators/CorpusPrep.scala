@@ -956,11 +956,15 @@ object CorpusPrep {
         col("term"), col("doc_id"), col("tf"), col("dl"))
 
   /** Doc-length rows for the companion `doclen` table (EVERY doc, empty
-    * ones included — they count in N and avgdl, the q147 lens rule). */
+    * ones included — they count in N and avgdl, the q147 lens rule).
+    * `grp` is the constant group key the maintained corpus-stats
+    * AggView hangs off (cnt = N, sum_dl; both exact longs, so
+    * sum_dl/cnt is bit-identical to the scan path's avg). */
   private def bm25LenRows(docs: DataFrame, textCol: String,
                           idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-      TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("dl"))
+      TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("dl"),
+      lit(0L).as("grp"))
 
   /** Seed a PERSISTED BM25 inverted index at `indexRoot` — the
     * [[graft.operators.Dedup.dedupIncremental]] discipline applied to
@@ -988,6 +992,11 @@ object CorpusPrep {
     val lens = bm25LenRows(docs, textCol, idCol)
     graft.GraftTable.create(lens, s"$indexRoot/doclen", "doc_id",
       math.max(1, lens.rdd.getNumPartitions.min(16)))
+    // corpus stats (N, Σdl) as a maintained view — per-ingest cost is
+    // the batch's delta, and a probe reads ONE row instead of scanning
+    // doclen
+    graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
+      Seq("grp"), Seq("dl")): Unit
   }
 
   /** Ingest one batch into the persisted BM25 index: tokenize the BATCH
@@ -1008,6 +1017,10 @@ object CorpusPrep {
     graft.GraftTable(spark, s"$indexRoot/doclen", "doc_id")
       .commit(bm25LenRows(newDocs, textCol, idCol)
         .withColumn("op", lit("upsert"))): Unit
+    // catch the stats view up — delta-priced (the change feed of the
+    // batch just committed)
+    graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
+      Seq("grp"), Seq("dl")): Unit
     graft.GraftTable(spark, s"$indexRoot/postings", "idx_key")
       .commit(bm25PostingRows(newDocs, textCol, idCol)
         .withColumn("op", lit("upsert")))
@@ -1019,12 +1032,15 @@ object CorpusPrep {
     * index reads: postings arrive term-filtered (dim zone maps prune
     * files before IO), df comes from the probed postings (exact — a
     * term's df is its posting count), and N/avgdl aggregate the compact
-    * `doclen` table (one pass over 16-byte rows; swap in a maintained
-    * [[graft.streaming.AggView]] when even that scan is too much).
-    * Nothing here touches document text. */
+    * `doclen` table — or, with `statsFromView`, read as ONE maintained
+    * [[graft.streaming.AggView]] row (cnt, sum_dl — exact longs, so
+    * sum_dl/cnt is bit-identical to the scan path's avg and scores
+    * cannot drift between the two). Nothing here touches document
+    * text. */
   def bm25TopKIndexed(spark: SparkSession, indexRoot: String,
                       query: Seq[String], k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75,
+                      statsFromView: Boolean = false): DataFrame = {
     require(query.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
     val terms = query.map(_.toLowerCase).distinct
@@ -1033,9 +1049,15 @@ object CorpusPrep {
       .select(col("term").as("__t"), col("doc_id"),
         col("tf").cast("double").as("__tf"),
         col("dl").cast("double").as("__dl"))
-    val stats = spark.read.format("graft").load(s"$indexRoot/doclen")
-      .agg(count(lit(1)).cast("double").as("__n"),
-        avg(col("dl").cast("double")).as("__avgdl"))
+    val stats =
+      if (statsFromView)
+        graft.streaming.AggView.read(spark, s"$indexRoot/doclen")
+          .select(col("cnt").cast("double").as("__n"),
+            (col("sum_dl").cast("double") / col("cnt").cast("double"))
+              .as("__avgdl"))
+      else spark.read.format("graft").load(s"$indexRoot/doclen")
+        .agg(count(lit(1)).cast("double").as("__n"),
+          avg(col("dl").cast("double")).as("__avgdl"))
     val df = post.groupBy(col("__t"))
       .agg(count(lit(1)).cast("double").as("__df"))
     val idf = log(lit(1.0) +

@@ -167,9 +167,15 @@ object EventAnalytics {
     * replayable by an external oracle. `minPrior` suppresses the
     * cold-start rows (n too small for a meaningful σ). Every input row
     * returns with its flag (auditable-gate contract); a NULL value has
-    * no basis for a verdict and carries a NULL flag, and it never
-    * enters later windows (n counts VALUES, not rows, so S/Q/n stay
-    * consistent when nulls occur).
+    * no basis for a verdict and carries a NULL flag. S/Q/n aggregate
+    * VALUES (nulls contribute nothing), but the frame is ROWS-based: a
+    * null row still occupies one of the `lookback` slots and thereby
+    * evicts an older real value — on a null-bearing stream the
+    * effective value window shrinks below `lookback` (and the
+    * streaming twin, whose MetricEvent.value is a primitive, sees no
+    * nulls at all). Callers needing full-width windows over sparse
+    * values should filter nulls out upstream and join the flag rows
+    * back.
     *
     * Scale shape: ONE per-key ordered window (rows-frame sum/count) —
     * the funnel family's accepted user-bounded partition; nothing else

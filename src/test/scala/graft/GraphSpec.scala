@@ -180,6 +180,9 @@ class GraphSpec extends SparkSpec {
   }
 
   test("no cached plans linger after the graph operators run") {
+    // the CacheManager is shared JVM-wide across suites — start from a
+    // clean slate so the assertion sees only what THESE calls add
+    spark.catalog.clearCache()
     val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
     val e = (und ++ und.map(_.swap)).toDF("src", "dst")
       .withColumn("w", lit(1L))
