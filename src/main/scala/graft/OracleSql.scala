@@ -312,6 +312,53 @@ object OracleSql {
     "q196_shortest_paths" -> q196ShortestPaths,
 
     "q209_weighted_paths" -> q209WeightedPaths,
+    "q216_hits" -> q216Hits,
+
+    // q217: the WHOLE KMV sketch replayed — portable polynomial hash
+    // per user, k smallest distinct per type, union/intersection set
+    // algebra, and the (k-1)·mod // h_k estimates; nothing pinned
+    "q217_kmv_overlap" -> """
+      WITH ud AS (SELECT event_type,
+          CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d') AS uk
+        FROM events),
+      uh AS (
+        SELECT DISTINCT event_type,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(uk) + 1),
+              i -> CAST(unicode(substr(uk, CAST(i AS INT), 1)) AS BIGINT))),
+            (h, c) -> (h * 131 + c) % 1000000007)
+           * 2654435761 + 104729) % 1000000007 AS h
+        FROM ud),
+      rk AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM uh),
+      sk AS (SELECT event_type, list(h ORDER BY h) AS s
+        FROM rk WHERE rn <= 64 GROUP BY event_type),
+      pairs AS (
+        SELECT a.event_type AS type_a, a.s AS sa,
+               b.event_type AS type_b, b.s AS sb
+        FROM sk a JOIN sk b ON a.event_type < b.event_type),
+      comb AS (SELECT type_a, type_b, sa, sb,
+          list_sort(list_distinct(list_concat(sa, sb)))[1:64] AS u
+        FROM pairs),
+      est AS (SELECT type_a, type_b,
+          CAST(CASE WHEN len(sa) < 64 THEN len(sa)
+               ELSE (CAST(63 AS BIGINT) * 1000000007) // sa[64]
+               END AS BIGINT) AS est_a,
+          CAST(CASE WHEN len(sb) < 64 THEN len(sb)
+               ELSE (CAST(63 AS BIGINT) * 1000000007) // sb[64]
+               END AS BIGINT) AS est_b,
+          CAST(CASE WHEN len(u) < 64 THEN len(u)
+               ELSE (CAST(63 AS BIGINT) * 1000000007) // u[64]
+               END AS BIGINT) AS est_union,
+          CAST(len(list_filter(u, x ->
+            list_contains(sa, x) AND list_contains(sb, x)))
+            AS BIGINT) AS inter_k,
+          CAST(len(u) AS BIGINT) AS denom_k
+        FROM comb)
+      SELECT type_a, type_b, est_a, est_b, est_union, inter_k, denom_k,
+        CAST((inter_k * 1000000) // denom_k AS BIGINT) AS j_micros
+      FROM est ORDER BY type_a, type_b""",
 
     // q213: TRUE components via an independent reachability closure —
     // not a replay of the star-contraction rounds, so a hash match
@@ -4130,6 +4177,50 @@ object OracleSql {
       $steps
       SELECT id AS node_id, rp AS rank_pico FROM r$iters
       ORDER BY rank_pico DESC, node_id LIMIT 30"""
+  }
+
+  /** q216: the HITS power iteration replayed as a generated
+    * MATERIALIZED-CTE chain (the q192 discipline) — per superstep:
+    * authority = in-edge hub sum, max-normalize to `unit` (exact
+    * floor division, never reorders), hub = out-edge authority sum,
+    * normalize. All integers; scores hash-match bit for bit. */
+  private lazy val q216Hits: String = {
+    val (iters, unit) = (4, 1000000L)
+    val steps = (1 to iters).map { i =>
+      s"""
+      ar$i AS (SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, sum(h.v) AS v
+          FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst) s
+          ON s.id = n.id),
+      am$i AS (SELECT CAST(max(v) AS BIGINT) AS m FROM ar$i),
+      a$i AS MATERIALIZED (SELECT id,
+          CAST((v * $unit) // (SELECT m FROM am$i) AS BIGINT) AS v
+        FROM ar$i),
+      hr$i AS (SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS id, sum(a.v) AS v
+          FROM e JOIN a$i a ON a.id = e.dst GROUP BY e.src) s
+          ON s.id = n.id),
+      hm$i AS (SELECT CAST(max(v) AS BIGINT) AS m FROM hr$i),
+      h$i AS MATERIALIZED (SELECT id,
+          CAST((v * $unit) // (SELECT m FROM hm$i) AS BIGINT) AS v
+        FROM hr$i)"""
+    }.mkString(",")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS src,
+          $SuppNodeOffset + l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+      h0 AS MATERIALIZED (SELECT id, CAST($unit AS BIGINT) AS v FROM nodes),
+      $steps
+      SELECT n.id AS node_id, h.v AS hub_score, a.v AS auth_score
+      FROM nodes n
+      JOIN h$iters h ON h.id = n.id
+      JOIN a$iters a ON a.id = n.id
+      ORDER BY n.id"""
   }
 
   /** q196: the BFS relaxation chain, generated (the q192 discipline).

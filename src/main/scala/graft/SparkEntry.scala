@@ -3872,6 +3872,65 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** KMV DISTINCT-OVERLAP sketching ([[graft.functions.Udx
+    * .kmvSketch]]): per-event-type k-minimum-values sketches of the
+    * distinct USER-DAY population (every user hits every type in the
+    * fixture, so user-days are the domain with real partial overlap;
+    * k=64, fed by the engine-portable polynomial hash), then pairwise
+    * SET ALGEBRA over the sketches
+    * alone — union estimate, intersection count inside the union
+    * sketch, and a floor-micros Jaccard — the audience-overlap /
+    * cross-contamination question a union-only sketch (HLL) cannot
+    * answer without inclusion-exclusion error stacking. Because the
+    * hash is portable, the oracle replays the ENTIRE sketch — the k
+    * smallest distinct hashes per type, the union, the estimates —
+    * exactly; nothing is pinned. */
+  def q217_kmv_overlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions, Udx}
+    val k = 64
+    val ev = events(s, dir).select(col("event_type"),
+      Udx.kmvHash(concat(col("user_id").cast("string"),
+        lit("-"), date_format(col("ts"), "yyyy-MM-dd"))).as("__h"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(Udx.kmvSketch(k)(col("__h")).as("__s"))
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("__s").as("__sa"))
+      .crossJoin(sk.select(col("event_type").as("type_b"),
+        col("__s").as("__sb")))
+      .where(col("type_a") < col("type_b"))
+    pairs
+      .withColumn("__u", Udx.kmvUnion(col("__sa"), col("__sb"), k))
+      .select(col("type_a"), col("type_b"),
+        Udx.kmvEstimate(col("__sa"), k).as("est_a"),
+        Udx.kmvEstimate(col("__sb"), k).as("est_b"),
+        Udx.kmvEstimate(col("__u"), k).as("est_union"),
+        size(filter(col("__u"), x =>
+          array_contains(col("__sa"), x) && array_contains(col("__sb"), x)))
+          .cast("long").as("inter_k"),
+        size(col("__u")).cast("long").as("denom_k"))
+      .withColumn("j_micros", expr("(inter_k * 1000000L) DIV denom_k"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** HITS hubs and authorities ([[Graph.hits]]) over the DIRECTED
+    * customer→supplier trade graph — a customer is a good hub when it
+    * buys from good authorities and vice versa, the bipartite
+    * link-analysis view PageRank's symmetrized run can't give. Exact
+    * integer max-normalized power iteration (normalization never
+    * reorders, and both engines floor-divide the same integers); the
+    * oracle replays all four supersteps — authority from hubs,
+    * normalize, hub from authorities, normalize — as a generated
+    * MATERIALIZED-CTE chain, every score hash-matched. */
+  def q216_hits(s: SparkSession, dir: String): DataFrame = {
+    val e = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("dst"))
+      .distinct()
+    Graph.hits(e, iterations = 4)
+      .orderBy(col("node_id"))
+  }
+
   /** CONNECTED COMPONENTS ([[Graph.connectedComponents]], alternating
     * large-star/small-star — O(log²) rounds, diameter-independent) over
     * the strong-tie trade graph (customer–supplier pairs with ≥ 3
@@ -4995,6 +5054,8 @@ object SparkEntry {
     "q212_ppl_quality_gate" -> (q212_ppl_quality_gate _),
     "q214_avro_ingest" -> (q214_avro_ingest _),
     "q215_hll_incremental" -> (q215_hll_incremental _),
+    "q216_hits" -> (q216_hits _),
+    "q217_kmv_overlap" -> (q217_kmv_overlap _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

@@ -267,6 +267,15 @@ object TextFunctions {
   def rollingFingerprint(text: Column): Column =
     aggregate(codePoints(concat_ws(" ", tokens(lower(text)))), lit(0L), polyStep)
 
+  /** The raw engine-portable polynomial hash of a string, on
+    * [0, 1e9+7) — [[polyStep]] folded over the code points with no
+    * normalization. The hash the KMV sketch ([[Udx.kmvSketch]]) and any
+    * oracle-replayable hashing consumer should share: an external
+    * engine recomputes it exactly from the text (xxhash64 cannot be
+    * replayed outside the JVM). */
+  def polyHash(text: Column): Column =
+    aggregate(codePoints(text), lit(0L), polyStep)
+
   /** Winnowing fingerprint: minimum polynomial hash over all `k`-char
     * windows of the normalized text (Schleimer et al. SIGMOD'03, the
     * window-min half; full winnowing keeps one min per overlapping band).

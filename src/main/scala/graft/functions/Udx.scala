@@ -42,6 +42,76 @@ object Udx {
     (score, id) => fn(score, id)
   }
 
+  // ---- typed UDAF: k-minimum-values distinct sketch --------------------
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    * RANDOM'02; Beyer et al., SIGMOD'07): the buffer is the k SMALLEST
+    * DISTINCT hash values seen — mergeable (merge = distinct-union,
+    * keep k smallest), bounded at k longs per partial, and — unlike
+    * HLL — the sketch supports SET ALGEBRA: the k smallest of A∪B are
+    * computable from the two sketches alone, and the Jaccard estimate
+    * |S_k(A∪B) ∩ S(A) ∩ S(B)| / |S_k(A∪B)| gives distinct-intersection
+    * estimates no union-only sketch can. Fed from the engine-portable
+    * polynomial hash ([[TextFunctions.polyHash]]) the WHOLE sketch —
+    * not just its accuracy envelope — is deterministic, so an external
+    * oracle replays estimates EXACTLY (stronger than the q201/q194
+    * pinned-flag discipline). */
+  final class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+      if (buf.contains(h)) buf else (buf :+ h).sorted.take(k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Modulus of the portable polynomial hash the KMV helpers assume —
+    * hash values are uniform on [0, KmvMod). */
+  val KmvMod: Long = 1000000007L
+
+  /** The KMV input hash: [[TextFunctions.polyHash]] finished with a
+    * multiplicative SCRAMBLE — (h·2654435761 + 104729) mod KmvMod. The
+    * raw polynomial fold of a SHORT string lands near 0 (a 4-char key
+    * stays under ~1.2e8), which wrecks the order-statistics estimator;
+    * multiplying by a constant mod the prime is a bijection that
+    * spreads any input set across [0, KmvMod) (and maps clustered
+    * inputs to low-discrepancy residues — at least as kind to a k-th-
+    * minimum estimator as uniform randomness). Exact long arithmetic
+    * (product < 2^62), replayable verbatim in any 64-bit-integer
+    * engine. */
+  def kmvHash(text: Column): Column =
+    (TextFunctions.polyHash(text) * lit(2654435761L) + lit(104729L)) %
+      lit(KmvMod)
+
+  /** Column form: `kmvSketch(64)(col("h"))` inside an agg; `h` must be
+    * [[TextFunctions.polyHash]] values (or any deterministic hash on
+    * [0, [[KmvMod]])). */
+  def kmvSketch(k: Int): Column => Column = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val fn = udaf(new KmvAggregator(k))
+    h => fn(h)
+  }
+
+  /** Distinct-count estimate of a KMV sketch column: a sketch smaller
+    * than k IS the distinct hash set (exact); at capacity the k-th
+    * smallest value h_k estimates density — (k−1)·mod div h_k. The
+    * division runs as floor of an exact double quotient: both operands
+    * are integers < 2^53 and |a/b − n| ≥ 1/b ≫ ulp for every
+    * non-multiple, so the floor equals integer division bit-for-bit in
+    * any engine (the oracle uses `//` on the same integers). */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(lit((k - 1).toLong * KmvMod).cast("double") /
+        element_at(sketch, k).cast("double")).cast("long"))
+
+  /** The union sketch of two KMV sketches: k smallest of the distinct
+    * union — the closure property that makes per-partition / per-group
+    * sketches composable. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
   // ---- typed UDAF: Misra–Gries heavy hitters --------------------------
 
   final case class TermCount(term: String, cnt: Long)

@@ -347,6 +347,76 @@ object Graph {
     }
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM'99) by power iteration
+    * in exact integer arithmetic — the link-analysis complement to
+    * PageRank for BIPARTITE-flavored graphs (a buyer is a good hub if
+    * it buys from good authorities; a supplier a good authority if
+    * good hubs buy from it). Per superstep, over the DIRECTED edge
+    * set:
+    *
+    *   a_raw(v) = Σ_{(u,v)} h(u)        then a = a_raw·unit div max(a_raw)
+    *   h_raw(u) = Σ_{(u,v)} a(v)        then h = h_raw·unit div max(h_raw)
+    *
+    * Max-normalization (instead of the textbook L2 norm) keeps every
+    * value an exact integer in [0, unit]: both engines floor-divide
+    * the same integers, so the whole iteration is oracle-replayable —
+    * the q192 fixed-point discipline — and the ranking it induces is
+    * the same (normalization never reorders). Duplicate edges
+    * collapse; scores start at `unit`.
+    *
+    * Scale shape: the edge table shuffles once (dedup) and persists
+    * for the run (released in `finally`); each superstep is one
+    * src- and one dst-keyed join + partial-agg shuffle, each
+    * normalization max a one-row broadcast; both frontiers are
+    * eagerly local-checkpointed (the pageRank lineage discipline).
+    * Overflow: the normalization multiplies raw·unit with
+    * raw ≤ deg·unit, so deg_max·unit² < 2^63 — at the default
+    * unit=1e6 that allows degree up to ~9.2e6; for social-scale hubs
+    * drop `unit` (the precision/headroom dial, q192's).
+    *
+    * Returns (node_id, hub_score, auth_score) for every node. */
+  def hits(edges: DataFrame, iterations: Int,
+           unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(unit >= 1L, s"unit must be >= 1 (got $unit)")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(!e.isEmpty, "HITS needs at least one edge")
+      val nodes = e.select(col("src").as("node_id"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .localCheckpoint()
+      def normalized(raw: DataFrame, c: String): DataFrame = {
+        val mx = raw.agg(max(col(c)).as("__mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("node_id"),
+            expr(s"($c * ${unit}L) DIV __mx").as(c))
+      }
+      var hub = nodes.withColumn("h", lit(unit)).localCheckpoint()
+      var auth = nodes.withColumn("a", lit(unit)).localCheckpoint()
+      var i = 0
+      while (i < iterations) {
+        val aRaw = nodes
+          .join(e.join(hub.withColumnRenamed("node_id", "src"), Seq("src"))
+            .groupBy(col("dst").as("node_id"))
+            .agg(sum(col("h")).as("__ar")), Seq("node_id"), "left")
+          .select(col("node_id"), coalesce(col("__ar"), lit(0L)).as("a"))
+        auth = normalized(aRaw, "a").localCheckpoint()
+        val hRaw = nodes
+          .join(e.join(auth.withColumnRenamed("node_id", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node_id"))
+            .agg(sum(col("a")).as("__hr")), Seq("node_id"), "left")
+          .select(col("node_id"), coalesce(col("__hr"), lit(0L)).as("h"))
+        hub = normalized(hRaw, "h").localCheckpoint()
+        i += 1
+      }
+      hub.join(auth, Seq("node_id"))
+        .select(col("node_id"), col("h").as("hub_score"),
+          col("a").as("auth_score"))
+    } finally e.unpersist(blocking = false)
+  }
+
   /** CONNECTED COMPONENTS over an arbitrary edge table by the
     * ALTERNATING large-star / small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the

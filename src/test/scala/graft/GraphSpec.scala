@@ -190,6 +190,7 @@ class GraphSpec extends SparkSpec {
     Graph.shortestPaths(e, Seq(1L).toDF("node_id"), 2).collect()
     Graph.triangleCounts(e).collect()
     Graph.connectedComponents(e).collect()
+    Graph.hits(e, 2).collect()
     // every Dataset.persist goes through the CacheManager, whose strong
     // references outlive the call — the operators must release them
     assert(spark.sharedState.cacheManager.isEmpty,
@@ -226,6 +227,30 @@ class GraphSpec extends SparkSpec {
     // self-loops alone contribute nothing; empty input is empty
     assert(Graph.connectedComponents(Seq((7L, 7L)).toDF("src", "dst"))
       .count() == 0L)
+  }
+
+  test("hits: hand-folded superstep, max-normalization, guards") {
+    // 1→3, 2→3, 2→4: node 2 is the best hub (buys from both
+    // authorities), node 3 the best authority (bought by both hubs)
+    val u = 1000000L
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(e, iterations = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // authority step: ar = (0, 0, 2u, u), max 2u → a = (0, 0, u, u/2)
+    assert(r(3L)._2 === u && r(4L)._2 === u / 2)
+    assert(r(1L)._2 === 0L && r(2L)._2 === 0L)
+    // hub step: hr = (u, u + u/2, 0, 0), max 1.5u →
+    // h(1) = u·u div 1.5u = 666666, h(2) = u
+    assert(r(2L)._1 === u && r(1L)._1 === u * u / (u + u / 2))
+    assert(r(3L)._1 === 0L && r(4L)._1 === 0L)
+    // duplicate edges collapse — same answer
+    val dup = Seq((1L, 3L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r2 = Graph.hits(dup, iterations = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r2 === r)
+    intercept[IllegalArgumentException](Graph.hits(e, 0))
+    intercept[IllegalArgumentException](
+      Graph.hits(e.where(lit(false)), 1).collect())
   }
 
   test("connectedComponents: extra rounds are no-ops (fixed-round replay)") {

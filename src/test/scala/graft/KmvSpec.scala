@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, Udx}
+
+/** KMV distinct sketch: exactness below capacity, deterministic
+  * mergeability, the union closure property, estimate accuracy, and
+  * hash portability. */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchOf(ids: Seq[Long], k: Int, parts: Int = 4): Seq[Long] =
+    ids.toDF("id").repartition(parts)
+      .select(Udx.kmvHash(col("id").cast("string")).as("h"))
+      .agg(Udx.kmvSketch(k)(col("h")))
+      .head().getSeq[Long](0)
+
+  test("below capacity the sketch IS the distinct hash set; estimate exact") {
+    val ids = Seq(1L, 2L, 3L, 2L, 1L, 7L)
+    val s = sketchOf(ids, k = 16)
+    assert(s.length === 3 + 1) // 4 distinct ids
+    assert(s === s.sorted && s.distinct === s)
+    val est = Seq(s).toDF("s")
+      .select(Udx.kmvEstimate(col("s"), 16)).head().getLong(0)
+    assert(est === 4L)
+  }
+
+  test("partitioning never changes the sketch (mergeable, deterministic)") {
+    val ids = (1L to 500L).map(i => i * 13 % 211)
+    assert(sketchOf(ids, 32, parts = 1) === sketchOf(ids, 32, parts = 8))
+  }
+
+  test("union closure: kmvUnion of two sketches == sketch of the union") {
+    val a = (1L to 400L)
+    val b = (200L to 600L)
+    val k = 32
+    val (sa, sb, sab) = (sketchOf(a, k), sketchOf(b, k),
+      sketchOf((a ++ b).distinct, k))
+    val u = Seq((sa, sb)).toDF("a", "b")
+      .select(Udx.kmvUnion(col("a"), col("b"), k)).head().getSeq[Long](0)
+    assert(u === sab,
+      "the j-th smallest of A∪B is always inside S_k(A) ∪ S_k(B)")
+  }
+
+  test("estimate accuracy at capacity: within the sketch's error envelope") {
+    val n = 5000L
+    val k = 64
+    val s = sketchOf(1L to n, k)
+    assert(s.length === k)
+    val est = Seq(s).toDF("s")
+      .select(Udx.kmvEstimate(col("s"), k)).head().getLong(0)
+    // rsd ~ 1/sqrt(k-2) ≈ 12.7%; 4σ bound keeps the lane deterministic
+    assert(math.abs(est - n) < n / 2,
+      s"estimate $est too far from $n")
+    // floor-double division == integer division on these magnitudes
+    val kth = s(k - 1)
+    assert(est === (k - 1).toLong * Udx.KmvMod / kth)
+  }
+
+  test("polyHash is the engine-portable fold (hand value)") {
+    // "12": h = ((0*131+49)%M)*131+50 % M = 49*131+50 = 6469
+    val h = Seq("12").toDF("t")
+      .select(TextFunctions.polyHash(col("t"))).head().getLong(0)
+    assert(h === 6469L)
+    intercept[IllegalArgumentException](Udx.kmvSketch(1))
+  }
+}
