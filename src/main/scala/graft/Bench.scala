@@ -240,11 +240,11 @@ object Bench {
         sum(call_function("graft_bpe_byte_count", col("text")))))
       bb() // codegen + word-cache warm
       results("bpe_byte_count") = (1 to 2).map(_ => time(bb())).min
-      val long = docs.select(col("doc_id"),
-          lower(substring(trim(col("text")), 1, 96)).as("k"))
+      val long = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lower(substring(trim(col("text")), 1, 64)).as("k"))
         .where(length(col("k")) >= 48)
       def ed(): Unit = runToNoop(graft.operators.Dedup.editDistancePairs(
-        long, "k", "doc_id", maxDist = 2, maxBucketWidth = 64))
+        long, "k", "doc_id", maxDist = 2, q = 4, maxBucketWidth = 64))
       ed() // warm
       results("edit_distance_long") = (1 to 2).map(_ => time(ed())).min
     } catch { case e: Throwable =>

@@ -313,6 +313,31 @@ object OracleSql {
 
     "q209_weighted_paths" -> q209WeightedPaths,
     "q216_hits" -> q216Hits,
+    "q218_label_propagation" -> q218LabelPropagation,
+
+    // q219: the word distribution and the entropy algebra recomputed
+    // verbatim — ln over exact integer counts (the q88 discipline),
+    // ttr as the exact-integer anchor
+    "q219_token_entropy" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        FROM documents),
+      tw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      tc AS (SELECT doc_id, w, count(*) AS c FROM tw GROUP BY 1, 2),
+      per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS d,
+          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        FROM tc GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(p.d, 0) AS BIGINT) AS n_distinct,
+        round(ln(CAST(p.n AS DOUBLE)) - p.clnc / p.n, 6) AS entropy,
+        CAST(CASE WHEN len(t.toks) > 0
+             THEN (coalesce(p.d, 0) * 1000000) // len(t.toks)
+             ELSE 0 END AS BIGINT) AS ttr_micros
+      FROM t LEFT JOIN per p ON p.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
 
     // q217: the WHOLE KMV sketch replayed — portable polynomial hash
     // per user, k smallest distinct per type, union/intersection set
@@ -4221,6 +4246,35 @@ object OracleSql {
       JOIN h$iters h ON h.id = n.id
       JOIN a$iters a ON a.id = n.id
       ORDER BY n.id"""
+  }
+
+  /** q218: synchronous label propagation replayed as a generated CTE
+    * chain — per round, neighbor-label counts then the (count desc,
+    * label asc) argmax per node. No fixpoint claim: the round budget
+    * is the contract, so the chain replays EXACTLY the four rounds. */
+  private lazy val q218LabelPropagation: String = {
+    val rounds = 4
+    val steps = (1 to rounds).map { i =>
+      s"""
+      cnt$i AS (SELECT und.u AS id, l.label AS lb,
+          CAST(count(*) AS BIGINT) AS c
+        FROM und JOIN l${i - 1} l ON l.id = und.v GROUP BY 1, 2),
+      l$i AS MATERIALIZED (SELECT id, lb AS label FROM (
+          SELECT id, lb, row_number() OVER (PARTITION BY id
+            ORDER BY c DESC, lb ASC) AS rn
+          FROM cnt$i) WHERE rn = 1)"""
+    }.mkString(",")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT o.o_custkey AS c, $SuppNodeOffset + l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS MATERIALIZED (
+        SELECT c AS u, sk AS v FROM e0 UNION SELECT sk, c FROM e0),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS id, u AS label FROM und),
+      $steps
+      SELECT id AS node_id, label FROM l$rounds ORDER BY id"""
   }
 
   /** q196: the BFS relaxation chain, generated (the q192 discipline).

@@ -3872,6 +3872,36 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** TOKEN ENTROPY + type-token ratio per document
+    * ([[CorpusPrep.tokenEntropy]]) — the lexical-diversity signal for
+    * quality ranking: Shannon entropy of the word distribution (every
+    * ln argument an exact integer count — the q88 ln-agreement
+    * discipline) plus the exact-integer `ttr_micros` anchor. The
+    * oracle recomputes the distribution and the algebra verbatim. */
+  def q219_token_entropy(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.tokenEntropy(documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** LABEL-PROPAGATION COMMUNITIES ([[Graph.labelPropagation]],
+    * synchronous/deterministic variant — smallest-label tie-break, no
+    * randomized order) over the strong-tie trade graph: four majority-
+    * vote rounds, every node labeled. The round budget IS the contract
+    * (synchronous LPA may oscillate, so there is no fixpoint claim);
+    * the oracle replays all four rounds as a generated CTE chain —
+    * per-node neighbor-label counts and the (count desc, label asc)
+    * argmax — and every label must hash-match. */
+  def q218_label_propagation(s: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select(col("src"), col("dst"))
+    Graph.labelPropagation(e0, rounds = 4)
+      .orderBy(col("node_id"))
+  }
+
   /** KMV DISTINCT-OVERLAP sketching ([[graft.functions.Udx
     * .kmvSketch]]): per-event-type k-minimum-values sketches of the
     * distinct USER-DAY population (every user hits every type in the
@@ -5056,6 +5086,8 @@ object SparkEntry {
     "q215_hll_incremental" -> (q215_hll_incremental _),
     "q216_hits" -> (q216_hits _),
     "q217_kmv_overlap" -> (q217_kmv_overlap _),
+    "q218_label_propagation" -> (q218_label_propagation _),
+    "q219_token_entropy" -> (q219_token_entropy _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

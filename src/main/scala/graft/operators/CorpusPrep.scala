@@ -235,6 +235,38 @@ object CorpusPrep {
         round(exp(col("__anll")), 6).as("ppl"))
   }
 
+  /** Per-document TOKEN ENTROPY + type-token ratio — the lexical-
+    * diversity / noise signals quality stacks rank on (a keyboard-mash
+    * or template doc has low entropy for its length; a natural-prose
+    * doc sits near the corpus norm): Shannon entropy of the lowercase
+    * word distribution, H = ln(n) − (Σ c·ln c)/n in nats — every ln
+    * argument an exact integer count, so both engines ln identical
+    * doubles (the q88 discipline) — plus `ttr_micros` =
+    * distinct·1e6 div tokens as the exact-integer anchor. One explode
+    * + two partial-agg shuffles keyed fine ((doc, word) then doc);
+    * nothing corpus-sized ever joins itself. Empty docs: zero counts,
+    * null entropy. */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val per = base.select(col(idCol), explode(col("__toks")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("__d"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+          .as("__clnc"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__d"), lit(0L)).as("n_distinct"),
+        round(log(col("__n").cast("double")) -
+          col("__clnc") / col("__n").cast("double"), 6).as("entropy"),
+        when(col("n_tokens") > 0,
+          expr("(coalesce(__d, 0L) * 1000000L) DIV n_tokens"))
+          .otherwise(lit(0L)).as("ttr_micros"))
+  }
+
   // ---- deterministic stratified sampling ---------------------------------
 
   /** Exact-quota stratified sample: the `quota` lowest-md5 rows of every

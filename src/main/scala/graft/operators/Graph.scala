@@ -417,6 +417,57 @@ object Graph {
     } finally e.unpersist(blocking = false)
   }
 
+  /** LABEL PROPAGATION community detection (Raghavan et al., PRE'07),
+    * SYNCHRONOUS and fully deterministic: labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * (undirected) neighbors, ties broken by SMALLEST label — the
+    * majority vote as one (node, label) partial-agg + one per-node
+    * struct-min, no randomized order (the sequential variant's
+    * nondeterminism is exactly what an oracle can't replay). Runs
+    * EXACTLY `rounds` rounds — synchronous LPA may oscillate on
+    * bipartite structures, so the round budget IS the contract (the
+    * standard practice) and a fixed-round oracle replays it verbatim;
+    * communities are the label groups after the last round.
+    *
+    * Scale shape: per round one join of the label frame (node-sized)
+    * against the static undirected edge list + one (node, label)
+    * partial-agg shuffle + one node-keyed min — the Pregel pair, label
+    * frame localCheckpointed per round, edge list persisted once and
+    * released in `finally`.
+    *
+    * Returns (node_id, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val und = edges
+      .select(col("src").as("u"), col("dst").as("v"))
+      .where(col("u") =!= col("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v"))
+        .where(col("u") =!= col("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = und.select(col("u").as("node_id"))
+        .distinct()
+        .withColumn("label", col("node_id"))
+        .localCheckpoint()
+      var i = 0
+      while (i < rounds) {
+        labels = und
+          .join(labels.withColumnRenamed("node_id", "v"), Seq("v"))
+          .groupBy(col("u").as("node_id"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("node_id"))
+          // min over (-count, label): largest count, then smallest label
+          .agg(min(struct((-col("__c")).as("n"), col("label").as("l")))
+            .as("__m"))
+          .select(col("node_id"), col("__m.l").as("label"))
+          .localCheckpoint()
+        i += 1
+      }
+      labels
+    } finally und.unpersist(blocking = false)
+  }
+
   /** CONNECTED COMPONENTS over an arbitrary edge table by the
     * ALTERNATING large-star / small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -1088,4 +1088,25 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
     intercept[IllegalArgumentException](
       CorpusPrep.stupidBackoffScore(d, train, "text", "doc_id", alpha = 1.5))
   }
+
+  test("tokenEntropy: hand-computed entropy, ttr anchor, edge docs") {
+    val d = docs(1L -> "a a b", 2L -> "x y z", 3L -> "w", 4L -> "",
+      5L -> "t t t t")
+    val out = CorpusPrep.tokenEntropy(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // "a a b": H = ln 3 − (2 ln 2)/3; ttr = 2/3 in floor micros
+    val h1 = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(out(0).getDouble(3) - h1) < 1e-6)
+    assert(out(0).getLong(4) === 666666L)
+    // uniform distinct: H = ln 3 (the maximum for 3 tokens); ttr = 1
+    assert(math.abs(out(1).getDouble(3) - math.log(3.0)) < 1e-6)
+    assert(out(1).getLong(4) === 1000000L)
+    // single token: zero entropy
+    assert(out(2).getDouble(3) === 0.0)
+    // empty doc: zero counts, null entropy
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(3) &&
+      out(3).getLong(4) === 0L)
+    // pure repetition: zero entropy despite length — the noise signal
+    assert(out(4).getDouble(3) === 0.0 && out(4).getLong(4) === 250000L)
+  }
 }

@@ -253,6 +253,27 @@ class GraphSpec extends SparkSpec {
       Graph.hits(e.where(lit(false)), 1).collect())
   }
 
+  test("labelPropagation: two bridged triangles split into two communities") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; the
+    // deterministic synchronous trace lands {1,2,3}->1, {4,5,6}->3
+    // after 4 rounds (hand-folded: smallest-label tie-breaks)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val l = Graph.labelPropagation(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // exactly two communities, split at the bridge
+    assert(l.values.toSet.size === 2)
+    // duplicate/reversed edges collapse; self-loops are ignored
+    val dirty = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (5L, 4L),
+      (5L, 6L), (6L, 4L), (4L, 3L), (7L, 7L)).toDF("src", "dst")
+    val l2 = Graph.labelPropagation(dirty, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === l)
+    intercept[IllegalArgumentException](Graph.labelPropagation(e, 0))
+  }
+
   test("connectedComponents: extra rounds are no-ops (fixed-round replay)") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
     val e = und.toDF("src", "dst")
