@@ -227,6 +227,15 @@ object BenchScale {
         .where(pmod(col("node_id"), lit(10L)) === 0)
       results("bfs_4hop") = time(runToNoop(
         graft.operators.Graph.shortestPaths(eg, seeds, maxHops = 4)))
+      // round-11 graph tier at 10x edges: star-contraction components
+      // (each replica is its own component — the label frame proves
+      // it), HITS, and 4-round synchronous label propagation
+      results("connected_components") = time(runToNoop(
+        graft.operators.Graph.connectedComponents(eg, maxRounds = 16)))
+      results("hits_4iter") = time(runToNoop(
+        graft.operators.Graph.hits(eg, iterations = 4)))
+      results("label_prop_4round") = time(runToNoop(
+        graft.operators.Graph.labelPropagation(eg, rounds = 4)))
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] graph experiment failed: ${e.getMessage}")
     }
