@@ -833,8 +833,9 @@ final class GraftTable private (val spark: SparkSession, val root: String,
   /** Catch the materialized view up to the latest version (sum/count,
     * plus optional min/max columns maintained with dirty-group rescan). */
   def refreshAggView(groupCols: Seq[String], sumCols: Seq[String],
-                     extremaCols: Seq[String] = Nil): Int =
-    AggView.refresh(spark, root, groupCols, sumCols, extremaCols)
+                     extremaCols: Seq[String] = Nil,
+                     hllCol: Option[String] = None): Int =
+    AggView.refresh(spark, root, groupCols, sumCols, extremaCols, hllCol)
 
   /** Latest committed view state. */
   def readAggView(): DataFrame = AggView.read(spark, root)

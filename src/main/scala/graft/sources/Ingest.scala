@@ -169,7 +169,10 @@ object Ingest {
   /** Read a directory of Avro object container files written by
     * [[toAvro]] (or any writer within the flat profile): the schema
     * comes from the first file's header (driver-side), each file is one
-    * read partition. */
+    * read partition. File listing and reads go through `java.io` —
+    * local/NFS filesystems (the deployment here); a cluster-store
+    * variant would swap in Hadoop `FileSystem` streams with
+    * `SeekableInput`, the only two touch points. */
   def avro(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.DataFileReader

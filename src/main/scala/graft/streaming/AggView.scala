@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.IncrementalAgg
 
@@ -37,9 +38,11 @@ object AggView {
     * under; a refresh with a DIFFERENT spec must fail fast, not silently
     * serve a view of different columns as "up to date". */
   private def specString(groupCols: Seq[String], sumCols: Seq[String],
-                         extremaCols: Seq[String]) =
+                         extremaCols: Seq[String],
+                         hllCol: Option[String] = None) =
     s"group=${groupCols.mkString(",")};sum=${sumCols.mkString(",")}" +
-      (if (extremaCols.isEmpty) "" else s";ext=${extremaCols.mkString(",")}")
+      (if (extremaCols.isEmpty) "" else s";ext=${extremaCols.mkString(",")}") +
+      hllCol.map(c => s";hll=$c").getOrElse("")
 
   private def checkOrWriteSpec(tableRoot: String, spec: String): Unit = {
     val p = Paths.get(s"$tableRoot/aggview/_spec")
@@ -59,17 +62,50 @@ object AggView {
     * The first step seeds from a full aggregation of the base snapshot
     * (the only full pass the view ever pays). Returns the number of
     * versions materialized. */
+  /** Attach the per-group HLL sketch column `hll_<c>` of a second
+    * maintained frame to the core view rows (null-safe group equality —
+    * a NULL group key is a group like any other; both frames drop
+    * zero-count groups, so the group sets agree). */
+  private def withHllColumn(core: DataFrame, hll: DataFrame,
+                            groupCols: Seq[String], c: String): DataFrame = {
+    val h = hll.select(
+      groupCols.map(g => col(g).as(s"__h_$g")) :+ col(s"hll_$c"): _*)
+    val cond = groupCols.map(g => core(g) <=> h(s"__h_$g")).reduce(_ && _)
+    core.join(h, cond, "left_outer")
+      .select(core.columns.map(core(_)).toIndexedSeq :+ col(s"hll_$c"): _*)
+  }
+
+  /** Bring the view up to date (see object scaladoc). With `hllCol`,
+    * the view additionally maintains a per-group DISTINCT-COUNT sketch
+    * column `hll_<col>` ([[IncrementalAgg.applyDeltaWithHll]]):
+    * insert-only steps merge sketches delta-priced, retraction-touched
+    * groups rescan group-key-pruned — the persisted-sketch-state form
+    * of q201's union linearity. */
   def refresh(spark: SparkSession, tableRoot: String,
               groupCols: Seq[String], sumCols: Seq[String],
-              extremaCols: Seq[String] = Nil): Int = {
-    checkOrWriteSpec(tableRoot, specString(groupCols, sumCols, extremaCols))
+              extremaCols: Seq[String] = Nil,
+              hllCol: Option[String] = None): Int = {
+    checkOrWriteSpec(tableRoot,
+      specString(groupCols, sumCols, extremaCols, hllCol))
     val tableVs = CdcMergeSink.versions(tableRoot)
     var prevAgg: Option[DataFrame] = None
     var prevV: Long = -1L // sentinel: resolves to the base snapshot
     var built = 0
-    def full(df: DataFrame) =
-      if (extremaCols.isEmpty) IncrementalAgg.fullAgg(df, groupCols, sumCols)
-      else IncrementalAgg.fullAggWithExtrema(df, groupCols, sumCols, extremaCols)
+    def coreCols(df: DataFrame) = hllCol match {
+      case Some(c) => df.drop(s"hll_$c")
+      case None => df
+    }
+    def full(df: DataFrame) = {
+      val core =
+        if (extremaCols.isEmpty) IncrementalAgg.fullAgg(df, groupCols, sumCols)
+        else IncrementalAgg.fullAggWithExtrema(df, groupCols, sumCols,
+          extremaCols)
+      hllCol match {
+        case None => core
+        case Some(c) => withHllColumn(core,
+          IncrementalAgg.fullAggWithHll(df, groupCols, c), groupCols, c)
+      }
+    }
     tableVs.foreach { v =>
       val dir = viewDir(tableRoot, v)
       if (committed(dir)) {
@@ -79,12 +115,24 @@ object AggView {
           full(CdcMergeSink.readAsOf(spark, tableRoot, prevV)))
         val feed = CdcMergeSink.changeFeed(spark, tableRoot, prevV, v,
           keyOf(tableRoot))
-        val next =
+        val core =
           if (extremaCols.isEmpty)
-            IncrementalAgg.applyDelta(base, feed, groupCols, sumCols)
-          else IncrementalAgg.applyDeltaWithExtrema(base, feed,
+            IncrementalAgg.applyDelta(coreCols(base), feed, groupCols, sumCols)
+          else IncrementalAgg.applyDeltaWithExtrema(coreCols(base), feed,
             CdcMergeSink.readAsOf(spark, tableRoot, v),
             groupCols, sumCols, extremaCols)
+        val next = hllCol match {
+          case None => core
+          case Some(c) =>
+            // the sketch delta re-derives its bookkeeping cnt from the
+            // previous view's cnt (the applyDeltaWithHll contract needs
+            // prev (groupCols, cnt, hll_c))
+            val prevSketch = base.select(
+              groupCols.map(col) :+ col("cnt") :+ col(s"hll_$c"): _*)
+            val hllNext = IncrementalAgg.applyDeltaWithHll(prevSketch, feed,
+              CdcMergeSink.readAsOf(spark, tableRoot, v), groupCols, c)
+            withHllColumn(core, hllNext, groupCols, c)
+        }
         // overwrite handles a crashed half-write; _SUCCESS commits
         next.coalesce(1).write.mode("overwrite").parquet(dir)
         prevAgg = Some(spark.read.parquet(dir)); prevV = v

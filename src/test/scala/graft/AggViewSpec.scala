@@ -84,4 +84,44 @@ class AggViewSpec extends SparkSpec {
     assert(got.getLong(1) === 50L)
     assert(got.getDouble(2) === (0 until 50).map(_.toDouble).sum - 1.0 + 999.0)
   }
+
+  test("hll column: the view maintains a distinct-count sketch per group") {
+    val root = java.nio.file.Files.createTempDirectory("graft-aggvh").toString
+    // values collide across rows: distinct(v) per cat is what the
+    // sketch tracks
+    val base = spark.range(0, 200).select(col("id"),
+      concat(lit("h"), (col("id") % 4).cast("string")).as("cat"),
+      concat(lit("v"), (col("id") % 9).cast("string")).as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 4)
+    CdcMergeSink.applyBatch(spark,
+      Seq((500L, "h0", "vNew", "upsert"),  // insert-only union path
+        (3L, "", "", "delete"),            // retraction -> h3 rescans
+        (5L, "h9", "v5", "upsert"))        // group move -> h1 dirty too
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 0L)
+    CdcMergeSink.applyBatch(spark,
+      Seq((501L, "h9", "vZ", "upsert")).toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 1L)
+
+    assert(AggView.refresh(spark, root, Seq("cat"), Seq.empty,
+      hllCol = Some("v")) === 2)
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cat"), col("cnt"),
+        hll_sketch_estimate(col("hll_v")).as("e"))
+      .orderBy("cat").collect().map(_.toSeq).toSeq
+    val full = IncrementalAgg.fullAggWithHll(
+      CdcMergeSink.readAsOf(spark, root, 1L), Seq("cat"), "v")
+    assert(est(AggView.read(spark, root)) === est(full))
+    // ... and the estimates equal the exact distincts at this scale
+    val exact = CdcMergeSink.readAsOf(spark, root, 1L)
+      .groupBy("cat").agg(countDistinct(col("v")).as("d"))
+      .orderBy("cat").collect().map(r => r.getString(0) -> r.getLong(1))
+    val got = AggView.read(spark, root)
+      .select(col("cat"), hll_sketch_estimate(col("hll_v")).as("e"))
+      .orderBy("cat").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === exact.toSeq)
+    // a refresh under a DIFFERENT spec (no hll) must refuse
+    intercept[IllegalArgumentException](
+      AggView.refresh(spark, root, Seq("cat"), Seq.empty))
+  }
 }
