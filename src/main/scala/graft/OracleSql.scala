@@ -318,6 +318,41 @@ object OracleSql {
     // q219: the word distribution and the entropy algebra recomputed
     // verbatim — ln over exact integer counts (the q88 discipline),
     // ttr as the exact-integer anchor
+    // q220: brute-forced containment over the twin-augmented corpus —
+    // every pair compared (no size prefilter is valid for containment),
+    // the prefix-half twin rule replayed verbatim
+    "q220_containment" -> """
+      WITH tw AS (
+        SELECT doc_id + 3000000 AS doc_id,
+          array_to_string(toks[1:CAST(len(toks) // 2 AS INT)], ' ') AS text
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+              WHERE trim(text) <> '' AND doc_id % 25 = 0)
+        WHERE len(toks) >= 8),
+      d AS (SELECT doc_id, trim(lower(text)) AS t FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM tw)),
+      tk AS (SELECT doc_id,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks FROM d),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) = 0 THEN []
+               WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) END) AS g
+             FROM tk),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.g, b.g)) AS i,
+              least(len(a.g), len(b.g)) AS m,
+              len(a.g) AS la, len(b.g) AS lb
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        round(CAST(i AS DOUBLE) / m, 6) AS containment,
+        CAST(CASE WHEN la < lb THEN id_a
+                  WHEN lb < la THEN id_b
+                  ELSE least(id_a, id_b) END AS BIGINT) AS contained_id
+      FROM p WHERE m > 0 AND CAST(i AS DOUBLE) / m >= 0.9
+      ORDER BY id_a, id_b""",
+
     "q219_token_entropy" -> """
       WITH t AS (
         SELECT doc_id,

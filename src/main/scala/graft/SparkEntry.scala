@@ -3872,6 +3872,34 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** CONTAINMENT dedup ([[Dedup.containmentJoin]]): subset-duplication
+    * pairs Jaccard structurally misses — every 25th doc gains a
+    * planted PREFIX-HALF fragment twin (first half of its words, a
+    * rule both engines replay), whose 3-shingles are a strict subset
+    * of the original's: containment exactly 1.0, Jaccard ≈ 0.5 —
+    * below any useful resemblance threshold, which is the point
+    * (Broder's resemblance-vs-containment distinction). The oracle
+    * brute-forces every pair (no size prefilter is valid for
+    * containment), so blocking-free completeness is what hash-matching
+    * proves; `contained_id` names the fragment side. */
+  def q220_containment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs0 = documents(s, dir).select(col("doc_id"), col("text"))
+    val twins = docs0
+      .where(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .where(size(col("__toks")) >= 8)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(col("__toks"), lit(1), expr("size(__toks) DIV 2")))
+          .as("text"))
+    val docs = docs0.unionByName(twins)
+    Dedup.containmentJoin(shingleSets(docs), 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"), col("contained_id"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** TOKEN ENTROPY + type-token ratio per document
     * ([[CorpusPrep.tokenEntropy]]) — the lexical-diversity signal for
     * quality ranking: Shannon entropy of the word distribution (every
@@ -5088,6 +5116,7 @@ object SparkEntry {
     "q217_kmv_overlap" -> (q217_kmv_overlap _),
     "q218_label_propagation" -> (q218_label_propagation _),
     "q219_token_entropy" -> (q219_token_entropy _),
+    "q220_containment" -> (q220_containment _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

@@ -223,6 +223,47 @@ object Dedup {
         (col("i").cast("double") / col("u")).as("jaccard"))
   }
 
+  /** CONTAINMENT similarity join: all pairs with
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold — the QUOTE-INCLUSION /
+    * subset-duplication signal Jaccard structurally misses: a document
+    * wholly contained in one 3× its size caps at j ≈ 1/3 however
+    * verbatim the copy, while its containment is 1.0 (Broder'97
+    * resemblance-vs-containment). Same inverted-index machinery as
+    * [[jaccardJoinExact]]; deliberately NO size prefilter — small-in-
+    * large is the point, and the Jaccard length-ratio filter would
+    * discard exactly those pairs. `contained_id` names the smaller-set
+    * side (tie → smaller id) so dedup policy can drop the fragment.
+    *
+    * Scale shape: one element-keyed inverted-index join (volume
+    * Σ posting² — the exact-harness trade documented on
+    * jaccardJoinExact; the LSH family remains the scale path for
+    * discovery, with this as verification/ground truth). */
+  def containmentJoin(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val base = sets.select(col("id"), array_distinct(col("elems")).as("elems"))
+    val sizes = base.select(col("id"), size(col("elems")).as("sz"))
+    val exploded = base.select(col("id"), explode(col("elems")).as("e"))
+      .repartition(col("e"))
+    val inter = exploded.select(col("e"), col("id").as("id_a"))
+      .join(exploded.select(col("e"), col("id").as("id_b")), Seq("e"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sa"))),
+        "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sb"))),
+        "id_b")
+      .withColumn("m", least(col("sa"), col("sb")))
+      .where(col("m") > 0 &&
+        col("i").cast("double") / col("m") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("m")).as("containment"),
+        when(col("sa") < col("sb"), col("id_a"))
+          .when(col("sb") < col("sa"), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))).as("contained_id"))
+  }
+
   /** EDIT-DISTANCE similarity join (entity resolution / fuzzy key
     * matching): all pairs with `levenshtein(a, b) <= maxDist`, EXACT,
     * over lowercased strings. Candidates come from character-q-gram

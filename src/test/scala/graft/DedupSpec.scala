@@ -595,4 +595,32 @@ class DedupSpec extends SparkSpec {
       .editDistancePairs(rows, "txt", "id", maxDist = 2,
         maxShortStrings = 1L).collect())
   }
+
+  test("containmentJoin: subset pairs Jaccard misses; contained side named") {
+    val s = spark; import s.implicits._
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),                    // A ⊂ B
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (3L, Seq("x", "y", "z")),                          // disjoint
+      (4L, Seq("a", "b", "q", "r")),                     // partial vs 1
+      (5L, Seq("d", "c", "b", "a"))                      // == set 1
+    ).toDF("id", "elems")
+    val got = graft.operators.Dedup.containmentJoin(sets, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    // full containment both for the strict subset and the equal set;
+    // the fragment (smaller set) is named, ties name the smaller id
+    assert(got((1L, 2L)) === ((1.0, 1L)))
+    assert(got((1L, 5L)) === ((1.0, 1L)))
+    assert(got((2L, 5L)) === ((1.0, 5L)))
+    assert(!got.contains((1L, 4L)), "2/4 overlap is below 0.9")
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // the motivating contrast: Jaccard at 0.6 structurally misses the
+    // subset pair containment catches
+    val j = graft.operators.Dedup.jaccardJoinExact(sets, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && got.contains((1L, 2L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.containmentJoin(sets, 0.0))
+  }
 }
