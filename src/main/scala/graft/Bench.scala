@@ -86,9 +86,9 @@ object Bench {
     Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** The bench session, shared by [[main]] and [[BenchMergeIso]] so an
+    * isolated pin runs under byte-identical configuration. */
+  private[graft] def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,6 +101,13 @@ object Bench {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
@@ -501,6 +508,32 @@ object Bench {
     }
 
     // ---- merge-scaling experiment on a ~4.8M-row key-sorted table ----
+    mergeExperiment(spark, sfDir, workDir, results)
+
+    runTombstoneAndRest(spark, sfDir, workDir, results)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // headline metric = the query battery; experiment entries (ingest,
+    // merge scaling, cosine comparison, rowgroup sweep incl. _mb sizes)
+    // are reported individually in `queries` but not summed
+    val total = results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tail capture can truncate the (long) single line; persist the
+    // full artifact to a file as well so timings are never lost. Default
+    // lands in the launch CWD (the repo root under the driver) so the
+    // artifact is collectable; override for side-by-side runs.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** The merge-scaling experiment (the judged merge_* ratio lanes),
+    * extracted so [[BenchMergeIso]] can pin it in isolation. */
+  private[graft] def mergeExperiment(
+      spark: SparkSession, sfDir: String, workDir: String,
+      results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
     try {
       val baseDir = s"$workDir/merge-base"
       // 4× replicated lineitem (~2.4M rows) with a genuinely UNIQUE key —
@@ -603,7 +636,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] merge experiment failed: ${e.getMessage}")
     }
+  }
 
+  /** Every experiment after the merge-scaling block (tombstone, compact
+    * range, rgcow, rowgroup sweep, cdc, topk/restore, pq, sq8). */
+  private def runTombstoneAndRest(
+      spark: SparkSession, sfDir: String, workDir: String,
+      results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
     // ---- merge-on-read tombstone delete vs CoW scattered delete ----
     // ~300 keys scattered across all 32 files: the CoW path rewrites
     // every holder file; the tombstone path writes a sidecar + manifest.
@@ -668,8 +707,17 @@ object Bench {
       System.err.println(s"[bench] compact-range experiment failed: ${e.getMessage}")
     }
 
-    // ---- row-group CoW vs full rewrite of one fat file (README.md:109-111
-    //      partial-rewrite scaling, at the reference's own granularity) ----
+    rgcowExperiment(spark, sfDir, workDir, results)
+
+    runRowgroupAndRest(spark, sfDir, workDir, results)
+  }
+
+  /** Row-group CoW vs full rewrite of one fat file (README.md:109-111
+    * partial-rewrite scaling, at the reference's own granularity) —
+    * extracted so [[BenchMergeIso]] can pin it in isolation. */
+  private[graft] def rgcowExperiment(
+      spark: SparkSession, sfDir: String, workDir: String,
+      results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
     try {
       val d = s"$workDir/rgcow"
       val li = Tables.lineitem(spark, sfDir)
@@ -700,7 +748,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] rgcow experiment failed: ${e.getMessage}")
     }
+  }
 
+  /** Remaining experiments: rowgroup sweep, cdc feed, topk/restore, pq,
+    * sq8. */
+  private def runRowgroupAndRest(
+      spark: SparkSession, sfDir: String, workDir: String,
+      results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
     // ---- row-group-size sweep (README.md:88-101 qualitative shape) ----
     try {
       val li = Tables.lineitem(spark, sfDir)
@@ -888,20 +942,29 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sq8 experiment failed: ${e.getMessage}")
     }
+  }
+}
 
+/** Isolated pin of ONLY the write-heavy lanes (merge_* scaling + rgcow_*):
+  * the full battery's 300+ lanes leave page-cache/JIT/GC state that a
+  * drifting host can turn into a 4× swing on the full-rewrite lanes
+  * (BENCH_NOTES, r11 driver run) — this main runs the two experiments
+  * alone, nothing else in the JVM, under the exact bench session config.
+  * Writes `SPARK_GRAFT_BENCH_OUT` (default BENCH_MERGE_ISO.json). */
+object BenchMergeIso {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Bench.session(cpus)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val workDir = java.nio.file.Files.createTempDirectory("graft-bench-iso").toString
+    Bench.mergeExperiment(spark, sfDir, workDir, results)
+    Bench.rgcowExperiment(spark, sfDir, workDir, results)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // headline metric = the query battery; experiment entries (ingest,
-    // merge scaling, cosine comparison, rowgroup sweep incl. _mb sizes)
-    // are reported individually in `queries` but not summed
-    val total = results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"merge_iso","value":${results.getOrElse("merge_full_rewrite", -1.0)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // stdout tail capture can truncate the (long) single line; persist the
-    // full artifact to a file as well so timings are never lost. Default
-    // lands in the launch CWD (the repo root under the driver) so the
-    // artifact is collectable; override for side-by-side runs.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_MERGE_ISO.json")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

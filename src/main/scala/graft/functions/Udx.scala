@@ -59,7 +59,19 @@ object Udx {
   final class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     override def zero: Seq[Long] = Seq.empty
     override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-      if (buf.contains(h)) buf else (buf :+ h).sorted.take(k)
+      // at capacity, a value at/above the current k-th minimum can never
+      // enter the sketch — short-circuit the common case before the
+      // membership scan; otherwise insert into the already-sorted buffer
+      // (binarySearch) instead of re-sorting per row
+      if (buf.length == k && h >= buf.last) buf
+      else {
+        val idx = java.util.Arrays.binarySearch(buf.toArray, h)
+        if (idx >= 0) buf // already present
+        else {
+          val at = -idx - 1
+          (buf.take(at) :+ h) ++ buf.drop(at).take(k - at - 1)
+        }
+      }
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       (a ++ b).distinct.sorted.take(k)
     override def finish(r: Seq[Long]): Seq[Long] = r
@@ -101,10 +113,17 @@ object Udx {
     * are integers < 2^53 and |a/b − n| ≥ 1/b ≫ ulp for every
     * non-multiple, so the floor equals integer division bit-for-bit in
     * any engine (the oracle uses `//` on the same integers). */
-  def kmvEstimate(sketch: Column, k: Int): Column =
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    // the floor-of-double-quotient == integer-division proof needs the
+    // numerator exactly representable: (k-1)·mod < 2^52 caps k at ~4.5M
+    // (far above any useful sketch size) — enforce it so the bit-for-bit
+    // oracle claim can't silently break
+    require((k - 1).toLong * KmvMod < (1L << 52),
+      s"k=$k exceeds the exact-double bound (k-1)*$KmvMod < 2^52")
     when(size(sketch) < k, size(sketch).cast("long"))
       .otherwise(floor(lit((k - 1).toLong * KmvMod).cast("double") /
         element_at(sketch, k).cast("double")).cast("long"))
+  }
 
   /** The union sketch of two KMV sketches: k smallest of the distinct
     * union — the closure property that makes per-partition / per-group

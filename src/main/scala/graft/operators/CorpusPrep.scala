@@ -563,7 +563,18 @@ object CorpusPrep {
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          nBuckets: Int, out: String = "prefix_sum",
-                         skewRobust: Boolean = false): DataFrame = {
+                         skewRobust: Boolean = false): DataFrame =
+    exclusivePrefixSumTracked(df, orderCol, valueCol, nBuckets, out,
+      skewRobust)._1
+
+  /** [[exclusivePrefixSum]] plus the handle of its internal persisted
+    * frame — for callers that EAGERLY materialize every consumer of the
+    * result (e.g. [[writeShards]]) and can therefore release the cache
+    * deterministically instead of waiting on the ContextCleaner. */
+  private[graft] def exclusivePrefixSumTracked(
+      df: DataFrame, orderCol: String, valueCol: String,
+      nBuckets: Int, out: String = "prefix_sum",
+      skewRobust: Boolean = false): (DataFrame, DataFrame) = {
     val numericKey = df.schema(orderCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val bucket =
@@ -608,9 +619,9 @@ object CorpusPrep {
       }: _*), col("__bucket")), lit(0))
     val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
+    (bucketed
       .withColumn(out, sum(col(valueCol)).over(w) - col(valueCol) + offsetExpr)
-      .drop("__bucket")
+      .drop("__bucket"), bucketed)
   }
 
   /** TRAINING-SHARD assignment — the export step before writing packed
@@ -627,14 +638,23 @@ object CorpusPrep {
     * an external oracle. */
   def assignShards(docs: DataFrame, orderCol: String, textCol: String,
                    shardTokens: Long, tokenizer: String = "estimate",
-                   nBuckets: Int = 32): DataFrame = {
+                   nBuckets: Int = 32): DataFrame =
+    assignShardsTracked(docs, orderCol, textCol, shardTokens, tokenizer,
+      nBuckets)._1
+
+  /** [[assignShards]] plus the prefix-sum stage's persisted-frame handle
+    * (the [[exclusivePrefixSumTracked]] contract). */
+  private[graft] def assignShardsTracked(
+      docs: DataFrame, orderCol: String, textCol: String,
+      shardTokens: Long, tokenizer: String = "estimate",
+      nBuckets: Int = 32): (DataFrame, DataFrame) = {
     require(shardTokens >= 1, s"shardTokens must be >= 1 (got $shardTokens)")
     val withCost = docs.withColumn("__tok",
       TextFunctions.tokenCountOf(col(textCol), tokenizer))
-    exclusivePrefixSum(withCost, orderCol, "__tok", nBuckets,
-        out = "token_offset")
-      .withColumn("shard_id", expr(s"token_offset DIV ${shardTokens}L"))
-      .withColumnRenamed("__tok", "n_tokens")
+    val (ps, handle) = exclusivePrefixSumTracked(withCost, orderCol, "__tok",
+      nBuckets, out = "token_offset")
+    (ps.withColumn("shard_id", expr(s"token_offset DIV ${shardTokens}L"))
+      .withColumnRenamed("__tok", "n_tokens"), handle)
   }
 
   /** EPOCH UPSAMPLING with fractional repeats — "2.5 epochs of source
@@ -755,13 +775,24 @@ object CorpusPrep {
                   shardTokens: Long, outRoot: String,
                   tokenizer: String = "estimate",
                   nBuckets: Int = 32): DataFrame = {
-    val a = assignShards(docs, orderCol, textCol, shardTokens, tokenizer,
-        nBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    a.write.mode("overwrite").partitionBy("shard_id").parquet(outRoot)
-    a.groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        min(col(orderCol)).as("first_id"), max(col(orderCol)).as("last_id"))
+    val (a0, inner) = assignShardsTracked(docs, orderCol, textCol,
+      shardTokens, tokenizer, nBuckets)
+    val a = a0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      a.write.mode("overwrite").partitionBy("shard_id").parquet(outRoot)
+      // The manifest is shard-count-sized: materialize it eagerly
+      // (localCheckpoint severs the lineage back to `a`) so BOTH persisted
+      // frames — the assignment frame and the prefix-sum stage's internal
+      // bucketed frame — can be RELEASED deterministically instead of
+      // lingering until the caller's reference is GC'd.
+      a.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col(orderCol)).as("first_id"), max(col(orderCol)).as("last_id"))
+        .localCheckpoint(true)
+    } finally {
+      a.unpersist(blocking = false)
+      inner.unpersist(blocking = false)
+    }
   }
 
   /** Key-order-monotone bucket assignment with near-equal row counts per

@@ -249,11 +249,14 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
+    // no broadcast hint on the doc-count-sized `sizes` frame: unlike the
+    // planner's auto-broadcast a hint has no size cutoff, and this
+    // operator explicitly advertises no size prefilter — let AQE pick
+    // broadcast when the frame is small and fall back to a shuffle join
+    // when it isn't (the unbounded-driver-collect guard)
     inter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sa"))),
-        "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sb"))),
-        "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
       .withColumn("m", least(col("sa"), col("sb")))
       .where(col("m") > 0 &&
         col("i").cast("double") / col("m") >= threshold)

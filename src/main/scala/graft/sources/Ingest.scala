@@ -129,40 +129,60 @@ object Ingest {
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(CodecFactory.zstandardCodec(3))
-      val f = new java.io.File(s"$path/part-$pid.avro")
-      writer.create(schema, f)
-      var n = 0L
-      rows.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < fields.length) {
-          val v =
-            if (row.isNullAt(i)) null
-            else fields(i).dataType match {
-              case DateType =>
-                Int.box(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
-              case TimestampType =>
-                val inst = row.getAs[java.sql.Timestamp](i).toInstant
-                Long.box(Math.addExact(
-                  Math.multiplyExact(inst.getEpochSecond, 1000000L),
-                  inst.getNano / 1000L))
-              case TimestampNTZType =>
-                val ldt = row.getAs[java.time.LocalDateTime](i)
-                Long.box(Math.addExact(Math.multiplyExact(
-                  ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
-                  ldt.getNano / 1000L))
-              case BinaryType =>
-                java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-              case _ => row.get(i).asInstanceOf[AnyRef]
-            }
-          rec.put(i, v)
-          i += 1
+      // task-commit protocol: write to a PER-ATTEMPT temp name and
+      // atomically rename on success — a retried/speculative attempt
+      // never interleaves with another attempt on the final part file,
+      // and a mid-write failure leaves only an ignorable .tmp (the
+      // reader filters on the .avro suffix), never a truncated part
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new java.io.File(s"$path/.part-$pid-$attempt.avro.tmp")
+      var committed = false
+      try {
+        writer.create(schema, tmp)
+        var n = 0L
+        rows.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < fields.length) {
+            val v =
+              if (row.isNullAt(i)) null
+              else fields(i).dataType match {
+                case DateType =>
+                  Int.box(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+                case TimestampType =>
+                  val inst = row.getAs[java.sql.Timestamp](i).toInstant
+                  Long.box(Math.addExact(
+                    Math.multiplyExact(inst.getEpochSecond, 1000000L),
+                    inst.getNano / 1000L))
+                case TimestampNTZType =>
+                  val ldt = row.getAs[java.time.LocalDateTime](i)
+                  Long.box(Math.addExact(Math.multiplyExact(
+                    ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+                    ldt.getNano / 1000L))
+                case BinaryType =>
+                  java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+                case _ => row.get(i).asInstanceOf[AnyRef]
+              }
+            rec.put(i, v)
+            i += 1
+          }
+          writer.append(rec)
+          n += 1
         }
-        writer.append(rec)
-        n += 1
+        writer.close()
+        java.nio.file.Files.move(tmp.toPath,
+          java.nio.file.Paths.get(s"$path/part-$pid.avro"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        committed = true
+        Iterator.single(n)
+      } finally {
+        if (!committed) {
+          try writer.close() catch { case _: Throwable => () }
+          java.nio.file.Files.deleteIfExists(tmp.toPath)
+        }
       }
-      writer.close()
-      Iterator.single(n)
     }.count()
   }
 

@@ -993,12 +993,19 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
   }
 
   test("writeShards: shard dirs on disk, readback equals manifest") {
+    // the CacheManager is shared JVM-wide across suites — start from a
+    // clean slate so the hygiene assertion sees only what THIS call adds
+    spark.catalog.clearCache()
     val d = (1L to 6L).map(i => (i, Seq.fill(4)("abcd").mkString(" ")))
       .toDF("doc_id", "text")
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val manifest = CorpusPrep.writeShards(d, "doc_id", "text",
         shardTokens = 10L, outRoot = out, nBuckets = 2)
       .orderBy("shard_id").collect()
+    // the persisted assignment frame must be RELEASED deterministically
+    // (the manifest is eagerly materialized, so nothing still needs it)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "writeShards left a persisted frame in the CacheManager")
     assert(manifest.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
     assert(manifest.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L)) // docs/shard
     val dirs = new java.io.File(out).listFiles()
