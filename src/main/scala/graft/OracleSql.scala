@@ -353,6 +353,43 @@ object OracleSql {
       FROM p WHERE m > 0 AND CAST(i AS DOUBLE) / m >= 0.9
       ORDER BY id_a, id_b""",
 
+    // q221: the same brute-forced exact containment pairs as q220, plus
+    // the PINNED recall flag — the capped prefix-filter discovery path
+    // must recover >= 70% of them (the q44/q124 recall_ok discipline:
+    // the exact side is recomputed, the discovery property is pinned)
+    "q221_containment_discovery" -> """
+      WITH tw AS (
+        SELECT doc_id + 3000000 AS doc_id,
+          array_to_string(toks[1:CAST(len(toks) // 2 AS INT)], ' ') AS text
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+              WHERE trim(text) <> '' AND doc_id % 25 = 0)
+        WHERE len(toks) >= 8),
+      d AS (SELECT doc_id, trim(lower(text)) AS t FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM tw)),
+      tk AS (SELECT doc_id,
+        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(t, '\s+') END AS toks FROM d),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) = 0 THEN []
+               WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')) END) AS g
+             FROM tk),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.g, b.g)) AS i,
+              least(len(a.g), len(b.g)) AS m,
+              len(a.g) AS la, len(b.g) AS lb
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        round(CAST(i AS DOUBLE) / m, 6) AS containment,
+        CAST(CASE WHEN la < lb THEN id_a
+                  WHEN lb < la THEN id_b
+                  ELSE least(id_a, id_b) END AS BIGINT) AS contained_id,
+        CAST(1 AS INT) AS recall_ok
+      FROM p WHERE m > 0 AND CAST(i AS DOUBLE) / m >= 0.9
+      ORDER BY id_a, id_b""",
+
     "q219_token_entropy" -> """
       WITH t AS (
         SELECT doc_id,
@@ -436,6 +473,32 @@ object OracleSql {
         SELECT r.a, und.v FROM r JOIN und ON und.u = r.b)
       SELECT a AS node_id, CAST(min(b) AS BIGINT) AS component
       FROM r GROUP BY a ORDER BY node_id""",
+
+    // q222: TRUE strongly connected components via an independent
+    // mutual-reachability closure (forward closure self-joined on the
+    // reversed pair) — not a replay of the coloring/peeling rounds, so
+    // a hash match proves the algorithm correct on this graph
+    "q222_scc" -> s"""
+      WITH RECURSIVE ef AS MATERIALIZED (
+        SELECT o.o_custkey AS u, $SuppNodeOffset + l.l_suppkey AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      eb AS MATERIALIZED (
+        SELECT $SuppNodeOffset + l.l_suppkey AS u, o.o_custkey AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      ed AS MATERIALIZED (
+        SELECT u, v FROM ef UNION SELECT u, v FROM eb),
+      n AS (SELECT DISTINCT u FROM (
+        SELECT u FROM ed UNION SELECT v FROM ed)),
+      r(a, b) AS (
+        SELECT u, u FROM n
+        UNION
+        SELECT r.a, ed.v FROM r JOIN ed ON ed.u = r.b)
+      SELECT r1.a AS node_id, CAST(min(r1.b) AS BIGINT) AS scc
+      FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+      GROUP BY r1.a ORDER BY node_id""",
 
     // the MAU contribution flip replayed: each distinct (user, day)
     // fans out to the 28 days it covers; DAU/MAU exact, ratio in

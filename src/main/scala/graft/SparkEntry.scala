@@ -3882,7 +3882,16 @@ object SparkEntry {
     * brute-forces every pair (no size prefilter is valid for
     * containment), so blocking-free completeness is what hash-matching
     * proves; `contained_id` names the fragment side. */
-  def q220_containment(s: SparkSession, dir: String): DataFrame = {
+  def q220_containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(shingleSets(containmentCorpus(s, dir)), 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"), col("contained_id"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The q220/q221 fragment-twin corpus: every 25th doc contributes a
+    * prefix-half twin — a planted subset-duplication population whose
+    * containment to its parent is ~1.0 while its Jaccard sits near 1/2. */
+  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs0 = documents(s, dir).select(col("doc_id"), col("text"))
     val twins = docs0
@@ -3893,10 +3902,36 @@ object SparkEntry {
         concat_ws(" ",
           slice(col("__toks"), lit(1), expr("size(__toks) DIV 2")))
           .as("text"))
-    val docs = docs0.unionByName(twins)
-    Dedup.containmentJoin(shingleSets(docs), 0.9)
+    docs0.unionByName(twins)
+  }
+
+  /** CONTAINMENT-LSH DISCOVERY ([[Dedup.containmentPairs]], asymmetric
+    * prefix-filter blocking — the sub-quadratic twin of q220's exact
+    * harness), oracle-checkable form: the emitted rows are the EXACT
+    * containment ≥ 0.9 pairs (DuckDB brute-forces them, the q220 form)
+    * plus an aggregate `recall_ok` flag asserting the CAPPED discovery
+    * path (container postings capped at 32 per element — the scale
+    * configuration with overflow receipts) recovered ≥ 70% of them.
+    * Uncapped, discovery provably equals the exact join (prefix lemma +
+    * exact verification — DedupSpec pins the equality); this lane pins
+    * that the bounded-work configuration still finds the planted
+    * fragment twins. */
+  def q221_containment_discovery(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(containmentCorpus(s, dir))
+    val exact = Dedup.containmentJoin(sets, 0.9)
+    val (disc, _) = Dedup.containmentPairs(sets, 0.9, maxPostingWidth = 32)
+    val flagged = exact.join(
+        disc.select(col("id_a"), col("id_b"), lit(1).as("f")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("containment"),
+        col("contained_id"), coalesce(col("f"), lit(0)).as("f"))
+    val recall = flagged.agg(
+      (sum(col("f")).cast("double") / count(lit(1)) >= 0.7)
+        .cast("int").as("recall_ok"))
+    flagged.crossJoin(recall)
       .select(col("id_a"), col("id_b"),
-        round(col("containment"), 6).as("containment"), col("contained_id"))
+        round(col("containment"), 6).as("containment"),
+        col("contained_id"), col("recall_ok"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -4006,6 +4041,36 @@ object SparkEntry {
       .where(col("__n") >= 3)
       .select(col("src"), col("dst"))
     Graph.connectedComponents(e0, maxRounds = 12)
+      .orderBy(col("node_id"))
+  }
+
+  /** STRONGLY CONNECTED COMPONENTS
+    * ([[Graph.stronglyConnectedComponents]], deterministic forward
+    * coloring + backward sweep) over a DIRECTED trade graph with real
+    * cycles: customer→supplier edges for strong ties (≥ 3 lineitems)
+    * plus supplier→customer RETURN edges (returnflag 'R', ≥ 2
+    * lineitems) — a customer and supplier locked in a buy/return loop
+    * form a nontrivial SCC, the crawl-loop structure undirected
+    * components can't see. Every node is labeled with its SCC's
+    * minimum id; the oracle computes TRUE SCCs independently via a
+    * mutual-reachability closure (forward closure self-joined on the
+    * reversed pair), so hash-matching proves the peeling algorithm
+    * itself correct on this graph — the q213 discipline. */
+  def q222_scc(s: SparkSession, dir: String): DataFrame = {
+    val oli = orders(s, dir)
+      .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+    val fwd = oli
+      .groupBy(col("o_custkey").as("src"),
+        (lit(SuppNodeOffset) + col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= 3)
+      .select(col("src"), col("dst"))
+    val back = oli.where(col("l_returnflag") === "R")
+      .groupBy((lit(SuppNodeOffset) + col("l_suppkey")).as("src"),
+        col("o_custkey").as("dst"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+      .select(col("src"), col("dst"))
+    Graph.stronglyConnectedComponents(fwd.unionByName(back),
+        maxRounds = 32)
       .orderBy(col("node_id"))
   }
 
@@ -5117,6 +5182,8 @@ object SparkEntry {
     "q218_label_propagation" -> (q218_label_propagation _),
     "q219_token_entropy" -> (q219_token_entropy _),
     "q220_containment" -> (q220_containment _),
+    "q221_containment_discovery" -> (q221_containment_discovery _),
+    "q222_scc" -> (q222_scc _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

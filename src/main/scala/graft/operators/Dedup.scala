@@ -267,6 +267,87 @@ object Dedup {
           .otherwise(least(col("id_a"), col("id_b"))).as("contained_id"))
   }
 
+  /** CONTAINMENT-biased DISCOVERY join — the sub-quadratic twin of
+    * [[containmentJoin]] (which is the exact/verification harness, the
+    * jaccardJoinExact contract): all pairs with C(A,B) = |A∩B|/min ≥
+    * `threshold`, found via ASYMMETRIC PREFIX-FILTER blocking
+    * (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07, adapted to the
+    * containment measure):
+    *
+    *  - order every set's elements canonically (portable spread hash,
+    *    element string tie-break — replayable by an external engine);
+    *  - the POTENTIAL-CONTAINEE side indexes only each set's PREFIX of
+    *    ⌊(1−t)·|A|⌋+1 elements: if C(A,B) ≥ t with |A| ≤ |B| then B
+    *    misses at most (1−t)·|A| of A's elements, so at least one
+    *    prefix element of A is in B — candidate recall is EXACT;
+    *  - the CONTAINER side indexes its FULL element set (any element
+    *    might be the witness — this asymmetry is what the symmetric
+    *    Jaccard prefix filter cannot express, and why small-in-large
+    *    pairs survive);
+    *  - candidates (size-ordered, deduped) verify EXACTLY via two
+    *    id-keyed joins back to the element arrays (the editDistancePairs
+    *    de-amplification discipline — the gram join carries ids only).
+    *
+    * Uncapped, the result EQUALS [[containmentJoin]]'s (completeness by
+    * the prefix lemma, exactness by verification) at a candidate volume
+    * of Σ_e prefix-posting_e × full-posting_e — a (1−t) reduction on
+    * one side, the discovery price. `maxPostingWidth` > 0 caps the
+    * container-side postings per element (deterministic hash draw,
+    * overflow receipts — the minHashPairsCapped contract) for corpora
+    * with stopword-element tails; capped buckets may lose pairs, and
+    * the returned stats frame is the required visibility.
+    *
+    * `sets` must have columns (`id`, `elems: array<string>`). Returns
+    * (pairs with the [[containmentJoin]] schema, overflow stats). */
+  def containmentPairs(sets: DataFrame, threshold: Double,
+                       maxPostingWidth: Int = 0): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val base = sets.select(col("id"), array_distinct(col("elems")).as("elems"))
+    val exploded = base
+      .select(col("id"), size(col("elems")).as("sz"),
+        explode(col("elems")).as("e"))
+    // canonical element order: the engine-portable spread hash (the
+    // kmvHash discipline — raw poly hash of short shingles is
+    // non-uniform), element string as tie-break
+    val hashOrd = graft.functions.Udx.kmvHash(col("e"))
+    val w = Window.partitionBy(col("id")).orderBy(hashOrd, col("e"))
+    val prefix = exploded
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <=
+        floor(lit(1.0 - threshold) * col("sz")).cast("int") + 1)
+      .select(col("e"), col("id").as("id_s"), col("sz").as("sz_s"))
+    val (guardedFull, overflow) =
+      if (maxPostingWidth > 0)
+        capBucketWidth(exploded, Seq("e"), maxPostingWidth)
+      else (exploded,
+        exploded.select(col("e"), lit(0L).as("bucket_width"),
+          lit(0L).as("dropped_est")).limit(0))
+    val full = guardedFull
+      .select(col("e"), col("id").as("id_l"), col("sz").as("sz_l"))
+    val cand = prefix.join(full, Seq("e"))
+      .where(col("id_s") =!= col("id_l") && col("sz_s") <= col("sz_l"))
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(base.select(col("id").as("id_a"), col("elems").as("ea")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("elems").as("eb")),
+        Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("ea"), col("eb"))))
+      .withColumn("sa", size(col("ea")))
+      .withColumn("sb", size(col("eb")))
+      .withColumn("m", least(col("sa"), col("sb")))
+      .where(col("m") > 0 &&
+        col("i").cast("double") / col("m") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("m")).as("containment"),
+        when(col("sa") < col("sb"), col("id_a"))
+          .when(col("sb") < col("sa"), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))).as("contained_id"))
+    (verified, overflow)
+  }
+
   /** EDIT-DISTANCE similarity join (entity resolution / fuzzy key
     * matching): all pairs with `levenshtein(a, b) <= maxDist`, EXACT,
     * over lowercased strings. Candidates come from character-q-gram

@@ -468,6 +468,131 @@ object Graph {
     } finally und.unpersist(blocking = false)
   }
 
+  /** STRONGLY CONNECTED COMPONENTS of a DIRECTED edge table — the
+    * crawl-graph operator (link loops, spam farms) the undirected
+    * [[connectedComponents]] can't express — by deterministic
+    * FORWARD-COLORING + BACKWARD SWEEP (the Orzan coloring / FW-BW
+    * family, Orzan'04; Hong et al. PPoPP'13):
+    *
+    * per outer round, over the still-unassigned subgraph:
+    *  1. '''forward coloring''' to fixpoint: color(u) starts at u and
+    *     takes the min over in-neighbors' colors each superstep —
+    *     color(u) = the minimum ancestor id. A node with color(u) = u
+    *     is a ROOT (no smaller ancestor).
+    *  2. '''backward sweep''' within each color class: starting from
+    *     the roots, u joins when some edge u→v has v reached and
+    *     color(u) = color(v). The swept set of class m is EXACTLY
+    *     SCC(m): color(u) = m gives m →* u, the sweep gives u →* m,
+    *     and any u mutually reachable with m must carry color m (a
+    *     smaller ancestor of u would be a smaller ancestor of m).
+    *     Every path witnessing u →* m stays inside color class m, so
+    *     the class restriction loses nothing.
+    *  3. extracted SCCs (labeled by their min member — the root) leave
+    *     the active set; remaining nodes recolor next round.
+    *
+    * Each outer round peels every current root's SCC, so the round
+    * count is bounded by the condensation DAG's longest path (1 for a
+    * single SCC; the FB-Trim mitigation — peeling trivial SCCs by
+    * degree first — is the known refinement when that depth bites).
+    * Inner supersteps are one join + one partial-agg shuffle each
+    * (Pregel shape), frontiers localCheckpointed, the edge set
+    * released in `finally`; forward coloring is diameter-bounded
+    * INSIDE one SCC chain, not the whole graph. Fail-fasts past
+    * `maxRounds` (outer) / `maxSupersteps` (inner) — a silently
+    * partial labeling is a wrong answer.
+    *
+    * Fully deterministic (min-id colors, no randomness), so an
+    * external oracle can verify against an INDEPENDENT
+    * mutual-reachability closure (the q213 discipline).
+    *
+    * Returns (node_id, scc) for every endpoint of `edges` after
+    * self-loop removal, where `scc` is the smallest node id in the
+    * node's strongly connected component. */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 16,
+                                  maxSupersteps: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    require(maxSupersteps >= 1,
+      s"maxSupersteps must be >= 1 (got $maxSupersteps)")
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var active = e0.select(col("src").as("node_id"))
+        .union(e0.select(col("dst")))
+        .distinct()
+        .localCheckpoint()
+      var activeEdges = e0.localCheckpoint()
+      var assigned = active.limit(0)
+        .withColumn("scc", col("node_id"))
+        .localCheckpoint()
+      var outer = 0
+      while (!active.isEmpty && outer < maxRounds) {
+        // 1. forward min-ancestor coloring to fixpoint
+        var color = active.withColumn("color", col("node_id"))
+          .localCheckpoint()
+        var converged = false
+        var step = 0
+        while (!converged && step < maxSupersteps) {
+          val msgs = activeEdges
+            .join(color.withColumnRenamed("node_id", "src"), Seq("src"))
+            .groupBy(col("dst").as("node_id"))
+            .agg(min(col("color")).as("__m"))
+          val next = color.join(msgs, Seq("node_id"), "left")
+            .select(col("node_id"),
+              least(col("color"), coalesce(col("__m"), col("color")))
+                .as("color"))
+            .localCheckpoint()
+          converged = next.exceptAll(color).isEmpty
+          color = next
+          step += 1
+        }
+        require(converged,
+          s"SCC forward coloring did not converge within $maxSupersteps " +
+            "supersteps — raise maxSupersteps")
+        // 2. backward sweep from the roots, restricted to the color class
+        var reached = color.where(col("node_id") === col("color"))
+          .localCheckpoint()
+        var swept = false
+        step = 0
+        while (!swept && step < maxSupersteps) {
+          val grow = activeEdges
+            .join(reached.withColumnRenamed("node_id", "dst"), Seq("dst"))
+            .select(col("src").as("node_id"), col("color"))
+            .join(color.withColumnRenamed("color", "__c"), Seq("node_id"))
+            .where(col("__c") === col("color"))
+            .select(col("node_id"), col("color"))
+          val next = reached.unionByName(grow).distinct().localCheckpoint()
+          swept = next.exceptAll(reached).isEmpty
+          reached = next
+          step += 1
+        }
+        require(swept,
+          s"SCC backward sweep did not converge within $maxSupersteps " +
+            "supersteps — raise maxSupersteps")
+        // 3. extract, shrink the active subgraph
+        assigned = assigned
+          .unionByName(reached.select(col("node_id"), col("color").as("scc")))
+          .localCheckpoint()
+        active = active.join(reached.select(col("node_id")),
+            Seq("node_id"), "left_anti")
+          .localCheckpoint()
+        activeEdges = activeEdges
+          .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
+            "left_semi")
+          .join(active.withColumnRenamed("node_id", "dst"), Seq("dst"),
+            "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        outer += 1
+      }
+      require(active.isEmpty,
+        s"SCC peeling did not finish within $maxRounds rounds (condensation " +
+          "deeper than the budget) — raise maxRounds")
+      assigned
+    } finally e0.unpersist(blocking = false)
+  }
+
   /** CONNECTED COMPONENTS over an arbitrary edge table by the
     * ALTERNATING large-star / small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -623,4 +623,41 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.operators.Dedup.containmentJoin(sets, 0.0))
   }
+
+  test("containmentPairs: uncapped discovery EQUALS the exact join; " +
+      "caps lose only receipted buckets") {
+    val s = spark; import s.implicits._
+    // pseudo-random sets + planted fragments: doc i gets elements
+    // hash-drawn from a 40-element universe; every 7th doc also gets a
+    // half-prefix fragment twin (the small-in-large population)
+    val base = (0L until 60L).map { i =>
+      val n = 4 + (i * 13 % 9).toInt
+      (i, (0 until n).map(j => "e" + ((i * 31 + j * 17) % 40)).distinct)
+    }
+    val frags = base.collect { case (i, es) if i % 7 == 0 && es.size >= 4 =>
+      (i + 1000L, es.take(es.size / 2 + 1))
+    }
+    val sets = (base ++ frags).toDF("id", "elems")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (math.rint(r.getDouble(2) * 1e9), r.getLong(3))).toMap
+    for (t <- Seq(0.6, 0.9)) {
+      val exact = pairSet(graft.operators.Dedup.containmentJoin(sets, t))
+      val disc = pairSet(graft.operators.Dedup.containmentPairs(sets, t)._1)
+      assert(disc === exact, s"uncapped discovery must equal exact at t=$t")
+    }
+    // a tight cap: result is a SUBSET of exact, and the overflow frame
+    // lists the hot postings (the honesty receipt)
+    val (capped, overflow) =
+      graft.operators.Dedup.containmentPairs(sets, 0.9, maxPostingWidth = 2)
+    val exact9 = pairSet(graft.operators.Dedup.containmentJoin(sets, 0.9))
+    val cappedPairs = pairSet(capped)
+    assert(cappedPairs.keySet.subsetOf(exact9.keySet))
+    assert(overflow.count() > 0, "a 2-wide cap on 60 docs must overflow")
+    assert(overflow.columns.toSeq ==
+      Seq("e", "bucket_width", "dropped_est"))
+    // uncapped overflow frame is empty with the same schema
+    val (_, none) = graft.operators.Dedup.containmentPairs(sets, 0.9)
+    assert(none.count() == 0)
+  }
 }

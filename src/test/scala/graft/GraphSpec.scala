@@ -191,6 +191,7 @@ class GraphSpec extends SparkSpec {
     Graph.triangleCounts(e).collect()
     Graph.connectedComponents(e).collect()
     Graph.hits(e, 2).collect()
+    Graph.stronglyConnectedComponents(e).collect()
     // every Dataset.persist goes through the CacheManager, whose strong
     // references outlive the call — the operators must release them
     assert(spark.sharedState.cacheManager.isEmpty,
@@ -227,6 +228,54 @@ class GraphSpec extends SparkSpec {
     // self-loops alone contribute nothing; empty input is empty
     assert(Graph.connectedComponents(Seq((7L, 7L)).toDF("src", "dst"))
       .count() == 0L)
+  }
+
+  test("stronglyConnectedComponents: cycles, SCC chains, brute-force") {
+    // two 3-cycles joined by a ONE-WAY bridge (no merge), plus a
+    // dangling feeder: SCCs = {1,2,3}, {4,5,6}, {7}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L), (7L, 1L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // a pure DAG chain: every node its own SCC, peeled one condensation
+    // level per round — and a too-small budget fail-fasts
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val gotChain = Graph.stronglyConnectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    intercept[IllegalArgumentException](
+      Graph.stronglyConnectedComponents(chain, maxRounds = 2))
+    // 2-cycle with a tail: directions matter ({1,2} strongly connected,
+    // 3 reachable but not back)
+    val two = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.stronglyConnectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // deterministic pseudo-random digraph vs a driver-side
+    // transitive-closure (Floyd–Warshall) mutual-reachability fold
+    val n = 30
+    val edges = (0 until 70).map { i =>
+      ((i * 37L + 11L) % n, (i * i * 13L + 5L) % n)
+    }.filter { case (a, b) => a != b }.distinct
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    (0 until n).foreach(i => reach(i)(i) = true)
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val present = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = present.map { v =>
+      v -> present.filter(w =>
+        reach(v.toInt)(w.toInt) && reach(w.toInt)(v.toInt)).min
+    }.toMap
+    val gotR = Graph.stronglyConnectedComponents(edges.toDF("src", "dst"),
+        maxRounds = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR == expected)
+    // self-loops alone contribute nothing
+    assert(Graph.stronglyConnectedComponents(
+      Seq((7L, 7L)).toDF("src", "dst")).count() == 0L)
   }
 
   test("hits: hand-folded superstep, max-normalization, guards") {
