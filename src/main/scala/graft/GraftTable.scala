@@ -834,8 +834,10 @@ final class GraftTable private (val spark: SparkSession, val root: String,
     * plus optional min/max columns maintained with dirty-group rescan). */
   def refreshAggView(groupCols: Seq[String], sumCols: Seq[String],
                      extremaCols: Seq[String] = Nil,
-                     hllCol: Option[String] = None): Int =
-    AggView.refresh(spark, root, groupCols, sumCols, extremaCols, hllCol)
+                     hllCol: Option[String] = None,
+                     quantileCol: Option[String] = None): Int =
+    AggView.refresh(spark, root, groupCols, sumCols, extremaCols, hllCol,
+      quantileCol)
 
   /** Latest committed view state. */
   def readAggView(): DataFrame = AggView.read(spark, root)

@@ -1953,6 +1953,57 @@ object OracleSql {
     // sketch flags are pinned — delta-maintained estimate must equal
     // the full recompute (union linearity) and the exact count (the
     // domain is far under the sketch's saturation)
+    // q223: the WHOLE quantile sample replayed from the mutated final
+    // state — portable spread hash of each doc id, distinct (h, v)
+    // pairs, k = 256 lex-smallest, integer-rank estimates — plus the
+    // exact anchors and the DKW ε-flags COMPUTED (not pinned); only
+    // delta_eq_full is pinned (a structural delta-vs-full claim no
+    // single-state engine can recompute)
+    "q223_quantile_incremental" -> """
+      WITH final AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents
+        WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3)),
+      hv AS (SELECT lang, CAST(tok AS DOUBLE) AS v,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+              i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR),
+                CAST(i AS INT), 1)) AS BIGINT))),
+            (h, c) -> (h * 131 + c) % 1000000007)
+           * 2654435761 + 104729) % 1000000007 AS hh
+        FROM final),
+      dp AS (SELECT DISTINCT lang, hh, v FROM hv),
+      rk AS (SELECT lang, hh, v,
+          row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS rn
+        FROM dp),
+      sk AS (SELECT lang, list(v ORDER BY v) AS sv
+        FROM rk WHERE rn <= 256 GROUP BY lang),
+      g AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+          list(CAST(tok AS DOUBLE) ORDER BY tok) AS allv
+        FROM final GROUP BY lang),
+      e AS (SELECT g.lang, g.cnt, g.allv,
+          sk.sv[CAST((500000 * len(sk.sv) + 999999) // 1000000 AS INT)]
+            AS e50,
+          sk.sv[CAST((900000 * len(sk.sv) + 999999) // 1000000 AS INT)]
+            AS e90
+        FROM g JOIN sk ON sk.lang = g.lang)
+      SELECT lang, cnt,
+        CAST(floor(e50 * 1e6) AS BIGINT) AS est_p50_micros,
+        CAST(floor(e90 * 1e6) AS BIGINT) AS est_p90_micros,
+        CAST(floor(allv[CAST((cnt + 1) // 2 AS INT)] * 1e6) AS BIGINT)
+          AS exact_p50_micros,
+        CAST(floor(allv[CAST((9 * cnt + 9) // 10 AS INT)] * 1e6) AS BIGINT)
+          AS exact_p90_micros,
+        CAST(1 AS INT) AS delta_eq_full,
+        CAST(20 * abs(len(list_filter(allv, x -> x <= e50))
+          - (cnt + 1) // 2) <= 3 * cnt AS INT) AS eps50_ok,
+        CAST(20 * abs(len(list_filter(allv, x -> x <= e90))
+          - (9 * cnt + 9) // 10) <= 3 * cnt AS INT) AS eps90_ok
+      FROM e ORDER BY lang""",
+
     "q215_hll_incremental" -> """
       WITH final AS (
         SELECT doc_id,

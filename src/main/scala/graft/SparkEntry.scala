@@ -4840,6 +4840,55 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** INCREMENTAL QUANTILE-SKETCH MAINTENANCE
+    * ([[graft.operators.IncrementalAgg.applyDeltaWithQuantile]] over
+    * the [[graft.functions.Udx.quantileSample]] bottom-k sample): the
+    * per-(lang) percentile state maintained from the SAME change feed
+    * q81 exposes — inserts merge at sketch cost, retractions rescan
+    * only their group (the q215 HLL asymmetry, now for order
+    * statistics). Emits the delta-maintained p50/p90 ESTIMATES (the
+    * sketch is merge-order independent and hash-driven, so the oracle
+    * replays them EXACTLY from the final state — stronger than a
+    * pinned envelope), the exact rank anchors, `delta_eq_full`
+    * (delta-maintained sketch ≡ full recompute, exact array equality)
+    * and the DKW rank-ε flags (ε = 0.15 at k = 256: miss probability
+    * 2e-5), which both engines COMPUTE identically rather than pin. */
+  def q223_quantile_incremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Udx
+    import graft.operators.IncrementalAgg
+    val k = 256
+    val t = graft.GraftTable(s, cdcDocsTable(s, dir), "doc_id")
+    val prev = IncrementalAgg.fullAggWithQuantile(t.readAsOf(-1L),
+      Seq("lang"), "tok", "doc_id", k)
+    val cur = t.read()
+    val delta = IncrementalAgg.applyDeltaWithQuantile(prev,
+      t.changeFeed(-1L, 0L), cur, Seq("lang"), "tok", "doc_id", k)
+    val full = IncrementalAgg.fullAggWithQuantile(cur,
+      Seq("lang"), "tok", "doc_id", k)
+    val est = delta.select(col("lang"), col("cnt"),
+        Udx.quantileSampleEstimate(col("qsk_tok"), 500000L).as("__e50"),
+        Udx.quantileSampleEstimate(col("qsk_tok"), 900000L).as("__e90"),
+        col("qsk_tok").as("__dsk"))
+      .join(full.select(col("lang"), col("qsk_tok").as("__fsk")),
+        Seq("lang"))
+    val exact = cur.groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("tok").cast("double"))).as("__all"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("cnt"),
+        expr("CAST(floor(__e50 * 1e6) AS BIGINT)").as("est_p50_micros"),
+        expr("CAST(floor(__e90 * 1e6) AS BIGINT)").as("est_p90_micros"),
+        expr("CAST(floor(element_at(__all, CAST((cnt + 1) DIV 2 AS INT)) " +
+          "* 1e6) AS BIGINT)").as("exact_p50_micros"),
+        expr("CAST(floor(element_at(__all, CAST((9 * cnt + 9) DIV 10 AS " +
+          "INT)) * 1e6) AS BIGINT)").as("exact_p90_micros"),
+        (col("__dsk") === col("__fsk")).cast("int").as("delta_eq_full"),
+        expr("CAST(20 * abs(size(filter(__all, x -> x <= __e50)) - " +
+          "(cnt + 1) DIV 2) <= 3 * cnt AS INT)").as("eps50_ok"),
+        expr("CAST(20 * abs(size(filter(__all, x -> x <= __e90)) - " +
+          "(9 * cnt + 9) DIV 10) <= 3 * cnt AS INT)").as("eps90_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** Skew-safe grouped top-k ([[graft.operators.Skew.saltedTopKPerKey]]):
     * top-3 orders per customer through the salted two-stage reduction —
     * per-final-task rows bounded by k·buckets however hot the key. The
@@ -5184,6 +5233,7 @@ object SparkEntry {
     "q220_containment" -> (q220_containment _),
     "q221_containment_discovery" -> (q221_containment_discovery _),
     "q222_scc" -> (q222_scc _),
+    "q223_quantile_incremental" -> (q223_quantile_incremental _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

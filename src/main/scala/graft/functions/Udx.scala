@@ -131,6 +131,98 @@ object Udx {
   def kmvUnion(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  // ---- typed UDAF: bottom-k quantile-sample sketch --------------------
+
+  final case class HV(h: Long, v: Double)
+
+  /** MERGEABLE QUANTILE summary as a BOTTOM-k-BY-HASH value sample
+    * (bottom-k sampling, Cohen & Kaplan PODC'07): the buffer is the k
+    * (hash, value) pairs with the SMALLEST hashes seen, hashes drawn
+    * from the engine-portable spread hash of each row's UNIQUE key
+    * ([[kmvHash]]) — a uniform without-replacement row sample that is
+    * pure SET algebra: merge = distinct-union keep k lex-smallest, so
+    * the sketch is identical under ANY partitioning/merge topology.
+    *
+    * That merge-order independence is WHY this is the engine's
+    * maintained-state quantile form and not a GK/KLL compactor: a
+    * compactor's content depends on the order partials merge (Spark's
+    * is nondeterministic run to run), so its estimates could never be
+    * replayed bit-for-bit by an external oracle nor be stable as a
+    * persisted column — while the bottom-k sample, like [[kmvSketch]]
+    * and HLL, is a deterministic function of the DATA alone. The
+    * estimator is the sample's lower quantile
+    * ([[quantileSampleEstimate]]); rank error obeys DKW: for sample
+    * size k, P(|rank(est) − q·n| > ε·n) ≤ 2·exp(−2kε²) — k = 256
+    * gives ε = 0.1 at confidence 1 − 3e-3, ε = 0.15 at 1 − 2e-5 —
+    * and the error-budget flag is what an oracle lane pins (with the
+    * whole sketch ALSO replayable exactly, the q217 discipline,
+    * because the draw is the portable hash, not randomness).
+    *
+    * Maintenance closure (the [[graft.operators.IncrementalAgg]]
+    * contract): bottom-k(A ∪ B) is computable from bottom-k(A) and
+    * bottom-k(B) alone — any pair in the union's bottom-k is in its
+    * own side's — so inserts merge at sketch cost and delta-maintained
+    * state EQUALS the full recompute exactly (retractions rescan their
+    * group, the HLL asymmetry: a sample member might be deleted). */
+  final class QuantileSampleAggregator(k: Int)
+      extends Aggregator[HV, Seq[HV], Seq[HV]] {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    private val ord: Ordering[HV] = Ordering.by((p: HV) => (p.h, p.v))
+    override def zero: Seq[HV] = Seq.empty
+    override def reduce(buf: Seq[HV], p: HV): Seq[HV] =
+      // at capacity, a pair at/after the current k-th smallest can never
+      // enter; otherwise one scan finds the insertion point in the
+      // already-sorted buffer (the KmvAggregator discipline)
+      if (buf.length == k && ord.gteq(p, buf.last)) buf
+      else {
+        val at0 = buf.indexWhere(q => ord.gteq(q, p))
+        if (at0 >= 0 && buf(at0) == p) buf // already present
+        else {
+          val at = if (at0 < 0) buf.length else at0
+          (buf.take(at) :+ p) ++ buf.drop(at).take(k - at - 1)
+        }
+      }
+    override def merge(a: Seq[HV], b: Seq[HV]): Seq[HV] =
+      (a ++ b).distinct.sorted(ord).take(k)
+    override def finish(r: Seq[HV]): Seq[HV] = r
+    override def bufferEncoder: Encoder[Seq[HV]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[HV]] = ExpressionEncoder()
+  }
+
+  /** Column form: `quantileSample(256)(kmvHash(idStr), col("v"))` inside
+    * an agg; the hash column must be [[kmvHash]] of a row-unique key.
+    * Result type: array<struct<h:long, v:double>>, lex-ordered. */
+  def quantileSample(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new QuantileSampleAggregator(k))
+    (h, v) => fn(h, v)
+  }
+
+  /** Union of two quantile-sample sketches: k lex-smallest of the
+    * distinct pair union — the closure [[QuantileSampleAggregator]]'s
+    * scaladoc proves. Pure Column algebra (struct array_sort orders by
+    * (h, v)). */
+  def quantileSampleMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Lower q-quantile of a sketch's value sample: the value at 1-based
+    * rank ceil(q·m) of the sorted sample (percentile-disc semantics).
+    * `qMicros` is the quantile in EXACT fixed-point millionths — the
+    * rank is computed as the integer (qMicros·m + 999999) div 1e6, so
+    * no engine's binary-double rendering of 0.9 can shift a rank by
+    * one at an exact multiple (the floor-of-double-quotient equals
+    * integer division: qMicros·m ≤ 1e6·k < 2^52). NULL for an empty
+    * sketch. Pure Column algebra, replayable verbatim. */
+  def quantileSampleEstimate(sketch: Column, qMicros: Long): Column = {
+    require(qMicros > 0L && qMicros <= 1000000L,
+      s"qMicros must be in (0, 1000000] (got $qMicros)")
+    val m = size(sketch)
+    when(m === 0, lit(null).cast("double"))
+      .otherwise(element_at(
+        array_sort(transform(sketch, p => p.getField("v"))),
+        floor((lit(qMicros) * m + lit(999999L)).cast("double") /
+          lit(1000000.0)).cast("int")))
+  }
+
   // ---- typed UDAF: Misra–Gries heavy hitters --------------------------
 
   final case class TermCount(term: String, cnt: Long)

@@ -224,6 +224,116 @@ object IncrementalAgg {
       .select(groupCols.map(g => cnts(g)) :+ col("cnt") :+ col(sk): _*)
   }
 
+  /** Full recompute with a mergeable QUANTILE-SAMPLE sketch column —
+    * defines the schema of [[applyDeltaWithQuantile]]: groupCols ++
+    * (cnt, qsk_<valueCol>). The sketch ([[graft.functions.Udx
+    * .quantileSample]]) is the k lex-smallest (portable-hash-of-id,
+    * value) pairs per group — a persisted incremental percentile
+    * state: merge-order independent (pure set algebra), so the stored
+    * column is a deterministic function of the data and an external
+    * oracle replays estimates EXACTLY (the q217 discipline; a GK/KLL
+    * compactor's content depends on merge topology and could be
+    * neither replayed nor compared delta-vs-full). NULL values count
+    * as 0 (this operator's sum-family NULL convention). */
+  def fullAggWithQuantile(table: DataFrame, groupCols: Seq[String],
+                          valueCol: String, idCol: String,
+                          k: Int = 256): DataFrame =
+    table.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Udx.quantileSample(k)(
+          graft.functions.Udx.kmvHash(col(idCol).cast("string")),
+          coalesce(col(valueCol), lit(0)).cast("double"))
+          .as(s"qsk_$valueCol"))
+
+  /** Maintain a per-group quantile-sample sketch from a change feed —
+    * the percentile analog of [[applyDeltaWithHll]], same
+    * insert/retract asymmetry: INSERTS merge exactly (bottom-k(A∪B)
+    * is computable from the two bottom-k sets — one k-sized
+    * set-union per touched group, cost ∝ delta), while a RETRACTION
+    * makes its group "dirty" (a deleted row might be a sample member)
+    * and only dirty groups recompute from `newTable`, group-key
+    * pruned. An UPDATE preserving (group, id, value) retracts
+    * nothing. Delta-maintained sketches EQUAL the full recompute's
+    * exactly — for clean groups by the bottom-k union lemma, for
+    * dirty ones trivially — so the spec pins sketch equality, not
+    * approximate closeness.
+    *
+    * `idCol` must be BOTH the table's row-identity column and the
+    * feed's top-level key column (the CdcMergeSink feed shape: key +
+    * change_type + before/after structs of the non-key fields) — key
+    * values never change within a feed row, so a surviving update
+    * keeps its (hash, value) pair iff group and value survive.
+    *
+    * `newTable` must be the table state AFTER the feed was applied. */
+  def applyDeltaWithQuantile(prevAgg: DataFrame, feed: DataFrame,
+                             newTable: DataFrame, groupCols: Seq[String],
+                             valueCol: String, idCol: String,
+                             k: Int = 256): DataFrame = {
+    import graft.functions.Udx
+    val sk = s"qsk_$valueCol"
+    val cnts = applyDelta(
+      prevAgg.select(groupCols.map(col) :+ col("cnt"): _*),
+      feed, groupCols, Seq.empty)
+    // insert-side sketch per group (one pass over the feed)
+    val ins = feed.where(col("after").isNotNull)
+      .select(groupCols.map(g => col(s"after.$g").as(g)) ++ Seq(
+        Udx.kmvHash(col(idCol).cast("string")).as("__h"),
+        coalesce(col(s"after.$valueCol"), lit(0)).cast("double")
+          .as("__v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(Udx.quantileSample(k)(col("__h"), col("__v")).as("__ins"))
+      .select(groupCols.map(g => col(g).as(s"__i_$g")) :+ col("__ins"): _*)
+    // dirty = a retraction whose (group, value) does not survive in
+    // place — group moves, value changes, and deletes all retract a
+    // (hash, value) pair the stored sample may contain (the key, and
+    // so the hash, is constant within a feed row)
+    val survives = col("after").isNotNull &&
+      groupCols.map(g => col(s"after.$g") <=> col(s"before.$g"))
+        .reduce(_ && _) &&
+      (col(s"after.$valueCol") <=> col(s"before.$valueCol"))
+    val dirtyKeys = feed.where(col("before").isNotNull && !survives)
+      .select(groupCols.map(g => col(s"before.$g").as(s"__d_$g")): _*)
+      .distinct()
+      .withColumn("__isdirty", lit(true))
+    // clean path: k smallest of previous sample ∪ inserted sample
+    val prevSk = prevAgg.select(groupCols.map(col) :+ col(sk): _*)
+    val insCond = groupCols.map(g => prevSk(g) <=> ins(s"__i_$g"))
+      .reduce(_ && _)
+    val merged = prevSk.join(ins, insCond, "full_outer")
+      .select(
+        groupCols.map(g => coalesce(prevSk(g), ins(s"__i_$g")).as(g)) :+
+          when(col(sk).isNull, col("__ins"))
+            .when(col("__ins").isNull, col(sk))
+            .otherwise(Udx.quantileSampleMerge(col(sk), col("__ins"), k))
+            .as("__clean"): _*)
+    val dirtyCond = groupCols.map(g => merged(g) <=> dirtyKeys(s"__d_$g"))
+      .reduce(_ && _)
+    val cleanWithFlag = merged.join(dirtyKeys, dirtyCond, "full_outer")
+      .select(
+        groupCols.map(g =>
+          coalesce(merged(g), dirtyKeys(s"__d_$g")).as(g)) :+
+          col("__clean") :+
+          coalesce(col("__isdirty"), lit(false)).as("__dirty"): _*)
+    // recompute ONLY the dirty groups from the post-feed table
+    val recCond = groupCols.map(g => newTable(g) <=> dirtyKeys(s"__d_$g"))
+      .reduce(_ && _)
+    val recomputed = newTable.join(dirtyKeys, recCond, "inner")
+      .groupBy(groupCols.map(col): _*)
+      .agg(Udx.quantileSample(k)(
+        Udx.kmvHash(col(idCol).cast("string")),
+        coalesce(col(valueCol), lit(0)).cast("double")).as("__re"))
+      .select(groupCols.map(g => col(g).as(s"__r_$g")) :+ col("__re"): _*)
+    val reCond = groupCols.map(g => cleanWithFlag(g) <=> recomputed(s"__r_$g"))
+      .reduce(_ && _)
+    val sketches = cleanWithFlag.join(recomputed, reCond, "left_outer")
+      .select(groupCols.map(g => cleanWithFlag(g).as(s"__s_$g")) :+
+        when(col("__dirty"), col("__re")).otherwise(col("__clean")).as(sk): _*)
+    val finalCond = groupCols.map(g => cnts(g) <=> sketches(s"__s_$g"))
+      .reduce(_ && _)
+    cnts.join(sketches, finalCond, "left_outer")
+      .select(groupCols.map(g => cnts(g)) :+ col("cnt") :+ col(sk): _*)
+  }
+
   /** Apply a change feed (key, change_type, before, after — the
     * [[graft.streaming.CdcMergeSink.rowDiff]] shape) to a previous
     * aggregate. Group and sum columns are fields of the before/after

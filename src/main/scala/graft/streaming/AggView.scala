@@ -39,10 +39,12 @@ object AggView {
     * serve a view of different columns as "up to date". */
   private def specString(groupCols: Seq[String], sumCols: Seq[String],
                          extremaCols: Seq[String],
-                         hllCol: Option[String] = None) =
+                         hllCol: Option[String] = None,
+                         quantileCol: Option[String] = None) =
     s"group=${groupCols.mkString(",")};sum=${sumCols.mkString(",")}" +
       (if (extremaCols.isEmpty) "" else s";ext=${extremaCols.mkString(",")}") +
-      hllCol.map(c => s";hll=$c").getOrElse("")
+      hllCol.map(c => s";hll=$c").getOrElse("") +
+      quantileCol.map(c => s";q=$c").getOrElse("")
 
   private def checkOrWriteSpec(tableRoot: String, spec: String): Unit = {
     val p = Paths.get(s"$tableRoot/aggview/_spec")
@@ -67,12 +69,20 @@ object AggView {
     * a NULL group key is a group like any other; both frames drop
     * zero-count groups, so the group sets agree). */
   private def withHllColumn(core: DataFrame, hll: DataFrame,
-                            groupCols: Seq[String], c: String): DataFrame = {
-    val h = hll.select(
-      groupCols.map(g => col(g).as(s"__h_$g")) :+ col(s"hll_$c"): _*)
+                            groupCols: Seq[String], c: String): DataFrame =
+    withSketchColumn(core, hll, groupCols, s"hll_$c")
+
+  /** Attach a maintained sketch column (`hll_*` / `qsk_*`) of a second
+    * maintained frame to the core view rows — same null-safe group
+    * equality contract as [[withHllColumn]]. */
+  private def withSketchColumn(core: DataFrame, sk: DataFrame,
+                               groupCols: Seq[String],
+                               skCol: String): DataFrame = {
+    val h = sk.select(
+      groupCols.map(g => col(g).as(s"__h_$g")) :+ col(skCol): _*)
     val cond = groupCols.map(g => core(g) <=> h(s"__h_$g")).reduce(_ && _)
     core.join(h, cond, "left_outer")
-      .select(core.columns.map(core(_)).toIndexedSeq :+ col(s"hll_$c"): _*)
+      .select(core.columns.map(core(_)).toIndexedSeq :+ col(skCol): _*)
   }
 
   /** Bring the view up to date (see object scaladoc). With `hllCol`,
@@ -80,30 +90,49 @@ object AggView {
     * column `hll_<col>` ([[IncrementalAgg.applyDeltaWithHll]]):
     * insert-only steps merge sketches delta-priced, retraction-touched
     * groups rescan group-key-pruned — the persisted-sketch-state form
-    * of q201's union linearity. */
+    * of q201's union linearity. With `quantileCol`, a per-group
+    * QUANTILE-SAMPLE sketch column `qsk_<col>`
+    * ([[IncrementalAgg.applyDeltaWithQuantile]], row identity = the
+    * table's merge key) is maintained the same way — "p99 per group,
+    * incrementally" served from one stored column
+    * ([[graft.functions.Udx.quantileSampleEstimate]]). */
   def refresh(spark: SparkSession, tableRoot: String,
               groupCols: Seq[String], sumCols: Seq[String],
               extremaCols: Seq[String] = Nil,
-              hllCol: Option[String] = None): Int = {
+              hllCol: Option[String] = None,
+              quantileCol: Option[String] = None): Int = {
     checkOrWriteSpec(tableRoot,
-      specString(groupCols, sumCols, extremaCols, hllCol))
+      specString(groupCols, sumCols, extremaCols, hllCol, quantileCol))
     val tableVs = CdcMergeSink.versions(tableRoot)
     var prevAgg: Option[DataFrame] = None
     var prevV: Long = -1L // sentinel: resolves to the base snapshot
     var built = 0
-    def coreCols(df: DataFrame) = hllCol match {
-      case Some(c) => df.drop(s"hll_$c")
-      case None => df
+    def coreCols(df: DataFrame) = {
+      val h = hllCol match {
+        case Some(c) => df.drop(s"hll_$c")
+        case None => df
+      }
+      quantileCol match {
+        case Some(c) => h.drop(s"qsk_$c")
+        case None => h
+      }
     }
     def full(df: DataFrame) = {
       val core =
         if (extremaCols.isEmpty) IncrementalAgg.fullAgg(df, groupCols, sumCols)
         else IncrementalAgg.fullAggWithExtrema(df, groupCols, sumCols,
           extremaCols)
-      hllCol match {
+      val withH = hllCol match {
         case None => core
         case Some(c) => withHllColumn(core,
           IncrementalAgg.fullAggWithHll(df, groupCols, c), groupCols, c)
+      }
+      quantileCol match {
+        case None => withH
+        case Some(c) => withSketchColumn(withH,
+          IncrementalAgg.fullAggWithQuantile(df, groupCols, c,
+            keyOf(tableRoot)),
+          groupCols, s"qsk_$c")
       }
     }
     tableVs.foreach { v =>
@@ -121,7 +150,7 @@ object AggView {
           else IncrementalAgg.applyDeltaWithExtrema(coreCols(base), feed,
             CdcMergeSink.readAsOf(spark, tableRoot, v),
             groupCols, sumCols, extremaCols)
-        val next = hllCol match {
+        val withH = hllCol match {
           case None => core
           case Some(c) =>
             // the sketch delta re-derives its bookkeeping cnt from the
@@ -132,6 +161,16 @@ object AggView {
             val hllNext = IncrementalAgg.applyDeltaWithHll(prevSketch, feed,
               CdcMergeSink.readAsOf(spark, tableRoot, v), groupCols, c)
             withHllColumn(core, hllNext, groupCols, c)
+        }
+        val next = quantileCol match {
+          case None => withH
+          case Some(c) =>
+            val prevSketch = base.select(
+              groupCols.map(col) :+ col("cnt") :+ col(s"qsk_$c"): _*)
+            val qNext = IncrementalAgg.applyDeltaWithQuantile(prevSketch,
+              feed, CdcMergeSink.readAsOf(spark, tableRoot, v), groupCols,
+              c, keyOf(tableRoot))
+            withSketchColumn(withH, qNext, groupCols, s"qsk_$c")
         }
         // overwrite handles a crashed half-write; _SUCCESS commits
         next.coalesce(1).write.mode("overwrite").parquet(dir)

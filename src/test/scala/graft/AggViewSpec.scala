@@ -124,4 +124,40 @@ class AggViewSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AggView.refresh(spark, root, Seq("cat"), Seq.empty))
   }
+
+  test("quantile column: the view maintains a percentile sample per group") {
+    val root = java.nio.file.Files.createTempDirectory("graft-aggvq").toString
+    val base = spark.range(0, 200).select(col("id"),
+      concat(lit("g"), (col("id") % 4).cast("string")).as("cat"),
+      (col("id") * 13 % 97).cast("double").as("v"))
+    ParquetTable.writeSorted(base, s"$root/base", "id", 4)
+    CdcMergeSink.applyBatch(spark,
+      Seq((500L, "g0", 777.0, "upsert"),   // insert-only merge path
+        (3L, "", 0.0, "delete"),           // retraction -> g3 rescans
+        (5L, "g9", 5.0, "upsert"))         // group move -> g1 dirty too
+        .toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 0L)
+    CdcMergeSink.applyBatch(spark,
+      Seq((501L, "g9", 1.5, "upsert")).toDF("id", "cat", "v", "op"),
+      root, "id", batchId = 1L)
+    assert(AggView.refresh(spark, root, Seq("cat"), Seq.empty,
+      quantileCol = Some("v")) === 2)
+    // the maintained sketch EQUALS the full recompute's, array-exact
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cat"), col("cnt"), col("qsk_v"))
+      .orderBy("cat").collect().map(_.toSeq).toSeq
+    val full = IncrementalAgg.fullAggWithQuantile(
+      CdcMergeSink.readAsOf(spark, root, 1L), Seq("cat"), "v", "id")
+    assert(rows(AggView.read(spark, root)) === rows(full))
+    // ... and a served p50 exists per group (the dashboard read shape)
+    val served = AggView.read(spark, root)
+      .select(col("cat"),
+        graft.functions.Udx.quantileSampleEstimate(col("qsk_v"), 500000L)
+          .as("p50"))
+      .collect()
+    assert(served.length === 5 && served.forall(!_.isNullAt(1)))
+    // a refresh under a DIFFERENT spec (no quantile) must refuse
+    intercept[IllegalArgumentException](
+      AggView.refresh(spark, root, Seq("cat"), Seq.empty))
+  }
 }

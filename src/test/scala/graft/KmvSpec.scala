@@ -58,6 +58,45 @@ class KmvSpec extends SparkSpec {
     assert(est === (k - 1).toLong * Udx.KmvMod / kth)
   }
 
+  private def qsketchDf(rows: Seq[(Long, Double)], k: Int,
+                        parts: Int = 4): org.apache.spark.sql.DataFrame =
+    rows.toDF("id", "v").repartition(parts)
+      .select(Udx.kmvHash(col("id").cast("string")).as("h"), col("v"))
+      .agg(Udx.quantileSample(k)(col("h"), col("v")).as("s"))
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select(col("s")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+
+  test("quantileSample: below capacity IS the pair set; partitioning " +
+      "invariant; bottom-k union closure; exact-sample estimate") {
+    val small = Seq(1L -> 5.0, 2L -> 1.0, 3L -> 9.0, 2L -> 1.0)
+    val sDf = qsketchDf(small, k = 16)
+    val s = pairs(sDf)
+    assert(s.length === 3, "distinct pairs only")
+    assert(s.map(_._1) === s.map(_._1).sorted)
+    // when the sample holds the whole group the estimate is the exact
+    // lower quantile: p50 of {1,5,9} = 5, p90 = 9, p1 = 1
+    def est(q: Long) = sDf
+      .select(Udx.quantileSampleEstimate(col("s"), q)).head().getDouble(0)
+    assert(est(500000L) === 5.0 && est(900000L) === 9.0 &&
+      est(10000L) === 1.0)
+    // partitioning/merge-topology invariance (pure set algebra)
+    val big = (1L to 800L).map(i => i -> (i * 17 % 251).toDouble)
+    assert(pairs(qsketchDf(big, 32, parts = 1)) ===
+      pairs(qsketchDf(big, 32, parts = 8)))
+    // bottom-k(A ∪ B) from the two bottom-k sets alone (the
+    // IncrementalAgg clean-path closure)
+    val a = big.take(500); val b = big.drop(300)
+    val u = qsketchDf(a, 32).select(col("s").as("sa"))
+      .crossJoin(qsketchDf(b, 32).select(col("s").as("sb")))
+      .select(Udx.quantileSampleMerge(col("sa"), col("sb"), 32).as("s"))
+    assert(pairs(u) === pairs(qsketchDf((a ++ b).distinct, 32)))
+    intercept[IllegalArgumentException](Udx.quantileSample(1))
+    intercept[IllegalArgumentException](
+      Udx.quantileSampleEstimate(col("s"), 0L))
+  }
+
   test("polyHash is the engine-portable fold (hand value)") {
     // "12": h = ((0*131+49)%M)*131+50 % M = 49*131+50 = 6469
     val h = Seq("12").toDF("t")
