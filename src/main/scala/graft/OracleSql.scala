@@ -1953,6 +1953,42 @@ object OracleSql {
     // sketch flags are pinned — delta-maintained estimate must equal
     // the full recompute (union linearity) and the exact count (the
     // domain is far under the sketch's saturation)
+    // q224: the A-ES draw replayed verbatim — spread hash of
+    // "7:wsample:<id>", ln of the exact-integer ratio, floor-micros
+    // key, (key desc, id) top-20 membership; non-positive weights
+    // never sampled
+    "q224_weighted_sample" -> """
+      WITH d AS (SELECT doc_id, lang,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents),
+      h AS (SELECT doc_id, lang, tok, CAST(tok - 2 AS DOUBLE) AS w,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1,
+                length('7:wsample:' || CAST(doc_id AS VARCHAR)) + 1),
+              i -> CAST(unicode(substr('7:wsample:' ||
+                CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+            (a, c) -> (a * 131 + c) % 1000000007)
+           * 2654435761 + 104729) % 1000000007 AS hh
+        FROM d),
+      ky AS (SELECT doc_id, lang, tok,
+          CASE WHEN w > 0 THEN CAST(floor(
+            ln((hh + 1) / 1000000008.0) / w * 1000000.0) AS BIGINT)
+          END AS sk
+        FROM h),
+      rk AS (SELECT doc_id, lang, tok, sk,
+          row_number() OVER (PARTITION BY lang ORDER BY sk DESC, doc_id)
+            AS rn
+        FROM ky WHERE sk IS NOT NULL)
+      SELECT doc_id, lang, CAST(tok AS BIGINT) AS n_tokens,
+        sk AS sample_key_micros,
+        CAST(CASE WHEN rn <= 20 THEN 1 ELSE 0 END AS INT) AS kept
+      FROM rk
+      UNION ALL
+      SELECT doc_id, lang, CAST(tok AS BIGINT), NULL, CAST(0 AS INT)
+      FROM ky WHERE sk IS NULL
+      ORDER BY doc_id""",
+
     // q223: the WHOLE quantile sample replayed from the mutated final
     // state — portable spread hash of each doc id, distinct (h, v)
     // pairs, k = 256 lex-smallest, integer-rank estimates — plus the

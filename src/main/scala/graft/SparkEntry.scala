@@ -4889,6 +4889,25 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT
+    * ([[CorpusPrep.weightedSample]], deterministic A-ES): per-language
+    * quality-weighted selection with weight = n_tokens − 2 (so short
+    * docs carry NON-positive weights and exercise the never-sampled
+    * path). The oracle replays the spread hash, the single
+    * exact-integer-ratio ln, the floor-micros key, and the (key desc,
+    * id) top-20 membership verbatim — nothing pinned. */
+  def q224_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("__w", (col("n_tokens") - 2).cast("double"))
+    CorpusPrep.weightedSample(docs, "lang", "__w", "doc_id",
+        k = 20, seed = 7L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("sample_key_micros"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Skew-safe grouped top-k ([[graft.operators.Skew.saltedTopKPerKey]]):
     * top-3 orders per customer through the salted two-stage reduction —
     * per-final-task rows bounded by k·buckets however hot the key. The
@@ -5234,6 +5253,7 @@ object SparkEntry {
     "q221_containment_discovery" -> (q221_containment_discovery _),
     "q222_scc" -> (q222_scc _),
     "q223_quantile_incremental" -> (q223_quantile_incremental _),
+    "q224_weighted_sample" -> (q224_weighted_sample _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

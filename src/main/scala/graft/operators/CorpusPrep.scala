@@ -1630,6 +1630,46 @@ object CorpusPrep {
       groupCol, "__h", idCol, k, ascending = true)
       .drop("__h")
 
+  /** WEIGHTED sampling WITHOUT replacement — exactly `k` rows per group
+    * drawn with probability ∝ `weightCol` (A-ES / exponential-jitter
+    * reservoir keys: Efraimidis & Spirakis, IPL 2006): each row's key
+    * is ln(u)/w for a uniform u, and the k LARGEST keys per group are
+    * a weighted sample without replacement (the paper's theorem). Made
+    * DETERMINISTIC the [[mixture]]/[[sampleExactK]] way: u is the
+    * engine-portable spread hash of (seed, id) over its modulus — an
+    * exact-integer ratio in (0, 1) — so the single ln runs on a ratio
+    * of exact integers (the q88 ln discipline) and the key lands in
+    * floor-micros fixed point; an oracle replays hash, key arithmetic,
+    * and membership verbatim. This is the standard quality-weighted
+    * corpus-selection step after [[qualityLogit]]/perplexity scoring
+    * (weight = a positive quality score); uniform-hash sampling
+    * ([[sampleExactK]]) is the w ≡ 1 special case.
+    *
+    * Rows with NULL or non-positive weight are never sampled but still
+    * return (`kept` = 0, null key) — the auditable-gate contract; `k`
+    * applies to the positive-weight population. Scale shape =
+    * [[topKPerGroup]]'s over row-unique keys (the [[sampleExactK]]
+    * honest note: the rank table is row-sized, but only (group, key)
+    * pairs sort — never payloads). Returns every input row +
+    * (`sample_key_micros`, `kept`). */
+  def weightedSample(docs: DataFrame, groupCol: String, weightCol: String,
+                     idCol: String, k: Int, seed: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m1 = graft.functions.Udx.KmvMod + 1 // hash+1 ∈ [1, mod] ⊂ (0, m1)
+    val h = graft.functions.Udx.kmvHash(concat_ws(":",
+      lit(seed.toString), lit("wsample"), col(idCol).cast("string")))
+    val keyed = docs.withColumn("__wsk",
+      when(col(weightCol).isNotNull && col(weightCol) > 0,
+        floor(log((h + 1).cast("double") / lit(m1.toDouble)) /
+          col(weightCol).cast("double") * lit(1000000.0)).cast("long")))
+    val pos = keyed.where(col("__wsk").isNotNull)
+    val nonpos = keyed.where(col("__wsk").isNull)
+      .withColumn("kept", lit(0))
+    topKPerGroup(pos, groupCol, "__wsk", idCol, k, ascending = false)
+      .unionByName(nonpos)
+      .withColumnRenamed("__wsk", "sample_key_micros")
+  }
+
   private def gateByRank(docs: DataFrame, groupCol: String,
                          scoreCol: String, idCol: String,
                          ascending: Boolean, kExpr: Column): DataFrame = {

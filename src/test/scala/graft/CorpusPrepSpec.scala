@@ -992,6 +992,61 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       d, "source", "text", "doc_id", tokenBudget = 0L))
   }
 
+  test("weightedSample: A-ES membership replays exactly; gate invariants") {
+    val d = (1L to 30L).map(i =>
+        (i, if (i % 2 == 0) "A" else "B", (i % 7 - 1).toDouble))
+      .toDF("doc_id", "grp", "w")
+      .unionByName(Seq((99L, "A", null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "grp", "w"))
+    val got = CorpusPrep.weightedSample(d, "grp", "w", "doc_id",
+        k = 3, seed = 11L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4))).toMap
+    // driver-side replica of the whole draw (hash → ln ratio → floor
+    // micros → (key desc, id) top-3): the operator must agree verbatim
+    def hash(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = (h * 131 + c.toLong) % 1000000007L)
+      (h * 2654435761L + 104729L) % 1000000007L
+    }
+    val rows = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B", (i % 7 - 1).toDouble))
+    val keys = rows.collect { case (id, g, w) if w > 0 =>
+      (id, g, math.floor(math.log(
+        (hash(s"11:wsample:$id") + 1) / 1000000008.0) / w * 1e6).toLong)
+    }
+    val expectKept = keys.groupBy(_._2).flatMap { case (_, ks) =>
+      ks.sortBy(k => (-k._3, k._1)).take(3).map(_._1)
+    }.toSet
+    keys.foreach { case (id, _, k) =>
+      assert(got(id)._2 === Some(k), s"key mismatch for id $id")
+      assert(got(id)._3 === (if (expectKept(id)) 1 else 0),
+        s"membership mismatch for id $id")
+    }
+    // every row returns; non-positive and NULL weights never sampled
+    assert(got.size === 31)
+    rows.collect { case (id, _, w) if w <= 0 => id }.foreach { id =>
+      assert(got(id)._2.isEmpty && got(id)._3 === 0)
+    }
+    assert(got(99L)._2.isEmpty && got(99L)._3 === 0)
+    // exactly min(k, positive population) kept per group
+    val keptPerGroup = got.toSeq.filter(_._2._3 == 1).groupBy(_._2._1)
+    assert(keptPerGroup.values.forall(_.size == 3))
+    // ∝-weight sanity on the driver replica: a weight-30 row beats ten
+    // weight-1 rivals about 30/40 of the time across 200 fixed seeds
+    val wins = (0 until 200).count { seed =>
+      val heavy = math.log(
+        (hash(s"$seed:wsample:99") + 1) / 1000000008.0) / 30.0
+      val best = (1 to 10).map(id => math.log(
+        (hash(s"$seed:wsample:$id") + 1) / 1000000008.0) / 1.0).max
+      heavy > best
+    }
+    assert(wins > 110 && wins < 180, s"heavy row won $wins/200 (expect ~150)")
+    intercept[IllegalArgumentException](
+      CorpusPrep.weightedSample(d, "grp", "w", "doc_id", k = 0, seed = 1L))
+  }
+
   test("writeShards: shard dirs on disk, readback equals manifest") {
     // the CacheManager is shared JVM-wide across suites — start from a
     // clean slate so the hygiene assertion sees only what THIS call adds
