@@ -236,6 +236,14 @@ object BenchScale {
         graft.operators.Graph.hits(eg, iterations = 4)))
       results("label_prop_4round") = time(runToNoop(
         graft.operators.Graph.labelPropagation(eg, rounds = 4)))
+      // round-12: directed SCC — forward edges + a quarter reversed, so
+      // real multi-node SCCs exist and the peel pays >1 outer round
+      val dirEdges = rep.select(col("src"), col("dst"))
+        .unionByName(rep.where(pmod(col("src"), lit(4L)) === 0)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      results("scc_directed") = time(runToNoop(
+        graft.operators.Graph.stronglyConnectedComponents(dirEdges,
+          maxRounds = 32)))
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] graph experiment failed: ${e.getMessage}")
     }

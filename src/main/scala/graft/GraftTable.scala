@@ -116,6 +116,98 @@ final class GraftTable private (val spark: SparkSession, val root: String,
       expectedChecks = Some(existing))
   }
 
+  /** The DEFAULT column expressions the latest committed version
+    * declares (column → constant SQL expression). */
+  def columnDefaults: Map[String, String] =
+    graft.sources.GraftDefaults.manifestDefaults(
+      CdcMergeSink.latestSnapshot(root))
+
+  /** The GENERATED ALWAYS AS expressions the latest committed version
+    * declares (column → SQL expression over the other columns). */
+  def generatedColumns: Map[String, String] =
+    graft.sources.GraftDefaults.manifestGenerated(
+      CdcMergeSink.latestSnapshot(root))
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr` — metadata-only
+    * at any table size (defaults govern FUTURE writes; existing rows
+    * are untouched, the standard lakehouse contract). */
+  def setColumnDefault(colName: String, expression: String): Long =
+    alterColumnContracts(addDefaults = Map(colName -> expression))
+
+  /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT` — metadata-only. */
+  def dropColumnDefault(colName: String): Long =
+    alterColumnContracts(dropDefaults = Seq(colName))
+
+  /** Declare `colName` GENERATED ALWAYS AS (expr): validates the
+    * expression over the OTHER columns and the whole current table
+    * content ONCE (null-safe equality — the ADD CONSTRAINT scan), then
+    * commits metadata-only; every later write either computes the
+    * column (omitted) or is validated against the expression
+    * (supplied). */
+  def setGeneratedColumn(colName: String, expression: String): Long =
+    alterColumnContracts(addGenerated = Map(colName -> expression))
+
+  /** Drop a GENERATED declaration (the column stays, writers regain
+    * control of it) — metadata-only. */
+  def dropGeneratedColumn(colName: String): Long =
+    alterColumnContracts(dropGenerated = Seq(colName))
+
+  /** Apply a batch of DEFAULT/GENERATED contract changes as ONE
+    * metadata commit (the [[alterChecks]] statement shape): every
+    * expression validates FIRST, existing rows validate once against
+    * the added GENERATED set, concurrent contract drift fails the
+    * statement, and a concurrent data commit re-validates before
+    * publishing (the rebase-drift decline lives in
+    * [[OptimisticCommit]]'s rebase, which refuses to carry a batch
+    * staged under a stale contract). */
+  def alterColumnContracts(addDefaults: Map[String, String] = Map.empty,
+                           dropDefaults: Seq[String] = Nil,
+                           addGenerated: Map[String, String] = Map.empty,
+                           dropGenerated: Seq[String] = Nil): Long = {
+    val latestV = CdcMergeSink.versions(root).lastOption.getOrElse(-1L)
+    val latest = CdcMergeSink.latestSnapshot(root)
+    val exD = graft.sources.GraftDefaults.manifestDefaults(latest)
+    val exG = graft.sources.GraftDefaults.manifestGenerated(latest)
+    addDefaults.keys.foreach(c => require(!exD.contains(c),
+      s"column '$c' already has a DEFAULT — drop it first"))
+    addGenerated.keys.foreach(c => require(!exG.contains(c),
+      s"column '$c' is already GENERATED — drop the declaration first"))
+    dropDefaults.foreach(c => require(exD.contains(c),
+      s"column '$c' has no DEFAULT to drop"))
+    dropGenerated.foreach(c => require(exG.contains(c),
+      s"column '$c' has no GENERATED declaration to drop"))
+    (addDefaults.keySet ++ addGenerated.keySet).foreach(c => require(
+      !(addDefaults.contains(c) && addGenerated.contains(c)) &&
+        !(exG.contains(c) && addDefaults.contains(c)) &&
+        !(exD.contains(c) && addGenerated.contains(c)),
+      s"column '$c' cannot be both DEFAULT and GENERATED"))
+    val schema = graft.sources.MutableParquetTable.manifestSchema(latest)
+      .getOrElse(throw new IllegalStateException(
+        s"$latest carries no schema — commit the table before declaring " +
+          "column contracts"))
+    addDefaults.foreach { case (c, e) =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"DEFAULT column '$c' is not in the schema " +
+          schema.fieldNames.mkString("(have: ", ", ", ")"))
+      graft.sources.GraftDefaults.validateDefaultExpr(spark, c, e)
+    }
+    def validateExisting(): Unit = if (addGenerated.nonEmpty) {
+      addGenerated.foreach { case (c, e) =>
+        graft.sources.GraftDefaults.validateGeneratedExpr(spark, schema,
+          c, e) }
+      graft.sources.GraftChecks.enforce(read(),
+        addGenerated.map { case (c, e) => s"generated:$c" -> s"`$c` <=> ($e)" },
+        s"existing rows of $root (SET GENERATED)")
+    }
+    validateExisting()
+    OptimisticCommit.commitColumnContracts(root,
+      exD -- dropDefaults ++ addDefaults,
+      exG -- dropGenerated ++ addGenerated,
+      validatedVersion = Some(latestV),
+      revalidate = _ => validateExisting(),
+      expected = Some((exD, exG)))
+  }
+
   /** `ALTER TABLE ... DROP COLUMN` as a METADATA-ONLY commit at any
     * table size: the next version references every current data file in
     * place under the NARROWED schema — scans simply stop projecting the
@@ -183,6 +275,29 @@ final class GraftTable private (val spark: SparkSession, val root: String,
           s"cannot drop ${fields.map(_.name).mkString(", ")}: CHECK " +
             s"constraint '$n' ($e) references a dropped column — drop " +
             "the check first", ex)
+      }
+    }
+    // DEFAULT/GENERATED contracts: a dropped column may neither carry a
+    // contract nor be referenced by a generated expression
+    val defaultsM = graft.sources.GraftDefaults.manifestDefaults(latest)
+    val generatedM = graft.sources.GraftDefaults.manifestGenerated(latest)
+    names.foreach { n =>
+      require(!defaultsM.keys.exists(_.equalsIgnoreCase(n)),
+        s"cannot drop $n: it carries a DEFAULT — drop the default first")
+      require(!generatedM.keys.exists(_.equalsIgnoreCase(n)),
+        s"cannot drop $n: it is GENERATED — drop the declaration first")
+    }
+    generatedM.foreach { case (c, e) =>
+      // c itself survives the drop (guarded just above), so the
+      // narrowed schema still contains it — only the expression's
+      // references can break
+      try graft.sources.GraftDefaults.validateGeneratedExpr(spark,
+        narrowed, c, e)
+      catch { case ex: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot drop ${fields.map(_.name).mkString(", ")}: GENERATED " +
+            s"column '$c' ($e) references a dropped column — drop the " +
+            "declaration first", ex)
       }
     }
     // renamed columns: the resurrection blocklist must record the
@@ -1042,16 +1157,27 @@ object GraftTable {
                graft.sources.ParquetLayout(),
              moreKeys: Seq[String] = Nil,
              buckets: Option[Int] = None,
-             checks: Map[String, String] = Map.empty): GraftTable = {
+             checks: Map[String, String] = Map.empty,
+             defaults: Map[String, String] = Map.empty,
+             generated: Map[String, String] = Map.empty): GraftTable = {
     val spark = df.sparkSession
+    // column contracts fill/gate the seed content too — validate both
+    // maps, fill omitted columns, then checks over the filled frame
+    defaults.foreach { case (c, e) =>
+      graft.sources.GraftDefaults.validateDefaultExpr(spark, c, e) }
+    val df1 = graft.sources.GraftDefaults.applyAndEnforce(df, defaults,
+      generated, None, None, s"CREATE of $root")
+    generated.foreach { case (c, e) =>
+      graft.sources.GraftDefaults.validateGeneratedExpr(spark, df1.schema,
+        c, e) }
     // constraints gate the seed content too — validate before any write
     checks.foreach { case (n, e) =>
-      graft.sources.GraftChecks.validateExpr(spark, df.schema, n, e) }
+      graft.sources.GraftChecks.validateExpr(spark, df1.schema, n, e) }
     if (checks.nonEmpty)
-      graft.sources.GraftChecks.enforce(df, checks, s"CREATE of $root")
-    val nullable = spark.createDataFrame(df.rdd,
+      graft.sources.GraftChecks.enforce(df1, checks, s"CREATE of $root")
+    val nullable = spark.createDataFrame(df1.rdd,
       org.apache.spark.sql.types.StructType(
-        df.schema.fields.map(_.copy(nullable = true))))
+        df1.schema.fields.map(_.copy(nullable = true))))
     buckets match {
       case Some(n) =>
         // HASH-BUCKETED layout ([[graft.sources.GraftBucket]]): one file
@@ -1074,6 +1200,9 @@ object GraftTable {
       graft.sources.MutableParquetTable.annotateBuckets(s"$root/base", n))
     if (checks.nonEmpty)
       graft.sources.GraftChecks.annotateChecks(s"$root/base", checks)
+    if (defaults.nonEmpty || generated.nonEmpty)
+      graft.sources.GraftDefaults.annotate(s"$root/base", defaults,
+        generated)
     new GraftTable(spark, root, key)
   }
 }

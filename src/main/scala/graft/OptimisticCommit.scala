@@ -187,38 +187,45 @@ object OptimisticCommit {
     val bucketSpec = MutableParquetTable.manifestBuckets(latest)
     val dir = s"$tableRoot/.tx-${
       java.util.UUID.randomUUID().toString.take(12)}"
-    // CHECK constraints survive a replace (they are the table's write
-    // contract, not a property of its content) and gate the new content
+    // CHECK constraints and DEFAULT/GENERATED column contracts survive
+    // a replace (they are the table's write contract, not a property of
+    // its content) and gate/fill the new content
     var checks = graft.sources.GraftChecks.manifestChecks(latest)
-    val emptyBatch = batch.isEmpty
+    val defaults0 = graft.sources.GraftDefaults.manifestDefaults(latest)
+    val generated0 = graft.sources.GraftDefaults.manifestGenerated(latest)
+    val batchC = graft.sources.GraftDefaults.applyAndEnforce(batch,
+      defaults0, generated0,
+      MutableParquetTable.manifestSchema(latest), None,
+      s"INSERT OVERWRITE of $tableRoot")
+    val emptyBatch = batchC.isEmpty
     if (emptyBatch) {
-      MutableParquetTable.commitEmpty(dir, key, batch.schema, moreKeys,
-        bucketSpec, checks)
+      MutableParquetTable.commitEmpty(dir, key, batchC.schema, moreKeys,
+        bucketSpec, checks, defaults0, generated0)
     } else {
       if (checks.nonEmpty)
-        graft.sources.GraftChecks.enforce(batch, checks,
+        graft.sources.GraftChecks.enforce(batchC, checks,
           s"INSERT OVERWRITE of $tableRoot")
       bucketSpec match {
         case Some(nb) =>
-          graft.sources.GraftBucket.writeBucketed(batch, dir, key,
+          graft.sources.GraftBucket.writeBucketed(batchC, dir, key,
             moreKeys, nb)
         case None =>
           val n =
             if (numFiles > 0) numFiles
             else {
-              val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+              val bytes = batchC.queryExecution.optimizedPlan.stats.sizeInBytes
               val target = BigInt(128L * 1024 * 1024)
               ((bytes + target - 1) / target).min(BigInt(4096)).max(BigInt(1)).toInt
             }
           graft.sources.ParquetTable.withMicrosTimestamps(spark) {
-            graft.sources.ParquetTable.writeSortedBy(batch, dir,
+            graft.sources.ParquetTable.writeSortedBy(batchC, dir,
               key +: moreKeys, n)
           }
       }
       MutableParquetTable(spark, latest, key, moreKeys = moreKeys)
         // replace content is entirely new bytes written through the
         // batch schema — no pre-drop file survives, blocklist clears
-        .commitManifest(dir, Some(batch.schema), physicalRewrite = true)
+        .commitManifest(dir, Some(batchC.schema), physicalRewrite = true)
     }
     // re-aims only re-stamp committedAtMs, never the txn fields, so one
     // marker stamp up front is durable across publish attempts
@@ -245,6 +252,17 @@ object OptimisticCommit {
           checks = resyncChecks(headDir, dir, checks,
             if (emptyBatch) None else Some(spark.read.parquet(dir)),
             s"INSERT OVERWRITE of $tableRoot")
+          // a DEFAULT/GENERATED contract change affects CONTENT (the
+          // staged files were filled under the old contract), so unlike
+          // checks it cannot be re-stamped — fail the replace instead
+          if (graft.sources.GraftDefaults.manifestDefaults(headDir)
+                != defaults0 ||
+              graft.sources.GraftDefaults.manifestGenerated(headDir)
+                != generated0)
+            throw new IllegalStateException(
+              s"concurrent DEFAULT/GENERATED column change on $tableRoot " +
+                "during INSERT OVERWRITE — re-run the statement under " +
+                "the new contract")
           syncedFrom = headDir
         }
         if (tryPublish(dir, targetDir)) return target
@@ -359,6 +377,16 @@ object OptimisticCommit {
     if (checks.nonEmpty)
       graft.sources.GraftChecks.enforce(
         spark.read.schema(schema).parquet(staged: _*), checks, context)
+    // the SQL INSERT path supplies every column by the time rows reach
+    // storage, so GENERATED drift is validated here (fill-on-omission
+    // applies on the DataFrame write surfaces); the contract is carried
+    // into the manifest below
+    val defaultsD = graft.sources.GraftDefaults.manifestDefaults(latest)
+    val generatedD = graft.sources.GraftDefaults.manifestGenerated(latest)
+    if (generatedD.nonEmpty)
+      graft.sources.GraftDefaults.applyAndEnforce(
+        spark.read.schema(schema).parquet(staged: _*), Map.empty,
+        generatedD, Some(schema), None, context)
     // crashed-task debris: a task that died mid-write (JVM kill — its
     // abort() never ran) left a partial/duplicate file in the staging
     // dir that no commit message names. The manifest below lists only
@@ -380,7 +408,7 @@ object OptimisticCommit {
       java.nio.file.Files.size(java.nio.file.Paths.get(f))).toMap
     MutableParquetTable.writeManifestFromRanges(stagingDir, key, moreKeys,
       sorted.map(r => r.file.split('/').last -> r), Some(schema.json),
-      checks, Nil, bytes)
+      checks, Nil, bytes, defaults = defaultsD, generated = generatedD)
     var attempts = 0
     var syncedFrom = latest
     testHookAfterStage()
@@ -402,6 +430,13 @@ object OptimisticCommit {
         if (insertIntoEmpty) return false
         checks = resyncChecks(headDir, stagingDir, checks,
           Some(spark.read.schema(schema).parquet(staged: _*)), context)
+        // a DEFAULT/GENERATED contract drift falls back to the legacy
+        // replace, which re-reads the new head's contract
+        if (graft.sources.GraftDefaults.manifestDefaults(headDir)
+              != defaultsD ||
+            graft.sources.GraftDefaults.manifestGenerated(headDir)
+              != generatedD)
+          return false
         syncedFrom = headDir
       }
       if (tryPublish(stagingDir, s"$tableRoot/v$target")) {
@@ -734,6 +769,59 @@ object OptimisticCommit {
         "maxAttempts or serialize writers")
   }
 
+  /** Commit a DEFAULT/GENERATED column-contract change as a
+    * METADATA-ONLY version — [[commitChecks]]' protocol for the
+    * [[graft.sources.GraftDefaults]] maps: concurrent contract drift
+    * fails the statement, a concurrent DATA commit triggers
+    * `revalidate` (declaring a column GENERATED validated existing rows
+    * against a base that just moved). */
+  def commitColumnContracts(tableRoot: String,
+                            defaults: Map[String, String],
+                            generated: Map[String, String],
+                            maxAttempts: Int = 20,
+                            validatedVersion: Option[Long] = None,
+                            revalidate: Long => Unit = _ => (),
+                            expected: Option[(Map[String, String],
+                              Map[String, String])] = None): Long = {
+    var attempts = 0
+    var validatedAt = validatedVersion
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val baseV = CdcMergeSink.versions(tableRoot).lastOption
+      val latest = baseV.map(v => s"$tableRoot/v$v")
+        .getOrElse(s"$tableRoot/base")
+      expected.foreach { case (expD, expG) =>
+        val headD = graft.sources.GraftDefaults.manifestDefaults(latest)
+        val headG = graft.sources.GraftDefaults.manifestGenerated(latest)
+        if (headD != expD || headG != expG)
+          throw new IllegalStateException(
+            s"concurrent DEFAULT/GENERATED column change on $tableRoot — " +
+              "re-read the table and retry")
+      }
+      validatedAt.foreach { v =>
+        val now = baseV.getOrElse(-1L)
+        if (now != v) { revalidate(now); validatedAt = Some(now) }
+      }
+      val dir = s"$tableRoot/.tx-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      graft.sources.GraftDefaults.stageDefaultsChange(latest, dir,
+        defaults, generated)
+      val target = baseV.getOrElse(-1L) + 1
+      if (tryPublish(dir, s"$tableRoot/v$target")) return target
+      deleteQuietly(dir)
+      val nowLast = CdcMergeSink.versions(tableRoot).lastOption
+        .getOrElse(-1L)
+      if (nowLast < target)
+        throw new BlockedSlotException(
+          s"$tableRoot/v$target exists but is not a committed snapshot — " +
+            "remove it (vacuum) and retry")
+    }
+    throw new IllegalStateException(
+      s"column-contract change on $tableRoot lost the publish race " +
+        s"$maxAttempts times — pathological contention; raise " +
+        "maxAttempts or serialize writers")
+  }
+
   /** A staged-but-unpublished snapshot: its dir, the version it was
     * merged against (None = the base snapshot), and the merge summary. */
   private final case class Staged(dir: String, baseVersion: Option[Long],
@@ -822,6 +910,14 @@ object OptimisticCommit {
     val checks = graft.sources.GraftChecks.manifestChecks(st.dir)
     if (checks != graft.sources.GraftChecks.manifestChecks(newBase))
       return None
+    // DEFAULT/GENERATED column contracts: same rule — a concurrent
+    // contract change means this batch was filled/validated against a
+    // stale contract, so re-merge (which re-applies the new one)
+    val defaults = graft.sources.GraftDefaults.manifestDefaults(st.dir)
+    val generated = graft.sources.GraftDefaults.manifestGenerated(st.dir)
+    if (defaults != graft.sources.GraftDefaults.manifestDefaults(newBase) ||
+        generated != graft.sources.GraftDefaults.manifestGenerated(newBase))
+      return None
     // dropped-column blocklist: carry only when both chains agree (a
     // concurrent DROP COLUMN changes what the merged inventory protects)
     val dropped = MutableParquetTable.manifestDroppedColumns(st.dir)
@@ -889,7 +985,7 @@ object OptimisticCommit {
       // rebase stays a zero-filesystem-call operation
       MutableParquetTable.manifestBytesByName(newBase) ++
         MutableParquetTable.manifestBytesByName(st.dir),
-      renames, widened)
+      renames, widened, defaults, generated)
     Some(Staged(st.dir, Some(newLast),
       st.merge.copy(
         passthroughFiles = kept.map(_.file),

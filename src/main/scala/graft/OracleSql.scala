@@ -1953,6 +1953,29 @@ object OracleSql {
     // sketch flags are pinned — delta-maintained estimate must equal
     // the full recompute (union linearity) and the exact count (the
     // domain is far under the sketch's saturation)
+    // q225: the mutated final state AND both contract columns
+    // recomputed from the rules alone — batch-2 docs (%7==3) carry the
+    // explicitly supplied 'manual', everything else the 'web' default;
+    // tok_bucket is always the generated expression over the FINAL tok
+    // (batch-1 docs' +100 included — %5==0 wins over %7==3 only where
+    // both apply, batch 2 committed LAST so its tok (the original)
+    // governs those)
+    "q225_generated_columns" -> """
+      WITH d AS (SELECT doc_id, lang,
+          CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+            AS BIGINT) AS tok
+        FROM documents),
+      fin AS (SELECT doc_id, lang,
+          CASE WHEN doc_id % 7 = 3 THEN tok
+               WHEN doc_id % 5 = 0 THEN tok + 100
+               ELSE tok END AS tok,
+          CASE WHEN doc_id % 7 = 3 THEN 'manual' ELSE 'web' END AS src_tag
+        FROM d)
+      SELECT doc_id, lang, tok, src_tag,
+        CAST(tok // 16 AS BIGINT) AS tok_bucket
+      FROM fin ORDER BY doc_id""",
+
     // q224: the A-ES draw replayed verbatim — spread hash of
     // "7:wsample:<id>", ln of the exact-integer ratio, floor-micros
     // key, (key desc, id) top-20 membership; non-positive weights

@@ -4889,6 +4889,41 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** GENERATED / DEFAULT COLUMNS ([[graft.sources.GraftDefaults]], the
+    * lakehouse column-contract DDL): a table created with
+    * `DEFAULT src_tag = 'web'` and `GENERATED ALWAYS AS tok_bucket =
+    * tok DIV 16`, then mutated by (1) a batch OMITTING both contract
+    * columns — default filled, generated computed from the batch's own
+    * tok — and (2) a batch explicitly supplying `src_tag = 'manual'`
+    * (defaults govern omission only) while still omitting the
+    * generated column. The oracle recomputes the mutated final state
+    * AND both contract columns from the rules alone, so hash-matching
+    * proves fill-on-omission, generated recomputation, supplied-value
+    * precedence, and contract carriage across three commits. */
+  def q225_generated_columns(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val src = documents(s, dir).select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gencol").toString + "/t"
+    val t = graft.GraftTable.create(src, root, "doc_id", numFiles = 4,
+      defaults = Map("src_tag" -> "'web'"),
+      generated = Map("tok_bucket" -> "CAST(tok DIV 16 AS BIGINT)"))
+    // batch 1: every 5th doc re-upserted with tok+100, BOTH contract
+    // columns omitted
+    t.commit(src.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("tok") + 100L).as("tok"), lit("upsert").as("op")))
+    // batch 2: every 7th doc supplies src_tag explicitly (tok kept)
+    t.commit(src.where(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), col("lang"), col("tok"),
+        lit("manual").as("src_tag"), lit("upsert").as("op")))
+    t.read()
+      .select(col("doc_id"), col("lang"), col("tok"), col("src_tag"),
+        col("tok_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WEIGHTED SAMPLING WITHOUT REPLACEMENT
     * ([[CorpusPrep.weightedSample]], deterministic A-ES): per-language
     * quality-weighted selection with weight = n_tokens − 2 (so short
@@ -5254,6 +5289,7 @@ object SparkEntry {
     "q222_scc" -> (q222_scc _),
     "q223_quantile_incremental" -> (q223_quantile_incremental _),
     "q224_weighted_sample" -> (q224_weighted_sample _),
+    "q225_generated_columns" -> (q225_generated_columns _),
     "q213_connected_components" -> (q213_connected_components _),
   )
 

@@ -46,7 +46,8 @@ object GraftProcedures {
 
   private val names = Seq("history", "vacuum", "compact", "compact_range",
     "zorder", "repair_feed", "materialize_tombstones", "restore", "clone",
-    "rebucket", "rebuild_index", "diff_versions")
+    "rebucket", "rebuild_index", "diff_versions",
+    "pagerank", "connected_components", "scc")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array(Namespace)))
@@ -71,6 +72,9 @@ object GraftProcedures {
       case "rebucket" => new Rebucket(root)
       case "rebuild_index" => new RebuildIndex(root)
       case "diff_versions" => new DiffVersions(root)
+      case "pagerank" => new PageRankProc(root)
+      case "connected_components" => new ConnectedComponentsProc(root)
+      case "scc" => new SccProc(root)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.$Namespace.$other " +
           s"(have: ${names.mkString(", ")})")
@@ -555,6 +559,123 @@ object GraftProcedures {
         ++ dims).distinct.sorted
       MutableParquetTable.attachDimRanges(spark, target, allDims)
       Seq(row(next, nFiles, dims.mkString(",")))
+    }
+  }
+
+  // ---- graph analytics as SQL CALL --------------------------------------
+
+  /** Shared machinery for the graph-tier procedures: read the DIRECTED
+    * edge list (two long-castable columns) from a table's LATEST state,
+    * run the operator, and write the node-keyed result as a NEW graft
+    * table in the catalog (so an orchestrator needs no Scala handle for
+    * analytics either — the result is time-traveled, cloned, vacuumed
+    * like any table). The procedure's own result stays BOUNDED: the
+    * target location and its node count, never the node frame. */
+  private abstract class GraphProc(root: String) extends Proc(root) {
+    protected def edgeFrame(spark: SparkSession, input: InternalRow,
+                            srcOrd: Int, dstOrd: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val dir = tableDir(input)
+      val (key, _) = tableKeys(dir)
+      val srcCol = input.getUTF8String(srcOrd).toString
+      val dstCol = input.getUTF8String(dstOrd).toString
+      graft.GraftTable(spark, dir, key).read()
+        .select(org.apache.spark.sql.functions.col(srcCol).cast("long")
+          .as("src"),
+          org.apache.spark.sql.functions.col(dstCol).cast("long")
+            .as("dst"))
+    }
+    protected def writeResult(spark: SparkSession,
+                              result: org.apache.spark.sql.DataFrame,
+                              targetName: String): (String, Long) = {
+      val dst = (root +: targetName.split('.').toSeq.filter(_.nonEmpty))
+        .mkString("/")
+      require(!Files.isDirectory(Paths.get(dst, "base")),
+        s"$targetName already exists — drop/clone it away first")
+      graft.GraftTable.create(result, dst, "node_id", numFiles = 4)
+      (dst, MutableParquetTable.manifestExactRowCount(s"$dst/base")
+        .getOrElse(-1L))
+    }
+  }
+
+  /** [[graft.operators.Graph.pageRank]] as SQL: exact integer pico-rank
+    * power iteration over the table's (src, dst) edges, result written
+    * as a new `(node_id, rank_pico)` catalog table. */
+  private final class PageRankProc(root: String) extends GraphProc(root) {
+    override def name(): String = "pagerank"
+    override def description(): String =
+      "PageRank over (src, dst) edges; writes (node_id, rank_pico) as a " +
+        "new table"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' edge table"),
+      param("result", StringType, comment = "'ns.t2' to create"),
+      param("src", StringType, Some("'src'"), "source-id column"),
+      param("dst", StringType, Some("'dst'"), "target-id column"),
+      param("iterations", IntegerType, Some("6"), "power-iteration count"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result_location", StringType, nullable = false),
+      StructField("n_nodes", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val edges = edgeFrame(spark, input, 2, 3)
+        .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+      val pr = graft.operators.Graph.pageRank(edges, input.getInt(4))
+      val (loc, n) = writeResult(spark, pr,
+        input.getUTF8String(1).toString)
+      Seq(row(loc, n))
+    }
+  }
+
+  /** [[graft.operators.Graph.connectedComponents]] as SQL (undirected,
+    * large-star/small-star): writes `(node_id, component)`. */
+  private final class ConnectedComponentsProc(root: String)
+      extends GraphProc(root) {
+    override def name(): String = "connected_components"
+    override def description(): String =
+      "connected components over (src, dst) edges; writes " +
+        "(node_id, component) as a new table"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' edge table"),
+      param("result", StringType, comment = "'ns.t2' to create"),
+      param("src", StringType, Some("'src'"), "source-id column"),
+      param("dst", StringType, Some("'dst'"), "target-id column"),
+      param("max_rounds", IntegerType, Some("16"),
+        "star-contraction round budget (fail-fast past it)"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result_location", StringType, nullable = false),
+      StructField("n_nodes", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val cc = graft.operators.Graph.connectedComponents(
+        edgeFrame(spark, input, 2, 3), input.getInt(4))
+      val (loc, n) = writeResult(spark, cc,
+        input.getUTF8String(1).toString)
+      Seq(row(loc, n))
+    }
+  }
+
+  /** [[graft.operators.Graph.stronglyConnectedComponents]] as SQL
+    * (directed, forward-coloring + backward sweep): writes
+    * `(node_id, scc)`. */
+  private final class SccProc(root: String) extends GraphProc(root) {
+    override def name(): String = "scc"
+    override def description(): String =
+      "strongly connected components over DIRECTED (src, dst) edges; " +
+        "writes (node_id, scc) as a new table"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType, comment = "'ns.t' edge table"),
+      param("result", StringType, comment = "'ns.t2' to create"),
+      param("src", StringType, Some("'src'"), "source-id column"),
+      param("dst", StringType, Some("'dst'"), "target-id column"),
+      param("max_rounds", IntegerType, Some("16"),
+        "condensation-peel round budget (fail-fast past it)"))
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result_location", StringType, nullable = false),
+      StructField("n_nodes", LongType, nullable = false)))
+    override def run(spark: SparkSession, input: InternalRow): Seq[InternalRow] = {
+      val scc = graft.operators.Graph.stronglyConnectedComponents(
+        edgeFrame(spark, input, 2, 3), input.getInt(4))
+      val (loc, n) = writeResult(spark, scc,
+        input.getUTF8String(1).toString)
+      Seq(row(loc, n))
     }
   }
 }

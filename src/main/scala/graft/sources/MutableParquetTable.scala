@@ -304,16 +304,23 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     // composite keys reject nulls per row (codegen'd branch, no extra
     // pass): a null in any key column would silently fail to match its
     // base row (SQL null-join semantics) and leave stale duplicates
-    val batch =
+    val batchK =
       if (moreKeys.isEmpty) batch0
       else keys.foldLeft(batch0)((df, k) =>
         df.withColumn(k, when(col(k).isNull,
           raise_error(lit(s"null merge-key column $k — composite keys " +
             "must be fully populated"))).otherwise(col(k))))
-    // CHECK constraints gate the write BEFORE anything stages: only the
+    // DEFAULT / GENERATED column contracts first (filling an omitted
+    // column may be what satisfies a NOT-NULL check), then CHECK
+    // constraints gate the write BEFORE anything stages: only the
     // batch's upserted rows are validated (deletes can't violate, and
     // the table already satisfies its checks by induction) — one
     // batch-sized job, never a table scan
+    val batch = GraftDefaults.applyAndEnforce(batchK,
+      GraftDefaults.manifestDefaults(dir),
+      GraftDefaults.manifestGenerated(dir),
+      MutableParquetTable.manifestSchema(dir), Some(opCol),
+      s"merge into $dir")
     val declaredChecks = GraftChecks.manifestChecks(dir)
     if (declaredChecks.nonEmpty)
       GraftChecks.enforce(batch.where(col(opCol) =!= lit("delete")),
@@ -1437,9 +1444,13 @@ final class MutableParquetTable(spark: SparkSession, val dir: String,
     val bucketsJson = bucketsOverride
       .getOrElse(MutableParquetTable.manifestBuckets(dir))
       .map(n => s""""buckets":$n,""").getOrElse("")
-    // CHECK constraints are versioned table state: carry them forward
-    // like the bucket spec so every commit keeps enforcing them
-    val checksJson = GraftChecks.checksJsonField(GraftChecks.manifestChecks(dir))
+    // CHECK constraints and DEFAULT/GENERATED column contracts are
+    // versioned table state: carry them forward like the bucket spec so
+    // every commit keeps enforcing them
+    val checksJson =
+      GraftChecks.checksJsonField(GraftChecks.manifestChecks(dir)) +
+        GraftDefaults.defaultsJsonFields(GraftDefaults.manifestDefaults(dir),
+          GraftDefaults.manifestGenerated(dir))
     // the dropped-column blocklist protects files that physically
     // predate a DROP COLUMN (re-adding the name would resurrect their
     // stale values); once NO source file survives into this snapshot —
@@ -1613,7 +1624,9 @@ object MutableParquetTable {
                   schema: org.apache.spark.sql.types.StructType,
                   moreKeys: Seq[String] = Nil,
                   buckets: Option[Int] = None,
-                  checks: Map[String, String] = Map.empty): Unit = {
+                  checks: Map[String, String] = Map.empty,
+                  defaults: Map[String, String] = Map.empty,
+                  generated: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(dir))
     val json =
       s"""{"key":${js(key)},"keyType":"unknown",""" +
@@ -1621,6 +1634,7 @@ object MutableParquetTable {
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         buckets.map(n => s""""buckets":$n,""").getOrElse("") +
         GraftChecks.checksJsonField(checks) +
+        GraftDefaults.defaultsJsonFields(defaults, generated) +
         s""""schema":${js(schema.json)},""" +
         s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""fileCount":0,"totalRows":0,"files":[]}"""
@@ -1643,7 +1657,9 @@ object MutableParquetTable {
       dropped: Seq[String] = Nil,
       bytesByName: Map[String, Long] = Map.empty,
       renames: Map[String, String] = Map.empty,
-      widened: Seq[String] = Nil): Unit = {
+      widened: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty,
+      generated: Map[String, String] = Map.empty): Unit = {
     val sorted = entries.sortBy(_._2.minBytes)(KeyBytes.ordering)
     val keyType = sorted.headOption.map(_._2.min) match {
       case Some(_: java.lang.Long) => "long"
@@ -1663,6 +1679,7 @@ object MutableParquetTable {
         (if (moreKeys.isEmpty) ""
          else s""""moreKeys":${js(moreKeys.mkString(","))},""") +
         GraftChecks.checksJsonField(checks) +
+        GraftDefaults.defaultsJsonFields(defaults, generated) +
         droppedJsonField(dropped) + widenedJsonField(widened) +
         renamesJsonField(renames) +
         schemaJson.map(s => s""""schema":${js(s)},""").getOrElse("") +

@@ -254,4 +254,45 @@ class SqlProcedureSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(same === Map("unchanged" -> 98L))
   }
+
+  test("graph procedures: pagerank/connected_components/scc write " +
+      "result tables an orchestrator can read back") {
+    warehouse
+    // a directed edge table: two 3-cycles joined by a one-way bridge +
+    // a feeder — the GraphSpec SCC fixture, through pure SQL
+    spark.sql("""CREATE TABLE gp.ns.edges (eid BIGINT, s BIGINT, d BIGINT)
+                 USING graft TBLPROPERTIES ('key' = 'eid')""")
+    spark.sql("INSERT INTO gp.ns.edges VALUES (1,1,2),(2,2,3),(3,3,1)," +
+      "(4,4,5),(5,5,6),(6,6,4),(7,3,4),(8,7,1)")
+    val cc = spark.sql("CALL gp.system.connected_components(" +
+      "table => 'ns.edges', result => 'ns.cc_out', src => 's', " +
+      "dst => 'd')").head()
+    assert(cc.getLong(1) === 7L)
+    val ccRows = spark.sql("SELECT * FROM gp.ns.cc_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccRows.values.toSet === Set(1L), "one weak component")
+    val scc = spark.sql("CALL gp.system.scc(table => 'ns.edges', " +
+      "result => 'ns.scc_out', src => 's', dst => 'd')").head()
+    assert(scc.getLong(1) === 7L)
+    val sccRows = spark.sql("SELECT * FROM gp.ns.scc_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sccRows === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    val pr = spark.sql("CALL gp.system.pagerank(table => 'ns.edges', " +
+      "result => 'ns.pr_out', src => 's', dst => 'd', iterations => 3)")
+      .head()
+    assert(pr.getLong(1) === 7L)
+    val prRows = spark.sql("SELECT * FROM gp.ns.pr_out").collect()
+    assert(prRows.length === 7 && prRows.forall(_.getLong(1) > 0L))
+    // the result is a real catalog table: maintenance procedures apply
+    val h = spark.sql("CALL gp.system.history(table => 'ns.scc_out')")
+      .collect()
+    assert(h.nonEmpty)
+    // an existing target refuses instead of clobbering
+    val e = intercept[Exception] {
+      spark.sql("CALL gp.system.scc(table => 'ns.edges', " +
+        "result => 'ns.scc_out', src => 's', dst => 'd')").collect()
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
 }
