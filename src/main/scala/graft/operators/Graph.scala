@@ -490,16 +490,23 @@ object Graph {
     *  3. extracted SCCs (labeled by their min member — the root) leave
     *     the active set; remaining nodes recolor next round.
     *
-    * Each outer round peels every current root's SCC, so the round
-    * count is bounded by the condensation DAG's longest path (1 for a
-    * single SCC; the FB-Trim mitigation — peeling trivial SCCs by
-    * degree first — is the known refinement when that depth bites).
-    * Inner supersteps are one join + one partial-agg shuffle each
-    * (Pregel shape), frontiers localCheckpointed, the edge set
-    * released in `finally`; forward coloring is diameter-bounded
-    * INSIDE one SCC chain, not the whole graph. Fail-fasts past
-    * `maxRounds` (outer) / `maxSupersteps` (inner) — a silently
-    * partial labeling is a wrong answer.
+    * Each outer round first runs the '''FB-Trim peel''' (Hong et al.'s
+    * Trim step): a node with no in-edges or no out-edges within the
+    * active subgraph cannot belong to a ≥2-node SCC, so it is assigned
+    * its singleton SCC immediately — iterated to fixpoint (bounded by
+    * `maxSupersteps` per round; an unfinished trim simply resumes next
+    * round), each pass two distinct-aggs + anti/semi joins, far
+    * cheaper than a coloring superstep. DAG-shaped regions — the bulk
+    * of a real crawl graph's condensation — drain entirely in trim and
+    * never pay the coloring fixpoint; the coloring+sweep then peels
+    * every remaining root SCC, so the outer round count is bounded by
+    * the condensation depth COUNTING ONLY ≥2-node SCCs. Inner
+    * supersteps are one join + one partial-agg shuffle each (Pregel
+    * shape), frontiers localCheckpointed, the edge set released in
+    * `finally`; forward coloring is diameter-bounded INSIDE one SCC
+    * chain, not the whole graph. Fail-fasts past `maxRounds` (outer) /
+    * `maxSupersteps` (coloring/sweep inner loops) — a silently partial
+    * labeling is a wrong answer.
     *
     * Fully deterministic (min-id colors, no randomness), so an
     * external oracle can verify against an INDEPENDENT
@@ -528,6 +535,36 @@ object Graph {
         .localCheckpoint()
       var outer = 0
       while (!active.isEmpty && outer < maxRounds) {
+        // 0. FB-Trim to fixpoint: peel trivial SCCs by degree
+        var trimming = true
+        var tstep = 0
+        while (trimming && tstep < maxSupersteps) {
+          val srcs = activeEdges.select(col("src").as("node_id")).distinct()
+          val dsts = activeEdges.select(col("dst").as("node_id")).distinct()
+          val trivial = active.join(srcs, Seq("node_id"), "left_anti")
+            .unionByName(active.join(dsts, Seq("node_id"), "left_anti"))
+            .distinct()
+            .localCheckpoint()
+          if (trivial.isEmpty) trimming = false
+          else {
+            assigned = assigned
+              .unionByName(trivial.withColumn("scc", col("node_id")))
+              .localCheckpoint()
+            active = active.join(trivial, Seq("node_id"), "left_anti")
+              .localCheckpoint()
+            activeEdges = activeEdges
+              .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
+                "left_semi")
+              .join(active.withColumnRenamed("node_id", "dst"), Seq("dst"),
+                "left_semi")
+              .select(col("src"), col("dst"))
+              .localCheckpoint()
+          }
+          tstep += 1
+        }
+        if (active.isEmpty) {
+          outer += 1
+        } else {
         // 1. forward min-ancestor coloring to fixpoint
         var color = active.withColumn("color", col("node_id"))
           .localCheckpoint()
@@ -585,6 +622,7 @@ object Graph {
           .select(col("src"), col("dst"))
           .localCheckpoint()
         outer += 1
+        }
       }
       require(active.isEmpty,
         s"SCC peeling did not finish within $maxRounds rounds (condensation " +

@@ -239,14 +239,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
-    // a pure DAG chain: every node its own SCC, peeled one condensation
-    // level per round — and a too-small budget fail-fasts
+    // a pure DAG chain: every node its own SCC — the FB-Trim peel
+    // drains it entirely in ONE outer round (no coloring fixpoint),
+    // so even maxRounds = 1 suffices
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    val gotChain = Graph.stronglyConnectedComponents(chain)
+    val gotChain = Graph.stronglyConnectedComponents(chain, maxRounds = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotChain == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // a CHAIN OF 2-CYCLES is trim-proof (every node keeps in+out
+    // edges): the coloring+sweep peels one condensation level per
+    // round — three levels need three rounds, and a too-small budget
+    // fail-fasts rather than returning a partial labeling
+    val cyc = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    assert(Graph.stronglyConnectedComponents(cyc, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
     intercept[IllegalArgumentException](
-      Graph.stronglyConnectedComponents(chain, maxRounds = 2))
+      Graph.stronglyConnectedComponents(cyc, maxRounds = 2))
     // 2-cycle with a tail: directions matter ({1,2} strongly connected,
     // 3 reachable but not back)
     val two = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
