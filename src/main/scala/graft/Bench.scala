@@ -53,7 +53,7 @@ object Bench {
   }
 
   /** Re-layout the fixture tables under the engine's own layout policy. */
-  private def ingest(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  private[graft] def ingest(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val sortKey = Map(
       "lineitem" -> "l_shipdate", "orders" -> "o_orderdate", "events" -> "ts",
       "customer" -> "c_custkey", "supplier" -> "s_suppkey", "part" -> "p_partkey",

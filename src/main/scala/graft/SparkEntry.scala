@@ -1957,17 +1957,29 @@ object SparkEntry {
     val newDocs = docs.where(col("doc_id") % 3 === 0)
     val work = java.nio.file.Files.createTempDirectory("graft-q117").toString
     val root = s"$work/idx"
-    // seed ingest (the corpus's own arrival), then the probed ingest
+    // the exact ground-truth harness is INDEPENDENT of the index
+    // lifecycle — materialize it concurrently with the two ingests so
+    // its jobs back-fill the cores the commit machinery leaves idle
+    // (guide §2.6); same computation, same rows, just overlapped
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactF = Future {
+      Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
+        .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        .localCheckpoint(eager = true)
+    }
+    // seed ingest (the corpus's own arrival), then the probed ingest;
+    // the seed's pair stream is discarded, so skip computing it
+    // (emitPairs = false — the committed index is identical)
     Dedup.dedupIncremental(root, oldDocs, "text", "doc_id",
       shingleK = 3, bands = 32, rowsPerBand = 2, threshold = 0.25,
-      native = true)
+      native = true, emitPairs = false)
     val inc = Dedup.dedupIncremental(root, newDocs, "text", "doc_id",
       shingleK = 3, bands = 32, rowsPerBand = 2, threshold = 0.25,
       native = true)
     require(inc.indexVersion == 0L,
       "the probe ingest must commit the next index version")
-    val exact = Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
-      .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+    val exact = Await.result(exactF, scala.concurrent.duration.Duration.Inf)
     exact.join(inc.pairs.select(col("id_a"), col("id_b"), lit(1).as("f")),
         Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
@@ -1995,6 +2007,15 @@ object SparkEntry {
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val out = s"$work/pairs"
+    // the exact ground-truth harness is INDEPENDENT of the stream —
+    // materialize it concurrently with the three micro-batch epochs
+    // (guide §2.6); same computation, same rows, just overlapped
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactF = Future {
+      Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
+        .localCheckpoint(eager = true)
+    }
     val q = graft.streaming.Streams.dedupIncrementalSink(
       in.toDF().toDF("doc_id", "text"), s"$work/idx", "text", "doc_id",
       s"$work/cp", shingleK = 3, bands = 32, rowsPerBand = 2,
@@ -2008,7 +2029,7 @@ object SparkEntry {
     } finally q.stop()
     val found = s.read.parquet(out)
       .select(col("id_a"), col("id_b")).distinct()
-    val exact = Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
+    val exact = Await.result(exactF, scala.concurrent.duration.Duration.Inf)
     exact.join(found.withColumn("f", lit(1)), Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
         coalesce(col("f"), lit(0)).as("stream_found"))

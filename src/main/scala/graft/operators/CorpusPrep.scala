@@ -1045,21 +1045,33 @@ object CorpusPrep {
   def bm25SeedIndex(indexRoot: String, docs: DataFrame, textCol: String,
                     idCol: String, indexFiles: Int = 0): Unit = {
     val spark = docs.sparkSession
-    val postings = bm25PostingRows(docs, textCol, idCol)
-    val nP = if (indexFiles > 0) indexFiles
-      else math.max(1, postings.rdd.getNumPartitions.min(32))
-    graft.GraftTable.create(postings, s"$indexRoot/postings", "idx_key", nP)
-    graft.sources.MutableParquetTable.attachDimRanges(spark,
-      graft.streaming.CdcMergeSink.latestSnapshot(s"$indexRoot/postings"),
-      Seq("term"))
-    val lens = bm25LenRows(docs, textCol, idCol)
-    graft.GraftTable.create(lens, s"$indexRoot/doclen", "doc_id",
-      math.max(1, lens.rdd.getNumPartitions.min(16)))
-    // corpus stats (N, Σdl) as a maintained view — per-ingest cost is
-    // the batch's delta, and a probe reads ONE row instead of scanning
-    // doclen
-    graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
-      Seq("grp"), Seq("dl")): Unit
+    // the postings and doclen sides write to INDEPENDENT tables — build
+    // them concurrently so each side's jobs back-fill the cores the
+    // other leaves idle (guide §2.6 — overlap independent jobs; the
+    // Bench.ingest pattern); each side's own commits are unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postingsSide = Future {
+      val postings = bm25PostingRows(docs, textCol, idCol)
+      val nP = if (indexFiles > 0) indexFiles
+        else math.max(1, postings.rdd.getNumPartitions.min(32))
+      graft.GraftTable.create(postings, s"$indexRoot/postings", "idx_key", nP)
+      graft.sources.MutableParquetTable.attachDimRanges(spark,
+        graft.streaming.CdcMergeSink.latestSnapshot(s"$indexRoot/postings"),
+        Seq("term"))
+    }
+    val doclenSide = Future {
+      val lens = bm25LenRows(docs, textCol, idCol)
+      graft.GraftTable.create(lens, s"$indexRoot/doclen", "doc_id",
+        math.max(1, lens.rdd.getNumPartitions.min(16)))
+      // corpus stats (N, Σdl) as a maintained view — per-ingest cost is
+      // the batch's delta, and a probe reads ONE row instead of scanning
+      // doclen
+      graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
+        Seq("grp"), Seq("dl")): Unit
+    }
+    Await.result(postingsSide, scala.concurrent.duration.Duration.Inf)
+    Await.result(doclenSide, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Ingest one batch into the persisted BM25 index: tokenize the BATCH
@@ -1077,16 +1089,27 @@ object CorpusPrep {
   def bm25IndexIngest(indexRoot: String, newDocs: DataFrame,
                       textCol: String, idCol: String): Long = {
     val spark = newDocs.sparkSession
-    graft.GraftTable(spark, s"$indexRoot/doclen", "doc_id")
-      .commit(bm25LenRows(newDocs, textCol, idCol)
-        .withColumn("op", lit("upsert"))): Unit
-    // catch the stats view up — delta-priced (the change feed of the
-    // batch just committed)
-    graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
-      Seq("grp"), Seq("dl")): Unit
-    graft.GraftTable(spark, s"$indexRoot/postings", "idx_key")
-      .commit(bm25PostingRows(newDocs, textCol, idCol)
-        .withColumn("op", lit("upsert")))
+    // doclen-commit→view-refresh and the postings commit touch
+    // INDEPENDENT tables — overlap them (guide §2.6); each side's
+    // commit chain is unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val doclenSide = Future {
+      graft.GraftTable(spark, s"$indexRoot/doclen", "doc_id")
+        .commit(bm25LenRows(newDocs, textCol, idCol)
+          .withColumn("op", lit("upsert"))): Unit
+      // catch the stats view up — delta-priced (the change feed of the
+      // batch just committed)
+      graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
+        Seq("grp"), Seq("dl")): Unit
+    }
+    val postingsVersion = Future {
+      graft.GraftTable(spark, s"$indexRoot/postings", "idx_key")
+        .commit(bm25PostingRows(newDocs, textCol, idCol)
+          .withColumn("op", lit("upsert")))
+    }
+    Await.result(doclenSide, scala.concurrent.duration.Duration.Inf)
+    Await.result(postingsVersion, scala.concurrent.duration.Duration.Inf)
   }
 
   /** BM25 top-k served FROM the persisted index — bit-identical scoring

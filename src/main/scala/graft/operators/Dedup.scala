@@ -308,14 +308,23 @@ object Dedup {
         explode(col("elems")).as("e"))
     // canonical element order: the engine-portable spread hash (the
     // kmvHash discipline — raw poly hash of short shingles is
-    // non-uniform), element string as tie-break
-    val hashOrd = graft.functions.Udx.kmvHash(col("e"))
-    val w = Window.partitionBy(col("id")).orderBy(hashOrd, col("e"))
-    val prefix = exploded
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <=
-        floor(lit(1.0 - threshold) * col("sz")).cast("int") + 1)
-      .select(col("e"), col("id").as("id_s"), col("sz").as("sz_s"))
+    // non-uniform), element string as tie-break. Computed MAP-SIDE by
+    // sorting each row's element array (struct sort = (hash, element),
+    // exactly the old window's (hashOrd, e) order) and slicing the
+    // prefix — the previous row_number window shuffled the whole
+    // exploded element table by id just to rank within rows the data
+    // already held together (guide §2.4: remove shuffles outright);
+    // prefix membership is identical.
+    val prefix = base
+      .select(col("id").as("id_s"), size(col("elems")).as("sz_s"),
+        explode(transform(
+          slice(
+            array_sort(transform(col("elems"), x =>
+              struct(graft.functions.Udx.kmvHash(x).as("h"), x.as("e")))),
+            lit(1),
+            floor(lit(1.0 - threshold) * size(col("elems"))).cast("int") + 1),
+          s => s.getField("e"))).as("e"))
+      .select(col("e"), col("id_s"), col("sz_s"))
     val (guardedFull, overflow) =
       if (maxPostingWidth > 0)
         capBucketWidth(exploded, Seq("e"), maxPostingWidth)
@@ -1049,7 +1058,12 @@ object Dedup {
     *
     * Returned pairs (id_a < id_b, est_jaccard ≥ threshold): new-vs-
     * corpus collisions AND new-vs-new pairs within the batch. Estimated
-    * Jaccard = signature agreement rate, as [[minHashPairs]]. */
+    * Jaccard = signature agreement rate, as [[minHashPairs]].
+    *
+    * `emitPairs = false` skips pair discovery entirely (empty pairs
+    * frame, no overflow stats) and only sketches + commits — the cheap
+    * form for a pure index-SEEDING ingest whose caller discards the
+    * pair stream; the committed index is identical. */
   def dedupIncremental(indexRoot: String, newDocs: DataFrame,
                        textCol: String, idCol: String,
                        shingleK: Int = 3, bands: Int = 8,
@@ -1058,13 +1072,33 @@ object Dedup {
                        extendIndex: Boolean = true,
                        probeLayout: Boolean = false,
                        maxBucketWidth: Option[Int] = None,
-                       indexFiles: Int = 0): IncrementalDedup = {
+                       indexFiles: Int = 0,
+                       emitPairs: Boolean = true): IncrementalDedup = {
     val spark = newDocs.sparkSession
     val numHashes = bands * rowsPerBand
     val newRows = minHashIndexRows(newDocs, textCol, idCol, shingleK,
       bands, rowsPerBand, native, probeLayout)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // `emitPairs = false`: an index-SEEDING ingest whose caller
+      // discards the pair stream (it only wants the committed index)
+      // skips the whole probe/self-join/verify pipeline — the batch-
+      // internal bucket self-join over a full corpus is the expensive
+      // stage, and computing a result nobody reads is the first thing
+      // the optimization order removes (guide §1.2). The committed
+      // index is IDENTICAL either way (same newRows, same commit).
+      if (!emitPairs) {
+        val exists0 = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(indexRoot, "base",
+            graft.sources.MutableParquetTable.ManifestName))
+        val version = commitIndex(spark, indexRoot, newRows, exists0,
+          extendIndex, probeLayout, Seq("band", "bucket"), indexFiles)
+        val emptyPairs = newRows
+          .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+            lit(0.0).as("est_jaccard"))
+          .limit(0)
+        return IncrementalDedup(emptyPairs, version, None)
+      }
       val exists = java.nio.file.Files.exists(
         java.nio.file.Paths.get(indexRoot, "base",
           graft.sources.MutableParquetTable.ManifestName))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -17,6 +17,28 @@ import org.apache.spark.storage.StorageLevel
   * fixed-point discipline applied to iterative state).
   */
 object Graph {
+
+  /** Eagerly localCheckpoint `df` with observed aggregate metrics riding
+    * the SAME materialization job (`Dataset.observe` + the checkpoint
+    * action): iterative operators read their convergence tests / global
+    * scalars (changed-row counts, frontier sizes, normalization maxima)
+    * out of the checkpoint they must run anyway, instead of paying a
+    * separate job (or an exceptAll shuffle pair) per superstep — the
+    * measure-free convergence check. Returns the checkpointed frame and
+    * the metric row. */
+  private def ckObserved(df: DataFrame, metrics: Column*)
+      : (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, metrics.head, metrics.tail: _*).localCheckpoint()
+    (ck, obs.get)
+  }
+
+  private def metricLong(m: Map[String, Any], k: String): Long =
+    m.get(k) match {
+      case Some(v: Long) => v
+      case Some(v: Number) => v.longValue()
+      case _ => 0L
+    }
 
   /** PageRank by power iteration in exact integer arithmetic.
     *
@@ -203,13 +225,16 @@ object Graph {
                     maxHops: Int,
                     weightCol: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
+    // hash-partition the persisted edge table on src ONCE: every
+    // superstep's frontier join is src-keyed, so the edge side never
+    // re-exchanges (guide §2.4); only the frontier shuffles per hop
     val e = (weightCol match {
       case None =>
         edges.select(col("src"), col("dst"), lit(1L).as("__w")).distinct()
       case Some(wc) =>
         edges.select(col("src"), col("dst"), col(wc).cast("long").as("__w"))
           .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    }).repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = e.select(col("src").as("node_id"))
         .union(e.select(col("dst")))
@@ -222,23 +247,45 @@ object Graph {
         .join(src.withColumn("__z", lit(0L)), Seq("node_id"), "left")
         .select(col("node_id"), col("__z").as("dist"))
         .localCheckpoint()
-      require(!dist.where(col("dist").isNotNull).isEmpty,
+      // FRONTIER-only relaxation (guide §2.3 — shuffle fewer bytes): a
+      // node whose distance did not improve last superstep already sent
+      // its messages in an earlier round, so relaxing only the CHANGED
+      // set yields bit-identical per-round distances (the standard
+      // Bellman–Ford delta argument: if dist(u) is unchanged from round
+      // k−2, every dist(u)+w was already applied at round k−1). Message
+      // volume drops from edges-incident-to-all-reached to
+      // edges-incident-to-the-frontier, and an EMPTY frontier proves all
+      // remaining rounds are no-ops — skipping them cannot change the
+      // hop-bounded answer. Both frames derive lazily from one
+      // checkpointed merged frame per round (cached-block projections).
+      var frontier = dist.where(col("dist").isNotNull)
+      require(!frontier.isEmpty,
         "sources must intersect the graph's nodes")
       var i = 0
       while (i < maxHops) {
         val relaxed = e
-          .join(dist.withColumnRenamed("node_id", "src"), Seq("src"))
-          .where(col("dist").isNotNull)
+          .join(frontier.withColumnRenamed("node_id", "src"), Seq("src"))
           .groupBy(col("dst").as("node_id"))
           .agg(min(col("dist") + col("__w")).as("__c"))
-        dist = dist
-          .join(relaxed, Seq("node_id"), "left")
-          .select(col("node_id"),
-            when(col("dist").isNull, col("__c"))
-              .when(col("__c").isNull, col("dist"))
-              .otherwise(least(col("dist"), col("__c"))).as("dist"))
-          .localCheckpoint()
+        // __d working name: a sibling expression must never reference a
+        // column another output of the same select re-aliases; the
+        // frontier size rides the checkpoint as an observed metric so
+        // the empty-frontier early exit costs no extra job
+        val (merged, m) = ckObserved(
+          dist.withColumnRenamed("dist", "__d")
+            .join(relaxed, Seq("node_id"), "left")
+            .select(col("node_id"),
+              when(col("__d").isNull, col("__c"))
+                .when(col("__c").isNull, col("__d"))
+                .otherwise(least(col("__d"), col("__c"))).as("dist"),
+              (col("__c").isNotNull &&
+                (col("__d").isNull || col("__c") < col("__d"))).as("__chg")),
+          sum(col("__chg").cast("long")).as("__nchg"))
+        dist = merged.select(col("node_id"), col("dist"))
+        frontier = merged.where(col("__chg"))
+          .select(col("node_id"), col("dist"))
         i += 1
+        if (metricLong(m, "__nchg") == 0L) i = maxHops
       }
       dist
     } finally e.unpersist(blocking = false)
@@ -259,13 +306,13 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
-    var e = edges
+    var (e, m0) = ckObserved(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    var n = e.count()
+      .distinct(),
+      count(lit(1)).as("__n"))
+    var n = metricLong(m0, "__n")
     var round = 0
     var converged = n == 0L
     while (!converged && round < maxRounds) {
@@ -273,11 +320,14 @@ object Graph {
         .groupBy(col("node_id")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k)
         .select(col("node_id"))
-      val e2 = e
-        .join(keep.withColumnRenamed("node_id", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node_id", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
-      val n2 = e2.count()
+      // the surviving-edge count rides the checkpoint (observed metric)
+      // instead of a separate count job per peel round; e2 ⊆ e, so equal
+      // counts still prove the fixpoint
+      val (e2, m) = ckObserved(
+        e.join(keep.withColumnRenamed("node_id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node_id", "b"), Seq("b"), "left_semi"),
+        count(lit(1)).as("__n"))
+      val n2 = metricLong(m, "__n")
       converged = n2 == n
       e = e2
       n = n2
@@ -379,7 +429,16 @@ object Graph {
            unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     require(unit >= 1L, s"unit must be >= 1 (got $unit)")
+    // the two-sided update joins the edge table on src (authority step)
+    // AND on dst (hub step) every superstep — persist it TWICE, once
+    // hash-partitioned per join key (the CSR/CSC dual-representation
+    // discipline), so neither side of either join re-exchanges the edge
+    // set per iteration (guide §2.4: two operations keyed the same way
+    // share one exchange); only the node-sized frontier shuffles
     val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = e.repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       require(!e.isEmpty, "HITS needs at least one edge")
@@ -387,11 +446,18 @@ object Graph {
         .union(e.select(col("dst")))
         .distinct()
         .localCheckpoint()
+      // normalization: checkpoint the raw frame ONCE (it is node-sized and
+      // the frontier must be lineage-truncated anyway), read the max back
+      // as a one-row driver scalar, and fold it into the projection as a
+      // literal. The previous crossJoin(broadcast(raw.agg(max))) form
+      // evaluated the whole raw subtree TWICE per half-step (once under
+      // the broadcast agg, once as the stream side) — the optimization
+      // guide's duplicated-subtree check (§7.2); integer results are
+      // identical (same floor division over the same longs).
       def normalized(raw: DataFrame, c: String): DataFrame = {
-        val mx = raw.agg(max(col(c)).as("__mx"))
-        raw.crossJoin(broadcast(mx))
-          .select(col("node_id"),
-            expr(s"($c * ${unit}L) DIV __mx").as(c))
+        val (ck, m) = ckObserved(raw, max(col(c)).as("__mx"))
+        val mx = metricLong(m, "__mx")
+        ck.select(col("node_id"), expr(s"($c * ${unit}L) DIV ${mx}L").as(c))
       }
       var hub = nodes.withColumn("h", lit(unit)).localCheckpoint()
       var auth = nodes.withColumn("a", lit(unit)).localCheckpoint()
@@ -402,19 +468,25 @@ object Graph {
             .groupBy(col("dst").as("node_id"))
             .agg(sum(col("h")).as("__ar")), Seq("node_id"), "left")
           .select(col("node_id"), coalesce(col("__ar"), lit(0L)).as("a"))
-        auth = normalized(aRaw, "a").localCheckpoint()
+        // the normalized frame is a cheap projection over the checkpoint —
+        // re-evaluation per reference reads cached blocks, so no second
+        // checkpoint is needed
+        auth = normalized(aRaw, "a")
         val hRaw = nodes
-          .join(e.join(auth.withColumnRenamed("node_id", "dst"), Seq("dst"))
+          .join(eDst.join(auth.withColumnRenamed("node_id", "dst"), Seq("dst"))
             .groupBy(col("src").as("node_id"))
             .agg(sum(col("a")).as("__hr")), Seq("node_id"), "left")
           .select(col("node_id"), coalesce(col("__hr"), lit(0L)).as("h"))
-        hub = normalized(hRaw, "h").localCheckpoint()
+        hub = normalized(hRaw, "h")
         i += 1
       }
       hub.join(auth, Seq("node_id"))
         .select(col("node_id"), col("h").as("hub_score"),
           col("a").as("auth_score"))
-    } finally e.unpersist(blocking = false)
+    } finally {
+      e.unpersist(blocking = false)
+      eDst.unpersist(blocking = false)
+    }
   }
 
   /** LABEL PROPAGATION community detection (Raghavan et al., PRE'07),
@@ -438,12 +510,16 @@ object Graph {
     * Returns (node_id, label). */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    // hash-partition the persisted adjacency on v ONCE: every round's
+    // label join is v-keyed, so the (2|E|-row) edge side never
+    // re-exchanges — only the node-sized label frame shuffles per round
     val und = edges
       .select(col("src").as("u"), col("dst").as("v"))
       .where(col("u") =!= col("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v"))
         .where(col("u") =!= col("v")))
       .distinct()
+      .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = und.select(col("u").as("node_id"))
@@ -529,33 +605,52 @@ object Graph {
         .union(e0.select(col("dst")))
         .distinct()
         .localCheckpoint()
-      var activeEdges = e0.localCheckpoint()
+      // activeEdges stays hash-partitioned on src across shrinks: the
+      // coloring fixpoint (the long inner loop) joins on src every
+      // superstep, so the edge side never re-exchanges (guide §2.4);
+      // localCheckpoint preserves the physical partitioning
+      var activeEdges = e0.repartition(col("src")).localCheckpoint()
       var assigned = active.limit(0)
         .withColumn("scc", col("node_id"))
         .localCheckpoint()
       var outer = 0
       while (!active.isEmpty && outer < maxRounds) {
-        // 0. FB-Trim to fixpoint: peel trivial SCCs by degree
+        // 0. FB-Trim to fixpoint: peel trivial SCCs by degree. One
+        // union+partial-agg computes the kept set (nodes with BOTH an
+        // in- and an out-edge in the active subgraph); trivial = active
+        // minus kept — set-identical to (active∖srcs) ∪ (active∖dsts)
+        // at one shuffle instead of two distincts + two anti-joins +
+        // union-distinct (guide §2.4). `assigned` accumulates lazily
+        // over checkpointed trivial frames and is checkpointed once per
+        // outer round, not per pass.
         var trimming = true
         var tstep = 0
         while (trimming && tstep < maxSupersteps) {
-          val srcs = activeEdges.select(col("src").as("node_id")).distinct()
-          val dsts = activeEdges.select(col("dst").as("node_id")).distinct()
-          val trivial = active.join(srcs, Seq("node_id"), "left_anti")
-            .unionByName(active.join(dsts, Seq("node_id"), "left_anti"))
-            .distinct()
-            .localCheckpoint()
-          if (trivial.isEmpty) trimming = false
+          val kept = activeEdges
+            .select(col("src").as("node_id"), lit(1).as("__o"), lit(0).as("__i"))
+            .unionByName(activeEdges
+              .select(col("dst").as("node_id"), lit(0).as("__o"), lit(1).as("__i")))
+            .groupBy(col("node_id"))
+            .agg(max(col("__o")).as("__o"), max(col("__i")).as("__i"))
+            .where(col("__o") === 1 && col("__i") === 1)
+            .select(col("node_id"))
+          val (trivial, tm) = ckObserved(
+            active.join(kept, Seq("node_id"), "left_anti"),
+            count(lit(1)).as("__n"))
+          if (metricLong(tm, "__n") == 0L) trimming = false
           else {
             assigned = assigned
               .unionByName(trivial.withColumn("scc", col("node_id")))
-              .localCheckpoint()
             active = active.join(trivial, Seq("node_id"), "left_anti")
               .localCheckpoint()
+            // dst semi-join FIRST, src second: the final src-keyed join
+            // leaves the shrunk edge set hash-partitioned on src, which
+            // is exactly what the coloring supersteps need — same
+            // exchange count, no re-shuffle downstream
             activeEdges = activeEdges
-              .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
-                "left_semi")
               .join(active.withColumnRenamed("node_id", "dst"), Seq("dst"),
+                "left_semi")
+              .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
                 "left_semi")
               .select(col("src"), col("dst"))
               .localCheckpoint()
@@ -563,9 +658,15 @@ object Graph {
           tstep += 1
         }
         if (active.isEmpty) {
+          assigned = assigned.localCheckpoint()
           outer += 1
         } else {
-        // 1. forward min-ancestor coloring to fixpoint
+        // 1. forward min-ancestor coloring to fixpoint. Convergence is
+        // read off a changed-row flag computed IN the superstep's own
+        // projection and scanned over the just-checkpointed blocks —
+        // the previous per-superstep `exceptAll` paid two extra
+        // node-frame shuffles for the same answer (colors only
+        // decrease, so "no row decreased" IS the fixpoint test).
         var color = active.withColumn("color", col("node_id"))
           .localCheckpoint()
         var converged = false
@@ -575,21 +676,33 @@ object Graph {
             .join(color.withColumnRenamed("node_id", "src"), Seq("src"))
             .groupBy(col("dst").as("node_id"))
             .agg(min(col("color")).as("__m"))
-          val next = color.join(msgs, Seq("node_id"), "left")
-            .select(col("node_id"),
-              least(col("color"), coalesce(col("__m"), col("color")))
-                .as("color"))
-            .localCheckpoint()
-          converged = next.exceptAll(color).isEmpty
-          color = next
+          // __cl working name: a sibling expression must never reference
+          // a column another output of the same select re-aliases; the
+          // changed-row count rides the checkpoint as an observed metric
+          val (next, cm) = ckObserved(
+            color.withColumnRenamed("color", "__cl")
+              .join(msgs, Seq("node_id"), "left")
+              .select(col("node_id"),
+                least(col("__cl"), coalesce(col("__m"), col("__cl")))
+                  .as("color"),
+                (col("__m").isNotNull && col("__m") < col("__cl"))
+                  .as("__chg")),
+            sum(col("__chg").cast("long")).as("__nchg"))
+          converged = metricLong(cm, "__nchg") == 0L
+          color = next.select(col("node_id"), col("color"))
           step += 1
         }
         require(converged,
           s"SCC forward coloring did not converge within $maxSupersteps " +
             "supersteps — raise maxSupersteps")
-        // 2. backward sweep from the roots, restricted to the color class
-        var reached = color.where(col("node_id") === col("color"))
-          .localCheckpoint()
+        // 2. backward sweep from the roots, restricted to the color
+        // class. `reached` only grows and stays distinct, so equal
+        // counts prove the fixpoint — a count over the checkpointed
+        // blocks replaces the exceptAll shuffles.
+        var (reached, rm) = ckObserved(
+          color.where(col("node_id") === col("color")),
+          count(lit(1)).as("__n"))
+        var reachedN = metricLong(rm, "__n")
         var swept = false
         step = 0
         while (!swept && step < maxSupersteps) {
@@ -599,9 +712,13 @@ object Graph {
             .join(color.withColumnRenamed("color", "__c"), Seq("node_id"))
             .where(col("__c") === col("color"))
             .select(col("node_id"), col("color"))
-          val next = reached.unionByName(grow).distinct().localCheckpoint()
-          swept = next.exceptAll(reached).isEmpty
+          val (next, nm) = ckObserved(
+            reached.unionByName(grow).distinct(),
+            count(lit(1)).as("__n"))
+          val nextN = metricLong(nm, "__n")
+          swept = nextN == reachedN
           reached = next
+          reachedN = nextN
           step += 1
         }
         require(swept,
@@ -615,9 +732,9 @@ object Graph {
             Seq("node_id"), "left_anti")
           .localCheckpoint()
         activeEdges = activeEdges
-          .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
-            "left_semi")
           .join(active.withColumnRenamed("node_id", "dst"), Seq("dst"),
+            "left_semi")
+          .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
             "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint()
@@ -649,7 +766,7 @@ object Graph {
     * current edge set; the set is localCheckpointed per round (the
     * pageRank frontier discipline). The ONLY fixpoints of the
     * alternation are min-rooted star forests (paper, Thm 1-2), so
-    * convergence is an exact edge-set equality check (count + except),
+    * convergence is an exact edge-set equality check (count + anti-join),
     * and once converged both operators are the identity — extra rounds
     * are no-ops, which is what lets a fixed-round oracle replay a
     * fixpoint exactly (the kCore discipline). Fail-fasts past
@@ -660,18 +777,18 @@ object Graph {
     * the node's component. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
-    var e = edges
+    var (e, m0) = ckObserved(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .select(col("b").as("u"), col("a").as("v")) // directed big→small
-      .localCheckpoint()
+      .select(col("b").as("u"), col("a").as("v")), // directed big→small
+      count(lit(1)).as("__n"))
     val allNodes = e.select(col("u").as("node_id"))
       .union(e.select(col("v")))
       .distinct()
       .localCheckpoint()
-    var n = e.count()
+    var n = metricLong(m0, "__n")
     var round = 0
     var converged = n == 0L
     while (!converged && round < maxRounds) {
@@ -688,14 +805,23 @@ object Graph {
       // small-star over the (already big→small) directed set
       val minsS = ls.groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("__m"))
-      val ss = ls.join(minsS, Seq("u"))
-        .select(col("v").as("u"), col("__m").as("v"))
-        .unionByName(minsS.select(col("u"), col("__m").as("v")))
-        .where(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      val n2 = ss.count()
-      converged = n2 == n && ss.exceptAll(e).isEmpty
+      // the new edge count rides the checkpoint (observed metric)
+      // instead of a separate count job per round
+      val (ss, m) = ckObserved(
+        ls.join(minsS, Seq("u"))
+          .select(col("v").as("u"), col("__m").as("v"))
+          .unionByName(minsS.select(col("u"), col("__m").as("v")))
+          .where(col("u") =!= col("v"))
+          .distinct(),
+        count(lit(1)).as("__n"))
+      val n2 = metricLong(m, "__n")
+      // both edge frames are DISTINCT sets, so set equality is
+      // |ss| == |e| plus an empty anti-join — a hash semi-join probe
+      // instead of exceptAll's two full-frame shuffles; the anti-join
+      // only runs when the counts already agree (&&
+      // short-circuits), i.e. at most once before the fixpoint round
+      converged = n2 == n &&
+        ss.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = ss
       n = n2
       round += 1

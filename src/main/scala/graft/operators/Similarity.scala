@@ -273,12 +273,27 @@ object Similarity {
                   kmeansIters: Int = 2): Seq[Seq[(Long, Seq[Float])]] = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
-      kmeansCodebook(
-        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub)
-          .as(vecCol)),
-        vecCol, idCol, ksub, kmeansIters)
-    }
+    // the m sub-builds are INDEPENDENT: submit them concurrently so each
+    // build's small seed/Lloyd jobs back-fill the cores the others leave
+    // idle (guide §2.6 — overlap independent jobs; the Bench.ingest
+    // pattern), over ONE shared persisted (id, vec) projection instead of
+    // m separate scans of the upstream plan. Each sub-build's own plan,
+    // partitioning, and arithmetic are unchanged, so every codebook is
+    // bit-identical to the sequential build's.
+    val base = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val builds = (0 until m).map { j => Future {
+        kmeansCodebook(
+          base.select(col(idCol), slice(col(vecCol), j * sub + 1, sub)
+            .as(vecCol)),
+          vecCol, idCol, ksub, kmeansIters)
+      }}
+      Await.result(Future.sequence(builds),
+        scala.concurrent.duration.Duration.Inf)
+    } finally { base.unpersist(blocking = false): Unit }
   }
 
   /** Encode the corpus against PQ codebooks: each row becomes `m` cell
@@ -542,8 +557,18 @@ object Similarity {
                 nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
                 ksub: Int = 16, kmeansIters: Int = 1, rerank: Int = 0,
                 native: Boolean = false): DataFrame = {
-    val cents = kmeansCodebook(corpus, vecCol, idCol, nCentroids, kmeansIters)
-    val books = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
+    // coarse quantizer and PQ codebooks are independent builds — overlap
+    // them (guide §2.6); each build's own jobs and arithmetic unchanged
+    val (cents, books) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cf = Future(
+        kmeansCodebook(corpus, vecCol, idCol, nCentroids, kmeansIters))
+      val bf = Future(
+        pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters))
+      (Await.result(cf, scala.concurrent.duration.Duration.Inf),
+        Await.result(bf, scala.concurrent.duration.Duration.Inf))
+    }
     // one-pass index build: cell id + codes, all map-side broadcast argmins
     val sub = dim / m
     val codesArr = array((0 until m).map(j =>

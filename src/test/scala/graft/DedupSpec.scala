@@ -334,6 +334,36 @@ class DedupSpec extends SparkSpec {
     assert(j01 === 1.0)
   }
 
+  test("emitPairs=false seed: empty pair stream, identical committed index") {
+    val docs = corpus()
+    val oldDocs = docs.where(col("doc_id") % 2 === 0)
+    val newDocs = docs.where(col("doc_id") % 2 === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft-incdd0").toString
+    val (rootA, rootB) = (s"$work/a", s"$work/b")
+
+    val seedA = Dedup.dedupIncremental(rootA, oldDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val seedB = Dedup.dedupIncremental(rootB, oldDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5, emitPairs = false)
+    assert(seedB.pairs.isEmpty, "emitPairs=false must emit no pairs")
+    assert(seedB.pairs.columns.toSeq ===
+      Seq("id_a", "id_b", "est_jaccard"), "schema is preserved")
+    assert(seedB.overflow.isEmpty)
+    assert(seedB.indexVersion === seedA.indexVersion)
+    // the committed index is byte-equal in content: same rows
+    val ia = spark.read.format("graft").load(rootA)
+      .select(col("idx_key")).collect().map(_.getString(0)).sorted
+    val ib = spark.read.format("graft").load(rootB)
+      .select(col("idx_key")).collect().map(_.getString(0)).sorted
+    assert(ia.toSeq === ib.toSeq, "seeded index content identical")
+    // and a later probe over the pair-free seed finds the same pairs
+    val pA = Dedup.dedupIncremental(rootA, newDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val pB = Dedup.dedupIncremental(rootB, newDocs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    assert(pairSet(pA.pairs) === pairSet(pB.pairs))
+  }
+
   test("incremental re-ingest is idempotent; the index is versioned graft state") {
     val docs = corpus()
     val root = java.nio.file.Files.createTempDirectory("graft-incdd2").toString + "/idx"
