@@ -548,10 +548,17 @@ object SparkEntry {
     * (rsd 0.01 measured ~5x slower for no extra oracle strength — the
     * flag's 5% tolerance is the contract, not the sketch width.) */
   def q40_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    // two-level aggregation instead of mixing countDistinct with the
+    // sketch in one agg (which plans an Expand doubling the input rows):
+    // dedup (flag, partkey) first, then count + sketch the distinct
+    // rows. The HLL++ estimate is IDENTICAL — duplicate values map to
+    // the same register, so the sketch over the deduped set equals the
+    // sketch over the raw column — and the exact count is by definition
     lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx") - col("exact_parts")).cast("double") /
           col("exact_parts") <= 0.05).cast("int").as("approx_ok"))
@@ -4284,10 +4291,23 @@ object SparkEntry {
           col("q_pass") === 1).cast("int"))
       .withColumn("__fp",
         when(col("all_pass") === 1, normalizedFingerprint(col("text"))))
-    val win = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-    flagged
+    // canonical survivor = the min-id holder of each passing fingerprint,
+    // as a partial-agg + broadcastable join: the previous
+    // row_number-over-__fp window put every NON-passing doc (fp NULL)
+    // into ONE unsplittable window partition — the degenerate-window
+    // funnel (guide §2.5); min-per-fp ≡ row_number()==1 under the same
+    // (doc_id) order, so `survived` is bit-identical. The gate pipeline
+    // (C4 reconstruction + Gopher + logit) is checkpointed ONCE, narrow
+    // (no text), so neither branch recomputes it (the shared-subtree
+    // pruning gotcha — map-side branches have no exchange to reuse)
+    val gatesCk = flagged.drop("text").localCheckpoint()
+    val first = gatesCk.where(col("all_pass") === 1)
+      .groupBy(col("__fp")).agg(min(col("doc_id")).as("__first"))
+    gatesCk
+      .join(first, Seq("__fp"), "left")
       .withColumn("survived",
-        (col("all_pass") === 1 && row_number().over(win) === 1).cast("int"))
+        (col("all_pass") === 1 && col("doc_id") === col("__first"))
+          .cast("int"))
       .select(col("doc_id"), col("c4_pass"), col("gopher_pass"),
         col("q_pass"), col("survived"))
       .orderBy(col("doc_id"))

@@ -306,14 +306,30 @@ object TextFunctions {
     * their concatenation is exactly the normalized text. Empty/null
     * text → empty array; text shorter than `window` → one chunk.
     *
-    * One codegen'd HOF chain, zero shuffle; the codepoint array and the
-    * raw text are BOUND to lambda variables (interpreted-lambda
-    * discipline — a bare re-reference would re-derive them per
-    * position). The per-chunk `substr` walk is O(start); at corpus
-    * scale the dominant cost stays the O(n·window) boundary scan.
+    * Runs as ONE codegen'd O(n) native pass
+    * ([[graft.plans.CdcChunksNative]] — the boundary polynomial ROLLED
+    * instead of re-folded per position; value-identical, CdcParitySpec
+    * pins native ≡ the HOF fallback bit-for-bit). Zero shuffle.
     * Deterministic in any 64-bit-integer engine — an oracle replays
     * boundaries and chunks verbatim. */
   def cdcChunks(text: Column, window: Int = 8, maskBits: Int = 6): Column = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits must be in [1, 20] (got $maskBits)")
+    val t0 = concat_ws(" ", tokens(lower(text)))
+    val out = org.apache.spark.sql.classic.GraftShims.column(
+      graft.plans.CdcChunksNative(
+        org.apache.spark.sql.classic.GraftShims.expression(t0),
+        window, maskBits))
+    when(text.isNull, array().cast("array<string>")).otherwise(out)
+  }
+
+  /** The original interpreted-HOF form of [[cdcChunks]] — kept as the
+    * parity reference for the native kernel (CdcParitySpec asserts
+    * bit-identical output; the O(n·window) per-position re-fold is why
+    * it was replaced on the hot path). */
+  private[graft] def cdcChunksHof(text: Column, window: Int = 8,
+                                  maskBits: Int = 6): Column = {
     require(window >= 2, s"window must be >= 2 (got $window)")
     require(maskBits >= 1 && maskBits <= 20,
       s"maskBits must be in [1, 20] (got $maskBits)")

@@ -1244,10 +1244,21 @@ object CorpusPrep {
     * dedupLines discipline). */
   def cdcChunkNovelty(docs: DataFrame, idCol: String, textCol: String,
                       window: Int = 8, maskBits: Int = 6): DataFrame = {
+    // one explicit chunk-keyed exchange serves BOTH aggregations: hash
+    // partitioning on __chunk alone satisfies the (doc_id, __chunk)
+    // distinct's clustering requirement (subset partitioning) AND the
+    // first-holder groupBy(__chunk) — the previous shape shuffled the
+    // full chunk-string table twice ((doc_id, chunk) for the distinct,
+    // then chunk for the min) where once suffices (guide §2.4); AQE
+    // reuses the single exchange for the per-doc count branch too.
+    // Per-doc duplicate chunks are rare under CDC (content-defined cuts
+    // rarely repeat within a doc), so the foregone map-side combine on
+    // the raw exploded rows costs ~nothing.
     val dch = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.cdcChunks(col(textCol), window, maskBits))
           .as("__chunk"))
+      .repartition(col("__chunk"))
       .distinct()
     val novel = dch.groupBy(col("__chunk"))
       .agg(min(col("doc_id")).as("__first"))

@@ -429,9 +429,14 @@ object Dedup {
           col("len").as("lb")),
           col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= maxDist)
         .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      // thresholded levenshtein (Spark 3.5+): banded O(len·maxDist) DP
+      // with early exit instead of the full O(len²) table — returns the
+      // EXACT distance when it is <= maxDist and -1 otherwise, so the
+      // surviving pairs and their distances are identical
       longCand.unionByName(shortCand)
-        .withColumn("edit_distance", levenshtein(col("s_a"), col("s_b")))
-        .where(col("edit_distance") <= maxDist)
+        .withColumn("edit_distance",
+          levenshtein(col("s_a"), col("s_b"), maxDist))
+        .where(col("edit_distance") >= 0 && col("edit_distance") <= maxDist)
         .select(col("id_a"), col("id_b"),
           col("edit_distance").cast("long").as("edit_distance"))
         // eager materialization (pair-sized) so `short` can be released

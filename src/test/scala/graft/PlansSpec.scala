@@ -47,7 +47,7 @@ class PlansSpec extends SparkSpec {
   test("native PQ ADC score matches the HOF lookup chain; malformed input is null") {
     graft.plans.PqAdcScore.register(spark)
     val s = spark; import s.implicits._
-    // m=2 subspaces, k=3 cells: ip/cn flattened [subspace × cells]
+    // m=2 subspaces, k=3 cells: ip/cn flattened [subspace \u00d7 cells]
     val ip = Seq(0.5, 1.0, -0.25, 2.0, 0.0, 0.75)
     val cn = Seq(1.0, 4.0, 0.25, 9.0, 1.0, 2.25)
     val rows = Seq(
@@ -69,11 +69,11 @@ class PlansSpec extends SparkSpec {
     both.foreach { r =>
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
     }
-    // hand-check one row: codes (0,2) → num 0.5+0.75, den 1.0+2.25, qn 2
+    // hand-check one row: codes (0,2) \u2192 num 0.5+0.75, den 1.0+2.25, qn 2
     val expect = (0.5 + 0.75) / (2.0 * math.sqrt(1.0 + 2.25))
     assert(math.abs(both.head.getDouble(0) - expect) < 1e-12)
 
-    // tables that don't divide evenly into the code count → NULL
+    // tables that don't divide evenly into the code count \u2192 NULL
     val bad = Seq((Seq(0L, 1L, 0L, 1L), ip, cn, 1.0))
       .toDF("codes", "ip", "cn", "qn") // 6 table entries % 4 codes != 0
     assert(bad.select(call_function("graft_pq_adc", col("codes"), col("ip"),
@@ -118,6 +118,37 @@ class PlansSpec extends SparkSpec {
       VectorFunctions.hyperplaneSignature(col("embedding"), 12, 64).as("hof"))
     assert(both.where(col("nat") =!= col("hof")).count() === 0)
     assert(both.select(countDistinct(col("nat"))).head().getLong(0) > 1)
+  }
+
+  test("native cdcChunks kernel is bit-identical to the HOF fallback") {
+    import graft.functions.TextFunctions
+    val s = spark; import s.implicits._
+    // fixture docs + hand-built edges: empty, shorter-than-window, exact
+    // window, repeated content (many boundaries), BMP unicode (the
+    // first-UTF8-byte ascii() semantics), shift robustness (prefix splice)
+    val hand = Seq(
+      (9000001L, ""), (9000002L, "ab"), (9000003L, "abcdefgh"),
+      (9000004L, ("the quick brown fox " * 40).trim),
+      (9000005L, "caf\u00e9 na\u00efve r\u00e9sum\u00e9 " +
+        "\u00fcber stra\u00dfe " * 10),
+      (9000006L, "PREFIX SPLICED " + ("the quick brown fox " * 40).trim))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+      .unionByName(hand)
+    for ((w, mb) <- Seq((8, 6), (4, 3), (2, 1))) {
+      val cmp = docs.select(
+        TextFunctions.cdcChunks(col("text"), w, mb).as("native"),
+        TextFunctions.cdcChunksHof(col("text"), w, mb).as("hof"))
+      assert(cmp.where(not(col("native") <=> col("hof"))).isEmpty,
+        s"native vs HOF cdcChunks diverged at window=$w maskBits=$mb")
+    }
+    // null text \u2192 empty array on both paths
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextFunctions.cdcChunks(col("text")).as("n"),
+        TextFunctions.cdcChunksHof(col("text")).as("h"))
+      .head()
+    assert(nulls.getSeq[String](0).isEmpty && nulls.getSeq[String](1).isEmpty)
   }
 
   test("native sorted-bounds search matches the HOF boundary count (merge router)") {
@@ -201,7 +232,7 @@ class PlansSpec extends SparkSpec {
     assert(z.toSeq === Seq.fill(8)(0: Byte))
     // NaN elements: the HOF chain's greatest() makes the scale NaN and
     // the ANSI int cast throws; the fused kernel must NOT silently emit
-    // a finite scale + garbage codes — it yields NULL (and a healthy
+    // a finite scale + garbage codes \u2014 it yields NULL (and a healthy
     // row in the same batch still encodes)
     val nan = Seq(
       (1L, Array(1.0f, Float.NaN, 2.0f)),
@@ -217,7 +248,7 @@ class PlansSpec extends SparkSpec {
     // every kernel that can emit NULL for malformed input must declare
     // nullable=true: with a non-nullable child (array()/lit chains),
     // nullSafeCodeGen otherwise pins ev.isNull to the `false` constant
-    // and the generated `isNull = true` is an illegal Java lvalue —
+    // and the generated `isNull = true` is an illegal Java lvalue \u2014
     // janino fails the WHOLE stage (found by the cold-bench PQ encode
     // over a freshly-built corpus). Literal/array() inputs here are
     // exactly the non-nullable shape.
