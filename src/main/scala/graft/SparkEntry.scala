@@ -3911,7 +3911,11 @@ object SparkEntry {
     * containment), so blocking-free completeness is what hash-matching
     * proves; `contained_id` names the fragment side. */
   def q220_containment(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentJoin(shingleSets(containmentCorpus(s, dir)), 0.9)
+    // the shingle pipeline is re-evaluated per branch reference inside
+    // the exact join (sizes + inverted index) — materialize the sets
+    // once; results unchanged
+    Dedup.containmentJoin(
+        shingleSets(containmentCorpus(s, dir)).localCheckpoint(), 0.9)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"), col("contained_id"))
       .orderBy(col("id_a"), col("id_b"))
@@ -3945,7 +3949,10 @@ object SparkEntry {
     * that the bounded-work configuration still finds the planted
     * fragment twins. */
   def q221_containment_discovery(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(containmentCorpus(s, dir))
+    // exact harness + discovery + two verify joins all reference the
+    // shingle sets — materialize them once (≥6 map-side re-shingles of
+    // the corpus otherwise); results unchanged
+    val sets = shingleSets(containmentCorpus(s, dir)).localCheckpoint()
     val exact = Dedup.containmentJoin(sets, 0.9)
     val (disc, _) = Dedup.containmentPairs(sets, 0.9, maxPostingWidth = 32)
     val flagged = exact.join(
