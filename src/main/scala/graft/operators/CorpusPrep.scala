@@ -1310,8 +1310,14 @@ object CorpusPrep {
                      keepFirst: Boolean = true): DataFrame = {
     require(k >= 1, "gram width must be positive")
     require(minDocs >= 2, "a span is duplicated only across >= 2 docs")
+    // the tokenized base feeds FOUR branches (gram stats, gram probe,
+    // word positions, totals) — materialize it once, or every branch
+    // re-runs the tokenizer AND the whole upstream plan (in the q139
+    // composition that upstream is the full dedupLines reconstruction,
+    // re-executed per reference — the shared-subtree pruning gotcha)
     val base = docs.select(col(idCol).as("__id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint()
     // gram at 0-based position p covers words p..p+k-1; docs at or under
     // k tokens form ONE whole-doc gram (shingles()' contract, so q95's
     // dup counts and this removal agree on what "a duplicated gram" is)
