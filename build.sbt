@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through VERBATIM instead of
+// routing them through sbt's logger, which prefixes every line with
+// "[info] ". The bench driver extracts the one-line JSON by looking for
+// a line starting with "{" — with the logger prefix no such line ever
+// exists (12 rounds of parsed:null). StdoutOutput restores the contract.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

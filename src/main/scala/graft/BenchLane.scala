@@ -36,9 +36,28 @@ object BenchLane {
     }
     def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0)
       shuffleRead.set(0) }
+    def snapshot: (Long, Long, Long, Long) =
+      (jobs.get, stages.get, tasks.get, shuffleRead.get)
+    /** Poll until the async listener bus has drained (counters stable for
+      * two consecutive 100 ms reads), bounded at 5 s — deterministic where
+      * a fixed sleep can under-count on a slow host. */
+    def drain(): Unit = {
+      var prev = snapshot
+      var stable = false
+      val deadline = System.nanoTime + 5000000000L
+      while (!stable && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        val cur = snapshot
+        stable = cur == prev
+        prev = cur
+      }
+    }
     def report: String = s"jobs=${jobs.get} stages=${stages.get} " +
       s"tasks=${tasks.get} shuffleReadMB=${shuffleRead.get / 1000000}"
   }
+
+  private def reportOf(s: (Long, Long, Long, Long)): String =
+    s"jobs=${s._1} stages=${s._2} tasks=${s._3} shuffleReadMB=${s._4 / 1000000}"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,18 +86,22 @@ object BenchLane {
           try runToNoop(fn(spark, warmDir)) catch { case _: Throwable => }
           val counts = new Counts
           spark.sparkContext.addSparkListener(counts)
-          val t = try {
+          // Pair each repeat's time with ITS drained counter snapshot and
+          // report the snapshot belonging to the min-timed run (ADVICE r12:
+          // the old code reported only the last repeat's counts).
+          val runs = try {
             (1 to repeat).map { _ =>
               counts.reset()
-              time(runToNoop(fn(spark, dataDir)))
-            }.min
+              val t = time(runToNoop(fn(spark, dataDir)))
+              counts.drain()
+              (t, counts.snapshot)
+            }
           } catch { case e: Throwable =>
             System.err.println(s"[lane] $name failed: ${e.getMessage}")
-            -1.0
+            Seq((-1.0, (0L, 0L, 0L, 0L)))
           }
-          // brief drain so the last run's async listener events land
-          Thread.sleep(500)
-          println(s"[lane] $name ${counts.report}")
+          val (t, best) = runs.minBy(_._1)
+          println(s"[lane] $name ${reportOf(best)}")
           spark.sparkContext.removeSparkListener(counts)
           results(name) = t
           spark.catalog.clearCache()

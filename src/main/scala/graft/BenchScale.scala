@@ -313,12 +313,13 @@ object BenchScale {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"sf1_headline","value":${
       results.getOrElse("merge_full_rewrite", -1.0)},"unit":"sec","queries":$qs,"sf":"${sfDir}x$mult"}"""
-    println(json)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "/tmp/BENCH_SF1.json")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     MutableParquetTable.deleteDir(java.nio.file.Paths.get(workDir))
     spark.stop()
+    // Final stdout line, after spark.stop(), same contract shape as Bench.
+    println(json)
   }
 }
