@@ -310,6 +310,100 @@ object BenchScale {
       System.err.println(s"[bench-sf1] ann experiment failed: ${e.getMessage}")
     }
 
+    // ---- round-13 pins: the r12/r13 non-graph rewrites at 10× volume
+    //      (q40 two-level agg, q193 CDC novelty incl. the skew-guarded
+    //      exchange, q204 thresholded levenshtein, q221 containment
+    //      discovery) plus the r13 Bloom-prefiltered triangle closing
+    //      join — evidence that the wins grow (or at least hold) with
+    //      scale rather than being local-phase artifacts ----
+    try {
+      import graft.functions.TextFunctions
+      val docs10 = {
+        val d0 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        (0 until mult).map(r =>
+          d0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" replicamark$r")).as("text")))
+          .reduce(_ unionByName _)
+      }
+      docs10.write.mode("overwrite").parquet(s"$workDir/docs10")
+      val d10 = spark.read.parquet(s"$workDir/docs10")
+
+      // q40 shape: two-level distinct + (approx, exact) agg
+      val li0 = Tables.lineitem(spark, sfDir)
+      val li10 = (0 until mult).map(r =>
+        li0.select(col("l_returnflag"),
+          (col("l_partkey") + lit(r * 1000000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      def q40shape(): Unit = runToNoop(li10
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          count(col("l_partkey")).as("exact_parts")))
+      q40shape() // warm
+      results("approx_distinct_10x") = (1 to 2).map(_ => time(q40shape())).min
+
+      // q193 shape: CDC chunk novelty (native kernel + skew-guarded
+      // chunk exchange)
+      def cdcNov(): Unit = runToNoop(
+        graft.operators.CorpusPrep.cdcChunkNovelty(d10, "doc_id", "text"))
+      cdcNov() // warm
+      results("cdc_novelty_10x") = (1 to 2).map(_ => time(cdcNov())).min
+
+      // q204 shape: banded-levenshtein fuzzy key join with planted twins
+      val ks = d10.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          lower(substring(trim(col("text")), 1, 12)).as("k"))
+        .where(length(col("k")) >= 12)
+      val seed = ks.where(col("doc_id") % 50 === 0)
+      val tw1 = seed.select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(substring(col("k"), 1, 3), lit("x"),
+          substring(col("k"), 5, 8)).as("k"))
+      val fuzz = ks.unionByName(tw1)
+      def fuzzy(): Unit = runToNoop(
+        graft.operators.Dedup.editDistancePairs(fuzz, "k", "doc_id",
+          maxDist = 2))
+      fuzzy() // warm
+      results("edit_distance_10x") = (1 to 2).map(_ => time(fuzzy())).min
+
+      // q221 shape: prefix-filtered containment discovery over 10×
+      // shingle sets (materialized once, the r12 move)
+      val sets = graft.operators.Materialize.ck(d10.select(
+        col("doc_id").as("id"),
+        array_distinct(TextFunctions.shingles(lower(col("text")), 3))
+          .as("elems")))
+      def contain(): Unit = runToNoop(
+        graft.operators.Dedup.containmentPairs(sets, 0.9,
+          maxPostingWidth = 32)._1)
+      contain() // warm
+      results("containment_10x") = (1 to 2).map(_ => time(contain())).min
+
+      // r13: triangle counts on a 10× co-supply graph — the closing
+      // join's Bloom prefilter at a volume where the wedge table is the
+      // dominant shuffle
+      val sp = li0.select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
+        .distinct()
+      val edges0 = sp.as("x").join(sp.as("y"),
+          col("x.p") === col("y.p") && col("x.sv") < col("y.sv"))
+        .groupBy(col("x.sv").as("src"), col("y.sv").as("dst"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 4 &&
+          pmod(col("src") * 131 + col("dst"), lit(10)) < 4)
+        .select(col("src"), col("dst"))
+      val edges10 = (0 until mult).map(r =>
+        edges0.select((col("src") + lit(r * 1000000L)).as("src"),
+          (col("dst") + lit(r * 1000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      edges10.write.mode("overwrite").parquet(s"$workDir/tri-edges")
+      val te = spark.read.parquet(s"$workDir/tri-edges")
+      results("triangle_edges") = te.count().toDouble
+      def tri(): Unit = runToNoop(graft.operators.Graph.triangleCounts(te))
+      tri() // warm
+      results("triangles_10x") = (1 to 2).map(_ => time(tri())).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-sf1] r13 experiment failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"sf1_headline","value":${
       results.getOrElse("merge_full_rewrite", -1.0)},"unit":"sec","queries":$qs,"sf":"${sfDir}x$mult"}"""

@@ -557,8 +557,12 @@ object SparkEntry {
     lineitem(s, dir)
       .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
+      // count(col), not count(lit(1)): a NULL partkey must not count as
+      // a distinct value (the pre-rewrite countDistinct ignored NULLs,
+      // and approx_count_distinct still does — identical NULL semantics
+      // on both sides; TPC-H partkey is non-null, so same rows either way)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-        count(lit(1)).as("exact_parts"))
+        count(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx") - col("exact_parts")).cast("double") /
           col("exact_parts") <= 0.05).cast("int").as("approx_ok"))
@@ -1967,13 +1971,15 @@ object SparkEntry {
     // the exact ground-truth harness is INDEPENDENT of the index
     // lifecycle — materialize it concurrently with the two ingests so
     // its jobs back-fill the cores the commit machinery leaves idle
-    // (guide §2.6); same computation, same rows, just overlapped
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // (guide §2.6, bounded shared pool); same computation, same rows,
+    // just overlapped
+    import scala.concurrent.Future
+    import graft.operators.Overlap
+    import Overlap.ec
     val exactF = Future {
       Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
         .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.Materialize.ck)
     }
     // seed ingest (the corpus's own arrival), then the probed ingest;
     // the seed's pair stream is discarded, so skip computing it
@@ -1986,7 +1992,7 @@ object SparkEntry {
       native = true)
     require(inc.indexVersion == 0L,
       "the probe ingest must commit the next index version")
-    val exact = Await.result(exactF, scala.concurrent.duration.Duration.Inf)
+    val exact = Overlap.awaitAll(Seq(exactF)).head
     exact.join(inc.pairs.select(col("id_a"), col("id_b"), lit(1).as("f")),
         Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
@@ -2017,11 +2023,12 @@ object SparkEntry {
     // the exact ground-truth harness is INDEPENDENT of the stream —
     // materialize it concurrently with the three micro-batch epochs
     // (guide §2.6); same computation, same rows, just overlapped
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
+    import graft.operators.Overlap
+    import Overlap.ec
     val exactF = Future {
       Dedup.jaccardJoinExact(shingleSets(docs), 0.6)
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.Materialize.ck)
     }
     val q = graft.streaming.Streams.dedupIncrementalSink(
       in.toDF().toDF("doc_id", "text"), s"$work/idx", "text", "doc_id",
@@ -2036,7 +2043,7 @@ object SparkEntry {
     } finally q.stop()
     val found = s.read.parquet(out)
       .select(col("id_a"), col("id_b")).distinct()
-    val exact = Await.result(exactF, scala.concurrent.duration.Duration.Inf)
+    val exact = Overlap.awaitAll(Seq(exactF)).head
     exact.join(found.withColumn("f", lit(1)), Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
         coalesce(col("f"), lit(0)).as("stream_found"))
@@ -2427,8 +2434,12 @@ object SparkEntry {
         .write.mode("overwrite").parquet(out)
     }
     import s.implicits._
-    val media = s.read.parquet(mdir).as[graft.multimodal.MediaRecord]
-      .filter(_.media_id < 90)
+    // six references below (three kinds × base + planted-variant gen) —
+    // materialize the filtered record table once; the column predicate
+    // (vs the old typed-lambda filter) also keeps the scan prunable
+    val media = graft.operators.Materialize.ck(
+        s.read.parquet(mdir).where(col("media_id") < 90))
+      .as[graft.multimodal.MediaRecord]
     def lane(kind: String,
              planted: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
              pairs: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]
@@ -3915,7 +3926,7 @@ object SparkEntry {
     // the exact join (sizes + inverted index) — materialize the sets
     // once; results unchanged
     Dedup.containmentJoin(
-        shingleSets(containmentCorpus(s, dir)).localCheckpoint(), 0.9)
+        shingleSets(containmentCorpus(s, dir)).transform(graft.operators.Materialize.ck), 0.9)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"), col("contained_id"))
       .orderBy(col("id_a"), col("id_b"))
@@ -3952,7 +3963,7 @@ object SparkEntry {
     // exact harness + discovery + two verify joins all reference the
     // shingle sets — materialize them once (≥6 map-side re-shingles of
     // the corpus otherwise); results unchanged
-    val sets = shingleSets(containmentCorpus(s, dir)).localCheckpoint()
+    val sets = shingleSets(containmentCorpus(s, dir)).transform(graft.operators.Materialize.ck)
     val exact = Dedup.containmentJoin(sets, 0.9)
     val (disc, _) = Dedup.containmentPairs(sets, 0.9, maxPostingWidth = 32)
     val flagged = exact.join(
@@ -4307,7 +4318,7 @@ object SparkEntry {
     // (C4 reconstruction + Gopher + logit) is checkpointed ONCE, narrow
     // (no text), so neither branch recomputes it (the shared-subtree
     // pruning gotcha — map-side branches have no exchange to reuse)
-    val gatesCk = flagged.drop("text").localCheckpoint()
+    val gatesCk = flagged.drop("text").transform(graft.operators.Materialize.ck)
     val first = gatesCk.where(col("all_pass") === 1)
       .groupBy(col("__fp")).agg(min(col("doc_id")).as("__first"))
     gatesCk

@@ -303,8 +303,13 @@ object TextFunctions {
     * re-aligns (the property fixed-size or line splitting lacks, and
     * the reason dedup storage systems chunk this way). Expected chunk
     * length ≈ 2^maskBits codepoints. Returns the chunk TEXTS in order;
-    * their concatenation is exactly the normalized text. Empty/null
-    * text → empty array; text shorter than `window` → one chunk.
+    * their concatenation is exactly the normalized text (for non-BMP
+    * input the kernel suppresses any boundary that would split a
+    * surrogate pair, so the guarantee holds for every input — but
+    * boundary POSITIONS and oracle replayability are pinned only on
+    * the BMP/ASCII character domain, where the rolling-hash chain is
+    * engine-portable). Empty/null text → empty array; text shorter
+    * than `window` → one chunk.
     *
     * Runs as ONE codegen'd O(n) native pass
     * ([[graft.plans.CdcChunksNative]] — the boundary polynomial ROLLED

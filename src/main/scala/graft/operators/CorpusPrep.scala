@@ -150,8 +150,12 @@ object CorpusPrep {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val docToks = docs.select(col(idCol),
       TextFunctions.tokens(lower(col(textCol))).as("__toks"))
-    val trainToks = train
-      .select(TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    // three gram orders each re-tokenize the train corpus from scratch —
+    // materialize the tokenized train base once (guide §7.2); uni/bi are
+    // each referenced twice more below (totals + backoff joins), so the
+    // count tables are checkpointed too (vocabulary-sized)
+    val trainToks = Materialize.ck(train
+      .select(TextFunctions.tokens(lower(col(textCol))).as("__toks")))
     val n = size(col("__toks"))
     def grams(k: Int) = trainToks.where(n >= k).select(
       explode(
@@ -162,8 +166,8 @@ object CorpusPrep {
             (a, b) => concat_ws(" ", a, b))
         }).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as(s"__c$k"))
-    val uni = grams(1)
-    val bi = grams(2)
+    val uni = Materialize.ck(grams(1))
+    val bi = Materialize.ck(grams(2))
     val tri = grams(3)
     val totals = uni.agg(sum(col("__c1")).as("__N"),
       count(lit(1)).as("__V"))
@@ -788,7 +792,7 @@ object CorpusPrep {
       a.groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col(orderCol)).as("first_id"), max(col(orderCol)).as("last_id"))
-        .localCheckpoint(true)
+        .transform(Materialize.ck)
     } finally {
       a.unpersist(blocking = false)
       inner.unpersist(blocking = false)
@@ -967,8 +971,12 @@ object CorpusPrep {
     require(query.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
     val terms = query.map(_.toLowerCase).distinct
-    val lens = docs.select(col(idCol),
-      TextFunctions.tokenCount(lower(col(textCol))).cast("double").as("__dl"))
+    // lens feeds BOTH the corpus stats aggregate and the per-doc length
+    // join — materialize the (id, dl) proxy table once (16 bytes/doc,
+    // the §8 decide-with-small-rows shape) instead of tokenizing the
+    // corpus twice (guide §7.2)
+    val lens = Materialize.ck(docs.select(col(idCol),
+      TextFunctions.tokenCount(lower(col(textCol))).cast("double").as("__dl")))
     val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__dl")).as("__avgdl"))
     val postings = docs
@@ -1029,6 +1037,16 @@ object CorpusPrep {
       TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("dl"),
       lit(0L).as("grp"))
 
+  /** ~128 MB-per-file count from plan statistics, in [1, capped
+    * partition count] — the guide §6 output-sizing rule for freshly
+    * created index tables. */
+  private def statsFiles(df: DataFrame, maxCap: Int): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = math.max(1, df.rdd.getNumPartitions.min(maxCap))
+    math.max(1L, math.min((est / (128L * 1024 * 1024)).toLong,
+      cap.toLong)).toInt
+  }
+
   /** Seed a PERSISTED BM25 inverted index at `indexRoot` — the
     * [[graft.operators.Dedup.dedupIncremental]] discipline applied to
     * retrieval: sparse search over a continuously ingested corpus
@@ -1048,13 +1066,20 @@ object CorpusPrep {
     // the postings and doclen sides write to INDEPENDENT tables — build
     // them concurrently so each side's jobs back-fill the cores the
     // other leaves idle (guide §2.6 — overlap independent jobs; the
-    // Bench.ingest pattern); each side's own commits are unchanged
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // Bench.ingest pattern); each side's own commits are unchanged.
+    // Submission goes through the BOUNDED shared pool, and awaitAll
+    // waits for BOTH sides before propagating a failure (no write still
+    // in flight when the caller starts handling the exception).
+    import scala.concurrent.Future
+    import Overlap.ec
     val postingsSide = Future {
       val postings = bm25PostingRows(docs, textCol, idCol)
+      // scale-adaptive sizing (guide §6): ~128 MB per file from the plan's
+      // statistics, clamped to the old partition-derived cap — a fixture
+      // corpus seeds ONE postings file (later merges open 1, not 32), a
+      // 100 TB corpus gets a byte-proportional count
       val nP = if (indexFiles > 0) indexFiles
-        else math.max(1, postings.rdd.getNumPartitions.min(32))
+        else statsFiles(postings, 32)
       graft.GraftTable.create(postings, s"$indexRoot/postings", "idx_key", nP)
       graft.sources.MutableParquetTable.attachDimRanges(spark,
         graft.streaming.CdcMergeSink.latestSnapshot(s"$indexRoot/postings"),
@@ -1063,15 +1088,14 @@ object CorpusPrep {
     val doclenSide = Future {
       val lens = bm25LenRows(docs, textCol, idCol)
       graft.GraftTable.create(lens, s"$indexRoot/doclen", "doc_id",
-        math.max(1, lens.rdd.getNumPartitions.min(16)))
+        statsFiles(lens, 16))
       // corpus stats (N, Σdl) as a maintained view — per-ingest cost is
       // the batch's delta, and a probe reads ONE row instead of scanning
       // doclen
       graft.streaming.AggView.refresh(spark, s"$indexRoot/doclen",
         Seq("grp"), Seq("dl")): Unit
     }
-    Await.result(postingsSide, scala.concurrent.duration.Duration.Inf)
-    Await.result(doclenSide, scala.concurrent.duration.Duration.Inf)
+    Overlap.awaitAll(Seq(postingsSide, doclenSide)): Unit
   }
 
   /** Ingest one batch into the persisted BM25 index: tokenize the BATCH
@@ -1090,10 +1114,11 @@ object CorpusPrep {
                       textCol: String, idCol: String): Long = {
     val spark = newDocs.sparkSession
     // doclen-commit→view-refresh and the postings commit touch
-    // INDEPENDENT tables — overlap them (guide §2.6); each side's
-    // commit chain is unchanged
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // INDEPENDENT tables — overlap them (guide §2.6, bounded pool);
+    // each side's commit chain is unchanged, and awaitAll holds the
+    // failure until both sides have quiesced
+    import scala.concurrent.Future
+    import Overlap.ec
     val doclenSide = Future {
       graft.GraftTable(spark, s"$indexRoot/doclen", "doc_id")
         .commit(bm25LenRows(newDocs, textCol, idCol)
@@ -1108,8 +1133,7 @@ object CorpusPrep {
         .commit(bm25PostingRows(newDocs, textCol, idCol)
           .withColumn("op", lit("upsert")))
     }
-    Await.result(doclenSide, scala.concurrent.duration.Duration.Inf)
-    Await.result(postingsVersion, scala.concurrent.duration.Duration.Inf)
+    Overlap.awaitAll(Seq(doclenSide.map(_ => -1L), postingsVersion)).last
   }
 
   /** BM25 top-k served FROM the persisted index — bit-identical scoring
@@ -1244,21 +1268,23 @@ object CorpusPrep {
     * dedupLines discipline). */
   def cdcChunkNovelty(docs: DataFrame, idCol: String, textCol: String,
                       window: Int = 8, maskBits: Int = 6): DataFrame = {
-    // one explicit chunk-keyed exchange serves BOTH aggregations: hash
-    // partitioning on __chunk alone satisfies the (doc_id, __chunk)
-    // distinct's clustering requirement (subset partitioning) AND the
-    // first-holder groupBy(__chunk) — the previous shape shuffled the
-    // full chunk-string table twice ((doc_id, chunk) for the distinct,
-    // then chunk for the min) where once suffices (guide §2.4); AQE
-    // reuses the single exchange for the per-doc count branch too.
-    // Per-doc duplicate chunks are rare under CDC (content-defined cuts
-    // rarely repeat within a doc), so the foregone map-side combine on
-    // the raw exploded rows costs ~nothing.
+    // ONE explicit exchange of the exploded chunk table serves the
+    // distinct AND both aggregation branches (guide §2.4) — but keyed by
+    // (doc_id, __chunk), not __chunk alone: a BOILERPLATE chunk shared
+    // by most of the corpus (license headers are the canonical LLM-
+    // corpus case) would land every copy in ONE partition under a
+    // chunk-only key — the degenerate-key skew shape (guide §2.5) —
+    // while the pair key spreads copies of a hot chunk uniformly (pair
+    // rows are unique after the distinct, so it is perfect salting with
+    // doc_id as the salt). The first-holder min then rides a partial
+    // aggregation: each partition emits ≤ 1 row per chunk, so the
+    // chunk-keyed exchange that follows carries near-distinct volume and
+    // its hot key is bounded by the partition count, never the corpus.
     val dch = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.cdcChunks(col(textCol), window, maskBits))
           .as("__chunk"))
-      .repartition(col("__chunk"))
+      .repartition(col("doc_id"), col("__chunk"))
       .distinct()
     val novel = dch.groupBy(col("__chunk"))
       .agg(min(col("doc_id")).as("__first"))
@@ -1317,7 +1343,7 @@ object CorpusPrep {
     // re-executed per reference — the shared-subtree pruning gotcha)
     val base = docs.select(col(idCol).as("__id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
-      .localCheckpoint()
+      .transform(Materialize.ck)
     // gram at 0-based position p covers words p..p+k-1; docs at or under
     // k tokens form ONE whole-doc gram (shingles()' contract, so q95's
     // dup counts and this removal agree on what "a duplicated gram" is)
@@ -1822,17 +1848,24 @@ object CorpusPrep {
   def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
                topVocab: Int, minPairCount: Long, k: Int): DataFrame = {
     require(topVocab > 0 && k > 0, "topVocab and k must be positive")
-    val terms = docs
+    // the exploded distinct doc-term table feeds the vocab aggregate AND
+    // both sides of the pair self-join — materialize it once (two narrow
+    // columns) instead of re-running tokenize+explode+distinct per
+    // reference (guide §7.2); the id-keyed repartition before the
+    // per-side renames lets the self-join reuse ONE exchange (the house
+    // ReusedExchange discipline)
+    val terms = Materialize.ck(docs
       .select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
       .where(col("__t").rlike("^[a-z0-9]{3,}$") &&
         !col("__t").isin(TextFunctions.stopwords: _*))
-      .distinct()
+      .distinct())
     val vocab = terms.groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
       .orderBy(col("__df").desc, col("__t"))
       .limit(topVocab)
     val dt = terms.join(broadcast(vocab), Seq("__t"))
+      .repartition(col(idCol))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     dt.select(col(idCol), col("__t").as("term_a"), col("__df").as("__dfa"))
       .join(dt.select(col(idCol), col("__t").as("term_b"),

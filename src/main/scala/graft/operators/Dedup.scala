@@ -441,7 +441,7 @@ object Dedup {
           col("edit_distance").cast("long").as("edit_distance"))
         // eager materialization (pair-sized) so `short` can be released
         // in finally without the result recomputing it uncached
-        .localCheckpoint()
+        .transform(Materialize.ck)
     } finally short.unpersist(blocking = false)
   }
 
@@ -642,10 +642,10 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.ck)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .transform(Materialize.ck)
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
@@ -656,7 +656,7 @@ object Dedup {
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("newComp"))
-        .localCheckpoint()
+        .transform(Materialize.ck)
       converged = updated.where(col("newComp") < col("comp")).isEmpty
       labels = updated.select(col("id"), col("newComp").as("comp"))
       i += 1
@@ -958,7 +958,7 @@ object Dedup {
         case Some(cap) =>
           val (kept, ov) = capBucketWidth(newRows,
             Seq("band", "chunk"), cap, idCol = "doc_id")
-          (kept, Some(ov.localCheckpoint(eager = true)))
+          (kept, Some(ov.transform(Materialize.ck)))
         case None => (newRows, None)
       }
       val a = joinRows.select(col("band"), col("chunk"),
@@ -976,7 +976,7 @@ object Dedup {
         .where(col("hamming") <= maxHamming)
         // materialize before the index commit mutates what a lazy plan
         // would re-read (the probe must see the PRE-ingest index)
-        .localCheckpoint(eager = true)
+        .transform(Materialize.ck)
       val version = commitIndex(spark, indexRoot, newRows, exists,
         extendIndex, probeLayout, Seq("band", "chunk"), indexFiles)
       IncrementalDedup(pairs, version, overflow)
@@ -1015,6 +1015,20 @@ object Dedup {
     }
   }
 
+  /** Scale-adaptive file count for a fresh index (guide §6: files in the
+    * 128 MB – 1 GB range, never a partition-count-shaped spray of tiny
+    * files): size from the batch plan's statistics at ~128 MB per file,
+    * clamped to the old partition-derived cap so a mis-estimated plan
+    * cannot explode the layout. A fixture-sized index becomes ONE file
+    * (every later CoW merge then opens/rewrites 1 file, not 32); a
+    * 100 TB index gets its true byte-proportional count. */
+  private def indexCreateFiles(newRows: DataFrame): Int = {
+    val est = newRows.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (est / (128L * 1024 * 1024)).toLong
+    val cap = math.max(1, newRows.rdd.getNumPartitions.min(32))
+    math.max(1L, math.min(byBytes, cap.toLong)).toInt
+  }
+
   /** Commit one ingest's index rows: create on first use (attaching the
     * probe layout's dim zone maps on the banding columns — carried and
     * re-swept by every later merge), upsert otherwise. */
@@ -1028,7 +1042,7 @@ object Dedup {
       graft.GraftTable.create(newRows, indexRoot, "idx_key",
         numFiles =
           if (indexFiles > 0) indexFiles
-          else math.max(1, newRows.rdd.getNumPartitions.min(32)))
+          else indexCreateFiles(newRows))
       if (probeLayout)
         graft.sources.MutableParquetTable.attachDimRanges(spark,
           graft.streaming.CdcMergeSink.latestSnapshot(indexRoot), dimCols)
@@ -1068,7 +1082,15 @@ object Dedup {
     * `emitPairs = false` skips pair discovery entirely (empty pairs
     * frame, no overflow stats) and only sketches + commits — the cheap
     * form for a pure index-SEEDING ingest whose caller discards the
-    * pair stream; the committed index is identical. */
+    * pair stream; the committed index is identical.
+    *
+    * `pairsSink`, when set, is invoked with the (already materialized)
+    * pairs frame CONCURRENTLY with the index commit (guide §2.6: the
+    * pair write and the commit touch independent storage) and joined
+    * before returning — the streaming sink's per-epoch pair append
+    * rides the commit's tail instead of serializing after it. Failure
+    * semantics match the sequential form: both sides have quiesced
+    * before any exception propagates. */
   def dedupIncremental(indexRoot: String, newDocs: DataFrame,
                        textCol: String, idCol: String,
                        shingleK: Int = 3, bands: Int = 8,
@@ -1078,7 +1100,9 @@ object Dedup {
                        probeLayout: Boolean = false,
                        maxBucketWidth: Option[Int] = None,
                        indexFiles: Int = 0,
-                       emitPairs: Boolean = true): IncrementalDedup = {
+                       emitPairs: Boolean = true,
+                       pairsSink: Option[DataFrame => Unit] = None)
+      : IncrementalDedup = {
     val spark = newDocs.sparkSession
     val numHashes = bands * rowsPerBand
     val newRows = minHashIndexRows(newDocs, textCol, idCol, shingleK,
@@ -1132,7 +1156,7 @@ object Dedup {
         case Some(cap) =>
           val (kept, ov) = capBucketWidth(newRows,
             Seq("band", "bucket"), cap, idCol = "doc_id")
-          (kept, Some(ov.localCheckpoint(eager = true)))
+          (kept, Some(ov.transform(Materialize.ck)))
         case None => (newRows, None)
       }
       val a = joinRows.select(col("band"), col("bucket"),
@@ -1149,11 +1173,18 @@ object Dedup {
         .where(col("est_jaccard") >= threshold)
         // materialize before the index commit mutates what a lazy plan
         // would re-read (the probe must see the PRE-ingest index)
-        .localCheckpoint(eager = true)
+        .transform(Materialize.ck)
       // `extendIndex = false` probes WITHOUT committing (a dry-run /
-      // bench separation of pairs-finding from index maintenance)
-      val version = commitIndex(spark, indexRoot, newRows, exists,
-        extendIndex, probeLayout, Seq("band", "bucket"), indexFiles)
+      // bench separation of pairs-finding from index maintenance).
+      // The pairs consumer (if any) runs concurrently with the commit —
+      // pairs are checkpointed above, so the sink never re-reads the
+      // index the commit is mutating.
+      val sinkF = pairsSink.map(f =>
+        scala.concurrent.Future(f(pairs))(Overlap.ec))
+      val version =
+        try commitIndex(spark, indexRoot, newRows, exists,
+          extendIndex, probeLayout, Seq("band", "bucket"), indexFiles)
+        finally sinkF.foreach(f => Overlap.awaitAll(Seq(f)))
       IncrementalDedup(pairs, version, overflow)
     } finally { newRows.unpersist(blocking = false): Unit }
   }

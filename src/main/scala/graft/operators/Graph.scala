@@ -27,11 +27,7 @@ object Graph {
     * measure-free convergence check. Returns the checkpointed frame and
     * the metric row. */
   private def ckObserved(df: DataFrame, metrics: Column*)
-      : (DataFrame, Map[String, Any]) = {
-    val obs = org.apache.spark.sql.Observation()
-    val ck = df.observe(obs, metrics.head, metrics.tail: _*).localCheckpoint()
-    (ck, obs.get)
-  }
+      : (DataFrame, Map[String, Any]) = Materialize.ckObserved(df, metrics: _*)
 
   private def metricLong(m: Map[String, Any], k: String): Long =
     m.get(k) match {
@@ -84,11 +80,16 @@ object Graph {
     * elsewhere) rather than uniformly over all nodes — a sink cannot
     * leak rank mass back to non-seed nodes.
     *
-    * Every helper frame persisted here (edge table, node set, dangling
-    * set, per-node base) is released in `finally` before returning —
-    * safe because the returned frontier is localCheckpointed (lineage
-    * already truncated, so the unpersist cascade cannot reach it); a
-    * long-lived session running many pageRank calls retains nothing.
+    * The only persisted helper is the edge table, released in `finally`
+    * before returning — safe because the returned frontier is
+    * localCheckpointed (lineage already truncated, so the unpersist
+    * cascade cannot reach it); a long-lived session running many
+    * pageRank calls retains nothing. The node frame (with its dangling
+    * and seed flags) is ONE observed checkpoint whose metrics deliver
+    * every one-time scalar (node/dangling/seed counts) with no separate
+    * count jobs; each superstep's dangling mass rides the frontier
+    * checkpoint the same way, so a superstep is exactly one
+    * materialization job however the graph is shaped.
     *
     * Overflow headroom: rank(u) ≤ total mass ≈ n·unit, so rank·w needs
     * n·unit·w_max < 2^63 — at the default unit=1e12 that bounds
@@ -116,24 +117,36 @@ object Graph {
       .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val nodes = e.select(col("src").as("node_id"))
-      .union(e.select(col("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // dangling = appears only as dst; with every node given an out-edge
-    // (e.g. symmetrized graphs) this is empty and the dangling term is 0
-    val dangling = nodes
-      .join(e.select(col("src").as("node_id")).distinct(),
-        Seq("node_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var seedSet: Option[DataFrame] = None
-    var nodesWithBase: DataFrame = null
     try {
-      // one-time scalars: the node count (the dangling divisor) and
-      // whether the dangling term exists at all — a symmetrized graph
-      // skips the per-superstep dangling-mass job entirely
-      val nNodes = nodes.count()
-      val hasDangling = !dangling.isEmpty
+      // Node set, dangling flag, seed flag and ALL one-time scalars
+      // (node count, dangling count, seed count) from ONE observed
+      // checkpoint job: one aggregation derives has-out-edge per node
+      // (dangling = appears only as dst — max(has_out) = 0), replacing
+      // the previous distinct + anti-join + three separate driver jobs
+      // (nodes.count, dangling.isEmpty, seeds.count) with metrics riding
+      // the materialization the node frame needs anyway (the ckObserved
+      // discipline — guide §1.2, don't pay jobs for scalars a required
+      // job already knows).
+      val flags0 = e.select(col("src").as("node_id"), lit(1).as("__out"))
+        .union(e.select(col("dst"), lit(0)))
+        .groupBy(col("node_id"))
+        .agg((max(col("__out")) === 0).as("__dang"))
+      val flagged = seeds match {
+        case None => flags0.withColumn("__seed", lit(true))
+        case Some(sd) =>
+          // intersect-with-graph happens by construction: the left join
+          // keys off the graph's own node set
+          flags0.join(sd.toDF("node_id").distinct()
+              .withColumn("__s", lit(true)), Seq("node_id"), "left")
+            .withColumn("__seed", coalesce(col("__s"), lit(false)))
+            .drop("__s")
+      }
+      val (nodesCk, m0) = ckObserved(flagged,
+        count(lit(1)).as("__n"),
+        sum(when(col("__dang"), 1L).otherwise(0L)).as("__ndang"),
+        sum(when(col("__seed"), 1L).otherwise(0L)).as("__nseed"))
+      val nNodes = metricLong(m0, "__n")
+      val hasDangling = metricLong(m0, "__ndang") > 0L
 
       // PERSONALIZED teleport: the whole (1-d) mass lands on the seed set
       // (uniformly within it) instead of uniformly on all nodes — the
@@ -142,67 +155,62 @@ object Graph {
       // are directly comparable and the overflow analysis carries over.
       // __seed marks the dangling-mass recipients; dangDiv is their count.
       val dangDiv = seeds match {
-        case None =>
-          nodesWithBase = nodes.withColumn("__base", lit(base))
-            .withColumn("__seed", lit(true))
-          nNodes
-        case Some(sd) =>
-          val ss = sd.toDF("node_id").distinct()
-            .join(nodes, Seq("node_id"), "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          seedSet = Some(ss)
-          val nSeeds = ss.count()
+        case None => nNodes
+        case Some(_) =>
+          val nSeeds = metricLong(m0, "__nseed")
           require(nSeeds >= 1, "seeds must intersect the graph's nodes")
-          val perSeed = base * nNodes / nSeeds
-          nodesWithBase = nodes
-            .join(ss.withColumn("__b", lit(perSeed)), Seq("node_id"), "left")
-            .withColumn("__base", coalesce(col("__b"), lit(0L)))
-            .withColumn("__seed", col("__b").isNotNull)
-            .drop("__b")
           nSeeds
       }
-      nodesWithBase.persist(StorageLevel.MEMORY_AND_DISK)
+      val perSeedBase = seeds match {
+        case None => base
+        case Some(_) => base * nNodes / dangDiv
+      }
+      val nodesWithBase = nodesCk
+        .withColumn("__base",
+          when(col("__seed"), lit(perSeedBase)).otherwise(lit(0L)))
 
-      var rank = nodes.withColumn("rank_pico", lit(unit)).localCheckpoint()
+      // The dangling total for superstep i is Σ rank_i over dangling
+      // nodes: exact at i=0 (every rank is `unit`), and for i>0 it rides
+      // the superstep's OWN checkpoint as an observed metric — no
+      // per-superstep semi-join + broadcast job (the SCC/ckObserved
+      // treatment; the old shape also evaluated the frontier twice).
+      var dangTotal = metricLong(m0, "__ndang") * unit
+      // the initial frontier is a pure projection of the checkpointed
+      // node frame — no separate materialization job
+      var rank = nodesCk.select(col("node_id"), lit(unit).as("rank_pico"),
+        col("__dang"))
       var i = 0
       while (i < iterations) {
         val inflow = e
-          .join(rank.withColumnRenamed("node_id", "src"), Seq("src"))
+          .join(rank.select(col("node_id").as("src"), col("rank_pico")),
+            Seq("src"))
           .select(col("dst").as("node_id"),
             expr("(rank_pico * w) DIV outw").as("__c"))
           .groupBy(col("node_id"))
           .agg(sum(col("__c")).as("__inflow"))
-        val withShare =
-          if (!hasDangling)
-            nodesWithBase.join(inflow, Seq("node_id"), "left")
-              .withColumn("__share", lit(0L))
-          else {
-            // dangling mass goes to the teleport targets: all nodes in
-            // uniform mode, the seed set in personalized mode
-            val dangTotal = rank
-              .join(dangling, Seq("node_id"), "left_semi")
-              .agg(coalesce(sum(col("rank_pico")), lit(0L)).as("__dt"))
-            nodesWithBase.join(inflow, Seq("node_id"), "left")
-              .crossJoin(broadcast(dangTotal))
-              .withColumn("__share",
-                when(col("__seed"), expr(s"__dt DIV ${dangDiv}L"))
-                  .otherwise(lit(0L)))
-          }
-        rank = withShare
+        val withShare = nodesWithBase.join(inflow, Seq("node_id"), "left")
+          .withColumn("__share",
+            if (!hasDangling) lit(0L)
+            else when(col("__seed"), lit(dangTotal / dangDiv))
+              .otherwise(lit(0L)))
+        val next = withShare
           .select(col("node_id"),
             (col("__base") +
               expr(s"($dampNum * (coalesce(__inflow, 0L) + __share)) " +
-                s"DIV $dampDen")).as("rank_pico"))
-          .localCheckpoint()
+                s"DIV $dampDen")).as("rank_pico"),
+            col("__dang"))
+        if (hasDangling) {
+          val (ck, m) = ckObserved(next,
+            sum(when(col("__dang"), col("rank_pico")).otherwise(0L))
+              .as("__dt"))
+          rank = ck
+          dangTotal = metricLong(m, "__dt")
+        } else rank = next.transform(Materialize.ck)
         i += 1
       }
-      rank
+      rank.select(col("node_id"), col("rank_pico"))
     } finally {
       e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      dangling.unpersist(blocking = false)
-      seedSet.foreach(_.unpersist(blocking = false))
-      if (nodesWithBase != null) nodesWithBase.unpersist(blocking = false)
     }
   }
 
@@ -246,7 +254,7 @@ object Graph {
       var dist = nodes
         .join(src.withColumn("__z", lit(0L)), Seq("node_id"), "left")
         .select(col("node_id"), col("__z").as("dist"))
-        .localCheckpoint()
+        .transform(Materialize.ck)
       // FRONTIER-only relaxation (guide §2.3 — shuffle fewer bytes): a
       // node whose distance did not improve last superstep already sent
       // its messages in an earlier round, so relaxing only the CHANGED
@@ -347,8 +355,10 @@ object Graph {
     * graph (a celebrity hub fans IN, never out), which is what keeps
     * the wedge join alive at web scale where id-ordered orientation
     * explodes. Three shuffles total: degree agg, wedge self-join,
-    * closing-edge semi-equijoin. Returns (node_id, n_triangles) for
-    * every node (0 where none). */
+    * closing-edge semi-equijoin — the last prefiltered map-side by a
+    * Bloom filter over the edge keys (guide §3.2), so the wedge rows
+    * that cross its exchange are ∝ triangles + fp, not Σ out-deg².
+    * Returns (node_id, n_triangles) for every node (0 where none). */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -375,7 +385,33 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val e1 = o.select(col("src").as("__s"), col("dst").as("__u"))
       val e2 = o.select(col("src").as("__s"), col("dst").as("__v"))
+      // Bloom-prefilter the closing-edge membership probe (guide §3.2):
+      // wedge volume is Σ out-deg² and MOST wedges close no triangle, so
+      // dropping non-members map-side — before the wedge rows reach the
+      // closing join's exchange — is the §8 "decide with small rows"
+      // move. The filter is built over xxhash64(a, b) of the (already
+      // materialized) edge set and embedded as a codegen'd
+      // BloomFilterMightContain literal (no interpreted UDF in the
+      // per-wedge path); false positives only leak a few extra rows into
+      // the exact semi-join below, never a wrong count. Wedges satisfy
+      // __u < __v, und satisfies a < b, so the pair keys align with no
+      // least/greatest re-derivation.
+      val nUnd = und.count()
+      val bloom = und.stat.bloomFilter(
+        xxhash64(col("a"), col("b")), math.max(1L, nUnd), 0.03)
+      val bloomBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      import org.apache.spark.sql.classic.GraftShims
+      val mightClose = GraftShims.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+            org.apache.spark.sql.types.BinaryType),
+          GraftShims.expression(xxhash64(col("__u"), col("__v")))))
       val wedges = e1.join(e2, Seq("__s")).where(col("__u") < col("__v"))
+        .where(mightClose)
       val tri = wedges.join(und,
           least(col("__u"), col("__v")) === col("a") &&
             greatest(col("__u"), col("__v")) === col("b"),
@@ -390,7 +426,7 @@ object Graph {
         .join(perNode, Seq("node_id"), "left")
         .select(col("node_id"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-        .localCheckpoint()
+        .transform(Materialize.ck)
     } finally {
       und.unpersist(blocking = false)
       if (o != null) o.unpersist(blocking = false)
@@ -445,7 +481,7 @@ object Graph {
       val nodes = e.select(col("src").as("node_id"))
         .union(e.select(col("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(Materialize.ck)
       // normalization: checkpoint the raw frame ONCE (it is node-sized and
       // the frontier must be lineage-truncated anyway), read the max back
       // as a one-row driver scalar, and fold it into the projection as a
@@ -459,8 +495,8 @@ object Graph {
         val mx = metricLong(m, "__mx")
         ck.select(col("node_id"), expr(s"($c * ${unit}L) DIV ${mx}L").as(c))
       }
-      var hub = nodes.withColumn("h", lit(unit)).localCheckpoint()
-      var auth = nodes.withColumn("a", lit(unit)).localCheckpoint()
+      var hub = nodes.withColumn("h", lit(unit)).transform(Materialize.ck)
+      var auth = nodes.withColumn("a", lit(unit)).transform(Materialize.ck)
       var i = 0
       while (i < iterations) {
         val aRaw = nodes
@@ -525,7 +561,7 @@ object Graph {
       var labels = und.select(col("u").as("node_id"))
         .distinct()
         .withColumn("label", col("node_id"))
-        .localCheckpoint()
+        .transform(Materialize.ck)
       var i = 0
       while (i < rounds) {
         labels = und
@@ -537,7 +573,7 @@ object Graph {
           .agg(min(struct((-col("__c")).as("n"), col("label").as("l")))
             .as("__m"))
           .select(col("node_id"), col("__m.l").as("label"))
-          .localCheckpoint()
+          .transform(Materialize.ck)
         i += 1
       }
       labels
@@ -604,15 +640,15 @@ object Graph {
       var active = e0.select(col("src").as("node_id"))
         .union(e0.select(col("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(Materialize.ck)
       // activeEdges stays hash-partitioned on src across shrinks: the
       // coloring fixpoint (the long inner loop) joins on src every
       // superstep, so the edge side never re-exchanges (guide §2.4);
       // localCheckpoint preserves the physical partitioning
-      var activeEdges = e0.repartition(col("src")).localCheckpoint()
+      var activeEdges = e0.repartition(col("src")).transform(Materialize.ck)
       var assigned = active.limit(0)
         .withColumn("scc", col("node_id"))
-        .localCheckpoint()
+        .transform(Materialize.ck)
       var outer = 0
       while (!active.isEmpty && outer < maxRounds) {
         // 0. FB-Trim to fixpoint: peel trivial SCCs by degree. One
@@ -642,7 +678,7 @@ object Graph {
             assigned = assigned
               .unionByName(trivial.withColumn("scc", col("node_id")))
             active = active.join(trivial, Seq("node_id"), "left_anti")
-              .localCheckpoint()
+              .transform(Materialize.ck)
             // dst semi-join FIRST, src second: the final src-keyed join
             // leaves the shrunk edge set hash-partitioned on src, which
             // is exactly what the coloring supersteps need — same
@@ -653,12 +689,12 @@ object Graph {
               .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
                 "left_semi")
               .select(col("src"), col("dst"))
-              .localCheckpoint()
+              .transform(Materialize.ck)
           }
           tstep += 1
         }
         if (active.isEmpty) {
-          assigned = assigned.localCheckpoint()
+          assigned = assigned.transform(Materialize.ck)
           outer += 1
         } else {
         // 1. forward min-ancestor coloring to fixpoint. Convergence is
@@ -668,7 +704,7 @@ object Graph {
         // node-frame shuffles for the same answer (colors only
         // decrease, so "no row decreased" IS the fixpoint test).
         var color = active.withColumn("color", col("node_id"))
-          .localCheckpoint()
+          .transform(Materialize.ck)
         var converged = false
         var step = 0
         while (!converged && step < maxSupersteps) {
@@ -727,17 +763,17 @@ object Graph {
         // 3. extract, shrink the active subgraph
         assigned = assigned
           .unionByName(reached.select(col("node_id"), col("color").as("scc")))
-          .localCheckpoint()
+          .transform(Materialize.ck)
         active = active.join(reached.select(col("node_id")),
             Seq("node_id"), "left_anti")
-          .localCheckpoint()
+          .transform(Materialize.ck)
         activeEdges = activeEdges
           .join(active.withColumnRenamed("node_id", "dst"), Seq("dst"),
             "left_semi")
           .join(active.withColumnRenamed("node_id", "src"), Seq("src"),
             "left_semi")
           .select(col("src"), col("dst"))
-          .localCheckpoint()
+          .transform(Materialize.ck)
         outer += 1
         }
       }
@@ -787,7 +823,7 @@ object Graph {
     val allNodes = e.select(col("u").as("node_id"))
       .union(e.select(col("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.ck)
     var n = metricLong(m0, "__n")
     var round = 0
     var converged = n == 0L

@@ -57,11 +57,16 @@ object IncrementalAgg {
     * extrema pays nothing beyond [[applyDelta]].
     *
     * `newTable` must be the table state AFTER the feed was applied. */
-  def applyDeltaWithExtrema(prevAgg: DataFrame, feed: DataFrame,
+  def applyDeltaWithExtrema(prevAgg0: DataFrame, feed0: DataFrame,
                             newTable: DataFrame, groupCols: Seq[String],
                             sumCols: Seq[String],
                             extremaCols: Seq[String]): DataFrame = {
     require(extremaCols.nonEmpty, "use applyDelta when no extrema are maintained")
+    // feed: 3 references (sums delta + both extrema images); prevAgg: 2
+    // (sums join + stored extrema) — materialize each once (delta- /
+    // group-sized; idempotent if the caller already checkpointed)
+    val feed = Materialize.ckIfLazy(feed0)
+    val prevAgg = Materialize.ckIfLazy(prevAgg0)
     val sums = applyDelta(
       prevAgg.select((groupCols.map(col) :+ col("cnt")) ++
         sumCols.map(c => col(s"sum_$c")): _*),
@@ -161,10 +166,15 @@ object IncrementalAgg {
     * for clean groups (union linearity) and trivially for recomputed
     * ones — the spec pins estimate equality, not approximate
     * closeness. */
-  def applyDeltaWithHll(prevAgg: DataFrame, feed: DataFrame,
+  def applyDeltaWithHll(prevAgg0: DataFrame, feed0: DataFrame,
                         newTable: DataFrame, groupCols: Seq[String],
                         distinctCol: String, lgK: Int = 12): DataFrame = {
     val sk = s"hll_$distinctCol"
+    // feed: 3 references (counts delta, insert sketches, dirty keys);
+    // prevAgg: 2 (counts join + stored sketches) — one materialization
+    // each (guide §7.2; idempotent when already checkpointed)
+    val feed = Materialize.ckIfLazy(feed0)
+    val prevAgg = Materialize.ckIfLazy(prevAgg0)
     val cnts = applyDelta(
       prevAgg.select(groupCols.map(col) :+ col("cnt"): _*),
       feed, groupCols, Seq.empty)
@@ -265,12 +275,16 @@ object IncrementalAgg {
     * keeps its (hash, value) pair iff group and value survive.
     *
     * `newTable` must be the table state AFTER the feed was applied. */
-  def applyDeltaWithQuantile(prevAgg: DataFrame, feed: DataFrame,
+  def applyDeltaWithQuantile(prevAgg0: DataFrame, feed0: DataFrame,
                              newTable: DataFrame, groupCols: Seq[String],
                              valueCol: String, idCol: String,
                              k: Int = 256): DataFrame = {
     import graft.functions.Udx
     val sk = s"qsk_$valueCol"
+    // feed: 3 references; prevAgg: 2 — one materialization each
+    // (guide §7.2; idempotent when already checkpointed)
+    val feed = Materialize.ckIfLazy(feed0)
+    val prevAgg = Materialize.ckIfLazy(prevAgg0)
     val cnts = applyDelta(
       prevAgg.select(groupCols.map(col) :+ col("cnt"): _*),
       feed, groupCols, Seq.empty)
@@ -341,8 +355,13 @@ object IncrementalAgg {
     * previously unseen groups appear. */
   def applyDelta(prevAgg: DataFrame, feed: DataFrame,
                  groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    // the feed (a two-snapshot diff at the storage layer) feeds both
+    // image sides — materialize it ONCE (delta-sized; idempotent when
+    // the caller already did) instead of re-running the diff per
+    // reference (guide §7.2 duplicated subtrees)
+    val feedCk = Materialize.ckIfLazy(feed)
     def side(img: String, sign: Int) =
-      feed.where(col(img).isNotNull).select(
+      feedCk.where(col(img).isNotNull).select(
         groupCols.map(g => col(s"$img.$g").as(g)) ++
           Seq(lit(sign.toLong).as("__sign")) ++
           sumCols.map(c =>

@@ -283,16 +283,18 @@ object Similarity {
     val base = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // bounded overlap: the m sub-builds queue on the shared §2.6 pool
+      // (guide: 2-3 jobs in flight), instead of all m racing at once on
+      // the unbounded global EC
+      import scala.concurrent.Future
+      import Overlap.ec
       val builds = (0 until m).map { j => Future {
         kmeansCodebook(
           base.select(col(idCol), slice(col(vecCol), j * sub + 1, sub)
             .as(vecCol)),
           vecCol, idCol, ksub, kmeansIters)
       }}
-      Await.result(Future.sequence(builds),
-        scala.concurrent.duration.Duration.Inf)
+      Overlap.awaitAll(builds)
     } finally { base.unpersist(blocking = false): Unit }
   }
 
@@ -558,16 +560,17 @@ object Similarity {
                 ksub: Int = 16, kmeansIters: Int = 1, rerank: Int = 0,
                 native: Boolean = false): DataFrame = {
     // coarse quantizer and PQ codebooks are independent builds — overlap
-    // them (guide §2.6); each build's own jobs and arithmetic unchanged
+    // them (guide §2.6); each build's own jobs and arithmetic unchanged.
+    // Only the LEAF build (the coarse quantizer) goes to the bounded
+    // pool; pqCodebooks overlaps internally on the same pool and runs on
+    // THIS thread, so no pool thread ever blocks awaiting pool work.
     val (cents, books) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.Future
+      import Overlap.ec
       val cf = Future(
         kmeansCodebook(corpus, vecCol, idCol, nCentroids, kmeansIters))
-      val bf = Future(
-        pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters))
-      (Await.result(cf, scala.concurrent.duration.Duration.Inf),
-        Await.result(bf, scala.concurrent.duration.Duration.Inf))
+      val bs = pqCodebooks(corpus, vecCol, idCol, dim, m, ksub, kmeansIters)
+      (Overlap.awaitAll(Seq(cf)).head, bs)
     }
     // one-pass index build: cell id + codes, all map-side broadcast argmins
     val sub = dim / m

@@ -25,7 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `ascii(split-""‑char)` = the CODE POINT of each one-char piece
   * (unpaired surrogates round-trip as '?'), reproduced here per UTF-16
   * code unit; slicing is by code unit, which equals the HOF's
-  * per-codepoint `substr` on any surrogate-free string. */
+  * per-codepoint `substr` on any surrogate-free string. OUTSIDE the BMP
+  * the two paths diverge (the HOF hashes code-unit positions but slices
+  * by codepoint — internally inconsistent for supplementary chars); the
+  * native kernel guarantees instead that no boundary ever lands between
+  * a surrogate pair, so chunk concatenation equals the normalized text
+  * for EVERY input — bit parity with the HOF is scoped to the BMP
+  * (CdcParitySpec pins both properties). */
 case class CdcChunksNative(child: Expression, window: Int, maskBits: Int)
   extends UnaryExpression {
 
@@ -82,7 +88,12 @@ object CdcChunksNative {
             val cOut = asciiOf(s.charAt(i - 1 - window))
             ((h - cOut * pw % M + M) % M * 131L + c) % M
           }
-        if (i >= window && h % modv == 0L && i < n) { ends += i; (): Unit }
+        // never cut BETWEEN a surrogate pair: a boundary after a high
+        // surrogate would put the lone halves in adjacent chunks, and
+        // UTF8String.fromString turns each into '?' — chunk concatenation
+        // would no longer equal the normalized text for non-BMP input
+        if (i >= window && h % modv == 0L && i < n &&
+          !Character.isHighSurrogate(s.charAt(i - 1))) { ends += i; (): Unit }
         i += 1
       }
     }

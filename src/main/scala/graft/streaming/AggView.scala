@@ -140,10 +140,19 @@ object AggView {
       if (committed(dir)) {
         prevAgg = Some(spark.read.parquet(dir)); prevV = v
       } else {
-        val base = prevAgg.getOrElse(
-          full(CdcMergeSink.readAsOf(spark, tableRoot, prevV)))
-        val feed = CdcMergeSink.changeFeed(spark, tableRoot, prevV, v,
-          keyOf(tableRoot))
+        // base feeds the core delta AND each sketch branch's prev state
+        // (up to 3 references; on the first refresh it is a full
+        // aggregation) — group-sized, materialize once
+        val base = graft.operators.Materialize.ck(prevAgg.getOrElse(
+          full(CdcMergeSink.readAsOf(spark, tableRoot, prevV))))
+        // ONE materialization of the delta-sized diff serves every
+        // maintenance branch (core + hll + quantile each reference the
+        // feed several times; an unmaterialized feed would re-run the
+        // snapshot diff per reference — guide §7.2). The operators'
+        // own ckIfLazy then recognizes it as already checkpointed.
+        val feed = graft.operators.Materialize.ck(
+          CdcMergeSink.changeFeed(spark, tableRoot, prevV, v,
+            keyOf(tableRoot)))
         val core =
           if (extremaCols.isEmpty)
             IncrementalAgg.applyDelta(coreCols(base), feed, groupCols, sumCols)

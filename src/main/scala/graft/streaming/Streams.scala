@@ -349,9 +349,12 @@ object Streams {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // an empty trigger must not commit an empty index version
         if (!batch.isEmpty) {
-          val r = graft.operators.Dedup.dedupIncremental(indexRoot, batch,
-            textCol, idCol, shingleK, bands, rowsPerBand, threshold, native)
-          onPairs(r.pairs, epoch)
+          // the pair append runs CONCURRENTLY with the index commit
+          // (independent storage; pairs are checkpointed first) — the
+          // epoch's wall time is max(commit, append), not their sum
+          graft.operators.Dedup.dedupIncremental(indexRoot, batch,
+            textCol, idCol, shingleK, bands, rowsPerBand, threshold, native,
+            pairsSink = Some(pairs => onPairs(pairs, epoch))): Unit
         }
       }
       .start()

@@ -1118,6 +1118,39 @@ class CorpusPrepSpec extends SparkSpec with TableDrivenPropertyChecks {
       "an empty doc scores 0 over 0")
   }
 
+  test("cdcChunkNovelty: a boilerplate chunk shared by every doc stays exact " +
+      "(hot-key path)") {
+    // every doc carries the SAME license-header-style text plus a unique
+    // tail: the shared chunks hash to ONE key each, the shape that makes
+    // a chunk-keyed exchange degenerate (guide §2.5). The pair-keyed
+    // exchange spreads the copies; accounting must stay exact: the first
+    // holder (lowest id) gets the shared chunks' credit, every later doc
+    // is novel only in its tail.
+    val header = "standard license header apache version two point zero " +
+      "permission granted free of charge to any person obtaining a copy"
+    val d = docs((1L to 40L).map(i =>
+      i -> (header + s" unique tail token$i mark$i")): _*)
+    val out = CorpusPrep.cdcChunkNovelty(d, "doc_id", "text", maskBits = 3)
+      .orderBy("doc_id").collect()
+    val first = out.head
+    assert(first.getLong(2) === first.getLong(1),
+      "doc 1 is first holder of every chunk it has")
+    // later docs: novelty strictly below their chunk count (the header
+    // chunks are credited to doc 1), but nonzero (the unique tail)
+    out.tail.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1),
+        s"doc ${r.getLong(0)} must share header chunks")
+      assert(r.getLong(2) >= 1,
+        s"doc ${r.getLong(0)} has a unique tail chunk")
+    }
+    // exactness on the hot key: total novel chunks == distinct chunks
+    val totalNovel = out.map(_.getLong(2)).sum
+    val distinctChunks = d.select(explode(graft.functions.TextFunctions
+        .cdcChunks(col("text"), 8, 3)).as("c")).distinct().count()
+    assert(totalNovel === distinctChunks,
+      "every distinct chunk is credited exactly once")
+  }
+
   test("stupidBackoffScore: hand-computed backoff levels and nll") {
     // train: two 3-token docs. counts: uni a:2 b:2 c:1 d:1 (N=6, V=4);
     // bi "a b":2 "b c":1 "b d":1; tri "a b c":1 "a b d":1

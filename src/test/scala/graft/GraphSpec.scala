@@ -342,4 +342,32 @@ class GraphSpec extends SparkSpec {
       .orderBy("node_id").collect().toSeq
     assert(a == b, "a converged star forest must be a fixpoint")
   }
+
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) is result-identical") {
+    // on a real cluster localCheckpoint blocks are executor-local with no
+    // replication — spark.graft.checkpointDir flips every operator
+    // materialization to a reliable Dataset.checkpoint (Materialize.ck);
+    // results must be bit-identical in both modes, including the observed
+    // scalars (read back via an aggregate job in reliable mode)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 2L), (4L, 2L, 1L),
+      (2L, 5L, 1L)).toDF("src", "dst", "w") // node 5 dangles
+    val seeds = Some(Seq(2L, 4L).toDF("node_id"))
+    val local = Graph.pageRank(e, 3, seeds = seeds)
+      .orderBy("node_id").collect().toSeq
+    val localCc = Graph.connectedComponents(e.select("src", "dst"), 8)
+      .orderBy("node_id").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.operators.Materialize.ConfKey, dir)
+    try {
+      val reliable = Graph.pageRank(e, 3, seeds = seeds)
+        .orderBy("node_id").collect().toSeq
+      val reliableCc = Graph.connectedComponents(e.select("src", "dst"), 8)
+        .orderBy("node_id").collect().toSeq
+      assert(reliable == local)
+      assert(reliableCc == localCc)
+      // the reliable path really wrote checkpoint data
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .count() > 0, "no reliable checkpoint data written")
+    } finally spark.conf.unset(graft.operators.Materialize.ConfKey)
+  }
 }

@@ -151,6 +151,43 @@ class PlansSpec extends SparkSpec {
     assert(nulls.getSeq[String](0).isEmpty && nulls.getSeq[String](1).isEmpty)
   }
 
+  test("native cdcChunks never splits a surrogate pair (supplementary plane)") {
+    import graft.functions.TextFunctions
+    val s = spark; import s.implicits._
+    // supplementary-plane (non-BMP) text: emoji (U+1F600..) and Deseret
+    // (U+10400..) interleaved with ASCII so boundary candidates land on
+    // and around surrogate pairs at several window/mask settings. Bit
+    // parity with the HOF is scoped to the BMP (the HOF slices by
+    // codepoint but hashes code-unit positions \u2014 internally inconsistent
+    // out here); the kernel's own contract is what we pin: chunks are
+    // non-empty, contain no lone surrogates, and concatenate EXACTLY to
+    // the normalized text (a cut between a pair would '?'-corrupt both
+    // sides).
+    // U+1F600 = \ud83d\ude00 (emoji), U+10400 = \ud801\udc00 (Deseret)
+    val sup = (1 to 12).map { i =>
+      (9100000L + i,
+        ("ab \ud83d\ude00" + "x" * (i % 5) + "\ud801\udc00 cd ") * (3 + i))
+    }.toDF("doc_id", "text")
+    var sawMultiChunk = false
+    for ((w, mb) <- Seq((8, 6), (4, 3), (2, 1))) {
+      val rows = sup.select(
+        TextFunctions.cdcChunks(col("text"), w, mb).as("chunks"),
+        concat_ws(" ", TextFunctions.tokens(lower(col("text"))))
+          .as("norm"))
+        .collect()
+      rows.foreach { r =>
+        val chunks = r.getSeq[String](0)
+        assert(chunks.nonEmpty)
+        if (chunks.length > 1) sawMultiChunk = true
+        assert(chunks.mkString === r.getString(1),
+          s"concatenation != normalized text at window=$w maskBits=$mb")
+      }
+    }
+    // boundaries DO fire inside supplementary text (the guarantee above
+    // is not vacuous)
+    assert(sawMultiChunk)
+  }
+
   test("native sorted-bounds search matches the HOF boundary count (merge router)") {
     val s = spark; import s.implicits._
     val bounds = Array(10L, 20L, 30L, 45L)
