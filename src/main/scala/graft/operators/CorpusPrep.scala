@@ -979,12 +979,20 @@ object CorpusPrep {
       TextFunctions.tokenCount(lower(col(textCol))).cast("double").as("__dl")))
     val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__dl")).as("__avgdl"))
-    val postings = docs
+    // postings feed BOTH the tf side and the docfreq aggregate —
+    // tf ⋈ docfreq(tf) defeats exchange reuse (column pruning, the house
+    // gotcha), so the un-materialized form re-tokenized the corpus per
+    // reference. Materialize the query-selective posting table once; df
+    // then aggregates the checkpoint (a per-term count window would be
+    // one evaluation too, but it lands a common term's whole posting
+    // list in ONE task — the degenerate-window skew shape — where the
+    // groupBy keeps map-side partials).
+    val postings = Materialize.ck(docs
       .select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
       .where(col("__t").isin(terms: _*))
       .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).cast("double").as("__tf"))
+      .agg(count(lit(1)).cast("double").as("__tf")))
     val df = postings.groupBy(col("__t"))
       .agg(count(lit(1)).cast("double").as("__df"))
     val idf = log(lit(1.0) +

@@ -1026,7 +1026,13 @@ object Dedup {
     val est = newRows.queryExecution.optimizedPlan.stats.sizeInBytes
     val byBytes = (est / (128L * 1024 * 1024)).toLong
     val cap = math.max(1, newRows.rdd.getNumPartitions.min(32))
-    math.max(1L, math.min(byBytes, cap.toLong)).toInt
+    // floor at the session's write parallelism (bounded by the cap): a
+    // byte-proportional count is the 100 TB shape, but a small index in
+    // ONE file serializes every later CoW merge's dirty rewrite into a
+    // single task — keep enough files that a merge can use the cluster
+    val minP = math.min(
+      newRows.sparkSession.sparkContext.defaultParallelism, cap)
+    math.max(minP.toLong, math.min(byBytes, cap.toLong)).toInt
   }
 
   /** Commit one ingest's index rows: create on first use (attaching the
