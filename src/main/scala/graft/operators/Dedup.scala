@@ -941,9 +941,10 @@ object Dedup {
           graft.sources.MutableParquetTable.ManifestName))
       val corpusPairs = if (!exists) None else {
         val probed = newRows.select(col("band"), col("chunk")).distinct()
-        val index = probePrunedIndex(spark, indexRoot, probed, "chunk")
+        val (index, pts) = probePrunedIndex(spark, indexRoot, probed, "chunk")
         Some(index
-          .join(broadcast(probed), Seq("band", "chunk"), "left_semi")
+          .join(broadcast(probeSide(spark, probed, pts)),
+            Seq("band", "chunk"), "left_semi")
           .select(col("band"), col("chunk"), col("doc_id").as("id_idx"),
             col("sim").as("sim_idx"))
           .join(newRows.select(col("band"), col("chunk"),
@@ -998,21 +999,39 @@ object Dedup {
     * collect is bounded at cap+1 rows, never batch-sized surprise). */
   private def probePrunedIndex(spark: SparkSession, indexRoot: String,
                                probed: DataFrame, bucketCol: String,
-                               cap: Int = 1 << 16): DataFrame = {
+                               cap: Int = 1 << 16)
+      : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
     val index = spark.read.format("graft").load(indexRoot)
     val snap = graft.streaming.CdcMergeSink.latestSnapshot(indexRoot)
     val dims = graft.sources.MutableParquetTable.manifestDimRanges(snap).keySet
-    if (!dims.contains("band") || !dims.contains(bucketCol)) index
+    if (!dims.contains("band") || !dims.contains(bucketCol)) (index, None)
     else {
       val pts = probed.limit(cap + 1).collect()
-      if (pts.length > cap) index
+      if (pts.length > cap) (index, None)
       else {
         val bands = pts.map(_.getLong(0)).distinct.toSeq
         val buckets = pts.map(_.getLong(1)).distinct.toSeq
-        index.where(col("band").isin(bands: _*) &&
-          col(bucketCol).isin(buckets: _*))
+        // hand the collected point set back so the caller's broadcast
+        // semi-join side becomes a LOCAL relation — the probed distinct
+        // is then evaluated ONCE (here) instead of once more for the
+        // broadcast build (guide §7.2); bounded by `cap`, never
+        // batch-sized
+        (index.where(col("band").isin(bands: _*) &&
+          col(bucketCol).isin(buckets: _*)), Some(pts))
       }
     }
+  }
+
+  /** The broadcast semi-join side for a probe: the ALREADY-COLLECTED
+    * point set as a local relation when the pruning path collected it
+    * (zero extra jobs), the distinct frame otherwise. */
+  private def probeSide(spark: SparkSession, probed: DataFrame,
+                        pts: Option[Array[org.apache.spark.sql.Row]])
+      : DataFrame = pts match {
+    case Some(rows) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        probed.schema)
+    case None => probed
   }
 
   /** Scale-adaptive file count for a fresh index (guide §6: files in the
@@ -1145,9 +1164,10 @@ object Dedup {
         // map-side, only colliding rows shuffle (and prunes FILES under
         // the probe layout — probePrunedIndex)
         val probed = newRows.select(col("band"), col("bucket")).distinct()
-        val index = probePrunedIndex(spark, indexRoot, probed, "bucket")
+        val (index, pts) = probePrunedIndex(spark, indexRoot, probed, "bucket")
         Some(index
-          .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
+          .join(broadcast(probeSide(spark, probed, pts)),
+            Seq("band", "bucket"), "left_semi")
           .select(col("band"), col("bucket"), col("doc_id").as("id_idx"),
             col("sig").as("sig_idx"))
           .join(newRows.select(col("band"), col("bucket"),
